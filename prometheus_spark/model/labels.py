@@ -1,0 +1,98 @@
+"""Label-set signatures and grouping keys — all JVM-side expressions.
+
+The reference hashes label sets for join/group keys
+(promql/engine.go:4399 ``generateGroupingKey``); we use a canonical string
+serialization instead (sorted ``k\\x1ev`` pairs joined by ``\\x1f``) so the
+key is printable, collision-free, and computable with built-in Spark
+functions (``map_entries → array_sort → transform → array_join``) inside
+whole-stage codegen.  Spark cannot group/join on MapType directly, so the
+``sig`` column accompanies every vector frame.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from prometheus_spark.model.schema import METRIC_NAME_LABEL
+
+KV_SEP = "\x1e"
+PAIR_SEP = "\x1f"
+
+
+def sig_expr(labels_col: Column | str = "labels") -> Column:
+    """Canonical signature of a labels map: sorted k\\x1ev pairs."""
+    col = F.col(labels_col) if isinstance(labels_col, str) else labels_col
+    entries = F.array_sort(F.map_entries(col))
+    return F.array_join(
+        F.transform(entries, lambda e: F.concat_ws(KV_SEP, e["key"], e["value"])),
+        PAIR_SEP,
+    )
+
+
+def sig_for(labels: Mapping[str, str]) -> str:
+    """Driver-side signature of a Python dict — mirrors :func:`sig_expr`."""
+    return PAIR_SEP.join(f"{k}{KV_SEP}{labels[k]}" for k in sorted(labels))
+
+
+def labels_from_sig(sig: str) -> dict[str, str]:
+    if not sig:
+        return {}
+    return dict(pair.split(KV_SEP, 1) for pair in sig.split(PAIR_SEP))
+
+
+def match_sig_expr(
+    labels_col: Column | str,
+    on: Iterable[str] | None,
+    ignoring: Iterable[str] | None,
+) -> Column:
+    """Join signature for vector matching (reference: promql/parser/ast.go:309).
+
+    ``on(...)`` keeps only the listed labels; otherwise the key is the full
+    label set minus ``__name__`` and any ``ignoring(...)`` labels.
+    """
+    col = F.col(labels_col) if isinstance(labels_col, str) else labels_col
+    if on is not None:
+        keys = F.array(*[F.lit(k) for k in on]) if on else F.array().cast("array<string>")
+        filtered = F.map_filter(col, lambda k, _: F.array_contains(keys, k) if on else F.lit(False))
+    else:
+        dropped = list(ignoring or []) + [METRIC_NAME_LABEL]
+        keys = F.array(*[F.lit(k) for k in dropped])
+        filtered = F.map_filter(col, lambda k, _: ~F.array_contains(keys, k))
+    return sig_expr(filtered)
+
+
+def group_labels_expr(
+    labels_col: Column | str,
+    by: Iterable[str] | None,
+    without: Iterable[str] | None,
+) -> Column:
+    """Output label map for aggregation grouping (engine.go:4412).
+
+    ``by(...)`` keeps listed labels; ``without(...)`` drops listed labels
+    plus ``__name__``; bare aggregation groups everything into one series
+    with empty labels.
+    """
+    col = F.col(labels_col) if isinstance(labels_col, str) else labels_col
+    if by is not None:
+        if not by:
+            return F.map_from_arrays(
+                F.array().cast("array<string>"), F.array().cast("array<string>")
+            )
+        keys = F.array(*[F.lit(k) for k in by])
+        return F.map_filter(col, lambda k, _: F.array_contains(keys, k))
+    if without is not None:
+        dropped = list(without) + [METRIC_NAME_LABEL]
+        keys = F.array(*[F.lit(k) for k in dropped])
+        return F.map_filter(col, lambda k, _: ~F.array_contains(keys, k))
+    return F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>"))
+
+
+def drop_name_expr(labels_col: Column | str = "labels") -> Column:
+    """Drop ``__name__`` — functions/operators that change meaning drop the
+    metric name from output labels (reference: engine.go:4254
+    ``cleanupMetricLabels``)."""
+    col = F.col(labels_col) if isinstance(labels_col, str) else labels_col
+    return F.map_filter(col, lambda k, _: k != F.lit(METRIC_NAME_LABEL))
