@@ -1,0 +1,297 @@
+"""Binary operators — vector matching as equi-joins on label signatures.
+
+Reference semantics: promql/engine.go:3191 (``VectorBinop`` — hash join on
+signature), engine.go:3484 (``vectorElemBinop``), engine.go:3359
+(``resultMetric``), set ops engine.go:3115-3190, scalar paths
+engine.go:3404-3480.  The join key is the label set minus ``__name__``,
+restricted by ``on(...)`` / expanded by ``ignoring(...)``.
+
+Error semantics the reference enforces and Spark must too
+(engine.go:3216-3229, 3280): duplicate signatures on the "one" side and
+many-to-one matches without explicit grouping *error out* — implemented as
+JVM-side ``raise_error`` guarded by a window count, so no extra job runs.
+
+IEEE-754 caveat: Spark SQL defines ``NaN = NaN`` as true and sorts NaN
+above all doubles; PromQL follows Go/IEEE (NaN compares false except
+``!=``).  All comparison predicates are therefore NaN-guarded explicitly.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from prometheus_spark.engine.aggregations import PromQLEvalError
+from prometheus_spark.engine.context import EvalContext
+from prometheus_spark.engine.values import (
+    ConstScalar,
+    ScalarFrame,
+    VectorFrame,
+    scalar_frame_from_const,
+)
+from prometheus_spark.model.labels import drop_name_expr, match_sig_expr, sig_expr
+from prometheus_spark.model.schema import METRIC_NAME_LABEL
+from prometheus_spark.parser.ast import (
+    COMPARISON_OPS,
+    BinaryExpr,
+    MatchCardinality,
+    VectorMatching,
+)
+
+def _NAN():  # lazily built: F.lit needs an active SparkContext
+    return F.lit(float("nan"))
+
+
+def arith_expr(op: str, l: Column, r: Column) -> Column:
+    """IEEE-faithful arithmetic (engine.go:3484 ``vectorElemBinop``)."""
+    if op == "+":
+        return l + r
+    if op == "-":
+        return l - r
+    if op == "*":
+        return l * r
+    if op == "/":
+        # Spark double division yields NULL on /0 in some modes; force IEEE.
+        return F.when(
+            r == 0.0,
+            F.when(F.isnan(l) | (l == 0.0), _NAN()).otherwise(
+                F.when(l > 0, F.lit(float("inf"))).otherwise(F.lit(float("-inf")))
+            ),
+        ).otherwise(l / r)
+    if op == "%":
+        # Go math.Mod: sign of dividend, undefined → NaN
+        return F.when((r == 0.0) | F.isnan(l) | F.isnan(r), _NAN()).otherwise(l % r)
+    if op == "^":
+        return F.pow(l, r)
+    if op == "atan2":
+        return F.atan2(l, r)
+    raise PromQLEvalError(f"unsupported arithmetic op {op}")
+
+
+def compare_expr(op: str, l: Column, r: Column) -> Column:
+    """IEEE comparison: NaN compares false except ``!=`` (engine.go:3451)."""
+    both = (~F.isnan(l)) & (~F.isnan(r))
+    if op == "==":
+        return both & (l == r)
+    if op == "!=":
+        return F.isnan(l) | F.isnan(r) | (l != r)
+    if op == ">":
+        return both & (l > r)
+    if op == "<":
+        return both & (l < r)
+    if op == ">=":
+        return both & (l >= r)
+    if op == "<=":
+        return both & (l <= r)
+    raise PromQLEvalError(f"unsupported comparison {op}")
+
+
+def scalar_scalar(op: str, l: float, r: float) -> float:
+    if op in COMPARISON_OPS:
+        if op == "==":
+            return 1.0 if l == r else 0.0
+        if op == "!=":
+            return 1.0 if l != r else 0.0
+        if op == ">":
+            return 1.0 if l > r else 0.0
+        if op == "<":
+            return 1.0 if l < r else 0.0
+        if op == ">=":
+            return 1.0 if l >= r else 0.0
+        return 1.0 if l <= r else 0.0
+    if op == "+":
+        return l + r
+    if op == "-":
+        return l - r
+    if op == "*":
+        return l * r
+    if op == "/":
+        if r == 0:
+            if math.isnan(l) or l == 0:
+                return float("nan")
+            return float("inf") if l > 0 else float("-inf")
+        return l / r
+    if op == "%":
+        return math.fmod(l, r) if r != 0 else float("nan")
+    if op == "^":
+        return l**r if not (math.isnan(l) or math.isnan(r)) else float("nan")
+    if op == "atan2":
+        return math.atan2(l, r)
+    raise PromQLEvalError(f"unsupported scalar op {op}")
+
+
+def vector_scalar(
+    ctx: EvalContext, node: BinaryExpr, vf: VectorFrame, scalar, vector_on_left: bool
+) -> VectorFrame:
+    """vector ⊗ scalar — broadcast (engine.go:3404 ``VectorscalarBinop``)."""
+    df = vf.df
+    if isinstance(scalar, ConstScalar):
+        s = F.lit(float(scalar.value))
+    else:  # per-step scalar — broadcast join on t
+        df = df.join(F.broadcast(scalar.df.withColumnRenamed("value", "__s")), "t")
+        s = F.col("__s")
+    l, r = (F.col("value"), s) if vector_on_left else (s, F.col("value"))
+    if node.op in COMPARISON_OPS:
+        pred = compare_expr(node.op, l, r)
+        if node.return_bool:
+            out = df.select(
+                sig_expr(drop_name_expr("labels")).alias("sig"),
+                drop_name_expr("labels").alias("labels"),
+                "t",
+                "sample_t",
+                F.when(pred, 1.0).otherwise(0.0).alias("value"),
+            )
+        else:
+            out = df.filter(pred).select("sig", "labels", "t", "sample_t", "value")
+        return VectorFrame(out)
+    out = df.select(
+        sig_expr(drop_name_expr("labels")).alias("sig"),
+        drop_name_expr("labels").alias("labels"),
+        "t",
+        "sample_t",
+        arith_expr(node.op, l, r).cast("double").alias("value"),
+    )
+    return VectorFrame(out)
+
+
+def _with_match_sig(df: DataFrame, vm: VectorMatching) -> DataFrame:
+    on = vm.labels if vm.on else None
+    ignoring = vm.labels if not vm.on else None
+    return df.withColumn("msig", match_sig_expr("labels", on, ignoring))
+
+
+def set_op(ctx: EvalContext, op: str, lhs: VectorFrame, rhs: VectorFrame, vm: VectorMatching) -> VectorFrame:
+    """and / or / unless (engine.go:3115-3190)."""
+    l = _with_match_sig(lhs.df, vm)
+    r = _with_match_sig(rhs.df, vm)
+    rkeys = r.select("msig", "t").distinct()
+    if op == "and":
+        out = l.join(rkeys, ["msig", "t"], "left_semi")
+    elif op == "unless":
+        out = l.join(rkeys, ["msig", "t"], "left_anti")
+    elif op == "or":
+        lkeys = l.select("msig", "t").distinct()
+        extra = r.join(lkeys, ["msig", "t"], "left_anti")
+        out = l.unionByName(extra)
+    else:
+        raise PromQLEvalError(op)
+    return VectorFrame(out.select("sig", "labels", "t", "sample_t", "value"))
+
+
+def vector_vector(
+    ctx: EvalContext, node: BinaryExpr, lhs: VectorFrame, rhs: VectorFrame
+) -> VectorFrame:
+    vm = node.matching or VectorMatching()
+    if node.op in ("and", "or", "unless"):
+        return set_op(ctx, node.op, lhs, rhs, vm)
+
+    card = vm.card
+    # The "one" side must be unique per (msig, t): rhs for one-to-one and
+    # group_left, lhs for group_right (engine.go:3216-3229).
+    one_is_rhs = card != MatchCardinality.ONE_TO_MANY
+    many_df = lhs.df if one_is_rhs else rhs.df
+    one_df = rhs.df if one_is_rhs else lhs.df
+
+    many = _with_match_sig(many_df, vm)
+    one = _with_match_sig(one_df, vm).select(
+        "msig", "t", F.col("value").alias("__ov"), F.col("labels").alias("__olabels")
+    )
+
+    # Duplicate signatures on the "one" side must error, not dedupe.
+    # A window count + raise_error stays JVM-side with no extra job; the
+    # check column is folded into `value` so Catalyst can't prune it away.
+    guard = F.lit(0.0)
+    if ctx.strict:
+        wr = Window.partitionBy("msig", "t")
+        one = one.withColumn(
+            "__chk",
+            F.when(
+                F.count(F.lit(1)).over(wr) > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit("found duplicate series for the match group on the "),
+                        F.lit("right" if one_is_rhs else "left"),
+                        F.lit(" hand-side of the operation: "),
+                        F.col("msig"),
+                    )
+                ).cast("double"),
+            ),
+        )
+        guard = F.coalesce(F.col("__chk"), F.lit(0.0))
+
+    joined = many.join(one, ["msig", "t"], "inner")
+
+    if ctx.strict and card == MatchCardinality.ONE_TO_ONE:
+        # after a unique-rhs join, >1 row per (msig, t) ⇒ duplicate lhs
+        wl = Window.partitionBy("msig", "t")
+        joined = joined.withColumn(
+            "__chk2",
+            F.when(
+                F.count(F.lit(1)).over(wl) > 1,
+                F.raise_error(
+                    F.lit(
+                        "multiple matches for labels: many-to-one matching "
+                        "must be explicit (group_left/group_right)"
+                    )
+                ).cast("double"),
+            ),
+        )
+        guard = guard + F.coalesce(F.col("__chk2"), F.lit(0.0))
+
+    # restore operand positions: 'many' holds lhs for group_left, rhs for group_right
+    l_val = F.col("value") if one_is_rhs else F.col("__ov")
+    r_val = F.col("__ov") if one_is_rhs else F.col("value")
+
+    if node.op in COMPARISON_OPS:
+        labels = _result_labels_expr(vm, drop_name=node.return_bool)
+        pred = compare_expr(node.op, l_val, r_val)
+        if node.return_bool:
+            value = (F.when(pred, 1.0).otherwise(0.0) + guard).alias("value")
+        else:
+            joined = joined.filter(pred | (guard != 0.0))
+            value = (l_val + guard).alias("value")  # filter keeps the lhs sample value
+    else:
+        labels = _result_labels_expr(vm, drop_name=True)
+        value = (arith_expr(node.op, l_val, r_val).cast("double") + guard).alias("value")
+
+    out = joined.select(
+        sig_expr(labels).alias("sig"),
+        labels.alias("labels"),
+        "t",
+        F.col("t").alias("sample_t"),
+        value,
+    )
+    return VectorFrame(out)
+
+
+def _result_labels_expr(vm: VectorMatching, drop_name: bool) -> Column:
+    """Result label set (engine.go:3359 ``resultMetric``): start from the
+    "many" side's labels; drop ``__name__`` when the op changes schema or
+    ``bool`` is set; apply on(keep)/ignoring(del) **only for one-to-one**;
+    ``include`` labels are copied from the "one" side — empty value there
+    deletes the label."""
+    base = F.col("labels")
+    if drop_name:
+        base = drop_name_expr(base)
+    if vm.card == MatchCardinality.ONE_TO_ONE:
+        if vm.on:
+            keys = (
+                F.array(*[F.lit(k) for k in vm.labels])
+                if vm.labels
+                else F.array().cast("array<string>")
+            )
+            base = F.map_filter(base, lambda k, _: F.array_contains(keys, k))
+        elif vm.labels:
+            keys = F.array(*[F.lit(k) for k in vm.labels])
+            base = F.map_filter(base, lambda k, _: ~F.array_contains(keys, k))
+    if vm.include:
+        inc = F.array(*[F.lit(k) for k in vm.include])
+        one_inc = F.map_filter(
+            F.col("__olabels"), lambda k, v: F.array_contains(inc, k) & (v != F.lit(""))
+        )
+        base_rest = F.map_filter(base, lambda k, _: ~F.array_contains(inc, k))
+        return F.map_concat(base_rest, one_inc)
+    return base

@@ -1,0 +1,56 @@
+"""Evaluation context: the step grid as a first-class DataFrame.
+
+An instant query is a range query with one step (reference:
+promql/engine.go:804-806) — every operator is keyed by ``(sig, t)`` where
+``t`` iterates the step grid ``start, start+step, …, end``
+(engine.go:1410 ``rangeEval``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import cached_property
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prometheus_spark.model.schema import DEFAULT_LOOKBACK_MS
+
+
+@dataclass(frozen=True)
+class EvalContext:
+    spark: SparkSession
+    samples: DataFrame  # canonical sample schema (see model.schema)
+    start_ms: int
+    end_ms: int
+    step_ms: int  # > 0; instant queries use a 1-step grid
+    lookback_ms: int = DEFAULT_LOOKBACK_MS
+    strict: bool = True  # enforce duplicate-signature errors (extra pass)
+
+    @property
+    def num_steps(self) -> int:
+        return (self.end_ms - self.start_ms) // self.step_ms + 1
+
+    @property
+    def is_instant(self) -> bool:
+        return self.num_steps == 1
+
+    @cached_property
+    def grid(self) -> DataFrame:
+        """One row per step: (t LONG).  Tiny — always broadcast-joined."""
+        return self.spark.range(0, self.num_steps).select(
+            (F.lit(self.start_ms) + F.col("id") * F.lit(self.step_ms)).alias("t")
+        )
+
+    def with_grid(self, start_ms: int, end_ms: int, step_ms: int) -> "EvalContext":
+        return replace(self, start_ms=start_ms, end_ms=end_ms, step_ms=step_ms)
+
+    def resolve_at(self, at) -> int:
+        """Resolve @ modifier sentinels (reference: ast.go:216-218)."""
+        from prometheus_spark.parser.ast import AT_END, AT_START
+
+        if at == AT_START:
+            return self.start_ms
+        if at == AT_END:
+            return self.end_ms
+        return int(at)

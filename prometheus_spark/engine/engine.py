@@ -1,0 +1,80 @@
+"""Public engine facade.
+
+Mirrors the reference query lifecycle (SURVEY §3): parse → plan-time
+rewrites (folded by the parser/evaluator) → evaluate over the step grid →
+result shaping (sorted by label set, engine.go:907).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prometheus_spark.engine.context import EvalContext
+from prometheus_spark.engine.evaluator import Evaluator
+from prometheus_spark.engine.values import (
+    ConstScalar,
+    ScalarFrame,
+    StringValue,
+    VectorFrame,
+    scalar_frame_from_const,
+)
+from prometheus_spark.model.schema import DEFAULT_LOOKBACK_MS
+from prometheus_spark.parser import parse_expr
+
+
+class PromQLEngine:
+    """Evaluate PromQL over a canonical samples DataFrame.
+
+    ``samples`` must follow ``model.schema.SAMPLE_SCHEMA`` (plus the hot
+    ``name`` column).  Use ``prometheus_spark.storage`` helpers to build it.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        samples: DataFrame,
+        lookback_ms: int = DEFAULT_LOOKBACK_MS,
+        strict: bool = True,
+    ):
+        self.spark = spark
+        self.samples = samples
+        self.lookback_ms = lookback_ms
+        self.strict = strict
+
+    def _ctx(self, start_ms: int, end_ms: int, step_ms: int) -> EvalContext:
+        return EvalContext(
+            spark=self.spark,
+            samples=self.samples,
+            start_ms=start_ms,
+            end_ms=end_ms,
+            step_ms=step_ms,
+            lookback_ms=self.lookback_ms,
+            strict=self.strict,
+        )
+
+    def instant_query(self, query: str, time_ms: int) -> DataFrame:
+        """→ DataFrame (sig, labels, t, value) at the single timestamp."""
+        return self.range_query(query, time_ms, time_ms, 1)
+
+    def range_query(self, query: str, start_ms: int, end_ms: int, step_ms: int) -> DataFrame:
+        """→ DataFrame (sig, labels, t, value), sorted by (sig, t)."""
+        node = parse_expr(query)
+        ctx = self._ctx(start_ms, end_ms, step_ms)
+        result = Evaluator(ctx).eval(node)
+        if isinstance(result, ConstScalar):
+            result = scalar_frame_from_const(ctx, result.value)
+        if isinstance(result, ScalarFrame):
+            empty = F.map_from_arrays(
+                F.array().cast("array<string>"), F.array().cast("array<string>")
+            )
+            return result.df.select(
+                F.lit("").alias("sig"), empty.alias("labels"), "t", "value"
+            ).orderBy("t")
+        if isinstance(result, StringValue):
+            raise ValueError("string results are API-only; not a DataFrame")
+        if isinstance(result, VectorFrame):
+            return result.df.select("sig", "labels", "t", "value").orderBy("sig", "t")
+        raise TypeError(f"unexpected result {type(result).__name__}")

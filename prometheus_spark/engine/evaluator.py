@@ -1,0 +1,323 @@
+"""Bottom-up AST → DataFrame planner/evaluator.
+
+The reference evaluates with a tree-walking interpreter batched across
+steps (promql/engine.go:2051, 1410).  Here every node *declares* its full
+multi-step result as a DataFrame expression keyed by ``(sig, t)`` and
+Catalyst compiles the whole query — step-invariant subtrees
+(engine.go:4538) fall out naturally since pinned selectors broadcast
+across the step grid.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prometheus_spark.engine import binop as B
+from prometheus_spark.engine import functions as FN
+from prometheus_spark.engine import range_functions as RF
+from prometheus_spark.engine.aggregations import PromQLEvalError, eval_aggregation
+from prometheus_spark.engine.context import EvalContext
+from prometheus_spark.engine.selectors import eval_vector_selector, windowed_samples
+from prometheus_spark.engine.values import (
+    ConstScalar,
+    ScalarFrame,
+    StringValue,
+    VectorFrame,
+    scalar_frame_from_const,
+)
+from prometheus_spark.parser.ast import (
+    AT_END,
+    AT_START,
+    AggregateExpr,
+    BinaryExpr,
+    Call,
+    Expr,
+    MatchType,
+    MatrixSelector,
+    NumberLiteral,
+    ParenExpr,
+    StringLiteral,
+    SubqueryExpr,
+    UnaryExpr,
+    ValueType,
+    VectorSelector,
+)
+
+
+class Evaluator:
+    def __init__(self, ctx: EvalContext):
+        self.ctx = ctx
+
+    # ------------------------------------------------------------------
+    def eval(self, node: Expr):
+        ctx = self.ctx
+        if isinstance(node, NumberLiteral):
+            return ConstScalar(node.value)
+        if isinstance(node, StringLiteral):
+            return StringValue(node.value)
+        if isinstance(node, ParenExpr):
+            return self.eval(node.expr)
+        if isinstance(node, VectorSelector):
+            return eval_vector_selector(ctx, node)
+        if isinstance(node, UnaryExpr):
+            return self._unary(node)
+        if isinstance(node, AggregateExpr):
+            param = self.eval(node.param) if node.param is not None else None
+            vf = self._vector(node.expr)
+            return eval_aggregation(ctx, node, vf, param)
+        if isinstance(node, BinaryExpr):
+            return self._binary(node)
+        if isinstance(node, Call):
+            return self._call(node)
+        if isinstance(node, (MatrixSelector, SubqueryExpr)):
+            raise PromQLEvalError(
+                "range vector used where an instant vector is expected"
+            )
+        raise PromQLEvalError(f"unsupported node {type(node).__name__}")
+
+    # ------------------------------------------------------------------
+    def _vector(self, node: Expr) -> VectorFrame:
+        v = self.eval(node)
+        if isinstance(v, VectorFrame):
+            return v
+        raise PromQLEvalError(f"expected instant vector, got {type(v).__name__}")
+
+    def _scalar(self, node: Expr):
+        v = self.eval(node)
+        if isinstance(v, (ConstScalar, ScalarFrame)):
+            return v
+        raise PromQLEvalError(f"expected scalar, got {type(v).__name__}")
+
+    def _unary(self, node: UnaryExpr):
+        v = self.eval(node.expr)
+        if node.op == "+":
+            return v
+        if isinstance(v, ConstScalar):
+            return ConstScalar(-v.value)
+        if isinstance(v, ScalarFrame):
+            return ScalarFrame(v.df.select("t", (-F.col("value")).alias("value")))
+        if isinstance(v, VectorFrame):
+            from prometheus_spark.model.labels import drop_name_expr, sig_expr
+
+            labels = drop_name_expr("labels")
+            return VectorFrame(
+                v.df.select(
+                    sig_expr(labels).alias("sig"),
+                    labels.alias("labels"),
+                    "t",
+                    "sample_t",
+                    (-F.col("value")).alias("value"),
+                )
+            )
+        raise PromQLEvalError("unary - on non-numeric value")
+
+    # ------------------------------------------------------------------
+    def _binary(self, node: BinaryExpr):
+        lt, rt = node.lhs.value_type(), node.rhs.value_type()
+        l, r = self.eval(node.lhs), self.eval(node.rhs)
+        if isinstance(l, (ConstScalar, ScalarFrame)) and isinstance(r, (ConstScalar, ScalarFrame)):
+            return self._scalar_scalar(node, l, r)
+        if isinstance(l, VectorFrame) and isinstance(r, (ConstScalar, ScalarFrame)):
+            if node.op in ("and", "or", "unless"):
+                raise PromQLEvalError("set operators require two vectors")
+            return B.vector_scalar(self.ctx, node, l, r, vector_on_left=True)
+        if isinstance(r, VectorFrame) and isinstance(l, (ConstScalar, ScalarFrame)):
+            if node.op in ("and", "or", "unless"):
+                raise PromQLEvalError("set operators require two vectors")
+            return B.vector_scalar(self.ctx, node, r, l, vector_on_left=False)
+        if isinstance(l, VectorFrame) and isinstance(r, VectorFrame):
+            return B.vector_vector(self.ctx, node, l, r)
+        raise PromQLEvalError(f"invalid binary operands {type(l)} {type(r)}")
+
+    def _scalar_scalar(self, node: BinaryExpr, l, r):
+        if node.op in ("and", "or", "unless"):
+            raise PromQLEvalError("set operators not allowed between scalars")
+        if isinstance(l, ConstScalar) and isinstance(r, ConstScalar):
+            return ConstScalar(B.scalar_scalar(node.op, l.value, r.value))
+        lf = l if isinstance(l, ScalarFrame) else scalar_frame_from_const(self.ctx, l.value)
+        rf = r if isinstance(r, ScalarFrame) else scalar_frame_from_const(self.ctx, r.value)
+        rv = rf.df.withColumnRenamed("value", "__rv")
+        joined = lf.df.join(F.broadcast(rv), "t")
+        lc, rc = F.col("value"), F.col("__rv")
+        if node.op in B.COMPARISON_OPS:
+            out = F.when(B.compare_expr(node.op, lc, rc), 1.0).otherwise(0.0)
+        else:
+            out = B.arith_expr(node.op, lc, rc)
+        return ScalarFrame(joined.select("t", out.cast("double").alias("value")))
+
+    # ------------------------------------------------------------------
+    def _matrix_arg(self, node: Expr) -> tuple[DataFrame, int]:
+        """Evaluate a range-vector argument → (windowed frame, range_ms)."""
+        ctx = self.ctx
+        while isinstance(node, ParenExpr):
+            node = node.expr
+        if isinstance(node, MatrixSelector):
+            sel = node.selector
+            w = windowed_samples(ctx, sel, node.range_ms, sel.offset_ms, sel.at)
+            return w, node.range_ms
+        if isinstance(node, SubqueryExpr):
+            return self._subquery(node)
+        raise PromQLEvalError("expected range vector argument")
+
+    def _subquery(self, node: SubqueryExpr) -> tuple[DataFrame, int]:
+        """Subquery (engine.go:1932): evaluate inner expr over an
+        epoch-aligned denser grid, then window the result."""
+        ctx = self.ctx
+        step = node.step_ms or ctx.step_ms  # default: eval interval
+        offset = node.offset_ms
+        if node.at is not None:
+            ref = ctx.resolve_at(node.at) - offset
+            inner_end, outer_start = ref, ref
+        else:
+            inner_end = ctx.end_ms - offset
+            outer_start = ctx.start_ms - offset
+        # inner grid epoch-aligned to step (engine.go:1952-1975)
+        inner_start = (outer_start - node.range_ms) // step * step
+        if inner_start < outer_start - node.range_ms:
+            inner_start += step
+        if inner_start > inner_end:
+            inner_start = inner_end
+        sub_ctx = ctx.with_grid(inner_start, inner_end, step)
+        inner = Evaluator(sub_ctx).eval(node.expr)
+        if isinstance(inner, ConstScalar):
+            inner = scalar_frame_from_const(sub_ctx, inner.value)
+        if isinstance(inner, ScalarFrame):
+            raise PromQLEvalError("subquery on scalar expressions not supported")
+        samples_like = inner.df.select("sig", "labels", "t", "value")
+        w = windowed_samples(ctx, samples_like, node.range_ms, offset, node.at)
+        return w, node.range_ms
+
+    # ------------------------------------------------------------------
+    def _call(self, node: Call):
+        ctx = self.ctx
+        fn = node.func
+
+        # plan-time constants (engine.go:4469 foldQueryContextFunctions)
+        if fn == "time":
+            if ctx.is_instant:
+                return ConstScalar(ctx.start_ms / 1000.0)
+            return ScalarFrame(ctx.grid.select("t", (F.col("t") / 1000.0).alias("value")))
+        if fn == "pi":
+            return ConstScalar(math.pi)
+        if fn == "start":
+            return ConstScalar(ctx.start_ms / 1000.0)
+        if fn == "end":
+            return ConstScalar(ctx.end_ms / 1000.0)
+        if fn == "step":
+            return ConstScalar(ctx.step_ms / 1000.0)
+        if fn == "range":
+            raise PromQLEvalError("range() is only valid inside duration expressions")
+
+        if fn in RF.RANGE_FUNCTIONS:
+            param = self.eval(node.args[0]) if fn == "quantile_over_time" else None
+            if fn == "predict_linear":
+                param = self._scalar(node.args[1])
+            if fn == "double_exponential_smoothing":
+                w, rng = self._matrix_arg(node.args[0])
+                return RF.eval_range_function(
+                    ctx, fn, w, rng, self._scalar(node.args[1]), self._scalar(node.args[2])
+                )
+            m_idx = 1 if fn == "quantile_over_time" else 0
+            w, rng = self._matrix_arg(node.args[m_idx])
+            return RF.eval_range_function(ctx, fn, w, rng, param)
+
+        if fn == "absent_over_time":
+            w, _ = self._matrix_arg(node.args[0])
+            inferred = _inferred_labels(node.args[0])
+            return FN.eval_absent_over_time(ctx, w, inferred)
+
+        if fn in FN._SIMPLE_MATH:
+            return FN.eval_simple_math(fn, self._vector_or_default(node.args, 0))
+        if fn == "round":
+            to = 1.0
+            if len(node.args) > 1:
+                p = self._scalar(node.args[1])
+                if not isinstance(p, ConstScalar):
+                    raise PromQLEvalError("round: scalar parameter required")
+                to = p.value
+            return FN.eval_round(self._vector(node.args[0]), to)
+        if fn == "clamp":
+            lo, hi = self._const(node.args[1]), self._const(node.args[2])
+            return FN.eval_clamp(self._vector(node.args[0]), lo, hi)
+        if fn == "clamp_max":
+            return FN.eval_clamp_one(self._vector(node.args[0]), self._const(node.args[1]), True)
+        if fn == "clamp_min":
+            return FN.eval_clamp_one(self._vector(node.args[0]), self._const(node.args[1]), False)
+        if fn in FN._DATE_FUNCS:
+            return FN.eval_date_func(fn, self._vector_or_default(node.args, 0))
+        if fn == "timestamp":
+            return FN.eval_timestamp(self._vector(node.args[0]))
+        if fn == "scalar":
+            return FN.eval_scalar(ctx, self._vector(node.args[0]))
+        if fn == "vector":
+            return FN.eval_vector(ctx, self._scalar(node.args[0]))
+        if fn == "absent":
+            vf = self._vector(node.args[0])
+            return FN.eval_absent(ctx, vf, _inferred_labels(node.args[0]))
+        if fn == "label_replace":
+            args = [self._string(a) for a in node.args[1:]]
+            return FN.eval_label_replace(self._vector(node.args[0]), *args)
+        if fn == "label_join":
+            dst, sep = self._string(node.args[1]), self._string(node.args[2])
+            srcs = [self._string(a) for a in node.args[3:]]
+            return FN.eval_label_join(self._vector(node.args[0]), dst, sep, srcs)
+        if fn in ("sort", "sort_desc", "sort_by_label", "sort_by_label_desc"):
+            # presentation-order only (functions.go:1046-1090); ordering is
+            # applied by the result shaper, semantics are identity
+            return self._vector(node.args[0])
+        if fn == "histogram_quantile":
+            phi = self._scalar(node.args[0])
+            return FN.eval_histogram_quantile_classic(ctx, phi, self._vector(node.args[1]))
+        raise PromQLEvalError(f"function {fn} not implemented")
+
+    def _vector_or_default(self, args, idx) -> VectorFrame:
+        """Date functions default to vector(time()) when no arg is given."""
+        if len(args) > idx:
+            return self._vector(args[idx])
+        return FN.eval_vector(
+            self.ctx, ScalarFrame(self.ctx.grid.select("t", (F.col("t") / 1000.0).alias("value")))
+        )
+
+    def _const(self, node: Expr) -> float:
+        v = self.eval(node)
+        if isinstance(v, ConstScalar):
+            return v.value
+        raise PromQLEvalError("expected a constant scalar")
+
+    def _string(self, node: Expr) -> str:
+        v = self.eval(node)
+        if isinstance(v, StringValue):
+            return v.value
+        raise PromQLEvalError("expected a string literal")
+
+
+def _inferred_labels(node: Expr) -> dict[str, str]:
+    """absent()/absent_over_time() label inference: equality matchers of the
+    argument selector (promql/functions.go createLabelsForAbsentFunction)."""
+    while isinstance(node, ParenExpr):
+        node = node.expr
+    if isinstance(node, (MatrixSelector, SubqueryExpr)):
+        node = getattr(node, "selector", getattr(node, "expr", None))
+        while isinstance(node, ParenExpr):
+            node = node.expr
+    if not isinstance(node, VectorSelector):
+        return {}
+    out: dict[str, str] = {}
+    dropped: set[str] = set()
+    for m in node.matchers:
+        if m.name == "__name__":
+            continue
+        if m.type == MatchType.EQ and m.name not in dropped:
+            if m.name in out and out[m.name] != m.value:
+                dropped.add(m.name)
+                out.pop(m.name, None)
+            else:
+                out[m.name] = m.value
+        else:
+            dropped.add(m.name)
+            out.pop(m.name, None)
+    return out

@@ -1,0 +1,378 @@
+"""Instant-vector functions — pure column projections where possible.
+
+Reference dispatch map: promql/functions.go:2658-2752.  Every function that
+changes the sample's meaning drops ``__name__`` from the output labels
+(engine.go:4254 ``cleanupMetricLabels``).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from prometheus_spark.engine.aggregations import PromQLEvalError
+from prometheus_spark.engine.context import EvalContext
+from prometheus_spark.engine.values import (
+    ConstScalar,
+    ScalarFrame,
+    StringValue,
+    VectorFrame,
+)
+from prometheus_spark.model.labels import drop_name_expr, sig_expr
+
+def _NAN():  # lazily built: F.lit needs an active SparkContext
+    return F.lit(float("nan"))
+
+_SIMPLE_MATH = {
+    "abs": F.abs,
+    "ceil": F.ceil,
+    "floor": F.floor,
+    "exp": F.exp,
+    "sqrt": F.sqrt,
+    "ln": F.log,
+    "log2": F.log2,
+    "log10": F.log10,
+    "sin": F.sin,
+    "cos": F.cos,
+    "tan": F.tan,
+    "asin": F.asin,
+    "acos": F.acos,
+    "atan": F.atan,
+    "sinh": F.sinh,
+    "cosh": F.cosh,
+    "tanh": F.tanh,
+    "asinh": F.asinh,
+    "acosh": F.acosh,
+    "atanh": F.atanh,
+    "deg": F.degrees,
+    "rad": F.radians,
+    "sgn": F.signum,
+}
+
+
+def _project(vf: VectorFrame, value: Column, keep_name: bool = False) -> VectorFrame:
+    labels = F.col("labels") if keep_name else drop_name_expr("labels")
+    return VectorFrame(
+        vf.df.select(
+            sig_expr(labels).alias("sig"),
+            labels.alias("labels"),
+            "t",
+            "sample_t",
+            value.cast("double").alias("value"),
+        )
+    )
+
+
+def eval_simple_math(func: str, vf: VectorFrame) -> VectorFrame:
+    fn = _SIMPLE_MATH[func]
+    v = F.col("value")
+    out = fn(v)
+    if func in ("ceil", "floor"):
+        out = out.cast("double")
+    if func in ("ln",):
+        # Go math.Log: ln(0) = -Inf, ln(<0) = NaN; Spark log(x≤0) = NULL
+        out = (
+            F.when(v > 0, F.log(v))
+            .when(v == 0, F.lit(float("-inf")))
+            .otherwise(_NAN())
+        )
+    if func == "log2":
+        out = F.when(v > 0, F.log2(v)).when(v == 0, F.lit(float("-inf"))).otherwise(_NAN())
+    if func == "log10":
+        out = F.when(v > 0, F.log10(v)).when(v == 0, F.lit(float("-inf"))).otherwise(_NAN())
+    if func in ("asin", "acos"):
+        # Spark returns NaN outside domain already (Java Math) — fine
+        pass
+    if func == "acosh":
+        out = F.when(v >= 1, F.acosh(v)).otherwise(_NAN())
+    if func == "atanh":
+        out = F.when((v > -1) & (v < 1), F.atanh(v)).otherwise(
+            F.when(v == 1, F.lit(float("inf"))).when(v == -1, F.lit(float("-inf"))).otherwise(_NAN())
+        )
+    if func == "sqrt":
+        out = F.when(v >= 0, F.sqrt(v)).otherwise(_NAN())
+    return _project(vf, out)
+
+
+def eval_round(vf: VectorFrame, to: float) -> VectorFrame:
+    """round(v, to): nearest multiple of ``to``, halves round up
+    (functions.go:1159)."""
+    if to == 0:
+        raise PromQLEvalError("round: nearest must not be 0")
+    v = F.col("value")
+    # multiply by the reciprocal, exactly like the reference — the float
+    # rounding of v/to vs v*(1/to) differs at representation boundaries
+    inv = 1.0 / to
+    out = F.floor(v * F.lit(inv) + F.lit(0.5)) / F.lit(inv)
+    out = F.when(F.isnan(v) | (v == F.lit(float("inf"))) | (v == F.lit(float("-inf"))), v).otherwise(out)
+    return _project(vf, out)
+
+
+def eval_clamp(vf: VectorFrame, lo, hi) -> VectorFrame:
+    """clamp (functions.go:1137): min > max ⇒ drop all elements; NaN
+    propagates."""
+    l, h = F.lit(lo), F.lit(hi)
+    df = vf.df
+    if isinstance(lo, float) and isinstance(hi, float) and lo > hi:
+        return VectorFrame(df.filter(F.lit(False)))
+    v = F.col("value")
+    out = F.when(F.isnan(v), v).otherwise(F.least(F.greatest(v, l), h))
+    return _project(vf, out)
+
+
+def eval_clamp_one(vf: VectorFrame, bound: float, is_max: bool) -> VectorFrame:
+    v = F.col("value")
+    out = F.when(F.isnan(v), v).otherwise(
+        F.least(v, F.lit(bound)) if is_max else F.greatest(v, F.lit(bound))
+    )
+    return _project(vf, out)
+
+
+_DATE_FUNCS = {
+    "minute": lambda ts: F.minute(ts),
+    "hour": lambda ts: F.hour(ts),
+    "day_of_week": lambda ts: F.dayofweek(ts) - 1,  # PromQL: 0=Sunday
+    "day_of_month": lambda ts: F.dayofmonth(ts),
+    "day_of_year": lambda ts: F.dayofyear(ts),
+    "days_in_month": lambda ts: F.dayofmonth(F.last_day(ts)),
+    "month": lambda ts: F.month(ts),
+    "year": lambda ts: F.year(ts),
+}
+
+
+def eval_date_func(func: str, vf: VectorFrame) -> VectorFrame:
+    """Date fields of the sample value interpreted as epoch seconds, UTC
+    (functions.go:2602-2651).  Session timezone must be UTC."""
+    ts = F.timestamp_seconds(F.col("value"))
+    return _project(vf, _DATE_FUNCS[func](ts))
+
+
+def eval_timestamp(vf: VectorFrame) -> VectorFrame:
+    return _project(vf, F.col("sample_t") / 1000.0)
+
+
+def eval_scalar(ctx: EvalContext, vf: VectorFrame) -> ScalarFrame:
+    """scalar(v): the single element's value, else NaN (functions.go:1174)."""
+    per_step = vf.df.groupBy("t").agg(
+        F.count("*").alias("n"), F.first("value").alias("v")
+    )
+    out = (
+        ctx.grid.join(per_step, "t", "left")
+        .select("t", F.when(F.col("n") == 1, F.col("v")).otherwise(_NAN()).alias("value"))
+    )
+    return ScalarFrame(out)
+
+
+def eval_vector(ctx: EvalContext, scalar) -> VectorFrame:
+    """vector(s): single empty-labeled series (functions.go:2523)."""
+    empty = F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>"))
+    if isinstance(scalar, ConstScalar):
+        df = ctx.grid.select(
+            F.lit("").alias("sig"),
+            empty.alias("labels"),
+            "t",
+            F.col("t").alias("sample_t"),
+            F.lit(float(scalar.value)).alias("value"),
+        )
+    else:
+        df = scalar.df.select(
+            F.lit("").alias("sig"),
+            empty.alias("labels"),
+            "t",
+            F.col("t").alias("sample_t"),
+            F.col("value"),
+        )
+    return VectorFrame(df)
+
+
+def eval_absent(ctx: EvalContext, vf: VectorFrame, inferred: dict[str, str]) -> VectorFrame:
+    """absent(v) — 1 for steps where v has no elements (functions.go:1717);
+    labels inferred from equality matchers of the argument selector."""
+    present = vf.df.select("t").distinct()
+    keys = sorted(inferred)
+    labels = (
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in keys]), F.array(*[F.lit(inferred[k]) for k in keys])
+        )
+        if keys
+        else F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>"))
+    )
+    out = (
+        ctx.grid.join(present, "t", "left_anti")
+        .select(
+            sig_expr(labels).alias("sig"),
+            labels.alias("labels"),
+            "t",
+            F.col("t").alias("sample_t"),
+            F.lit(1.0).alias("value"),
+        )
+    )
+    return VectorFrame(out)
+
+
+def eval_absent_over_time(
+    ctx: EvalContext, windowed: DataFrame, inferred: dict[str, str]
+) -> VectorFrame:
+    return eval_absent(ctx, VectorFrame(windowed), inferred)
+
+
+_LABEL_NAME_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
+
+
+def eval_label_replace(
+    vf: VectorFrame, dst: str, repl: str, src: str, regex: str
+) -> VectorFrame:
+    """label_replace (functions.go:2483): fully-anchored regex on src label
+    value; on match, dst := template expansion; empty result deletes dst."""
+    if not _LABEL_NAME_RE.match(dst):
+        raise PromQLEvalError(f"label_replace: invalid destination label {dst!r}")
+    try:
+        re.compile(regex)
+    except re.error as e:
+        raise PromQLEvalError(f"label_replace: invalid regex: {e}")
+    anchored = f"^(?:{regex})$"
+    srcv = F.coalesce(F.element_at("labels", F.lit(src)), F.lit(""))
+    matched = srcv.rlike(anchored)
+    newv = F.regexp_replace(srcv, anchored, repl)
+    with_dst = F.map_concat(
+        F.map_filter("labels", lambda k, _: k != F.lit(dst)),
+        F.create_map(F.lit(dst), newv),
+    )
+    without_dst = F.map_filter("labels", lambda k, _: k != F.lit(dst))
+    labels = F.when(~matched, F.col("labels")).otherwise(
+        F.when(newv == "", without_dst).otherwise(with_dst)
+    )
+    return VectorFrame(
+        vf.df.select(
+            sig_expr(labels).alias("sig"), labels.alias("labels"), "t", "sample_t", "value"
+        )
+    )
+
+
+def eval_label_join(vf: VectorFrame, dst: str, sep: str, srcs: list[str]) -> VectorFrame:
+    if not _LABEL_NAME_RE.match(dst):
+        raise PromQLEvalError(f"label_join: invalid destination label {dst!r}")
+    parts = [F.coalesce(F.element_at("labels", F.lit(s)), F.lit("")) for s in srcs]
+    newv = F.concat_ws(sep, *parts) if parts else F.lit("")
+    with_dst = F.map_concat(
+        F.map_filter("labels", lambda k, _: k != F.lit(dst)),
+        F.create_map(F.lit(dst), newv),
+    )
+    without_dst = F.map_filter("labels", lambda k, _: k != F.lit(dst))
+    labels = F.when(newv == "", without_dst).otherwise(with_dst)
+    return VectorFrame(
+        vf.df.select(
+            sig_expr(labels).alias("sig"), labels.alias("labels"), "t", "sample_t", "value"
+        )
+    )
+
+
+def eval_histogram_quantile_classic(ctx: EvalContext, phi, vf: VectorFrame) -> VectorFrame:
+    """Classic ``le``-labeled bucket quantile (promql/quantile.go:105
+    ``BucketQuantile``): group series by labels-minus-le, coalesce buckets,
+    enforce monotonicity, linear interpolation within the bucket; highest
+    bucket must be +Inf.
+
+    Implemented as a per-(group, step) sort + array fold — JVM-side.
+    """
+    if not isinstance(phi, ConstScalar):
+        raise PromQLEvalError("histogram_quantile: scalar parameter required")
+    q = float(phi.value)
+
+    df = vf.df
+    le = F.coalesce(F.element_at("labels", F.lit("le")), F.lit(""))
+    glabels = F.map_filter(
+        drop_name_expr("labels"), lambda k, _: k != F.lit("le")
+    )
+    buckets = (
+        df.withColumn("__le", _parse_le(le))
+        .filter(F.col("__le").isNotNull())
+        .select(
+            sig_expr(glabels).alias("sig"),
+            glabels.alias("labels"),
+            "t",
+            F.struct(F.col("__le").alias("le"), F.col("value").alias("c")).alias("b"),
+        )
+        .groupBy("sig", "t")
+        .agg(F.first("labels").alias("labels"), F.sort_array(F.collect_list("b")).alias("bs"))
+    )
+
+    # merge duplicate le's (sum), enforce monotonicity (running max), then
+    # interpolate.  All as array expressions.
+    bs = F.col("bs")
+    has_inf = F.exists(bs, lambda b: b["le"] == F.lit(float("inf")))
+
+    value = _bucket_quantile_expr(bs, q)
+    out = (
+        buckets.filter(has_inf & (F.size(bs) >= 2))
+        .select("sig", "labels", "t", F.col("t").alias("sample_t"), value.alias("value"))
+    )
+    return VectorFrame(out)
+
+
+def _parse_le(le: Column) -> Column:
+    return (
+        F.when(le == "+Inf", F.lit(float("inf")))
+        .when(le == "-Inf", F.lit(float("-inf")))
+        .otherwise(le.cast("double"))
+    )
+
+
+def _bucket_quantile_expr(bs: Column, q: float) -> Column:
+    """Linear interpolation inside the target bucket (quantile.go:105).
+
+    Monotonicity is enforced by a running-max fold first
+    (quantile.go:668 ``ensureMonotonicAndIgnoreSmallDeltas`` — we apply
+    the simple running-max form)."""
+    if math.isnan(q):
+        return _NAN()
+    if q < 0:
+        return F.lit(float("-inf"))
+    if q > 1:
+        return F.lit(float("inf"))
+
+    # running max of cumulative counts
+    mono = F.aggregate(
+        bs,
+        F.array().cast("array<struct<le:double,c:double>>"),
+        lambda acc, b: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    b["le"].alias("le"),
+                    F.when(F.size(acc) > 0, F.greatest(b["c"], F.element_at(acc, -1)["c"]))
+                    .otherwise(b["c"])
+                    .alias("c"),
+                )
+            ),
+        ),
+    )
+    total = F.element_at(mono, -1)["c"]
+    rank = F.lit(q) * total
+    # first bucket with c >= rank
+    idx = F.coalesce(
+        F.array_position(F.transform(mono, lambda b: b["c"] >= rank), F.lit(True)),
+        F.lit(0),
+    ).cast("int")
+    b = F.element_at(mono, idx)
+    prev_c = F.when(idx > 1, F.element_at(mono, idx - 1)["c"]).otherwise(F.lit(0.0))
+    prev_le = F.when(idx > 1, F.element_at(mono, idx - 1)["le"]).otherwise(F.lit(0.0))
+
+    # reference behavior: target bucket = +Inf ⇒ lower bound of it (the
+    # last finite le); first bucket with upper bound ≤ 0 ⇒ that bound
+    # directly; else linear interpolation from the previous bound.
+    last_finite = F.element_at(mono, F.size(mono) - 1)["le"]
+    interpolated = prev_le + (b["le"] - prev_le) * F.when(
+        b["c"] - prev_c > 0, (rank - prev_c) / (b["c"] - prev_c)
+    ).otherwise(F.lit(0.0))
+    value = (
+        F.when(total == 0, _NAN())
+        .when(b["le"] == F.lit(float("inf")), last_finite)
+        .when((idx == 1) & (b["le"] <= 0), b["le"])
+        .when((idx == 1) & (b["le"] > 0), b["le"] * (rank / b["c"]))
+        .otherwise(interpolated)
+    )
+    return value

@@ -1,0 +1,335 @@
+"""Range-vector functions — per-series sliding-window aggregates.
+
+The crown jewels: ``rate``/``increase``/``delta`` must reproduce the
+reference's counter-reset correction + window-edge extrapolation exactly
+(promql/functions.go:452-620 ``extrapolatedRate``).  Re-derived semantics:
+
+- window is left-open ``(ts - range, ts]``; ≥ 2 samples required
+- raw delta = last − first, plus at each counter reset (value drop) the
+  pre-reset value is added back (counters restart near 0)
+- the delta is extrapolated outward to the window edges, but by at most
+  half the average sample spacing on each side unless the edge is closer
+  than ``1.1 × avg_spacing``; for counters, extrapolation to the left is
+  clamped at the implied zero-crossing
+- ``rate`` divides by the window length in seconds
+
+Spark-first execution: samples explode to the step windows they fall in
+(bounded ``range/step`` duplication), a lag window computes reset
+corrections, and a single ``groupBy(sig, t)`` computes all the order
+statistics (first/last via ``min_by``/``max_by``) — whole-stage codegen
+throughout, no Python in the hot path.  The extrapolation itself is pure
+column arithmetic.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from prometheus_spark.engine.aggregations import PromQLEvalError
+from prometheus_spark.engine.context import EvalContext
+from prometheus_spark.engine.values import ConstScalar, VectorFrame
+
+def _NAN():  # lazily built: F.lit needs an active SparkContext
+    return F.lit(float("nan"))
+
+# functions implemented on the windowed-sample frame (sig, labels, t=step, sample_t, value)
+RANGE_FUNCTIONS = frozenset(
+    {
+        "rate", "increase", "delta", "idelta", "irate", "resets", "changes",
+        "deriv", "predict_linear",
+        "avg_over_time", "sum_over_time", "count_over_time", "min_over_time",
+        "max_over_time", "first_over_time", "last_over_time",
+        "quantile_over_time", "stddev_over_time", "stdvar_over_time",
+        "mad_over_time", "present_over_time",
+        "ts_of_first_over_time", "ts_of_last_over_time",
+        "ts_of_max_over_time", "ts_of_min_over_time",
+        "double_exponential_smoothing",
+    }
+)
+
+# range functions that keep the metric name (none do; all drop __name__)
+_KEEPS_NAME = frozenset({"last_over_time", "first_over_time"})
+
+
+def eval_range_function(
+    ctx: EvalContext,
+    func: str,
+    windowed: DataFrame,
+    range_ms: int,
+    param=None,
+    param2=None,
+) -> VectorFrame:
+    """windowed: (sig, labels, t, sample_t, value) — one row per sample per
+    step window (see selectors.windowed_samples)."""
+    if func in ("rate", "increase", "delta"):
+        out = _extrapolated(ctx, windowed, range_ms, is_counter=func != "delta", is_rate=func == "rate")
+    elif func in ("idelta", "irate"):
+        out = _instant_pair(ctx, windowed, is_rate=func == "irate")
+    elif func in ("resets", "changes"):
+        out = _resets_changes(ctx, windowed, func)
+    elif func in ("deriv", "predict_linear"):
+        out = _linreg(ctx, windowed, param)
+    elif func == "double_exponential_smoothing":
+        out = _holt_winters(ctx, windowed, param, param2)
+    elif func == "quantile_over_time":
+        out = _quantile_over_time(ctx, windowed, param)
+    else:
+        out = _simple_over_time(ctx, windowed, func)
+    return VectorFrame(out)
+
+
+def _grouped(windowed: DataFrame):
+    return windowed.groupBy("sig", "t")
+
+
+def _finish(df: DataFrame) -> DataFrame:
+    from prometheus_spark.model.labels import drop_name_expr, sig_expr
+
+    labels = drop_name_expr("labels")
+    return df.select(
+        sig_expr(labels).alias("sig"),
+        labels.alias("labels"),
+        "t",
+        F.col("t").alias("sample_t"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+def _simple_over_time(ctx: EvalContext, windowed: DataFrame, func: str) -> DataFrame:
+    v = F.col("value")
+    masked = F.when(~F.isnan(v), v)
+    aggs = {
+        # Kahan-compensated in the reference (functions.go:1218); float64
+        # sum-order differences are within test tolerance.
+        "sum_over_time": F.sum(v),
+        "avg_over_time": F.avg(v),
+        "count_over_time": F.count(v).cast("double"),
+        # min/max skip NaN unless all values are NaN (functions.go:1558-1565)
+        "min_over_time": F.coalesce(F.min(masked), _NAN()),
+        "max_over_time": F.coalesce(F.max(masked), _NAN()),
+        "first_over_time": F.min_by(v, F.col("sample_t")),
+        "last_over_time": F.max_by(v, F.col("sample_t")),
+        "stddev_over_time": F.coalesce(F.stddev_pop(v), _NAN()),
+        "stdvar_over_time": F.coalesce(F.var_pop(v), _NAN()),
+        "present_over_time": F.lit(1.0),
+        "mad_over_time": F.coalesce(
+            F.percentile(F.abs(v - F.percentile(v, F.lit(0.5))), F.lit(0.5)), _NAN()
+        ),
+        "ts_of_first_over_time": F.min("sample_t") / 1000.0,
+        "ts_of_last_over_time": F.max("sample_t") / 1000.0,
+        # on ties, latest timestamp wins (functions.go:1469-1522)
+        "ts_of_max_over_time": F.max(F.when(~F.isnan(v), F.struct(v, F.col("sample_t"))))[
+            "sample_t"
+        ]
+        / 1000.0,
+        "ts_of_min_over_time": F.min(
+            F.when(~F.isnan(v), F.struct(v, (-F.col("sample_t")).alias("sample_t")))
+        )["sample_t"]
+        * (-1 / 1000.0),
+    }
+    if func == "mad_over_time":
+        # percentile-of-expression-of-percentile can't nest in one agg; do
+        # it in two passes over the (small) per-window group.
+        med = _grouped(windowed).agg(
+            F.first("labels").alias("labels"), F.percentile(v, F.lit(0.5)).alias("__med")
+        )
+        joined = windowed.join(med.select("sig", "t", "__med"), ["sig", "t"])
+        out = joined.groupBy("sig", "t").agg(
+            F.first("labels").alias("labels"),
+            F.percentile(F.abs(v - F.col("__med")), F.lit(0.5)).alias("value"),
+        )
+        return _finish(out)
+    if func not in aggs:
+        raise PromQLEvalError(f"unsupported over_time function {func}")
+    out = _grouped(windowed).agg(F.first("labels").alias("labels"), aggs[func].alias("value"))
+    return _finish(out)
+
+
+def _quantile_over_time(ctx: EvalContext, windowed: DataFrame, param) -> DataFrame:
+    if not isinstance(param, ConstScalar):
+        raise PromQLEvalError("quantile_over_time: scalar parameter required")
+    phi = param.value
+    if math.isnan(phi):
+        value = _NAN()
+    elif phi < 0:
+        value = F.lit(float("-inf"))
+    elif phi > 1:
+        value = F.lit(float("inf"))
+    else:
+        value = F.percentile(F.col("value"), F.lit(phi))
+    out = _grouped(windowed).agg(F.first("labels").alias("labels"), value.alias("value"))
+    return _finish(out)
+
+
+def _extrapolated(
+    ctx: EvalContext, windowed: DataFrame, range_ms: int, is_counter: bool, is_rate: bool
+) -> DataFrame:
+    """rate/increase/delta (functions.go:452-620 ``extrapolatedRate``)."""
+    w = Window.partitionBy("sig", "t").orderBy("sample_t")
+    prev = F.lag("value").over(w)
+    # IEEE guard: Spark sorts NaN above all doubles, Go compares false
+    is_reset = (~F.isnan(F.col("value"))) & (~F.isnan(prev)) & (F.col("value") < prev)
+    drop = F.when(is_reset, prev).otherwise(0.0)
+    stats = (
+        windowed.withColumn("__drop", drop if is_counter else F.lit(0.0))
+        .groupBy("sig", "t")
+        .agg(
+            F.first("labels").alias("labels"),
+            F.max("wend").alias("wend"),
+            F.count("*").alias("n"),
+            F.min("sample_t").alias("first_t"),
+            F.max("sample_t").alias("last_t"),
+            F.min_by("value", "sample_t").alias("first_v"),
+            F.max_by("value", "sample_t").alias("last_v"),
+            F.sum("__drop").alias("correction"),
+        )
+    )
+
+    ms = 1 / 1000.0
+    range_s = F.lit(range_ms * ms)
+    delta = F.col("last_v") - F.col("first_v") + F.col("correction")
+    # window edges in seconds relative to the offset-adjusted (wend-range, wend]
+    dur_start = (F.col("first_t") - (F.col("wend") - F.lit(range_ms))) * ms
+    dur_end = (F.col("wend") - F.col("last_t")) * ms
+    sampled = (F.col("last_t") - F.col("first_t")) * ms
+    avg_spacing = sampled / (F.col("n") - 1)
+    threshold = avg_spacing * 1.1
+
+    ext_start = F.when(dur_start >= threshold, avg_spacing / 2.0).otherwise(dur_start)
+    if is_counter:
+        # counter started inside the window: clamp extrapolation at the
+        # implied zero crossing (functions.go "durationToZero" heuristic)
+        zero_dur = F.when(
+            (delta > 0) & (F.col("first_v") >= 0), sampled * (F.col("first_v") / delta)
+        ).otherwise(F.lit(float("inf")))
+        ext_start = F.least(ext_start, zero_dur)
+    ext_end = F.when(dur_end >= threshold, avg_spacing / 2.0).otherwise(dur_end)
+
+    factor = (sampled + ext_start + ext_end) / sampled
+    value = delta * factor
+    if is_rate:
+        value = value / range_s
+
+    out = stats.filter(F.col("n") >= 2).select(
+        "sig", "labels", "t", value.alias("value")
+    )
+    return _finish(out)
+
+
+def _instant_pair(ctx: EvalContext, windowed: DataFrame, is_rate: bool) -> DataFrame:
+    """idelta/irate — last two samples (functions.go:821-826)."""
+    pair = F.slice(F.sort_array(F.collect_list(F.struct("sample_t", "value"))), -2, 2)
+    stats = _grouped(windowed).agg(
+        F.first("labels").alias("labels"), F.count("*").alias("n"), pair.alias("p")
+    )
+    a, b = F.col("p")[0], F.col("p")[1]  # a = previous, b = last
+    if is_rate:
+        # counter-reset aware (functions.go:instantValue); IEEE NaN guard
+        is_reset = (
+            (~F.isnan(b["value"])) & (~F.isnan(a["value"])) & (b["value"] < a["value"])
+        )
+        dv = F.when(is_reset, b["value"]).otherwise(b["value"] - a["value"])
+        value = dv / ((b["sample_t"] - a["sample_t"]) / 1000.0)
+    else:
+        value = b["value"] - a["value"]
+    out = stats.filter(F.col("n") >= 2).select("sig", "labels", "t", value.alias("value"))
+    return _finish(out)
+
+
+def _resets_changes(ctx: EvalContext, windowed: DataFrame, func: str) -> DataFrame:
+    w = Window.partitionBy("sig", "t").orderBy("sample_t")
+    prev = F.lag("value").over(w)
+    cur = F.col("value")
+    if func == "resets":
+        flag = F.when((~F.isnan(cur)) & (~F.isnan(prev)) & (cur < prev), 1).otherwise(0)
+    else:  # changes — NaN→NaN is not a change (functions.go:2431)
+        changed = (cur != prev) & ~(F.isnan(cur) & F.isnan(prev))
+        flag = F.when(prev.isNull(), 0).when(changed, 1).otherwise(0)
+    out = (
+        windowed.withColumn("__f", flag)
+        .groupBy("sig", "t")
+        .agg(F.first("labels").alias("labels"), F.sum("__f").cast("double").alias("value"))
+    )
+    return _finish(out)
+
+
+def _linreg(ctx: EvalContext, windowed: DataFrame, predict_s) -> DataFrame:
+    """deriv/predict_linear — least-squares slope per second
+    (functions.go:1949 ``linearRegression``): deriv anchors the intercept
+    at the first sample (numerical stability; only the slope is used),
+    predict_linear anchors at the eval timestamp and returns
+    ``slope·duration + intercept``.  Constant series short-circuit to
+    slope 0 / intercept y (NaN when y is ±Inf)."""
+    is_deriv = predict_s is None
+    if not is_deriv and not isinstance(predict_s, ConstScalar):
+        raise PromQLEvalError("predict_linear: scalar parameter required")
+
+    stats = _grouped(windowed).agg(
+        F.first("labels").alias("labels"),
+        F.count("*").alias("n"),
+        F.min("sample_t").alias("t0"),
+        F.sum("value").alias("sy"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.collect_list(F.struct("sample_t", "value")).alias("pts"),
+    )
+    anchor = F.col("t0") if is_deriv else F.col("t")
+    x = lambda p: (p["sample_t"] - anchor) / 1000.0
+    sx = F.aggregate(F.col("pts"), F.lit(0.0), lambda acc, p: acc + x(p))
+    sxy = F.aggregate(F.col("pts"), F.lit(0.0), lambda acc, p: acc + x(p) * p["value"])
+    sxx = F.aggregate(F.col("pts"), F.lit(0.0), lambda acc, p: acc + x(p) * x(p))
+    n = F.col("n").cast("double")
+    cov = sxy - sx * F.col("sy") / n
+    var = sxx - sx * sx / n
+    slope = cov / var
+    intercept = F.col("sy") / n - slope * sx / n
+
+    const_y = F.col("vmin") == F.col("vmax")  # no NaN: NaN != NaN in Spark agg... guarded below
+    inf_y = F.abs(F.col("vmin")) == F.lit(float("inf"))
+    if is_deriv:
+        value = F.when(const_y, F.when(inf_y, _NAN()).otherwise(F.lit(0.0))).otherwise(slope)
+    else:
+        dur = F.lit(float(predict_s.value))
+        value = F.when(const_y, F.when(inf_y, _NAN()).otherwise(F.col("vmin"))).otherwise(
+            slope * dur + intercept
+        )
+
+    out = stats.filter(F.col("n") >= 2).select("sig", "labels", "t", value.alias("value"))
+    return _finish(out)
+
+
+def _holt_winters(ctx: EvalContext, windowed: DataFrame, sf, tf) -> DataFrame:
+    """double_exponential_smoothing (functions.go:981) — inherently
+    sequential; the per-window fold runs as an array aggregate, still
+    JVM-side."""
+    if not isinstance(sf, ConstScalar) or not isinstance(tf, ConstScalar):
+        raise PromQLEvalError("double_exponential_smoothing: scalar parameters required")
+    a, b = float(sf.value), float(tf.value)
+    if not (0 < a < 1) or not (0 < b < 1):
+        raise PromQLEvalError("smoothing/trend factors must be in (0, 1)")
+    pts = F.sort_array(F.collect_list(F.struct("sample_t", "value")))
+    stats = _grouped(windowed).agg(
+        F.first("labels").alias("labels"), F.count("*").alias("n"), pts.alias("pts")
+    )
+    vals = F.transform(F.col("pts"), lambda p: p["value"])
+    # fold state: (level, trend); x1 = s0, b1 = s1 - s0
+    init = F.struct(
+        F.col("pts")[0]["value"].alias("l"),
+        (F.col("pts")[1]["value"] - F.col("pts")[0]["value"]).alias("b"),
+    )
+    rest = F.slice(vals, 2, F.size(vals) - 1)
+
+    def step(acc, v):
+        level = F.lit(a) * v + F.lit(1 - a) * (acc["l"] + acc["b"])
+        trend = F.lit(b) * (level - acc["l"]) + F.lit(1 - b) * acc["b"]
+        return F.struct(level.alias("l"), trend.alias("b"))
+
+    final = F.aggregate(rest, init, step)
+    out = stats.filter(F.col("n") >= 2).select(
+        "sig", "labels", "t", final["l"].alias("value")
+    )
+    return _finish(out)

@@ -79,8 +79,9 @@ class Parser:
         return t
 
     def accept_ident(self, *words: str) -> Optional[Token]:
+        # PromQL keywords are case-insensitive (reference: parser/lex.go)
         t = self.peek()
-        if t.kind == "IDENT" and t.text in words:
+        if t.kind == "IDENT" and t.text.lower() in words:
             return self.next()
         return None
 
@@ -96,7 +97,7 @@ class Parser:
         lhs = self.parse_unary()
         while True:
             t = self.peek()
-            op = t.text if t.kind == "OP" else (t.text if t.kind == "IDENT" else None)
+            op = t.text if t.kind == "OP" else (t.text.lower() if t.kind == "IDENT" else None)
             if op not in _PRECEDENCE:
                 return lhs
             prec = _PRECEDENCE[op]
@@ -114,11 +115,11 @@ class Parser:
 
     def parse_matching(self, op: str) -> Optional[VectorMatching]:
         t = self.peek()
-        if t.kind != "IDENT" or t.text not in ("on", "ignoring"):
+        if t.kind != "IDENT" or t.text.lower() not in ("on", "ignoring"):
             if op in _SET_OPS:
                 return VectorMatching(card=MatchCardinality.MANY_TO_MANY)
             return None
-        on = self.next().text == "on"
+        on = self.next().text.lower() == "on"
         labels = self.parse_label_list()
         vm = VectorMatching(labels=labels, on=on)
         if op in _SET_OPS:
@@ -128,7 +129,7 @@ class Parser:
         if g:
             vm.card = (
                 MatchCardinality.MANY_TO_ONE
-                if g.text == "group_left"
+                if g.text.lower() == "group_left"
                 else MatchCardinality.ONE_TO_MANY
             )
             if self.peek().kind == "OP" and self.peek().text == "(":
@@ -178,16 +179,19 @@ class Parser:
 
     def parse_at_value(self):
         t = self.peek()
-        if t.kind == "IDENT" and t.text in ("start", "end"):
+        if t.kind == "IDENT" and t.text.lower() in ("start", "end"):
             self.next()
             self.expect("OP", "(")
             self.expect("OP", ")")
-            return AT_START if t.text == "start" else AT_END
+            return AT_START if t.text.lower() == "start" else AT_END
         neg = bool(self.accept("OP", "-"))
         tok = self.next()
-        if tok.kind != "NUMBER":
+        if tok.kind == "NUMBER":
+            ts = int(float(tok.text) * 1000)
+        elif tok.kind == "DURATION":  # `@ 1m40s` — duration-style timestamp
+            ts = parse_duration_ms(tok.text)
+        else:
             raise ParseError(f"expected timestamp after @ at {tok.pos}")
-        ts = int(float(tok.text) * 1000)
         return -ts if neg else ts
 
     def _apply_modifier(self, e: Expr, offset_ms: Optional[int] = None, at=None) -> Expr:
@@ -250,7 +254,7 @@ class Parser:
         if t.kind == "OP" and t.text == "{":
             return self.parse_vector_selector(None)
         if t.kind == "IDENT":
-            if t.text in AGGREGATORS:
+            if t.text.lower() in AGGREGATORS:
                 return self.parse_aggregate()
             nxt = self.peek(1)
             if t.text in FUNCTIONS and nxt.kind == "OP" and nxt.text == "(":
@@ -280,7 +284,7 @@ class Parser:
         return Call(name, args)
 
     def parse_aggregate(self) -> Expr:
-        op = self.next().text
+        op = self.next().text.lower()
         grouping: list[str] = []
         without = False
         has_grouping = False

@@ -1,0 +1,93 @@
+"""Samples-table construction and persistence.
+
+The reference's storage is series-major compressed chunks behind an
+inverted index (SURVEY §1.3); our equivalent is Parquet partitioned by a
+time bucket with ``name`` extracted as a hot column — Catalyst partition
+pruning + min/max stats replace the postings index at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from prometheus_spark.model.labels import sig_for
+from prometheus_spark.model.schema import METRIC_NAME_LABEL
+
+_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("sig", T.StringType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("labels", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField("t", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("stale", T.BooleanType(), False),
+    ]
+)
+
+
+def samples_from_rows(
+    spark: SparkSession,
+    rows: Iterable[tuple[Mapping[str, str], int, Optional[float]]],
+    stale_rows: Iterable[tuple[Mapping[str, str], int]] = (),
+) -> DataFrame:
+    """Build a samples frame from (labels, t_ms, value) tuples — the test
+    fixture path (mirrors promqltest ``load``)."""
+    data = [
+        (sig_for(labels), labels.get(METRIC_NAME_LABEL), dict(labels), int(t), float(v), False)
+        for labels, t, v in rows
+    ]
+    data += [
+        (sig_for(labels), labels.get(METRIC_NAME_LABEL), dict(labels), int(t), None, True)
+        for labels, t in stale_rows
+    ]
+    return spark.createDataFrame(data, _ROW_SCHEMA)
+
+
+def samples_from_events(
+    spark: SparkSession,
+    events: DataFrame,
+    name_col: str = "event_type",
+    value_col: str = "value",
+    label_cols: Iterable[str] = ("user_id",),
+) -> DataFrame:
+    """Adapt the driver's ``events`` table (event_id, ts, user_id,
+    event_type, value, props) into the canonical samples layout: the event
+    type becomes the metric name, chosen columns become labels."""
+    labels_entries = [F.lit(METRIC_NAME_LABEL), F.col(name_col).cast("string")]
+    for c in label_cols:
+        labels_entries += [F.lit(c), F.col(c).cast("string")]
+    labels = F.create_map(*labels_entries)
+    df = events.select(
+        labels.alias("labels"),
+        F.col(name_col).cast("string").alias("name"),
+        (F.unix_millis(F.col("ts"))).alias("t"),
+        F.col(value_col).cast("double").alias("value"),
+        F.lit(False).alias("stale"),
+    )
+    from prometheus_spark.model.labels import sig_expr
+
+    return df.select(
+        sig_expr("labels").alias("sig"), "name", "labels", "t", "value", "stale"
+    )
+
+
+def write_samples(df: DataFrame, path: str, bucket_ms: int = 7_200_000) -> None:
+    """Persist partitioned by 2h-style time bucket (reference block layout,
+    tsdb/db.go:55) + metric name — enables partition pruning on both the
+    time predicate and ``__name__`` equality matchers."""
+    (
+        df.withColumn("t_bucket", (F.col("t") / bucket_ms).cast("long"))
+        .repartition("t_bucket", "name")
+        .sortWithinPartitions("sig", "t")
+        .write.mode("overwrite")
+        .partitionBy("t_bucket", "name")
+        .parquet(path)
+    )
+
+
+def read_samples(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

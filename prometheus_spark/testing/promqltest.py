@@ -1,0 +1,461 @@
+"""Python port of the promqltest scripting-language *runner*.
+
+The reference ships an engine-independent golden corpus
+(promql/promqltest/testdata/, spec promql/promqltest/README.md — "can be
+run against any PromQL engine implementation").  This module implements
+the same scripting language so those files run unmodified against the
+Spark engine; the test files themselves stay in the reference tree and are
+read at test time.
+
+Runner reference: promql/promqltest/test.go (re-derived, not translated).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+
+from prometheus_spark.parser.ast import MatchType, VectorSelector
+from prometheus_spark.parser.lexer import parse_duration_ms
+from prometheus_spark.parser.parser import Parser
+
+EPSILON = 1e-6  # almostEqual tolerance used by the reference runner
+
+
+class SkipCommand(Exception):
+    """Raised for constructs this engine doesn't support yet."""
+
+
+@dataclass
+class Series:
+    labels: dict[str, str]
+    points: list  # list of (idx, float | 'stale' | None)
+
+
+@dataclass
+class LoadCmd:
+    interval_ms: int
+    series: list[Series]
+    dropped_names: list[str] = field(default_factory=list)
+
+
+@dataclass
+class ClearCmd:
+    pass
+
+
+@dataclass
+class EvalCmd:
+    kind: str  # 'instant' | 'range'
+    query: str
+    line: int
+    time_ms: int = 0
+    start_ms: int = 0
+    end_ms: int = 0
+    step_ms: int = 0
+    expect_fail: bool = False
+    expect_ordered: bool = False
+    expected: list[Series] = field(default_factory=list)
+    is_string: bool = False
+    expected_string: str = ""
+    skip_reason: str = ""
+
+
+def parse_series_labels(text: str) -> dict[str, str]:
+    if text.strip() in ("{}", ""):
+        return {}
+    node = Parser(text).parse_vector_selector(None) if text.startswith("{") else None
+    if node is None:
+        p = Parser(text)
+        name = p.next().text
+        node = p.parse_vector_selector(name)
+    labels = {}
+    for m in node.matchers:
+        if m.type != MatchType.EQ:
+            raise ValueError(f"expected equality matcher in series spec: {text}")
+        labels[m.name] = m.value
+    return labels
+
+
+_NUM_RE = r"-?(?:Inf|NaN|\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|\.\d+)"
+_EXPAND_RE = re.compile(rf"^({_NUM_RE})(?:([+-])({_NUM_RE}))?x(\d+)$", re.IGNORECASE)
+_GAP_EXPAND_RE = re.compile(r"^_x(\d+)$")
+
+
+def _num(s: str) -> float:
+    ls = s.lower()
+    if ls in ("inf", "+inf"):
+        return float("inf")
+    if ls == "-inf":
+        return float("-inf")
+    if ls == "nan":
+        return float("nan")
+    return float(s)
+
+
+def expand_points(spec: str) -> list:
+    """``0+10x10`` → values; ``_`` gaps → None; ``stale`` markers.
+
+    Returns list of (float | None | 'stale'), one slot per interval tick.
+    """
+    out = []
+    for tok in spec.split():
+        if tok == "_":
+            out.append(None)
+            continue
+        if tok == "stale":
+            out.append("stale")
+            continue
+        m = _GAP_EXPAND_RE.match(tok)
+        if m:
+            out.extend([None] * int(m.group(1)))
+            continue
+        if tok.startswith("{{"):
+            raise SkipCommand("native histogram literals not supported yet")
+        m = _EXPAND_RE.match(tok)
+        if m:
+            a = _num(m.group(1))
+            sign = -1.0 if m.group(2) == "-" else 1.0
+            b = _num(m.group(3)) if m.group(3) is not None else 0.0
+            n = int(m.group(4))
+            out.extend([a + sign * b * i for i in range(n + 1)])
+            continue
+        out.append(_num(tok))
+    return out
+
+
+def _parse_time_ms(tok: str) -> int:
+    neg = tok.startswith("-")
+    if neg:
+        tok = tok[1:]
+    v = parse_duration_ms(tok)
+    return -v if neg else v
+
+
+_EVAL_INSTANT = re.compile(r"^eval(?:_(fail|warn|info|ordered))?\s+instant\s+at\s+(\S+)\s+(.*)$")
+_EVAL_RANGE = re.compile(
+    r"^eval(?:_(fail|warn|info|ordered))?\s+range\s+from\s+(\S+)\s+to\s+(\S+)\s+step\s+(\S+)\s+(.*)$"
+)
+
+
+def parse_test_text(text: str) -> list:
+    """Test script → command list.  Raises SkipCommand inside commands that
+    use unsupported constructs (callers decide granularity)."""
+    cmds: list = []
+    lines = text.split("\n")
+    i = 0
+    n = len(lines)
+
+    def is_indented(line: str) -> bool:
+        return bool(line) and (line[0] in " \t")
+
+    while i < n:
+        raw = lines[i]
+        line = raw.split("#", 1)[0].rstrip() if not _in_string_comment(raw) else raw.rstrip()
+        stripped = line.strip()
+        if not stripped:
+            i += 1
+            continue
+        if stripped.startswith("load"):
+            parts = stripped.split()
+            interval = parse_duration_ms(parts[1])
+            with_nhcb = len(parts) > 2 and parts[2] == "with_nhcb"
+            series = []
+            dropped: list[str] = []
+            i += 1
+            while i < n and is_indented(lines[i]):
+                body = lines[i].split("#", 1)[0].strip()
+                i += 1
+                if not body:
+                    continue
+                try:
+                    series.append(_parse_series_line(body))
+                except SkipCommand:
+                    # e.g. native-histogram series — dropped; evals touching
+                    # the metric are skipped by the runner
+                    name = re.match(r"[a-zA-Z_:][a-zA-Z0-9_:]*", body)
+                    if name:
+                        dropped.append(name.group())
+            cmds.append(LoadCmd(interval, series, dropped))
+            continue
+        if stripped == "clear":
+            cmds.append(ClearCmd())
+            i += 1
+            continue
+        m = _EVAL_INSTANT.match(stripped)
+        m2 = _EVAL_RANGE.match(stripped) if not m else None
+        if m or m2:
+            cmd = EvalCmd(kind="instant" if m else "range", query="", line=i + 1)
+            if m:
+                mod, t, q = m.group(1), m.group(2), m.group(3)
+                cmd.time_ms = _parse_time_ms(t)
+                cmd.start_ms = cmd.end_ms = cmd.time_ms
+                cmd.step_ms = 1
+                cmd.query = q
+            else:
+                mod, a, b, s, q = (
+                    m2.group(1), m2.group(2), m2.group(3), m2.group(4), m2.group(5)
+                )
+                cmd.start_ms = _parse_time_ms(a)
+                cmd.end_ms = _parse_time_ms(b)
+                cmd.step_ms = _parse_time_ms(s)
+                cmd.query = q
+            if mod == "fail":
+                cmd.expect_fail = True
+            if mod == "ordered":
+                cmd.expect_ordered = True
+            i += 1
+            while i < n and is_indented(lines[i]):
+                body = lines[i].split("#", 1)[0].strip()
+                i += 1
+                if not body:
+                    continue
+                if body.startswith("expect "):
+                    kind = body.split()[1]
+                    if kind == "fail":
+                        cmd.expect_fail = True
+                    elif kind == "ordered":
+                        cmd.expect_ordered = True
+                    elif kind.startswith("string"):
+                        cmd.is_string = True
+                        ms = re.search(r'"(.*)"|`(.*)`', body)
+                        cmd.expected_string = ms.group(1) or ms.group(2) if ms else ""
+                    elif kind in ("info", "warn", "no_info", "no_warn"):
+                        pass  # annotations not modeled yet
+                    elif kind == "range":
+                        cmd.skip_reason = "expect range vector not supported"
+                    continue
+                try:
+                    cmd.expected.append(_parse_series_line(body))
+                except SkipCommand as e:
+                    cmd.skip_reason = str(e)
+            cmds.append(cmd)
+            continue
+        raise ValueError(f"unparsable test line {i + 1}: {raw!r}")
+    return cmds
+
+
+def _in_string_comment(line: str) -> bool:
+    # crude: lines with quotes keep their # (rare in corpus)
+    return '"' in line.split("#")[0] if "#" in line else False
+
+
+def _split_series_line(body: str) -> tuple[str, str]:
+    """Split ``metric{l="v"} points...`` respecting quotes inside label
+    values (which may contain braces/spaces)."""
+    i, n = 0, len(body)
+    while i < n and not body[i].isspace() and body[i] != "{":
+        i += 1
+    if i < n and body[i] == "{":
+        depth = 0
+        quote = None
+        while i < n:
+            c = body[i]
+            if quote:
+                if c == "\\":
+                    i += 2
+                    continue
+                if c == quote:
+                    quote = None
+            elif c in "\"'`":
+                quote = c
+            elif c == "{":
+                depth += 1
+            elif c == "}":
+                depth -= 1
+                if depth == 0:
+                    i += 1
+                    break
+            i += 1
+    return body[:i], body[i:].strip()
+
+
+_SERIES_NAME_RE = re.compile(r"^[a-zA-Z_:][a-zA-Z0-9_:]*(\{.*\})?$", re.DOTALL)
+
+
+def _parse_series_line(body: str) -> Series:
+    sel, points = _split_series_line(body)
+    if not sel:
+        raise ValueError(f"unparsable series line: {body!r}")
+    is_labeled = (sel.startswith("{") and not sel.startswith("{{")) or (
+        _SERIES_NAME_RE.match(sel) and sel.lower() not in ("inf", "nan", "stale")
+    )
+    if not is_labeled:
+        # scalar expectation — bare value(s), empty label set
+        return Series({}, list(enumerate(expand_points(body))))
+    labels = parse_series_labels(sel)
+    pts = expand_points(points)
+    return Series(labels, list(enumerate(pts)))
+
+
+@dataclass
+class TestStats:
+    total: int = 0
+    passed: int = 0
+    failed: int = 0
+    skipped: int = 0
+    failures: list = field(default_factory=list)
+
+    def merge(self, other: "TestStats"):
+        self.total += other.total
+        self.passed += other.passed
+        self.failed += other.failed
+        self.skipped += other.skipped
+        self.failures.extend(other.failures)
+
+
+def run_test_text(
+    spark,
+    text: str,
+    max_evals: int | None = None,
+    query_filter=None,
+) -> TestStats:
+    """Execute a promqltest script against the Spark engine."""
+    from prometheus_spark.engine import PromQLEngine
+    from prometheus_spark.storage import samples_from_rows
+
+    stats = TestStats()
+    try:
+        cmds = parse_test_text(text)
+    except SkipCommand:
+        stats.skipped += 1
+        return stats
+
+    rows: list = []
+    stale_rows: list = []
+    dropped_names: set[str] = set()
+    engine = None
+    dirty = True
+
+    for cmd in cmds:
+        if isinstance(cmd, ClearCmd):
+            rows, stale_rows = [], []
+            dropped_names = set()
+            dirty = True
+            continue
+        if isinstance(cmd, LoadCmd):
+            dropped_names.update(cmd.dropped_names)
+            for s in cmd.series:
+                for idx, v in s.points:
+                    t = idx * cmd.interval_ms
+                    if v is None:
+                        continue
+                    if v == "stale":
+                        stale_rows.append((s.labels, t))
+                    else:
+                        rows.append((s.labels, t, v))
+            dirty = True
+            continue
+        # EvalCmd
+        if max_evals is not None and stats.total >= max_evals:
+            break
+        if query_filter is not None and not query_filter(cmd.query):
+            continue
+        if cmd.skip_reason:
+            stats.skipped += 1
+            continue
+        if dropped_names and any(n in cmd.query for n in dropped_names):
+            stats.skipped += 1
+            continue
+        stats.total += 1
+        try:
+            if dirty:
+                samples = samples_from_rows(spark, rows, stale_rows).cache()
+                engine = PromQLEngine(spark, samples)
+                dirty = False
+            _run_eval(engine, cmd)
+            stats.passed += 1
+        except SkipCommand as e:
+            stats.total -= 1
+            stats.skipped += 1
+        except AssertionError as e:
+            stats.failed += 1
+            stats.failures.append(f"line {cmd.line}: {cmd.query}\n  {e}")
+        except Exception as e:
+            if cmd.expect_fail:
+                stats.passed += 1
+            else:
+                stats.failed += 1
+                stats.failures.append(
+                    f"line {cmd.line}: {cmd.query}\n  error: {type(e).__name__}: {str(e)[:300]}"
+                )
+    return stats
+
+
+def _run_eval(engine, cmd: EvalCmd) -> None:
+    if cmd.is_string:
+        raise SkipCommand("string results not supported in runner yet")
+    result = engine.range_query(cmd.query, cmd.start_ms, cmd.end_ms, cmd.step_ms)
+    got_rows = result.collect()
+    if cmd.expect_fail:
+        raise AssertionError("expected query to fail, but it succeeded")
+
+    # expected: map sig -> {step_idx: value}
+    num_steps = (cmd.end_ms - cmd.start_ms) // cmd.step_ms + 1
+    expected: dict[tuple, dict[int, float]] = {}
+    exp_labels: dict[tuple, dict] = {}
+    for s in cmd.expected:
+        key = tuple(sorted(s.labels.items()))
+        exp_labels[key] = s.labels
+        slots = expected.setdefault(key, {})
+        for idx, v in s.points:
+            if v is None or v == "stale":
+                continue
+            if cmd.kind == "instant":
+                slots[0] = v
+            else:
+                slots[idx] = v
+
+    got: dict[tuple, dict[int, float]] = {}
+    for r in got_rows:
+        labels = dict(r["labels"])
+        key = tuple(sorted(labels.items()))
+        step_idx = (r["t"] - cmd.start_ms) // cmd.step_ms
+        got.setdefault(key, {})[step_idx] = r["value"]
+
+    def fmt(key):
+        return "{" + ",".join(f'{k}="{v}"' for k, v in key) + "}"
+
+    missing = [k for k in expected if k not in got]
+    extra = [k for k in got if k not in expected]
+    if missing or extra:
+        raise AssertionError(
+            f"series mismatch: missing={[fmt(k) for k in missing]} "
+            f"unexpected={[fmt(k) for k in extra]} "
+            f"(got {len(got)}, want {len(expected)})"
+        )
+    for key, slots in expected.items():
+        gslots = got[key]
+        if cmd.kind == "instant":
+            want = slots.get(0)
+            have = gslots.get(0)
+            if not _almost_equal(want, have):
+                raise AssertionError(f"{fmt(key)}: want {want}, got {have}")
+        else:
+            for idx, want in slots.items():
+                have = gslots.get(idx)
+                if have is None:
+                    raise AssertionError(f"{fmt(key)} step {idx}: want {want}, got no sample")
+                if not _almost_equal(want, have):
+                    raise AssertionError(f"{fmt(key)} step {idx}: want {want}, got {have}")
+            for idx in gslots:
+                if idx not in slots:
+                    raise AssertionError(
+                        f"{fmt(key)} step {idx}: unexpected sample {gslots[idx]}"
+                    )
+
+
+def _almost_equal(a, b) -> bool:
+    if a is None or b is None:
+        return False
+    if math.isnan(a):
+        return math.isnan(b)
+    if math.isinf(a) or math.isinf(b):
+        return a == b
+    if a == b:
+        return True
+    diff = abs(a - b)
+    if abs(a) <= EPSILON or diff < EPSILON:
+        return diff <= EPSILON
+    return diff / (abs(a) + abs(b)) <= EPSILON
