@@ -1,0 +1,33 @@
+from prometheus_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_dup_candidates,
+    simhash_64,
+    ngram_jaccard_pairs,
+    embedding_near_dup_pairs,
+)
+from prometheus_spark.pipeline.similarity import (
+    cosine_topk_bruteforce,
+    lsh_bucketed_topk,
+)
+from prometheus_spark.pipeline.textstats import (
+    token_count,
+    quality_score,
+    lang_id,
+    fingerprint,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_dup_candidates",
+    "simhash_64",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup_pairs",
+    "cosine_topk_bruteforce",
+    "lsh_bucketed_topk",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+]

@@ -1,0 +1,115 @@
+"""Pipeline operator tests on the sf0.001 synthetic tables."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+needs_data = pytest.mark.skipif(not os.path.exists(SF), reason="testdata missing")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@needs_data
+def test_exact_dedup_idempotent(spark, docs):
+    from prometheus_spark.pipeline import exact_dedup
+
+    d1 = exact_dedup(docs)
+    assert d1.count() <= docs.count()
+    doubled = docs.unionByName(docs)
+    d2 = exact_dedup(doubled)
+    assert d2.count() == d1.count()
+
+
+@needs_data
+def test_minhash_finds_exact_dups(spark, docs):
+    from prometheus_spark.pipeline import minhash_dup_candidates
+
+    base = docs.limit(20)
+    clone = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    pairs = minhash_dup_candidates(base.unionByName(clone), shingle_n=2)
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    expected = {(r["doc_id"], r["doc_id"] + 100000) for r in base.collect()}
+    # identical docs hash to identical signatures — every clone pair found
+    assert expected <= found
+
+
+@needs_data
+def test_simhash_clone_identical(spark, docs):
+    from prometheus_spark.pipeline import simhash_64
+
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_64(docs.limit(10)).collect()}
+    assert len(fps) == 10
+    again = {r["doc_id"]: r["simhash"] for r in simhash_64(docs.limit(10)).collect()}
+    assert fps == again  # deterministic
+
+
+@needs_data
+def test_ngram_jaccard_self_similarity(spark, docs):
+    from prometheus_spark.pipeline import ngram_jaccard_pairs
+
+    base = docs.limit(5)
+    clone = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    pairs = ngram_jaccard_pairs(base.unionByName(clone), n=2, threshold=0.99)
+    found = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+    for r in base.collect():
+        assert found[(r["doc_id"], r["doc_id"] + 100000)] == pytest.approx(1.0)
+
+
+@needs_data
+def test_ann_topk_self_nearest(spark, emb):
+    from prometheus_spark.pipeline import cosine_topk_bruteforce
+
+    q = list(emb.filter(F.col("vec_id") == 3).first()["embedding"])
+    top = cosine_topk_bruteforce(emb, q, k=5).collect()
+    assert top[0]["vec_id"] == 3
+    assert top[0]["cosine"] == pytest.approx(1.0)
+    # descending order
+    cs = [r["cosine"] for r in top]
+    assert cs == sorted(cs, reverse=True)
+
+
+@needs_data
+def test_lsh_topk_contains_self(spark, emb):
+    from prometheus_spark.pipeline import lsh_bucketed_topk
+
+    q = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    top = lsh_bucketed_topk(emb, q, k=5)
+    ids = [r["vec_id"] for r in top.collect()]
+    assert 7 in ids  # query's own bucket always probed
+
+
+@needs_data
+def test_textstats(spark, docs):
+    from prometheus_spark.pipeline import lang_id, quality_score, token_count
+
+    tc = token_count(docs).filter(F.col("ws_tokens") <= 0).count()
+    assert tc == 0
+    qs = quality_score(docs)
+    bad = qs.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count()
+    assert bad == 0
+    li = lang_id(docs)
+    assert li.filter(F.col("pred_lang").isNull()).count() == 0
+
+
+def test_multimodal_features(spark):
+    from prometheus_spark.pipeline.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, n=16)
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 16
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert all(r["decode_ok"] for r in feats)
+    # deterministic across runs
+    again = extract_features(synthesize_media(spark, n=16), dim=8).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
