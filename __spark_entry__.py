@@ -27,6 +27,9 @@ RANGE_7D_MS = 7 * 86_400_000
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from prometheus_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)  # workers must import prometheus_spark closures
     # the events table carries TIMESTAMP(NANOS) which Spark rejects unless
     # read as long; normalize back to a timestamp column (µs precision)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -38,12 +41,19 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_SAMPLES_CACHE: dict[str, DataFrame] = {}
+
+
 def _engine(spark: SparkSession, sf_dir: str, lookback_ms: int = LOOKBACK_MS):
     from prometheus_spark.engine import PromQLEngine
     from prometheus_spark.storage import samples_from_events
 
-    samples = samples_from_events(spark, _tbl(spark, sf_dir, "events"))
-    return PromQLEngine(spark, samples, lookback_ms=lookback_ms)
+    key = sf_dir
+    if key not in _SAMPLES_CACHE:
+        _SAMPLES_CACHE[key] = samples_from_events(
+            spark, _tbl(spark, sf_dir, "events")
+        ).cache()
+    return PromQLEngine(spark, _SAMPLES_CACHE[key], lookback_ms=lookback_ms)
 
 
 def _promql_instant(spark, sf_dir, query, round_to=None, lookback_ms=LOOKBACK_MS):

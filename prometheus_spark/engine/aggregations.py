@@ -56,12 +56,15 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
 
     df = _regroup(vf, node)
     v = F.col("value")
-    masked = F.when(_not_nan(v), v)  # NULL for NaN → min/max/quantile skip
+    masked = F.when(_not_nan(v), v)  # NULL for NaN → min/max skip
+
+    if op == "quantile":
+        return _eval_quantile(ctx, df, param)
 
     if op == "sum":
-        agg = F.sum(v)
+        agg = _kahan_sum_agg(v) if ctx.kahan else F.sum(v)
     elif op == "avg":
-        agg = F.avg(v)
+        agg = _avg_agg(v, kahan=ctx.kahan)
     elif op == "count":
         agg = F.count(v).cast("double")
     elif op == "min":
@@ -72,16 +75,12 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
     elif op == "group":
         agg = F.lit(1.0)
     elif op == "stddev":
-        # population stddev (Welford in the reference); NaN in group → NaN
-        agg = F.when(F.max(F.isnan(v).cast("int")) == 1, _NAN()).otherwise(
-            F.coalesce(F.stddev_pop(v), _NAN())
-        )
+        # Welford in the reference; any NaN or ±Inf in group → NaN
+        bad = F.max((F.isnan(v) | (F.abs(v) == F.lit(float("inf")))).cast("int")) == 1
+        agg = F.when(bad, _NAN()).otherwise(F.coalesce(F.stddev_pop(v), _NAN()))
     elif op == "stdvar":
-        agg = F.when(F.max(F.isnan(v).cast("int")) == 1, _NAN()).otherwise(
-            F.coalesce(F.var_pop(v), _NAN())
-        )
-    elif op == "quantile":
-        agg = _quantile_agg(param, masked)
+        bad = F.max((F.isnan(v) | (F.abs(v) == F.lit(float("inf")))).cast("int")) == 1
+        agg = F.when(bad, _NAN()).otherwise(F.coalesce(F.var_pop(v), _NAN()))
     elif op == "count_values":
         return _eval_count_values(ctx, node, df, param)
     else:
@@ -95,22 +94,99 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
     )
 
 
-def _quantile_agg(param, masked: Column) -> Column:
-    """Exact linear-interpolation quantile (promql/quantile.go:717).
+def _kahan_sum_agg(v: Column) -> Column:
+    """Kahan-compensated sum as an array fold (engine.go:3714) — exact for
+    catastrophic-cancellation inputs like [2, 8, 1e100, -1e100]."""
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(v)),
+        F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("c")),
+        _kahan_step,
+    )
+    return folded["s"] + folded["c"]
 
-    φ outside [0,1] → ±Inf, NaN → NaN (with warning in the reference).
-    ``percentile`` uses the same order-statistic interpolation.
-    """
-    if not isinstance(param, ConstScalar):
-        raise PromQLEvalError("quantile: per-step scalar parameter not yet supported")
-    phi = param.value
-    if math.isnan(phi):
-        return _NAN()
-    if phi < 0:
-        return F.lit(float("-inf"))
-    if phi > 1:
-        return F.lit(float("inf"))
-    return F.coalesce(F.percentile(masked, F.lit(phi)), _NAN())
+
+def _kahan_step(acc, x):
+    t = acc["s"] + x
+    # c += (s - t) + x — the inner sum MUST bind first ((s−t)+x cancels
+    # exactly; left-grouping would absorb c into the huge intermediate)
+    c = F.when(
+        F.abs(acc["s"]) >= F.abs(x), acc["c"] + ((acc["s"] - t) + x)
+    ).otherwise(acc["c"] + ((x - t) + acc["s"]))
+    big = F.abs(t) == F.lit(float("inf"))
+    return F.struct(t.alias("s"), F.when(big, F.lit(0.0)).otherwise(c).alias("c"))
+
+
+def _avg_agg(v: Column, kahan: bool) -> Column:
+    """Mean with overflow fallback (engine.go AVG: direct mean until the
+    running sum would overflow, then switch strategy).  The fallback here
+    scales inputs by 2^-128 — exact in binary floating point — instead of
+    sequential incremental mean; both avoid the overflow."""
+    n = F.count(v)
+    s = _kahan_sum_agg(v) if kahan else F.sum(v)
+    direct = s / n
+    any_inf = F.max((F.abs(v) == F.lit(float("inf"))).cast("int")) == 1
+    any_nan = F.max(F.isnan(v).cast("int")) == 1
+    scale = 2.0**-128
+    scaled = (
+        (_kahan_sum_agg(v * F.lit(scale)) if kahan else F.sum(v * F.lit(scale))) / n
+    ) * F.lit(2.0**128)
+    overflowed = F.abs(direct) == F.lit(float("inf"))
+    return F.when(overflowed & ~any_inf & ~any_nan, scaled).otherwise(direct)
+
+
+def quantile_of_sorted(arr: Column, phi: Column) -> Column:
+    """Exact quantile over a pre-sorted array of (k, v) structs with NaN
+    first (promql/quantile.go:717): rank = φ·(n−1), linear interpolation
+    between adjacent order statistics.  NaN sorts as the smallest value."""
+    n = F.size(arr)
+    rank = phi * (n - 1).cast("double")
+    lo = F.floor(rank).cast("int")
+    hi = F.ceil(rank).cast("int")
+    w = rank - lo
+    v_lo = F.element_at(arr, lo + 1)["v"]
+    v_hi = F.element_at(arr, hi + 1)["v"]
+    interp = v_lo * (1.0 - w) + v_hi * w
+    return (
+        F.when(n == 0, _NAN())
+        .when(F.isnan(phi), _NAN())
+        .when(phi < 0, F.lit(float("-inf")))
+        .when(phi > 1, F.lit(float("inf")))
+        .otherwise(interp)
+    )
+
+
+def sorted_values_agg(v: Column) -> Column:
+    """collect values sorted ascending with NaN FIRST (Go sorts NaN below
+    -Inf in the reference's order-statistic code)."""
+    return F.array_sort(
+        F.collect_list(
+            F.struct(F.when(F.isnan(v), 0).otherwise(1).alias("k"), v.alias("v"))
+        )
+    )
+
+
+def _eval_quantile(ctx: EvalContext, df: DataFrame, param) -> VectorFrame:
+    arr = sorted_values_agg(F.col("value")).alias("__arr")
+    if isinstance(param, ConstScalar):
+        grouped = df.groupBy("sig", "t").agg(F.first("labels").alias("labels"), arr)
+        phi = F.lit(float(param.value))
+    elif isinstance(param, ScalarFrame):
+        # per-step φ (e.g. quantile(scalar(foo), v)) — broadcast join on t
+        p = param.df.withColumnRenamed("value", "__phi")
+        grouped = (
+            df.join(F.broadcast(p), "t", "left")
+            .groupBy("sig", "t")
+            .agg(F.first("labels").alias("labels"), arr, F.first("__phi").alias("__p"))
+        )
+        phi = F.col("__p")
+    else:
+        raise PromQLEvalError("quantile: unsupported parameter type")
+    value = quantile_of_sorted(F.col("__arr"), phi)
+    return VectorFrame(
+        grouped.select(
+            "sig", "labels", "t", F.col("t").alias("sample_t"), value.cast("double").alias("value")
+        )
+    )
 
 
 def _eval_count_values(
@@ -173,6 +249,8 @@ def _eval_k_selector(
     if op == "limit_ratio":
         if not isinstance(param, ConstScalar):
             raise PromQLEvalError("limit_ratio: scalar parameter required")
+        if math.isnan(param.value):
+            raise PromQLEvalError("Ratio value is NaN")
         r = max(-1.0, min(1.0, param.value))
         # Deterministic hash sample with the complement property:
         # limit_ratio(r) ∪ limit_ratio(r-1) = input (engine.go:3986 region).
@@ -181,15 +259,22 @@ def _eval_k_selector(
         out = df.filter(keep).drop("gsig")
         return VectorFrame(out.select("sig", "labels", "t", "sample_t", "value"))
 
-    if not isinstance(param, ConstScalar):
-        raise PromQLEvalError(f"{op}: per-step scalar parameter not yet supported")
-    k = int(param.value)
-    if k < 1:
-        return VectorFrame(
-            ctx.spark.createDataFrame([], vf.df.schema).select(
-                "sig", "labels", "t", "sample_t", "value"
-            )
-        )
+    # k: constant, or per-step scalar (e.g. topk(scalar(foo), v) — k varies
+    # across the range grid, reference engine.go:1590 fParams)
+    if isinstance(param, ConstScalar):
+        if math.isnan(param.value):
+            raise PromQLEvalError("Parameter value is NaN")
+        if int(param.value) < 1:
+            return VectorFrame(vf.df.filter(F.lit(False)))
+        k = F.lit(int(param.value))
+    elif isinstance(param, ScalarFrame):
+        p = param.df.withColumnRenamed("value", "__k")
+        df = df.join(F.broadcast(p), "t", "left")
+        kv = F.col("__k")
+        # per-step NaN/invalid k selects nothing at that step
+        k = F.when(_not_nan(kv) & (kv >= 1), kv.cast("long")).otherwise(F.lit(0))
+    else:
+        raise PromQLEvalError(f"{op}: unsupported parameter type")
 
     v = F.col("value")
     if op == "topk":

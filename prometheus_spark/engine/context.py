@@ -26,6 +26,11 @@ class EvalContext:
     step_ms: int  # > 0; instant queries use a 1-step grid
     lookback_ms: int = DEFAULT_LOOKBACK_MS
     strict: bool = True  # enforce duplicate-signature errors (extra pass)
+    # Kahan-compensated sum/avg (reference: engine.go:3714).  Exact parity
+    # with the golden corpus' extreme-magnitude cases, but runs as an array
+    # fold over collect_list — off by default for scalability; the
+    # promqltest runner switches it on.
+    kahan: bool = False
 
     @property
     def num_steps(self) -> int:

@@ -38,11 +38,13 @@ class PromQLEngine:
         samples: DataFrame,
         lookback_ms: int = DEFAULT_LOOKBACK_MS,
         strict: bool = True,
+        kahan: bool = False,
     ):
         self.spark = spark
         self.samples = samples
         self.lookback_ms = lookback_ms
         self.strict = strict
+        self.kahan = kahan
 
     def _ctx(self, start_ms: int, end_ms: int, step_ms: int) -> EvalContext:
         return EvalContext(
@@ -53,6 +55,7 @@ class PromQLEngine:
             step_ms=step_ms,
             lookback_ms=self.lookback_ms,
             strict=self.strict,
+            kahan=self.kahan,
         )
 
     def instant_query(self, query: str, time_ms: int) -> DataFrame:

@@ -104,16 +104,27 @@ class Evaluator:
             from prometheus_spark.model.labels import drop_name_expr, sig_expr
 
             labels = drop_name_expr("labels")
-            return VectorFrame(
-                v.df.select(
-                    sig_expr(labels).alias("sig"),
-                    labels.alias("labels"),
-                    "t",
-                    "sample_t",
-                    (-F.col("value")).alias("value"),
+            return self._guarded(
+                VectorFrame(
+                    v.df.select(
+                        sig_expr(labels).alias("sig"),
+                        labels.alias("labels"),
+                        "t",
+                        "sample_t",
+                        (-F.col("value")).alias("value"),
+                    )
                 )
             )
         raise PromQLEvalError("unary - on non-numeric value")
+
+    def _guarded(self, vf: VectorFrame) -> VectorFrame:
+        """Duplicate-labelset error after name-dropping ops
+        (engine.go:4283/4295) — strict mode only."""
+        if not self.ctx.strict:
+            return vf
+        from prometheus_spark.engine.guards import check_unique_labelsets
+
+        return VectorFrame(check_unique_labelsets(vf.df))
 
     # ------------------------------------------------------------------
     def _binary(self, node: BinaryExpr):
@@ -231,7 +242,7 @@ class Evaluator:
             return FN.eval_absent_over_time(ctx, w, inferred)
 
         if fn in FN._SIMPLE_MATH:
-            return FN.eval_simple_math(fn, self._vector_or_default(node.args, 0))
+            return self._guarded(FN.eval_simple_math(fn, self._vector_or_default(node.args, 0)))
         if fn == "round":
             to = 1.0
             if len(node.args) > 1:
@@ -260,11 +271,11 @@ class Evaluator:
             return FN.eval_absent(ctx, vf, _inferred_labels(node.args[0]))
         if fn == "label_replace":
             args = [self._string(a) for a in node.args[1:]]
-            return FN.eval_label_replace(self._vector(node.args[0]), *args)
+            return self._guarded(FN.eval_label_replace(self._vector(node.args[0]), *args))
         if fn == "label_join":
             dst, sep = self._string(node.args[1]), self._string(node.args[2])
             srcs = [self._string(a) for a in node.args[3:]]
-            return FN.eval_label_join(self._vector(node.args[0]), dst, sep, srcs)
+            return self._guarded(FN.eval_label_join(self._vector(node.args[0]), dst, sep, srcs))
         if fn in ("sort", "sort_desc", "sort_by_label", "sort_by_label_desc"):
             # presentation-order only (functions.go:1046-1090); ordering is
             # applied by the result shaper, semantics are identity

@@ -66,6 +66,10 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     controlled by spark.sql.execution.arrow.maxRecordsPerBatch; payloads
     never land on the driver."""
 
+    from prometheus_spark.shipping import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [_fake_feature(p, dim) for p in pdf["payload"]]

@@ -362,7 +362,7 @@ def run_test_text(
         try:
             if dirty:
                 samples = samples_from_rows(spark, rows, stale_rows).cache()
-                engine = PromQLEngine(spark, samples)
+                engine = PromQLEngine(spark, samples, kahan=True)
                 dirty = False
             _run_eval(engine, cmd)
             stats.passed += 1

@@ -14,13 +14,18 @@ from prometheus_spark.testing import run_test_text
 
 TESTDATA = "/root/reference/promql/promqltest/testdata"
 
-# (file, max_evals) — None = run everything in the file
+# (file, max_evals) — None = run everything in the file.  Caps bound the
+# suite's wall clock; the full files are exercised per-round via the
+# check_corpus tool and caps widen as coverage grows.
 CORPUS = [
-    ("aggregators.test", 60),
-    ("operators.test", 40),
-    ("selectors.test", 20),
+    ("aggregators.test", None),
+    ("operators.test", None),
+    ("selectors.test", None),
     ("staleness.test", None),
-    ("functions.test", 40),
+    ("collision.test", None),
+    ("at_modifier.test", 40),
+    ("range_queries.test", None),
+    ("functions.test", 60),
 ]
 
 
