@@ -52,10 +52,17 @@ def _regroup(vf: VectorFrame, node: AggregateExpr) -> DataFrame:
 def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, param) -> VectorFrame:
     op = node.op
     if op in ("topk", "bottomk", "limitk", "limit_ratio"):
+        if op in ("topk", "bottomk"):
+            # histograms never enter the value heap (engine.go:3986 region)
+            vf = VectorFrame(vf.df.filter(F.col("value").isNotNull()))
         return _eval_k_selector(ctx, node, vf, param)
 
     df = _regroup(vf, node)
     v = F.col("value")
+    if op not in ("count", "group"):
+        # float aggregations ignore histogram samples (value NULL) — the
+        # reference warns & drops them; count/group see every series
+        df = df.filter(v.isNotNull())
     masked = F.when(_not_nan(v), v)  # NULL for NaN → min/max skip
 
     if op == "quantile":
@@ -66,7 +73,7 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
     elif op == "avg":
         agg = _avg_agg(v, kahan=ctx.kahan)
     elif op == "count":
-        agg = F.count(v).cast("double")
+        agg = F.count(F.lit(1)).cast("double")
     elif op == "min":
         # NaN only if all values in the group are NaN (engine.go:3681-3690)
         agg = F.coalesce(F.min(masked), _NAN())
@@ -121,7 +128,7 @@ def _avg_agg(v: Column, kahan: bool) -> Column:
     running sum would overflow, then switch strategy).  The fallback here
     scales inputs by 2^-128 — exact in binary floating point — instead of
     sequential incremental mean; both avoid the overflow."""
-    n = F.count(v)
+    n = F.count(v).cast("double")  # double: /0 must stay IEEE, not ANSI-error
     s = _kahan_sum_agg(v) if kahan else F.sum(v)
     direct = s / n
     any_inf = F.max((F.abs(v) == F.lit(float("inf"))).cast("int")) == 1

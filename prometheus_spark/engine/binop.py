@@ -163,10 +163,39 @@ def _with_match_sig(df: DataFrame, vm: VectorMatching) -> DataFrame:
     return df.withColumn("msig", match_sig_expr("labels", on, ignoring))
 
 
+def _match_labels_map(labels_col: Column, on, ignoring) -> Column:
+    """The label subset forming the match signature, as a map."""
+    if on is not None:
+        keys = (
+            F.array(*[F.lit(k) for k in on]) if on else F.array().cast("array<string>")
+        )
+        return F.map_filter(labels_col, lambda k, _: F.array_contains(keys, k))
+    dropped = list(ignoring or []) + [METRIC_NAME_LABEL]
+    keys = F.array(*[F.lit(k) for k in dropped])
+    return F.map_filter(labels_col, lambda k, _: ~F.array_contains(keys, k))
+
+
+def _align_hist(l: DataFrame, r: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Frames may or may not carry the ``hist`` column (selector outputs
+    do, computed vectors don't) — pad with NULLs so unions line up."""
+    from prometheus_spark.model.schema import HISTOGRAM_TYPE
+
+    lh, rh = "hist" in l.columns, "hist" in r.columns
+    if lh and not rh:
+        r = r.withColumn("hist", F.lit(None).cast(HISTOGRAM_TYPE))
+    elif rh and not lh:
+        l = l.withColumn("hist", F.lit(None).cast(HISTOGRAM_TYPE))
+    return l, r
+
+
 def set_op(ctx: EvalContext, op: str, lhs: VectorFrame, rhs: VectorFrame, vm: VectorMatching) -> VectorFrame:
     """and / or / unless (engine.go:3115-3190)."""
-    l = _with_match_sig(lhs.df, vm)
-    r = _with_match_sig(rhs.df, vm)
+    ldf, rdf = _align_hist(lhs.df, rhs.df)
+    cols = ["sig", "labels", "t", "sample_t", "value"] + (
+        ["hist"] if "hist" in ldf.columns else []
+    )
+    l = _with_match_sig(ldf, vm)
+    r = _with_match_sig(rdf, vm)
     rkeys = r.select("msig", "t").distinct()
     if op == "and":
         out = l.join(rkeys, ["msig", "t"], "left_semi")
@@ -174,11 +203,11 @@ def set_op(ctx: EvalContext, op: str, lhs: VectorFrame, rhs: VectorFrame, vm: Ve
         out = l.join(rkeys, ["msig", "t"], "left_anti")
     elif op == "or":
         lkeys = l.select("msig", "t").distinct()
-        extra = r.join(lkeys, ["msig", "t"], "left_anti")
+        extra = r.select(*l.columns).join(lkeys, ["msig", "t"], "left_anti")
         out = l.unionByName(extra)
     else:
         raise PromQLEvalError(op)
-    return VectorFrame(out.select("sig", "labels", "t", "sample_t", "value"))
+    return VectorFrame(out.select(*cols))
 
 
 def vector_vector(
@@ -222,7 +251,34 @@ def vector_vector(
         )
         guard = F.coalesce(F.col("__chk"), F.lit(0.0))
 
-    joined = many.join(one, ["msig", "t"], "inner")
+    # fill modifiers (ast.go:329): missing-side substitution via outer
+    # joins.  The reference swaps operands for group_right but not the
+    # fill values, so fill_lhs always fills the "many" side and fill_rhs
+    # the "one" side (fill-modifier.test:185-199).
+    fill_many = node.fill_lhs
+    fill_one = node.fill_rhs
+    if fill_many is not None and fill_one is not None:
+        how = "full_outer"
+    elif fill_many is not None:
+        how = "right_outer"  # keep unmatched "one" rows
+    elif fill_one is not None:
+        how = "left_outer"  # keep unmatched "many" rows
+    else:
+        how = "inner"
+    joined = many.join(one, ["msig", "t"], how)
+    if fill_one is not None:
+        joined = joined.withColumn(
+            "__ov", F.coalesce(F.col("__ov"), F.lit(float(fill_one)))
+        )
+    if fill_many is not None:
+        # synthetic many-side sample: value = fill, labels = the match
+        # labels of the present side (engine.go fill path: MatchLabels)
+        on = vm.labels if vm.on else None
+        ignoring = vm.labels if not vm.on else None
+        match_labels = _match_labels_map(F.col("__olabels"), on, ignoring)
+        joined = joined.withColumn(
+            "labels", F.coalesce(F.col("labels"), match_labels)
+        ).withColumn("value", F.coalesce(F.col("value"), F.lit(float(fill_many))))
 
     if ctx.strict and card == MatchCardinality.ONE_TO_ONE:
         # after a unique-rhs join, >1 row per (msig, t) ⇒ duplicate lhs

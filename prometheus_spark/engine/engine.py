@@ -79,5 +79,8 @@ class PromQLEngine:
         if isinstance(result, StringValue):
             raise ValueError("string results are API-only; not a DataFrame")
         if isinstance(result, VectorFrame):
-            return result.df.select("sig", "labels", "t", "value").orderBy("sig", "t")
+            cols = ["sig", "labels", "t", "value"]
+            if "hist" in result.df.columns:
+                cols.append("hist")
+            return result.df.select(*cols).orderBy("sig", "t")
         raise TypeError(f"unexpected result {type(result).__name__}")

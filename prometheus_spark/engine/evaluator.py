@@ -32,6 +32,7 @@ from prometheus_spark.engine.values import (
 from prometheus_spark.parser.ast import (
     AT_END,
     AT_START,
+    resolve_duration_ms,
     AggregateExpr,
     BinaryExpr,
     Call,
@@ -168,30 +169,52 @@ class Evaluator:
             node = node.expr
         if isinstance(node, MatrixSelector):
             sel = node.selector
-            w = windowed_samples(ctx, sel, node.range_ms, sel.offset_ms, sel.at)
-            return w, node.range_ms
+            rng = resolve_duration_ms(node.range_ms, self._qctx())
+            off = resolve_duration_ms(sel.offset_ms, self._qctx())
+            w = windowed_samples(ctx, sel, rng, off, sel.at)
+            return w, rng
         if isinstance(node, SubqueryExpr):
             return self._subquery(node)
         raise PromQLEvalError("expected range vector argument")
+
+    def _qctx(self) -> dict:
+        """Query-context values for duration expressions (seconds)."""
+        ctx = self.ctx
+        return {
+            "step": 0.0 if ctx.is_instant else ctx.step_ms / 1000.0,
+            "range": (ctx.end_ms - ctx.start_ms) / 1000.0,
+            "start": ctx.start_ms / 1000.0,
+            "end": ctx.end_ms / 1000.0,
+        }
 
     def _subquery(self, node: SubqueryExpr) -> tuple[DataFrame, int]:
         """Subquery (engine.go:1932): evaluate inner expr over an
         epoch-aligned denser grid, then window the result."""
         ctx = self.ctx
-        step = node.step_ms or ctx.step_ms  # default: eval interval
-        offset = node.offset_ms
+        qc = self._qctx()
+        # default resolution = 1m (the reference's default eval interval /
+        # noStepSubqueryIntervalFn), NOT the parent step
+        step = resolve_duration_ms(node.step_ms, qc) if node.step_ms else 60_000
+        offset = resolve_duration_ms(node.offset_ms, qc)
         if node.at is not None:
             ref = ctx.resolve_at(node.at) - offset
             inner_end, outer_start = ref, ref
         else:
             inner_end = ctx.end_ms - offset
             outer_start = ctx.start_ms - offset
-        # inner grid epoch-aligned to step (engine.go:1952-1975)
-        inner_start = (outer_start - node.range_ms) // step * step
-        if inner_start < outer_start - node.range_ms:
+        rng = resolve_duration_ms(node.range_ms, qc)
+        # inner grid epoch-aligned to step, left-open window bump
+        # (engine.go runSubquery: subqStart <= start-offset-range → +step)
+        inner_start = (outer_start - rng) // step * step
+        if inner_start <= outer_start - rng:
             inner_start += step
         if inner_start > inner_end:
-            inner_start = inner_end
+            # no inner evaluation points fall in any window → empty
+            empty = ctx.samples.filter(F.lit(False)).select(
+                "sig", "labels", "t", "value"
+            )
+            w = windowed_samples(ctx, empty, rng, offset, node.at)
+            return w, rng
         sub_ctx = ctx.with_grid(inner_start, inner_end, step)
         inner = Evaluator(sub_ctx).eval(node.expr)
         if isinstance(inner, ConstScalar):
@@ -199,8 +222,8 @@ class Evaluator:
         if isinstance(inner, ScalarFrame):
             raise PromQLEvalError("subquery on scalar expressions not supported")
         samples_like = inner.df.select("sig", "labels", "t", "value")
-        w = windowed_samples(ctx, samples_like, node.range_ms, offset, node.at)
-        return w, node.range_ms
+        w = windowed_samples(ctx, samples_like, rng, offset, node.at)
+        return w, rng
 
     # ------------------------------------------------------------------
     def _call(self, node: Call):
@@ -219,9 +242,20 @@ class Evaluator:
         if fn == "end":
             return ConstScalar(ctx.end_ms / 1000.0)
         if fn == "step":
-            return ConstScalar(ctx.step_ms / 1000.0)
+            # instant queries report step 0 (functions.test:2101)
+            return ConstScalar(0.0 if ctx.is_instant else ctx.step_ms / 1000.0)
         if fn == "range":
-            raise PromQLEvalError("range() is only valid inside duration expressions")
+            return ConstScalar((ctx.end_ms - ctx.start_ms) / 1000.0)
+        if fn in ("min_of", "max_of"):
+            a, b = self._scalar(node.args[0]), self._scalar(node.args[1])
+            if isinstance(a, ConstScalar) and isinstance(b, ConstScalar):
+                # Go math.Min/Max: NaN propagates (functions.go:1786-1793)
+                if math.isnan(a.value) or math.isnan(b.value):
+                    return ConstScalar(float("nan"))
+                return ConstScalar(
+                    min(a.value, b.value) if fn == "min_of" else max(a.value, b.value)
+                )
+            raise PromQLEvalError(f"{fn}: per-step scalars not supported yet")
 
         if fn in RF.RANGE_FUNCTIONS:
             param = self.eval(node.args[0]) if fn == "quantile_over_time" else None
@@ -280,10 +314,81 @@ class Evaluator:
             # presentation-order only (functions.go:1046-1090); ordering is
             # applied by the result shaper, semantics are identity
             return self._vector(node.args[0])
+        if fn in ("histogram_count", "histogram_sum", "histogram_avg",
+                  "histogram_stddev", "histogram_stdvar"):
+            from prometheus_spark.engine.hist_functions import eval_hist_accessor
+
+            return self._guarded(eval_hist_accessor(ctx, fn, self._vector(node.args[0])))
         if fn == "histogram_quantile":
             phi = self._scalar(node.args[0])
-            return FN.eval_histogram_quantile_classic(ctx, phi, self._vector(node.args[1]))
+            vf = self._vector(node.args[1])
+            classic = FN.eval_histogram_quantile_classic(ctx, phi, vf)
+            if "hist" in vf.df.columns and isinstance(phi, ConstScalar):
+                from prometheus_spark.engine.hist_functions import (
+                    eval_hist_quantile_native,
+                )
+
+                native = eval_hist_quantile_native(ctx, float(phi.value), vf)
+                return VectorFrame(classic.df.unionByName(native))
+            return classic
+        if fn == "histogram_quantiles":
+            # multi-φ variant adding a quantile label (functions.go:2243)
+            from prometheus_spark.model.labels import sig_expr as _sig
+
+            vf = self._vector(node.args[0])
+            lbl = self._string(node.args[1])
+            out = None
+            for arg in node.args[2:]:
+                phi = self._scalar(arg)
+                if not isinstance(phi, ConstScalar):
+                    raise PromQLEvalError("histogram_quantiles: scalar φ required")
+                res = self._call(Call("histogram_quantile", [arg, node.args[0]]))
+                pv = phi.value
+                txt = "NaN" if math.isnan(pv) else str(float(pv))
+                new_labels = F.map_concat(
+                    F.map_filter("labels", lambda k, _: k != F.lit(lbl)),
+                    F.create_map(F.lit(lbl), F.lit(txt)),
+                )
+                df = res.df.select(
+                    _sig(new_labels).alias("sig"),
+                    new_labels.alias("labels"),
+                    "t",
+                    "sample_t",
+                    "value",
+                )
+                out = df if out is None else out.unionByName(df)
+            return VectorFrame(out)
+        if fn == "histogram_fraction":
+            lo, up = self._const(node.args[0]), self._const(node.args[1])
+            vf = self._vector(node.args[2])
+            classic = FN.eval_histogram_fraction_classic(ctx, lo, up, vf)
+            if "hist" in vf.df.columns:
+                from prometheus_spark.engine.hist_functions import (
+                    eval_hist_fraction_native,
+                )
+
+                native = eval_hist_fraction_native(ctx, lo, up, vf)
+                return VectorFrame(classic.df.unionByName(native))
+            return classic
+        if fn == "info":
+            return self._info(node)
         raise PromQLEvalError(f"function {fn} not implemented")
+
+    def _info(self, node: Call):
+        """info(v[, data-selector]) — enrichment join on identifying labels
+        (promql/info.go:39; identifying labels hardcoded instance,job)."""
+        from prometheus_spark.engine.info import eval_info
+
+        base = self._vector(node.args[0])
+        data_matchers = None
+        if len(node.args) > 1:
+            sel = node.args[1]
+            while isinstance(sel, ParenExpr):
+                sel = sel.expr
+            if not isinstance(sel, VectorSelector):
+                raise PromQLEvalError("info: second argument must be a label selector")
+            data_matchers = sel.matchers
+        return eval_info(self.ctx, base, data_matchers)
 
     def _vector_or_default(self, args, idx) -> VectorFrame:
         """Date functions default to vector(time()) when no arg is given."""
@@ -308,11 +413,12 @@ class Evaluator:
 
 def _inferred_labels(node: Expr) -> dict[str, str]:
     """absent()/absent_over_time() label inference: equality matchers of the
-    argument selector (promql/functions.go createLabelsForAbsentFunction)."""
+    argument selector (promql/functions.go createLabelsForAbsentFunction).
+    Subqueries infer nothing — the inner expression is arbitrary."""
     while isinstance(node, ParenExpr):
         node = node.expr
-    if isinstance(node, (MatrixSelector, SubqueryExpr)):
-        node = getattr(node, "selector", getattr(node, "expr", None))
+    if isinstance(node, MatrixSelector):
+        node = node.selector
         while isinstance(node, ParenExpr):
             node = node.expr
     if not isinstance(node, VectorSelector):

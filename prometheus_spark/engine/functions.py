@@ -55,12 +55,15 @@ _SIMPLE_MATH = {
 
 def _project(vf: VectorFrame, value: Column, keep_name: bool = False) -> VectorFrame:
     labels = F.col("labels") if keep_name else drop_name_expr("labels")
+    # computed samples live at the eval timestamp: nested timestamp() sees
+    # the step time, not the source sample's time (at_modifier.test:173).
+    # Histogram samples (value NULL) are ignored by point-wise float math.
     return VectorFrame(
-        vf.df.select(
+        vf.df.filter(F.col("value").isNotNull()).select(
             sig_expr(labels).alias("sig"),
             labels.alias("labels"),
             "t",
-            "sample_t",
+            F.col("t").alias("sample_t"),
             value.cast("double").alias("value"),
         )
     )
@@ -151,7 +154,17 @@ def eval_date_func(func: str, vf: VectorFrame) -> VectorFrame:
 
 
 def eval_timestamp(vf: VectorFrame) -> VectorFrame:
-    return _project(vf, F.col("sample_t") / 1000.0)
+    # timestamp() applies to histogram samples as well — no float filter
+    labels = drop_name_expr("labels")
+    return VectorFrame(
+        vf.df.select(
+            sig_expr(labels).alias("sig"),
+            labels.alias("labels"),
+            "t",
+            F.col("t").alias("sample_t"),
+            (F.col("sample_t") / 1000.0).cast("double").alias("value"),
+        )
+    )
 
 
 def eval_scalar(ctx: EvalContext, vf: VectorFrame) -> ScalarFrame:
@@ -270,6 +283,109 @@ def eval_label_join(vf: VectorFrame, dst: str, sep: str, srcs: list[str]) -> Vec
     )
 
 
+def _classic_buckets(vf: VectorFrame):
+    """Group ``le``-labeled bucket series by labels-minus-le per step and
+    collect sorted, coalesced (le, cumulative-count) arrays
+    (quantile.go:620 ``coalesceBuckets``)."""
+    df = vf.df.filter(F.col("value").isNotNull())  # histogram samples aside
+    le = F.coalesce(F.element_at("labels", F.lit("le")), F.lit(""))
+    glabels = F.map_filter(drop_name_expr("labels"), lambda k, _: k != F.lit("le"))
+    return (
+        df.withColumn("__le", _parse_le(le))
+        .filter(F.col("__le").isNotNull())
+        .select(
+            sig_expr(glabels).alias("sig"),
+            glabels.alias("labels"),
+            "t",
+            "__le",
+            "value",
+        )
+        # duplicate le representations ("0.2", "2e-1") merge by summing
+        .groupBy("sig", "t", "__le")
+        .agg(F.first("labels").alias("labels"), F.sum("value").alias("c"))
+        .select(
+            "sig", "labels", "t",
+            F.struct(F.col("__le").alias("le"), F.col("c").alias("c")).alias("b"),
+        )
+        .groupBy("sig", "t")
+        .agg(F.first("labels").alias("labels"), F.sort_array(F.collect_list("b")).alias("bs"))
+    )
+
+
+def eval_histogram_fraction_classic(
+    ctx: EvalContext, lower: float, upper: float, vf: VectorFrame
+) -> VectorFrame:
+    """Classic-bucket histogram_fraction (promql/quantile.go:520
+    ``BucketFraction``): fraction of observations in [lower, upper] with
+    linear interpolation inside buckets; implemented as a single array
+    fold carrying (rank, lowerRank, upperRank, set-flags)."""
+    buckets = _classic_buckets(vf)
+    bs = F.col("bs")
+    has_inf = F.exists(bs, lambda b: b["le"] == F.lit(float("inf")))
+    total = F.element_at(bs, -1)["c"]
+
+    if math.isnan(lower) or math.isnan(upper):
+        value = _NAN()
+    elif lower >= upper:
+        value = F.lit(0.0)
+    else:
+        lo, up = F.lit(float(lower)), F.lit(float(upper))
+        first_lb = F.when(F.element_at(bs, 1)["le"] <= 0, F.lit(float("-inf"))).otherwise(
+            F.lit(0.0)
+        )
+        init = F.struct(
+            F.lit(0.0).alias("rank"),
+            F.lit(0.0).alias("lrank"),
+            F.lit(0.0).alias("urank"),
+            F.lit(False).alias("lset"),
+            F.lit(False).alias("uset"),
+            first_lb.alias("lb"),
+        )
+
+        def step(acc, b):
+            lb, le, c = acc["lb"], b["le"], b["c"]
+            # For a −Inf-wide bucket interpolation degenerates to the
+            # bucket's cumulative count (see BucketFraction comment).
+            def interp(v):
+                return F.when(lb == F.lit(float("-inf")), c).otherwise(
+                    acc["rank"] + (c - acc["rank"]) * (v - lb) / (le - lb)
+                )
+
+            lset1 = acc["lset"] | (lb >= lo)
+            lrank1 = F.when(acc["lset"], acc["lrank"]).otherwise(
+                F.when(lb >= lo, acc["rank"]).otherwise(
+                    F.when((lb < lo) & (le > lo), interp(lo)).otherwise(acc["lrank"])
+                )
+            )
+            lset2 = lset1 | ((lb < lo) & (le > lo))
+            uset1 = acc["uset"] | (lb >= up)
+            urank1 = F.when(acc["uset"], acc["urank"]).otherwise(
+                F.when(lb >= up, acc["rank"]).otherwise(
+                    F.when((lb < up) & (le > up), interp(up)).otherwise(acc["urank"])
+                )
+            )
+            uset2 = uset1 | ((lb < up) & (le > up))
+            return F.struct(
+                c.alias("rank"),
+                lrank1.alias("lrank"),
+                urank1.alias("urank"),
+                lset2.alias("lset"),
+                uset2.alias("uset"),
+                le.alias("lb"),
+            )
+
+        acc = F.aggregate(bs, init, step)
+        lrank = F.when(~acc["lset"] | (acc["lrank"] > total), total).otherwise(acc["lrank"])
+        urank = F.when(~acc["uset"] | (acc["urank"] > total), total).otherwise(acc["urank"])
+        value = (urank - lrank) / total
+
+    value = F.when(total == 0, _NAN()).otherwise(value)
+    out = buckets.filter(has_inf).select(
+        "sig", "labels", "t", F.col("t").alias("sample_t"), value.cast("double").alias("value")
+    )
+    return VectorFrame(out)
+
+
 def eval_histogram_quantile_classic(ctx: EvalContext, phi, vf: VectorFrame) -> VectorFrame:
     """Classic ``le``-labeled bucket quantile (promql/quantile.go:105
     ``BucketQuantile``): group series by labels-minus-le, coalesce buckets,
@@ -282,23 +398,7 @@ def eval_histogram_quantile_classic(ctx: EvalContext, phi, vf: VectorFrame) -> V
         raise PromQLEvalError("histogram_quantile: scalar parameter required")
     q = float(phi.value)
 
-    df = vf.df
-    le = F.coalesce(F.element_at("labels", F.lit("le")), F.lit(""))
-    glabels = F.map_filter(
-        drop_name_expr("labels"), lambda k, _: k != F.lit("le")
-    )
-    buckets = (
-        df.withColumn("__le", _parse_le(le))
-        .filter(F.col("__le").isNotNull())
-        .select(
-            sig_expr(glabels).alias("sig"),
-            glabels.alias("labels"),
-            "t",
-            F.struct(F.col("__le").alias("le"), F.col("value").alias("c")).alias("b"),
-        )
-        .groupBy("sig", "t")
-        .agg(F.first("labels").alias("labels"), F.sort_array(F.collect_list("b")).alias("bs"))
-    )
+    buckets = _classic_buckets(vf)
 
     # merge duplicate le's (sum), enforce monotonicity (running max), then
     # interpolate.  All as array expressions.
@@ -314,10 +414,12 @@ def eval_histogram_quantile_classic(ctx: EvalContext, phi, vf: VectorFrame) -> V
 
 
 def _parse_le(le: Column) -> Column:
+    # try_cast: unparseable/absent le must yield NULL (filtered), not an
+    # ANSI cast error — histogram-sample rows carry no le label at all
     return (
         F.when(le == "+Inf", F.lit(float("inf")))
         .when(le == "-Inf", F.lit(float("-inf")))
-        .otherwise(le.cast("double"))
+        .otherwise(le.try_cast("double"))
     )
 
 

@@ -1,0 +1,155 @@
+"""info() — enrichment join with info metrics (reference: promql/info.go).
+
+Joins data series with info-metric series (default ``target_info``) on the
+hardcoded identifying labels ``(instance, job)`` at each step and copies
+the info series' data labels in.  Spark-first: a left join on
+``(instance, job, t)`` against the info metrics' instant vector — at scale
+the info side is tiny and broadcasts.
+
+Semantics re-derived from promql/info.go:
+- name matchers from the selector argument pick the info metrics; only
+  negative matchers → a synthetic ``.+_info`` regex is prepended; none →
+  ``target_info`` (info.go:92 ``effectiveInfoNameMatchers``)
+- base series whose own name matches the effective matchers are "info
+  series" themselves and pass through unenriched (info.go:58-73)
+- label matchers restrict which data labels are copied AND gate rows: a
+  matcher not accepting "" requires a matching info label
+- base labels win on overlap; identifying labels and __name__ never copy
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from prometheus_spark.engine.context import EvalContext
+from prometheus_spark.engine.values import VectorFrame
+from prometheus_spark.model.labels import sig_expr
+from prometheus_spark.model.schema import METRIC_NAME_LABEL
+from prometheus_spark.parser.ast import Matcher, MatchType, VectorSelector
+
+IDENTIFYING_LABELS = ("instance", "job")
+DEFAULT_INFO_METRIC = "target_info"
+
+
+def _matches_empty(m: Matcher) -> bool:
+    if m.type == MatchType.EQ:
+        return m.value == ""
+    if m.type == MatchType.NEQ:
+        return m.value != ""
+    try:
+        ok = bool(re.fullmatch(m.value, ""))
+    except re.error:
+        ok = False
+    return ok if m.type == MatchType.RE else not ok
+
+
+def _matcher_on_value(m: Matcher, val: Column) -> Column:
+    v = F.coalesce(val, F.lit(""))
+    if m.type == MatchType.EQ:
+        return v == F.lit(m.value)
+    if m.type == MatchType.NEQ:
+        return v != F.lit(m.value)
+    cond = v.rlike(f"^(?:{m.value})$")
+    return cond if m.type == MatchType.RE else ~cond
+
+
+def _effective_name_matchers(name_matchers: list[Matcher]) -> list[Matcher]:
+    if any(m.type in (MatchType.EQ, MatchType.RE) for m in name_matchers):
+        return name_matchers
+    if name_matchers:
+        return [Matcher(METRIC_NAME_LABEL, MatchType.RE, ".+_info")] + name_matchers
+    return [Matcher(METRIC_NAME_LABEL, MatchType.EQ, DEFAULT_INFO_METRIC)]
+
+
+def eval_info(
+    ctx: EvalContext, base: VectorFrame, data_matchers: Optional[list[Matcher]]
+) -> VectorFrame:
+    from prometheus_spark.engine.selectors import eval_vector_selector
+
+    name_matchers = [m for m in (data_matchers or []) if m.name == METRIC_NAME_LABEL]
+    label_matchers = [m for m in (data_matchers or []) if m.name != METRIC_NAME_LABEL]
+    effective = _effective_name_matchers(name_matchers)
+
+    info_vf = eval_vector_selector(ctx, VectorSelector(None, effective))
+
+    # base series that are themselves info metrics pass through unenriched
+    base_name = F.coalesce(
+        F.element_at("labels", F.lit(METRIC_NAME_LABEL)), F.lit("")
+    )
+    is_info = F.lit(True)
+    for m in effective:
+        is_info = is_info & _matcher_on_value(m, base_name)
+    passthrough = base.df.filter(is_info)
+    enrichable = base.df.filter(~is_info)
+
+    ident = F.array(*[F.lit(k) for k in IDENTIFYING_LABELS])
+    data_labels = F.map_filter(
+        F.col("labels"),
+        lambda k, _: (~F.array_contains(ident, k)) & (k != F.lit(METRIC_NAME_LABEL)),
+    )
+    if label_matchers:
+        names = F.array(*[F.lit(m.name) for m in label_matchers])
+        data_labels = F.map_filter(data_labels, lambda k, _: F.array_contains(names, k))
+
+    # merge all matching info metrics per (instance, job, t) into one map
+    info = (
+        info_vf.df.select(
+            F.coalesce(F.element_at("labels", F.lit("instance")), F.lit("")).alias("__inst"),
+            F.coalesce(F.element_at("labels", F.lit("job")), F.lit("")).alias("__job"),
+            F.col("t").alias("__it"),
+            data_labels.alias("__data"),
+        )
+        .groupBy("__inst", "__job", "__it")
+        .agg(
+            F.aggregate(
+                F.collect_list("__data"),
+                F.create_map().cast("map<string,string>"),
+                lambda acc, m: F.map_concat(
+                    acc, F.map_filter(m, lambda k, _: ~F.array_contains(F.map_keys(acc), k))
+                ),
+            ).alias("__data")
+        )
+    )
+
+    b = enrichable.withColumn(
+        "__binst", F.coalesce(F.element_at("labels", F.lit("instance")), F.lit(""))
+    ).withColumn("__bjob", F.coalesce(F.element_at("labels", F.lit("job")), F.lit("")))
+    joined = b.join(
+        F.broadcast(info),
+        (b["__binst"] == info["__inst"])
+        & (b["__bjob"] == info["__job"])
+        & (b["t"] == info["__it"]),
+        "left",
+    )
+
+    # matcher gating: non-empty-required matchers need a matching info label
+    keep = F.lit(True)
+    empty_map = F.create_map().cast("map<string,string>")
+    data = F.coalesce(F.col("__data"), empty_map)
+    for m in label_matchers:
+        if m.name in IDENTIFYING_LABELS:
+            # identifying labels are never data labels — match against the
+            # series' own identifying label value (info.test:56)
+            val = F.element_at(F.col("labels"), F.lit(m.name))
+        else:
+            val = F.element_at(data, F.lit(m.name))
+        cond = _matcher_on_value(m, val)
+        keep = keep & cond  # matchers accepting "" pass on absent labels
+    joined = joined.filter(keep)
+
+    base_keys = F.map_keys(F.col("labels"))
+    addable = F.map_filter(data, lambda k, _: ~F.array_contains(base_keys, k))
+    new_labels = F.map_concat(F.col("labels"), addable)
+
+    out = joined.select(
+        sig_expr(new_labels).alias("sig"),
+        new_labels.alias("labels"),
+        "t",
+        "sample_t",
+        "value",
+    ).unionByName(passthrough.select("sig", "labels", "t", "sample_t", "value"))
+    return VectorFrame(out)

@@ -65,20 +65,31 @@ def eval_range_function(
 ) -> VectorFrame:
     """windowed: (sig, labels, t, sample_t, value) — one row per sample per
     step window (see selectors.windowed_samples)."""
+    # windows may contain histogram samples (value NULL): the rate family
+    # drops mixed windows entirely (reference warns); other float
+    # functions compute over the float samples; count/present see all.
+    floats_only = windowed.filter(F.col("value").isNotNull())
     if func in ("rate", "increase", "delta"):
-        out = _extrapolated(ctx, windowed, range_ms, is_counter=func != "delta", is_rate=func == "rate")
+        w = Window.partitionBy("sig", "t")
+        mixed = windowed.withColumn(
+            "__mixed", F.max(F.col("value").isNull().cast("int")).over(w)
+        )
+        clean = mixed.filter(F.col("__mixed") == 0).drop("__mixed")
+        out = _extrapolated(ctx, clean, range_ms, is_counter=func != "delta", is_rate=func == "rate")
     elif func in ("idelta", "irate"):
-        out = _instant_pair(ctx, windowed, is_rate=func == "irate")
+        out = _instant_pair(ctx, floats_only, is_rate=func == "irate")
     elif func in ("resets", "changes"):
-        out = _resets_changes(ctx, windowed, func)
+        out = _resets_changes(ctx, floats_only, func)
     elif func in ("deriv", "predict_linear"):
-        out = _linreg(ctx, windowed, param)
+        out = _linreg(ctx, floats_only, param)
     elif func == "double_exponential_smoothing":
-        out = _holt_winters(ctx, windowed, param, param2)
+        out = _holt_winters(ctx, floats_only, param, param2)
     elif func == "quantile_over_time":
-        out = _quantile_over_time(ctx, windowed, param)
-    else:
+        out = _quantile_over_time(ctx, floats_only, param)
+    elif func in ("count_over_time", "present_over_time"):
         out = _simple_over_time(ctx, windowed, func)
+    else:
+        out = _simple_over_time(ctx, floats_only, func)
     return VectorFrame(out)
 
 
@@ -86,28 +97,37 @@ def _grouped(windowed: DataFrame):
     return windowed.groupBy("sig", "t")
 
 
-def _finish(df: DataFrame) -> DataFrame:
+def _finish(df: DataFrame, ctx: EvalContext = None, keep_name: bool = False) -> DataFrame:
     from prometheus_spark.model.labels import drop_name_expr, sig_expr
 
-    labels = drop_name_expr("labels")
-    return df.select(
+    labels = F.col("labels") if keep_name else drop_name_expr("labels")
+    out = df.select(
         sig_expr(labels).alias("sig"),
         labels.alias("labels"),
         "t",
         F.col("t").alias("sample_t"),
         F.col("value").cast("double").alias("value"),
     )
+    if ctx is not None and ctx.strict:
+        # dropping __name__ can collide distinct input series — must error
+        # (engine.go:4283; functions.test:1558)
+        from prometheus_spark.engine.guards import check_unique_labelsets
+
+        out = check_unique_labelsets(out)
+    return out
 
 
 def _simple_over_time(ctx: EvalContext, windowed: DataFrame, func: str) -> DataFrame:
+    from prometheus_spark.engine.aggregations import _avg_agg, _kahan_sum_agg
+
     v = F.col("value")
     masked = F.when(~F.isnan(v), v)
     aggs = {
-        # Kahan-compensated in the reference (functions.go:1218); float64
-        # sum-order differences are within test tolerance.
-        "sum_over_time": F.sum(v),
-        "avg_over_time": F.avg(v),
-        "count_over_time": F.count(v).cast("double"),
+        # Kahan-compensated in the reference (functions.go:1218); plain
+        # sums in scalable mode, array-fold Kahan in corpus (kahan) mode
+        "sum_over_time": _kahan_sum_agg(v) if ctx.kahan else F.sum(v),
+        "avg_over_time": _avg_agg(v, kahan=ctx.kahan),
+        "count_over_time": F.count(F.lit(1)).cast("double"),  # histograms count too
         # min/max skip NaN unless all values are NaN (functions.go:1558-1565)
         "min_over_time": F.coalesce(F.min(masked), _NAN()),
         "max_over_time": F.coalesce(F.max(masked), _NAN()),
@@ -132,37 +152,62 @@ def _simple_over_time(ctx: EvalContext, windowed: DataFrame, func: str) -> DataF
         * (-1 / 1000.0),
     }
     if func == "mad_over_time":
-        # percentile-of-expression-of-percentile can't nest in one agg; do
-        # it in two passes over the (small) per-window group.
+        # median-of-|x − median|, both medians with the reference's exact
+        # NaN-first order statistics (functions.go:1438) — NaN anywhere in
+        # the window propagates.
+        from prometheus_spark.engine.aggregations import quantile_of_sorted, sorted_values_agg
+
         med = _grouped(windowed).agg(
-            F.first("labels").alias("labels"), F.percentile(v, F.lit(0.5)).alias("__med")
+            F.first("labels").alias("labels"),
+            quantile_of_sorted(sorted_values_agg(v), F.lit(0.5)).alias("__med"),
         )
         joined = windowed.join(med.select("sig", "t", "__med"), ["sig", "t"])
         out = joined.groupBy("sig", "t").agg(
             F.first("labels").alias("labels"),
-            F.percentile(F.abs(v - F.col("__med")), F.lit(0.5)).alias("value"),
+            F.when(
+                # a NaN sample makes the median undefined → propagate
+                # (functions.go funcMadOverTime)
+                F.max(F.isnan(v).cast("int")) == 1,
+                _NAN(),
+            )
+            .otherwise(
+                quantile_of_sorted(
+                    sorted_values_agg(F.abs(v - F.col("__med"))), F.lit(0.5)
+                )
+            )
+            .alias("value"),
         )
-        return _finish(out)
+        return _finish(out, ctx)
     if func not in aggs:
         raise PromQLEvalError(f"unsupported over_time function {func}")
     out = _grouped(windowed).agg(F.first("labels").alias("labels"), aggs[func].alias("value"))
-    return _finish(out)
+    # first/last_over_time return real samples — the metric name survives
+    # (reference: funcLastOverTime keeps DropName unset)
+    return _finish(out, ctx, keep_name=func in _KEEPS_NAME)
 
 
 def _quantile_over_time(ctx: EvalContext, windowed: DataFrame, param) -> DataFrame:
-    if not isinstance(param, ConstScalar):
-        raise PromQLEvalError("quantile_over_time: scalar parameter required")
-    phi = param.value
-    if math.isnan(phi):
-        value = _NAN()
-    elif phi < 0:
-        value = F.lit(float("-inf"))
-    elif phi > 1:
-        value = F.lit(float("inf"))
+    from prometheus_spark.engine.aggregations import quantile_of_sorted, sorted_values_agg
+    from prometheus_spark.engine.values import ScalarFrame
+
+    arr = sorted_values_agg(F.col("value")).alias("__arr")
+    if isinstance(param, ConstScalar):
+        grouped = _grouped(windowed).agg(F.first("labels").alias("labels"), arr)
+        phi = F.lit(float(param.value))
+    elif isinstance(param, ScalarFrame):
+        p = param.df.withColumnRenamed("value", "__phi")
+        grouped = (
+            windowed.join(F.broadcast(p), "t", "left")
+            .groupBy("sig", "t")
+            .agg(F.first("labels").alias("labels"), arr, F.first("__phi").alias("__p"))
+        )
+        phi = F.col("__p")
     else:
-        value = F.percentile(F.col("value"), F.lit(phi))
-    out = _grouped(windowed).agg(F.first("labels").alias("labels"), value.alias("value"))
-    return _finish(out)
+        raise PromQLEvalError("quantile_over_time: unsupported parameter type")
+    out = grouped.select(
+        "sig", "labels", "t", quantile_of_sorted(F.col("__arr"), phi).alias("value")
+    )
+    return _finish(out, ctx)
 
 
 def _extrapolated(
@@ -217,7 +262,7 @@ def _extrapolated(
     out = stats.filter(F.col("n") >= 2).select(
         "sig", "labels", "t", value.alias("value")
     )
-    return _finish(out)
+    return _finish(out, ctx)
 
 
 def _instant_pair(ctx: EvalContext, windowed: DataFrame, is_rate: bool) -> DataFrame:
@@ -237,7 +282,7 @@ def _instant_pair(ctx: EvalContext, windowed: DataFrame, is_rate: bool) -> DataF
     else:
         value = b["value"] - a["value"]
     out = stats.filter(F.col("n") >= 2).select("sig", "labels", "t", value.alias("value"))
-    return _finish(out)
+    return _finish(out, ctx)
 
 
 def _resets_changes(ctx: EvalContext, windowed: DataFrame, func: str) -> DataFrame:
@@ -254,7 +299,7 @@ def _resets_changes(ctx: EvalContext, windowed: DataFrame, func: str) -> DataFra
         .groupBy("sig", "t")
         .agg(F.first("labels").alias("labels"), F.sum("__f").cast("double").alias("value"))
     )
-    return _finish(out)
+    return _finish(out, ctx)
 
 
 def _linreg(ctx: EvalContext, windowed: DataFrame, predict_s) -> DataFrame:
@@ -299,7 +344,7 @@ def _linreg(ctx: EvalContext, windowed: DataFrame, predict_s) -> DataFrame:
         )
 
     out = stats.filter(F.col("n") >= 2).select("sig", "labels", "t", value.alias("value"))
-    return _finish(out)
+    return _finish(out, ctx)
 
 
 def _holt_winters(ctx: EvalContext, windowed: DataFrame, sf, tf) -> DataFrame:
@@ -332,4 +377,4 @@ def _holt_winters(ctx: EvalContext, windowed: DataFrame, sf, tf) -> DataFrame:
     out = stats.filter(F.col("n") >= 2).select(
         "sig", "labels", "t", final["l"].alias("value")
     )
-    return _finish(out)
+    return _finish(out, ctx)

@@ -92,8 +92,19 @@ def _explode_steps(df: DataFrame, ctx: EvalContext, lo_ms: Column, hi_ms: Column
 
 
 def eval_vector_selector(ctx: EvalContext, node: VectorSelector) -> VectorFrame:
+    from prometheus_spark.parser.ast import resolve_duration_ms
+
     base = ctx.samples.filter(matcher_predicate(node.matchers))
-    offset = node.offset_ms
+    qc = {
+        "step": 0.0 if ctx.is_instant else ctx.step_ms / 1000.0,
+        "range": (ctx.end_ms - ctx.start_ms) / 1000.0,
+        "start": ctx.start_ms / 1000.0,
+        "end": ctx.end_ms / 1000.0,
+    }
+    offset = resolve_duration_ms(node.offset_ms, qc)
+
+    has_hist = "hist" in base.columns
+    hist_cols = ["hist"] if has_hist else []
 
     if node.at is not None:
         # Pinned evaluation time: value identical at every step —
@@ -103,14 +114,16 @@ def eval_vector_selector(ctx: EvalContext, node: VectorSelector) -> VectorFrame:
             base.filter((F.col("t") > ref - ctx.lookback_ms) & (F.col("t") <= ref))
             .groupBy("sig")
             .agg(
-                F.max_by(F.struct("labels", "t", "value", "stale"), "t").alias("s"),
+                F.max_by(
+                    F.struct("labels", "t", "value", "stale", *hist_cols), "t"
+                ).alias("s"),
             )
-            .select("sig", "s.labels", "s.t", "s.value", "s.stale")
+            .select("sig", "s.*")
             .filter(~F.col("stale"))
-            .select("sig", "labels", F.col("t").alias("sample_t"), "value")
+            .select("sig", "labels", F.col("t").alias("sample_t"), "value", *hist_cols)
         )
         out = picked.crossJoin(F.broadcast(ctx.grid)).select(
-            "sig", "labels", "t", "sample_t", "value"
+            "sig", "labels", "t", "sample_t", "value", *hist_cols
         )
         return VectorFrame(out)
 
@@ -142,6 +155,7 @@ def eval_vector_selector(ctx: EvalContext, node: VectorSelector) -> VectorFrame:
         F.col("step_t").alias("t"),
         F.col("t").alias("sample_t"),
         "value",
+        *hist_cols,
     )
     return VectorFrame(out)
 

@@ -64,6 +64,25 @@ AT_END = "end"
 
 
 @dataclass
+class DurationValue:
+    """A duration expression using query-context functions
+    (``step()``/``range()``/``min_of``/``max_of`` — reference:
+    promql/durations.go) — resolved against the evaluation context.
+
+    ``fn`` maps {"step", "range", "start", "end"} (seconds) → seconds.
+    """
+
+    fn: object  # Callable[[dict], float]
+
+    def resolve_ms(self, qc: dict) -> int:
+        return int(round(self.fn(qc) * 1000))
+
+
+def resolve_duration_ms(v, qc: dict) -> int:
+    return v.resolve_ms(qc) if isinstance(v, DurationValue) else int(v)
+
+
+@dataclass
 class VectorSelector(Expr):
     name: Optional[str]
     matchers: list[Matcher] = field(default_factory=list)
@@ -133,6 +152,9 @@ class BinaryExpr(Expr):
     rhs: Expr
     matching: Optional[VectorMatching] = None
     return_bool: bool = False
+    # fill / fill_left / fill_right modifiers (reference: ast.go:329-337)
+    fill_lhs: Optional[float] = None
+    fill_rhs: Optional[float] = None
 
     def value_type(self) -> ValueType:
         if (

@@ -41,6 +41,7 @@ FUNCTIONS: dict[str, FunctionSig] = {
         _f("deg"), _f("rad"),
         _f("pi", (), S),
         _f("round", (V, S), variadic=1),
+        _f("min_of", (S, S), S), _f("max_of", (S, S), S),
         _f("clamp", (V, S, S)),
         _f("clamp_max", (V, S)),
         _f("clamp_min", (V, S)),
@@ -84,6 +85,7 @@ FUNCTIONS: dict[str, FunctionSig] = {
         _f("histogram_stddev", (V,)), _f("histogram_stdvar", (V,)),
         _f("histogram_fraction", (S, S, V)),
         _f("histogram_quantile", (S, V)),
+        _f("histogram_quantiles", (V, STR, S), variadic=-1),
         # enrichment join (promql/info.go:39)
         _f("info", (V, V), variadic=1),
         # query-context functions — folded to constants at plan time

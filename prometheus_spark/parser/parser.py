@@ -106,12 +106,46 @@ class Parser:
             self.next()
             return_bool = bool(self.accept_ident("bool"))
             matching = self.parse_matching(op)
+            fill_lhs, fill_rhs = self.parse_fill_modifiers()
             next_min = prec if op in _RIGHT_ASSOC else prec + 1
             rhs = self.parse_expr(next_min)
             if return_bool and op not in _COMPARISONS:
                 raise ParseError("bool modifier only allowed on comparison operators")
-            lhs = BinaryExpr(op, lhs, rhs, matching=matching, return_bool=return_bool)
+            lhs = BinaryExpr(
+                op, lhs, rhs, matching=matching, return_bool=return_bool,
+                fill_lhs=fill_lhs, fill_rhs=fill_rhs,
+            )
         return lhs
+
+    def parse_fill_modifiers(self):
+        """``fill(v)`` / ``fill_left(v)`` / ``fill_right(v)`` — outer-join
+        substitution values (reference: lex.go:140-142, ast.go:329)."""
+        fill_lhs = fill_rhs = None
+        while True:
+            # only a modifier when followed by '(' — `fill` alone is a
+            # perfectly good metric name
+            nxt = self.peek(1)
+            if not (nxt.kind == "OP" and nxt.text == "("):
+                return fill_lhs, fill_rhs
+            t = self.accept_ident("fill", "fill_left", "fill_right")
+            if t is None:
+                return fill_lhs, fill_rhs
+            self.expect("OP", "(")
+            neg = bool(self.accept("OP", "-"))
+            tok = self.next()
+            if tok.kind != "NUMBER":
+                raise ParseError(f"fill: expected number at {tok.pos}")
+            from prometheus_spark.parser.parser import _number
+
+            v = _number(tok.text)
+            if neg:
+                v = -v
+            self.expect("OP", ")")
+            kind = t.text.lower()
+            if kind in ("fill", "fill_left"):
+                fill_lhs = v
+            if kind in ("fill", "fill_right"):
+                fill_rhs = v
 
     def parse_matching(self, op: str) -> Optional[VectorMatching]:
         t = self.peek()
@@ -167,9 +201,10 @@ class Parser:
                 e = self.parse_range_suffix(e)
                 continue
             if self.accept_ident("offset"):
-                neg = bool(self.accept("OP", "-"))
-                dur = self.parse_duration_token()
-                off = -dur if neg else dur
+                # offset binds a single signed duration primary — trailing
+                # operators belong to the surrounding expression
+                # (`m offset 100 + 2` ≡ (m offset 100) + 2)
+                off = self.parse_offset_duration()
                 e = self._apply_modifier(e, offset_ms=off)
                 continue
             if self.accept("OP", "@"):
@@ -203,25 +238,153 @@ class Parser:
         if not isinstance(target, (VectorSelector, SubqueryExpr)):
             raise ParseError("offset/@ modifier must follow a selector or subquery")
         if offset_ms is not None:
-            target.offset_ms += offset_ms
+            from prometheus_spark.parser.ast import DurationValue
+
+            if isinstance(target.offset_ms, DurationValue) or isinstance(
+                offset_ms, DurationValue
+            ):
+                prev, new = target.offset_ms, offset_ms
+                pf = (
+                    prev.fn
+                    if isinstance(prev, DurationValue)
+                    else (lambda qc, v=prev: v / 1000.0)
+                )
+                nf = (
+                    new.fn
+                    if isinstance(new, DurationValue)
+                    else (lambda qc, v=new: v / 1000.0)
+                )
+                target.offset_ms = DurationValue(lambda qc: pf(qc) + nf(qc))
+            else:
+                target.offset_ms += offset_ms
         if at is not None:
             target.at = at
         return e
 
     def parse_duration_token(self) -> int:
+        if self.peek().kind == "OP" and self.peek().text == "(":
+            return self.parse_duration_expr()
         t = self.next()
         if t.kind in ("DURATION", "NUMBER"):
             return parse_duration_ms(t.text)
         raise ParseError(f"expected duration, got {t.text!r} at {t.pos}")
 
+    # --- duration expressions (experimental; reference promql/durations.go)
+    # ``[26m+4m]``, ``[1h/2]``, ``[step()*2]``, ``[min_of(step()+1, 1h)]`` —
+    # constant-folded at parse time unless query-context functions appear,
+    # in which case a DurationValue closure defers resolution to eval time.
+    # Operands are seconds; duration literals convert to seconds.
+    _DUR_PRECEDENCE = {"+": 1, "-": 1, "*": 2, "/": 2, "%": 2, "^": 3}
+    _DUR_CTX_FUNCS = ("step", "range", "min_of", "max_of")
+
+    def parse_duration_expr(self, min_prec: int = 0, as_ms: bool = True):
+        left = self._dur_primary()
+        while True:
+            t = self.peek()
+            op = t.text if t.kind == "OP" else None
+            if op not in self._DUR_PRECEDENCE or self._DUR_PRECEDENCE[op] < min_prec:
+                break
+            # only continue when the operand is duration-shaped — keeps
+            # `offset 5m > 3` and `offset 5m + some_metric` unambiguous
+            if not self._dur_operand_follows(1):
+                break
+            self.next()
+            nxt = (
+                self._DUR_PRECEDENCE[op] if op == "^" else self._DUR_PRECEDENCE[op] + 1
+            )
+            right = self.parse_duration_expr(nxt, as_ms=False)
+            left = _dur_combine(op, left, right)
+        if not as_ms:
+            return left
+        return self._dur_to_ms(left)
+
+    def _dur_to_ms(self, v):
+        from prometheus_spark.parser.ast import DurationValue
+
+        if isinstance(v, DurationValue):
+            return v
+        return int(round(v * 1000))
+
+    def _dur_operand_follows(self, ahead: int) -> bool:
+        t = self.peek(ahead)
+        if t.kind in ("NUMBER", "DURATION"):
+            return True
+        if t.kind == "OP" and t.text in ("(", "-", "+"):
+            return True
+        return t.kind == "IDENT" and t.text.lower() in self._DUR_CTX_FUNCS
+
+    def parse_offset_duration(self):
+        sign = 1.0
+        if self.accept("OP", "-"):
+            sign = -1.0
+        else:
+            self.accept("OP", "+")
+        prim = self._dur_primary_nosign()
+        return self._dur_to_ms(_dur_combine("*", sign, prim))
+
+    def _dur_primary_nosign(self):
+        from prometheus_spark.parser.ast import DurationValue
+
+        if self.peek().kind == "OP" and self.peek().text == "(":
+            self.next()
+            v = self.parse_duration_expr(as_ms=False)
+            self.expect("OP", ")")
+            return v
+        t = self.peek()
+        if t.kind == "IDENT" and t.text.lower() in self._DUR_CTX_FUNCS:
+            return self._dur_primary()
+        t = self.next()
+        if t.kind in ("DURATION", "NUMBER"):
+            return parse_duration_ms(t.text) / 1000.0
+        raise ParseError(f"expected duration, got {t.text!r} at {t.pos}")
+
+    def _dur_primary(self):
+        from prometheus_spark.parser.ast import DurationValue
+
+        if self.accept("OP", "("):
+            v = self.parse_duration_expr(as_ms=False)
+            self.expect("OP", ")")
+            return v
+        if self.accept("OP", "-"):
+            # unary minus binds looser than ^ : -2^2 == -(2^2)
+            return _dur_combine("*", -1.0, self.parse_duration_expr(
+                self._DUR_PRECEDENCE["^"], as_ms=False
+            ))
+        if self.accept("OP", "+"):
+            return self.parse_duration_expr(self._DUR_PRECEDENCE["^"], as_ms=False)
+        t = self.peek()
+        if t.kind == "IDENT" and t.text.lower() in ("step", "range"):
+            self.next()
+            self.expect("OP", "(")
+            self.expect("OP", ")")
+            key = t.text.lower()
+            return DurationValue(lambda qc, k=key: qc[k])
+        if t.kind == "IDENT" and t.text.lower() in ("min_of", "max_of"):
+            self.next()
+            self.expect("OP", "(")
+            a = self.parse_duration_expr(as_ms=False)
+            self.expect("OP", ",")
+            b = self.parse_duration_expr(as_ms=False)
+            self.expect("OP", ")")
+            pick = min if t.text.lower() == "min_of" else max
+            return _dur_combine("minmax", a, b, pick)
+        t = self.next()
+        if t.kind in ("DURATION", "NUMBER"):
+            return parse_duration_ms(t.text) / 1000.0
+        raise ParseError(f"expected duration operand, got {t.text!r} at {t.pos}")
+
     def parse_range_suffix(self, e: Expr) -> Expr:
+        from prometheus_spark.parser.ast import DurationValue
+
         self.expect("OP", "[")
-        rng = self.parse_duration_token()
+        rng = self.parse_duration_expr()
+        if not isinstance(rng, DurationValue) and rng <= 0:
+            raise ParseError("duration must be greater than 0")
         if self.accept("OP", ":"):
             # subquery  expr[range:step]
             step = None
             if not (self.peek().kind == "OP" and self.peek().text == "]"):
-                step = self.parse_duration_token()
+                step = self.parse_duration_expr()
             self.expect("OP", "]")
             if e.value_type() not in (ValueType.VECTOR, ValueType.SCALAR):
                 raise ParseError("subquery is only allowed on instant vector")
@@ -345,6 +508,38 @@ class Parser:
             raise ParseError(f"expected matcher operator at {op_tok.pos}")
         val_tok = self.expect("STRING")
         return Matcher(lname, MatchType(op_tok.text), unquote(val_tok.text))
+
+
+def _dur_combine(op, left, right, pick=None):
+    """Combine duration operands; closes over DurationValue lazily."""
+    import math as _m
+
+    from prometheus_spark.parser.ast import DurationValue
+
+    def apply(a: float, b: float) -> float:
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            if b == 0:
+                raise ParseError("division by zero in duration expression")
+            return a / b
+        if op == "%":
+            return _m.fmod(a, b) if b != 0 else float("nan")
+        if op == "^":
+            return a**b
+        if op == "minmax":
+            return pick(a, b)
+        raise ParseError(f"bad duration operator {op}")
+
+    if isinstance(left, DurationValue) or isinstance(right, DurationValue):
+        lf = left.fn if isinstance(left, DurationValue) else (lambda qc, v=left: v)
+        rf = right.fn if isinstance(right, DurationValue) else (lambda qc, v=right: v)
+        return DurationValue(lambda qc: apply(lf(qc), rf(qc)))
+    return apply(left, right)
 
 
 def _number(text: str) -> float:

@@ -17,6 +17,8 @@ from pyspark.sql import types as T
 from prometheus_spark.model.labels import sig_for
 from prometheus_spark.model.schema import METRIC_NAME_LABEL
 
+from prometheus_spark.model.schema import HISTOGRAM_TYPE
+
 _ROW_SCHEMA = T.StructType(
     [
         T.StructField("sig", T.StringType(), False),
@@ -24,6 +26,7 @@ _ROW_SCHEMA = T.StructType(
         T.StructField("labels", T.MapType(T.StringType(), T.StringType()), False),
         T.StructField("t", T.LongType(), False),
         T.StructField("value", T.DoubleType(), True),
+        T.StructField("hist", HISTOGRAM_TYPE, True),
         T.StructField("stale", T.BooleanType(), False),
     ]
 )
@@ -36,12 +39,34 @@ def samples_from_rows(
 ) -> DataFrame:
     """Build a samples frame from (labels, t_ms, value) tuples — the test
     fixture path (mirrors promqltest ``load``)."""
-    data = [
-        (sig_for(labels), labels.get(METRIC_NAME_LABEL), dict(labels), int(t), float(v), False)
-        for labels, t, v in rows
-    ]
+    def hist_row(h):
+        if h is None:
+            return None
+        return (
+            int(h["schema"]), float(h["zero_threshold"]), float(h["zero_count"]),
+            float(h["count"]), float(h["sum"]),
+            [(int(s["offset"]), int(s["length"])) for s in h["pos_spans"]],
+            [float(x) for x in h["pos_buckets"]],
+            [(int(s["offset"]), int(s["length"])) for s in h["neg_spans"]],
+            [float(x) for x in h["neg_buckets"]],
+            [float(x) for x in h["custom_values"]],
+            int(h["counter_reset_hint"]),
+        )
+
+    data = []
+    for labels, t, v in rows:
+        if isinstance(v, dict):  # native histogram sample
+            data.append(
+                (sig_for(labels), labels.get(METRIC_NAME_LABEL), dict(labels),
+                 int(t), None, hist_row(v), False)
+            )
+        else:
+            data.append(
+                (sig_for(labels), labels.get(METRIC_NAME_LABEL), dict(labels),
+                 int(t), float(v), None, False)
+            )
     data += [
-        (sig_for(labels), labels.get(METRIC_NAME_LABEL), dict(labels), int(t), None, True)
+        (sig_for(labels), labels.get(METRIC_NAME_LABEL), dict(labels), int(t), None, None, True)
         for labels, t in stale_rows
     ]
     return spark.createDataFrame(data, _ROW_SCHEMA)

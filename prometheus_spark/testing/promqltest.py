@@ -38,6 +38,7 @@ class LoadCmd:
     interval_ms: int
     series: list[Series]
     dropped_names: list[str] = field(default_factory=list)
+    with_nhcb: bool = False
 
 
 @dataclass
@@ -94,13 +95,45 @@ def _num(s: str) -> float:
     return float(s)
 
 
-def expand_points(spec: str) -> list:
-    """``0+10x10`` → values; ``_`` gaps → None; ``stale`` markers.
+def _point_tokens(spec: str) -> list[str]:
+    """Split a points spec on whitespace, keeping ``{{...}}`` histogram
+    literals (which contain spaces) together with any ``xN`` suffix."""
+    out, i, n = [], 0, len(spec)
+    while i < n:
+        if spec[i].isspace():
+            i += 1
+            continue
+        if spec.startswith("{{", i):
+            end = spec.find("}}", i)
+            if end == -1:
+                raise ValueError(f"unterminated histogram literal: {spec[i:]}")
+            end += 2
+            while end < n and not spec[end].isspace():
+                end += 1  # attach xN suffix
+            out.append(spec[i:end])
+            i = end
+            continue
+        j = i
+        while j < n and not spec[j].isspace():
+            j += 1
+        out.append(spec[i:j])
+        i = j
+    return out
 
-    Returns list of (float | None | 'stale'), one slot per interval tick.
+
+_HIST_REPEAT_RE = re.compile(r"^(\{\{.*\}\})(?:x(\d+))?$", re.DOTALL)
+
+
+def expand_points(spec: str) -> list:
+    """``0+10x10`` → values; ``_`` gaps → None; ``stale`` markers;
+    ``{{...}}xN`` native-histogram literals (dicts).
+
+    Returns list of (float | None | 'stale' | dict), one slot per tick.
     """
+    from prometheus_spark.testing.histogram_literal import parse_histogram_literal
+
     out = []
-    for tok in spec.split():
+    for tok in _point_tokens(spec):
         if tok == "_":
             out.append(None)
             continue
@@ -112,7 +145,13 @@ def expand_points(spec: str) -> list:
             out.extend([None] * int(m.group(1)))
             continue
         if tok.startswith("{{"):
-            raise SkipCommand("native histogram literals not supported yet")
+            hm = _HIST_REPEAT_RE.match(tok)
+            if not hm:
+                raise SkipCommand(f"unsupported histogram expansion: {tok[:40]}")
+            h = parse_histogram_literal(hm.group(1))
+            reps = int(hm.group(2)) + 1 if hm.group(2) else 1
+            out.extend([dict(h) for _ in range(reps)])
+            continue
         m = _EXPAND_RE.match(tok)
         if m:
             a = _num(m.group(1))
@@ -160,7 +199,7 @@ def parse_test_text(text: str) -> list:
         if stripped.startswith("load"):
             parts = stripped.split()
             interval = parse_duration_ms(parts[1])
-            with_nhcb = len(parts) > 2 and parts[2] == "with_nhcb"
+            with_nhcb = parts[0] == "load_with_nhcb"
             series = []
             dropped: list[str] = []
             i += 1
@@ -177,7 +216,7 @@ def parse_test_text(text: str) -> list:
                     name = re.match(r"[a-zA-Z_:][a-zA-Z0-9_:]*", body)
                     if name:
                         dropped.append(name.group())
-            cmds.append(LoadCmd(interval, series, dropped))
+            cmds.append(LoadCmd(interval, series, dropped, with_nhcb))
             continue
         if stripped == "clear":
             cmds.append(ClearCmd())
@@ -289,6 +328,48 @@ def _parse_series_line(body: str) -> Series:
     return Series(labels, list(enumerate(pts)))
 
 
+def _synthesize_nhcb(cmd: LoadCmd) -> list:
+    """load_with_nhcb: classic `_bucket` series additionally load as native
+    histograms with custom buckets (schema −53) under the base name."""
+    from prometheus_spark.testing.histogram_literal import nhcb_from_buckets
+
+    groups: dict = {}
+    sums: dict = {}
+    counts: dict = {}
+    for s in cmd.series:
+        name = s.labels.get("__name__", "")
+        rest = tuple(sorted((k, v) for k, v in s.labels.items() if k not in ("__name__", "le")))
+        if name.endswith("_bucket") and "le" in s.labels:
+            base = name[: -len("_bucket")]
+            le = s.labels["le"]
+            try:
+                lev = float("inf") if le in ("+Inf", "inf") else float(le)
+            except ValueError:
+                continue
+            for idx, v in s.points:
+                if v is None or isinstance(v, (str, dict)):
+                    continue
+                groups.setdefault((base, rest), {}).setdefault(idx, []).append((lev, float(v)))
+        elif name.endswith("_sum"):
+            for idx, v in s.points:
+                if isinstance(v, float):
+                    sums.setdefault((name[:-4], rest), {})[idx] = v
+        elif name.endswith("_count"):
+            for idx, v in s.points:
+                if isinstance(v, float):
+                    counts.setdefault((name[:-6], rest), {})[idx] = v
+    out = []
+    for (base, rest), by_idx in groups.items():
+        for idx, le_counts in by_idx.items():
+            total = counts.get((base, rest), {}).get(idx)
+            ssum = sums.get((base, rest), {}).get(idx, 0.0)
+            h = nhcb_from_buckets(le_counts, total, ssum)
+            labels = dict(rest)
+            labels["__name__"] = base
+            out.append((labels, idx * cmd.interval_ms, h))
+    return out
+
+
 @dataclass
 class TestStats:
     total: int = 0
@@ -341,10 +422,12 @@ def run_test_text(
                     t = idx * cmd.interval_ms
                     if v is None:
                         continue
-                    if v == "stale":
+                    if isinstance(v, str) and v == "stale":
                         stale_rows.append((s.labels, t))
                     else:
                         rows.append((s.labels, t, v))
+            if cmd.with_nhcb:
+                rows.extend(_synthesize_nhcb(cmd))
             dirty = True
             continue
         # EvalCmd
@@ -400,7 +483,7 @@ def _run_eval(engine, cmd: EvalCmd) -> None:
         exp_labels[key] = s.labels
         slots = expected.setdefault(key, {})
         for idx, v in s.points:
-            if v is None or v == "stale":
+            if v is None or (isinstance(v, str) and v == "stale"):
                 continue
             if cmd.kind == "instant":
                 slots[0] = v
@@ -408,11 +491,15 @@ def _run_eval(engine, cmd: EvalCmd) -> None:
                 slots[idx] = v
 
     got: dict[tuple, dict[int, float]] = {}
+    has_hist = "hist" in result.columns
     for r in got_rows:
         labels = dict(r["labels"])
         key = tuple(sorted(labels.items()))
         step_idx = (r["t"] - cmd.start_ms) // cmd.step_ms
-        got.setdefault(key, {})[step_idx] = r["value"]
+        val = r["value"]
+        if val is None and has_hist and r["hist"] is not None:
+            val = r["hist"].asDict(recursive=True)
+        got.setdefault(key, {})[step_idx] = val
 
     def fmt(key):
         return "{" + ",".join(f'{k}="{v}"' for k, v in key) + "}"
@@ -430,20 +517,50 @@ def _run_eval(engine, cmd: EvalCmd) -> None:
         if cmd.kind == "instant":
             want = slots.get(0)
             have = gslots.get(0)
-            if not _almost_equal(want, have):
+            if not _values_equal(want, have):
                 raise AssertionError(f"{fmt(key)}: want {want}, got {have}")
         else:
             for idx, want in slots.items():
                 have = gslots.get(idx)
                 if have is None:
                     raise AssertionError(f"{fmt(key)} step {idx}: want {want}, got no sample")
-                if not _almost_equal(want, have):
+                if not _values_equal(want, have):
                     raise AssertionError(f"{fmt(key)} step {idx}: want {want}, got {have}")
             for idx in gslots:
                 if idx not in slots:
                     raise AssertionError(
                         f"{fmt(key)} step {idx}: unexpected sample {gslots[idx]}"
                     )
+
+
+def _hist_equal(want: dict, have) -> bool:
+    """Compare an expected histogram literal with a result histogram;
+    counter_reset_hint is only checked when explicitly specified (the
+    parser can't distinguish, so it is never checked)."""
+    if not isinstance(have, dict):
+        return False
+    for k in ("schema",):
+        if int(want.get(k) or 0) != int(have.get(k) or 0):
+            return False
+    for k in ("count", "sum", "zero_count", "zero_threshold"):
+        if not _almost_equal(float(want.get(k) or 0.0), float(have.get(k) or 0.0)):
+            return False
+    for k in ("pos_buckets", "neg_buckets", "custom_values"):
+        wa, ha = list(want.get(k) or []), list(have.get(k) or [])
+        if len(wa) != len(ha) or any(not _almost_equal(x, y) for x, y in zip(wa, ha)):
+            return False
+    for k in ("pos_spans", "neg_spans"):
+        wa = [(int(s["offset"]), int(s["length"])) for s in (want.get(k) or [])]
+        ha = [(int(s["offset"]), int(s["length"])) for s in (have.get(k) or [])]
+        if wa != ha:
+            return False
+    return True
+
+
+def _values_equal(want, have) -> bool:
+    if isinstance(want, dict) or isinstance(have, dict):
+        return isinstance(want, dict) and _hist_equal(want, have)
+    return _almost_equal(want, have)
 
 
 def _almost_equal(a, b) -> bool:
