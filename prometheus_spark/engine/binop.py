@@ -126,8 +126,11 @@ def scalar_scalar(op: str, l: float, r: float) -> float:
 def vector_scalar(
     ctx: EvalContext, node: BinaryExpr, vf: VectorFrame, scalar, vector_on_left: bool
 ) -> VectorFrame:
-    """vector ⊗ scalar — broadcast (engine.go:3404 ``VectorscalarBinop``)."""
-    df = vf.df
+    """vector ⊗ scalar — broadcast (engine.go:3404 ``VectorscalarBinop``).
+
+    Histogram samples don't combine with scalars (reference annotates and
+    skips; histogram×scalar arithmetic lands with histogram arithmetic)."""
+    df = vf.df.filter(F.col("value").isNotNull())
     if isinstance(scalar, ConstScalar):
         s = F.lit(float(scalar.value))
     else:  # per-step scalar — broadcast join on t
@@ -221,12 +224,18 @@ def vector_vector(
     # The "one" side must be unique per (msig, t): rhs for one-to-one and
     # group_left, lhs for group_right (engine.go:3216-3229).
     one_is_rhs = card != MatchCardinality.ONE_TO_MANY
-    many_df = lhs.df if one_is_rhs else rhs.df
-    one_df = rhs.df if one_is_rhs else lhs.df
+    ldf, rdf = _align_hist(lhs.df, rhs.df)
+    has_hist = "hist" in ldf.columns
+    many_df = ldf if one_is_rhs else rdf
+    one_df = rdf if one_is_rhs else ldf
 
     many = _with_match_sig(many_df, vm)
     one = _with_match_sig(one_df, vm).select(
-        "msig", "t", F.col("value").alias("__ov"), F.col("labels").alias("__olabels")
+        "msig",
+        "t",
+        F.col("value").alias("__ov"),
+        F.col("labels").alias("__olabels"),
+        *([F.col("hist").alias("__ohist")] if has_hist else []),
     )
 
     # Duplicate signatures on the "one" side must error, not dedupe.
@@ -301,17 +310,39 @@ def vector_vector(
     l_val = F.col("value") if one_is_rhs else F.col("__ov")
     r_val = F.col("__ov") if one_is_rhs else F.col("value")
 
+    # histogram operands: == / != compare the full histogram structs;
+    # other comparisons and float arithmetic drop histogram rows (the
+    # reference annotates and skips them)
+    l_hist = (F.col("hist") if one_is_rhs else F.col("__ohist")) if has_hist else F.lit(None)
+    r_hist = (F.col("__ohist") if one_is_rhs else F.col("hist")) if has_hist else F.lit(None)
+    both_float = l_val.isNotNull() & r_val.isNotNull()
+    both_hist = (l_hist.isNotNull() & r_hist.isNotNull()) if has_hist else F.lit(False)
+
     if node.op in COMPARISON_OPS:
         labels = _result_labels_expr(vm, drop_name=node.return_bool)
-        pred = compare_expr(node.op, l_val, r_val)
+        pred_f = compare_expr(node.op, l_val, r_val)
+        if has_hist and node.op in ("==", "!="):
+            pred_h = l_hist == r_hist if node.op == "==" else ~(l_hist == r_hist)
+            supported = both_float | both_hist
+            pred = F.when(both_hist, pred_h).otherwise(both_float & pred_f)
+        else:
+            supported = both_float
+            pred = both_float & pred_f
         if node.return_bool:
+            joined = joined.filter(supported | (guard != 0.0))
             value = (F.when(pred, 1.0).otherwise(0.0) + guard).alias("value")
         else:
-            joined = joined.filter(pred | (guard != 0.0))
-            value = (l_val + guard).alias("value")  # filter keeps the lhs sample value
+            joined = joined.filter((supported & pred) | (guard != 0.0))
+            value = (l_val + guard).alias("value")  # filter keeps the lhs sample
     else:
         labels = _result_labels_expr(vm, drop_name=True)
+        joined = joined.filter(both_float | (guard != 0.0))
         value = (arith_expr(node.op, l_val, r_val).cast("double") + guard).alias("value")
+
+    hist_out = []
+    if has_hist and node.op in COMPARISON_OPS and not node.return_bool:
+        # filtering comparisons return the lhs sample, histogram included
+        hist_out = [(F.col("hist") if one_is_rhs else F.col("__ohist")).alias("hist")]
 
     out = joined.select(
         sig_expr(labels).alias("sig"),
@@ -319,6 +350,7 @@ def vector_vector(
         "t",
         F.col("t").alias("sample_t"),
         value,
+        *hist_out,
     )
     return VectorFrame(out)
 

@@ -43,12 +43,14 @@ class FloatHist:
         return self.schema == CUSTOM_BUCKETS_SCHEMA
 
     def _indexes(self, spans) -> list[int]:
+        # reference wire format: a span's offset positions its first bucket
+        # index directly (first span absolute, later spans relative gaps)
         out, idx = [], 0
         for off, length in spans:
             idx += off
             for _ in range(int(length)):
-                idx += 1
                 out.append(idx)
+                idx += 1
         return out
 
     def _exp_bounds(self, idx: int) -> tuple[float, float]:
@@ -57,10 +59,11 @@ class FloatHist:
         return 2.0 ** (frac * (idx - 1)), 2.0 ** (frac * idx)
 
     def _custom_bounds(self, idx: int) -> tuple[float, float]:
-        # custom buckets: idx 1 → (-Inf, cv[0]]; idx i → (cv[i-2], cv[i-1]]
+        # custom buckets (0-based): idx 0 → (-Inf, cv[0]];
+        # idx i → (cv[i-1], cv[i]]; past the last bound → (cv[-1], +Inf)
         cv = self.custom_values
-        lower = -math.inf if idx <= 1 else cv[idx - 2]
-        upper = cv[idx - 1] if idx - 1 < len(cv) else math.inf
+        lower = -math.inf if idx <= 0 else cv[idx - 1]
+        upper = cv[idx] if idx < len(cv) else math.inf
         return lower, upper
 
     def all_buckets(self) -> list[tuple[float, float, float]]:

@@ -50,13 +50,10 @@ def parse_histogram_literal(text: str) -> dict:
     neg_buckets = fields.get("n_buckets", [])
     pos_offset = int(fields.get("offset", 0))
     neg_offset = int(fields.get("n_offset", 0))
-    # one contiguous span starting at offset; span offset semantics:
-    # first bucket index = span.offset + 1 after the iterator's idx+=off
-    # convention in model.histogram._indexes (idx starts at 0, +off, +1
-    # per bucket ⇒ first index = off + 1).  The literal's `offset` is the
-    # index of the first bucket, so span offset = offset - 1.
-    pos_spans = [(pos_offset - 1, len(pos_buckets))] if pos_buckets else []
-    neg_spans = [(neg_offset - 1, len(neg_buckets))] if neg_buckets else []
+    # one contiguous span; the literal's `offset` is the index of the
+    # first bucket, which is exactly the reference's span-offset meaning
+    pos_spans = [(pos_offset, len(pos_buckets))] if pos_buckets else []
+    neg_spans = [(neg_offset, len(neg_buckets))] if neg_buckets else []
 
     return {
         "schema": int(fields.get("schema", 0)),

@@ -21,7 +21,7 @@ CORPUS = [
     # allowed>0 = known gaps, all histogram-arithmetic or exotic-format
     # related (sum/rate over native histograms land next round)
     ("aggregators.test", None, 5),  # count_values histogram string format
-    ("operators.test", None, 30),  # histogram comparisons pending
+    ("operators.test", None, 2),  # NHCB equality corner pending
     ("selectors.test", None, 0),
     ("staleness.test", None, 0),
     ("collision.test", None, 0),
