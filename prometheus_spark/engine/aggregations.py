@@ -41,11 +41,13 @@ def _regroup(vf: VectorFrame, node: AggregateExpr) -> DataFrame:
     by = node.grouping if (node.has_grouping and not node.without) else None
     without = node.grouping if (node.has_grouping and node.without) else None
     glabels = group_labels_expr("labels", by, without)
+    hist_cols = ["hist"] if "hist" in vf.df.columns else []
     return vf.df.select(
         sig_expr(glabels).alias("sig"),
         glabels.alias("labels"),
         "t",
         "value",
+        *hist_cols,
     )
 
 
@@ -59,7 +61,26 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
 
     df = _regroup(vf, node)
     v = F.col("value")
-    if op not in ("count", "group"):
+    hist_part = None
+    if op in ("sum", "avg") and "hist" in df.columns:
+        # sum/avg aggregate histograms too (engine.go:3716 KahanAdd);
+        # groups mixing float and histogram samples are dropped with a
+        # warning (engine.go:3854-3860), enforced via per-group kind flags
+        from pyspark.sql.window import Window as W
+
+        from prometheus_spark.engine import hist_arith
+
+        wk = W.partitionBy("sig", "t")
+        flagged = df.withColumn(
+            "__has_f", F.max(v.isNotNull().cast("int")).over(wk)
+        ).withColumn("__has_h", F.max(F.col("hist").isNotNull().cast("int")).over(wk))
+        pure = flagged.filter(~((F.col("__has_f") == 1) & (F.col("__has_h") == 1)))
+        hist_rows = pure.filter(F.col("hist").isNotNull()).select(
+            "sig", "labels", "t", "hist"
+        )
+        hist_part = hist_arith.group_sum(ctx, hist_rows, avg=op == "avg")
+        df = pure.filter(v.isNotNull()).select("sig", "labels", "t", "value")
+    elif op not in ("count", "group"):
         # float aggregations ignore histogram samples (value NULL) — the
         # reference warns & drops them; count/group see every series
         df = df.filter(v.isNotNull())
@@ -96,9 +117,14 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
     out = df.groupBy("sig", "t").agg(
         F.first("labels").alias("labels"), agg.cast("double").alias("value")
     )
-    return VectorFrame(
-        out.select("sig", "labels", "t", F.col("t").alias("sample_t"), "value")
-    )
+    result = out.select("sig", "labels", "t", F.col("t").alias("sample_t"), "value")
+    if hist_part is not None:
+        from prometheus_spark.model.schema import HISTOGRAM_TYPE
+
+        result = result.withColumn(
+            "hist", F.lit(None).cast(HISTOGRAM_TYPE)
+        ).unionByName(hist_part)
+    return VectorFrame(result)
 
 
 def _kahan_sum_agg(v: Column) -> Column:

@@ -128,9 +128,14 @@ def vector_scalar(
 ) -> VectorFrame:
     """vector ⊗ scalar — broadcast (engine.go:3404 ``VectorscalarBinop``).
 
-    Histogram samples don't combine with scalars (reference annotates and
-    skips; histogram×scalar arithmetic lands with histogram arithmetic)."""
-    df = vf.df.filter(F.col("value").isNotNull())
+    Histogram samples combine with scalars only via ``*`` (either side)
+    and ``/`` (histogram on the left) — vectorElemBinop mixed cases;
+    everything else drops them with an annotation in the reference."""
+    has_hist = "hist" in vf.df.columns
+    hist_mul = has_hist and (
+        node.op == "*" or (node.op == "/" and vector_on_left)
+    ) and node.op not in COMPARISON_OPS
+    df = vf.df if hist_mul else vf.df.filter(F.col("value").isNotNull())
     if isinstance(scalar, ConstScalar):
         s = F.lit(float(scalar.value))
     else:  # per-step scalar — broadcast join on t
@@ -150,12 +155,25 @@ def vector_scalar(
         else:
             out = df.filter(pred).select("sig", "labels", "t", "sample_t", "value")
         return VectorFrame(out)
+    hist_cols = []
+    if hist_mul:
+        hist_cols = [
+            F.when(
+                F.col("hist").isNotNull(),
+                scale_hist_expr(F.col("hist"), s, is_div=node.op == "/"),
+            ).alias("hist")
+        ]
     out = df.select(
         sig_expr(drop_name_expr("labels")).alias("sig"),
         drop_name_expr("labels").alias("labels"),
         "t",
         "sample_t",
-        arith_expr(node.op, l, r).cast("double").alias("value"),
+        F.when(F.col("value").isNotNull(), arith_expr(node.op, l, r))
+        .cast("double")
+        .alias("value")
+        if hist_mul
+        else arith_expr(node.op, l, r).cast("double").alias("value"),
+        *hist_cols,
     )
     return VectorFrame(out)
 
@@ -176,6 +194,39 @@ def _match_labels_map(labels_col: Column, on, ignoring) -> Column:
     dropped = list(ignoring or []) + [METRIC_NAME_LABEL]
     keys = F.array(*[F.lit(k) for k in dropped])
     return F.map_filter(labels_col, lambda k, _: ~F.array_contains(keys, k))
+
+
+def scale_hist_expr(h: Column, factor: Column, is_div: bool) -> Column:
+    """Histogram × scalar, fully JVM-side (float_histogram.go:291 Mul /
+    :310 Div): scale zero_count/count/sum and every bucket; factor < 0 ⇒
+    gauge hint; factor == 0 ⇒ buckets removed (Mul(0)+Compact ≡ Div(0))."""
+    from prometheus_spark.model.schema import HISTOGRAM_TYPE
+
+    op = "/" if is_div else "*"
+    num = lambda c: arith_expr(op, c, factor)
+    zero_f = factor == 0.0
+    empty_spans = F.array().cast("array<struct<offset:int,length:int>>")
+    empty_bkts = F.array().cast("array<double>")
+    return F.struct(
+        h["schema"].alias("schema"),
+        h["zero_threshold"].alias("zero_threshold"),
+        num(h["zero_count"]).alias("zero_count"),
+        num(h["count"]).alias("count"),
+        num(h["sum"]).alias("sum"),
+        F.when(zero_f, empty_spans).otherwise(h["pos_spans"]).alias("pos_spans"),
+        F.when(zero_f, empty_bkts)
+        .otherwise(F.transform(h["pos_buckets"], lambda b: num(b)))
+        .alias("pos_buckets"),
+        F.when(zero_f, empty_spans).otherwise(h["neg_spans"]).alias("neg_spans"),
+        F.when(zero_f, empty_bkts)
+        .otherwise(F.transform(h["neg_buckets"], lambda b: num(b)))
+        .alias("neg_buckets"),
+        h["custom_values"].alias("custom_values"),
+        F.when(factor < 0, F.lit(3))
+        .otherwise(h["counter_reset_hint"])
+        .cast("tinyint")
+        .alias("counter_reset_hint"),
+    ).cast(HISTOGRAM_TYPE)
 
 
 def _align_hist(l: DataFrame, r: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -336,6 +387,11 @@ def vector_vector(
             value = (l_val + guard).alias("value")  # filter keeps the lhs sample
     else:
         labels = _result_labels_expr(vm, drop_name=True)
+        if has_hist and node.op in ("+", "-", "*", "/"):
+            return _arith_with_hist(
+                ctx, node, joined, labels, guard,
+                l_val, r_val, l_hist, r_hist, both_float, both_hist,
+            )
         joined = joined.filter(both_float | (guard != 0.0))
         value = (arith_expr(node.op, l_val, r_val).cast("double") + guard).alias("value")
 
@@ -352,6 +408,91 @@ def vector_vector(
         value,
         *hist_out,
     )
+    return VectorFrame(out)
+
+
+def _arith_with_hist(
+    ctx: EvalContext,
+    node: BinaryExpr,
+    joined: DataFrame,
+    labels: Column,
+    guard: Column,
+    l_val: Column,
+    r_val: Column,
+    l_hist: Column,
+    r_hist: Column,
+    both_float: Column,
+    both_hist: Column,
+) -> VectorFrame:
+    """Vector arithmetic with histogram operands (vectorElemBinop mixed
+    cases): float∘float JVM; hist×float / hist÷float scale JVM-side;
+    hist±hist runs the span-merge algebra in Python; every other mix is
+    dropped (the reference annotates and skips)."""
+    from prometheus_spark.engine import hist_arith
+    from prometheus_spark.model.schema import HISTOGRAM_TYPE
+
+    base = joined.select(
+        labels.alias("__rlabels"),
+        "t",
+        l_val.alias("__lv"),
+        r_val.alias("__rv"),
+        l_hist.alias("__lh"),
+        r_hist.alias("__rh"),
+        guard.alias("__g"),
+    )
+    bf = F.col("__lv").isNotNull() & F.col("__rv").isNotNull()
+    out_cols = lambda value, hist: [
+        sig_expr(F.col("__rlabels")).alias("sig"),
+        F.col("__rlabels").alias("labels"),
+        F.col("t"),
+        F.col("t").alias("sample_t"),
+        value.cast("double").alias("value"),
+        hist.alias("hist"),
+    ]
+    null_hist = F.lit(None).cast(HISTOGRAM_TYPE)
+    parts = [
+        base.filter(bf | (F.col("__g") != 0.0)).select(
+            *out_cols(
+                arith_expr(node.op, F.col("__lv"), F.col("__rv")) + F.col("__g"),
+                null_hist,
+            )
+        )
+    ]
+    null_val = F.lit(None).cast("double")
+    if node.op in ("*", "/"):
+        lh_scale = base.filter(
+            F.col("__lh").isNotNull() & F.col("__rv").isNotNull()
+        ).select(
+            *out_cols(
+                null_val,
+                scale_hist_expr(F.col("__lh"), F.col("__rv"), is_div=node.op == "/"),
+            )
+        )
+        parts.append(lh_scale)
+        if node.op == "*":
+            parts.append(
+                base.filter(
+                    F.col("__rh").isNotNull() & F.col("__lv").isNotNull()
+                ).select(
+                    *out_cols(
+                        null_val,
+                        scale_hist_expr(F.col("__rh"), F.col("__lv"), is_div=False),
+                    )
+                )
+            )
+    else:  # + / -
+        pairs = base.filter(
+            F.col("__lh").isNotNull()
+            & F.col("__rh").isNotNull()
+            # reference __g so the duplicate-series guard still evaluates
+            & (F.col("__g") == 0.0)
+        ).select(F.col("__rlabels").alias("labels"), "t", "__lh", "__rh")
+        parts.append(
+            hist_arith.binop_add_sub(ctx, pairs, sub=node.op == "-")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return VectorFrame(out)
 
 

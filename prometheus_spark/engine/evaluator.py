@@ -310,9 +310,13 @@ class Evaluator:
             dst, sep = self._string(node.args[1]), self._string(node.args[2])
             srcs = [self._string(a) for a in node.args[3:]]
             return self._guarded(FN.eval_label_join(self._vector(node.args[0]), dst, sep, srcs))
-        if fn in ("sort", "sort_desc", "sort_by_label", "sort_by_label_desc"):
-            # presentation-order only (functions.go:1046-1090); ordering is
-            # applied by the result shaper, semantics are identity
+        if fn in ("sort", "sort_desc"):
+            # presentation-order only (functions.go:1046-1055); ordering is
+            # applied by the result shaper; histogram samples are dropped
+            vf = self._vector(node.args[0])
+            return VectorFrame(vf.df.filter(F.col("value").isNotNull()))
+        if fn in ("sort_by_label", "sort_by_label_desc"):
+            # lexicographic label order — applied by the result shaper
             return self._vector(node.args[0])
         if fn in ("histogram_count", "histogram_sum", "histogram_avg",
                   "histogram_stddev", "histogram_stdvar"):

@@ -74,7 +74,10 @@ def eval_simple_math(func: str, vf: VectorFrame) -> VectorFrame:
     v = F.col("value")
     out = fn(v)
     if func in ("ceil", "floor"):
-        out = out.cast("double")
+        # Spark ceil/floor return LONG — ±Inf/NaN must pass through
+        out = F.when(F.isnan(v) | (F.abs(v) == F.lit(float("inf"))), v).otherwise(
+            out.cast("double")
+        )
     if func in ("ln",):
         # Go math.Log: ln(0) = -Inf, ln(<0) = NaN; Spark log(x≤0) = NULL
         out = (
@@ -122,13 +125,16 @@ def eval_clamp(vf: VectorFrame, lo, hi) -> VectorFrame:
     if isinstance(lo, float) and isinstance(hi, float) and lo > hi:
         return VectorFrame(df.filter(F.lit(False)))
     v = F.col("value")
-    out = F.when(F.isnan(v), v).otherwise(F.least(F.greatest(v, l), h))
+    # Go math.Max/Min propagate NaN — a NaN bound makes every output NaN
+    out = F.when(F.isnan(v) | F.isnan(l) | F.isnan(h), _NAN()).otherwise(
+        F.least(F.greatest(v, l), h)
+    )
     return _project(vf, out)
 
 
 def eval_clamp_one(vf: VectorFrame, bound: float, is_max: bool) -> VectorFrame:
     v = F.col("value")
-    out = F.when(F.isnan(v), v).otherwise(
+    out = F.when(F.isnan(v) | F.isnan(F.lit(bound)), _NAN()).otherwise(
         F.least(v, F.lit(bound)) if is_max else F.greatest(v, F.lit(bound))
     )
     return _project(vf, out)
@@ -168,9 +174,11 @@ def eval_timestamp(vf: VectorFrame) -> VectorFrame:
 
 
 def eval_scalar(ctx: EvalContext, vf: VectorFrame) -> ScalarFrame:
-    """scalar(v): the single element's value, else NaN (functions.go:1174)."""
+    """scalar(v): the single *float* element's value, else NaN
+    (functions.go:1174 — histogram samples don't count)."""
     per_step = vf.df.groupBy("t").agg(
-        F.count("*").alias("n"), F.first("value").alias("v")
+        F.count("value").alias("n"),  # non-null = float samples only
+        F.first("value", ignorenulls=True).alias("v"),
     )
     out = (
         ctx.grid.join(per_step, "t", "left")

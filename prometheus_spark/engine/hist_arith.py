@@ -1,0 +1,320 @@
+"""Native-histogram arithmetic over vector frames — the Python↔JVM bridge.
+
+Histogram span-merge algebra (reference: model/histogram/float_histogram.go
+Add/Sub/Compact/DetectReset; promql/functions.go:640 ``histogramRate``) is
+irreducibly per-sample sequential, so it runs in Arrow-batched pandas UDFs
+(``applyInPandas`` per (sig, t) group / ``mapInPandas`` per joined pair).
+Histogram samples are a small fraction of any real workload; the float hot
+path never enters Python.
+
+Arrow marshalling rules (hard-won):
+- maps can't cross pandas→Arrow: labels ship as parallel key/value arrays
+  and the struct is assembled JVM-side;
+- list columns must be ``dtype=object`` and every batch must yield a
+  correctly-shaped DataFrame even when empty.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from prometheus_spark.engine.context import EvalContext
+from prometheus_spark.model.labels import drop_name_expr, sig_expr
+from prometheus_spark.model.schema import HISTOGRAM_TYPE
+
+_FLAT_FIELDS = [
+    T.StructField("label_keys", T.ArrayType(T.StringType())),
+    T.StructField("label_values", T.ArrayType(T.StringType())),
+    T.StructField("t", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("has_hist", T.BooleanType()),
+    T.StructField("h_schema", T.IntegerType()),
+    T.StructField("h_zt", T.DoubleType()),
+    T.StructField("h_zc", T.DoubleType()),
+    T.StructField("h_count", T.DoubleType()),
+    T.StructField("h_sum", T.DoubleType()),
+    T.StructField("h_pos_off", T.ArrayType(T.IntegerType())),
+    T.StructField("h_pos_len", T.ArrayType(T.IntegerType())),
+    T.StructField("h_pos_bkt", T.ArrayType(T.DoubleType())),
+    T.StructField("h_neg_off", T.ArrayType(T.IntegerType())),
+    T.StructField("h_neg_len", T.ArrayType(T.IntegerType())),
+    T.StructField("h_neg_bkt", T.ArrayType(T.DoubleType())),
+    T.StructField("h_custom", T.ArrayType(T.DoubleType())),
+    T.StructField("h_hint", T.IntegerType()),
+]
+FLAT_SCHEMA = T.StructType(_FLAT_FIELDS)
+
+_EMPTY = {
+    "label_keys": [], "label_values": [], "t": [], "value": [], "has_hist": [],
+    "h_schema": [], "h_zt": [], "h_zc": [], "h_count": [], "h_sum": [],
+    "h_pos_off": [], "h_pos_len": [], "h_pos_bkt": [],
+    "h_neg_off": [], "h_neg_len": [], "h_neg_bkt": [],
+    "h_custom": [], "h_hint": [],
+}
+
+
+def _emit_pdf(rows: dict):
+    """Build a correctly-typed pandas DataFrame from parallel lists."""
+    import pandas as pd
+
+    object_cols = {
+        "label_keys", "label_values", "h_pos_off", "h_pos_len", "h_pos_bkt",
+        "h_neg_off", "h_neg_len", "h_neg_bkt", "h_custom",
+    }
+    data = {}
+    for f in _FLAT_FIELDS:
+        col = rows[f.name]
+        if f.name in object_cols:
+            data[f.name] = pd.Series(col, dtype=object)
+        elif f.name == "t":
+            data[f.name] = pd.Series(col, dtype="int64")
+        elif f.name == "has_hist":
+            data[f.name] = pd.Series(col, dtype=bool)
+        else:
+            data[f.name] = pd.Series(col, dtype=object)  # nullable numerics
+    return pd.DataFrame(data)
+
+
+def _append_row(rows: dict, labels: dict, t: int, value, fh) -> None:
+    rows["label_keys"].append(list(labels.keys()))
+    rows["label_values"].append(list(labels.values()))
+    rows["t"].append(int(t))
+    rows["value"].append(value)
+    if fh is None:
+        rows["has_hist"].append(False)
+        for k in ("h_schema", "h_zt", "h_zc", "h_count", "h_sum", "h_hint"):
+            rows[k].append(None)
+        for k in ("h_pos_off", "h_pos_len", "h_pos_bkt",
+                  "h_neg_off", "h_neg_len", "h_neg_bkt", "h_custom"):
+            rows[k].append(None)
+        return
+    rows["has_hist"].append(True)
+    rows["h_schema"].append(int(fh.schema))
+    rows["h_zt"].append(float(fh.zero_threshold))
+    rows["h_zc"].append(float(fh.zero_count))
+    rows["h_count"].append(float(fh.count))
+    rows["h_sum"].append(float(fh.sum))
+    rows["h_pos_off"].append([int(o) for o, _ in fh.pos_spans])
+    rows["h_pos_len"].append([int(n) for _, n in fh.pos_spans])
+    rows["h_pos_bkt"].append([float(b) for b in fh.pos_buckets])
+    rows["h_neg_off"].append([int(o) for o, _ in fh.neg_spans])
+    rows["h_neg_len"].append([int(n) for _, n in fh.neg_spans])
+    rows["h_neg_bkt"].append([float(b) for b in fh.neg_buckets])
+    rows["h_custom"].append([float(v) for v in fh.custom_values])
+    rows["h_hint"].append(int(fh.counter_reset_hint))
+
+
+def _fresh() -> dict:
+    return {k: list(v) for k, v in _EMPTY.items()}
+
+
+def assemble(df: DataFrame, drop_name: bool = False) -> DataFrame:
+    """Flattened Python output → canonical vector frame with hist struct."""
+    hist = F.struct(
+        F.col("h_schema").alias("schema"),
+        F.col("h_zt").alias("zero_threshold"),
+        F.col("h_zc").alias("zero_count"),
+        F.col("h_count").alias("count"),
+        F.col("h_sum").alias("sum"),
+        F.arrays_zip(
+            F.col("h_pos_off").alias("offset"), F.col("h_pos_len").alias("length")
+        ).alias("pos_spans"),
+        F.col("h_pos_bkt").alias("pos_buckets"),
+        F.arrays_zip(
+            F.col("h_neg_off").alias("offset"), F.col("h_neg_len").alias("length")
+        ).alias("neg_spans"),
+        F.col("h_neg_bkt").alias("neg_buckets"),
+        F.col("h_custom").alias("custom_values"),
+        F.col("h_hint").cast("tinyint").alias("counter_reset_hint"),
+    ).cast(HISTOGRAM_TYPE)
+    labels = F.map_from_arrays("label_keys", "label_values")
+    if drop_name:
+        labels = drop_name_expr(labels)
+    # pandas→Arrow folds NaN into null in the float column; histogram rows
+    # legitimately carry NULL value, so only coalesce non-hist rows
+    value = F.when(
+        F.col("has_hist"), F.lit(None).cast("double")
+    ).otherwise(F.coalesce(F.col("value"), F.lit(float("nan"))))
+    return df.select(
+        sig_expr(labels).alias("sig"),
+        labels.alias("labels"),
+        "t",
+        F.col("t").alias("sample_t"),
+        value.alias("value"),
+        F.when(F.col("has_hist"), hist).alias("hist"),
+    )
+
+
+def binop_add_sub(ctx: EvalContext, pairs: DataFrame, sub: bool) -> DataFrame:
+    """hist ± hist over joined pairs (engine.go:3484 ``vectorElemBinop``
+    ADD/SUB histogram case).  ``pairs``: (labels, t, __lh, __rh) with both
+    histograms non-null.  Incompatible schemas drop the sample."""
+    from prometheus_spark.shipping import ensure_shipped
+
+    ensure_shipped(ctx.spark)
+    src = pairs.select("labels", "t", "__lh", "__rh")
+
+    def batches(it: Iterator) -> Iterator:
+        from prometheus_spark.model.histogram import (
+            GAUGE_TYPE,
+            HistIncompatibleSchema,
+            from_row,
+        )
+
+        for pdf in it:
+            rows = _fresh()
+            # itertuples mangles leading-underscore names; zip columns
+            for labels, t, lh, rh in zip(
+                pdf["labels"], pdf["t"], pdf["__lh"], pdf["__rh"]
+            ):
+                l, r = from_row(lh), from_row(rh)
+                try:
+                    l.add(r, sub=sub)
+                except HistIncompatibleSchema:
+                    continue
+                if sub:
+                    l.counter_reset_hint = GAUGE_TYPE
+                l.compact()
+                _append_row(rows, dict(labels), t, None, l)
+            yield _emit_pdf(rows)
+
+    return assemble(src.mapInPandas(batches, FLAT_SCHEMA))
+
+
+def group_sum(
+    ctx: EvalContext, df: DataFrame, avg: bool, drop_name: bool = False
+) -> DataFrame:
+    """Sum/avg histograms per (sig, t) group (engine.go:3716 ``KahanAdd``
+    path).  ``df``: (sig, labels, t, hist) with hist non-null.  Groups with
+    incompatible schemas are dropped (reference warns)."""
+    from prometheus_spark.shipping import ensure_shipped
+
+    ensure_shipped(ctx.spark)
+    src = df.select("sig", "labels", "t", "hist")
+
+    def one_group(pdf):
+        from prometheus_spark.model.histogram import from_row, hist_sum
+
+        rows = _fresh()
+        hists = [from_row(h) for h in pdf["hist"]]
+        acc, incompatible = hist_sum(hists)
+        if acc is not None and not incompatible:
+            if avg:
+                acc.div(float(len(hists)))
+                acc.compact()
+            _append_row(rows, dict(pdf["labels"].iloc[0]), pdf["t"].iloc[0], None, acc)
+        return _emit_pdf(rows)
+
+    out = src.groupBy("sig", "t").applyInPandas(one_group, FLAT_SCHEMA)
+    return assemble(out, drop_name=drop_name)
+
+
+def window_rate(
+    ctx: EvalContext,
+    windowed: DataFrame,
+    range_ms: int,
+    is_counter: bool,
+    is_rate: bool,
+) -> DataFrame:
+    """rate/increase/delta over all-histogram windows (functions.go:640
+    ``histogramRate`` + :452 extrapolation).  ``windowed``: (sig, labels,
+    t, wend, sample_t, hist), hist non-null."""
+    from prometheus_spark.shipping import ensure_shipped
+
+    ensure_shipped(ctx.spark)
+    src = windowed.select("sig", "labels", "t", "wend", "sample_t", "hist")
+    range_s = range_ms / 1000.0
+
+    def one_group(pdf):
+        from prometheus_spark.model.histogram import from_row, hist_rate
+
+        rows = _fresh()
+        pdf = pdf.sort_values("sample_t")
+        points = [(int(t), from_row(h)) for t, h in zip(pdf["sample_t"], pdf["hist"])]
+        if len(points) < 2:
+            return _emit_pdf(rows)
+        h = hist_rate(points, range_s, is_counter, is_rate)
+        if h is None:
+            return _emit_pdf(rows)
+        wend = int(pdf["wend"].iloc[0])
+        first_t, last_t = points[0][0], points[-1][0]
+        dur_start = (first_t - (wend - range_ms)) / 1000.0
+        dur_end = (wend - last_t) / 1000.0
+        sampled = (last_t - first_t) / 1000.0
+        avg_spacing = sampled / (len(points) - 1)
+        threshold = avg_spacing * 1.1
+        if dur_start >= threshold:
+            dur_start = avg_spacing / 2.0
+        if is_counter and h.count > 0 and points[0][1].count >= 0:
+            dur_zero = sampled * (points[0][1].count / h.count)
+            if dur_zero < dur_start:
+                dur_start = dur_zero
+        if dur_end >= threshold:
+            dur_end = avg_spacing / 2.0
+        factor = (sampled + dur_start + dur_end) / sampled if sampled else 1.0
+        if is_rate:
+            factor /= range_s
+        h.mul(factor)
+        h.compact()
+        from prometheus_spark.model.histogram import GAUGE_TYPE
+
+        h.counter_reset_hint = GAUGE_TYPE
+        _append_row(rows, dict(pdf["labels"].iloc[0]), int(pdf["t"].iloc[0]), None, h)
+        return _emit_pdf(rows)
+
+    out = src.groupBy("sig", "t").applyInPandas(one_group, FLAT_SCHEMA)
+    return assemble(out, drop_name=True)
+
+
+def window_resets_changes(ctx: EvalContext, windowed: DataFrame, func: str) -> DataFrame:
+    """resets/changes over windows containing histogram samples
+    (functions.go:2359/2431): float↔histogram transitions always count;
+    hist→hist uses DetectReset / !Equals."""
+    from prometheus_spark.shipping import ensure_shipped
+
+    ensure_shipped(ctx.spark)
+    src = windowed.select("sig", "labels", "t", "sample_t", "value", "hist")
+    count_resets = func == "resets"
+
+    def one_group(pdf):
+        import math
+
+        from prometheus_spark.model.histogram import from_row
+
+        rows = _fresh()
+        pdf = pdf.sort_values("sample_t")
+        samples = []  # (float|None, FloatHist|None)
+        for v, h in zip(pdf["value"], pdf["hist"]):
+            # NULL vs NaN is ambiguous in pandas doubles; hist presence
+            # decides the sample kind (hist rows carry NULL value)
+            fh = from_row(h) if h is not None else None
+            samples.append((None if fh is not None else float(v), fh))
+        if not samples:
+            return _emit_pdf(rows)
+        n = 0
+        prev_f, prev_h = samples[0]
+        for cur_f, cur_h in samples[1:]:
+            if prev_h is None and cur_h is None:
+                if count_resets:
+                    if cur_f < prev_f:
+                        n += 1
+                elif cur_f != prev_f and not (math.isnan(cur_f) and math.isnan(prev_f)):
+                    n += 1
+            elif (prev_h is None) != (cur_h is None):
+                n += 1
+            else:
+                if count_resets:
+                    if cur_h.detect_reset(prev_h):
+                        n += 1
+                elif not cur_h.equals(prev_h):
+                    n += 1
+            prev_f, prev_h = cur_f, cur_h
+        _append_row(rows, dict(pdf["labels"].iloc[0]), int(pdf["t"].iloc[0]), float(n), None)
+        return _emit_pdf(rows)
+
+    out = src.groupBy("sig", "t").applyInPandas(one_group, FLAT_SCHEMA)
+    return assemble(out, drop_name=True)

@@ -65,21 +65,58 @@ def eval_range_function(
 ) -> VectorFrame:
     """windowed: (sig, labels, t, sample_t, value) — one row per sample per
     step window (see selectors.windowed_samples)."""
-    # windows may contain histogram samples (value NULL): the rate family
-    # drops mixed windows entirely (reference warns); other float
+    # windows may contain histogram samples (value NULL, hist non-null):
+    # rate/sum/avg aggregate all-histogram windows through the histogram
+    # algebra and drop mixed windows (reference warns); other float
     # functions compute over the float samples; count/present see all.
+    has_hist = "hist" in windowed.columns
     floats_only = windowed.filter(F.col("value").isNotNull())
     if func in ("rate", "increase", "delta"):
-        w = Window.partitionBy("sig", "t")
-        mixed = windowed.withColumn(
-            "__mixed", F.max(F.col("value").isNull().cast("int")).over(w)
-        )
-        clean = mixed.filter(F.col("__mixed") == 0).drop("__mixed")
-        out = _extrapolated(ctx, clean, range_ms, is_counter=func != "delta", is_rate=func == "rate")
+        float_w, hist_w = _split_windows(windowed, has_hist)
+        out = _extrapolated(ctx, float_w, range_ms, is_counter=func != "delta", is_rate=func == "rate")
+        if hist_w is not None:
+            from prometheus_spark.engine import hist_arith
+
+            out_h = hist_arith.window_rate(
+                ctx, hist_w, range_ms, is_counter=func != "delta", is_rate=func == "rate"
+            )
+            out = _union_hist(out, out_h)
+    elif func in ("sum_over_time", "avg_over_time") and has_hist:
+        float_w, hist_w = _split_windows(windowed, has_hist)
+        out = _simple_over_time(ctx, float_w, func)
+        if hist_w is not None:
+            from prometheus_spark.engine import hist_arith
+
+            out_h = hist_arith.group_sum(
+                ctx,
+                hist_w.select("sig", "labels", "t", "hist"),
+                avg=func == "avg_over_time",
+                drop_name=True,
+            )
+            out = _union_hist(out, out_h)
+    elif func in ("first_over_time", "last_over_time") and has_hist:
+        out = _first_last_hist(ctx, windowed, func)
+    elif func in ("ts_of_first_over_time", "ts_of_last_over_time"):
+        # histogram samples count for the first/last timestamps too
+        out = _simple_over_time(ctx, windowed, func)
     elif func in ("idelta", "irate"):
         out = _instant_pair(ctx, floats_only, is_rate=func == "irate")
     elif func in ("resets", "changes"):
-        out = _resets_changes(ctx, floats_only, func)
+        if has_hist:
+            w = Window.partitionBy("sig", "t")
+            flagged = windowed.withColumn(
+                "__has_h", F.max(F.col("hist").isNotNull().cast("int")).over(w)
+            )
+            from prometheus_spark.engine import hist_arith
+
+            out = _union_hist(
+                _resets_changes(ctx, flagged.filter(F.col("__has_h") == 0), func),
+                hist_arith.window_resets_changes(
+                    ctx, flagged.filter(F.col("__has_h") == 1), func
+                ),
+            )
+        else:
+            out = _resets_changes(ctx, floats_only, func)
     elif func in ("deriv", "predict_linear"):
         out = _linreg(ctx, floats_only, param)
     elif func == "double_exponential_smoothing":
@@ -95,6 +132,56 @@ def eval_range_function(
 
 def _grouped(windowed: DataFrame):
     return windowed.groupBy("sig", "t")
+
+
+def _split_windows(windowed: DataFrame, has_hist: bool):
+    """Per-(sig, t) window kind flags: all-float windows stay JVM-side,
+    all-histogram windows go to the histogram algebra, mixed windows are
+    dropped (the reference warns and skips the series)."""
+    if not has_hist:
+        return windowed.filter(F.col("value").isNotNull()), None
+    w = Window.partitionBy("sig", "t")
+    flagged = windowed.withColumn(
+        "__has_f", F.max(F.col("value").isNotNull().cast("int")).over(w)
+    ).withColumn("__has_h", F.max(F.col("hist").isNotNull().cast("int")).over(w))
+    float_w = flagged.filter(
+        (F.col("__has_f") == 1) & (F.col("__has_h") == 0)
+    ).drop("__has_f", "__has_h")
+    hist_w = flagged.filter(
+        (F.col("__has_h") == 1) & (F.col("__has_f") == 0)
+    ).drop("__has_f", "__has_h")
+    return float_w, hist_w
+
+
+def _union_hist(float_out: DataFrame, hist_out: DataFrame) -> DataFrame:
+    """Union a float-only result frame with a hist-carrying one."""
+    from prometheus_spark.model.schema import HISTOGRAM_TYPE
+
+    if "hist" not in float_out.columns:
+        float_out = float_out.withColumn("hist", F.lit(None).cast(HISTOGRAM_TYPE))
+    if "hist" not in hist_out.columns:
+        hist_out = hist_out.withColumn("hist", F.lit(None).cast(HISTOGRAM_TYPE))
+    return float_out.unionByName(hist_out)
+
+
+def _first_last_hist(ctx: EvalContext, windowed: DataFrame, func: str) -> DataFrame:
+    """first/last_over_time returning real samples — histograms included,
+    metric name kept (funcLastOverTime keeps DropName unset)."""
+    pick = F.struct("sample_t", "value", "hist")
+    agg = F.max(pick) if func == "last_over_time" else F.min(pick)
+    out = _grouped(windowed).agg(
+        F.first("labels").alias("labels"), agg.alias("__p")
+    )
+    from prometheus_spark.model.labels import sig_expr
+
+    return out.select(
+        sig_expr(F.col("labels")).alias("sig"),
+        "labels",
+        "t",
+        F.col("t").alias("sample_t"),
+        F.col("__p")["value"].alias("value"),
+        F.col("__p")["hist"].alias("hist"),
+    )
 
 
 def _finish(df: DataFrame, ctx: EvalContext = None, keep_name: bool = False) -> DataFrame:

@@ -175,9 +175,10 @@ def windowed_samples(
     """
     if isinstance(node_or_df, VectorSelector):
         base = ctx.samples.filter(matcher_predicate(node_or_df.matchers)).filter(~F.col("stale"))
-        base = base.select("sig", "labels", "t", "value")
     else:
-        base = node_or_df.select("sig", "labels", "t", "value")
+        base = node_or_df
+    hist_cols = ["hist"] if "hist" in base.columns else []
+    base = base.select("sig", "labels", "t", "value", *hist_cols)
 
     # ``wend`` = the window's (offset-adjusted) right edge — rate
     # extrapolation measures sample distance to it (functions.go:472,
@@ -187,7 +188,7 @@ def windowed_samples(
         window = base.filter((F.col("t") > ref - range_ms) & (F.col("t") <= ref))
         return window.crossJoin(F.broadcast(ctx.grid.select(F.col("t").alias("step_t")))).select(
             "sig", "labels", F.col("step_t").alias("out_t"), F.col("t").alias("sample_t"),
-            "value", F.lit(ref).alias("wend"),
+            "value", *hist_cols, F.lit(ref).alias("wend"),
         ).withColumnsRenamed({"out_t": "t"})
 
     lo, hi = ctx.start_ms - offset_ms - range_ms, ctx.end_ms - offset_ms
@@ -200,5 +201,5 @@ def windowed_samples(
     )
     return exploded.select(
         "sig", "labels", F.col("step_t").alias("out_t"), F.col("t").alias("sample_t"),
-        "value", (F.col("step_t") - F.lit(offset_ms)).alias("wend"),
+        "value", *hist_cols, (F.col("step_t") - F.lit(offset_ms)).alias("wend"),
     ).withColumnsRenamed({"out_t": "t"})

@@ -18,10 +18,31 @@ operator guidance — the bucket walk is irreducibly sequential per sample.
 from __future__ import annotations
 
 import math
+from bisect import bisect_left
 from dataclasses import dataclass, field
 from typing import Iterator, Optional
 
 CUSTOM_BUCKETS_SCHEMA = -53
+
+# counter_reset_hint values (reference: model/histogram/histogram.go:26-34)
+UNKNOWN_RESET = 0
+COUNTER_RESET = 1
+NOT_COUNTER_RESET = 2
+GAUGE_TYPE = 3
+
+
+class HistIncompatibleSchema(Exception):
+    """Mix of exponential and custom-bucket schemas in one operation
+    (reference: float_histogram.go ``checkSchemaAndBounds``)."""
+
+
+def _fdiv(a: float, b: float) -> float:
+    """IEEE-754 float division (Go semantics; Python raises on /0)."""
+    if b != 0:
+        return a / b
+    if a == 0 or math.isnan(a):
+        return math.nan
+    return math.copysign(math.inf, a) * math.copysign(1.0, b)
 
 
 @dataclass
@@ -232,6 +253,452 @@ class FloatHist:
             d = val - mean
             var, cvar = _kahan_inc(bc * d * d, var, cvar)
         return (var + cvar) / self.count
+
+
+    # ------------------------------------------------------------------
+    # Arithmetic (reference: float_histogram.go Add/Sub/Mul/Div/Compact/
+    # DetectReset).  Internally buckets are manipulated as {index: count}
+    # maps; span encoding is rebuilt on output — semantically equivalent
+    # to the reference's span-merge machinery, always compact.
+    # ------------------------------------------------------------------
+    def copy(self) -> "FloatHist":
+        return FloatHist(
+            schema=self.schema,
+            zero_threshold=self.zero_threshold,
+            zero_count=self.zero_count,
+            count=self.count,
+            sum=self.sum,
+            pos_spans=list(self.pos_spans),
+            pos_buckets=list(self.pos_buckets),
+            neg_spans=list(self.neg_spans),
+            neg_buckets=list(self.neg_buckets),
+            custom_values=list(self.custom_values),
+            counter_reset_hint=self.counter_reset_hint,
+        )
+
+    def _pos_map(self) -> dict:
+        return dict(zip(self._indexes(self.pos_spans), map(float, self.pos_buckets)))
+
+    def _neg_map(self) -> dict:
+        return dict(zip(self._indexes(self.neg_spans), map(float, self.neg_buckets)))
+
+    def _set_pos(self, m: dict) -> None:
+        self.pos_spans, self.pos_buckets = _map_to_spans(m)
+
+    def _set_neg(self, m: dict) -> None:
+        self.neg_spans, self.neg_buckets = _map_to_spans(m)
+
+    def compact(self) -> "FloatHist":
+        """Drop zero-count buckets and rebuild canonical spans
+        (reference: Compact(0))."""
+        self._set_pos({i: c for i, c in self._pos_map().items() if c != 0})
+        self._set_neg({i: c for i, c in self._neg_map().items() if c != 0})
+        return self
+
+    def mul(self, factor: float) -> "FloatHist":
+        """Scale all counts and the sum (float_histogram.go:291)."""
+        self.zero_count *= factor
+        self.count *= factor
+        self.sum *= factor
+        self.pos_buckets = [b * factor for b in self.pos_buckets]
+        self.neg_buckets = [b * factor for b in self.neg_buckets]
+        if factor < 0:
+            self.counter_reset_hint = GAUGE_TYPE
+        return self
+
+    def div(self, scalar: float) -> "FloatHist":
+        """Like mul but divides; /0 → ±Inf fields, buckets removed
+        (float_histogram.go:310)."""
+        self.zero_count = _fdiv(self.zero_count, scalar)
+        self.count = _fdiv(self.count, scalar)
+        self.sum = _fdiv(self.sum, scalar)
+        if scalar == 0:
+            self.pos_spans, self.pos_buckets = [], []
+            self.neg_spans, self.neg_buckets = [], []
+            return self
+        self.pos_buckets = [_fdiv(b, scalar) for b in self.pos_buckets]
+        self.neg_buckets = [_fdiv(b, scalar) for b in self.neg_buckets]
+        if scalar < 0:
+            self.counter_reset_hint = GAUGE_TYPE
+        return self
+
+    def _adjust_counter_reset(self, other: "FloatHist") -> bool:
+        """float_histogram.go ``adjustCounterReset`` — returns True on a
+        CounterReset/NotCounterReset collision."""
+        h, o = self.counter_reset_hint, other.counter_reset_hint
+        if o == h or h == GAUGE_TYPE:
+            return False
+        if o == GAUGE_TYPE:
+            self.counter_reset_hint = GAUGE_TYPE
+            return False
+        if h == UNKNOWN_RESET or o == UNKNOWN_RESET:
+            self.counter_reset_hint = UNKNOWN_RESET
+            return False
+        self.counter_reset_hint = UNKNOWN_RESET
+        return True
+
+    def _zero_fold(self, larger: float) -> tuple[float, float]:
+        """zero count + adjusted threshold when growing the zero bucket to
+        ``larger`` (float_histogram.go:993 ``zeroCountForLargerThreshold``).
+        Does not mutate self."""
+        if larger == self.zero_threshold:
+            return self.zero_count, larger
+        while True:
+            zc = self.zero_count
+            restart = False
+            for idx in sorted(self._pos_map()):
+                c = self._pos_map()[idx]
+                lo, up = self._exp_bounds(idx)
+                if lo >= larger:
+                    break
+                zc += c
+                if up > larger:
+                    if c != 0:
+                        larger = up
+                    break
+            for idx in sorted(self._neg_map()):
+                c = self._neg_map()[idx]
+                lo, up = self._exp_bounds(idx)  # abs bounds; value ∈ (−up, −lo]
+                if lo >= larger:
+                    break
+                zc += c
+                if up > larger:
+                    if c != 0:
+                        larger = up
+                        restart = True
+                    break
+            if not restart:
+                return zc, larger
+
+    def _reconcile_zero(self, other: "FloatHist") -> float:
+        """Grow zero buckets until thresholds agree (float_histogram.go:1110
+        ``reconcileZeroBuckets``).  Mutates self; returns the other
+        histogram's effective zero count."""
+        other_zc, other_zt = other.zero_count, other.zero_threshold
+        while other_zt != self.zero_threshold:
+            if self.zero_threshold > other_zt:
+                other_zc, other_zt = other._zero_fold(self.zero_threshold)
+                if other_zt == self.zero_threshold:
+                    break
+            if other_zt > self.zero_threshold:
+                self.zero_count, self.zero_threshold = self._zero_fold(other_zt)
+                # trim buckets now inside the zero bucket
+                zt = self.zero_threshold
+                self._set_pos({i: c for i, c in self._pos_map().items()
+                               if self._exp_bounds(i)[1] > zt})
+                self._set_neg({i: c for i, c in self._neg_map().items()
+                               if self._exp_bounds(i)[1] > zt})
+        return other_zc
+
+    def reduce_to_schema(self, target: int) -> "FloatHist":
+        """Merge buckets down to a lower-resolution schema
+        (float_histogram.go:1912; targetIdx at :1410)."""
+        if self.uses_custom_buckets() or target >= self.schema:
+            return self
+        d = self.schema - target
+        self._set_pos(_reduce_map(self._pos_map(), d))
+        self._set_neg(_reduce_map(self._neg_map(), d))
+        self.schema = target
+        return self
+
+    def add(self, other: "FloatHist", sub: bool = False) -> tuple[bool, bool]:
+        """self ± other in place (float_histogram.go:353 Add / :538 Sub).
+        Returns (counter_reset_collision, nhcb_bounds_reconciled)."""
+        if self.uses_custom_buckets() != other.uses_custom_buckets():
+            raise HistIncompatibleSchema
+        collision = self._adjust_counter_reset(other)
+        sign = -1.0 if sub else 1.0
+        reconciled = False
+
+        if self.uses_custom_buckets():
+            self.count += sign * other.count
+            self.sum += sign * other.sum
+            if self.custom_values == other.custom_values:
+                m = self._pos_map()
+                for i, c in other._pos_map().items():
+                    m[i] = m.get(i, 0.0) + sign * c
+                self._set_pos(m)
+            else:
+                reconciled = True
+                nb = _intersect_bounds(self.custom_values, other.custom_values)
+                m = _remap_custom(self._pos_map(), self.custom_values, nb)
+                for i, c in _remap_custom(other._pos_map(), other.custom_values, nb).items():
+                    m[i] = m.get(i, 0.0) + sign * c
+                self._set_pos(m)
+                self.custom_values = nb
+            return collision, reconciled
+
+        other_zc = self._reconcile_zero(other)
+        self.zero_count += sign * other_zc
+        self.count += sign * other.count
+        self.sum += sign * other.sum
+
+        target = min(self.schema, other.schema)
+        self.reduce_to_schema(target)
+        d = other.schema - target
+        zt = self.zero_threshold
+        for get_m, set_m in (
+            (other._pos_map, self._set_pos_merged),
+            (other._neg_map, self._set_neg_merged),
+        ):
+            om = _reduce_map(get_m(), d) if d > 0 else get_m()
+            # buckets folded into the zero bucket were counted in other_zc
+            om = {
+                i: c for i, c in om.items()
+                if _exp_upper(i, target) > zt
+            }
+            set_m(om, sign)
+        return collision, reconciled
+
+    def _set_pos_merged(self, om: dict, sign: float) -> None:
+        m = self._pos_map()
+        for i, c in om.items():
+            m[i] = m.get(i, 0.0) + sign * c
+        self._set_pos(m)
+
+    def _set_neg_merged(self, om: dict, sign: float) -> None:
+        m = self._neg_map()
+        for i, c in om.items():
+            m[i] = m.get(i, 0.0) + sign * c
+        self._set_neg(m)
+
+    def detect_reset(self, previous: "FloatHist") -> bool:
+        """float_histogram.go:751 ``DetectReset``."""
+        if self.counter_reset_hint == COUNTER_RESET:
+            return True
+        if self.counter_reset_hint == NOT_COUNTER_RESET:
+            return False
+        if self.count < previous.count:
+            return True
+        if self.uses_custom_buckets():
+            if not previous.uses_custom_buckets():
+                return True
+            if self.custom_values != previous.custom_values:
+                nb = _intersect_bounds(self.custom_values, previous.custom_values)
+                cur = _remap_custom(self._pos_map(), self.custom_values, nb)
+                prev = _remap_custom(previous._pos_map(), previous.custom_values, nb)
+                return _map_reset(cur, prev)
+            return _map_reset(self._pos_map(), previous._pos_map())
+        if self.schema > previous.schema:
+            return True
+        if self.zero_threshold < previous.zero_threshold:
+            return True
+        prev_zc, new_zt = previous._zero_fold(self.zero_threshold)
+        if new_zt != self.zero_threshold:
+            return True  # threshold inside a populated previous bucket
+        if self.zero_count < prev_zc:
+            return True
+        d = previous.schema - self.schema
+        zt = self.zero_threshold
+        for mine, theirs in (
+            (self._pos_map(), previous._pos_map()),
+            (self._neg_map(), previous._neg_map()),
+        ):
+            pm = _reduce_map(theirs, d) if d > 0 else dict(theirs)
+            pm = {i: c for i, c in pm.items() if _exp_upper(i, self.schema) > zt}
+            cm = {i: c for i, c in mine.items() if _exp_upper(i, self.schema) > zt}
+            if _map_reset(cm, pm):
+                return True
+        return False
+
+    def equals(self, other: Optional["FloatHist"]) -> bool:
+        """Data equality (float_histogram.go:607) — same bucket layout
+        (ignoring empty-span encoding differences) and bitwise-equal
+        counts; NaN equals NaN."""
+        if other is None:
+            return False
+        if self.schema != other.schema:
+            return False
+        if not (_feq(self.count, other.count) and _feq(self.sum, other.sum)):
+            return False
+        if self.uses_custom_buckets():
+            if self.custom_values != other.custom_values:
+                return False
+        if self.zero_threshold != other.zero_threshold or not _feq(
+            self.zero_count, other.zero_count
+        ):
+            return False
+        return (
+            self._pos_map() == other._pos_map()
+            and self._neg_map() == other._neg_map()
+        )
+
+    def to_row(self) -> dict:
+        """Struct-row dict matching schema.HISTOGRAM_TYPE."""
+        return {
+            "schema": int(self.schema),
+            "zero_threshold": float(self.zero_threshold),
+            "zero_count": float(self.zero_count),
+            "count": float(self.count),
+            "sum": float(self.sum),
+            "pos_spans": [
+                {"offset": int(o), "length": int(n)} for o, n in self.pos_spans
+            ],
+            "pos_buckets": [float(b) for b in self.pos_buckets],
+            "neg_spans": [
+                {"offset": int(o), "length": int(n)} for o, n in self.neg_spans
+            ],
+            "neg_buckets": [float(b) for b in self.neg_buckets],
+            "custom_values": [float(v) for v in self.custom_values],
+            "counter_reset_hint": int(self.counter_reset_hint),
+        }
+
+
+def _feq(a: float, b: float) -> bool:
+    """Bit-pattern float equality (NaN == NaN; +0 != −0), mirroring the
+    reference's math.Float64bits comparisons."""
+    if math.isnan(a) or math.isnan(b):
+        return math.isnan(a) and math.isnan(b)
+    if a == 0 and b == 0:
+        return math.copysign(1.0, a) == math.copysign(1.0, b)
+    return a == b
+
+
+def _exp_upper(idx: int, schema: int) -> float:
+    return 2.0 ** ((2.0**-schema) * idx)
+
+
+def _map_to_spans(m: dict) -> tuple[list, list]:
+    """{index: count} → canonical (spans, buckets) in wire format (first
+    span offset absolute, later offsets = gap from previous bucket)."""
+    if not m:
+        return [], []
+    idxs = sorted(m)
+    spans, buckets = [], []
+    span_start = prev = idxs[0]
+    length = 1
+    buckets.append(m[idxs[0]])
+    for i in idxs[1:]:
+        if i == prev + 1:
+            length += 1
+        else:
+            spans.append((span_start, length))
+            span_start, length = i, 1
+        buckets.append(m[i])
+        prev = i
+    spans.append((span_start, length))
+    out_spans = []
+    prev_end = 0
+    for k, (start, ln) in enumerate(spans):
+        off = start if k == 0 else start - prev_end
+        out_spans.append((off, ln))
+        prev_end = start + ln
+    return out_spans, buckets
+
+
+def _reduce_map(m: dict, d: int) -> dict:
+    """Merge bucket indexes down d schema steps (targetIdx: ((i−1)>>d)+1;
+    Python ``>>`` on negative ints is arithmetic, same as Go)."""
+    out: dict = {}
+    for i, c in m.items():
+        ni = ((i - 1) >> d) + 1
+        out[ni] = out.get(ni, 0.0) + c
+    return out
+
+
+def _intersect_bounds(a: list, b: list) -> list:
+    """Sorted intersection (float_histogram.go:1780)."""
+    i = j = 0
+    out = []
+    while i < len(a) and j < len(b):
+        if a[i] == b[j]:
+            out.append(a[i])
+            i += 1
+            j += 1
+        elif a[i] < b[j]:
+            i += 1
+        else:
+            j += 1
+    return out
+
+
+def _remap_custom(m: dict, cv: list, nb: list) -> dict:
+    """Remap NHCB bucket counts onto intersected bounds ``nb`` ⊆ ``cv``."""
+    out: dict = {}
+    for i, c in m.items():
+        ub = cv[i] if i < len(cv) else math.inf
+        j = bisect_left(nb, ub) if ub != math.inf else len(nb)
+        out[j] = out.get(j, 0.0) + c
+    return out
+
+
+def _map_reset(cur: dict, prev: dict) -> bool:
+    """True if any populated previous bucket is missing or larger than the
+    corresponding current bucket (detectReset, float_histogram.go:809)."""
+    for i, pc in prev.items():
+        if pc == 0:
+            continue
+        cc = cur.get(i)
+        if cc is None or cc < pc:
+            return True
+    return False
+
+
+def hist_sum(hists: list) -> tuple[Optional["FloatHist"], bool]:
+    """Sum a list of FloatHist (aggregation path, engine.go:3716).
+    Returns (sum, incompatible) — incompatible=True on exp/custom mix."""
+    acc = None
+    for h in hists:
+        if h is None:
+            continue
+        if acc is None:
+            acc = h.copy()
+            continue
+        try:
+            acc.add(h)
+        except HistIncompatibleSchema:
+            return None, True
+    if acc is not None:
+        acc.compact()
+    return acc, False
+
+
+def hist_rate(points: list, range_s: float, is_counter: bool, is_rate: bool):
+    """rate/increase/delta over an all-histogram window — histogramRate
+    (promql/functions.go:640) + extrapolation (functions.go:452-620).
+
+    ``points``: [(t_ms, FloatHist)] time-sorted; window is
+    (wend − range, wend] with wend = points' window end passed by caller
+    as part of t handling.  Returns FloatHist or None (incompatible).
+    """
+    if len(points) < 2:
+        return None
+    prev = points[0][1]
+    last = points[-1][1]
+    if prev is None or last is None:
+        return None
+    using_custom = prev.uses_custom_buckets()
+    if is_counter:
+        second = points[1][1]
+        if second is not None and second.detect_reset(prev):
+            prev = FloatHist(schema=second.schema,
+                             custom_values=list(second.custom_values))
+            using_custom = second.uses_custom_buckets()
+    if last.uses_custom_buckets() != using_custom:
+        return None
+    min_schema = min(last.schema, prev.schema)
+    for _, cur in points[1:-1]:
+        if cur is None:
+            return None
+        if not is_counter:
+            continue
+        if cur.schema < min_schema and not cur.uses_custom_buckets():
+            min_schema = cur.schema
+        if cur.uses_custom_buckets() != using_custom:
+            return None
+    h = last.copy().reduce_to_schema(min_schema)
+    try:
+        h.add(prev, sub=True)
+        if is_counter:
+            prev_pt = prev
+            for _, cur in points[1:]:
+                if cur.detect_reset(prev_pt):
+                    h.add(prev_pt)
+                prev_pt = cur
+    except HistIncompatibleSchema:
+        return None
+    h.counter_reset_hint = GAUGE_TYPE
+    return h.compact()
 
 
 def _kahan_inc(inc, s, c):

@@ -108,6 +108,11 @@ def _point_tokens(spec: str) -> list[str]:
             if end == -1:
                 raise ValueError(f"unterminated histogram literal: {spec[i:]}")
             end += 2
+            if spec.startswith("+{{", end):  # incrementing form a+bxN
+                end = spec.find("}}", end)
+                if end == -1:
+                    raise ValueError(f"unterminated histogram literal: {spec[i:]}")
+                end += 2
             while end < n and not spec[end].isspace():
                 end += 1  # attach xN suffix
             out.append(spec[i:end])
@@ -122,6 +127,7 @@ def _point_tokens(spec: str) -> list[str]:
 
 
 _HIST_REPEAT_RE = re.compile(r"^(\{\{.*\}\})(?:x(\d+))?$", re.DOTALL)
+_HIST_INCR_RE = re.compile(r"^(\{\{.*?\}\})\+(\{\{.*?\}\})x(\d+)$", re.DOTALL)
 
 
 def expand_points(spec: str) -> list:
@@ -145,6 +151,21 @@ def expand_points(spec: str) -> list:
             out.extend([None] * int(m.group(1)))
             continue
         if tok.startswith("{{"):
+            im = _HIST_INCR_RE.match(tok)
+            if im:
+                # a+bxN: step i = a + i·b, via the histogram algebra
+                from prometheus_spark.model.histogram import from_row
+
+                a = from_row(parse_histogram_literal(im.group(1)))
+                b = from_row(parse_histogram_literal(im.group(2)))
+                cur = a
+                for i in range(int(im.group(3)) + 1):
+                    out.append(cur.copy().compact().to_row())
+                    nxt = cur.copy()
+                    nxt.add(b)
+                    nxt.counter_reset_hint = cur.counter_reset_hint
+                    cur = nxt
+                continue
             hm = _HIST_REPEAT_RE.match(tok)
             if not hm:
                 raise SkipCommand(f"unsupported histogram expansion: {tok[:40]}")
