@@ -37,7 +37,7 @@ def _not_nan(c: Column) -> Column:
     return ~F.isnan(c)
 
 
-def _regroup(vf: VectorFrame, node: AggregateExpr) -> DataFrame:
+def _regroup(vf: VectorFrame, node: AggregateExpr, extra: list = ()) -> DataFrame:
     by = node.grouping if (node.has_grouping and not node.without) else None
     without = node.grouping if (node.has_grouping and node.without) else None
     glabels = group_labels_expr("labels", by, without)
@@ -48,6 +48,7 @@ def _regroup(vf: VectorFrame, node: AggregateExpr) -> DataFrame:
         "t",
         "value",
         *hist_cols,
+        *extra,
     )
 
 
@@ -70,13 +71,16 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
 
         from prometheus_spark.engine import hist_arith
 
+        # original series sig orders the Kahan fold (the reference sums
+        # series in label order)
+        src = _regroup(VectorFrame(vf.df.withColumn("__ord", F.col("sig"))), node, extra=["__ord"])
         wk = W.partitionBy("sig", "t")
-        flagged = df.withColumn(
+        flagged = src.withColumn(
             "__has_f", F.max(v.isNotNull().cast("int")).over(wk)
         ).withColumn("__has_h", F.max(F.col("hist").isNotNull().cast("int")).over(wk))
         pure = flagged.filter(~((F.col("__has_f") == 1) & (F.col("__has_h") == 1)))
         hist_rows = pure.filter(F.col("hist").isNotNull()).select(
-            "sig", "labels", "t", "hist"
+            "sig", "labels", "t", "hist", "__ord"
         )
         hist_part = hist_arith.group_sum(ctx, hist_rows, avg=op == "avg")
         df = pure.filter(v.isNotNull()).select("sig", "labels", "t", "value")
@@ -278,6 +282,10 @@ def _eval_k_selector(
     without = node.grouping if (node.has_grouping and node.without) else None
     glabels = group_labels_expr("labels", by, without)
     df = vf.df.withColumn("gsig", sig_expr(glabels))
+    # limitk/limit_ratio keep whole samples — histograms included
+    out_cols = ["sig", "labels", "t", "sample_t", "value"] + (
+        ["hist"] if "hist" in df.columns and op in ("limitk", "limit_ratio") else []
+    )
 
     if op == "limit_ratio":
         if not isinstance(param, ConstScalar):
@@ -290,7 +298,7 @@ def _eval_k_selector(
         u = (F.xxhash64("sig").cast("double") / F.lit(float(2**64))) + F.lit(0.5)
         keep = (u < F.lit(r)) if r >= 0 else (u >= F.lit(1.0 + r))
         out = df.filter(keep).drop("gsig")
-        return VectorFrame(out.select("sig", "labels", "t", "sample_t", "value"))
+        return VectorFrame(out.select(*out_cols))
 
     # k: constant, or per-step scalar (e.g. topk(scalar(foo), v) — k varies
     # across the range grid, reference engine.go:1590 fParams)
@@ -320,4 +328,4 @@ def _eval_k_selector(
         order = [F.col("sig").asc()]
     w = Window.partitionBy("gsig", "t").orderBy(*order)
     out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
-    return VectorFrame(out.select("sig", "labels", "t", "sample_t", "value"))
+    return VectorFrame(out.select(*out_cols))

@@ -128,10 +128,29 @@ def vector_scalar(
 ) -> VectorFrame:
     """vector ⊗ scalar — broadcast (engine.go:3404 ``VectorscalarBinop``).
 
-    Histogram samples combine with scalars only via ``*`` (either side)
-    and ``/`` (histogram on the left) — vectorElemBinop mixed cases;
-    everything else drops them with an annotation in the reference."""
+    Histogram samples combine with scalars only via ``*`` (either side),
+    ``/`` (histogram on the left), and the ``</``/``>/`` trim operators —
+    vectorElemBinop mixed cases; everything else drops them."""
     has_hist = "hist" in vf.df.columns
+    if node.op in ("</", ">/"):
+        # trims apply to histogram-left × scalar only; floats and
+        # scalar-left forms drop every sample (vectorElemBinop TRIM_*)
+        if not has_hist or not vector_on_left:
+            return VectorFrame(
+                vf.df.filter(F.lit(False)).select(
+                    "sig", "labels", "t", "sample_t", "value"
+                )
+            )
+        from prometheus_spark.engine import hist_arith
+
+        df = vf.df.filter(F.col("hist").isNotNull())
+        if isinstance(scalar, ConstScalar):
+            df = df.withColumn("__s", F.lit(float(scalar.value)))
+        else:
+            df = df.join(F.broadcast(scalar.df.withColumnRenamed("value", "__s")), "t")
+        # trims keep __name__ (changesMetricSchema engine.go:4437 excludes TRIM_*)
+        src = df.select("labels", "t", "hist", "__s")
+        return VectorFrame(hist_arith.trim_scalar(ctx, src, is_upper=node.op == "</"))
     hist_mul = has_hist and (
         node.op == "*" or (node.op == "/" and vector_on_left)
     ) and node.op not in COMPARISON_OPS
@@ -385,6 +404,29 @@ def vector_vector(
         else:
             joined = joined.filter((supported & pred) | (guard != 0.0))
             value = (l_val + guard).alias("value")  # filter keeps the lhs sample
+    elif node.op in ("</", ">/"):
+        # hist-left × float-right trims; every other combination drops.
+        # Trims keep __name__ (changesMetricSchema engine.go:4437).
+        labels = _result_labels_expr(vm, drop_name=False)
+        if not has_hist:
+            return VectorFrame(
+                joined.filter(F.lit(False)).select(
+                    sig_expr(labels).alias("sig"), labels.alias("labels"),
+                    "t", F.col("t").alias("sample_t"),
+                    F.lit(None).cast("double").alias("value"),
+                )
+            )
+        from prometheus_spark.engine import hist_arith
+
+        src = joined.filter(
+            l_hist.isNotNull() & r_val.isNotNull() & (guard == 0.0)
+        ).select(
+            labels.alias("labels"), "t",
+            l_hist.alias("hist"), r_val.alias("__s"),
+        )
+        return VectorFrame(
+            hist_arith.trim_scalar(ctx, src, is_upper=node.op == "</")
+        )
     else:
         labels = _result_labels_expr(vm, drop_name=True)
         if has_hist and node.op in ("+", "-", "*", "/"):

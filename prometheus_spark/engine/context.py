@@ -31,6 +31,11 @@ class EvalContext:
     # fold over collect_list — off by default for scalability; the
     # promqltest runner switches it on.
     kahan: bool = False
+    # Top-level query window for @ start()/end() resolution.  Subquery child
+    # grids (with_grid) keep the original query's bounds (engine.go:4646
+    # setOffsetForAtModifier adjusts offsets so @-times stay absolute).
+    at_start_ms: int | None = None
+    at_end_ms: int | None = None
 
     @property
     def num_steps(self) -> int:
@@ -48,14 +53,24 @@ class EvalContext:
         )
 
     def with_grid(self, start_ms: int, end_ms: int, step_ms: int) -> "EvalContext":
-        return replace(self, start_ms=start_ms, end_ms=end_ms, step_ms=step_ms)
+        return replace(
+            self,
+            start_ms=start_ms,
+            end_ms=end_ms,
+            step_ms=step_ms,
+            at_start_ms=self.at_start_ms if self.at_start_ms is not None else self.start_ms,
+            at_end_ms=self.at_end_ms if self.at_end_ms is not None else self.end_ms,
+        )
 
     def resolve_at(self, at) -> int:
-        """Resolve @ modifier sentinels (reference: ast.go:216-218)."""
+        """Resolve @ modifier sentinels (reference: ast.go:216-218).
+
+        ``@ start()``/``@ end()`` always refer to the *top-level* query
+        window, even inside subquery child grids."""
         from prometheus_spark.parser.ast import AT_END, AT_START
 
         if at == AT_START:
-            return self.start_ms
+            return self.at_start_ms if self.at_start_ms is not None else self.start_ms
         if at == AT_END:
-            return self.end_ms
+            return self.at_end_ms if self.at_end_ms is not None else self.end_ms
         return int(at)

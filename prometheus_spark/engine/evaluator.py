@@ -105,6 +105,17 @@ class Evaluator:
             from prometheus_spark.model.labels import drop_name_expr, sig_expr
 
             labels = drop_name_expr("labels")
+            hist_cols = []
+            if "hist" in v.df.columns:
+                # −histogram ≡ histogram × −1 (vectorElemBinop MUL path)
+                from prometheus_spark.engine.binop import scale_hist_expr
+
+                hist_cols = [
+                    F.when(
+                        F.col("hist").isNotNull(),
+                        scale_hist_expr(F.col("hist"), F.lit(-1.0), is_div=False),
+                    ).alias("hist")
+                ]
             return self._guarded(
                 VectorFrame(
                     v.df.select(
@@ -113,6 +124,7 @@ class Evaluator:
                         "t",
                         "sample_t",
                         (-F.col("value")).alias("value"),
+                        *hist_cols,
                     )
                 )
             )
@@ -162,8 +174,9 @@ class Evaluator:
         return ScalarFrame(joined.select("t", out.cast("double").alias("value")))
 
     # ------------------------------------------------------------------
-    def _matrix_arg(self, node: Expr) -> tuple[DataFrame, int]:
-        """Evaluate a range-vector argument → (windowed frame, range_ms)."""
+    def _matrix_arg(self, node: Expr) -> tuple[DataFrame, int, Optional[str]]:
+        """Evaluate a range-vector argument → (windowed frame, range_ms,
+        extended-mode: None | 'anchored' | 'smoothed')."""
         ctx = self.ctx
         while isinstance(node, ParenExpr):
             node = node.expr
@@ -171,20 +184,30 @@ class Evaluator:
             sel = node.selector
             rng = resolve_duration_ms(node.range_ms, self._qctx())
             off = resolve_duration_ms(sel.offset_ms, self._qctx())
+            if node.anchored or node.smoothed:
+                from prometheus_spark.engine.selectors import extended_windowed_samples
+
+                w = extended_windowed_samples(
+                    ctx, sel, rng, off, sel.at, smoothed=node.smoothed
+                )
+                return w, rng, "smoothed" if node.smoothed else "anchored"
             w = windowed_samples(ctx, sel, rng, off, sel.at)
-            return w, rng
+            return w, rng, None
         if isinstance(node, SubqueryExpr):
-            return self._subquery(node)
+            w, rng = self._subquery(node)
+            return w, rng, None
         raise PromQLEvalError("expected range vector argument")
 
     def _qctx(self) -> dict:
         """Query-context values for duration expressions (seconds)."""
         ctx = self.ctx
+        start = ctx.at_start_ms if ctx.at_start_ms is not None else ctx.start_ms
+        end = ctx.at_end_ms if ctx.at_end_ms is not None else ctx.end_ms
         return {
             "step": 0.0 if ctx.is_instant else ctx.step_ms / 1000.0,
-            "range": (ctx.end_ms - ctx.start_ms) / 1000.0,
-            "start": ctx.start_ms / 1000.0,
-            "end": ctx.end_ms / 1000.0,
+            "range": (end - start) / 1000.0,
+            "start": start / 1000.0,
+            "end": end / 1000.0,
         }
 
     def _subquery(self, node: SubqueryExpr) -> tuple[DataFrame, int]:
@@ -221,7 +244,8 @@ class Evaluator:
             inner = scalar_frame_from_const(sub_ctx, inner.value)
         if isinstance(inner, ScalarFrame):
             raise PromQLEvalError("subquery on scalar expressions not supported")
-        samples_like = inner.df.select("sig", "labels", "t", "value")
+        hist_cols = ["hist"] if "hist" in inner.df.columns else []
+        samples_like = inner.df.select("sig", "labels", "t", "value", *hist_cols)
         w = windowed_samples(ctx, samples_like, rng, offset, node.at)
         return w, rng
 
@@ -262,16 +286,20 @@ class Evaluator:
             if fn == "predict_linear":
                 param = self._scalar(node.args[1])
             if fn == "double_exponential_smoothing":
-                w, rng = self._matrix_arg(node.args[0])
+                w, rng, mode = self._matrix_arg(node.args[0])
+                if mode is not None:
+                    raise PromQLEvalError(f"{mode} modifier cannot be used with {fn}")
                 return RF.eval_range_function(
                     ctx, fn, w, rng, self._scalar(node.args[1]), self._scalar(node.args[2])
                 )
             m_idx = 1 if fn == "quantile_over_time" else 0
-            w, rng = self._matrix_arg(node.args[m_idx])
-            return RF.eval_range_function(ctx, fn, w, rng, param)
+            w, rng, mode = self._matrix_arg(node.args[m_idx])
+            return RF.eval_range_function(ctx, fn, w, rng, param, mode=mode)
 
         if fn == "absent_over_time":
-            w, _ = self._matrix_arg(node.args[0])
+            w, _, mode = self._matrix_arg(node.args[0])
+            if mode is not None:
+                raise PromQLEvalError(f"{mode} modifier cannot be used with absent_over_time")
             inferred = _inferred_labels(node.args[0])
             return FN.eval_absent_over_time(ctx, w, inferred)
 
@@ -332,9 +360,11 @@ class Evaluator:
                     eval_hist_quantile_native,
                 )
 
-                native = eval_hist_quantile_native(ctx, float(phi.value), vf)
-                return VectorFrame(classic.df.unionByName(native))
-            return classic
+                native = eval_hist_quantile_native(
+                    ctx, float(phi.value), FN.filter_conflicting_native(vf)
+                )
+                return self._guarded(VectorFrame(classic.df.unionByName(native)))
+            return self._guarded(classic)
         if fn == "histogram_quantiles":
             # multi-φ variant adding a quantile label (functions.go:2243)
             from prometheus_spark.model.labels import sig_expr as _sig
@@ -361,7 +391,7 @@ class Evaluator:
                     "value",
                 )
                 out = df if out is None else out.unionByName(df)
-            return VectorFrame(out)
+            return self._guarded(VectorFrame(out))
         if fn == "histogram_fraction":
             lo, up = self._const(node.args[0]), self._const(node.args[1])
             vf = self._vector(node.args[2])
@@ -371,9 +401,11 @@ class Evaluator:
                     eval_hist_fraction_native,
                 )
 
-                native = eval_hist_fraction_native(ctx, lo, up, vf)
-                return VectorFrame(classic.df.unionByName(native))
-            return classic
+                native = eval_hist_fraction_native(
+                    ctx, lo, up, FN.filter_conflicting_native(vf)
+                )
+                return self._guarded(VectorFrame(classic.df.unionByName(native)))
+            return self._guarded(classic)
         if fn == "info":
             return self._info(node)
         raise PromQLEvalError(f"function {fn} not implemented")

@@ -291,32 +291,78 @@ def eval_label_join(vf: VectorFrame, dst: str, sep: str, srcs: list[str]) -> Vec
     )
 
 
+def _classic_native_conflicts(vf: VectorFrame):
+    """(csig, t) keys where classic bucket series and native histograms
+    coexist under the same full label set — both sides must be dropped
+    with a warning (engine.go:1355-1372 ``resetHistograms``).  The
+    signature keeps ``__name__`` and excludes only ``le``."""
+    if "hist" not in vf.df.columns:
+        return None
+    df = vf.df
+    no_le = F.map_filter("labels", lambda k, _: k != F.lit("le"))
+    classic_keys = (
+        df.filter(
+            F.col("value").isNotNull()
+            & _parse_le(F.coalesce(F.element_at("labels", F.lit("le")), F.lit(""))).isNotNull()
+        )
+        .select(sig_expr(no_le).alias("csig"), "t")
+        .distinct()
+    )
+    native_keys = (
+        df.filter(F.col("hist").isNotNull())
+        .select(sig_expr(F.col("labels")).alias("csig"), "t")
+        .distinct()
+    )
+    return classic_keys.join(native_keys, ["csig", "t"], "inner")
+
+
+def filter_conflicting_native(vf: VectorFrame) -> VectorFrame:
+    """Native-histogram rows minus those conflicting with classic buckets."""
+    conflicts = _classic_native_conflicts(vf)
+    if conflicts is None:
+        return vf
+    keyed = vf.df.withColumn("csig", sig_expr(F.col("labels")))
+    return VectorFrame(
+        keyed.join(F.broadcast(conflicts), ["csig", "t"], "left_anti").drop("csig")
+    )
+
+
 def _classic_buckets(vf: VectorFrame):
-    """Group ``le``-labeled bucket series by labels-minus-le per step and
-    collect sorted, coalesced (le, cumulative-count) arrays
-    (quantile.go:620 ``coalesceBuckets``)."""
+    """Group ``le``-labeled bucket series by labels-minus-le (``__name__``
+    kept — reference signature, engine.go:1343) per step and collect
+    sorted, coalesced (le, cumulative-count) arrays (quantile.go:620
+    ``coalesceBuckets``).  Output labels drop ``__name__``; colliding
+    output labelsets are caught by the evaluator's uniqueness guard.
+    Groups conflicting with a native histogram are removed."""
     df = vf.df.filter(F.col("value").isNotNull())  # histogram samples aside
     le = F.coalesce(F.element_at("labels", F.lit("le")), F.lit(""))
-    glabels = F.map_filter(drop_name_expr("labels"), lambda k, _: k != F.lit("le"))
-    return (
+    gfull = F.map_filter("labels", lambda k, _: k != F.lit("le"))
+    glabels = drop_name_expr(gfull)
+    grouped = (
         df.withColumn("__le", _parse_le(le))
         .filter(F.col("__le").isNotNull())
         .select(
-            sig_expr(glabels).alias("sig"),
+            sig_expr(gfull).alias("csig"),
             glabels.alias("labels"),
             "t",
             "__le",
             "value",
         )
         # duplicate le representations ("0.2", "2e-1") merge by summing
-        .groupBy("sig", "t", "__le")
+        .groupBy("csig", "t", "__le")
         .agg(F.first("labels").alias("labels"), F.sum("value").alias("c"))
         .select(
-            "sig", "labels", "t",
+            "csig", "labels", "t",
             F.struct(F.col("__le").alias("le"), F.col("c").alias("c")).alias("b"),
         )
-        .groupBy("sig", "t")
+        .groupBy("csig", "t")
         .agg(F.first("labels").alias("labels"), F.sort_array(F.collect_list("b")).alias("bs"))
+    )
+    conflicts = _classic_native_conflicts(vf)
+    if conflicts is not None:
+        grouped = grouped.join(F.broadcast(conflicts), ["csig", "t"], "left_anti")
+    return grouped.select(
+        sig_expr(F.col("labels")).alias("sig"), "labels", "t", "bs"
     )
 
 
@@ -462,11 +508,13 @@ def _bucket_quantile_expr(bs: Column, q: float) -> Column:
     )
     total = F.element_at(mono, -1)["c"]
     rank = F.lit(q) * total
-    # first bucket with c >= rank
-    idx = F.coalesce(
+    # first bucket with c >= rank; NaN counts satisfy nothing → idx 0,
+    # clamped to 1 for safe access (the NaN guard below wins anyway)
+    idx0 = F.coalesce(
         F.array_position(F.transform(mono, lambda b: b["c"] >= rank), F.lit(True)),
         F.lit(0),
     ).cast("int")
+    idx = F.greatest(idx0, F.lit(1))
     b = F.element_at(mono, idx)
     prev_c = F.when(idx > 1, F.element_at(mono, idx - 1)["c"]).otherwise(F.lit(0.0))
     prev_le = F.when(idx > 1, F.element_at(mono, idx - 1)["le"]).otherwise(F.lit(0.0))
@@ -479,7 +527,7 @@ def _bucket_quantile_expr(bs: Column, q: float) -> Column:
         b["c"] - prev_c > 0, (rank - prev_c) / (b["c"] - prev_c)
     ).otherwise(F.lit(0.0))
     value = (
-        F.when(total == 0, _NAN())
+        F.when((total == 0) | F.isnan(total) | (idx0 == 0), _NAN())
         .when(b["le"] == F.lit(float("inf")), last_finite)
         .when((idx == 1) & (b["le"] <= 0), b["le"])
         .when((idx == 1) & (b["le"] > 0), b["le"] * (rank / b["c"]))

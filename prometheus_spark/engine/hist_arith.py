@@ -185,27 +185,56 @@ def binop_add_sub(ctx: EvalContext, pairs: DataFrame, sub: bool) -> DataFrame:
     return assemble(src.mapInPandas(batches, FLAT_SCHEMA))
 
 
-def group_sum(
-    ctx: EvalContext, df: DataFrame, avg: bool, drop_name: bool = False
-) -> DataFrame:
-    """Sum/avg histograms per (sig, t) group (engine.go:3716 ``KahanAdd``
-    path).  ``df``: (sig, labels, t, hist) with hist non-null.  Groups with
-    incompatible schemas are dropped (reference warns)."""
+def trim_scalar(ctx: EvalContext, src: DataFrame, is_upper: bool) -> DataFrame:
+    """``</`` / ``>/`` — histogram bucket trimming by a scalar
+    (vectorElemBinop TRIM_UPPER/TRIM_LOWER; float_histogram.go:2129).
+    ``src``: (labels, t, hist, __s) with hist non-null."""
     from prometheus_spark.shipping import ensure_shipped
 
     ensure_shipped(ctx.spark)
-    src = df.select("sig", "labels", "t", "hist")
+
+    def batches(it: Iterator) -> Iterator:
+        from prometheus_spark.model.histogram import from_row, hist_trim_buckets
+
+        for pdf in it:
+            rows = _fresh()
+            for labels, t, hd, s in zip(
+                pdf["labels"], pdf["t"], pdf["hist"], pdf["__s"]
+            ):
+                h = hist_trim_buckets(from_row(hd), float(s), is_upper)
+                _append_row(rows, dict(labels), t, None, h)
+            yield _emit_pdf(rows)
+
+    return assemble(
+        src.select("labels", "t", "hist", "__s").mapInPandas(batches, FLAT_SCHEMA)
+    )
+
+
+def group_sum(
+    ctx: EvalContext,
+    df: DataFrame,
+    avg: bool,
+    drop_name: bool = False,
+    order_col: str = "__ord",
+) -> DataFrame:
+    """Sum/avg histograms per (sig, t) group (engine.go:3716 ``KahanAdd``
+    path).  ``df``: (sig, labels, t, hist, <order_col>) with hist non-null;
+    ``order_col`` fixes the Kahan summation order (the reference iterates
+    series in label order / samples in time order — compensation is
+    order-sensitive).  Groups with incompatible schemas are dropped."""
+    from prometheus_spark.shipping import ensure_shipped
+
+    ensure_shipped(ctx.spark)
+    src = df.select("sig", "labels", "t", "hist", F.col(order_col).alias("__ord"))
 
     def one_group(pdf):
-        from prometheus_spark.model.histogram import from_row, hist_sum
+        from prometheus_spark.model.histogram import from_row, hist_mean, hist_sum
 
         rows = _fresh()
+        pdf = pdf.sort_values("__ord")
         hists = [from_row(h) for h in pdf["hist"]]
-        acc, incompatible = hist_sum(hists)
+        acc, incompatible = (hist_mean if avg else hist_sum)(hists)
         if acc is not None and not incompatible:
-            if avg:
-                acc.div(float(len(hists)))
-                acc.compact()
             _append_row(rows, dict(pdf["labels"].iloc[0]), pdf["t"].iloc[0], None, acc)
         return _emit_pdf(rows)
 
@@ -268,6 +297,170 @@ def window_rate(
 
     out = src.groupBy("sig", "t").applyInPandas(one_group, FLAT_SCHEMA)
     return assemble(out, drop_name=True)
+
+
+def window_instant_pair(ctx: EvalContext, windowed: DataFrame, is_rate: bool) -> DataFrame:
+    """irate/idelta over windows containing histogram samples
+    (functions.go ``instantValue``): last two samples of the combined
+    float+histogram sequence; a mixed pair drops the series."""
+    from prometheus_spark.shipping import ensure_shipped
+
+    ensure_shipped(ctx.spark)
+    src = windowed.select("sig", "labels", "t", "sample_t", "value", "hist")
+
+    def one_group(pdf):
+        from prometheus_spark.model.histogram import (
+            GAUGE_TYPE,
+            HistIncompatibleSchema,
+            from_row,
+        )
+
+        rows = _fresh()
+        pdf = pdf.sort_values("sample_t")
+        if len(pdf) < 2:
+            return _emit_pdf(rows)
+        t0, t1 = int(pdf["sample_t"].iloc[-2]), int(pdf["sample_t"].iloc[-1])
+        if t1 == t0:
+            return _emit_pdf(rows)
+        dt = (t1 - t0) / 1000.0
+        h0 = from_row(pdf["hist"].iloc[-2]) if pdf["hist"].iloc[-2] is not None else None
+        h1 = from_row(pdf["hist"].iloc[-1]) if pdf["hist"].iloc[-1] is not None else None
+        labels = dict(pdf["labels"].iloc[0])
+        t_out = int(pdf["t"].iloc[0])
+        if h0 is None and h1 is None:
+            v0, v1 = float(pdf["value"].iloc[-2]), float(pdf["value"].iloc[-1])
+            res = v1 if (is_rate and v1 < v0) else v1 - v0
+            if is_rate:
+                res /= dt
+            _append_row(rows, labels, t_out, res, None)
+        elif h0 is not None and h1 is not None:
+            res = h1.copy()
+            try:
+                if (not is_rate) or not h1.detect_reset(h0):
+                    res.add(h0, sub=True)
+            except HistIncompatibleSchema:
+                return _emit_pdf(rows)
+            res.counter_reset_hint = GAUGE_TYPE
+            if is_rate:
+                res.div(dt)
+            res.compact()
+            _append_row(rows, labels, t_out, None, res)
+        # mixed float/histogram pair: drop
+        return _emit_pdf(rows)
+
+    out = src.groupBy("sig", "t").applyInPandas(one_group, FLAT_SCHEMA)
+    return assemble(out, drop_name=True)
+
+
+def window_extended_rate(
+    ctx: EvalContext,
+    windowed: DataFrame,
+    range_ms: int,
+    is_counter: bool,
+    is_rate: bool,
+    smoothed: bool,
+) -> DataFrame:
+    """rate/increase/delta on anchored/smoothed all-histogram windows
+    (functions.go:374 ``extendedHistogramRate``)."""
+    from prometheus_spark.shipping import ensure_shipped
+
+    ensure_shipped(ctx.spark)
+    src = windowed.select("sig", "labels", "t", "sample_t", "orig_t", "hist", "wend", "role")
+
+    def one_group(pdf):
+        from prometheus_spark.model.histogram import from_row, hist_extended_rate
+
+        rows = _fresh()
+        pdf = pdf.sort_values("sample_t")
+        points = [
+            (int(ot), from_row(h), r)
+            for ot, h, r in zip(pdf["orig_t"], pdf["hist"], pdf["role"])
+            if h is not None
+        ]
+        if len(points) != len(pdf):  # mixed float/histogram window
+            return _emit_pdf(rows)
+        h = hist_extended_rate(
+            points, range_ms, int(pdf["wend"].iloc[0]), is_counter, is_rate, smoothed
+        )
+        if h is not None:
+            _append_row(rows, dict(pdf["labels"].iloc[0]), int(pdf["t"].iloc[0]), None, h)
+        return _emit_pdf(rows)
+
+    out = src.groupBy("sig", "t").applyInPandas(one_group, FLAT_SCHEMA)
+    return assemble(out, drop_name=True)
+
+
+def smoothed_instant_hist(
+    ctx: EvalContext, df: DataFrame, offset: int, at=None
+) -> DataFrame:
+    """Instant smoothed selector over series carrying histogram samples
+    (engine.go ``smoothSeries`` histogram branch): exact sample → copy;
+    surrounded → interpolateHistograms (counter unless both gauge); only a
+    preceding sample → carry forward with hint reset to unknown; a step
+    window mixing floats and histograms is skipped.  Name kept."""
+    from prometheus_spark.shipping import ensure_shipped
+
+    ensure_shipped(ctx.spark)
+    src = df.select("sig", "labels", "t", "value", "hist")
+    lb = ctx.lookback_ms
+    start, end, step = ctx.start_ms, ctx.end_ms, ctx.step_ms
+    ref = ctx.resolve_at(at) - offset if at is not None else None
+    off = offset
+
+    def one_series(pdf):
+        from bisect import bisect_left
+
+        from prometheus_spark.model.histogram import (
+            GAUGE_TYPE,
+            UNKNOWN_RESET,
+            HistIncompatibleSchema,
+            from_row,
+            hist_interpolate,
+        )
+
+        rows = _fresh()
+        pdf = pdf.sort_values("t")
+        ts = [int(x) for x in pdf["t"]]
+        vals = list(pdf["value"])
+        hists = [from_row(h) if h is not None else None for h in pdf["hist"]]
+        labels = dict(pdf["labels"].iloc[0])
+        for step_t in range(start, end + 1, step or 1):
+            data_ts = ref if ref is not None else step_t - off
+            lo_i = bisect_left(ts, data_ts - lb + 1)
+            hi_i = bisect_left(ts, data_ts + lb + 1)
+            w_h = [(ts[i], hists[i]) for i in range(lo_i, hi_i) if hists[i] is not None]
+            w_f = [(ts[i], vals[i]) for i in range(lo_i, hi_i) if hists[i] is None]
+            if w_h and w_f:
+                continue  # mixed window: warn & skip
+            if not w_h:
+                continue  # pure-float series handled JVM-side
+            i = bisect_left([t for t, _ in w_h], data_ts)
+            out_h = None
+            if i < len(w_h) and w_h[i][0] == data_ts:
+                out_h = w_h[i][1].copy()
+            elif 0 < i < len(w_h):
+                (pt, ph), (nt, nh) = w_h[i - 1], w_h[i]
+                if ph.uses_custom_buckets() != nh.uses_custom_buckets():
+                    continue
+                is_counter = (
+                    ph.counter_reset_hint != GAUGE_TYPE
+                    or nh.counter_reset_hint != GAUGE_TYPE
+                )
+                try:
+                    out_h = hist_interpolate(ph, pt, nh, nt, data_ts, is_counter)
+                except HistIncompatibleSchema:
+                    continue
+            elif i > 0:
+                out_h = w_h[i - 1][1].copy()
+                out_h.counter_reset_hint = UNKNOWN_RESET
+            else:
+                continue
+            out_h.compact()
+            _append_row(rows, labels, step_t, None, out_h)
+        return _emit_pdf(rows)
+
+    out = src.groupBy("sig").applyInPandas(one_series, FLAT_SCHEMA)
+    return assemble(out)
 
 
 def window_resets_changes(ctx: EvalContext, windowed: DataFrame, func: str) -> DataFrame:

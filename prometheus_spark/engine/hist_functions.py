@@ -65,7 +65,16 @@ def eval_hist_accessor(ctx: EvalContext, fn: str, vf: VectorFrame) -> VectorFram
     if fn == "histogram_sum":
         return VectorFrame(_project(df, h["sum"]))
     if fn == "histogram_avg":
-        return VectorFrame(_project(df, h["sum"] / h["count"]))
+        # ANSI mode errors on /0 — empty histograms must yield IEEE NaN/Inf
+        avg = F.when(
+            h["count"] == 0.0,
+            F.when(
+                F.isnan(h["sum"]) | (h["sum"] == 0.0), F.lit(float("nan"))
+            ).otherwise(
+                F.when(h["sum"] > 0, F.lit(float("inf"))).otherwise(F.lit(float("-inf")))
+            ),
+        ).otherwise(h["sum"] / h["count"])
+        return VectorFrame(_project(df, avg))
     # stddev / stdvar — bucket geometry walk
     return VectorFrame(_hist_python_fn(ctx, df, fn))
 

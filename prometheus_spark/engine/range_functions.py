@@ -55,6 +55,10 @@ RANGE_FUNCTIONS = frozenset(
 _KEEPS_NAME = frozenset({"last_over_time", "first_over_time"})
 
 
+_ANCHORED_SAFE = frozenset({"resets", "changes", "rate", "increase", "delta"})
+_SMOOTHED_SAFE = frozenset({"rate", "increase", "delta"})
+
+
 def eval_range_function(
     ctx: EvalContext,
     func: str,
@@ -62,9 +66,54 @@ def eval_range_function(
     range_ms: int,
     param=None,
     param2=None,
+    mode: str = None,
 ) -> VectorFrame:
     """windowed: (sig, labels, t, sample_t, value) — one row per sample per
-    step window (see selectors.windowed_samples)."""
+    step window (see selectors.windowed_samples).  ``mode`` selects the
+    experimental anchored/smoothed semantics (boundary samples included,
+    no extrapolation — functions.go:309 ``extendedRate``)."""
+    if mode is not None:
+        safe = _SMOOTHED_SAFE if mode == "smoothed" else _ANCHORED_SAFE
+        if func not in safe:
+            raise PromQLEvalError(
+                f"{mode} modifier can only be used with: "
+                f"{', '.join(sorted(safe))} - not with {func}"
+            )
+        if func in ("rate", "increase", "delta"):
+            float_w, hist_w = _split_windows(windowed, "hist" in windowed.columns)
+            out = _extended_delta(
+                ctx, float_w, range_ms,
+                is_counter=func != "delta", is_rate=func == "rate",
+                smoothed=mode == "smoothed",
+            )
+            if hist_w is not None:
+                from prometheus_spark.engine import hist_arith
+
+                out = _union_hist(
+                    out,
+                    hist_arith.window_extended_rate(
+                        ctx, hist_w, range_ms,
+                        is_counter=func != "delta", is_rate=func == "rate",
+                        smoothed=mode == "smoothed",
+                    ),
+                )
+        else:  # resets / changes over the materialized extended window
+            if "hist" in windowed.columns:
+                w = Window.partitionBy("sig", "t")
+                flagged = windowed.withColumn(
+                    "__has_h", F.max(F.col("hist").isNotNull().cast("int")).over(w)
+                )
+                from prometheus_spark.engine import hist_arith
+
+                out = _union_hist(
+                    _resets_changes(ctx, flagged.filter(F.col("__has_h") == 0), func),
+                    hist_arith.window_resets_changes(
+                        ctx, flagged.filter(F.col("__has_h") == 1), func
+                    ),
+                )
+            else:
+                out = _resets_changes(ctx, windowed, func)
+        return VectorFrame(out)
     # windows may contain histogram samples (value NULL, hist non-null):
     # rate/sum/avg aggregate all-histogram windows through the histogram
     # algebra and drop mixed windows (reference warns); other float
@@ -89,9 +138,10 @@ def eval_range_function(
 
             out_h = hist_arith.group_sum(
                 ctx,
-                hist_w.select("sig", "labels", "t", "hist"),
+                hist_w.select("sig", "labels", "t", "hist", "sample_t"),
                 avg=func == "avg_over_time",
                 drop_name=True,
+                order_col="sample_t",
             )
             out = _union_hist(out, out_h)
     elif func in ("first_over_time", "last_over_time") and has_hist:
@@ -100,7 +150,23 @@ def eval_range_function(
         # histogram samples count for the first/last timestamps too
         out = _simple_over_time(ctx, windowed, func)
     elif func in ("idelta", "irate"):
-        out = _instant_pair(ctx, floats_only, is_rate=func == "irate")
+        if has_hist:
+            w = Window.partitionBy("sig", "t")
+            flagged = windowed.withColumn(
+                "__has_h", F.max(F.col("hist").isNotNull().cast("int")).over(w)
+            )
+            from prometheus_spark.engine import hist_arith
+
+            out = _union_hist(
+                _instant_pair(
+                    ctx, flagged.filter(F.col("__has_h") == 0), is_rate=func == "irate"
+                ),
+                hist_arith.window_instant_pair(
+                    ctx, flagged.filter(F.col("__has_h") == 1), is_rate=func == "irate"
+                ),
+            )
+        else:
+            out = _instant_pair(ctx, floats_only, is_rate=func == "irate")
     elif func in ("resets", "changes"):
         if has_hist:
             w = Window.partitionBy("sig", "t")
@@ -349,6 +415,67 @@ def _extrapolated(
     out = stats.filter(F.col("n") >= 2).select(
         "sig", "labels", "t", value.alias("value")
     )
+    return _finish(out, ctx)
+
+
+def _extended_delta(
+    ctx: EvalContext,
+    windowed: DataFrame,
+    range_ms: int,
+    is_counter: bool,
+    is_rate: bool,
+    smoothed: bool = False,
+) -> DataFrame:
+    """rate/increase/delta on anchored/smoothed windows (functions.go:309
+    ``extendedRate``): boundary rows are interpolated to the exact window
+    edge (counter-aware: a reset across the edge models the counter as
+    restarting from 0 — functions.go:93 ``interpolate``); delta = right −
+    left plus counter-reset corrections walked across the materialized
+    sequence; divided by the range for rate — no extrapolation."""
+    rstart = F.col("wend") - F.lit(range_ms)
+    rend = F.col("wend")
+    v, nt, nv, pt, pv = (
+        F.col("value"), F.col("__nt"), F.col("__nv"), F.col("__pt"), F.col("__pv")
+    )
+    y1_l = F.when(F.lit(is_counter) & (nv < v), F.lit(0.0)).otherwise(v)
+    lval = F.when(
+        F.lit(smoothed)
+        & (F.col("role") == "L")
+        & (F.col("orig_t") < rstart)
+        & nv.isNotNull(),
+        y1_l + (nv - y1_l) * (rstart - F.col("orig_t")) / (nt - F.col("orig_t")),
+    ).otherwise(v)
+    y1_r = F.when(F.lit(is_counter) & (v < pv), F.lit(0.0)).otherwise(pv)
+    rval = F.when(
+        (F.col("role") == "R") & (F.col("orig_t") > rend) & pv.isNotNull(),
+        y1_r + (v - y1_r) * (rend - pt) / (F.col("orig_t") - pt),
+    ).otherwise(v)
+    eff = (
+        F.when(F.col("role") == "L", lval)
+        .when(F.col("role") == "R", rval)
+        .otherwise(v)
+    )
+    windowed = windowed.withColumn("__eff", eff)
+
+    w = Window.partitionBy("sig", "t").orderBy("sample_t")
+    prev = F.lag("__eff").over(w)
+    cur = F.col("__eff")
+    is_reset = (~F.isnan(cur)) & (~F.isnan(prev)) & (cur < prev)
+    drop = F.when(is_reset, prev).otherwise(0.0)
+    stats = (
+        windowed.withColumn("__drop", drop if is_counter else F.lit(0.0))
+        .groupBy("sig", "t")
+        .agg(
+            F.first("labels").alias("labels"),
+            F.min_by("__eff", "sample_t").alias("first_v"),
+            F.max_by("__eff", "sample_t").alias("last_v"),
+            F.sum("__drop").alias("correction"),
+        )
+    )
+    value = F.col("last_v") - F.col("first_v") + F.col("correction")
+    if is_rate:
+        value = value / F.lit(range_ms / 1000.0)
+    out = stats.select("sig", "labels", "t", value.alias("value"))
     return _finish(out, ctx)
 
 

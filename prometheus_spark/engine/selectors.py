@@ -106,6 +106,11 @@ def eval_vector_selector(ctx: EvalContext, node: VectorSelector) -> VectorFrame:
     has_hist = "hist" in base.columns
     hist_cols = ["hist"] if has_hist else []
 
+    if getattr(node, "anchored", False):
+        raise PromQLEvalError_("anchored modifier cannot be used on an instant selector")
+    if getattr(node, "smoothed", False):
+        return _smoothed_instant(ctx, base, offset, at=node.at)
+
     if node.at is not None:
         # Pinned evaluation time: value identical at every step —
         # step-invariant broadcast (reference: engine.go:4646, 2564).
@@ -160,6 +165,110 @@ def eval_vector_selector(ctx: EvalContext, node: VectorSelector) -> VectorFrame:
     return VectorFrame(out)
 
 
+def PromQLEvalError_(msg):
+    from prometheus_spark.engine.aggregations import PromQLEvalError
+
+    return PromQLEvalError(msg)
+
+
+def _smoothed_instant(
+    ctx: EvalContext, base: DataFrame, offset: int, at=None
+) -> VectorFrame:
+    """Instant smoothed selector (engine.go ``smoothSeries``): at each step
+    the value is the sample at the (offset-adjusted) timestamp if one
+    exists; otherwise the linear interpolation between the surrounding
+    samples when both are within the lookback window; with only a
+    preceding sample, its value carries forward; with only a following
+    sample, nothing is emitted.  Metric name is kept.
+
+    Histogram interpolation is not implemented yet — histogram samples
+    are dropped here (TODO: interpolateHistograms in a pandas UDF)."""
+    lb = ctx.lookback_ms
+    base = base.filter(~F.col("stale"))
+    hist_part = None
+    if "hist" in base.columns:
+        # series carrying histogram samples take the Python interpolation
+        # path (whole series — mixed windows are judged per step there)
+        ws = Window.partitionBy("sig")
+        flagged = base.withColumn(
+            "__has_h", F.max(F.col("hist").isNotNull().cast("int")).over(ws)
+        )
+        hist_series = flagged.filter(F.col("__has_h") == 1).drop("__has_h")
+        base = flagged.filter(F.col("__has_h") == 0).drop("__has_h")
+        from prometheus_spark.engine import hist_arith
+
+        hist_part = hist_arith.smoothed_instant_hist(ctx, hist_series, offset, at)
+    base = base.filter(F.col("value").isNotNull())
+    w = Window.partitionBy("sig").orderBy("t")
+    adj = base.withColumn("next_t", F.lead("t").over(w)).withColumn(
+        "next_v", F.lead("value").over(w)
+    )
+    if at is not None:
+        # step-invariant: one smoothed value at the pinned time, broadcast
+        ref = ctx.resolve_at(at) - offset
+        cand = adj.filter(
+            (F.col("t") <= ref)
+            & (F.col("t") > ref - lb)
+            & (F.coalesce(F.col("next_t"), F.lit(2**62)) > ref)
+        )
+        data_ts = F.lit(ref)
+        next_ok = F.col("next_t").isNotNull() & (F.col("next_t") <= data_ts + F.lit(lb))
+        interp = F.col("value") + (F.col("next_v") - F.col("value")) * (
+            data_ts - F.col("t")
+        ) / (F.col("next_t") - F.col("t"))
+        value = (
+            F.when(data_ts == F.col("t"), F.col("value"))
+            .when(next_ok, interp)
+            .otherwise(F.col("value"))
+        )
+        picked = cand.select(
+            "sig", "labels", F.col("t").alias("sample_t"),
+            value.cast("double").alias("value"),
+        )
+        out = picked.crossJoin(F.broadcast(ctx.grid)).select(
+            "sig", "labels", "t", "sample_t", "value"
+        )
+        return VectorFrame(_smoothed_union(out, hist_part))
+    lo = ctx.start_ms - offset - lb
+    hi = ctx.end_ms - offset + lb
+    adj = adj.filter((F.col("t") > lo) & (F.col("t") <= hi))
+    # each sample serves steps with dataTS ∈ [t, min(next_t−1, t+lb−1)]
+    upper = F.least(
+        F.coalesce(F.col("next_t"), F.lit(2**62)) - 1, F.col("t") + F.lit(lb - 1)
+    )
+    exploded = _explode_steps(
+        adj, ctx, F.col("t") + F.lit(offset), upper + F.lit(offset)
+    )
+    data_ts = F.col("step_t") - F.lit(offset)
+    next_ok = F.col("next_t").isNotNull() & (F.col("next_t") <= data_ts + F.lit(lb))
+    interp = F.col("value") + (F.col("next_v") - F.col("value")) * (
+        data_ts - F.col("t")
+    ) / (F.col("next_t") - F.col("t"))
+    value = (
+        F.when(data_ts == F.col("t"), F.col("value"))
+        .when(next_ok, interp)
+        .otherwise(F.col("value"))
+    )
+    out = exploded.select(
+        "sig",
+        "labels",
+        F.col("step_t").alias("out_t"),
+        F.col("t").alias("sample_t"),
+        value.cast("double").alias("value"),
+    ).withColumnsRenamed({"out_t": "t"})
+    return VectorFrame(_smoothed_union(out, hist_part))
+
+
+def _smoothed_union(float_out: DataFrame, hist_part) -> DataFrame:
+    if hist_part is None:
+        return float_out
+    from prometheus_spark.model.schema import HISTOGRAM_TYPE
+
+    return float_out.withColumn("hist", F.lit(None).cast(HISTOGRAM_TYPE)).unionByName(
+        hist_part
+    )
+
+
 def windowed_samples(
     ctx: EvalContext,
     node_or_df,
@@ -191,6 +300,11 @@ def windowed_samples(
             "value", *hist_cols, F.lit(ref).alias("wend"),
         ).withColumnsRenamed({"out_t": "t"})
 
+    return _sliding_windows(ctx, base, range_ms, offset_ms, hist_cols)
+
+
+def _sliding_windows(ctx, base, range_ms, offset_ms, hist_cols):
+
     lo, hi = ctx.start_ms - offset_ms - range_ms, ctx.end_ms - offset_ms
     base = base.filter((F.col("t") > lo) & (F.col("t") <= hi))
     exploded = _explode_steps(
@@ -203,3 +317,177 @@ def windowed_samples(
         "sig", "labels", F.col("step_t").alias("out_t"), F.col("t").alias("sample_t"),
         "value", *hist_cols, (F.col("step_t") - F.lit(offset_ms)).alias("wend"),
     ).withColumnsRenamed({"out_t": "t"})
+
+
+def extended_windowed_samples(
+    ctx: EvalContext,
+    node: VectorSelector,
+    range_ms: int,
+    offset_ms: int = 0,
+    at=None,
+    smoothed: bool = False,
+) -> DataFrame:
+    """Anchored/smoothed matrix windows (reference: engine.go extendFloats
+    + functions.go:309 ``extendedRate`` inputs).
+
+    The window is materialized as: a left-boundary row at ``sample_t =
+    rangeStart`` carrying the last pre-window sample's value (smoothed:
+    linearly interpolated to the edge, non-counter — extendFloats passes
+    isCounter=false), the interior samples in ``(rangeStart, rangeEnd]``,
+    and for smoothed a right-boundary row at ``rangeEnd`` interpolated
+    from the first post-window sample.  Windows with no sample after
+    rangeStart (or, smoothed, none before rangeEnd) produce nothing —
+    enforced by per-window kind flags.
+
+    Rows carry ``orig_t`` (the source sample's timestamp) so validity can
+    be checked; ``sample_t`` is the materialized position.
+    """
+    base = ctx.samples.filter(matcher_predicate(node.matchers)).filter(~F.col("stale"))
+    has_hist = "hist" in base.columns
+    hcols = ["hist"] if has_hist else []
+    base = base.select("sig", "labels", "t", "value", *hcols)
+    lb = ctx.lookback_ms
+
+    w = Window.partitionBy("sig").orderBy("t")
+    with_adj = (
+        base.withColumn("next_t", F.lead("t").over(w))
+        .withColumn("next_v", F.lead("value").over(w))
+        .withColumn("prev_t", F.lag("t").over(w))
+        .withColumn("prev_v", F.lag("value").over(w))
+    )
+    if has_hist:
+        with_adj = with_adj.withColumn("next_h", F.lead("hist").over(w)).withColumn(
+            "prev_h", F.lag("hist").over(w)
+        )
+
+    if at is not None:
+        ref = ctx.resolve_at(at) - offset_ms
+        rstart_c, rend_c = F.lit(ref - range_ms), F.lit(ref)
+        wend_c = F.lit(ref)
+    else:
+        rstart_c = F.col("step_t") - F.lit(offset_ms + range_ms)
+        rend_c = F.col("step_t") - F.lit(offset_ms)
+        wend_c = F.col("step_t") - F.lit(offset_ms)
+
+    def shape(df, sample_t, role, with_adj_cols=False):
+        # boundary rows keep the raw value plus their neighbours — the
+        # consumer interpolates (counter-awareness differs by function:
+        # extendedRate passes isCounter, extendFloats does not)
+        from prometheus_spark.model.schema import HISTOGRAM_TYPE
+
+        if with_adj_cols:
+            adj = [
+                F.col("next_t").alias("__nt"),
+                F.col("next_v").alias("__nv"),
+                F.col("prev_t").alias("__pt"),
+                F.col("prev_v").alias("__pv"),
+            ]
+            adj += (
+                [F.col("next_h").alias("__nh"), F.col("prev_h").alias("__ph")]
+                if has_hist
+                else []
+            )
+        else:
+            adj = [
+                F.lit(None).cast("long").alias("__nt"),
+                F.lit(None).cast("double").alias("__nv"),
+                F.lit(None).cast("long").alias("__pt"),
+                F.lit(None).cast("double").alias("__pv"),
+            ]
+            adj += (
+                [
+                    F.lit(None).cast(HISTOGRAM_TYPE).alias("__nh"),
+                    F.lit(None).cast(HISTOGRAM_TYPE).alias("__ph"),
+                ]
+                if has_hist
+                else []
+            )
+        return df.select(
+            "sig",
+            "labels",
+            F.col("step_t").alias("out_t"),
+            sample_t.cast("long").alias("sample_t"),
+            F.col("t").alias("orig_t"),
+            F.col("value").cast("double").alias("value"),
+            *hcols,
+            F.lit(role).alias("role"),
+            wend_c.alias("wend"),
+            *adj,
+        ).withColumnsRenamed({"out_t": "t"})
+
+    if at is not None:
+        grid = ctx.grid.select(F.col("t").alias("step_t"))
+        rstart, rend = ref - range_ms, ref
+        pinned = with_adj.crossJoin(F.broadcast(grid))
+        # pinned windows: classify each sample against the fixed range
+        interior = pinned.filter((F.col("t") > rstart) & (F.col("t") <= rend))
+        lcand = pinned.filter(
+            (F.col("t") <= rstart)
+            & (F.col("t") > rstart - lb)
+            & (F.coalesce(F.col("next_t"), F.lit(2**62)) > rstart)
+        )
+        rcand = pinned.filter(
+            (F.col("t") > rend)
+            & (F.col("t") < rend + lb)
+            & (F.coalesce(F.col("prev_t"), F.lit(-(2**62))) < rend)
+        )
+    else:
+        lo = ctx.start_ms - offset_ms - range_ms - lb
+        hi = ctx.end_ms - offset_ms + (lb if smoothed else 0)
+        scoped = with_adj.filter((F.col("t") > lo) & (F.col("t") <= hi))
+        # interior: rangeStart < t ≤ rangeEnd ⇔ step ∈ [t+off, t+off+range)
+        interior = _explode_steps(
+            scoped,
+            ctx,
+            F.col("t") + F.lit(offset_ms),
+            F.col("t") + F.lit(range_ms - 1 + offset_ms),
+        )
+        # left boundary: latest sample with t ≤ rangeStart, within lookback
+        # ⇔ rangeStart ∈ [t, min(next_t−1, t+lb−1)] ⇔ step ∈ [t+off+range, …]
+        lcand = _explode_steps(
+            scoped,
+            ctx,
+            F.col("t") + F.lit(offset_ms + range_ms),
+            F.least(
+                F.coalesce(F.col("next_t"), F.lit(2**62)) - 1,
+                F.col("t") + F.lit(lb - 1),
+            )
+            + F.lit(offset_ms + range_ms),
+        )
+        # right boundary (smoothed): earliest sample with t > rangeEnd,
+        # within lookback ⇔ rangeEnd ∈ [max(prev_t, t−lb)+1, t−1]
+        rcand = _explode_steps(
+            scoped,
+            ctx,
+            F.greatest(
+                F.coalesce(F.col("prev_t"), F.lit(-(2**62))),
+                F.col("t") - F.lit(lb),
+            )
+            + F.lit(1 + offset_ms),
+            F.col("t") - F.lit(1) + F.lit(offset_ms),
+        )
+
+    parts = [shape(interior, F.col("t"), "I")]
+    parts.append(shape(lcand, rstart_c, "L", with_adj_cols=True))
+    if smoothed:
+        parts.append(shape(rcand, rend_c, "R", with_adj_cols=True))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+
+    # validity: needs a sample after rangeStart (I or R) and, smoothed,
+    # one at/before rangeEnd (I or L); wend = rangeEnd, so rangeStart =
+    # wend − range works for both the sliding and the @-pinned branch
+    wv = Window.partitionBy("sig", "t")
+    rstart_v = F.col("wend") - F.lit(range_ms)
+    rend_v = F.col("wend")
+    flagged = out.withColumn(
+        "__after", F.max((F.col("orig_t") > rstart_v).cast("int")).over(wv)
+    ).withColumn("__before", F.max((F.col("orig_t") <= rend_v).cast("int")).over(wv))
+    valid = flagged.filter((F.col("__after") == 1) & (F.col("__before") == 1))
+    return valid.select(
+        "sig", "labels", "t", "sample_t", "orig_t", "value", *hcols, "wend", "role",
+        "__nt", "__nv", "__pt", "__pv",
+        *(["__nh", "__ph"] if has_hist else []),
+    )

@@ -223,10 +223,16 @@ class FloatHist:
             if lower_set and upper_set:
                 break
             rank += bc
-        if not lower_set or lower_rank > h.count:
-            lower_rank = h.count
-        if not upper_set or upper_rank > h.count:
-            upper_rank = h.count
+        if math.isnan(h.sum):
+            # NaN observations live in count but not in buckets; fractions
+            # exclude them (quantile.go:495 NaN-sum adjustment)
+            count = sum(bc for _, _, bc in self.all_buckets())
+        else:
+            count = h.count
+        if not lower_set or lower_rank > count:
+            lower_rank = count
+        if not upper_set or upper_rank > count:
+            upper_rank = count
         return (upper_rank - lower_rank) / h.count
 
     # ------------------------------------------------------------------
@@ -634,23 +640,395 @@ def _map_reset(cur: dict, prev: dict) -> bool:
     return False
 
 
+def hist_has_overflow(h: "FloatHist") -> bool:
+    """Any field infinite (float_histogram.go ``HasOverflow``)."""
+    vals = [h.count, h.sum, h.zero_count] + list(h.pos_buckets) + list(h.neg_buckets)
+    return any(math.isinf(v) for v in vals)
+
+
+def _fold_hint(a: int, b: int) -> int:
+    """adjustCounterReset's hint lattice (collision flag dropped)."""
+    if a == b:
+        return a
+    if a == GAUGE_TYPE or b == GAUGE_TYPE:
+        return GAUGE_TYPE
+    return UNKNOWN_RESET
+
+
+def _kahan_scalar_fold(vals: list) -> float:
+    s = c = 0.0
+    for v in vals:
+        s, c = _kahan_inc(v, s, c)
+    return s + c
+
+
+def _kahan_map_fold(maps: list) -> dict:
+    s: dict = {}
+    c: dict = {}
+    for m in maps:
+        for i, v in m.items():
+            s[i], c[i] = _kahan_inc(v, s.get(i, 0.0), c.get(i, 0.0))
+    return {i: s[i] + c[i] for i in s}
+
+
+def _normal_forms(hs: list):
+    """Bring histograms to a common (schema, zero bucket / custom bounds)
+    layout for field-wise summation.  Returns
+    (template FloatHist, [(count, sum, zc, pos_map, neg_map)]) or None on
+    an exponential/custom mix."""
+    custom = hs[0].uses_custom_buckets()
+    if any(h.uses_custom_buckets() != custom for h in hs[1:]):
+        return None
+    hint = hs[0].counter_reset_hint
+    for h in hs[1:]:
+        hint = _fold_hint(hint, h.counter_reset_hint)
+    if custom:
+        cv = hs[0].custom_values
+        if all(h.custom_values == cv for h in hs[1:]):
+            parts = [(h.count, h.sum, 0.0, h._pos_map(), {}) for h in hs]
+        else:
+            nb = cv
+            for h in hs[1:]:
+                nb = _intersect_bounds(nb, h.custom_values)
+            parts = [
+                (h.count, h.sum, 0.0,
+                 _remap_custom(h._pos_map(), h.custom_values, nb), {})
+                for h in hs
+            ]
+            cv = nb
+        tmpl = FloatHist(schema=CUSTOM_BUCKETS_SCHEMA, custom_values=list(cv),
+                         counter_reset_hint=hint)
+        return tmpl, parts
+    target = min(h.schema for h in hs)
+    zt = max(h.zero_threshold for h in hs)
+    while True:  # grow until not inside any populated bucket
+        nzt = zt
+        for h in hs:
+            _, t2 = h._zero_fold(zt)
+            if t2 > nzt:
+                nzt = t2
+        if nzt == zt:
+            break
+        zt = nzt
+    parts = []
+    for h in hs:
+        zc, _ = h._zero_fold(zt)
+        pm = {i: c for i, c in h._pos_map().items() if h._exp_bounds(i)[1] > zt}
+        nm = {i: c for i, c in h._neg_map().items() if h._exp_bounds(i)[1] > zt}
+        d = h.schema - target
+        if d > 0:
+            pm, nm = _reduce_map(pm, d), _reduce_map(nm, d)
+        parts.append((h.count, h.sum, zc, pm, nm))
+    tmpl = FloatHist(schema=target, zero_threshold=zt, counter_reset_hint=hint)
+    return tmpl, parts
+
+
+def _fold_parts(tmpl: "FloatHist", parts: list) -> "FloatHist":
+    out = tmpl.copy()
+    out.count = _kahan_scalar_fold([p[0] for p in parts])
+    out.sum = _kahan_scalar_fold([p[1] for p in parts])
+    out.zero_count = _kahan_scalar_fold([p[2] for p in parts])
+    out._set_pos(_kahan_map_fold([p[3] for p in parts]))
+    out._set_neg(_kahan_map_fold([p[4] for p in parts]))
+    return out.compact()
+
+
 def hist_sum(hists: list) -> tuple[Optional["FloatHist"], bool]:
-    """Sum a list of FloatHist (aggregation path, engine.go:3716).
-    Returns (sum, incompatible) — incompatible=True on exp/custom mix."""
-    acc = None
-    for h in hists:
-        if h is None:
+    """Kahan-compensated field-wise sum (engine.go:3716 ``KahanAdd``
+    aggregation path).  Returns (sum, incompatible)."""
+    hs = [h for h in hists if h is not None]
+    if not hs:
+        return None, False
+    nf = _normal_forms(hs)
+    if nf is None:
+        return None, True
+    tmpl, parts = nf
+    return _fold_parts(tmpl, parts), False
+
+
+def hist_mean(hists: list) -> tuple[Optional["FloatHist"], bool]:
+    """Average of histograms (engine.go avg aggregation).  Direct sum÷n
+    unless the sum overflows; then Σ(h÷n) — the incremental-mean fallback
+    the reference switches to on overflow."""
+    hs = [h for h in hists if h is not None]
+    if not hs:
+        return None, False
+    nf = _normal_forms(hs)
+    if nf is None:
+        return None, True
+    tmpl, parts = nf
+    acc = _fold_parts(tmpl, parts)
+    n = float(len(hs))
+    if hist_has_overflow(acc) and not any(hist_has_overflow(h) for h in hs):
+        scaled = [
+            (c / n, s / n, z / n,
+             {i: v / n for i, v in pm.items()},
+             {i: v / n for i, v in nm.items()})
+            for c, s, z, pm, nm in parts
+        ]
+        return _fold_parts(tmpl, scaled), False
+    acc.div(n)
+    return acc.compact(), False
+
+
+def _frac_below(lo: float, up: float, v: float, linear: bool) -> float:
+    """Bucket.FractionBelow (generic.go): linear, or log2-scale for
+    exponential buckets (negative buckets mirrored)."""
+    if linear:
+        return (v - lo) / (up - lo)
+    ll, lu = math.log2(abs(lo)), math.log2(abs(up))
+    lv = math.log2(abs(v))
+    if v > 0:
+        return (lv - ll) / (lu - ll)
+    return 1 - ((lv - lu) / (ll - lu))
+
+
+def _midpoint(lo: float, up: float, is_positive: bool, linear: bool) -> float:
+    """computeMidpoint (float_histogram.go:2418)."""
+    if math.isinf(lo):
+        if math.isinf(up):
+            return 0.0
+        if up > 0:
+            return up / 2.0
+        return up
+    if math.isinf(up):
+        return lo
+    if linear:
+        return (lo + up) / 2.0
+    geo = math.sqrt(abs(lo * up))
+    return geo if is_positive else -geo
+
+
+def _inf_bucket_trim(is_upper: bool, lo: float, up: float, count: float, rhs: float):
+    """handleInfinityBuckets (float_histogram.go:2291)."""
+    zero_if_inf = lambda x: 0.0 if math.isinf(x) else x
+    if math.isinf(lo) and lo < 0:
+        if is_upper:
+            if rhs >= up:
+                return count, 0.0
+            if rhs > 0 and up > 0 and not math.isinf(up):
+                return count * rhs / up, rhs / 2.0
+            if up <= 0:
+                return count, rhs
+            return 0.0, zero_if_inf(up)
+        if rhs <= lo:
+            return count, 0.0
+        if rhs >= 0 and up > rhs and not math.isinf(up):
+            return count * (1 - rhs / up), (rhs + up) / 2.0
+        return 0.0, zero_if_inf(up)
+    if math.isinf(up) and up > 0:
+        if is_upper:
+            return 0.0, zero_if_inf(lo)
+        if rhs >= lo:
+            return count, rhs
+        return 0.0, zero_if_inf(lo)
+    raise ValueError("no infinite bound")
+
+
+def _bucket_trim(lo, up, count, rhs, is_upper, is_positive, is_custom):
+    """computeBucketTrim (float_histogram.go:2404)."""
+    if math.isinf(lo) or math.isinf(up):
+        return _inf_bucket_trim(is_upper, lo, up, count, rhs)
+    if rhs <= lo:
+        under = 0.0
+    elif rhs >= up:
+        under = count
+    else:
+        under = count * _frac_below(lo, up, rhs, is_custom)
+    if is_upper:
+        return under, _midpoint(lo, rhs, is_positive, is_custom)
+    return count - under, _midpoint(rhs, up, is_positive, is_custom)
+
+
+def _zero_bucket_trim(lo, up, count, rhs, has_neg, has_pos, is_upper):
+    """computeZeroBucketTrim (float_histogram.go:2364)."""
+    if has_neg and not has_pos:
+        up = 0.0
+    if has_pos and not has_neg:
+        lo = 0.0
+    if is_upper:
+        if rhs <= lo:
+            return 0.0, 0.0
+        if rhs >= up:
+            return count, (lo + up) / 2.0
+        return count * (rhs - lo) / (up - lo), (lo + rhs) / 2.0
+    if rhs <= lo:
+        return count, (lo + up) / 2.0
+    if rhs >= up:
+        return 0.0, 0.0
+    return count * (up - rhs) / (up - lo), (rhs + up) / 2.0
+
+
+def hist_trim_buckets(h: "FloatHist", rhs: float, is_upper: bool) -> "FloatHist":
+    """``</`` / ``>/`` bucket trimming (float_histogram.go:2129
+    ``TrimBuckets``): keep observations below (``</``) or above (``>/``)
+    the trim point; boundary buckets interpolate; count/sum rebuilt from
+    bucket midpoints when anything was trimmed."""
+    h = h.copy()
+    is_custom = h.uses_custom_buckets()
+    updated_count = updated_sum = 0.0
+    trimmed = False
+    has_pos = has_neg = False
+
+    pm, nm = h._pos_map(), h._neg_map()
+    for idx in sorted(pm):
+        c = pm[idx]
+        if c == 0:
             continue
-        if acc is None:
-            acc = h.copy()
+        has_pos = True
+        lo, up = (h._custom_bounds(idx) if is_custom else h._exp_bounds(idx))
+        entirely_kept = (up <= rhs) if is_upper else (lo >= rhs)
+        contains = (lo < rhs) if is_upper else (up > rhs)
+        if entirely_kept:
+            updated_count += c
+            updated_sum += _midpoint(lo, up, True, is_custom) * c
+        elif contains:
+            keep, mid = _bucket_trim(lo, up, c, rhs, is_upper, True, is_custom)
+            updated_count += keep
+            updated_sum += mid * keep
+            if pm[idx] != keep:
+                pm[idx] = keep
+                trimmed = True
+        else:
+            pm[idx] = 0.0
+            trimmed = True
+    for idx in sorted(nm):
+        c = nm[idx]
+        if c == 0:
             continue
-        try:
-            acc.add(h)
-        except HistIncompatibleSchema:
-            return None, True
-    if acc is not None:
-        acc.compact()
-    return acc, False
+        has_neg = True
+        alo, aup = h._exp_bounds(idx)
+        lo, up = -aup, -alo  # value-space bounds of a negative bucket
+        entirely_kept = (up <= rhs) if is_upper else (lo >= rhs)
+        contains = (lo < rhs) if is_upper else (up > rhs)
+        if entirely_kept:
+            updated_count += c
+            updated_sum += _midpoint(lo, up, False, is_custom) * c
+        elif contains:
+            keep, mid = _bucket_trim(lo, up, c, rhs, is_upper, False, is_custom)
+            updated_count += keep
+            updated_sum += mid * keep
+            if nm[idx] != keep:
+                nm[idx] = keep
+                trimmed = True
+        else:
+            nm[idx] = 0.0
+            trimmed = True
+
+    if h.zero_count > 0:
+        keep, mid = _zero_bucket_trim(
+            -h.zero_threshold, h.zero_threshold, h.zero_count, rhs,
+            has_neg, has_pos, is_upper,
+        )
+        if h.zero_count != keep:
+            h.zero_count = keep
+            trimmed = True
+        updated_sum += mid * keep
+        updated_count += keep
+
+    h._set_pos(pm)
+    h._set_neg(nm)
+    if trimmed:
+        h.count = updated_count
+        h.sum = updated_sum
+        h.compact()
+    return h
+
+
+def hist_interpolate(
+    h1: "FloatHist", t1: int, h2: "FloatHist", t2: int, t: int, is_counter: bool
+) -> "FloatHist":
+    """Linear interpolation between histogram points (functions.go:109
+    ``interpolateHistograms``): across a counter reset the counter is
+    modeled as restarting from zero."""
+    if t == t1:
+        return h1.copy()
+    if t == t2:
+        return h2.copy()
+    frac = (t - t1) / (t2 - t1)
+    if is_counter and h2.detect_reset(h1):
+        return h2.copy().mul(frac)
+    r = h2.copy()
+    r.add(h1, sub=True)
+    r.mul(frac)
+    r.add(h1)
+    return r
+
+
+def hist_extended_rate(
+    points: list,
+    range_ms: int,
+    wend: int,
+    is_counter: bool,
+    is_rate: bool,
+    smoothed: bool,
+):
+    """rate/increase/delta over anchored/smoothed all-histogram windows
+    (functions.go:374 ``extendedHistogramRate`` + :247
+    ``correctForCounterResetsHistogram``).
+
+    ``points``: [(t_ms, FloatHist, role)] time-ordered, where role 'L'/'R'
+    mark the boundary candidates outside the range.  Returns FloatHist or
+    None on incompatibility."""
+    if not points:
+        return None
+    rstart, rend = wend - range_ms, wend
+    first_i = 0
+    last_i = len(points) - 1
+    try:
+        # left boundary value
+        ft, fh, _ = points[first_i]
+        if smoothed and ft < rstart and first_i + 1 <= last_i:
+            left = hist_interpolate(
+                fh, ft, points[first_i + 1][1], points[first_i + 1][0], rstart, is_counter
+            )
+        else:
+            left = fh.copy()
+        lt, lh, _ = points[last_i]
+        if smoothed and lt > rend and last_i > 0:
+            right = hist_interpolate(
+                points[last_i - 1][1], points[last_i - 1][0], lh, lt, rend, is_counter
+            )
+        else:
+            right = lh.copy()
+
+        result = right.copy()
+        result.add(left, sub=True)
+
+        if is_counter:
+            first = first_i + 1
+            prev = left
+            if (
+                smoothed
+                and points[first_i][0] < rstart
+                and first_i + 1 <= last_i
+                and points[first_i + 1][1].detect_reset(points[first_i][1])
+            ):
+                prev = points[first_i + 1][1]
+                first += 1
+            last = last_i - 1
+            if not first > last + 1:
+                correction = None
+                for t, h, _ in points[first : last + 1]:
+                    if h.detect_reset(prev):
+                        if correction is None:
+                            correction = prev.copy()
+                        else:
+                            correction.add(prev)
+                    prev = h
+                if right.detect_reset(prev):
+                    if correction is None:
+                        correction = prev.copy()
+                    else:
+                        correction.add(prev)
+                if correction is not None:
+                    result.add(correction)
+    except HistIncompatibleSchema:
+        return None
+    if is_rate:
+        result.div(range_ms / 1000.0)
+    result.counter_reset_hint = GAUGE_TYPE
+    return result.compact()
 
 
 def hist_rate(points: list, range_s: float, is_counter: bool, is_rate: bool):
@@ -703,7 +1081,9 @@ def hist_rate(points: list, range_s: float, is_counter: bool, is_rate: bool):
 
 def _kahan_inc(inc, s, c):
     t = s + inc
-    if abs(s) >= abs(inc):
+    if math.isinf(t):
+        c = 0.0  # kahansum.Inc: overflow resets the compensation term
+    elif abs(s) >= abs(inc):
         c += (s - t) + inc
     else:
         c += (inc - t) + s

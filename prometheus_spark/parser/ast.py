@@ -88,6 +88,10 @@ class VectorSelector(Expr):
     matchers: list[Matcher] = field(default_factory=list)
     offset_ms: int = 0
     at: Optional[Union[int, str]] = None  # epoch-ms, AT_START, or AT_END
+    # instant smoothed selector (engine.go smoothSeries): interpolate the
+    # value at the eval timestamp between the surrounding samples
+    smoothed: bool = False
+    anchored: bool = False
 
     def value_type(self) -> ValueType:
         return ValueType.VECTOR
@@ -97,6 +101,11 @@ class VectorSelector(Expr):
 class MatrixSelector(Expr):
     selector: VectorSelector
     range_ms: int
+    # experimental extended range selectors (reference: ast.go:229-232,
+    # lex.go:132-133): anchored includes the last pre-window sample;
+    # smoothed additionally interpolates values at the exact window edges
+    anchored: bool = False
+    smoothed: bool = False
 
     def value_type(self) -> ValueType:
         return ValueType.MATRIX

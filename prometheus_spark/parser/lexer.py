@@ -28,7 +28,7 @@ _NUMBER_RE = re.compile(
 # identifiers may contain colons (recording-rule names) but not start with one
 _IDENT_RE = re.compile(r"[a-zA-Z_][a-zA-Z0-9_:]*")
 _OPS = [
-    "==", "!=", "=~", "!~", "<=", ">=",
+    "==", "!=", "=~", "!~", "<=", ">=", "</", ">/",
     "+", "-", "*", "/", "%", "^",
     "(", ")", "{", "}", "[", "]", ",", "@", ":", "<", ">", "=",
 ]

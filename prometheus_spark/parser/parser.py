@@ -39,7 +39,7 @@ from prometheus_spark.parser.lexer import ParseError, Token, parse_duration_ms, 
 _PRECEDENCE = {
     "or": 1,
     "and": 2, "unless": 2,
-    "==": 3, "!=": 3, "<": 3, ">": 3, "<=": 3, ">=": 3,
+    "==": 3, "!=": 3, "<": 3, ">": 3, "<=": 3, ">=": 3, "</": 3, ">/": 3,
     "+": 4, "-": 4,
     "*": 5, "/": 5, "%": 5,
     "atan2": 6,
@@ -199,6 +199,20 @@ class Parser:
         while True:
             if self.peek().kind == "OP" and self.peek().text == "[":
                 e = self.parse_range_suffix(e)
+                continue
+            if self.peek().kind == "IDENT" and self.peek().text in ("anchored", "smoothed"):
+                kw = self.next().text
+                target = e
+                while isinstance(target, ParenExpr):
+                    target = target.expr
+                if not isinstance(target, (MatrixSelector, VectorSelector)):
+                    raise ParseError(f"{kw} modifier must follow a selector")
+                if kw == "anchored":
+                    target.anchored = True
+                else:
+                    target.smoothed = True
+                if target.anchored and target.smoothed:
+                    raise ParseError("cannot use anchored and smoothed together")
                 continue
             if self.accept_ident("offset"):
                 # offset binds a single signed duration primary — trailing

@@ -555,25 +555,34 @@ def _run_eval(engine, cmd: EvalCmd) -> None:
 
 
 def _hist_equal(want: dict, have) -> bool:
-    """Compare an expected histogram literal with a result histogram;
-    counter_reset_hint is only checked when explicitly specified (the
-    parser can't distinguish, so it is never checked)."""
+    """Compare an expected histogram literal with a result histogram —
+    both sides Compact(0)'d first, exactly like the reference runner
+    (promqltest/test.go:1319).  counter_reset_hint is never checked (the
+    literal parser can't distinguish unset from unknown)."""
     if not isinstance(have, dict):
         return False
-    for k in ("schema",):
-        if int(want.get(k) or 0) != int(have.get(k) or 0):
+    from prometheus_spark.model.histogram import from_row
+
+    w, h = from_row(want).compact(), from_row(have).compact()
+    if w.schema != h.schema:
+        return False
+    for a, b in (
+        (w.count, h.count),
+        (w.sum, h.sum),
+        (w.zero_count, h.zero_count),
+        (w.zero_threshold, h.zero_threshold),
+    ):
+        if not _almost_equal(a, b):
             return False
-    for k in ("count", "sum", "zero_count", "zero_threshold"):
-        if not _almost_equal(float(want.get(k) or 0.0), float(have.get(k) or 0.0)):
+    if len(w.custom_values) != len(h.custom_values) or any(
+        not _almost_equal(x, y) for x, y in zip(w.custom_values, h.custom_values)
+    ):
+        return False
+    for wa, ha in ((w.pos_spans, h.pos_spans), (w.neg_spans, h.neg_spans)):
+        if [(int(o), int(n)) for o, n in wa] != [(int(o), int(n)) for o, n in ha]:
             return False
-    for k in ("pos_buckets", "neg_buckets", "custom_values"):
-        wa, ha = list(want.get(k) or []), list(have.get(k) or [])
+    for wa, ha in ((w.pos_buckets, h.pos_buckets), (w.neg_buckets, h.neg_buckets)):
         if len(wa) != len(ha) or any(not _almost_equal(x, y) for x, y in zip(wa, ha)):
-            return False
-    for k in ("pos_spans", "neg_spans"):
-        wa = [(int(s["offset"]), int(s["length"])) for s in (want.get(k) or [])]
-        ha = [(int(s["offset"]), int(s["length"])) for s in (have.get(k) or [])]
-        if wa != ha:
             return False
     return True
 

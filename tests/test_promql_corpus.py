@@ -34,6 +34,7 @@ CORPUS = [
     ("fill-modifier.test", None, 0),
     ("info.test", None, 2),  # conflicting-info-series duplicate detection
     ("histograms.test", None, 50),  # histogram arithmetic pending
+    ("extended_vectors.test", None, 0),
     ("functions.test", 80, 6),  # resets/changes on histograms pending
 ]
 
