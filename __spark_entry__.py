@@ -33,11 +33,20 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the events table carries TIMESTAMP(NANOS) which Spark rejects unless
     # read as long; normalize back to a timestamp column (µs precision)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # epoch-ms extraction and date_trunc must agree with the DuckDB oracle's
+    # naive-UTC reading of the same parquet timestamps
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) read via nanosAsLong
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        elif ts_type == "timestamp_ntz":
+            # µs-precision parquet reads as NTZ; session TZ is UTC so the
+            # cast is an exact epoch identity (unix_millis requires TIMESTAMP)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -346,7 +355,15 @@ def _pipe_ann_lsh(spark, sf_dir):
 def _pipe_multimodal(spark, sf_dir):
     from prometheus_spark.pipeline.multimodal import extract_features, synthesize_media
 
-    return extract_features(synthesize_media(spark, n=64))
+    # project the ArrayType feature to hashable scalars for the driver's
+    # row-hash comparator (lists aren't hashable in pandas factorize)
+    feats = extract_features(synthesize_media(spark, n=64))
+    return feats.select(
+        "media_id",
+        F.md5(F.to_json(F.struct(F.col("feature")))).alias("feature_md5"),
+        F.size("feature").alias("feature_dim"),
+        "decode_ok",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -86,10 +86,21 @@ def samples_from_events(
     for c in label_cols:
         labels_entries += [F.lit(c), F.col(c).cast("string")]
     labels = F.create_map(*labels_entries)
+    # The driver's events.parquet carries TIMESTAMP(µs) which Spark reads as
+    # TIMESTAMP_NTZ; unix_millis requires TIMESTAMP, and under the UTC session
+    # TZ the cast is an exact epoch-ms identity (matches DuckDB epoch_ms(ts)).
+    ts_type = dict(events.dtypes).get("ts", "timestamp")
+    ts_col = F.col("ts")
+    if ts_type == "bigint":  # legacy nanosAsLong read path
+        t_expr = (ts_col / F.lit(1_000_000)).cast("long")
+    else:
+        if ts_type != "timestamp":
+            ts_col = ts_col.cast("timestamp")
+        t_expr = F.unix_millis(ts_col)
     df = events.select(
         labels.alias("labels"),
         F.col(name_col).cast("string").alias("name"),
-        (F.unix_millis(F.col("ts"))).alias("t"),
+        t_expr.alias("t"),
         F.col(value_col).cast("double").alias("value"),
         F.lit(False).alias("stale"),
     )
