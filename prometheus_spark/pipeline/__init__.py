@@ -7,6 +7,7 @@ from prometheus_spark.pipeline.dedup import (
     embedding_near_dup_pairs,
 )
 from prometheus_spark.pipeline.similarity import (
+    AnnIndex,
     cosine_topk_bruteforce,
     lsh_bucketed_topk,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "simhash_64",
     "ngram_jaccard_pairs",
     "embedding_near_dup_pairs",
+    "AnnIndex",
     "cosine_topk_bruteforce",
     "lsh_bucketed_topk",
     "token_count",

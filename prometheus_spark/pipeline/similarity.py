@@ -55,6 +55,86 @@ def cosine_topk_bruteforce(
     )
 
 
+def _hyperplanes(planes: int, dim: int, seed: int):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((planes, dim))
+
+
+def _bucket_expr(vec: Column, hyper) -> Column:
+    out = F.lit(0)
+    for p in range(len(hyper)):
+        coeffs = F.array(*[F.lit(float(c)) for c in hyper[p]])
+        dot = F.aggregate(
+            F.zip_with(vec, coeffs, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.when(dot >= 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
+    return out
+
+
+def _probe_buckets(query: Sequence[float], hyper, multiprobe: bool) -> list[int]:
+    import numpy as np
+
+    qv = np.asarray(list(query), dtype=float)
+    qbucket = 0
+    planes = len(hyper)
+    for p in range(planes):
+        if float(hyper[p] @ qv) >= 0:
+            qbucket |= 1 << p
+    return [qbucket] + (
+        [qbucket ^ (1 << p) for p in range(planes)] if multiprobe else []
+    )
+
+
+class AnnIndex:
+    """Materialized LSH index: the bucket column is computed ONCE at build
+    time and persisted partitioned by bucket, so each query is a
+    partition-pruned scan of ~(planes+1)/2^planes of the data instead of a
+    full-table bucket recomputation.
+
+    ``build(..., path=...)`` writes parquet with ``partitionBy(bucket)``
+    (Catalyst prunes non-probed buckets at the file level — the shape that
+    holds at 100 TB); without a path the bucketed frame is cached.
+    """
+
+    def __init__(self, df: DataFrame, hyper, vec_col: str, id_col: str):
+        self.df = df  # carries a materialized `bucket` column
+        self.hyper = hyper
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        planes: int = 12,
+        seed: int = 7,
+        path: str | None = None,
+    ) -> "AnnIndex":
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = first["d"] if first else 1
+        hyper = _hyperplanes(planes, dim, seed)
+        bucketed = df.select(
+            F.col(id_col), F.col(vec_col), _bucket_expr(F.col(vec_col), hyper).alias("bucket")
+        )
+        if path is not None:
+            bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+            bucketed = df.sparkSession.read.parquet(path)
+        else:
+            bucketed = bucketed.cache()
+        return cls(bucketed, hyper, vec_col, id_col)
+
+    def topk(self, query: Sequence[float], k: int = 10, multiprobe: bool = True) -> DataFrame:
+        probes = _probe_buckets(query, self.hyper, multiprobe)
+        candidates = self.df.filter(F.col("bucket").isin(probes))
+        return cosine_topk_bruteforce(candidates, query, k, self.vec_col, self.id_col)
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query: Sequence[float],
@@ -65,39 +145,17 @@ def lsh_bucketed_topk(
     seed: int = 7,
     multiprobe: bool = True,
 ) -> DataFrame:
-    """ANN top-k: random-hyperplane signature buckets; candidates =
-    query's bucket ∪ all single-bit-flip buckets (multiprobe), then exact
-    cosine rank.  Recall < 1 by construction; 100× less data scanned once
-    the bucket column is materialized + partitioned on."""
-    import numpy as np
-
+    """One-shot ANN top-k: random-hyperplane signature buckets; candidates
+    = query's bucket ∪ all single-bit-flip buckets (multiprobe), then
+    exact cosine rank.  Recall < 1 by construction.  For repeated queries
+    use :class:`AnnIndex`, which materializes + partitions the bucket
+    column so probing is a partition-pruned scan."""
     first = df.select(F.size(vec_col).alias("d")).first()
     if first is None:
         return df.sparkSession.createDataFrame([], f"{id_col} long, cosine double")
-    dim = first["d"]
-    rng = np.random.RandomState(seed)
-    hyper = rng.standard_normal((planes, dim))
-
-    def bucket_expr(vec: Column) -> Column:
-        out = F.lit(0)
-        for p in range(planes):
-            coeffs = F.array(*[F.lit(float(c)) for c in hyper[p]])
-            dot = F.aggregate(
-                F.zip_with(vec, coeffs, lambda x, c: x.cast("double") * c),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            out = out + F.when(dot >= 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
-        return out
-
-    qv = np.asarray(list(query), dtype=float)
-    qbucket = 0
-    for p in range(planes):
-        if float(hyper[p] @ qv) >= 0:
-            qbucket |= 1 << p
-    probes = [qbucket] + ([qbucket ^ (1 << p) for p in range(planes)] if multiprobe else [])
-
-    candidates = df.withColumn("__bucket", bucket_expr(F.col(vec_col))).filter(
+    hyper = _hyperplanes(planes, first["d"], seed)
+    probes = _probe_buckets(query, hyper, multiprobe)
+    candidates = df.withColumn("__bucket", _bucket_expr(F.col(vec_col), hyper)).filter(
         F.col("__bucket").isin(probes)
     )
     return cosine_topk_bruteforce(candidates, query, k, vec_col, id_col)

@@ -113,3 +113,40 @@ def test_multimodal_features(spark):
     # deterministic across runs
     again = extract_features(synthesize_media(spark, n=16), dim=8).collect()
     assert sorted(map(str, feats)) == sorted(map(str, again))
+
+
+@needs_data
+def test_ngram_jaccard_hot_gram_cap(spark, docs):
+    """A stop-word-heavy corpus must not blow up the inverted-index join:
+    with max_gram_df=1 every shared gram is too hot, so candidate
+    generation yields nothing — but near-dup pairs still verify exactly
+    when the cap admits any shared gram."""
+    from prometheus_spark.pipeline import ngram_jaccard_pairs
+
+    rows = [(i, "of the of the of the common stopword text") for i in range(20)]
+    hot = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ngram_jaccard_pairs(hot, n=2, threshold=0.5, max_gram_df=1)
+    assert capped.count() == 0  # all grams hotter than the cap → no pairs
+    # with a permissive cap the identical docs pair up at jaccard 1.0
+    open_ = ngram_jaccard_pairs(hot.limit(3), n=2, threshold=0.99, max_gram_df=100)
+    assert open_.count() == 3  # C(3,2) identical pairs
+    assert all(r["jaccard"] == pytest.approx(1.0) for r in open_.collect())
+
+
+@needs_data
+def test_ann_index_materialized(spark, emb, tmp_path):
+    """AnnIndex persists the bucket column partitioned by bucket; querying
+    it matches the one-shot lsh_bucketed_topk results."""
+    from prometheus_spark.pipeline import AnnIndex, lsh_bucketed_topk
+
+    q = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    idx = AnnIndex.build(emb, path=str(tmp_path / "ann_idx"))
+    got = [(r["vec_id"], round(r["cosine"], 6)) for r in idx.topk(q, k=5).collect()]
+    want = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in lsh_bucketed_topk(emb, q, k=5).collect()
+    ]
+    assert got == want
+    assert 7 in [v for v, _ in got]
+    # the on-disk layout is partitioned by bucket → probe scans prune files
+    assert any("bucket=" in p for p in os.listdir(tmp_path / "ann_idx"))

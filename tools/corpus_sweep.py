@@ -36,8 +36,8 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    rows = []
     report = []
+    tot_failed = tot_evals = tot_skipped = 0
     for fname in files:
         path = os.path.join(TESTDATA, fname)
         with open(path) as f:
@@ -45,17 +45,28 @@ def main() -> None:
         t0 = time.time()
         try:
             stats = run_test_text(spark, text, max_evals=None)
-            failed, total, fails = stats.failed, stats.total, stats.failures
+            failed, total, skipped, fails = (
+                stats.failed, stats.total, stats.skipped, stats.failures
+            )
         except Exception as e:  # noqa: BLE001 — harness crash counts as all-fail
-            failed, total, fails = -1, 0, [f"HARNESS CRASH: {e!r}"]
+            failed, total, skipped, fails = -1, 0, 0, [f"HARNESS CRASH: {e!r}"]
         dt = time.time() - t0
-        rows.append((fname, failed, total, dt))
-        report.append(f"===== {fname}: {failed}/{total} failed ({dt:.1f}s)")
+        tot_failed += max(failed, 0)
+        tot_evals += total
+        tot_skipped += skipped
+        report.append(
+            f"===== {fname}: {failed}/{total} failed, {skipped} skipped ({dt:.1f}s)"
+        )
         report.extend(fails)
-        print(f"{fname:32s} {failed:4d}/{total:4d} failed  {dt:6.1f}s", flush=True)
+        print(
+            f"{fname:32s} {failed:4d}/{total:4d} failed  {skipped:3d} skipped  {dt:6.1f}s",
+            flush=True,
+        )
 
+    summary = f"TOTAL: {tot_failed}/{tot_evals} failed, {tot_skipped} skipped"
     with open("/tmp/corpus_sweep.txt", "w") as f:
-        f.write("\n".join(report) + "\n")
+        f.write(summary + "\n" + "\n".join(report) + "\n")
+    print(summary)
     print("report: /tmp/corpus_sweep.txt")
 
 
