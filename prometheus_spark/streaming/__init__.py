@@ -1,3 +1,8 @@
+from prometheus_spark.streaming.ingest import (
+    ingest_events_stream,
+    samples_stream_from_events,
+    with_ooo_window,
+)
 from prometheus_spark.streaming.rules import (
     AlertingRule,
     RecordingRule,
@@ -5,4 +10,12 @@ from prometheus_spark.streaming.rules import (
     RulesEngine,
 )
 
-__all__ = ["AlertingRule", "RecordingRule", "RuleGroup", "RulesEngine"]
+__all__ = [
+    "AlertingRule",
+    "RecordingRule",
+    "RuleGroup",
+    "RulesEngine",
+    "ingest_events_stream",
+    "samples_stream_from_events",
+    "with_ooo_window",
+]

@@ -9,10 +9,12 @@ Series that vanish between consecutive evaluations get staleness markers
 
 Spark-first: each trigger tick is one batch evaluation of the instant
 query at an interval-aligned timestamp (rules/group.go:422
-``EvalTimestamp``).  ``RulesEngine.eval_tick`` is the pure batch core;
-``RulesEngine.stream`` wires it to a Structured Streaming trigger via
-``foreachBatch`` — the rules clock is the trigger, state lives in the
-engine's state DataFrames (checkpointed by the caller's sink).
+``EvalTimestamp``).  Recording-rule output NEVER lands on the driver —
+``eval_tick`` returns a samples-schema DataFrame the caller appends to
+storage, and the vanished-series diff is a distributed anti-join against
+the previous tick's (cached) output signature frame.  Only *alert* state
+is driver-side, whose cardinality is bounded by firing alerts (the
+reference also materializes those in memory).
 """
 
 from __future__ import annotations
@@ -54,69 +56,127 @@ class RuleGroup:
         return ts_ms - (ts_ms % self.interval_ms)
 
 
-class RulesEngine:
-    """Evaluates rule groups against a samples table and accumulates
-    output samples + alert state.
+def _with_rule_labels(result: DataFrame, name: str, extra: dict[str, str]) -> DataFrame:
+    """Rewrite the result's label map: __name__ := rule output name, then
+    overlay the rule's static labels — all columnar."""
+    override = {METRIC_NAME_LABEL: name, **extra}
+    keep = F.map_filter(
+        F.col("labels"), lambda k, _: ~k.isin(*[F.lit(x) for x in override])
+    )
+    entries: list = []
+    for k, v in override.items():
+        entries += [F.lit(k), F.lit(v)]
+    labels = F.map_concat(keep, F.create_map(*entries))
+    return result.withColumn("labels", labels)
 
-    State tables (driver-visible, small: one row per active alert /
-    previously-seen series) are plain DataFrames collected per tick —
-    alert cardinality is bounded by alerting-rule result sizes, which the
-    reference also materializes in memory."""
+
+def _as_samples(df: DataFrame, ts: int) -> DataFrame:
+    """Normalize a query result to the canonical samples layout."""
+    cols = [
+        sig_expr("labels").alias("sig"),
+        F.element_at("labels", METRIC_NAME_LABEL).alias("name"),
+        F.col("labels"),
+        F.lit(ts).cast("long").alias("t"),
+        F.col("value").cast("double").alias("value"),
+        F.lit(False).alias("stale"),
+    ]
+    return df.select(*cols)
+
+
+class RulesEngine:
+    """Evaluates rule groups against a samples table.
+
+    ``eval_tick`` returns ``(samples_df, alert_rows)``: the DataFrame is
+    the distributed append payload (recording outputs + staleness markers
+    + ALERTS series); ``alert_rows`` is the small driver-side alert-state
+    snapshot."""
 
     def __init__(self, spark: SparkSession, samples: DataFrame, lookback_ms: int = 300_000):
         from prometheus_spark.engine import PromQLEngine
 
         self.spark = spark
         self.engine = PromQLEngine(spark, samples, lookback_ms=lookback_ms)
-        # alert state: sig -> (labels, active_since_ms, state)
+        # alert state: sig -> (labels, active_since_ms, state) — bounded
         self._alert_state: dict[str, dict] = {}
-        # previous eval's output sigs per rule (for staleness emission)
-        self._prev_series: dict[str, dict[str, dict]] = {}
+        # previous eval's (sig, labels) frame per recording rule, cached —
+        # one row per output series, never collected
+        self._prev_series: dict[str, DataFrame] = {}
 
     # -- batch core ---------------------------------------------------------
-    def eval_tick(self, group: RuleGroup, ts_ms: int) -> tuple[list, list]:
+    def eval_tick(self, group: RuleGroup, ts_ms: int) -> tuple[Optional[DataFrame], list]:
         """Evaluate all rules in the group at the aligned timestamp.
 
-        Returns (samples_rows, alert_rows):
-        - samples_rows: (labels: dict, t: int, value: float, stale: bool)
-          for recording-rule outputs, ALERTS series, and staleness markers
+        Returns (samples_df, alert_rows):
+        - samples_df: canonical samples frame (sig, name, labels, t,
+          value, stale) with recording-rule outputs, ALERTS series, and
+          staleness markers — or None when nothing was produced
         - alert_rows: (alertname, labels, state, active_since_ms)
         """
         ts = group.eval_timestamp(ts_ms)
-        out_rows: list = []
+        frames: list[DataFrame] = []
+        alert_sample_rows: list = []
         alert_rows: list = []
         for rule in group.rules:
             if isinstance(rule, RecordingRule):
-                out_rows += self._eval_recording(group, rule, ts)
+                frames.append(self._eval_recording(group, rule, ts))
             elif isinstance(rule, AlertingRule):
                 s, a = self._eval_alerting(group, rule, ts)
-                out_rows += s
+                alert_sample_rows += s
                 alert_rows += a
-        return out_rows, alert_rows
+        if alert_sample_rows:
+            from prometheus_spark.storage import samples_from_rows
 
-    def _eval_recording(self, group: RuleGroup, rule: RecordingRule, ts: int) -> list:
-        result = self.engine.instant_query(rule.expr, ts).collect()
+            value_rows = [
+                (labels, t, v) for labels, t, v, stale in alert_sample_rows if not stale
+            ]
+            stale_rows = [
+                (labels, t) for labels, t, v, stale in alert_sample_rows if stale
+            ]
+            alerts_df = samples_from_rows(self.spark, value_rows, stale_rows)
+            frames.append(alerts_df.drop("hist"))
+        if not frames:
+            return None, alert_rows
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out, alert_rows
+
+    def _eval_recording(self, group: RuleGroup, rule: RecordingRule, ts: int) -> DataFrame:
         key = f"{group.name}/{rule.record}"
-        rows = []
-        seen: dict[str, dict] = {}
-        for r in result:
-            labels = dict(r["labels"])
-            labels[METRIC_NAME_LABEL] = rule.record
-            labels.update(rule.labels)
-            from prometheus_spark.model.labels import sig_for
-
-            seen[sig_for(labels)] = labels
-            rows.append((labels, ts, float(r["value"]), False))
-        # staleness for series that vanished since the previous eval
-        for sig, labels in self._prev_series.get(key, {}).items():
-            if sig not in seen:
-                rows.append((labels, ts, None, True))
-        self._prev_series[key] = seen
-        return rows
+        result = _with_rule_labels(
+            self.engine.instant_query(rule.expr, ts).select("labels", "value"),
+            rule.record,
+            rule.labels,
+        )
+        current = _as_samples(result, ts)
+        # pin this tick's output so the next tick's anti-join (and the
+        # caller's append) don't re-run the query
+        current = current.persist()
+        prev = self._prev_series.get(key)
+        out = current
+        if prev is not None:
+            # staleness markers for series that vanished since last tick:
+            # distributed anti-join, no driver materialization
+            vanished = prev.join(current.select("sig"), "sig", "left_anti")
+            stale = vanished.select(
+                "sig",
+                "name",
+                "labels",
+                F.lit(ts).cast("long").alias("t"),
+                F.lit(None).cast("double").alias("value"),
+                F.lit(True).alias("stale"),
+            )
+            out = current.unionByName(stale)
+            prev.unpersist()
+        self._prev_series[key] = current.select("sig", "name", "labels")
+        return out
 
     def _eval_alerting(self, group: RuleGroup, rule: AlertingRule, ts: int):
         from prometheus_spark.model.labels import sig_for
 
+        # alert-rule results are bounded by firing cardinality — the one
+        # place a driver collect is the right call (mirrors the reference
+        # keeping active alerts in memory, rules/alerting.go:387)
         result = self.engine.instant_query(rule.expr, ts).collect()
         firing_now: dict[str, dict] = {}
         for r in result:
@@ -176,9 +236,11 @@ class RulesEngine:
         now_fn=None,
     ):
         """Run the group on a Structured Streaming trigger.  Each trigger
-        tick calls ``eval_tick(now)`` and hands the produced rows to
-        ``append_fn(samples_rows, alert_rows)`` — the caller's sink (e.g.
-        append to the samples parquet, remote-write, notify).
+        tick calls ``eval_tick(now)`` and hands the produced frame to
+        ``append_fn(samples_df, alert_rows)`` — the caller's sink (e.g.
+        ``df.write.mode("append")`` into the samples store, remote-write,
+        notify).  The frame is appended distributedly; nothing crosses
+        the driver except alert state.
 
         The rate source is a 1-row-per-trigger clock; the rules engine
         evaluates against the (continuously updated) samples table like
@@ -191,8 +253,8 @@ class RulesEngine:
         )
 
         def on_tick(batch_df, batch_id):
-            samples_rows, alert_rows = self.eval_tick(group, now_fn())
-            append_fn(samples_rows, alert_rows)
+            samples_df, alert_rows = self.eval_tick(group, now_fn())
+            append_fn(samples_df, alert_rows)
 
         writer = clock.writeStream.foreachBatch(on_tick).outputMode("append")
         if trigger_seconds:

@@ -407,13 +407,39 @@ class TestStats:
         self.failures.extend(other.failures)
 
 
+def _eval_one(engine, cmd: EvalCmd) -> tuple[str, str | None]:
+    """Run one eval; returns (outcome, failure_message)."""
+    try:
+        _run_eval(engine, cmd)
+        return "pass", None
+    except SkipCommand:
+        return "skip", None
+    except AssertionError as e:
+        return "fail", f"line {cmd.line}: {cmd.query}\n  {e}"
+    except Exception as e:  # noqa: BLE001 — engine error vs expect_fail
+        if cmd.expect_fail:
+            return "pass", None
+        return "fail", (
+            f"line {cmd.line}: {cmd.query}\n  error: {type(e).__name__}: {str(e)[:300]}"
+        )
+
+
 def run_test_text(
     spark,
     text: str,
     max_evals: int | None = None,
     query_filter=None,
+    parallel_evals: int = 1,
 ) -> TestStats:
-    """Execute a promqltest script against the Spark engine."""
+    """Execute a promqltest script against the Spark engine.
+
+    ``parallel_evals > 1`` runs the evals between data-loading commands
+    concurrently against the shared SparkSession — each eval is a small
+    independent read-only job, so concurrent submission hides Spark's
+    per-job scheduling latency (the dominant cost on tiny corpus data).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     from prometheus_spark.engine import PromQLEngine
     from prometheus_spark.storage import samples_from_rows
 
@@ -429,14 +455,39 @@ def run_test_text(
     dropped_names: set[str] = set()
     engine = None
     dirty = True
+    batch: list[EvalCmd] = []
+    pool = ThreadPoolExecutor(parallel_evals) if parallel_evals > 1 else None
 
+    def flush():
+        nonlocal batch
+        if not batch:
+            return
+        if pool is not None:
+            results = list(pool.map(lambda c: _eval_one(engine, c), batch))
+        else:
+            results = [_eval_one(engine, c) for c in batch]
+        for outcome, msg in results:
+            if outcome == "pass":
+                stats.total += 1
+                stats.passed += 1
+            elif outcome == "skip":
+                stats.skipped += 1
+            else:
+                stats.total += 1
+                stats.failed += 1
+                stats.failures.append(msg)
+        batch = []
+
+    capped = False
     for cmd in cmds:
         if isinstance(cmd, ClearCmd):
+            flush()
             rows, stale_rows = [], []
             dropped_names = set()
             dirty = True
             continue
         if isinstance(cmd, LoadCmd):
+            flush()
             dropped_names.update(cmd.dropped_names)
             for s in cmd.series:
                 for idx, v in s.points:
@@ -452,7 +503,8 @@ def run_test_text(
             dirty = True
             continue
         # EvalCmd
-        if max_evals is not None and stats.total >= max_evals:
+        if max_evals is not None and stats.total + len(batch) >= max_evals:
+            capped = True
             break
         if query_filter is not None and not query_filter(cmd.query):
             continue
@@ -462,28 +514,15 @@ def run_test_text(
         if dropped_names and any(n in cmd.query for n in dropped_names):
             stats.skipped += 1
             continue
-        stats.total += 1
-        try:
-            if dirty:
-                samples = samples_from_rows(spark, rows, stale_rows).cache()
-                engine = PromQLEngine(spark, samples, kahan=True)
-                dirty = False
-            _run_eval(engine, cmd)
-            stats.passed += 1
-        except SkipCommand as e:
-            stats.total -= 1
-            stats.skipped += 1
-        except AssertionError as e:
-            stats.failed += 1
-            stats.failures.append(f"line {cmd.line}: {cmd.query}\n  {e}")
-        except Exception as e:
-            if cmd.expect_fail:
-                stats.passed += 1
-            else:
-                stats.failed += 1
-                stats.failures.append(
-                    f"line {cmd.line}: {cmd.query}\n  error: {type(e).__name__}: {str(e)[:300]}"
-                )
+        if dirty:
+            samples = samples_from_rows(spark, rows, stale_rows).cache()
+            engine = PromQLEngine(spark, samples, kahan=True)
+            dirty = False
+        batch.append(cmd)
+    flush()
+    if pool is not None:
+        pool.shutdown()
+    del capped  # cap reached mid-file is fine; stats reflect evals run
     return stats
 
 

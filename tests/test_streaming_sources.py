@@ -28,10 +28,12 @@ def test_recording_rule_tick(spark, rules_setup):
     )
     out, alerts = eng.eval_tick(group, 10 * M + 30_000)  # aligned → 10m
     assert alerts == []
-    by_job = {r[0]["job"]: r[2] for r in out}
+    rows = out.collect()
+    by_job = {r["labels"]["job"]: r["value"] for r in rows}
     assert by_job == {"api": 100.0, "web": 5.0}
-    assert all(r[0]["__name__"] == "job:errors:sum" for r in out)
-    assert all(r[1] == 10 * M for r in out)
+    assert all(r["labels"]["__name__"] == "job:errors:sum" for r in rows)
+    assert all(r["name"] == "job:errors:sum" for r in rows)
+    assert all(r["t"] == 10 * M for r in rows)
 
 
 def test_recording_rule_staleness(spark):
@@ -40,13 +42,87 @@ def test_recording_rule_staleness(spark):
     rows = [({"__name__": "m", "k": "a"}, 0, 1.0)]  # only one early sample
     eng = RulesEngine(spark, samples_from_rows(spark, rows), lookback_ms=2 * M)
     group = RuleGroup("g", M, [RecordingRule("rec", "m")])
-    out1, _ = eng.eval_tick(group, M)
-    assert len(out1) == 1 and not out1[0][3]
+    out1 = eng.eval_tick(group, M)[0].collect()
+    assert len(out1) == 1 and not out1[0]["stale"]
     # series gone at t=10m → staleness marker emitted once
-    out2, _ = eng.eval_tick(group, 10 * M)
-    assert len(out2) == 1 and out2[0][3] is True
-    out3, _ = eng.eval_tick(group, 11 * M)
+    out2 = eng.eval_tick(group, 10 * M)[0].collect()
+    assert len(out2) == 1 and out2[0]["stale"] is True and out2[0]["value"] is None
+    out3 = eng.eval_tick(group, 11 * M)[0].collect()
     assert out3 == []
+
+
+def test_recording_rule_distributed_append(spark):
+    """A wide recording rule ticks and appends without collecting results
+    on the driver: output goes DataFrame → parquet via the storage write
+    path, and the count survives a round-trip."""
+    import tempfile
+
+    from prometheus_spark.storage import write_samples
+    from prometheus_spark.streaming import RecordingRule, RuleGroup, RulesEngine
+
+    from prometheus_spark.model.labels import sig_expr
+    from prometheus_spark.model.schema import HISTOGRAM_TYPE
+
+    n = 10_000
+    labels = F.create_map(
+        F.lit("__name__"), F.lit("m"), F.lit("k"), F.col("id").cast("string")
+    )
+    wide = spark.range(n).select(
+        sig_expr(labels).alias("sig"),
+        F.lit("m").alias("name"),
+        labels.alias("labels"),
+        F.lit(0).cast("long").alias("t"),
+        F.col("id").cast("double").alias("value"),
+        F.lit(None).cast(HISTOGRAM_TYPE).alias("hist"),
+        F.lit(False).alias("stale"),
+    )
+    eng = RulesEngine(spark, wide, lookback_ms=2 * M)
+    group = RuleGroup("g", M, [RecordingRule("rec:all", "m")])
+    out, _ = eng.eval_tick(group, M)
+    with tempfile.TemporaryDirectory() as d:
+        write_samples(out, f"{d}/rec")
+        back = spark.read.parquet(f"{d}/rec")
+        assert back.count() == n
+        assert back.filter(F.col("name") != "rec:all").count() == 0
+
+
+def test_ingest_stream_ooo_window(spark, tmp_path):
+    """File-source streaming ingest: watermarked dedupe drops duplicate
+    (sig, t) rows; output lands partitioned by (t_bucket, name)."""
+    import os
+
+    from prometheus_spark.streaming import ingest_events_stream
+
+    src = str(tmp_path / "events_in")
+    rows = [
+        (1, "2024-01-20 00:00:00", 7, "purchase", 10.0),
+        (2, "2024-01-20 00:01:00", 7, "purchase", 11.0),
+        (2, "2024-01-20 00:01:00", 7, "purchase", 11.0),  # exact dup (sig,t)
+        (3, "2024-01-20 00:02:00", 8, "click", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).parquet(src)
+    )
+    q = ingest_events_stream(
+        stream,
+        path=str(tmp_path / "samples_out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        ooo_window_ms=10 * M,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "samples_out"))
+    got = out.select("sig", "t", "value").collect()
+    assert len(got) == 3  # duplicate dropped within the watermark
+    assert out.filter(F.col("name") == "click").count() == 1
+    # partitioned layout on disk → partition pruning works at query time
+    assert any(p.startswith("t_bucket=") for p in os.listdir(tmp_path / "samples_out"))
 
 
 def test_alerting_rule_state_machine(spark, rules_setup):

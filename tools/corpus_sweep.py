@@ -26,7 +26,7 @@ def main() -> None:
     )
 
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master("local[16]")
         .appName("corpus_sweep")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
@@ -44,7 +44,7 @@ def main() -> None:
             text = f.read()
         t0 = time.time()
         try:
-            stats = run_test_text(spark, text, max_evals=None)
+            stats = run_test_text(spark, text, max_evals=None, parallel_evals=12)
             failed, total, skipped, fails = (
                 stats.failed, stats.total, stats.skipped, stats.failures
             )
