@@ -273,3 +273,100 @@ def test_relabel_labeldrop(spark, label_df):
 
     out = apply_relabel(label_df, [RelabelConfig(action="labeldrop", regex="inst.*")])
     assert all("instance" not in s for s in _sets(out))
+
+
+# --- OpenMetrics parser -------------------------------------------------------
+OM = """\
+# TYPE http_requests counter
+# HELP http_requests Total requests.
+# UNIT http_requests requests
+http_requests_total{code="200"} 1027 1395066363.5
+http_requests_total{code="404"} 3 # {trace_id="abc12"} 0.67 1395066363.2
+http_requests_created{code="200"} 1395066000
+# TYPE rpc_seconds histogram
+rpc_seconds_bucket{le="0.1"} 2
+rpc_seconds_bucket{le="1"} 5
+rpc_seconds_bucket{le="+Inf"} 7
+rpc_seconds_sum 4.2
+rpc_seconds_count 7
+# EOF
+"""
+
+
+def test_parse_openmetrics_text():
+    from prometheus_spark.sources import parse_openmetrics_text
+
+    samples, meta, exemplars, created = parse_openmetrics_text(
+        OM, default_ts_ms=42, strict_eof=True
+    )
+    by_name = {}
+    for labels, t, v in samples:
+        by_name.setdefault(labels["__name__"], []).append((labels, t, v))
+    # seconds → ms, fractional kept
+    assert by_name["http_requests_total"][0][1] == 1395066363500
+    assert by_name["http_requests_total"][1][1] == 42
+    assert meta["http_requests"] == {
+        "type": "counter", "help": "Total requests.", "unit": "requests"
+    }
+    assert meta["rpc_seconds"]["type"] == "histogram"
+    # exemplar attached to the 404 sample
+    (slabels, st, exl, exv, ext) = exemplars[0]
+    assert slabels["code"] == "404" and exl == {"trace_id": "abc12"}
+    assert exv == 0.67 and ext == 1395066363200
+    # created series captured, not emitted as a sample
+    assert created[("http_requests", (("code", "200"),))] == 1395066000000
+    assert "http_requests_created" not in by_name
+
+
+def test_parse_openmetrics_rejects_after_eof():
+    from prometheus_spark.sources import parse_openmetrics_text
+
+    with pytest.raises(ValueError):
+        parse_openmetrics_text("# EOF\nx 1\n")
+    with pytest.raises(ValueError):
+        parse_openmetrics_text("x 1\n", strict_eof=True)
+
+
+def test_parse_openmetrics_df(spark):
+    from prometheus_spark.sources import parse_openmetrics_df
+    from prometheus_spark.sources.promtext import to_samples
+
+    lines = spark.createDataFrame(
+        [(line,) for line in OM.strip().split("\n")], "line string"
+    ).coalesce(1)  # one scrape body = one batch, keeps _created association
+    parsed = parse_openmetrics_df(lines)
+    rows = parsed.collect()
+    names = {dict(zip(r["label_keys"], r["label_values"]))["__name__"] for r in rows}
+    assert "http_requests_total" in names and "rpc_seconds_bucket" in names
+    with_created = [r for r in rows if r["created_t"] is not None]
+    assert all(
+        dict(zip(r["label_keys"], r["label_values"]))["code"] == "200"
+        for r in with_created
+    )
+    samples = to_samples(parsed.drop("created_t"))
+    assert samples.count() == len(rows)
+
+
+# --- ingest-time NHCB ---------------------------------------------------------
+def test_classic_to_nhcb(spark):
+    from prometheus_spark.sources import classic_to_nhcb, parse_openmetrics_df
+    from prometheus_spark.sources.promtext import to_samples
+
+    lines = spark.createDataFrame(
+        [(line,) for line in OM.strip().split("\n")], "line string"
+    ).coalesce(1)
+    samples = to_samples(parse_openmetrics_df(lines).drop("created_t"))
+    folded = classic_to_nhcb(samples)
+    hists = folded.filter(F.col("hist").isNotNull()).collect()
+    assert len(hists) == 1
+    h = hists[0]
+    assert h["name"] == "rpc_seconds"
+    hd = h["hist"].asDict(recursive=True)
+    assert hd["schema"] == -53
+    assert hd["custom_values"] == [0.1, 1.0]
+    assert hd["pos_buckets"] == [2.0, 3.0, 2.0]  # de-cumulated + overflow
+    assert hd["count"] == 7.0 and hd["sum"] == 4.2
+    # classic float series replaced by the native form
+    assert folded.filter(F.col("name").startswith("rpc_seconds_")).count() == 0
+    # untouched series pass through
+    assert folded.filter(F.col("name") == "http_requests_total").count() == 2
