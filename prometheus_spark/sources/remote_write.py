@@ -1,0 +1,378 @@
+"""Remote-write receiver/sender (prompb WriteRequest over snappy+HTTP).
+
+Reference surface: web/api/v1/api.go:483 (receiver) and
+storage/remote/queue_manager.go (sender); wire schema prompb/remote.proto
++ prompb/types.proto (public protocol).  Both the protobuf wire format
+and the snappy framing are implemented here in pure Python from the
+public specs — no generated code, no external deps:
+
+- protobuf: only the message shapes remote-write uses —
+  WriteRequest{1: repeated TimeSeries}, TimeSeries{1: labels, 2: samples,
+  4: histograms}, Label{1: name, 2: value}, Sample{1: double value,
+  2: int64 ts}, Histogram{2: count_float, 3: sum, 4: sint32 schema,
+  5: zero_threshold, 7: zero_count_float, 8/10: neg spans/counts,
+  11/13: pos spans/counts, 15: ts, 16: custom_values}
+- snappy block format: full decoder (literals + all three copy tags);
+  the encoder emits literal-only blocks, which is valid snappy — any
+  decoder accepts it (compression ratio 1, fine for tests and
+  correctness; swap in a native codec for production throughput)
+
+Ingest stays Spark-shaped: the receiver appends decoded rows to a spool
+directory that a ``readStream`` (or batch ``read``) picks up — the
+decode runs per-request at the HTTP boundary, never per-query.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterable, Optional
+
+# --------------------------------------------------------------------------
+# protobuf wire codec (varint + length-delimited + fixed64)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+
+
+def _write_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_dec(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _fields(buf: bytes):
+    """Iterate (field_no, wire_type, value) over a protobuf message body.
+    Length-delimited values come back as bytes; varints as int; fixed64
+    as raw 8 bytes."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        key, pos = _read_varint(buf, pos)
+        fno, wt = key >> 3, key & 7
+        if wt == 0:  # varint
+            v, pos = _read_varint(buf, pos)
+        elif wt == 1:  # fixed64
+            v = buf[pos : pos + 8]
+            pos += 8
+        elif wt == 2:  # length-delimited
+            ln, pos = _read_varint(buf, pos)
+            v = buf[pos : pos + ln]
+            pos += ln
+        elif wt == 5:  # fixed32
+            v = buf[pos : pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        yield fno, wt, v
+
+
+def _ld(fno: int, payload: bytes) -> bytes:
+    return _write_varint(fno << 3 | 2) + _write_varint(len(payload)) + payload
+
+
+def _f64(fno: int, value: float) -> bytes:
+    return _write_varint(fno << 3 | 1) + struct.pack("<d", value)
+
+
+def _vint(fno: int, value: int) -> bytes:
+    return _write_varint(fno << 3) + _write_varint(value)
+
+
+def _packed_doubles(buf: bytes) -> list[float]:
+    return [x[0] for x in struct.iter_unpack("<d", buf)]
+
+
+# --------------------------------------------------------------------------
+# snappy block format (no framing): full decoder, literal-only encoder
+
+
+def snappy_decode(data: bytes) -> bytes:
+    ulen, pos = _read_varint(data, 0)
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nbytes = ln - 59
+                ln = int.from_bytes(data[pos : pos + nbytes], "little")
+                pos += nbytes
+            ln += 1
+            out += data[pos : pos + ln]
+            pos += ln
+            continue
+        if kind == 1:  # copy, 1-byte offset
+            ln = ((tag >> 2) & 7) + 4
+            off = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:  # copy, 2-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos : pos + 2], "little")
+            pos += 2
+        else:  # copy, 4-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+        if off == 0:
+            raise ValueError("invalid snappy copy offset 0")
+        start = len(out) - off
+        for i in range(ln):  # may overlap — byte-at-a-time is the spec
+            out.append(out[start + i])
+    if len(out) != ulen:
+        raise ValueError(f"snappy length mismatch: {len(out)} != {ulen}")
+    return bytes(out)
+
+
+def snappy_encode(data: bytes) -> bytes:
+    """Literal-only snappy encoding — spec-valid, ratio 1."""
+    out = bytearray(_write_varint(len(data)))
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos : pos + 65536]
+        ln = len(chunk) - 1
+        if ln < 60:
+            out.append(ln << 2)
+        else:
+            nbytes = (ln.bit_length() + 7) // 8
+            out.append((59 + nbytes) << 2)
+            out += ln.to_bytes(nbytes, "little")
+        out += chunk
+        pos += len(chunk)
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# WriteRequest encode/decode
+
+
+def _decode_hist(buf: bytes) -> dict:
+    h = {
+        "schema": 0, "zero_threshold": 0.0, "zero_count": 0.0, "count": 0.0,
+        "sum": 0.0, "pos_spans": [], "pos_buckets": [], "neg_spans": [],
+        "neg_buckets": [], "custom_values": [], "counter_reset_hint": 0,
+    }
+    t = 0
+    for fno, wt, v in _fields(buf):
+        if fno == 2 and wt == 1:
+            h["count"] = struct.unpack("<d", v)[0]
+        elif fno == 1 and wt == 0:
+            h["count"] = float(v)
+        elif fno == 3:
+            h["sum"] = struct.unpack("<d", v)[0]
+        elif fno == 4:
+            h["schema"] = _zigzag_dec(v)
+        elif fno == 5:
+            h["zero_threshold"] = struct.unpack("<d", v)[0]
+        elif fno == 7 and wt == 1:
+            h["zero_count"] = struct.unpack("<d", v)[0]
+        elif fno == 6 and wt == 0:
+            h["zero_count"] = float(v)
+        elif fno in (8, 11):
+            span = {"offset": 0, "length": 0}
+            for sf, _swt, sv in _fields(v):
+                if sf == 1:
+                    span["offset"] = _zigzag_dec(sv)
+                elif sf == 2:
+                    span["length"] = sv
+            (h["neg_spans"] if fno == 8 else h["pos_spans"]).append(span)
+        elif fno == 10:
+            h["neg_buckets"] = _packed_doubles(v)
+        elif fno == 13:
+            h["pos_buckets"] = _packed_doubles(v)
+        elif fno == 15:
+            t = v
+        elif fno == 16:
+            h["custom_values"] = _packed_doubles(v)
+        elif fno == 14:
+            h["counter_reset_hint"] = v
+    return {"t": t, "hist": h}
+
+
+def decode_write_request(body: bytes, compressed: bool = True) -> list:
+    """snappy+proto WriteRequest → [(labels, t_ms, value_or_hist)].
+    Histogram samples return a dict in place of the float value (the
+    shape ``storage.samples_from_rows`` accepts)."""
+    if compressed:
+        body = snappy_decode(body)
+    rows: list = []
+    for fno, _wt, ts_buf in _fields(body):
+        if fno != 1:  # WriteRequest.timeseries
+            continue
+        labels: dict[str, str] = {}
+        samples: list = []
+        hists: list = []
+        for tf, _twt, tv in _fields(ts_buf):
+            if tf == 1:  # Label
+                name = value = ""
+                for lf, _lwt, lv in _fields(tv):
+                    if lf == 1:
+                        name = lv.decode()
+                    elif lf == 2:
+                        value = lv.decode()
+                labels[name] = value
+            elif tf == 2:  # Sample
+                val, t = 0.0, 0
+                for sf, swt, sv in _fields(tv):
+                    if sf == 1 and swt == 1:
+                        val = struct.unpack("<d", sv)[0]
+                    elif sf == 2:
+                        t = sv if sv < (1 << 63) else sv - (1 << 64)
+                samples.append((t, val))
+            elif tf == 4:  # Histogram
+                hists.append(_decode_hist(tv))
+        for t, val in samples:
+            rows.append((dict(labels), t, val))
+        for h in hists:
+            rows.append((dict(labels), h["t"], h["hist"]))
+    return rows
+
+
+def encode_write_request(
+    rows: Iterable[tuple[dict, int, float]], compress: bool = True
+) -> bytes:
+    """[(labels, t_ms, float value)] → snappy(proto WriteRequest),
+    grouping consecutive rows with identical labels into one TimeSeries."""
+    series: dict[tuple, list] = {}
+    for labels, t, v in rows:
+        series.setdefault(tuple(sorted(labels.items())), []).append((t, v))
+    body = bytearray()
+    for key, samples in series.items():
+        ts = bytearray()
+        for k, v in key:
+            ts += _ld(1, _ld(1, k.encode()) + _ld(2, v.encode()))
+        for t, v in samples:
+            ts += _ld(2, _f64(1, float(v)) + _vint(2, t & ((1 << 64) - 1)))
+        body += _ld(1, bytes(ts))
+    out = bytes(body)
+    return snappy_encode(out) if compress else out
+
+
+# --------------------------------------------------------------------------
+# HTTP receiver → spool directory → Spark
+
+
+class RemoteWriteReceiver:
+    """Minimal remote-write endpoint: POST /api/v1/write bodies are
+    decoded and appended as JSON-lines files into a spool directory that
+    Spark reads (batch or ``readStream.format("json")`` — the streaming
+    pickup IS the scale path; the HTTP hop only ever sees one request at
+    a time).  Start with ``serve_forever=False`` in tests and drive
+    ``handle_body`` directly, or run the threaded server."""
+
+    def __init__(self, spool_dir: str):
+        import os
+
+        self.spool_dir = spool_dir
+        os.makedirs(spool_dir, exist_ok=True)
+        self._n = 0
+
+    def handle_body(self, body: bytes) -> int:
+        import json
+        import os
+
+        rows = decode_write_request(body)
+        self._n += 1
+        path = os.path.join(self.spool_dir, f"rw_{os.getpid()}_{self._n:08d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for labels, t, v in rows:
+                if isinstance(v, dict):
+                    f.write(json.dumps({"labels": labels, "t": t, "hist": v}) + "\n")
+                else:
+                    f.write(json.dumps({"labels": labels, "t": t, "value": v}) + "\n")
+        os.replace(tmp, path)  # atomic: readStream never sees partial files
+        return len(rows)
+
+    def server(self, host: str = "127.0.0.1", port: int = 0):
+        """Build (not start) a threaded HTTP server for /api/v1/write."""
+        import http.server
+        import socketserver
+
+        recv = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802 — stdlib naming
+                if self.path not in ("/api/v1/write", "/write"):
+                    self.send_error(404)
+                    return
+                ln = int(self.headers.get("Content-Length", 0))
+                try:
+                    recv.handle_body(self.rfile.read(ln))
+                except Exception as e:  # noqa: BLE001 — surface as 400
+                    self.send_error(400, str(e)[:200])
+                    return
+                self.send_response(204)
+                self.end_headers()
+
+            def log_message(self, *a):  # silence
+                pass
+
+        class Server(socketserver.ThreadingMixIn, http.server.HTTPServer):
+            daemon_threads = True
+
+        return Server((host, port), Handler)
+
+
+def spool_to_samples(spark, spool_dir: str, streaming: bool = False):
+    """Read the receiver's spool as a canonical samples frame."""
+    from pyspark.sql import functions as F
+
+    from prometheus_spark.model.labels import sig_expr
+    from prometheus_spark.model.schema import METRIC_NAME_LABEL
+
+    schema = "labels map<string,string>, t long, value double"
+    reader = (
+        spark.readStream.schema(schema) if streaming else spark.read.schema(schema)
+    )
+    df = reader.json(spool_dir)
+    return df.select(
+        sig_expr("labels").alias("sig"),
+        F.element_at("labels", METRIC_NAME_LABEL).alias("name"),
+        "labels",
+        "t",
+        "value",
+        F.lit(False).alias("stale"),
+    )
+
+
+def send_write_request(url: str, rows, timeout: float = 10.0) -> int:
+    """Sender leg (queue_manager.go counterpart): POST one encoded batch.
+    Use ``df.foreachPartition`` with this per partition for distributed
+    sends — each executor ships its own shard."""
+    import urllib.request
+
+    body = encode_write_request(rows)
+    req = urllib.request.Request(
+        url,
+        data=body,
+        headers={
+            "Content-Encoding": "snappy",
+            "Content-Type": "application/x-protobuf",
+            "X-Prometheus-Remote-Write-Version": "0.1.0",
+        },
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return resp.status

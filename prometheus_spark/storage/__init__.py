@@ -1,13 +1,15 @@
+from prometheus_spark.storage.fanout import merge_samples
 from prometheus_spark.storage.samples import (
-    samples_from_rows,
-    samples_from_events,
-    write_samples,
     read_samples,
+    samples_from_events,
+    samples_from_rows,
+    write_samples,
 )
 
 __all__ = [
-    "samples_from_rows",
-    "samples_from_events",
-    "write_samples",
+    "merge_samples",
     "read_samples",
+    "samples_from_events",
+    "samples_from_rows",
+    "write_samples",
 ]

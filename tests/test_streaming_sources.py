@@ -370,3 +370,108 @@ def test_classic_to_nhcb(spark):
     assert folded.filter(F.col("name").startswith("rpc_seconds_")).count() == 0
     # untouched series pass through
     assert folded.filter(F.col("name") == "http_requests_total").count() == 2
+
+
+# --- remote write -------------------------------------------------------------
+def test_remote_write_roundtrip_codec():
+    """encode → snappy → decode is the identity on (labels, t, value)."""
+    from prometheus_spark.sources import decode_write_request, encode_write_request
+
+    rows = [
+        ({"__name__": "up", "job": "api"}, 1700000000000, 1.0),
+        ({"__name__": "up", "job": "api"}, 1700000015000, 0.0),
+        ({"__name__": "lat", "q": "0.99"}, 1700000000000, 0.123456789),
+        ({"__name__": "neg_t"}, -5, float("inf")),
+    ]
+    body = encode_write_request(rows)
+    back = decode_write_request(body)
+    assert sorted(map(repr, back)) == sorted(map(repr, rows))
+
+
+def test_snappy_decoder_handles_copies():
+    """Our decoder must accept real snappy streams (with back-references),
+    not just our literal-only encoder's output."""
+    from prometheus_spark.sources.remote_write import snappy_decode, snappy_encode
+
+    # hand-built stream: varint(10) + literal "abcde" + copy(off=5, len=5)
+    data = bytes([10]) + bytes([4 << 2]) + b"abcde" + bytes([(1 << 2) | 1, 5])
+    assert snappy_decode(data) == b"abcdeabcde"
+    # overlapping copy (run-length): "aaaa..." from 1-byte seed
+    data = bytes([9]) + bytes([0 << 2]) + b"a" + bytes([(4 << 2) | 1, 1])
+    assert snappy_decode(data) == b"a" * 9
+    # and the encoder round-trips through the decoder
+    blob = b"hello world " * 300
+    assert snappy_decode(snappy_encode(blob)) == blob
+
+
+def test_remote_write_http_receiver(spark, tmp_path):
+    """Full hop: sender POSTs a snappy+proto body over real HTTP; the
+    receiver spools it; Spark reads the spool as canonical samples."""
+    import threading
+
+    from prometheus_spark.sources import (
+        RemoteWriteReceiver,
+        send_write_request,
+        spool_to_samples,
+    )
+
+    recv = RemoteWriteReceiver(str(tmp_path / "spool"))
+    srv = recv.server()
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        rows = [
+            ({"__name__": "up", "job": "api"}, 1700000000000, 1.0),
+            ({"__name__": "up", "job": "web"}, 1700000000000, 0.0),
+        ]
+        status = send_write_request(f"http://127.0.0.1:{port}/api/v1/write", rows)
+        assert status == 204
+    finally:
+        srv.shutdown()
+    samples = spool_to_samples(spark, str(tmp_path / "spool"))
+    got = {(r["name"], r["labels"]["job"]): r["value"] for r in samples.collect()}
+    assert got == {("up", "api"): 1.0, ("up", "web"): 0.0}
+
+
+# --- fanout / merge ----------------------------------------------------------
+def test_merge_samples_dedupe_priority(spark):
+    from prometheus_spark.storage import merge_samples, samples_from_rows
+
+    primary = samples_from_rows(
+        spark, [({"__name__": "m"}, 0, 1.0), ({"__name__": "m"}, 60_000, float("nan"))]
+    )
+    secondary = samples_from_rows(
+        spark, [({"__name__": "m"}, 0, 99.0), ({"__name__": "m"}, 60_000, 2.0),
+                ({"__name__": "m"}, 120_000, 3.0)]
+    )
+    out = {r["t"]: r["value"] for r in merge_samples([primary, secondary]).collect()}
+    assert out[0] == 1.0        # primary wins on conflict
+    assert out[60_000] == 2.0   # but non-NaN beats primary's NaN
+    assert out[120_000] == 3.0  # secondary-only passes through
+
+
+# --- federation ---------------------------------------------------------------
+def test_federate_lines(spark):
+    from prometheus_spark.sources import federate
+    from prometheus_spark.storage import samples_from_rows
+
+    samples = samples_from_rows(
+        spark,
+        [
+            ({"__name__": "up", "job": "api"}, 100_000, 1.0),
+            ({"__name__": "up", "job": "api"}, 200_000, 0.0),  # latest wins
+            ({"__name__": "up", "job": "web"}, 150_000, 1.0),
+            ({"__name__": "other"}, 200_000, 5.0),
+        ],
+    )
+    lines = [r["line"] for r in federate(
+        samples, [{"__name__": "up"}], now_ms=300_000
+    ).collect()]
+    assert lines == [
+        'up{job="api"} 0.0 200000',
+        'up{job="web"} 1.0 150000',
+    ]
+    # no matchers → everything, bare-name line for label-less series
+    all_lines = [r["line"] for r in federate(samples, [], now_ms=300_000).collect()]
+    assert "other 5.0 200000" in all_lines
