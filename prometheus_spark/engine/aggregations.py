@@ -47,9 +47,19 @@ def _regroup(vf: VectorFrame, node: AggregateExpr, extra: list = ()) -> DataFram
         glabels.alias("labels"),
         "t",
         "value",
+        "drop_name",
         *hist_cols,
         *extra,
     )
+
+
+def _group_flag(node: AggregateExpr) -> bool:
+    """Does the group key retain __name__?  Only ``by (..., __name__, ...)``
+    keeps it; then the group's drop flag is the OR of its members' flags
+    (delayed removal: "drop the name if any of the series drops it",
+    name_label_dropping.test:119)."""
+    by = node.grouping if (node.has_grouping and not node.without) else None
+    return by is not None and "__name__" in by
 
 
 def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, param) -> VectorFrame:
@@ -83,15 +93,16 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
             "sig", "labels", "t", "hist", "__ord"
         )
         hist_part = hist_arith.group_sum(ctx, hist_rows, avg=op == "avg")
-        df = pure.filter(v.isNotNull()).select("sig", "labels", "t", "value")
-    elif op not in ("count", "group"):
+        df = pure.filter(v.isNotNull()).select("sig", "labels", "t", "value", "drop_name")
+    elif op not in ("count", "group", "count_values"):
         # float aggregations ignore histogram samples (value NULL) — the
-        # reference warns & drops them; count/group see every series
+        # reference warns & drops them; count/group/count_values see every
+        # series (count_values renders histograms as their Go string)
         df = df.filter(v.isNotNull())
     masked = F.when(_not_nan(v), v)  # NULL for NaN → min/max skip
 
     if op == "quantile":
-        return _eval_quantile(ctx, df, param)
+        return _eval_quantile(ctx, df, param, group_flag=_group_flag(node))
 
     if op == "sum":
         agg = _kahan_sum_agg(v) if ctx.kahan else F.sum(v)
@@ -118,16 +129,33 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
     else:
         raise PromQLEvalError(f"unsupported aggregator {op}")
 
-    out = df.groupBy("sig", "t").agg(
-        F.first("labels").alias("labels"), agg.cast("double").alias("value")
+    flag = (
+        F.bool_or("drop_name").alias("drop_name")
+        if _group_flag(node)
+        else F.lit(False).alias("drop_name")
     )
-    result = out.select("sig", "labels", "t", F.col("t").alias("sample_t"), "value")
+    out = df.groupBy("sig", "t").agg(
+        F.first("labels").alias("labels"), agg.cast("double").alias("value"), flag
+    )
+    result = out.select(
+        "sig", "labels", "t", F.col("t").alias("sample_t"), "value", "drop_name"
+    )
     if hist_part is not None:
         from prometheus_spark.model.schema import HISTOGRAM_TYPE
 
+        hist_part = hist_part.drop("drop_name")
+        if _group_flag(node):
+            hflags = src.groupBy("sig", "t").agg(
+                F.bool_or("drop_name").alias("drop_name")
+            )
+            hist_part = hist_part.join(hflags, ["sig", "t"], "left").withColumn(
+                "drop_name", F.coalesce(F.col("drop_name"), F.lit(False))
+            )
+        else:
+            hist_part = hist_part.withColumn("drop_name", F.lit(False))
         result = result.withColumn(
             "hist", F.lit(None).cast(HISTOGRAM_TYPE)
-        ).unionByName(hist_part)
+        ).unionByName(hist_part.select(*result.columns, "hist"))
     return VectorFrame(result)
 
 
@@ -202,10 +230,15 @@ def sorted_values_agg(v: Column) -> Column:
     )
 
 
-def _eval_quantile(ctx: EvalContext, df: DataFrame, param) -> VectorFrame:
+def _eval_quantile(ctx: EvalContext, df: DataFrame, param, group_flag: bool = False) -> VectorFrame:
     arr = sorted_values_agg(F.col("value")).alias("__arr")
+    flag = (
+        F.bool_or("drop_name").alias("drop_name")
+        if group_flag
+        else F.lit(False).alias("drop_name")
+    )
     if isinstance(param, ConstScalar):
-        grouped = df.groupBy("sig", "t").agg(F.first("labels").alias("labels"), arr)
+        grouped = df.groupBy("sig", "t").agg(F.first("labels").alias("labels"), arr, flag)
         phi = F.lit(float(param.value))
     elif isinstance(param, ScalarFrame):
         # per-step φ (e.g. quantile(scalar(foo), v)) — broadcast join on t
@@ -213,7 +246,7 @@ def _eval_quantile(ctx: EvalContext, df: DataFrame, param) -> VectorFrame:
         grouped = (
             df.join(F.broadcast(p), "t", "left")
             .groupBy("sig", "t")
-            .agg(F.first("labels").alias("labels"), arr, F.first("__phi").alias("__p"))
+            .agg(F.first("labels").alias("labels"), arr, F.first("__phi").alias("__p"), flag)
         )
         phi = F.col("__p")
     else:
@@ -221,7 +254,8 @@ def _eval_quantile(ctx: EvalContext, df: DataFrame, param) -> VectorFrame:
     value = quantile_of_sorted(F.col("__arr"), phi)
     return VectorFrame(
         grouped.select(
-            "sig", "labels", "t", F.col("t").alias("sample_t"), value.cast("double").alias("value")
+            "sig", "labels", "t", F.col("t").alias("sample_t"),
+            value.cast("double").alias("value"), "drop_name",
         )
     )
 
@@ -239,18 +273,60 @@ def _eval_count_values(
         raise PromQLEvalError(f"count_values: invalid label name {lbl!r}")
     # Go renders sample values with minimal float formatting (%g-like via
     # strconv); format_number-style trailing ".0" must be stripped.
+    # Histogram samples render via FloatHistogram.String()
+    # (aggregators.test:447) — Arrow-batched UDF on the tiny hist subset.
     vstr = _format_float_expr(F.col("value"))
+    if "hist" in df.columns:
+        from prometheus_spark.shipping import ensure_shipped
+
+        ensure_shipped(ctx.spark)
+        vstr = F.when(F.col("value").isNotNull(), vstr).otherwise(
+            _hist_string_udf()(F.col("hist"))
+        )
     new_labels = F.map_concat(
         F.map_filter("labels", lambda k, _: k != F.lit(lbl)),
         F.create_map(F.lit(lbl), vstr),
     )
     regrouped = df.select(
-        sig_expr(new_labels).alias("sig"), new_labels.alias("labels"), "t", "value"
+        sig_expr(new_labels).alias("sig"), new_labels.alias("labels"), "t", "value",
+        "drop_name",
+    )
+    flag = (
+        F.bool_or("drop_name").alias("drop_name")
+        if _group_flag(node)
+        else F.lit(False).alias("drop_name")
     )
     out = regrouped.groupBy("sig", "t").agg(
-        F.first("labels").alias("labels"), F.count("*").cast("double").alias("value")
+        F.first("labels").alias("labels"), F.count("*").cast("double").alias("value"), flag
     )
-    return VectorFrame(out.select("sig", "labels", "t", F.col("t").alias("sample_t"), "value"))
+    return VectorFrame(out.select(
+        "sig", "labels", "t", F.col("t").alias("sample_t"), "value", "drop_name"
+    ))
+
+
+def _hist_string_udf():
+    from pyspark.sql import types as T
+
+    return F.pandas_udf(_hist_string_series, T.StringType())
+
+
+def _hist_string_series(h):
+    import pandas as pd
+
+    from prometheus_spark.model.histogram import from_row
+
+    def one(d):
+        # an all-NULL struct arrives as a row of NaNs/Nones
+        if d is None or d.get("schema") is None or d.get("schema") != d.get("schema"):
+            return None
+        fh = from_row(d)
+        return None if fh is None else fh.go_string()
+
+    if isinstance(h, pd.DataFrame):  # struct input as a frame of fields
+        return pd.Series(
+            [one(rec) for rec in h.to_dict("records")], index=h.index, dtype=object
+        )
+    return h.map(lambda d: one(dict(d)) if d is not None else None)
 
 
 def _format_float_expr(v: Column) -> Column:
@@ -283,20 +359,35 @@ def _eval_k_selector(
     glabels = group_labels_expr("labels", by, without)
     df = vf.df.withColumn("gsig", sig_expr(glabels))
     # limitk/limit_ratio keep whole samples — histograms included
-    out_cols = ["sig", "labels", "t", "sample_t", "value"] + (
+    out_cols = ["sig", "labels", "t", "sample_t", "value", "drop_name"] + (
         ["hist"] if "hist" in df.columns and op in ("limitk", "limit_ratio") else []
     )
 
     if op == "limit_ratio":
-        if not isinstance(param, ConstScalar):
-            raise PromQLEvalError("limit_ratio: scalar parameter required")
-        if math.isnan(param.value):
-            raise PromQLEvalError("Ratio value is NaN")
-        r = max(-1.0, min(1.0, param.value))
-        # Deterministic hash sample with the complement property:
-        # limit_ratio(r) ∪ limit_ratio(r-1) = input (engine.go:3986 region).
-        u = (F.xxhash64("sig").cast("double") / F.lit(float(2**64))) + F.lit(0.5)
-        keep = (u < F.lit(r)) if r >= 0 else (u >= F.lit(1.0 + r))
+        # The reference's exact sampling offset — xxhash64(seed 0) of the
+        # Go label encoding — so our pick matches the reference engine
+        # series-for-series (complement property AND distribution;
+        # engine.go AddRatioSample).  Arrow-batched UDF; cardinality =
+        # series count, not the sample hot path.
+        from prometheus_spark.model.gohash import ratio_offset_udf
+        from prometheus_spark.shipping import ensure_shipped
+
+        ensure_shipped(ctx.spark)
+        u = ratio_offset_udf()(F.col("sig"))
+        if isinstance(param, ConstScalar):
+            if math.isnan(param.value):
+                raise PromQLEvalError("Ratio value is NaN")
+            r = F.lit(max(-1.0, min(1.0, param.value)))
+        elif isinstance(param, ScalarFrame):
+            # per-step ratio (e.g. limit_ratio(time() % 17/17, v)) —
+            # broadcast join on t, clamp to [-1, 1], NaN selects nothing
+            p = param.df.withColumnRenamed("value", "__r")
+            df = df.join(F.broadcast(p), "t", "left")
+            rv = F.col("__r")
+            r = F.when(_not_nan(rv), F.least(F.greatest(rv, F.lit(-1.0)), F.lit(1.0)))
+        else:
+            raise PromQLEvalError("limit_ratio: unsupported parameter type")
+        keep = F.when(r >= 0, u < r).otherwise(u >= F.lit(1.0) + r)
         out = df.filter(keep).drop("gsig")
         return VectorFrame(out.select(*out_cols))
 

@@ -138,7 +138,7 @@ def vector_scalar(
         if not has_hist or not vector_on_left:
             return VectorFrame(
                 vf.df.filter(F.lit(False)).select(
-                    "sig", "labels", "t", "sample_t", "value"
+                    "sig", "labels", "t", "sample_t", "value", "drop_name"
                 )
             )
         from prometheus_spark.engine import hist_arith
@@ -165,14 +165,17 @@ def vector_scalar(
         pred = compare_expr(node.op, l, r)
         if node.return_bool:
             out = df.select(
-                sig_expr(drop_name_expr("labels")).alias("sig"),
-                drop_name_expr("labels").alias("labels"),
+                "sig",
+                "labels",
                 "t",
                 "sample_t",
                 F.when(pred, 1.0).otherwise(0.0).alias("value"),
+                F.lit(True).alias("drop_name"),
             )
         else:
-            out = df.filter(pred).select("sig", "labels", "t", "sample_t", "value")
+            out = df.filter(pred).select(
+                "sig", "labels", "t", "sample_t", "value", "drop_name"
+            )
         return VectorFrame(out)
     hist_cols = []
     if hist_mul:
@@ -183,8 +186,8 @@ def vector_scalar(
             ).alias("hist")
         ]
     out = df.select(
-        sig_expr(drop_name_expr("labels")).alias("sig"),
-        drop_name_expr("labels").alias("labels"),
+        "sig",
+        "labels",
         "t",
         "sample_t",
         F.when(F.col("value").isNotNull(), arith_expr(node.op, l, r))
@@ -192,6 +195,7 @@ def vector_scalar(
         .alias("value")
         if hist_mul
         else arith_expr(node.op, l, r).cast("double").alias("value"),
+        F.lit(True).alias("drop_name"),
         *hist_cols,
     )
     return VectorFrame(out)
@@ -264,7 +268,7 @@ def _align_hist(l: DataFrame, r: DataFrame) -> tuple[DataFrame, DataFrame]:
 def set_op(ctx: EvalContext, op: str, lhs: VectorFrame, rhs: VectorFrame, vm: VectorMatching) -> VectorFrame:
     """and / or / unless (engine.go:3115-3190)."""
     ldf, rdf = _align_hist(lhs.df, rhs.df)
-    cols = ["sig", "labels", "t", "sample_t", "value"] + (
+    cols = ["sig", "labels", "t", "sample_t", "value", "drop_name"] + (
         ["hist"] if "hist" in ldf.columns else []
     )
     l = _with_match_sig(ldf, vm)
@@ -305,6 +309,7 @@ def vector_vector(
         "t",
         F.col("value").alias("__ov"),
         F.col("labels").alias("__olabels"),
+        F.col("drop_name").alias("__odrop"),
         *([F.col("hist").alias("__ohist")] if has_hist else []),
     )
 
@@ -390,6 +395,7 @@ def vector_vector(
 
     if node.op in COMPARISON_OPS:
         labels = _result_labels_expr(vm, drop_name=node.return_bool)
+        flag = F.lit(True) if node.return_bool else F.col("drop_name")
         pred_f = compare_expr(node.op, l_val, r_val)
         if has_hist and node.op in ("==", "!="):
             pred_h = l_hist == r_hist if node.op == "==" else ~(l_hist == r_hist)
@@ -408,12 +414,14 @@ def vector_vector(
         # hist-left × float-right trims; every other combination drops.
         # Trims keep __name__ (changesMetricSchema engine.go:4437).
         labels = _result_labels_expr(vm, drop_name=False)
+        flag = F.col("drop_name")
         if not has_hist:
             return VectorFrame(
                 joined.filter(F.lit(False)).select(
                     sig_expr(labels).alias("sig"), labels.alias("labels"),
                     "t", F.col("t").alias("sample_t"),
                     F.lit(None).cast("double").alias("value"),
+                    F.lit(False).alias("drop_name"),
                 )
             )
         from prometheus_spark.engine import hist_arith
@@ -429,6 +437,7 @@ def vector_vector(
         )
     else:
         labels = _result_labels_expr(vm, drop_name=True)
+        flag = F.lit(True)
         if has_hist and node.op in ("+", "-", "*", "/"):
             return _arith_with_hist(
                 ctx, node, joined, labels, guard,
@@ -448,6 +457,7 @@ def vector_vector(
         "t",
         F.col("t").alias("sample_t"),
         value,
+        flag.alias("drop_name"),
         *hist_out,
     )
     return VectorFrame(out)
@@ -489,6 +499,7 @@ def _arith_with_hist(
         F.col("t"),
         F.col("t").alias("sample_t"),
         value.cast("double").alias("value"),
+        F.lit(True).alias("drop_name"),
         hist.alias("hist"),
     ]
     null_hist = F.lit(None).cast(HISTOGRAM_TYPE)
@@ -544,9 +555,9 @@ def _result_labels_expr(vm: VectorMatching, drop_name: bool) -> Column:
     ``bool`` is set; apply on(keep)/ignoring(del) **only for one-to-one**;
     ``include`` labels are copied from the "one" side — empty value there
     deletes the label."""
+    # delayed name removal: metadata labels stay in the map; the caller
+    # carries the drop flag and finalization strips them
     base = F.col("labels")
-    if drop_name:
-        base = drop_name_expr(base)
     if vm.card == MatchCardinality.ONE_TO_ONE:
         if vm.on:
             keys = (

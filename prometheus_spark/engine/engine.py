@@ -79,8 +79,34 @@ class PromQLEngine:
         if isinstance(result, StringValue):
             raise ValueError("string results are API-only; not a DataFrame")
         if isinstance(result, VectorFrame):
-            cols = ["sig", "labels", "t", "value"]
-            if "hist" in result.df.columns:
-                cols.append("hist")
-            return result.df.select(*cols).orderBy("sig", "t")
+            return self._finalize(result.df)
         raise TypeError(f"unexpected result {type(result).__name__}")
+
+    def _finalize(self, df: DataFrame) -> DataFrame:
+        """Delayed name removal (reference: delayed __name__ dropping +
+        engine.go:4283 duplicate check): strip the schema metadata labels
+        from flagged rows, THEN run the duplicate-labelset check — the
+        single place duplicates can legitimately appear (two series
+        collapsing onto the same labelset once names are gone)."""
+        from prometheus_spark.model.labels import drop_metadata_expr, sig_expr
+
+        if "drop_name" in df.columns:
+            labels = F.when(
+                F.col("drop_name"), drop_metadata_expr("labels")
+            ).otherwise(F.col("labels"))
+        else:
+            labels = F.col("labels")
+        cols = [
+            sig_expr(labels).alias("sig"),
+            labels.alias("labels"),
+            F.col("t"),
+            F.col("value"),
+        ]
+        if "hist" in df.columns:
+            cols.append(F.col("hist"))
+        out = df.select(*cols)
+        if self.strict:
+            from prometheus_spark.engine.guards import check_unique_labelsets
+
+            out = check_unique_labelsets(out)
+        return out.orderBy("sig", "t")

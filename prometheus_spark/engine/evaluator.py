@@ -102,9 +102,6 @@ class Evaluator:
         if isinstance(v, ScalarFrame):
             return ScalarFrame(v.df.select("t", (-F.col("value")).alias("value")))
         if isinstance(v, VectorFrame):
-            from prometheus_spark.model.labels import drop_name_expr, sig_expr
-
-            labels = drop_name_expr("labels")
             hist_cols = []
             if "hist" in v.df.columns:
                 # −histogram ≡ histogram × −1 (vectorElemBinop MUL path)
@@ -116,28 +113,25 @@ class Evaluator:
                         scale_hist_expr(F.col("hist"), F.lit(-1.0), is_div=False),
                     ).alias("hist")
                 ]
-            return self._guarded(
-                VectorFrame(
-                    v.df.select(
-                        sig_expr(labels).alias("sig"),
-                        labels.alias("labels"),
-                        "t",
-                        "sample_t",
-                        (-F.col("value")).alias("value"),
-                        *hist_cols,
-                    )
+            return VectorFrame(
+                v.df.select(
+                    "sig",
+                    "labels",
+                    "t",
+                    "sample_t",
+                    (-F.col("value")).alias("value"),
+                    F.lit(True).alias("drop_name"),
+                    *hist_cols,
                 )
             )
         raise PromQLEvalError("unary - on non-numeric value")
 
     def _guarded(self, vf: VectorFrame) -> VectorFrame:
-        """Duplicate-labelset error after name-dropping ops
-        (engine.go:4283/4295) — strict mode only."""
-        if not self.ctx.strict:
-            return vf
-        from prometheus_spark.engine.guards import check_unique_labelsets
-
-        return VectorFrame(check_unique_labelsets(vf.df))
+        """Under delayed name removal the duplicate-labelset check runs
+        once at result finalization (engine.py) — per-op checks would
+        false-positive on still-distinct names and cost a shuffle each.
+        Kept as a seam for ops that must error eagerly."""
+        return vf
 
     # ------------------------------------------------------------------
     def _binary(self, node: BinaryExpr):
@@ -245,7 +239,9 @@ class Evaluator:
         if isinstance(inner, ScalarFrame):
             raise PromQLEvalError("subquery on scalar expressions not supported")
         hist_cols = ["hist"] if "hist" in inner.df.columns else []
-        samples_like = inner.df.select("sig", "labels", "t", "value", *hist_cols)
+        samples_like = inner.df.select(
+            "sig", "labels", "t", "value", "drop_name", *hist_cols
+        )
         w = windowed_samples(ctx, samples_like, rng, offset, node.at)
         return w, rng
 
@@ -389,6 +385,7 @@ class Evaluator:
                     "t",
                     "sample_t",
                     "value",
+                    "drop_name",
                 )
                 out = df if out is None else out.unionByName(df)
             return self._guarded(VectorFrame(out))

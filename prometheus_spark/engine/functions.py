@@ -54,17 +54,20 @@ _SIMPLE_MATH = {
 
 
 def _project(vf: VectorFrame, value: Column, keep_name: bool = False) -> VectorFrame:
-    labels = F.col("labels") if keep_name else drop_name_expr("labels")
+    # delayed name removal: labels stay intact; meaning-changing functions
+    # flag the row and finalization strips the metadata labels
+    flag = F.col("drop_name") if keep_name else F.lit(True)
     # computed samples live at the eval timestamp: nested timestamp() sees
     # the step time, not the source sample's time (at_modifier.test:173).
     # Histogram samples (value NULL) are ignored by point-wise float math.
     return VectorFrame(
         vf.df.filter(F.col("value").isNotNull()).select(
-            sig_expr(labels).alias("sig"),
-            labels.alias("labels"),
+            "sig",
+            "labels",
             "t",
             F.col("t").alias("sample_t"),
             value.cast("double").alias("value"),
+            flag.alias("drop_name"),
         )
     )
 
@@ -161,14 +164,14 @@ def eval_date_func(func: str, vf: VectorFrame) -> VectorFrame:
 
 def eval_timestamp(vf: VectorFrame) -> VectorFrame:
     # timestamp() applies to histogram samples as well — no float filter
-    labels = drop_name_expr("labels")
     return VectorFrame(
         vf.df.select(
-            sig_expr(labels).alias("sig"),
-            labels.alias("labels"),
+            "sig",
+            "labels",
             "t",
             F.col("t").alias("sample_t"),
             (F.col("sample_t") / 1000.0).cast("double").alias("value"),
+            F.lit(True).alias("drop_name"),
         )
     )
 
@@ -197,6 +200,7 @@ def eval_vector(ctx: EvalContext, scalar) -> VectorFrame:
             "t",
             F.col("t").alias("sample_t"),
             F.lit(float(scalar.value)).alias("value"),
+            F.lit(False).alias("drop_name"),
         )
     else:
         df = scalar.df.select(
@@ -205,6 +209,7 @@ def eval_vector(ctx: EvalContext, scalar) -> VectorFrame:
             "t",
             F.col("t").alias("sample_t"),
             F.col("value"),
+            F.lit(False).alias("drop_name"),
         )
     return VectorFrame(df)
 
@@ -229,6 +234,7 @@ def eval_absent(ctx: EvalContext, vf: VectorFrame, inferred: dict[str, str]) -> 
             "t",
             F.col("t").alias("sample_t"),
             F.lit(1.0).alias("value"),
+            F.lit(False).alias("drop_name"),
         )
     )
     return VectorFrame(out)
@@ -266,9 +272,13 @@ def eval_label_replace(
     labels = F.when(~matched, F.col("labels")).otherwise(
         F.when(newv == "", without_dst).otherwise(with_dst)
     )
+    # writing __name__ re-establishes the name: clear the drop flag
+    # (name_label_dropping.test:64; reference funcLabelReplace)
+    flag = F.lit(False) if dst == "__name__" else F.col("drop_name")
     return VectorFrame(
         vf.df.select(
-            sig_expr(labels).alias("sig"), labels.alias("labels"), "t", "sample_t", "value"
+            sig_expr(labels).alias("sig"), labels.alias("labels"), "t", "sample_t",
+            "value", flag.alias("drop_name"),
         )
     )
 
@@ -284,9 +294,11 @@ def eval_label_join(vf: VectorFrame, dst: str, sep: str, srcs: list[str]) -> Vec
     )
     without_dst = F.map_filter("labels", lambda k, _: k != F.lit(dst))
     labels = F.when(newv == "", without_dst).otherwise(with_dst)
+    flag = F.lit(False) if dst == "__name__" else F.col("drop_name")
     return VectorFrame(
         vf.df.select(
-            sig_expr(labels).alias("sig"), labels.alias("labels"), "t", "sample_t", "value"
+            sig_expr(labels).alias("sig"), labels.alias("labels"), "t", "sample_t",
+            "value", flag.alias("drop_name"),
         )
     )
 
@@ -337,7 +349,7 @@ def _classic_buckets(vf: VectorFrame):
     df = vf.df.filter(F.col("value").isNotNull())  # histogram samples aside
     le = F.coalesce(F.element_at("labels", F.lit("le")), F.lit(""))
     gfull = F.map_filter("labels", lambda k, _: k != F.lit("le"))
-    glabels = drop_name_expr(gfull)
+    glabels = gfull  # name kept under delayed removal; consumers set the flag
     grouped = (
         df.withColumn("__le", _parse_le(le))
         .filter(F.col("__le").isNotNull())
@@ -435,7 +447,8 @@ def eval_histogram_fraction_classic(
 
     value = F.when(total == 0, _NAN()).otherwise(value)
     out = buckets.filter(has_inf).select(
-        "sig", "labels", "t", F.col("t").alias("sample_t"), value.cast("double").alias("value")
+        "sig", "labels", "t", F.col("t").alias("sample_t"),
+        value.cast("double").alias("value"), F.lit(True).alias("drop_name"),
     )
     return VectorFrame(out)
 
@@ -462,7 +475,10 @@ def eval_histogram_quantile_classic(ctx: EvalContext, phi, vf: VectorFrame) -> V
     value = _bucket_quantile_expr(bs, q)
     out = (
         buckets.filter(has_inf & (F.size(bs) >= 2))
-        .select("sig", "labels", "t", F.col("t").alias("sample_t"), value.alias("value"))
+        .select(
+            "sig", "labels", "t", F.col("t").alias("sample_t"), value.alias("value"),
+            F.lit(True).alias("drop_name"),
+        )
     )
     return VectorFrame(out)
 

@@ -132,8 +132,8 @@ def assemble(df: DataFrame, drop_name: bool = False) -> DataFrame:
         F.col("h_hint").cast("tinyint").alias("counter_reset_hint"),
     ).cast(HISTOGRAM_TYPE)
     labels = F.map_from_arrays("label_keys", "label_values")
-    if drop_name:
-        labels = drop_name_expr(labels)
+    # delayed name removal: labels stay; drop_name flags the row and the
+    # engine's finalization strips the metadata labels
     # pandas→Arrow folds NaN into null in the float column; histogram rows
     # legitimately carry NULL value, so only coalesce non-hist rows
     value = F.when(
@@ -145,6 +145,7 @@ def assemble(df: DataFrame, drop_name: bool = False) -> DataFrame:
         "t",
         F.col("t").alias("sample_t"),
         value.alias("value"),
+        F.lit(bool(drop_name)).alias("drop_name"),
         F.when(F.col("has_hist"), hist).alias("hist"),
     )
 
@@ -182,7 +183,8 @@ def binop_add_sub(ctx: EvalContext, pairs: DataFrame, sub: bool) -> DataFrame:
                 _append_row(rows, dict(labels), t, None, l)
             yield _emit_pdf(rows)
 
-    return assemble(src.mapInPandas(batches, FLAT_SCHEMA))
+    # hist±hist changes the metric schema → flag for delayed name removal
+    return assemble(src.mapInPandas(batches, FLAT_SCHEMA), drop_name=True)
 
 
 def trim_scalar(ctx: EvalContext, src: DataFrame, is_upper: bool) -> DataFrame:

@@ -42,13 +42,14 @@ def _hist_rows(vf: VectorFrame) -> DataFrame:
 
 
 def _project(df: DataFrame, value) -> DataFrame:
-    labels = drop_name_expr("labels")
+    # delayed name removal: labels stay, row is flagged
     return df.select(
-        sig_expr(labels).alias("sig"),
-        labels.alias("labels"),
+        "sig",
+        "labels",
         "t",
         F.col("t").alias("sample_t"),
         value.cast("double").alias("value"),
+        F.lit(True).alias("drop_name"),
     )
 
 
@@ -56,7 +57,9 @@ def eval_hist_accessor(ctx: EvalContext, fn: str, vf: VectorFrame) -> VectorFram
     """histogram_count/sum/avg: struct reads; stddev/stdvar: bucket walk."""
     if "hist" not in vf.df.columns:
         return VectorFrame(
-            vf.df.filter(F.lit(False)).select("sig", "labels", "t", "sample_t", "value")
+            vf.df.filter(F.lit(False)).select(
+                "sig", "labels", "t", "sample_t", "value", "drop_name"
+            )
         )
     df = _hist_rows(vf)
     h = F.col("hist")
@@ -108,7 +111,6 @@ def _hist_python_fn(ctx: EvalContext, df: DataFrame, fn: str, args: tuple = ()) 
                     continue
                 fh = from_row(hd)
                 labels = dict(row.labels)
-                labels.pop("__name__", None)
                 if fn == "histogram_stddev":
                     v = math.sqrt(fh.stdvar())
                 elif fn == "histogram_stdvar":
@@ -142,6 +144,7 @@ def _hist_python_fn(ctx: EvalContext, df: DataFrame, fn: str, args: tuple = ()) 
         "t",
         F.col("t").alias("sample_t"),
         F.coalesce(F.col("value"), F.lit(float("nan"))).alias("value"),
+        F.lit(True).alias("drop_name"),
     )
 
 

@@ -151,5 +151,8 @@ def eval_info(
         "t",
         "sample_t",
         "value",
-    ).unionByName(passthrough.select("sig", "labels", "t", "sample_t", "value"))
+        "drop_name",
+    ).unionByName(
+        passthrough.select("sig", "labels", "t", "sample_t", "value", "drop_name")
+    )
     return VectorFrame(out)

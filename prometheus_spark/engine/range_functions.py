@@ -235,39 +235,44 @@ def _first_last_hist(ctx: EvalContext, windowed: DataFrame, func: str) -> DataFr
     metric name kept (funcLastOverTime keeps DropName unset)."""
     pick = F.struct("sample_t", "value", "hist")
     agg = F.max(pick) if func == "last_over_time" else F.min(pick)
-    out = _grouped(windowed).agg(
-        F.first("labels").alias("labels"), agg.alias("__p")
+    flag_agg = (
+        [F.bool_or("drop_name").alias("drop_name")]
+        if "drop_name" in windowed.columns
+        else []
     )
-    from prometheus_spark.model.labels import sig_expr
-
+    out = _grouped(windowed).agg(
+        F.first("labels").alias("labels"), agg.alias("__p"), *flag_agg
+    )
+    if "drop_name" not in out.columns:
+        out = out.withColumn("drop_name", F.lit(False))
     return out.select(
-        sig_expr(F.col("labels")).alias("sig"),
+        "sig",
         "labels",
         "t",
         F.col("t").alias("sample_t"),
         F.col("__p")["value"].alias("value"),
         F.col("__p")["hist"].alias("hist"),
+        "drop_name",
     )
 
 
 def _finish(df: DataFrame, ctx: EvalContext = None, keep_name: bool = False) -> DataFrame:
-    from prometheus_spark.model.labels import drop_name_expr, sig_expr
-
-    labels = F.col("labels") if keep_name else drop_name_expr("labels")
-    out = df.select(
-        sig_expr(labels).alias("sig"),
-        labels.alias("labels"),
+    # delayed name removal: labels stay intact; meaning-changing range
+    # functions set the drop flag and the engine's finalization strips
+    # metadata labels + runs the duplicate-labelset check ONCE — the old
+    # per-function guard window (a shuffle per call) is gone.
+    if keep_name:
+        flag = F.col("drop_name") if "drop_name" in df.columns else F.lit(False)
+    else:
+        flag = F.lit(True)
+    return df.select(
+        "sig",
+        "labels",
         "t",
         F.col("t").alias("sample_t"),
         F.col("value").cast("double").alias("value"),
+        flag.alias("drop_name"),
     )
-    if ctx is not None and ctx.strict:
-        # dropping __name__ can collide distinct input series — must error
-        # (engine.go:4283; functions.test:1558)
-        from prometheus_spark.engine.guards import check_unique_labelsets
-
-        out = check_unique_labelsets(out)
-    return out
 
 
 def _simple_over_time(ctx: EvalContext, windowed: DataFrame, func: str) -> DataFrame:
@@ -333,7 +338,14 @@ def _simple_over_time(ctx: EvalContext, windowed: DataFrame, func: str) -> DataF
         return _finish(out, ctx)
     if func not in aggs:
         raise PromQLEvalError(f"unsupported over_time function {func}")
-    out = _grouped(windowed).agg(F.first("labels").alias("labels"), aggs[func].alias("value"))
+    flag_agg = (
+        [F.bool_or("drop_name").alias("drop_name")]
+        if "drop_name" in windowed.columns
+        else []
+    )
+    out = _grouped(windowed).agg(
+        F.first("labels").alias("labels"), aggs[func].alias("value"), *flag_agg
+    )
     # first/last_over_time return real samples — the metric name survives
     # (reference: funcLastOverTime keeps DropName unset)
     return _finish(out, ctx, keep_name=func in _KEEPS_NAME)

@@ -128,7 +128,8 @@ def eval_vector_selector(ctx: EvalContext, node: VectorSelector) -> VectorFrame:
             .select("sig", "labels", F.col("t").alias("sample_t"), "value", *hist_cols)
         )
         out = picked.crossJoin(F.broadcast(ctx.grid)).select(
-            "sig", "labels", "t", "sample_t", "value", *hist_cols
+            "sig", "labels", "t", "sample_t", "value",
+            F.lit(False).alias("drop_name"), *hist_cols,
         )
         return VectorFrame(out)
 
@@ -160,6 +161,7 @@ def eval_vector_selector(ctx: EvalContext, node: VectorSelector) -> VectorFrame:
         F.col("step_t").alias("t"),
         F.col("t").alias("sample_t"),
         "value",
+        F.lit(False).alias("drop_name"),
         *hist_cols,
     )
     return VectorFrame(out)
@@ -226,7 +228,8 @@ def _smoothed_instant(
             value.cast("double").alias("value"),
         )
         out = picked.crossJoin(F.broadcast(ctx.grid)).select(
-            "sig", "labels", "t", "sample_t", "value"
+            "sig", "labels", "t", "sample_t", "value",
+            F.lit(False).alias("drop_name"),
         )
         return VectorFrame(_smoothed_union(out, hist_part))
     lo = ctx.start_ms - offset - lb
@@ -255,6 +258,7 @@ def _smoothed_instant(
         F.col("step_t").alias("out_t"),
         F.col("t").alias("sample_t"),
         value.cast("double").alias("value"),
+        F.lit(False).alias("drop_name"),
     ).withColumnsRenamed({"out_t": "t"})
     return VectorFrame(_smoothed_union(out, hist_part))
 
@@ -287,7 +291,9 @@ def windowed_samples(
     else:
         base = node_or_df
     hist_cols = ["hist"] if "hist" in base.columns else []
-    base = base.select("sig", "labels", "t", "value", *hist_cols)
+    if "drop_name" not in base.columns:
+        base = base.withColumn("drop_name", F.lit(False))
+    base = base.select("sig", "labels", "t", "value", "drop_name", *hist_cols)
 
     # ``wend`` = the window's (offset-adjusted) right edge — rate
     # extrapolation measures sample distance to it (functions.go:472,
@@ -297,7 +303,7 @@ def windowed_samples(
         window = base.filter((F.col("t") > ref - range_ms) & (F.col("t") <= ref))
         return window.crossJoin(F.broadcast(ctx.grid.select(F.col("t").alias("step_t")))).select(
             "sig", "labels", F.col("step_t").alias("out_t"), F.col("t").alias("sample_t"),
-            "value", *hist_cols, F.lit(ref).alias("wend"),
+            "value", "drop_name", *hist_cols, F.lit(ref).alias("wend"),
         ).withColumnsRenamed({"out_t": "t"})
 
     return _sliding_windows(ctx, base, range_ms, offset_ms, hist_cols)
@@ -315,7 +321,7 @@ def _sliding_windows(ctx, base, range_ms, offset_ms, hist_cols):
     )
     return exploded.select(
         "sig", "labels", F.col("step_t").alias("out_t"), F.col("t").alias("sample_t"),
-        "value", *hist_cols, (F.col("step_t") - F.lit(offset_ms)).alias("wend"),
+        "value", "drop_name", *hist_cols, (F.col("step_t") - F.lit(offset_ms)).alias("wend"),
     ).withColumnsRenamed({"out_t": "t"})
 
 

@@ -5,8 +5,15 @@ PromQL's four static types (reference: promql/parser/value.go) map to:
 - scalar   → :class:`ConstScalar` (plan-time constant, step-invariant) or
              :class:`ScalarFrame` (one row per step: ``(t, value)``)
 - string   → :class:`StringValue`
-- vector   → :class:`VectorFrame` — ``(sig, labels, t, sample_t, value)``,
-             one row per (series, step); absent rows = absent series
+- vector   → :class:`VectorFrame` — ``(sig, labels, t, sample_t, value,
+             drop_name)``, one row per (series, step); absent rows =
+             absent series.  ``drop_name`` implements the reference's
+             *delayed name removal*: meaning-changing ops flag the row
+             instead of physically removing ``__name__``/``__type__``/
+             ``__unit__``; the metadata labels stay visible to grouping,
+             matching and label functions, and are stripped once at
+             result finalization (engine.py) — where the duplicate-
+             labelset check also runs.
 - matrix   → handled structurally: range selectors/subqueries feed the
              range-function framework as windowed sample frames
 """
@@ -18,7 +25,14 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-VECTOR_COLS = ["sig", "labels", "t", "sample_t", "value"]
+VECTOR_COLS = ["sig", "labels", "t", "sample_t", "value", "drop_name"]
+
+
+def ensure_drop_name(df: DataFrame) -> DataFrame:
+    """Attach drop_name=false to frames predating the flag (raw samples)."""
+    if "drop_name" not in df.columns:
+        df = df.withColumn("drop_name", F.lit(False))
+    return df
 
 
 @dataclass

@@ -109,6 +109,50 @@ class FloatHist:
         return out
 
     # ------------------------------------------------------------------
+    def go_string(self) -> str:
+        """The reference's FloatHistogram.String() rendering
+        (model/histogram/float_histogram.go:177): ``{count:%g, sum:%g``
+        then non-empty buckets ascending — negative ``[−u,−l)``, zero
+        ``[−zt,zt]``, positive ``(l,u]`` — with Go %g number formatting.
+        Used by count_values label values."""
+
+        def g(v: float) -> str:
+            if math.isnan(v):
+                return "NaN"
+            if v == math.inf:
+                return "+Inf"
+            if v == -math.inf:
+                return "-Inf"
+            if v == int(v) and abs(v) < 1e21:
+                return str(int(v))
+            return repr(v)
+
+        parts = [f"{{count:{g(self.count)}, sum:{g(self.sum)}"]
+        if not self.uses_custom_buckets():
+            neg = list(zip(self._indexes(self.neg_spans), self.neg_buckets))
+            for idx, c in reversed(neg):
+                if c == 0:
+                    continue
+                lo, up = self._exp_bounds(idx)
+                parts.append(f"[{g(-up)},{g(-lo)}):{g(float(c))}")
+            if self.zero_count != 0:
+                parts.append(
+                    f"[{g(-self.zero_threshold)},{g(self.zero_threshold)}]:{g(self.zero_count)}"
+                )
+            for idx, c in zip(self._indexes(self.pos_spans), self.pos_buckets):
+                if c == 0:
+                    continue
+                lo, up = self._exp_bounds(idx)
+                parts.append(f"({g(lo)},{g(up)}]:{g(float(c))}")
+        else:
+            for idx, c in zip(self._indexes(self.pos_spans), self.pos_buckets):
+                if c == 0:
+                    continue
+                lo, up = self._custom_bounds(idx)
+                lb = "[" if idx == 0 else "("
+                parts.append(f"{lb}{g(lo)},{g(up)}]:{g(float(c))}")
+        return ", ".join(parts) + "}"
+
     def quantile(self, q: float) -> float:
         """promql/quantile.go:225 ``HistogramQuantile``."""
         if q < 0:

@@ -58,6 +58,9 @@ def match_sig_expr(
         keys = F.array(*[F.lit(k) for k in on]) if on else F.array().cast("array<string>")
         filtered = F.map_filter(col, lambda k, _: F.array_contains(keys, k) if on else F.lit(False))
     else:
+        # only __name__ is excluded — __type__/__unit__ metadata labels DO
+        # participate in matching while present (type_and_unit.test:265:
+        # series differing only in metadata must not match)
         dropped = list(ignoring or []) + [METRIC_NAME_LABEL]
         keys = F.array(*[F.lit(k) for k in dropped])
         filtered = F.map_filter(col, lambda k, _: ~F.array_contains(keys, k))
@@ -84,7 +87,7 @@ def group_labels_expr(
         keys = F.array(*[F.lit(k) for k in by])
         return F.map_filter(col, lambda k, _: F.array_contains(keys, k))
     if without is not None:
-        dropped = list(without) + [METRIC_NAME_LABEL]
+        dropped = list(without) + list(METADATA_LABELS)
         keys = F.array(*[F.lit(k) for k in dropped])
         return F.map_filter(col, lambda k, _: ~F.array_contains(keys, k))
     return F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>"))
@@ -96,3 +99,17 @@ def drop_name_expr(labels_col: Column | str = "labels") -> Column:
     ``cleanupMetricLabels``)."""
     col = F.col(labels_col) if isinstance(labels_col, str) else labels_col
     return F.map_filter(col, lambda k, _: k != F.lit(METRIC_NAME_LABEL))
+
+
+# Schema metadata labels (reference: schema/labels.go IsMetadataLabel) —
+# dropped together by meaning-changing operations under delayed name
+# removal, and excluded from vector-matching signatures (PROM-39).
+METADATA_LABELS = (METRIC_NAME_LABEL, "__type__", "__unit__")
+
+
+def drop_metadata_expr(labels_col: Column | str = "labels") -> Column:
+    """Drop all schema metadata labels (__name__/__type__/__unit__) — the
+    delayed-name-removal finalization step (engine.go DropReserved)."""
+    col = F.col(labels_col) if isinstance(labels_col, str) else labels_col
+    keys = F.array(*[F.lit(k) for k in METADATA_LABELS])
+    return F.map_filter(col, lambda k, _: ~F.array_contains(keys, k))

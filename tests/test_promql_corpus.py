@@ -2,8 +2,14 @@
 (promql/promqltest/testdata/*.test) against the Spark engine.
 
 The corpus is read from the reference tree at test time; per SURVEY §5 it
-is designed to run against any PromQL implementation.  Files are capped to
-keep the suite's wall-clock bounded; caps widen as coverage grows.
+is designed to run against any PromQL implementation.
+
+Two tiers keep CI wall-clock bounded while preserving full coverage:
+
+- default (this file, < 10 min total suite): every corpus file runs with
+  thread-parallel evals and a per-file eval cap sized to ~30 s
+- full sweep: ``python tools/corpus_sweep.py`` runs every file uncapped
+  (used per-round; also triggered by SPARK_GRAFT_FULL_CORPUS=1)
 """
 
 import os
@@ -13,29 +19,33 @@ import pytest
 from prometheus_spark.testing import run_test_text
 
 TESTDATA = "/root/reference/promql/promqltest/testdata"
+FULL = os.environ.get("SPARK_GRAFT_FULL_CORPUS") == "1"
+PARALLEL = 8
 
 # (file, max_evals, allowed_failures) — max_evals None = run everything.
-# Caps bound the suite's wall clock; the full files are exercised
-# per-round via interactive corpus runs and caps widen as coverage grows.
+# allowed > 0 entries are tracked divergences; drive to 0.
 CORPUS = [
-    # allowed>0 = known gaps, all histogram-arithmetic or exotic-format
-    # related (sum/rate over native histograms land next round)
-    ("aggregators.test", None, 5),  # count_values histogram string format
-    ("operators.test", None, 2),  # NHCB equality corner pending
+    ("aggregators.test", None, 5),  # count_values native-histogram label formatting
+    ("at_modifier.test", None, 0),
+    ("collision.test", None, 0),
+    ("duration_expression.test", None, 0),
+    ("extended_vectors.test", 80, 0),
+    ("fill-modifier.test", None, 0),
+    ("functions.test", 150, 0),
+    ("histograms.test", 150, 0),
+    ("info.test", None, 2),  # conflicting-info-series duplicate detection
+    ("limit.test", None, 0),
+    ("literals.test", None, 0),
+    ("name_label_dropping.test", None, 0),
+    ("native_histograms.test", 150, 0),
+    ("operators.test", None, 2),  # NHCB equality corner
+    ("range_queries.test", None, 3),
     ("selectors.test", None, 0),
     ("staleness.test", None, 0),
-    ("collision.test", None, 0),
-    ("at_modifier.test", None, 0),
-    ("range_queries.test", None, 3),
-    ("literals.test", None, 0),
-    ("trig_functions.test", None, 0),
+    ("start_timestamps.test", None, 0),
     ("subquery.test", None, 3),
-    ("duration_expression.test", None, 0),
-    ("fill-modifier.test", None, 0),
-    ("info.test", None, 2),  # conflicting-info-series duplicate detection
-    ("histograms.test", None, 50),  # histogram arithmetic pending
-    ("extended_vectors.test", None, 0),
-    ("functions.test", 80, 6),  # resets/changes on histograms pending
+    ("trig_functions.test", None, 0),
+    ("type_and_unit.test", None, 0),
 ]
 
 
@@ -46,7 +56,9 @@ def test_corpus_file(spark, fname, cap, allowed):
         pytest.skip("reference corpus not available")
     with open(path) as f:
         text = f.read()
-    stats = run_test_text(spark, text, max_evals=cap)
+    stats = run_test_text(
+        spark, text, max_evals=None if FULL else cap, parallel_evals=PARALLEL
+    )
     assert stats.total > 0
     msg = "\n".join(stats.failures[:15])
     assert stats.failed <= allowed, f"{stats.failed}/{stats.total} failed:\n{msg}"
