@@ -238,7 +238,19 @@ class Evaluator:
             inner = scalar_frame_from_const(sub_ctx, inner.value)
         if isinstance(inner, ScalarFrame):
             raise PromQLEvalError("subquery on scalar expressions not supported")
-        hist_cols = ["hist"] if "hist" in inner.df.columns else []
+        hist_cols = []
+        if "hist" in inner.df.columns:
+            # Normalize explicit counter-reset hints to "unknown": a
+            # high-res subquery returns the reset sample multiple times
+            # (over-detection) and a low-res one may skip it — the engine
+            # falls back to value-based detection (engine.go:2024).
+            hint = F.col("hist")["counter_reset_hint"]
+            norm = F.when(
+                F.col("hist").isNotNull() & hint.isin(1, 2),
+                F.col("hist").withField("counter_reset_hint", F.lit(0).cast("tinyint")),
+            ).otherwise(F.col("hist"))
+            inner = VectorFrame(inner.df.withColumn("hist", norm))
+            hist_cols = ["hist"]
         samples_like = inner.df.select(
             "sig", "labels", "t", "value", "drop_name", *hist_cols
         )
@@ -320,6 +332,8 @@ class Evaluator:
             return FN.eval_date_func(fn, self._vector_or_default(node.args, 0))
         if fn == "timestamp":
             return FN.eval_timestamp(self._vector(node.args[0]))
+        if fn == "start_timestamp":
+            return FN.eval_start_timestamp(self._vector(node.args[0]))
         if fn == "scalar":
             return FN.eval_scalar(ctx, self._vector(node.args[0]))
         if fn == "vector":

@@ -176,6 +176,38 @@ def eval_timestamp(vf: VectorFrame) -> VectorFrame:
     )
 
 
+def eval_start_timestamp(vf: VectorFrame) -> VectorFrame:
+    """start_timestamp(v) (functions.go:1920 funcStartTimestamp,
+    experimental): the sample's start (created) timestamp in seconds.
+    Only series whose samples actually carry start-timestamp data produce
+    output (unset positions within such a series emit 0, mirroring the
+    reference's zero-filled ST slices); expression inputs lose the ST
+    column entirely → empty result."""
+    from pyspark.sql.window import Window
+
+    if "st" not in vf.df.columns:
+        return VectorFrame(
+            vf.df.filter(F.lit(False)).select(
+                "sig", "labels", "t", "sample_t", "value",
+                F.lit(True).alias("drop_name"),
+            )
+        )
+    # applies to histogram samples too — no float filter
+    has_any = F.max(F.col("st").isNotNull().cast("int")).over(Window.partitionBy("sig"))
+    return VectorFrame(
+        vf.df.withColumn("__has_st", has_any)
+        .filter(F.col("__has_st") == 1)
+        .select(
+            "sig",
+            "labels",
+            "t",
+            F.col("t").alias("sample_t"),
+            (F.coalesce(F.col("st"), F.lit(0)) / 1000.0).cast("double").alias("value"),
+            F.lit(True).alias("drop_name"),
+        )
+    )
+
+
 def eval_scalar(ctx: EvalContext, vf: VectorFrame) -> ScalarFrame:
     """scalar(v): the single *float* element's value, else NaN
     (functions.go:1174 — histogram samples don't count)."""
@@ -445,8 +477,8 @@ def eval_histogram_fraction_classic(
         urank = F.when(~acc["uset"] | (acc["urank"] > total), total).otherwise(acc["urank"])
         value = (urank - lrank) / total
 
-    value = F.when(total == 0, _NAN()).otherwise(value)
-    out = buckets.filter(has_inf).select(
+    value = F.when((total == 0) | ~has_inf, _NAN()).otherwise(value)
+    out = buckets.select(
         "sig", "labels", "t", F.col("t").alias("sample_t"),
         value.cast("double").alias("value"), F.lit(True).alias("drop_name"),
     )
@@ -472,13 +504,12 @@ def eval_histogram_quantile_classic(ctx: EvalContext, phi, vf: VectorFrame) -> V
     bs = F.col("bs")
     has_inf = F.exists(bs, lambda b: b["le"] == F.lit(float("inf")))
 
-    value = _bucket_quantile_expr(bs, q)
-    out = (
-        buckets.filter(has_inf & (F.size(bs) >= 2))
-        .select(
-            "sig", "labels", "t", F.col("t").alias("sample_t"), value.alias("value"),
-            F.lit(True).alias("drop_name"),
-        )
+    value = F.when(
+        has_inf & (F.size(bs) >= 2), _bucket_quantile_expr(bs, q)
+    ).otherwise(_NAN())
+    out = buckets.select(
+        "sig", "labels", "t", F.col("t").alias("sample_t"), value.alias("value"),
+        F.lit(True).alias("drop_name"),
     )
     return VectorFrame(out)
 
@@ -486,9 +517,10 @@ def eval_histogram_quantile_classic(ctx: EvalContext, phi, vf: VectorFrame) -> V
 def _parse_le(le: Column) -> Column:
     # try_cast: unparseable/absent le must yield NULL (filtered), not an
     # ANSI cast error — histogram-sample rows carry no le label at all
+    low = F.lower(le)
     return (
-        F.when(le == "+Inf", F.lit(float("inf")))
-        .when(le == "-Inf", F.lit(float("-inf")))
+        F.when(low.isin("+inf", "inf", "+infinity", "infinity"), F.lit(float("inf")))
+        .when(low.isin("-inf", "-infinity"), F.lit(float("-inf")))
         .otherwise(le.try_cast("double"))
     )
 

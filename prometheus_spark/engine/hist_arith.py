@@ -257,7 +257,9 @@ def window_rate(
     from prometheus_spark.shipping import ensure_shipped
 
     ensure_shipped(ctx.spark)
-    src = windowed.select("sig", "labels", "t", "wend", "sample_t", "hist")
+    if "st" not in windowed.columns:
+        windowed = windowed.withColumn("st", F.lit(None).cast("long"))
+    src = windowed.select("sig", "labels", "t", "wend", "sample_t", "hist", "st")
     range_s = range_ms / 1000.0
 
     def one_group(pdf):
@@ -266,24 +268,36 @@ def window_rate(
         rows = _fresh()
         pdf = pdf.sort_values("sample_t")
         points = [(int(t), from_row(h)) for t, h in zip(pdf["sample_t"], pdf["hist"])]
-        if len(points) < 2:
-            return _emit_pdf(rows)
-        h = hist_rate(points, range_s, is_counter, is_rate)
-        if h is None:
-            return _emit_pdf(rows)
+        sts = [None if st is None or st != st else int(st) for st in pdf["st"]]
         wend = int(pdf["wend"].iloc[0])
         first_t, last_t = points[0][0], points[-1][0]
+        st0 = sts[0] or 0
+        # first sample's ST inside the window: substitute a zero sample at
+        # the ST for left extrapolation (functions.go:551); this also
+        # enables single-sample rates
+        st_cond = is_counter and st0 != 0 and (wend - range_ms) < st0 < first_t
+        h = hist_rate(points, range_s, is_counter, is_rate, sts)
+        if h is None and not (st_cond and len(points) == 1):
+            return _emit_pdf(rows)
+        sampled = (last_t - first_t) / 1000.0
+        avg_spacing = sampled / (len(points) - 1) if len(points) > 1 else 0.0
+        threshold = avg_spacing * 1.1
         dur_start = (first_t - (wend - range_ms)) / 1000.0
         dur_end = (wend - last_t) / 1000.0
-        sampled = (last_t - first_t) / 1000.0
-        avg_spacing = sampled / (len(points) - 1)
-        threshold = avg_spacing * 1.1
-        if dur_start >= threshold:
-            dur_start = avg_spacing / 2.0
-        if is_counter and h.count > 0 and points[0][1].count >= 0:
-            dur_zero = sampled * (points[0][1].count / h.count)
-            if dur_zero < dur_start:
-                dur_start = dur_zero
+        if st_cond:
+            dur_start = 0.0
+            sampled = (last_t - st0) / 1000.0
+            if h is None:
+                h = points[0][1].copy()
+            else:
+                h.add(points[0][1])
+        else:
+            if dur_start >= threshold:
+                dur_start = avg_spacing / 2.0
+            if is_counter and h.count > 0 and points[0][1].count >= 0:
+                dur_zero = sampled * (points[0][1].count / h.count)
+                if dur_zero < dur_start:
+                    dur_start = dur_zero
         if dur_end >= threshold:
             dur_end = avg_spacing / 2.0
         factor = (sampled + dur_start + dur_end) / sampled if sampled else 1.0
@@ -308,13 +322,16 @@ def window_instant_pair(ctx: EvalContext, windowed: DataFrame, is_rate: bool) ->
     from prometheus_spark.shipping import ensure_shipped
 
     ensure_shipped(ctx.spark)
-    src = windowed.select("sig", "labels", "t", "sample_t", "value", "hist")
+    if "st" not in windowed.columns:
+        windowed = windowed.withColumn("st", F.lit(None).cast("long"))
+    src = windowed.select("sig", "labels", "t", "sample_t", "value", "hist", "st")
 
     def one_group(pdf):
         from prometheus_spark.model.histogram import (
             GAUGE_TYPE,
             HistIncompatibleSchema,
             from_row,
+            st_reset,
         )
 
         rows = _fresh()
@@ -327,18 +344,22 @@ def window_instant_pair(ctx: EvalContext, windowed: DataFrame, is_rate: bool) ->
         dt = (t1 - t0) / 1000.0
         h0 = from_row(pdf["hist"].iloc[-2]) if pdf["hist"].iloc[-2] is not None else None
         h1 = from_row(pdf["hist"].iloc[-1]) if pdf["hist"].iloc[-1] is not None else None
+        s0, s1 = pdf["st"].iloc[-2], pdf["st"].iloc[-1]
+        s0 = None if s0 is None or s0 != s0 else int(s0)
+        s1 = None if s1 is None or s1 != s1 else int(s1)
+        streset = st_reset(s0, t0, s1, t1)
         labels = dict(pdf["labels"].iloc[0])
         t_out = int(pdf["t"].iloc[0])
         if h0 is None and h1 is None:
             v0, v1 = float(pdf["value"].iloc[-2]), float(pdf["value"].iloc[-1])
-            res = v1 if (is_rate and v1 < v0) else v1 - v0
+            res = v1 if (is_rate and (v1 < v0 or streset)) else v1 - v0
             if is_rate:
                 res /= dt
             _append_row(rows, labels, t_out, res, None)
         elif h0 is not None and h1 is not None:
             res = h1.copy()
             try:
-                if (not is_rate) or not h1.detect_reset(h0):
+                if (not is_rate) or not (streset or h1.detect_reset(h0)):
                     res.add(h0, sub=True)
             except HistIncompatibleSchema:
                 return _emit_pdf(rows)
@@ -472,30 +493,34 @@ def window_resets_changes(ctx: EvalContext, windowed: DataFrame, func: str) -> D
     from prometheus_spark.shipping import ensure_shipped
 
     ensure_shipped(ctx.spark)
-    src = windowed.select("sig", "labels", "t", "sample_t", "value", "hist")
+    if "st" not in windowed.columns:
+        windowed = windowed.withColumn("st", F.lit(None).cast("long"))
+    src = windowed.select("sig", "labels", "t", "sample_t", "value", "hist", "st")
     count_resets = func == "resets"
 
     def one_group(pdf):
         import math
 
-        from prometheus_spark.model.histogram import from_row
+        from prometheus_spark.model.histogram import from_row, st_reset
 
         rows = _fresh()
         pdf = pdf.sort_values("sample_t")
-        samples = []  # (float|None, FloatHist|None)
-        for v, h in zip(pdf["value"], pdf["hist"]):
+        samples = []  # (float|None, FloatHist|None, t, st)
+        for v, h, t, st in zip(pdf["value"], pdf["hist"], pdf["sample_t"], pdf["st"]):
             # NULL vs NaN is ambiguous in pandas doubles; hist presence
             # decides the sample kind (hist rows carry NULL value)
             fh = from_row(h) if h is not None else None
-            samples.append((None if fh is not None else float(v), fh))
+            stv = None if st is None or st != st else int(st)
+            samples.append((None if fh is not None else float(v), fh, int(t), stv))
         if not samples:
             return _emit_pdf(rows)
         n = 0
-        prev_f, prev_h = samples[0]
-        for cur_f, cur_h in samples[1:]:
+        prev_f, prev_h, prev_t, prev_st = samples[0]
+        for cur_f, cur_h, cur_t, cur_st in samples[1:]:
+            streset = count_resets and st_reset(prev_st, prev_t, cur_st, cur_t)
             if prev_h is None and cur_h is None:
                 if count_resets:
-                    if cur_f < prev_f:
+                    if cur_f < prev_f or streset:
                         n += 1
                 elif cur_f != prev_f and not (math.isnan(cur_f) and math.isnan(prev_f)):
                     n += 1
@@ -503,11 +528,11 @@ def window_resets_changes(ctx: EvalContext, windowed: DataFrame, func: str) -> D
                 n += 1
             else:
                 if count_resets:
-                    if cur_h.detect_reset(prev_h):
+                    if streset or cur_h.detect_reset(prev_h):
                         n += 1
                 elif not cur_h.equals(prev_h):
                     n += 1
-            prev_f, prev_h = cur_f, cur_h
+            prev_f, prev_h, prev_t, prev_st = cur_f, cur_h, cur_t, cur_st
         _append_row(rows, dict(pdf["labels"].iloc[0]), int(pdf["t"].iloc[0]), float(n), None)
         return _emit_pdf(rows)
 

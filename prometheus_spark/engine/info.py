@@ -95,24 +95,57 @@ def eval_info(
         names = F.array(*[F.lit(m.name) for m in label_matchers])
         data_labels = F.map_filter(data_labels, lambda k, _: F.array_contains(names, k))
 
-    # merge all matching info metrics per (instance, job, t) into one map
-    info = (
-        info_vf.df.select(
-            F.coalesce(F.element_at("labels", F.lit("instance")), F.lit("")).alias("__inst"),
-            F.coalesce(F.element_at("labels", F.lit("job")), F.lit("")).alias("__job"),
-            F.col("t").alias("__it"),
-            data_labels.alias("__data"),
-        )
-        .groupBy("__inst", "__job", "__it")
-        .agg(
-            F.aggregate(
-                F.collect_list("__data"),
-                F.create_map().cast("map<string,string>"),
-                lambda acc, m: F.map_concat(
-                    acc, F.map_filter(m, lambda k, _: ~F.array_contains(F.map_keys(acc), k))
-                ),
-            ).alias("__data")
-        )
+    # info metrics must be float samples — a histogram-typed info series is
+    # an error (info.test:191).  The guard is folded into the data-label
+    # column so Catalyst can't prune it away.
+    info_src = info_vf.df
+    if "hist" in info_src.columns:
+        bad_hist = F.col("hist").isNotNull() | F.col("value").isNull()
+        data_labels = F.when(
+            bad_hist,
+            F.raise_error(
+                F.lit("info: data label selector matched non-float (histogram) series")
+            ).cast("map<string,string>"),
+        ).otherwise(data_labels)
+
+    # merge matching info metrics per (instance, job, t), per data-label
+    # KEY: the info series with the most recent sample wins (info-metric
+    # churn, info.test:225 — a newer state supersedes a lookback-carried
+    # older one); two DIFFERENT values at the same freshest timestamp are
+    # an error (info.test:304 conflicting label)
+    from pyspark.sql.window import Window as W
+
+    entries = info_src.select(
+        F.coalesce(F.element_at("labels", F.lit("instance")), F.lit("")).alias("__inst"),
+        F.coalesce(F.element_at("labels", F.lit("job")), F.lit("")).alias("__job"),
+        F.col("t").alias("__it"),
+        F.col("sample_t").alias("__st"),
+        F.explode(F.map_entries(data_labels)).alias("__e"),
+    ).select("__inst", "__job", "__it", "__st", F.col("__e.key").alias("__k"), F.col("__e.value").alias("__v"))
+    wk = W.partitionBy("__inst", "__job", "__it", "__k")
+    fresh = entries.withColumn("__maxst", F.max("__st").over(wk)).filter(
+        F.col("__st") == F.col("__maxst")
+    )
+    per_key = fresh.groupBy("__inst", "__job", "__it", "__k").agg(
+        F.first("__v").alias("__v"),
+        (F.size(F.collect_set("__v")) > 1).alias("__bad"),
+    )
+    info = per_key.groupBy("__inst", "__job", "__it").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("__k").alias("key"),
+                    F.when(
+                        F.col("__bad"),
+                        F.raise_error(
+                            F.lit("info: conflicting label values from matched info series")
+                        ).cast("string"),
+                    )
+                    .otherwise(F.col("__v"))
+                    .alias("value"),
+                )
+            )
+        ).alias("__data")
     )
 
     b = enrichable.withColumn(

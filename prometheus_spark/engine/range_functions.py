@@ -375,14 +375,44 @@ def _quantile_over_time(ctx: EvalContext, windowed: DataFrame, param) -> DataFra
     return _finish(out, ctx)
 
 
+def _st_reset_expr(prev_st, prev_t, cur_st, cur_t):
+    """isStartTimestampReset (functions.go:760): a counter reset implied
+    by start timestamps.  ST==0/NULL means unset; ST >= T is invalid;
+    currST > prevT is a restart; currST == prevT distinguishes deltas
+    (prevST set and != prevT) from OTel cumulative-with-unknown-start."""
+    pst = F.coalesce(prev_st, F.lit(0))
+    cst = F.coalesce(cur_st, F.lit(0))
+    return (
+        F.when((cst == 0) | (cst >= cur_t), F.lit(False))
+        .when(cst < prev_t, F.lit(False))
+        .when(cst > prev_t, F.lit(True))
+        .when(pst > prev_t, F.lit(False))
+        .otherwise((pst != 0) & (pst != prev_t))
+    )
+
+
+def _with_st(windowed: DataFrame) -> DataFrame:
+    if "st" not in windowed.columns:
+        windowed = windowed.withColumn("st", F.lit(None).cast("long"))
+    return windowed
+
+
 def _extrapolated(
     ctx: EvalContext, windowed: DataFrame, range_ms: int, is_counter: bool, is_rate: bool
 ) -> DataFrame:
-    """rate/increase/delta (functions.go:452-620 ``extrapolatedRate``)."""
+    """rate/increase/delta (functions.go:452-620 ``extrapolatedRate``),
+    start-timestamp aware: ST-implied counter resets join value-drop
+    resets, and a first-sample ST inside the window substitutes a zero
+    sample at the ST for left extrapolation (functions.go:551)."""
+    windowed = _with_st(windowed)
     w = Window.partitionBy("sig", "t").orderBy("sample_t")
     prev = F.lag("value").over(w)
     # IEEE guard: Spark sorts NaN above all doubles, Go compares false
     is_reset = (~F.isnan(F.col("value"))) & (~F.isnan(prev)) & (F.col("value") < prev)
+    if is_counter:
+        is_reset = is_reset | _st_reset_expr(
+            F.lag("st").over(w), F.lag("sample_t").over(w), F.col("st"), F.col("sample_t")
+        )
     drop = F.when(is_reset, prev).otherwise(0.0)
     stats = (
         windowed.withColumn("__drop", drop if is_counter else F.lit(0.0))
@@ -395,6 +425,7 @@ def _extrapolated(
             F.max("sample_t").alias("last_t"),
             F.min_by("value", "sample_t").alias("first_v"),
             F.max_by("value", "sample_t").alias("last_v"),
+            F.min_by("st", "sample_t").alias("st0"),
             F.sum("__drop").alias("correction"),
         )
     )
@@ -406,10 +437,12 @@ def _extrapolated(
     dur_start = (F.col("first_t") - (F.col("wend") - F.lit(range_ms))) * ms
     dur_end = (F.col("wend") - F.col("last_t")) * ms
     sampled = (F.col("last_t") - F.col("first_t")) * ms
-    avg_spacing = sampled / (F.col("n") - 1)
+    avg_spacing = F.when(F.col("n") > 1, sampled / (F.col("n") - 1)).otherwise(F.lit(0.0))
     threshold = avg_spacing * 1.1
 
     ext_start = F.when(dur_start >= threshold, avg_spacing / 2.0).otherwise(dur_start)
+    st0 = F.coalesce(F.col("st0"), F.lit(0))
+    st_cond = F.lit(False)
     if is_counter:
         # counter started inside the window: clamp extrapolation at the
         # implied zero crossing (functions.go "durationToZero" heuristic)
@@ -417,14 +450,26 @@ def _extrapolated(
             (delta > 0) & (F.col("first_v") >= 0), sampled * (F.col("first_v") / delta)
         ).otherwise(F.lit(float("inf")))
         ext_start = F.least(ext_start, zero_dur)
+        # first sample's ST inside (rangeStart, firstT): assume a zero
+        # sample at the ST instead of extrapolating left
+        st_cond = (
+            (st0 != 0)
+            & (st0 > F.col("wend") - F.lit(range_ms))
+            & (st0 < F.col("first_t"))
+        )
+        ext_start = F.when(st_cond, F.lit(0.0)).otherwise(ext_start)
+        delta = delta + F.when(st_cond, F.col("first_v")).otherwise(F.lit(0.0))
+    sampled_f = F.when(st_cond, (F.col("last_t") - st0) * ms).otherwise(sampled)
     ext_end = F.when(dur_end >= threshold, avg_spacing / 2.0).otherwise(dur_end)
 
-    factor = (sampled + ext_start + ext_end) / sampled
+    factor = F.when(sampled_f != 0, (sampled_f + ext_start + ext_end) / sampled_f).otherwise(
+        F.lit(1.0)
+    )
     value = delta * factor
     if is_rate:
         value = value / range_s
 
-    out = stats.filter(F.col("n") >= 2).select(
+    out = stats.filter((F.col("n") >= 2) | st_cond).select(
         "sig", "labels", "t", value.alias("value")
     )
     return _finish(out, ctx)
@@ -492,8 +537,12 @@ def _extended_delta(
 
 
 def _instant_pair(ctx: EvalContext, windowed: DataFrame, is_rate: bool) -> DataFrame:
-    """idelta/irate — last two samples (functions.go:821-826)."""
-    pair = F.slice(F.sort_array(F.collect_list(F.struct("sample_t", "value"))), -2, 2)
+    """idelta/irate — last two samples (functions.go:821-826); irate also
+    honors start-timestamp resets between them (functions.go:674)."""
+    windowed = _with_st(windowed)
+    pair = F.slice(
+        F.sort_array(F.collect_list(F.struct("sample_t", "value", "st"))), -2, 2
+    )
     stats = _grouped(windowed).agg(
         F.first("labels").alias("labels"), F.count("*").alias("n"), pair.alias("p")
     )
@@ -502,7 +551,7 @@ def _instant_pair(ctx: EvalContext, windowed: DataFrame, is_rate: bool) -> DataF
         # counter-reset aware (functions.go:instantValue); IEEE NaN guard
         is_reset = (
             (~F.isnan(b["value"])) & (~F.isnan(a["value"])) & (b["value"] < a["value"])
-        )
+        ) | _st_reset_expr(a["st"], a["sample_t"], b["st"], b["sample_t"])
         dv = F.when(is_reset, b["value"]).otherwise(b["value"] - a["value"])
         value = dv / ((b["sample_t"] - a["sample_t"]) / 1000.0)
     else:
@@ -512,11 +561,18 @@ def _instant_pair(ctx: EvalContext, windowed: DataFrame, is_rate: bool) -> DataF
 
 
 def _resets_changes(ctx: EvalContext, windowed: DataFrame, func: str) -> DataFrame:
+    windowed = _with_st(windowed)
     w = Window.partitionBy("sig", "t").orderBy("sample_t")
     prev = F.lag("value").over(w)
     cur = F.col("value")
     if func == "resets":
-        flag = F.when((~F.isnan(cur)) & (~F.isnan(prev)) & (cur < prev), 1).otherwise(0)
+        # value drops and ST-implied restarts both count (funcResets)
+        st_reset = _st_reset_expr(
+            F.lag("st").over(w), F.lag("sample_t").over(w), F.col("st"), F.col("sample_t")
+        )
+        flag = F.when(
+            ((~F.isnan(cur)) & (~F.isnan(prev)) & (cur < prev)) | st_reset, 1
+        ).otherwise(0)
     else:  # changes — NaN→NaN is not a change (functions.go:2431)
         changed = (cur != prev) & ~(F.isnan(cur) & F.isnan(prev))
         flag = F.when(prev.isNull(), 0).when(changed, 1).otherwise(0)

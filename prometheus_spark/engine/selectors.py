@@ -105,6 +105,8 @@ def eval_vector_selector(ctx: EvalContext, node: VectorSelector) -> VectorFrame:
 
     has_hist = "hist" in base.columns
     hist_cols = ["hist"] if has_hist else []
+    if "st" in base.columns:
+        hist_cols = ["st"] + hist_cols  # ride along for start_timestamp()
 
     if getattr(node, "anchored", False):
         raise PromQLEvalError_("anchored modifier cannot be used on an instant selector")
@@ -293,7 +295,9 @@ def windowed_samples(
     hist_cols = ["hist"] if "hist" in base.columns else []
     if "drop_name" not in base.columns:
         base = base.withColumn("drop_name", F.lit(False))
-    base = base.select("sig", "labels", "t", "value", "drop_name", *hist_cols)
+    if "st" not in base.columns:
+        base = base.withColumn("st", F.lit(None).cast("long"))
+    base = base.select("sig", "labels", "t", "value", "drop_name", "st", *hist_cols)
 
     # ``wend`` = the window's (offset-adjusted) right edge — rate
     # extrapolation measures sample distance to it (functions.go:472,
@@ -303,7 +307,7 @@ def windowed_samples(
         window = base.filter((F.col("t") > ref - range_ms) & (F.col("t") <= ref))
         return window.crossJoin(F.broadcast(ctx.grid.select(F.col("t").alias("step_t")))).select(
             "sig", "labels", F.col("step_t").alias("out_t"), F.col("t").alias("sample_t"),
-            "value", "drop_name", *hist_cols, F.lit(ref).alias("wend"),
+            "value", "drop_name", "st", *hist_cols, F.lit(ref).alias("wend"),
         ).withColumnsRenamed({"out_t": "t"})
 
     return _sliding_windows(ctx, base, range_ms, offset_ms, hist_cols)
@@ -321,7 +325,7 @@ def _sliding_windows(ctx, base, range_ms, offset_ms, hist_cols):
     )
     return exploded.select(
         "sig", "labels", F.col("step_t").alias("out_t"), F.col("t").alias("sample_t"),
-        "value", "drop_name", *hist_cols, (F.col("step_t") - F.lit(offset_ms)).alias("wend"),
+        "value", "drop_name", "st", *hist_cols, (F.col("step_t") - F.lit(offset_ms)).alias("wend"),
     ).withColumnsRenamed({"out_t": "t"})
 
 

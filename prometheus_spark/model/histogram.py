@@ -1075,16 +1075,34 @@ def hist_extended_rate(
     return result.compact()
 
 
-def hist_rate(points: list, range_s: float, is_counter: bool, is_rate: bool):
-    """rate/increase/delta over an all-histogram window — histogramRate
-    (promql/functions.go:640) + extrapolation (functions.go:452-620).
+def st_reset(prev_st, prev_t: int, cur_st, cur_t: int) -> bool:
+    """isStartTimestampReset (promql/functions.go:760) — see the SQL twin
+    in engine/range_functions.py."""
+    pst = int(prev_st) if prev_st is not None else 0
+    cst = int(cur_st) if cur_st is not None else 0
+    if cst == 0 or cst >= cur_t:
+        return False
+    if cst < prev_t:
+        return False
+    if cst > prev_t:
+        return True
+    if pst > prev_t:
+        return False
+    return pst != 0 and pst != prev_t
 
-    ``points``: [(t_ms, FloatHist)] time-sorted; window is
-    (wend − range, wend] with wend = points' window end passed by caller
-    as part of t handling.  Returns FloatHist or None (incompatible).
-    """
+
+def hist_rate(points: list, range_s: float, is_counter: bool, is_rate: bool,
+              sts: list | None = None):
+    """rate/increase/delta over an all-histogram window — histogramRate
+    (promql/functions.go:640) + extrapolation (functions.go:452-620),
+    start-timestamp aware (ST-implied resets join DetectReset).
+
+    ``points``: [(t_ms, FloatHist)] time-sorted; ``sts``: optional aligned
+    start timestamps (ms, None = unset).  Returns FloatHist or None
+    (incompatible)."""
     if len(points) < 2:
         return None
+    sts = sts or [None] * len(points)
     prev = points[0][1]
     last = points[-1][1]
     if prev is None or last is None:
@@ -1092,7 +1110,10 @@ def hist_rate(points: list, range_s: float, is_counter: bool, is_rate: bool):
     using_custom = prev.uses_custom_buckets()
     if is_counter:
         second = points[1][1]
-        if second is not None and second.detect_reset(prev):
+        if second is not None and (
+            st_reset(sts[0], points[0][0], sts[1], points[1][0])
+            or second.detect_reset(prev)
+        ):
             prev = FloatHist(schema=second.schema,
                              custom_values=list(second.custom_values))
             using_custom = second.uses_custom_buckets()
@@ -1113,8 +1134,8 @@ def hist_rate(points: list, range_s: float, is_counter: bool, is_rate: bool):
         h.add(prev, sub=True)
         if is_counter:
             prev_pt = prev
-            for _, cur in points[1:]:
-                if cur.detect_reset(prev_pt):
+            for i, (ct, cur) in enumerate(points[1:], start=1):
+                if st_reset(sts[i - 1], points[i - 1][0], sts[i], ct) or cur.detect_reset(prev_pt):
                     h.add(prev_pt)
                 prev_pt = cur
     except HistIncompatibleSchema:

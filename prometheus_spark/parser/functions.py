@@ -52,6 +52,8 @@ FUNCTIONS: dict[str, FunctionSig] = {
         _f("month", (V,), variadic=1), _f("year", (V,), variadic=1),
         _f("time", (), S),
         _f("timestamp", (V,)),
+        # experimental start-timestamp accessor (functions.go:1920)
+        _f("start_timestamp", (V,)),
         # rate / counter family M→V (functions.go:452-620, 806-1020)
         _f("rate", (M,)), _f("increase", (M,)), _f("delta", (M,)),
         _f("idelta", (M,)), _f("irate", (M,)),

@@ -28,6 +28,9 @@ _ROW_SCHEMA = T.StructType(
         T.StructField("value", T.DoubleType(), True),
         T.StructField("hist", HISTOGRAM_TYPE, True),
         T.StructField("stale", T.BooleanType(), False),
+        # start (created) timestamp in epoch-ms; NULL = unknown
+        # (reference: created-timestamp / PROM-29 start timestamps)
+        T.StructField("st", T.LongType(), True),
     ]
 )
 
@@ -54,19 +57,22 @@ def samples_from_rows(
         )
 
     data = []
-    for labels, t, v in rows:
+    for row in rows:
+        labels, t, v = row[0], row[1], row[2]
+        st = int(row[3]) if len(row) > 3 and row[3] is not None else None
         if isinstance(v, dict):  # native histogram sample
             data.append(
                 (sig_for(labels), labels.get(METRIC_NAME_LABEL), dict(labels),
-                 int(t), None, hist_row(v), False)
+                 int(t), None, hist_row(v), False, st)
             )
         else:
             data.append(
                 (sig_for(labels), labels.get(METRIC_NAME_LABEL), dict(labels),
-                 int(t), float(v), None, False)
+                 int(t), float(v), None, False, st)
             )
     data += [
-        (sig_for(labels), labels.get(METRIC_NAME_LABEL), dict(labels), int(t), None, None, True)
+        (sig_for(labels), labels.get(METRIC_NAME_LABEL), dict(labels), int(t),
+         None, None, True, None)
         for labels, t in stale_rows
     ]
     return spark.createDataFrame(data, _ROW_SCHEMA)

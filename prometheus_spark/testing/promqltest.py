@@ -31,6 +31,9 @@ class SkipCommand(Exception):
 class Series:
     labels: dict[str, str]
     points: list  # list of (idx, float | 'stale' | None)
+    # per-idx start-timestamp offsets in ms relative to the sample's own
+    # timestamp (None = unset); from promqltest @st lines
+    st_offsets: dict | None = None
 
 
 @dataclass
@@ -185,6 +188,47 @@ def expand_points(spec: str) -> list:
     return out
 
 
+_ST_DUR = r"(?:0|(?:\d+(?:ms|s|m|h|d|w|y))+)"
+_ST_ITEM_RE = re.compile(
+    rf"^(?P<bs>[+-]?)(?P<base>{_ST_DUR})"
+    rf"(?:(?P<sign>[+-])(?P<delta>{_ST_DUR})x(?P<n>\d+)|x(?P<reps>\d+))?$"
+)
+
+
+def _st_dur_ms(sign: str, tok: str) -> int:
+    v = 0 if tok == "0" else parse_duration_ms(tok)
+    return -v if sign == "-" else v
+
+
+def expand_st_sequence(spec: str) -> list:
+    """promqltest @st sequence → per-slot ms offsets (None = omitted).
+
+    Grammar (promqltest/test.go parseSTSequence): ``_``, ``_xN``,
+    ``<dur>``, ``<dur>xN`` (N+1 slots), ``<dur>±<dur>xN`` (N+1 slots
+    stepping by ±delta)."""
+    out: list = []
+    for tok in spec.split():
+        if tok == "_":
+            out.append(None)
+            continue
+        m = _GAP_EXPAND_RE.match(tok)
+        if m:
+            out.extend([None] * int(m.group(1)))
+            continue
+        m = _ST_ITEM_RE.match(tok)
+        if not m:
+            raise ValueError(f"invalid @st sequence item: {tok!r}")
+        base = _st_dur_ms(m.group("bs"), m.group("base"))
+        if m.group("reps") is not None:
+            out.extend([base] * (int(m.group("reps")) + 1))
+        elif m.group("n") is not None:
+            delta = _st_dur_ms(m.group("sign"), m.group("delta"))
+            out.extend([base + delta * i for i in range(int(m.group("n")) + 1)])
+        else:
+            out.append(base)
+    return out
+
+
 def _parse_time_ms(tok: str) -> int:
     neg = tok.startswith("-")
     if neg:
@@ -223,17 +267,39 @@ def parse_test_text(text: str) -> list:
             with_nhcb = parts[0] == "load_with_nhcb"
             series = []
             dropped: list[str] = []
+            pending_st: tuple | None = None  # (labels, offsets)
             i += 1
             while i < n and is_indented(lines[i]):
                 body = lines[i].split("#", 1)[0].strip()
                 i += 1
                 if not body:
                     continue
+                sel_part = body.split()[0] if body.split() else ""
+                if sel_part.endswith("@st"):
+                    # start-timestamp definition for the NEXT series line
+                    # with the same labels (promqltest/test.go:349)
+                    sel, seq = _split_series_line(body)
+                    if sel.endswith("@st"):  # bare metric name form
+                        sel = sel[: -len("@st")]
+                    elif seq.startswith("@st"):  # selector-with-braces form
+                        seq = seq[len("@st"):].strip()
+                    st_labels = parse_series_labels(sel)
+                    pending_st = (st_labels, expand_st_sequence(seq))
+                    continue
                 try:
-                    series.append(_parse_series_line(body))
+                    ser = _parse_series_line(body)
+                    if pending_st is not None:
+                        if pending_st[0] != ser.labels:
+                            raise ValueError(
+                                "@st metric does not match the following sample line"
+                            )
+                        ser.st_offsets = dict(enumerate(pending_st[1]))
+                        pending_st = None
+                    series.append(ser)
                 except SkipCommand:
                     # e.g. native-histogram series — dropped; evals touching
                     # the metric are skipped by the runner
+                    pending_st = None
                     name = re.match(r"[a-zA-Z_:][a-zA-Z0-9_:]*", body)
                     if name:
                         dropped.append(name.group())
@@ -497,7 +563,9 @@ def run_test_text(
                     if isinstance(v, str) and v == "stale":
                         stale_rows.append((s.labels, t))
                     else:
-                        rows.append((s.labels, t, v))
+                        st_off = (s.st_offsets or {}).get(idx)
+                        st = t + st_off if st_off is not None else None
+                        rows.append((s.labels, t, v, st))
             if cmd.with_nhcb:
                 rows.extend(_synthesize_nhcb(cmd))
             dirty = True

@@ -23,9 +23,11 @@ FULL = os.environ.get("SPARK_GRAFT_FULL_CORPUS") == "1"
 PARALLEL = 8
 
 # (file, max_evals, allowed_failures) — max_evals None = run everything.
-# allowed > 0 entries are tracked divergences; drive to 0.
+# allowed = 0 across the board: the full corpus (2100+ evals, all 21
+# files) passes with zero divergences; caps only bound CI wall-clock on
+# the three biggest files (full runs via tools/corpus_sweep.py per round).
 CORPUS = [
-    ("aggregators.test", None, 5),  # count_values native-histogram label formatting
+    ("aggregators.test", None, 0),
     ("at_modifier.test", None, 0),
     ("collision.test", None, 0),
     ("duration_expression.test", None, 0),
@@ -33,17 +35,17 @@ CORPUS = [
     ("fill-modifier.test", None, 0),
     ("functions.test", 150, 0),
     ("histograms.test", 150, 0),
-    ("info.test", None, 2),  # conflicting-info-series duplicate detection
+    ("info.test", None, 0),
     ("limit.test", None, 0),
     ("literals.test", None, 0),
     ("name_label_dropping.test", None, 0),
     ("native_histograms.test", 150, 0),
-    ("operators.test", None, 2),  # NHCB equality corner
-    ("range_queries.test", None, 3),
+    ("operators.test", None, 0),
+    ("range_queries.test", None, 0),
     ("selectors.test", None, 0),
     ("staleness.test", None, 0),
     ("start_timestamps.test", None, 0),
-    ("subquery.test", None, 3),
+    ("subquery.test", None, 0),
     ("trig_functions.test", None, 0),
     ("type_and_unit.test", None, 0),
 ]
