@@ -168,6 +168,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["promql_label_join"] = lambda s, d: _engine(s, d).instant_query(
         'label_join(purchase, "key", "-", "user_id", "__name__")', T0_MS
     ).select(F.element_at("labels", "key").alias("key"), F.col("value"))
+    q["promql_set_or"] = lambda s, d: _engine(s, d).instant_query(
+        "purchase or click", T0_MS
+    ).select(
+        F.element_at("labels", "__name__").alias("etype"),
+        F.element_at("labels", "user_id").alias("user_id"),
+        F.col("value"),
+    )
+    q["promql_timestamp"] = lambda s, d: _promql_instant(
+        s, d, "timestamp(purchase)", round_to=3
+    )
+    q["promql_stddev_agg"] = lambda s, d: _engine(s, d).instant_query(
+        "stddev(purchase) + stdvar(purchase) + avg(purchase)", T0_MS
+    ).select(F.round("value", 6).alias("value"))
+    q["promql_limitk"] = lambda s, d: _promql_instant(s, d, "limitk(5, purchase)")
+    q["promql_limit_ratio_complement"] = lambda s, d: _engine(s, d).instant_query(
+        "count(limit_ratio(0.4, purchase) or limit_ratio(-0.6, purchase))", T0_MS
+    ).select(F.col("value"))
+    q["promql_absent_over_time"] = lambda s, d: _engine(s, d).instant_query(
+        "absent_over_time(no_such_metric[1h])", T0_MS
+    ).select(F.col("value"))
+    q["promql_subquery_max"] = lambda s, d: _engine(s, d).instant_query(
+        "max_over_time((sum by (user_id) (purchase))[2h:30m])", T0_MS
+    ).select(
+        F.element_at("labels", "user_id").alias("user_id"),
+        F.round("value", 6).alias("value"),
+    )
+    q["promql_start_timestamp"] = _promql_start_timestamp
+
+    # --- sources / sinks round-trips --------------------------------------
+    q["federate_roundtrip"] = _federate_roundtrip
+    q["openmetrics_ingest"] = _openmetrics_ingest
+    q["nhcb_ingest"] = _nhcb_ingest
+    q["merge_dedupe"] = _merge_dedupe
 
     # --- TPC-H-ish relational coverage (joins, windows, sort) ------------
     q["tpch_pricing_summary"] = _tpch_pricing
@@ -199,6 +232,115 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------------------
+def _promql_start_timestamp(spark, sf_dir):
+    """Samples with synthetic start timestamps (st = t − user_id·1000 ms):
+    start_timestamp() returns the instant sample's ST in seconds."""
+    from prometheus_spark.engine import PromQLEngine
+    from prometheus_spark.storage import samples_from_events
+
+    samples = samples_from_events(spark, _tbl(spark, sf_dir, "events")).withColumn(
+        "st",
+        (
+            F.col("t")
+            - F.element_at("labels", "user_id").cast("long") * F.lit(1000)
+        ).cast("long"),
+    )
+    eng = PromQLEngine(spark, samples, lookback_ms=LOOKBACK_MS)
+    return eng.instant_query("start_timestamp(purchase)", T0_MS).select(
+        F.element_at("labels", "user_id").alias("user_id"),
+        F.round("value", 3).alias("value"),
+    )
+
+
+def _federate_roundtrip(spark, sf_dir):
+    """Federation lines rendered and parsed back — exercises both the
+    exposition renderer and the text parser, format-agnostically."""
+    from prometheus_spark.sources import federate, parse_exposition_df
+    from prometheus_spark.sources.promtext import to_samples
+    from prometheus_spark.storage import samples_from_events
+
+    samples = samples_from_events(spark, _tbl(spark, sf_dir, "events"))
+    lines = federate(
+        samples, [{"__name__": "purchase"}], now_ms=T0_MS, lookback_ms=LOOKBACK_MS
+    )
+    back = to_samples(parse_exposition_df(lines))
+    return back.select(
+        "name",
+        F.element_at("labels", "user_id").alias("user_id"),
+        F.round("value", 6).alias("value"),
+        "t",
+    )
+
+
+_OM_BODY = """\
+# TYPE http_requests counter
+http_requests_total{code="200"} 1027 1700000000
+http_requests_total{code="404"} 3 1700000000
+# TYPE rpc_seconds histogram
+rpc_seconds_bucket{le="0.1"} 2 1700000000
+rpc_seconds_bucket{le="1"} 5 1700000000
+rpc_seconds_bucket{le="+Inf"} 7 1700000000
+rpc_seconds_sum 4.2 1700000000
+rpc_seconds_count 7 1700000000
+# EOF
+"""
+
+
+def _om_samples(spark):
+    from prometheus_spark.sources import parse_openmetrics_df
+    from prometheus_spark.sources.promtext import to_samples
+
+    lines = spark.createDataFrame(
+        [(line,) for line in _OM_BODY.strip().split("\n")], "line string"
+    ).coalesce(1)
+    return to_samples(parse_openmetrics_df(lines).drop("created_t"))
+
+
+def _openmetrics_ingest(spark, sf_dir):
+    return _om_samples(spark).select(
+        "name",
+        F.coalesce(F.element_at("labels", "code"), F.lit("")).alias("code"),
+        F.coalesce(F.element_at("labels", "le"), F.lit("")).alias("le"),
+        "t",
+        "value",
+    )
+
+
+def _nhcb_ingest(spark, sf_dir):
+    from prometheus_spark.sources import classic_to_nhcb
+
+    folded = classic_to_nhcb(_om_samples(spark))
+    h = F.col("hist")
+    return folded.filter(h.isNotNull()).select(
+        "name",
+        h["count"].alias("hcount"),
+        h["sum"].alias("hsum"),
+        F.element_at(h["custom_values"], 1).alias("cv1"),
+        F.element_at(h["custom_values"], 2).alias("cv2"),
+        F.element_at(h["pos_buckets"], 1).alias("b1"),
+        F.element_at(h["pos_buckets"], 2).alias("b2"),
+        F.element_at(h["pos_buckets"], 3).alias("b3"),
+    )
+
+
+def _merge_dedupe(spark, sf_dir):
+    """Fanout merge: primary (user_id < 60) wins over a conflicting
+    secondary carrying value+1000 for every event."""
+    from prometheus_spark.storage import merge_samples, samples_from_events
+
+    ev = _tbl(spark, sf_dir, "events")
+    primary = samples_from_events(spark, ev.filter(F.col("user_id") < 60))
+    secondary = samples_from_events(
+        spark, ev.withColumn("value", F.col("value") + F.lit(1000.0))
+    )
+    merged = merge_samples([primary, secondary])
+    return merged.filter(F.col("name") == "purchase").select(
+        F.element_at("labels", "user_id").alias("user_id"),
+        "t",
+        F.round("value", 6).alias("value"),
+    )
+
+
 def _tpch_pricing(spark, sf_dir):
     li = _tbl(spark, sf_dir, "lineitem")
     return (
@@ -579,6 +721,90 @@ FROM ({_INSTANT.format(name='purchase')})
     o["promql_label_join"] = f"""
 SELECT user_id || '-' || 'purchase' AS key, value
 FROM ({_INSTANT.format(name='purchase')})
+"""
+    o["promql_set_or"] = f"""
+WITH p AS ({_INSTANT.format(name='purchase')}), c AS ({_INSTANT.format(name='click')})
+SELECT 'purchase' AS etype, user_id, value FROM p
+UNION ALL
+SELECT 'click' AS etype, c.user_id, c.value FROM c
+WHERE c.user_id NOT IN (SELECT user_id FROM p)
+"""
+    o["promql_timestamp"] = f"""
+SELECT CAST(user_id AS VARCHAR) AS user_id,
+       ROUND(arg_max(epoch_ms(ts), epoch_ms(ts)) / 1000.0, 3) AS value
+FROM events
+WHERE event_type = 'purchase'
+  AND epoch_ms(ts) > {_T0} - {_LB} AND epoch_ms(ts) <= {_T0}
+GROUP BY user_id
+"""
+    o["promql_stddev_agg"] = f"""
+SELECT ROUND(stddev_pop(value) + var_pop(value) + AVG(value), 6) AS value
+FROM ({_INSTANT.format(name='purchase')})
+"""
+    o["promql_limitk"] = f"""
+SELECT user_id, value FROM ({_INSTANT.format(name='purchase')})
+ORDER BY user_id ASC LIMIT 5
+"""
+    o["promql_limit_ratio_complement"] = f"""
+SELECT CAST(COUNT(*) AS DOUBLE) AS value FROM ({_INSTANT.format(name='purchase')})
+"""
+    o["promql_absent_over_time"] = "SELECT 1.0 AS value"
+    # subquery: inner 30m epoch grid in (T0-2h, T0], left-open bump; each
+    # inner step sees the per-user last value within the lookback window
+    _SQ_STEPS = ", ".join(
+        str(_T0 - k * 1_800_000) for k in range(3, -1, -1)
+    )
+    o["promql_subquery_max"] = f"""
+WITH steps(st) AS (SELECT * FROM (VALUES ({_SQ_STEPS.replace(', ', '), (')}))),
+inner_v AS (
+  SELECT s.st, e.user_id, arg_max(e.value, epoch_ms(e.ts)) AS v
+  FROM steps s JOIN events e
+    ON e.event_type = 'purchase'
+   AND epoch_ms(e.ts) > s.st - {_LB} AND epoch_ms(e.ts) <= s.st
+  GROUP BY s.st, e.user_id
+),
+summed AS (SELECT st, user_id, SUM(v) AS sv FROM inner_v GROUP BY st, user_id)
+SELECT CAST(user_id AS VARCHAR) AS user_id, ROUND(MAX(sv), 6) AS value
+FROM summed GROUP BY user_id
+"""
+    o["promql_start_timestamp"] = f"""
+SELECT CAST(user_id AS VARCHAR) AS user_id,
+       ROUND((arg_max(epoch_ms(ts), epoch_ms(ts)) - user_id * 1000) / 1000.0, 3) AS value
+FROM events
+WHERE event_type = 'purchase'
+  AND epoch_ms(ts) > {_T0} - {_LB} AND epoch_ms(ts) <= {_T0}
+GROUP BY user_id
+"""
+
+    o["federate_roundtrip"] = f"""
+SELECT 'purchase' AS name, CAST(user_id AS VARCHAR) AS user_id,
+       ROUND(arg_max(value, epoch_ms(ts)), 6) AS value,
+       arg_max(epoch_ms(ts), epoch_ms(ts)) AS t
+FROM events
+WHERE event_type = 'purchase'
+  AND epoch_ms(ts) > {_T0} - {_LB} AND epoch_ms(ts) <= {_T0}
+GROUP BY user_id
+"""
+    o["openmetrics_ingest"] = """
+SELECT * FROM (VALUES
+  ('http_requests_total', '200', '', 1700000000000, 1027.0),
+  ('http_requests_total', '404', '', 1700000000000, 3.0),
+  ('rpc_seconds_bucket', '', '0.1', 1700000000000, 2.0),
+  ('rpc_seconds_bucket', '', '1', 1700000000000, 5.0),
+  ('rpc_seconds_bucket', '', '+Inf', 1700000000000, 7.0),
+  ('rpc_seconds_sum', '', '', 1700000000000, 4.2),
+  ('rpc_seconds_count', '', '', 1700000000000, 7.0)
+) AS t(name, code, le, t, value)
+"""
+    o["nhcb_ingest"] = """
+SELECT 'rpc_seconds' AS name, 7.0 AS hcount, 4.2 AS hsum,
+       0.1 AS cv1, 1.0 AS cv2, 2.0 AS b1, 3.0 AS b2, 2.0 AS b3
+"""
+    o["merge_dedupe"] = f"""
+SELECT CAST(user_id AS VARCHAR) AS user_id, epoch_ms(ts) AS t,
+       ROUND(MIN(value) + CASE WHEN user_id < 60 THEN 0 ELSE 1000 END, 6) AS value
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id, epoch_ms(ts)
 """
 
     # --- relational ---------------------------------------------------------

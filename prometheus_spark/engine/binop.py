@@ -253,15 +253,17 @@ def scale_hist_expr(h: Column, factor: Column, is_div: bool) -> Column:
 
 
 def _align_hist(l: DataFrame, r: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Frames may or may not carry the ``hist`` column (selector outputs
-    do, computed vectors don't) — pad with NULLs so unions line up."""
+    """Frames may or may not carry the ``hist`` / ``st`` columns (selector
+    outputs do, computed vectors don't) — pad with NULLs so unions line
+    up."""
     from prometheus_spark.model.schema import HISTOGRAM_TYPE
 
-    lh, rh = "hist" in l.columns, "hist" in r.columns
-    if lh and not rh:
-        r = r.withColumn("hist", F.lit(None).cast(HISTOGRAM_TYPE))
-    elif rh and not lh:
-        l = l.withColumn("hist", F.lit(None).cast(HISTOGRAM_TYPE))
+    for col, typ in (("hist", HISTOGRAM_TYPE), ("st", "long")):
+        lc, rc = col in l.columns, col in r.columns
+        if lc and not rc:
+            r = r.withColumn(col, F.lit(None).cast(typ))
+        elif rc and not lc:
+            l = l.withColumn(col, F.lit(None).cast(typ))
     return l, r
 
 

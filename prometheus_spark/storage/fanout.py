@@ -48,6 +48,7 @@ def merge_samples(sources: Sequence[DataFrame], dedupe: bool = True) -> DataFram
     w = Window.partitionBy("sig", "t").orderBy(
         F.when(F.isnan(F.coalesce(F.col("value"), F.lit(0.0))), 1).otherwise(0),
         F.col("__src"),
+        F.col("value"),  # deterministic pick among equal-priority dups
     )
     return (
         merged.withColumn("__rn", F.row_number().over(w))
