@@ -336,13 +336,25 @@ class RemoteWriteReceiver:
 
 
 def spool_to_samples(spark, spool_dir: str, streaming: bool = False):
-    """Read the receiver's spool as a canonical samples frame."""
+    """Read the receiver's spool as a canonical samples frame.
+
+    Carries native-histogram records (``hist``) and start timestamps
+    (``st``, written by the OTLP receiver) through to the engine."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     from prometheus_spark.model.labels import sig_expr
-    from prometheus_spark.model.schema import METRIC_NAME_LABEL
+    from prometheus_spark.model.schema import HISTOGRAM_TYPE, METRIC_NAME_LABEL
 
-    schema = "labels map<string,string>, t long, value double"
+    schema = T.StructType(
+        [
+            T.StructField("labels", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("t", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("hist", HISTOGRAM_TYPE),
+            T.StructField("st", T.LongType()),
+        ]
+    )
     reader = (
         spark.readStream.schema(schema) if streaming else spark.read.schema(schema)
     )
@@ -353,7 +365,9 @@ def spool_to_samples(spark, spool_dir: str, streaming: bool = False):
         "labels",
         "t",
         "value",
+        "hist",
         F.lit(False).alias("stale"),
+        "st",
     )
 
 

@@ -1,0 +1,295 @@
+"""Round-trip tests for the protobuf scrape parser and OTLP translator.
+
+Payloads are hand-encoded with the same pure-Python wire builders used
+by the remote-write codec — no generated protobuf code anywhere.
+"""
+
+import math
+import struct
+
+import pytest
+
+from prometheus_spark.sources.remote_write import _ld, _vint, _write_varint
+from prometheus_spark.sources.protobuf_scrape import (
+    parse_protobuf_df,
+    parse_protobuf_scrape,
+    to_samples,
+)
+from prometheus_spark.sources.otlp import (
+    convert_buckets_layout,
+    normalize_metric_name,
+    otlp_to_rows,
+)
+
+
+def _df64(fno: int, value: float) -> bytes:
+    return _write_varint(fno << 3 | 1) + struct.pack("<d", value)
+
+
+def _zz(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n < 0 else n << 1
+
+
+def _label(k: str, v: str) -> bytes:
+    return _ld(1, _ld(1, k.encode()) + _ld(2, v.encode()))
+
+
+def _delimited(*families: bytes) -> bytes:
+    return b"".join(_write_varint(len(f)) + f for f in families)
+
+
+# --- protobuf scrape families ------------------------------------------------
+
+
+def _counter_family() -> bytes:
+    # created (start) timestamp: 100s → 100000 ms
+    counter = _df64(1, 42.0) + _ld(3, _vint(1, 100))
+    metric = _label("job", "api") + _ld(3, counter) + _vint(6, 60_000)
+    return (
+        _ld(1, b"http_requests_total")
+        + _ld(2, b"Total requests.")
+        + _vint(3, 0)  # COUNTER
+        + _ld(4, metric)
+    )
+
+
+def _summary_family() -> bytes:
+    q = _df64(1, 0.99) + _df64(2, 1.5)
+    summary = _vint(1, 10) + _df64(2, 12.5) + _ld(3, q)
+    metric = _ld(4, summary) + _vint(6, 60_000)
+    return _ld(1, b"rpc_duration") + _vint(3, 2) + _ld(4, metric)  # SUMMARY
+
+
+def _classic_hist_family() -> bytes:
+    b1 = _vint(1, 3) + _df64(2, 0.5)
+    b2 = _vint(1, 7) + _df64(2, math.inf)
+    hist = _vint(1, 7) + _df64(2, 3.2) + _ld(3, b1) + _ld(3, b2)
+    metric = _ld(7, hist) + _vint(6, 60_000)
+    return _ld(1, b"req_latency") + _vint(3, 4) + _ld(4, metric)  # HISTOGRAM
+
+
+def _native_hist_family() -> bytes:
+    span = _vint(1, _zz(0)) + _vint(2, 2)
+    deltas = _write_varint(_zz(2)) + _write_varint(_zz(-1))
+    hist = (
+        _vint(1, 3)
+        + _df64(2, 5.0)
+        + _vint(5, _zz(3))  # schema sint32
+        + _df64(6, 0.001)  # zero_threshold
+        + _vint(7, 0)
+        + _ld(12, span)  # positive_span
+        + _ld(13, deltas)  # positive_delta (packed sint64)
+    )
+    metric = _ld(7, hist) + _vint(6, 60_000)
+    return _ld(1, b"native_latency") + _vint(3, 4) + _ld(4, metric)
+
+
+def test_protobuf_scrape_counter_created():
+    rows, meta = parse_protobuf_scrape(_delimited(_counter_family()))
+    assert meta["http_requests_total"]["type"] == "counter"
+    assert rows == [
+        ({"job": "api", "__name__": "http_requests_total"}, 60_000, 42.0, 100_000)
+    ]
+
+
+def test_protobuf_scrape_summary():
+    rows, _ = parse_protobuf_scrape(_delimited(_summary_family()))
+    by_name = {r[0]["__name__"]: r for r in rows}
+    assert by_name["rpc_duration_count"][2] == 10.0
+    assert by_name["rpc_duration_sum"][2] == 12.5
+    assert by_name["rpc_duration"][0]["quantile"] == "0.99"
+    assert by_name["rpc_duration"][2] == 1.5
+
+
+def test_protobuf_scrape_classic_histogram():
+    rows, _ = parse_protobuf_scrape(_delimited(_classic_hist_family()))
+    got = {(r[0]["__name__"], r[0].get("le")): r[2] for r in rows}
+    assert got[("req_latency_count", None)] == 7.0
+    assert got[("req_latency_sum", None)] == 3.2
+    assert got[("req_latency_bucket", "0.5")] == 3.0
+    assert got[("req_latency_bucket", "+Inf")] == 7.0
+
+
+def test_protobuf_scrape_native_histogram():
+    rows, _ = parse_protobuf_scrape(_delimited(_native_hist_family()))
+    assert len(rows) == 1
+    labels, t, h, _created = rows[0]
+    assert labels["__name__"] == "native_latency" and t == 60_000
+    assert h["schema"] == 3 and h["count"] == 3.0 and h["sum"] == 5.0
+    # deltas [2, -1] cumulate to absolute [2.0, 1.0]
+    assert h["pos_buckets"] == [2.0, 1.0]
+    assert h["pos_spans"] == [{"offset": 0, "length": 2}]
+
+
+def test_protobuf_scrape_classic_plus_native():
+    fam = _delimited(_native_hist_family())
+    rows, _ = parse_protobuf_scrape(fam, parse_classic_histograms=True)
+    names = sorted(r[0]["__name__"] for r in rows)
+    assert names == [
+        "native_latency",
+        "native_latency_bucket",
+        "native_latency_count",
+        "native_latency_sum",
+    ]
+
+
+def test_protobuf_df_to_samples(spark):
+    body = _delimited(
+        _counter_family(), _classic_hist_family(), _native_hist_family()
+    )
+    df = spark.createDataFrame([(bytearray(body),)], "body binary")
+    out = to_samples(parse_protobuf_df(df)).orderBy("name").collect()
+    names = [r["name"] for r in out]
+    assert "http_requests_total" in names and "native_latency" in names
+    native = next(r for r in out if r["name"] == "native_latency")
+    assert native["hist"]["schema"] == 3
+    assert list(native["hist"]["pos_buckets"]) == [2.0, 1.0]
+    counter = next(r for r in out if r["name"] == "http_requests_total")
+    assert counter["value"] == 42.0 and counter["st"] == 100_000
+
+
+# --- OTLP --------------------------------------------------------------------
+
+
+def _kv(k: str, v: str) -> bytes:
+    return _ld(1, k.encode()) + _ld(2, _ld(1, v.encode()))
+
+
+def _fix64(fno: int, value: int) -> bytes:
+    return _write_varint(fno << 3 | 1) + struct.pack("<Q", value)
+
+
+def _otlp_request(metrics: list[bytes], resource_kvs: list[bytes]) -> bytes:
+    scope = b"".join(_ld(2, m) for m in metrics)
+    resource = b"".join(_ld(1, kv) for kv in resource_kvs)
+    rm = _ld(1, resource) + _ld(2, scope)
+    return _ld(1, rm)
+
+
+def _otlp_number_dp(t_ns: int, value: float, attrs: list[bytes] = ()) -> bytes:
+    out = _fix64(3, t_ns) + _df64(4, value)
+    for a in attrs:
+        out += _ld(7, a)
+    return out
+
+
+def test_otlp_gauge_and_monotonic_sum():
+    gauge = _ld(1, b"mem.usage") + _ld(3, b"By") + _ld(
+        5, _ld(1, _otlp_number_dp(60_000_000_000, 3.5))
+    )
+    # Sum{1: dp, 2: temporality=2 cumulative, 3: monotonic}
+    summ = _ld(1, b"http.requests") + _ld(7,
+        _ld(1, _otlp_number_dp(60_000_000_000, 9.0,
+                               [_kv("method", "GET")]))
+        + _vint(2, 2) + _vint(3, 1)
+    )
+    body = _otlp_request(
+        [gauge, summ],
+        [_kv("service.name", "api"), _kv("service.namespace", "prod"),
+         _kv("service.instance.id", "i-1")],
+    )
+    rows = otlp_to_rows(body)
+    by_name = {r[0]["__name__"]: r for r in rows}
+    g = by_name["mem_usage_bytes"]
+    assert g[0]["job"] == "prod/api" and g[0]["instance"] == "i-1"
+    assert g[1] == 60_000 and g[2] == 3.5
+    s = by_name["http_requests_total"]
+    assert s[0]["method"] == "GET" and s[2] == 9.0
+
+
+def test_otlp_delta_sum_rejected():
+    summ = _ld(1, b"x") + _ld(7,
+        _ld(1, _otlp_number_dp(1_000_000, 1.0)) + _vint(2, 1) + _vint(3, 1)
+    )
+    assert otlp_to_rows(_otlp_request([summ], [])) == []
+
+
+def test_otlp_explicit_histogram():
+    # bounds [0.5], bucket_counts [3, 4] → le=0.5:3, +Inf:7
+    dp = (
+        _fix64(3, 60_000_000_000)
+        + _fix64(4, 7)
+        + _df64(5, 3.2)
+        + _ld(6, struct.pack("<QQ", 3, 4))
+        + _ld(7, struct.pack("<d", 0.5))
+    )
+    hist = _ld(1, b"latency") + _ld(3, b"s") + _ld(9, _ld(1, dp) + _vint(2, 2))
+    rows = otlp_to_rows(_otlp_request([hist], []))
+    got = {(r[0]["__name__"], r[0].get("le")): r[2] for r in rows}
+    assert got[("latency_seconds_count", None)] == 7.0
+    assert got[("latency_seconds_sum", None)] == 3.2
+    assert got[("latency_seconds_bucket", "0.5")] == 3.0
+    assert got[("latency_seconds_bucket", "+Inf")] == 7.0
+
+
+def test_otlp_exponential_histogram_to_native():
+    # scale 2, positive offset 1, counts [1, 0, 2]
+    pos = _vint(1, _zz(1)) + _ld(2, _write_varint(1) + _write_varint(0)
+                                 + _write_varint(2))
+    dp = (
+        _fix64(3, 60_000_000_000)
+        + _fix64(4, 4)
+        + _df64(5, 10.0)
+        + _vint(6, _zz(2))
+        + _fix64(7, 1)
+        + _ld(8, pos)
+    )
+    ehist = _ld(1, b"rt") + _ld(10, _ld(1, dp) + _vint(2, 2))
+    rows = otlp_to_rows(_otlp_request([ehist], []))
+    assert len(rows) == 1
+    h = rows[0][2]
+    assert h["schema"] == 2 and h["count"] == 4.0 and h["zero_count"] == 1.0
+    # otlp indices 1..3 → prom indices 2..4; zero-count bucket dropped →
+    # spans [offset 2 len 1, gap 1 len 1]
+    assert h["pos_spans"] == [
+        {"offset": 2, "length": 1},
+        {"offset": 1, "length": 1},
+    ]
+    assert h["pos_buckets"] == [1.0, 2.0]
+
+
+def test_otlp_target_info():
+    gauge = _ld(1, b"g") + _ld(5, _ld(1, _otlp_number_dp(1_000_000, 1.0)))
+    body = _otlp_request(
+        [gauge],
+        [_kv("service.name", "api"), _kv("host.name", "box1")],
+    )
+    rows = otlp_to_rows(body)
+    ti = [r for r in rows if r[0]["__name__"] == "target_info"]
+    assert len(ti) == 1
+    assert ti[0][0]["host_name"] == "box1" and ti[0][2] == 1.0
+
+
+def test_convert_buckets_layout_downscale():
+    # scale_down=1: indices (0..3 at offset 0) merge pairwise
+    spans, buckets = convert_buckets_layout([1, 2, 3, 4], 0, 1)
+    # idx(i) = ((0+i)>>1)+1 → [1,1,2,2] → {1:3, 2:7}
+    assert spans == [{"offset": 1, "length": 2}]
+    assert buckets == [3.0, 7.0]
+
+
+def test_normalize_metric_name():
+    assert normalize_metric_name("http.requests", "", "sum", True) == (
+        "http_requests_total"
+    )
+    assert normalize_metric_name("cpu.util", "1", "gauge") == "cpu_util_ratio"
+    assert normalize_metric_name("disk.io", "By/s", "gauge") == (
+        "disk_io_bytes_per_second"
+    )
+
+
+def test_otlp_receiver_spool(spark, tmp_path):
+    from prometheus_spark.sources.otlp import OTLPReceiver
+
+    gauge = _ld(1, b"up.count") + _ld(5, _ld(1, _otlp_number_dp(
+        60_000_000_000, 2.0)))
+    body = _otlp_request([gauge], [_kv("service.name", "api")])
+    recv = OTLPReceiver(str(tmp_path / "spool"))
+    n = recv.handle_body(body)
+    assert n == 1
+    from prometheus_spark.sources.remote_write import spool_to_samples
+
+    df = spool_to_samples(spark, str(tmp_path / "spool"))
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["value"] == 2.0
+    assert rows[0]["labels"]["job"] == "api"
