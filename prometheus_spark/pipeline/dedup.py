@@ -182,38 +182,79 @@ def ngram_jaccard_pairs(
     A true near-duplicate (jaccard ≥ 0.5) shares many grams; for it to be
     missed, every shared gram would have to be hotter than ``max_gram_df``
     — vanishingly unlikely for real text at any sensible cap.
+
+    The verification is **array-free**: a shared gram by definition has
+    document frequency ≥ 2, so the exact intersection size decomposes as
+    |A∩B| = (shared rare grams — the self-join's per-pair match count)
+    + (shared hot grams — intersect of tiny per-doc hot-gram sets).  The
+    full gram arrays never travel through a join; only (hash, id) pairs
+    and a per-doc summary (size + hot set, ≲ #hot-grams entries) do —
+    at 100 TB the wide text columns stay at the scan.
     """
+    # grams are 64-bit hashes end-to-end — the exploded index and the
+    # self-join shuffle carry longs, never gram strings (equal grams ⇒
+    # equal hashes; a 2^-64 collision is the accepted trade)
     grams = _spread(df, id_col).select(
-        F.col(id_col), _word_ngrams(F.col(text_col), n).alias("gs")
+        F.col(id_col),
+        F.transform(
+            _word_ngrams(F.col(text_col), n), lambda g: F.xxhash64(g)
+        ).alias("gs"),
     )
-    # the gram arrays feed both candidate generation and exact
-    # verification — persist so the tokenize+shingle pass runs once
-    # (MEMORY_AND_DISK: spills rather than recomputes at corpus scale)
+    inv = grams.select(F.col(id_col), F.explode("gs").alias("g"))
     from pyspark import StorageLevel
 
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
-    inv = grams.select(F.col(id_col), F.explode("gs").alias("g"))
-    # document-frequency cap: keep only grams rare enough to be selective
-    rare = (
-        inv.groupBy("g")
-        .agg(F.count("*").alias("gdf"))
-        .filter((F.col("gdf") <= F.lit(max_gram_df)) & (F.col("gdf") >= 2))
-        .select("g")
+    inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
+    gdf = inv.groupBy("g").agg(F.count("*").alias("gdf"))
+    # document-frequency cap: only grams rare enough to be selective
+    # feed the self-join (a stop-word bigram would be quadratic)
+    rare = gdf.filter(
+        (F.col("gdf") <= F.lit(max_gram_df)) & (F.col("gdf") >= 2)
+    ).select("g")
+    # renamed join key: ``hot`` shares lineage with ``inv``, and a
+    # same-name column would mis-resolve to the left side after the join
+    hot = gdf.filter(F.col("gdf") > F.lit(max_gram_df)).select(
+        F.col("g").alias("hg")
     )
-    inv = inv.join(rare, "g", "left_semi")
-    a, b = inv.alias("a"), inv.alias("b")
-    cand = (
+    rare_inv = inv.join(rare, "g", "left_semi")
+    a, b = rare_inv.alias("a"), rare_inv.alias("b")
+    # per-pair count of shared rare grams — candidate generation and the
+    # rare half of exact verification in ONE aggregation
+    pairs = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("c_rare"))
     )
-    ga = grams.select(F.col(id_col).alias("doc_a"), F.col("gs").alias("gs_a"))
-    gb = grams.select(F.col(id_col).alias("doc_b"), F.col("gs").alias("gs_b"))
-    inter = F.size(F.array_intersect("gs_a", "gs_b"))
-    union = F.size("gs_a") + F.size("gs_b") - inter
+    # per-doc summary: total gram count + the (tiny) set of hot grams —
+    # small enough that AQE broadcasts it at bench scale and
+    # shuffle-joins it on the doc key beyond that
+    summary = (
+        inv.join(hot, F.col("g") == F.col("hg"), "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("sz"),
+            F.sort_array(
+                F.collect_set(F.when(F.col("hg").isNotNull(), F.col("g")))
+            ).alias("hot_gs"),
+        )
+    )
+    sa = summary.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("hot_gs").alias("hot_a"),
+    )
+    sb = summary.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("hot_gs").alias("hot_b"),
+    )
+    inter = F.col("c_rare") + F.size(F.array_intersect("hot_a", "hot_b"))
+    union = F.col("sz_a") + F.col("sz_b") - inter
     return (
-        cand.join(ga, "doc_a")
-        .join(gb, "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
