@@ -1,0 +1,362 @@
+"""HTTP API v1 veneer — the reference's query surface as JSON over HTTP.
+
+Reference: web/api/v1/api.go (endpoints ``/api/v1/query``,
+``/query_range``, ``/series``, ``/labels``, ``/label/<n>/values``,
+``/metadata``, ``/status/buildinfo``, ``/federate``) and
+util/jsonutil/marshal.go (value rendering: floats as shortest-``'f'``
+strings switching to exponent outside [1e-6, 1e21); timestamps as
+second.millisecond numbers; native histograms as
+``{count, sum, buckets: [[boundary_rule, lo, hi, count], ...]}``).
+
+The engine does the heavy lifting distributed; this layer only
+``collect()``s final result vectors/matrices — the same driver-side
+boundary the reference's API layer represents.  Response size is
+bounded by series count × steps, exactly as in the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+from prometheus_spark.model.histogram import FloatHist, from_row
+from prometheus_spark.parser.lexer import parse_duration_ms
+
+
+def marshal_float(v: float) -> str:
+    """jsonutil.MarshalFloat: shortest 'f' form, 'e' outside
+    [1e-6, 1e21), Inf/NaN spelled out."""
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "+Inf" if v > 0 else "-Inf"
+    a = abs(v)
+    s = repr(v)
+    if a != 0 and (a < 1e-6 or a >= 1e21):
+        if "e" not in s:  # force exponent form
+            m, e = f"{v:e}".split("e")
+            m = m.rstrip("0").rstrip(".")
+            s = f"{m}e{int(e):+03d}"
+        return s
+    if "e" in s:  # python flipped to exponent inside Go's 'f' range
+        from decimal import Decimal
+
+        s = format(Decimal(s), "f")
+    if s.endswith(".0"):
+        s = s[:-2]
+    return s
+
+
+def _ts_number(t_ms: int) -> float:
+    """Timestamp as seconds.milliseconds (MarshalTimestamp)."""
+    return t_ms / 1000 if t_ms % 1000 else t_ms // 1000
+
+
+def render_histogram(h: FloatHist) -> dict:
+    """MarshalHistogram: empty buckets dropped; boundary rule 0 = lower
+    exclusive/upper inclusive (positive exp buckets), 1 = the mirror
+    (negative), 3 = both inclusive (zero bucket)."""
+    out = {"count": marshal_float(h.count), "sum": marshal_float(h.sum)}
+    buckets = []
+    for lo, up, count in h.all_buckets():
+        if count == 0:
+            continue
+        if lo <= 0 <= up:
+            rule = 3
+        elif up <= 0:
+            rule = 1
+        else:
+            rule = 0
+        buckets.append(
+            [rule, marshal_float(lo), marshal_float(up), marshal_float(count)]
+        )
+    if buckets:
+        out["buckets"] = buckets
+    return out
+
+
+def render_result(rows, result_type: str) -> dict:
+    """Engine result rows → the ``data`` object of a query response.
+
+    ``rows`` are collected Rows with (labels, t, value [, hist]).
+    """
+    if result_type == "scalar":
+        r = rows[0]
+        return {
+            "resultType": "scalar",
+            "result": [_ts_number(r["t"]), marshal_float(r["value"])],
+        }
+    if result_type == "vector":
+        result = []
+        for r in rows:
+            entry = {"metric": dict(r["labels"])}
+            h = from_row(r["hist"]) if "hist" in r.__fields__ else None
+            if h is not None:
+                entry["histogram"] = [_ts_number(r["t"]), render_histogram(h)]
+            else:
+                entry["value"] = [_ts_number(r["t"]), marshal_float(r["value"])]
+            result.append(entry)
+        return {"resultType": "vector", "result": result}
+    # matrix: group by labelset, one values/histograms array per series
+    series: dict[str, dict] = {}
+    for r in rows:
+        key = r["sig"]
+        s = series.setdefault(
+            key, {"metric": dict(r["labels"]), "values": [], "histograms": []}
+        )
+        h = from_row(r["hist"]) if "hist" in r.__fields__ else None
+        if h is not None:
+            s["histograms"].append([_ts_number(r["t"]), render_histogram(h)])
+        else:
+            s["values"].append([_ts_number(r["t"]), marshal_float(r["value"])])
+    result = []
+    for s in series.values():
+        if not s["values"]:
+            del s["values"]
+        if not s["histograms"]:
+            del s["histograms"]
+        result.append(s)
+    return {"resultType": "matrix", "result": result}
+
+
+def _parse_time_ms(s: str) -> int:
+    """Unix seconds (possibly fractional) or RFC3339 (api.go parseTime)."""
+    if re.fullmatch(r"-?\d+(\.\d+)?", s):
+        return int(round(float(s) * 1000))
+    from datetime import datetime
+
+    return int(datetime.fromisoformat(s.replace("Z", "+00:00")).timestamp() * 1000)
+
+
+def _parse_duration_ms_api(s: str) -> int:
+    """Float seconds or PromQL duration (api.go parseDuration)."""
+    if re.fullmatch(r"-?\d+(\.\d+)?", s):
+        return int(round(float(s) * 1000))
+    return parse_duration_ms(s)
+
+
+class PromAPI:
+    """The /api/v1 surface over a PromQLEngine.
+
+    ``handle(path, params)`` returns (status_code, response_dict) — the
+    HTTP server below is a thin shim over it, so tests can drive the
+    API without sockets.
+    """
+
+    def __init__(self, engine, metadata: Optional[dict] = None):
+        self.engine = engine
+        self.metadata = metadata or {}
+
+    # -- endpoint implementations -------------------------------------
+    def query(self, params: dict) -> tuple[int, dict]:
+        q = params["query"][0]
+        t_ms = (
+            _parse_time_ms(params["time"][0]) if "time" in params else 0
+        )
+        try:
+            df = self.engine.instant_query(q, t_ms)
+            rows = df.collect()
+        except ValueError as e:
+            if "string results" in str(e):
+                from prometheus_spark.parser import parse_expr
+                from prometheus_spark.parser.ast import StringLiteral
+
+                node = parse_expr(q)
+                if isinstance(node, StringLiteral):
+                    return 200, {
+                        "status": "success",
+                        "data": {
+                            "resultType": "string",
+                            "result": [_ts_number(t_ms), node.value],
+                        },
+                    }
+            return 400, {"status": "error", "errorType": "bad_data",
+                         "error": str(e)}
+        except Exception as e:  # noqa: BLE001 — API boundary
+            return 400, {"status": "error", "errorType": "bad_data",
+                         "error": str(e)}
+        from prometheus_spark.parser import parse_expr
+        from prometheus_spark.parser.ast import ValueType
+
+        vt = parse_expr(q).value_type()
+        rtype = "scalar" if vt == ValueType.SCALAR else "vector"
+        return 200, {"status": "success", "data": render_result(rows, rtype)}
+
+    def query_range(self, params: dict) -> tuple[int, dict]:
+        q = params["query"][0]
+        start = _parse_time_ms(params["start"][0])
+        end = _parse_time_ms(params["end"][0])
+        step = _parse_duration_ms_api(params["step"][0])
+        if end < start:
+            return 400, {"status": "error", "errorType": "bad_data",
+                         "error": "end timestamp must not be before start time"}
+        if step <= 0:
+            return 400, {"status": "error", "errorType": "bad_data",
+                         "error": "zero or negative query resolution step"}
+        if (end - start) // step > 11000:
+            return 422, {"status": "error", "errorType": "bad_data",
+                         "error": "exceeded maximum resolution of 11,000 points"}
+        try:
+            rows = self.engine.range_query(q, start, end, step).collect()
+        except Exception as e:  # noqa: BLE001 — API boundary
+            return 400, {"status": "error", "errorType": "bad_data",
+                         "error": str(e)}
+        return 200, {
+            "status": "success",
+            "data": render_result(rows, "matrix"),
+        }
+
+    def series(self, params: dict) -> tuple[int, dict]:
+        from pyspark.sql import functions as F
+
+        matches = params.get("match[]", [])
+        if not matches:
+            return 400, {"status": "error", "errorType": "bad_data",
+                         "error": "no match[] parameter provided"}
+        from prometheus_spark.engine.selectors import matcher_predicate
+        from prometheus_spark.parser import parse_expr
+        from prometheus_spark.parser.ast import VectorSelector
+
+        out = []
+        seen = set()
+        for m in matches:
+            node = parse_expr(m)
+            if not isinstance(node, VectorSelector):
+                return 400, {"status": "error", "errorType": "bad_data",
+                             "error": f"not a vector selector: {m}"}
+            df = self.engine.samples.where(matcher_predicate(node.matchers))
+            # distinct() can't hash MAP columns — dedupe on the sig key
+            for r in (
+                df.select("sig", "labels").dropDuplicates(["sig"]).collect()
+            ):
+                key = tuple(sorted(r["labels"].items()))
+                if key not in seen:
+                    seen.add(key)
+                    out.append(dict(r["labels"]))
+        return 200, {"status": "success", "data": out}
+
+    def labels(self, params: dict) -> tuple[int, dict]:
+        from pyspark.sql import functions as F
+
+        names = (
+            self.engine.samples.select(
+                F.explode(F.map_keys("labels")).alias("l")
+            )
+            .distinct()
+            .orderBy("l")
+            .collect()
+        )
+        return 200, {"status": "success", "data": [r["l"] for r in names]}
+
+    def label_values(self, name: str, params: dict) -> tuple[int, dict]:
+        from pyspark.sql import functions as F
+
+        vals = (
+            self.engine.samples.select(
+                F.element_at("labels", name).alias("v")
+            )
+            .where(F.col("v").isNotNull())
+            .distinct()
+            .orderBy("v")
+            .collect()
+        )
+        return 200, {"status": "success", "data": [r["v"] for r in vals]}
+
+    def buildinfo(self) -> tuple[int, dict]:
+        return 200, {
+            "status": "success",
+            "data": {
+                "version": "0.1.0-spark",
+                "revision": "",
+                "branch": "",
+                "buildUser": "",
+                "buildDate": "",
+                "goVersion": "",
+            },
+        }
+
+    # -- dispatch ------------------------------------------------------
+    def handle(self, path: str, params: dict) -> tuple[int, dict]:
+        if path == "/api/v1/query":
+            return self.query(params)
+        if path == "/api/v1/query_range":
+            return self.query_range(params)
+        if path == "/api/v1/series":
+            return self.series(params)
+        if path == "/api/v1/labels":
+            return self.labels(params)
+        m = re.fullmatch(r"/api/v1/label/([^/]+)/values", path)
+        if m:
+            return self.label_values(m.group(1), params)
+        if path == "/api/v1/metadata":
+            return 200, {"status": "success", "data": self.metadata}
+        if path == "/api/v1/status/buildinfo":
+            return self.buildinfo()
+        return 404, {"status": "error", "errorType": "bad_data",
+                     "error": f"unknown endpoint {path}"}
+
+    # -- HTTP shim -----------------------------------------------------
+    def server(self, host: str = "127.0.0.1", port: int = 0):
+        """Build (not start) a threaded HTTP server over ``handle``;
+        also serves /federate as text exposition."""
+        import http.server
+        import socketserver
+
+        api = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def _respond(self):
+                parsed = urlparse(self.path)
+                params = parse_qs(parsed.query)
+                if self.command == "POST":
+                    ln = int(self.headers.get("Content-Length", 0))
+                    body = self.rfile.read(ln).decode()
+                    for k, vs in parse_qs(body).items():
+                        params.setdefault(k, []).extend(vs)
+                if parsed.path == "/federate":
+                    from prometheus_spark.parser import parse_expr
+                    from prometheus_spark.sources.federate import federate
+
+                    matcher_dicts = []
+                    for m in params.get("match[]", []):
+                        node = parse_expr(m)
+                        matcher_dicts.append(
+                            {mm.name: mm.value for mm in node.matchers}
+                        )
+                    now_ms = (
+                        _parse_time_ms(params["time"][0])
+                        if "time" in params
+                        else 0
+                    )
+                    lines = federate(
+                        api.engine.samples, matcher_dicts, now_ms
+                    ).collect()
+                    text = "\n".join(r["line"] for r in lines) + "\n"
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type",
+                        "text/plain; version=0.0.4; charset=utf-8",
+                    )
+                    self.end_headers()
+                    self.wfile.write(text.encode())
+                    return
+                code, resp = api.handle(parsed.path, params)
+                payload = json.dumps(resp).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            do_GET = do_POST = _respond
+
+            def log_message(self, *a):
+                pass
+
+        class Server(socketserver.ThreadingMixIn, http.server.HTTPServer):
+            daemon_threads = True
+
+        return Server((host, port), Handler)

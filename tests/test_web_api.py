@@ -1,0 +1,160 @@
+"""Tests for the /api/v1 veneer (web/api/v1/api.go parity surface)."""
+
+import json
+import urllib.request
+
+import pytest
+
+from prometheus_spark.storage import samples_from_rows
+from prometheus_spark.web import PromAPI, marshal_float
+
+M = 60_000
+
+
+@pytest.fixture()
+def api(spark):
+    from prometheus_spark.engine import PromQLEngine
+
+    rows = []
+    for i in range(11):
+        rows.append(({"__name__": "m", "job": "a"}, i * M, float(i)))
+        rows.append(({"__name__": "m", "job": "b"}, i * M, float(i * 2)))
+    samples = samples_from_rows(spark, rows).cache()
+    return PromAPI(PromQLEngine(spark, samples))
+
+
+def test_instant_vector(api):
+    code, resp = api.handle("/api/v1/query", {"query": ["m"], "time": ["600"]})
+    assert code == 200 and resp["status"] == "success"
+    data = resp["data"]
+    assert data["resultType"] == "vector"
+    got = {e["metric"]["job"]: e["value"] for e in data["result"]}
+    assert got["a"] == [600, "10"] and got["b"] == [600, "20"]
+
+
+def test_scalar_query(api):
+    code, resp = api.handle(
+        "/api/v1/query", {"query": ["1 + 2"], "time": ["60"]}
+    )
+    assert code == 200
+    assert resp["data"] == {"resultType": "scalar", "result": [60, "3"]}
+
+
+def test_string_query(api):
+    code, resp = api.handle(
+        "/api/v1/query", {"query": ['"hello"'], "time": ["60"]}
+    )
+    assert code == 200
+    assert resp["data"] == {"resultType": "string", "result": [60, "hello"]}
+
+
+def test_range_matrix(api):
+    code, resp = api.handle(
+        "/api/v1/query_range",
+        {"query": ["m{job='a'}"], "start": ["0"], "end": ["180"],
+         "step": ["60"]},
+    )
+    assert code == 200
+    data = resp["data"]
+    assert data["resultType"] == "matrix" and len(data["result"]) == 1
+    assert data["result"][0]["values"] == [
+        [0, "0"], [60, "1"], [120, "2"], [180, "3"]
+    ]
+
+
+def test_range_validation(api):
+    code, _ = api.handle(
+        "/api/v1/query_range",
+        {"query": ["m"], "start": ["100"], "end": ["0"], "step": ["60"]},
+    )
+    assert code == 400
+    code, _ = api.handle(
+        "/api/v1/query_range",
+        {"query": ["m"], "start": ["0"], "end": ["100"], "step": ["0"]},
+    )
+    assert code == 400
+
+
+def test_bad_query_returns_400(api):
+    code, resp = api.handle("/api/v1/query", {"query": ["m{"], "time": ["0"]})
+    assert code == 400 and resp["status"] == "error"
+
+
+def test_series_and_labels(api):
+    code, resp = api.handle("/api/v1/series", {"match[]": ["m{job='a'}"]})
+    assert code == 200
+    assert resp["data"] == [{"__name__": "m", "job": "a"}]
+
+    code, resp = api.handle("/api/v1/labels", {})
+    assert resp["data"] == ["__name__", "job"]
+
+    code, resp = api.handle("/api/v1/label/job/values", {})
+    assert resp["data"] == ["a", "b"]
+
+
+def test_marshal_float_go_forms():
+    assert marshal_float(3.0) == "3"
+    assert marshal_float(0.5) == "0.5"
+    assert marshal_float(float("inf")) == "+Inf"
+    assert marshal_float(float("nan")) == "NaN"
+    # inside the 'f' window repr would flip to exponent; Go keeps 'f'
+    assert marshal_float(1e17) == "100000000000000000"
+    assert marshal_float(1e-7) == "1e-07"
+    assert marshal_float(1.5e21) == "1.5e+21"
+
+
+def test_histogram_rendering(spark):
+    from prometheus_spark.engine import PromQLEngine
+
+    hist = {
+        "schema": 0, "zero_threshold": 0.001, "zero_count": 2.0,
+        "count": 5.0, "sum": 10.0,
+        "pos_spans": [{"offset": 1, "length": 2}],
+        "pos_buckets": [1.0, 2.0],
+        "neg_spans": [], "neg_buckets": [],
+        "custom_values": [], "counter_reset_hint": 0,
+    }
+    samples = samples_from_rows(
+        spark, [({"__name__": "h"}, 0, hist)]
+    )
+    api = PromAPI(PromQLEngine(spark, samples))
+    code, resp = api.handle("/api/v1/query", {"query": ["h"], "time": ["0"]})
+    assert code == 200
+    entry = resp["data"]["result"][0]
+    t, h = entry["histogram"]
+    assert t == 0 and h["count"] == "5" and h["sum"] == "10"
+    # schema 0: bucket idx 1 → (1,2], idx 2 → (2,4]; zero bucket rule 3
+    assert h["buckets"] == [
+        [3, "-0.001", "0.001", "2"],
+        [0, "1", "2", "1"],
+        [0, "2", "4", "2"],
+    ]
+
+
+def test_http_server_roundtrip(api):
+    srv = api.server()
+    import threading
+
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = srv.server_address[1]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/v1/query?query=m&time=600"
+        ) as r:
+            body = json.loads(r.read())
+        assert body["status"] == "success"
+        assert len(body["data"]["result"]) == 2
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/v1/status/buildinfo"
+        ) as r:
+            assert json.loads(r.read())["data"]["version"].endswith("-spark")
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/federate?match[]=m%7Bjob%3D'a'%7D&time=600"
+        ) as r:
+            text = r.read().decode()
+        assert 'm{job="a"} 10' in text
+    finally:
+        srv.shutdown()
