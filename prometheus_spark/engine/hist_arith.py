@@ -2,8 +2,9 @@
 
 Histogram span-merge algebra (reference: model/histogram/float_histogram.go
 Add/Sub/Compact/DetectReset; promql/functions.go:640 ``histogramRate``) is
-irreducibly per-sample sequential, so it runs in Arrow-batched pandas UDFs
-(``applyInPandas`` per (sig, t) group / ``mapInPandas`` per joined pair).
+irreducibly per-sample sequential, so it runs in Arrow-batched pandas UDFs —
+``mapInPandas`` over key-sorted partitions with many (sig, t) groups per
+Arrow batch (``_grouped_apply_batched``), never a pandas frame per group.
 Histogram samples are a small fraction of any real workload; the float hot
 path never enters Python.
 
@@ -110,6 +111,60 @@ def _append_row(rows: dict, labels: dict, t: int, value, fh) -> None:
 
 def _fresh() -> dict:
     return {k: list(v) for k, v in _EMPTY.items()}
+
+
+def _grouped_apply_batched(src: DataFrame, keys, process) -> DataFrame:
+    """Grouped map without a pandas frame round-trip per group.
+
+    ``groupBy(...).applyInPandas`` hands every (sig, t) group its own
+    DataFrame and collects one back — ~ms of pandas overhead per group,
+    which dominates when histogram groups are tiny and numerous.  Here
+    the shuffle is the same (repartition by the leading key), partitions
+    are sorted by the full key, and one Arrow batch spans MANY groups:
+    ``process(group_pdf, rows)`` appends its output into a shared
+    column-list buffer, and a frame is materialized once per ~batch.
+
+    Groups can straddle Arrow-batch boundaries; the (contiguous,
+    because sorted) tail group of each batch is carried into the next.
+    """
+    import pandas as pd
+
+    keys = list(keys)
+    part = src.repartition(F.col(keys[0])).sortWithinPartitions(*keys)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        carry = None
+        rows = _fresh()
+        emitted = False
+
+        def run(pdf):
+            for _, g in pdf.groupby(keys, sort=False):
+                process(g, rows)
+
+        for pdf in it:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            # partition is key-sorted → the last group is the contiguous
+            # run of rows equal to the final key
+            mask = pd.Series(True, index=pdf.index)
+            for k in keys:
+                mask &= pdf[k] == pdf[k].iloc[-1]
+            tail_start = len(pdf) - int(mask.sum())
+            carry = pdf.iloc[tail_start:]
+            run(pdf.iloc[:tail_start])
+            if len(rows["t"]) >= 8192:
+                emitted = True
+                yield _emit_pdf(rows)
+                rows = _fresh()
+        if carry is not None and len(carry):
+            run(carry)
+        if rows["t"] or not emitted:
+            yield _emit_pdf(rows)
+
+    return part.mapInPandas(batches, FLAT_SCHEMA)
 
 
 def assemble(df: DataFrame, drop_name: bool = False) -> DataFrame:
@@ -229,18 +284,17 @@ def group_sum(
     ensure_shipped(ctx.spark)
     src = df.select("sig", "labels", "t", "hist", F.col(order_col).alias("__ord"))
 
-    def one_group(pdf):
+    def one_group(pdf, rows):
         from prometheus_spark.model.histogram import from_row, hist_mean, hist_sum
 
-        rows = _fresh()
         pdf = pdf.sort_values("__ord")
         hists = [from_row(h) for h in pdf["hist"]]
         acc, incompatible = (hist_mean if avg else hist_sum)(hists)
         if acc is not None and not incompatible:
             _append_row(rows, dict(pdf["labels"].iloc[0]), pdf["t"].iloc[0], None, acc)
-        return _emit_pdf(rows)
+        return
 
-    out = src.groupBy("sig", "t").applyInPandas(one_group, FLAT_SCHEMA)
+    out = _grouped_apply_batched(src, ("sig", "t"), one_group)
     return assemble(out, drop_name=drop_name)
 
 
@@ -262,10 +316,9 @@ def window_rate(
     src = windowed.select("sig", "labels", "t", "wend", "sample_t", "hist", "st")
     range_s = range_ms / 1000.0
 
-    def one_group(pdf):
+    def one_group(pdf, rows):
         from prometheus_spark.model.histogram import from_row, hist_rate
 
-        rows = _fresh()
         pdf = pdf.sort_values("sample_t")
         points = [(int(t), from_row(h)) for t, h in zip(pdf["sample_t"], pdf["hist"])]
         sts = [None if st is None or st != st else int(st) for st in pdf["st"]]
@@ -278,7 +331,7 @@ def window_rate(
         st_cond = is_counter and st0 != 0 and (wend - range_ms) < st0 < first_t
         h = hist_rate(points, range_s, is_counter, is_rate, sts)
         if h is None and not (st_cond and len(points) == 1):
-            return _emit_pdf(rows)
+            return
         sampled = (last_t - first_t) / 1000.0
         avg_spacing = sampled / (len(points) - 1) if len(points) > 1 else 0.0
         threshold = avg_spacing * 1.1
@@ -309,9 +362,9 @@ def window_rate(
 
         h.counter_reset_hint = GAUGE_TYPE
         _append_row(rows, dict(pdf["labels"].iloc[0]), int(pdf["t"].iloc[0]), None, h)
-        return _emit_pdf(rows)
+        return
 
-    out = src.groupBy("sig", "t").applyInPandas(one_group, FLAT_SCHEMA)
+    out = _grouped_apply_batched(src, ("sig", "t"), one_group)
     return assemble(out, drop_name=True)
 
 
@@ -326,7 +379,7 @@ def window_instant_pair(ctx: EvalContext, windowed: DataFrame, is_rate: bool) ->
         windowed = windowed.withColumn("st", F.lit(None).cast("long"))
     src = windowed.select("sig", "labels", "t", "sample_t", "value", "hist", "st")
 
-    def one_group(pdf):
+    def one_group(pdf, rows):
         from prometheus_spark.model.histogram import (
             GAUGE_TYPE,
             HistIncompatibleSchema,
@@ -334,13 +387,12 @@ def window_instant_pair(ctx: EvalContext, windowed: DataFrame, is_rate: bool) ->
             st_reset,
         )
 
-        rows = _fresh()
         pdf = pdf.sort_values("sample_t")
         if len(pdf) < 2:
-            return _emit_pdf(rows)
+            return
         t0, t1 = int(pdf["sample_t"].iloc[-2]), int(pdf["sample_t"].iloc[-1])
         if t1 == t0:
-            return _emit_pdf(rows)
+            return
         dt = (t1 - t0) / 1000.0
         h0 = from_row(pdf["hist"].iloc[-2]) if pdf["hist"].iloc[-2] is not None else None
         h1 = from_row(pdf["hist"].iloc[-1]) if pdf["hist"].iloc[-1] is not None else None
@@ -362,16 +414,16 @@ def window_instant_pair(ctx: EvalContext, windowed: DataFrame, is_rate: bool) ->
                 if (not is_rate) or not (streset or h1.detect_reset(h0)):
                     res.add(h0, sub=True)
             except HistIncompatibleSchema:
-                return _emit_pdf(rows)
+                return
             res.counter_reset_hint = GAUGE_TYPE
             if is_rate:
                 res.div(dt)
             res.compact()
             _append_row(rows, labels, t_out, None, res)
         # mixed float/histogram pair: drop
-        return _emit_pdf(rows)
+        return
 
-    out = src.groupBy("sig", "t").applyInPandas(one_group, FLAT_SCHEMA)
+    out = _grouped_apply_batched(src, ("sig", "t"), one_group)
     return assemble(out, drop_name=True)
 
 
@@ -390,10 +442,9 @@ def window_extended_rate(
     ensure_shipped(ctx.spark)
     src = windowed.select("sig", "labels", "t", "sample_t", "orig_t", "hist", "wend", "role")
 
-    def one_group(pdf):
+    def one_group(pdf, rows):
         from prometheus_spark.model.histogram import from_row, hist_extended_rate
 
-        rows = _fresh()
         pdf = pdf.sort_values("sample_t")
         points = [
             (int(ot), from_row(h), r)
@@ -401,15 +452,15 @@ def window_extended_rate(
             if h is not None
         ]
         if len(points) != len(pdf):  # mixed float/histogram window
-            return _emit_pdf(rows)
+            return
         h = hist_extended_rate(
             points, range_ms, int(pdf["wend"].iloc[0]), is_counter, is_rate, smoothed
         )
         if h is not None:
             _append_row(rows, dict(pdf["labels"].iloc[0]), int(pdf["t"].iloc[0]), None, h)
-        return _emit_pdf(rows)
+        return
 
-    out = src.groupBy("sig", "t").applyInPandas(one_group, FLAT_SCHEMA)
+    out = _grouped_apply_batched(src, ("sig", "t"), one_group)
     return assemble(out, drop_name=True)
 
 
@@ -430,7 +481,7 @@ def smoothed_instant_hist(
     ref = ctx.resolve_at(at) - offset if at is not None else None
     off = offset
 
-    def one_series(pdf):
+    def one_series(pdf, rows):
         from bisect import bisect_left
 
         from prometheus_spark.model.histogram import (
@@ -441,7 +492,6 @@ def smoothed_instant_hist(
             hist_interpolate,
         )
 
-        rows = _fresh()
         pdf = pdf.sort_values("t")
         ts = [int(x) for x in pdf["t"]]
         vals = list(pdf["value"])
@@ -480,9 +530,9 @@ def smoothed_instant_hist(
                 continue
             out_h.compact()
             _append_row(rows, labels, step_t, None, out_h)
-        return _emit_pdf(rows)
+        return
 
-    out = src.groupBy("sig").applyInPandas(one_series, FLAT_SCHEMA)
+    out = _grouped_apply_batched(src, ("sig",), one_series)
     return assemble(out)
 
 
@@ -498,12 +548,11 @@ def window_resets_changes(ctx: EvalContext, windowed: DataFrame, func: str) -> D
     src = windowed.select("sig", "labels", "t", "sample_t", "value", "hist", "st")
     count_resets = func == "resets"
 
-    def one_group(pdf):
+    def one_group(pdf, rows):
         import math
 
         from prometheus_spark.model.histogram import from_row, st_reset
 
-        rows = _fresh()
         pdf = pdf.sort_values("sample_t")
         samples = []  # (float|None, FloatHist|None, t, st)
         for v, h, t, st in zip(pdf["value"], pdf["hist"], pdf["sample_t"], pdf["st"]):
@@ -513,7 +562,7 @@ def window_resets_changes(ctx: EvalContext, windowed: DataFrame, func: str) -> D
             stv = None if st is None or st != st else int(st)
             samples.append((None if fh is not None else float(v), fh, int(t), stv))
         if not samples:
-            return _emit_pdf(rows)
+            return
         n = 0
         prev_f, prev_h, prev_t, prev_st = samples[0]
         for cur_f, cur_h, cur_t, cur_st in samples[1:]:
@@ -534,7 +583,7 @@ def window_resets_changes(ctx: EvalContext, windowed: DataFrame, func: str) -> D
                     n += 1
             prev_f, prev_h, prev_t, prev_st = cur_f, cur_h, cur_t, cur_st
         _append_row(rows, dict(pdf["labels"].iloc[0]), int(pdf["t"].iloc[0]), float(n), None)
-        return _emit_pdf(rows)
+        return
 
-    out = src.groupBy("sig", "t").applyInPandas(one_group, FLAT_SCHEMA)
+    out = _grouped_apply_batched(src, ("sig", "t"), one_group)
     return assemble(out, drop_name=True)
