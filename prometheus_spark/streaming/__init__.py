@@ -3,6 +3,11 @@ from prometheus_spark.streaming.ingest import (
     samples_stream_from_events,
     with_ooo_window,
 )
+from prometheus_spark.streaming.rulefmt import (
+    RuleError,
+    load_rule_file,
+    parse_rule_groups,
+)
 from prometheus_spark.streaming.rules import (
     AlertingRule,
     RecordingRule,
@@ -13,9 +18,12 @@ from prometheus_spark.streaming.rules import (
 __all__ = [
     "AlertingRule",
     "RecordingRule",
+    "RuleError",
     "RuleGroup",
     "RulesEngine",
     "ingest_events_stream",
+    "load_rule_file",
+    "parse_rule_groups",
     "samples_stream_from_events",
     "with_ooo_window",
 ]
