@@ -1,0 +1,183 @@
+"""Pull-ingest scrape loop: HTTP GET targets on an interval → spool.
+
+Reference: scrape/scrape.go (``scrapeLoop``: fetch, parse by
+content-type, attach target labels, honor_labels conflict handling,
+report series) and scrape/target.go.  SURVEY §2.7 maps the loop to a
+periodic batch feeding the same spool → ``readStream`` pickup as the
+push receivers — the scheduler is driver-side (it only moves scrape
+bodies, never samples per query), and everything downstream is Spark.
+
+Per-scrape report series mirror scrape.go:2040-2113: ``up``,
+``scrape_duration_seconds``, ``scrape_samples_scraped``,
+``scrape_samples_post_metric_relabeling``, ``scrape_series_added``.
+
+Content-type negotiation picks the parser the reference would
+(protobuf delimited / OpenMetrics / classic text).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import urllib.request
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from prometheus_spark.sources.openmetrics import parse_openmetrics_text
+from prometheus_spark.sources.promtext import parse_exposition_text
+from prometheus_spark.sources.protobuf_scrape import parse_protobuf_scrape
+
+PROTOBUF_CT = "application/vnd.google.protobuf"
+OPENMETRICS_CT = "application/openmetrics-text"
+
+
+@dataclass
+class ScrapeTarget:
+    url: str
+    # job/instance + extra target labels (target.go Labels()); instance
+    # defaults to the host:port of the url like the reference
+    labels: dict[str, str] = field(default_factory=dict)
+    honor_labels: bool = False
+
+    def target_labels(self) -> dict[str, str]:
+        out = dict(self.labels)
+        if "instance" not in out:
+            from urllib.parse import urlparse
+
+            out["instance"] = urlparse(self.url).netloc
+        return out
+
+
+def _merge_labels(
+    scraped: dict[str, str], target: dict[str, str], honor: bool
+) -> dict[str, str]:
+    """honor_labels semantics (scrape.go mutateSampleLabels): scraped
+    labels win when honoring; otherwise a conflicting scraped label is
+    preserved under ``exported_<name>``."""
+    if honor:
+        return {**target, **scraped}
+    out = dict(scraped)
+    for k, v in target.items():
+        if k in out and out[k] != v and k != "__name__":
+            out[f"exported_{k}"] = out[k]
+        out[k] = v
+    return out
+
+
+def parse_scrape_body(
+    body: bytes, content_type: str, default_ts_ms: int
+) -> list[tuple[dict, int, object]]:
+    """Dispatch on Content-Type exactly like the reference's parser
+    selection (model/textparse New())."""
+    if content_type.startswith(PROTOBUF_CT):
+        rows, _meta = parse_protobuf_scrape(body, default_ts_ms)
+        return [(labels, t, v) for labels, t, v, _created in rows]
+    if content_type.startswith(OPENMETRICS_CT):
+        samples, _m, _e, _c = parse_openmetrics_text(
+            body.decode(), default_ts_ms=default_ts_ms
+        )
+        return list(samples)
+    return list(parse_exposition_text(body.decode(), default_ts_ms))
+
+
+class ScrapeManager:
+    """Periodic scraper appending to a JSON-lines spool directory shared
+    with the push receivers (one atomic file per scrape — ``readStream``
+    never sees partial bodies)."""
+
+    def __init__(
+        self,
+        spool_dir: str,
+        targets: list[ScrapeTarget],
+        metric_relabel: Optional[Callable[[dict], Optional[dict]]] = None,
+        timeout_s: float = 10.0,
+    ):
+        os.makedirs(spool_dir, exist_ok=True)
+        self.spool_dir = spool_dir
+        self.targets = targets
+        self.metric_relabel = metric_relabel
+        self.timeout_s = timeout_s
+        self._n = 0
+        self._stop = threading.Event()
+
+    # -- one scrape pass ----------------------------------------------
+    def scrape_once(self, now_ms: Optional[int] = None) -> int:
+        now_ms = int(time.time() * 1000) if now_ms is None else now_ms
+        written = 0
+        for tgt in self.targets:
+            written += self._scrape_target(tgt, now_ms)
+        return written
+
+    def _scrape_target(self, tgt: ScrapeTarget, now_ms: int) -> int:
+        tl = tgt.target_labels()
+        start = time.monotonic()
+        rows: list = []
+        scraped = post_relabel = series_added = 0
+        up = 0.0
+        try:
+            req = urllib.request.Request(
+                tgt.url,
+                headers={
+                    "Accept": f"{OPENMETRICS_CT};version=1.0.0,"
+                    "text/plain;version=0.0.4;q=0.5,*/*;q=0.1"
+                },
+            )
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                body = resp.read()
+                ct = resp.headers.get("Content-Type", "text/plain")
+            parsed = parse_scrape_body(body, ct, now_ms)
+            scraped = len(parsed)
+            sigs = set()
+            for labels, t, v in parsed:
+                labels = _merge_labels(labels, tl, tgt.honor_labels)
+                if self.metric_relabel is not None:
+                    labels = self.metric_relabel(labels)
+                    if labels is None:
+                        continue
+                post_relabel += 1
+                sigs.add(tuple(sorted(labels.items())))
+                rows.append((labels, t, v))
+            series_added = len(sigs)
+            up = 1.0
+        except Exception:  # noqa: BLE001 — a failed scrape reports up=0
+            rows = []
+        duration = time.monotonic() - start
+        # report series (scrape.go report()): target labels only
+        for name, value in (
+            ("up", up),
+            ("scrape_duration_seconds", duration),
+            ("scrape_samples_scraped", float(scraped)),
+            ("scrape_samples_post_metric_relabeling", float(post_relabel)),
+            ("scrape_series_added", float(series_added)),
+        ):
+            rows.append(({**tl, "__name__": name}, now_ms, value))
+        self._n += 1
+        path = os.path.join(
+            self.spool_dir, f"scrape_{os.getpid()}_{self._n:08d}.json"
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for labels, t, v in rows:
+                rec = {"labels": labels, "t": t}
+                if isinstance(v, dict):
+                    rec["hist"] = v
+                else:
+                    rec["value"] = float(v)
+                f.write(json.dumps(rec) + "\n")
+        os.replace(tmp, path)
+        return len(rows)
+
+    # -- background loop ----------------------------------------------
+    def start(self, interval_ms: int) -> threading.Thread:
+        def loop():
+            while not self._stop.wait(interval_ms / 1000.0):
+                self.scrape_once()
+
+        thread = threading.Thread(target=loop, daemon=True)
+        thread.start()
+        return thread
+
+    def stop(self):
+        self._stop.set()

@@ -1,0 +1,99 @@
+"""Scrape-loop tests: HTTP fetch → parse → target labels → spool → Spark."""
+
+import http.server
+import socketserver
+import threading
+
+import pytest
+
+from prometheus_spark.sources.scrape import (
+    ScrapeManager,
+    ScrapeTarget,
+    _merge_labels,
+)
+
+BODY = b"""# TYPE http_requests_total counter
+http_requests_total{method="get",job="inner"} 42
+node_load1 0.5
+"""
+
+
+@pytest.fixture()
+def exposition_server():
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.end_headers()
+            self.wfile.write(BODY)
+
+        def log_message(self, *a):
+            pass
+
+    class Server(socketserver.ThreadingMixIn, http.server.HTTPServer):
+        daemon_threads = True
+
+    srv = Server(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/metrics"
+    srv.shutdown()
+
+
+def test_scrape_to_spool_and_spark(spark, tmp_path, exposition_server):
+    from prometheus_spark.sources.remote_write import spool_to_samples
+
+    mgr = ScrapeManager(
+        str(tmp_path / "spool"),
+        [ScrapeTarget(exposition_server, labels={"job": "node"})],
+    )
+    n = mgr.scrape_once(now_ms=60_000)
+    assert n == 2 + 5  # 2 samples + 5 report series
+    df = spool_to_samples(spark, str(tmp_path / "spool"))
+    rows = {r["name"]: r for r in df.collect()}
+    # target labels attached; conflicting scraped job → exported_job
+    req = rows["http_requests_total"]
+    assert req["labels"]["job"] == "node"
+    assert req["labels"]["exported_job"] == "inner"
+    assert req["value"] == 42.0 and req["t"] == 60_000
+    assert rows["up"]["value"] == 1.0
+    assert rows["scrape_samples_scraped"]["value"] == 2.0
+    assert rows["scrape_series_added"]["value"] == 2.0
+    assert rows["up"]["labels"]["instance"].startswith("127.0.0.1:")
+
+
+def test_scrape_failure_reports_up_zero(spark, tmp_path):
+    from prometheus_spark.sources.remote_write import spool_to_samples
+
+    mgr = ScrapeManager(
+        str(tmp_path / "spool"),
+        [ScrapeTarget("http://127.0.0.1:9/none", labels={"job": "dead"})],
+        timeout_s=0.5,
+    )
+    mgr.scrape_once(now_ms=0)
+    rows = {
+        r["name"]: r
+        for r in spool_to_samples(spark, str(tmp_path / "spool")).collect()
+    }
+    assert rows["up"]["value"] == 0.0
+    assert rows["scrape_samples_scraped"]["value"] == 0.0
+
+
+def test_metric_relabel_drop(tmp_path, exposition_server):
+    mgr = ScrapeManager(
+        str(tmp_path / "spool"),
+        [ScrapeTarget(exposition_server, labels={"job": "node"})],
+        metric_relabel=lambda ls: None
+        if ls["__name__"] == "node_load1"
+        else ls,
+    )
+    n = mgr.scrape_once(now_ms=0)
+    assert n == 1 + 5
+
+
+def test_honor_labels():
+    scraped = {"__name__": "m", "job": "inner"}
+    target = {"job": "outer", "instance": "i"}
+    assert _merge_labels(scraped, target, honor=True)["job"] == "inner"
+    merged = _merge_labels(scraped, target, honor=False)
+    assert merged["job"] == "outer" and merged["exported_job"] == "inner"
