@@ -146,9 +146,88 @@ class PromAPI:
     API without sockets.
     """
 
-    def __init__(self, engine, metadata: Optional[dict] = None):
+    def __init__(
+        self,
+        engine,
+        metadata: Optional[dict] = None,
+        rule_groups: Optional[list] = None,
+        rules_engine=None,
+        scrape_manager=None,
+    ):
         self.engine = engine
         self.metadata = metadata or {}
+        self.rule_groups = rule_groups or []
+        self.rules_engine = rules_engine
+        self.scrape_manager = scrape_manager
+        self.last_alerts: list = []  # refreshed by record_alerts()
+
+    def record_alerts(self, alert_rows: list) -> None:
+        """Feed the latest RulesEngine.eval_tick alert snapshot so
+        /api/v1/alerts serves it."""
+        self.last_alerts = alert_rows
+
+    def rules(self) -> tuple[int, dict]:
+        """api.go rules endpoint: groups with their rule definitions."""
+        from prometheus_spark.streaming.rules import AlertingRule, RecordingRule
+
+        groups = []
+        for g in self.rule_groups:
+            rules = []
+            for r in g.rules:
+                if isinstance(r, RecordingRule):
+                    rules.append({
+                        "type": "recording",
+                        "name": r.record,
+                        "query": r.expr,
+                        "labels": r.labels,
+                        "health": "ok",
+                    })
+                elif isinstance(r, AlertingRule):
+                    rules.append({
+                        "type": "alerting",
+                        "name": r.alert,
+                        "query": r.expr,
+                        "duration": r.for_ms / 1000,
+                        "keepFiringFor": r.keep_firing_for_ms / 1000,
+                        "labels": r.labels,
+                        "health": "ok",
+                        "state": "inactive",
+                    })
+            groups.append({
+                "name": g.name,
+                "interval": g.interval_ms / 1000,
+                "rules": rules,
+            })
+        return 200, {"status": "success", "data": {"groups": groups}}
+
+    def alerts(self) -> tuple[int, dict]:
+        """api.go alerts endpoint over the last eval's alert snapshot."""
+        alerts = [
+            {
+                "labels": dict(labels),
+                "state": state,
+                "activeAt": _ts_number(active_since),
+                "value": "1",
+            }
+            for (_name, labels, state, active_since) in self.last_alerts
+        ]
+        return 200, {"status": "success", "data": {"alerts": alerts}}
+
+    def targets(self) -> tuple[int, dict]:
+        """api.go targets endpoint over the scrape manager's targets."""
+        active = []
+        if self.scrape_manager is not None:
+            for t in self.scrape_manager.targets:
+                labels = t.target_labels()
+                active.append({
+                    "scrapeUrl": t.url,
+                    "labels": labels,
+                    "health": "unknown",
+                })
+        return 200, {
+            "status": "success",
+            "data": {"activeTargets": active, "droppedTargets": []},
+        }
 
     # -- endpoint implementations -------------------------------------
     def query(self, params: dict) -> tuple[int, dict]:
@@ -293,6 +372,12 @@ class PromAPI:
             return self.label_values(m.group(1), params)
         if path == "/api/v1/metadata":
             return 200, {"status": "success", "data": self.metadata}
+        if path == "/api/v1/rules":
+            return self.rules()
+        if path == "/api/v1/alerts":
+            return self.alerts()
+        if path == "/api/v1/targets":
+            return self.targets()
         if path == "/api/v1/status/buildinfo":
             return self.buildinfo()
         return 404, {"status": "error", "errorType": "bad_data",

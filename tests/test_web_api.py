@@ -158,3 +158,40 @@ def test_http_server_roundtrip(api):
         assert 'm{job="a"} 10' in text
     finally:
         srv.shutdown()
+
+
+def test_rules_alerts_targets_endpoints(api):
+    from prometheus_spark.sources.scrape import ScrapeManager, ScrapeTarget
+    from prometheus_spark.streaming import parse_rule_groups
+
+    api.rule_groups = parse_rule_groups(
+        """
+groups:
+  - name: g
+    interval: 30s
+    rules:
+      - record: r:sum
+        expr: sum(m)
+      - alert: A
+        expr: m > 100
+        for: 5m
+"""
+    )
+    api.scrape_manager = ScrapeManager(
+        "/tmp/_api_spool_unused", [ScrapeTarget("http://x:9/m", {"job": "j"})]
+    )
+    api.record_alerts([("A", {"alertname": "A", "job": "a"}, "firing", 60_000)])
+
+    code, resp = api.handle("/api/v1/rules", {})
+    g = resp["data"]["groups"][0]
+    assert g["interval"] == 30
+    assert [r["type"] for r in g["rules"]] == ["recording", "alerting"]
+    assert g["rules"][1]["duration"] == 300
+
+    code, resp = api.handle("/api/v1/alerts", {})
+    assert resp["data"]["alerts"][0]["state"] == "firing"
+    assert resp["data"]["alerts"][0]["activeAt"] == 60
+
+    code, resp = api.handle("/api/v1/targets", {})
+    tgt = resp["data"]["activeTargets"][0]
+    assert tgt["labels"]["job"] == "j" and tgt["scrapeUrl"].endswith("/m")
