@@ -372,6 +372,17 @@ class PromAPI:
             return self.label_values(m.group(1), params)
         if path == "/api/v1/metadata":
             return 200, {"status": "success", "data": self.metadata}
+        if path == "/api/v1/format_query":
+            from prometheus_spark.parser.printer import format_query
+
+            try:
+                return 200, {
+                    "status": "success",
+                    "data": format_query(params["query"][0]),
+                }
+            except Exception as e:  # noqa: BLE001 — API boundary
+                return 400, {"status": "error", "errorType": "bad_data",
+                             "error": str(e)}
         if path == "/api/v1/rules":
             return self.rules()
         if path == "/api/v1/alerts":

@@ -1,0 +1,107 @@
+"""Printer/prettifier tests (promql/parser/printer.go + prettier.go)."""
+
+import pytest
+
+from prometheus_spark.parser import parse_expr
+from prometheus_spark.parser.printer import (
+    format_duration_ms,
+    format_query,
+    prettify,
+    to_promql,
+)
+
+CANONICAL = [
+    # input → canonical String() form
+    ("foo", "foo"),
+    ('foo{bar="baz"}', 'foo{bar="baz"}'),
+    ("foo{a='1',b!='2',c=~'3',d!~'4'}", 'foo{a="1",b!="2",c=~"3",d!~"4"}'),
+    # name matcher is only elided when a bare name was written
+    ('{__name__="foo"}', '{__name__="foo"}'),
+    ("foo offset 5m", "foo offset 5m"),
+    ("foo offset -90s", "foo offset -1m30s"),
+    ("foo @ 10", "foo @ 10.000"),
+    ("foo @ start()", "foo @ start()"),
+    ("foo[5m]", "foo[5m]"),
+    ("foo[5m] offset 1h", "foo[5m] offset 1h"),
+    ("foo[90000ms]", "foo[1m30s]"),
+    ("rate(foo[5m])", "rate(foo[5m])"),
+    ("sum by (job) (rate(foo[5m]))", "sum by (job) (rate(foo[5m]))"),
+    ("sum without (job) (foo)", "sum without (job) (foo)"),
+    ("sum(foo)", "sum(foo)"),
+    ("topk(5, foo)", "topk(5, foo)"),
+    ("a + b", "a + b"),
+    ("a == bool b", "a == bool b"),
+    ("a + on (x, y) group_left (z) b", "a + on (x, y) group_left (z) b"),
+    ("a / ignoring (x) b", "a / ignoring (x) b"),
+    ("a and b", "a and b"),
+    ("-foo", "-foo"),
+    ("(a + b) * c", "(a + b) * c"),
+    ("1.5 + 2", "1.5 + 2"),
+    ('"hi"', '"hi"'),
+    ("foo[5m:1m]", "foo[5m:1m]"),
+    ("max_over_time(foo[1h:])", "max_over_time(foo[1h:])"),
+    ("foo[5m] anchored", "foo[5m] anchored"),
+    ("foo[5m] smoothed offset 5m", "foo[5m] smoothed offset 5m"),
+]
+
+
+@pytest.mark.parametrize("query,want", CANONICAL, ids=[c[0] for c in CANONICAL])
+def test_canonical_string(query, want):
+    assert to_promql(parse_expr(query)) == want
+
+
+@pytest.mark.parametrize("query,want", CANONICAL, ids=[c[0] for c in CANONICAL])
+def test_roundtrip_fixed_point(query, want):
+    # parsing the canonical form and re-printing is a fixed point
+    assert to_promql(parse_expr(want)) == want
+
+
+def test_format_duration():
+    assert format_duration_ms(0) == "0s"
+    assert format_duration_ms(1000) == "1s"
+    assert format_duration_ms(90_000) == "1m30s"
+    assert format_duration_ms(3_600_000) == "1h"
+    assert format_duration_ms(86_400_000 * 8) == "1w1d"
+    assert format_duration_ms(500) == "500ms"
+
+
+def test_prettify_short_unchanged():
+    assert format_query("sum(foo)") == "sum(foo)"
+
+
+def test_prettify_long_aggregation_splits():
+    q = (
+        "sum by (instance, job, region, zone) "
+        "(rate(some_fairly_long_metric_name_total"
+        '{environment="production",service="checkout"}[5m]))'
+    )
+    out = format_query(q)
+    lines = out.split("\n")
+    assert lines[0] == "sum by (instance, job, region, zone) ("
+    assert lines[-1] == ")"
+    assert lines[1].startswith("  ")
+
+
+def test_prettify_long_binary_splits():
+    q = (
+        "some_quite_long_metric_name_number_one_total"
+        " + on (instance, job, zone) "
+        "some_quite_long_metric_name_number_two_total"
+        '{environment="production",team="platform"}'
+    )
+    out = format_query(q)
+    lines = out.split("\n")
+    assert lines[1] == "+ on (instance, job, zone)"
+    assert lines[0].startswith("  ") and lines[2].startswith("  ")
+
+
+def test_format_query_endpoint(spark):
+    from prometheus_spark.engine import PromQLEngine
+    from prometheus_spark.storage import samples_from_rows
+    from prometheus_spark.web import PromAPI
+
+    api = PromAPI(PromQLEngine(spark, samples_from_rows(spark, [])))
+    code, resp = api.handle("/api/v1/format_query", {"query": ["sum(  foo )"]})
+    assert code == 200 and resp["data"] == "sum(foo)"
+    code, resp = api.handle("/api/v1/format_query", {"query": ["foo{"]})
+    assert code == 400
