@@ -159,6 +159,7 @@ class PromAPI:
         self.rule_groups = rule_groups or []
         self.rules_engine = rules_engine
         self.scrape_manager = scrape_manager
+        self.exemplars = None  # optional exemplar frame (storage.exemplars)
         self.last_alerts: list = []  # refreshed by record_alerts()
 
     def record_alerts(self, alert_rows: list) -> None:
@@ -344,6 +345,105 @@ class PromAPI:
         )
         return 200, {"status": "success", "data": [r["v"] for r in vals]}
 
+    def query_exemplars(self, params: dict) -> tuple[int, dict]:
+        """api.go:756 queryExemplars: series matchers + time range →
+        [{seriesLabels, exemplars: [{labels, value, timestamp}]}]."""
+        if self.exemplars is None:
+            return 200, {"status": "success", "data": []}
+        matches = params.get("match[]", [])
+        if not matches:
+            return 400, {"status": "error", "errorType": "bad_data",
+                         "error": "no match[] parameter provided"}
+        start = _parse_time_ms(params["start"][0]) if "start" in params else 0
+        end = (
+            _parse_time_ms(params["end"][0])
+            if "end" in params
+            else (1 << 62)
+        )
+        from prometheus_spark.parser import parse_expr
+        from prometheus_spark.parser.ast import VectorSelector
+        from prometheus_spark.storage.exemplars import select_exemplars
+
+        series: dict[tuple, dict] = {}
+        for m in matches:
+            node = parse_expr(m)
+            if not isinstance(node, VectorSelector):
+                return 400, {"status": "error", "errorType": "bad_data",
+                             "error": f"not a vector selector: {m}"}
+            rows = select_exemplars(
+                self.exemplars, node.matchers, start, end
+            ).collect()
+            for r in rows:
+                key = tuple(sorted(r["labels"].items()))
+                s = series.setdefault(
+                    key, {"seriesLabels": dict(r["labels"]), "exemplars": []}
+                )
+                ex = {
+                    "labels": dict(r["ex_labels"]),
+                    "value": marshal_float(r["value"]),
+                    "timestamp": _ts_number(
+                        r["ex_t"] if r["ex_t"] is not None else r["t"]
+                    ),
+                }
+                if ex not in s["exemplars"]:
+                    s["exemplars"].append(ex)
+        return 200, {"status": "success", "data": list(series.values())}
+
+    def tsdb_stats(self) -> tuple[int, dict]:
+        """api.go TSDB stats (/api/v1/status/tsdb): head series/sample
+        counts and top-10 cardinality tables — DataFrame aggregates."""
+        from pyspark.sql import functions as F
+
+        s = self.engine.samples
+        num_series = s.select("sig").distinct().count()
+        # label names by number of distinct values (docs: the top-10
+        # label names with the highest value cardinality)
+        label_counts = (
+            s.select(F.explode("labels").alias("l", "v"))
+            .distinct()
+            .groupBy("l")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "l")
+            .limit(10)
+            .collect()
+        )
+        metric_counts = (
+            s.select("sig", "name").dropDuplicates(["sig"])
+            .groupBy("name").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "name").limit(10).collect()
+        )
+        pair_counts = (
+            s.select(
+                "sig", F.explode("labels").alias("l", "v")
+            )
+            .select("sig", F.concat_ws("=", "l", "v").alias("pair"))
+            .dropDuplicates(["sig", "pair"])
+            .groupBy("pair").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "pair").limit(10).collect()
+        )
+        return 200, {
+            "status": "success",
+            "data": {
+                "headStats": {
+                    "numSeries": num_series,
+                    "numLabelPairs": int(
+                        s.select(F.explode("labels"))
+                        .distinct()
+                        .count()
+                    ),
+                },
+                "seriesCountByMetricName": [
+                    {"name": r["name"], "value": r["n"]} for r in metric_counts
+                ],
+                "labelValueCountByLabelName": [
+                    {"name": r["l"], "value": r["n"]} for r in label_counts
+                ],
+                "seriesCountByLabelValuePair": [
+                    {"name": r["pair"], "value": r["n"]} for r in pair_counts
+                ],
+            },
+        }
+
     def buildinfo(self) -> tuple[int, dict]:
         return 200, {
             "status": "success",
@@ -389,6 +489,10 @@ class PromAPI:
             return self.alerts()
         if path == "/api/v1/targets":
             return self.targets()
+        if path == "/api/v1/query_exemplars":
+            return self.query_exemplars(params)
+        if path == "/api/v1/status/tsdb":
+            return self.tsdb_stats()
         if path == "/api/v1/status/buildinfo":
             return self.buildinfo()
         return 404, {"status": "error", "errorType": "bad_data",

@@ -195,3 +195,42 @@ groups:
     code, resp = api.handle("/api/v1/targets", {})
     tgt = resp["data"]["activeTargets"][0]
     assert tgt["labels"]["job"] == "j" and tgt["scrapeUrl"].endswith("/m")
+
+
+def test_query_exemplars(spark, api):
+    from prometheus_spark.storage.exemplars import exemplars_from_openmetrics
+
+    body = """# TYPE m counter
+m_total{job="a"} 5.0 100 # {trace_id="abc"} 0.67 99.5
+m_total{job="b"} 7.0 100 # {trace_id="def"} 1.2 99.8
+# EOF
+"""
+    api.exemplars = exemplars_from_openmetrics(spark, body)
+    code, resp = api.handle(
+        "/api/v1/query_exemplars",
+        {"match[]": ['m_total{job="a"}'], "start": ["0"], "end": ["200"]},
+    )
+    assert code == 200
+    data = resp["data"]
+    assert len(data) == 1
+    assert data[0]["seriesLabels"]["job"] == "a"
+    ex = data[0]["exemplars"][0]
+    assert ex["labels"] == {"trace_id": "abc"}
+    assert ex["value"] == "0.67" and ex["timestamp"] == 99500 / 1000
+
+    # no exemplar store → empty result, not an error
+    api.exemplars = None
+    code, resp = api.handle(
+        "/api/v1/query_exemplars", {"match[]": ["m_total"]}
+    )
+    assert code == 200 and resp["data"] == []
+
+
+def test_tsdb_stats(api):
+    code, resp = api.handle("/api/v1/status/tsdb", {})
+    assert code == 200
+    data = resp["data"]
+    assert data["headStats"]["numSeries"] == 2
+    assert data["seriesCountByMetricName"] == [{"name": "m", "value": 2}]
+    by_label = {e["name"]: e["value"] for e in data["labelValueCountByLabelName"]}
+    assert by_label["job"] == 2 and by_label["__name__"] == 1
