@@ -68,18 +68,18 @@ def _merge_labels(
 
 def parse_scrape_body(
     body: bytes, content_type: str, default_ts_ms: int
-) -> list[tuple[dict, int, object]]:
+) -> tuple[list[tuple[dict, int, object]], dict]:
     """Dispatch on Content-Type exactly like the reference's parser
-    selection (model/textparse New())."""
+    selection (model/textparse New()).  Returns (samples, metadata)."""
     if content_type.startswith(PROTOBUF_CT):
-        rows, _meta = parse_protobuf_scrape(body, default_ts_ms)
-        return [(labels, t, v) for labels, t, v, _created in rows]
+        rows, meta = parse_protobuf_scrape(body, default_ts_ms)
+        return [(labels, t, v) for labels, t, v, _created in rows], meta
     if content_type.startswith(OPENMETRICS_CT):
-        samples, _m, _e, _c = parse_openmetrics_text(
+        samples, meta, _e, _c = parse_openmetrics_text(
             body.decode(), default_ts_ms=default_ts_ms
         )
-        return list(samples)
-    return list(parse_exposition_text(body.decode(), default_ts_ms))
+        return list(samples), meta
+    return list(parse_exposition_text(body.decode(), default_ts_ms)), {}
 
 
 class ScrapeManager:
@@ -99,6 +99,9 @@ class ScrapeManager:
         self.targets = targets
         self.metric_relabel = metric_relabel
         self.timeout_s = timeout_s
+        # family → {type, help, unit}, accumulated across scrapes — the
+        # metadata store the /api/v1/metadata endpoint serves
+        self.metadata: dict[str, dict] = {}
         self._n = 0
         self._stop = threading.Event()
 
@@ -127,7 +130,8 @@ class ScrapeManager:
             with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
                 body = resp.read()
                 ct = resp.headers.get("Content-Type", "text/plain")
-            parsed = parse_scrape_body(body, ct, now_ms)
+            parsed, meta = parse_scrape_body(body, ct, now_ms)
+            self.metadata.update(meta)
             scraped = len(parsed)
             sigs = set()
             for labels, t, v in parsed:

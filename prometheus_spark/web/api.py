@@ -471,7 +471,16 @@ class PromAPI:
         if m:
             return self.label_values(m.group(1), params)
         if path == "/api/v1/metadata":
-            return 200, {"status": "success", "data": self.metadata}
+            # api.go metricMetadata: {family: [{type, help, unit}]};
+            # scrape-accumulated metadata merges under the static dict
+            merged: dict = {}
+            if self.scrape_manager is not None:
+                merged.update(self.scrape_manager.metadata)
+            merged.update(self.metadata)
+            data = {
+                k: v if isinstance(v, list) else [v] for k, v in merged.items()
+            }
+            return 200, {"status": "success", "data": data}
         if path == "/api/v1/format_query":
             from prometheus_spark.parser.printer import format_query
 

@@ -97,3 +97,33 @@ def test_honor_labels():
     assert _merge_labels(scraped, target, honor=True)["job"] == "inner"
     merged = _merge_labels(scraped, target, honor=False)
     assert merged["job"] == "outer" and merged["exported_job"] == "inner"
+
+
+def test_scrape_metadata_accumulates(tmp_path, exposition_server):
+    mgr = ScrapeManager(
+        str(tmp_path / "spool"),
+        [ScrapeTarget(exposition_server, labels={"job": "node"})],
+    )
+    mgr.scrape_once(now_ms=0)
+    # classic text parser yields no metadata, but protobuf/OM bodies do;
+    # verify the dispatch path returns metadata for an OM body directly
+    from prometheus_spark.sources.scrape import parse_scrape_body
+
+    om = b"# TYPE m counter\n# HELP m help text\nm_total 1\n# EOF\n"
+    samples, meta = parse_scrape_body(
+        om, "application/openmetrics-text", 0
+    )
+    assert meta["m"]["type"] == "counter" and meta["m"]["help"] == "help text"
+    mgr.metadata.update(meta)
+
+    from prometheus_spark.web import PromAPI
+
+    class _Eng:  # metadata endpoint never touches the engine
+        pass
+
+    api = PromAPI(_Eng(), scrape_manager=mgr)
+    code, resp = api.handle("/api/v1/metadata", {})
+    assert code == 200
+    assert resp["data"]["m"] == [
+        {"type": "counter", "help": "help text"}
+    ]
