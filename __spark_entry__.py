@@ -196,6 +196,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["promql_start_timestamp"] = _promql_start_timestamp
 
+    # --- PromQL: modifiers / matching / more functions (§2.1-2.4) --------
+    q["promql_at_modifier"] = lambda s, d: _promql_instant(
+        s, d, f"purchase @ {(T0_MS - 86_400_000) / 1000:.3f}"
+    )
+    q["promql_offset_negative"] = lambda s, d: _promql_instant(
+        s, d, "purchase offset -1d"
+    )
+    q["promql_unary_neg"] = lambda s, d: _promql_instant(s, d, "-purchase")
+    q["promql_bool_cmp"] = lambda s, d: _promql_instant(
+        s, d, "purchase >= bool 100"
+    )
+    q["promql_group_agg"] = lambda s, d: _promql_instant(
+        s, d, "group by (user_id) (purchase)"
+    )
+    q["promql_atan2_binop"] = lambda s, d: _promql_instant(
+        s, d, "purchase atan2 click", round_to=8
+    )
+    q["promql_group_left"] = _promql_group_left
+    q["promql_label_replace"] = lambda s, d: _engine(s, d).instant_query(
+        r'label_replace(purchase, "grp", "g$1", "user_id", "(\\d).*")', T0_MS
+    ).select(
+        F.element_at("labels", "grp").alias("grp"),
+        F.element_at("labels", "user_id").alias("user_id"),
+        F.col("value"),
+    )
+    q["promql_scalar_vector"] = lambda s, d: _engine(s, d).instant_query(
+        "vector(scalar(count(purchase)) * 2)", T0_MS
+    ).select(F.col("value"))
+    q["promql_time_fns"] = lambda s, d: _promql_instant(
+        s, d, "hour(timestamp(purchase)) * 100 + minute(timestamp(purchase))"
+    )
+    q["promql_irate"] = lambda s, d: _promql_instant(
+        s, d, f"irate(purchase[{RANGE_7D}])", round_to=8
+    )
+    q["promql_predict_linear"] = lambda s, d: _promql_instant(
+        s, d, f"predict_linear(purchase[{RANGE_7D}], 3600)", round_to=6
+    )
+    q["promql_sum_last_over_time"] = lambda s, d: _promql_instant(
+        s, d,
+        f"sum_over_time(purchase[{RANGE_7D}]) + last_over_time(purchase[{RANGE_7D}])",
+        round_to=6,
+    )
+    q["promql_mad_over_time"] = lambda s, d: _promql_instant(
+        s, d, f"mad_over_time(purchase[{RANGE_7D}])", round_to=6
+    )
+
+    # --- PromQL: range queries (step grid, §2.5) -------------------------
+    q["promql_range_selector"] = _promql_range_selector
+    q["promql_range_rate"] = _promql_range_rate
+
+    # --- PromQL: classic histograms (§2.4) -------------------------------
+    q["promql_histogram_quantile_classic"] = lambda s, d: _hist_classic(
+        s, d, "histogram_quantile(0.9, purch_bucket)"
+    )
+    q["promql_histogram_fraction_classic"] = lambda s, d: _hist_classic(
+        s, d, "histogram_fraction(25, 250, purch_bucket)"
+    )
+
     # --- sources / sinks round-trips --------------------------------------
     q["federate_roundtrip"] = _federate_roundtrip
     q["openmetrics_ingest"] = _openmetrics_ingest
@@ -227,6 +285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- pipeline: multimodal plumbing (rows-only; decode is stubbed) ------
     q["multimodal_features"] = lambda s, d: _pipe_multimodal(s, d)
+    q["multimodal_frame_sample"] = lambda s, d: _pipe_frame_sample(s, d)
 
     return q
 
@@ -249,6 +308,105 @@ def _promql_start_timestamp(spark, sf_dir):
     return eng.instant_query("start_timestamp(purchase)", T0_MS).select(
         F.element_at("labels", "user_id").alias("user_id"),
         F.round("value", 3).alias("value"),
+    )
+
+
+def _promql_group_left(spark, sf_dir):
+    """Many-to-one vector matching: purchase series (labels user_id+parity)
+    multiplied against a per-parity click sum — group_left keeps the full
+    left labelset (reference vector matching, promql/engine.go binop path)."""
+    from prometheus_spark.engine import PromQLEngine
+    from prometheus_spark.storage import samples_from_events
+
+    ev = _tbl(spark, sf_dir, "events").withColumn(
+        "parity", (F.col("user_id") % 2).cast("string")
+    )
+    samples = samples_from_events(
+        spark, ev, label_cols=("user_id", "parity")
+    )
+    eng = PromQLEngine(spark, samples, lookback_ms=LOOKBACK_MS)
+    return eng.instant_query(
+        "purchase * on(parity) group_left sum by (parity) (click)", T0_MS
+    ).select(
+        F.element_at("labels", "user_id").alias("user_id"),
+        F.element_at("labels", "parity").alias("parity"),
+        F.round("value", 4).alias("value"),
+    )
+
+
+def _promql_range_selector(spark, sf_dir):
+    """Range query: 5-step daily grid, instant-selector semantics at each
+    step (lookback within each)."""
+    return _engine(spark, sf_dir).range_query(
+        "purchase", T0_MS - 4 * 86_400_000, T0_MS, 86_400_000
+    ).select(
+        F.element_at("labels", "user_id").alias("user_id"), "t", "value"
+    )
+
+
+def _promql_range_rate(spark, sf_dir):
+    """Range query over rate(): per-step extrapolated counter rate."""
+    return _engine(spark, sf_dir).range_query(
+        f"rate(purchase[{RANGE_7D}])", T0_MS - 2 * 86_400_000, T0_MS, 86_400_000
+    ).select(
+        F.element_at("labels", "user_id").alias("user_id"),
+        "t",
+        F.round("value", 10).alias("value"),
+    )
+
+
+_HIST_LES = (25.0, 100.0, 250.0)  # +Inf appended by the builder
+
+
+def _hist_classic(spark, sf_dir, query):
+    """Classic le-bucket histogram built distributedly from purchase events
+    in the instant lookback window: cumulative counts per (user_id, le)."""
+    from prometheus_spark.engine import PromQLEngine
+    from prometheus_spark.model.labels import sig_expr
+
+    ev = _tbl(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & (F.unix_millis(F.col("ts")) > F.lit(T0_MS - LOOKBACK_MS))
+        & (F.unix_millis(F.col("ts")) <= F.lit(T0_MS))
+    )
+    aggs = [
+        F.sum((F.col("value") <= F.lit(le)).cast("double")).alias(f"c{i}")
+        for i, le in enumerate(_HIST_LES)
+    ] + [F.count("*").cast("double").alias("cinf")]
+    counts = ev.groupBy(F.col("user_id").cast("string").alias("user_id")).agg(*aggs)
+    les = [str(le) for le in _HIST_LES] + ["+Inf"]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(le).alias("le"),
+                F.col(c).alias("value"),
+            )
+            for le, c in zip(les, [f"c{i}" for i in range(len(_HIST_LES))] + ["cinf"])
+        ]
+    )
+    bucket = F.col("b")
+    labels = F.create_map(
+        F.lit("__name__"), F.lit("purch_bucket"),
+        F.lit("user_id"), F.col("user_id"),
+        F.lit("le"), bucket["le"],
+    )
+    samples = (
+        counts.select("user_id", F.explode(pairs).alias("b"))
+        .select(
+            labels.alias("labels"),
+            F.lit("purch_bucket").alias("name"),
+            F.lit(T0_MS).alias("t"),
+            bucket["value"].alias("value"),
+            F.lit(False).alias("stale"),
+        )
+        .select(
+            sig_expr("labels").alias("sig"), "name", "labels", "t", "value", "stale"
+        )
+    )
+    eng = PromQLEngine(spark, samples, lookback_ms=LOOKBACK_MS)
+    return eng.instant_query(query, T0_MS).select(
+        F.element_at("labels", "user_id").alias("user_id"),
+        F.round("value", 6).alias("value"),
     )
 
 
@@ -506,6 +664,13 @@ def _pipe_multimodal(spark, sf_dir):
         F.size("feature").alias("feature_dim"),
         "decode_ok",
     )
+
+
+def _pipe_frame_sample(spark, sf_dir):
+    from prometheus_spark.pipeline.multimodal import frame_sample_plan, synthesize_media
+
+    media = synthesize_media(spark, n=32, kind="video")
+    return frame_sample_plan(media, every_ms=500)
 
 
 # ---------------------------------------------------------------------------
@@ -776,6 +941,191 @@ WHERE event_type = 'purchase'
 GROUP BY user_id
 """
 
+    # --- modifiers / matching / extra functions ----------------------------
+    _T0_SHIFT = _T0 - 86_400_000
+    o["promql_at_modifier"] = f"""
+SELECT CAST(user_id AS VARCHAR) AS user_id, arg_max(value, epoch_ms(ts)) AS value
+FROM events
+WHERE event_type = 'purchase'
+  AND epoch_ms(ts) > {_T0_SHIFT} - {_LB} AND epoch_ms(ts) <= {_T0_SHIFT}
+GROUP BY user_id
+"""
+    _T0_FWD = _T0 + 86_400_000
+    o["promql_offset_negative"] = f"""
+SELECT CAST(user_id AS VARCHAR) AS user_id, arg_max(value, epoch_ms(ts)) AS value
+FROM events
+WHERE event_type = 'purchase'
+  AND epoch_ms(ts) > {_T0_FWD} - {_LB} AND epoch_ms(ts) <= {_T0_FWD}
+GROUP BY user_id
+"""
+    o["promql_unary_neg"] = f"""
+SELECT user_id, -value AS value FROM ({_INSTANT.format(name='purchase')})
+"""
+    o["promql_bool_cmp"] = f"""
+SELECT user_id, CASE WHEN value >= 100 THEN 1.0 ELSE 0.0 END AS value
+FROM ({_INSTANT.format(name='purchase')})
+"""
+    o["promql_group_agg"] = f"""
+SELECT user_id, 1.0 AS value FROM ({_INSTANT.format(name='purchase')})
+"""
+    o["promql_atan2_binop"] = f"""
+WITH p AS ({_INSTANT.format(name='purchase')}), c AS ({_INSTANT.format(name='click')})
+SELECT p.user_id, ROUND(atan2(p.value, c.value), 8) AS value
+FROM p JOIN c ON p.user_id = c.user_id
+"""
+    o["promql_group_left"] = f"""
+WITH p AS ({_INSTANT.format(name='purchase')}), c AS ({_INSTANT.format(name='click')}),
+cs AS (
+  SELECT CAST(CAST(user_id AS BIGINT) % 2 AS VARCHAR) AS parity, SUM(value) AS sv
+  FROM c GROUP BY 1
+)
+SELECT p.user_id, CAST(CAST(p.user_id AS BIGINT) % 2 AS VARCHAR) AS parity,
+       ROUND(p.value * cs.sv, 4) AS value
+FROM p JOIN cs ON CAST(CAST(p.user_id AS BIGINT) % 2 AS VARCHAR) = cs.parity
+"""
+    o["promql_label_replace"] = f"""
+SELECT 'g' || substr(user_id, 1, 1) AS grp, user_id, value
+FROM ({_INSTANT.format(name='purchase')})
+"""
+    o["promql_scalar_vector"] = f"""
+SELECT CAST(COUNT(*) AS DOUBLE) * 2 AS value FROM ({_INSTANT.format(name='purchase')})
+"""
+    o["promql_time_fns"] = f"""
+SELECT CAST(user_id AS VARCHAR) AS user_id,
+       CAST(hour(to_timestamp(arg_max(epoch_ms(ts), epoch_ms(ts)) // 1000)) * 100
+          + minute(to_timestamp(arg_max(epoch_ms(ts), epoch_ms(ts)) // 1000)) AS DOUBLE) AS value
+FROM events
+WHERE event_type = 'purchase'
+  AND epoch_ms(ts) > {_T0} - {_LB} AND epoch_ms(ts) <= {_T0}
+GROUP BY user_id
+"""
+    o["promql_irate"] = f"""
+WITH w AS ({_windowed('purchase', _R7)}),
+r AS (SELECT user_id, t, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM w)
+SELECT a.user_id,
+       ROUND((CASE WHEN a.value < b.value THEN a.value ELSE a.value - b.value END)
+             / ((a.t - b.t) / 1000.0), 8) AS value
+FROM (SELECT * FROM r WHERE rn = 1 AND n >= 2) a
+JOIN (SELECT * FROM r WHERE rn = 2) b ON a.user_id = b.user_id
+"""
+    o["promql_predict_linear"] = f"""
+WITH w AS ({_windowed('purchase', _R7)}),
+s AS (
+  SELECT user_id,
+         SUM((t - {_T0}) / 1000.0) AS sx, SUM(value) AS sy,
+         SUM(((t - {_T0}) / 1000.0) * value) AS sxy,
+         SUM(((t - {_T0}) / 1000.0) * ((t - {_T0}) / 1000.0)) AS sxx,
+         COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax
+  FROM w GROUP BY user_id
+),
+lr AS (
+  SELECT user_id, n, vmin, vmax,
+         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+         sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx / n AS intercept
+  FROM s WHERE n >= 2
+)
+SELECT user_id,
+       ROUND(CASE WHEN vmin = vmax THEN vmin
+             ELSE slope * 3600 + intercept END, 6) AS value
+FROM lr
+"""
+    o["promql_sum_last_over_time"] = f"""
+WITH w AS ({_windowed('purchase', _R7)})
+SELECT user_id, ROUND(SUM(value) + arg_max(value, t), 6) AS value
+FROM w GROUP BY user_id
+"""
+    o["promql_mad_over_time"] = f"""
+WITH w AS ({_windowed('purchase', _R7)}),
+m AS (SELECT user_id, quantile_cont(value, 0.5) AS med FROM w GROUP BY user_id)
+SELECT w.user_id, ROUND(quantile_cont(abs(w.value - m.med), 0.5), 6) AS value
+FROM w JOIN m ON w.user_id = m.user_id GROUP BY w.user_id
+"""
+
+    # --- range queries ------------------------------------------------------
+    _GRID5 = ", ".join(f"({_T0 - k * 86_400_000})" for k in range(4, -1, -1))
+    o["promql_range_selector"] = f"""
+WITH steps(st) AS (SELECT * FROM (VALUES {_GRID5}))
+SELECT CAST(e.user_id AS VARCHAR) AS user_id, s.st AS t,
+       arg_max(e.value, epoch_ms(e.ts)) AS value
+FROM steps s JOIN events e
+  ON e.event_type = 'purchase'
+ AND epoch_ms(e.ts) > s.st - {_LB} AND epoch_ms(e.ts) <= s.st
+GROUP BY e.user_id, s.st
+"""
+    _GRID3 = ", ".join(f"({_T0 - k * 86_400_000})" for k in range(2, -1, -1))
+    o["promql_range_rate"] = f"""
+WITH steps(st) AS (SELECT * FROM (VALUES {_GRID3})),
+w AS (
+  SELECT s.st, CAST(e.user_id AS VARCHAR) AS user_id, epoch_ms(e.ts) AS t, e.value,
+         LAG(e.value) OVER (PARTITION BY s.st, e.user_id ORDER BY epoch_ms(e.ts)) AS prev
+  FROM steps s JOIN events e
+    ON e.event_type = 'purchase'
+   AND epoch_ms(e.ts) > s.st - {_R7} AND epoch_ms(e.ts) <= s.st
+),
+g AS (
+  SELECT st, user_id, COUNT(*) AS n,
+         MIN(t) AS first_t, MAX(t) AS last_t,
+         arg_min(value, t) AS first_v, arg_max(value, t) AS last_v,
+         SUM(CASE WHEN prev IS NOT NULL AND value < prev THEN prev ELSE 0 END) AS corr
+  FROM w GROUP BY st, user_id
+),
+e AS (
+  SELECT st, user_id, n, first_v,
+         (last_v - first_v + corr) AS delta,
+         (first_t - (st - {_R7})) / 1000.0 AS dur_start,
+         (st - last_t) / 1000.0 AS dur_end,
+         (last_t - first_t) / 1000.0 AS sampled,
+         ((last_t - first_t) / 1000.0) / (n - 1) AS avg_sp
+  FROM g WHERE n >= 2
+),
+x AS (
+  SELECT st, user_id, first_v, delta, sampled, dur_end, avg_sp,
+         CASE WHEN dur_start >= avg_sp * 1.1 THEN avg_sp / 2.0 ELSE dur_start END AS ext_start
+  FROM e
+),
+y AS (
+  SELECT st, user_id, delta, sampled,
+         CASE WHEN dur_end >= avg_sp * 1.1 THEN avg_sp / 2.0 ELSE dur_end END AS ext_end,
+         CASE WHEN delta > 0 AND first_v >= 0
+              THEN LEAST(ext_start, sampled * (first_v / delta))
+              ELSE ext_start END AS ext_start2
+  FROM x
+)
+SELECT user_id, st AS t,
+       ROUND(delta * ((sampled + ext_start2 + ext_end) / sampled) / ({_R7} / 1000.0), 10) AS value
+FROM y
+"""
+
+    # --- classic histograms -------------------------------------------------
+    _HCOUNTS = f"""
+SELECT CAST(user_id AS VARCHAR) AS user_id,
+       SUM(CASE WHEN value <= 25 THEN 1.0 ELSE 0.0 END) AS c1,
+       SUM(CASE WHEN value <= 100 THEN 1.0 ELSE 0.0 END) AS c2,
+       SUM(CASE WHEN value <= 250 THEN 1.0 ELSE 0.0 END) AS c3,
+       COUNT(*) * 1.0 AS cinf
+FROM events
+WHERE event_type = 'purchase'
+  AND epoch_ms(ts) > {_T0} - {_LB} AND epoch_ms(ts) <= {_T0}
+GROUP BY user_id
+"""
+    o["promql_histogram_quantile_classic"] = f"""
+WITH h AS ({_HCOUNTS}), r AS (SELECT *, 0.9 * cinf AS rank FROM h)
+SELECT user_id,
+  ROUND(CASE
+    WHEN c1 >= rank THEN 25.0 * (rank / c1)
+    WHEN c2 >= rank THEN 25.0 + 75.0 * ((rank - c1) / (c2 - c1))
+    WHEN c3 >= rank THEN 100.0 + 150.0 * ((rank - c2) / (c3 - c2))
+    ELSE 250.0 END, 6) AS value
+FROM r
+"""
+    o["promql_histogram_fraction_classic"] = f"""
+WITH h AS ({_HCOUNTS})
+SELECT user_id, ROUND((c3 - c1) / cinf, 6) AS value FROM h
+"""
+
     o["federate_roundtrip"] = f"""
 SELECT 'purchase' AS name, CAST(user_id AS VARCHAR) AS user_id,
        ROUND(arg_max(value, epoch_ms(ts)), 6) AS value,
@@ -937,6 +1287,19 @@ FROM embeddings, q
 ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC, vec_id ASC
 LIMIT 10
 """
+    # synthesize_media(kind='video') durations: 1000 + (i%7)*700 ms;
+    # frame_sample_plan(every_ms=500) emits max(duration//500, 1) frames
+    o["multimodal_frame_sample"] = """
+WITH m AS (
+  SELECT i AS media_id, 1000 + (i % 7) * 700 AS duration_ms
+  FROM range(0, 32) t(i)
+)
+SELECT media_id,
+       CAST(unnest(range(0, GREATEST(CAST(duration_ms // 500 AS INT), 1))) AS INT) AS frame_idx,
+       CAST(unnest(range(0, GREATEST(CAST(duration_ms // 500 AS INT), 1))) * 500 AS INT) AS frame_ts_ms
+FROM m
+"""
+
     # dedup_minhash_candidates, dedup_simhash, ann_lsh_topk,
     # multimodal_features: hash-function/recall-dependent — rows-only checks.
     return o

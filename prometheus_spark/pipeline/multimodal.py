@@ -90,9 +90,13 @@ def synthesize_media(spark, n: int = 100, kind: str = "image") -> DataFrame:
     rows = []
     for i in range(n):
         payload = hashlib.md5(f"media-{i}".encode()).digest() * 4
-        meta = (64, 64, None, None, "image/fake") if kind == "image" else (
-            None, None, 16000, 2_000, "audio/fake"
-        )
+        if kind == "image":
+            meta = (64, 64, None, None, "image/fake")
+        elif kind == "video":
+            # deterministic per-media duration so frame sampling is testable
+            meta = (320, 240, None, 1_000 + (i % 7) * 700, "video/fake")
+        else:
+            meta = (None, None, 16000, 2_000, "audio/fake")
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 

@@ -20,7 +20,7 @@ from prometheus_spark.testing import run_test_text
 
 TESTDATA = "/root/reference/promql/promqltest/testdata"
 FULL = os.environ.get("SPARK_GRAFT_FULL_CORPUS") == "1"
-PARALLEL = 12
+PARALLEL = 24
 
 # (file, max_evals, allowed_failures) — max_evals None = run everything.
 # allowed = 0 across the board: the full corpus (2100+ evals, all 21
