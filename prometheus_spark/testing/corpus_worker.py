@@ -1,0 +1,74 @@
+"""Subprocess corpus worker: run a set of promqltest files in an
+isolated SparkSession and print one JSON line of per-file stats.
+
+Why a subprocess: each eval spends ~0.3-0.9 s of *Python* CPU building
+the DataFrame plan (thousands of py4j round-trips), so thread pools
+inside one interpreter hit the GIL ceiling at ~1-2 evals/s no matter
+how many Spark cores are free.  Separate processes get separate GILs
+and separate JVMs; four workers cut corpus wall-clock ~4x.
+
+Usage: python -m prometheus_spark.testing.corpus_worker f1.test,f2.test
+Env:   SPARK_GRAFT_CORPUS_DIR   testdata dir (default: reference corpus)
+       SPARK_GRAFT_CORPUS_CAPS  JSON {file: max_evals}
+       SPARK_GRAFT_CORPUS_CPUS  cores per worker session (default 8)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def main(argv: list[str]) -> int:
+    files = [f for f in argv[0].split(",") if f]
+    testdata = os.environ.get(
+        "SPARK_GRAFT_CORPUS_DIR", "/root/reference/promql/promqltest/testdata"
+    )
+    caps = json.loads(os.environ.get("SPARK_GRAFT_CORPUS_CAPS", "{}"))
+    cpus = os.environ.get("SPARK_GRAFT_CORPUS_CPUS", "8")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("corpus_worker")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from prometheus_spark.testing import run_test_text
+
+    import time
+
+    out = {}
+    for fname in files:
+        path = os.path.join(testdata, fname)
+        if not os.path.exists(path):
+            out[fname] = {"total": 0, "failed": 0, "skipped": 0, "missing": True}
+            continue
+        with open(path) as f:
+            text = f.read()
+        t0 = time.monotonic()
+        stats = run_test_text(
+            spark, text, max_evals=caps.get(fname), parallel_evals=12
+        )
+        out[fname] = {
+            "total": stats.total,
+            "failed": stats.failed,
+            "skipped": stats.skipped,
+            "failures": stats.failures[:10],
+            "sec": round(time.monotonic() - t0, 1),
+        }
+    print("CORPUS_WORKER_RESULT " + json.dumps(out), flush=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -516,44 +516,24 @@ def run_test_text(
         stats.skipped += 1
         return stats
 
+    # Phase 1: split the script into independent eval runs — each run is a
+    # snapshot of the loaded data plus the consecutive evals that see it.
+    # Runs share nothing, so ALL evals across the whole file can fan out
+    # into one global pool (block-local pooling caps parallelism at the
+    # ~5-8 evals between loads that corpus files typically have).
     rows: list = []
     stale_rows: list = []
     dropped_names: set[str] = set()
-    engine = None
-    dirty = True
-    batch: list[EvalCmd] = []
-    pool = ThreadPoolExecutor(parallel_evals) if parallel_evals > 1 else None
-
-    def flush():
-        nonlocal batch
-        if not batch:
-            return
-        if pool is not None:
-            results = list(pool.map(lambda c: _eval_one(engine, c), batch))
-        else:
-            results = [_eval_one(engine, c) for c in batch]
-        for outcome, msg in results:
-            if outcome == "pass":
-                stats.total += 1
-                stats.passed += 1
-            elif outcome == "skip":
-                stats.skipped += 1
-            else:
-                stats.total += 1
-                stats.failed += 1
-                stats.failures.append(msg)
-        batch = []
-
-    capped = False
+    runs: list[tuple[list, list, list]] = []
+    open_run = False
+    n_evals = 0
     for cmd in cmds:
         if isinstance(cmd, ClearCmd):
-            flush()
             rows, stale_rows = [], []
             dropped_names = set()
-            dirty = True
+            open_run = False
             continue
         if isinstance(cmd, LoadCmd):
-            flush()
             dropped_names.update(cmd.dropped_names)
             for s in cmd.series:
                 for idx, v in s.points:
@@ -568,11 +548,10 @@ def run_test_text(
                         rows.append((s.labels, t, v, st))
             if cmd.with_nhcb:
                 rows.extend(_synthesize_nhcb(cmd))
-            dirty = True
+            open_run = False
             continue
         # EvalCmd
-        if max_evals is not None and stats.total + len(batch) >= max_evals:
-            capped = True
+        if max_evals is not None and n_evals >= max_evals:
             break
         if query_filter is not None and not query_filter(cmd.query):
             continue
@@ -582,15 +561,35 @@ def run_test_text(
         if dropped_names and any(n in cmd.query for n in dropped_names):
             stats.skipped += 1
             continue
-        if dirty:
-            samples = samples_from_rows(spark, rows, stale_rows).cache()
-            engine = PromQLEngine(spark, samples, kahan=True)
-            dirty = False
-        batch.append(cmd)
-    flush()
-    if pool is not None:
-        pool.shutdown()
-    del capped  # cap reached mid-file is fine; stats reflect evals run
+        if not open_run:
+            runs.append((list(rows), list(stale_rows), []))
+            open_run = True
+        runs[-1][2].append(cmd)
+        n_evals += 1
+
+    # Phase 2: one engine per run (driver-side createDataFrame, cheap),
+    # then every (engine, eval) pair goes through the shared pool.
+    tasks: list[tuple] = []
+    for run_rows, run_stale, evals in runs:
+        samples = samples_from_rows(spark, run_rows, run_stale).cache()
+        engine = PromQLEngine(spark, samples, kahan=True)
+        tasks.extend((engine, c) for c in evals)
+
+    if parallel_evals > 1 and len(tasks) > 1:
+        with ThreadPoolExecutor(parallel_evals) as pool:
+            results = list(pool.map(lambda t: _eval_one(t[0], t[1]), tasks))
+    else:
+        results = [_eval_one(e, c) for e, c in tasks]
+    for outcome, msg in results:
+        if outcome == "pass":
+            stats.total += 1
+            stats.passed += 1
+        elif outcome == "skip":
+            stats.skipped += 1
+        else:
+            stats.total += 1
+            stats.failed += 1
+            stats.failures.append(msg)
     return stats
 
 

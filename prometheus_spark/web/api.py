@@ -161,6 +161,11 @@ class PromAPI:
         self.scrape_manager = scrape_manager
         self.exemplars = None  # optional exemplar frame (storage.exemplars)
         self.last_alerts: list = []  # refreshed by record_alerts()
+        from prometheus_spark.storage.tombstones import TombstoneStore
+
+        self.tombstones = TombstoneStore()
+        self.config_yaml = ""  # served by /status/config (reference: api.go serveConfig)
+        self.flags: dict = {}  # /status/flags
 
     def record_alerts(self, alert_rows: list) -> None:
         """Feed the latest RulesEngine.eval_tick alert snapshot so
@@ -457,6 +462,39 @@ class PromAPI:
             },
         }
 
+    def delete_series(self, params: dict) -> tuple[int, dict]:
+        """Admin deleteSeries (api.go admin endpoints): record a tombstone
+        per match[] selector and mask the engine's samples immediately —
+        deletions are query-time filters until clean_tombstones compacts."""
+        from prometheus_spark.storage.tombstones import parse_delete_matchers
+
+        sels = params.get("match[]", [])
+        if not sels:
+            return 400, {"status": "error", "errorType": "bad_data",
+                         "error": "no match[] parameter provided"}
+        mint = _parse_time_ms(params["start"][0]) if "start" in params else None
+        maxt = _parse_time_ms(params["end"][0]) if "end" in params else None
+        try:
+            for sel in sels:
+                stone = self.tombstones.add(
+                    parse_delete_matchers(sel), mint, maxt
+                )
+                self.engine.samples = self.engine.samples.filter(
+                    ~stone.predicate()
+                )
+        except Exception as e:  # noqa: BLE001 — API boundary
+            return 400, {"status": "error", "errorType": "bad_data",
+                         "error": str(e)}
+        return 204, {"status": "success"}
+
+    def clean_tombstones(self) -> tuple[int, dict]:
+        """Compaction counterpart: the masked frame is already the engine's
+        view; dropping the stones makes the deletion permanent for this
+        session (a Parquet-backed deployment passes a path to
+        TombstoneStore.clean to rewrite storage)."""
+        self.tombstones.stones = []
+        return 204, {"status": "success"}
+
     # -- dispatch ------------------------------------------------------
     def handle(self, path: str, params: dict) -> tuple[int, dict]:
         if path == "/api/v1/query":
@@ -504,6 +542,44 @@ class PromAPI:
             return self.tsdb_stats()
         if path == "/api/v1/status/buildinfo":
             return self.buildinfo()
+        if path == "/api/v1/status/config":
+            return 200, {"status": "success", "data": {"yaml": self.config_yaml}}
+        if path == "/api/v1/status/flags":
+            return 200, {"status": "success", "data": dict(self.flags)}
+        if path == "/api/v1/status/runtimeinfo":
+            import time as _time
+
+            return 200, {
+                "status": "success",
+                "data": {
+                    "startTime": "",
+                    "CWD": "",
+                    "reloadConfigSuccess": True,
+                    "lastConfigTime": "",
+                    "corruptionCount": 0,
+                    "goroutineCount": 0,
+                    "GOMAXPROCS": 0,
+                    "storageRetention": "",
+                    "serverTime": _time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", _time.gmtime()
+                    ),
+                },
+            }
+        if path == "/api/v1/parse_query":
+            from prometheus_spark.parser.astjson import parse_query_to_dict
+
+            try:
+                return 200, {
+                    "status": "success",
+                    "data": parse_query_to_dict(params["query"][0]),
+                }
+            except Exception as e:  # noqa: BLE001 — API boundary
+                return 400, {"status": "error", "errorType": "bad_data",
+                             "error": str(e)}
+        if path == "/api/v1/admin/tsdb/delete_series":
+            return self.delete_series(params)
+        if path == "/api/v1/admin/tsdb/clean_tombstones":
+            return self.clean_tombstones()
         return 404, {"status": "error", "errorType": "bad_data",
                      "error": f"unknown endpoint {path}"}
 

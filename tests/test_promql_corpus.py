@@ -6,61 +6,81 @@ is designed to run against any PromQL implementation.
 
 Two tiers keep CI wall-clock bounded while preserving full coverage:
 
-- default (this file, < 10 min total suite): every corpus file runs with
-  thread-parallel evals and a per-file eval cap sized to ~30 s
+- default (this file): all 21 files partitioned across 4 subprocess
+  workers (own JVM + own GIL each — plan construction is Python-CPU
+  bound, so threads alone cap out; see testing/corpus_worker.py), with
+  per-file eval caps on the largest files
 - full sweep: ``python tools/corpus_sweep.py`` runs every file uncapped
   (used per-round; also triggered by SPARK_GRAFT_FULL_CORPUS=1)
 """
 
+import json
 import os
+import subprocess
+import sys
 
 import pytest
 
-from prometheus_spark.testing import run_test_text
-
 TESTDATA = "/root/reference/promql/promqltest/testdata"
 FULL = os.environ.get("SPARK_GRAFT_FULL_CORPUS") == "1"
-PARALLEL = 24
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# (file, max_evals, allowed_failures) — max_evals None = run everything.
-# allowed = 0 across the board: the full corpus (2100+ evals, all 21
-# files) passes with zero divergences; caps only bound CI wall-clock on
-# the three biggest files (full runs via tools/corpus_sweep.py per round).
-CORPUS = [
-    ("aggregators.test", None, 0),
-    ("at_modifier.test", None, 0),
-    ("collision.test", None, 0),
-    ("duration_expression.test", None, 0),
-    ("extended_vectors.test", 80, 0),
-    ("fill-modifier.test", None, 0),
-    ("functions.test", 150, 0),
-    ("histograms.test", 150, 0),
-    ("info.test", None, 0),
-    ("limit.test", None, 0),
-    ("literals.test", None, 0),
-    ("name_label_dropping.test", None, 0),
-    ("native_histograms.test", 150, 0),
-    ("operators.test", None, 0),
-    ("range_queries.test", None, 0),
-    ("selectors.test", None, 0),
-    ("staleness.test", None, 0),
-    ("start_timestamps.test", None, 0),
-    ("subquery.test", None, 0),
-    ("trig_functions.test", None, 0),
-    ("type_and_unit.test", None, 0),
+# Per-file CI eval caps (None = run everything).  allowed failures = 0
+# for every file: the full corpus (2100+ evals) passes with zero
+# divergences; caps only bound CI wall-clock on the biggest files
+# (tools/corpus_sweep.py runs uncapped per round).
+CAPS = {
+    "histograms.test": 150,
+    "native_histograms.test": 150,
+    "functions.test": 150,
+    "extended_vectors.test": 80,
+}
+
+# Buckets balanced by measured per-file runtime so the 4 workers finish
+# together (histograms.test alone ≈ one worker's budget).
+BUCKETS = [
+    ["histograms.test", "staleness.test", "trig_functions.test", "collision.test"],
+    ["native_histograms.test", "at_modifier.test", "subquery.test",
+     "range_queries.test", "literals.test"],
+    ["operators.test", "functions.test", "fill-modifier.test", "info.test",
+     "selectors.test"],
+    ["aggregators.test", "extended_vectors.test", "type_and_unit.test",
+     "name_label_dropping.test", "limit.test", "duration_expression.test",
+     "start_timestamps.test"],
 ]
 
 
-@pytest.mark.parametrize("fname,cap,allowed", CORPUS, ids=[c[0] for c in CORPUS])
-def test_corpus_file(spark, fname, cap, allowed):
-    path = os.path.join(TESTDATA, fname)
-    if not os.path.exists(path):
+def test_corpus_parallel():
+    if not os.path.isdir(TESTDATA):
         pytest.skip("reference corpus not available")
-    with open(path) as f:
-        text = f.read()
-    stats = run_test_text(
-        spark, text, max_evals=None if FULL else cap, parallel_evals=PARALLEL
-    )
-    assert stats.total > 0
-    msg = "\n".join(stats.failures[:15])
-    assert stats.failed <= allowed, f"{stats.failed}/{stats.total} failed:\n{msg}"
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CORPUS_CAPS"] = "{}" if FULL else json.dumps(CAPS)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "prometheus_spark.testing.corpus_worker",
+             ",".join(bucket)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True, env=env, cwd=REPO,
+        )
+        for bucket in BUCKETS
+    ]
+    results: dict[str, dict] = {}
+    fails = []
+    for p, bucket in zip(procs, BUCKETS):
+        out, _ = p.communicate(timeout=900)
+        line = next(
+            (ln for ln in out.splitlines() if ln.startswith("CORPUS_WORKER_RESULT ")),
+            None,
+        )
+        assert line is not None, f"worker for {bucket} produced no result (rc={p.returncode})"
+        results.update(json.loads(line[len("CORPUS_WORKER_RESULT "):]))
+    for fname, st in sorted(results.items()):
+        assert not st.get("missing"), f"{fname} missing from reference corpus"
+        assert st["total"] > 0, f"{fname}: no evals ran"
+        if st["failed"]:
+            fails.append(
+                f"{fname}: {st['failed']}/{st['total']} failed\n  "
+                + "\n  ".join(st.get("failures", []))
+            )
+    assert not fails, "\n".join(fails)

@@ -234,3 +234,65 @@ def test_tsdb_stats(api):
     assert data["seriesCountByMetricName"] == [{"name": "m", "value": 2}]
     by_label = {e["name"]: e["value"] for e in data["labelValueCountByLabelName"]}
     assert by_label["job"] == 2 and by_label["__name__"] == 1
+
+
+def test_delete_series_and_clean(api):
+    # both jobs visible before deletion
+    code, resp = api.handle("/api/v1/query", {"query": ["m"], "time": ["600"]})
+    assert len(resp["data"]["result"]) == 2
+
+    code, resp = api.handle(
+        "/api/v1/admin/tsdb/delete_series", {"match[]": ['m{job="a"}']}
+    )
+    assert code == 204
+    code, resp = api.handle("/api/v1/query", {"query": ["m"], "time": ["600"]})
+    result = resp["data"]["result"]
+    assert len(result) == 1 and result[0]["metric"]["job"] == "b"
+    assert len(api.tombstones.stones) == 1
+
+    code, _ = api.handle("/api/v1/admin/tsdb/clean_tombstones", {})
+    assert code == 204 and api.tombstones.stones == []
+    # deletion stays applied after compaction
+    code, resp = api.handle("/api/v1/query", {"query": ["m"], "time": ["600"]})
+    assert len(resp["data"]["result"]) == 1
+
+    # time-bounded tombstone: drop job=b samples before t=300s only
+    code, _ = api.handle(
+        "/api/v1/admin/tsdb/delete_series",
+        {"match[]": ['m{job="b"}'], "start": ["0"], "end": ["240"]},
+    )
+    assert code == 204
+    code, resp = api.handle("/api/v1/query", {"query": ["count_over_time(m[10m])"], "time": ["600"]})
+    # 11 points minus the 5 at t=0..240s
+    assert resp["data"]["result"][0]["value"][1] == "6"
+
+    code, resp = api.handle(
+        "/api/v1/admin/tsdb/delete_series", {"match[]": []}
+    )
+    assert code == 400
+
+
+def test_parse_query_and_status(api):
+    code, resp = api.handle(
+        "/api/v1/parse_query", {"query": ["sum by (job) (rate(m[5m]))"]}
+    )
+    assert code == 200
+    ast = resp["data"]
+    assert ast["type"] == "AggregateExpr"
+    inner = ast["expr"]
+    assert inner["type"] == "Call" and inner["func"] == "rate"
+    json.dumps(ast)  # must be JSON-serializable end-to-end
+
+    code, resp = api.handle("/api/v1/parse_query", {"query": ["sum("]})
+    assert code == 400
+
+    api.flags = {"storage.tsdb.retention.time": "15d"}
+    code, resp = api.handle("/api/v1/status/flags", {})
+    assert code == 200 and resp["data"]["storage.tsdb.retention.time"] == "15d"
+
+    api.config_yaml = "global:\n  scrape_interval: 15s\n"
+    code, resp = api.handle("/api/v1/status/config", {})
+    assert code == 200 and "scrape_interval" in resp["data"]["yaml"]
+
+    code, resp = api.handle("/api/v1/status/runtimeinfo", {})
+    assert code == 200 and resp["data"]["reloadConfigSuccess"] is True

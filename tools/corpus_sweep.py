@@ -1,69 +1,113 @@
-"""Run promqltest corpus files fully and report per-file failure stats.
+"""Run promqltest corpus files fully (uncapped) and report per-file stats.
 
 Usage: python tools/corpus_sweep.py [file1.test file2.test ...]
-With no args, sweeps every .test file in the reference corpus.
+With no args, sweeps every .test file in the reference corpus across 4
+subprocess workers (separate JVM + GIL each — plan construction is
+Python-CPU bound; see prometheus_spark/testing/corpus_worker.py).
 Writes a report to /tmp/corpus_sweep.txt and prints a summary table.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 TESTDATA = "/root/reference/promql/promqltest/testdata"
 
+# Rough uncapped cost weights (seconds on local[8], measured) used to
+# balance the worker buckets; unknown files get a small default.
+WEIGHTS = {
+    "native_histograms.test": 490,
+    "histograms.test": 320,
+    "operators.test": 140,
+    "functions.test": 120,
+    "aggregators.test": 117,
+    "extended_vectors.test": 75,
+    "limit.test": 50,
+    "fill-modifier.test": 38,
+    "at_modifier.test": 24,
+    "subquery.test": 25,
+    "info.test": 32,
+    "type_and_unit.test": 19,
+    "duration_expression.test": 18,
+    "name_label_dropping.test": 15,
+    "range_queries.test": 12,
+    "selectors.test": 12,
+    "start_timestamps.test": 10,
+}
+
+
+def balance(files: list[str], n: int) -> list[list[str]]:
+    """Greedy longest-processing-time bucket assignment."""
+    buckets: list[list[str]] = [[] for _ in range(n)]
+    loads = [0.0] * n
+    for f in sorted(files, key=lambda f: -WEIGHTS.get(f, 10)):
+        i = loads.index(min(loads))
+        buckets[i].append(f)
+        loads[i] += WEIGHTS.get(f, 10)
+    return [b for b in buckets if b]
+
 
 def main() -> None:
-    from pyspark.sql import SparkSession
-
-    from prometheus_spark.testing import run_test_text
-
     files = sys.argv[1:] or sorted(
         f for f in os.listdir(TESTDATA) if f.endswith(".test")
     )
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CORPUS_CAPS"] = "{}"  # uncapped
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
 
-    spark = (
-        SparkSession.builder.master("local[16]")
-        .appName("corpus_sweep")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "16g")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    buckets = balance(files, 4)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "prometheus_spark.testing.corpus_worker",
+             ",".join(b)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True, env=env, cwd=REPO,
+        )
+        for b in buckets
+    ]
+    results: dict[str, dict] = {}
+    for p, b in zip(procs, buckets):
+        out, _ = p.communicate()
+        line = next(
+            (ln for ln in out.splitlines()
+             if ln.startswith("CORPUS_WORKER_RESULT ")), None
+        )
+        if line is None:
+            for f in b:
+                results[f] = {"total": 0, "failed": -1, "skipped": 0,
+                              "failures": [f"WORKER CRASH rc={p.returncode}"]}
+            continue
+        results.update(json.loads(line[len("CORPUS_WORKER_RESULT "):]))
 
     report = []
     tot_failed = tot_evals = tot_skipped = 0
     for fname in files:
-        path = os.path.join(TESTDATA, fname)
-        with open(path) as f:
-            text = f.read()
-        t0 = time.time()
-        try:
-            stats = run_test_text(spark, text, max_evals=None, parallel_evals=12)
-            failed, total, skipped, fails = (
-                stats.failed, stats.total, stats.skipped, stats.failures
-            )
-        except Exception as e:  # noqa: BLE001 — harness crash counts as all-fail
-            failed, total, skipped, fails = -1, 0, 0, [f"HARNESS CRASH: {e!r}"]
-        dt = time.time() - t0
+        st = results.get(fname, {})
+        failed, total, skipped = st.get("failed", -1), st.get("total", 0), st.get("skipped", 0)
         tot_failed += max(failed, 0)
         tot_evals += total
         tot_skipped += skipped
         report.append(
-            f"===== {fname}: {failed}/{total} failed, {skipped} skipped ({dt:.1f}s)"
+            f"===== {fname}: {failed}/{total} failed, {skipped} skipped ({st.get('sec', '?')}s)"
         )
-        report.extend(fails)
+        report.extend(st.get("failures", []))
         print(
-            f"{fname:32s} {failed:4d}/{total:4d} failed  {skipped:3d} skipped  {dt:6.1f}s",
+            f"{fname:32s} {failed:4d}/{total:4d} failed  {skipped:3d} skipped  {st.get('sec', 0):6}s",
             flush=True,
         )
 
-    summary = f"TOTAL: {tot_failed}/{tot_evals} failed, {tot_skipped} skipped"
+    summary = (
+        f"TOTAL: {tot_failed}/{tot_evals} failed, {tot_skipped} skipped "
+        f"({time.time() - t0:.0f}s wall)"
+    )
     with open("/tmp/corpus_sweep.txt", "w") as f:
         f.write(summary + "\n" + "\n".join(report) + "\n")
     print(summary)
