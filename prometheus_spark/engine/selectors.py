@@ -185,8 +185,8 @@ def _smoothed_instant(
     preceding sample, its value carries forward; with only a following
     sample, nothing is emitted.  Metric name is kept.
 
-    Histogram interpolation is not implemented yet — histogram samples
-    are dropped here (TODO: interpolateHistograms in a pandas UDF)."""
+    Series carrying histogram samples take the Python interpolation path
+    (hist_arith.smoothed_instant_hist)."""
     lb = ctx.lookback_ms
     base = base.filter(~F.col("stale"))
     hist_part = None

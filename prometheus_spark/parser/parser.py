@@ -500,6 +500,14 @@ class Parser:
                         break
                 self.expect("OP", "}")
         if name is not None:
+            # explicit outer metric name + a quoted name matcher inside the
+            # braces is an error (parse.go:902 "metric name must not be set
+            # twice"); other __name__ matchers (e.g. regex) are allowed
+            for m in matchers:
+                if m.name == "__name__":
+                    raise ParseError(
+                        f"metric name must not be set twice: {name!r} or {m.value!r}"
+                    )
             matchers.append(Matcher("__name__", MatchType.EQ, name))
         if not any(
             (m.name == "__name__" and m.type == MatchType.EQ)
@@ -513,6 +521,13 @@ class Parser:
         t = self.next()
         if t.kind == "STRING":
             lname = unquote(t.text)
+            # a bare quoted string inside braces is the UTF-8 metric-name
+            # shorthand: {"http.requests"} ≡ {__name__="http.requests"}
+            # (generated_parser.y:814 string_identifier →
+            # newMetricNameMatcher, parse.go:990)
+            nxt = self.peek()
+            if not (nxt.kind == "OP" and nxt.text in ("=", "!=", "=~", "!~")):
+                return Matcher("__name__", MatchType.EQ, lname)
         elif t.kind in ("IDENT", "DURATION"):
             lname = t.text
         else:

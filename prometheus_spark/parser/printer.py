@@ -88,8 +88,21 @@ def _quote(s: str) -> str:
     return json.dumps(s)
 
 
+def _legacy_name(name: str) -> bool:
+    """True when the label name needs no quoting (matcher.go:97
+    shouldQuoteName inverted): legacy [a-zA-Z_][a-zA-Z0-9_]* names."""
+    if not name:
+        return False
+    for i, c in enumerate(name):
+        if c == "_" or c.isascii() and (c.isalpha() or (i > 0 and c.isdigit())):
+            continue
+        return False
+    return True
+
+
 def _fmt_matcher(m) -> str:
-    return f"{m.name}{m.type.value}{_quote(m.value)}"
+    lhs = m.name if _legacy_name(m.name) else _quote(m.name)
+    return f"{lhs}{m.type.value}{_quote(m.value)}"
 
 
 def _dur(v, what: str = "duration") -> str:

@@ -93,3 +93,27 @@ def test_literals():
 def test_parse_errors(bad):
     with pytest.raises(ParseError):
         parse_expr(bad)
+
+
+def test_utf8_quoted_label_names():
+    # bare quoted string in braces = metric-name shorthand
+    # (generated_parser.y:814, parse.go:990)
+    v = parse_expr('{"metric.name"}')
+    assert v.name is None
+    assert v.matchers == [
+        type(v.matchers[0])("__name__", MatchType.EQ, "metric.name")
+    ]
+    v = parse_expr('{"http.requests", "service name"="api", job="x"}')
+    assert [(m.name, m.type, m.value) for m in v.matchers] == [
+        ("__name__", MatchType.EQ, "http.requests"),
+        ("service name", MatchType.EQ, "api"),
+        ("job", MatchType.EQ, "x"),
+    ]
+    # quoted-name matrix selector
+    ms = parse_expr('{"foo"}[5m]')
+    assert isinstance(ms, MatrixSelector)
+    # metric name set twice (parse.go:902)
+    with pytest.raises(ParseError):
+        parse_expr('foo{"bar"}')
+    with pytest.raises(ParseError):
+        parse_expr('foo{__name__=~"bar"}')

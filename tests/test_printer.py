@@ -105,3 +105,12 @@ def test_format_query_endpoint(spark):
     assert code == 200 and resp["data"] == "sum(foo)"
     code, resp = api.handle("/api/v1/format_query", {"query": ["foo{"]})
     assert code == 400
+
+
+def test_utf8_label_name_quoting():
+    # non-legacy label names render quoted (matcher.go:86 shouldQuoteName)
+    assert to_promql(parse_expr('{"my.label"="x", job="a"}')) == (
+        '{"my.label"="x",job="a"}'
+    )
+    # quoted metric-name shorthand round-trips through the __name__ matcher
+    assert to_promql(parse_expr('{"metric.name"}')) == '{__name__="metric.name"}'
