@@ -83,6 +83,9 @@ def parse_rule_groups(text: str) -> list[RuleGroup]:
                     f"group {name!r}: bad expr {expr!r}: {e}"
                 ) from None
             labels = _validate_labels(r.get("labels"), f"group {name!r}")
+            annotations = _validate_labels(
+                r.get("annotations"), f"group {name!r}"
+            )
             if record:
                 for forbidden in ("for", "keep_firing_for", "annotations"):
                     if r.get(forbidden):
@@ -105,6 +108,7 @@ def parse_rule_groups(text: str) -> list[RuleGroup]:
                             r.get("keep_firing_for"), "keep_firing_for"
                         ),
                         labels=labels,
+                        annotations=annotations,
                     )
                 )
         groups.append(RuleGroup(name=name, interval_ms=interval_ms, rules=rules))

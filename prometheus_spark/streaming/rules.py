@@ -43,6 +43,7 @@ class AlertingRule:
     for_ms: int = 0
     keep_firing_for_ms: int = 0
     labels: dict[str, str] = field(default_factory=dict)
+    annotations: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass
@@ -96,8 +97,12 @@ class RulesEngine:
 
         self.spark = spark
         self.engine = PromQLEngine(spark, samples, lookback_ms=lookback_ms)
-        # alert state: sig -> (labels, active_since_ms, state) — bounded
+        # alert state per rule: alertname -> {sig -> state dict} — bounded
+        # by active-alert cardinality
         self._alert_state: dict[str, dict] = {}
+        # previous tick's ALERTS/ALERTS_FOR_STATE label sets per rule,
+        # for stale-marker emission on vanish
+        self._prev_alert_series: dict[str, dict] = {}
         # previous eval's (sig, labels) frame per recording rule, cached —
         # one row per output series, never collected
         self._prev_series: dict[str, DataFrame] = {}
@@ -110,7 +115,8 @@ class RulesEngine:
         - samples_df: canonical samples frame (sig, name, labels, t,
           value, stale) with recording-rule outputs, ALERTS series, and
           staleness markers — or None when nothing was produced
-        - alert_rows: (alertname, labels, state, active_since_ms)
+        - alert_rows: (alertname, labels, annotations, state,
+          active_since_ms, value)
         """
         ts = group.eval_timestamp(ts_ms)
         frames: list[DataFrame] = []
@@ -172,59 +178,102 @@ class RulesEngine:
         return out
 
     def _eval_alerting(self, group: RuleGroup, rule: AlertingRule, ts: int):
+        """Mirror of AlertingRule.Eval (rules/alerting.go:387-550):
+        pending→firing via the ``for`` hold, keep_firing_for flap
+        suppression keyed from the first missing eval, templated
+        labels/annotations, and the ALERTS / ALERTS_FOR_STATE output
+        series with stale markers for series that stopped being emitted.
+        """
         from prometheus_spark.model.labels import sig_for
+        from prometheus_spark.streaming.templating import expand_template
 
         # alert-rule results are bounded by firing cardinality — the one
         # place a driver collect is the right call (mirrors the reference
         # keeping active alerts in memory, rules/alerting.go:387)
         result = self.engine.instant_query(rule.expr, ts).collect()
-        firing_now: dict[str, dict] = {}
+        resolved_now: dict[str, dict] = {}
+        values: dict[str, float] = {}
+        annots: dict[str, dict] = {}
         for r in result:
-            labels = dict(r["labels"])
+            series_labels = dict(r["labels"])
+            v = r["value"] if r["value"] is not None else float("nan")
+            labels = dict(series_labels)
             labels.pop(METRIC_NAME_LABEL, None)
+            # rule labels are templates expanded per series
+            # (alerting.go:437-440)
+            for k, tmpl in rule.labels.items():
+                labels[k] = expand_template(tmpl, series_labels, v)
             labels["alertname"] = rule.alert
-            labels.update(rule.labels)
-            firing_now[sig_for(labels)] = labels
+            sig = sig_for(labels)
+            resolved_now[sig] = labels
+            values[sig] = v
+            annots[sig] = {
+                k: expand_template(tmpl, series_labels, v)
+                for k, tmpl in rule.annotations.items()
+            }
+
+        rule_state = self._alert_state.setdefault(rule.alert, {})
+        # create / refresh (alerting.go:469-479)
+        for sig, labels in resolved_now.items():
+            st = rule_state.get(sig)
+            if st is None or st["state"] == "inactive":
+                rule_state[sig] = {
+                    "labels": labels,
+                    "active_since": ts,
+                    "state": "pending",
+                    "keep_firing_since": None,
+                    "value": values[sig],
+                    "annotations": annots[sig],
+                }
+            else:
+                st["value"] = values[sig]
+                st["annotations"] = annots[sig]
+                st["keep_firing_since"] = None
 
         samples: list = []
         alerts: list = []
-        # advance / create states
-        for sig, labels in firing_now.items():
-            st = self._alert_state.get(sig)
-            if st is None:
-                st = {"labels": labels, "active_since": ts, "state": "pending"}
-                self._alert_state[sig] = st
-            if st["state"] in ("pending", "firing"):
-                held = ts - st["active_since"]
-                if st["state"] == "pending" and held >= rule.for_ms:
-                    st["state"] = "firing"
-            st["last_seen"] = ts
-
-        # expire / resolve
-        for sig in list(self._alert_state):
-            st = self._alert_state[sig]
-            if st["labels"].get("alertname") != rule.alert:
-                continue
-            if sig not in firing_now:
-                if (
-                    st["state"] == "firing"
-                    and rule.keep_firing_for_ms > 0
-                    and ts - st.get("last_seen", ts) <= rule.keep_firing_for_ms
-                ):
-                    pass  # keep firing through flaps
-                else:
-                    # emit staleness for the ALERTS series and drop state
-                    alabels = dict(st["labels"])
-                    alabels[METRIC_NAME_LABEL] = "ALERTS"
-                    alabels["alertstate"] = st["state"]
-                    samples.append((alabels, ts, None, True))
-                    del self._alert_state[sig]
+        for sig in list(rule_state):
+            st = rule_state[sig]
+            if sig not in resolved_now:
+                keep_firing = False
+                if st["state"] == "firing" and rule.keep_firing_for_ms > 0:
+                    if st["keep_firing_since"] is None:
+                        st["keep_firing_since"] = ts
+                    if ts - st["keep_firing_since"] < rule.keep_firing_for_ms:
+                        keep_firing = True
+                if not keep_firing:
+                    # pending alerts drop immediately; firing alerts
+                    # resolve (alerting.go:506-516); either way the
+                    # output series stop — stale markers below
+                    del rule_state[sig]
                     continue
+            if st["state"] == "pending" and ts - st["active_since"] >= rule.for_ms:
+                st["state"] = "firing"
             alabels = dict(st["labels"])
             alabels[METRIC_NAME_LABEL] = "ALERTS"
             alabels["alertstate"] = st["state"]
             samples.append((alabels, ts, 1.0, False))
-            alerts.append((rule.alert, st["labels"], st["state"], st["active_since"]))
+            # ALERTS_FOR_STATE carries the activation time in seconds
+            # (alerting.go:540 forStateSample)
+            flabels = dict(st["labels"])
+            flabels[METRIC_NAME_LABEL] = "ALERTS_FOR_STATE"
+            samples.append((flabels, ts, st["active_since"] / 1000.0, False))
+            alerts.append(
+                (rule.alert, st["labels"], st["annotations"], st["state"],
+                 st["active_since"], st["value"])
+            )
+
+        # stale markers for output series emitted last tick but not now
+        # (state transitions change the alertstate label → the old series
+        # vanishes; rules/group.go seriesInPreviousEval diff)
+        emitted = {sig_for(lbls) for lbls, _, _, _ in samples}
+        prev = self._prev_alert_series.get(rule.alert, {})
+        for psig, plabels in prev.items():
+            if psig not in emitted:
+                samples.append((plabels, ts, None, True))
+        self._prev_alert_series[rule.alert] = {
+            sig_for(lbls): lbls for lbls, _, _, stale in samples if not stale
+        }
         return samples, alerts
 
     # -- streaming wiring -----------------------------------------------------

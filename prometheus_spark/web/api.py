@@ -211,11 +211,13 @@ class PromAPI:
         alerts = [
             {
                 "labels": dict(labels),
+                "annotations": dict(annotations),
                 "state": state,
                 "activeAt": _ts_number(active_since),
-                "value": "1",
+                "value": marshal_float(value),
             }
-            for (_name, labels, state, active_since) in self.last_alerts
+            for (_name, labels, annotations, state, active_since, value)
+            in self.last_alerts
         ]
         return 200, {"status": "success", "data": {"alerts": alerts}}
 

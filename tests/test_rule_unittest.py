@@ -1,0 +1,246 @@
+"""Rule unit-test runner (promtool test rules, cmd/promtool/unittest.go)."""
+
+import textwrap
+
+import pytest
+
+from prometheus_spark.testing.rule_unittest import (
+    run_rule_test_file,
+    run_rule_test_text,
+)
+
+ALERT_RULES = """
+groups:
+- name: example
+  rules:
+  - alert: InstanceDown
+    expr: up == 0
+    for: 5m
+    labels:
+      severity: page
+    annotations:
+      summary: "Instance {{ $labels.instance }} down"
+      description: "{{ $labels.instance }} of job {{ $labels.job }} has been down for more than 5 minutes."
+"""
+
+RECORDING_RULES = """
+groups:
+- name: recording
+  interval: 1m
+  rules:
+  - record: job:m:sum
+    expr: sum by (job) (m)
+  - record: job:m:sum2x
+    expr: job:m:sum * 2
+"""
+
+
+def _write(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(textwrap.dedent(text))
+    return p
+
+
+def test_alert_rule_test_firing_with_annotations(spark, tmp_path):
+    """The promtool docs example: up==0 for 5m → firing at 10m with
+    templated annotations; still pending (no firing alerts) at 4m."""
+    _write(tmp_path, "alerts.yml", ALERT_RULES)
+    test_yml = _write(
+        tmp_path,
+        "test.yml",
+        """
+        rule_files:
+          - alerts.yml
+        evaluation_interval: 1m
+        tests:
+          - interval: 1m
+            input_series:
+              - series: 'up{job="prometheus", instance="localhost:9090"}'
+                values: '0 0 0 0 0 0 0 0 0 0 0'
+            alert_rule_test:
+              - eval_time: 4m
+                alertname: InstanceDown
+                exp_alerts: []
+              - eval_time: 10m
+                alertname: InstanceDown
+                exp_alerts:
+                  - exp_labels:
+                      severity: page
+                      instance: localhost:9090
+                      job: prometheus
+                    exp_annotations:
+                      summary: "Instance localhost:9090 down"
+                      description: "localhost:9090 of job prometheus has been down for more than 5 minutes."
+        """,
+    )
+    assert run_rule_test_file(spark, str(test_yml)) == []
+
+
+def test_alert_rule_test_failure_reported(spark, tmp_path):
+    _write(tmp_path, "alerts.yml", ALERT_RULES)
+    test_yml = _write(
+        tmp_path,
+        "test.yml",
+        """
+        rule_files:
+          - alerts.yml
+        tests:
+          - input_series:
+              - series: 'up{job="prometheus", instance="x"}'
+                values: '1 1 1 1 1 1'
+            alert_rule_test:
+              - eval_time: 5m
+                alertname: InstanceDown
+                exp_alerts:
+                  - exp_labels: {job: prometheus, instance: x, severity: page}
+        """,
+    )
+    errs = run_rule_test_file(spark, str(test_yml))
+    assert len(errs) == 1 and "InstanceDown" in errs[0]
+
+
+def test_chained_recording_rules_and_expr_test(spark, tmp_path):
+    """Two recording rules in ONE group where the second reads the
+    first's output — requires sequential append within the group
+    (rules/group.go Eval)."""
+    _write(tmp_path, "rules.yml", RECORDING_RULES)
+    test_yml = _write(
+        tmp_path,
+        "test.yml",
+        """
+        rule_files:
+          - rules.yml
+        evaluation_interval: 1m
+        tests:
+          - input_series:
+              - series: 'm{job="a", i="1"}'
+                values: '1+0x10'
+              - series: 'm{job="a", i="2"}'
+                values: '2+0x10'
+            promql_expr_test:
+              - expr: job:m:sum
+                eval_time: 3m
+                exp_samples:
+                  - labels: 'job:m:sum{job="a"}'
+                    value: 3
+              - expr: job:m:sum2x
+                eval_time: 3m
+                exp_samples:
+                  - labels: 'job:m:sum2x{job="a"}'
+                    value: 6
+        """,
+    )
+    assert run_rule_test_file(spark, str(test_yml)) == []
+
+
+def test_alerts_series_queryable(spark, tmp_path):
+    """ALERTS / ALERTS_FOR_STATE are appended by alert evaluation and
+    queryable from promql_expr_test (alerting.go sample/forStateSample)."""
+    _write(tmp_path, "alerts.yml", ALERT_RULES)
+    test_yml = _write(
+        tmp_path,
+        "test.yml",
+        """
+        rule_files:
+          - alerts.yml
+        tests:
+          - input_series:
+              - series: 'up{job="p", instance="i"}'
+                values: '0x10'
+            promql_expr_test:
+              - expr: count(ALERTS{alertstate="firing"})
+                eval_time: 7m
+                exp_samples:
+                  - labels: '{}'
+                    value: 1
+              - expr: ALERTS_FOR_STATE{alertname="InstanceDown"}
+                eval_time: 7m
+                exp_samples:
+                  - labels: 'ALERTS_FOR_STATE{alertname="InstanceDown", job="p", instance="i", severity="page"}'
+                    value: 0
+        """,
+    )
+    assert run_rule_test_file(spark, str(test_yml)) == []
+
+
+def test_missing_alertname_rejected(spark):
+    errs = run_rule_test_text(
+        spark,
+        textwrap.dedent(
+            """
+            tests:
+              - input_series: []
+                alert_rule_test:
+                  - eval_time: 1m
+            """
+        ),
+    )
+    assert errs and "alertname" in errs[0]
+
+
+def test_keep_firing_for(spark, tmp_path):
+    """keep_firing_for holds a firing alert through flaps, measured
+    from the first missing eval (alerting.go:487-498)."""
+    _write(
+        tmp_path,
+        "alerts.yml",
+        """
+        groups:
+        - name: g
+          rules:
+          - alert: Flappy
+            expr: sig > 0
+            keep_firing_for: 2m
+        """,
+    )
+    test_yml = _write(
+        tmp_path,
+        "test.yml",
+        """
+        rule_files:
+          - alerts.yml
+        tests:
+          - input_series:
+              - series: 'sig'
+                values: '1 1 0 0 0 0'
+            alert_rule_test:
+              # at 2m the expr no longer fires but keep_firing_for holds it
+              - eval_time: 2m
+                alertname: Flappy
+                exp_alerts:
+                  - exp_labels: {}
+              - eval_time: 3m
+                alertname: Flappy
+                exp_alerts:
+                  - exp_labels: {}
+              # 2m after the first miss (at 2m) the hold expires
+              - eval_time: 4m
+                alertname: Flappy
+                exp_alerts: []
+        """,
+    )
+    assert run_rule_test_file(spark, str(test_yml)) == []
+
+
+def test_template_expansion():
+    from prometheus_spark.streaming.templating import expand_template
+
+    labels = {"instance": "i1", "job": "api"}
+    assert (
+        expand_template("{{ $labels.instance }} of {{ $labels.job }}", labels, 1.5)
+        == "i1 of api"
+    )
+    assert expand_template("v={{ $value }}", labels, 42.0) == "v=42"
+    assert expand_template("v={{ $value }}", labels, 1.25) == "v=1.25"
+    assert expand_template("{{ $value | humanize }}", labels, 1_500_000) == "1.5M"
+    assert expand_template("{{ humanize $value }}", labels, 0.0015) == "1.5m"
+    assert (
+        expand_template("{{ $value | humanizePercentage }}", labels, 0.123) == "12.3%"
+    )
+    assert (
+        expand_template("{{ $value | humanizeDuration }}", labels, 3661) == "1h 1m 1s"
+    )
+    assert expand_template("{{ $labels.missing }}!", labels, 0) == "!"
+    # unsupported constructs pass through untouched
+    assert expand_template("{{ range . }}x{{ end }}", labels, 0) == "{{ range . }}x{{ end }}"
+    assert expand_template("plain", labels, 0) == "plain"

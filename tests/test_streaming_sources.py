@@ -134,13 +134,13 @@ def test_alerting_rule_state_machine(spark, rules_setup):
 
     # at 6m: api=60 > 50 → pending
     _, alerts = eng.eval_tick(group, 6 * M)
-    assert [(a[0], a[2]) for a in alerts] == [("HighErrors", "pending")]
+    assert [(a[0], a[3]) for a in alerts] == [("HighErrors", "pending")]
     # at 7m: still held (1m < for) → pending
     _, alerts = eng.eval_tick(group, 7 * M)
-    assert alerts[0][2] == "pending"
+    assert alerts[0][3] == "pending"
     # at 8m: held 2m ≥ for → firing
     _, alerts = eng.eval_tick(group, 8 * M)
-    assert alerts[0][2] == "firing"
+    assert alerts[0][3] == "firing"
     labels = alerts[0][1]
     assert labels["alertname"] == "HighErrors" and labels["job"] == "api"
 

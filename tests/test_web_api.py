@@ -180,7 +180,7 @@ groups:
     api.scrape_manager = ScrapeManager(
         "/tmp/_api_spool_unused", [ScrapeTarget("http://x:9/m", {"job": "j"})]
     )
-    api.record_alerts([("A", {"alertname": "A", "job": "a"}, "firing", 60_000)])
+    api.record_alerts([("A", {"alertname": "A", "job": "a"}, {"summary": "s"}, "firing", 60_000, 1.0)])
 
     code, resp = api.handle("/api/v1/rules", {})
     g = resp["data"]["groups"][0]
