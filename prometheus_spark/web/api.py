@@ -138,6 +138,25 @@ def _parse_duration_ms_api(s: str) -> int:
     return parse_duration_ms(s)
 
 
+def _query_stats(t_start: float, t_prepared: float, t_done: float) -> dict:
+    """The ``stats`` object of a query response (util/stats/query_stats.go:97
+    queryTimings; the sample counters are eval-loop instrumentation the
+    Spark executors don't surface, so only timings are reported —
+    ``samples`` is omitempty upstream)."""
+    prep = t_prepared - t_start
+    inner = t_done - t_prepared
+    return {
+        "timings": {
+            "evalTotalTime": prep + inner,
+            "resultSortTime": 0.0,
+            "queryPreparationTime": prep,
+            "innerEvalTime": inner,
+            "execQueueTime": 0.0,
+            "execTotalTime": prep + inner,
+        }
+    }
+
+
 class PromAPI:
     """The /api/v1 surface over a PromQLEngine.
 
@@ -166,6 +185,7 @@ class PromAPI:
         self.tombstones = TombstoneStore()
         self.config_yaml = ""  # served by /status/config (reference: api.go serveConfig)
         self.flags: dict = {}  # /status/flags
+        self.snapshot_dir: Optional[str] = None  # /admin/tsdb/snapshot target
 
     def record_alerts(self, alert_rows: list) -> None:
         """Feed the latest RulesEngine.eval_tick alert snapshot so
@@ -239,12 +259,16 @@ class PromAPI:
 
     # -- endpoint implementations -------------------------------------
     def query(self, params: dict) -> tuple[int, dict]:
+        import time as _time
+
         q = params["query"][0]
         t_ms = (
             _parse_time_ms(params["time"][0]) if "time" in params else 0
         )
+        t_start = _time.monotonic()
         try:
             df = self.engine.instant_query(q, t_ms)
+            t_prepared = _time.monotonic()
             rows = df.collect()
         except ValueError as e:
             if "string results" in str(e):
@@ -270,7 +294,10 @@ class PromAPI:
 
         vt = parse_expr(q).value_type()
         rtype = "scalar" if vt == ValueType.SCALAR else "vector"
-        return 200, {"status": "success", "data": render_result(rows, rtype)}
+        data = render_result(rows, rtype)
+        if params.get("stats", [""])[0]:
+            data["stats"] = _query_stats(t_start, t_prepared, _time.monotonic())
+        return 200, {"status": "success", "data": data}
 
     def query_range(self, params: dict) -> tuple[int, dict]:
         q = params["query"][0]
@@ -286,14 +313,22 @@ class PromAPI:
         if (end - start) // step > 11000:
             return 422, {"status": "error", "errorType": "bad_data",
                          "error": "exceeded maximum resolution of 11,000 points"}
+        import time as _time
+
+        t_start = _time.monotonic()
         try:
-            rows = self.engine.range_query(q, start, end, step).collect()
+            df = self.engine.range_query(q, start, end, step)
+            t_prepared = _time.monotonic()
+            rows = df.collect()
         except Exception as e:  # noqa: BLE001 — API boundary
             return 400, {"status": "error", "errorType": "bad_data",
                          "error": str(e)}
+        data = render_result(rows, "matrix")
+        if params.get("stats", [""])[0]:
+            data["stats"] = _query_stats(t_start, t_prepared, _time.monotonic())
         return 200, {
             "status": "success",
-            "data": render_result(rows, "matrix"),
+            "data": data,
         }
 
     def series(self, params: dict) -> tuple[int, dict]:
@@ -489,6 +524,31 @@ class PromAPI:
                          "error": str(e)}
         return 204, {"status": "success"}
 
+    def snapshot(self, params: dict) -> tuple[int, dict]:
+        """Admin snapshot (api.go:500): persist the engine's current
+        (tombstone-masked) samples view as a partitioned parquet snapshot
+        under ``snapshot_dir`` and return its name."""
+        if not getattr(self, "snapshot_dir", None):
+            return 500, {"status": "error", "errorType": "unavailable",
+                         "error": "snapshot directory not configured"}
+        import os as _os
+        import time as _time
+
+        from prometheus_spark.storage.samples import write_samples
+
+        name = _time.strftime("%Y%m%dT%H%M%SZ-spark", _time.gmtime())
+        df = self.engine.samples
+        if params.get("skip_head", [""])[0] in ("true", "1"):
+            # the reference skips the in-memory head block; our analog is
+            # dropping the most recent 2h bucket
+            from pyspark.sql import functions as _F
+
+            head_cut = df.agg(_F.max("t")).first()[0]
+            if head_cut is not None:
+                df = df.filter(_F.col("t") <= head_cut - 7_200_000)
+        write_samples(df, _os.path.join(self.snapshot_dir, name))
+        return 200, {"status": "success", "data": {"name": name}}
+
     def clean_tombstones(self) -> tuple[int, dict]:
         """Compaction counterpart: the masked frame is already the engine's
         view; dropping the stones makes the deletion permanent for this
@@ -582,6 +642,8 @@ class PromAPI:
             return self.delete_series(params)
         if path == "/api/v1/admin/tsdb/clean_tombstones":
             return self.clean_tombstones()
+        if path == "/api/v1/admin/tsdb/snapshot":
+            return self.snapshot(params)
         return 404, {"status": "error", "errorType": "bad_data",
                      "error": f"unknown endpoint {path}"}
 

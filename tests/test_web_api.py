@@ -296,3 +296,40 @@ def test_parse_query_and_status(api):
 
     code, resp = api.handle("/api/v1/status/runtimeinfo", {})
     assert code == 200 and resp["data"]["reloadConfigSuccess"] is True
+
+
+def test_query_stats_param(api):
+    # stats=<non-empty> adds a stats.timings object to data
+    # (util/stats/query_stats.go:97)
+    code, resp = api.handle(
+        "/api/v1/query", {"query": ["m"], "time": ["600"], "stats": ["true"]}
+    )
+    assert code == 200
+    t = resp["data"]["stats"]["timings"]
+    assert set(t) == {
+        "evalTotalTime", "resultSortTime", "queryPreparationTime",
+        "innerEvalTime", "execQueueTime", "execTotalTime",
+    }
+    assert t["evalTotalTime"] >= t["queryPreparationTime"] >= 0
+    # absent without the param
+    code, resp = api.handle("/api/v1/query", {"query": ["m"], "time": ["600"]})
+    assert "stats" not in resp["data"]
+    code, resp = api.handle(
+        "/api/v1/query_range",
+        {"query": ["m"], "start": ["0"], "end": ["300"], "step": ["60"],
+         "stats": ["all"]},
+    )
+    assert code == 200 and "timings" in resp["data"]["stats"]
+
+
+def test_snapshot_endpoint(api, spark, tmp_path):
+    # unconfigured → error (api.go snapshot requires admin storage)
+    code, resp = api.handle("/api/v1/admin/tsdb/snapshot", {})
+    assert code == 500
+    api.snapshot_dir = str(tmp_path)
+    code, resp = api.handle("/api/v1/admin/tsdb/snapshot", {})
+    assert code == 200
+    name = resp["data"]["name"]
+    snap = spark.read.parquet(str(tmp_path / name))
+    assert snap.count() == 22  # full samples view persisted
+    assert {"sig", "labels", "t", "value"} <= set(snap.columns)
