@@ -331,61 +331,103 @@ class PromAPI:
             "data": data,
         }
 
-    def series(self, params: dict) -> tuple[int, dict]:
+    def _scoped_samples(self, params: dict, require_match: bool = False):
+        """The samples view scoped by optional ``match[]`` selector sets
+        (OR-combined, api.go parseMatchersParam), ``start`` and ``end`` —
+        shared by the series/labels/label-values metadata endpoints.
+        Returns (df, error_response)."""
         from pyspark.sql import functions as F
 
-        matches = params.get("match[]", [])
-        if not matches:
-            return 400, {"status": "error", "errorType": "bad_data",
-                         "error": "no match[] parameter provided"}
         from prometheus_spark.engine.selectors import matcher_predicate
         from prometheus_spark.parser import parse_expr
         from prometheus_spark.parser.ast import VectorSelector
 
+        matches = params.get("match[]", [])
+        if require_match and not matches:
+            return None, (400, {"status": "error", "errorType": "bad_data",
+                                "error": "no match[] parameter provided"})
+        df = self.engine.samples
+        if matches:
+            pred = None
+            for m in matches:
+                node = parse_expr(m)
+                if not isinstance(node, VectorSelector):
+                    return None, (
+                        400,
+                        {"status": "error", "errorType": "bad_data",
+                         "error": f"not a vector selector: {m}"},
+                    )
+                p = matcher_predicate(node.matchers)
+                pred = p if pred is None else (pred | p)
+            df = df.where(pred)
+        if "start" in params:
+            df = df.where(F.col("t") >= _parse_time_ms(params["start"][0]))
+        if "end" in params:
+            df = df.where(F.col("t") <= _parse_time_ms(params["end"][0]))
+        return df, None
+
+    @staticmethod
+    def _limit(params: dict, data: list, resp: dict) -> dict:
+        """Apply the ``limit`` parameter (api.go parseLimitParam +
+        truncation warning)."""
+        s = params.get("limit", [""])[0]
+        if s:
+            limit = int(s)
+            if limit < 0:
+                return {"status": "error", "errorType": "bad_data",
+                        "error": "limit must be non-negative"}
+            if limit > 0 and len(data) > limit:
+                resp["data"] = data[:limit]
+                resp["warnings"] = ["results truncated due to limit"]
+        return resp
+
+    def series(self, params: dict) -> tuple[int, dict]:
+        df, err = self._scoped_samples(params, require_match=True)
+        if err:
+            return err
         out = []
         seen = set()
-        for m in matches:
-            node = parse_expr(m)
-            if not isinstance(node, VectorSelector):
-                return 400, {"status": "error", "errorType": "bad_data",
-                             "error": f"not a vector selector: {m}"}
-            df = self.engine.samples.where(matcher_predicate(node.matchers))
-            # distinct() can't hash MAP columns — dedupe on the sig key
-            for r in (
-                df.select("sig", "labels").dropDuplicates(["sig"]).collect()
-            ):
-                key = tuple(sorted(r["labels"].items()))
-                if key not in seen:
-                    seen.add(key)
-                    out.append(dict(r["labels"]))
-        return 200, {"status": "success", "data": out}
+        # distinct() can't hash MAP columns — dedupe on the sig key
+        for r in df.select("sig", "labels").dropDuplicates(["sig"]).collect():
+            key = tuple(sorted(r["labels"].items()))
+            if key not in seen:
+                seen.add(key)
+                out.append(dict(r["labels"]))
+        resp = self._limit(params, out, {"status": "success", "data": out})
+        return (400 if resp["status"] == "error" else 200), resp
 
     def labels(self, params: dict) -> tuple[int, dict]:
         from pyspark.sql import functions as F
 
-        names = (
-            self.engine.samples.select(
-                F.explode(F.map_keys("labels")).alias("l")
-            )
+        df, err = self._scoped_samples(params)
+        if err:
+            return err
+        names = [
+            r["l"]
+            for r in df.select(F.explode(F.map_keys("labels")).alias("l"))
             .distinct()
             .orderBy("l")
             .collect()
-        )
-        return 200, {"status": "success", "data": [r["l"] for r in names]}
+        ]
+        resp = self._limit(params, names, {"status": "success", "data": names})
+        return (400 if resp["status"] == "error" else 200), resp
 
     def label_values(self, name: str, params: dict) -> tuple[int, dict]:
         from pyspark.sql import functions as F
 
-        vals = (
-            self.engine.samples.select(
-                F.element_at("labels", name).alias("v")
-            )
+        df, err = self._scoped_samples(params)
+        if err:
+            return err
+        vals = [
+            r["v"]
+            for r in df.select(F.element_at("labels", name).alias("v"))
             .where(F.col("v").isNotNull())
             .distinct()
             .orderBy("v")
             .collect()
-        )
-        return 200, {"status": "success", "data": [r["v"] for r in vals]}
+        ]
+        resp = self._limit(params, vals, {"status": "success", "data": vals})
+        return (400 if resp["status"] == "error" else 200), resp
 
     def query_exemplars(self, params: dict) -> tuple[int, dict]:
         """api.go:756 queryExemplars: series matchers + time range →

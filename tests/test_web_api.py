@@ -333,3 +333,25 @@ def test_snapshot_endpoint(api, spark, tmp_path):
     snap = spark.read.parquet(str(tmp_path / name))
     assert snap.count() == 22  # full samples view persisted
     assert {"sig", "labels", "t", "value"} <= set(snap.columns)
+
+
+def test_labels_scoping_and_limit(api):
+    # match[] scopes label names to matching series (api.go:818 labelNames)
+    code, resp = api.handle("/api/v1/labels", {"match[]": ['m{job="a"}']})
+    assert code == 200 and resp["data"] == ["__name__", "job"]
+    # time-scoped label values: nothing before t=0 → after end=-1ms, empty
+    code, resp = api.handle(
+        "/api/v1/label/job/values", {"end": ["-1"]}
+    )
+    assert code == 200 and resp["data"] == []
+    # limit truncates with a warning (api.go:890)
+    code, resp = api.handle("/api/v1/label/job/values", {"limit": ["1"]})
+    assert code == 200 and resp["data"] == ["a"]
+    assert resp["warnings"] == ["results truncated due to limit"]
+    code, resp = api.handle(
+        "/api/v1/series", {"match[]": ["m"], "limit": ["1"]}
+    )
+    assert code == 200 and len(resp["data"]) == 1 and "warnings" in resp
+    # negative limit rejected
+    code, resp = api.handle("/api/v1/labels", {"limit": ["-1"]})
+    assert code == 400
