@@ -686,6 +686,32 @@ class PromAPI:
             return self.clean_tombstones()
         if path == "/api/v1/admin/tsdb/snapshot":
             return self.snapshot(params)
+        if path == "/api/v1/features":
+            # features registry (api.go:1888, util/features/features.go):
+            # category → {feature: enabled}; every registered construct in
+            # this engine is always on (no feature flags gate them here)
+            from prometheus_spark.parser.ast import AGGREGATORS
+            from prometheus_spark.parser.functions import FUNCTIONS
+
+            keywords = [
+                "offset", "by", "without", "on", "ignoring", "group_left",
+                "group_right", "bool", "start", "end", "anchored",
+                "smoothed", "fill", "fill_left", "fill_right", "step",
+                "and", "or", "unless", "atan2",
+            ]
+            data = {
+                "promql": {k: True for k in keywords}
+                | {"duration_expr": True},
+                "promql_operators": {
+                    o: True
+                    for o in ["+", "-", "*", "/", "%", "^", "==", "!=",
+                              ">", "<", ">=", "<=", "and", "or", "unless",
+                              "atan2"]
+                }
+                | {a: True for a in sorted(AGGREGATORS)},
+                "promql_functions": {f: True for f in sorted(FUNCTIONS)},
+            }
+            return 200, {"status": "success", "data": data}
         return 404, {"status": "error", "errorType": "bad_data",
                      "error": f"unknown endpoint {path}"}
 

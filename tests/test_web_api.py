@@ -355,3 +355,13 @@ def test_labels_scoping_and_limit(api):
     # negative limit rejected
     code, resp = api.handle("/api/v1/labels", {"limit": ["-1"]})
     assert code == 400
+
+
+def test_features_endpoint(api):
+    code, resp = api.handle("/api/v1/features", {})
+    assert code == 200
+    data = resp["data"]
+    assert data["promql_functions"]["rate"] is True
+    assert data["promql_functions"]["histogram_quantile"] is True
+    assert data["promql_operators"]["sum"] is True
+    assert data["promql"]["fill"] is True and data["promql"]["anchored"] is True
