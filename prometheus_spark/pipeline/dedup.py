@@ -66,18 +66,28 @@ def minhash_signatures(
     (``xxhash64(sh)``); the ``num_perm`` permutations re-hash that fixed
     8-byte long, so per-shingle cost is 1 string hash + num_perm long
     hashes instead of num_perm string hashes — the dominant cost at
-    corpus scale.  Columnar aggregates keep map-side partial aggregation;
-    one shuffle by document id; no Python in the loop."""
+    corpus scale.
+
+    The whole signature is computed **per row** with array expressions
+    (``array_min`` over a ``transform``) — no explode, no groupBy, ZERO
+    shuffle: at 100 TB the signature build is a pure map stage pipelined
+    into the scan.  Documents with no shingles produce no signature
+    (matching the previous explode/groupBy semantics)."""
     grams = _word_ngrams(F.col(text_col), shingle_n)
     df = _spread(df, id_col)
-    exploded = df.select(F.col(id_col), F.explode(grams).alias("sh")).withColumn(
-        "h0_", F.xxhash64(F.col("sh"))
-    )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("h0_"))).alias(f"h{i}")
+    # materialize the base hash array in a child projection so the
+    # num_perm permutation expressions reuse it instead of re-hashing
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(grams, lambda g: F.xxhash64(g)).alias("__h0"),
+    ).filter(F.size("__h0") > 0)
+    sig_cols = [
+        F.array_min(
+            F.transform("__h0", lambda h: F.xxhash64(F.lit(i), h))
+        ).alias(f"h{i}")
         for i in range(num_perm)
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return hashed.select(F.col(id_col), *sig_cols)
 
 
 def minhash_dup_candidates(
@@ -133,31 +143,35 @@ def simhash_64(
     """64-bit SimHash over word hashes: bit j of the fingerprint is the
     sign of Σ_tokens (±1 depending on bit j of xxhash64(token)).
 
-    Pure array algebra: tokens → hashes → per-bit vote fold → bits → long.
+    The whole fingerprint is computed **per row** by folding the token
+    hash array into a 64-slot vote array (``aggregate`` + ``zip_with``)
+    — no explode, no groupBy, ZERO shuffle: a pure map stage pipelined
+    into the scan at any corpus size.  Shift amounts are data inside the
+    fold, so the bit algebra is written in SQL (the DSL's shiftright
+    requires a literal count); documents with no tokens are dropped,
+    matching the previous explode/groupBy semantics.
     """
     words = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != F.lit("")
     )
     df = _spread(df, id_col)
-    exploded = df.select(F.col(id_col), F.explode(words).alias("w")).withColumn(
-        "h", F.xxhash64("w")
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(words, lambda w: F.xxhash64(w)).alias("__h"),
+    ).filter(F.size("__h") > 0)
+    votes = F.expr(
+        "aggregate(__h, array_repeat(0L, 64),"
+        " (acc, h) -> zip_with(acc, sequence(0, 63),"
+        "   (a, j) -> a + IF((shiftright(h, j) & 1) = 1, 1L, -1L)))"
     )
-    # one vote aggregate per bit — 64 columnar sums, same shuffle as any
-    # groupBy(doc); shift amounts must be literals for codegen
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{j}")
-        for j in range(64)
-    ]
-    agg = exploded.groupBy(id_col).agg(*votes)
-    fp = None
-    for j in range(64):
-        bit = F.when(F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp = bit if fp is None else fp.bitwiseOR(bit)
-    return agg.select(F.col(id_col), fp.alias("simhash"))
+    fp = F.expr(
+        "aggregate(zip_with(__v, sequence(0, 63),"
+        " (v, j) -> IF(v > 0, shiftleft(1L, j), 0L)), 0L, (a, x) -> a | x)"
+    )
+    return (
+        hashed.select(F.col(id_col), votes.alias("__v"))
+        .select(F.col(id_col), fp.alias("simhash"))
+    )
 
 
 def ngram_jaccard_pairs(
