@@ -282,6 +282,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- pipeline: similarity search ---------------------------------------
     q["ann_cosine_topk"] = lambda s, d: _pipe_ann_brute(s, d)
     q["ann_lsh_topk"] = lambda s, d: _pipe_ann_lsh(s, d)  # rows-only (recall<1)
+    # IVF with nprobe=all probes every partition → exact, hash-matchable
+    # against the brute-force oracle; the pruned path is tested in
+    # tests/test_pipeline.py
+    q["ann_ivf_topk"] = lambda s, d: _pipe_ann_ivf(s, d)
 
     # --- pipeline: multimodal plumbing (rows-only; decode is stubbed) ------
     q["multimodal_features"] = lambda s, d: _pipe_multimodal(s, d)
@@ -648,6 +652,16 @@ def _pipe_ann_lsh(spark, sf_dir):
 
     emb = _tbl(spark, sf_dir, "embeddings")
     return lsh_bucketed_topk(emb, _query_vec(spark, sf_dir), k=10).select(
+        "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def _pipe_ann_ivf(spark, sf_dir):
+    from prometheus_spark.pipeline.similarity import IvfIndex
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    idx = IvfIndex.build(emb, n_centroids=8, iters=1)
+    return idx.topk(_query_vec(spark, sf_dir), k=10, nprobe=8).select(
         "vec_id", F.round("cosine", 6).alias("cosine")
     )
 
@@ -1287,6 +1301,9 @@ FROM embeddings, q
 ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC, vec_id ASC
 LIMIT 10
 """
+    # nprobe = n_centroids probes every IVF partition → identical to the
+    # exact brute-force ranking
+    o["ann_ivf_topk"] = o["ann_cosine_topk"]
     # synthesize_media(kind='video') durations: 1000 + (i%7)*700 ms;
     # frame_sample_plan(every_ms=500) emits max(duration//500, 1) frames
     o["multimodal_frame_sample"] = """

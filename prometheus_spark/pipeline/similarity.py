@@ -159,3 +159,129 @@ def lsh_bucketed_topk(
         F.col("__bucket").isin(probes)
     )
     return cosine_topk_bruteforce(candidates, query, k, vec_col, id_col)
+
+
+def _dot_cols(vec: Column, coeffs: Sequence[float]) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(float(c)) for c in coeffs]),
+            lambda x, c: x.cast("double") * c,
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def _assign_expr(vec: Column, centroids) -> Column:
+    """Index of the centroid with the largest dot product (centroids are
+    unit-normalized, so argmax dot = nearest by cosine).  A columnar
+    argmax over a literal centroid table — no UDF, no shuffle."""
+    sims = F.array(*[_dot_cols(vec, c) for c in centroids])
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+class IvfIndex:
+    """IVF (inverted-file) ANN index over an embedding column.
+
+    Training is spherical k-means run entirely as DataFrame aggregations:
+    deterministic hash-sampled seed vectors, then ``iters`` Lloyd rounds
+    where assignment is a columnar argmax against the (small, broadcast
+    literal) centroid table and the update is a posexplode +
+    groupBy(centroid, dim) mean — per round one shuffle of
+    O(n_vectors × dim) narrow rows, nothing driver-side but the
+    n_centroids × dim centroid matrix itself.
+
+    ``build(..., path=...)`` persists the assigned table partitioned by
+    centroid id, so a query reads only the ``nprobe`` probed partitions
+    (file-level pruning — the layout that holds at 100 TB); without a
+    path the assigned frame is cached.
+
+    Queries rank the probed centroids by query-centroid similarity
+    driver-side (the centroid table is tiny), then run the exact cosine
+    top-k over the pruned candidate set.  ``nprobe=n_centroids`` probes
+    everything and is exact — equal to brute force.
+    """
+
+    def __init__(self, df: DataFrame, centroids, vec_col: str, id_col: str):
+        self.df = df  # carries a materialized `cid` column
+        self.centroids = centroids  # list[list[float]], unit-normalized
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        n_centroids: int = 16,
+        iters: int = 2,
+        path: str | None = None,
+    ) -> "IvfIndex":
+        import math as _math
+
+        # deterministic seed sample: the n_centroids vectors with the
+        # smallest id hash (a uniform sample, reproducible across runs)
+        seeds = (
+            df.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.xxhash64(F.col(id_col)))
+            .limit(n_centroids)
+            .collect()
+        )
+        if not seeds:
+            raise ValueError("cannot build an IVF index over an empty table")
+
+        def _unit(v):
+            n = _math.sqrt(sum(float(x) * x for x in v)) or 1.0
+            return [float(x) / n for x in v]
+
+        centroids = [_unit(r[vec_col]) for r in seeds]
+        for _ in range(iters):
+            assigned = df.select(
+                _assign_expr(F.col(vec_col), centroids).alias("cid"),
+                F.col(vec_col),
+            )
+            sums = (
+                assigned.select("cid", F.posexplode(vec_col).alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.sum(F.col("x").cast("double")).alias("s"))
+                .collect()
+            )
+            dim = len(centroids[0])
+            acc = [[0.0] * dim for _ in centroids]
+            for r in sums:
+                acc[r["cid"]][r["pos"]] = r["s"]
+            # empty clusters keep their previous centroid
+            centroids = [
+                _unit(a) if any(a) else centroids[i] for i, a in enumerate(acc)
+            ]
+
+        out = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _assign_expr(F.col(vec_col), centroids).alias("cid"),
+        )
+        if path is not None:
+            out.write.mode("overwrite").partitionBy("cid").parquet(path)
+            out = df.sparkSession.read.parquet(path)
+        else:
+            out = out.cache()
+        return cls(out, centroids, vec_col, id_col)
+
+    def topk(self, query: Sequence[float], k: int = 10, nprobe: int = 4) -> DataFrame:
+        import math as _math
+
+        qn = _math.sqrt(sum(float(x) * x for x in query)) or 1.0
+        sims = sorted(
+            (
+                (sum(float(a) * b for a, b in zip(query, c)) / qn, i)
+                for i, c in enumerate(self.centroids)
+            ),
+            reverse=True,
+        )
+        probes = [i for _, i in sims[:nprobe]]
+        candidates = self.df.filter(F.col("cid").isin(probes))
+        return cosine_topk_bruteforce(
+            candidates, query, k, self.vec_col, self.id_col
+        )
