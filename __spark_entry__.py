@@ -89,6 +89,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- PromQL: selectors / lookback (SURVEY §2.1) ----------------------
     q["promql_instant_selector"] = lambda s, d: _promql_instant(s, d, "purchase")
+    # UTF-8 quoted metric-name shorthand (generated_parser.y:814) —
+    # same result set as the bare-name selector
+    q["promql_quoted_name"] = lambda s, d: _promql_instant(s, d, '{"purchase"}')
     q["promql_offset"] = lambda s, d: _promql_instant(s, d, "purchase offset 1d")
     q["promql_absent"] = lambda s, d: _engine(s, d).instant_query(
         'absent(no_such_metric{user_id="42"})', T0_MS
@@ -778,6 +781,7 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["promql_instant_selector"] = _INSTANT.format(name="purchase")
+    o["promql_quoted_name"] = _INSTANT.format(name="purchase")
     o["promql_offset"] = f"""
 SELECT CAST(user_id AS VARCHAR) AS user_id, arg_max(value, epoch_ms(ts)) AS value
 FROM events
