@@ -730,8 +730,33 @@ class PromAPI:
                 params = parse_qs(parsed.query)
                 if self.command == "POST":
                     ln = int(self.headers.get("Content-Length", 0))
-                    body = self.rfile.read(ln).decode()
-                    for k, vs in parse_qs(body).items():
+                    raw = self.rfile.read(ln)
+                    if parsed.path == "/api/v1/read":
+                        # remote read: snappy+protobuf in, same out
+                        # (api.go:482, storage/remote/read_handler.go)
+                        from prometheus_spark.sources.remote_read import (
+                            serve_read,
+                        )
+
+                        try:
+                            payload = serve_read(api.engine.samples, raw)
+                        except Exception as e:  # noqa: BLE001 — API boundary
+                            self.send_response(400)
+                            self.end_headers()
+                            self.wfile.write(str(e).encode())
+                            return
+                        self.send_response(200)
+                        self.send_header(
+                            "Content-Type", "application/x-protobuf"
+                        )
+                        self.send_header("Content-Encoding", "snappy")
+                        self.send_header(
+                            "Content-Length", str(len(payload))
+                        )
+                        self.end_headers()
+                        self.wfile.write(payload)
+                        return
+                    for k, vs in parse_qs(raw.decode()).items():
                         params.setdefault(k, []).extend(vs)
                 if parsed.path == "/federate":
                     from prometheus_spark.parser import parse_expr

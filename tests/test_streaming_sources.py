@@ -475,3 +475,35 @@ def test_federate_lines(spark):
     # no matchers → everything, bare-name line for label-less series
     all_lines = [r["line"] for r in federate(samples, [], now_ms=300_000).collect()]
     assert "other 5.0 200000" in all_lines
+
+
+def test_remote_read_roundtrip(spark):
+    """Remote-read server: wire-format request/response round-trip
+    (prompb/remote.proto Query/QueryResult, read_handler.go)."""
+    from prometheus_spark.sources.remote_read import (
+        decode_read_response,
+        encode_read_request,
+        serve_read,
+    )
+    from prometheus_spark.storage import samples_from_rows
+
+    rows = [
+        ({"__name__": "m", "job": "a"}, 1000, 1.0),
+        ({"__name__": "m", "job": "a"}, 2000, 2.0),
+        ({"__name__": "m", "job": "b"}, 1000, 3.0),
+        ({"__name__": "other", "job": "a"}, 1000, 9.0),
+    ]
+    samples = samples_from_rows(spark, rows)
+    req = encode_read_request([
+        {"start_ms": 0, "end_ms": 1500,
+         "matchers": [("=", "__name__", "m"), ("=~", "job", "a|b")]},
+        {"start_ms": 0, "end_ms": 5000, "matchers": [("=", "job", "a")]},
+    ])
+    resp = decode_read_response(serve_read(samples, req))
+    assert len(resp) == 2
+    # q1: both m series, only samples ≤ 1500
+    q1 = sorted((s[0]["job"], s[1]) for s in resp[0])
+    assert q1 == [("a", [(1000, 1.0)]), ("b", [(1000, 3.0)])]
+    # q2: every job=a series, full range
+    q2 = sorted((s[0]["__name__"], s[1]) for s in resp[1])
+    assert q2 == [("m", [(1000, 1.0), (2000, 2.0)]), ("other", [(1000, 9.0)])]
