@@ -186,6 +186,7 @@ class PromAPI:
         self.config_yaml = ""  # served by /status/config (reference: api.go serveConfig)
         self.flags: dict = {}  # /status/flags
         self.snapshot_dir: Optional[str] = None  # /admin/tsdb/snapshot target
+        self.blocks_dir: Optional[str] = None  # /status/tsdb/blocks source
 
     def record_alerts(self, alert_rows: list) -> None:
         """Feed the latest RulesEngine.eval_tick alert snapshot so
@@ -686,6 +687,36 @@ class PromAPI:
             return self.clean_tombstones()
         if path == "/api/v1/admin/tsdb/snapshot":
             return self.snapshot(params)
+        if path == "/api/v1/scrape_pools":
+            # api.go:1215 scrapePools: sorted distinct job names
+            pools = sorted({
+                t.target_labels().get("job", "")
+                for t in (
+                    self.scrape_manager.targets
+                    if self.scrape_manager is not None else []
+                )
+            } - {""})
+            return 200, {"status": "success",
+                         "data": {"scrapePools": pools}}
+        if path == "/api/v1/status/tsdb/blocks":
+            # api.go:1961 serveTSDBBlocks over the partitioned block
+            # layout: one meta per t_bucket directory
+            if not getattr(self, "blocks_dir", None):
+                return 200, {"status": "success", "data": {"blocks": []}}
+            from prometheus_spark.storage.compact import (
+                DEFAULT_BLOCK_MS,
+                list_buckets,
+            )
+
+            blocks = [
+                {
+                    "ulid": f"t_bucket={b}",
+                    "minTime": b * DEFAULT_BLOCK_MS,
+                    "maxTime": (b + 1) * DEFAULT_BLOCK_MS,
+                }
+                for b in list_buckets(self.blocks_dir)
+            ]
+            return 200, {"status": "success", "data": {"blocks": blocks}}
         if path == "/api/v1/features":
             # features registry (api.go:1888, util/features/features.go):
             # category → {feature: enabled}; every registered construct in

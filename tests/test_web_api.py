@@ -365,3 +365,31 @@ def test_features_endpoint(api):
     assert data["promql_functions"]["histogram_quantile"] is True
     assert data["promql_operators"]["sum"] is True
     assert data["promql"]["fill"] is True and data["promql"]["anchored"] is True
+
+
+def test_scrape_pools_and_blocks(api, spark, tmp_path):
+    from prometheus_spark.sources.scrape import ScrapeManager, ScrapeTarget
+
+    code, resp = api.handle("/api/v1/scrape_pools", {})
+    assert code == 200 and resp["data"] == {"scrapePools": []}
+    api.scrape_manager = ScrapeManager(
+        str(tmp_path / "spool"),
+        [ScrapeTarget("http://a:1/m", {"job": "jb"}),
+         ScrapeTarget("http://b:1/m", {"job": "ja"})],
+    )
+    code, resp = api.handle("/api/v1/scrape_pools", {})
+    assert resp["data"] == {"scrapePools": ["ja", "jb"]}
+
+    code, resp = api.handle("/api/v1/status/tsdb/blocks", {})
+    assert resp["data"] == {"blocks": []}
+    from prometheus_spark.storage import samples_from_rows, write_samples
+
+    write_samples(
+        samples_from_rows(spark, [({"__name__": "m"}, 0, 1.0)]),
+        str(tmp_path / "blocks"),
+    )
+    api.blocks_dir = str(tmp_path / "blocks")
+    code, resp = api.handle("/api/v1/status/tsdb/blocks", {})
+    assert resp["data"]["blocks"] == [
+        {"ulid": "t_bucket=0", "minTime": 0, "maxTime": 7_200_000}
+    ]
