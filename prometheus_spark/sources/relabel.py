@@ -123,3 +123,85 @@ def _apply_one(df: DataFrame, cfg: RelabelConfig) -> DataFrame:
             F.map_concat(without, F.create_map(F.lit(cfg.target_label), fn(src))),
         )
     raise ValueError(f"unknown relabel action {cfg.action!r}")
+
+
+# -- driver-side single-labelset path ----------------------------------------
+
+def _expand_go(template: str, m: "re.Match") -> str:
+    """Expand Go-style ``$1`` / ``${name}`` references using a Python
+    match (reference regexp.Expand semantics used by relabel.go:311)."""
+    def sub(mm: "re.Match") -> str:
+        name = mm.group(1) or mm.group(2)
+        if name is None:
+            return ""
+        try:
+            if name.isdigit():
+                return m.group(int(name)) or ""
+            return m.group(name) or ""
+        except (IndexError, re.error):
+            return ""
+    return re.sub(r"\$(?:\{(\w+)\}|(\w+))", sub, template)
+
+
+def process_labels(
+    labels: dict, configs: list["RelabelConfig"]
+) -> Optional[dict]:
+    """Relabel one label set on the driver (reference
+    model/relabel/relabel.go:274 ``Process``).  Returns None when the
+    label set is dropped.  Used where cardinality is inherently small —
+    alert notification relabeling (notifier/alert.go:71) and scrape
+    target relabeling — while ``apply_relabel`` stays the distributed
+    path for sample streams.
+    """
+    lset = dict(labels)
+    for cfg in configs:
+        val = cfg.separator.join(lset.get(l, "") for l in cfg.source_labels)
+        pat = re.compile(r"^(?:" + cfg.regex + r")$")
+        m = pat.match(val)
+        act = cfg.action
+        if act == "keep":
+            if m is None:
+                return None
+        elif act == "drop":
+            if m is not None:
+                return None
+        elif act == "keepequal":
+            if val != lset.get(cfg.target_label, ""):
+                return None
+        elif act == "dropequal":
+            if val == lset.get(cfg.target_label, ""):
+                return None
+        elif act == "replace":
+            if m is None:
+                continue
+            target = _expand_go(cfg.target_label, m)
+            repl = _expand_go(cfg.replacement, m)
+            if not target:
+                continue
+            if repl == "":
+                lset.pop(target, None)
+            else:
+                lset[target] = repl
+        elif act == "hashmod":
+            import hashlib
+
+            h = hashlib.md5(val.encode()).digest()
+            lset[cfg.target_label] = str(
+                int.from_bytes(h[8:16], "big") % cfg.modulus
+            )
+        elif act == "labelmap":
+            for k in list(lset):
+                km = pat.match(k)
+                if km is not None:
+                    lset[_expand_go(cfg.replacement, km)] = lset[k]
+        elif act == "labeldrop":
+            lset = {k: v for k, v in lset.items() if not pat.match(k)}
+        elif act == "labelkeep":
+            lset = {k: v for k, v in lset.items() if pat.match(k)}
+        elif act in ("lowercase", "uppercase"):
+            lset[cfg.target_label] = (
+                val.lower() if act == "lowercase" else val.upper()
+            )
+        else:
+            raise ValueError(f"unknown relabel action {act!r}")
+    return lset

@@ -244,7 +244,15 @@ class RulesEngine:
                 if not keep_firing:
                     # pending alerts drop immediately; firing alerts
                     # resolve (alerting.go:506-516); either way the
-                    # output series stop — stale markers below
+                    # output series stop — stale markers below.  A
+                    # firing alert emits one final "resolved" tuple so
+                    # the notifier can send EndsAt=now
+                    # (manager.go:485-489 SendAlerts).
+                    if st["state"] == "firing":
+                        alerts.append(
+                            (rule.alert, st["labels"], st["annotations"],
+                             "resolved", st["active_since"], st["value"])
+                        )
                     del rule_state[sig]
                     continue
             if st["state"] == "pending" and ts - st["active_since"] >= rule.for_ms:

@@ -187,6 +187,7 @@ class PromAPI:
         self.flags: dict = {}  # /status/flags
         self.snapshot_dir: Optional[str] = None  # /admin/tsdb/snapshot target
         self.blocks_dir: Optional[str] = None  # /status/tsdb/blocks source
+        self.notifier = None  # NotifierManager for /alertmanagers
 
     def record_alerts(self, alert_rows: list) -> None:
         """Feed the latest RulesEngine.eval_tick alert snapshot so
@@ -698,6 +699,21 @@ class PromAPI:
             } - {""})
             return 200, {"status": "success",
                          "data": {"scrapePools": pools}}
+        if path == "/api/v1/alertmanagers":
+            # api.go:1490 alertmanagers: active + dropped discovery state
+            nt = getattr(self, "notifier", None)
+            return 200, {
+                "status": "success",
+                "data": {
+                    "activeAlertmanagers": [
+                        {"url": u} for u in (nt.alertmanagers() if nt else [])
+                    ],
+                    "droppedAlertmanagers": [
+                        {"url": u}
+                        for u in (nt.dropped_alertmanagers() if nt else [])
+                    ],
+                },
+            }
         if path == "/api/v1/status/tsdb/blocks":
             # api.go:1961 serveTSDBBlocks over the partitioned block
             # layout: one meta per t_bucket directory

@@ -1,0 +1,160 @@
+"""Notifier delivery semantics (reference notifier/ package).
+
+Pure driver-side — no SparkSession needed except for the rules-engine
+integration test at the bottom.
+"""
+
+import json
+
+from prometheus_spark.sources.relabel import RelabelConfig, process_labels
+from prometheus_spark.streaming.notifier import (
+    Alert,
+    NotifierManager,
+    send_alerts,
+    _rfc3339,
+)
+
+
+def _capture():
+    posts = []
+
+    def post_fn(url, body):
+        posts.append((url, json.loads(body.decode())))
+        return 200
+
+    return posts, post_fn
+
+
+def test_process_labels_actions():
+    # replace with group expansion (relabel.go:311)
+    cfg = RelabelConfig(
+        action="replace", source_labels=["job"], regex="(.+)",
+        target_label="svc", replacement="x-${1}",
+    )
+    assert process_labels({"job": "api"}, [cfg])["svc"] == "x-api"
+    # keep/drop
+    keep = RelabelConfig(action="keep", source_labels=["env"], regex="prod")
+    assert process_labels({"env": "prod"}, [keep]) == {"env": "prod"}
+    assert process_labels({"env": "dev"}, [keep]) is None
+    # labeldrop
+    ld = RelabelConfig(action="labeldrop", regex="tmp_.*")
+    assert process_labels({"a": "1", "tmp_x": "2"}, [ld]) == {"a": "1"}
+    # hashmod is deterministic and bounded
+    hm = RelabelConfig(action="hashmod", source_labels=["a"],
+                       target_label="shard", modulus=7)
+    out = process_labels({"a": "abc"}, [hm])
+    assert 0 <= int(out["shard"]) < 7
+    # lowercase
+    lc = RelabelConfig(action="lowercase", source_labels=["a"],
+                       target_label="a")
+    assert process_labels({"a": "ABC"}, [lc])["a"] == "abc"
+
+
+def test_send_applies_external_labels_and_relabel():
+    posts, post_fn = _capture()
+    nm = NotifierManager(
+        ["http://am1:9093"],
+        external_labels={"cluster": "c1", "alertname": "never-wins"},
+        relabel_configs=[
+            RelabelConfig(action="drop", source_labels=["severity"],
+                          regex="debug")
+        ],
+        post_fn=post_fn,
+    )
+    nm.send(
+        Alert({"alertname": "Up", "severity": "page"}, {"d": "x"},
+              1000, None),
+        Alert({"alertname": "Noisy", "severity": "debug"}, {}, 1000, None),
+    )
+    nm.flush()
+    assert len(posts) == 1
+    url, body = posts[0]
+    assert url == "http://am1:9093/api/v2/alerts"
+    assert len(body) == 1  # debug alert relabel-dropped
+    lbls = body[0]["labels"]
+    # external label fills unset, never overrides (alert.go:76-81)
+    assert lbls["cluster"] == "c1" and lbls["alertname"] == "Up"
+    assert body[0]["startsAt"] == "1970-01-01T00:00:01.000Z"
+
+
+def test_queue_eviction_and_batching():
+    posts, post_fn = _capture()
+    nm = NotifierManager(
+        ["http://am:9093"], queue_capacity=5, max_batch_size=2,
+        post_fn=post_fn,
+    )
+    alerts = [Alert({"alertname": f"a{i}"}) for i in range(8)]
+    nm.send(*alerts)
+    loop = nm.loops[0]
+    assert loop.queue_len() == 5  # oldest 3 evicted (sendloop.go:94-99)
+    assert loop.dropped == 3
+    nm.flush()
+    assert loop.queue_len() == 0
+    assert [len(b) for _, b in posts] == [2, 2, 1]  # max_batch_size honored
+    # newest survived
+    names = [a["labels"]["alertname"] for _, b in posts for a in b]
+    assert names == ["a3", "a4", "a5", "a6", "a7"]
+
+
+def test_alertmanager_set_relabel_drops_am():
+    nm = NotifierManager(
+        ["http://am1:9093", "http://am2:9093"],
+        alertmanager_relabel=[
+            RelabelConfig(action="drop", source_labels=["__address__"],
+                          regex="am2.*")
+        ],
+        post_fn=lambda u, b: 200,
+    )
+    assert nm.alertmanagers() == ["http://am1:9093/api/v2/alerts"]
+    assert nm.dropped_alertmanagers() == ["http://am2:9093"]
+
+
+def test_send_alerts_resend_gate():
+    posts, post_fn = _capture()
+    nm = NotifierManager(["http://am:9093"], post_fn=post_fn)
+    rows = [
+        ("Hot", {"alertname": "Hot", "id": "1"}, {}, "firing", 500, 2.0),
+        ("Hot", {"alertname": "Hot", "id": "2"}, {}, "pending", 900, 1.0),
+    ]
+    ls = send_alerts(nm, rows, ts_ms=1_000, interval_ms=10_000,
+                     resend_delay_ms=60_000)
+    nm.flush()
+    assert len(posts) == 1 and len(posts[0][1]) == 1  # pending not sent
+    a = posts[0][1][0]
+    assert a["labels"]["id"] == "1"
+    # firing EndsAt = ts + 4*max(interval, resend) (alerting.go:625)
+    assert a["endsAt"] == _rfc3339(1_000 + 4 * 60_000)
+    # within resend delay → suppressed
+    ls = send_alerts(nm, rows[:1], ts_ms=30_000, interval_ms=10_000,
+                     resend_delay_ms=60_000, last_sent=ls)
+    nm.flush()
+    assert len(posts) == 1
+    # resolved always goes out, EndsAt = now (manager.go:485-489)
+    rows_res = [("Hot", {"alertname": "Hot", "id": "1"}, {}, "resolved",
+                 500, 2.0)]
+    send_alerts(nm, rows_res, ts_ms=31_000, interval_ms=10_000,
+                resend_delay_ms=60_000, last_sent=ls)
+    nm.flush()
+    assert len(posts) == 2
+    assert posts[1][1][0]["endsAt"] == _rfc3339(31_000)
+
+
+def test_http_error_counts():
+    nm = NotifierManager(["http://am:9093"],
+                         post_fn=lambda u, b: 503)
+    nm.send(Alert({"alertname": "x"}))
+    nm.flush()
+    assert nm.loops[0].errors == 1 and nm.loops[0].sent == 0
+
+
+def test_api_alertmanagers_endpoint():
+    from prometheus_spark.web.api import PromAPI
+
+    api = PromAPI(engine=None)
+    api.notifier = NotifierManager(["http://am:9093"],
+                                   post_fn=lambda u, b: 200)
+    status, resp = api.handle("/api/v1/alertmanagers", {})
+    assert status == 200
+    assert resp["data"]["activeAlertmanagers"] == [
+        {"url": "http://am:9093/api/v2/alerts"}
+    ]
