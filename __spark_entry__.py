@@ -274,6 +274,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_quality_score"] = lambda s, d: _pipe_quality(s, d)
     q["doc_lang_id"] = lambda s, d: _pipe_lang(s, d)
     q["doc_fingerprint"] = lambda s, d: _pipe_fingerprint(s, d)
+    q["doc_repetition_ratio"] = lambda s, d: _pipe_repetition(s, d)
+    q["doc_topk_ngrams"] = lambda s, d: _pipe_topk_ngrams(s, d)
+    q["doc_sample_stratified"] = lambda s, d: _pipe_stratified(s, d)
+    q["events_sessionization"] = lambda s, d: _pipe_sessions(s, d)
 
     # --- pipeline: dedup ----------------------------------------------------
     q["dedup_exact"] = lambda s, d: _pipe_dedup_exact(s, d)
@@ -590,6 +594,34 @@ def _pipe_fingerprint(spark, sf_dir):
     from prometheus_spark.pipeline import fingerprint
 
     return fingerprint(_tbl(spark, sf_dir, "documents"))
+
+
+def _pipe_repetition(spark, sf_dir):
+    from prometheus_spark.pipeline import repetition_ratio
+
+    return repetition_ratio(_tbl(spark, sf_dir, "documents"))
+
+
+def _pipe_topk_ngrams(spark, sf_dir):
+    from prometheus_spark.pipeline import topk_ngrams
+
+    return topk_ngrams(_tbl(spark, sf_dir, "documents"), k=20, n=2)
+
+
+def _pipe_stratified(spark, sf_dir):
+    from prometheus_spark.pipeline import stratified_sample
+
+    return stratified_sample(
+        _tbl(spark, sf_dir, "documents"),
+        rates={"en": 0.5, "fr": 0.25},
+        default_rate=0.1,
+    ).select("doc_id", "lang")
+
+
+def _pipe_sessions(spark, sf_dir):
+    from prometheus_spark.pipeline import session_stats
+
+    return session_stats(_tbl(spark, sf_dir, "events"), gap_minutes=30.0)
 
 
 def _pipe_dedup_exact(spark, sf_dir):
@@ -1272,6 +1304,66 @@ FROM documents
 """
     o["dedup_exact"] = """
 SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+"""
+    o["doc_repetition_ratio"] = r"""
+WITH f AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CAST(len(w) AS DOUBLE) AS n,
+         CAST(len(list_distinct(w)) AS DOUBLE) AS nd,
+         list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                        i -> w[i] || ' ' || w[i + 1]) AS bg
+  FROM f
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+       ROUND(CASE WHEN n > 0 THEN 1.0 - nd / n ELSE 0.0 END, 6) AS dup_word_frac,
+       ROUND(CASE WHEN len(bg) > 0
+                  THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                  ELSE 0.0 END, 6) AS dup_bigram_frac
+FROM g
+"""
+    o["doc_topk_ngrams"] = r"""
+WITH f AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS w
+  FROM documents
+), g AS (
+  SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                               i -> w[i] || ' ' || w[i + 1])) AS gram
+  FROM f
+)
+SELECT gram, COUNT(*) AS cnt FROM g
+GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 20
+"""
+    o["doc_sample_stratified"] = """
+SELECT doc_id, lang FROM documents
+WHERE (('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) <
+      (CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 2500 ELSE 1000 END)
+"""
+    o["events_sessionization"] = """
+WITH s AS (
+  SELECT user_id, event_id, epoch(ts) AS t,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, t,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM s
+), per AS (
+  SELECT user_id, session_seq, COUNT(*) AS n_events,
+         MAX(t) - MIN(t) AS dur_s
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(AVG(dur_s), 6) AS avg_session_sec,
+       ROUND(AVG(n_events), 6) AS avg_events_per_session
+FROM per GROUP BY 1
 """
     o["dedup_ngram_jaccard"] = r"""
 WITH grams AS (

@@ -28,7 +28,9 @@ HEADLINE = [
     "tpch_revenue_by_nation",
     "tpch_top_orders_per_segment",
     "events_hourly_stats",
+    "events_sessionization",
     "doc_token_count",
+    "doc_topk_ngrams",
     "doc_quality_score",
     "dedup_exact",
     "dedup_minhash_candidates",

@@ -16,6 +16,13 @@ from prometheus_spark.pipeline.textstats import (
     quality_score,
     lang_id,
     fingerprint,
+    repetition_ratio,
+    topk_ngrams,
+    stratified_sample,
+)
+from prometheus_spark.pipeline.sessions import (
+    sessionize,
+    session_stats,
 )
 
 __all__ = [
@@ -32,4 +39,9 @@ __all__ = [
     "quality_score",
     "lang_id",
     "fingerprint",
+    "repetition_ratio",
+    "topk_ngrams",
+    "stratified_sample",
+    "sessionize",
+    "session_stats",
 ]

@@ -103,3 +103,116 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     DuckDB, so the oracle can verify value-for-value)."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.select(F.col(id_col), F.md5(normalized).alias("fingerprint"))
+
+
+def repetition_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition features per document (the Gopher-style repetition
+    filters): fraction of duplicate words and fraction of duplicate
+    bigrams.  Pure column expressions — array ops stay in codegen; at
+    100 TB this is a map-only pass, no shuffle.
+    """
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != F.lit("")
+    )
+    n = F.size(words).cast("double")
+    n_distinct = F.size(F.array_distinct(words)).cast("double")
+    # bigrams: w[i] + ' ' + w[i+1] for i in [0, n-2]
+    bigrams = F.filter(
+        F.transform(
+            words,
+            lambda w, i: F.when(
+                i < F.size(words) - 1,
+                F.concat_ws(" ", w, F.element_at(words, i + 2)),
+            ),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    nb = F.size(bigrams).cast("double")
+    nb_distinct = F.size(F.array_distinct(bigrams)).cast("double")
+    dup_word = F.when(n > 0, 1.0 - n_distinct / n).otherwise(0.0)
+    dup_bigram = F.when(nb > 0, 1.0 - nb_distinct / nb).otherwise(0.0)
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(dup_word, 6).alias("dup_word_frac"),
+        F.round(dup_bigram, 6).alias("dup_bigram_frac"),
+    )
+
+
+def topk_ngrams(
+    df: DataFrame,
+    k: int = 20,
+    n: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams with counts.  The explode →
+    groupBy(count) benefits from map-side partial aggregation, and the
+    final top-k is a TakeOrderedAndProject (no global sort) — the plan
+    holds at 100 TB because only per-partition top candidates reach the
+    driver-side limit stage.  Tie-break: count desc, gram asc.
+    """
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != F.lit("")
+    )
+    grams = F.filter(
+        F.transform(
+            words,
+            lambda w, i: F.when(
+                i < F.size(words) - (n - 1),
+                F.concat_ws(
+                    " ",
+                    *(
+                        [w]
+                        + [F.element_at(words, i + j + 1) for j in range(1, n)]
+                    ),
+                ),
+            ),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    return (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(k)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the downsampling step of a
+    pretraining data mix (e.g. keep 10% of en, 50% of fr).  The keep
+    decision is a pure hash of (salt, id): reproducible across runs and
+    engines (md5 is portable SQL), embarrassingly parallel, no shuffle.
+    """
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10_000
+    )
+    rate = None
+    for stratum, r in sorted(rates.items()):
+        cond = F.col(stratum_col) == stratum
+        rate = (
+            F.when(cond, F.lit(int(r * 10_000)))
+            if rate is None
+            else rate.when(cond, F.lit(int(r * 10_000)))
+        )
+    rate = (
+        rate.otherwise(F.lit(int(default_rate * 10_000)))
+        if rate is not None
+        else F.lit(int(default_rate * 10_000))
+    )
+    return df.filter(bucket < rate)

@@ -178,3 +178,75 @@ def test_ivf_index(spark, tmp_path):
     assert len(pruned) == 5
     probed_ids = {r["vec_id"] for r in pruned}
     assert len(probed_ids & {v for v, _ in brute}) >= 2  # decent recall
+
+
+@needs_data
+def test_repetition_ratio(spark):
+    from prometheus_spark.pipeline import repetition_ratio
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "w x y z"), (3, "")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in repetition_ratio(df).collect()}
+    assert rows[1]["dup_word_frac"] == 0.75       # 4 words, 1 distinct
+    assert rows[1]["dup_bigram_frac"] == pytest.approx(2 / 3)
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[3]["n_words"] == 0 and rows[3]["dup_word_frac"] == 0.0
+
+
+@needs_data
+def test_topk_ngrams(spark):
+    from prometheus_spark.pipeline import topk_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b q")], ["doc_id", "text"]
+    )
+    top = [(r["gram"], r["cnt"]) for r in topk_ngrams(df, k=2, n=2).collect()]
+    assert top == [("a b", 3), ("b a", 1)]  # tie broken gram-asc
+
+
+@needs_data
+def test_stratified_sample_deterministic(spark, docs):
+    from prometheus_spark.pipeline import stratified_sample
+
+    s1 = stratified_sample(docs, {"en": 0.5}, default_rate=0.0)
+    s2 = stratified_sample(docs, {"en": 0.5}, default_rate=0.0)
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2  # reproducible
+    # only the en stratum is kept, at very roughly the requested rate
+    langs = {r["lang"] for r in s1.select("lang").distinct().collect()}
+    assert langs <= {"en"}
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert 0 < len(ids1) < n_en
+    # a different salt draws a different subset
+    s3 = stratified_sample(docs, {"en": 0.5}, default_rate=0.0, salt="v2")
+    ids3 = {r["doc_id"] for r in s3.select("doc_id").collect()}
+    assert ids3 != ids1
+
+
+@needs_data
+def test_sessionization(spark):
+    from prometheus_spark.pipeline import session_stats, sessionize
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 7: 3 events in one session, then a 2h gap -> new session
+        (1, base, 7, "c", 1.0, None),
+        (2, base + dt.timedelta(minutes=10), 7, "c", 1.0, None),
+        (3, base + dt.timedelta(minutes=20), 7, "c", 1.0, None),
+        (4, base + dt.timedelta(hours=3), 7, "c", 1.0, None),
+        # user 8: single event
+        (5, base, 8, "c", 1.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sess = sessionize(ev, gap_minutes=30.0)
+    seqs = {r["event_id"]: r["session_seq"] for r in sess.collect()}
+    assert seqs == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+    stats = {r["user_id"]: r for r in session_stats(ev, 30.0).collect()}
+    assert stats[7]["n_sessions"] == 2
+    assert stats[7]["avg_session_sec"] == pytest.approx((20 * 60 + 0) / 2)
+    assert stats[8]["n_sessions"] == 1 and stats[8]["avg_events_per_session"] == 1.0
