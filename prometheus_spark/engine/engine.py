@@ -59,7 +59,34 @@ class PromQLEngine:
         )
 
     def instant_query(self, query: str, time_ms: int) -> DataFrame:
-        """→ DataFrame (sig, labels, t, value) at the single timestamp."""
+        """→ DataFrame (sig, labels, t, value) at the single timestamp.
+
+        A top-level range-vector expression (matrix selector or
+        subquery) is legal in an instant query and yields a matrix of
+        raw samples at their own timestamps (reference engine.go:714
+        rangeEval on Matrix-typed expressions; the HTTP API renders
+        resultType "matrix").  Range queries reject it, as the reference
+        does.
+        """
+        from prometheus_spark.parser.ast import (
+            MatrixSelector,
+            ParenExpr,
+            SubqueryExpr,
+        )
+
+        node = parse_expr(query)
+        inner = node
+        while isinstance(inner, ParenExpr):
+            inner = inner.expr
+        if isinstance(inner, (MatrixSelector, SubqueryExpr)):
+            ctx = self._ctx(time_ms, time_ms, 1)
+            w, _rng, _mode = Evaluator(ctx)._matrix_arg(inner)
+            hist_cols = ["hist"] if "hist" in w.columns else []
+            out = w.select(
+                "sig", "labels", F.col("sample_t").alias("t"), "value",
+                "drop_name", *hist_cols,
+            )
+            return self._finalize(out)
         return self.range_query(query, time_ms, time_ms, 1)
 
     def range_query(self, query: str, start_ms: int, end_ms: int, step_ms: int) -> DataFrame:

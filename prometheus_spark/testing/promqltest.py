@@ -64,6 +64,10 @@ class EvalCmd:
     is_string: bool = False
     expected_string: str = ""
     skip_reason: str = ""
+    # "expect range vector from A to B step C" grid (ms) — expected
+    # values align to THIS grid and the result is a matrix of raw
+    # samples (promqltest.go rangeVector expectation)
+    matrix_grid: "Optional[tuple[int, int, int]]" = None
 
 
 def parse_series_labels(text: str) -> dict[str, str]:
@@ -346,11 +350,24 @@ def parse_test_text(text: str) -> list:
                     elif kind.startswith("string"):
                         cmd.is_string = True
                         ms = re.search(r'"(.*)"|`(.*)`', body)
-                        cmd.expected_string = ms.group(1) or ms.group(2) if ms else ""
+                        if ms:  # note "" is falsy but a valid expectation
+                            g1, g2 = ms.group(1), ms.group(2)
+                            cmd.expected_string = g1 if g1 is not None else (g2 or "")
                     elif kind in ("info", "warn", "no_info", "no_warn"):
                         pass  # annotations not modeled yet
                     elif kind == "range":
-                        cmd.skip_reason = "expect range vector not supported"
+                        mg = re.search(
+                            r"range\s+vector\s+from\s+(\S+)\s+to\s+(\S+)\s+step\s+(\S+)",
+                            body,
+                        )
+                        if mg:
+                            cmd.matrix_grid = (
+                                _parse_time_ms(mg.group(1)),
+                                _parse_time_ms(mg.group(2)),
+                                _parse_time_ms(mg.group(3)),
+                            )
+                        else:
+                            cmd.skip_reason = f"unparsable expect range: {body}"
                     continue
                 try:
                     cmd.expected.append(_parse_series_line(body))
@@ -595,7 +612,25 @@ def run_test_text(
 
 def _run_eval(engine, cmd: EvalCmd) -> None:
     if cmd.is_string:
-        raise SkipCommand("string results not supported in runner yet")
+        # string literal result (promqltest.go String case)
+        from prometheus_spark.parser import parse_expr
+        from prometheus_spark.parser.ast import ParenExpr, StringLiteral
+
+        node = parse_expr(cmd.query)
+        while isinstance(node, ParenExpr):
+            node = node.expr
+        if not isinstance(node, StringLiteral):
+            raise AssertionError(
+                f"expected string result, got {type(node).__name__}"
+            )
+        if node.value != cmd.expected_string:
+            raise AssertionError(
+                f"want string {cmd.expected_string!r}, got {node.value!r}"
+            )
+        return
+    if cmd.matrix_grid is not None:
+        _run_matrix_eval(engine, cmd)
+        return
     result = engine.range_query(cmd.query, cmd.start_ms, cmd.end_ms, cmd.step_ms)
     got_rows = result.collect()
     if cmd.expect_fail:
@@ -712,3 +747,54 @@ def _almost_equal(a, b) -> bool:
     if abs(a) <= EPSILON or diff < EPSILON:
         return diff <= EPSILON
     return diff / (abs(a) + abs(b)) <= EPSILON
+
+
+def _run_matrix_eval(engine, cmd: EvalCmd) -> None:
+    """Instant query returning a range vector, compared sample-exact
+    against the ``expect range vector from A to B step C`` grid
+    (promqltest.go matrix expectation): samples must exist exactly at
+    the expected grid slots — `_` asserts absence."""
+    result = engine.instant_query(cmd.query, cmd.time_ms)
+    got_rows = result.collect()
+    if cmd.expect_fail:
+        raise AssertionError("expected query to fail, but it succeeded")
+    g0, _g1, gs = cmd.matrix_grid
+
+    expected: dict[tuple, dict[int, object]] = {}
+    for s in cmd.expected:
+        key = tuple(sorted(s.labels.items()))
+        slots = expected.setdefault(key, {})
+        for idx, v in s.points:
+            if v is None or (isinstance(v, str) and v == "stale"):
+                continue
+            slots[g0 + idx * gs] = v
+
+    got: dict[tuple, dict[int, object]] = {}
+    has_hist = "hist" in result.columns
+    for r in got_rows:
+        key = tuple(sorted(dict(r["labels"]).items()))
+        val = r["value"]
+        if val is None and has_hist and r["hist"] is not None:
+            val = r["hist"].asDict(recursive=True)
+        got.setdefault(key, {})[r["t"]] = val
+
+    def fmt(key):
+        return "{" + ",".join(f'{k}="{v}"' for k, v in key) + "}"
+
+    missing = [k for k in expected if k not in got]
+    extra = [k for k in got if k not in expected]
+    if missing or extra:
+        raise AssertionError(
+            f"matrix series mismatch: missing={[fmt(k) for k in missing]} "
+            f"unexpected={[fmt(k) for k in extra]}"
+        )
+    for key, slots in expected.items():
+        gslots = got[key]
+        for t, want in slots.items():
+            if t not in gslots:
+                raise AssertionError(f"{fmt(key)} t={t}: want {want}, got no sample")
+            if not _values_equal(want, gslots[t]):
+                raise AssertionError(f"{fmt(key)} t={t}: want {want}, got {gslots[t]}")
+        for t in gslots:
+            if t not in slots:
+                raise AssertionError(f"{fmt(key)} t={t}: unexpected sample {gslots[t]}")

@@ -295,7 +295,12 @@ class PromAPI:
         from prometheus_spark.parser.ast import ValueType
 
         vt = parse_expr(q).value_type()
-        rtype = "scalar" if vt == ValueType.SCALAR else "vector"
+        if vt == ValueType.SCALAR:
+            rtype = "scalar"
+        elif vt == ValueType.MATRIX:
+            rtype = "matrix"  # top-level range-vector instant query
+        else:
+            rtype = "vector"
         data = render_result(rows, rtype)
         if params.get("stats", [""])[0]:
             data["stats"] = _query_stats(t_start, t_prepared, _time.monotonic())

@@ -393,3 +393,18 @@ def test_scrape_pools_and_blocks(api, spark, tmp_path):
     assert resp["data"]["blocks"] == [
         {"ulid": "t_bucket=0", "minTime": 0, "maxTime": 7_200_000}
     ]
+
+
+def test_instant_matrix_result(api):
+    # top-level matrix selector in an instant query → resultType matrix
+    # of raw samples (api.go / engine.go Matrix-typed instant query)
+    code, resp = api.handle(
+        "/api/v1/query", {"query": ["m[2m]"], "time": ["180"]}
+    )
+    assert code == 200, resp
+    data = resp["data"]
+    assert data["resultType"] == "matrix"
+    by_job = {s["metric"]["job"]: s["values"] for s in data["result"]}
+    # (60s,180s] window → samples at 120s and 180s, raw timestamps
+    assert by_job["a"] == [[120, "2"], [180, "3"]]
+    assert by_job["b"] == [[120, "4"], [180, "6"]]
