@@ -172,8 +172,10 @@ def topk_ngrams(
         ),
         lambda g: g.isNotNull(),
     )
+    from prometheus_spark.pipeline.dedup import _spread
+
     return (
-        df.select(F.explode(grams).alias("gram"))
+        _spread(df, text_col).select(F.explode(grams).alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("gram"))
