@@ -153,3 +153,28 @@ def to_samples(parsed: DataFrame) -> DataFrame:
         "value",
         F.lit(False).alias("stale"),
     )
+
+
+def parse_exposition_metadata(text: str) -> dict:
+    """Extract family metadata from ``# TYPE`` / ``# HELP`` / ``# UNIT``
+    comment lines (promparse.go Type/Help comment handling) —
+    family → {"type", "help", "unit"}."""
+    meta: dict[str, dict] = {}
+    for line in text.split("\n"):
+        line = line.strip()
+        if not line.startswith("#"):
+            continue
+        parts = line.split(None, 3)
+        if len(parts) < 3 or parts[1] not in ("TYPE", "HELP", "UNIT"):
+            continue
+        fam = parts[2]
+        slot = meta.setdefault(
+            fam, {"type": "unknown", "help": "", "unit": ""}
+        )
+        if parts[1] == "TYPE":
+            slot["type"] = parts[3].strip() if len(parts) > 3 else "unknown"
+        elif parts[1] == "HELP":
+            slot["help"] = parts[3] if len(parts) > 3 else ""
+        else:
+            slot["unit"] = parts[3].strip() if len(parts) > 3 else ""
+    return meta

@@ -79,7 +79,13 @@ def parse_scrape_body(
             body.decode(), default_ts_ms=default_ts_ms
         )
         return list(samples), meta
-    return list(parse_exposition_text(body.decode(), default_ts_ms)), {}
+    from prometheus_spark.sources.promtext import parse_exposition_metadata
+
+    text = body.decode()
+    return (
+        list(parse_exposition_text(text, default_ts_ms)),
+        parse_exposition_metadata(text),
+    )
 
 
 class ScrapeManager:
@@ -102,6 +108,9 @@ class ScrapeManager:
         # family → {type, help, unit}, accumulated across scrapes — the
         # metadata store the /api/v1/metadata endpoint serves
         self.metadata: dict[str, dict] = {}
+        # per-target family metadata for /api/v1/targets/metadata
+        # (reference scrape cache MetadataList per target)
+        self.target_metadata: dict[str, dict[str, dict]] = {}
         self._n = 0
         self._stop = threading.Event()
 
@@ -132,6 +141,7 @@ class ScrapeManager:
                 ct = resp.headers.get("Content-Type", "text/plain")
             parsed, meta = parse_scrape_body(body, ct, now_ms)
             self.metadata.update(meta)
+            self.target_metadata.setdefault(tgt.url, {}).update(meta)
             scraped = len(parsed)
             sigs = set()
             for labels, t, v in parsed:

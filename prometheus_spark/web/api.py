@@ -189,6 +189,69 @@ class PromAPI:
         self.blocks_dir: Optional[str] = None  # /status/tsdb/blocks source
         self.notifier = None  # NotifierManager for /alertmanagers
 
+    def targets_metadata(self, params: dict) -> tuple[int, dict]:
+        """api.go targetMetadata: per-target metric metadata filtered by
+        match_target label matchers and an optional metric family."""
+        import re as _re
+
+        from prometheus_spark.parser import parse_expr
+        from prometheus_spark.parser.ast import MatchType, VectorSelector
+
+        try:
+            limit = int(params.get("limit", ["-1"])[0])
+        except ValueError:
+            return 400, {"status": "error", "errorType": "bad_data",
+                         "error": "limit must be a number"}
+        metric = params.get("metric", [""])[0]
+        match_target = params.get("match_target", [""])[0]
+        matchers = []
+        if match_target:
+            try:
+                node = parse_expr(match_target)
+                assert isinstance(node, VectorSelector)
+                matchers = node.matchers
+            except Exception as e:  # noqa: BLE001 — API boundary
+                return 400, {"status": "error", "errorType": "bad_data",
+                             "error": f"invalid match_target: {e}"}
+
+        def _match(lbls: dict) -> bool:
+            for m in matchers:
+                v = lbls.get(m.name, "")
+                if m.type == MatchType.EQ:
+                    ok = v == m.value
+                elif m.type == MatchType.NEQ:
+                    ok = v != m.value
+                else:
+                    ok = bool(_re.fullmatch(m.value, v))
+                    if m.type == MatchType.NRE:
+                        ok = not ok
+                if not ok:
+                    return False
+            return True
+
+        res: list[dict] = []
+        sm = self.scrape_manager
+        for t in (sm.targets if sm is not None else []):
+            if 0 <= limit <= len(res):
+                break
+            tl = t.target_labels()
+            if matchers and not _match(tl):
+                continue
+            md = sm.target_metadata.get(t.url, {})
+            fams = [metric] if metric else sorted(md)
+            for fam in fams:
+                if fam not in md:
+                    continue
+                m = md[fam]
+                res.append({
+                    "target": tl,
+                    "metric": fam,
+                    "type": m.get("type", "unknown"),
+                    "help": m.get("help", ""),
+                    "unit": m.get("unit", ""),
+                })
+        return 200, {"status": "success", "data": res}
+
     def record_alerts(self, alert_rows: list) -> None:
         """Feed the latest RulesEngine.eval_tick alert snapshot so
         /api/v1/alerts serves it."""
@@ -704,6 +767,26 @@ class PromAPI:
             } - {""})
             return 200, {"status": "success",
                          "data": {"scrapePools": pools}}
+        if path == "/api/v1/targets/metadata":
+            return self.targets_metadata(params)
+        if path == "/api/v1/status/walreplay":
+            # api.go serveWALReplayStatus: batch storage has no replaying
+            # WAL — report a completed replay (min=max=current)
+            return 200, {
+                "status": "success",
+                "data": {"min": 0, "max": 0, "current": 0},
+            }
+        if path == "/api/v1/notifications":
+            # api.go notifications: active UI notifications (config
+            # reload failures etc.) — populated via self.active_notifications
+            return 200, {
+                "status": "success",
+                "data": {
+                    "notifications": list(
+                        getattr(self, "active_notifications", [])
+                    )
+                },
+            }
         if path == "/api/v1/alertmanagers":
             # api.go:1490 alertmanagers: active + dropped discovery state
             nt = getattr(self, "notifier", None)

@@ -127,3 +127,47 @@ def test_scrape_metadata_accumulates(tmp_path, exposition_server):
     assert resp["data"]["m"] == [
         {"type": "counter", "help": "help text"}
     ]
+
+
+def test_targets_metadata_endpoint(tmp_path, exposition_server):
+    from prometheus_spark.web.api import PromAPI
+
+    mgr = ScrapeManager(
+        str(tmp_path / "spool"),
+        [ScrapeTarget(exposition_server, labels={"job": "node"})],
+    )
+    mgr.scrape_once(now_ms=0)
+    api = PromAPI(engine=None, scrape_manager=mgr)
+    code, resp = api.handle("/api/v1/targets/metadata", {})
+    assert code == 200
+    fams = {r["metric"]: r for r in resp["data"]}
+    assert fams["http_requests_total"]["type"] == "counter"
+    assert fams["http_requests_total"]["target"]["job"] == "node"
+    # metric filter
+    code, resp = api.handle(
+        "/api/v1/targets/metadata", {"metric": ["http_requests_total"]}
+    )
+    assert [r["metric"] for r in resp["data"]] == ["http_requests_total"]
+    # match_target filters out non-matching targets
+    code, resp = api.handle(
+        "/api/v1/targets/metadata", {"match_target": ['{job="other"}']}
+    )
+    assert resp["data"] == []
+    # limit
+    code, resp = api.handle("/api/v1/targets/metadata", {"limit": ["0"]})
+    assert resp["data"] == []
+
+
+def test_walreplay_and_notifications(tmp_path):
+    from prometheus_spark.web.api import PromAPI
+
+    api = PromAPI(engine=None)
+    code, resp = api.handle("/api/v1/status/walreplay", {})
+    assert code == 200 and resp["data"] == {"min": 0, "max": 0, "current": 0}
+    api.active_notifications = [
+        {"text": "config reloaded", "date": "2026-01-01T00:00:00Z",
+         "active": False}
+    ]
+    code, resp = api.handle("/api/v1/notifications", {})
+    assert code == 200
+    assert resp["data"]["notifications"][0]["text"] == "config reloaded"
