@@ -430,47 +430,65 @@ def _extrapolated(
         )
     )
 
-    ms = 1 / 1000.0
-    range_s = F.lit(range_ms * ms)
-    delta = F.col("last_v") - F.col("first_v") + F.col("correction")
-    # window edges in seconds relative to the offset-adjusted (wend-range, wend]
-    dur_start = (F.col("first_t") - (F.col("wend") - F.lit(range_ms))) * ms
-    dur_end = (F.col("wend") - F.col("last_t")) * ms
-    sampled = (F.col("last_t") - F.col("first_t")) * ms
-    avg_spacing = F.when(F.col("n") > 1, sampled / (F.col("n") - 1)).otherwise(F.lit(0.0))
-    threshold = avg_spacing * 1.1
-
-    ext_start = F.when(dur_start >= threshold, avg_spacing / 2.0).otherwise(dur_start)
-    st0 = F.coalesce(F.col("st0"), F.lit(0))
-    st_cond = F.lit(False)
+    # The extrapolation arithmetic is assembled as ONE SQL string passed
+    # to F.expr: semantically identical to building it Column-by-Column,
+    # but a single py4j round trip instead of ~1500 — plan-construction
+    # latency is the dominant per-query fixed cost (codegen CSE collapses
+    # the textual duplication of shared subexpressions).
+    R = float(range_ms)
+    delta0 = "(last_v - first_v + correction)"
+    dur_start = f"((first_t - (wend - {R})) / 1000.0D)"
+    dur_end = "((wend - last_t) / 1000.0D)"
+    sampled = "((last_t - first_t) / 1000.0D)"
+    avg_spacing = (
+        f"(CASE WHEN n > 1 THEN {sampled} / (n - 1) ELSE 0.0D END)"
+    )
+    threshold = f"({avg_spacing} * 1.1D)"
+    ext_start = (
+        f"(CASE WHEN {dur_start} >= {threshold} THEN {avg_spacing} / 2.0D"
+        f" ELSE {dur_start} END)"
+    )
+    st0 = "(coalesce(st0, 0L))"
     if is_counter:
         # counter started inside the window: clamp extrapolation at the
         # implied zero crossing (functions.go "durationToZero" heuristic)
-        zero_dur = F.when(
-            (delta > 0) & (F.col("first_v") >= 0), sampled * (F.col("first_v") / delta)
-        ).otherwise(F.lit(float("inf")))
-        ext_start = F.least(ext_start, zero_dur)
+        zero_dur = (
+            f"(CASE WHEN {delta0} > 0 AND first_v >= 0"
+            f" THEN {sampled} * (first_v / {delta0})"
+            f" ELSE double('inf') END)"
+        )
+        ext_start = f"(least({ext_start}, {zero_dur}))"
         # first sample's ST inside (rangeStart, firstT): assume a zero
         # sample at the ST instead of extrapolating left
         st_cond = (
-            (st0 != 0)
-            & (st0 > F.col("wend") - F.lit(range_ms))
-            & (st0 < F.col("first_t"))
+            f"({st0} != 0 AND {st0} > wend - {R} AND {st0} < first_t)"
         )
-        ext_start = F.when(st_cond, F.lit(0.0)).otherwise(ext_start)
-        delta = delta + F.when(st_cond, F.col("first_v")).otherwise(F.lit(0.0))
-    sampled_f = F.when(st_cond, (F.col("last_t") - st0) * ms).otherwise(sampled)
-    ext_end = F.when(dur_end >= threshold, avg_spacing / 2.0).otherwise(dur_end)
-
-    factor = F.when(sampled_f != 0, (sampled_f + ext_start + ext_end) / sampled_f).otherwise(
-        F.lit(1.0)
+        ext_start = f"(CASE WHEN {st_cond} THEN 0.0D ELSE {ext_start} END)"
+        delta = (
+            f"({delta0} + (CASE WHEN {st_cond} THEN first_v ELSE 0.0D END))"
+        )
+    else:
+        st_cond = "false"
+        delta = delta0
+    sampled_f = (
+        f"(CASE WHEN {st_cond} THEN (last_t - {st0}) / 1000.0D"
+        f" ELSE {sampled} END)"
     )
-    value = delta * factor
+    ext_end = (
+        f"(CASE WHEN {dur_end} >= {threshold} THEN {avg_spacing} / 2.0D"
+        f" ELSE {dur_end} END)"
+    )
+    factor = (
+        f"(CASE WHEN {sampled_f} != 0"
+        f" THEN ({sampled_f} + {ext_start} + {ext_end}) / {sampled_f}"
+        f" ELSE 1.0D END)"
+    )
+    value = f"(CAST({delta} AS DOUBLE) * {factor})"
     if is_rate:
-        value = value / range_s
+        value = f"({value} / {R / 1000.0}D)"
 
-    out = stats.filter((F.col("n") >= 2) | st_cond).select(
-        "sig", "labels", "t", value.alias("value")
+    out = stats.filter(F.expr(f"n >= 2 OR {st_cond}")).select(
+        "sig", "labels", "t", F.expr(value).alias("value")
     )
     return _finish(out, ctx)
 

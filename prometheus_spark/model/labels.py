@@ -11,6 +11,7 @@ whole-stage codegen.  Spark cannot group/join on MapType directly, so the
 
 from __future__ import annotations
 
+import functools
 from typing import Iterable, Mapping
 
 from pyspark.sql import Column
@@ -22,6 +23,25 @@ KV_SEP = "\x1e"
 PAIR_SEP = "\x1f"
 
 
+
+
+def _memo_on_str(fn):
+    """Memoize an expression builder when every arg is hashable (the
+    common string-column-name call shape).  Column trees are immutable,
+    so reuse is safe — and it turns the builder's dozens of py4j round
+    trips into a dict hit on every query after the first."""
+    cached = functools.lru_cache(maxsize=256)(fn)
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return cached(*args, **kwargs)
+        except TypeError:  # unhashable (Column arg) — build fresh
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+@_memo_on_str
 def sig_expr(labels_col: Column | str = "labels") -> Column:
     """Canonical signature of a labels map: sorted k\\x1ev pairs."""
     col = F.col(labels_col) if isinstance(labels_col, str) else labels_col
@@ -72,6 +92,25 @@ def group_labels_expr(
     by: Iterable[str] | None,
     without: Iterable[str] | None,
 ) -> Column:
+    if isinstance(labels_col, str):  # hashable shape → memoized path
+        return _group_labels_cached(
+            labels_col,
+            tuple(by) if by is not None else None,
+            tuple(without) if without is not None else None,
+        )
+    return _group_labels_build(labels_col, by, without)
+
+
+@functools.lru_cache(maxsize=256)
+def _group_labels_cached(labels_col, by, without):
+    return _group_labels_build(labels_col, by, without)
+
+
+def _group_labels_build(
+    labels_col: Column | str,
+    by: Iterable[str] | None,
+    without: Iterable[str] | None,
+) -> Column:
     """Output label map for aggregation grouping (engine.go:4412).
 
     ``by(...)`` keeps listed labels; ``without(...)`` drops listed labels
@@ -93,6 +132,7 @@ def group_labels_expr(
     return F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>"))
 
 
+@_memo_on_str
 def drop_name_expr(labels_col: Column | str = "labels") -> Column:
     """Drop ``__name__`` — functions/operators that change meaning drop the
     metric name from output labels (reference: engine.go:4254
@@ -107,6 +147,7 @@ def drop_name_expr(labels_col: Column | str = "labels") -> Column:
 METADATA_LABELS = (METRIC_NAME_LABEL, "__type__", "__unit__")
 
 
+@_memo_on_str
 def drop_metadata_expr(labels_col: Column | str = "labels") -> Column:
     """Drop all schema metadata labels (__name__/__type__/__unit__) — the
     delayed-name-removal finalization step (engine.go DropReserved)."""
