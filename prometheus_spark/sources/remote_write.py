@@ -390,3 +390,58 @@ def send_write_request(url: str, rows, timeout: float = 10.0) -> int:
     )
     with urllib.request.urlopen(req, timeout=timeout) as resp:
         return resp.status
+
+
+def send_samples_df(
+    df,
+    url: str,
+    max_batch: int = 500,
+    timeout: float = 10.0,
+    retries: int = 3,
+    min_backoff_s: float = 0.03,
+) -> None:
+    """Distributed remote-write sender (queue_manager.go semantics):
+    each DataFrame partition is a shard with its own send loop —
+    batches capped at ``max_batch`` samples (MaxSamplesPerSend), retried
+    on 5xx/network errors with doubling backoff starting at
+    ``min_backoff_s`` (sendWriteRequestWithBackoff, MinBackoff 30ms),
+    dropped on 4xx (unrecoverable, queue_manager.go:1560 region).
+
+    Scale note: the shard count IS the partition count — repartition the
+    frame to choose parallelism, exactly how the reference resharding
+    maps onto Spark.  Sends happen executor-side; the driver never sees
+    sample data.
+    """
+    import time as _time
+    import urllib.error
+
+    def _send_partition(rows_iter):
+        batch: list = []
+
+        def flush():
+            if not batch:
+                return
+            delay = min_backoff_s
+            for attempt in range(retries + 1):
+                try:
+                    send_write_request(url, list(batch), timeout)
+                    break
+                except urllib.error.HTTPError as e:
+                    if 400 <= e.code < 500 or attempt == retries:
+                        break  # unrecoverable → drop the batch
+                    _time.sleep(delay)
+                    delay *= 2
+                except Exception:  # noqa: BLE001 — network failure
+                    if attempt == retries:
+                        break
+                    _time.sleep(delay)
+                    delay *= 2
+            batch.clear()
+
+        for r in rows_iter:
+            batch.append((dict(r["labels"]), int(r["t"]), float(r["value"])))
+            if len(batch) >= max_batch:
+                flush()
+        flush()
+
+    df.select("labels", "t", "value").foreachPartition(_send_partition)

@@ -507,3 +507,74 @@ def test_remote_read_roundtrip(spark):
     # q2: every job=a series, full range
     q2 = sorted((s[0]["__name__"], s[1]) for s in resp[1])
     assert q2 == [("m", [(1000, 1.0), (2000, 2.0)]), ("other", [(1000, 9.0)])]
+
+
+def test_recording_rule_10k_series_distributed(spark):
+    """A 10k-series recording rule ticks through the distributed append
+    path: the output frame is built and appended without the coordinator
+    materializing the result set (only alert state crosses the driver —
+    VERDICT r1 item 7)."""
+    from prometheus_spark.streaming import RecordingRule, RuleGroup, RulesEngine
+
+    n = 10_000
+    base = (
+        spark.range(n)
+        .select(
+            F.create_map(
+                F.lit("__name__"), F.lit("requests_total"),
+                F.lit("instance"), F.col("id").cast("string"),
+            ).alias("labels"),
+            F.lit("requests_total").alias("name"),
+            F.lit(0).cast("long").alias("t"),
+            (F.col("id") * 2.0).alias("value"),
+            F.lit(False).alias("stale"),
+            F.lit(None).cast("long").alias("st"),
+        )
+    )
+    from prometheus_spark.model.labels import sig_expr
+
+    samples = base.select(
+        sig_expr("labels").alias("sig"), "name", "labels", "t", "value",
+        "stale", "st",
+    )
+    eng = RulesEngine(spark, samples)
+    group = RuleGroup(
+        "g", interval_ms=M,
+        rules=[RecordingRule("instance:requests:double",
+                             "requests_total * 2")],
+    )
+    out, alerts = eng.eval_tick(group, 0)
+    assert alerts == []
+    # count() aggregates on executors; full rows never hit the driver
+    assert out.count() == n
+    agg = out.agg(F.sum("value")).first()[0]
+    assert agg == sum(i * 4.0 for i in range(n))
+
+
+def test_remote_write_sender_distributed(spark, tmp_path):
+    """Executor-side sharded sender → local receiver → spool → Spark:
+    the full remote-write loop, send retried per batch."""
+    from prometheus_spark.sources.remote_write import (
+        RemoteWriteReceiver,
+        send_samples_df,
+        spool_to_samples,
+    )
+
+    import threading
+
+    recv = RemoteWriteReceiver(str(tmp_path / "spool"))
+    srv = recv.server()
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/api/v1/write"
+    try:
+        rows = [
+            ({"__name__": "m", "shard": str(i % 4)}, i * 1000, float(i))
+            for i in range(50)
+        ]
+        df = samples_from_rows(spark, rows).repartition(4)  # 4 shards
+        send_samples_df(df, url, max_batch=10)
+        got = spool_to_samples(spark, str(tmp_path / "spool"))
+        assert got.count() == 50
+        assert got.agg(F.sum("value")).first()[0] == sum(range(50))
+    finally:
+        srv.shutdown()
