@@ -51,6 +51,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .groupBy("content_hash")
         .agg(F.min(id_col).alias(id_col))
     )
+    # the survivors-by-id semi-join keeps the wide text column out of the
+    # content-hash shuffle: only (hash, id) pairs travel there.  The
+    # dropDuplicates guards inputs with repeated ids and is co-partitioned
+    # with the join — no extra exchange.
     return df.join(keep, id_col, "left_semi").dropDuplicates([id_col])
 
 

@@ -1,0 +1,141 @@
+"""Physical-plan assertions — the 100 TB design contract.
+
+These tests pin the properties that make the engine viable at scale:
+filters reach the parquet scan (partition pruning + row-group stats),
+the float hot path never enters Python, joins pick hash/sort-merge
+strategies (never cartesian), and single aggregations produce a single
+shuffle.  A regression here is invisible at test scale but fatal at
+corpus scale, so it is asserted, not assumed.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from prometheus_spark.storage import samples_from_rows, write_samples
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    """A partitioned on-disk samples store (t_bucket + name layout)."""
+    path = str(tmp_path_factory.mktemp("samples") / "store")
+    rows = []
+    for h in range(6):  # 6 two-hour buckets
+        for name in ("http_requests_total", "node_load1"):
+            for i in range(3):
+                rows.append(
+                    ({"__name__": name, "instance": str(i)},
+                     h * 7_200_000 + 60_000, float(h * 10 + i))
+                )
+    write_samples(samples_from_rows(spark, rows), path)
+    return path
+
+
+def test_name_filter_prunes_partitions(spark, store):
+    """A metric-name equality predicate must prune the name= partition
+    directories (the postings-index role of the layout)."""
+    from prometheus_spark.storage import read_samples
+
+    df = read_samples(spark, store).filter(
+        F.col("name") == "http_requests_total"
+    )
+    plan = _plan(df)
+    # partition filter on the name partition column, not a post-scan filter
+    assert "PartitionFilters" in plan
+    assert "http_requests_total" in plan
+    # the pruned scan must not read node_load1 rows at all
+    assert df.count() == 18
+    # files actually read during execution (inputFiles() reports the
+    # unpruned relation) — every one is in the name= partition
+    files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
+    assert files and all("name=http_requests_total" in f for f in files)
+
+
+def test_time_filter_prunes_buckets(spark, store):
+    from prometheus_spark.storage import read_samples
+
+    df = read_samples(spark, store).filter(F.col("t_bucket") == 2)
+    files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
+    assert files and all("t_bucket=2" in f for f in files)
+
+
+def test_float_path_has_no_python(spark):
+    """sum by (rate()) — the headline shape — must contain no Python
+    evaluation operator: the float hot path is JVM-only."""
+    from prometheus_spark.engine import PromQLEngine
+
+    rows = [({"__name__": "m", "i": str(i)}, t * 10_000, float(t))
+            for t in range(10) for i in range(3)]
+    # a float-only store (no hist column), the bench/ingest shape — the
+    # engine then plans no histogram branch at all
+    samples = samples_from_rows(spark, rows).drop("hist")
+    eng = PromQLEngine(spark, samples)
+    df = eng.instant_query("sum by (i) (rate(m[1m]))", 100_000)
+    plan = _plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas", "PythonUDF"):
+        assert marker not in plan, f"Python operator {marker} in float path"
+
+
+def test_binop_join_not_cartesian(spark):
+    """Vector-matching binary ops are signature equi-joins — the plan
+    must use a hash or sort-merge join, never cartesian/BNL."""
+    from prometheus_spark.engine import PromQLEngine
+
+    rows = []
+    for i in range(4):
+        rows.append(({"__name__": "a", "i": str(i)}, 0, float(i)))
+        rows.append(({"__name__": "b", "i": str(i)}, 0, float(i + 1)))
+    eng = PromQLEngine(spark, samples_from_rows(spark, rows))
+    df = eng.instant_query("a / on(i) b", 0)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+            or "ShuffledHashJoin" in plan)
+    assert df.count() == 4
+
+
+def test_selector_no_cross_join_with_grid(spark):
+    """The lookback selector explodes serve-intervals instead of
+    cross-joining series x grid: no cartesian operator even for a
+    1000-step range query."""
+    from prometheus_spark.engine import PromQLEngine
+
+    rows = [({"__name__": "m", "i": str(i)}, t * 10_000, float(t))
+            for t in range(20) for i in range(3)]
+    eng = PromQLEngine(spark, samples_from_rows(spark, rows))
+    df = eng.range_query("m", 0, 1_000_000, 1_000)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_pipeline_dedup_single_shuffle(spark):
+    """exact_dedup = one hash aggregation: exactly one exchange in the
+    distinct/groupBy and no join back against the full text column."""
+    from prometheus_spark.pipeline import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 5}") for i in range(50)], ["doc_id", "text"]
+    )
+    plan = _plan(exact_dedup(docs))
+    # shape: (hash,id)-only aggregation shuffle + id-keyed semi-join —
+    # the wide text column never enters the content-hash exchange
+    assert plan.count("Exchange") <= 3
+    assert "CartesianProduct" not in plan
+    import re
+    hash_exchange = re.search(
+        r"Exchange hashpartitioning\(content_hash[^\n]*\n[^\n]*", plan
+    )
+    assert hash_exchange and "text" not in hash_exchange.group(0)
