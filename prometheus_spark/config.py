@@ -1,0 +1,249 @@
+"""prometheus.yml configuration loading and server assembly.
+
+Mirrors the reference config surface (config/config.go: GlobalConfig
+defaults at config.go:173, ScrapeConfig fields at config.go:776+,
+AlertingConfig at config.go:1274, relabel config lists) so a user of the
+reference can point this engine at their existing ``prometheus.yml`` and
+get the same scrape targets, rule groups, relabeling, external labels,
+and alertmanager wiring — assembled onto Spark-native components
+(ScrapeManager, RulesEngine, NotifierManager, PromAPI).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import yaml
+
+from prometheus_spark.parser.lexer import parse_duration_ms
+from prometheus_spark.sources.relabel import RelabelConfig
+
+# config.go:173 DefaultGlobalConfig
+DEFAULT_SCRAPE_INTERVAL_MS = 60_000
+DEFAULT_SCRAPE_TIMEOUT_MS = 10_000
+DEFAULT_EVAL_INTERVAL_MS = 60_000
+
+
+def _dur_ms(v, default: int) -> int:
+    if v is None:
+        return default
+    if isinstance(v, (int, float)):
+        return int(v * 1000)  # bare numbers are seconds in the reference
+    return parse_duration_ms(str(v))
+
+
+def _relabels(raw: Optional[list]) -> list[RelabelConfig]:
+    out = []
+    for rc in raw or []:
+        out.append(
+            RelabelConfig(
+                action=rc.get("action", "replace"),
+                source_labels=list(rc.get("source_labels", [])),
+                separator=rc.get("separator", ";"),
+                regex=str(rc.get("regex", "(.*)")),
+                target_label=rc.get("target_label", ""),
+                replacement=str(rc.get("replacement", "$1")),
+                modulus=int(rc.get("modulus", 0)),
+            )
+        )
+    return out
+
+
+@dataclass
+class ScrapeJobConfig:
+    job_name: str
+    targets: list[str]  # resolved URLs
+    labels: dict = field(default_factory=dict)
+    scrape_interval_ms: int = DEFAULT_SCRAPE_INTERVAL_MS
+    scrape_timeout_ms: int = DEFAULT_SCRAPE_TIMEOUT_MS
+    honor_labels: bool = False
+    relabel_configs: list = field(default_factory=list)
+    metric_relabel_configs: list = field(default_factory=list)
+
+
+@dataclass
+class PromConfig:
+    scrape_interval_ms: int = DEFAULT_SCRAPE_INTERVAL_MS
+    scrape_timeout_ms: int = DEFAULT_SCRAPE_TIMEOUT_MS
+    evaluation_interval_ms: int = DEFAULT_EVAL_INTERVAL_MS
+    external_labels: dict = field(default_factory=dict)
+    scrape_jobs: list = field(default_factory=list)
+    rule_files: list = field(default_factory=list)  # resolved paths
+    alertmanager_urls: list = field(default_factory=list)
+    alert_relabel_configs: list = field(default_factory=list)
+    alertmanager_relabel_configs: list = field(default_factory=list)
+    remote_write_urls: list = field(default_factory=list)
+    raw_yaml: str = ""
+
+
+def load_config(path: str) -> PromConfig:
+    """Parse a prometheus.yml (config.go Load/UnmarshalYAML semantics:
+    global defaults flow into per-job unset fields; rule_files support
+    globs relative to the config file)."""
+    with open(path) as f:
+        raw = f.read()
+    doc = yaml.safe_load(raw) or {}
+    if not isinstance(doc, dict):
+        raise ValueError("invalid config: top level must be a mapping")
+    g = doc.get("global") or {}
+    cfg = PromConfig(
+        scrape_interval_ms=_dur_ms(
+            g.get("scrape_interval"), DEFAULT_SCRAPE_INTERVAL_MS
+        ),
+        scrape_timeout_ms=_dur_ms(
+            g.get("scrape_timeout"), DEFAULT_SCRAPE_TIMEOUT_MS
+        ),
+        evaluation_interval_ms=_dur_ms(
+            g.get("evaluation_interval"), DEFAULT_EVAL_INTERVAL_MS
+        ),
+        external_labels=dict(g.get("external_labels") or {}),
+        raw_yaml=raw,
+    )
+
+    base = os.path.dirname(os.path.abspath(path))
+    for pat in doc.get("rule_files") or []:
+        pat = pat if os.path.isabs(pat) else os.path.join(base, pat)
+        cfg.rule_files.extend(sorted(_glob.glob(pat)))
+
+    seen_jobs = set()
+    for sc in doc.get("scrape_configs") or []:
+        job = sc.get("job_name")
+        if not job:
+            raise ValueError("scrape config missing job_name")
+        if job in seen_jobs:  # config.go: job names must be unique
+            raise ValueError(f"found multiple scrape configs with job name {job!r}")
+        seen_jobs.add(job)
+        scheme = sc.get("scheme", "http")
+        path_ = sc.get("metrics_path", "/metrics")
+        targets: list[str] = []
+        labels: dict = {}
+        for static in sc.get("static_configs") or []:
+            for tgt in static.get("targets") or []:
+                targets.append(f"{scheme}://{tgt}{path_}")
+            labels.update(static.get("labels") or {})
+        cfg.scrape_jobs.append(
+            ScrapeJobConfig(
+                job_name=job,
+                targets=targets,
+                labels=labels,
+                scrape_interval_ms=_dur_ms(
+                    sc.get("scrape_interval"), cfg.scrape_interval_ms
+                ),
+                scrape_timeout_ms=_dur_ms(
+                    sc.get("scrape_timeout"), cfg.scrape_timeout_ms
+                ),
+                honor_labels=bool(sc.get("honor_labels", False)),
+                relabel_configs=_relabels(sc.get("relabel_configs")),
+                metric_relabel_configs=_relabels(
+                    sc.get("metric_relabel_configs")
+                ),
+            )
+        )
+
+    alerting = doc.get("alerting") or {}
+    cfg.alert_relabel_configs = _relabels(
+        alerting.get("alert_relabel_configs")
+    )
+    for am in alerting.get("alertmanagers") or []:
+        scheme = am.get("scheme", "http")
+        path_prefix = am.get("path_prefix", "")
+        cfg.alertmanager_relabel_configs = _relabels(
+            am.get("relabel_configs")
+        ) or cfg.alertmanager_relabel_configs
+        for static in am.get("static_configs") or []:
+            for tgt in static.get("targets") or []:
+                cfg.alertmanager_urls.append(
+                    f"{scheme}://{tgt}{path_prefix}"
+                )
+
+    for rw in doc.get("remote_write") or []:
+        if rw.get("url"):
+            cfg.remote_write_urls.append(rw["url"])
+    return cfg
+
+
+def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/prom_spool"):
+    """Assemble the runtime from a loaded config: scrape manager (one
+    target list across jobs, per-job labels + metric relabeling), rule
+    groups from rule_files, notifier, and the /api/v1 surface — the
+    same wiring cmd/prometheus/main.go performs on the reference.
+
+    Returns a dict of components; callers drive the tick/scrape loops
+    (or call .start() on each) so tests and notebooks stay in control of
+    time.
+    """
+    from prometheus_spark.sources.relabel import process_labels
+    from prometheus_spark.sources.scrape import ScrapeManager, ScrapeTarget
+    from prometheus_spark.streaming.notifier import NotifierManager
+    from prometheus_spark.streaming.rulefmt import load_rule_file
+    from prometheus_spark.web.api import PromAPI
+
+    targets = []
+    metric_relabel_by_job: dict[str, list] = {}
+    for jobcfg in cfg.scrape_jobs:
+        metric_relabel_by_job[jobcfg.job_name] = jobcfg.metric_relabel_configs
+        for url in jobcfg.targets:
+            lbls = dict(jobcfg.labels)
+            lbls.setdefault("job", jobcfg.job_name)
+            # target relabeling operates on the pre-scrape label set
+            # (__address__ + static labels, relabel.go Process)
+            host = url.split("://", 1)[-1].split("/", 1)[0]
+            out = process_labels(
+                {"__address__": host, **lbls}, jobcfg.relabel_configs
+            )
+            if out is None:
+                continue  # target dropped by relabeling
+            out.pop("__address__", None)
+            targets.append(
+                ScrapeTarget(url, labels=out, honor_labels=jobcfg.honor_labels)
+            )
+
+    def metric_relabel(labels: dict):
+        job = labels.get("job", "")
+        return process_labels(labels, metric_relabel_by_job.get(job, []))
+
+    scrape_mgr = ScrapeManager(
+        spool_dir, targets, metric_relabel=metric_relabel,
+        timeout_s=cfg.scrape_timeout_ms / 1000.0,
+    )
+
+    rule_groups = []
+    for rf in cfg.rule_files:
+        rule_groups.extend(load_rule_file(rf))
+
+    notifier = NotifierManager(
+        cfg.alertmanager_urls,
+        external_labels=cfg.external_labels,
+        relabel_configs=cfg.alert_relabel_configs,
+        alertmanager_relabel=cfg.alertmanager_relabel_configs,
+    )
+
+    engine = None
+    rules_engine = None
+    if samples is not None:
+        from prometheus_spark.engine import PromQLEngine
+        from prometheus_spark.streaming.rules import RulesEngine
+
+        engine = PromQLEngine(spark, samples)
+        rules_engine = RulesEngine(spark, samples)
+
+    api = PromAPI(
+        engine,
+        rule_groups=rule_groups,
+        rules_engine=rules_engine,
+        scrape_manager=scrape_mgr,
+    )
+    api.config_yaml = cfg.raw_yaml
+    api.notifier = notifier
+    return {
+        "config": cfg,
+        "scrape_manager": scrape_mgr,
+        "rule_groups": rule_groups,
+        "notifier": notifier,
+        "engine": engine,
+        "rules_engine": rules_engine,
+        "api": api,
+    }

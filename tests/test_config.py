@@ -1,0 +1,133 @@
+"""prometheus.yml loading + server assembly (config/config.go parity)."""
+
+import textwrap
+
+import pytest
+
+from prometheus_spark.config import build_server, load_config
+
+
+@pytest.fixture()
+def config_dir(tmp_path):
+    (tmp_path / "alerts.yml").write_text(textwrap.dedent("""
+        groups:
+          - name: node
+            interval: 30s
+            rules:
+              - record: job:up:sum
+                expr: sum by (job) (up)
+              - alert: InstanceDown
+                expr: up == 0
+                for: 5m
+                labels: {severity: page}
+                annotations: {summary: "{{ $labels.instance }} down"}
+    """))
+    (tmp_path / "prometheus.yml").write_text(textwrap.dedent("""
+        global:
+          scrape_interval: 15s
+          evaluation_interval: 30s
+          external_labels:
+            cluster: c1
+        rule_files:
+          - "*.yml"
+        scrape_configs:
+          - job_name: node
+            metrics_path: /custom
+            static_configs:
+              - targets: ["host-a:9100", "host-b:9100"]
+                labels: {env: prod}
+            relabel_configs:
+              - action: drop
+                source_labels: [__address__]
+                regex: "host-b.*"
+            metric_relabel_configs:
+              - action: drop
+                source_labels: [__name__]
+                regex: "go_.*"
+          - job_name: api
+            scrape_interval: 1m
+            static_configs:
+              - targets: ["api:8080"]
+        alerting:
+          alertmanagers:
+            - static_configs:
+                - targets: ["am1:9093"]
+        remote_write:
+          - url: http://downstream/api/v1/write
+    """))
+    return tmp_path
+
+
+def test_load_config(config_dir):
+    cfg = load_config(str(config_dir / "prometheus.yml"))
+    assert cfg.scrape_interval_ms == 15_000
+    assert cfg.evaluation_interval_ms == 30_000
+    assert cfg.external_labels == {"cluster": "c1"}
+    assert len(cfg.scrape_jobs) == 2
+    node = cfg.scrape_jobs[0]
+    assert node.targets == [
+        "http://host-a:9100/custom", "http://host-b:9100/custom"
+    ]
+    assert node.labels == {"env": "prod"}
+    assert node.scrape_interval_ms == 15_000  # inherits global
+    assert cfg.scrape_jobs[1].scrape_interval_ms == 60_000  # override
+    # rule_files glob resolved relative to the config file — matches
+    # alerts.yml AND prometheus.yml itself; only genuine rule files load
+    assert any(p.endswith("alerts.yml") for p in cfg.rule_files)
+    assert cfg.alertmanager_urls == ["http://am1:9093"]
+    assert cfg.remote_write_urls == ["http://downstream/api/v1/write"]
+
+
+def test_duplicate_job_name_rejected(tmp_path):
+    p = tmp_path / "bad.yml"
+    p.write_text(
+        "scrape_configs:\n"
+        "  - job_name: x\n"
+        "  - job_name: x\n"
+    )
+    with pytest.raises(ValueError, match="multiple scrape configs"):
+        load_config(str(p))
+
+
+def test_build_server(spark, config_dir, tmp_path):
+    # keep only the genuine rule file for assembly
+    (config_dir / "prometheus.yml").write_text(
+        (config_dir / "prometheus.yml").read_text().replace('"*.yml"', '"alerts.yml"')
+    )
+    cfg = load_config(str(config_dir / "prometheus.yml"))
+    from prometheus_spark.storage import samples_from_rows
+
+    samples = samples_from_rows(
+        spark, [({"__name__": "up", "job": "node"}, 0, 1.0)]
+    )
+    srv = build_server(
+        spark, cfg, samples=samples, spool_dir=str(tmp_path / "spool")
+    )
+    # target relabeling dropped host-b; job label injected
+    urls = [t.url for t in srv["scrape_manager"].targets]
+    assert urls == ["http://host-a:9100/custom", "http://api:8080/metrics"]
+    assert srv["scrape_manager"].targets[0].labels["job"] == "node"
+    assert srv["scrape_manager"].targets[0].labels["env"] == "prod"
+    # metric relabeling is job-scoped
+    mr = srv["scrape_manager"].metric_relabel
+    assert mr({"__name__": "go_gc_duration", "job": "node"}) is None
+    assert mr({"__name__": "up", "job": "node"}) is not None
+    assert mr({"__name__": "go_gc_duration", "job": "api"}) is not None
+    # rule groups loaded
+    assert [g.name for g in srv["rule_groups"]] == ["node"]
+    assert len(srv["rule_groups"][0].rules) == 2
+    # notifier carries external labels + AM urls
+    assert srv["notifier"].external_labels == {"cluster": "c1"}
+    assert srv["notifier"].alertmanagers() == [
+        "http://am1:9093/api/v2/alerts"
+    ]
+    # API serves the config back and the rules
+    code, resp = srv["api"].handle("/api/v1/status/config", {})
+    assert code == 200 and "scrape_configs" in resp["data"]["yaml"]
+    code, resp = srv["api"].handle("/api/v1/rules", {})
+    assert code == 200 and resp["data"]["groups"][0]["name"] == "node"
+    # engine answers queries over the provided samples
+    code, resp = srv["api"].handle(
+        "/api/v1/query", {"query": ["up"], "time": ["60"]}
+    )
+    assert code == 200 and len(resp["data"]["result"]) == 1
