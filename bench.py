@@ -24,6 +24,7 @@ HEADLINE = [
     "promql_topk",
     "promql_binop_div",
     "promql_quantile_over_time",
+    "promql_range_rate",
     "tpch_pricing_summary",
     "tpch_revenue_by_nation",
     "tpch_top_orders_per_segment",

@@ -7,7 +7,11 @@ the Spark engine.
 Usage::
 
     python tools/promtool.py check rules rules1.yml [rules2.yml ...]
+    python tools/promtool.py check config prometheus.yml
     python tools/promtool.py test rules tests.yml [more.yml ...]
+    python tools/promtool.py query instant <samples_parquet> <expr> [--time ms]
+    python tools/promtool.py query range <samples_parquet> <expr> \
+        --start ms --end ms --step ms
 """
 
 from __future__ import annotations
@@ -60,11 +64,82 @@ def test_rules(files: list[str]) -> int:
     return rc
 
 
+def check_config(files: list[str]) -> int:
+    """cmd/promtool CheckConfig: parse the config, then validate every
+    referenced rule file."""
+    from prometheus_spark.config import load_config
+    from prometheus_spark.streaming.rulefmt import RuleError, load_rule_file
+
+    rc = 0
+    for f in files:
+        try:
+            cfg = load_config(f)
+        except (ValueError, OSError, Exception) as e:  # noqa: BLE001
+            print(f"  FAILED: {f}: {e}")
+            rc = 1
+            continue
+        print(
+            f"  SUCCESS: {f}: {len(cfg.scrape_jobs)} scrape configs, "
+            f"{len(cfg.rule_files)} rule files"
+        )
+        for rf in cfg.rule_files:
+            try:
+                groups = load_rule_file(rf)
+                n = sum(len(g.rules) for g in groups)
+                print(f"  SUCCESS: {rf}: {n} rules found")
+            except (RuleError, OSError) as e:
+                print(f"  FAILED: {rf}: {e}")
+                rc = 1
+    return rc
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def query(kind: str, store: str, expr: str, args: dict) -> int:
+    """promtool query instant/range over a samples parquet store,
+    printing the reference's JSON rendering."""
+    import json
+
+    from prometheus_spark.engine import PromQLEngine
+    from prometheus_spark.storage import read_samples
+    from prometheus_spark.web.api import render_result
+
+    spark = _spark()
+    eng = PromQLEngine(spark, read_samples(spark, store))
+    if kind == "instant":
+        t = int(args.get("--time", 0))
+        rows = eng.instant_query(expr, t).collect()
+        print(json.dumps(render_result(rows, "vector")))
+    else:
+        rows = eng.range_query(
+            expr, int(args["--start"]), int(args["--end"]), int(args["--step"])
+        ).collect()
+        print(json.dumps(render_result(rows, "matrix")))
+    return 0
+
+
 def main(argv: list[str]) -> int:
     if len(argv) >= 3 and argv[0] == "check" and argv[1] == "rules":
         return check_rules(argv[2:])
+    if len(argv) >= 3 and argv[0] == "check" and argv[1] == "config":
+        return check_config(argv[2:])
     if len(argv) >= 3 and argv[0] == "test" and argv[1] == "rules":
         return test_rules(argv[2:])
+    if len(argv) >= 4 and argv[0] == "query" and argv[1] in ("instant", "range"):
+        flags = dict(zip(argv[4::2], argv[5::2]))
+        return query(argv[1], argv[2], argv[3], flags)
     print(__doc__)
     return 2
 
