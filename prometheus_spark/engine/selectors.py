@@ -31,18 +31,43 @@ from prometheus_spark.engine.values import VECTOR_COLS, VectorFrame
 from prometheus_spark.parser.ast import Matcher, MatchType, VectorSelector
 
 
-def matcher_predicate(matchers: list[Matcher]) -> Column:
+def matcher_predicate(
+    matchers: list[Matcher], columns: "Optional[list[str]]" = None
+) -> Column:
     """Label matchers → a Catalyst predicate.
 
     PromQL regexes are fully anchored (reference: model/labels/regexp.go);
     a missing label matches as the empty string.  ``__name__`` equality
     hits the extracted hot ``name`` column so Parquet row-group pruning
-    can kick in at scale.
+    can kick in at scale; likewise any write-time ``__hot_<label>``
+    columns (storage.write_samples hot_labels) when ``columns`` — the
+    scan's schema — is provided: those predicates reach PushedFilters
+    instead of evaluating ``element_at`` post-scan.
     """
     pred = F.lit(True)
     for m in matchers:
         if m.name == "__name__" and m.type == MatchType.EQ:
             val = F.coalesce(F.col("name"), F.lit(""))
+        elif (
+            columns is not None
+            and m.type in (MatchType.EQ, MatchType.NEQ)
+            and f"__hot_{m.name}" in columns
+        ):
+            # null-aware forms (NULL = label absent = "") keep the
+            # predicate pushdown-eligible — coalesce() would block it
+            hot = F.col(f"__hot_{m.name}")
+            if m.type == MatchType.EQ:
+                cond = (
+                    (hot.isNull() | (hot == "")) if m.value == ""
+                    else hot == F.lit(m.value)
+                )
+            else:
+                cond = (
+                    (hot.isNotNull() & (hot != "")) if m.value == ""
+                    else (hot.isNull() | (hot != F.lit(m.value)))
+                )
+            pred = pred & cond
+            continue
         else:
             val = F.coalesce(F.element_at(F.col("labels"), F.lit(m.name)), F.lit(""))
         if m.type == MatchType.EQ:
@@ -94,7 +119,9 @@ def _explode_steps(df: DataFrame, ctx: EvalContext, lo_ms: Column, hi_ms: Column
 def eval_vector_selector(ctx: EvalContext, node: VectorSelector) -> VectorFrame:
     from prometheus_spark.parser.ast import resolve_duration_ms
 
-    base = ctx.samples.filter(matcher_predicate(node.matchers))
+    base = ctx.samples.filter(
+        matcher_predicate(node.matchers, ctx.samples.columns)
+    )
     qc = {
         "step": 0.0 if ctx.is_instant else ctx.step_ms / 1000.0,
         "range": (ctx.end_ms - ctx.start_ms) / 1000.0,
@@ -289,7 +316,9 @@ def windowed_samples(
     DataFrame (subquery results) with columns (sig, labels, t, value).
     """
     if isinstance(node_or_df, VectorSelector):
-        base = ctx.samples.filter(matcher_predicate(node_or_df.matchers)).filter(~F.col("stale"))
+        base = ctx.samples.filter(
+            matcher_predicate(node_or_df.matchers, ctx.samples.columns)
+        ).filter(~F.col("stale"))
     else:
         base = node_or_df
     hist_cols = ["hist"] if "hist" in base.columns else []
@@ -352,7 +381,9 @@ def extended_windowed_samples(
     Rows carry ``orig_t`` (the source sample's timestamp) so validity can
     be checked; ``sample_t`` is the materialized position.
     """
-    base = ctx.samples.filter(matcher_predicate(node.matchers)).filter(~F.col("stale"))
+    base = ctx.samples.filter(
+        matcher_predicate(node.matchers, ctx.samples.columns)
+    ).filter(~F.col("stale"))
     has_hist = "hist" in base.columns
     hcols = ["hist"] if has_hist else []
     base = base.select("sig", "labels", "t", "value", *hcols)

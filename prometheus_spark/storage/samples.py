@@ -117,13 +117,30 @@ def samples_from_events(
     )
 
 
-def write_samples(df: DataFrame, path: str, bucket_ms: int = 7_200_000) -> None:
+def write_samples(
+    df: DataFrame,
+    path: str,
+    bucket_ms: int = 7_200_000,
+    hot_labels: Iterable[str] = (),
+) -> None:
     """Persist partitioned by 2h-style time bucket (reference block layout,
     tsdb/db.go:55) + metric name — enables partition pruning on both the
-    time predicate and ``__name__`` equality matchers."""
+    time predicate and ``__name__`` equality matchers.
+
+    ``hot_labels`` extracts chosen label keys as top-level ``__hot_<k>``
+    string columns at write time: equality matchers on them then push
+    down to the parquet scan (row-group min/max + dictionary pruning) —
+    the postings-index role for high-selectivity labels like ``job`` or
+    ``instance`` (SURVEY §4.1 predicate-pushdown note).  The engine picks
+    them up automatically via ``matcher_predicate``.
+    """
+    out = df.withColumn("t_bucket", (F.col("t") / bucket_ms).cast("long"))
+    for k in hot_labels:
+        out = out.withColumn(
+            f"__hot_{k}", F.element_at(F.col("labels"), F.lit(k))
+        )
     (
-        df.withColumn("t_bucket", (F.col("t") / bucket_ms).cast("long"))
-        .repartition("t_bucket", "name")
+        out.repartition("t_bucket", "name")
         .sortWithinPartitions("sig", "t")
         .write.mode("overwrite")
         .partitionBy("t_bucket", "name")

@@ -139,3 +139,28 @@ def test_pipeline_dedup_single_shuffle(spark):
         r"Exchange hashpartitioning\(content_hash[^\n]*\n[^\n]*", plan
     )
     assert hash_exchange and "text" not in hash_exchange.group(0)
+
+
+def test_hot_label_pushdown(spark, tmp_path):
+    """write_samples(hot_labels=...) extracts label columns; equality
+    matchers on them reach the parquet scan as PushedFilters instead of
+    post-scan element_at evaluation."""
+    from prometheus_spark.engine import PromQLEngine
+    from prometheus_spark.storage import read_samples
+
+    rows = []
+    for job in ("api", "web"):
+        for t in range(4):
+            rows.append(
+                ({"__name__": "m", "job": job, "i": "0"},
+                 t * 60_000, float(t))
+            )
+    path = str(tmp_path / "hot")
+    write_samples(samples_from_rows(spark, rows), path,
+                  hot_labels=("job",))
+    eng = PromQLEngine(spark, read_samples(spark, path))
+    df = eng.instant_query('m{job="api"}', 180_000)
+    plan = _plan(df)
+    assert "__hot_job" in plan.split("PushedFilters")[1].split("]")[0]
+    got = df.collect()
+    assert len(got) == 1 and got[0]["labels"]["job"] == "api"
