@@ -499,6 +499,120 @@ class PromAPI:
         resp = self._limit(params, vals, {"status": "success", "data": vals})
         return (400 if resp["status"] == "error" else 200), resp
 
+    # -- search API (web/api/v1/search.go) ---------------------------------
+    def _search_common(self, params: dict, endpoint: str):
+        """Parse the shared search params (search.go:701 newSearchRequest /
+        parseSearchParams); returns (kwargs, candidates_df, error)."""
+        from prometheus_spark.web.search import (
+            DEFAULT_BATCH_SIZE,
+            DEFAULT_LIMIT,
+            FUZZ_ALGORITHMS,
+            MAX_SEARCH_TERMS,
+        )
+
+        def bad(msg):
+            return None, None, (400, {"status": "error",
+                                      "errorType": "bad_data", "error": msg})
+
+        searches = params.get("search[]", [])
+        if len(searches) > MAX_SEARCH_TERMS:
+            return bad(
+                f"too many search[] terms: got {len(searches)}, "
+                f"maximum is {MAX_SEARCH_TERMS}"
+            )
+        try:
+            ft = int(params.get("fuzz_threshold", ["0"])[0])
+            assert 0 <= ft <= 100
+        except (ValueError, AssertionError):
+            return bad("invalid fuzz_threshold: must be 0-100")
+        alg = params.get("fuzz_alg", ["subsequence"])[0]
+        if alg not in FUZZ_ALGORITHMS:
+            return bad(
+                f"unsupported fuzz_alg {alg!r}: must be one of {FUZZ_ALGORITHMS}"
+            )
+        sort_by = params.get("sort_by", [""])[0]
+        sort_dir = params.get("sort_dir", [""])[0]
+        if sort_dir and not sort_by:
+            return bad("sort_dir is only valid when sort_by is set")
+        if sort_dir and sort_by == "score":
+            return bad("sort_dir is not supported for sort_by=score")
+        if sort_by not in ("", "alpha", "score"):
+            return bad(f'invalid sort_by {sort_by!r} for {endpoint}: '
+                       'must be "alpha" or "score"')
+        if sort_by == "score" and not searches:
+            return bad("sort_by=score requires search[] to be set")
+        try:
+            limit = int(params.get("limit", [str(DEFAULT_LIMIT)])[0])
+            assert limit > 0
+        except (ValueError, AssertionError):
+            return bad("invalid limit: must be a positive integer")
+        try:
+            batch = int(params.get("batch_size", [str(DEFAULT_BATCH_SIZE)])[0])
+            assert batch > 0
+        except (ValueError, AssertionError):
+            return bad("invalid batch_size: must be a positive integer")
+        case_sensitive = params.get("case_sensitive", ["true"])[0] != "false"
+        include_score = params.get("include_score", ["false"])[0] == "true"
+        df, err = self._scoped_samples(params)
+        if err:
+            return None, None, err
+        kwargs = dict(
+            searches=searches, limit=limit, batch_size=batch,
+            fuzz_threshold=ft, fuzz_alg=alg, case_sensitive=case_sensitive,
+            include_score=include_score, sort_by=sort_by,
+            sort_dir=sort_dir or "asc",
+        )
+        return kwargs, df, None
+
+    def search(self, kind: str, params: dict) -> tuple[int, dict]:
+        """GET/POST /api/v1/search/{metric_names,label_names,label_values}.
+        Returns the NDJSON line objects under ``__ndjson__`` — the HTTP
+        layer writes one JSON document per line
+        (Content-Type application/x-ndjson, search.go stream contract)."""
+        from pyspark.sql import functions as F
+
+        from prometheus_spark.web.search import run_search
+
+        kwargs, df, err = self._search_common(params, kind)
+        if err:
+            return err
+        if kind == "metric_names":
+            vals = [r["v"] for r in df.select(
+                F.element_at("labels", "__name__").alias("v")
+            ).where(F.col("v").isNotNull()).distinct().collect()]
+            key = "name"
+        elif kind == "label_names":
+            vals = [r["v"] for r in df.select(
+                F.explode(F.map_keys("labels")).alias("v")
+            ).distinct().collect()]
+            key = "name"
+        else:
+            label = params.get("label", [""])[0]
+            if not label:
+                return 400, {"status": "error", "errorType": "bad_data",
+                             "error": 'missing required parameter "label"'}
+            vals = [r["v"] for r in df.select(
+                F.element_at("labels", label).alias("v")
+            ).where(F.col("v").isNotNull()).distinct().collect()]
+            key = "value"
+        lines = run_search(vals, result_key=key, **kwargs)
+        if kind == "metric_names" and (
+            params.get("include_metadata", ["false"])[0] == "true"
+        ):
+            merged = dict(self.metadata)
+            if self.scrape_manager is not None:
+                merged = {**self.scrape_manager.metadata, **merged}
+            for line in lines:
+                for r in line.get("results", []):
+                    md = merged.get(r["name"])
+                    if isinstance(md, list):
+                        md = md[0] if md else None
+                    if md:
+                        r["type"] = md.get("type", "unknown")
+                        r["help"] = md.get("help", "")
+                        r["unit"] = md.get("unit", "")
+        return 200, {"__ndjson__": lines}
+
     def query_exemplars(self, params: dict) -> tuple[int, dict]:
         """api.go:756 queryExemplars: series matchers + time range →
         [{seriesLabels, exemplars: [{labels, value, timestamp}]}]."""
@@ -682,6 +796,11 @@ class PromAPI:
         m = re.fullmatch(r"/api/v1/label/([^/]+)/values", path)
         if m:
             return self.label_values(m.group(1), params)
+        m = re.fullmatch(
+            r"/api/v1/search/(metric_names|label_names|label_values)", path
+        )
+        if m:
+            return self.search(m.group(1), params)
         if path == "/api/v1/metadata":
             # api.go metricMetadata: {family: [{type, help, unit}]};
             # scrape-accumulated metadata merges under the static dict
@@ -921,6 +1040,18 @@ class PromAPI:
                     self.wfile.write(text.encode())
                     return
                 code, resp = api.handle(parsed.path, params)
+                if isinstance(resp, dict) and "__ndjson__" in resp:
+                    # search stream contract: one JSON document per line
+                    payload = (
+                        "\n".join(json.dumps(ln) for ln in resp["__ndjson__"])
+                        + "\n"
+                    ).encode()
+                    self.send_response(code)
+                    self.send_header("Content-Type", "application/x-ndjson")
+                    self.send_header("Content-Length", str(len(payload)))
+                    self.end_headers()
+                    self.wfile.write(payload)
+                    return
                 payload = json.dumps(resp).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
