@@ -238,6 +238,10 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
     )
     api.config_yaml = cfg.raw_yaml
     api.notifier = notifier
+    # /api/v1/targets/relabel_steps debug surface
+    api.relabel_configs_by_pool = {
+        j.job_name: j.relabel_configs for j in cfg.scrape_jobs
+    }
     return {
         "config": cfg,
         "scrape_manager": scrape_mgr,

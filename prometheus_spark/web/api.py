@@ -888,6 +888,55 @@ class PromAPI:
                          "data": {"scrapePools": pools}}
         if path == "/api/v1/targets/metadata":
             return self.targets_metadata(params)
+        if path == "/api/v1/targets/relabel_steps":
+            # api.go:1396 targetRelabelSteps: step-by-step relabel debug —
+            # each rule's output label set and whether the target survives
+            import json as _json
+
+            from prometheus_spark.sources.relabel import process_labels
+
+            pool = params.get("scrapePool", [""])[0]
+            if not pool:
+                return 400, {"status": "error", "errorType": "bad_data",
+                             "error": "no scrapePool parameter provided"}
+            raw = params.get("labels", [""])[0]
+            if not raw:
+                return 400, {"status": "error", "errorType": "bad_data",
+                             "error": "no labels parameter provided"}
+            try:
+                lbls = _json.loads(raw)
+                assert isinstance(lbls, dict)
+            except (ValueError, AssertionError) as e:
+                return 400, {"status": "error", "errorType": "bad_data",
+                             "error": f"error parsing labels: {e}"}
+            rules = getattr(self, "relabel_configs_by_pool", {}).get(pool)
+            if rules is None:
+                return 400, {"status": "error", "errorType": "bad_data",
+                             "error": f"error retrieving scrape config: "
+                                      f"unknown pool {pool!r}"}
+            steps = []
+            keep, cur = True, dict(lbls)
+            for rule in rules:
+                if keep:
+                    out = process_labels(cur, [rule])
+                    if out is None:
+                        keep = False
+                    else:
+                        cur = out
+                steps.append({
+                    "rule": {
+                        "action": rule.action,
+                        "sourceLabels": rule.source_labels,
+                        "separator": rule.separator,
+                        "regex": rule.regex,
+                        "targetLabel": rule.target_label,
+                        "replacement": rule.replacement,
+                        "modulus": rule.modulus,
+                    },
+                    "output": dict(cur) if keep else {},
+                    "keep": keep,
+                })
+            return 200, {"status": "success", "data": {"steps": steps}}
         if path == "/api/v1/status/walreplay":
             # api.go serveWALReplayStatus: batch storage has no replaying
             # WAL — report a completed replay (min=max=current)

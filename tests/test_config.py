@@ -131,3 +131,38 @@ def test_build_server(spark, config_dir, tmp_path):
         "/api/v1/query", {"query": ["up"], "time": ["60"]}
     )
     assert code == 200 and len(resp["data"]["result"]) == 1
+
+
+def test_relabel_steps_endpoint(spark, config_dir, tmp_path):
+    import json
+
+    (config_dir / "prometheus.yml").write_text(
+        (config_dir / "prometheus.yml").read_text().replace('"*.yml"', '"alerts.yml"')
+    )
+    cfg = load_config(str(config_dir / "prometheus.yml"))
+    srv = build_server(spark, cfg, spool_dir=str(tmp_path / "spool2"))
+    api = srv["api"]
+    code, resp = api.handle(
+        "/api/v1/targets/relabel_steps",
+        {"scrapePool": ["node"],
+         "labels": [json.dumps({"__address__": "host-b:9100", "env": "prod"})]},
+    )
+    assert code == 200
+    steps = resp["data"]["steps"]
+    assert len(steps) == 1
+    assert steps[0]["keep"] is False  # host-b dropped by the drop rule
+    assert steps[0]["rule"]["action"] == "drop"
+    # surviving target keeps labels through the step
+    code, resp = api.handle(
+        "/api/v1/targets/relabel_steps",
+        {"scrapePool": ["node"],
+         "labels": [json.dumps({"__address__": "host-a:9100", "env": "prod"})]},
+    )
+    assert resp["data"]["steps"][0]["keep"] is True
+    assert resp["data"]["steps"][0]["output"]["env"] == "prod"
+    # unknown pool errors
+    code, _ = api.handle(
+        "/api/v1/targets/relabel_steps",
+        {"scrapePool": ["nope"], "labels": ["{}"]},
+    )
+    assert code == 400
