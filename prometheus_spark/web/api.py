@@ -323,6 +323,14 @@ class PromAPI:
         }
 
     # -- endpoint implementations -------------------------------------
+    def _track(self, q: str):
+        """Claim an active-query slot when a tracker is configured
+        (promql/query_logger.go ActiveQueryTracker); returns a finisher."""
+        if getattr(self, "query_tracker", None) is None:
+            return lambda: None
+        slot = self.query_tracker.insert(q)
+        return lambda: self.query_tracker.delete(slot)
+
     def query(self, params: dict) -> tuple[int, dict]:
         import time as _time
 
@@ -331,11 +339,13 @@ class PromAPI:
             _parse_time_ms(params["time"][0]) if "time" in params else 0
         )
         t_start = _time.monotonic()
+        done = self._track(q)
         try:
             df = self.engine.instant_query(q, t_ms)
             t_prepared = _time.monotonic()
             rows = df.collect()
         except ValueError as e:
+            done()
             if "string results" in str(e):
                 from prometheus_spark.parser import parse_expr
                 from prometheus_spark.parser.ast import StringLiteral
@@ -352,8 +362,10 @@ class PromAPI:
             return 400, {"status": "error", "errorType": "bad_data",
                          "error": str(e)}
         except Exception as e:  # noqa: BLE001 — API boundary
+            done()
             return 400, {"status": "error", "errorType": "bad_data",
                          "error": str(e)}
+        done()
         from prometheus_spark.parser import parse_expr
         from prometheus_spark.parser.ast import ValueType
 
@@ -386,6 +398,7 @@ class PromAPI:
         import time as _time
 
         t_start = _time.monotonic()
+        done = self._track(q)
         try:
             df = self.engine.range_query(q, start, end, step)
             t_prepared = _time.monotonic()
@@ -393,6 +406,8 @@ class PromAPI:
         except Exception as e:  # noqa: BLE001 — API boundary
             return 400, {"status": "error", "errorType": "bad_data",
                          "error": str(e)}
+        finally:
+            done()
         data = render_result(rows, "matrix")
         if params.get("stats", [""])[0]:
             data["stats"] = _query_stats(t_start, t_prepared, _time.monotonic())

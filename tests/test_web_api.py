@@ -408,3 +408,34 @@ def test_instant_matrix_result(api):
     # (60s,180s] window → samples at 120s and 180s, raw timestamps
     assert by_job["a"] == [[120, "2"], [180, "3"]]
     assert by_job["b"] == [[120, "4"], [180, "6"]]
+
+
+def test_active_query_tracker(api, tmp_path):
+    from prometheus_spark.web.querylog import ActiveQueryTracker
+
+    tr = ActiveQueryTracker(str(tmp_path / "data"), max_concurrent=4)
+    assert tr.unfinished == []
+    slot = tr.insert("sum(m)")
+    active = tr.active()
+    assert [e["query"] for e in active] == ["sum(m)"]
+    tr.delete(slot)
+    assert tr.active() == []
+    # queries active during a "crash" surface on the next start
+    tr.insert("rate(m[5m])")
+    tr.close()
+    tr2 = ActiveQueryTracker(str(tmp_path / "data"), max_concurrent=4)
+    assert [e["query"] for e in tr2.unfinished] == ["rate(m[5m])"]
+    tr2.close()
+
+
+def test_query_tracked_through_api(api, tmp_path):
+    from prometheus_spark.web.querylog import ActiveQueryTracker
+
+    api.query_tracker = ActiveQueryTracker(str(tmp_path / "d2"))
+    code, _ = api.handle("/api/v1/query", {"query": ["m"], "time": ["600"]})
+    assert code == 200
+    assert api.query_tracker.active() == []  # slot released
+    code, _ = api.handle("/api/v1/query", {"query": ["m{"], "time": ["600"]})
+    assert code == 400
+    assert api.query_tracker.active() == []  # released on error too
+    api.query_tracker.close()
