@@ -858,9 +858,17 @@ SELECT CAST(CAST(v AS BIGINT) AS VARCHAR) AS nchanges, CAST(COUNT(*) AS DOUBLE) 
 FROM ch GROUP BY v
 """
 
+    # IEEE-754 division (PromQL engine.go:3484 vectorElemBinop): x/0 is
+    # ±Inf (NaN at 0/0); DuckDB's `/` yields NULL on zero divisors, so
+    # the special cases are spelled out
     o["promql_binop_div"] = f"""
 WITH p AS ({_INSTANT.format(name='purchase')}), c AS ({_INSTANT.format(name='click')})
-SELECT p.user_id, ROUND(p.value / c.value, 8) AS value
+SELECT p.user_id,
+       CASE WHEN c.value = 0 THEN
+              CASE WHEN p.value > 0 THEN 'inf'::DOUBLE
+                   WHEN p.value < 0 THEN '-inf'::DOUBLE
+                   ELSE 'nan'::DOUBLE END
+            ELSE ROUND(p.value / c.value, 8) END AS value
 FROM p JOIN c ON p.user_id = c.user_id
 """
     o["promql_binop_filter"] = f"""

@@ -1,0 +1,75 @@
+"""SparkSession construction with the engine's recommended settings.
+
+One place to encode what a 100 TB deployment needs set, so notebooks,
+the CLI, and the HTTP server all run with the same posture.  Every
+setting is a default — anything explicitly configured by the caller (or
+an existing session) wins.
+
+Why each default (the scale rationale the settings encode):
+
+- ``spark.sql.session.timeZone=UTC`` — PromQL date functions are UTC by
+  definition (reference promql/functions.go time family); required for
+  correctness, not speed.
+- AQE on + coalescePartitions + skewJoin — selector explodes and LSH
+  band joins produce run-time-skewed partitions no static plan predicts;
+  AQE re-splits hot buckets (the salting fallback) and merges tiny
+  post-filter shuffles.
+- ``spark.sql.shuffle.partitions`` ≈ 2-3× total executor cores — the
+  engine's shuffles (series regroup, band joins) are keyed by
+  high-cardinality strings; AQE coalesces the excess, while too few
+  partitions cannot be split for free.
+- ``spark.sql.files.maxPartitionBytes=256m`` — samples parquet rows are
+  narrow (sig/name/t/value); 128m default yields too many tiny tasks at
+  corpus scale against splittable ZSTD parquet.
+- ``spark.sql.parquet.aggregatePushdown`` — count/min/max over the block
+  store answer from parquet footers.
+- Arrow enabled — every histogram grouped-map and ingest-parse UDF is
+  Arrow-batched; row-at-a-time transfer is never acceptable here.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+
+RECOMMENDED = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.files.maxPartitionBytes": "256m",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+}
+
+
+def build_session(
+    app_name: str = "prometheus_spark",
+    master: Optional[str] = None,
+    shuffle_partitions: Optional[int] = None,
+    extra_conf: Optional[dict] = None,
+):
+    """Build (or extend) a SparkSession with the engine defaults.
+
+    ``shuffle_partitions`` defaults to 3x the declared parallelism on
+    local masters; on a cluster leave it unset and size it to 2-3x the
+    executor-core total (AQE coalesces down, never splits up).
+    """
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    for k, v in RECOMMENDED.items():
+        b = b.config(k, v)
+    if shuffle_partitions is not None:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, str(v))
+    spark = b.getOrCreate()
+    if shuffle_partitions is None and spark.sparkContext.master.startswith("local"):
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+    return spark
