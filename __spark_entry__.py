@@ -184,6 +184,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["promql_stddev_agg"] = lambda s, d: _engine(s, d).instant_query(
         "stddev(purchase) + stdvar(purchase) + avg(purchase)", T0_MS
     ).select(F.round("value", 6).alias("value"))
+    q["promql_avg_by"] = lambda s, d: _promql_instant(
+        s, d, 'avg by (user_id) ({__name__=~"purchase|click"})', round_to=6
+    )
+    q["promql_clamp"] = lambda s, d: _promql_instant(
+        s, d, "clamp(purchase, 50, 200)", round_to=6
+    )
+    q["promql_ts_of_max"] = lambda s, d: _promql_instant(
+        s, d, f"ts_of_max_over_time(purchase[{RANGE_7D}])", round_to=3
+    )
     q["promql_limitk"] = lambda s, d: _promql_instant(s, d, "limitk(5, purchase)")
     q["promql_limit_ratio_complement"] = lambda s, d: _engine(s, d).instant_query(
         "count(limit_ratio(0.4, purchase) or limit_ratio(-0.6, purchase))", T0_MS
@@ -963,6 +972,25 @@ GROUP BY user_id
     o["promql_stddev_agg"] = f"""
 SELECT ROUND(stddev_pop(value) + var_pop(value) + AVG(value), 6) AS value
 FROM ({_INSTANT.format(name='purchase')})
+"""
+    o["promql_avg_by"] = f"""
+SELECT user_id, ROUND(AVG(value), 6) AS value
+FROM ({_INSTANT_ALL.replace('{', '{{').replace('}', '}}')})
+WHERE event_type IN ('purchase', 'click')
+GROUP BY user_id
+"""
+    o["promql_clamp"] = f"""
+SELECT user_id, ROUND(LEAST(GREATEST(value, 50), 200), 6) AS value
+FROM ({_INSTANT.format(name='purchase')})
+"""
+    # ts_of_max_over_time: timestamp (s) of the max sample; ties pick the
+    # LATEST sample (functions.go:1516 cur >= maxVal in time order)
+    o["promql_ts_of_max"] = f"""
+WITH w AS ({_windowed('purchase', _R7)})
+SELECT user_id,
+       ROUND(MAX(t) FILTER (WHERE value = mx) / 1000.0, 3) AS value
+FROM (SELECT *, MAX(value) OVER (PARTITION BY user_id) AS mx FROM w)
+GROUP BY user_id
 """
     o["promql_limitk"] = f"""
 SELECT user_id, value FROM ({_INSTANT.format(name='purchase')})
