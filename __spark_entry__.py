@@ -291,6 +291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- pipeline: dedup ----------------------------------------------------
     q["dedup_exact"] = lambda s, d: _pipe_dedup_exact(s, d)
     q["dedup_ngram_jaccard"] = lambda s, d: _pipe_jaccard(s, d)
+    q["dedup_clusters"] = lambda s, d: _pipe_clusters(s, d)
     q["dedup_minhash_candidates"] = lambda s, d: _pipe_minhash(s, d)  # rows-only
     q["dedup_simhash"] = lambda s, d: _pipe_simhash(s, d)  # rows-only
     q["dedup_embedding_cosine"] = lambda s, d: _pipe_embed_dup(s, d)
@@ -631,6 +632,16 @@ def _pipe_sessions(spark, sf_dir):
     from prometheus_spark.pipeline import session_stats
 
     return session_stats(_tbl(spark, sf_dir, "events"), gap_minutes=30.0)
+
+
+def _pipe_clusters(spark, sf_dir):
+    from prometheus_spark.pipeline import connected_components, ngram_jaccard_pairs
+
+    docs = _tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    return connected_components(pairs).select("node", "cluster")
 
 
 def _pipe_dedup_exact(spark, sf_dir):
@@ -1418,6 +1429,34 @@ inter AS (
 SELECT doc_a, doc_b, ROUND(i * 1.0 / (sa.s + sb.s - i), 6) AS jaccard
 FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
 WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.5
+"""
+    o["dedup_clusters"] = r"""
+WITH RECURSIVE pairs AS (
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                      i -> w[i] || ' ' || w[i + 1])) AS gs
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS w
+        FROM documents WHERE doc_id < 1000)
+), inv AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (SELECT doc_id, len(gs) AS s FROM grams)
+SELECT doc_a, doc_b, ROUND(i * 1.0 / (sa.s + sb.s - i), 6) AS jaccard
+FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.5
+),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, root) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node
+)
+SELECT node, MIN(root) AS cluster FROM reach GROUP BY node
 """
     o["dedup_embedding_cosine"] = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

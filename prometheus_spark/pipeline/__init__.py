@@ -1,4 +1,6 @@
 from prometheus_spark.pipeline.dedup import (
+    connected_components,
+    dedup_representatives,
     exact_dedup,
     minhash_signatures,
     minhash_dup_candidates,
@@ -26,6 +28,8 @@ from prometheus_spark.pipeline.sessions import (
 )
 
 __all__ = [
+    "connected_components",
+    "dedup_representatives",
     "exact_dedup",
     "minhash_signatures",
     "minhash_dup_candidates",

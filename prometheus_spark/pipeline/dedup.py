@@ -358,3 +358,101 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve duplicate-candidate pairs into clusters: (node, cluster)
+    where cluster is the minimum reachable node id — the step that turns
+    near-dup PAIRS into keep/drop decisions (one representative per
+    cluster).
+
+    Iterative min-label propagation: each round joins every node's
+    current label against its neighbors' labels and keeps the minimum.
+    Converges in O(diameter) rounds — near-dup clusters are dense and
+    shallow, so a handful of rounds suffice at any corpus size; each
+    round is one shuffle keyed by node id.  The convergence check is a
+    scalar aggregate (sum of labels) — no row data ever reaches the
+    driver.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+        )
+        .distinct()
+    )
+    from pyspark import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    # localCheckpoint per round truncates the plan lineage — without it
+    # the iterative join tree grows superlinearly and the optimizer
+    # chokes long before the data does
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("cluster")).first()[0]
+    for _ in range(max_iter):
+        # hop 1: min over direct neighbors
+        neighbor_min = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        l1 = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["u"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+            ).alias("cluster"),
+        )
+        # pointer jumping: follow my label's label — halves the distance
+        # to the cluster minimum each round (O(log diameter) total)
+        m = l1.select(
+            F.col("node").alias("mnode"), F.col("cluster").alias("mcluster")
+        )
+        new_labels = (
+            l1.join(m, l1["cluster"] == m["mnode"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"),
+                    F.coalesce(F.col("mcluster"), F.col("cluster")),
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = new_labels.agg(F.sum("cluster")).first()[0]
+        labels = new_labels
+        if new_sum == prev_sum:  # labels are monotonically non-increasing
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels
+
+
+def dedup_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Keep one representative (minimum id) per duplicate cluster plus
+    every document that appears in no candidate pair — the final
+    keep-set of a near-dup pipeline.  Cost: the component resolution
+    plus one broadcast-size anti-join per cluster map (cluster count ≪
+    corpus size)."""
+    comp = connected_components(pairs, a_col, b_col)
+    drop = comp.filter(F.col("node") != F.col("cluster")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -250,3 +250,40 @@ def test_sessionization(spark):
     assert stats[7]["n_sessions"] == 2
     assert stats[7]["avg_session_sec"] == pytest.approx((20 * 60 + 0) / 2)
     assert stats[8]["n_sessions"] == 1 and stats[8]["avg_events_per_session"] == 1.0
+
+
+@needs_data
+def test_connected_components_and_representatives(spark):
+    from prometheus_spark.pipeline import (
+        connected_components,
+        dedup_representatives,
+    )
+
+    # two chains and one isolated pair: {1,2,3,4} {10,11} {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)], ["doc_a", "doc_b"]
+    )
+    cc = {r["node"]: r["cluster"]
+          for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 4, 10, 11, 20, 21, 99)],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r["doc_id"]
+                  for r in dedup_representatives(docs, pairs).collect())
+    # one representative (min id) per cluster + untouched 99
+    assert kept == [1, 10, 20, 99]
+
+
+@needs_data
+def test_connected_components_long_chain(spark):
+    from prometheus_spark.pipeline import connected_components
+
+    # a 40-node path exercises multi-round propagation (diameter > 1 round)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["doc_a", "doc_b"]
+    )
+    cc = connected_components(pairs)
+    assert cc.select("cluster").distinct().count() == 1
+    assert cc.count() == 41
