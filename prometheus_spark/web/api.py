@@ -800,6 +800,44 @@ class PromAPI:
 
     # -- dispatch ------------------------------------------------------
     def handle(self, path: str, params: dict) -> tuple[int, dict]:
+        try:
+            code, resp = self._dispatch(path, params)
+        except Exception as e:  # noqa: BLE001 — api.go errorInternal
+            code, resp = 500, {"status": "error", "errorType": "internal",
+                               "error": str(e)}
+        # self-telemetry counters served by /status/self_metrics
+        sm = self.__dict__.setdefault("self_counters", {})
+        sm[(path, "requests")] = sm.get((path, "requests"), 0) + 1
+        if code >= 400:
+            sm[(path, "errors")] = sm.get((path, "errors"), 0) + 1
+        return code, resp
+
+    def _dispatch(self, path: str, params: dict) -> tuple[int, dict]:
+        if path == "/api/v1/status/self_metrics":
+            # api.go:1929 selfMetrics: JSON metric families of the
+            # server's own telemetry, optionally name-filtered
+            import re as _re
+
+            pattern = params.get("metric_name_pattern", [""])[0]
+            try:
+                nf = _re.compile(f"^(?:{pattern})$") if pattern else None
+            except _re.error as e:
+                return 400, {"status": "error", "errorType": "bad_data",
+                             "error": f"invalid metric_name_pattern: {e}"}
+            sm = self.__dict__.get("self_counters", {})
+            fams: dict[str, list] = {}
+            for (pth, kind), v in sorted(sm.items()):
+                name = f"promspark_http_{kind}_total"
+                fams.setdefault(name, []).append({
+                    "label": [{"name": "path", "value": pth}],
+                    "counter": {"value": float(v)},
+                })
+            result = [
+                {"name": n, "type": "COUNTER", "metric": ms}
+                for n, ms in sorted(fams.items())
+                if nf is None or nf.match(n)
+            ]
+            return 200, {"status": "success", "data": result}
         if path == "/api/v1/query":
             return self.query(params)
         if path == "/api/v1/query_range":

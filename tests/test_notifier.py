@@ -158,3 +158,27 @@ def test_api_alertmanagers_endpoint():
     assert resp["data"]["activeAlertmanagers"] == [
         {"url": "http://am:9093/api/v2/alerts"}
     ]
+
+
+def test_self_metrics_endpoint():
+    from prometheus_spark.web.api import PromAPI
+
+    api = PromAPI(engine=None)
+    api.handle("/api/v1/features", {})
+    api.handle("/api/v1/features", {})
+    api.handle("/api/v1/search/label_values", {})  # 400 -> error counter
+    code, resp = api.handle("/api/v1/status/self_metrics", {})
+    assert code == 200
+    fams = {f["name"]: f for f in resp["data"]}
+    reqs = {m["label"][0]["value"]: m["counter"]["value"]
+            for m in fams["promspark_http_requests_total"]["metric"]}
+    assert reqs["/api/v1/features"] == 2.0
+    errs = {m["label"][0]["value"]: m["counter"]["value"]
+            for m in fams["promspark_http_errors_total"]["metric"]}
+    assert errs["/api/v1/search/label_values"] == 1.0
+    # name filter
+    code, resp = api.handle(
+        "/api/v1/status/self_metrics",
+        {"metric_name_pattern": ["promspark_http_errors.*"]},
+    )
+    assert [f["name"] for f in resp["data"]] == ["promspark_http_errors_total"]
