@@ -999,15 +999,15 @@ class PromAPI:
             }
         if path == "/api/v1/notifications":
             # api.go notifications: active UI notifications (config
-            # reload failures etc.) — populated via self.active_notifications
-            return 200, {
-                "status": "success",
-                "data": {
-                    "notifications": list(
-                        getattr(self, "active_notifications", [])
-                    )
-                },
-            }
+            # reload failures etc.) — from the NotificationCenter when
+            # attached, else the static active_notifications list
+            nc = getattr(self, "notification_center", None)
+            items = (
+                nc.active() if nc is not None
+                else list(getattr(self, "active_notifications", []))
+            )
+            return 200, {"status": "success",
+                         "data": {"notifications": items}}
         if path == "/api/v1/alertmanagers":
             # api.go:1490 alertmanagers: active + dropped discovery state
             nt = getattr(self, "notifier", None)
@@ -1140,6 +1140,37 @@ class PromAPI:
                     )
                     self.end_headers()
                     self.wfile.write(text.encode())
+                    return
+                if parsed.path == "/api/v1/notifications/live":
+                    # api.go:2044 notificationsSSE: text/event-stream of
+                    # notification JSON; 204 when subscriber cap reached
+                    nc = getattr(api, "notification_center", None)
+                    sub = nc.subscribe() if nc is not None else None
+                    if sub is None:
+                        self.send_response(204)
+                        self.end_headers()
+                        return
+                    import queue as _queue
+
+                    q, unsubscribe = sub
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.end_headers()
+                    try:
+                        while True:
+                            try:
+                                n = q.get(timeout=15.0)
+                                self.wfile.write(
+                                    f"data: {json.dumps(n)}\n\n".encode()
+                                )
+                            except _queue.Empty:  # keep-alive comment
+                                self.wfile.write(b": keepalive\n\n")
+                            self.wfile.flush()
+                    except (BrokenPipeError, ConnectionResetError, OSError):
+                        pass
+                    finally:
+                        unsubscribe()
                     return
                 code, resp = api.handle(parsed.path, params)
                 if isinstance(resp, dict) and "__ndjson__" in resp:

@@ -182,3 +182,52 @@ def test_self_metrics_endpoint():
         {"metric_name_pattern": ["promspark_http_errors.*"]},
     )
     assert [f["name"] for f in resp["data"]] == ["promspark_http_errors_total"]
+
+
+def test_notification_center_and_sse():
+    import threading
+    import urllib.request
+
+    from prometheus_spark.web.api import PromAPI
+    from prometheus_spark.web.notifications import NotificationCenter
+
+    api = PromAPI(engine=None)
+    nc = NotificationCenter(max_subscribers=2)
+    api.notification_center = nc
+    nc.add("config reloaded")
+    code, resp = api.handle("/api/v1/notifications", {})
+    assert [n["text"] for n in resp["data"]["notifications"]] == [
+        "config reloaded"
+    ]
+    nc.delete("config reloaded")
+    code, resp = api.handle("/api/v1/notifications", {})
+    assert resp["data"]["notifications"] == []
+
+    # live SSE over real HTTP: pre-seeded actives arrive as events
+    nc.add("wal replay in progress")
+    srv = api.server(port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    resp = urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/api/v1/notifications/live", timeout=10
+    )
+    assert resp.headers["Content-Type"] == "text/event-stream"
+    line = resp.readline().decode()
+    assert line.startswith("data: ")
+    import json as _json
+
+    n = _json.loads(line[len("data: "):])
+    assert n["text"] == "wal replay in progress" and n["active"] is True
+    resp.close()
+    srv.shutdown()
+
+
+def test_notification_subscriber_cap():
+    from prometheus_spark.web.notifications import NotificationCenter
+
+    nc = NotificationCenter(max_subscribers=1)
+    s1 = nc.subscribe()
+    assert s1 is not None
+    assert nc.subscribe() is None  # cap reached -> SSE responds 204
+    s1[1]()  # unsubscribe frees the slot
+    assert nc.subscribe() is not None
