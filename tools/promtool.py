@@ -130,6 +130,47 @@ def query(kind: str, store: str, expr: str, args: dict) -> int:
     return 0
 
 
+def tsdb_blocks(store: str) -> int:
+    """cmd/promtool tsdb list: one line per block (t_bucket dir)."""
+    from prometheus_spark.storage.compact import DEFAULT_BLOCK_MS, list_buckets
+
+    print(f"{'BLOCK':<24}{'MIN TIME':>16}{'MAX TIME':>16}")
+    for b in list_buckets(store):
+        print(f"{'t_bucket=' + str(b):<24}{b * DEFAULT_BLOCK_MS:>16}"
+              f"{(b + 1) * DEFAULT_BLOCK_MS:>16}")
+    return 0
+
+
+def tsdb_analyze(store: str, limit: int = 10) -> int:
+    """cmd/promtool tsdb analyze: series/sample counts and the
+    highest-cardinality label names + most-common label pairs —
+    computed distributed, only the top-k summaries reach the driver."""
+    from pyspark.sql import functions as F
+
+    from prometheus_spark.storage import read_samples
+
+    spark = _spark()
+    df = read_samples(spark, store)
+    n_samples = df.count()
+    n_series = df.select("sig").distinct().count()
+    print(f"Samples: {n_samples}")
+    print(f"Series: {n_series}")
+    ent = (
+        df.select("sig", F.explode(F.map_entries("labels")).alias("e"))
+        .dropDuplicates(["sig", "e"])
+        .select(F.col("e.key").alias("k"), F.col("e.value").alias("v"))
+    ).cache()
+    print("\nHighest cardinality labels:")
+    for r in (ent.groupBy("k").agg(F.countDistinct("v").alias("c"))
+              .orderBy(F.desc("c"), "k").limit(limit).collect()):
+        print(f"  {r['c']:>8}  {r['k']}")
+    print("\nMost common label pairs:")
+    for r in (ent.groupBy("k", "v").agg(F.count("*").alias("c"))
+              .orderBy(F.desc("c"), "k", "v").limit(limit).collect()):
+        print(f"  {r['c']:>8}  {r['k']}={r['v']}")
+    return 0
+
+
 def main(argv: list[str]) -> int:
     if len(argv) >= 3 and argv[0] == "check" and argv[1] == "rules":
         return check_rules(argv[2:])
@@ -137,6 +178,10 @@ def main(argv: list[str]) -> int:
         return check_config(argv[2:])
     if len(argv) >= 3 and argv[0] == "test" and argv[1] == "rules":
         return test_rules(argv[2:])
+    if len(argv) >= 2 and argv[0] == "tsdb" and argv[1] == "blocks" and len(argv) >= 3:
+        return tsdb_blocks(argv[2])
+    if len(argv) >= 2 and argv[0] == "tsdb" and argv[1] == "analyze" and len(argv) >= 3:
+        return tsdb_analyze(argv[2], int(argv[3]) if len(argv) > 3 else 10)
     if len(argv) >= 4 and argv[0] == "query" and argv[1] in ("instant", "range"):
         flags = dict(zip(argv[4::2], argv[5::2]))
         return query(argv[1], argv[2], argv[3], flags)
