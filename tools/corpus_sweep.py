@@ -23,23 +23,23 @@ TESTDATA = "/root/reference/promql/promqltest/testdata"
 # Rough uncapped cost weights (seconds on local[8], measured) used to
 # balance the worker buckets; unknown files get a small default.
 WEIGHTS = {
-    "native_histograms.test": 490,
-    "histograms.test": 320,
-    "operators.test": 140,
-    "functions.test": 120,
-    "aggregators.test": 117,
-    "extended_vectors.test": 75,
-    "limit.test": 50,
-    "fill-modifier.test": 38,
-    "at_modifier.test": 24,
-    "subquery.test": 25,
-    "info.test": 32,
-    "type_and_unit.test": 19,
-    "duration_expression.test": 18,
-    "name_label_dropping.test": 15,
-    "range_queries.test": 12,
-    "selectors.test": 12,
-    "start_timestamps.test": 10,
+    "native_histograms.test": 220,
+    "histograms.test": 206,
+    "functions.test": 129,
+    "extended_vectors.test": 85,
+    "operators.test": 78,
+    "aggregators.test": 48,
+    "type_and_unit.test": 30,
+    "fill-modifier.test": 24,
+    "subquery.test": 22,
+    "info.test": 22,
+    "limit.test": 20,
+    "at_modifier.test": 19,
+    "selectors.test": 19,
+    "name_label_dropping.test": 12,
+    "duration_expression.test": 9,
+    "start_timestamps.test": 8,
+    "range_queries.test": 8,
 }
 
 
