@@ -157,6 +157,48 @@ def _query_stats(t_start: float, t_prepared: float, t_done: float) -> dict:
     }
 
 
+# route table for /api/v1/openapi.yaml — (summary, method)
+_ROUTES = {
+    "/api/v1/query": ("Evaluate an instant query", "get"),
+    "/api/v1/query_range": ("Evaluate a range query", "get"),
+    "/api/v1/query_exemplars": ("Exemplars for series", "get"),
+    "/api/v1/series": ("Series matching selectors", "get"),
+    "/api/v1/labels": ("Label names", "get"),
+    "/api/v1/label/{name}/values": ("Values of a label", "get"),
+    "/api/v1/search/metric_names": ("Fuzzy metric name search", "get"),
+    "/api/v1/search/label_names": ("Fuzzy label name search", "get"),
+    "/api/v1/search/label_values": ("Fuzzy label value search", "get"),
+    "/api/v1/metadata": ("Metric metadata", "get"),
+    "/api/v1/targets": ("Scrape targets", "get"),
+    "/api/v1/targets/metadata": ("Per-target metric metadata", "get"),
+    "/api/v1/targets/relabel_steps": ("Relabel debugging", "get"),
+    "/api/v1/scrape_pools": ("Scrape pool names", "get"),
+    "/api/v1/rules": ("Rule groups", "get"),
+    "/api/v1/alerts": ("Active alerts", "get"),
+    "/api/v1/alertmanagers": ("Alertmanager discovery state", "get"),
+    "/api/v1/format_query": ("Prettify a PromQL query", "get"),
+    "/api/v1/parse_query": ("Parse a PromQL query to AST", "get"),
+    "/api/v1/features": ("Supported engine features", "get"),
+    "/api/v1/notifications": ("Active server notifications", "get"),
+    "/api/v1/notifications/live": ("Notification SSE stream", "get"),
+    "/api/v1/status/buildinfo": ("Build information", "get"),
+    "/api/v1/status/runtimeinfo": ("Runtime information", "get"),
+    "/api/v1/status/config": ("Loaded configuration", "get"),
+    "/api/v1/status/flags": ("Flag values", "get"),
+    "/api/v1/status/tsdb": ("TSDB stats", "get"),
+    "/api/v1/status/tsdb/blocks": ("TSDB block list", "get"),
+    "/api/v1/status/walreplay": ("WAL replay status", "get"),
+    "/api/v1/status/self_metrics": ("Server self metrics", "get"),
+    "/api/v1/read": ("Remote read", "post"),
+    "/api/v1/write": ("Remote write", "post"),
+    "/api/v1/otlp/v1/metrics": ("OTLP metrics ingest", "post"),
+    "/api/v1/admin/tsdb/delete_series": ("Delete series", "post"),
+    "/api/v1/admin/tsdb/clean_tombstones": ("Clean tombstones", "post"),
+    "/api/v1/admin/tsdb/snapshot": ("Snapshot TSDB", "post"),
+    "/api/v1/openapi.yaml": ("This document", "get"),
+}
+
+
 class PromAPI:
     """The /api/v1 surface over a PromQLEngine.
 
@@ -990,6 +1032,28 @@ class PromAPI:
                     "keep": keep,
                 })
             return 200, {"status": "success", "data": {"steps": steps}}
+        if path == "/api/v1/openapi.yaml":
+            # api.go ServeOpenAPI (web/api/v1/openapi.go:101): the spec
+            # is generated from the actual route table, so it never
+            # drifts from what handle() dispatches
+            import yaml as _yaml
+
+            paths = {}
+            for route, (summary, method) in sorted(_ROUTES.items()):
+                paths[route] = {
+                    method: {
+                        "summary": summary,
+                        "responses": {"200": {"description": "success"}},
+                    }
+                }
+            spec = {
+                "openapi": "3.0.3",
+                "info": {"title": "Prometheus API (prometheus_spark)",
+                         "version": "1"},
+                "paths": paths,
+            }
+            return 200, {"__text__": _yaml.safe_dump(spec, sort_keys=True),
+                         "__content_type__": "application/yaml"}
         if path == "/api/v1/status/walreplay":
             # api.go serveWALReplayStatus: batch storage has no replaying
             # WAL — report a completed replay (min=max=current)
@@ -1173,6 +1237,17 @@ class PromAPI:
                         unsubscribe()
                     return
                 code, resp = api.handle(parsed.path, params)
+                if isinstance(resp, dict) and "__text__" in resp:
+                    payload = resp["__text__"].encode()
+                    self.send_response(code)
+                    self.send_header(
+                        "Content-Type",
+                        resp.get("__content_type__", "text/plain"),
+                    )
+                    self.send_header("Content-Length", str(len(payload)))
+                    self.end_headers()
+                    self.wfile.write(payload)
+                    return
                 if isinstance(resp, dict) and "__ndjson__" in resp:
                     # search stream contract: one JSON document per line
                     payload = (

@@ -439,3 +439,14 @@ def test_query_tracked_through_api(api, tmp_path):
     assert code == 400
     assert api.query_tracker.active() == []  # released on error too
     api.query_tracker.close()
+
+
+def test_openapi_yaml(api):
+    import yaml
+
+    code, resp = api.handle("/api/v1/openapi.yaml", {})
+    assert code == 200
+    spec = yaml.safe_load(resp["__text__"])
+    assert spec["openapi"].startswith("3.")
+    assert "/api/v1/query" in spec["paths"]
+    assert "/api/v1/search/metric_names" in spec["paths"]
