@@ -67,3 +67,64 @@ def test_retention_keeps_compacted_block_with_live_data(spark, tmp_path):
     dropped = apply_retention(spark, path, retention_ms=3 * H2, now_ms=6 * H2)
     assert dropped == []  # max(t) is in bucket 4, inside retention
     assert spark.read.parquet(path).count() == 5
+
+
+def test_backfill_openmetrics_roundtrip(spark, tmp_path):
+    from prometheus_spark.engine import PromQLEngine
+    from prometheus_spark.storage import read_samples
+    from prometheus_spark.storage.backfill import backfill_openmetrics
+
+    om = (
+        "# TYPE http_requests counter\n"
+        "http_requests_total{job=\"api\"} 10 100\n"
+        "http_requests_total{job=\"api\"} 20 160\n"
+        "http_requests_total{job=\"web\"} 5 100\n"
+        "# EOF\n"
+    )
+    out = str(tmp_path / "om_store")
+    n = backfill_openmetrics(spark, om, out)
+    assert n == 3
+    eng = PromQLEngine(spark, read_samples(spark, out))
+    rows = eng.instant_query("http_requests_total", 200_000).collect()
+    got = {r["labels"]["job"]: r["value"] for r in rows}
+    assert got == {"api": 20.0, "web": 5.0}
+
+
+def test_backfill_rules(spark, tmp_path):
+    from prometheus_spark.engine import PromQLEngine
+    from prometheus_spark.storage import (
+        read_samples,
+        samples_from_rows,
+        write_samples,
+    )
+    from prometheus_spark.storage.backfill import backfill_rules
+    from prometheus_spark.streaming.rules import AlertingRule, RecordingRule
+
+    M = 60_000
+    rows = []
+    for i in range(11):
+        rows.append(({"__name__": "errors", "job": "a"}, i * M, float(i)))
+        rows.append(({"__name__": "errors", "job": "b"}, i * M, 2.0 * i))
+    store = str(tmp_path / "src")
+    write_samples(samples_from_rows(spark, rows), store)
+    eng = PromQLEngine(spark, read_samples(spark, store))
+    out = backfill_rules(
+        eng,
+        [RecordingRule("job:errors:sum", "sum by (job) (errors)",
+                       labels={"source": "backfill"}),
+         AlertingRule("Ignored", "errors > 5")],  # alerting rules skipped
+        start_ms=5 * M, end_ms=10 * M, interval_ms=M,
+    )
+    got = out.collect()
+    # 2 jobs x 6 steps
+    assert len(got) == 12
+    assert all(r["name"] == "job:errors:sum" for r in got)
+    assert all(r["labels"]["source"] == "backfill" for r in got)
+    by = {(r["labels"]["job"], r["t"]): r["value"] for r in got}
+    assert by[("a", 10 * M)] == 10.0 and by[("b", 10 * M)] == 20.0
+    # output appends back into a store and is queryable
+    dest = str(tmp_path / "dest")
+    write_samples(out, dest)
+    eng2 = PromQLEngine(spark, read_samples(spark, dest))
+    r = eng2.instant_query('job:errors:sum{job="b"}', 10 * M).collect()
+    assert len(r) == 1 and r[0]["value"] == 20.0

@@ -171,6 +171,35 @@ def tsdb_analyze(store: str, limit: int = 10) -> int:
     return 0
 
 
+def tsdb_import_openmetrics(infile: str, out: str) -> int:
+    from prometheus_spark.storage.backfill import backfill_openmetrics
+
+    spark = _spark()
+    with open(infile) as f:
+        n = backfill_openmetrics(spark, f.read(), out)
+    print(f"  SUCCESS: wrote {n} samples to {out}")
+    return 0
+
+
+def tsdb_import_rules(store: str, out: str, rule_file: str, flags: dict) -> int:
+    from prometheus_spark.engine import PromQLEngine
+    from prometheus_spark.storage import read_samples, write_samples
+    from prometheus_spark.storage.backfill import backfill_rules
+    from prometheus_spark.streaming.rulefmt import load_rule_file
+
+    spark = _spark()
+    engine = PromQLEngine(spark, read_samples(spark, store))
+    rules = [r for g in load_rule_file(rule_file) for r in g.rules]
+    df = backfill_rules(
+        engine, rules,
+        start_ms=int(flags["--start"]), end_ms=int(flags["--end"]),
+        interval_ms=int(flags.get("--eval-interval", 60_000)),
+    )
+    write_samples(df, out)
+    print(f"  SUCCESS: backfilled {df.count()} samples to {out}")
+    return 0
+
+
 def main(argv: list[str]) -> int:
     if len(argv) >= 3 and argv[0] == "check" and argv[1] == "rules":
         return check_rules(argv[2:])
@@ -178,6 +207,13 @@ def main(argv: list[str]) -> int:
         return check_config(argv[2:])
     if len(argv) >= 3 and argv[0] == "test" and argv[1] == "rules":
         return test_rules(argv[2:])
+    if (len(argv) >= 5 and argv[0] == "tsdb"
+            and argv[1] == "create-blocks-from" and argv[2] == "openmetrics"):
+        return tsdb_import_openmetrics(argv[3], argv[4])
+    if (len(argv) >= 6 and argv[0] == "tsdb"
+            and argv[1] == "create-blocks-from" and argv[2] == "rules"):
+        flags = dict(zip(argv[6::2], argv[7::2]))
+        return tsdb_import_rules(argv[3], argv[4], argv[5], flags)
     if len(argv) >= 2 and argv[0] == "tsdb" and argv[1] == "blocks" and len(argv) >= 3:
         return tsdb_blocks(argv[2])
     if len(argv) >= 2 and argv[0] == "tsdb" and argv[1] == "analyze" and len(argv) >= 3:
