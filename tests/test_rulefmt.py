@@ -110,3 +110,32 @@ groups:
     rs = out.collect()
     assert alerts == [] and len(rs) == 1
     assert rs[0]["value"] == 5.0 and rs[0]["name"] == "job:m:sum"
+
+
+def test_promlint():
+    from prometheus_spark.sources.promlint import lint_exposition
+
+    text = (
+        "# TYPE requests counter\n"
+        "# HELP requests total requests\n"
+        "requests 5\n"
+        "# TYPE mem_kilobytes gauge\n"
+        "# HELP mem_kilobytes memory\n"
+        "mem_kilobytes 12\n"
+        "# TYPE latency_seconds gauge\n"
+        "# HELP latency_seconds latency\n"
+        "latency_seconds{someLabel=\"x\"} 1\n"
+        "no_help_metric 1\n"
+    )
+    probs = {(p.metric, p.text) for p in lint_exposition(text)}
+    assert ("requests", 'counter metrics should have "_total" suffix') in probs
+    assert ("mem_kilobytes", 'use base unit "bytes" instead of "kilobytes"') in probs
+    assert ("no_help_metric", "no help text") in probs
+    assert any("someLabel" in t for _, t in probs)
+    # clean input -> no problems
+    clean = (
+        "# TYPE http_requests_total counter\n"
+        "# HELP http_requests_total requests\n"
+        "http_requests_total 5\n"
+    )
+    assert lint_exposition(clean) == []

@@ -8,6 +8,7 @@ Usage::
 
     python tools/promtool.py check rules rules1.yml [rules2.yml ...]
     python tools/promtool.py check config prometheus.yml
+    python tools/promtool.py check metrics < exposition.txt
     python tools/promtool.py test rules tests.yml [more.yml ...]
     python tools/promtool.py query instant <samples_parquet> <expr> [--time ms]
     python tools/promtool.py query range <samples_parquet> <expr> \
@@ -62,6 +63,16 @@ def test_rules(files: list[str]) -> int:
         else:
             print(f"  SUCCESS: {f}")
     return rc
+
+
+def check_metrics() -> int:
+    """cmd/promtool CheckMetrics: lint exposition text from stdin."""
+    from prometheus_spark.sources.promlint import lint_exposition
+
+    problems = lint_exposition(sys.stdin.read())
+    for pr in problems:
+        print(f"{pr.metric}: {pr.text}")
+    return 3 if problems else 0  # promtool exits 3 on lint problems
 
 
 def check_config(files: list[str]) -> int:
@@ -203,6 +214,8 @@ def tsdb_import_rules(store: str, out: str, rule_file: str, flags: dict) -> int:
 def main(argv: list[str]) -> int:
     if len(argv) >= 3 and argv[0] == "check" and argv[1] == "rules":
         return check_rules(argv[2:])
+    if len(argv) >= 2 and argv[0] == "check" and argv[1] == "metrics":
+        return check_metrics()
     if len(argv) >= 3 and argv[0] == "check" and argv[1] == "config":
         return check_config(argv[2:])
     if len(argv) >= 3 and argv[0] == "test" and argv[1] == "rules":
