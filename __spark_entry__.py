@@ -308,7 +308,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_features"] = lambda s, d: _pipe_multimodal(s, d)
     q["multimodal_frame_sample"] = lambda s, d: _pipe_frame_sample(s, d)
 
-    return q
+    # The driver records only the FIRST 50 entries in CORRECTNESS_r{N}.json;
+    # order so that every §2 family and every pipeline operator has a
+    # representative inside that window (remaining PromQL variants follow).
+    ordered = {k: q[k] for k in _DRIVER_WINDOW if k in q}
+    ordered.update({k: v for k, v in q.items() if k not in ordered})
+    return ordered
+
+
+# One representative per family first (must stay ≤50 names): range queries,
+# classic histograms, sources round-trips, TPC-H, events, text/dedup/ANN/
+# multimodal pipeline, then one PromQL entry per operator family.
+_DRIVER_WINDOW = [
+    # PromQL families (17)
+    "promql_instant_selector",
+    "promql_offset_negative",
+    "promql_absent",
+    "promql_sum_by",
+    "promql_quantile_agg",
+    "promql_topk",
+    "promql_count_values",
+    "promql_limit_ratio_complement",
+    "promql_binop_div",
+    "promql_bool_cmp",
+    "promql_set_unless",
+    "promql_group_left",
+    "promql_scalar_vector",
+    "promql_rate",
+    "promql_quantile_over_time",
+    "promql_subquery_max",
+    "promql_at_modifier",
+    # range queries + classic histograms (4)
+    "promql_range_selector",
+    "promql_range_rate",
+    "promql_histogram_quantile_classic",
+    "promql_histogram_fraction_classic",
+    # sources round-trips (4)
+    "federate_roundtrip",
+    "openmetrics_ingest",
+    "nhcb_ingest",
+    "merge_dedupe",
+    # TPC-H + events (5)
+    "tpch_pricing_summary",
+    "tpch_revenue_by_nation",
+    "tpch_top_orders_per_segment",
+    "events_hourly_stats",
+    "events_sessionization",
+    # text pipeline (7)
+    "doc_token_count",
+    "doc_quality_score",
+    "doc_lang_id",
+    "doc_fingerprint",
+    "doc_repetition_ratio",
+    "doc_topk_ngrams",
+    "doc_sample_stratified",
+    # dedup (6)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_minhash_candidates",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    # ANN (3)
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    # multimodal (2)
+    "multimodal_features",
+    "multimodal_frame_sample",
+]
 
 
 # ---------------------------------------------------------------------------
