@@ -55,13 +55,35 @@ def _relabels(raw: Optional[list]) -> list[RelabelConfig]:
 @dataclass
 class ScrapeJobConfig:
     job_name: str
-    targets: list[str]  # resolved URLs
+    targets: list[str]  # resolved URLs (pre-relabel; kept for inspection)
     labels: dict = field(default_factory=dict)
     scrape_interval_ms: int = DEFAULT_SCRAPE_INTERVAL_MS
     scrape_timeout_ms: int = DEFAULT_SCRAPE_TIMEOUT_MS
     honor_labels: bool = False
     relabel_configs: list = field(default_factory=list)
     metric_relabel_configs: list = field(default_factory=list)
+    # raw scrape_config fields needed to re-derive the URL AFTER target
+    # relabeling (scrape/target.go PopulateLabels: __scheme__,
+    # __metrics_path__, __param_* are relabel-visible and -mutable)
+    scheme: str = "http"
+    metrics_path: str = "/metrics"
+    params: dict = field(default_factory=dict)
+    raw_targets: list = field(default_factory=list)  # host:port strings
+    # per-group static configs + service discovery (raw config dicts)
+    static_groups: list = field(default_factory=list)  # {"targets", "labels"}
+    file_sd: list = field(default_factory=list)  # {"files", "refresh_interval"}
+    http_sd: list = field(default_factory=list)  # {"url", "refresh_interval"}
+
+
+@dataclass
+class AlertmanagerSet:
+    """One ``alertmanagers`` entry: its targets plus ITS OWN relabel
+    list — the reference scopes relabeling per alertmanager set
+    (discovery + relabel per AlertmanagerConfig, notifier/manager.go),
+    never globally across entries."""
+
+    urls: list = field(default_factory=list)
+    relabel_configs: list = field(default_factory=list)
 
 
 @dataclass
@@ -75,6 +97,7 @@ class PromConfig:
     alertmanager_urls: list = field(default_factory=list)
     alert_relabel_configs: list = field(default_factory=list)
     alertmanager_relabel_configs: list = field(default_factory=list)
+    alertmanager_sets: list = field(default_factory=list)  # AlertmanagerSet
     remote_write_urls: list = field(default_factory=list)
     raw_yaml: str = ""
 
@@ -119,11 +142,35 @@ def load_config(path: str) -> PromConfig:
         scheme = sc.get("scheme", "http")
         path_ = sc.get("metrics_path", "/metrics")
         targets: list[str] = []
+        raw_targets: list[str] = []
         labels: dict = {}
+        static_groups: list[dict] = []
         for static in sc.get("static_configs") or []:
-            for tgt in static.get("targets") or []:
+            grp_targets = [str(t) for t in static.get("targets") or []]
+            for tgt in grp_targets:
                 targets.append(f"{scheme}://{tgt}{path_}")
+                raw_targets.append(tgt)
             labels.update(static.get("labels") or {})
+            static_groups.append(
+                {"targets": grp_targets, "labels": dict(static.get("labels") or {})}
+            )
+        file_sd = [
+            {
+                "files": [
+                    p if os.path.isabs(p) else os.path.join(base, p)
+                    for p in (fs.get("files") or [])
+                ],
+                "refresh_interval_ms": _dur_ms(fs.get("refresh_interval"), 300_000),
+            }
+            for fs in sc.get("file_sd_configs") or []
+        ]
+        http_sd = [
+            {
+                "url": hs.get("url", ""),
+                "refresh_interval_ms": _dur_ms(hs.get("refresh_interval"), 60_000),
+            }
+            for hs in sc.get("http_sd_configs") or []
+        ]
         cfg.scrape_jobs.append(
             ScrapeJobConfig(
                 job_name=job,
@@ -140,6 +187,13 @@ def load_config(path: str) -> PromConfig:
                 metric_relabel_configs=_relabels(
                     sc.get("metric_relabel_configs")
                 ),
+                scheme=scheme,
+                metrics_path=path_,
+                params=dict(sc.get("params") or {}),
+                raw_targets=raw_targets,
+                static_groups=static_groups,
+                file_sd=file_sd,
+                http_sd=http_sd,
             )
         )
 
@@ -150,14 +204,18 @@ def load_config(path: str) -> PromConfig:
     for am in alerting.get("alertmanagers") or []:
         scheme = am.get("scheme", "http")
         path_prefix = am.get("path_prefix", "")
-        cfg.alertmanager_relabel_configs = _relabels(
-            am.get("relabel_configs")
-        ) or cfg.alertmanager_relabel_configs
+        # relabel_configs are scoped PER alertmanagers entry (the
+        # reference's AlertmanagerConfig each carries its own list) —
+        # one entry's rules never apply to another entry's targets
+        am_relabels = _relabels(am.get("relabel_configs"))
+        am_urls = []
         for static in am.get("static_configs") or []:
             for tgt in static.get("targets") or []:
-                cfg.alertmanager_urls.append(
-                    f"{scheme}://{tgt}{path_prefix}"
-                )
+                am_urls.append(f"{scheme}://{tgt}{path_prefix}")
+        cfg.alertmanager_urls.extend(am_urls)
+        cfg.alertmanager_sets.append(AlertmanagerSet(am_urls, am_relabels))
+        if am_relabels:  # legacy flat field, kept for inspection
+            cfg.alertmanager_relabel_configs = am_relabels
 
     for rw in doc.get("remote_write") or []:
         if rw.get("url"):
@@ -175,38 +233,52 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
     (or call .start() on each) so tests and notebooks stay in control of
     time.
     """
+    from prometheus_spark.sources.discovery import (
+        DiscoveryManager,
+        FileDiscovery,
+        HTTPDiscovery,
+        StaticDiscovery,
+        TargetGroup,
+    )
     from prometheus_spark.sources.relabel import process_labels
-    from prometheus_spark.sources.scrape import ScrapeManager, ScrapeTarget
+    from prometheus_spark.sources.scrape import ScrapeManager
     from prometheus_spark.streaming.notifier import NotifierManager
     from prometheus_spark.streaming.rulefmt import load_rule_file
     from prometheus_spark.web.api import PromAPI
 
-    targets = []
+    # targets flow through the discovery layer even for static configs:
+    # one PopulateLabels path (relabel → URL re-derivation from
+    # post-relabel __address__/__scheme__/__metrics_path__/__param_*)
+    discovery = DiscoveryManager()
     metric_relabel_by_job: dict[str, list] = {}
     for jobcfg in cfg.scrape_jobs:
         metric_relabel_by_job[jobcfg.job_name] = jobcfg.metric_relabel_configs
-        for url in jobcfg.targets:
-            lbls = dict(jobcfg.labels)
-            lbls.setdefault("job", jobcfg.job_name)
-            # target relabeling operates on the pre-scrape label set
-            # (__address__ + static labels, relabel.go Process)
-            host = url.split("://", 1)[-1].split("/", 1)[0]
-            out = process_labels(
-                {"__address__": host, **lbls}, jobcfg.relabel_configs
+        providers: list = []
+        if jobcfg.static_groups:
+            providers.append(
+                StaticDiscovery(
+                    [
+                        TargetGroup(g["targets"], g["labels"])
+                        for g in jobcfg.static_groups
+                    ]
+                )
             )
-            if out is None:
-                continue  # target dropped by relabeling
-            out.pop("__address__", None)
-            targets.append(
-                ScrapeTarget(url, labels=out, honor_labels=jobcfg.honor_labels)
+        for fs in jobcfg.file_sd:
+            providers.append(
+                FileDiscovery(fs["files"], fs["refresh_interval_ms"])
             )
+        for hs in jobcfg.http_sd:
+            providers.append(
+                HTTPDiscovery(hs["url"], hs["refresh_interval_ms"])
+            )
+        discovery.register(jobcfg, providers)
 
     def metric_relabel(labels: dict):
         job = labels.get("job", "")
         return process_labels(labels, metric_relabel_by_job.get(job, []))
 
     scrape_mgr = ScrapeManager(
-        spool_dir, targets, metric_relabel=metric_relabel,
+        spool_dir, discovery.targets(), metric_relabel=metric_relabel,
         timeout_s=cfg.scrape_timeout_ms / 1000.0,
     )
 
@@ -218,7 +290,10 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
         cfg.alertmanager_urls,
         external_labels=cfg.external_labels,
         relabel_configs=cfg.alert_relabel_configs,
-        alertmanager_relabel=cfg.alertmanager_relabel_configs,
+        alertmanager_sets=[
+            (s.urls, s.relabel_configs) for s in cfg.alertmanager_sets
+        ]
+        or None,
     )
 
     engine = None
@@ -244,6 +319,7 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
     }
     return {
         "config": cfg,
+        "discovery": discovery,
         "scrape_manager": scrape_mgr,
         "rule_groups": rule_groups,
         "notifier": notifier,

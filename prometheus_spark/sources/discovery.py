@@ -1,0 +1,263 @@
+"""Service discovery: static, file-based, and HTTP target providers.
+
+Reference surfaces re-derived here (behavior, not code):
+- discovery/file/file.go:184 — ``Discovery.refresh``: glob patterns over
+  JSON/YAML files, each file a list of target groups
+  ``[{"targets": [...], "labels": {...}}]``; every group gets a
+  ``__meta_filepath`` label; a file that fails to parse keeps its last
+  good target set.
+- discovery/http/http.go:57 — ``Discovery.Refresh``: GET a URL that
+  returns the same JSON shape; groups get ``__meta_url``; fetch failure
+  keeps the previous set.
+- scrape/target.go ``PopulateLabels`` — the relabel-visible pre-scrape
+  label set (``__address__``, ``__scheme__``, ``__metrics_path__``,
+  ``__param_*``) and the post-relabel URL re-derivation, ``instance``
+  defaulting, and meta-label stripping.
+
+The providers are driver-side by design (they move *target lists*, never
+samples); everything downstream of the scrape body stays distributed.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import threading
+import time
+import urllib.request
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+from urllib.parse import urlencode
+
+from prometheus_spark.sources.relabel import process_labels
+from prometheus_spark.sources.scrape import ScrapeTarget
+
+
+@dataclass
+class TargetGroup:
+    """discovery/targetgroup/targetgroup.go Group — a set of addresses
+    sharing one label overlay."""
+
+    targets: list = field(default_factory=list)  # "host:port" strings
+    labels: dict = field(default_factory=dict)
+
+
+class StaticDiscovery:
+    """static_configs: the degenerate provider — a fixed group list."""
+
+    def __init__(self, groups: list[TargetGroup]):
+        self._groups = list(groups)
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        return self._groups
+
+
+def _parse_sd_doc(doc) -> list[TargetGroup]:
+    """Both file and HTTP SD share the wire shape: a JSON/YAML list of
+    ``{"targets": [...], "labels": {...}}`` (file.go readFile,
+    http.go Refresh)."""
+    if doc is None:
+        return []
+    if not isinstance(doc, list):
+        raise ValueError("SD document must be a list of target groups")
+    groups = []
+    for g in doc:
+        if not isinstance(g, dict):
+            raise ValueError("SD target group must be a mapping")
+        groups.append(
+            TargetGroup(
+                targets=[str(t) for t in g.get("targets") or []],
+                labels={str(k): str(v) for k, v in (g.get("labels") or {}).items()},
+            )
+        )
+    return groups
+
+
+class FileDiscovery:
+    """file_sd_configs provider (discovery/file/file.go:184).
+
+    Polls the glob patterns on ``refresh()``; per-pattern interval
+    gating lives in DiscoveryManager.  A file that disappears drops its
+    groups; a file that fails to PARSE keeps its last good groups
+    (file.go keeps stale content on read error)."""
+
+    def __init__(self, files: list[str], refresh_interval_ms: int = 300_000):
+        self.files = list(files)
+        self.refresh_interval_ms = refresh_interval_ms
+        self._last_good: dict[str, list[TargetGroup]] = {}
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        groups: list[TargetGroup] = []
+        seen: set[str] = set()
+        for pat in self.files:
+            for path in sorted(_glob.glob(pat)):
+                seen.add(path)
+                try:
+                    with open(path) as f:
+                        raw = f.read()
+                    if path.endswith((".yml", ".yaml")):
+                        import yaml
+
+                        doc = yaml.safe_load(raw)
+                    else:
+                        doc = json.loads(raw)
+                    file_groups = _parse_sd_doc(doc)
+                    self._last_good[path] = file_groups
+                except Exception:
+                    file_groups = self._last_good.get(path, [])
+                for g in file_groups:
+                    groups.append(
+                        TargetGroup(
+                            targets=list(g.targets),
+                            labels={**g.labels, "__meta_filepath": path},
+                        )
+                    )
+        # vanished files drop out of the set entirely (file.go cleanup)
+        for path in list(self._last_good):
+            if path not in seen:
+                del self._last_good[path]
+        return groups
+
+
+class HTTPDiscovery:
+    """http_sd_configs provider (discovery/http/http.go:57)."""
+
+    def __init__(
+        self,
+        url: str,
+        refresh_interval_ms: int = 60_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str], bytes]] = None,
+    ):
+        self.url = url
+        self.refresh_interval_ms = refresh_interval_ms
+        self.timeout_s = timeout_s
+        self._fetch = fetch_fn or self._http_get
+        self._last_good: list[TargetGroup] = []
+
+    def _http_get(self, url: str) -> bytes:
+        req = urllib.request.Request(
+            url, headers={"Accept": "application/json"}
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return resp.read()
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        try:
+            doc = json.loads(self._fetch(self.url).decode())
+            groups = _parse_sd_doc(doc)
+            self._last_good = groups
+        except Exception:
+            groups = self._last_good  # keep previous set on failure
+        return [
+            TargetGroup(
+                targets=list(g.targets),
+                labels={**g.labels, "__meta_url": self.url},
+            )
+            for g in groups
+        ]
+
+
+# ---------------------------------------------------------------------------
+def populate_targets(jobcfg, groups: list[TargetGroup]) -> list[ScrapeTarget]:
+    """scrape/target.go PopulateLabels: assemble the relabel-visible
+    label set per address, run target relabeling, then re-derive the
+    scrape URL from the POST-relabel ``__address__`` / ``__scheme__`` /
+    ``__metrics_path__`` / ``__param_*`` (so a config that rewrites
+    ``__address__`` — the blackbox-exporter pattern — scrapes the
+    rewritten endpoint), default ``instance``, and strip meta labels."""
+    out: list[ScrapeTarget] = []
+    for grp in groups:
+        for addr in grp.targets:
+            lbls = {
+                "__address__": addr,
+                "__scheme__": jobcfg.scheme,
+                "__metrics_path__": jobcfg.metrics_path,
+            }
+            for k, v in (jobcfg.params or {}).items():
+                v0 = v[0] if isinstance(v, list) and v else v
+                lbls[f"__param_{k}"] = str(v0)
+            # labels come from the target GROUP (static_config entry or
+            # SD payload), scoped per group like the reference — not from
+            # a job-wide merge
+            lbls.update(grp.labels)
+            lbls.setdefault("job", jobcfg.job_name)
+            res = process_labels(lbls, jobcfg.relabel_configs)
+            if res is None:
+                continue  # target dropped by relabeling
+            scheme = res.get("__scheme__", jobcfg.scheme)
+            path = res.get("__metrics_path__", jobcfg.metrics_path)
+            address = res.get("__address__", addr)
+            params = {
+                k[len("__param_"):]: v
+                for k, v in res.items()
+                if k.startswith("__param_")
+            }
+            query = urlencode(sorted(params.items()))
+            url = f"{scheme}://{address}{path}" + (f"?{query}" if query else "")
+            final = {k: v for k, v in res.items() if not k.startswith("__")}
+            final.setdefault("instance", address)
+            out.append(
+                ScrapeTarget(url, labels=final, honor_labels=jobcfg.honor_labels)
+            )
+    return out
+
+
+class DiscoveryManager:
+    """discovery/manager.go:64 — owns every job's providers, polls each
+    on its own refresh interval, and reconciles the ScrapeManager's
+    target list when the derived set changes."""
+
+    def __init__(self):
+        # job_name -> (jobcfg, [providers])
+        self._jobs: dict[str, tuple] = {}
+        # provider id -> (last_refresh_ms, cached groups)
+        self._cache: dict[int, tuple[int, list[TargetGroup]]] = {}
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def register(self, jobcfg, providers: list) -> None:
+        self._jobs[jobcfg.job_name] = (jobcfg, list(providers))
+
+    def _provider_groups(self, p, now_ms: int) -> list[TargetGroup]:
+        interval = getattr(p, "refresh_interval_ms", 0)
+        cached = self._cache.get(id(p))
+        if cached is not None and interval > 0 and now_ms - cached[0] < interval:
+            return cached[1]
+        groups = p.refresh(now_ms)
+        self._cache[id(p)] = (now_ms, groups)
+        return groups
+
+    def targets(self, now_ms: Optional[int] = None) -> list[ScrapeTarget]:
+        now_ms = int(time.time() * 1000) if now_ms is None else now_ms
+        out: list[ScrapeTarget] = []
+        for jobcfg, providers in self._jobs.values():
+            groups: list[TargetGroup] = []
+            for p in providers:
+                groups.extend(self._provider_groups(p, now_ms))
+            out.extend(populate_targets(jobcfg, groups))
+        return out
+
+    def apply(self, scrape_manager, now_ms: Optional[int] = None) -> bool:
+        """Reconcile: swap the manager's target list if it changed.
+        Returns True when an update was applied."""
+        new = self.targets(now_ms)
+        old = scrape_manager.targets
+        if [(t.url, t.labels) for t in new] == [(t.url, t.labels) for t in old]:
+            return False
+        scrape_manager.targets = new
+        return True
+
+    def start(self, scrape_manager, poll_interval_s: float = 5.0):
+        def loop():
+            while not self._stop.wait(poll_interval_s):
+                self.apply(scrape_manager)
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+        return self._thread
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5)

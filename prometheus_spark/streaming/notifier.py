@@ -52,8 +52,13 @@ class Alert:
             "labels": dict(self.labels),
             "annotations": dict(self.annotations),
             "startsAt": _rfc3339(self.starts_at_ms),
-            "endsAt": _rfc3339(self.ends_at_ms),
         }
+        # unresolved alerts must NOT send a concrete past endsAt — the
+        # reference marshals Go's zero time, which Alertmanager reads as
+        # "still firing, apply resend timeout"; the epoch would read as
+        # already-resolved.  Omitting the field has the same semantics.
+        if self.ends_at_ms is not None:
+            out["endsAt"] = _rfc3339(self.ends_at_ms)
         if self.generator_url:
             out["generatorURL"] = self.generator_url
         return out
@@ -146,24 +151,32 @@ class NotifierManager:
         queue_capacity: int = 10_000,
         max_batch_size: int = 256,
         post_fn: Optional[Callable[[str, bytes], int]] = None,
+        alertmanager_sets: Optional[list[tuple[list[str], list]]] = None,
     ):
         self.external_labels = dict(external_labels or {})
         self.relabel_configs = list(relabel_configs or [])
         self.loops: list[_SendLoop] = []
         self.dropped_ams: list[str] = []
         # alertmanager-set relabeling decides which AMs participate
-        # (alertmanagerset.go; acts on {"__address__": host})
-        for url in alertmanager_urls:
-            host = url.split("://", 1)[-1].split("/", 1)[0]
-            kept = process_labels(
-                {"__address__": host}, alertmanager_relabel or []
-            )
-            if kept is None:
-                self.dropped_ams.append(url)
-                continue
-            self.loops.append(
-                _SendLoop(url, queue_capacity, max_batch_size, post_fn=post_fn)
-            )
+        # (alertmanagerset.go; acts on {"__address__": host}).  Each SET
+        # carries its own relabel list — one entry's rules never drop
+        # another entry's targets.  The flat (urls, shared-relabel) form
+        # is kept as the single-set special case.
+        sets = (
+            [(list(urls), list(rls or [])) for urls, rls in alertmanager_sets]
+            if alertmanager_sets is not None
+            else [(list(alertmanager_urls), list(alertmanager_relabel or []))]
+        )
+        for urls, rls in sets:
+            for url in urls:
+                host = url.split("://", 1)[-1].split("/", 1)[0]
+                kept = process_labels({"__address__": host}, rls)
+                if kept is None:
+                    self.dropped_ams.append(url)
+                    continue
+                self.loops.append(
+                    _SendLoop(url, queue_capacity, max_batch_size, post_fn=post_fn)
+                )
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
 

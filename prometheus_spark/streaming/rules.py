@@ -97,8 +97,8 @@ class RulesEngine:
 
         self.spark = spark
         self.engine = PromQLEngine(spark, samples, lookback_ms=lookback_ms)
-        # alert state per rule: alertname -> {sig -> state dict} — bounded
-        # by active-alert cardinality
+        # alert state per rule INSTANCE: "group/idx/alertname" ->
+        # {sig -> state dict} — bounded by active-alert cardinality
         self._alert_state: dict[str, dict] = {}
         # previous tick's ALERTS/ALERTS_FOR_STATE label sets per rule,
         # for stale-marker emission on vanish
@@ -122,11 +122,11 @@ class RulesEngine:
         frames: list[DataFrame] = []
         alert_sample_rows: list = []
         alert_rows: list = []
-        for rule in group.rules:
+        for idx, rule in enumerate(group.rules):
             if isinstance(rule, RecordingRule):
                 frames.append(self._eval_recording(group, rule, ts))
             elif isinstance(rule, AlertingRule):
-                s, a = self._eval_alerting(group, rule, ts)
+                s, a = self._eval_alerting(group, rule, ts, idx)
                 alert_sample_rows += s
                 alert_rows += a
         if alert_sample_rows:
@@ -177,7 +177,9 @@ class RulesEngine:
         self._prev_series[key] = current.select("sig", "name", "labels")
         return out
 
-    def _eval_alerting(self, group: RuleGroup, rule: AlertingRule, ts: int):
+    def _eval_alerting(
+        self, group: RuleGroup, rule: AlertingRule, ts: int, rule_idx: int = 0
+    ):
         """Mirror of AlertingRule.Eval (rules/alerting.go:387-550):
         pending→firing via the ``for`` hold, keep_firing_for flap
         suppression keyed from the first missing eval, templated
@@ -212,7 +214,13 @@ class RulesEngine:
                 for k, tmpl in rule.annotations.items()
             }
 
-        rule_state = self._alert_state.setdefault(rule.alert, {})
+        # state is keyed per RULE INSTANCE, not per alertname: the reference
+        # allows several alerting rules sharing one name (across groups or
+        # within one), each with independent active-alert maps
+        # (rules/alerting.go AlertingRule.active) — keying by name would let
+        # one rule's eval resolve the other's alerts.
+        rule_key = f"{group.name}/{rule_idx}/{rule.alert}"
+        rule_state = self._alert_state.setdefault(rule_key, {})
         # create / refresh (alerting.go:469-479)
         for sig, labels in resolved_now.items():
             st = rule_state.get(sig)
@@ -275,11 +283,11 @@ class RulesEngine:
         # (state transitions change the alertstate label → the old series
         # vanishes; rules/group.go seriesInPreviousEval diff)
         emitted = {sig_for(lbls) for lbls, _, _, _ in samples}
-        prev = self._prev_alert_series.get(rule.alert, {})
+        prev = self._prev_alert_series.get(rule_key, {})
         for psig, plabels in prev.items():
             if psig not in emitted:
                 samples.append((plabels, ts, None, True))
-        self._prev_alert_series[rule.alert] = {
+        self._prev_alert_series[rule_key] = {
             sig_for(lbls): lbls for lbls, _, _, stale in samples if not stale
         }
         return samples, alerts

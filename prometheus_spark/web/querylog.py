@@ -59,14 +59,21 @@ class ActiveQueryTracker:
         """Claim a slot (blocks when max_concurrent queries are active —
         the concurrency gate, engine.go:768) and write the entry."""
         offset = self._slots.get(timeout=timeout_s)
-        entry = json.dumps(
-            {"query": query, "timestamp_sec": int(time.time())}
-        ).encode() + b","
-        if len(entry) > ENTRY_SIZE:  # trim long queries, keep valid JSON
-            entry = json.dumps(
-                {"query": query[: ENTRY_SIZE - 100],
-                 "timestamp_sec": int(time.time())}
-            ).encode() + b","
+        ts = int(time.time())
+
+        def encode(q: str) -> bytes:
+            return json.dumps({"query": q, "timestamp_sec": ts}).encode() + b","
+
+        entry = encode(query)
+        # The limit is BYTES of encoded JSON, not characters of the query:
+        # escapes (quotes, backslashes, \uXXXX) expand, so trim the query
+        # until the encoded entry fits — a char-count trim can still spill
+        # into the neighbouring slot (the reference trims by byte budget).
+        q = query
+        while len(entry) > ENTRY_SIZE and q:
+            overshoot = len(entry) - ENTRY_SIZE
+            q = q[: max(0, len(q) - max(overshoot, 1))]
+            entry = encode(q)
         self._mm[offset:offset + len(entry)] = entry
         return offset
 

@@ -1,0 +1,172 @@
+"""Service discovery: file_sd / http_sd providers, PopulateLabels URL
+re-derivation, and DiscoveryManager reconciliation.
+
+Reference behavior: discovery/file/file.go:184, discovery/http/http.go:57,
+scrape/target.go PopulateLabels."""
+
+import json
+
+from prometheus_spark.config import ScrapeJobConfig
+from prometheus_spark.sources.discovery import (
+    DiscoveryManager,
+    FileDiscovery,
+    HTTPDiscovery,
+    StaticDiscovery,
+    TargetGroup,
+    populate_targets,
+)
+from prometheus_spark.sources.relabel import RelabelConfig
+from prometheus_spark.sources.scrape import ScrapeManager
+
+
+def _job(**kw):
+    defaults = dict(job_name="j", targets=[])
+    defaults.update(kw)
+    return ScrapeJobConfig(**defaults)
+
+
+# -- populate_targets (target.go PopulateLabels) ---------------------------
+def test_populate_basic_url_and_instance():
+    tgts = populate_targets(_job(), [TargetGroup(["h1:9100"], {"env": "p"})])
+    assert [t.url for t in tgts] == ["http://h1:9100/metrics"]
+    assert tgts[0].labels == {"env": "p", "job": "j", "instance": "h1:9100"}
+
+
+def test_populate_honors_relabeled_address_scheme_path_params():
+    # the blackbox-exporter pattern: move the target into __param_target
+    # and point __address__ at the exporter
+    job = _job(
+        params={"module": ["http_2xx"]},
+        relabel_configs=[
+            RelabelConfig(
+                action="replace",
+                source_labels=["__address__"],
+                regex="(.*)",
+                target_label="__param_target",
+                replacement="$1",
+            ),
+            RelabelConfig(
+                action="replace",
+                regex="(.*)",
+                target_label="__address__",
+                replacement="exporter:9115",
+            ),
+            RelabelConfig(
+                action="replace",
+                regex="(.*)",
+                target_label="__metrics_path__",
+                replacement="/probe",
+            ),
+            RelabelConfig(
+                action="replace",
+                regex="(.*)",
+                target_label="__scheme__",
+                replacement="https",
+            ),
+        ],
+    )
+    tgts = populate_targets(job, [TargetGroup(["site.example:443"], {})])
+    assert len(tgts) == 1
+    assert tgts[0].url == (
+        "https://exporter:9115/probe?module=http_2xx&target=site.example%3A443"
+    )
+    # instance defaults to the POST-relabel address; meta labels stripped
+    assert tgts[0].labels["instance"] == "exporter:9115"
+    assert not any(k.startswith("__") for k in tgts[0].labels)
+
+
+def test_populate_drop_action():
+    job = _job(
+        relabel_configs=[
+            RelabelConfig(
+                action="drop", source_labels=["__address__"], regex="bad.*"
+            )
+        ]
+    )
+    tgts = populate_targets(job, [TargetGroup(["bad:1", "ok:2"], {})])
+    assert [t.labels["instance"] for t in tgts] == ["ok:2"]
+
+
+# -- file SD ----------------------------------------------------------------
+def test_file_sd_reads_and_tracks_changes(tmp_path):
+    p = tmp_path / "sd.json"
+    p.write_text(json.dumps([{"targets": ["a:1"], "labels": {"dc": "x"}}]))
+    fd = FileDiscovery([str(tmp_path / "*.json")])
+    groups = fd.refresh()
+    assert [g.targets for g in groups] == [["a:1"]]
+    assert groups[0].labels["dc"] == "x"
+    assert groups[0].labels["__meta_filepath"] == str(p)
+
+    # rewrite → next refresh sees the new target set
+    p.write_text(json.dumps([{"targets": ["b:2"]}]))
+    assert [g.targets for g in fd.refresh()] == [["b:2"]]
+
+    # parse error → keeps last good content (file.go read-error stance)
+    p.write_text("{not json")
+    assert [g.targets for g in fd.refresh()] == [["b:2"]]
+
+    # file removed → groups drop
+    p.unlink()
+    assert fd.refresh() == []
+
+
+def test_file_sd_yaml(tmp_path):
+    p = tmp_path / "sd.yml"
+    p.write_text("- targets: ['y:9']\n  labels: {team: core}\n")
+    groups = FileDiscovery([str(p)]).refresh()
+    assert groups[0].targets == ["y:9"] and groups[0].labels["team"] == "core"
+
+
+# -- HTTP SD ----------------------------------------------------------------
+def test_http_sd_fetch_and_failure_keeps_last():
+    payloads = [json.dumps([{"targets": ["h:1"]}]).encode()]
+
+    def fetch(url):
+        if not payloads:
+            raise OSError("down")
+        return payloads.pop()
+
+    hd = HTTPDiscovery("http://sd.example/targets", fetch_fn=fetch)
+    groups = hd.refresh()
+    assert [g.targets for g in groups] == [["h:1"]]
+    assert groups[0].labels["__meta_url"] == "http://sd.example/targets"
+    # fetch failure → previous set survives
+    assert [g.targets for g in hd.refresh()] == [["h:1"]]
+
+
+# -- DiscoveryManager reconciliation ---------------------------------------
+def test_manager_applies_target_changes_across_ticks(tmp_path):
+    p = tmp_path / "sd.json"
+    p.write_text(json.dumps([{"targets": ["a:1"]}]))
+    job = _job(file_sd=[{"files": [str(p)], "refresh_interval_ms": 1000}])
+    dm = DiscoveryManager()
+    dm.register(job, [FileDiscovery([str(p)], 1000)])
+    sm = ScrapeManager(str(tmp_path / "spool"), [])
+
+    assert dm.apply(sm, now_ms=0) is True
+    assert [t.url for t in sm.targets] == ["http://a:1/metrics"]
+
+    # within the refresh interval the cached set is reused
+    p.write_text(json.dumps([{"targets": ["b:2"]}]))
+    assert dm.apply(sm, now_ms=500) is False
+    # past the interval the rewrite is observed
+    assert dm.apply(sm, now_ms=2000) is True
+    assert [t.url for t in sm.targets] == ["http://b:2/metrics"]
+    # no change → no update
+    assert dm.apply(sm, now_ms=4000) is False
+
+
+def test_manager_static_plus_sd_union():
+    dm = DiscoveryManager()
+    dm.register(
+        _job(),
+        [
+            StaticDiscovery([TargetGroup(["s:1"], {})]),
+            HTTPDiscovery(
+                "http://sd/x",
+                fetch_fn=lambda u: json.dumps([{"targets": ["d:2"]}]).encode(),
+            ),
+        ],
+    )
+    urls = sorted(t.url for t in dm.targets(now_ms=0))
+    assert urls == ["http://d:2/metrics", "http://s:1/metrics"]

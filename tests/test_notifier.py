@@ -231,3 +231,34 @@ def test_notification_subscriber_cap():
     assert nc.subscribe() is None  # cap reached -> SSE responds 204
     s1[1]()  # unsubscribe frees the slot
     assert nc.subscribe() is not None
+
+
+def test_unresolved_alert_omits_endsat():
+    """An alert with no end time must NOT serialize a concrete past
+    endsAt (the epoch reads as already-resolved to Alertmanager); the
+    reference sends Go's zero time — omitting the field is equivalent."""
+    from prometheus_spark.streaming.notifier import Alert
+
+    firing = Alert({"alertname": "A"}, starts_at_ms=1_000)
+    assert "endsAt" not in firing.to_v2()
+    resolved = Alert({"alertname": "A"}, starts_at_ms=1_000, ends_at_ms=2_000)
+    assert resolved.to_v2()["endsAt"].startswith("1970-01-01T00:00:02")
+
+
+def test_per_alertmanager_set_relabel_scoping():
+    """Each alertmanagers entry's relabel_configs apply only to that
+    entry's targets — set 1's drop-everything rule must not drop set 2."""
+    from prometheus_spark.sources.relabel import RelabelConfig
+    from prometheus_spark.streaming.notifier import NotifierManager
+
+    drop_all = [RelabelConfig(action="drop", source_labels=["__address__"],
+                              regex=".*")]
+    nm = NotifierManager(
+        [],
+        alertmanager_sets=[
+            (["http://am1:9093"], drop_all),
+            (["http://am2:9093"], []),
+        ],
+    )
+    assert nm.alertmanagers() == ["http://am2:9093/api/v2/alerts"]
+    assert nm.dropped_alertmanagers() == ["http://am1:9093"]

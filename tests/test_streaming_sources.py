@@ -578,3 +578,31 @@ def test_remote_write_sender_distributed(spark, tmp_path):
         assert got.agg(F.sum("value")).first()[0] == sum(range(50))
     finally:
         srv.shutdown()
+
+
+def test_same_alertname_rules_keep_independent_state(spark):
+    """Two alerting rules sharing one alert NAME (allowed by the
+    reference across groups or within one) must hold independent active
+    maps — rules/alerting.go keys state per rule instance.  Before the
+    fix, each rule's eval resolved the other's alerts every tick."""
+    from prometheus_spark.streaming import RuleGroup, RulesEngine
+    from prometheus_spark.streaming.rules import AlertingRule
+
+    rows = [
+        ({"__name__": "err_a", "job": "a"}, t, 1.0) for t in (0, M, 2 * M)
+    ] + [({"__name__": "err_b", "job": "b"}, t, 1.0) for t in (0, M, 2 * M)]
+    eng = RulesEngine(spark, samples_from_rows(spark, rows), lookback_ms=5 * M)
+    group = RuleGroup(
+        "g", M,
+        [
+            AlertingRule("Errors", "err_a", for_ms=2 * M),
+            AlertingRule("Errors", "err_b", for_ms=2 * M),
+        ],
+    )
+    # tick 1: both pending; tick 2: still pending; tick 3: both fire
+    states = {}
+    for tick in (0, M, 2 * M):
+        _, alerts = eng.eval_tick(group, tick)
+        states = {(a[1].get("job")): a[3] for a in alerts}
+        assert len(alerts) == 2, f"one rule resolved the other at t={tick}"
+    assert states == {"a": "firing", "b": "firing"}

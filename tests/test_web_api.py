@@ -450,3 +450,26 @@ def test_openapi_yaml(api):
     assert spec["openapi"].startswith("3.")
     assert "/api/v1/query" in spec["paths"]
     assert "/api/v1/search/metric_names" in spec["paths"]
+
+
+def test_query_tracker_byte_budget(tmp_path):
+    """The slot limit is BYTES of encoded JSON: a query full of quotes/
+    backslashes/non-ASCII (which expand when escaped) must still fit in
+    one ENTRY_SIZE slot and not spill into its neighbour."""
+    import json as _json
+
+    from prometheus_spark.web.querylog import ENTRY_SIZE, ActiveQueryTracker
+
+    t = ActiveQueryTracker(str(tmp_path), max_concurrent=2)
+    nasty = '"\\' * 600 + "€" * 200  # escapes blow up the encoding
+    off1 = t.insert(nasty)
+    off2 = t.insert("second")  # neighbouring slot must be intact
+    active = t.active()
+    assert any(e["query"] == "second" for e in active)
+    blob = bytes(t._mm[off1:off1 + ENTRY_SIZE])
+    entry = blob.rstrip(b"\x00")
+    assert len(entry) <= ENTRY_SIZE
+    assert _json.loads(entry[:-1])  # minus trailing comma → valid JSON
+    t.delete(off1)
+    t.delete(off2)
+    t.close()
