@@ -38,13 +38,15 @@ def _not_nan(c: Column) -> Column:
 
 
 def _regroup(vf: VectorFrame, node: AggregateExpr, extra: list = ()) -> DataFrame:
+    from prometheus_spark.model.labels import group_labels_sql, sig_sql
+
     by = node.grouping if (node.has_grouping and not node.without) else None
     without = node.grouping if (node.has_grouping and node.without) else None
-    glabels = group_labels_expr("labels", by, without)
+    glabels = group_labels_sql("labels", by, without)
     hist_cols = ["hist"] if "hist" in vf.df.columns else []
-    return vf.df.select(
-        sig_expr(glabels).alias("sig"),
-        glabels.alias("labels"),
+    return vf.df.selectExpr(
+        sig_sql(glabels) + " AS sig",
+        glabels + " AS labels",
         "t",
         "value",
         "drop_name",
@@ -99,46 +101,48 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
         # reference warns & drops them; count/group/count_values see every
         # series (count_values renders histograms as their Go string)
         df = df.filter(v.isNotNull())
-    masked = F.when(_not_nan(v), v)  # NULL for NaN → min/max skip
-
     if op == "quantile":
         return _eval_quantile(ctx, df, param, group_flag=_group_flag(node))
 
+    masked = "(CASE WHEN NOT isnan(value) THEN value END)"  # NaN → NULL
+    bad = f"max(CAST(isnan(value) OR abs(value) = {_INF_SQL} AS INT)) = 1"
     if op == "sum":
-        agg = _kahan_sum_agg(v) if ctx.kahan else F.sum(v)
+        agg = kahan_sum_sql("value") if ctx.kahan else "sum(value)"
     elif op == "avg":
-        agg = _avg_agg(v, kahan=ctx.kahan)
+        agg = avg_sql("value", kahan=ctx.kahan)
     elif op == "count":
-        agg = F.count(F.lit(1)).cast("double")
+        agg = "count(1)"
     elif op == "min":
         # NaN only if all values in the group are NaN (engine.go:3681-3690)
-        agg = F.coalesce(F.min(masked), _NAN())
+        agg = f"coalesce(min({masked}), {_NAN_SQL})"
     elif op == "max":
-        agg = F.coalesce(F.max(masked), _NAN())
+        agg = f"coalesce(max({masked}), {_NAN_SQL})"
     elif op == "group":
-        agg = F.lit(1.0)
+        agg = "1.0D"
     elif op == "stddev":
         # Welford in the reference; any NaN or ±Inf in group → NaN
-        bad = F.max((F.isnan(v) | (F.abs(v) == F.lit(float("inf")))).cast("int")) == 1
-        agg = F.when(bad, _NAN()).otherwise(F.coalesce(F.stddev_pop(v), _NAN()))
+        agg = (
+            f"CASE WHEN {bad} THEN {_NAN_SQL} "
+            f"ELSE coalesce(stddev_pop(value), {_NAN_SQL}) END"
+        )
     elif op == "stdvar":
-        bad = F.max((F.isnan(v) | (F.abs(v) == F.lit(float("inf")))).cast("int")) == 1
-        agg = F.when(bad, _NAN()).otherwise(F.coalesce(F.var_pop(v), _NAN()))
+        agg = (
+            f"CASE WHEN {bad} THEN {_NAN_SQL} "
+            f"ELSE coalesce(var_pop(value), {_NAN_SQL}) END"
+        )
     elif op == "count_values":
         return _eval_count_values(ctx, node, df, param)
     else:
         raise PromQLEvalError(f"unsupported aggregator {op}")
 
-    flag = (
-        F.bool_or("drop_name").alias("drop_name")
-        if _group_flag(node)
-        else F.lit(False).alias("drop_name")
-    )
+    flag = "bool_or(drop_name)" if _group_flag(node) else "false"
     out = df.groupBy("sig", "t").agg(
-        F.first("labels").alias("labels"), agg.cast("double").alias("value"), flag
+        F.expr("first(labels)").alias("labels"),
+        F.expr(f"CAST({agg} AS DOUBLE)").alias("value"),
+        F.expr(flag).alias("drop_name"),
     )
-    result = out.select(
-        "sig", "labels", "t", F.col("t").alias("sample_t"), "value", "drop_name"
+    result = out.selectExpr(
+        "sig", "labels", "t", "t AS sample_t", "value", "drop_name"
     )
     if hist_part is not None:
         from prometheus_spark.model.schema import HISTOGRAM_TYPE
@@ -157,6 +161,81 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
             "hist", F.lit(None).cast(HISTOGRAM_TYPE)
         ).unionByName(hist_part.select(*result.columns, "hist"))
     return VectorFrame(result)
+
+
+# ---------------------------------------------------------------------------
+# SQL-string aggregate builders — composed in Python, shipped in ONE
+# selectExpr/F.expr round trip (plan-construction latency: py4j-per-Column
+# chatter dominated interactive queries; same collapse as
+# range_functions._extrapolated).
+
+_NAN_SQL = "CAST('NaN' AS DOUBLE)"
+_INF_SQL = "CAST('Infinity' AS DOUBLE)"
+
+
+def kahan_sum_sql(v: str) -> str:
+    """SQL form of :func:`_kahan_sum_agg` — Kahan-compensated sum as an
+    array fold (engine.go:3714)."""
+    t = f"(acc.s + x)"
+    step = (
+        "(acc, x) -> named_struct("
+        f"'s', {t}, "
+        f"'c', CASE WHEN abs({t}) = {_INF_SQL} THEN 0.0D "
+        f"WHEN abs(acc.s) >= abs(x) THEN acc.c + ((acc.s - {t}) + x) "
+        f"ELSE acc.c + ((x - {t}) + acc.s) END)"
+    )
+    return (
+        f"aggregate(array_sort(collect_list({v})), "
+        f"named_struct('s', 0.0D, 'c', 0.0D), {step}, "
+        "acc -> acc.s + acc.c)"
+    )
+
+
+def avg_sql(v: str, kahan: bool) -> str:
+    """SQL form of :func:`_avg_agg` — mean with overflow fallback."""
+    n = f"CAST(count({v}) AS DOUBLE)"
+    s = kahan_sum_sql(v) if kahan else f"sum({v})"
+    direct = f"({s} / {n})"
+    any_inf = f"max(CAST(abs({v}) = {_INF_SQL} AS INT)) = 1"
+    any_nan = f"max(CAST(isnan({v}) AS INT)) = 1"
+    scale, unscale = repr(2.0**-128) + "D", repr(2.0**128) + "D"
+    scaled_v = f"({v} * {scale})"
+    s2 = kahan_sum_sql(scaled_v) if kahan else f"sum({scaled_v})"
+    scaled = f"(({s2} / {n}) * {unscale})"
+    return (
+        f"CASE WHEN abs({direct}) = {_INF_SQL} "
+        f"AND NOT ({any_inf}) AND NOT ({any_nan}) "
+        f"THEN {scaled} ELSE {direct} END"
+    )
+
+
+def sorted_values_sql(v: str) -> str:
+    """SQL form of :func:`sorted_values_agg` — ascending, NaN first."""
+    return (
+        f"array_sort(collect_list(named_struct("
+        f"'k', CASE WHEN isnan({v}) THEN 0 ELSE 1 END, 'v', {v})))"
+    )
+
+
+def quantile_sql(arr: str, phi: str) -> str:
+    """SQL form of :func:`quantile_of_sorted` — φ·(n−1) rank with linear
+    interpolation (promql/quantile.go:717).  ``arr`` should be a simple
+    column reference (it is repeated several times)."""
+    rank = f"(({phi}) * CAST(size({arr}) - 1 AS DOUBLE))"
+    lo = f"CAST(floor({rank}) AS INT)"
+    hi = f"CAST(ceil({rank}) AS INT)"
+    w = f"({rank} - floor({rank}))"
+    interp = (
+        f"(element_at({arr}, {lo} + 1).v * (1.0D - {w}) "
+        f"+ element_at({arr}, {hi} + 1).v * {w})"
+    )
+    return (
+        f"CASE WHEN size({arr}) = 0 THEN {_NAN_SQL} "
+        f"WHEN isnan({phi}) THEN {_NAN_SQL} "
+        f"WHEN ({phi}) < 0 THEN CAST('-Infinity' AS DOUBLE) "
+        f"WHEN ({phi}) > 1 THEN {_INF_SQL} "
+        f"ELSE {interp} END"
+    )
 
 
 def _kahan_sum_agg(v: Column) -> Column:
@@ -230,32 +309,49 @@ def sorted_values_agg(v: Column) -> Column:
     )
 
 
+def float_sql(x: float) -> str:
+    """A Python float as a Spark SQL double literal (NaN/±Inf included)."""
+    if math.isnan(x):
+        return _NAN_SQL
+    if math.isinf(x):
+        return _INF_SQL if x > 0 else "CAST('-Infinity' AS DOUBLE)"
+    return repr(float(x)) + "D"
+
+
 def _eval_quantile(ctx: EvalContext, df: DataFrame, param, group_flag: bool = False) -> VectorFrame:
-    arr = sorted_values_agg(F.col("value")).alias("__arr")
-    flag = (
-        F.bool_or("drop_name").alias("drop_name")
-        if group_flag
-        else F.lit(False).alias("drop_name")
+    arr = F.expr(sorted_values_sql("value")).alias("__arr")
+    flag = F.expr("bool_or(drop_name)" if group_flag else "false").alias(
+        "drop_name"
     )
     if isinstance(param, ConstScalar):
-        grouped = df.groupBy("sig", "t").agg(F.first("labels").alias("labels"), arr, flag)
-        phi = F.lit(float(param.value))
+        grouped = df.groupBy("sig", "t").agg(
+            F.expr("first(labels)").alias("labels"), arr, flag
+        )
+        phi = float_sql(float(param.value))
     elif isinstance(param, ScalarFrame):
         # per-step φ (e.g. quantile(scalar(foo), v)) — broadcast join on t
         p = param.df.withColumnRenamed("value", "__phi")
         grouped = (
             df.join(F.broadcast(p), "t", "left")
             .groupBy("sig", "t")
-            .agg(F.first("labels").alias("labels"), arr, F.first("__phi").alias("__p"), flag)
+            .agg(
+                F.expr("first(labels)").alias("labels"),
+                arr,
+                F.expr("first(__phi)").alias("__p"),
+                flag,
+            )
         )
-        phi = F.col("__p")
+        phi = "__p"
     else:
         raise PromQLEvalError("quantile: unsupported parameter type")
-    value = quantile_of_sorted(F.col("__arr"), phi)
     return VectorFrame(
-        grouped.select(
-            "sig", "labels", "t", F.col("t").alias("sample_t"),
-            value.cast("double").alias("value"), "drop_name",
+        grouped.selectExpr(
+            "sig",
+            "labels",
+            "t",
+            "t AS sample_t",
+            f"CAST({quantile_sql('__arr', phi)} AS DOUBLE) AS value",
+            "drop_name",
         )
     )
 

@@ -201,10 +201,86 @@ def vector_scalar(
     return VectorFrame(out)
 
 
-def _with_match_sig(df: DataFrame, vm: VectorMatching) -> DataFrame:
+def _msig_sql(vm: VectorMatching) -> str:
+    from prometheus_spark.model.labels import match_sig_sql
+
     on = vm.labels if vm.on else None
     ignoring = vm.labels if not vm.on else None
-    return df.withColumn("msig", match_sig_expr("labels", on, ignoring))
+    return match_sig_sql("labels", on, ignoring)
+
+
+def _with_match_sig(df: DataFrame, vm: VectorMatching) -> DataFrame:
+    return df.selectExpr("*", _msig_sql(vm) + " AS msig")
+
+
+def arith_sql(op: str, l: str, r: str) -> str:
+    """SQL-string form of :func:`arith_expr` (engine.go:3484)."""
+    if op in ("+", "-", "*"):
+        return f"(({l}) {op} ({r}))"
+    if op == "/":
+        return (
+            f"(CASE WHEN ({r}) = 0.0D THEN "
+            f"CASE WHEN isnan({l}) OR ({l}) = 0.0D THEN CAST('NaN' AS DOUBLE) "
+            f"WHEN ({l}) > 0 THEN CAST('Infinity' AS DOUBLE) "
+            f"ELSE CAST('-Infinity' AS DOUBLE) END "
+            f"ELSE ({l}) / ({r}) END)"
+        )
+    if op == "%":
+        return (
+            f"(CASE WHEN ({r}) = 0.0D OR isnan({l}) OR isnan({r}) "
+            f"THEN CAST('NaN' AS DOUBLE) ELSE ({l}) % ({r}) END)"
+        )
+    if op == "^":
+        return f"power({l}, {r})"
+    if op == "atan2":
+        return f"atan2({l}, {r})"
+    raise PromQLEvalError(f"unsupported arithmetic op {op}")
+
+
+def compare_sql(op: str, l: str, r: str) -> str:
+    """SQL-string form of :func:`compare_expr` — NaN compares false
+    except ``!=`` (engine.go:3451)."""
+    if op == "!=":
+        return f"(isnan({l}) OR isnan({r}) OR ({l}) != ({r}))"
+    sqlop = "=" if op == "==" else op
+    return (
+        f"(NOT isnan({l}) AND NOT isnan({r}) AND ({l}) {sqlop} ({r}))"
+    )
+
+
+def _result_labels_sql(vm: VectorMatching) -> str:
+    """SQL-string form of :func:`_result_labels_expr`."""
+    from prometheus_spark.model.labels import sql_str_lit
+
+    base = "labels"
+    if vm.card == MatchCardinality.ONE_TO_ONE:
+        if vm.on:
+            if vm.labels:
+                keys = ", ".join(sql_str_lit(k) for k in vm.labels)
+                base = (
+                    f"map_filter(labels, (k, v) -> "
+                    f"array_contains(array({keys}), k))"
+                )
+            else:
+                base = "map_filter(labels, (k, v) -> false)"
+        elif vm.labels:
+            keys = ", ".join(sql_str_lit(k) for k in vm.labels)
+            base = (
+                f"map_filter(labels, (k, v) -> "
+                f"NOT array_contains(array({keys}), k))"
+            )
+    if vm.include:
+        inc = ", ".join(sql_str_lit(k) for k in vm.include)
+        one_inc = (
+            f"map_filter(__olabels, (k, v) -> "
+            f"array_contains(array({inc}), k) AND v != '')"
+        )
+        base_rest = (
+            f"map_filter({base}, (k, v) -> "
+            f"NOT array_contains(array({inc}), k))"
+        )
+        return f"map_concat({base_rest}, {one_inc})"
+    return base
 
 
 def _match_labels_map(labels_col: Column, on, ignoring) -> Column:
@@ -305,37 +381,35 @@ def vector_vector(
     many_df = ldf if one_is_rhs else rdf
     one_df = rdf if one_is_rhs else ldf
 
-    many = _with_match_sig(many_df, vm)
-    one = _with_match_sig(one_df, vm).select(
-        "msig",
+    # String-SQL composition throughout: every select ships to the JVM
+    # as one selectExpr round trip instead of per-Column py4j chatter
+    # (the plan-construction latency path; same collapse as
+    # range_functions._extrapolated).
+    msig = _msig_sql(vm)
+    many = many_df.selectExpr("*", msig + " AS msig")
+    one = one_df.selectExpr(
+        msig + " AS msig",
         "t",
-        F.col("value").alias("__ov"),
-        F.col("labels").alias("__olabels"),
-        F.col("drop_name").alias("__odrop"),
-        *([F.col("hist").alias("__ohist")] if has_hist else []),
+        "value AS __ov",
+        "labels AS __olabels",
+        "drop_name AS __odrop",
+        *(["hist AS __ohist"] if has_hist else []),
     )
 
     # Duplicate signatures on the "one" side must error, not dedupe.
     # A window count + raise_error stays JVM-side with no extra job; the
     # check column is folded into `value` so Catalyst can't prune it away.
-    guard = F.lit(0.0)
+    guard = "0.0D"
     if ctx.strict:
-        wr = Window.partitionBy("msig", "t")
-        one = one.withColumn(
-            "__chk",
-            F.when(
-                F.count(F.lit(1)).over(wr) > 1,
-                F.raise_error(
-                    F.concat(
-                        F.lit("found duplicate series for the match group on the "),
-                        F.lit("right" if one_is_rhs else "left"),
-                        F.lit(" hand-side of the operation: "),
-                        F.col("msig"),
-                    )
-                ).cast("double"),
-            ),
+        side = "right" if one_is_rhs else "left"
+        one = one.selectExpr(
+            "*",
+            "CASE WHEN count(1) OVER (PARTITION BY msig, t) > 1 THEN "
+            "CAST(raise_error(concat("
+            f"'found duplicate series for the match group on the {side} "
+            "hand-side of the operation: ', msig)) AS DOUBLE) END AS __chk",
         )
-        guard = F.coalesce(F.col("__chk"), F.lit(0.0))
+        guard = "coalesce(__chk, 0.0D)"
 
     # fill modifiers (ast.go:329): missing-side substitution via outer
     # joins.  The reference swaps operands for group_right but not the
@@ -368,59 +442,61 @@ def vector_vector(
 
     if ctx.strict and card == MatchCardinality.ONE_TO_ONE:
         # after a unique-rhs join, >1 row per (msig, t) ⇒ duplicate lhs
-        wl = Window.partitionBy("msig", "t")
-        joined = joined.withColumn(
-            "__chk2",
-            F.when(
-                F.count(F.lit(1)).over(wl) > 1,
-                F.raise_error(
-                    F.lit(
-                        "multiple matches for labels: many-to-one matching "
-                        "must be explicit (group_left/group_right)"
-                    )
-                ).cast("double"),
-            ),
+        joined = joined.selectExpr(
+            "*",
+            "CASE WHEN count(1) OVER (PARTITION BY msig, t) > 1 THEN "
+            "CAST(raise_error('multiple matches for labels: many-to-one "
+            "matching must be explicit (group_left/group_right)') "
+            "AS DOUBLE) END AS __chk2",
         )
-        guard = guard + F.coalesce(F.col("__chk2"), F.lit(0.0))
+        guard = f"({guard} + coalesce(__chk2, 0.0D))"
 
     # restore operand positions: 'many' holds lhs for group_left, rhs for group_right
-    l_val = F.col("value") if one_is_rhs else F.col("__ov")
-    r_val = F.col("__ov") if one_is_rhs else F.col("value")
+    l_val = "value" if one_is_rhs else "__ov"
+    r_val = "__ov" if one_is_rhs else "value"
 
     # histogram operands: == / != compare the full histogram structs;
     # other comparisons and float arithmetic drop histogram rows (the
     # reference annotates and skips them)
-    l_hist = (F.col("hist") if one_is_rhs else F.col("__ohist")) if has_hist else F.lit(None)
-    r_hist = (F.col("__ohist") if one_is_rhs else F.col("hist")) if has_hist else F.lit(None)
-    both_float = l_val.isNotNull() & r_val.isNotNull()
-    both_hist = (l_hist.isNotNull() & r_hist.isNotNull()) if has_hist else F.lit(False)
+    l_hist = ("hist" if one_is_rhs else "__ohist") if has_hist else "NULL"
+    r_hist = ("__ohist" if one_is_rhs else "hist") if has_hist else "NULL"
+    both_float = f"({l_val} IS NOT NULL AND {r_val} IS NOT NULL)"
+    both_hist = (
+        f"({l_hist} IS NOT NULL AND {r_hist} IS NOT NULL)" if has_hist else "false"
+    )
 
     if node.op in COMPARISON_OPS:
-        labels = _result_labels_expr(vm, drop_name=node.return_bool)
-        flag = F.lit(True) if node.return_bool else F.col("drop_name")
-        pred_f = compare_expr(node.op, l_val, r_val)
+        labels = _result_labels_sql(vm)
+        flag = "true" if node.return_bool else "drop_name"
+        pred_f = compare_sql(node.op, l_val, r_val)
         if has_hist and node.op in ("==", "!="):
-            pred_h = l_hist == r_hist if node.op == "==" else ~(l_hist == r_hist)
-            supported = both_float | both_hist
-            pred = F.when(both_hist, pred_h).otherwise(both_float & pred_f)
+            pred_h = (
+                f"({l_hist} = {r_hist})"
+                if node.op == "=="
+                else f"(NOT ({l_hist} = {r_hist}))"
+            )
+            supported = f"({both_float} OR {both_hist})"
+            pred = (
+                f"(CASE WHEN {both_hist} THEN {pred_h} "
+                f"ELSE {both_float} AND {pred_f} END)"
+            )
         else:
             supported = both_float
-            pred = both_float & pred_f
+            pred = f"({both_float} AND {pred_f})"
         if node.return_bool:
-            joined = joined.filter(supported | (guard != 0.0))
-            value = (F.when(pred, 1.0).otherwise(0.0) + guard).alias("value")
+            joined = joined.filter(f"{supported} OR ({guard}) != 0.0D")
+            value = f"(CASE WHEN {pred} THEN 1.0D ELSE 0.0D END + {guard})"
         else:
-            joined = joined.filter((supported & pred) | (guard != 0.0))
-            value = (l_val + guard).alias("value")  # filter keeps the lhs sample
+            joined = joined.filter(f"({supported} AND {pred}) OR ({guard}) != 0.0D")
+            value = f"({l_val} + {guard})"  # filter keeps the lhs sample
     elif node.op in ("</", ">/"):
         # hist-left × float-right trims; every other combination drops.
         # Trims keep __name__ (changesMetricSchema engine.go:4437).
-        labels = _result_labels_expr(vm, drop_name=False)
-        flag = F.col("drop_name")
+        labels_c = F.expr(_result_labels_sql(vm))
         if not has_hist:
             return VectorFrame(
                 joined.filter(F.lit(False)).select(
-                    sig_expr(labels).alias("sig"), labels.alias("labels"),
+                    sig_expr(labels_c).alias("sig"), labels_c.alias("labels"),
                     "t", F.col("t").alias("sample_t"),
                     F.lit(None).cast("double").alias("value"),
                     F.lit(False).alias("drop_name"),
@@ -429,37 +505,44 @@ def vector_vector(
         from prometheus_spark.engine import hist_arith
 
         src = joined.filter(
-            l_hist.isNotNull() & r_val.isNotNull() & (guard == 0.0)
-        ).select(
-            labels.alias("labels"), "t",
-            l_hist.alias("hist"), r_val.alias("__s"),
+            f"{l_hist} IS NOT NULL AND {r_val} IS NOT NULL AND ({guard}) = 0.0D"
+        ).selectExpr(
+            _result_labels_sql(vm) + " AS labels",
+            "t",
+            f"{l_hist} AS hist",
+            f"{r_val} AS __s",
         )
         return VectorFrame(
             hist_arith.trim_scalar(ctx, src, is_upper=node.op == "</")
         )
     else:
-        labels = _result_labels_expr(vm, drop_name=True)
-        flag = F.lit(True)
+        labels = _result_labels_sql(vm)
+        flag = "true"
         if has_hist and node.op in ("+", "-", "*", "/"):
             return _arith_with_hist(
-                ctx, node, joined, labels, guard,
-                l_val, r_val, l_hist, r_hist, both_float, both_hist,
+                ctx, node, joined, F.expr(labels), F.expr(guard),
+                F.expr(l_val), F.expr(r_val), F.expr(l_hist), F.expr(r_hist),
+                F.expr(both_float), F.expr(both_hist),
             )
-        joined = joined.filter(both_float | (guard != 0.0))
-        value = (arith_expr(node.op, l_val, r_val).cast("double") + guard).alias("value")
+        joined = joined.filter(f"{both_float} OR ({guard}) != 0.0D")
+        value = (
+            f"(CAST({arith_sql(node.op, l_val, r_val)} AS DOUBLE) + {guard})"
+        )
 
     hist_out = []
     if has_hist and node.op in COMPARISON_OPS and not node.return_bool:
         # filtering comparisons return the lhs sample, histogram included
-        hist_out = [(F.col("hist") if one_is_rhs else F.col("__ohist")).alias("hist")]
+        hist_out = [("hist" if one_is_rhs else "__ohist") + " AS hist"]
 
-    out = joined.select(
-        sig_expr(labels).alias("sig"),
-        labels.alias("labels"),
+    from prometheus_spark.model.labels import sig_sql
+
+    out = joined.selectExpr(
+        sig_sql(labels) + " AS sig",
+        labels + " AS labels",
         "t",
-        F.col("t").alias("sample_t"),
-        value,
-        flag.alias("drop_name"),
+        "t AS sample_t",
+        value + " AS value",
+        flag + " AS drop_name",
         *hist_out,
     )
     return VectorFrame(out)

@@ -115,23 +115,24 @@ class PromQLEngine:
         from flagged rows, THEN run the duplicate-labelset check — the
         single place duplicates can legitimately appear (two series
         collapsing onto the same labelset once names are gone)."""
-        from prometheus_spark.model.labels import drop_metadata_expr, sig_expr
+        from prometheus_spark.model.labels import drop_metadata_sql, sig_sql
 
         if "drop_name" in df.columns:
-            labels = F.when(
-                F.col("drop_name"), drop_metadata_expr("labels")
-            ).otherwise(F.col("labels"))
+            labels = (
+                f"CASE WHEN drop_name THEN {drop_metadata_sql('labels')} "
+                "ELSE labels END"
+            )
         else:
-            labels = F.col("labels")
+            labels = "labels"
         cols = [
-            sig_expr(labels).alias("sig"),
-            labels.alias("labels"),
-            F.col("t"),
-            F.col("value"),
+            sig_sql(labels) + " AS sig",
+            labels + " AS labels",
+            "t",
+            "value",
         ]
         if "hist" in df.columns:
-            cols.append(F.col("hist"))
-        out = df.select(*cols)
+            cols.append("hist")
+        out = df.selectExpr(*cols)
         if self.strict:
             from prometheus_spark.engine.guards import check_unique_labelsets
 

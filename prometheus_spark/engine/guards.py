@@ -18,9 +18,11 @@ def check_unique_labelsets(
     df: DataFrame,
     msg: str = "vector cannot contain metrics with the same labelset",
 ) -> DataFrame:
-    w = Window.partitionBy("sig", "t")
-    guard = F.when(
-        F.count(F.lit(1)).over(w) > 1,
-        F.raise_error(F.concat(F.lit(msg + ": "), F.col("sig"))).cast("double"),
+    from prometheus_spark.model.labels import sql_str_lit
+
+    guard = (
+        "coalesce(CASE WHEN count(1) OVER (PARTITION BY sig, t) > 1 THEN "
+        f"CAST(raise_error(concat({sql_str_lit(msg + ': ')}, sig)) AS DOUBLE) "
+        "END, 0.0D)"
     )
-    return df.withColumn("value", F.col("value") + F.coalesce(guard, F.lit(0.0)))
+    return df.withColumn("value", F.expr(f"value + {guard}"))

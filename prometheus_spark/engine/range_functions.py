@@ -276,75 +276,76 @@ def _finish(df: DataFrame, ctx: EvalContext = None, keep_name: bool = False) -> 
 
 
 def _simple_over_time(ctx: EvalContext, windowed: DataFrame, func: str) -> DataFrame:
-    from prometheus_spark.engine.aggregations import _avg_agg, _kahan_sum_agg
+    from prometheus_spark.engine.aggregations import (
+        _INF_SQL,
+        _NAN_SQL,
+        avg_sql,
+        kahan_sum_sql,
+        quantile_sql,
+        sorted_values_sql,
+    )
 
-    v = F.col("value")
-    masked = F.when(~F.isnan(v), v)
+    masked = "(CASE WHEN NOT isnan(value) THEN value END)"
     aggs = {
         # Kahan-compensated in the reference (functions.go:1218); plain
         # sums in scalable mode, array-fold Kahan in corpus (kahan) mode
-        "sum_over_time": _kahan_sum_agg(v) if ctx.kahan else F.sum(v),
-        "avg_over_time": _avg_agg(v, kahan=ctx.kahan),
-        "count_over_time": F.count(F.lit(1)).cast("double"),  # histograms count too
+        "sum_over_time": kahan_sum_sql("value") if ctx.kahan else "sum(value)",
+        "avg_over_time": avg_sql("value", kahan=ctx.kahan),
+        "count_over_time": "CAST(count(1) AS DOUBLE)",  # histograms count too
         # min/max skip NaN unless all values are NaN (functions.go:1558-1565)
-        "min_over_time": F.coalesce(F.min(masked), _NAN()),
-        "max_over_time": F.coalesce(F.max(masked), _NAN()),
-        "first_over_time": F.min_by(v, F.col("sample_t")),
-        "last_over_time": F.max_by(v, F.col("sample_t")),
-        "stddev_over_time": F.coalesce(F.stddev_pop(v), _NAN()),
-        "stdvar_over_time": F.coalesce(F.var_pop(v), _NAN()),
-        "present_over_time": F.lit(1.0),
-        "mad_over_time": F.coalesce(
-            F.percentile(F.abs(v - F.percentile(v, F.lit(0.5))), F.lit(0.5)), _NAN()
-        ),
-        "ts_of_first_over_time": F.min("sample_t") / 1000.0,
-        "ts_of_last_over_time": F.max("sample_t") / 1000.0,
+        "min_over_time": f"coalesce(min({masked}), {_NAN_SQL})",
+        "max_over_time": f"coalesce(max({masked}), {_NAN_SQL})",
+        "first_over_time": "min_by(value, sample_t)",
+        "last_over_time": "max_by(value, sample_t)",
+        "stddev_over_time": f"coalesce(stddev_pop(value), {_NAN_SQL})",
+        "stdvar_over_time": f"coalesce(var_pop(value), {_NAN_SQL})",
+        "present_over_time": "1.0D",
+        "ts_of_first_over_time": "min(sample_t) / 1000.0D",
+        "ts_of_last_over_time": "max(sample_t) / 1000.0D",
         # on ties, latest timestamp wins (functions.go:1469-1522)
-        "ts_of_max_over_time": F.max(F.when(~F.isnan(v), F.struct(v, F.col("sample_t"))))[
-            "sample_t"
-        ]
-        / 1000.0,
-        "ts_of_min_over_time": F.min(
-            F.when(~F.isnan(v), F.struct(v, (-F.col("sample_t")).alias("sample_t")))
-        )["sample_t"]
-        * (-1 / 1000.0),
+        "ts_of_max_over_time": (
+            "max(CASE WHEN NOT isnan(value) THEN "
+            "struct(value, sample_t) END).sample_t / 1000.0D"
+        ),
+        "ts_of_min_over_time": (
+            "min(CASE WHEN NOT isnan(value) THEN "
+            "named_struct('value', value, 'sample_t', -sample_t) END)"
+            ".sample_t * -0.001D"
+        ),
     }
     if func == "mad_over_time":
         # median-of-|x − median|, both medians with the reference's exact
         # NaN-first order statistics (functions.go:1438) — NaN anywhere in
         # the window propagates.
-        from prometheus_spark.engine.aggregations import quantile_of_sorted, sorted_values_agg
-
         med = _grouped(windowed).agg(
-            F.first("labels").alias("labels"),
-            quantile_of_sorted(sorted_values_agg(v), F.lit(0.5)).alias("__med"),
+            F.expr("first(labels)").alias("labels"),
+            F.expr(
+                quantile_sql(sorted_values_sql("value"), "0.5D")
+            ).alias("__med"),
         )
         joined = windowed.join(med.select("sig", "t", "__med"), ["sig", "t"])
         out = joined.groupBy("sig", "t").agg(
-            F.first("labels").alias("labels"),
-            F.when(
+            F.expr("first(labels)").alias("labels"),
+            F.expr(
                 # a NaN sample makes the median undefined → propagate
                 # (functions.go funcMadOverTime)
-                F.max(F.isnan(v).cast("int")) == 1,
-                _NAN(),
-            )
-            .otherwise(
-                quantile_of_sorted(
-                    sorted_values_agg(F.abs(v - F.col("__med"))), F.lit(0.5)
-                )
-            )
-            .alias("value"),
+                f"CASE WHEN max(CAST(isnan(value) AS INT)) = 1 THEN {_NAN_SQL} "
+                f"ELSE {quantile_sql(sorted_values_sql('abs(value - __med)'), '0.5D')} "
+                "END"
+            ).alias("value"),
         )
         return _finish(out, ctx)
     if func not in aggs:
         raise PromQLEvalError(f"unsupported over_time function {func}")
     flag_agg = (
-        [F.bool_or("drop_name").alias("drop_name")]
+        [F.expr("bool_or(drop_name)").alias("drop_name")]
         if "drop_name" in windowed.columns
         else []
     )
     out = _grouped(windowed).agg(
-        F.first("labels").alias("labels"), aggs[func].alias("value"), *flag_agg
+        F.expr("first(labels)").alias("labels"),
+        F.expr(f"CAST({aggs[func]} AS DOUBLE)").alias("value"),
+        *flag_agg,
     )
     # first/last_over_time return real samples — the metric name survives
     # (reference: funcLastOverTime keeps DropName unset)
@@ -352,27 +353,50 @@ def _simple_over_time(ctx: EvalContext, windowed: DataFrame, func: str) -> DataF
 
 
 def _quantile_over_time(ctx: EvalContext, windowed: DataFrame, param) -> DataFrame:
-    from prometheus_spark.engine.aggregations import quantile_of_sorted, sorted_values_agg
+    from prometheus_spark.engine.aggregations import (
+        float_sql,
+        quantile_sql,
+        sorted_values_sql,
+    )
     from prometheus_spark.engine.values import ScalarFrame
 
-    arr = sorted_values_agg(F.col("value")).alias("__arr")
+    arr = F.expr(sorted_values_sql("value")).alias("__arr")
     if isinstance(param, ConstScalar):
-        grouped = _grouped(windowed).agg(F.first("labels").alias("labels"), arr)
-        phi = F.lit(float(param.value))
+        grouped = _grouped(windowed).agg(
+            F.expr("first(labels)").alias("labels"), arr
+        )
+        phi = float_sql(float(param.value))
     elif isinstance(param, ScalarFrame):
         p = param.df.withColumnRenamed("value", "__phi")
         grouped = (
             windowed.join(F.broadcast(p), "t", "left")
             .groupBy("sig", "t")
-            .agg(F.first("labels").alias("labels"), arr, F.first("__phi").alias("__p"))
+            .agg(
+                F.expr("first(labels)").alias("labels"),
+                arr,
+                F.expr("first(__phi)").alias("__p"),
+            )
         )
-        phi = F.col("__p")
+        phi = "__p"
     else:
         raise PromQLEvalError("quantile_over_time: unsupported parameter type")
-    out = grouped.select(
-        "sig", "labels", "t", quantile_of_sorted(F.col("__arr"), phi).alias("value")
+    out = grouped.selectExpr(
+        "sig", "labels", "t", quantile_sql("__arr", phi) + " AS value"
     )
     return _finish(out, ctx)
+
+
+def _st_reset_sql(prev_st: str, prev_t: str, cur_st: str, cur_t: str) -> str:
+    """SQL-string form of :func:`_st_reset_expr` (functions.go:760)."""
+    pst = f"coalesce({prev_st}, 0L)"
+    cst = f"coalesce({cur_st}, 0L)"
+    return (
+        f"(CASE WHEN {cst} = 0 OR {cst} >= {cur_t} THEN false "
+        f"WHEN {cst} < {prev_t} THEN false "
+        f"WHEN {cst} > {prev_t} THEN true "
+        f"WHEN {pst} > {prev_t} THEN false "
+        f"ELSE ({pst} != 0 AND {pst} != {prev_t}) END)"
+    )
 
 
 def _st_reset_expr(prev_st, prev_t, cur_st, cur_t):
@@ -405,28 +429,31 @@ def _extrapolated(
     resets, and a first-sample ST inside the window substitutes a zero
     sample at the ST for left extrapolation (functions.go:551)."""
     windowed = _with_st(windowed)
-    w = Window.partitionBy("sig", "t").orderBy("sample_t")
-    prev = F.lag("value").over(w)
+    over = "OVER (PARTITION BY sig, t ORDER BY sample_t)"
+    prev = f"(lag(value) {over})"
     # IEEE guard: Spark sorts NaN above all doubles, Go compares false
-    is_reset = (~F.isnan(F.col("value"))) & (~F.isnan(prev)) & (F.col("value") < prev)
+    is_reset = f"(NOT isnan(value) AND NOT isnan({prev}) AND value < {prev})"
     if is_counter:
-        is_reset = is_reset | _st_reset_expr(
-            F.lag("st").over(w), F.lag("sample_t").over(w), F.col("st"), F.col("sample_t")
+        st_reset = _st_reset_sql(
+            f"(lag(st) {over})", f"(lag(sample_t) {over})", "st", "sample_t"
         )
-    drop = F.when(is_reset, prev).otherwise(0.0)
+        is_reset = f"({is_reset} OR {st_reset})"
+        drop = f"(CASE WHEN {is_reset} THEN {prev} ELSE 0.0D END)"
+    else:
+        drop = "0.0D"
     stats = (
-        windowed.withColumn("__drop", drop if is_counter else F.lit(0.0))
+        windowed.selectExpr("*", drop + " AS __drop")
         .groupBy("sig", "t")
         .agg(
-            F.first("labels").alias("labels"),
-            F.max("wend").alias("wend"),
-            F.count("*").alias("n"),
-            F.min("sample_t").alias("first_t"),
-            F.max("sample_t").alias("last_t"),
-            F.min_by("value", "sample_t").alias("first_v"),
-            F.max_by("value", "sample_t").alias("last_v"),
-            F.min_by("st", "sample_t").alias("st0"),
-            F.sum("__drop").alias("correction"),
+            F.expr("first(labels)").alias("labels"),
+            F.expr("max(wend)").alias("wend"),
+            F.expr("count(*)").alias("n"),
+            F.expr("min(sample_t)").alias("first_t"),
+            F.expr("max(sample_t)").alias("last_t"),
+            F.expr("min_by(value, sample_t)").alias("first_v"),
+            F.expr("max_by(value, sample_t)").alias("last_v"),
+            F.expr("min_by(st, sample_t)").alias("st0"),
+            F.expr("sum(__drop)").alias("correction"),
         )
     )
 

@@ -99,6 +99,38 @@ def _floor_div(x: Column, step: int) -> Column:
     return F.floor(x / F.lit(float(step)))
 
 
+def _explode_steps_sql(ctx: EvalContext, lo_sql: str, hi_sql: str) -> str:
+    """SQL fragment: ``explode(...) AS __kk`` — one step index per grid
+    step in [lo, hi] ms, inclusive.  Composed as ONE string so the whole
+    selector plan ships to the JVM in a single selectExpr round trip
+    (the py4j-per-Column construction cost dominated interactive-query
+    latency; same collapse as range_functions._extrapolated).
+
+    floor/ceil via double division — exact for epoch-ms (< 2^53).  The
+    CASE guard matters: sequence(lo, hi) with lo > hi would generate a
+    DESCENDING sequence, not an empty one; explode(NULL) yields no rows.
+    """
+    start, step, n = ctx.start_ms, ctx.step_ms, ctx.num_steps
+    # SQL floor() yields DECIMAL(20,0) (unlike F.floor's BIGINT) and
+    # sequence() rejects decimals — cast both bounds explicitly
+    k_lo = (
+        f"CAST(greatest(-floor(-(({lo_sql}) - {start}) / {float(step)}), 0L)"
+        " AS BIGINT)"
+    )
+    k_hi = (
+        f"CAST(least(floor((({hi_sql}) - {start}) / {float(step)}), {n - 1}L)"
+        " AS BIGINT)"
+    )
+    return (
+        f"explode(CASE WHEN ({k_lo}) <= ({k_hi}) THEN "
+        f"sequence({k_lo}, {k_hi}) END)"
+    )
+
+
+def _step_t_sql(ctx: EvalContext, k: str = "__kk") -> str:
+    return f"CAST({ctx.start_ms} + {k} * {ctx.step_ms} AS BIGINT)"
+
+
 def _explode_steps(df: DataFrame, ctx: EvalContext, lo_ms: Column, hi_ms: Column) -> DataFrame:
     """Attach step column ``t`` for every grid step in [lo_ms, hi_ms] (ms,
     inclusive).  ``k = (t - start)/step`` clamped to the grid."""
@@ -165,32 +197,33 @@ def eval_vector_selector(ctx: EvalContext, node: VectorSelector) -> VectorFrame:
     # Sliding path: sample serves steps where (step_t - offset) ∈
     # [t, min(t + lookback, next_t)).  Stale markers terminate the serve
     # interval of the previous sample and emit nothing themselves.
+    # Composed as string-SQL selectExprs (2 round trips, not ~15).
     lo, hi = ctx.start_ms - offset - ctx.lookback_ms, ctx.end_ms - offset
-    base = base.filter((F.col("t") > lo) & (F.col("t") <= hi))
-    w = Window.partitionBy("sig").orderBy("t")
-    served = (
-        base.withColumn("next_t", F.lead("t").over(w))
-        .filter(~F.col("stale"))
-        .withColumn(
-            "valid_to",
-            F.least(
-                F.col("t") + F.lit(ctx.lookback_ms), F.coalesce(F.col("next_t"), F.lit(2**62))
-            ),
+    valid_to = (
+        f"least(t + {ctx.lookback_ms}, "
+        f"coalesce(lead(t) OVER (PARTITION BY sig ORDER BY t), {2**62}L))"
+    )
+    exploded = (
+        base.filter(f"t > {lo} AND t <= {hi}")
+        .selectExpr("*", f"{valid_to} AS __valid_to")
+        .filter("NOT stale")
+        .selectExpr(
+            "sig",
+            "labels",
+            "t AS sample_t",
+            "value",
+            *hist_cols,
+            _explode_steps_sql(ctx, f"t + {offset}", f"__valid_to - 1 + {offset}")
+            + " AS __kk",
         )
     )
-    exploded = _explode_steps(
-        served,
-        ctx,
-        F.col("t") + F.lit(offset),
-        F.col("valid_to") - 1 + F.lit(offset),
-    )
-    out = exploded.select(
+    out = exploded.selectExpr(
         "sig",
         "labels",
-        F.col("step_t").alias("t"),
-        F.col("t").alias("sample_t"),
+        _step_t_sql(ctx) + " AS t",
+        "sample_t",
         "value",
-        F.lit(False).alias("drop_name"),
+        "false AS drop_name",
         *hist_cols,
     )
     return VectorFrame(out)
@@ -322,11 +355,9 @@ def windowed_samples(
     else:
         base = node_or_df
     hist_cols = ["hist"] if "hist" in base.columns else []
-    if "drop_name" not in base.columns:
-        base = base.withColumn("drop_name", F.lit(False))
-    if "st" not in base.columns:
-        base = base.withColumn("st", F.lit(None).cast("long"))
-    base = base.select("sig", "labels", "t", "value", "drop_name", "st", *hist_cols)
+    dn = "drop_name" if "drop_name" in base.columns else "false AS drop_name"
+    st = "st" if "st" in base.columns else "CAST(NULL AS BIGINT) AS st"
+    base = base.selectExpr("sig", "labels", "t", "value", dn, st, *hist_cols)
 
     # ``wend`` = the window's (offset-adjusted) right edge — rate
     # extrapolation measures sample distance to it (functions.go:472,
@@ -343,19 +374,31 @@ def windowed_samples(
 
 
 def _sliding_windows(ctx, base, range_ms, offset_ms, hist_cols):
-
     lo, hi = ctx.start_ms - offset_ms - range_ms, ctx.end_ms - offset_ms
-    base = base.filter((F.col("t") > lo) & (F.col("t") <= hi))
-    exploded = _explode_steps(
-        base,
-        ctx,
-        F.col("t") + F.lit(offset_ms),
-        F.col("t") + F.lit(range_ms - 1 + offset_ms),
+    exploded = base.filter(f"t > {lo} AND t <= {hi}").selectExpr(
+        "sig",
+        "labels",
+        "t AS sample_t",
+        "value",
+        "drop_name",
+        "st",
+        *hist_cols,
+        _explode_steps_sql(
+            ctx, f"t + {offset_ms}", f"t + {range_ms - 1 + offset_ms}"
+        )
+        + " AS __kk",
     )
-    return exploded.select(
-        "sig", "labels", F.col("step_t").alias("out_t"), F.col("t").alias("sample_t"),
-        "value", "drop_name", "st", *hist_cols, (F.col("step_t") - F.lit(offset_ms)).alias("wend"),
-    ).withColumnsRenamed({"out_t": "t"})
+    return exploded.selectExpr(
+        "sig",
+        "labels",
+        _step_t_sql(ctx) + " AS t",
+        "sample_t",
+        "value",
+        "drop_name",
+        "st",
+        *hist_cols,
+        _step_t_sql(ctx) + f" - {offset_ms} AS wend",
+    )
 
 
 def extended_windowed_samples(

@@ -148,6 +148,78 @@ METADATA_LABELS = (METRIC_NAME_LABEL, "__type__", "__unit__")
 
 
 @_memo_on_str
+def group_labels_sql(
+    labels_sql: str,
+    by: Iterable[str] | None,
+    without: Iterable[str] | None,
+) -> str:
+    """SQL-string form of :func:`group_labels_expr` (engine.go:4412)."""
+    empty = "map_filter(" + labels_sql + ", (k, v) -> false)"
+    if by is not None:
+        if not by:
+            return empty
+        keys = ", ".join(sql_str_lit(k) for k in by)
+        return (
+            f"map_filter({labels_sql}, (k, v) -> "
+            f"array_contains(array({keys}), k))"
+        )
+    if without is not None:
+        dropped = list(without) + list(METADATA_LABELS)
+        keys = ", ".join(sql_str_lit(k) for k in dropped)
+        return (
+            f"map_filter({labels_sql}, (k, v) -> "
+            f"NOT array_contains(array({keys}), k))"
+        )
+    return empty
+
+
+def sql_str_lit(s: str) -> str:
+    """Quote a Python string as a Spark SQL string literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def sig_sql(labels_sql: str = "labels") -> str:
+    """SQL-string form of :func:`sig_expr` — composed server-side in one
+    selectExpr round trip (plan-construction latency path)."""
+    return (
+        f"array_join(transform(array_sort(map_entries({labels_sql})), "
+        "e -> concat_ws('\\u001E', e.key, e.value)), '\\u001F')"
+    )
+
+
+def match_sig_sql(
+    labels_sql: str,
+    on: Iterable[str] | None,
+    ignoring: Iterable[str] | None,
+) -> str:
+    """SQL-string form of :func:`match_sig_expr`."""
+    if on is not None:
+        keys = ", ".join(sql_str_lit(k) for k in sorted(set(on)))
+        m = (
+            f"map_filter({labels_sql}, (k, v) -> "
+            f"array_contains(array({keys}), k))"
+            if keys
+            else f"map_filter({labels_sql}, (k, v) -> false)"
+        )
+    else:
+        dropped = sorted(set(ignoring or ()) | {METRIC_NAME_LABEL})
+        keys = ", ".join(sql_str_lit(k) for k in dropped)
+        m = (
+            f"map_filter({labels_sql}, (k, v) -> "
+            f"NOT array_contains(array({keys}), k))"
+        )
+    return sig_sql(m)
+
+
+def drop_metadata_sql(labels_sql: str = "labels") -> str:
+    """SQL-string form of :func:`drop_metadata_expr`."""
+    keys = ", ".join(sql_str_lit(k) for k in METADATA_LABELS)
+    return (
+        f"map_filter({labels_sql}, (k, v) -> "
+        f"NOT array_contains(array({keys}), k))"
+    )
+
+
 def drop_metadata_expr(labels_col: Column | str = "labels") -> Column:
     """Drop all schema metadata labels (__name__/__type__/__unit__) — the
     delayed-name-removal finalization step (engine.go DropReserved)."""

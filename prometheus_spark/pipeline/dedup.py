@@ -84,32 +84,117 @@ def minhash_signatures(
     )
 
 
+# Spark's Murmur-free 64-bit hash (catalyst XXH64.java) re-derived for
+# numpy so the permutation stage can run in an Arrow batch WITHOUT
+# whole-stage codegen: the 64-perm JVM expression is hash-identical but
+# pays a multi-second one-time Janino JIT per distinct plan — the
+# dominant cold-query cost.  Verified bit-for-bit against xxhash64() in
+# tests/test_pipeline.py.
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _xxh64_int_seeds(num_perm: int):
+    """hashInt(i, 42) for i in [0, num_perm) — the running seeds Spark's
+    ``xxhash64(i, h)`` feeds into hashLong (XXH64.java hashInt)."""
+    import numpy as np
+
+    u = np.uint64
+    i = np.arange(num_perm, dtype=np.uint64)
+    h = u(42) + u(_XXH_P5) + u(4)
+    h = h ^ (i * u(_XXH_P1))
+    h = ((h << u(23)) | (h >> u(41))) * u(_XXH_P2) + u(_XXH_P3)
+    h ^= h >> u(33)
+    h *= u(_XXH_P2)
+    h ^= h >> u(29)
+    h *= u(_XXH_P3)
+    h ^= h >> u(32)
+    return h  # shape (num_perm,)
+
+
+def _xxh64_long_matrix(vals, seeds):
+    """hashLong(v, seed) for every (v, seed) pair (XXH64.java hashLong):
+    vals (N,) uint64 × seeds (P,) uint64 → (N, P) uint64, vectorized."""
+    import numpy as np
+
+    u = np.uint64
+    k1 = ((vals * u(_XXH_P2)) << u(31)) | ((vals * u(_XXH_P2)) >> u(33))
+    k1 = k1 * u(_XXH_P1)  # (N,)
+    h = (seeds[None, :] + u(_XXH_P5) + u(8)) ^ k1[:, None]  # (N, P)
+    h = (((h << u(27)) | (h >> u(37))) * u(_XXH_P1)) + u(_XXH_P4)
+    h ^= h >> u(33)
+    h *= u(_XXH_P2)
+    h ^= h >> u(29)
+    h *= u(_XXH_P3)
+    h ^= h >> u(32)
+    return h
+
+
 def _minhash_sig_array(
     df: DataFrame,
     text_col: str,
     id_col: str,
     num_perm: int,
     shingle_n: int,
+    use_arrow: bool = True,
 ) -> DataFrame:
-    """(id, __sig: array<long>) — the array-native signature.  One
-    nested transform over a perm-index sequence instead of num_perm
-    separate column expressions: hash-identical output (xxhash64 of the
-    same INT seed) but the generated code is one loop, cutting
-    whole-stage-codegen compile time ~4x — a fixed cost per query, but
-    it dominates interactive latency."""
+    """(id, __sig: array<long>) — the array-native signature.
+
+    Shingling and the per-shingle base hash stay JVM-side (string ops,
+    cheap codegen); the ``num_perm`` permutation min-fold runs as a
+    numpy ``mapInArrow`` stage producing IDENTICAL hashes with no
+    Janino compile (``use_arrow=False`` keeps the pure-expression path,
+    used by tests to assert bit-equality).  Still a pure map stage —
+    zero shuffle at any scale."""
     grams = _word_ngrams(F.col(text_col), shingle_n)
     df = _spread(df, id_col)
     # materialize the base hash array in a child projection so the
-    # num_perm permutation expressions reuse it instead of re-hashing
+    # permutation stage reuses it instead of re-hashing strings
     hashed = df.select(
         F.col(id_col),
         F.transform(grams, lambda g: F.xxhash64(g)).alias("__h0"),
     ).filter(F.size("__h0") > 0)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(F.transform("__h0", lambda h: F.xxhash64(i, h))),
-    )
-    return hashed.select(F.col(id_col), sig.alias("__sig"))
+    if not use_arrow:
+        sig = F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda i: F.array_min(F.transform("__h0", lambda h: F.xxhash64(i, h))),
+        )
+        return hashed.select(F.col(id_col), sig.alias("__sig"))
+
+    id_type = hashed.schema[id_col].dataType.simpleString()
+
+    def permute(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        seeds = _xxh64_int_seeds(num_perm)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0)
+            h0 = batch.column(1)
+            if isinstance(h0, pa.ChunkedArray):  # pragma: no cover
+                h0 = h0.combine_chunks()
+            offsets = h0.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = h0.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals_u = vals.view(np.uint64)
+            mat = _xxh64_long_matrix(vals_u, seeds)  # (N, P)
+            # per-document min over the doc's shingle slice; every list
+            # is non-empty (filtered upstream)
+            mins = np.minimum.reduceat(
+                mat.view(np.int64), offsets[:-1], axis=0
+            )  # signed view: Spark's hash is a signed long min
+            flat = pa.array(mins.reshape(-1), type=pa.int64())
+            sig_offsets = pa.array(
+                np.arange(len(mins) + 1, dtype=np.int32) * num_perm
+            )
+            sig = pa.ListArray.from_arrays(sig_offsets, flat)
+            yield pa.RecordBatch.from_arrays([ids, sig], [id_col, "__sig"])
+
+    return hashed.mapInArrow(permute, f"{id_col} {id_type}, __sig array<bigint>")
 
 
 def minhash_dup_candidates(

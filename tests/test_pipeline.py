@@ -287,3 +287,26 @@ def test_connected_components_long_chain(spark):
     cc = connected_components(pairs)
     assert cc.select("cluster").distinct().count() == 1
     assert cc.count() == 41
+
+
+@needs_data
+def test_minhash_arrow_matches_jvm_expression(spark, docs):
+    """The numpy mapInArrow permutation stage must reproduce the JVM
+    xxhash64 expression BIT-FOR-BIT (same signatures → same candidate
+    sets), else the no-codegen fast path silently changes results."""
+    from prometheus_spark.pipeline.dedup import _minhash_sig_array
+
+    sample = docs.limit(30)
+    arrow = {
+        r["doc_id"]: r["__sig"]
+        for r in _minhash_sig_array(
+            sample, "text", "doc_id", 64, 3, use_arrow=True
+        ).collect()
+    }
+    jvm = {
+        r["doc_id"]: r["__sig"]
+        for r in _minhash_sig_array(
+            sample, "text", "doc_id", 64, 3, use_arrow=False
+        ).collect()
+    }
+    assert arrow == jvm and len(arrow) > 0
