@@ -209,8 +209,34 @@ def convert_buckets_layout(
 _CUMULATIVE = 2  # AggregationTemporality enum
 
 
+def _otlp_exemplar(buf: bytes) -> dict:
+    """OTLP Exemplar{filtered_attributes=7, time_unix_nano=2,
+    as_double=3, span_id=4, trace_id=5, as_int=6} → prometheus exemplar
+    labels with hex trace_id/span_id (helper.go getPromExemplars)."""
+    labels: dict[str, str] = {}
+    value, t = 0.0, 0
+    attrs: list[bytes] = []
+    for fno, wt, v in _fields(buf):
+        if fno == 7:
+            attrs.append(v)
+        elif fno == 2 and wt == 1:
+            t = _u64(v) // 1_000_000
+        elif fno == 3 and wt == 1:
+            value = _f64(v)
+        elif fno == 6 and wt == 1:
+            value = float(_sf64(v))
+        elif fno == 4 and wt == 2 and v:
+            labels["span_id"] = v.hex()
+        elif fno == 5 and wt == 2 and v:
+            labels["trace_id"] = v.hex()
+    for k, v in _keyvalues(attrs).items():
+        labels.setdefault(_sanitize_label(k), v)
+    return {"labels": labels, "value": value, "t": t}
+
+
 def _number_dp(buf: bytes) -> dict:
-    dp = {"attrs": [], "t": 0, "st": None, "value": 0.0, "flags": 0}
+    dp = {"attrs": [], "t": 0, "st": None, "value": 0.0, "flags": 0,
+          "exemplars": []}
     for fno, wt, v in _fields(buf):
         if fno == 7:
             dp["attrs"].append(v)
@@ -224,12 +250,14 @@ def _number_dp(buf: bytes) -> dict:
             dp["value"] = float(_sf64(v))
         elif fno == 8 and wt == 0:
             dp["flags"] = v
+        elif fno == 5 and wt == 2:  # exemplars
+            dp["exemplars"].append(_otlp_exemplar(v))
     return dp
 
 
 def _hist_dp(buf: bytes) -> dict:
     dp = {"attrs": [], "t": 0, "st": None, "count": 0, "sum": None,
-          "bucket_counts": [], "bounds": []}
+          "bucket_counts": [], "bounds": [], "exemplars": []}
     for fno, wt, v in _fields(buf):
         if fno == 9:
             dp["attrs"].append(v)
@@ -245,6 +273,8 @@ def _hist_dp(buf: bytes) -> dict:
             dp["bucket_counts"] = _packed_u64(v)
         elif fno == 7 and wt == 2:
             dp["bounds"] = _packed_f64(v)
+        elif fno == 8 and wt == 2:  # exemplars
+            dp["exemplars"].append(_otlp_exemplar(v))
     return dp
 
 
@@ -252,7 +282,7 @@ def _exp_hist_dp(buf: bytes) -> dict:
     dp = {"attrs": [], "t": 0, "st": None, "count": 0, "sum": None,
           "scale": 0, "zero_count": 0,
           "pos_offset": 0, "pos_counts": [],
-          "neg_offset": 0, "neg_counts": []}
+          "neg_offset": 0, "neg_counts": [], "exemplars": []}
     for fno, wt, v in _fields(buf):
         if fno == 1:
             dp["attrs"].append(v)
@@ -281,6 +311,8 @@ def _exp_hist_dp(buf: bytes) -> dict:
                 dp["pos_offset"], dp["pos_counts"] = off, counts
             else:
                 dp["neg_offset"], dp["neg_counts"] = off, counts
+        elif fno == 11 and wt == 2:  # exemplars
+            dp["exemplars"].append(_otlp_exemplar(v))
     return dp
 
 
@@ -343,13 +375,24 @@ def _exp_to_native(dp: dict) -> Optional[dict]:
 _IDENTIFYING = ("service.name", "service.namespace", "service.instance.id")
 
 
-def otlp_to_rows(body: bytes, emit_target_info: bool = True) -> list:
+def otlp_to_rows(
+    body: bytes, emit_target_info: bool = True, with_exemplars: bool = False
+):
     """ExportMetricsServiceRequest → [(labels, t_ms, value_or_hist, st)].
 
     ``st`` is the datapoint start timestamp in ms (None when absent) —
-    feeds the engine's created-timestamp handling.
+    feeds the engine's created-timestamp handling.  With
+    ``with_exemplars=True`` returns ``(rows, exemplars)`` — OTLP
+    datapoint exemplars translated to trace_id/span_id-labelled
+    prometheus exemplars (helper.go getPromExemplars), attached to the
+    translated series (classic histograms: the ``_count`` series).
     """
     rows: list = []
+    exemplars: list = []
+
+    def _take_exemplars(dp: dict, series_labels: dict) -> None:
+        for ex in dp.get("exemplars", []):
+            exemplars.append({"series_labels": dict(series_labels), **ex})
     for fno, _wt, rm in _fields(body):
         if fno != 1:  # resource_metrics
             continue
@@ -432,6 +475,7 @@ def otlp_to_rows(body: bytes, emit_target_info: bool = True) -> list:
                         ts_seen.add(dp["t"])
                         rows.append((lbls(dp, mname), dp["t"],
                                      dp["value"], dp["st"]))
+                        _take_exemplars(dp, lbls(dp, mname))
                 if sum_dps and temporality == _CUMULATIVE:
                     mname = normalize_metric_name(
                         name, unit, "sum", monotonic=monotonic
@@ -441,6 +485,7 @@ def otlp_to_rows(body: bytes, emit_target_info: bool = True) -> list:
                         ts_seen.add(dp["t"])
                         rows.append((lbls(dp, mname), dp["t"],
                                      dp["value"], dp["st"]))
+                        _take_exemplars(dp, lbls(dp, mname))
                 if hist_dps and temporality == _CUMULATIVE:
                     mname = normalize_metric_name(name, unit, "histogram")
                     for buf in hist_dps:
@@ -449,6 +494,7 @@ def otlp_to_rows(body: bytes, emit_target_info: bool = True) -> list:
                         st = dp["st"]
                         rows.append((lbls(dp, mname + "_count"), dp["t"],
                                      float(dp["count"]), st))
+                        _take_exemplars(dp, lbls(dp, mname + "_count"))
                         if dp["sum"] is not None:
                             rows.append((lbls(dp, mname + "_sum"), dp["t"],
                                          dp["sum"], st))
@@ -479,6 +525,7 @@ def otlp_to_rows(body: bytes, emit_target_info: bool = True) -> list:
                             continue
                         ts_seen.add(dp["t"])
                         rows.append((lbls(dp, mname), dp["t"], h, dp["st"]))
+                        _take_exemplars(dp, lbls(dp, mname))
                 if summary_dps:
                     mname = normalize_metric_name(name, unit, "summary")
                     for buf in summary_dps:
@@ -506,6 +553,8 @@ def otlp_to_rows(body: bytes, emit_target_info: bool = True) -> list:
                     {**base, **extra_attrs, "__name__": "target_info"},
                     t, 1.0, None,
                 ))
+    if with_exemplars:
+        return rows, exemplars
     return rows
 
 
@@ -518,14 +567,16 @@ class OTLPReceiver:
         import os
 
         self.spool_dir = spool_dir
+        self.exemplar_dir = os.path.join(spool_dir, "_exemplars")
         os.makedirs(spool_dir, exist_ok=True)
+        os.makedirs(self.exemplar_dir, exist_ok=True)
         self._n = 0
 
     def handle_body(self, body: bytes) -> int:
         import json
         import os
 
-        rows = otlp_to_rows(body)
+        rows, exemplars = otlp_to_rows(body, with_exemplars=True)
         self._n += 1
         path = os.path.join(
             self.spool_dir, f"otlp_{os.getpid()}_{self._n:08d}.json"
@@ -542,7 +593,34 @@ class OTLPReceiver:
                     rec["st"] = st
                 f.write(json.dumps(rec) + "\n")
         os.replace(tmp, path)
+        if exemplars:
+            ex_path = os.path.join(
+                self.exemplar_dir, f"ex_{os.getpid()}_{self._n:08d}.json"
+            )
+            tmp = ex_path + ".tmp"
+            with open(tmp, "w") as f:
+                for ex in exemplars:
+                    f.write(json.dumps(ex) + "\n")
+            os.replace(tmp, ex_path)
         return len(rows)
+
+    def exemplars_df(self, spark):
+        """The exemplar spool as the canonical exemplar frame."""
+        import glob as _glob
+        import json
+
+        from prometheus_spark.storage.exemplars import exemplars_from_rows
+
+        out = []
+        for path in sorted(_glob.glob(f"{self.exemplar_dir}/*.json")):
+            with open(path) as f:
+                for line in f:
+                    ex = json.loads(line)
+                    out.append(
+                        (ex["series_labels"], ex["t"], ex["labels"],
+                         ex["value"], ex["t"])
+                    )
+        return exemplars_from_rows(spark, out)
 
     def server(self, host: str = "127.0.0.1", port: int = 0):
         import http.server

@@ -201,6 +201,16 @@ def _decode_hist(buf: bytes) -> dict:
             h["neg_buckets"] = _packed_doubles(v)
         elif fno == 13:
             h["pos_buckets"] = _packed_doubles(v)
+        elif fno in (9, 12) and wt == 2:
+            # integer-histogram deltas (packed sint64): absolute count of
+            # bucket i = prefix sum of deltas (types.proto 209-215)
+            deltas = [_zigzag_dec(d) for d in _read_packed_varints(v)]
+            counts: list[float] = []
+            acc = 0
+            for d in deltas:
+                acc += d
+                counts.append(float(acc))
+            h["neg_buckets" if fno == 9 else "pos_buckets"] = counts
         elif fno == 15:
             t = v
         elif fno == 16:
@@ -210,19 +220,46 @@ def _decode_hist(buf: bytes) -> dict:
     return {"t": t, "hist": h}
 
 
-def decode_write_request(body: bytes, compressed: bool = True) -> list:
+def _decode_exemplar(buf: bytes) -> dict:
+    """prompb Exemplar{labels=1, value=2, timestamp=3} (types.proto)."""
+    labels: dict[str, str] = {}
+    value, t = 0.0, 0
+    for ef, ewt, ev in _fields(buf):
+        if ef == 1:
+            name = val = ""
+            for lf, _lwt, lv in _fields(ev):
+                if lf == 1:
+                    name = lv.decode()
+                elif lf == 2:
+                    val = lv.decode()
+            labels[name] = val
+        elif ef == 2 and ewt == 1:
+            value = struct.unpack("<d", ev)[0]
+        elif ef == 3:
+            t = ev if ev < (1 << 63) else ev - (1 << 64)
+    return {"labels": labels, "value": value, "t": t}
+
+
+def decode_write_request(
+    body: bytes, compressed: bool = True, with_exemplars: bool = False
+):
     """snappy+proto WriteRequest → [(labels, t_ms, value_or_hist)].
     Histogram samples return a dict in place of the float value (the
-    shape ``storage.samples_from_rows`` accepts)."""
+    shape ``storage.samples_from_rows`` accepts).  With
+    ``with_exemplars=True`` returns ``(rows, exemplars)`` where each
+    exemplar is {series_labels, labels, value, t} (the reference carries
+    exemplars per TimeSeries — storage/remote/codec.go:417)."""
     if compressed:
         body = snappy_decode(body)
     rows: list = []
+    exemplars: list = []
     for fno, _wt, ts_buf in _fields(body):
         if fno != 1:  # WriteRequest.timeseries
             continue
         labels: dict[str, str] = {}
         samples: list = []
         hists: list = []
+        exs: list = []
         for tf, _twt, tv in _fields(ts_buf):
             if tf == 1:  # Label
                 name = value = ""
@@ -240,13 +277,182 @@ def decode_write_request(body: bytes, compressed: bool = True) -> list:
                     elif sf == 2:
                         t = sv if sv < (1 << 63) else sv - (1 << 64)
                 samples.append((t, val))
+            elif tf == 3:  # Exemplar (types.proto TimeSeries.exemplars)
+                exs.append(_decode_exemplar(tv))
             elif tf == 4:  # Histogram
                 hists.append(_decode_hist(tv))
         for t, val in samples:
             rows.append((dict(labels), t, val))
         for h in hists:
             rows.append((dict(labels), h["t"], h["hist"]))
+        for ex in exs:
+            exemplars.append({"series_labels": dict(labels), **ex})
+    if with_exemplars:
+        return rows, exemplars
     return rows
+
+
+# --------------------------------------------------------------------------
+# Remote-write 2.0: io.prometheus.write.v2.Request (symbol-table format,
+# prompb/io/prometheus/write/v2/types.proto).  Strings are interned once
+# in ``symbols`` (index 0 MUST be the empty string per spec) and every
+# label/exemplar references symbols by index pairs.
+
+V2_CONTENT_TYPE = "application/x-protobuf;proto=io.prometheus.write.v2.Request"
+V1_CONTENT_TYPE = "application/x-protobuf;proto=prometheus.WriteRequest"
+
+
+def _read_packed_varints(buf: bytes) -> list[int]:
+    out = []
+    pos = 0
+    while pos < len(buf):
+        v, pos = _read_varint(buf, pos)
+        out.append(v)
+    return out
+
+
+def _labels_from_refs(refs: list[int], symbols: list[str]) -> dict[str, str]:
+    if len(refs) % 2:
+        raise ValueError("v2: odd number of label refs")
+    return {
+        symbols[refs[i]]: symbols[refs[i + 1]] for i in range(0, len(refs), 2)
+    }
+
+
+def decode_write_request_v2(
+    body: bytes, compressed: bool = True, with_exemplars: bool = False
+):
+    """io.prometheus.write.v2.Request → [(labels, t_ms, value_or_hist)]
+    (+ exemplars, + stats): Request{symbols=4, timeseries=5};
+    TimeSeries{labels_refs=1 packed, samples=2, histograms=3,
+    exemplars=4, metadata=5}; v2 Exemplar{labels_refs=1, value=2,
+    timestamp=3} (types.proto:36-103)."""
+    if compressed:
+        body = snappy_decode(body)
+    symbols: list[str] = []
+    ts_bufs: list[bytes] = []
+    for fno, _wt, v in _fields(body):
+        if fno == 4:
+            symbols.append(v.decode())
+        elif fno == 5:
+            ts_bufs.append(v)
+    if symbols and symbols[0] != "":
+        raise ValueError("v2: symbols[0] must be the empty string")
+    rows: list = []
+    exemplars: list = []
+    for ts_buf in ts_bufs:
+        refs: list[int] = []
+        samples: list = []
+        hists: list = []
+        exs: list = []
+        for tf, twt, tv in _fields(ts_buf):
+            if tf == 1:  # labels_refs — packed or (legal) unpacked
+                if twt == 2:
+                    refs.extend(_read_packed_varints(tv))
+                else:
+                    refs.append(tv)
+            elif tf == 2:  # Sample{value=1, timestamp=2}
+                val, t = 0.0, 0
+                for sf, swt, sv in _fields(tv):
+                    if sf == 1 and swt == 1:
+                        val = struct.unpack("<d", sv)[0]
+                    elif sf == 2:
+                        t = sv if sv < (1 << 63) else sv - (1 << 64)
+                samples.append((t, val))
+            elif tf == 3:  # Histogram — same field layout as v1
+                hists.append(_decode_hist(tv))
+            elif tf == 4:  # v2 Exemplar (labels_refs instead of Label)
+                ex_refs: list[int] = []
+                value, t = 0.0, 0
+                for ef, ewt, ev in _fields(tv):
+                    if ef == 1:
+                        if ewt == 2:
+                            ex_refs.extend(_read_packed_varints(ev))
+                        else:
+                            ex_refs.append(ev)
+                    elif ef == 2 and ewt == 1:
+                        value = struct.unpack("<d", ev)[0]
+                    elif ef == 3:
+                        t = ev if ev < (1 << 63) else ev - (1 << 64)
+                exs.append(
+                    {
+                        "labels": _labels_from_refs(ex_refs, symbols),
+                        "value": value,
+                        "t": t,
+                    }
+                )
+        labels = _labels_from_refs(refs, symbols)
+        for t, val in samples:
+            rows.append((dict(labels), t, val))
+        for h in hists:
+            rows.append((dict(labels), h["t"], h["hist"]))
+        for ex in exs:
+            exemplars.append({"series_labels": dict(labels), **ex})
+    if with_exemplars:
+        return rows, exemplars
+    return rows
+
+
+def encode_write_request_v2(
+    rows: Iterable[tuple[dict, int, float]],
+    compress: bool = True,
+    exemplars: Optional[list] = None,
+) -> bytes:
+    """[(labels, t_ms, float value)] → snappy(proto v2 Request) with an
+    interned symbol table (symbols[0] = "" per spec)."""
+    symbols: list[str] = [""]
+    index: dict[str, int] = {"": 0}
+
+    def sym(s: str) -> int:
+        i = index.get(s)
+        if i is None:
+            i = len(symbols)
+            symbols.append(s)
+            index[s] = i
+        return i
+
+    series: dict[tuple, dict] = {}
+    for labels, t, v in rows:
+        key = tuple(sorted(labels.items()))
+        series.setdefault(key, {"samples": [], "exemplars": []})[
+            "samples"
+        ].append((t, v))
+    for ex in exemplars or []:
+        key = tuple(sorted(ex["series_labels"].items()))
+        series.setdefault(key, {"samples": [], "exemplars": []})[
+            "exemplars"
+        ].append(ex)
+
+    ts_bodies: list[bytes] = []
+    for key, content in series.items():
+        refs = bytearray()
+        for k, v in key:
+            refs += _write_varint(sym(k)) + _write_varint(sym(v))
+        ts = bytearray()
+        ts += _write_varint(1 << 3 | 2) + _write_varint(len(refs)) + refs
+        for t, v in content["samples"]:
+            ts += _ld(2, _f64(1, float(v)) + _vint(2, t & ((1 << 64) - 1)))
+        for ex in content["exemplars"]:
+            ex_refs = bytearray()
+            for k, v in sorted(ex.get("labels", {}).items()):
+                ex_refs += _write_varint(sym(k)) + _write_varint(sym(v))
+            ex_body = (
+                _write_varint(1 << 3 | 2)
+                + _write_varint(len(ex_refs))
+                + bytes(ex_refs)
+                + _f64(2, float(ex["value"]))
+                + _vint(3, int(ex["t"]) & ((1 << 64) - 1))
+            )
+            ts += _ld(4, ex_body)
+        ts_bodies.append(bytes(ts))
+
+    body = bytearray()
+    for s in symbols:
+        body += _ld(4, s.encode())
+    for ts in ts_bodies:
+        body += _ld(5, ts)
+    out = bytes(body)
+    return snappy_encode(out) if compress else out
 
 
 def encode_write_request(
@@ -285,15 +491,30 @@ class RemoteWriteReceiver:
         import os
 
         self.spool_dir = spool_dir
+        self.exemplar_dir = os.path.join(spool_dir, "_exemplars")
         os.makedirs(spool_dir, exist_ok=True)
+        os.makedirs(self.exemplar_dir, exist_ok=True)
         self._n = 0
 
-    def handle_body(self, body: bytes) -> int:
+    def handle_body(self, body: bytes, content_type: str = "") -> int:
+        """Decode one POST body, negotiated by Content-Type exactly as the
+        reference receiver (web/api/v1/api.go:483 region): the
+        ``proto=io.prometheus.write.v2.Request`` parameter selects the v2
+        symbol-table codec, everything else falls back to v1.
+        Exemplars ride along into a sibling spool."""
         import json
         import os
 
-        rows = decode_write_request(body)
+        if "io.prometheus.write.v2.request" in content_type.lower():
+            rows, exemplars = decode_write_request_v2(body, with_exemplars=True)
+        else:
+            rows, exemplars = decode_write_request(body, with_exemplars=True)
         self._n += 1
+        self.last_stats = {
+            "samples": sum(1 for _l, _t, v in rows if not isinstance(v, dict)),
+            "histograms": sum(1 for _l, _t, v in rows if isinstance(v, dict)),
+            "exemplars": len(exemplars),
+        }
         path = os.path.join(self.spool_dir, f"rw_{os.getpid()}_{self._n:08d}.json")
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -303,7 +524,35 @@ class RemoteWriteReceiver:
                 else:
                     f.write(json.dumps({"labels": labels, "t": t, "value": v}) + "\n")
         os.replace(tmp, path)  # atomic: readStream never sees partial files
+        if exemplars:
+            ex_path = os.path.join(
+                self.exemplar_dir, f"ex_{os.getpid()}_{self._n:08d}.json"
+            )
+            tmp = ex_path + ".tmp"
+            with open(tmp, "w") as f:
+                for ex in exemplars:
+                    f.write(json.dumps(ex) + "\n")
+            os.replace(tmp, ex_path)
         return len(rows)
+
+    def exemplars_df(self, spark):
+        """The exemplar spool as the canonical exemplar frame
+        (storage.exemplars.EXEMPLAR_SCHEMA) for /api/v1/query_exemplars."""
+        import glob as _glob
+        import json
+
+        from prometheus_spark.storage.exemplars import exemplars_from_rows
+
+        rows = []
+        for path in sorted(_glob.glob(f"{self.exemplar_dir}/*.json")):
+            with open(path) as f:
+                for line in f:
+                    ex = json.loads(line)
+                    rows.append(
+                        (ex["series_labels"], ex["t"], ex["labels"],
+                         ex["value"], ex["t"])
+                    )
+        return exemplars_from_rows(spark, rows)
 
     def server(self, host: str = "127.0.0.1", port: int = 0):
         """Build (not start) a threaded HTTP server for /api/v1/write."""
@@ -318,12 +567,28 @@ class RemoteWriteReceiver:
                     self.send_error(404)
                     return
                 ln = int(self.headers.get("Content-Length", 0))
+                ct = self.headers.get("Content-Type", "")
                 try:
-                    recv.handle_body(self.rfile.read(ln))
+                    recv.handle_body(self.rfile.read(ln), content_type=ct)
                 except Exception as e:  # noqa: BLE001 — surface as 400
                     self.send_error(400, str(e)[:200])
                     return
                 self.send_response(204)
+                if "io.prometheus.write.v2.request" in ct.lower():
+                    # 2.0 spec: receivers MUST return written-stats headers
+                    st = getattr(recv, "last_stats", {})
+                    self.send_header(
+                        "X-Prometheus-Remote-Write-Samples-Written",
+                        str(st.get("samples", 0)),
+                    )
+                    self.send_header(
+                        "X-Prometheus-Remote-Write-Histograms-Written",
+                        str(st.get("histograms", 0)),
+                    )
+                    self.send_header(
+                        "X-Prometheus-Remote-Write-Exemplars-Written",
+                        str(st.get("exemplars", 0)),
+                    )
                 self.end_headers()
 
             def log_message(self, *a):  # silence
@@ -385,6 +650,28 @@ def send_write_request(url: str, rows, timeout: float = 10.0) -> int:
             "Content-Encoding": "snappy",
             "Content-Type": "application/x-protobuf",
             "X-Prometheus-Remote-Write-Version": "0.1.0",
+        },
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return resp.status
+
+
+def send_write_request_v2(
+    url: str, rows, timeout: float = 10.0, exemplars=None
+) -> int:
+    """Remote-write 2.0 sender leg: symbol-table Request with the spec's
+    negotiation headers (Content-Type proto=, RW-Version 2.0.0)."""
+    import urllib.request
+
+    body = encode_write_request_v2(rows, exemplars=exemplars)
+    req = urllib.request.Request(
+        url,
+        data=body,
+        headers={
+            "Content-Encoding": "snappy",
+            "Content-Type": V2_CONTENT_TYPE,
+            "X-Prometheus-Remote-Write-Version": "2.0.0",
         },
         method="POST",
     )

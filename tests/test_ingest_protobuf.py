@@ -293,3 +293,37 @@ def test_otlp_receiver_spool(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 1 and rows[0]["value"] == 2.0
     assert rows[0]["labels"]["job"] == "api"
+
+
+def test_otlp_exemplar_translation(spark, tmp_path):
+    """OTLP datapoint exemplars (Exemplar{time=2, as_double=3, span_id=4,
+    trace_id=5, filtered_attributes=7}) translate to trace_id/span_id-
+    labelled prometheus exemplars attached to the translated series, and
+    flow through the receiver's exemplar spool."""
+    from prometheus_spark.sources.otlp import OTLPReceiver
+
+    # exemplar: t=30s, value=1.25, trace/span ids, one filtered attribute
+    ex = (
+        _fix64(2, 30_000_000_000)
+        + _df64(3, 1.25)
+        + _ld(4, bytes.fromhex("00f067aa0ba902b7"))
+        + _ld(5, bytes.fromhex("5b8efff798038103d269b633813fc60c"))
+        + _ld(7, _kv("cluster", "c1"))
+    )
+    dp = _otlp_number_dp(60_000_000_000, 9.0) + _ld(5, ex)
+    summ = _ld(1, b"http.requests") + _ld(7, _ld(1, dp) + _vint(2, 2) + _vint(3, 1))
+    body = _otlp_request([summ], [_kv("service.name", "api")])
+
+    rows, exemplars = otlp_to_rows(body, with_exemplars=True)
+    assert len(exemplars) == 1
+    e = exemplars[0]
+    assert e["series_labels"]["__name__"] == "http_requests_total"
+    assert e["labels"]["trace_id"] == "5b8efff798038103d269b633813fc60c"
+    assert e["labels"]["span_id"] == "00f067aa0ba902b7"
+    assert e["labels"]["cluster"] == "c1"
+    assert e["value"] == 1.25 and e["t"] == 30_000
+
+    recv = OTLPReceiver(str(tmp_path / "spool"))
+    recv.handle_body(body)
+    got = recv.exemplars_df(spark).collect()
+    assert len(got) == 1 and got[0]["ex_labels"]["trace_id"] == e["labels"]["trace_id"]

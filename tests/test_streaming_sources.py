@@ -606,3 +606,125 @@ def test_same_alertname_rules_keep_independent_state(spark):
         states = {(a[1].get("job")): a[3] for a in alerts}
         assert len(alerts) == 2, f"one rule resolved the other at t={tick}"
     assert states == {"a": "firing", "b": "firing"}
+
+
+def test_remote_write_v2_roundtrip_codec():
+    """v2 symbol-table Request: encode → decode is identity, exemplars
+    ride per-series (io/prometheus/write/v2/types.proto:36-103)."""
+    from prometheus_spark.sources.remote_write import (
+        decode_write_request_v2,
+        encode_write_request_v2,
+    )
+
+    rows = [
+        ({"__name__": "http_requests", "job": "api", "code": "200"}, 1000, 1.5),
+        ({"__name__": "http_requests", "job": "api", "code": "200"}, 2000, 2.5),
+        ({"__name__": "http_requests", "job": "api", "code": "500"}, 1000, 0.25),
+    ]
+    exemplars = [
+        {
+            "series_labels": {"__name__": "http_requests", "job": "api",
+                              "code": "200"},
+            "labels": {"trace_id": "abc123"},
+            "value": 1.25,
+            "t": 1500,
+        }
+    ]
+    body = encode_write_request_v2(rows, exemplars=exemplars)
+    out, exs = decode_write_request_v2(body, with_exemplars=True)
+    assert sorted(out, key=repr) == sorted(rows, key=repr)
+    assert len(exs) == 1
+    assert exs[0]["labels"] == {"trace_id": "abc123"}
+    assert exs[0]["value"] == 1.25 and exs[0]["t"] == 1500
+    assert exs[0]["series_labels"]["code"] == "200"
+
+
+def test_remote_write_v2_http_negotiation(spark, tmp_path):
+    """The receiver dispatches on Content-Type: a v2 body on the same
+    endpoint decodes through the symbol table; exemplars land in the
+    exemplar spool and are queryable; v2 written-stats headers present."""
+    import threading
+    import urllib.request
+
+    from prometheus_spark.sources.remote_write import (
+        V2_CONTENT_TYPE,
+        RemoteWriteReceiver,
+        encode_write_request,
+        encode_write_request_v2,
+        spool_to_samples,
+    )
+
+    recv = RemoteWriteReceiver(str(tmp_path / "spool"))
+    srv = recv.server()
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        # v1 and v2 writes interleaved on one endpoint
+        v1 = encode_write_request([({"__name__": "m1", "job": "a"}, 1000, 1.0)])
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/write", data=v1,
+            headers={"Content-Type": "application/x-protobuf",
+                     "X-Prometheus-Remote-Write-Version": "0.1.0"},
+            method="POST",
+        )
+        assert urllib.request.urlopen(req).status == 204
+
+        v2 = encode_write_request_v2(
+            [({"__name__": "m2", "job": "b"}, 2000, 2.0)],
+            exemplars=[{
+                "series_labels": {"__name__": "m2", "job": "b"},
+                "labels": {"trace_id": "t1"}, "value": 2.0, "t": 2000,
+            }],
+        )
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/write", data=v2,
+            headers={"Content-Type": V2_CONTENT_TYPE,
+                     "X-Prometheus-Remote-Write-Version": "2.0.0"},
+            method="POST",
+        )
+        resp = urllib.request.urlopen(req)
+        assert resp.status == 204
+        assert resp.headers["X-Prometheus-Remote-Write-Samples-Written"] == "1"
+        assert resp.headers["X-Prometheus-Remote-Write-Exemplars-Written"] == "1"
+    finally:
+        srv.shutdown()
+
+    names = {
+        r["name"]
+        for r in spool_to_samples(spark, str(tmp_path / "spool")).collect()
+    }
+    assert names == {"m1", "m2"}
+    exs = recv.exemplars_df(spark).collect()
+    assert len(exs) == 1 and exs[0]["ex_labels"] == {"trace_id": "t1"}
+
+
+def test_query_exemplars_from_remote_write(spark, tmp_path):
+    """End-to-end: exemplar ingested via the v2 receiver comes back from
+    the /api/v1/query_exemplars surface (verdict task: exemplars through
+    the write protocols)."""
+    from prometheus_spark.sources.remote_write import (
+        RemoteWriteReceiver,
+        V2_CONTENT_TYPE,
+        encode_write_request_v2,
+    )
+    from prometheus_spark.web.api import PromAPI
+
+    recv = RemoteWriteReceiver(str(tmp_path / "spool"))
+    body = encode_write_request_v2(
+        [({"__name__": "rpc_latency", "job": "svc"}, 60_000, 0.3)],
+        exemplars=[{
+            "series_labels": {"__name__": "rpc_latency", "job": "svc"},
+            "labels": {"trace_id": "deadbeef"}, "value": 0.29, "t": 59_000,
+        }],
+    )
+    recv.handle_body(body, content_type=V2_CONTENT_TYPE)
+    api = PromAPI(None)
+    api.exemplars = recv.exemplars_df(spark)
+    code, resp = api.handle(
+        "/api/v1/query_exemplars",
+        {"match[]": ["rpc_latency"], "start": ["0"], "end": ["120"]},
+    )
+    assert code == 200
+    found = resp["data"]
+    assert len(found) == 1
+    assert found[0]["exemplars"][0]["labels"] == {"trace_id": "deadbeef"}
