@@ -5,6 +5,12 @@ from prometheus_spark.storage.compact import (
     plan_compaction,
 )
 from prometheus_spark.storage.fanout import merge_samples
+from prometheus_spark.storage.series_dim import (
+    build_series_dim,
+    merge_series_dim,
+    read_series_dim,
+    write_series_dim,
+)
 from prometheus_spark.storage.samples import (
     read_samples,
     samples_from_events,
@@ -18,8 +24,12 @@ __all__ = [
     "exponential_block_ranges",
     "merge_samples",
     "plan_compaction",
+    "build_series_dim",
+    "merge_series_dim",
     "read_samples",
+    "read_series_dim",
     "samples_from_events",
     "samples_from_rows",
     "write_samples",
+    "write_series_dim",
 ]

@@ -122,6 +122,7 @@ def write_samples(
     path: str,
     bucket_ms: int = 7_200_000,
     hot_labels: Iterable[str] = (),
+    series_dim_path: str | None = None,
 ) -> None:
     """Persist partitioned by 2h-style time bucket (reference block layout,
     tsdb/db.go:55) + metric name — enables partition pruning on both the
@@ -146,6 +147,29 @@ def write_samples(
         .partitionBy("t_bucket", "name")
         .parquet(path)
     )
+    if series_dim_path is not None:
+        # maintain the postings-index analogue at write time so metadata
+        # endpoints never scan the samples store (storage.series_dim)
+        import os
+
+        from prometheus_spark.storage.series_dim import (
+            build_series_dim,
+            merge_series_dim,
+            read_series_dim,
+            write_series_dim,
+        )
+
+        delta = build_series_dim(df)
+        if os.path.isdir(series_dim_path) and any(
+            n.startswith("name=") for n in os.listdir(series_dim_path)
+        ):
+            spark = df.sparkSession
+            merged = merge_series_dim(
+                read_series_dim(spark, series_dim_path), delta
+            ).localCheckpoint()  # break lineage off the dir being replaced
+            write_series_dim(merged, series_dim_path)
+        else:
+            write_series_dim(delta, series_dim_path)
 
 
 def read_samples(spark: SparkSession, path: str) -> DataFrame:

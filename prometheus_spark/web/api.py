@@ -221,6 +221,11 @@ class PromAPI:
         self.rules_engine = rules_engine
         self.scrape_manager = scrape_manager
         self.exemplars = None  # optional exemplar frame (storage.exemplars)
+        # optional series-dimension table (storage.series_dim): one row
+        # per series — when set, /labels, /series and /label/<n>/values
+        # answer from it (the postings-index role) instead of scanning
+        # the samples store
+        self.series_dim = None
         self.last_alerts: list = []  # refreshed by record_alerts()
         from prometheus_spark.storage.tombstones import TombstoneStore
 
@@ -473,7 +478,13 @@ class PromAPI:
         if require_match and not matches:
             return None, (400, {"status": "error", "errorType": "bad_data",
                                 "error": "no match[] parameter provided"})
-        df = self.engine.samples
+        # The series-dimension table (one row per series, min_t/max_t
+        # presence range) answers metadata queries without touching the
+        # samples store — the postings-index stance of the reference
+        # (tsdb/index/postings.go).  Fall back to the samples scan only
+        # when no dimension table is wired.
+        dim = self.series_dim
+        df = dim if dim is not None else self.engine.samples
         if matches:
             pred = None
             for m in matches:
@@ -484,13 +495,23 @@ class PromAPI:
                         {"status": "error", "errorType": "bad_data",
                          "error": f"not a vector selector: {m}"},
                     )
-                p = matcher_predicate(node.matchers)
+                p = matcher_predicate(node.matchers, df.columns)
                 pred = p if pred is None else (pred | p)
             df = df.where(pred)
-        if "start" in params:
-            df = df.where(F.col("t") >= _parse_time_ms(params["start"][0]))
-        if "end" in params:
-            df = df.where(F.col("t") <= _parse_time_ms(params["end"][0]))
+        if dim is not None:  # overlap test against the presence range
+            if "start" in params:
+                df = df.where(
+                    F.col("max_t") >= _parse_time_ms(params["start"][0])
+                )
+            if "end" in params:
+                df = df.where(
+                    F.col("min_t") <= _parse_time_ms(params["end"][0])
+                )
+        else:
+            if "start" in params:
+                df = df.where(F.col("t") >= _parse_time_ms(params["start"][0]))
+            if "end" in params:
+                df = df.where(F.col("t") <= _parse_time_ms(params["end"][0]))
         return df, None
 
     @staticmethod

@@ -164,3 +164,79 @@ def test_hot_label_pushdown(spark, tmp_path):
     assert "__hot_job" in plan.split("PushedFilters")[1].split("]")[0]
     got = df.collect()
     assert len(got) == 1 and got[0]["labels"]["job"] == "api"
+
+
+def test_labels_endpoint_reads_series_dim_not_samples(spark, tmp_path):
+    """With a series-dimension table wired, the metadata endpoints'
+    scoped frame must scan the DIM parquet, never the samples store —
+    the postings-index contract at 100 TB (verdict task #5)."""
+    from prometheus_spark.engine import PromQLEngine
+    from prometheus_spark.storage import (
+        read_samples,
+        samples_from_rows,
+        write_samples,
+    )
+    from prometheus_spark.storage.series_dim import read_series_dim
+    from prometheus_spark.web.api import PromAPI
+
+    samples_path = str(tmp_path / "samples")
+    dim_path = str(tmp_path / "series_dim")
+    rows = [
+        ({"__name__": "m1", "job": "a"}, 1_000, 1.0),
+        ({"__name__": "m1", "job": "a"}, 900_000, 2.0),
+        ({"__name__": "m2", "job": "b"}, 5_000, 3.0),
+    ]
+    write_samples(
+        samples_from_rows(spark, rows), samples_path,
+        series_dim_path=dim_path,
+    )
+    api = PromAPI(PromQLEngine(spark, read_samples(spark, samples_path)))
+    api.series_dim = read_series_dim(spark, dim_path)
+
+    df, err = api._scoped_samples(
+        {"match[]": ["m1"], "start": ["0.5"], "end": ["10"]}
+    )
+    assert err is None
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the scan reads the dim table's schema (min_t/max_t presence range),
+    # not the samples store's (t/value) — and the dim filters push down
+    assert "min_t" in plan and "max_t" in plan
+    assert "value:double" not in plan and "t:bigint" not in plan.replace(
+        "min_t:bigint", ""
+    ).replace("max_t:bigint", "")
+
+    # and the answers are right: m1's range [1s, 900s] overlaps [0.5s,10s]
+    code, resp = api.series({"match[]": ["m1"], "start": ["0.5"], "end": ["10"]})
+    assert code == 200 and resp["data"] == [{"__name__": "m1", "job": "a"}]
+    code, resp = api.labels({})
+    assert code == 200 and resp["data"] == ["__name__", "job"]
+    code, resp = api.label_values("job", {})
+    assert code == 200 and resp["data"] == ["a", "b"]
+    # a time window past every series' max_t matches nothing
+    code, resp = api.series({"match[]": ["m1"], "start": ["100000"]})
+    assert code == 200 and resp["data"] == []
+
+
+def test_series_dim_merge_widens_ranges(spark, tmp_path):
+    """Second write_samples batch folds into the dim table: ranges widen,
+    new series appear, no duplicate sigs."""
+    from prometheus_spark.storage import samples_from_rows, write_samples
+    from prometheus_spark.storage.series_dim import read_series_dim
+
+    dim_path = str(tmp_path / "dim")
+    write_samples(
+        samples_from_rows(spark, [({"__name__": "m", "k": "1"}, 1_000, 1.0)]),
+        str(tmp_path / "s1"), series_dim_path=dim_path,
+    )
+    write_samples(
+        samples_from_rows(
+            spark,
+            [({"__name__": "m", "k": "1"}, 99_000, 2.0),
+             ({"__name__": "m", "k": "2"}, 5_000, 3.0)],
+        ),
+        str(tmp_path / "s2"), series_dim_path=dim_path,
+    )
+    dim = {r["labels"]["k"]: r for r in read_series_dim(spark, dim_path).collect()}
+    assert len(dim) == 2
+    assert dim["1"]["min_t"] == 1_000 and dim["1"]["max_t"] == 99_000
+    assert dim["2"]["min_t"] == 5_000 and dim["2"]["max_t"] == 5_000
