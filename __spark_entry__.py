@@ -790,16 +790,28 @@ def _pipe_ann_ivf(spark, sf_dir):
 
 
 def _pipe_multimodal(spark, sf_dir):
-    from prometheus_spark.pipeline.multimodal import extract_features, synthesize_media
+    """REAL stdlib header decode over genuine PNG/WAV payloads
+    (pipeline.multimodal.parse_media_header): the synthesis rules are
+    deterministic functions of media_id that the DuckDB oracle mirrors,
+    so the parse path is hash-verified end-to-end."""
+    from prometheus_spark.pipeline.multimodal import (
+        decode_media_headers,
+        synthesize_media,
+    )
 
-    # project the ArrayType feature to hashable scalars for the driver's
-    # row-hash comparator (lists aren't hashable in pandas factorize)
-    feats = extract_features(synthesize_media(spark, n=64))
-    return feats.select(
+    media = synthesize_media(spark, n=64, kind="mixed")
+    # -1 sentinel for not-applicable fields: NULL ints round-trip as NaN
+    # through DuckDB→pandas and break the value-hash comparison
+    return decode_media_headers(media).select(
         "media_id",
-        F.md5(F.to_json(F.struct(F.col("feature")))).alias("feature_md5"),
-        F.size("feature").alias("feature_dim"),
-        "decode_ok",
+        "mime",
+        F.coalesce(F.col("width").cast("long"), F.lit(-1)).alias("width"),
+        F.coalesce(F.col("height").cast("long"), F.lit(-1)).alias("height"),
+        F.coalesce(F.col("sample_rate").cast("long"), F.lit(-1)).alias(
+            "sample_rate"
+        ),
+        F.coalesce("duration_ms", F.lit(-1)).alias("duration_ms"),
+        "parse_ok",
     )
 
 
@@ -1556,6 +1568,21 @@ SELECT media_id,
 FROM m
 """
 
-    # dedup_minhash_candidates, dedup_simhash, ann_lsh_topk,
-    # multimodal_features: hash-function/recall-dependent — rows-only checks.
+    # multimodal_features: Spark REALLY parses the PNG IHDR / WAV fmt
+    # headers of stdlib-encoded payloads; the oracle reproduces the
+    # deterministic synthesis rules (media_dims / media_audio_params),
+    # so a parser bug breaks the hash match.
+    o["multimodal_features"] = """
+SELECT i AS media_id,
+       CASE WHEN i % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+       CASE WHEN i % 2 = 0 THEN 16 + (i % 16) ELSE -1 END AS width,
+       CASE WHEN i % 2 = 0 THEN 16 + ((i * 7) % 16) ELSE -1 END AS height,
+       CASE WHEN i % 2 = 1 THEN 8000 + (i % 3) * 4000 ELSE -1 END AS sample_rate,
+       CASE WHEN i % 2 = 1 THEN 500 + (i % 5) * 250 ELSE -1 END AS duration_ms,
+       true AS parse_ok
+FROM range(0, 64) t(i)
+"""
+
+    # dedup_minhash_candidates, dedup_simhash, ann_lsh_topk:
+    # hash-function/recall-dependent — rows-only checks.
     return o

