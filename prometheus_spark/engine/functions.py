@@ -335,26 +335,41 @@ def eval_label_join(vf: VectorFrame, dst: str, sep: str, srcs: list[str]) -> Vec
     )
 
 
+_NO_LE_SQL = "map_filter(labels, (k, v) -> k != 'le')"
+_LE_SQL = "coalesce(element_at(labels, 'le'), '')"
+
+
+def _parse_le_sql(le: str) -> str:
+    """SQL-string form of :func:`_parse_le`."""
+    return (
+        f"(CASE WHEN lower({le}) IN ('+inf','inf','+infinity','infinity') "
+        "THEN CAST('Infinity' AS DOUBLE) "
+        f"WHEN lower({le}) IN ('-inf','-infinity') "
+        "THEN CAST('-Infinity' AS DOUBLE) "
+        f"ELSE try_cast({le} AS DOUBLE) END)"
+    )
+
+
 def _classic_native_conflicts(vf: VectorFrame):
     """(csig, t) keys where classic bucket series and native histograms
     coexist under the same full label set — both sides must be dropped
     with a warning (engine.go:1355-1372 ``resetHistograms``).  The
     signature keeps ``__name__`` and excludes only ``le``."""
+    from prometheus_spark.model.labels import sig_sql
+
     if "hist" not in vf.df.columns:
         return None
     df = vf.df
-    no_le = F.map_filter("labels", lambda k, _: k != F.lit("le"))
     classic_keys = (
         df.filter(
-            F.col("value").isNotNull()
-            & _parse_le(F.coalesce(F.element_at("labels", F.lit("le")), F.lit(""))).isNotNull()
+            f"value IS NOT NULL AND {_parse_le_sql(_LE_SQL)} IS NOT NULL"
         )
-        .select(sig_expr(no_le).alias("csig"), "t")
+        .selectExpr(sig_sql(_NO_LE_SQL) + " AS csig", "t")
         .distinct()
     )
     native_keys = (
-        df.filter(F.col("hist").isNotNull())
-        .select(sig_expr(F.col("labels")).alias("csig"), "t")
+        df.filter("hist IS NOT NULL")
+        .selectExpr(sig_sql("labels") + " AS csig", "t")
         .distinct()
     )
     return classic_keys.join(native_keys, ["csig", "t"], "inner")
@@ -362,10 +377,12 @@ def _classic_native_conflicts(vf: VectorFrame):
 
 def filter_conflicting_native(vf: VectorFrame) -> VectorFrame:
     """Native-histogram rows minus those conflicting with classic buckets."""
+    from prometheus_spark.model.labels import sig_sql
+
     conflicts = _classic_native_conflicts(vf)
     if conflicts is None:
         return vf
-    keyed = vf.df.withColumn("csig", sig_expr(F.col("labels")))
+    keyed = vf.df.selectExpr("*", sig_sql("labels") + " AS csig")
     return VectorFrame(
         keyed.join(F.broadcast(conflicts), ["csig", "t"], "left_anti").drop("csig")
     )
@@ -378,36 +395,37 @@ def _classic_buckets(vf: VectorFrame):
     ``coalesceBuckets``).  Output labels drop ``__name__``; colliding
     output labelsets are caught by the evaluator's uniqueness guard.
     Groups conflicting with a native histogram are removed."""
-    df = vf.df.filter(F.col("value").isNotNull())  # histogram samples aside
-    le = F.coalesce(F.element_at("labels", F.lit("le")), F.lit(""))
-    gfull = F.map_filter("labels", lambda k, _: k != F.lit("le"))
-    glabels = gfull  # name kept under delayed removal; consumers set the flag
+    from prometheus_spark.model.labels import sig_sql
+
     grouped = (
-        df.withColumn("__le", _parse_le(le))
-        .filter(F.col("__le").isNotNull())
-        .select(
-            sig_expr(gfull).alias("csig"),
-            glabels.alias("labels"),
+        vf.df.filter("value IS NOT NULL")  # histogram samples aside
+        .selectExpr(
+            sig_sql(_NO_LE_SQL) + " AS csig",
+            _NO_LE_SQL + " AS labels",  # name kept under delayed removal
             "t",
-            "__le",
+            _parse_le_sql(_LE_SQL) + " AS __le",
             "value",
         )
+        .filter("__le IS NOT NULL")
         # duplicate le representations ("0.2", "2e-1") merge by summing
         .groupBy("csig", "t", "__le")
-        .agg(F.first("labels").alias("labels"), F.sum("value").alias("c"))
-        .select(
-            "csig", "labels", "t",
-            F.struct(F.col("__le").alias("le"), F.col("c").alias("c")).alias("b"),
+        .agg(
+            F.expr("first(labels)").alias("labels"),
+            F.expr("sum(value)").alias("c"),
+        )
+        .selectExpr(
+            "csig", "labels", "t", "named_struct('le', __le, 'c', c) AS b"
         )
         .groupBy("csig", "t")
-        .agg(F.first("labels").alias("labels"), F.sort_array(F.collect_list("b")).alias("bs"))
+        .agg(
+            F.expr("first(labels)").alias("labels"),
+            F.expr("sort_array(collect_list(b))").alias("bs"),
+        )
     )
     conflicts = _classic_native_conflicts(vf)
     if conflicts is not None:
         grouped = grouped.join(F.broadcast(conflicts), ["csig", "t"], "left_anti")
-    return grouped.select(
-        sig_expr(F.col("labels")).alias("sig"), "labels", "t", "bs"
-    )
+    return grouped.selectExpr(sig_sql("labels") + " AS sig", "labels", "t", "bs")
 
 
 def eval_histogram_fraction_classic(
@@ -417,70 +435,81 @@ def eval_histogram_fraction_classic(
     ``BucketFraction``): fraction of observations in [lower, upper] with
     linear interpolation inside buckets; implemented as a single array
     fold carrying (rank, lowerRank, upperRank, set-flags)."""
+    from prometheus_spark.engine.aggregations import float_sql
+
     buckets = _classic_buckets(vf)
-    bs = F.col("bs")
-    has_inf = F.exists(bs, lambda b: b["le"] == F.lit(float("inf")))
-    total = F.element_at(bs, -1)["c"]
+    nan = "CAST('NaN' AS DOUBLE)"
+    minf = "CAST('-Infinity' AS DOUBLE)"
+    pinf = "CAST('Infinity' AS DOUBLE)"
+    has_inf = f"exists(bs, b -> b.le = {pinf})"
+    total = "element_at(bs, -1).c"
 
     if math.isnan(lower) or math.isnan(upper):
-        value = _NAN()
+        inner = nan
+        staged = buckets
     elif lower >= upper:
-        value = F.lit(0.0)
+        inner = "0.0D"
+        staged = buckets
     else:
-        lo, up = F.lit(float(lower)), F.lit(float(upper))
-        first_lb = F.when(F.element_at(bs, 1)["le"] <= 0, F.lit(float("-inf"))).otherwise(
-            F.lit(0.0)
+        lo, up = float_sql(float(lower)), float_sql(float(upper))
+        first_lb = (
+            f"CASE WHEN element_at(bs, 1).le <= 0 THEN {minf} ELSE 0.0D END"
         )
-        init = F.struct(
-            F.lit(0.0).alias("rank"),
-            F.lit(0.0).alias("lrank"),
-            F.lit(0.0).alias("urank"),
-            F.lit(False).alias("lset"),
-            F.lit(False).alias("uset"),
-            first_lb.alias("lb"),
+        init = (
+            "named_struct('rank', 0.0D, 'lrank', 0.0D, 'urank', 0.0D, "
+            f"'lset', false, 'uset', false, 'lb', {first_lb})"
         )
 
-        def step(acc, b):
-            lb, le, c = acc["lb"], b["le"], b["c"]
-            # For a −Inf-wide bucket interpolation degenerates to the
-            # bucket's cumulative count (see BucketFraction comment).
-            def interp(v):
-                return F.when(lb == F.lit(float("-inf")), c).otherwise(
-                    acc["rank"] + (c - acc["rank"]) * (v - lb) / (le - lb)
-                )
-
-            lset1 = acc["lset"] | (lb >= lo)
-            lrank1 = F.when(acc["lset"], acc["lrank"]).otherwise(
-                F.when(lb >= lo, acc["rank"]).otherwise(
-                    F.when((lb < lo) & (le > lo), interp(lo)).otherwise(acc["lrank"])
-                )
-            )
-            lset2 = lset1 | ((lb < lo) & (le > lo))
-            uset1 = acc["uset"] | (lb >= up)
-            urank1 = F.when(acc["uset"], acc["urank"]).otherwise(
-                F.when(lb >= up, acc["rank"]).otherwise(
-                    F.when((lb < up) & (le > up), interp(up)).otherwise(acc["urank"])
-                )
-            )
-            uset2 = uset1 | ((lb < up) & (le > up))
-            return F.struct(
-                c.alias("rank"),
-                lrank1.alias("lrank"),
-                urank1.alias("urank"),
-                lset2.alias("lset"),
-                uset2.alias("uset"),
-                le.alias("lb"),
+        # For a −Inf-wide bucket interpolation degenerates to the
+        # bucket's cumulative count (see BucketFraction comment).
+        def interp(v: str) -> str:
+            return (
+                f"(CASE WHEN acc.lb = {minf} THEN b.c ELSE "
+                f"acc.rank + (b.c - acc.rank) * (({v}) - acc.lb) "
+                "/ (b.le - acc.lb) END)"
             )
 
-        acc = F.aggregate(bs, init, step)
-        lrank = F.when(~acc["lset"] | (acc["lrank"] > total), total).otherwise(acc["lrank"])
-        urank = F.when(~acc["uset"] | (acc["urank"] > total), total).otherwise(acc["urank"])
-        value = (urank - lrank) / total
+        lrank1 = (
+            "(CASE WHEN acc.lset THEN acc.lrank "
+            f"WHEN acc.lb >= {lo} THEN acc.rank "
+            f"WHEN acc.lb < {lo} AND b.le > {lo} THEN {interp(lo)} "
+            "ELSE acc.lrank END)"
+        )
+        lset2 = f"(acc.lset OR acc.lb >= {lo} OR (acc.lb < {lo} AND b.le > {lo}))"
+        urank1 = (
+            "(CASE WHEN acc.uset THEN acc.urank "
+            f"WHEN acc.lb >= {up} THEN acc.rank "
+            f"WHEN acc.lb < {up} AND b.le > {up} THEN {interp(up)} "
+            "ELSE acc.urank END)"
+        )
+        uset2 = f"(acc.uset OR acc.lb >= {up} OR (acc.lb < {up} AND b.le > {up}))"
+        step = (
+            "(acc, b) -> named_struct("
+            f"'rank', b.c, 'lrank', {lrank1}, 'urank', {urank1}, "
+            f"'lset', {lset2}, 'uset', {uset2}, 'lb', b.le)"
+        )
+        # stage the fold once so lrank/urank don't duplicate the aggregate
+        staged = buckets.selectExpr(
+            "sig", "labels", "t", "bs",
+            f"aggregate(bs, {init}, {step}) AS __acc",
+        )
+        lrank = (
+            f"(CASE WHEN NOT __acc.lset OR __acc.lrank > {total} "
+            f"THEN {total} ELSE __acc.lrank END)"
+        )
+        urank = (
+            f"(CASE WHEN NOT __acc.uset OR __acc.urank > {total} "
+            f"THEN {total} ELSE __acc.urank END)"
+        )
+        inner = f"(({urank} - {lrank}) / {total})"
 
-    value = F.when((total == 0) | ~has_inf, _NAN()).otherwise(value)
-    out = buckets.select(
-        "sig", "labels", "t", F.col("t").alias("sample_t"),
-        value.cast("double").alias("value"), F.lit(True).alias("drop_name"),
+    value = (
+        f"CASE WHEN {total} = 0.0D OR NOT {has_inf} THEN {nan} "
+        f"ELSE {inner} END"
+    )
+    out = staged.selectExpr(
+        "sig", "labels", "t", "t AS sample_t",
+        f"CAST({value} AS DOUBLE) AS value", "true AS drop_name",
     )
     return VectorFrame(out)
 
@@ -500,85 +529,69 @@ def eval_histogram_quantile_classic(ctx: EvalContext, phi, vf: VectorFrame) -> V
     buckets = _classic_buckets(vf)
 
     # merge duplicate le's (sum), enforce monotonicity (running max), then
-    # interpolate.  All as array expressions.
-    bs = F.col("bs")
-    has_inf = F.exists(bs, lambda b: b["le"] == F.lit(float("inf")))
+    # interpolate — all array expressions composed as SQL strings.
+    nan = "CAST('NaN' AS DOUBLE)"
+    pinf = "CAST('Infinity' AS DOUBLE)"
+    has_inf = f"exists(bs, b -> b.le = {pinf})"
 
-    value = F.when(
-        has_inf & (F.size(bs) >= 2), _bucket_quantile_expr(bs, q)
-    ).otherwise(_NAN())
-    out = buckets.select(
-        "sig", "labels", "t", F.col("t").alias("sample_t"), value.alias("value"),
-        F.lit(True).alias("drop_name"),
+    if math.isnan(q):
+        core = nan
+        staged = buckets
+    elif q < 0:
+        core = "CAST('-Infinity' AS DOUBLE)"
+        staged = buckets
+    elif q > 1:
+        core = pinf
+        staged = buckets
+    else:
+        # running max of cumulative counts
+        # (quantile.go:668 ensureMonotonicAndIgnoreSmallDeltas, simple form)
+        mono = (
+            "aggregate(bs, CAST(array() AS ARRAY<STRUCT<le: DOUBLE, c: DOUBLE>>), "
+            "(acc, b) -> concat(acc, array(named_struct('le', b.le, "
+            "'c', CASE WHEN size(acc) > 0 "
+            "THEN greatest(b.c, element_at(acc, -1).c) ELSE b.c END))))"
+        )
+        rank = f"({q!r}D * element_at(__mono, -1).c)"
+        # first bucket with c >= rank; NaN counts satisfy nothing → idx 0,
+        # clamped to 1 for safe access (the NaN guard below wins anyway)
+        idx0 = (
+            "CAST(coalesce(array_position("
+            f"transform(__mono, b -> b.c >= {rank}), true), 0) AS INT)"
+        )
+        staged = buckets.selectExpr(
+            "sig", "labels", "t", "bs", f"{mono} AS __mono"
+        ).selectExpr(
+            "sig", "labels", "t", "bs", "__mono",
+            f"greatest({idx0}, 1) AS __idx",
+            f"{idx0} AS __idx0",
+        )
+        b = "element_at(__mono, __idx)"
+        prev_c = "(CASE WHEN __idx > 1 THEN element_at(__mono, __idx - 1).c ELSE 0.0D END)"
+        prev_le = "(CASE WHEN __idx > 1 THEN element_at(__mono, __idx - 1).le ELSE 0.0D END)"
+        total = "element_at(__mono, -1).c"
+        # reference behavior: target bucket = +Inf ⇒ lower bound of it
+        # (the last finite le); first bucket with upper bound ≤ 0 ⇒ that
+        # bound directly; else linear interpolation from the previous one
+        last_finite = "element_at(__mono, size(__mono) - 1).le"
+        interpolated = (
+            f"({prev_le} + ({b}.le - {prev_le}) * "
+            f"(CASE WHEN {b}.c - {prev_c} > 0 "
+            f"THEN ({rank} - {prev_c}) / ({b}.c - {prev_c}) ELSE 0.0D END))"
+        )
+        core = (
+            f"(CASE WHEN {total} = 0.0D OR isnan({total}) OR __idx0 = 0 THEN {nan} "
+            f"WHEN {b}.le = {pinf} THEN {last_finite} "
+            f"WHEN __idx = 1 AND {b}.le <= 0 THEN {b}.le "
+            f"WHEN __idx = 1 AND {b}.le > 0 THEN {b}.le * ({rank} / {b}.c) "
+            f"ELSE {interpolated} END)"
+        )
+
+    value = (
+        f"CASE WHEN {has_inf} AND size(bs) >= 2 THEN {core} ELSE {nan} END"
+    )
+    out = staged.selectExpr(
+        "sig", "labels", "t", "t AS sample_t",
+        f"CAST({value} AS DOUBLE) AS value", "true AS drop_name",
     )
     return VectorFrame(out)
-
-
-def _parse_le(le: Column) -> Column:
-    # try_cast: unparseable/absent le must yield NULL (filtered), not an
-    # ANSI cast error — histogram-sample rows carry no le label at all
-    low = F.lower(le)
-    return (
-        F.when(low.isin("+inf", "inf", "+infinity", "infinity"), F.lit(float("inf")))
-        .when(low.isin("-inf", "-infinity"), F.lit(float("-inf")))
-        .otherwise(le.try_cast("double"))
-    )
-
-
-def _bucket_quantile_expr(bs: Column, q: float) -> Column:
-    """Linear interpolation inside the target bucket (quantile.go:105).
-
-    Monotonicity is enforced by a running-max fold first
-    (quantile.go:668 ``ensureMonotonicAndIgnoreSmallDeltas`` — we apply
-    the simple running-max form)."""
-    if math.isnan(q):
-        return _NAN()
-    if q < 0:
-        return F.lit(float("-inf"))
-    if q > 1:
-        return F.lit(float("inf"))
-
-    # running max of cumulative counts
-    mono = F.aggregate(
-        bs,
-        F.array().cast("array<struct<le:double,c:double>>"),
-        lambda acc, b: F.concat(
-            acc,
-            F.array(
-                F.struct(
-                    b["le"].alias("le"),
-                    F.when(F.size(acc) > 0, F.greatest(b["c"], F.element_at(acc, -1)["c"]))
-                    .otherwise(b["c"])
-                    .alias("c"),
-                )
-            ),
-        ),
-    )
-    total = F.element_at(mono, -1)["c"]
-    rank = F.lit(q) * total
-    # first bucket with c >= rank; NaN counts satisfy nothing → idx 0,
-    # clamped to 1 for safe access (the NaN guard below wins anyway)
-    idx0 = F.coalesce(
-        F.array_position(F.transform(mono, lambda b: b["c"] >= rank), F.lit(True)),
-        F.lit(0),
-    ).cast("int")
-    idx = F.greatest(idx0, F.lit(1))
-    b = F.element_at(mono, idx)
-    prev_c = F.when(idx > 1, F.element_at(mono, idx - 1)["c"]).otherwise(F.lit(0.0))
-    prev_le = F.when(idx > 1, F.element_at(mono, idx - 1)["le"]).otherwise(F.lit(0.0))
-
-    # reference behavior: target bucket = +Inf ⇒ lower bound of it (the
-    # last finite le); first bucket with upper bound ≤ 0 ⇒ that bound
-    # directly; else linear interpolation from the previous bound.
-    last_finite = F.element_at(mono, F.size(mono) - 1)["le"]
-    interpolated = prev_le + (b["le"] - prev_le) * F.when(
-        b["c"] - prev_c > 0, (rank - prev_c) / (b["c"] - prev_c)
-    ).otherwise(F.lit(0.0))
-    value = (
-        F.when((total == 0) | F.isnan(total) | (idx0 == 0), _NAN())
-        .when(b["le"] == F.lit(float("inf")), last_finite)
-        .when((idx == 1) & (b["le"] <= 0), b["le"])
-        .when((idx == 1) & (b["le"] > 0), b["le"] * (rank / b["c"]))
-        .otherwise(interpolated)
-    )
-    return value

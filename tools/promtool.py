@@ -211,6 +211,156 @@ def tsdb_import_rules(store: str, out: str, rule_file: str, flags: dict) -> int:
     return 0
 
 
+def _go_g(v: float) -> str:
+    """Go ``%g`` (strconv.FormatFloat 'g', -1): shortest round-trip form
+    with Go's exponent switch-over."""
+    import math
+
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "+Inf" if v > 0 else "-Inf"
+    if v == int(v) and abs(v) < 1e21:
+        s = repr(v)
+        return s[:-2] if s.endswith(".0") else s
+    return repr(v)
+
+
+def _labels_go(labels: dict) -> str:
+    """labels.Labels.String(): ``{a="b", c="d"}`` sorted by name."""
+    inner = ", ".join(f'{k}="{labels[k]}"' for k in sorted(labels))
+    return "{" + inner + "}"
+
+
+def _dump_frame(store: str, flags: dict):
+    from pyspark.sql import functions as F
+
+    from prometheus_spark.engine.selectors import matcher_predicate
+    from prometheus_spark.parser import parse_expr
+    from prometheus_spark.storage import read_samples
+
+    spark = _spark()
+    df = read_samples(spark, store)
+    match = flags.get("--match")
+    if match:
+        node = parse_expr(match)
+        df = df.filter(matcher_predicate(node.matchers, df.columns))
+    if "--min-time" in flags:
+        df = df.filter(F.col("t") >= int(flags["--min-time"]))
+    if "--max-time" in flags:
+        # reference dump range is [mint, maxt) (tsdb.go dumpSamples)
+        df = df.filter(F.col("t") < int(flags["--max-time"]))
+    return df.filter(~F.col("stale"))
+
+
+def tsdb_dump(store: str, flags: dict) -> int:
+    """cmd/promtool tsdb dump (tsdb.go:760): one line per sample,
+    ``{labels} value ts``; toLocalIterator keeps the driver bounded."""
+    df = _dump_frame(store, flags)
+    for r in df.orderBy("sig", "t").toLocalIterator():
+        if r["value"] is None:
+            continue  # histogram rendering is dump-openmetrics' job
+        print(f"{_labels_go(dict(r['labels']))} {_go_g(r['value'])} {r['t']}")
+    return 0
+
+
+def tsdb_dump_openmetrics(store: str, flags: dict) -> int:
+    """cmd/promtool tsdb dump-openmetrics (tsdb.go:829):
+    ``name{labels} value ts_seconds`` + ``# EOF``, excluding native
+    histograms and staleness markers (not representable)."""
+    df = _dump_frame(store, flags)
+    for r in df.orderBy("sig", "t").toLocalIterator():
+        if r["value"] is None:
+            continue
+        labels = dict(r["labels"])
+        name = labels.pop("__name__", "")
+        lstr = _labels_go(labels) if labels else ""
+        print(f"{name}{lstr} {_go_g(r['value'])} {r['t'] / 1000.0:.3f}")
+    print("# EOF")
+    return 0
+
+
+def tsdb_bench_write(out: str, flags: dict) -> int:
+    """cmd/promtool tsdb bench write (tsdb.go:67 benchmarkWrite): ingest
+    ``--metrics`` synthetic series × ``--scrapes`` scrape rounds into a
+    fresh store and report per-stage wall times.  The generation and
+    write are fully distributed (range() → samples frame → partitioned
+    parquet) — nothing materializes on the driver."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from prometheus_spark.model.labels import sig_expr
+    from prometheus_spark.storage import write_samples
+
+    n_metrics = int(flags.get("--metrics", 10_000))
+    n_scrapes = int(flags.get("--scrapes", 100))
+    interval_ms = 15_000
+    spark = _spark()
+
+    def stage(name, fn):
+        t0 = time.monotonic()
+        print(f">> start stage={name}")
+        res = fn()
+        print(f">> completed stage={name} duration={time.monotonic() - t0:.3f}s")
+        return res
+
+    def gen():
+        series = spark.range(n_metrics).selectExpr(
+            "id AS m",
+            "map('__name__', concat('bench_metric_', CAST(id AS STRING)), "
+            "'job', 'bench', 'instance', "
+            "concat('host-', CAST(id % 100 AS STRING))) AS labels",
+        )
+        scrapes = spark.range(n_scrapes).selectExpr(
+            f"CAST(id * {interval_ms} AS BIGINT) AS t"
+        )
+        return (
+            series.crossJoin(scrapes)
+            .select(
+                sig_expr("labels").alias("sig"),
+                F.expr("element_at(labels, '__name__')").alias("name"),
+                "labels",
+                "t",
+                (F.col("m") + F.col("t") / 1000.0).cast("double").alias("value"),
+                F.lit(False).alias("stale"),
+            )
+        )
+
+    df = stage("generate", gen)
+    stage("ingestScrapes", lambda: write_samples(df, out))
+    total = stage("count", lambda: _spark().read.parquet(out).count())
+    print(f"ingested {total} samples ({n_metrics} series x {n_scrapes} scrapes)")
+    return 0
+
+
+def push_metrics(url: str, files: list[str], flags: dict) -> int:
+    """cmd/promtool push metrics (main.go:226): parse exposition-format
+    files and push them via remote-write (v1, or v2 with --v2)."""
+    import time
+
+    from prometheus_spark.sources.promtext import parse_exposition_text
+    from prometheus_spark.sources.remote_write import (
+        send_write_request,
+        send_write_request_v2,
+    )
+
+    now_ms = int(time.time() * 1000)
+    rows: list = []
+    for path in files:
+        with open(path) as f:
+            rows.extend(parse_exposition_text(f.read(), now_ms))
+    rows = [(labels, t, v) for labels, t, v in rows if not isinstance(v, dict)]
+    send = send_write_request_v2 if "--v2" in flags else send_write_request
+    try:
+        status = send(url, rows)
+    except Exception as e:  # noqa: BLE001 — CLI surface
+        print(f"FAILED: {e}", file=sys.stderr)
+        return 1
+    print(f"SUCCESS: {len(rows)} samples pushed (HTTP {status})")
+    return 0
+
+
 def main(argv: list[str]) -> int:
     if len(argv) >= 3 and argv[0] == "check" and argv[1] == "rules":
         return check_rules(argv[2:])
@@ -227,6 +377,20 @@ def main(argv: list[str]) -> int:
             and argv[1] == "create-blocks-from" and argv[2] == "rules"):
         flags = dict(zip(argv[6::2], argv[7::2]))
         return tsdb_import_rules(argv[3], argv[4], argv[5], flags)
+    if len(argv) >= 3 and argv[0] == "tsdb" and argv[1] == "dump":
+        flags = dict(zip(argv[3::2], argv[4::2]))
+        return tsdb_dump(argv[2], flags)
+    if len(argv) >= 3 and argv[0] == "tsdb" and argv[1] == "dump-openmetrics":
+        flags = dict(zip(argv[3::2], argv[4::2]))
+        return tsdb_dump_openmetrics(argv[2], flags)
+    if (len(argv) >= 4 and argv[0] == "tsdb" and argv[1] == "bench"
+            and argv[2] == "write"):
+        flags = dict(zip(argv[4::2], argv[5::2]))
+        return tsdb_bench_write(argv[3], flags)
+    if len(argv) >= 4 and argv[0] == "push" and argv[1] == "metrics":
+        flags = {a: "" for a in argv[2:] if a.startswith("--")}
+        pos = [a for a in argv[2:] if not a.startswith("--")]
+        return push_metrics(pos[0], pos[1:], flags)
     if len(argv) >= 2 and argv[0] == "tsdb" and argv[1] == "blocks" and len(argv) >= 3:
         return tsdb_blocks(argv[2])
     if len(argv) >= 2 and argv[0] == "tsdb" and argv[1] == "analyze" and len(argv) >= 3:
