@@ -73,6 +73,7 @@ class ScrapeJobConfig:
     static_groups: list = field(default_factory=list)  # {"targets", "labels"}
     file_sd: list = field(default_factory=list)  # {"files", "refresh_interval"}
     http_sd: list = field(default_factory=list)  # {"url", "refresh_interval"}
+    dns_sd: list = field(default_factory=list)  # {"names", "type", "port"}
 
 
 @dataclass
@@ -171,6 +172,15 @@ def load_config(path: str) -> PromConfig:
             }
             for hs in sc.get("http_sd_configs") or []
         ]
+        dns_sd = [
+            {
+                "names": list(ds.get("names") or []),
+                "type": ds.get("type", "SRV"),
+                "port": int(ds.get("port", 0)),
+                "refresh_interval_ms": _dur_ms(ds.get("refresh_interval"), 30_000),
+            }
+            for ds in sc.get("dns_sd_configs") or []
+        ]
         cfg.scrape_jobs.append(
             ScrapeJobConfig(
                 job_name=job,
@@ -194,6 +204,7 @@ def load_config(path: str) -> PromConfig:
                 static_groups=static_groups,
                 file_sd=file_sd,
                 http_sd=http_sd,
+                dns_sd=dns_sd,
             )
         )
 
@@ -235,6 +246,7 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
     """
     from prometheus_spark.sources.discovery import (
         DiscoveryManager,
+        DNSDiscovery,
         FileDiscovery,
         HTTPDiscovery,
         StaticDiscovery,
@@ -270,6 +282,13 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
         for hs in jobcfg.http_sd:
             providers.append(
                 HTTPDiscovery(hs["url"], hs["refresh_interval_ms"])
+            )
+        for ds in jobcfg.dns_sd:
+            providers.append(
+                DNSDiscovery(
+                    ds["names"], ds["type"], ds["port"],
+                    ds["refresh_interval_ms"],
+                )
             )
         discovery.register(jobcfg, providers)
 

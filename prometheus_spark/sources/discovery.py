@@ -159,6 +159,179 @@ class HTTPDiscovery:
 
 
 # ---------------------------------------------------------------------------
+# DNS SD (discovery/dns/dns.go) — pure-stdlib UDP resolver, no deps.
+
+_DNS_QTYPES = {"A": 1, "NS": 2, "CNAME": 5, "MX": 15, "AAAA": 28, "SRV": 33}
+
+
+def _dns_encode_query(qname: str, qtype: int, txid: int = 0x5350) -> bytes:
+    import struct as _s
+
+    out = _s.pack(">HHHHHH", txid, 0x0100, 1, 0, 0, 0)  # RD, 1 question
+    for part in qname.rstrip(".").split("."):
+        raw = part.encode()
+        out += bytes([len(raw)]) + raw
+    return out + b"\x00" + _s.pack(">HH", qtype, 1)  # class IN
+
+
+def _dns_read_name(data: bytes, pos: int) -> tuple[str, int]:
+    """Read a (possibly compression-pointer'd) domain name."""
+    parts: list[str] = []
+    jumped = False
+    end = pos
+    hops = 0
+    while True:
+        ln = data[pos]
+        if ln & 0xC0 == 0xC0:  # compression pointer
+            ptr = ((ln & 0x3F) << 8) | data[pos + 1]
+            if not jumped:
+                end = pos + 2
+            pos = ptr
+            jumped = True
+            hops += 1
+            if hops > 64:
+                raise ValueError("DNS compression loop")
+            continue
+        if ln == 0:
+            if not jumped:
+                end = pos + 1
+            return ".".join(parts) + ".", end
+        parts.append(data[pos + 1:pos + 1 + ln].decode("ascii", "replace"))
+        pos += 1 + ln
+
+
+def _dns_parse_answers(data: bytes) -> list[dict]:
+    """Answer records: {type, target/addr fields} — SRV/A/AAAA/MX/NS/CNAME."""
+    import socket as _sock
+    import struct as _s
+
+    _txid, _flags, qd, an, _ns, _ar = _s.unpack(">HHHHHH", data[:12])
+    pos = 12
+    for _ in range(qd):  # skip questions
+        _name, pos = _dns_read_name(data, pos)
+        pos += 4
+    out: list[dict] = []
+    for _ in range(an):
+        _name, pos = _dns_read_name(data, pos)
+        rtype, _rclass, _ttl, rdlen = _s.unpack(">HHIH", data[pos:pos + 10])
+        rpos = pos + 10
+        pos = rpos + rdlen
+        if rtype == 33:  # SRV: prio, weight, port, target
+            _prio, _w, port = _s.unpack(">HHH", data[rpos:rpos + 6])
+            target, _ = _dns_read_name(data, rpos + 6)
+            out.append({"type": "SRV", "target": target, "port": port})
+        elif rtype == 1:
+            out.append(
+                {"type": "A", "addr": _sock.inet_ntop(_sock.AF_INET,
+                                                      data[rpos:rpos + 4])}
+            )
+        elif rtype == 28:
+            out.append(
+                {"type": "AAAA", "addr": _sock.inet_ntop(_sock.AF_INET6,
+                                                         data[rpos:rpos + 16])}
+            )
+        elif rtype == 15:  # MX: preference, exchange
+            target, _ = _dns_read_name(data, rpos + 2)
+            out.append({"type": "MX", "target": target})
+        elif rtype == 2:  # NS
+            target, _ = _dns_read_name(data, rpos)
+            out.append({"type": "NS", "target": target})
+        elif rtype == 5:  # CNAME — legal in A responses; skipped (dns.go)
+            out.append({"type": "CNAME"})
+    return out
+
+
+def _dns_resolver_addr() -> str:
+    try:
+        with open("/etc/resolv.conf") as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2 and parts[0] == "nameserver":
+                    return parts[1]
+    except OSError:
+        pass
+    return "127.0.0.1"
+
+
+def _dns_query_udp(qname: str, qtype: int, timeout_s: float = 5.0) -> bytes:
+    import socket as _sock
+
+    server = _dns_resolver_addr()
+    fam = _sock.AF_INET6 if ":" in server else _sock.AF_INET
+    with _sock.socket(fam, _sock.SOCK_DGRAM) as s:
+        s.settimeout(timeout_s)
+        s.sendto(_dns_encode_query(qname, qtype), (server, 53))
+        return s.recv(65535)
+
+
+class DNSDiscovery:
+    """dns_sd_configs provider (discovery/dns/dns.go): SRV targets carry
+    their own port; A/AAAA/MX/NS need the configured ``port``.  Each
+    record becomes one TargetGroup carrying the reference's
+    ``__meta_dns_*`` labels; a query failure keeps the last good set."""
+
+    def __init__(
+        self,
+        names: list[str],
+        qtype: str = "SRV",
+        port: int = 0,
+        refresh_interval_ms: int = 30_000,
+        query_fn=None,  # (qname, qtype_code) -> wire bytes, for tests
+    ):
+        self.names = list(names)
+        self.qtype = qtype.upper()
+        if self.qtype not in _DNS_QTYPES:
+            raise ValueError(f"unsupported DNS SD record type {qtype!r}")
+        if self.qtype not in ("SRV",) and not port:
+            raise ValueError("dns_sd_configs: 'port' required for non-SRV")
+        self.port = port
+        self.refresh_interval_ms = refresh_interval_ms
+        self._query = query_fn or _dns_query_udp
+        self._last_good: dict[str, list[TargetGroup]] = {}
+
+    def _groups_for(self, name: str) -> list[TargetGroup]:
+        records = _dns_parse_answers(self._query(name, _DNS_QTYPES[self.qtype]))
+        groups: list[TargetGroup] = []
+        for rec in records:
+            meta = {
+                "__meta_dns_name": name,
+                "__meta_dns_srv_record_target": "",
+                "__meta_dns_srv_record_port": "",
+                "__meta_dns_mx_record_target": "",
+                "__meta_dns_ns_record_target": "",
+            }
+            if rec["type"] == "SRV":
+                meta["__meta_dns_srv_record_target"] = rec["target"]
+                meta["__meta_dns_srv_record_port"] = str(rec["port"])
+                host = rec["target"].rstrip(".")
+                addr = f"{host}:{rec['port']}"
+            elif rec["type"] in ("A", "AAAA"):
+                a = rec["addr"]
+                addr = f"[{a}]:{self.port}" if ":" in a else f"{a}:{self.port}"
+            elif rec["type"] == "MX":
+                meta["__meta_dns_mx_record_target"] = rec["target"]
+                addr = f"{rec['target'].rstrip('.')}:{self.port}"
+            elif rec["type"] == "NS":
+                meta["__meta_dns_ns_record_target"] = rec["target"]
+                addr = f"{rec['target'].rstrip('.')}:{self.port}"
+            else:  # CNAME riding along in an A response
+                continue
+            groups.append(TargetGroup([addr], meta))
+        return groups
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        out: list[TargetGroup] = []
+        for name in self.names:
+            try:
+                groups = self._groups_for(name)
+                self._last_good[name] = groups
+            except Exception:
+                groups = self._last_good.get(name, [])
+            out.extend(groups)
+        return out
+
+
+# ---------------------------------------------------------------------------
 def populate_targets(jobcfg, groups: list[TargetGroup]) -> list[ScrapeTarget]:
     """scrape/target.go PopulateLabels: assemble the relabel-visible
     label set per address, run target relabeling, then re-derive the

@@ -170,3 +170,104 @@ def test_manager_static_plus_sd_union():
     )
     urls = sorted(t.url for t in dm.targets(now_ms=0))
     assert urls == ["http://d:2/metrics", "http://s:1/metrics"]
+
+
+# -- DNS SD -----------------------------------------------------------------
+def _dns_response(qname, answers):
+    """Build a DNS response wire packet: answers = list of
+    ('SRV', target, port) | ('A', ip) | ('MX', target)."""
+    import socket
+    import struct
+
+    from prometheus_spark.sources.discovery import _dns_encode_query
+
+    def name_bytes(n):
+        out = b""
+        for part in n.rstrip(".").split("."):
+            out += bytes([len(part)]) + part.encode()
+        return out + b"\x00"
+
+    q = _dns_encode_query(qname, 33)
+    question = q[12:]
+    head = struct.pack(">HHHHHH", 0x5350, 0x8180, 1, len(answers), 0, 0)
+    body = b""
+    for a in answers:
+        if a[0] == "SRV":
+            rdata = struct.pack(">HHH", 0, 0, a[2]) + name_bytes(a[1])
+            rtype = 33
+        elif a[0] == "A":
+            rdata = socket.inet_aton(a[1])
+            rtype = 1
+        elif a[0] == "MX":
+            rdata = struct.pack(">H", 10) + name_bytes(a[1])
+            rtype = 15
+        body += (name_bytes(qname) + struct.pack(">HHIH", rtype, 1, 60, len(rdata))
+                 + rdata)
+    return head + question + body
+
+
+def test_dns_sd_srv_records():
+    from prometheus_spark.sources.discovery import DNSDiscovery
+
+    resp = _dns_response(
+        "_prom._tcp.example.org",
+        [("SRV", "node1.example.org.", 9100), ("SRV", "node2.example.org.", 9101)],
+    )
+    d = DNSDiscovery(["_prom._tcp.example.org"],
+                     query_fn=lambda n, t: resp)
+    groups = d.refresh()
+    targets = sorted(g.targets[0] for g in groups)
+    assert targets == ["node1.example.org:9100", "node2.example.org:9101"]
+    g1 = next(g for g in groups if g.targets == ["node1.example.org:9100"])
+    assert g1.labels["__meta_dns_name"] == "_prom._tcp.example.org"
+    assert g1.labels["__meta_dns_srv_record_target"] == "node1.example.org."
+    assert g1.labels["__meta_dns_srv_record_port"] == "9100"
+
+
+def test_dns_sd_a_records_and_failure_keeps_last():
+    from prometheus_spark.sources.discovery import DNSDiscovery
+
+    calls = {"n": 0}
+
+    def q(n, t):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise OSError("timeout")
+        return _dns_response(n, [("A", "10.0.0.5")])
+
+    d = DNSDiscovery(["node.example.org"], qtype="A", port=9100, query_fn=q)
+    assert [g.targets[0] for g in d.refresh()] == ["10.0.0.5:9100"]
+    # second refresh: query fails -> last good set survives
+    assert [g.targets[0] for g in d.refresh()] == ["10.0.0.5:9100"]
+
+
+def test_dns_sd_requires_port_for_non_srv():
+    import pytest as _pytest
+
+    from prometheus_spark.sources.discovery import DNSDiscovery
+
+    with _pytest.raises(ValueError, match="port"):
+        DNSDiscovery(["x"], qtype="A")
+
+
+def test_dns_sd_compression_pointer():
+    """Names referenced via 0xC0 compression pointers resolve."""
+    import struct
+
+    from prometheus_spark.sources.discovery import (
+        DNSDiscovery,
+        _dns_encode_query,
+    )
+
+    qname = "svc.example.org"
+    q = _dns_encode_query(qname, 15)
+    question = q[12:]
+    head = struct.pack(">HHHHHH", 0x5350, 0x8180, 1, 1, 0, 0)
+    # MX rdata whose exchange is a pointer back to the question name (0x0C)
+    rdata = struct.pack(">H", 5) + b"\xc0\x0c"
+    ans = b"\xc0\x0c" + struct.pack(">HHIH", 15, 1, 60, len(rdata)) + rdata
+    resp = head + question + ans
+    d = DNSDiscovery([qname], qtype="MX", port=25, query_fn=lambda n, t: resp)
+    groups = d.refresh()
+    assert groups[0].targets == ["svc.example.org:25"]
+    assert groups[0].labels["__meta_dns_mx_record_target"] == "svc.example.org."
