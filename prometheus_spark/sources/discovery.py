@@ -332,6 +332,42 @@ class DNSDiscovery:
 
 
 # ---------------------------------------------------------------------------
+def discovered_labels(jobcfg, grp: TargetGroup, addr: str) -> dict:
+    """The PRE-relabel label set the reference calls discovered labels
+    (scrape/target.go DiscoveredLabels): __address__/__scheme__/
+    __metrics_path__/__param_* plus the target group's labels, scoped
+    per group — not a job-wide merge."""
+    lbls = {
+        "__address__": addr,
+        "__scheme__": jobcfg.scheme,
+        "__metrics_path__": jobcfg.metrics_path,
+    }
+    for k, v in (jobcfg.params or {}).items():
+        v0 = v[0] if isinstance(v, list) and v else v
+        lbls[f"__param_{k}"] = str(v0)
+    lbls.update(grp.labels)
+    lbls.setdefault("job", jobcfg.job_name)
+    return lbls
+
+
+def sd_check(jobcfg, groups: list[TargetGroup]) -> list[dict]:
+    """cmd/promtool sd.go CheckSD result rows: per discovered target,
+    the pre-relabel label set and the post-relabel outcome (empty labels
+    = dropped by relabeling)."""
+    out: list[dict] = []
+    for grp in groups:
+        for addr in grp.targets:
+            pre = discovered_labels(jobcfg, grp, addr)
+            res = process_labels(pre, jobcfg.relabel_configs)
+            out.append(
+                {
+                    "discoveredLabels": dict(sorted(pre.items())),
+                    "labels": dict(sorted(res.items())) if res else {},
+                }
+            )
+    return out
+
+
 def populate_targets(jobcfg, groups: list[TargetGroup]) -> list[ScrapeTarget]:
     """scrape/target.go PopulateLabels: assemble the relabel-visible
     label set per address, run target relabeling, then re-derive the
@@ -342,19 +378,7 @@ def populate_targets(jobcfg, groups: list[TargetGroup]) -> list[ScrapeTarget]:
     out: list[ScrapeTarget] = []
     for grp in groups:
         for addr in grp.targets:
-            lbls = {
-                "__address__": addr,
-                "__scheme__": jobcfg.scheme,
-                "__metrics_path__": jobcfg.metrics_path,
-            }
-            for k, v in (jobcfg.params or {}).items():
-                v0 = v[0] if isinstance(v, list) and v else v
-                lbls[f"__param_{k}"] = str(v0)
-            # labels come from the target GROUP (static_config entry or
-            # SD payload), scoped per group like the reference — not from
-            # a job-wide merge
-            lbls.update(grp.labels)
-            lbls.setdefault("job", jobcfg.job_name)
+            lbls = discovered_labels(jobcfg, grp, addr)
             res = process_labels(lbls, jobcfg.relabel_configs)
             if res is None:
                 continue  # target dropped by relabeling

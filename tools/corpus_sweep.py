@@ -20,24 +20,25 @@ sys.path.insert(0, REPO)
 
 TESTDATA = "/root/reference/promql/promqltest/testdata"
 
-# Rough uncapped cost weights (seconds on local[8], measured) used to
-# balance the worker buckets; unknown files get a small default.
+# Rough uncapped cost weights (seconds on local[8], measured after the
+# round-3 plan-construction collapse) used to balance the worker
+# buckets; unknown files get a small default.
 WEIGHTS = {
-    "native_histograms.test": 220,
-    "histograms.test": 206,
-    "functions.test": 129,
-    "extended_vectors.test": 85,
-    "operators.test": 78,
-    "aggregators.test": 48,
-    "type_and_unit.test": 30,
-    "fill-modifier.test": 24,
+    "native_histograms.test": 111,
+    "histograms.test": 103,
+    "extended_vectors.test": 95,
+    "functions.test": 55,
+    "operators.test": 47,
+    "fill-modifier.test": 32,
+    "aggregators.test": 29,
     "subquery.test": 22,
-    "info.test": 22,
-    "limit.test": 20,
-    "at_modifier.test": 19,
-    "selectors.test": 19,
-    "name_label_dropping.test": 12,
-    "duration_expression.test": 9,
+    "type_and_unit.test": 13,
+    "limit.test": 15,
+    "info.test": 12,
+    "at_modifier.test": 11,
+    "selectors.test": 6,
+    "name_label_dropping.test": 8,
+    "duration_expression.test": 7,
     "start_timestamps.test": 8,
     "range_queries.test": 8,
 }

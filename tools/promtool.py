@@ -211,6 +211,46 @@ def tsdb_import_rules(store: str, out: str, rule_file: str, flags: dict) -> int:
     return 0
 
 
+def check_sd(config_file: str, job_name: str) -> int:
+    """cmd/promtool check service-discovery (sd.go:41 CheckSD): run the
+    job's discovery providers once and print per-target JSON with the
+    pre-relabel (discovered) and post-relabel label sets."""
+    import json
+
+    from prometheus_spark.config import load_config
+    from prometheus_spark.sources.discovery import (
+        DNSDiscovery,
+        FileDiscovery,
+        HTTPDiscovery,
+        StaticDiscovery,
+        TargetGroup,
+        sd_check,
+    )
+
+    cfg = load_config(config_file)
+    jobcfg = next(
+        (j for j in cfg.scrape_jobs if j.job_name == job_name), None
+    )
+    if jobcfg is None:
+        jobs = ", ".join(j.job_name for j in cfg.scrape_jobs)
+        print(f"Job {job_name!r} not found. Select one of: {jobs}",
+              file=sys.stderr)
+        return 1
+    groups: list = []
+    if jobcfg.static_groups:
+        groups += StaticDiscovery(
+            [TargetGroup(g["targets"], g["labels"]) for g in jobcfg.static_groups]
+        ).refresh()
+    for fs in jobcfg.file_sd:
+        groups += FileDiscovery(fs["files"]).refresh()
+    for hs in jobcfg.http_sd:
+        groups += HTTPDiscovery(hs["url"]).refresh()
+    for ds in jobcfg.dns_sd:
+        groups += DNSDiscovery(ds["names"], ds["type"], ds["port"]).refresh()
+    print(json.dumps(sd_check(jobcfg, groups), indent=2))
+    return 0
+
+
 def _go_g(v: float) -> str:
     """Go ``%g`` (strconv.FormatFloat 'g', -1): shortest round-trip form
     with Go's exponent switch-over."""
@@ -368,6 +408,8 @@ def main(argv: list[str]) -> int:
         return check_metrics()
     if len(argv) >= 3 and argv[0] == "check" and argv[1] == "config":
         return check_config(argv[2:])
+    if len(argv) >= 4 and argv[0] == "check" and argv[1] == "service-discovery":
+        return check_sd(argv[2], argv[3])
     if len(argv) >= 3 and argv[0] == "test" and argv[1] == "rules":
         return test_rules(argv[2:])
     if (len(argv) >= 5 and argv[0] == "tsdb"
