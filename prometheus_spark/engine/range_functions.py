@@ -534,50 +534,49 @@ def _extended_delta(
     restarting from 0 — functions.go:93 ``interpolate``); delta = right −
     left plus counter-reset corrections walked across the materialized
     sequence; divided by the range for rate — no extrapolation."""
-    rstart = F.col("wend") - F.lit(range_ms)
-    rend = F.col("wend")
-    v, nt, nv, pt, pv = (
-        F.col("value"), F.col("__nt"), F.col("__nv"), F.col("__pt"), F.col("__pv")
+    rstart = f"(wend - {range_ms})"
+    ctr = "true" if is_counter else "false"
+    y1_l = f"(CASE WHEN {ctr} AND __nv < value THEN 0.0D ELSE value END)"
+    lval = (
+        f"(CASE WHEN {str(bool(smoothed)).lower()} AND role = 'L' "
+        f"AND orig_t < {rstart} AND __nv IS NOT NULL "
+        f"THEN {y1_l} + (__nv - {y1_l}) * ({rstart} - orig_t) / (__nt - orig_t) "
+        "ELSE value END)"
     )
-    y1_l = F.when(F.lit(is_counter) & (nv < v), F.lit(0.0)).otherwise(v)
-    lval = F.when(
-        F.lit(smoothed)
-        & (F.col("role") == "L")
-        & (F.col("orig_t") < rstart)
-        & nv.isNotNull(),
-        y1_l + (nv - y1_l) * (rstart - F.col("orig_t")) / (nt - F.col("orig_t")),
-    ).otherwise(v)
-    y1_r = F.when(F.lit(is_counter) & (v < pv), F.lit(0.0)).otherwise(pv)
-    rval = F.when(
-        (F.col("role") == "R") & (F.col("orig_t") > rend) & pv.isNotNull(),
-        y1_r + (v - y1_r) * (rend - pt) / (F.col("orig_t") - pt),
-    ).otherwise(v)
+    y1_r = f"(CASE WHEN {ctr} AND value < __pv THEN 0.0D ELSE __pv END)"
+    rval = (
+        "(CASE WHEN role = 'R' AND orig_t > wend AND __pv IS NOT NULL "
+        f"THEN {y1_r} + (value - {y1_r}) * (wend - __pt) / (orig_t - __pt) "
+        "ELSE value END)"
+    )
     eff = (
-        F.when(F.col("role") == "L", lval)
-        .when(F.col("role") == "R", rval)
-        .otherwise(v)
+        f"(CASE WHEN role = 'L' THEN {lval} "
+        f"WHEN role = 'R' THEN {rval} ELSE value END)"
     )
-    windowed = windowed.withColumn("__eff", eff)
+    windowed = windowed.selectExpr("*", eff + " AS __eff")
 
-    w = Window.partitionBy("sig", "t").orderBy("sample_t")
-    prev = F.lag("__eff").over(w)
-    cur = F.col("__eff")
-    is_reset = (~F.isnan(cur)) & (~F.isnan(prev)) & (cur < prev)
-    drop = F.when(is_reset, prev).otherwise(0.0)
+    prev = "(lag(__eff) OVER (PARTITION BY sig, t ORDER BY sample_t))"
+    if is_counter:
+        drop = (
+            f"(CASE WHEN NOT isnan(__eff) AND NOT isnan({prev}) "
+            f"AND __eff < {prev} THEN {prev} ELSE 0.0D END)"
+        )
+    else:
+        drop = "0.0D"
     stats = (
-        windowed.withColumn("__drop", drop if is_counter else F.lit(0.0))
+        windowed.selectExpr("*", drop + " AS __drop")
         .groupBy("sig", "t")
         .agg(
-            F.first("labels").alias("labels"),
-            F.min_by("__eff", "sample_t").alias("first_v"),
-            F.max_by("__eff", "sample_t").alias("last_v"),
-            F.sum("__drop").alias("correction"),
+            F.expr("first(labels)").alias("labels"),
+            F.expr("min_by(__eff, sample_t)").alias("first_v"),
+            F.expr("max_by(__eff, sample_t)").alias("last_v"),
+            F.expr("sum(__drop)").alias("correction"),
         )
     )
-    value = F.col("last_v") - F.col("first_v") + F.col("correction")
+    value = "(last_v - first_v + correction)"
     if is_rate:
-        value = value / F.lit(range_ms / 1000.0)
-    out = stats.select("sig", "labels", "t", value.alias("value"))
+        value = f"({value} / {range_ms / 1000.0}D)"
+    out = stats.selectExpr("sig", "labels", "t", value + " AS value")
     return _finish(out, ctx)
 
 

@@ -424,137 +424,124 @@ def extended_windowed_samples(
     Rows carry ``orig_t`` (the source sample's timestamp) so validity can
     be checked; ``sample_t`` is the materialized position.
     """
+    from prometheus_spark.model.schema import HISTOGRAM_TYPE
+
     base = ctx.samples.filter(
         matcher_predicate(node.matchers, ctx.samples.columns)
-    ).filter(~F.col("stale"))
+    ).filter("NOT stale")
     has_hist = "hist" in base.columns
     hcols = ["hist"] if has_hist else []
-    base = base.select("sig", "labels", "t", "value", *hcols)
     lb = ctx.lookback_ms
+    htype = HISTOGRAM_TYPE.simpleString()
 
-    w = Window.partitionBy("sig").orderBy("t")
-    with_adj = (
-        base.withColumn("next_t", F.lead("t").over(w))
-        .withColumn("next_v", F.lead("value").over(w))
-        .withColumn("prev_t", F.lag("t").over(w))
-        .withColumn("prev_v", F.lag("value").over(w))
-    )
+    over = "OVER (PARTITION BY sig ORDER BY t)"
+    adj_exprs = [
+        f"lead(t) {over} AS next_t",
+        f"lead(value) {over} AS next_v",
+        f"lag(t) {over} AS prev_t",
+        f"lag(value) {over} AS prev_v",
+    ]
     if has_hist:
-        with_adj = with_adj.withColumn("next_h", F.lead("hist").over(w)).withColumn(
-            "prev_h", F.lag("hist").over(w)
-        )
+        adj_exprs += [
+            f"lead(hist) {over} AS next_h",
+            f"lag(hist) {over} AS prev_h",
+        ]
+    with_adj = base.selectExpr(
+        "sig", "labels", "t", "value", *hcols, *adj_exprs
+    )
 
     if at is not None:
         ref = ctx.resolve_at(at) - offset_ms
-        rstart_c, rend_c = F.lit(ref - range_ms), F.lit(ref)
-        wend_c = F.lit(ref)
+        rstart_sql, rend_sql = f"{ref - range_ms}L", f"{ref}L"
+        wend_sql = f"{ref}L"
     else:
-        rstart_c = F.col("step_t") - F.lit(offset_ms + range_ms)
-        rend_c = F.col("step_t") - F.lit(offset_ms)
-        wend_c = F.col("step_t") - F.lit(offset_ms)
+        rstart_sql = f"CAST(step_t - {offset_ms + range_ms} AS BIGINT)"
+        rend_sql = f"CAST(step_t - {offset_ms} AS BIGINT)"
+        wend_sql = f"CAST(step_t - {offset_ms} AS BIGINT)"
 
-    def shape(df, sample_t, role, with_adj_cols=False):
+    def shape(df, sample_t_sql: str, role: str, with_adj_cols: bool = False):
         # boundary rows keep the raw value plus their neighbours — the
         # consumer interpolates (counter-awareness differs by function:
         # extendedRate passes isCounter, extendFloats does not)
-        from prometheus_spark.model.schema import HISTOGRAM_TYPE
-
         if with_adj_cols:
-            adj = [
-                F.col("next_t").alias("__nt"),
-                F.col("next_v").alias("__nv"),
-                F.col("prev_t").alias("__pt"),
-                F.col("prev_v").alias("__pv"),
-            ]
-            adj += (
-                [F.col("next_h").alias("__nh"), F.col("prev_h").alias("__ph")]
-                if has_hist
-                else []
-            )
+            adj = ["next_t AS __nt", "next_v AS __nv",
+                   "prev_t AS __pt", "prev_v AS __pv"]
+            if has_hist:
+                adj += ["next_h AS __nh", "prev_h AS __ph"]
         else:
             adj = [
-                F.lit(None).cast("long").alias("__nt"),
-                F.lit(None).cast("double").alias("__nv"),
-                F.lit(None).cast("long").alias("__pt"),
-                F.lit(None).cast("double").alias("__pv"),
+                "CAST(NULL AS BIGINT) AS __nt",
+                "CAST(NULL AS DOUBLE) AS __nv",
+                "CAST(NULL AS BIGINT) AS __pt",
+                "CAST(NULL AS DOUBLE) AS __pv",
             ]
-            adj += (
-                [
-                    F.lit(None).cast(HISTOGRAM_TYPE).alias("__nh"),
-                    F.lit(None).cast(HISTOGRAM_TYPE).alias("__ph"),
+            if has_hist:
+                adj += [
+                    f"CAST(NULL AS {htype}) AS __nh",
+                    f"CAST(NULL AS {htype}) AS __ph",
                 ]
-                if has_hist
-                else []
-            )
-        return df.select(
+        return df.selectExpr(
             "sig",
             "labels",
-            F.col("step_t").alias("out_t"),
-            sample_t.cast("long").alias("sample_t"),
-            F.col("t").alias("orig_t"),
-            F.col("value").cast("double").alias("value"),
+            "step_t AS t",
+            f"CAST({sample_t_sql} AS BIGINT) AS sample_t",
+            "t AS orig_t",
+            "CAST(value AS DOUBLE) AS value",
             *hcols,
-            F.lit(role).alias("role"),
-            wend_c.alias("wend"),
+            f"'{role}' AS role",
+            wend_sql + " AS wend",
             *adj,
-        ).withColumnsRenamed({"out_t": "t"})
+        )
 
     if at is not None:
-        grid = ctx.grid.select(F.col("t").alias("step_t"))
+        grid = ctx.grid.selectExpr("t AS step_t")
         rstart, rend = ref - range_ms, ref
         pinned = with_adj.crossJoin(F.broadcast(grid))
         # pinned windows: classify each sample against the fixed range
-        interior = pinned.filter((F.col("t") > rstart) & (F.col("t") <= rend))
+        interior = pinned.filter(f"t > {rstart} AND t <= {rend}")
         lcand = pinned.filter(
-            (F.col("t") <= rstart)
-            & (F.col("t") > rstart - lb)
-            & (F.coalesce(F.col("next_t"), F.lit(2**62)) > rstart)
+            f"t <= {rstart} AND t > {rstart - lb} "
+            f"AND coalesce(next_t, {2**62}L) > {rstart}"
         )
         rcand = pinned.filter(
-            (F.col("t") > rend)
-            & (F.col("t") < rend + lb)
-            & (F.coalesce(F.col("prev_t"), F.lit(-(2**62))) < rend)
+            f"t > {rend} AND t < {rend + lb} "
+            f"AND coalesce(prev_t, {-(2**62)}L) < {rend}"
         )
     else:
         lo = ctx.start_ms - offset_ms - range_ms - lb
         hi = ctx.end_ms - offset_ms + (lb if smoothed else 0)
-        scoped = with_adj.filter((F.col("t") > lo) & (F.col("t") <= hi))
+        scoped = with_adj.filter(f"t > {lo} AND t <= {hi}")
+
+        def explode(df, lo_sql: str, hi_sql: str):
+            return df.selectExpr(
+                "*", _explode_steps_sql(ctx, lo_sql, hi_sql) + " AS __kk"
+            ).selectExpr("*", _step_t_sql(ctx) + " AS step_t")
+
         # interior: rangeStart < t ≤ rangeEnd ⇔ step ∈ [t+off, t+off+range)
-        interior = _explode_steps(
-            scoped,
-            ctx,
-            F.col("t") + F.lit(offset_ms),
-            F.col("t") + F.lit(range_ms - 1 + offset_ms),
+        interior = explode(
+            scoped, f"t + {offset_ms}", f"t + {range_ms - 1 + offset_ms}"
         )
         # left boundary: latest sample with t ≤ rangeStart, within lookback
         # ⇔ rangeStart ∈ [t, min(next_t−1, t+lb−1)] ⇔ step ∈ [t+off+range, …]
-        lcand = _explode_steps(
+        lcand = explode(
             scoped,
-            ctx,
-            F.col("t") + F.lit(offset_ms + range_ms),
-            F.least(
-                F.coalesce(F.col("next_t"), F.lit(2**62)) - 1,
-                F.col("t") + F.lit(lb - 1),
-            )
-            + F.lit(offset_ms + range_ms),
+            f"t + {offset_ms + range_ms}",
+            f"least(coalesce(next_t, {2**62}L) - 1, t + {lb - 1})"
+            f" + {offset_ms + range_ms}",
         )
         # right boundary (smoothed): earliest sample with t > rangeEnd,
         # within lookback ⇔ rangeEnd ∈ [max(prev_t, t−lb)+1, t−1]
-        rcand = _explode_steps(
+        rcand = explode(
             scoped,
-            ctx,
-            F.greatest(
-                F.coalesce(F.col("prev_t"), F.lit(-(2**62))),
-                F.col("t") - F.lit(lb),
-            )
-            + F.lit(1 + offset_ms),
-            F.col("t") - F.lit(1) + F.lit(offset_ms),
+            f"greatest(coalesce(prev_t, {-(2**62)}L), t - {lb})"
+            f" + {1 + offset_ms}",
+            f"t - 1 + {offset_ms}",
         )
 
-    parts = [shape(interior, F.col("t"), "I")]
-    parts.append(shape(lcand, rstart_c, "L", with_adj_cols=True))
+    parts = [shape(interior, "t", "I")]
+    parts.append(shape(lcand, rstart_sql, "L", with_adj_cols=True))
     if smoothed:
-        parts.append(shape(rcand, rend_c, "R", with_adj_cols=True))
+        parts.append(shape(rcand, rend_sql, "R", with_adj_cols=True))
 
     out = parts[0]
     for p in parts[1:]:
@@ -563,13 +550,14 @@ def extended_windowed_samples(
     # validity: needs a sample after rangeStart (I or R) and, smoothed,
     # one at/before rangeEnd (I or L); wend = rangeEnd, so rangeStart =
     # wend − range works for both the sliding and the @-pinned branch
-    wv = Window.partitionBy("sig", "t")
-    rstart_v = F.col("wend") - F.lit(range_ms)
-    rend_v = F.col("wend")
-    flagged = out.withColumn(
-        "__after", F.max((F.col("orig_t") > rstart_v).cast("int")).over(wv)
-    ).withColumn("__before", F.max((F.col("orig_t") <= rend_v).cast("int")).over(wv))
-    valid = flagged.filter((F.col("__after") == 1) & (F.col("__before") == 1))
+    flagged = out.selectExpr(
+        "*",
+        f"max(CAST(orig_t > wend - {range_ms} AS INT)) "
+        "OVER (PARTITION BY sig, t) AS __after",
+        "max(CAST(orig_t <= wend AS INT)) "
+        "OVER (PARTITION BY sig, t) AS __before",
+    )
+    valid = flagged.filter("__after = 1 AND __before = 1")
     return valid.select(
         "sig", "labels", "t", "sample_t", "orig_t", "value", *hcols, "wend", "role",
         "__nt", "__nv", "__pt", "__pv",

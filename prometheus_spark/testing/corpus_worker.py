@@ -33,7 +33,12 @@ def main(argv: list[str]) -> int:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("corpus_worker")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config(
+            "spark.sql.shuffle.partitions",
+            # corpus fixtures are tiny (tens of rows/series); wide
+            # shuffles only add scheduling latency per eval job
+            os.environ.get("SPARK_GRAFT_CORPUS_SHUFFLE", "2"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

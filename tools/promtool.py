@@ -211,6 +211,113 @@ def tsdb_import_rules(store: str, out: str, rule_file: str, flags: dict) -> int:
     return 0
 
 
+def promql_format(query: str) -> int:
+    """cmd/promtool promql format (experimental): pretty-print."""
+    from prometheus_spark.parser.printer import format_query
+
+    print(format_query(query))
+    return 0
+
+
+def _walk_ast(node, fn):
+    """Apply fn to every AST node (dataclass tree walk)."""
+    import dataclasses
+
+    fn(node)
+    if not dataclasses.is_dataclass(node):
+        return
+    for f in dataclasses.fields(node):
+        v = getattr(node, f.name, None)
+        if isinstance(v, list):
+            for item in v:
+                if dataclasses.is_dataclass(item):
+                    _walk_ast(item, fn)
+        elif dataclasses.is_dataclass(v) and not isinstance(v, type):
+            _walk_ast(v, fn)
+
+
+def promql_label_matchers(
+    action: str, query: str, name: str, value: str = "", mtype: str = "="
+) -> int:
+    """cmd/promtool promql label-matchers set/delete (main.go:1374
+    labelsSetPromQL / :1419 labelsDeletePromQL): rewrite the matcher on
+    every vector selector and print the edited query."""
+    from prometheus_spark.parser import parse_expr
+    from prometheus_spark.parser.ast import Matcher, MatchType, VectorSelector
+    from prometheus_spark.parser.printer import to_promql
+
+    try:
+        mt = MatchType(mtype)
+    except ValueError:
+        print(f"invalid label match type: {mtype}", file=sys.stderr)
+        return 1
+    node = parse_expr(query)
+
+    def edit(n):
+        if not isinstance(n, VectorSelector):
+            return
+        if action == "set":
+            out, found = [], False
+            for m in n.matchers:
+                if m.name == name:
+                    out.append(Matcher(name, mt, value))
+                    found = True
+                else:
+                    out.append(m)
+            if not found:
+                out.append(Matcher(name, mt, value))
+            n.matchers = out
+        else:  # delete
+            n.matchers = [m for m in n.matchers if m.name != name]
+
+    _walk_ast(node, edit)
+    print(to_promql(node))
+    return 0
+
+
+def query_series(store: str, matchers: list[str], flags: dict) -> int:
+    """cmd/promtool query series: print each matching label set."""
+    import json
+
+    from prometheus_spark.engine import PromQLEngine
+    from prometheus_spark.storage import read_samples
+    from prometheus_spark.web.api import PromAPI
+
+    spark = _spark()
+    api = PromAPI(PromQLEngine(spark, read_samples(spark, store)))
+    params = {"match[]": matchers}
+    for k in ("--start", "--end"):
+        if k in flags:
+            params[k.strip("-")] = [flags[k]]
+    code, resp = api.series(params)
+    if code != 200:
+        print(resp.get("error", "error"), file=sys.stderr)
+        return 1
+    for labels in resp["data"]:
+        print(json.dumps(labels, sort_keys=True))
+    return 0
+
+
+def query_labels(store: str, name: str, flags: dict) -> int:
+    """cmd/promtool query labels: values of one label name."""
+    from prometheus_spark.engine import PromQLEngine
+    from prometheus_spark.storage import read_samples
+    from prometheus_spark.web.api import PromAPI
+
+    spark = _spark()
+    api = PromAPI(PromQLEngine(spark, read_samples(spark, store)))
+    params = {}
+    if "--match" in flags:
+        params["match[]"] = [flags["--match"]]
+    code, resp = api.label_values(name, params)
+    if code != 200:
+        print(resp.get("error", "error"), file=sys.stderr)
+        return 1
+    for v in resp["data"]:
+        print(v)
+    return 0
+
+
 def check_sd(config_file: str, job_name: str) -> int:
     """cmd/promtool check service-discovery (sd.go:41 CheckSD): run the
     job's discovery providers once and print per-target JSON with the
@@ -440,6 +547,30 @@ def main(argv: list[str]) -> int:
     if len(argv) >= 4 and argv[0] == "query" and argv[1] in ("instant", "range"):
         flags = dict(zip(argv[4::2], argv[5::2]))
         return query(argv[1], argv[2], argv[3], flags)
+    if len(argv) >= 4 and argv[0] == "query" and argv[1] == "series":
+        pos = [a for a in argv[3:] if not a.startswith("--")]
+        flags = dict(zip(
+            [a for a in argv[3:] if a.startswith("--")],
+            [argv[3:][i + 1] for i, a in enumerate(argv[3:]) if a.startswith("--")],
+        ))
+        return query_series(argv[2], pos, flags)
+    if len(argv) >= 4 and argv[0] == "query" and argv[1] == "labels":
+        flags = dict(zip(argv[4::2], argv[5::2]))
+        return query_labels(argv[2], argv[3], flags)
+    if len(argv) >= 3 and argv[0] == "promql" and argv[1] == "format":
+        return promql_format(argv[2])
+    if (len(argv) >= 5 and argv[0] == "promql" and argv[1] == "label-matchers"
+            and argv[2] in ("set", "delete")):
+        rest = [a for a in argv[3:] if not a.startswith("-")]
+        mtype = "="
+        if "-t" in argv:
+            mtype = argv[argv.index("-t") + 1]
+            rest = [a for a in rest if a != mtype]
+        if argv[2] == "set":
+            return promql_label_matchers(
+                "set", rest[0], rest[1], rest[2] if len(rest) > 2 else "", mtype
+            )
+        return promql_label_matchers("delete", rest[0], rest[1])
     print(__doc__)
     return 2
 
