@@ -295,6 +295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_candidates"] = lambda s, d: _pipe_minhash(s, d)  # rows-only
     q["dedup_simhash"] = lambda s, d: _pipe_simhash(s, d)  # rows-only
     q["dedup_embedding_cosine"] = lambda s, d: _pipe_embed_dup(s, d)
+    q["dedup_cross_corpus"] = lambda s, d: _pipe_cross_dedup(s, d)
+    q["dedup_decontaminate"] = lambda s, d: _pipe_decontaminate(s, d)
 
     # --- pipeline: similarity search ---------------------------------------
     q["ann_cosine_topk"] = lambda s, d: _pipe_ann_brute(s, d)
@@ -369,6 +371,8 @@ _DRIVER_WINDOW = [
     "dedup_minhash_candidates",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_cross_corpus",
+    "dedup_decontaminate",
     # ANN (3)
     "ann_cosine_topk",
     "ann_lsh_topk",
@@ -813,6 +817,31 @@ def _pipe_multimodal(spark, sf_dir):
         F.coalesce("duration_ms", F.lit(-1)).alias("duration_ms"),
         "parse_ok",
     )
+
+
+def _pipe_cross_dedup(spark, sf_dir):
+    """Incremental-ingest dedup: new batch (doc_id % 2 = 0) against an
+    existing corpus (doc_id % 3 = 0) — exact text matches drop, then
+    within-batch exact dedup keeps the min id per content hash."""
+    from prometheus_spark.pipeline import cross_corpus_exact_dedup
+
+    docs = _tbl(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 3 = 0")
+    new = docs.filter("doc_id % 2 = 0")
+    return cross_corpus_exact_dedup(new, corpus).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def _pipe_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: drop training docs sharing any distinct
+    word 8-gram with the benchmark set (doc_id % 10 = 0) — broadcast
+    join against the benchmark gram set, no training-side self-join."""
+    from prometheus_spark.pipeline import decontaminate
+
+    docs = _tbl(spark, sf_dir, "documents")
+    bench = docs.filter("doc_id % 10 = 0").select("text")
+    return decontaminate(docs, bench, n=8).select("doc_id", "n_chars")
 
 
 def _pipe_frame_sample(spark, sf_dir):
@@ -1566,6 +1595,47 @@ SELECT media_id,
        CAST(unnest(range(0, GREATEST(CAST(duration_ms // 500 AS INT), 1))) AS INT) AS frame_idx,
        CAST(unnest(range(0, GREATEST(CAST(duration_ms // 500 AS INT), 1))) * 500 AS INT) AS frame_ts_ms
 FROM m
+"""
+
+    o["dedup_cross_corpus"] = r"""
+WITH corpus AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 = 0
+),
+n AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+fresh AS (SELECT * FROM n WHERE md5(text) NOT IN (SELECT h FROM corpus)),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY md5(text))
+SELECT doc_id, lang, n_chars FROM fresh
+WHERE doc_id IN (SELECT doc_id FROM keep)
+"""
+
+    # decontaminate: same word-8-gram construction as the Spark side
+    # (_word_ngrams), benchmark = doc_id % 10 = 0
+    o["dedup_decontaminate"] = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 7, 0) + 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+                || ' ' || w[i+7])) AS gs
+  FROM words
+),
+bench AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 10 = 0
+),
+contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT doc_id, unnest(gs) AS g FROM grams) t
+  JOIN bench USING (g)
+)
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 """
 
     # multimodal_features: Spark REALLY parses the PNG IHDR / WAV fmt

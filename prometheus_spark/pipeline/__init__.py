@@ -1,5 +1,7 @@
 from prometheus_spark.pipeline.dedup import (
     connected_components,
+    cross_corpus_exact_dedup,
+    decontaminate,
     dedup_representatives,
     exact_dedup,
     minhash_signatures,
@@ -29,6 +31,8 @@ from prometheus_spark.pipeline.sessions import (
 
 __all__ = [
     "connected_components",
+    "cross_corpus_exact_dedup",
+    "decontaminate",
     "dedup_representatives",
     "exact_dedup",
     "minhash_signatures",

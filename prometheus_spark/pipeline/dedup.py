@@ -541,3 +541,59 @@ def dedup_representatives(
         F.col("node").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def cross_corpus_exact_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest dedup: rows of ``new_df`` whose EXACT text
+    already exists in ``corpus_df`` are dropped (then exact-deduped
+    within the batch itself).
+
+    Scale shape: both sides reduce to (content_hash) before the
+    anti-join — the corpus side is a map-side-aggregated distinct of
+    hashes only (text never shuffles), so at 100 TB the join carries
+    one 16-byte hash per distinct corpus document."""
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    corpus_hashes = corpus_df.select(h).distinct()
+    keyed = new_df.withColumn("content_hash", F.md5(F.col(text_col)))
+    fresh = keyed.join(corpus_hashes, "content_hash", "left_anti")
+    return exact_dedup(fresh.drop("content_hash"), text_col, id_col)
+
+
+def decontaminate(
+    train_df: DataFrame,
+    benchmark_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: drop training documents sharing at
+    least ``min_hits`` distinct word ``n``-grams with any benchmark
+    document (the standard n-gram-overlap contamination test, n≈8-13
+    in published LLM data pipelines).
+
+    Scale shape: the benchmark side is small by definition — its
+    distinct gram set is collected into a BROADCAST join against the
+    exploded training grams, so the training corpus is one map-side
+    pass + a per-document hit count; no training-side self-join, no
+    shuffle of text."""
+    grams = _word_ngrams(F.col(text_col), n)
+    bench_grams = (
+        benchmark_df.select(F.explode(grams).alias("g")).distinct()
+    )
+    train_grams = train_df.select(
+        F.col(id_col), F.explode(grams).alias("g")
+    )
+    contaminated = (
+        train_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .count()
+        .filter(F.col("count") >= min_hits)
+        .select(id_col)
+    )
+    return train_df.join(contaminated, id_col, "left_anti")

@@ -367,3 +367,37 @@ def test_decode_media_headers_distributed(spark):
         assert r["sample_rate"] == m["sample_rate"]
         if m["duration_ms"] is not None:
             assert r["duration_ms"] == m["duration_ms"]
+
+
+@needs_data
+def test_cross_corpus_dedup(spark, docs):
+    from prometheus_spark.pipeline import cross_corpus_exact_dedup
+
+    corpus = docs.limit(100)
+    # new batch = 50 docs already in the corpus (clone ids) + 20 fresh
+    clones = corpus.limit(50).withColumn("doc_id", F.col("doc_id") + 900000)
+    fresh = docs.orderBy(F.desc("doc_id")).limit(20)
+    out = cross_corpus_exact_dedup(clones.unionByName(fresh), corpus)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # every clone's text exists in the corpus -> all dropped; the fresh
+    # tail survives (minus any text that happens to be duplicated)
+    assert not any(i >= 900000 for i in ids)
+    assert len(ids) >= 18
+
+
+@needs_data
+def test_decontaminate_removes_benchmark_overlap(spark, docs):
+    from prometheus_spark.pipeline import decontaminate
+
+    bench = docs.limit(10).select("text")
+    out = decontaminate(docs, bench, n=8)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    bench_ids = {r["doc_id"] for r in docs.limit(10).collect()}
+    # benchmark docs (8+ words) contaminate themselves -> removed
+    long_bench = {
+        r["doc_id"] for r in docs.limit(10).collect()
+        if len(r["text"].split()) >= 8
+    }
+    assert long_bench and not (long_bench & kept)
+    # most of the corpus is untouched
+    assert len(kept) > docs.count() * 0.5
