@@ -15,10 +15,19 @@ from pyspark.sql import functions as F
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
     """Small single-file inputs arrive as one scan partition, serializing
     the expensive shingle/hash explode stage.  Repartition up to the
-    cluster's parallelism when the scan has fewer partitions — a no-op at
-    real corpus scale where the input already has thousands of splits."""
+    cluster's parallelism when the scan has fewer input files — a no-op
+    at real corpus scale where the input already has thousands of splits.
+
+    File count from the catalog (``inputFiles``) instead of
+    ``df.rdd.getNumPartitions()``: the RDD conversion forces a full
+    plan-to-RDD translation per call for a number we only need
+    approximately."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_inputs = len(df.inputFiles())
+    except Exception:  # non-file-backed plans (createDataFrame, unions)
+        n_inputs = 0
+    if 0 < n_inputs < target:
         return df.repartition(target, id_col)
     return df
 

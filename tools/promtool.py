@@ -211,6 +211,57 @@ def tsdb_import_rules(store: str, out: str, rule_file: str, flags: dict) -> int:
     return 0
 
 
+_DEBUG_ENDPOINTS = {
+    "metrics": ["/api/v1/status/self_metrics"],
+    "config": ["/api/v1/status/config"],
+    "all": [
+        "/api/v1/status/self_metrics",
+        "/api/v1/status/config",
+        "/api/v1/status/buildinfo",
+        "/api/v1/status/runtimeinfo",
+        "/api/v1/status/flags",
+        "/api/v1/status/tsdb",
+        "/api/v1/status/walreplay",
+    ],
+}
+
+
+def debug(kind: str, server_url: str, out: str = "debug.tar.gz") -> int:
+    """cmd/promtool debug metrics/all (main.go:203-208): fetch debug
+    surfaces from a running server into one tar.gz.  Go pprof profiles
+    don't exist on a Python/Spark server; the archive carries the status
+    endpoints instead (debug pprof is rejected with an explanation)."""
+    import io
+    import json
+    import tarfile
+    import time
+    import urllib.request
+
+    if kind == "pprof":
+        print("debug pprof: Go runtime profiles are not applicable to this "
+              "engine; use 'debug metrics' or 'debug all'", file=sys.stderr)
+        return 1
+    paths = _DEBUG_ENDPOINTS.get(kind)
+    if paths is None:
+        print(f"unknown debug target {kind!r}", file=sys.stderr)
+        return 1
+    base = server_url.rstrip("/")
+    with tarfile.open(out, "w:gz") as tar:
+        for p in paths:
+            try:
+                with urllib.request.urlopen(base + p, timeout=10) as resp:
+                    body = resp.read()
+            except Exception as e:  # noqa: BLE001 — collect what we can
+                body = json.dumps({"error": str(e)}).encode()
+            info = tarfile.TarInfo(name="debug" + p.replace("/", "_") + ".json")
+            info.size = len(body)
+            info.mtime = int(time.time())
+            tar.addfile(info, io.BytesIO(body))
+            print(f"collected {p} ({len(body)} bytes)")
+    print(f"Compiling debug information complete, all files written in {out!r}.")
+    return 0
+
+
 def promql_format(query: str) -> int:
     """cmd/promtool promql format (experimental): pretty-print."""
     from prometheus_spark.parser.printer import format_query
@@ -536,6 +587,9 @@ def main(argv: list[str]) -> int:
             and argv[2] == "write"):
         flags = dict(zip(argv[4::2], argv[5::2]))
         return tsdb_bench_write(argv[3], flags)
+    if len(argv) >= 3 and argv[0] == "debug":
+        out = argv[4] if len(argv) > 4 and argv[3] == "--output" else "debug.tar.gz"
+        return debug(argv[1], argv[2], out)
     if len(argv) >= 4 and argv[0] == "push" and argv[1] == "metrics":
         flags = {a: "" for a in argv[2:] if a.startswith("--")}
         pos = [a for a in argv[2:] if not a.startswith("--")]
