@@ -1199,6 +1199,50 @@ class PromAPI:
                         return
                     for k, vs in parse_qs(raw.decode()).items():
                         params.setdefault(k, []).extend(vs)
+                if parsed.path in ("/-/healthy", "/-/ready"):
+                    # web.go:  GET /-/healthy | /-/ready — plain text
+                    word = "Healthy" if parsed.path == "/-/healthy" else "Ready"
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain; charset=utf-8")
+                    self.end_headers()
+                    self.wfile.write(
+                        f"Prometheus Server is {word}.\n".encode()
+                    )
+                    return
+                if parsed.path in ("/-/reload", "/-/quit"):
+                    # lifecycle endpoints are opt-in (--web.enable-lifecycle)
+                    if self.command != "POST" and self.command != "PUT":
+                        self.send_error(405)
+                        return
+                    if not getattr(api, "lifecycle_enabled", False):
+                        self.send_response(403)
+                        self.end_headers()
+                        self.wfile.write(
+                            b"Lifecycle API is not enabled.\n"
+                        )
+                        return
+                    if parsed.path == "/-/reload":
+                        fn = getattr(api, "reload_fn", None)
+                        try:
+                            if fn is not None:
+                                fn()
+                        except Exception as e:  # noqa: BLE001 — surface
+                            self.send_response(500)
+                            self.end_headers()
+                            self.wfile.write(str(e).encode())
+                            return
+                        self.send_response(200)
+                        self.end_headers()
+                        return
+                    self.send_response(200)
+                    self.end_headers()
+                    self.wfile.write(b"Requesting termination.\n")
+                    import threading as _threading
+
+                    _threading.Thread(
+                        target=self.server.shutdown, daemon=True
+                    ).start()
+                    return
                 if parsed.path == "/federate":
                     from prometheus_spark.parser import parse_expr
                     from prometheus_spark.sources.federate import federate

@@ -473,3 +473,36 @@ def test_query_tracker_byte_budget(tmp_path):
     t.delete(off1)
     t.delete(off2)
     t.close()
+
+
+def test_lifecycle_endpoints(api):
+    """/-/healthy and /-/ready always answer; /-/reload and /-/quit are
+    403 until lifecycle is enabled, then reload invokes the hook
+    (web.go lifecycle routes; --web.enable-lifecycle gating)."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    srv = api.server()
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/-/healthy") as r:
+            assert r.status == 200 and b"Healthy" in r.read()
+        with urllib.request.urlopen(f"{base}/-/ready") as r:
+            assert r.status == 200 and b"Ready" in r.read()
+        req = urllib.request.Request(f"{base}/-/reload", data=b"", method="POST")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("reload must be 403 when lifecycle disabled")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+        calls = []
+        api.lifecycle_enabled = True
+        api.reload_fn = lambda: calls.append(1)
+        req = urllib.request.Request(f"{base}/-/reload", data=b"", method="POST")
+        assert urllib.request.urlopen(req).status == 200
+        assert calls == [1]
+    finally:
+        srv.shutdown()

@@ -369,6 +369,22 @@ def query_labels(store: str, name: str, flags: dict) -> int:
     return 0
 
 
+def check_server(kind: str, url: str) -> int:
+    """cmd/promtool check healthy/ready (main.go:149-156): GET the
+    lifecycle endpoint and report."""
+    import urllib.request
+
+    path = "/-/healthy" if kind == "healthy" else "/-/ready"
+    try:
+        with urllib.request.urlopen(url.rstrip("/") + path, timeout=10) as r:
+            body = r.read().decode().strip()
+            print(f"  SUCCESS: {body}")
+            return 0
+    except Exception as e:  # noqa: BLE001 — CLI surface
+        print(f"  FAILED: {e}", file=sys.stderr)
+        return 1
+
+
 def check_sd(config_file: str, job_name: str) -> int:
     """cmd/promtool check service-discovery (sd.go:41 CheckSD): run the
     job's discovery providers once and print per-target JSON with the
@@ -568,6 +584,8 @@ def main(argv: list[str]) -> int:
         return check_config(argv[2:])
     if len(argv) >= 4 and argv[0] == "check" and argv[1] == "service-discovery":
         return check_sd(argv[2], argv[3])
+    if len(argv) >= 3 and argv[0] == "check" and argv[1] in ("healthy", "ready"):
+        return check_server(argv[1], argv[2])
     if len(argv) >= 3 and argv[0] == "test" and argv[1] == "rules":
         return test_rules(argv[2:])
     if (len(argv) >= 5 and argv[0] == "tsdb"
