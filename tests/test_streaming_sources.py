@@ -728,3 +728,66 @@ def test_query_exemplars_from_remote_write(spark, tmp_path):
     found = resp["data"]
     assert len(found) == 1
     assert found[0]["exemplars"][0]["labels"] == {"trace_id": "deadbeef"}
+
+
+def test_agent_mode_scrape_forward(spark, tmp_path):
+    """Agent mode end-to-end: scrape a live exposition target into the
+    spool, forward the spool through distributed remote-write to a
+    receiver, and verify at-least-once bookkeeping (a second tick with
+    no new files ships nothing)."""
+    import http.server
+    import socketserver
+    import threading
+
+    from prometheus_spark.agent import AgentForwarder
+    from prometheus_spark.sources.remote_write import (
+        RemoteWriteReceiver,
+        spool_to_samples,
+    )
+    from prometheus_spark.sources.scrape import ScrapeManager, ScrapeTarget
+
+    class Exposition(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            body = b"# TYPE up gauge\nup 1\nagent_test_total 42\n"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    target_srv = socketserver.TCPServer(("127.0.0.1", 0), Exposition)
+    tport = target_srv.server_address[1]
+    threading.Thread(target=target_srv.serve_forever, daemon=True).start()
+
+    recv = RemoteWriteReceiver(str(tmp_path / "sink"))
+    rw_srv = recv.server()
+    rport = rw_srv.server_address[1]
+    threading.Thread(target=rw_srv.serve_forever, daemon=True).start()
+
+    try:
+        spool = str(tmp_path / "agent_spool")
+        sm = ScrapeManager(
+            spool,
+            [ScrapeTarget(f"http://127.0.0.1:{tport}/metrics",
+                          labels={"job": "agent"})],
+        )
+        assert sm.scrape_once(now_ms=60_000) > 0
+
+        fwd = AgentForwarder(
+            spark, spool, [f"http://127.0.0.1:{rport}/api/v1/write"]
+        )
+        assert fwd.tick() == 1  # one spool file shipped
+        assert fwd.tick() == 0  # high-water mark: nothing re-sent
+    finally:
+        target_srv.shutdown()
+        rw_srv.shutdown()
+
+    got = {
+        r["name"]: r["value"]
+        for r in spool_to_samples(spark, str(tmp_path / "sink")).collect()
+        if r["name"] in ("up", "agent_test_total")
+    }
+    assert got["agent_test_total"] == 42.0 and got["up"] == 1.0
