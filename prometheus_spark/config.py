@@ -74,6 +74,7 @@ class ScrapeJobConfig:
     file_sd: list = field(default_factory=list)  # {"files", "refresh_interval"}
     http_sd: list = field(default_factory=list)  # {"url", "refresh_interval"}
     dns_sd: list = field(default_factory=list)  # {"names", "type", "port"}
+    consul_sd: list = field(default_factory=list)  # {"server", "services", ...}
 
 
 @dataclass
@@ -181,6 +182,18 @@ def load_config(path: str) -> PromConfig:
             }
             for ds in sc.get("dns_sd_configs") or []
         ]
+        consul_sd = [
+            {
+                "server": cs.get("server", "localhost:8500"),
+                "services": list(cs.get("services") or []),
+                "tags": list(cs.get("tags") or []),
+                "datacenter": cs.get("datacenter", ""),
+                "scheme": cs.get("scheme", "http"),
+                "tag_separator": cs.get("tag_separator", ","),
+                "refresh_interval_ms": _dur_ms(cs.get("refresh_interval"), 30_000),
+            }
+            for cs in sc.get("consul_sd_configs") or []
+        ]
         cfg.scrape_jobs.append(
             ScrapeJobConfig(
                 job_name=job,
@@ -205,6 +218,7 @@ def load_config(path: str) -> PromConfig:
                 file_sd=file_sd,
                 http_sd=http_sd,
                 dns_sd=dns_sd,
+                consul_sd=consul_sd,
             )
         )
 
@@ -245,6 +259,7 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
     time.
     """
     from prometheus_spark.sources.discovery import (
+        ConsulDiscovery,
         DiscoveryManager,
         DNSDiscovery,
         FileDiscovery,
@@ -288,6 +303,14 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
                 DNSDiscovery(
                     ds["names"], ds["type"], ds["port"],
                     ds["refresh_interval_ms"],
+                )
+            )
+        for cs in jobcfg.consul_sd:
+            providers.append(
+                ConsulDiscovery(
+                    cs["server"], cs["services"], cs["tags"],
+                    cs["datacenter"], cs["scheme"], cs["tag_separator"],
+                    cs["refresh_interval_ms"],
                 )
             )
         discovery.register(jobcfg, providers)

@@ -24,6 +24,7 @@ import glob as _glob
 import json
 import threading
 import time
+import urllib.parse
 import urllib.request
 from dataclasses import dataclass, field
 from typing import Callable, Optional
@@ -156,6 +157,124 @@ class HTTPDiscovery:
             )
             for g in groups
         ]
+
+
+# ---------------------------------------------------------------------------
+# Consul SD (discovery/consul/consul.go) — the Consul HTTP API is plain
+# JSON over HTTP, so no SDK is needed: /v1/catalog/services enumerates
+# services; /v1/health/service/<name> lists instances with health.
+
+
+def _sanitize_label_name(name: str) -> str:
+    import re as _re
+
+    return _re.sub(r"[^a-zA-Z0-9_]", "_", name)
+
+
+class ConsulDiscovery:
+    """consul_sd_configs provider.  Per instance, the reference's
+    ``__meta_consul_*`` labels (consul.go:43-70, :540-580): address =
+    service address when set else node address, joined with the service
+    port; tags joined AND surrounded by ``tag_separator`` so relabel
+    regexes need not consider position."""
+
+    def __init__(
+        self,
+        server: str = "localhost:8500",
+        services: Optional[list[str]] = None,
+        tags: Optional[list[str]] = None,
+        datacenter: str = "",
+        scheme: str = "http",
+        tag_separator: str = ",",
+        refresh_interval_ms: int = 30_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str], bytes]] = None,
+    ):
+        self.base = f"{scheme}://{server.rstrip('/')}"
+        self.services = list(services or [])
+        self.tags = list(tags or [])
+        self.datacenter = datacenter
+        self.tag_separator = tag_separator
+        self.refresh_interval_ms = refresh_interval_ms
+        self.timeout_s = timeout_s
+        self._fetch = fetch_fn or self._http_get
+        self._last_good: list[TargetGroup] = []
+
+    def _http_get(self, url: str) -> bytes:
+        with urllib.request.urlopen(url, timeout=self.timeout_s) as resp:
+            return resp.read()
+
+    def _get_json(self, path: str):
+        url = self.base + path
+        if self.datacenter:
+            sep = "&" if "?" in url else "?"
+            url = f"{url}{sep}dc={urllib.parse.quote(self.datacenter)}"
+        return json.loads(self._fetch(url).decode())
+
+    def _service_groups(self, name: str) -> list[TargetGroup]:
+        instances = self._get_json(
+            f"/v1/health/service/{urllib.parse.quote(name)}"
+        )
+        groups: list[TargetGroup] = []
+        for inst in instances or []:
+            node = inst.get("Node") or {}
+            svc = inst.get("Service") or {}
+            checks = inst.get("Checks") or []
+            svc_tags = svc.get("Tags") or []
+            if self.tags and not set(self.tags) <= set(svc_tags):
+                continue  # all configured tags must be present (consul.go)
+            sep = self.tag_separator
+            tags = sep + sep.join(svc_tags) + sep
+            svc_addr = svc.get("Address") or ""
+            node_addr = node.get("Address") or ""
+            port = svc.get("Port") or 0
+            host = svc_addr if svc_addr else node_addr
+            addr = f"[{host}]:{port}" if ":" in host else f"{host}:{port}"
+            # worst status across checks = AggregatedStatus
+            order = {"passing": 0, "warning": 1, "critical": 2}
+            health = "passing"
+            for c in checks:
+                s = c.get("Status", "passing")
+                if order.get(s, 0) > order.get(health, 0):
+                    health = s
+            labels = {
+                "__meta_consul_address": node_addr,
+                "__meta_consul_node": node.get("Node") or "",
+                "__meta_consul_service": svc.get("Service") or name,
+                "__meta_consul_service_id": svc.get("ID") or "",
+                "__meta_consul_service_address": svc_addr,
+                "__meta_consul_service_port": str(port),
+                "__meta_consul_tags": tags,
+                "__meta_consul_health": health,
+                "__meta_consul_dc": node.get("Datacenter") or self.datacenter,
+            }
+            for k, v in (node.get("Meta") or {}).items():
+                labels[
+                    "__meta_consul_metadata_" + _sanitize_label_name(k)
+                ] = str(v)
+            for k, v in (svc.get("Meta") or {}).items():
+                labels[
+                    "__meta_consul_service_metadata_" + _sanitize_label_name(k)
+                ] = str(v)
+            for k, v in (node.get("TaggedAddresses") or {}).items():
+                labels[
+                    "__meta_consul_tagged_address_" + _sanitize_label_name(k)
+                ] = str(v)
+            groups.append(TargetGroup([addr], labels))
+        return groups
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        try:
+            names = self.services
+            if not names:  # watch every service (catalog/services keys)
+                names = sorted(self._get_json("/v1/catalog/services") or {})
+            out: list[TargetGroup] = []
+            for name in names:
+                out.extend(self._service_groups(name))
+            self._last_good = out
+        except Exception:
+            out = self._last_good  # keep previous set on failure
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -271,3 +271,106 @@ def test_dns_sd_compression_pointer():
     groups = d.refresh()
     assert groups[0].targets == ["svc.example.org:25"]
     assert groups[0].labels["__meta_dns_mx_record_target"] == "svc.example.org."
+
+
+# -- Consul SD ----------------------------------------------------------------
+def _consul_fetch(responses):
+    def fetch(url):
+        for key, payload in responses.items():
+            if key in url:
+                return json.dumps(payload).encode()
+        raise OSError(f"no stub for {url}")
+    return fetch
+
+
+def test_consul_sd_service_instances():
+    from prometheus_spark.sources.discovery import ConsulDiscovery
+
+    responses = {
+        "/v1/health/service/web": [
+            {
+                "Node": {"Node": "n1", "Address": "10.0.0.1",
+                         "Datacenter": "dc1",
+                         "Meta": {"rack": "r1"},
+                         "TaggedAddresses": {"wan": "1.2.3.4"}},
+                "Service": {"ID": "web-1", "Service": "web",
+                            "Address": "10.0.0.9", "Port": 8080,
+                            "Tags": ["prod", "edge"],
+                            "Meta": {"version": "2"}},
+                "Checks": [{"Status": "passing"}, {"Status": "warning"}],
+            },
+            {
+                "Node": {"Node": "n2", "Address": "10.0.0.2",
+                         "Datacenter": "dc1"},
+                "Service": {"ID": "web-2", "Service": "web",
+                            "Address": "", "Port": 8080, "Tags": []},
+                "Checks": [{"Status": "passing"}],
+            },
+        ],
+    }
+    d = ConsulDiscovery(services=["web"], fetch_fn=_consul_fetch(responses))
+    groups = d.refresh()
+    assert [g.targets[0] for g in groups] == ["10.0.0.9:8080", "10.0.0.2:8080"]
+    g1 = groups[0].labels
+    # service address preferred over node address; node address kept as meta
+    assert g1["__meta_consul_address"] == "10.0.0.1"
+    assert g1["__meta_consul_service_address"] == "10.0.0.9"
+    assert g1["__meta_consul_tags"] == ",prod,edge,"
+    assert g1["__meta_consul_health"] == "warning"  # worst across checks
+    assert g1["__meta_consul_metadata_rack"] == "r1"
+    assert g1["__meta_consul_service_metadata_version"] == "2"
+    assert g1["__meta_consul_tagged_address_wan"] == "1.2.3.4"
+    # node-address fallback when the service address is empty
+    assert groups[1].labels["__meta_consul_service_address"] == ""
+
+
+def test_consul_sd_catalog_watch_and_tag_filter():
+    from prometheus_spark.sources.discovery import ConsulDiscovery
+
+    responses = {
+        "/v1/catalog/services": {"api": ["prod"], "db": []},
+        "/v1/health/service/api": [
+            {"Node": {"Node": "n", "Address": "10.1.1.1"},
+             "Service": {"ID": "a", "Service": "api", "Address": "",
+                         "Port": 80, "Tags": ["prod"]},
+             "Checks": []},
+        ],
+        "/v1/health/service/db": [
+            {"Node": {"Node": "n", "Address": "10.1.1.2"},
+             "Service": {"ID": "d", "Service": "db", "Address": "",
+                         "Port": 5432, "Tags": []},
+             "Checks": []},
+        ],
+    }
+    # no services list -> watch the whole catalog
+    d = ConsulDiscovery(fetch_fn=_consul_fetch(responses))
+    assert sorted(g.targets[0] for g in d.refresh()) == [
+        "10.1.1.1:80", "10.1.1.2:5432"
+    ]
+    # tag filter: only services whose instances carry ALL configured tags
+    d2 = ConsulDiscovery(tags=["prod"], fetch_fn=_consul_fetch(responses))
+    assert [g.targets[0] for g in d2.refresh()] == ["10.1.1.1:80"]
+
+
+def test_consul_sd_failure_keeps_last():
+    from prometheus_spark.sources.discovery import ConsulDiscovery
+
+    calls = {"n": 0}
+    good = {
+        "/v1/health/service/web": [
+            {"Node": {"Node": "n", "Address": "10.0.0.1"},
+             "Service": {"ID": "w", "Service": "web", "Address": "",
+                         "Port": 80, "Tags": []},
+             "Checks": []},
+        ]
+    }
+
+    def fetch(url):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise OSError("consul down")
+        return _consul_fetch(good)(url)
+
+    d = ConsulDiscovery(services=["web"], fetch_fn=fetch)
+    assert [g.targets[0] for g in d.refresh()] == ["10.0.0.1:80"]
+    assert [g.targets[0] for g in d.refresh()] == ["10.0.0.1:80"]
