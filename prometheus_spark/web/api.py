@@ -1172,6 +1172,50 @@ class PromAPI:
                 if self.command == "POST":
                     ln = int(self.headers.get("Content-Length", 0))
                     raw = self.rfile.read(ln)
+                    if parsed.path == "/api/v1/write" and getattr(
+                        api, "remote_write_receiver", None
+                    ) is not None:
+                        # same-server ingest (api.go:483): v1/v2 by
+                        # Content-Type, written-stats headers for v2
+                        ct = self.headers.get("Content-Type", "")
+                        try:
+                            api.remote_write_receiver.handle_body(
+                                raw, content_type=ct
+                            )
+                        except Exception as e:  # noqa: BLE001 — 400
+                            self.send_error(400, str(e)[:200])
+                            return
+                        self.send_response(204)
+                        if "io.prometheus.write.v2.request" in ct.lower():
+                            st = getattr(
+                                api.remote_write_receiver, "last_stats", {}
+                            )
+                            for k, v in (
+                                ("Samples", st.get("samples", 0)),
+                                ("Histograms", st.get("histograms", 0)),
+                                ("Exemplars", st.get("exemplars", 0)),
+                            ):
+                                self.send_header(
+                                    f"X-Prometheus-Remote-Write-{k}-Written",
+                                    str(v),
+                                )
+                        self.end_headers()
+                        return
+                    if parsed.path == "/api/v1/otlp/v1/metrics" and getattr(
+                        api, "otlp_receiver", None
+                    ) is not None:
+                        # api.go:484 OTLP write endpoint on the main server
+                        try:
+                            api.otlp_receiver.handle_body(raw)
+                        except Exception as e:  # noqa: BLE001 — 400
+                            self.send_error(400, str(e)[:200])
+                            return
+                        self.send_response(200)
+                        self.send_header(
+                            "Content-Type", "application/x-protobuf"
+                        )
+                        self.end_headers()
+                        return
                     if parsed.path == "/api/v1/read":
                         # remote read: snappy+protobuf in, same out
                         # (api.go:482, storage/remote/read_handler.go)

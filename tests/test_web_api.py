@@ -506,3 +506,66 @@ def test_lifecycle_endpoints(api):
         assert calls == [1]
     finally:
         srv.shutdown()
+
+
+def test_main_server_mounts_write_and_otlp(spark, tmp_path):
+    """The main API server ingests remote-write (v1+v2 negotiated) and
+    OTLP on the reference's paths when receivers are attached
+    (api.go:483-484) — one server, not three."""
+    import threading
+    import urllib.request
+
+    from prometheus_spark.sources.otlp import OTLPReceiver
+    from prometheus_spark.sources.remote_write import (
+        V2_CONTENT_TYPE,
+        RemoteWriteReceiver,
+        encode_write_request_v2,
+        spool_to_samples,
+    )
+    from prometheus_spark.web.api import PromAPI
+
+    api = PromAPI(None)
+    api.remote_write_receiver = RemoteWriteReceiver(str(tmp_path / "spool"))
+    api.otlp_receiver = OTLPReceiver(str(tmp_path / "spool"))
+    srv = api.server()
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        body = encode_write_request_v2(
+            [({"__name__": "mounted", "job": "x"}, 1000, 1.0)]
+        )
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/write", data=body,
+            headers={"Content-Type": V2_CONTENT_TYPE}, method="POST",
+        )
+        resp = urllib.request.urlopen(req)
+        assert resp.status == 204
+        assert resp.headers["X-Prometheus-Remote-Write-Samples-Written"] == "1"
+
+        # minimal OTLP gauge body
+        import struct
+
+        from prometheus_spark.sources.remote_write import _ld, _write_varint
+
+        def fix64(fno, v):
+            return _write_varint(fno << 3 | 1) + struct.pack("<Q", v)
+
+        def df64(fno, v):
+            return _write_varint(fno << 3 | 1) + struct.pack("<d", v)
+
+        dp = fix64(3, 1_000_000_000) + df64(4, 2.5)
+        gauge = _ld(1, b"g") + _ld(5, _ld(1, dp))
+        rm = _ld(1, b"") + _ld(2, _ld(2, gauge))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/otlp/v1/metrics", data=_ld(1, rm),
+            headers={"Content-Type": "application/x-protobuf"}, method="POST",
+        )
+        assert urllib.request.urlopen(req).status == 200
+    finally:
+        srv.shutdown()
+
+    names = {
+        r["name"]
+        for r in spool_to_samples(spark, str(tmp_path / "spool")).collect()
+    }
+    assert "mounted" in names and "g" in names
