@@ -355,6 +355,13 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
     )
     api.config_yaml = cfg.raw_yaml
     api.notifier = notifier
+    # push-ingest receivers share the scrape spool; the main server then
+    # serves /api/v1/write and /api/v1/otlp/v1/metrics out of the box
+    from prometheus_spark.sources.otlp import OTLPReceiver
+    from prometheus_spark.sources.remote_write import RemoteWriteReceiver
+
+    api.remote_write_receiver = RemoteWriteReceiver(spool_dir)
+    api.otlp_receiver = OTLPReceiver(spool_dir)
     # /api/v1/targets/relabel_steps debug surface
     api.relabel_configs_by_pool = {
         j.job_name: j.relabel_configs for j in cfg.scrape_jobs

@@ -52,18 +52,29 @@ def main(argv: list[str]) -> int:
     import time
 
     out = {}
-    for fname in files:
+    for spec in files:
+        # "file.test" or "file.test@<offset>+<count>" — an eval-range
+        # slice (run_test_text eval_offset), so one big file can split
+        # across workers
+        fname, offset, count = spec, 0, None
+        if "@" in spec:
+            fname, rng = spec.split("@", 1)
+            off_s, _, cnt_s = rng.partition("+")
+            offset = int(off_s)
+            count = int(cnt_s) if cnt_s else None
         path = os.path.join(testdata, fname)
         if not os.path.exists(path):
-            out[fname] = {"total": 0, "failed": 0, "skipped": 0, "missing": True}
+            out[spec] = {"total": 0, "failed": 0, "skipped": 0, "missing": True}
             continue
         with open(path) as f:
             text = f.read()
         t0 = time.monotonic()
+        max_evals = caps.get(fname) if count is None else count
         stats = run_test_text(
-            spark, text, max_evals=caps.get(fname), parallel_evals=12
+            spark, text, max_evals=max_evals, parallel_evals=12,
+            eval_offset=offset,
         )
-        out[fname] = {
+        out[spec] = {
             "total": stats.total,
             "failed": stats.failed,
             "skipped": stats.skipped,

@@ -513,6 +513,7 @@ def run_test_text(
     max_evals: int | None = None,
     query_filter=None,
     parallel_evals: int = 1,
+    eval_offset: int = 0,
 ) -> TestStats:
     """Execute a promqltest script against the Spark engine.
 
@@ -520,6 +521,12 @@ def run_test_text(
     concurrently against the shared SparkSession — each eval is a small
     independent read-only job, so concurrent submission hides Spark's
     per-job scheduling latency (the dominant cost on tiny corpus data).
+
+    ``eval_offset``/``max_evals`` select a SLICE of the file's eval
+    commands (load commands always run — later evals depend on them):
+    indices [offset, offset+max) over every EvalCmd in file order, so
+    disjoint slices partition the file exactly — the corpus sweep splits
+    the largest files across workers this way.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -544,6 +551,7 @@ def run_test_text(
     runs: list[tuple[list, list, list]] = []
     open_run = False
     n_evals = 0
+    eval_index = 0
     for cmd in cmds:
         if isinstance(cmd, ClearCmd):
             rows, stale_rows = [], []
@@ -567,7 +575,11 @@ def run_test_text(
                 rows.extend(_synthesize_nhcb(cmd))
             open_run = False
             continue
-        # EvalCmd
+        # EvalCmd — slice selection first, so each eval (including ones
+        # later counted as skipped) belongs to exactly one slice
+        eval_index += 1
+        if eval_index - 1 < eval_offset:
+            continue
         if max_evals is not None and n_evals >= max_evals:
             break
         if query_filter is not None and not query_filter(cmd.query):

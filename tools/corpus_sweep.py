@@ -44,14 +44,46 @@ WEIGHTS = {
 }
 
 
+# Slice the largest files across workers (corpus_worker eval-range
+# specs "file@offset+count"): offsets index EvalCmds in file order.
+# EMPTY by default: measured on local[32] the 4-worker sweep is already
+# CPU-saturated, so slicing only re-runs load commands (227s vs 198s
+# wall); populate when running on a box with more cores than
+# 4×worker_cpus, where the wall floor becomes the largest single file
+# (native_histograms alone drops 95s → 63s with a 2-way split).
+SPLITS: dict[str, list] = {}
+_SPLITS_EXAMPLE = {
+    "native_histograms.test": [(0, 261), (261, 100000)],
+    "histograms.test": [(0, 93), (93, 100000)],
+    "extended_vectors.test": [(0, 85), (85, 100000)],
+}
+
+
+def to_specs(files: list[str]) -> tuple[list[str], dict[str, float]]:
+    specs: list[str] = []
+    weights: dict[str, float] = {}
+    for f in files:
+        if f in SPLITS:
+            parts = SPLITS[f]
+            for off, cnt in parts:
+                spec = f"{f}@{off}+{cnt}"
+                specs.append(spec)
+                weights[spec] = WEIGHTS.get(f, 10) / len(parts)
+        else:
+            specs.append(f)
+            weights[f] = WEIGHTS.get(f, 10)
+    return specs, weights
+
+
 def balance(files: list[str], n: int) -> list[list[str]]:
     """Greedy longest-processing-time bucket assignment."""
+    specs, weights = to_specs(files)
     buckets: list[list[str]] = [[] for _ in range(n)]
     loads = [0.0] * n
-    for f in sorted(files, key=lambda f: -WEIGHTS.get(f, 10)):
+    for f in sorted(specs, key=lambda f: -weights.get(f, 10)):
         i = loads.index(min(loads))
         buckets[i].append(f)
-        loads[i] += WEIGHTS.get(f, 10)
+        loads[i] += weights.get(f, 10)
     return [b for b in buckets if b]
 
 
@@ -64,7 +96,8 @@ def main() -> None:
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
 
     t0 = time.time()
-    buckets = balance(files, 4)
+    n_workers = int(os.environ.get("SPARK_GRAFT_CORPUS_WORKERS", "4"))
+    buckets = balance(files, n_workers)
     procs = [
         subprocess.Popen(
             [sys.executable, "-m", "prometheus_spark.testing.corpus_worker",
@@ -87,6 +120,22 @@ def main() -> None:
                               "failures": [f"WORKER CRASH rc={p.returncode}"]}
             continue
         results.update(json.loads(line[len("CORPUS_WORKER_RESULT "):]))
+
+    # merge slice results back to per-file rows
+    merged: dict[str, dict] = {}
+    for spec, st in results.items():
+        fname = spec.split("@", 1)[0]
+        m = merged.setdefault(
+            fname, {"total": 0, "failed": 0, "skipped": 0,
+                    "failures": [], "sec": 0.0}
+        )
+        m["total"] += st.get("total", 0)
+        m["failed"] += max(st.get("failed", 0), 0) if st.get("failed", 0) >= 0 else -1
+        m["skipped"] += st.get("skipped", 0)
+        m["failures"] += st.get("failures", [])
+        # slices run in parallel — the file costs its slowest slice
+        m["sec"] = round(max(m["sec"], float(st.get("sec", 0) or 0)), 1)
+    results = merged
 
     report = []
     tot_failed = tot_evals = tot_skipped = 0
