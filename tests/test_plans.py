@@ -240,3 +240,43 @@ def test_series_dim_merge_widens_ranges(spark, tmp_path):
     assert len(dim) == 2
     assert dim["1"]["min_t"] == 1_000 and dim["1"]["max_t"] == 99_000
     assert dim["2"]["min_t"] == 5_000 and dim["2"]["max_t"] == 5_000
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """decontaminate must broadcast the (small) benchmark gram set —
+    never shuffle or self-join the training corpus."""
+    from prometheus_spark.pipeline import decontaminate
+
+    train = spark.createDataFrame(
+        [(i, f"some training document number {i} with many words here")
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("benchmark question text that is long enough to gram",)],
+        "text string",
+    )
+    plan = _plan(decontaminate(train, bench, n=4))
+    # the gram-matching join against the benchmark set is the one that
+    # must broadcast (training grams are the 100 TB side); the final
+    # doc-id anti-join may legitimately sort-merge — the contaminated
+    # set is not guaranteed small under adversarial overlap
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_corpus_dedup_antijoin_on_hash(spark):
+    """The corpus side of cross_corpus_exact_dedup reduces to content
+    hashes before the anti-join — the wide text column must not appear
+    in the join keys (only md5 output does)."""
+    from prometheus_spark.pipeline import cross_corpus_exact_dedup
+
+    new = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame([(9, "aaa")], "doc_id long, text string")
+    df = cross_corpus_exact_dedup(new, corpus)
+    plan = _plan(df)
+    assert "LeftAnti" in plan and "content_hash" in plan
+    assert df.count() == 1  # "aaa" already in the corpus
