@@ -75,6 +75,7 @@ class ScrapeJobConfig:
     http_sd: list = field(default_factory=list)  # {"url", "refresh_interval"}
     dns_sd: list = field(default_factory=list)  # {"names", "type", "port"}
     consul_sd: list = field(default_factory=list)  # {"server", "services", ...}
+    kubernetes_sd: list = field(default_factory=list)  # {"api_server", "role", ...}
 
 
 @dataclass
@@ -194,6 +195,20 @@ def load_config(path: str) -> PromConfig:
             }
             for cs in sc.get("consul_sd_configs") or []
         ]
+        kubernetes_sd = [
+            {
+                "api_server": ks.get("api_server", ""),
+                "role": ks.get("role", "pod"),
+                "namespaces": list(
+                    (ks.get("namespaces") or {}).get("names") or []
+                ),
+                "bearer_token": (
+                    (ks.get("authorization") or {}).get("credentials", "")
+                ),
+                "refresh_interval_ms": _dur_ms(ks.get("refresh_interval"), 30_000),
+            }
+            for ks in sc.get("kubernetes_sd_configs") or []
+        ]
         cfg.scrape_jobs.append(
             ScrapeJobConfig(
                 job_name=job,
@@ -219,6 +234,7 @@ def load_config(path: str) -> PromConfig:
                 http_sd=http_sd,
                 dns_sd=dns_sd,
                 consul_sd=consul_sd,
+                kubernetes_sd=kubernetes_sd,
             )
         )
 
@@ -260,6 +276,7 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
     """
     from prometheus_spark.sources.discovery import (
         ConsulDiscovery,
+        KubernetesDiscovery,
         DiscoveryManager,
         DNSDiscovery,
         FileDiscovery,
@@ -311,6 +328,13 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
                     cs["server"], cs["services"], cs["tags"],
                     cs["datacenter"], cs["scheme"], cs["tag_separator"],
                     cs["refresh_interval_ms"],
+                )
+            )
+        for ks in jobcfg.kubernetes_sd:
+            providers.append(
+                KubernetesDiscovery(
+                    ks["api_server"], ks["role"], ks["namespaces"],
+                    ks["bearer_token"], ks["refresh_interval_ms"],
                 )
             )
         discovery.register(jobcfg, providers)

@@ -278,6 +278,193 @@ class ConsulDiscovery:
 
 
 # ---------------------------------------------------------------------------
+# Kubernetes SD (discovery/kubernetes/) — the API server speaks plain
+# HTTPS+JSON with bearer-token auth, so list-on-refresh needs no SDK.
+# The reference uses watch/informers for incremental updates; here each
+# refresh LISTs the role's objects (documented simplification — the
+# DiscoveryManager's interval gating bounds API-server load).
+
+
+class KubernetesDiscovery:
+    """kubernetes_sd_configs provider for the ``pod`` and ``endpoints``
+    roles, emitting the reference's core ``__meta_kubernetes_*`` labels
+    (discovery/kubernetes/pod.go:261-300, endpoints.go:338-380):
+    per-container-port pod targets (podIP:port; port-less containers
+    yield a bare podIP target) and per-subset endpoint address×port
+    targets.  Namespaces scope the list; label/annotation maps become
+    ``_label_<k>`` / ``_annotation_<k>`` (+ ``...present``) labels."""
+
+    def __init__(
+        self,
+        api_server: str,
+        role: str = "pod",
+        namespaces: Optional[list[str]] = None,
+        bearer_token: str = "",
+        refresh_interval_ms: int = 30_000,
+        timeout_s: float = 10.0,
+        insecure_skip_verify: bool = False,
+        fetch_fn: Optional[Callable[[str], bytes]] = None,
+    ):
+        if role not in ("pod", "endpoints"):
+            raise ValueError(
+                f"kubernetes_sd role {role!r} not supported "
+                "(pod and endpoints are; node/service/ingress need the "
+                "watch machinery)"
+            )
+        self.base = api_server.rstrip("/")
+        self.role = role
+        self.namespaces = list(namespaces or [])
+        self.bearer_token = bearer_token
+        self.refresh_interval_ms = refresh_interval_ms
+        self.timeout_s = timeout_s
+        self.insecure_skip_verify = insecure_skip_verify
+        self._fetch = fetch_fn or self._http_get
+        self._last_good: list[TargetGroup] = []
+
+    def _http_get(self, url: str) -> bytes:
+        import ssl
+
+        headers = {"Accept": "application/json"}
+        if self.bearer_token:
+            headers["Authorization"] = f"Bearer {self.bearer_token}"
+        ctx = None
+        if url.startswith("https") and self.insecure_skip_verify:
+            ctx = ssl.create_default_context()
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+        req = urllib.request.Request(url, headers=headers)
+        with urllib.request.urlopen(
+            req, timeout=self.timeout_s, context=ctx
+        ) as resp:
+            return resp.read()
+
+    def _list(self, resource: str) -> list[dict]:
+        paths = (
+            [f"/api/v1/namespaces/{ns}/{resource}" for ns in self.namespaces]
+            if self.namespaces
+            else [f"/api/v1/{resource}"]
+        )
+        items: list[dict] = []
+        for p in paths:
+            doc = json.loads(self._fetch(self.base + p).decode())
+            items.extend(doc.get("items") or [])
+        return items
+
+    @staticmethod
+    def _obj_labels(prefix: str, obj: dict) -> dict:
+        meta = obj.get("metadata") or {}
+        out = {
+            f"__meta_kubernetes_namespace": meta.get("namespace", ""),
+        }
+        for kind in ("label", "annotation"):
+            src = meta.get(kind + "s") or {}
+            for k, v in src.items():
+                name = _sanitize_label_name(k)
+                out[f"__meta_kubernetes_{prefix}_{kind}_{name}"] = str(v)
+                out[f"__meta_kubernetes_{prefix}_{kind}present_{name}"] = "true"
+        return out
+
+    def _pod_groups(self) -> list[TargetGroup]:
+        groups: list[TargetGroup] = []
+        for pod in self._list("pods"):
+            meta = pod.get("metadata") or {}
+            spec = pod.get("spec") or {}
+            status = pod.get("status") or {}
+            pod_ip = status.get("podIP") or ""
+            if not pod_ip:
+                continue
+            ready = "false"
+            for c in status.get("conditions") or []:
+                if c.get("type") == "Ready":
+                    ready = str(c.get("status", "")).lower() == "true"
+                    ready = "true" if ready else "false"
+            base = {
+                **self._obj_labels("pod", pod),
+                "__meta_kubernetes_pod_name": meta.get("name", ""),
+                "__meta_kubernetes_pod_ip": pod_ip,
+                "__meta_kubernetes_pod_ready": ready,
+                "__meta_kubernetes_pod_phase": status.get("phase", ""),
+                "__meta_kubernetes_pod_node_name": spec.get("nodeName", ""),
+                "__meta_kubernetes_pod_host_ip": status.get("hostIP", ""),
+                "__meta_kubernetes_pod_uid": meta.get("uid", ""),
+            }
+            containers = (spec.get("containers") or []) + (
+                spec.get("initContainers") or []
+            )
+            emitted = False
+            for c in containers:
+                is_init = c in (spec.get("initContainers") or [])
+                for port in c.get("ports") or []:
+                    num = port.get("containerPort")
+                    addr = (
+                        f"[{pod_ip}]:{num}" if ":" in pod_ip
+                        else f"{pod_ip}:{num}"
+                    )
+                    groups.append(TargetGroup([addr], {
+                        **base,
+                        "__meta_kubernetes_pod_container_name": c.get("name", ""),
+                        "__meta_kubernetes_pod_container_init":
+                            "true" if is_init else "false",
+                        "__meta_kubernetes_pod_container_port_name":
+                            port.get("name", ""),
+                        "__meta_kubernetes_pod_container_port_number": str(num),
+                        "__meta_kubernetes_pod_container_port_protocol":
+                            port.get("protocol", ""),
+                    }))
+                    emitted = True
+            if not emitted:  # port-less pod: one bare-IP target (pod.go)
+                groups.append(TargetGroup([pod_ip], dict(base)))
+        return groups
+
+    def _endpoints_groups(self) -> list[TargetGroup]:
+        groups: list[TargetGroup] = []
+        for ep in self._list("endpoints"):
+            meta = ep.get("metadata") or {}
+            base = {
+                **self._obj_labels("endpoints", ep),
+                "__meta_kubernetes_endpoints_name": meta.get("name", ""),
+            }
+            for subset in ep.get("subsets") or []:
+                for ready, key in (("true", "addresses"),
+                                   ("false", "notReadyAddresses")):
+                    for a in subset.get(key) or []:
+                        ip = a.get("ip", "")
+                        tref = a.get("targetRef") or {}
+                        for port in subset.get("ports") or []:
+                            num = port.get("port")
+                            addr = (
+                                f"[{ip}]:{num}" if ":" in ip
+                                else f"{ip}:{num}"
+                            )
+                            groups.append(TargetGroup([addr], {
+                                **base,
+                                "__meta_kubernetes_endpoint_ready": ready,
+                                "__meta_kubernetes_endpoint_port_name":
+                                    port.get("name", ""),
+                                "__meta_kubernetes_endpoint_port_protocol":
+                                    port.get("protocol", ""),
+                                "__meta_kubernetes_endpoint_address_target_kind":
+                                    tref.get("kind", ""),
+                                "__meta_kubernetes_endpoint_address_target_name":
+                                    tref.get("name", ""),
+                                "__meta_kubernetes_endpoint_node_name":
+                                    a.get("nodeName", ""),
+                            }))
+        return groups
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        try:
+            out = (
+                self._pod_groups() if self.role == "pod"
+                else self._endpoints_groups()
+            )
+            self._last_good = out
+        except Exception:
+            out = self._last_good  # keep previous set on failure
+        return out
+
+
+# ---------------------------------------------------------------------------
 # DNS SD (discovery/dns/dns.go) — pure-stdlib UDP resolver, no deps.
 
 _DNS_QTYPES = {"A": 1, "NS": 2, "CNAME": 5, "MX": 15, "AAAA": 28, "SRV": 33}

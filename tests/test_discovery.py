@@ -374,3 +374,107 @@ def test_consul_sd_failure_keeps_last():
     d = ConsulDiscovery(services=["web"], fetch_fn=fetch)
     assert [g.targets[0] for g in d.refresh()] == ["10.0.0.1:80"]
     assert [g.targets[0] for g in d.refresh()] == ["10.0.0.1:80"]
+
+
+# -- Kubernetes SD ------------------------------------------------------------
+def _k8s_fetch(responses):
+    def fetch(url):
+        for key, payload in responses.items():
+            if key in url:
+                return json.dumps(payload).encode()
+        raise OSError(f"no stub for {url}")
+    return fetch
+
+
+def test_kubernetes_sd_pod_role():
+    from prometheus_spark.sources.discovery import KubernetesDiscovery
+
+    responses = {
+        "/api/v1/namespaces/prod/pods": {"items": [
+            {
+                "metadata": {"name": "web-abc", "namespace": "prod",
+                             "uid": "u1",
+                             "labels": {"app": "web", "tier.x": "fe"},
+                             "annotations": {"note": "y"}},
+                "spec": {"nodeName": "node-1", "containers": [
+                    {"name": "app", "ports": [
+                        {"name": "http", "containerPort": 8080,
+                         "protocol": "TCP"},
+                        {"name": "admin", "containerPort": 9090,
+                         "protocol": "TCP"},
+                    ]},
+                ]},
+                "status": {"podIP": "10.2.3.4", "hostIP": "192.168.0.1",
+                           "phase": "Running",
+                           "conditions": [{"type": "Ready",
+                                           "status": "True"}]},
+            },
+            {   # port-less pod -> one bare-IP target
+                "metadata": {"name": "bare", "namespace": "prod"},
+                "spec": {"containers": [{"name": "c"}]},
+                "status": {"podIP": "10.2.3.5", "phase": "Pending"},
+            },
+        ]},
+    }
+    d = KubernetesDiscovery(
+        "https://kube:6443", role="pod", namespaces=["prod"],
+        fetch_fn=_k8s_fetch(responses),
+    )
+    groups = d.refresh()
+    targets = sorted(g.targets[0] for g in groups)
+    assert targets == ["10.2.3.4:8080", "10.2.3.4:9090", "10.2.3.5"]
+    g = next(x for x in groups if x.targets == ["10.2.3.4:8080"]).labels
+    assert g["__meta_kubernetes_namespace"] == "prod"
+    assert g["__meta_kubernetes_pod_name"] == "web-abc"
+    assert g["__meta_kubernetes_pod_ready"] == "true"
+    assert g["__meta_kubernetes_pod_node_name"] == "node-1"
+    assert g["__meta_kubernetes_pod_container_port_name"] == "http"
+    assert g["__meta_kubernetes_pod_container_port_number"] == "8080"
+    assert g["__meta_kubernetes_pod_label_app"] == "web"
+    assert g["__meta_kubernetes_pod_label_tier_x"] == "fe"  # sanitized
+    assert g["__meta_kubernetes_pod_labelpresent_app"] == "true"
+    assert g["__meta_kubernetes_pod_annotation_note"] == "y"
+
+
+def test_kubernetes_sd_endpoints_role():
+    from prometheus_spark.sources.discovery import KubernetesDiscovery
+
+    responses = {
+        "/api/v1/endpoints": {"items": [
+            {
+                "metadata": {"name": "svc-a", "namespace": "default"},
+                "subsets": [{
+                    "addresses": [
+                        {"ip": "10.0.0.1", "nodeName": "n1",
+                         "targetRef": {"kind": "Pod", "name": "p1"}},
+                    ],
+                    "notReadyAddresses": [{"ip": "10.0.0.2"}],
+                    "ports": [{"name": "metrics", "port": 9100,
+                               "protocol": "TCP"}],
+                }],
+            },
+        ]},
+    }
+    d = KubernetesDiscovery(
+        "https://kube:6443", role="endpoints",
+        fetch_fn=_k8s_fetch(responses),
+    )
+    groups = d.refresh()
+    by_target = {g.targets[0]: g.labels for g in groups}
+    assert set(by_target) == {"10.0.0.1:9100", "10.0.0.2:9100"}
+    ready = by_target["10.0.0.1:9100"]
+    assert ready["__meta_kubernetes_endpoint_ready"] == "true"
+    assert ready["__meta_kubernetes_endpoints_name"] == "svc-a"
+    assert ready["__meta_kubernetes_endpoint_port_name"] == "metrics"
+    assert ready["__meta_kubernetes_endpoint_address_target_kind"] == "Pod"
+    assert ready["__meta_kubernetes_endpoint_node_name"] == "n1"
+    assert by_target["10.0.0.2:9100"]["__meta_kubernetes_endpoint_ready"] == "false"
+
+
+def test_kubernetes_sd_rejects_unsupported_role():
+    import pytest as _pytest
+
+    from prometheus_spark.sources.discovery import KubernetesDiscovery
+
+    with _pytest.raises(ValueError, match="role"):
+        KubernetesDiscovery("https://kube:6443", role="ingress")
