@@ -76,6 +76,7 @@ class ScrapeJobConfig:
     dns_sd: list = field(default_factory=list)  # {"names", "type", "port"}
     consul_sd: list = field(default_factory=list)  # {"server", "services", ...}
     kubernetes_sd: list = field(default_factory=list)  # {"api_server", "role", ...}
+    ec2_sd: list = field(default_factory=list)  # {"region", "port", ...}
 
 
 @dataclass
@@ -209,6 +210,17 @@ def load_config(path: str) -> PromConfig:
             }
             for ks in sc.get("kubernetes_sd_configs") or []
         ]
+        ec2_sd = [
+            {
+                "region": es.get("region", ""),
+                "access_key": es.get("access_key", ""),
+                "secret_key": es.get("secret_key", ""),
+                "port": int(es.get("port", 80)),
+                "endpoint": es.get("endpoint", ""),
+                "refresh_interval_ms": _dur_ms(es.get("refresh_interval"), 60_000),
+            }
+            for es in sc.get("ec2_sd_configs") or []
+        ]
         cfg.scrape_jobs.append(
             ScrapeJobConfig(
                 job_name=job,
@@ -235,6 +247,7 @@ def load_config(path: str) -> PromConfig:
                 dns_sd=dns_sd,
                 consul_sd=consul_sd,
                 kubernetes_sd=kubernetes_sd,
+                ec2_sd=ec2_sd,
             )
         )
 
@@ -276,6 +289,7 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
     """
     from prometheus_spark.sources.discovery import (
         ConsulDiscovery,
+        EC2Discovery,
         KubernetesDiscovery,
         DiscoveryManager,
         DNSDiscovery,
@@ -335,6 +349,13 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
                 KubernetesDiscovery(
                     ks["api_server"], ks["role"], ks["namespaces"],
                     ks["bearer_token"], ks["refresh_interval_ms"],
+                )
+            )
+        for es in jobcfg.ec2_sd:
+            providers.append(
+                EC2Discovery(
+                    es["region"], es["access_key"], es["secret_key"],
+                    es["port"], es["endpoint"], es["refresh_interval_ms"],
                 )
             )
         discovery.register(jobcfg, providers)

@@ -278,6 +278,182 @@ class ConsulDiscovery:
 
 
 # ---------------------------------------------------------------------------
+# EC2 SD (discovery/aws/ec2.go) — DescribeInstances over the EC2 Query
+# API, signed with stdlib SigV4 (hmac/sha256); XML parsed with
+# xml.etree.  No AWS SDK required.
+
+
+def _sigv4_headers(
+    method: str,
+    host: str,
+    path: str,
+    query: str,
+    body: bytes,
+    region: str,
+    service: str,
+    access_key: str,
+    secret_key: str,
+    amz_date: str,
+    content_type: str = "",
+) -> dict:
+    """AWS Signature Version 4 (public spec): canonical request →
+    string-to-sign → HMAC chain → Authorization header.  Verified in
+    tests against the published AWS doc example vector."""
+    import hashlib
+    import hmac
+
+    datestamp = amz_date[:8]
+    payload_hash = hashlib.sha256(body).hexdigest()
+    if content_type:
+        canonical_headers = (
+            f"content-type:{content_type}\nhost:{host}\n"
+            f"x-amz-date:{amz_date}\n"
+        )
+        signed_headers = "content-type;host;x-amz-date"
+    else:
+        canonical_headers = f"host:{host}\nx-amz-date:{amz_date}\n"
+        signed_headers = "host;x-amz-date"
+    canonical_request = "\n".join(
+        [method, path, query, canonical_headers, signed_headers, payload_hash]
+    )
+    scope = f"{datestamp}/{region}/{service}/aws4_request"
+    string_to_sign = "\n".join(
+        [
+            "AWS4-HMAC-SHA256",
+            amz_date,
+            scope,
+            hashlib.sha256(canonical_request.encode()).hexdigest(),
+        ]
+    )
+
+    def hm(key: bytes, msg: str) -> bytes:
+        return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+    k = hm(("AWS4" + secret_key).encode(), datestamp)
+    k = hm(k, region)
+    k = hm(k, service)
+    k = hm(k, "aws4_request")
+    signature = hmac.new(k, string_to_sign.encode(), hashlib.sha256).hexdigest()
+    return {
+        "X-Amz-Date": amz_date,
+        "Authorization": (
+            f"AWS4-HMAC-SHA256 Credential={access_key}/{scope}, "
+            f"SignedHeaders={signed_headers}, Signature={signature}"
+        ),
+    }
+
+
+class EC2Discovery:
+    """ec2_sd_configs provider (discovery/aws/ec2.go:46-80): one target
+    per running instance at ``private_ip:port`` with the reference's
+    ``__meta_ec2_*`` labels (instance id/type/state, AZ, VPC, subnet,
+    public/private addresses, Name tags as ``_tag_<k>``)."""
+
+    def __init__(
+        self,
+        region: str,
+        access_key: str = "",
+        secret_key: str = "",
+        port: int = 80,
+        endpoint: str = "",
+        refresh_interval_ms: int = 60_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str, dict], bytes]] = None,
+    ):
+        self.region = region
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.port = port
+        self.endpoint = endpoint or f"https://ec2.{region}.amazonaws.com"
+        self.refresh_interval_ms = refresh_interval_ms
+        self.timeout_s = timeout_s
+        self._fetch = fetch_fn or self._http_post
+        self._last_good: list[TargetGroup] = []
+
+    def _http_post(self, url: str, headers: dict) -> bytes:
+        req = urllib.request.Request(url, headers=headers, method="GET")
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return resp.read()
+
+    def _describe(self) -> bytes:
+        query = urllib.parse.urlencode(
+            sorted(
+                {
+                    "Action": "DescribeInstances",
+                    "Version": "2016-11-15",
+                }.items()
+            )
+        )
+        host = urllib.parse.urlparse(self.endpoint).netloc
+        amz_date = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+        headers = _sigv4_headers(
+            "GET", host, "/", query, b"", self.region, "ec2",
+            self.access_key, self.secret_key, amz_date,
+        )
+        return self._fetch(f"{self.endpoint}/?{query}", headers)
+
+    def _parse(self, xml_bytes: bytes) -> list[TargetGroup]:
+        import xml.etree.ElementTree as ET
+
+        root = ET.fromstring(xml_bytes)
+        # strip the response namespace for readable traversal
+        def strip(el):
+            el.tag = el.tag.split("}")[-1]
+            for c in el:
+                strip(c)
+        strip(root)
+
+        def text(el, path: str) -> str:
+            found = el.find(path)
+            return (found.text or "") if found is not None else ""
+
+        groups: list[TargetGroup] = []
+        for inst in root.iter("instances" + "Set"):
+            for item in inst.findall("item"):
+                private_ip = text(item, "privateIpAddress")
+                if not private_ip:
+                    continue
+                labels = {
+                    "__meta_ec2_instance_id": text(item, "instanceId"),
+                    "__meta_ec2_instance_type": text(item, "instanceType"),
+                    "__meta_ec2_instance_state":
+                        text(item, "instanceState/name"),
+                    "__meta_ec2_ami": text(item, "imageId"),
+                    "__meta_ec2_architecture": text(item, "architecture"),
+                    "__meta_ec2_availability_zone":
+                        text(item, "placement/availabilityZone"),
+                    "__meta_ec2_owner_id": text(item, "ownerId"),
+                    "__meta_ec2_platform": text(item, "platformDetails"),
+                    "__meta_ec2_private_ip": private_ip,
+                    "__meta_ec2_private_dns_name":
+                        text(item, "privateDnsName"),
+                    "__meta_ec2_public_ip": text(item, "ipAddress"),
+                    "__meta_ec2_public_dns_name": text(item, "dnsName"),
+                    "__meta_ec2_vpc_id": text(item, "vpcId"),
+                    "__meta_ec2_subnet_id": text(item, "subnetId"),
+                    "__meta_ec2_region": self.region,
+                }
+                for tag in item.findall("tagSet/item"):
+                    k = text(tag, "key")
+                    if k:
+                        labels[
+                            "__meta_ec2_tag_" + _sanitize_label_name(k)
+                        ] = text(tag, "value")
+                groups.append(
+                    TargetGroup([f"{private_ip}:{self.port}"], labels)
+                )
+        return groups
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        try:
+            out = self._parse(self._describe())
+            self._last_good = out
+        except Exception:
+            out = self._last_good  # keep previous set on failure
+        return out
+
+
+# ---------------------------------------------------------------------------
 # Kubernetes SD (discovery/kubernetes/) — the API server speaks plain
 # HTTPS+JSON with bearer-token auth, so list-on-refresh needs no SDK.
 # The reference uses watch/informers for incremental updates; here each

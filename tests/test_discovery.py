@@ -478,3 +478,77 @@ def test_kubernetes_sd_rejects_unsupported_role():
 
     with _pytest.raises(ValueError, match="role"):
         KubernetesDiscovery("https://kube:6443", role="ingress")
+
+
+# -- EC2 SD -------------------------------------------------------------------
+def test_sigv4_matches_aws_doc_vector():
+    """The SigV4 implementation must reproduce the published AWS doc
+    example (GET iam ListUsers, 20150830T123600Z, AKIDEXAMPLE) exactly."""
+    from prometheus_spark.sources.discovery import _sigv4_headers
+
+    h = _sigv4_headers(
+        "GET", "iam.amazonaws.com", "/",
+        "Action=ListUsers&Version=2010-05-08", b"",
+        "us-east-1", "iam", "AKIDEXAMPLE",
+        "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY", "20150830T123600Z",
+        content_type="application/x-www-form-urlencoded; charset=utf-8",
+    )
+    assert h["Authorization"].endswith(
+        "Signature=5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e06b5924a6f2b5d7"
+    )
+
+
+_EC2_XML = b"""<?xml version="1.0" encoding="UTF-8"?>
+<DescribeInstancesResponse xmlns="http://ec2.amazonaws.com/doc/2016-11-15/">
+  <reservationSet><item>
+    <ownerId>123456789012</ownerId>
+    <instancesSet><item>
+      <instanceId>i-0abc</instanceId>
+      <imageId>ami-1</imageId>
+      <instanceState><code>16</code><name>running</name></instanceState>
+      <privateDnsName>ip-10-0-0-7.ec2.internal</privateDnsName>
+      <dnsName>ec2-1-2-3-4.compute.amazonaws.com</dnsName>
+      <instanceType>m5.large</instanceType>
+      <placement><availabilityZone>us-east-1a</availabilityZone></placement>
+      <subnetId>subnet-1</subnetId>
+      <vpcId>vpc-1</vpcId>
+      <privateIpAddress>10.0.0.7</privateIpAddress>
+      <ipAddress>1.2.3.4</ipAddress>
+      <architecture>x86_64</architecture>
+      <tagSet><item><key>Name</key><value>web-1</value></item>
+              <item><key>env.tier</key><value>prod</value></item></tagSet>
+    </item></instancesSet>
+  </item></reservationSet>
+</DescribeInstancesResponse>"""
+
+
+def test_ec2_sd_describe_instances():
+    from prometheus_spark.sources.discovery import EC2Discovery
+
+    seen = {}
+
+    def fetch(url, headers):
+        seen["url"] = url
+        seen["headers"] = headers
+        return _EC2_XML
+
+    d = EC2Discovery("us-east-1", "AKID", "secret", port=9100, fetch_fn=fetch)
+    groups = d.refresh()
+    assert "Action=DescribeInstances" in seen["url"]
+    assert seen["headers"]["Authorization"].startswith("AWS4-HMAC-SHA256")
+    assert [g.targets[0] for g in groups] == ["10.0.0.7:9100"]
+    g = groups[0].labels
+    assert g["__meta_ec2_instance_id"] == "i-0abc"
+    assert g["__meta_ec2_instance_state"] == "running"
+    assert g["__meta_ec2_instance_type"] == "m5.large"
+    assert g["__meta_ec2_availability_zone"] == "us-east-1a"
+    assert g["__meta_ec2_public_ip"] == "1.2.3.4"
+    assert g["__meta_ec2_vpc_id"] == "vpc-1"
+    assert g["__meta_ec2_tag_Name"] == "web-1"
+    assert g["__meta_ec2_tag_env_tier"] == "prod"  # sanitized key
+
+    # failure keeps the last good set
+    d2 = EC2Discovery("us-east-1", fetch_fn=fetch)
+    d2.refresh()
+    d2._fetch = lambda u, h: (_ for _ in ()).throw(OSError("aws down"))
+    assert [g.targets[0] for g in d2.refresh()] == ["10.0.0.7:80"]
