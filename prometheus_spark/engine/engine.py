@@ -39,12 +39,17 @@ class PromQLEngine:
         lookback_ms: int = DEFAULT_LOOKBACK_MS,
         strict: bool = True,
         kahan: bool = False,
+        ordered: bool = True,
     ):
         self.spark = spark
         self.samples = samples
         self.lookback_ms = lookback_ms
         self.strict = strict
         self.kahan = kahan
+        # ordered=False skips the final global sort (reference output
+        # ordering, engine.go:907) — for order-insensitive consumers
+        # like the corpus runner it is a pure extra exchange per query
+        self.ordered = ordered
 
     def _ctx(self, start_ms: int, end_ms: int, step_ms: int) -> EvalContext:
         return EvalContext(
@@ -137,4 +142,4 @@ class PromQLEngine:
             from prometheus_spark.engine.guards import check_unique_labelsets
 
             out = check_unique_labelsets(out)
-        return out.orderBy("sig", "t")
+        return out.orderBy("sig", "t") if self.ordered else out

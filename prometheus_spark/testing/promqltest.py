@@ -601,7 +601,7 @@ def run_test_text(
     tasks: list[tuple] = []
     for run_rows, run_stale, evals in runs:
         samples = samples_from_rows(spark, run_rows, run_stale).cache()
-        engine = PromQLEngine(spark, samples, kahan=True)
+        engine = PromQLEngine(spark, samples, kahan=True, ordered=False)
         tasks.extend((engine, c) for c in evals)
 
     if parallel_evals > 1 and len(tasks) > 1:
