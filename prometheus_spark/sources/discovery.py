@@ -481,11 +481,11 @@ class KubernetesDiscovery:
         insecure_skip_verify: bool = False,
         fetch_fn: Optional[Callable[[str], bytes]] = None,
     ):
-        if role not in ("pod", "endpoints"):
+        if role not in ("pod", "endpoints", "node", "service"):
             raise ValueError(
                 f"kubernetes_sd role {role!r} not supported "
-                "(pod and endpoints are; node/service/ingress need the "
-                "watch machinery)"
+                "(pod/endpoints/node/service are; ingress and "
+                "endpointslice are not implemented)"
             )
         self.base = api_server.rstrip("/")
         self.role = role
@@ -628,12 +628,81 @@ class KubernetesDiscovery:
                             }))
         return groups
 
+    def _node_groups(self) -> list[TargetGroup]:
+        """node role (node.go:210-260): address preference InternalIP >
+        ExternalIP > LegacyHostIP > Hostname, port = Kubelet (10250)."""
+        groups: list[TargetGroup] = []
+        order = ["InternalIP", "ExternalIP", "LegacyHostIP", "Hostname"]
+        for node in self._list("nodes"):
+            meta = node.get("metadata") or {}
+            status = node.get("status") or {}
+            by_type: dict[str, str] = {}
+            labels_extra: dict[str, str] = {}
+            for a in status.get("addresses") or []:
+                t, addr = a.get("type", ""), a.get("address", "")
+                by_type.setdefault(t, addr)
+                labels_extra[
+                    "__meta_kubernetes_node_address_"
+                    + _sanitize_label_name(t)
+                ] = addr
+            host = next(
+                (by_type[t] for t in order if t in by_type), None
+            )
+            if host is None:
+                continue
+            addr = f"[{host}]:10250" if ":" in host else f"{host}:10250"
+            groups.append(TargetGroup([addr], {
+                **self._obj_labels("node", node),
+                **labels_extra,
+                "__meta_kubernetes_node_name": meta.get("name", ""),
+                "__meta_kubernetes_node_provider_id":
+                    (node.get("spec") or {}).get("providerID", ""),
+            }))
+        return groups
+
+    def _service_groups(self) -> list[TargetGroup]:
+        """service role (service.go:190-235): one target per service
+        port at <name>.<ns>.svc:<port>; ExternalName services target the
+        external name instead."""
+        groups: list[TargetGroup] = []
+        for svc in self._list("services"):
+            meta = svc.get("metadata") or {}
+            spec = svc.get("spec") or {}
+            name, ns = meta.get("name", ""), meta.get("namespace", "")
+            external = (
+                spec.get("externalName", "")
+                if spec.get("type") == "ExternalName"
+                else ""
+            )
+            host = external or f"{name}.{ns}.svc"
+            base = {
+                **self._obj_labels("service", svc),
+                "__meta_kubernetes_service_name": name,
+                "__meta_kubernetes_service_cluster_ip":
+                    "" if external else spec.get("clusterIP", ""),
+                "__meta_kubernetes_service_type": spec.get("type", ""),
+                "__meta_kubernetes_service_external_name": external,
+            }
+            for port in spec.get("ports") or []:
+                num = port.get("port")
+                groups.append(TargetGroup([f"{host}:{num}"], {
+                    **base,
+                    "__meta_kubernetes_service_port_name":
+                        port.get("name", ""),
+                    "__meta_kubernetes_service_port_number": str(num),
+                    "__meta_kubernetes_service_port_protocol":
+                        port.get("protocol", ""),
+                }))
+        return groups
+
     def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
         try:
-            out = (
-                self._pod_groups() if self.role == "pod"
-                else self._endpoints_groups()
-            )
+            out = {
+                "pod": self._pod_groups,
+                "endpoints": self._endpoints_groups,
+                "node": self._node_groups,
+                "service": self._service_groups,
+            }[self.role]()
             self._last_good = out
         except Exception:
             out = self._last_good  # keep previous set on failure

@@ -552,3 +552,65 @@ def test_ec2_sd_describe_instances():
     d2.refresh()
     d2._fetch = lambda u, h: (_ for _ in ()).throw(OSError("aws down"))
     assert [g.targets[0] for g in d2.refresh()] == ["10.0.0.7:80"]
+
+
+def test_kubernetes_sd_node_role():
+    from prometheus_spark.sources.discovery import KubernetesDiscovery
+
+    responses = {
+        "/api/v1/nodes": {"items": [
+            {
+                "metadata": {"name": "node-1",
+                             "labels": {"zone": "a"}},
+                "spec": {"providerID": "aws:///i-1"},
+                "status": {"addresses": [
+                    {"type": "Hostname", "address": "node-1.local"},
+                    {"type": "InternalIP", "address": "10.0.0.10"},
+                ]},
+            },
+        ]},
+    }
+    d = KubernetesDiscovery("https://kube:6443", role="node",
+                            fetch_fn=_k8s_fetch(responses))
+    groups = d.refresh()
+    # InternalIP preferred over Hostname; Kubelet port
+    assert groups[0].targets == ["10.0.0.10:10250"]
+    g = groups[0].labels
+    assert g["__meta_kubernetes_node_name"] == "node-1"
+    assert g["__meta_kubernetes_node_label_zone"] == "a"
+    assert g["__meta_kubernetes_node_address_InternalIP"] == "10.0.0.10"
+    assert g["__meta_kubernetes_node_provider_id"] == "aws:///i-1"
+
+
+def test_kubernetes_sd_service_role():
+    from prometheus_spark.sources.discovery import KubernetesDiscovery
+
+    responses = {
+        "/api/v1/services": {"items": [
+            {
+                "metadata": {"name": "api", "namespace": "prod"},
+                "spec": {"type": "ClusterIP", "clusterIP": "10.96.0.5",
+                         "ports": [{"name": "http", "port": 80,
+                                    "protocol": "TCP"},
+                                   {"name": "grpc", "port": 8443,
+                                    "protocol": "TCP"}]},
+            },
+            {
+                "metadata": {"name": "ext", "namespace": "prod"},
+                "spec": {"type": "ExternalName",
+                         "externalName": "db.example.org",
+                         "ports": [{"name": "pg", "port": 5432}]},
+            },
+        ]},
+    }
+    d = KubernetesDiscovery("https://kube:6443", role="service",
+                            fetch_fn=_k8s_fetch(responses))
+    groups = d.refresh()
+    targets = sorted(g.targets[0] for g in groups)
+    assert targets == ["api.prod.svc:80", "api.prod.svc:8443",
+                       "db.example.org:5432"]
+    http = next(g for g in groups if g.targets == ["api.prod.svc:80"]).labels
+    assert http["__meta_kubernetes_service_cluster_ip"] == "10.96.0.5"
+    assert http["__meta_kubernetes_service_port_name"] == "http"
+    ext = next(g for g in groups if g.targets == ["db.example.org:5432"]).labels
+    assert ext["__meta_kubernetes_service_external_name"] == "db.example.org"
