@@ -71,7 +71,13 @@ def main(argv: list[str]) -> int:
         t0 = time.monotonic()
         max_evals = caps.get(fname) if count is None else count
         stats = run_test_text(
-            spark, text, max_evals=max_evals, parallel_evals=12,
+            spark, text, max_evals=max_evals,
+            parallel_evals=int(
+                # 24 measured best on local[32]: evals are tiny read-only
+                # jobs, so deep submission hides scheduling latency; 32
+                # thrashes the worker GIL
+                os.environ.get("SPARK_GRAFT_CORPUS_EVAL_PAR", "24")
+            ),
             eval_offset=offset,
         )
         out[spec] = {
