@@ -481,12 +481,10 @@ class KubernetesDiscovery:
         insecure_skip_verify: bool = False,
         fetch_fn: Optional[Callable[[str], bytes]] = None,
     ):
-        if role not in ("pod", "endpoints", "node", "service"):
-            raise ValueError(
-                f"kubernetes_sd role {role!r} not supported "
-                "(pod/endpoints/node/service are; ingress and "
-                "endpointslice are not implemented)"
-            )
+        if role not in (
+            "pod", "endpoints", "node", "service", "endpointslice", "ingress"
+        ):
+            raise ValueError(f"kubernetes_sd role {role!r} not supported")
         self.base = api_server.rstrip("/")
         self.role = role
         self.namespaces = list(namespaces or [])
@@ -514,11 +512,14 @@ class KubernetesDiscovery:
         ) as resp:
             return resp.read()
 
-    def _list(self, resource: str) -> list[dict]:
+    def _list(self, resource: str, api_prefix: str = "/api/v1") -> list[dict]:
         paths = (
-            [f"/api/v1/namespaces/{ns}/{resource}" for ns in self.namespaces]
+            [
+                f"{api_prefix}/namespaces/{ns}/{resource}"
+                for ns in self.namespaces
+            ]
             if self.namespaces
-            else [f"/api/v1/{resource}"]
+            else [f"{api_prefix}/{resource}"]
         )
         items: list[dict] = []
         for p in paths:
@@ -695,6 +696,82 @@ class KubernetesDiscovery:
                 }))
         return groups
 
+    def _endpointslice_groups(self) -> list[TargetGroup]:
+        """endpointslice role (endpointslice.go:291-350): the modern
+        discovery.k8s.io/v1 shape — per-endpoint addresses x slice
+        ports, with conditions and targetRef."""
+        groups: list[TargetGroup] = []
+        for eps in self._list(
+            "endpointslices", api_prefix="/apis/discovery.k8s.io/v1"
+        ):
+            meta = eps.get("metadata") or {}
+            base = {
+                **self._obj_labels("endpointslice", eps),
+                "__meta_kubernetes_endpointslice_name": meta.get("name", ""),
+                "__meta_kubernetes_endpointslice_address_type":
+                    eps.get("addressType", ""),
+            }
+            for ep in eps.get("endpoints") or []:
+                conds = ep.get("conditions") or {}
+                ready = str(conds.get("ready", True)).lower()
+                tref = ep.get("targetRef") or {}
+                for addr in ep.get("addresses") or []:
+                    for port in eps.get("ports") or []:
+                        num = port.get("port")
+                        t = (
+                            f"[{addr}]:{num}" if ":" in addr
+                            else f"{addr}:{num}"
+                        )
+                        groups.append(TargetGroup([t], {
+                            **base,
+                            "__meta_kubernetes_endpointslice_endpoint_conditions_ready":
+                                ready,
+                            "__meta_kubernetes_endpointslice_port_name":
+                                port.get("name", ""),
+                            "__meta_kubernetes_endpointslice_port_protocol":
+                                port.get("protocol", ""),
+                            "__meta_kubernetes_endpointslice_address_target_kind":
+                                tref.get("kind", ""),
+                            "__meta_kubernetes_endpointslice_address_target_name":
+                                tref.get("name", ""),
+                        }))
+        return groups
+
+    def _ingress_groups(self) -> list[TargetGroup]:
+        """ingress role (ingress.go:181-230): one target per rule host x
+        path; scheme https when the host appears in a TLS block."""
+        groups: list[TargetGroup] = []
+        for ing in self._list(
+            "ingresses", api_prefix="/apis/networking.k8s.io/v1"
+        ):
+            meta = ing.get("metadata") or {}
+            spec = ing.get("spec") or {}
+            tls_hosts = {
+                h for t in spec.get("tls") or [] for h in t.get("hosts") or []
+            }
+            base = {
+                **self._obj_labels("ingress", ing),
+                "__meta_kubernetes_ingress_name": meta.get("name", ""),
+                "__meta_kubernetes_ingress_class_name":
+                    spec.get("ingressClassName", ""),
+            }
+            for rule in spec.get("rules") or []:
+                host = rule.get("host", "")
+                if not host:
+                    continue
+                paths = (
+                    (rule.get("http") or {}).get("paths") or [{"path": "/"}]
+                )
+                for p in paths:
+                    groups.append(TargetGroup([host], {
+                        **base,
+                        "__meta_kubernetes_ingress_host": host,
+                        "__meta_kubernetes_ingress_path": p.get("path", "/"),
+                        "__meta_kubernetes_ingress_scheme":
+                            "https" if host in tls_hosts else "http",
+                    }))
+        return groups
+
     def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
         try:
             out = {
@@ -702,6 +779,8 @@ class KubernetesDiscovery:
                 "endpoints": self._endpoints_groups,
                 "node": self._node_groups,
                 "service": self._service_groups,
+                "endpointslice": self._endpointslice_groups,
+                "ingress": self._ingress_groups,
             }[self.role]()
             self._last_good = out
         except Exception:

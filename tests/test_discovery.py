@@ -477,7 +477,7 @@ def test_kubernetes_sd_rejects_unsupported_role():
     from prometheus_spark.sources.discovery import KubernetesDiscovery
 
     with _pytest.raises(ValueError, match="role"):
-        KubernetesDiscovery("https://kube:6443", role="ingress")
+        KubernetesDiscovery("https://kube:6443", role="replicaset")
 
 
 # -- EC2 SD -------------------------------------------------------------------
@@ -614,3 +614,67 @@ def test_kubernetes_sd_service_role():
     assert http["__meta_kubernetes_service_port_name"] == "http"
     ext = next(g for g in groups if g.targets == ["db.example.org:5432"]).labels
     assert ext["__meta_kubernetes_service_external_name"] == "db.example.org"
+
+
+def test_kubernetes_sd_endpointslice_role():
+    from prometheus_spark.sources.discovery import KubernetesDiscovery
+
+    responses = {
+        "/apis/discovery.k8s.io/v1/endpointslices": {"items": [
+            {
+                "metadata": {"name": "svc-a-x1", "namespace": "default"},
+                "addressType": "IPv4",
+                "endpoints": [
+                    {"addresses": ["10.0.1.1"],
+                     "conditions": {"ready": True},
+                     "targetRef": {"kind": "Pod", "name": "p1"}},
+                    {"addresses": ["10.0.1.2"],
+                     "conditions": {"ready": False}},
+                ],
+                "ports": [{"name": "metrics", "port": 9100,
+                           "protocol": "TCP"}],
+            },
+        ]},
+    }
+    d = KubernetesDiscovery("https://kube:6443", role="endpointslice",
+                            fetch_fn=_k8s_fetch(responses))
+    groups = d.refresh()
+    by_target = {g.targets[0]: g.labels for g in groups}
+    assert set(by_target) == {"10.0.1.1:9100", "10.0.1.2:9100"}
+    ok = by_target["10.0.1.1:9100"]
+    assert ok["__meta_kubernetes_endpointslice_endpoint_conditions_ready"] == "true"
+    assert ok["__meta_kubernetes_endpointslice_address_type"] == "IPv4"
+    assert ok["__meta_kubernetes_endpointslice_address_target_kind"] == "Pod"
+    bad = by_target["10.0.1.2:9100"]
+    assert bad["__meta_kubernetes_endpointslice_endpoint_conditions_ready"] == "false"
+
+
+def test_kubernetes_sd_ingress_role():
+    from prometheus_spark.sources.discovery import KubernetesDiscovery
+
+    responses = {
+        "/apis/networking.k8s.io/v1/ingresses": {"items": [
+            {
+                "metadata": {"name": "web", "namespace": "prod"},
+                "spec": {
+                    "ingressClassName": "nginx",
+                    "tls": [{"hosts": ["secure.example.org"]}],
+                    "rules": [
+                        {"host": "secure.example.org",
+                         "http": {"paths": [{"path": "/api"}]}},
+                        {"host": "plain.example.org",
+                         "http": {"paths": [{"path": "/"}]}},
+                    ],
+                },
+            },
+        ]},
+    }
+    d = KubernetesDiscovery("https://kube:6443", role="ingress",
+                            fetch_fn=_k8s_fetch(responses))
+    groups = d.refresh()
+    by_host = {g.labels["__meta_kubernetes_ingress_host"]: g.labels
+               for g in groups}
+    assert by_host["secure.example.org"]["__meta_kubernetes_ingress_scheme"] == "https"
+    assert by_host["secure.example.org"]["__meta_kubernetes_ingress_path"] == "/api"
+    assert by_host["plain.example.org"]["__meta_kubernetes_ingress_scheme"] == "http"
+    assert by_host["plain.example.org"]["__meta_kubernetes_ingress_class_name"] == "nginx"
