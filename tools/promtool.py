@@ -369,6 +369,113 @@ def query_labels(store: str, name: str, flags: dict) -> int:
     return 0
 
 
+def query_analyze(store: str, flags: dict) -> int:
+    """cmd/promtool query analyze --type histogram (analyze.go:59-230):
+    per-series bucket-population statistics — min/avg/max POPULATED
+    buckets per scrape (classic: de-cumulated le buckets; native: non-
+    zero sparse buckets + zero bucket), plus the total bucket count.
+    The de-cumulation and per-timestamp counts run as DataFrame window/
+    aggregate expressions; only per-series stat rows reach the driver."""
+    from pyspark.sql import functions as F
+
+    from prometheus_spark.engine import PromQLEngine
+    from prometheus_spark.storage import read_samples
+
+    if flags.get("--type", "histogram") != "histogram":
+        print("analyze type must be 'histogram'", file=sys.stderr)
+        return 1
+    match = flags.get("--match")
+    if not match:
+        print("--match <metric> required", file=sys.stderr)
+        return 1
+    dur_ms = int(flags.get("--duration", 3_600_000))
+    t_ms = int(flags.get("--time", 1 << 60))
+    spark = _spark()
+    eng = PromQLEngine(spark, read_samples(spark, store))
+    if t_ms == 1 << 60:
+        t_ms = eng.samples.agg(F.max("t")).first()[0] or 0
+    # matrix of raw samples over the window
+    win = eng.instant_query(f"{match}_bucket[{dur_ms}ms]", t_ms)
+    print("Bucket stats for each histogram series over time")
+    print("------------------------------------------------")
+    print("min/avg/max populated buckets [/total when different]\n")
+
+    # classic: de-cumulate adjacent le buckets per (series-minus-le, t)
+    from prometheus_spark.model.labels import sig_sql
+
+    no_le = "map_filter(labels, (k, v) -> k != 'le' AND k != '__name__')"
+    classic = (
+        win.filter("element_at(labels, 'le') IS NOT NULL")
+        .selectExpr(
+            sig_sql(no_le) + " AS gsig",
+            no_le + " AS glabels",
+            "t",
+            "CAST(element_at(labels, 'le') AS DOUBLE) AS le",
+            "value",
+        )
+        .selectExpr(
+            "*",
+            "value - coalesce(lag(value) OVER "
+            "(PARTITION BY gsig, t ORDER BY le), 0.0D) AS bucket_count",
+        )
+        .groupBy("gsig", "t")
+        .agg(
+            F.expr("first(glabels)").alias("glabels"),
+            F.expr("sum(CAST(bucket_count != 0.0D AS INT))").alias("pop"),
+            F.expr("count(*)").alias("nbuckets"),
+        )
+        .groupBy("gsig")
+        .agg(
+            F.expr("first(glabels)").alias("glabels"),
+            F.expr("min(pop)").alias("minp"),
+            F.expr("avg(pop)").alias("avgp"),
+            F.expr("max(pop)").alias("maxp"),
+            F.expr("max(nbuckets)").alias("total"),
+            F.expr("count(*)").alias("nsamples"),
+        )
+        .filter("nsamples >= 2")
+    )
+    rows = classic.collect()
+    for r in sorted(rows, key=lambda r: r["gsig"]):
+        lbls = ", ".join(f'{k}="{v}"' for k, v in sorted(r["glabels"].items()))
+        stat = f"{r['minp']}/{r['avgp']:.3f}/{r['maxp']}"
+        if r["maxp"] != r["total"]:
+            stat += f"/{r['total']}"
+        print(f"- {match}_bucket{{{lbls}}} (classic): {stat}")
+
+    # native: populated sparse buckets per histogram sample
+    nat = eng.instant_query(f"{match}[{dur_ms}ms]", t_ms)
+    if "hist" in nat.columns:
+        nstats = (
+            nat.filter("hist IS NOT NULL")
+            .selectExpr(
+                "sig", "labels",
+                "size(filter(hist.pos_buckets, b -> b != 0.0D)) "
+                "+ size(filter(hist.neg_buckets, b -> b != 0.0D)) "
+                "+ CAST(hist.zero_count != 0.0D AS INT) AS pop",
+            )
+            .groupBy("sig")
+            .agg(
+                F.expr("first(labels)").alias("labels"),
+                F.expr("min(pop)").alias("minp"),
+                F.expr("avg(pop)").alias("avgp"),
+                F.expr("max(pop)").alias("maxp"),
+                F.expr("count(*)").alias("nsamples"),
+            )
+            .filter("nsamples >= 2")
+        )
+        for r in sorted(nstats.collect(), key=lambda r: r["sig"]):
+            lbls = ", ".join(
+                f'{k}="{v}"' for k, v in sorted(r["labels"].items())
+                if k != "__name__"
+            )
+            print(
+                f"- {match}{{{lbls}}} (native): "
+                f"{r['minp']}/{r['avgp']:.3f}/{r['maxp']}"
+            )
+    return 0
+
+
 def check_server(kind: str, url: str) -> int:
     """cmd/promtool check healthy/ready (main.go:149-156): GET the
     lifecycle endpoint and report."""
@@ -629,6 +736,9 @@ def main(argv: list[str]) -> int:
     if len(argv) >= 4 and argv[0] == "query" and argv[1] == "labels":
         flags = dict(zip(argv[4::2], argv[5::2]))
         return query_labels(argv[2], argv[3], flags)
+    if len(argv) >= 3 and argv[0] == "query" and argv[1] == "analyze":
+        flags = dict(zip(argv[3::2], argv[4::2]))
+        return query_analyze(argv[2], flags)
     if len(argv) >= 3 and argv[0] == "promql" and argv[1] == "format":
         return promql_format(argv[2])
     if (len(argv) >= 5 and argv[0] == "promql" and argv[1] == "label-matchers"
