@@ -492,6 +492,48 @@ def check_server(kind: str, url: str) -> int:
         return 1
 
 
+def check_web_config(files: list[str]) -> int:
+    """cmd/promtool check web-config: validate exporter-toolkit web
+    config files — YAML shape, known top-level keys, TLS cert/key pair
+    presence and file existence, basic-auth bcrypt-looking hashes."""
+    import yaml as _yaml
+
+    known = {"tls_server_config", "http_server_config", "basic_auth_users"}
+    rc = 0
+    for f in files:
+        try:
+            with open(f) as fh:
+                doc = _yaml.safe_load(fh) or {}
+            if not isinstance(doc, dict):
+                raise ValueError("top level must be a mapping")
+            unknown = set(doc) - known
+            if unknown:
+                raise ValueError(f"unknown fields: {sorted(unknown)}")
+            tls = doc.get("tls_server_config") or {}
+            cert, key = tls.get("cert_file", ""), tls.get("key_file", "")
+            if bool(cert) != bool(key):
+                raise ValueError(
+                    "TLS config must set both cert_file and key_file"
+                )
+            base = os.path.dirname(os.path.abspath(f))
+            for p in (cert, key):
+                if p:
+                    full = p if os.path.isabs(p) else os.path.join(base, p)
+                    if not os.path.exists(full):
+                        raise ValueError(f"missing file {p!r}")
+            for user, h in (doc.get("basic_auth_users") or {}).items():
+                if not str(h).startswith(("$2a$", "$2b$", "$2y$")):
+                    raise ValueError(
+                        f"basic_auth_users[{user!r}]: not a bcrypt hash"
+                    )
+        except Exception as e:  # noqa: BLE001 — CLI surface
+            print(f"  FAILED: {f}: {e}")
+            rc = 1
+            continue
+        print(f"  SUCCESS: {f}")
+    return rc
+
+
 def check_sd(config_file: str, job_name: str) -> int:
     """cmd/promtool check service-discovery (sd.go:41 CheckSD): run the
     job's discovery providers once and print per-target JSON with the
@@ -693,6 +735,8 @@ def main(argv: list[str]) -> int:
         return check_sd(argv[2], argv[3])
     if len(argv) >= 3 and argv[0] == "check" and argv[1] in ("healthy", "ready"):
         return check_server(argv[1], argv[2])
+    if len(argv) >= 3 and argv[0] == "check" and argv[1] == "web-config":
+        return check_web_config(argv[2:])
     if len(argv) >= 3 and argv[0] == "test" and argv[1] == "rules":
         return test_rules(argv[2:])
     if (len(argv) >= 5 and argv[0] == "tsdb"
