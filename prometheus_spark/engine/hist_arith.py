@@ -17,6 +17,8 @@ Arrow marshalling rules (hard-won):
 
 from __future__ import annotations
 
+import functools
+
 from typing import Iterator
 
 from pyspark.sql import DataFrame
@@ -168,40 +170,48 @@ def _grouped_apply_batched(src: DataFrame, keys, process) -> DataFrame:
 
 
 def assemble(df: DataFrame, drop_name: bool = False) -> DataFrame:
-    """Flattened Python output → canonical vector frame with hist struct."""
-    hist = F.struct(
-        F.col("h_schema").alias("schema"),
-        F.col("h_zt").alias("zero_threshold"),
-        F.col("h_zc").alias("zero_count"),
-        F.col("h_count").alias("count"),
-        F.col("h_sum").alias("sum"),
-        F.arrays_zip(
-            F.col("h_pos_off").alias("offset"), F.col("h_pos_len").alias("length")
-        ).alias("pos_spans"),
-        F.col("h_pos_bkt").alias("pos_buckets"),
-        F.arrays_zip(
-            F.col("h_neg_off").alias("offset"), F.col("h_neg_len").alias("length")
-        ).alias("neg_spans"),
-        F.col("h_neg_bkt").alias("neg_buckets"),
-        F.col("h_custom").alias("custom_values"),
-        F.col("h_hint").cast("tinyint").alias("counter_reset_hint"),
-    ).cast(HISTOGRAM_TYPE)
-    labels = F.map_from_arrays("label_keys", "label_values")
+    """Flattened Python output → canonical vector frame with hist struct.
+
+    The projection is one static SQL string (composed once at import) —
+    assemble runs on every histogram-path query, and the old per-call
+    Column construction was a measurable slice of hist plan-build time."""
+    return df.selectExpr(*_ASSEMBLE_COLS(bool(drop_name)))
+
+
+@functools.lru_cache(maxsize=2)
+def _ASSEMBLE_COLS(drop_name: bool) -> tuple:
+    from prometheus_spark.model.labels import sig_sql
+
+    htype = HISTOGRAM_TYPE.simpleString()
+    hist = (
+        "CAST(named_struct("
+        "'schema', h_schema, 'zero_threshold', h_zt, 'zero_count', h_zc, "
+        "'count', h_count, 'sum', h_sum, "
+        "'pos_spans', arrays_zip(h_pos_off, h_pos_len), "
+        "'pos_buckets', h_pos_bkt, "
+        "'neg_spans', arrays_zip(h_neg_off, h_neg_len), "
+        "'neg_buckets', h_neg_bkt, "
+        "'custom_values', h_custom, "
+        "'counter_reset_hint', CAST(h_hint AS TINYINT)"
+        f") AS {htype})"
+    )
+    labels = "map_from_arrays(label_keys, label_values)"
     # delayed name removal: labels stay; drop_name flags the row and the
     # engine's finalization strips the metadata labels
     # pandas→Arrow folds NaN into null in the float column; histogram rows
     # legitimately carry NULL value, so only coalesce non-hist rows
-    value = F.when(
-        F.col("has_hist"), F.lit(None).cast("double")
-    ).otherwise(F.coalesce(F.col("value"), F.lit(float("nan"))))
-    return df.select(
-        sig_expr(labels).alias("sig"),
-        labels.alias("labels"),
+    value = (
+        "CASE WHEN has_hist THEN CAST(NULL AS DOUBLE) "
+        "ELSE coalesce(value, CAST('NaN' AS DOUBLE)) END"
+    )
+    return (
+        sig_sql(labels) + " AS sig",
+        labels + " AS labels",
         "t",
-        F.col("t").alias("sample_t"),
-        value.alias("value"),
-        F.lit(bool(drop_name)).alias("drop_name"),
-        F.when(F.col("has_hist"), hist).alias("hist"),
+        "t AS sample_t",
+        value + " AS value",
+        f"{str(drop_name).lower()} AS drop_name",
+        f"CASE WHEN has_hist THEN {hist} END AS hist",
     )
 
 
