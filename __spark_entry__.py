@@ -292,15 +292,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = lambda s, d: _pipe_dedup_exact(s, d)
     q["dedup_ngram_jaccard"] = lambda s, d: _pipe_jaccard(s, d)
     q["dedup_clusters"] = lambda s, d: _pipe_clusters(s, d)
-    q["dedup_minhash_candidates"] = lambda s, d: _pipe_minhash(s, d)  # rows-only
-    q["dedup_simhash"] = lambda s, d: _pipe_simhash(s, d)  # rows-only
+    # driver-facing entries use the md5-portable hash family so DuckDB
+    # verifies values; the production xxhash64 paths stay the scale
+    # default and are bit-equality-tested in tests/test_pipeline.py
+    q["dedup_minhash_candidates"] = lambda s, d: _pipe_minhash(s, d)
+    q["dedup_simhash"] = lambda s, d: _pipe_simhash(s, d)
     q["dedup_embedding_cosine"] = lambda s, d: _pipe_embed_dup(s, d)
     q["dedup_cross_corpus"] = lambda s, d: _pipe_cross_dedup(s, d)
     q["dedup_decontaminate"] = lambda s, d: _pipe_decontaminate(s, d)
 
     # --- pipeline: similarity search ---------------------------------------
     q["ann_cosine_topk"] = lambda s, d: _pipe_ann_brute(s, d)
-    q["ann_lsh_topk"] = lambda s, d: _pipe_ann_lsh(s, d)  # rows-only (recall<1)
+    # probe_all=True → recall=1 by construction, brute-force oracle
+    # hash-matches; the pruned multiprobe path is tested in tests/
+    q["ann_lsh_topk"] = lambda s, d: _pipe_ann_lsh(s, d)
     # IVF with nprobe=all probes every partition → exact, hash-matchable
     # against the brute-force oracle; the pruned path is tested in
     # tests/test_pipeline.py
@@ -735,15 +740,15 @@ def _pipe_jaccard(spark, sf_dir):
 
 
 def _pipe_minhash(spark, sf_dir):
-    from prometheus_spark.pipeline import minhash_dup_candidates
+    from prometheus_spark.pipeline import minhash_dup_candidates_portable
 
-    return minhash_dup_candidates(_tbl(spark, sf_dir, "documents"), shingle_n=2)
+    return minhash_dup_candidates_portable(_tbl(spark, sf_dir, "documents"), shingle_n=2)
 
 
 def _pipe_simhash(spark, sf_dir):
-    from prometheus_spark.pipeline import simhash_64
+    from prometheus_spark.pipeline import simhash_64_portable
 
-    return simhash_64(_tbl(spark, sf_dir, "documents"))
+    return simhash_64_portable(_tbl(spark, sf_dir, "documents"))
 
 
 def _pipe_embed_dup(spark, sf_dir):
@@ -777,8 +782,14 @@ def _pipe_ann_brute(spark, sf_dir):
 def _pipe_ann_lsh(spark, sf_dir):
     from prometheus_spark.pipeline import lsh_bucketed_topk
 
+    # planes=4 / probe_all → every bucket probed, so the result is exact
+    # (brute-force oracle hash-matches) while the bucket-assignment +
+    # probe-filter plan is still exercised end-to-end.  Query vec_id=1
+    # and k=12 keep the entry distinct from ann_cosine_topk.
     emb = _tbl(spark, sf_dir, "embeddings")
-    return lsh_bucketed_topk(emb, _query_vec(spark, sf_dir), k=10).select(
+    row = emb.filter(F.col("vec_id") == 1).select("embedding").first()
+    qv = list(row["embedding"]) if row else [0.0]
+    return lsh_bucketed_topk(emb, qv, k=12, planes=4, probe_all=True).select(
         "vec_id", F.round("cosine", 6).alias("cosine")
     )
 
@@ -1653,6 +1664,85 @@ SELECT i AS media_id,
 FROM range(0, 64) t(i)
 """
 
-    # dedup_minhash_candidates, dedup_simhash, ann_lsh_topk:
-    # hash-function/recall-dependent — rows-only checks.
+    # dedup_minhash_candidates / dedup_simhash: the driver entries use the
+    # md5-portable hash family (pipeline/dedup.py portable variants), so
+    # DuckDB reproduces every value.  The permutation constants are
+    # regenerated here from the same Python source — one definition, two
+    # renderings.
+    from prometheus_spark.pipeline.dedup import PORTABLE_P, portable_perm_constants
+
+    _p = PORTABLE_P
+    _consts = portable_perm_constants(16, _p)
+    _min_cols = ",\n       ".join(
+        f"MIN(({a} * b + {c}) % {_p}) AS m{i}" for i, (a, c) in enumerate(_consts)
+    )
+    _band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band,"
+        f" md5(concat_ws(',', m{b * 4}, m{b * 4 + 1}, m{b * 4 + 2}, m{b * 4 + 3})) AS bucket FROM m"
+        for b in range(4)
+    )
+    o["dedup_minhash_candidates"] = rf"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(ws), 1)),
+                                             i -> ws[i] || ' ' || ws[i+1]))) AS gram
+  FROM w
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT % {_p} AS b FROM g
+),
+m AS (
+  SELECT doc_id,
+       {_min_cols}
+  FROM h GROUP BY doc_id
+),
+bands AS (
+{_band_rows}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+    o["dedup_simhash"] = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(word), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(word), 9, 8))::BIGINT AS lo
+  FROM w
+),
+bits AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN ((CASE WHEN j < 32 THEN lo ELSE hi END) >> (j % 32)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM h, range(0, 64) t(j)
+  GROUP BY doc_id, j
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 AND j >= 32 THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS BIGINT) AS hi,
+         CAST(SUM(CASE WHEN vote > 0 AND j < 32 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS lo
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id, lower(lpad(hex(hi), 8, '0') || lpad(hex(lo), 8, '0')) AS simhash FROM fp
+"""
+
+    # ann_lsh_topk probes ALL 2^4 buckets (probe_all) → exact, so the
+    # brute-force cosine oracle matches value-for-value
+    o["ann_lsh_topk"] = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1)
+SELECT vec_id, ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cosine
+FROM embeddings, q
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC, vec_id ASC
+LIMIT 12
+"""
     return o

@@ -6,7 +6,9 @@ from prometheus_spark.pipeline.dedup import (
     exact_dedup,
     minhash_signatures,
     minhash_dup_candidates,
+    minhash_dup_candidates_portable,
     simhash_64,
+    simhash_64_portable,
     ngram_jaccard_pairs,
     embedding_near_dup_pairs,
 )
@@ -37,7 +39,9 @@ __all__ = [
     "exact_dedup",
     "minhash_signatures",
     "minhash_dup_candidates",
+    "minhash_dup_candidates_portable",
     "simhash_64",
+    "simhash_64_portable",
     "ngram_jaccard_pairs",
     "embedding_near_dup_pairs",
     "AnnIndex",

@@ -261,6 +261,144 @@ def minhash_dup_candidates(
     return pairs
 
 
+# --- oracle-portable (md5-based) variants ------------------------------
+#
+# The production minhash/simhash paths hash with Spark's xxhash64, which
+# no other SQL engine implements — so the driver's DuckDB oracle could
+# only row-count them.  These variants swap the base hash for
+# md5-prefix arithmetic that is bit-identical portable SQL in BOTH
+# engines (the `doc_fingerprint` / `stratified_sample` trick), making
+# every value hash-verifiable end-to-end.  Same plan shapes (zero-shuffle
+# signature build, banded bucket self-join); only the hash function and
+# the (smaller) permutation count differ.
+
+#: modulus for the portable permutation family — 2^31-1 (Mersenne prime).
+#: With base hashes < p and multipliers < p, a*b + c < 2^62: no signed-64
+#: overflow in either engine.
+PORTABLE_P = 2147483647
+
+
+def portable_perm_constants(num_perm: int, p: int = PORTABLE_P) -> list[tuple[int, int]]:
+    """Deterministic (a_i, c_i) multiplier/offset pairs for the portable
+    universal-hash permutations h_i(x) = (a_i·x + c_i) mod p.  Pure
+    integer arithmetic so ``oracle_sql()`` can regenerate the identical
+    constants when rendering the DuckDB side."""
+    return [
+        ((2654435761 * (i + 1)) % p or 1, (40503 * i + 1) % p)
+        for i in range(num_perm)
+    ]
+
+
+def _portable_base_hash(col: Column, p: int = PORTABLE_P) -> Column:
+    """First 8 hex chars of md5 → unsigned 32-bit int, reduced mod p.
+    DuckDB spelling: ``('0x' || substr(md5(x),1,8))::BIGINT % p``."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % F.lit(p)
+
+
+def minhash_dup_candidates_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """LSH banding with the oracle-portable md5 permutation family.
+
+    Plan is the same shape as :func:`minhash_dup_candidates`: per-row
+    signature build (array_min over transform — zero shuffle), tiny
+    (id, band, bucket) frame persisted, bucketed self-join.  Band bucket
+    is ``md5(concat_ws(',', mins...))`` — portable, and collision-free in
+    practice (128-bit)."""
+    p = PORTABLE_P
+    consts = portable_perm_constants(num_perm, p)
+    rows_per_band = num_perm // bands
+    grams = _word_ngrams(F.col(text_col), shingle_n)
+    base = F.transform(grams, lambda g: _portable_base_hash(g, p))
+    mins = [
+        F.array_min(F.transform(base, lambda b: (F.lit(a) * b + F.lit(c)) % F.lit(p)))
+        for a, c in consts
+    ]
+    sigs = (
+        _spread(df, id_col)
+        .select(F.col(id_col), F.size(grams).alias("__n"), *[m.alias(f"m{i}") for i, m in enumerate(mins)])
+        .filter(F.col("__n") > 0)
+    )
+    buckets = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.posexplode(buckets).alias("band", "bucket"))
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_64_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash-64 with md5-derived token bits, emitted as a 16-hex-char
+    string so the value is identical portable SQL in Spark and DuckDB
+    (no signed-shift edge cases at bit 63).
+
+    Token hash = two unsigned 32-bit halves of md5 (chars 1-8 → high
+    word, 9-16 → low word); bit j reads the low word for j<32 and the
+    high word for j≥32.  Same zero-shuffle per-row fold as
+    :func:`simhash_64`."""
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != F.lit("")
+    )
+    hashed = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col),
+            F.transform(
+                words,
+                lambda w: F.struct(
+                    F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long").alias("hi"),
+                    F.conv(F.substring(F.md5(w), 9, 8), 16, 10).cast("long").alias("lo"),
+                ),
+            ).alias("__h"),
+        )
+        .filter(F.size("__h") > 0)
+    )
+    votes = F.expr(
+        "aggregate(__h, array_repeat(0L, 64),"
+        " (acc, h) -> zip_with(acc, sequence(0, 63),"
+        "   (a, j) -> a + IF((shiftright(IF(j < 32, h.lo, h.hi), j % 32) & 1) = 1, 1L, -1L)))"
+    )
+    word_expr = (
+        "aggregate(zip_with(slice(__v, {start}, 32), sequence(0, 31),"
+        " (v, j) -> IF(v > 0, shiftleft(1L, j), 0L)), 0L, (a, x) -> a | x)"
+    )
+    hi = F.expr(word_expr.format(start=33))
+    lo = F.expr(word_expr.format(start=1))
+    return hashed.select(F.col(id_col), votes.alias("__v")).select(
+        F.col(id_col),
+        F.lower(
+            F.concat(F.lpad(F.hex(hi), 8, "0"), F.lpad(F.hex(lo), 8, "0"))
+        ).alias("simhash"),
+    )
+
+
 def simhash_64(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

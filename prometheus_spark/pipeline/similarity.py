@@ -144,17 +144,27 @@ def lsh_bucketed_topk(
     planes: int = 12,
     seed: int = 7,
     multiprobe: bool = True,
+    probe_all: bool = False,
 ) -> DataFrame:
     """One-shot ANN top-k: random-hyperplane signature buckets; candidates
     = query's bucket ∪ all single-bit-flip buckets (multiprobe), then
     exact cosine rank.  Recall < 1 by construction.  For repeated queries
     use :class:`AnnIndex`, which materializes + partitions the bucket
-    column so probing is a partition-pruned scan."""
+    column so probing is a partition-pruned scan.
+
+    ``probe_all=True`` probes every one of the 2^planes buckets —
+    recall = 1 by construction (the answer equals brute-force top-k, so a
+    brute-force oracle verifies it value-for-value) while still
+    exercising the bucket-assignment + probe-filter plan.  Use small
+    ``planes`` with it; it exists for exhaustive/verification modes, not
+    the ANN fast path."""
     first = df.select(F.size(vec_col).alias("d")).first()
     if first is None:
         return df.sparkSession.createDataFrame([], f"{id_col} long, cosine double")
     hyper = _hyperplanes(planes, first["d"], seed)
-    probes = _probe_buckets(query, hyper, multiprobe)
+    probes = (
+        list(range(1 << planes)) if probe_all else _probe_buckets(query, hyper, multiprobe)
+    )
     candidates = df.withColumn("__bucket", _bucket_expr(F.col(vec_col), hyper)).filter(
         F.col("__bucket").isin(probes)
     )

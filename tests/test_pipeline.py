@@ -401,3 +401,44 @@ def test_decontaminate_removes_benchmark_overlap(spark, docs):
     assert long_bench and not (long_bench & kept)
     # most of the corpus is untouched
     assert len(kept) > docs.count() * 0.5
+
+
+@needs_data
+def test_minhash_portable_finds_exact_dups(spark, docs):
+    from prometheus_spark.pipeline import minhash_dup_candidates_portable
+
+    base = docs.limit(20)
+    clone = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    pairs = minhash_dup_candidates_portable(base.unionByName(clone), shingle_n=2)
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    expected = {(r["doc_id"], r["doc_id"] + 100000) for r in base.collect()}
+    assert expected <= found
+
+
+@needs_data
+def test_simhash_portable_hex_and_deterministic(spark, docs):
+    from prometheus_spark.pipeline import simhash_64_portable
+
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_64_portable(docs.limit(10)).collect()}
+    assert len(fps) == 10
+    assert all(len(v) == 16 and set(v) <= set("0123456789abcdef") for v in fps.values())
+    again = {
+        r["doc_id"]: r["simhash"] for r in simhash_64_portable(docs.limit(10)).collect()
+    }
+    assert fps == again
+
+
+@needs_data
+def test_lsh_probe_all_equals_bruteforce(spark, emb):
+    from prometheus_spark.pipeline import cosine_topk_bruteforce, lsh_bucketed_topk
+
+    q = list(emb.filter(F.col("vec_id") == 1).first()["embedding"])
+    exact = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in cosine_topk_bruteforce(emb, q, k=12).collect()
+    ]
+    probed = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in lsh_bucketed_topk(emb, q, k=12, planes=4, probe_all=True).collect()
+    ]
+    assert probed == exact
