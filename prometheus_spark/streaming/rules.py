@@ -292,6 +292,93 @@ class RulesEngine:
         }
         return samples, alerts
 
+    def restore_for_state(
+        self,
+        group: RuleGroup,
+        ts_ms: int,
+        outage_tolerance_ms: int = 3_600_000,
+        for_grace_period_ms: int = 600_000,
+    ) -> int:
+        """Restore each active alert's activation time from the last
+        ``ALERTS_FOR_STATE`` sample — mirror of rules/group.go:739
+        RestoreForState.  Call once after the FIRST ``eval_tick`` that
+        follows a restart (the reference's ``shouldRestore`` flow,
+        rules/group.go:274): the first eval re-arms matching alerts as
+        fresh ``pending``; this pulls their ``active_since`` back to the
+        persisted activation so they fire at the original deadline.
+
+        Default tolerances match the reference flags
+        ``rules.alert.for-outage-tolerance`` (1h) and
+        ``for-grace-period`` (10m).  Returns the number of alerts whose
+        activation time was restored.
+
+        Scale shape: one filtered scan of the samples table over the
+        ``[ts - outage_tolerance, ts]`` window for the whole group
+        (predicate on the indexed ``name`` column pushes down to the
+        parquet scan); the collect is bounded by stored-alert
+        cardinality, the same driver-side footprint as the active-alert
+        maps themselves."""
+        from prometheus_spark.model.labels import sig_for
+
+        mint = ts_ms - outage_tolerance_ms
+        alert_rules = [
+            (idx, r)
+            for idx, r in enumerate(group.rules)
+            if isinstance(r, AlertingRule) and r.for_ms > 0
+        ]
+        restorable = [
+            (idx, r) for idx, r in alert_rules if r.for_ms >= for_grace_period_ms
+        ]
+        if not restorable:
+            return 0
+        names = {r.alert for _, r in restorable}
+        # one scan for the whole group: last non-stale FOR_STATE sample
+        # per series within the outage-tolerance window
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("sig").orderBy(F.desc("t"))
+        fs = (
+            self.engine.samples.filter(
+                (F.col("name") == "ALERTS_FOR_STATE")
+                & (F.col("t") >= F.lit(mint))
+                & (F.col("t") <= F.lit(ts_ms))
+                & F.col("labels")["alertname"].isin(list(names))
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & ~F.col("stale") & F.col("value").isNotNull())
+            .select("sig", "t", "value")
+            .collect()
+        )
+        by_sig = {r["sig"]: (r["t"], r["value"]) for r in fs}
+        restored = 0
+        for idx, rule in restorable:
+            rule_key = f"{group.name}/{idx}/{rule.alert}"
+            for st in self._alert_state.get(rule_key, {}).values():
+                flabels = dict(st["labels"])
+                flabels[METRIC_NAME_LABEL] = "ALERTS_FOR_STATE"
+                hit = by_sig.get(sig_for(flabels))
+                if hit is None:
+                    continue
+                down_at, stored_active_s = hit
+                restored_active = int(stored_active_s * 1000)
+                spent_pending = down_at - restored_active
+                remaining = rule.for_ms - spent_pending
+                if remaining <= 0:
+                    # was already firing when the engine went down; the
+                    # next eval flips it back to firing naturally
+                    # (group.go:833-836)
+                    pass
+                elif remaining < for_grace_period_ms:
+                    # fire ForGracePeriod from now (group.go:837-849)
+                    restored_active = ts_ms + for_grace_period_ms - rule.for_ms
+                else:
+                    # shift forward by the downtime so the remaining
+                    # pending time is preserved (group.go:850-856)
+                    restored_active = restored_active + (ts_ms - down_at)
+                st["active_since"] = restored_active
+                restored += 1
+        return restored
+
     # -- streaming wiring -----------------------------------------------------
     def stream(
         self,
@@ -299,6 +386,7 @@ class RulesEngine:
         append_fn,
         trigger_seconds: Optional[float] = None,
         now_fn=None,
+        restore: bool = False,
     ):
         """Run the group on a Structured Streaming trigger.  Each trigger
         tick calls ``eval_tick(now)`` and hands the produced frame to
@@ -317,8 +405,16 @@ class RulesEngine:
             self.spark.readStream.format("rate").option("rowsPerSecond", 1).load()
         )
 
+        should_restore = [restore]
+
         def on_tick(batch_df, batch_id):
-            samples_df, alert_rows = self.eval_tick(group, now_fn())
+            now = now_fn()
+            samples_df, alert_rows = self.eval_tick(group, now)
+            # the reference restores 'for' state right after the FIRST
+            # eval of a restarted group (rules/group.go:272-275)
+            if should_restore[0]:
+                should_restore[0] = False
+                self.restore_for_state(group, now)
             append_fn(samples_df, alert_rows)
 
         writer = clock.writeStream.foreachBatch(on_tick).outputMode("append")

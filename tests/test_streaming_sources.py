@@ -145,6 +145,59 @@ def test_alerting_rule_state_machine(spark, rules_setup):
     assert labels["alertname"] == "HighErrors" and labels["job"] == "api"
 
 
+def test_alert_for_state_restore_after_restart(spark, rules_setup):
+    """Kill the rule engine mid-`for:` period and rebuild it: after the
+    first post-restart eval, restore_for_state pulls activation times
+    back from the persisted ALERTS_FOR_STATE series (group.go:739), so
+    remaining pending time is preserved instead of re-arming from zero."""
+    from prometheus_spark.streaming import AlertingRule, RuleGroup, RulesEngine
+
+    group = RuleGroup(
+        "g",
+        M,
+        [
+            AlertingRule("SlowBurn", "errors_total > 50", for_ms=4 * M),
+            AlertingRule("FastBurn", "errors_total > 50", for_ms=2 * M),
+        ],
+    )
+
+    eng_a = RulesEngine(spark, rules_setup)
+    for t in (6, 7, 8):
+        out, alerts = eng_a.eval_tick(group, t * M)
+    # by 8m: SlowBurn pending (2m < 4m), FastBurn firing (2m >= 2m)
+    assert {(a[0], a[3]) for a in alerts} == {
+        ("SlowBurn", "pending"),
+        ("FastBurn", "firing"),
+    }
+    fs_rows = [
+        (dict(r["labels"]), r["t"], r["value"])
+        for r in out.collect()
+        if r["name"] == "ALERTS_FOR_STATE" and not r["stale"]
+    ]
+    assert len(fs_rows) == 2 and all(v == 6 * 60.0 for _, _, v in fs_rows)
+
+    # "restart": brand-new engine over samples + the persisted FOR_STATE
+    restarted = rules_setup.unionByName(samples_from_rows(spark, fs_rows))
+    eng_b = RulesEngine(spark, restarted)
+    _, alerts = eng_b.eval_tick(group, 10 * M)  # first eval re-arms fresh
+    assert all(a[3] == "pending" and a[4] == 10 * M for a in alerts)
+    n = eng_b.restore_for_state(
+        group, 10 * M, outage_tolerance_ms=60 * M, for_grace_period_ms=M
+    )
+    assert n == 2
+    _, alerts = eng_b.eval_tick(group, 11 * M)
+    by_name = {a[0]: a for a in alerts}
+    # FastBurn was firing before the outage -> restored activation (6m)
+    # already exceeds for, so it flips straight back to firing
+    assert by_name["FastBurn"][3] == "firing"
+    # SlowBurn had 2m remaining; activation shifted by the 2m downtime
+    # (6m -> 8m) so it is still pending at 11m and fires at 12m
+    assert by_name["SlowBurn"][3] == "pending"
+    assert by_name["SlowBurn"][4] == 8 * M
+    _, alerts = eng_b.eval_tick(group, 12 * M)
+    assert {a[0] for a in alerts if a[3] == "firing"} == {"SlowBurn", "FastBurn"}
+
+
 # --- exposition parser ---------------------------------------------------------
 EXPO = """
 # HELP http_requests_total Total requests.
