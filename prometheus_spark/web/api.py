@@ -529,14 +529,36 @@ class PromAPI:
                 resp["warnings"] = ["results truncated due to limit"]
         return resp
 
+    @staticmethod
+    def _push_limit(params: dict, df):
+        """Push ``limit`` into the plan as ``.limit(n+1)`` — the
+        SelectHints.Limit stance (storage/interface.go:214): at high
+        cardinality a broad match[] must not materialize every series on
+        the driver just to throw away all but n.  +1 so ``_limit`` can
+        still detect truncation and attach the warning."""
+        s = params.get("limit", [""])[0]
+        if s:
+            try:
+                n = int(s)
+            except ValueError:
+                return df
+            if n > 0:
+                return df.limit(n + 1)
+        return df
+
     def series(self, params: dict) -> tuple[int, dict]:
         df, err = self._scoped_samples(params, require_match=True)
         if err:
             return err
         out = []
         seen = set()
-        # distinct() can't hash MAP columns — dedupe on the sig key
-        for r in df.select("sig", "labels").dropDuplicates(["sig"]).collect():
+        # distinct() can't hash MAP columns — dedupe on the sig key;
+        # limit is pushed below the collect (GlobalLimit above the
+        # dedup exchange), so the driver sees at most n+1 rows
+        plan = self._push_limit(
+            params, df.select("sig", "labels").dropDuplicates(["sig"])
+        )
+        for r in plan.collect():
             key = tuple(sorted(r["labels"].items()))
             if key not in seen:
                 seen.add(key)
@@ -550,12 +572,16 @@ class PromAPI:
         df, err = self._scoped_samples(params)
         if err:
             return err
+        # orderBy+limit compiles to TakeOrderedAndProject — sorted
+        # truncation without a global sort or a full driver collect
         names = [
             r["l"]
-            for r in df.select(F.explode(F.map_keys("labels")).alias("l"))
-            .distinct()
-            .orderBy("l")
-            .collect()
+            for r in self._push_limit(
+                params,
+                df.select(F.explode(F.map_keys("labels")).alias("l"))
+                .distinct()
+                .orderBy("l"),
+            ).collect()
         ]
         resp = self._limit(params, names, {"status": "success", "data": names})
         return (400 if resp["status"] == "error" else 200), resp
@@ -568,11 +594,13 @@ class PromAPI:
             return err
         vals = [
             r["v"]
-            for r in df.select(F.element_at("labels", name).alias("v"))
-            .where(F.col("v").isNotNull())
-            .distinct()
-            .orderBy("v")
-            .collect()
+            for r in self._push_limit(
+                params,
+                df.select(F.element_at("labels", name).alias("v"))
+                .where(F.col("v").isNotNull())
+                .distinct()
+                .orderBy("v"),
+            ).collect()
         ]
         resp = self._limit(params, vals, {"status": "success", "data": vals})
         return (400 if resp["status"] == "error" else 200), resp

@@ -280,3 +280,47 @@ def test_cross_corpus_dedup_antijoin_on_hash(spark):
     plan = _plan(df)
     assert "LeftAnti" in plan and "content_hash" in plan
     assert df.count() == 1  # "aaa" already in the corpus
+
+
+def test_series_limit_pushed_into_plan(spark, tmp_path):
+    """A limited /series plan must carry a GlobalLimit below the collect
+    (SelectHints.Limit, storage/interface.go:214) — a broad match[] at
+    high cardinality may not materialize every series on the driver."""
+    from prometheus_spark.engine import PromQLEngine
+    from prometheus_spark.storage import (
+        read_samples,
+        samples_from_rows,
+        write_samples,
+    )
+    from prometheus_spark.storage.series_dim import read_series_dim
+    from prometheus_spark.web.api import PromAPI
+
+    samples_path = str(tmp_path / "samples")
+    dim_path = str(tmp_path / "series_dim")
+    rows = [
+        ({"__name__": "m1", "job": f"j{i}"}, 1_000, float(i)) for i in range(8)
+    ]
+    write_samples(
+        samples_from_rows(spark, rows), samples_path, series_dim_path=dim_path
+    )
+    api = PromAPI(PromQLEngine(spark, read_samples(spark, samples_path)))
+    api.series_dim = read_series_dim(spark, dim_path)
+
+    df, err = api._scoped_samples({"match[]": ["m1"]}, require_match=True)
+    assert err is None
+    limited = api._push_limit(
+        {"limit": ["3"]}, df.select("sig", "labels").dropDuplicates(["sig"])
+    )
+    plan = limited._jdf.queryExecution().executedPlan().toString()
+    assert "GlobalLimit 4" in plan or "CollectLimit 4" in plan
+
+    # functional: 8 matching series, limit=3 -> 3 rows + warning
+    code, resp = api.series({"match[]": ["m1"], "limit": ["3"]})
+    assert code == 200 and len(resp["data"]) == 3
+    assert resp.get("warnings") == ["results truncated due to limit"]
+    # labels/label_values take the same pushdown
+    code, resp = api.label_values("job", {"limit": ["2"]})
+    assert code == 200 and len(resp["data"]) == 2
+    assert resp.get("warnings") == ["results truncated due to limit"]
+    code, resp = api.labels({"limit": ["1"]})
+    assert code == 200 and resp["data"] == ["__name__"]
