@@ -77,6 +77,8 @@ class ScrapeJobConfig:
     consul_sd: list = field(default_factory=list)  # {"server", "services", ...}
     kubernetes_sd: list = field(default_factory=list)  # {"api_server", "role", ...}
     ec2_sd: list = field(default_factory=list)  # {"region", "port", ...}
+    azure_sd: list = field(default_factory=list)  # {"subscription_id", ...}
+    gce_sd: list = field(default_factory=list)  # {"project", "zone", ...}
 
 
 @dataclass
@@ -207,6 +209,9 @@ def load_config(path: str) -> PromConfig:
                     (ks.get("authorization") or {}).get("credentials", "")
                 ),
                 "refresh_interval_ms": _dur_ms(ks.get("refresh_interval"), 30_000),
+                # incremental watch (informer) mode; list-on-refresh
+                # when disabled
+                "watch": bool(ks.get("watch", False)),
             }
             for ks in sc.get("kubernetes_sd_configs") or []
         ]
@@ -220,6 +225,29 @@ def load_config(path: str) -> PromConfig:
                 "refresh_interval_ms": _dur_ms(es.get("refresh_interval"), 60_000),
             }
             for es in sc.get("ec2_sd_configs") or []
+        ]
+        azure_sd = [
+            {
+                "subscription_id": az.get("subscription_id", ""),
+                "tenant_id": az.get("tenant_id", ""),
+                "client_id": az.get("client_id", ""),
+                "client_secret": az.get("client_secret", ""),
+                "port": int(az.get("port", 80)),
+                "resource_group": az.get("resource_group", ""),
+                "refresh_interval_ms": _dur_ms(az.get("refresh_interval"), 300_000),
+            }
+            for az in sc.get("azure_sd_configs") or []
+        ]
+        gce_sd = [
+            {
+                "project": gs.get("project", ""),
+                "zone": gs.get("zone", ""),
+                "port": int(gs.get("port", 80)),
+                "filter": gs.get("filter", ""),
+                "tag_separator": gs.get("tag_separator", ","),
+                "refresh_interval_ms": _dur_ms(gs.get("refresh_interval"), 60_000),
+            }
+            for gs in sc.get("gce_sd_configs") or []
         ]
         cfg.scrape_jobs.append(
             ScrapeJobConfig(
@@ -248,6 +276,8 @@ def load_config(path: str) -> PromConfig:
                 consul_sd=consul_sd,
                 kubernetes_sd=kubernetes_sd,
                 ec2_sd=ec2_sd,
+                azure_sd=azure_sd,
+                gce_sd=gce_sd,
             )
         )
 
@@ -288,8 +318,10 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
     time.
     """
     from prometheus_spark.sources.discovery import (
+        AzureDiscovery,
         ConsulDiscovery,
         EC2Discovery,
+        GCEDiscovery,
         KubernetesDiscovery,
         DiscoveryManager,
         DNSDiscovery,
@@ -349,6 +381,7 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
                 KubernetesDiscovery(
                     ks["api_server"], ks["role"], ks["namespaces"],
                     ks["bearer_token"], ks["refresh_interval_ms"],
+                    watch=ks["watch"],
                 )
             )
         for es in jobcfg.ec2_sd:
@@ -356,6 +389,23 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
                 EC2Discovery(
                     es["region"], es["access_key"], es["secret_key"],
                     es["port"], es["endpoint"], es["refresh_interval_ms"],
+                )
+            )
+        for az in jobcfg.azure_sd:
+            providers.append(
+                AzureDiscovery(
+                    az["subscription_id"], az["tenant_id"],
+                    az["client_id"], az["client_secret"], az["port"],
+                    az["resource_group"],
+                    refresh_interval_ms=az["refresh_interval_ms"],
+                )
+            )
+        for gs in jobcfg.gce_sd:
+            providers.append(
+                GCEDiscovery(
+                    gs["project"], gs["zone"], gs["port"], gs["filter"],
+                    gs["tag_separator"],
+                    refresh_interval_ms=gs["refresh_interval_ms"],
                 )
             )
         discovery.register(jobcfg, providers)

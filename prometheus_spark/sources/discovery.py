@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import glob as _glob
 import json
+import re
 import threading
 import time
 import urllib.parse
@@ -453,6 +454,320 @@ class EC2Discovery:
         return out
 
 
+class GCEDiscovery:
+    """gce_sd_configs provider (discovery/gce/gce.go:37-50,181-247): one
+    target per instance at ``networkIP:port`` with the reference's
+    ``__meta_gce_*`` labels (project/zone/instance id+name+status/
+    machine type/network/subnetwork/private+public IP/tags/metadata_*/
+    label_*/interface_ipv4_<nic>).
+
+    Plain REST list-on-refresh against the public Compute API
+    (``GET .../projects/{p}/zones/{z}/instances``), paginated via
+    ``nextPageToken`` — no SDK.  Auth is a bearer token; by default it
+    is read from the GCE metadata server (the workload-identity path),
+    or inject ``token_fn``/``fetch_fn``."""
+
+    def __init__(
+        self,
+        project: str,
+        zone: str,
+        port: int = 80,
+        filter: str = "",
+        tag_separator: str = ",",
+        endpoint: str = "https://compute.googleapis.com",
+        refresh_interval_ms: int = 60_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str], bytes]] = None,
+        token_fn: Optional[Callable[[], str]] = None,
+    ):
+        self.project = project
+        self.zone = zone
+        self.port = port
+        self.filter = filter
+        self.tag_separator = tag_separator
+        self.endpoint = endpoint.rstrip("/")
+        self.refresh_interval_ms = refresh_interval_ms
+        self.timeout_s = timeout_s
+        self._fetch = fetch_fn or self._http_get
+        self._token_fn = token_fn
+        self._last_good: list[TargetGroup] = []
+
+    def _metadata_token(self) -> str:
+        req = urllib.request.Request(
+            "http://metadata.google.internal/computeMetadata/v1/"
+            "instance/service-accounts/default/token",
+            headers={"Metadata-Flavor": "Google"},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return json.loads(resp.read())["access_token"]
+
+    def _http_get(self, url: str) -> bytes:
+        token = self._token_fn() if self._token_fn else self._metadata_token()
+        req = urllib.request.Request(
+            url, headers={"Authorization": f"Bearer {token}"}
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return resp.read()
+
+    def _list_url(self, page_token: str = "") -> str:
+        base = (
+            f"{self.endpoint}/compute/v1/projects/{self.project}"
+            f"/zones/{self.zone}/instances"
+        )
+        q = {}
+        if self.filter:
+            q["filter"] = self.filter
+        if page_token:
+            q["pageToken"] = page_token
+        return base + ("?" + urllib.parse.urlencode(q) if q else "")
+
+    def _instance_labels(self, inst: dict) -> Optional[dict]:
+        ifaces = inst.get("networkInterfaces") or []
+        if not ifaces:
+            return None  # gce.go:188 skips interface-less instances
+        pri = ifaces[0]
+        labels = {
+            "__meta_gce_project": self.project,
+            "__meta_gce_zone": inst.get("zone", ""),
+            "__meta_gce_instance_id": str(inst.get("id", "")),
+            "__meta_gce_instance_name": inst.get("name", ""),
+            "__meta_gce_instance_status": inst.get("status", ""),
+            "__meta_gce_machine_type": inst.get("machineType", ""),
+            "__meta_gce_network": pri.get("network", ""),
+            "__meta_gce_subnetwork": pri.get("subnetwork", ""),
+            "__meta_gce_private_ip": pri.get("networkIP", ""),
+        }
+        for iface in ifaces:
+            labels[
+                "__meta_gce_interface_ipv4_"
+                + _sanitize_label_name(iface.get("name", ""))
+            ] = iface.get("networkIP", "")
+        tags = (inst.get("tags") or {}).get("items") or []
+        if tags:
+            # separator-surrounded so relabel regexes ignore position
+            # (gce.go:216-218)
+            labels["__meta_gce_tags"] = (
+                self.tag_separator
+                + self.tag_separator.join(tags)
+                + self.tag_separator
+            )
+        for item in (inst.get("metadata") or {}).get("items") or []:
+            if item.get("value") is None:
+                continue
+            labels[
+                "__meta_gce_metadata_" + _sanitize_label_name(item["key"])
+            ] = item["value"]
+        for k, v in (inst.get("labels") or {}).items():
+            labels["__meta_gce_label_" + _sanitize_label_name(k)] = v
+        acs = pri.get("accessConfigs") or []
+        if acs and acs[0].get("type") == "ONE_TO_ONE_NAT":
+            labels["__meta_gce_public_ip"] = acs[0].get("natIP", "")
+        return labels
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        try:
+            groups: list[TargetGroup] = []
+            page = ""
+            while True:
+                doc = json.loads(self._fetch(self._list_url(page)))
+                for inst in doc.get("items") or []:
+                    labels = self._instance_labels(inst)
+                    if labels is None:
+                        continue
+                    addr = f'{labels["__meta_gce_private_ip"]}:{self.port}'
+                    groups.append(TargetGroup([addr], labels))
+                page = doc.get("nextPageToken", "")
+                if not page:
+                    break
+            self._last_good = groups
+        except Exception:
+            groups = self._last_good
+        return groups
+
+
+_AZURE_RG_RE = re.compile(
+    r"/subscriptions/[^/]+/resourceGroups/([^/]+)/", re.IGNORECASE
+)
+
+
+class AzureDiscovery:
+    """azure_sd_configs provider (discovery/azure/azure.go:53-66,527-610):
+    one target per VM (standalone and scale-set) at ``private_ip:port``
+    with the reference's ``__meta_azure_*`` labels (subscription/tenant/
+    machine id+name+computer_name+os_type+location+resource_group+size,
+    scale_set when applicable, tags, private/public IP).
+
+    Plain REST list-on-refresh against the ARM API: list VMs and scale
+    sets subscription- or resource-group-wide, then resolve each VM's
+    primary NIC for addresses (the reference caches NIC lookups; here a
+    per-refresh memo de-dupes them).  OAuth2 client-credentials token by
+    default, or inject ``token_fn``/``fetch_fn``."""
+
+    def __init__(
+        self,
+        subscription_id: str,
+        tenant_id: str = "",
+        client_id: str = "",
+        client_secret: str = "",
+        port: int = 80,
+        resource_group: str = "",
+        endpoint: str = "https://management.azure.com",
+        authentication_endpoint: str = "https://login.microsoftonline.com",
+        api_version: str = "2023-03-01",
+        refresh_interval_ms: int = 300_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str], bytes]] = None,
+        token_fn: Optional[Callable[[], str]] = None,
+    ):
+        self.subscription_id = subscription_id
+        self.tenant_id = tenant_id
+        self.client_id = client_id
+        self.client_secret = client_secret
+        self.port = port
+        self.resource_group = resource_group
+        self.endpoint = endpoint.rstrip("/")
+        self.auth_endpoint = authentication_endpoint.rstrip("/")
+        self.api_version = api_version
+        self.refresh_interval_ms = refresh_interval_ms
+        self.timeout_s = timeout_s
+        self._fetch = fetch_fn or self._http_get
+        self._token_fn = token_fn
+        self._last_good: list[TargetGroup] = []
+
+    def _client_credentials_token(self) -> str:
+        body = urllib.parse.urlencode(
+            {
+                "grant_type": "client_credentials",
+                "client_id": self.client_id,
+                "client_secret": self.client_secret,
+                "scope": f"{self.endpoint}/.default",
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"{self.auth_endpoint}/{self.tenant_id}/oauth2/v2.0/token",
+            data=body,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return json.loads(resp.read())["access_token"]
+
+    def _http_get(self, url: str) -> bytes:
+        token = (
+            self._token_fn() if self._token_fn else self._client_credentials_token()
+        )
+        req = urllib.request.Request(
+            url, headers={"Authorization": f"Bearer {token}"}
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return resp.read()
+
+    def _list(self, path: str) -> list:
+        """GET an ARM collection, following ``nextLink`` pagination."""
+        url = f"{self.endpoint}{path}?api-version={self.api_version}"
+        out: list = []
+        while url:
+            doc = json.loads(self._fetch(url))
+            out += doc.get("value") or []
+            url = doc.get("nextLink", "")
+        return out
+
+    def _scope(self) -> str:
+        base = f"/subscriptions/{self.subscription_id}"
+        if self.resource_group:
+            base += f"/resourceGroups/{self.resource_group}"
+        return base
+
+    def _nic(self, nic_id: str, memo: dict) -> dict:
+        if nic_id not in memo:
+            memo[nic_id] = json.loads(
+                self._fetch(
+                    f"{self.endpoint}{nic_id}?api-version={self.api_version}"
+                )
+            )
+        return memo[nic_id]
+
+    def _vm_group(self, vm: dict, memo: dict, scale_set: str = "") -> Optional[TargetGroup]:
+        props = vm.get("properties") or {}
+        os_profile = props.get("osProfile") or {}
+        storage = props.get("storageProfile") or {}
+        hw = props.get("hardwareProfile") or {}
+        labels = {
+            "__meta_azure_subscription_id": self.subscription_id,
+            "__meta_azure_tenant_id": self.tenant_id,
+            "__meta_azure_machine_id": vm.get("id", ""),
+            "__meta_azure_machine_name": vm.get("name", ""),
+            "__meta_azure_machine_computer_name":
+                os_profile.get("computerName", ""),
+            "__meta_azure_machine_os_type":
+                (storage.get("osDisk") or {}).get("osType", ""),
+            "__meta_azure_machine_location": vm.get("location", ""),
+            "__meta_azure_machine_resource_group":
+                (_AZURE_RG_RE.search(vm.get("id", "") + "/") or [None, ""])[1],
+            "__meta_azure_machine_size": hw.get("vmSize", ""),
+        }
+        if scale_set:
+            labels["__meta_azure_machine_scale_set"] = scale_set
+        for k, v in (vm.get("tags") or {}).items():
+            labels["__meta_azure_machine_tag_" + _sanitize_label_name(k)] = v
+        # address resolution via the network provider (azure.go:556-607):
+        # first private IP of the primary NIC's ipConfigurations wins
+        address = ""
+        for nic_ref in ((props.get("networkProfile") or {}).get(
+            "networkInterfaces"
+        ) or []):
+            nic_id = nic_ref.get("id", "")
+            if not nic_id:
+                continue
+            nic = self._nic(nic_id, memo)
+            nprops = nic.get("properties") or {}
+            primary = nprops.get("primary")
+            if primary is False:
+                continue
+            for ipcfg in nprops.get("ipConfigurations") or []:
+                ipprops = ipcfg.get("properties") or {}
+                pub = (ipprops.get("publicIPAddress") or {}).get(
+                    "properties", {}
+                ).get("ipAddress")
+                if pub:
+                    labels["__meta_azure_machine_public_ip"] = pub
+                priv = ipprops.get("privateIPAddress")
+                if priv:
+                    labels["__meta_azure_machine_private_ip"] = priv
+                    address = f"{priv}:{self.port}"
+                    break
+            if address:
+                break
+        if not address:
+            return None  # machines with no private IP are not targets
+        return TargetGroup([address], labels)
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        try:
+            memo: dict = {}
+            groups: list[TargetGroup] = []
+            scope = self._scope()
+            for vm in self._list(
+                f"{scope}/providers/Microsoft.Compute/virtualMachines"
+            ):
+                g = self._vm_group(vm, memo)
+                if g is not None:
+                    groups.append(g)
+            for ss in self._list(
+                f"{scope}/providers/Microsoft.Compute/virtualMachineScaleSets"
+            ):
+                ss_id, ss_name = ss.get("id", ""), ss.get("name", "")
+                if not ss_id:
+                    continue
+                for vm in self._list(f"{ss_id}/virtualMachines"):
+                    g = self._vm_group(vm, memo, scale_set=ss_name)
+                    if g is not None:
+                        groups.append(g)
+            self._last_good = groups
+        except Exception:
+            groups = self._last_good
+        return groups
+
+
 # ---------------------------------------------------------------------------
 # Kubernetes SD (discovery/kubernetes/) — the API server speaks plain
 # HTTPS+JSON with bearer-token auth, so list-on-refresh needs no SDK.
@@ -480,6 +795,8 @@ class KubernetesDiscovery:
         timeout_s: float = 10.0,
         insecure_skip_verify: bool = False,
         fetch_fn: Optional[Callable[[str], bytes]] = None,
+        watch: bool = False,
+        watch_timeout_s: float = 1.0,
     ):
         if role not in (
             "pod", "endpoints", "node", "service", "endpointslice", "ingress"
@@ -494,6 +811,16 @@ class KubernetesDiscovery:
         self.insecure_skip_verify = insecure_skip_verify
         self._fetch = fetch_fn or self._http_get
         self._last_good: list[TargetGroup] = []
+        # watch/informer mode (discovery/kubernetes/kubernetes.go uses
+        # cache.NewSharedInformer): first refresh LISTs and records the
+        # collection resourceVersion; later refreshes send an
+        # incremental WATCH from that version and apply
+        # ADDED/MODIFIED/DELETED deltas to a local object store — no
+        # full relists, which at large cluster scale is the difference
+        # between O(changes) and O(cluster) per refresh.
+        self.watch = watch
+        self.watch_timeout_s = watch_timeout_s
+        self._stores: dict[str, dict] = {}
 
     def _http_get(self, url: str) -> bytes:
         import ssl
@@ -512,8 +839,8 @@ class KubernetesDiscovery:
         ) as resp:
             return resp.read()
 
-    def _list(self, resource: str, api_prefix: str = "/api/v1") -> list[dict]:
-        paths = (
+    def _paths(self, resource: str, api_prefix: str) -> list[str]:
+        return (
             [
                 f"{api_prefix}/namespaces/{ns}/{resource}"
                 for ns in self.namespaces
@@ -521,11 +848,82 @@ class KubernetesDiscovery:
             if self.namespaces
             else [f"{api_prefix}/{resource}"]
         )
+
+    def _list(self, resource: str, api_prefix: str = "/api/v1") -> list[dict]:
         items: list[dict] = []
-        for p in paths:
-            doc = json.loads(self._fetch(self.base + p).decode())
-            items.extend(doc.get("items") or [])
+        for p in self._paths(resource, api_prefix):
+            if self.watch:
+                items.extend(self._watch_items(p))
+            else:
+                doc = json.loads(self._fetch(self.base + p).decode())
+                items.extend(doc.get("items") or [])
         return items
+
+    @staticmethod
+    def _obj_key(obj: dict) -> str:
+        meta = obj.get("metadata") or {}
+        return meta.get("uid") or (
+            f'{meta.get("namespace", "")}/{meta.get("name", "")}'
+        )
+
+    def _watch_items(self, path: str) -> list[dict]:
+        """Informer-style store for one collection path: LIST once to
+        seed, then WATCH from the recorded resourceVersion and fold
+        ADDED/MODIFIED/DELETED events in.  A watch error (e.g. 410 Gone
+        after the version fell out of the server's history) drops the
+        store so the next refresh relists — the informer's
+        relist-on-expiry behavior."""
+        store = self._stores.get(path)
+        if store is None:
+            doc = json.loads(self._fetch(self.base + path).decode())
+            objects = {self._obj_key(o): o for o in doc.get("items") or []}
+            store = {
+                "rv": (doc.get("metadata") or {}).get("resourceVersion", ""),
+                "objects": objects,
+            }
+            self._stores[path] = store
+            return list(objects.values())
+        q = urlencode(
+            {
+                "watch": "1",
+                "allowWatchBookmarks": "true",
+                "resourceVersion": store["rv"],
+                "timeoutSeconds": max(int(self.watch_timeout_s), 0),
+            }
+        )
+        try:
+            body = self._fetch(f"{self.base}{path}?{q}").decode()
+        except Exception:
+            # transport error: serve the store unchanged; next refresh
+            # retries the watch from the same version
+            return list(store["objects"].values())
+        for line in body.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                ev = json.loads(line)
+            except ValueError:
+                continue
+            etype = ev.get("type", "")
+            obj = ev.get("object") or {}
+            if etype == "ERROR":
+                # expired/invalid version (410 Gone) → drop the store
+                # and relist right away (kubernetes.go informer
+                # ListerWatcher relist-on-expiry)
+                self._stores.pop(path, None)
+                return self._watch_items(path)
+            rv = (obj.get("metadata") or {}).get("resourceVersion", "")
+            if rv:
+                store["rv"] = rv
+            if etype == "BOOKMARK":
+                continue
+            key = self._obj_key(obj)
+            if etype == "DELETED":
+                store["objects"].pop(key, None)
+            elif etype in ("ADDED", "MODIFIED"):
+                store["objects"][key] = obj
+        return list(store["objects"].values())
 
     @staticmethod
     def _obj_labels(prefix: str, obj: dict) -> dict:

@@ -678,3 +678,299 @@ def test_kubernetes_sd_ingress_role():
     assert by_host["secure.example.org"]["__meta_kubernetes_ingress_path"] == "/api"
     assert by_host["plain.example.org"]["__meta_kubernetes_ingress_scheme"] == "http"
     assert by_host["plain.example.org"]["__meta_kubernetes_ingress_class_name"] == "nginx"
+
+
+def test_gce_sd_instances():
+    from prometheus_spark.sources.discovery import GCEDiscovery
+
+    pages = {
+        "": {
+            "items": [
+                {
+                    "id": "5551212",
+                    "name": "web-1",
+                    "zone": "projects/p1/zones/us-central1-a",
+                    "status": "RUNNING",
+                    "machineType": "zones/us-central1-a/machineTypes/e2-small",
+                    "networkInterfaces": [
+                        {
+                            "name": "nic0",
+                            "network": "global/networks/default",
+                            "subnetwork": "regions/us-central1/subnetworks/default",
+                            "networkIP": "10.128.0.2",
+                            "accessConfigs": [
+                                {"type": "ONE_TO_ONE_NAT", "natIP": "34.1.2.3"}
+                            ],
+                        },
+                        {"name": "nic1", "networkIP": "10.128.1.2"},
+                    ],
+                    "tags": {"items": ["http-server", "prod"]},
+                    "metadata": {
+                        "items": [
+                            {"key": "startup-script", "value": "#!/bin/sh"},
+                            {"key": "broken", "value": None},
+                        ]
+                    },
+                    "labels": {"env-tier": "prod"},
+                },
+                {"id": "2", "name": "no-iface", "networkInterfaces": []},
+            ],
+            "nextPageToken": "page2",
+        },
+        "page2": {
+            "items": [
+                {
+                    "id": "777",
+                    "name": "web-2",
+                    "zone": "projects/p1/zones/us-central1-a",
+                    "status": "TERMINATED",
+                    "machineType": "zones/us-central1-a/machineTypes/e2-small",
+                    "networkInterfaces": [
+                        {"name": "nic0", "networkIP": "10.128.0.3"}
+                    ],
+                }
+            ]
+        },
+    }
+
+    def fetch(url):
+        from urllib.parse import parse_qs, urlparse
+
+        q = parse_qs(urlparse(url).query)
+        assert "/projects/p1/zones/us-central1-a/instances" in url
+        assert q.get("filter") == ["status = RUNNING"]
+        return json.dumps(pages[q.get("pageToken", [""])[0]]).encode()
+
+    d = GCEDiscovery(
+        "p1", "us-central1-a", port=9090,
+        filter="status = RUNNING", fetch_fn=fetch,
+    )
+    groups = d.refresh()
+    # interface-less instance skipped; pagination followed
+    assert [g.targets[0] for g in groups] == ["10.128.0.2:9090", "10.128.0.3:9090"]
+    g = groups[0].labels
+    assert g["__meta_gce_project"] == "p1"
+    assert g["__meta_gce_zone"] == "projects/p1/zones/us-central1-a"
+    assert g["__meta_gce_instance_id"] == "5551212"
+    assert g["__meta_gce_instance_name"] == "web-1"
+    assert g["__meta_gce_instance_status"] == "RUNNING"
+    assert g["__meta_gce_network"] == "global/networks/default"
+    assert g["__meta_gce_private_ip"] == "10.128.0.2"
+    assert g["__meta_gce_public_ip"] == "34.1.2.3"
+    assert g["__meta_gce_tags"] == ",http-server,prod,"
+    assert g["__meta_gce_metadata_startup_script"] == "#!/bin/sh"
+    assert "__meta_gce_metadata_broken" not in g
+    assert g["__meta_gce_label_env_tier"] == "prod"
+    assert g["__meta_gce_interface_ipv4_nic0"] == "10.128.0.2"
+    assert g["__meta_gce_interface_ipv4_nic1"] == "10.128.1.2"
+    # second instance has no NAT access config -> no public ip
+    assert "__meta_gce_public_ip" not in groups[1].labels
+
+    # failure keeps the last good set
+    d._fetch = lambda u: (_ for _ in ()).throw(OSError("gce down"))
+    assert len(d.refresh()) == 2
+
+
+def test_azure_sd_vms_and_scale_sets():
+    from prometheus_spark.sources.discovery import AzureDiscovery
+
+    sub = "/subscriptions/sub-1"
+    vm_id = f"{sub}/resourceGroups/RG-A/providers/Microsoft.Compute/virtualMachines/vm-1"
+    ss_id = f"{sub}/resourceGroups/rg-b/providers/Microsoft.Compute/virtualMachineScaleSets/ss1"
+    ssvm_id = f"{ss_id}/virtualMachines/0"
+    nic1 = f"{sub}/resourceGroups/RG-A/providers/Microsoft.Network/networkInterfaces/nic-1"
+    nic2 = f"{ss_id}/virtualMachines/0/networkInterfaces/nic-ss"
+
+    responses = {
+        f"{sub}/providers/Microsoft.Compute/virtualMachines": {
+            "value": [
+                {
+                    "id": vm_id,
+                    "name": "vm-1",
+                    "location": "westeurope",
+                    "tags": {"team:name": "db"},
+                    "properties": {
+                        "osProfile": {"computerName": "vm-1-host"},
+                        "storageProfile": {"osDisk": {"osType": "Linux"}},
+                        "hardwareProfile": {"vmSize": "Standard_D2s_v3"},
+                        "networkProfile": {
+                            "networkInterfaces": [{"id": nic1}]
+                        },
+                    },
+                }
+            ]
+        },
+        f"{sub}/providers/Microsoft.Compute/virtualMachineScaleSets": {
+            "value": [{"id": ss_id, "name": "ss1"}]
+        },
+        f"{ss_id}/virtualMachines": {
+            "value": [
+                {
+                    "id": ssvm_id,
+                    "name": "ss1_0",
+                    "location": "westeurope",
+                    "properties": {
+                        "osProfile": {"computerName": "ss1-host-0"},
+                        "storageProfile": {"osDisk": {"osType": "Windows"}},
+                        "hardwareProfile": {"vmSize": "Standard_B2s"},
+                        "networkProfile": {
+                            "networkInterfaces": [{"id": nic2}]
+                        },
+                    },
+                }
+            ]
+        },
+        nic1: {
+            "properties": {
+                "primary": True,
+                "ipConfigurations": [
+                    {
+                        "properties": {
+                            "privateIPAddress": "10.1.0.4",
+                            "publicIPAddress": {
+                                "properties": {"ipAddress": "52.1.2.3"}
+                            },
+                        }
+                    }
+                ],
+            }
+        },
+        nic2: {
+            "properties": {
+                "ipConfigurations": [
+                    {"properties": {"privateIPAddress": "10.2.0.5"}}
+                ]
+            }
+        },
+    }
+
+    def fetch(url):
+        from urllib.parse import urlparse
+
+        parsed = urlparse(url)
+        assert "api-version=2023-03-01" in parsed.query
+        path = parsed.path.replace("https://management.azure.com", "")
+        return json.dumps(responses[path]).encode()
+
+    d = AzureDiscovery(
+        "sub-1", tenant_id="ten-1", port=9100, fetch_fn=fetch
+    )
+    groups = d.refresh()
+    assert [g.targets[0] for g in groups] == ["10.1.0.4:9100", "10.2.0.5:9100"]
+    g = groups[0].labels
+    assert g["__meta_azure_subscription_id"] == "sub-1"
+    assert g["__meta_azure_tenant_id"] == "ten-1"
+    assert g["__meta_azure_machine_id"] == vm_id
+    assert g["__meta_azure_machine_name"] == "vm-1"
+    assert g["__meta_azure_machine_computer_name"] == "vm-1-host"
+    assert g["__meta_azure_machine_os_type"] == "Linux"
+    assert g["__meta_azure_machine_location"] == "westeurope"
+    assert g["__meta_azure_machine_resource_group"] == "RG-A"
+    assert g["__meta_azure_machine_size"] == "Standard_D2s_v3"
+    assert g["__meta_azure_machine_tag_team_name"] == "db"
+    assert g["__meta_azure_machine_private_ip"] == "10.1.0.4"
+    assert g["__meta_azure_machine_public_ip"] == "52.1.2.3"
+    assert "__meta_azure_machine_scale_set" not in g
+    s = groups[1].labels
+    assert s["__meta_azure_machine_scale_set"] == "ss1"
+    assert s["__meta_azure_machine_os_type"] == "Windows"
+    assert s["__meta_azure_machine_resource_group"] == "rg-b"
+    assert "__meta_azure_machine_public_ip" not in s
+
+    # failure keeps the last good set
+    d._fetch = lambda u: (_ for _ in ()).throw(OSError("arm down"))
+    assert len(d.refresh()) == 2
+
+
+def _pod(name, ip, rv, uid=None, phase="Running"):
+    return {
+        "metadata": {"name": name, "namespace": "default",
+                     "uid": uid or f"uid-{name}", "resourceVersion": rv},
+        "spec": {"nodeName": "n1",
+                 "containers": [{"name": "c", "ports": [
+                     {"containerPort": 8080, "name": "http",
+                      "protocol": "TCP"}]}]},
+        "status": {"podIP": ip, "hostIP": "10.0.0.1", "phase": phase,
+                   "conditions": [{"type": "Ready", "status": "True"}]},
+    }
+
+
+def test_kubernetes_sd_pod_watch_incremental():
+    """Watch mode: one LIST seeds the store; subsequent refreshes send
+    watch=1&resourceVersion=<rv> and apply ADDED/MODIFIED/DELETED
+    incrementally — no relist (kubernetes.go informer semantics)."""
+    from prometheus_spark.sources.discovery import KubernetesDiscovery
+
+    calls = []
+    watch_batches = [
+        # refresh 2: one new pod, one modified ip
+        "\n".join([
+            json.dumps({"type": "ADDED", "object": _pod("p2", "10.1.0.2", "11")}),
+            json.dumps({"type": "MODIFIED", "object": _pod("p1", "10.1.0.9", "12")}),
+            json.dumps({"type": "BOOKMARK", "object": {
+                "metadata": {"resourceVersion": "13"}}}),
+        ]),
+        # refresh 3: p1 deleted
+        json.dumps({"type": "DELETED", "object": _pod("p1", "10.1.0.9", "14")}),
+        # refresh 4: no events
+        "",
+    ]
+
+    def fetch(url):
+        calls.append(url)
+        if "watch=1" in url:
+            return watch_batches.pop(0).encode()
+        return json.dumps({
+            "metadata": {"resourceVersion": "10"},
+            "items": [_pod("p1", "10.1.0.1", "9")],
+        }).encode()
+
+    d = KubernetesDiscovery("https://kube:6443", role="pod",
+                            fetch_fn=fetch, watch=True)
+    assert [g.targets[0] for g in d.refresh()] == ["10.1.0.1:8080"]
+    assert len(calls) == 1 and "watch" not in calls[0]
+
+    g2 = sorted(g.targets[0] for g in d.refresh())
+    assert g2 == ["10.1.0.2:8080", "10.1.0.9:8080"]
+    assert "watch=1" in calls[1] and "resourceVersion=10" in calls[1]
+
+    g3 = [g.targets[0] for g in d.refresh()]
+    assert g3 == ["10.1.0.2:8080"]
+    # rv advanced from the event stream, not a relist
+    assert "resourceVersion=13" in calls[2]
+    assert len(calls) == 3 or "resourceVersion=14" in calls[3]
+
+    g4 = [g.targets[0] for g in d.refresh()]
+    assert g4 == ["10.1.0.2:8080"]
+    # every post-seed call was a watch — never a second LIST
+    assert all("watch=1" in c for c in calls[1:])
+
+
+def test_kubernetes_sd_pod_watch_expired_relists():
+    """A 410-style ERROR event drops the store and relists immediately."""
+    from prometheus_spark.sources.discovery import KubernetesDiscovery
+
+    calls = []
+    lists = [
+        {"metadata": {"resourceVersion": "10"},
+         "items": [_pod("p1", "10.1.0.1", "9")]},
+        {"metadata": {"resourceVersion": "50"},
+         "items": [_pod("p9", "10.1.0.9", "49")]},
+    ]
+
+    def fetch(url):
+        calls.append(url)
+        if "watch=1" in url:
+            return json.dumps({
+                "type": "ERROR",
+                "object": {"kind": "Status", "code": 410,
+                           "reason": "Expired"},
+            }).encode()
+        return json.dumps(lists.pop(0)).encode()
+
+    d = KubernetesDiscovery("https://kube:6443", role="pod",
+                            fetch_fn=fetch, watch=True)
+    assert [g.targets[0] for g in d.refresh()] == ["10.1.0.1:8080"]
+    # watch returns ERROR -> relist within the same refresh
+    assert [g.targets[0] for g in d.refresh()] == ["10.1.0.9:8080"]
+    assert [("watch=1" in c) for c in calls] == [False, True, False]
