@@ -78,13 +78,13 @@ def main() -> None:
         # generated code, so the measured run hits the compiled-class
         # cache instead of paying whole-stage-codegen compilation
         from prometheus_spark.pipeline import (
-            minhash_dup_candidates,
+            minhash_dup_candidates_portable,
             ngram_jaccard_pairs,
             topk_ngrams,
         )
 
         tiny = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(64).cache()
-        minhash_dup_candidates(tiny).count()
+        minhash_dup_candidates_portable(tiny).count()
         ngram_jaccard_pairs(tiny, n=2, threshold=0.5).count()
         topk_ngrams(tiny).count()
         tiny.unpersist()
@@ -97,14 +97,19 @@ def main() -> None:
     # b.ResetTimer + N iterations), and single-shot numbers on a shared
     # box carry ±40% scheduler/codegen noise.  Methodology is recorded
     # in the output ("runs"/"timing") so rounds stay comparable.
+    # The COLD first run is recorded alongside the steady-state min so
+    # compile-cost regressions (e.g. a codegen spike the warm-up would
+    # otherwise mask) stay visible round-over-round.
     RUNS = 2
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     total = 0.0
+    cold_total = 0.0
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
         n = 0
-        for _ in range(RUNS):
+        for i in range(RUNS):
             t0 = time.monotonic()
             try:
                 df = fn(spark, SF_DIR)
@@ -112,10 +117,15 @@ def main() -> None:
             except Exception as e:  # keep the bench robust: failed = inf
                 print(f"# bench {name} failed: {e}", file=sys.stderr)
                 break
-            best = min(best, time.monotonic() - t0)
+            elapsed = time.monotonic() - t0
+            if i == 0:
+                cold[name] = round(elapsed, 3)
+            best = min(best, elapsed)
         timings[name] = round(best, 3) if best != float("inf") else best
         total += best
-        print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
+        cold_total += cold.get(name, float("inf"))
+        print(f"# {name}: {best:.2f}s cold={cold.get(name)}s ({n} rows)",
+              file=sys.stderr)
 
     print(
         json.dumps(
@@ -124,6 +134,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "cold": cold,
+                "cold_total": round(cold_total, 3),
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "runs": RUNS,

@@ -314,15 +314,23 @@ def minhash_dup_candidates_portable(
     consts = portable_perm_constants(num_perm, p)
     rows_per_band = num_perm // bands
     grams = _word_ngrams(F.col(text_col), shingle_n)
+    # project the base-hash array ONCE before fanning out into the
+    # num_perm array_min expressions — without the intermediate
+    # projection each min would re-derive the md5 of every shingle
     base = F.transform(grams, lambda g: _portable_base_hash(g, p))
+    hashed = _spread(df, id_col).select(
+        F.col(id_col), base.alias("__base")
+    ).filter(F.size("__base") > 0)
     mins = [
-        F.array_min(F.transform(base, lambda b: (F.lit(a) * b + F.lit(c)) % F.lit(p)))
+        F.array_min(
+            F.transform(
+                F.col("__base"), lambda b: (F.lit(a) * b + F.lit(c)) % F.lit(p)
+            )
+        )
         for a, c in consts
     ]
-    sigs = (
-        _spread(df, id_col)
-        .select(F.col(id_col), F.size(grams).alias("__n"), *[m.alias(f"m{i}") for i, m in enumerate(mins)])
-        .filter(F.col("__n") > 0)
+    sigs = hashed.select(
+        F.col(id_col), *[m.alias(f"m{i}") for i, m in enumerate(mins)]
     )
     buckets = F.array(
         *[
@@ -366,15 +374,18 @@ def simhash_64_portable(
     words = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != F.lit("")
     )
+    # md5 once per word (the dominant cost); the hi/lo split reads the
+    # already-computed hex string
+    digests = F.transform(words, lambda w: F.md5(w))
     hashed = (
         _spread(df, id_col)
         .select(
             F.col(id_col),
             F.transform(
-                words,
-                lambda w: F.struct(
-                    F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long").alias("hi"),
-                    F.conv(F.substring(F.md5(w), 9, 8), 16, 10).cast("long").alias("lo"),
+                digests,
+                lambda d: F.struct(
+                    F.conv(F.substring(d, 1, 8), 16, 10).cast("long").alias("hi"),
+                    F.conv(F.substring(d, 9, 8), 16, 10).cast("long").alias("lo"),
                 ),
             ).alias("__h"),
         )

@@ -9,9 +9,17 @@ answered with a ``ReadResponse`` of SAMPLES-typed query results
 The Spark side is a matcher-predicate filter over the samples table —
 Catalyst pushes the name/time predicates to the scan; only the matched
 series travel to the driver for protobuf rendering, the same boundary
-the reference's read handler represents.  The STREAMED_XOR_CHUNKS
-response type is not offered (we answer SAMPLES, the universal
-fallback both sides must support per remote.proto:38-49).
+the reference's read handler represents.
+
+Both response types are offered (remote.proto:38-50): SAMPLES (the
+universal fallback) and STREAMED_XOR_CHUNKS — series rendered as
+Gorilla XOR chunks (storage/chunkenc.py) inside length-prefixed,
+CRC32-Castagnoli-checksummed frames of ChunkedReadResponse messages
+(storage/remote/chunked.go:64-90, read_handler.go:188), negotiated
+FIFO from the request's accepted_response_types.  Streaming means a
+large read never materializes one giant protobuf: frames flush per
+``max_bytes_in_frame`` (the reference's --storage.remote.read-max-
+bytes-in-frame, default 1 MiB).
 """
 
 from __future__ import annotations
@@ -32,14 +40,63 @@ from prometheus_spark.sources.remote_write import (
 _MATCH_TYPES = {0: "=", 1: "!=", 2: "=~", 3: "!~"}
 _MATCH_CODES = {v: k for k, v in _MATCH_TYPES.items()}
 
+#: remote.proto:38-50 ReadRequest.ResponseType
+SAMPLES = 0
+STREAMED_XOR_CHUNKS = 1
+
+CONTENT_TYPE_SAMPLES = "application/x-protobuf"
+CONTENT_TYPE_STREAMED = (
+    "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse"
+)
+
+#: --storage.remote.read-max-bytes-in-frame default (read_handler.go)
+DEFAULT_MAX_BYTES_IN_FRAME = 1 << 20
+
+
+def negotiate_response_type(accepted: list[int]) -> int:
+    """FIFO pick of the first supported type; empty list → SAMPLES
+    (remote.proto:55-58, storage/remote/codec.go NegotiateResponseType)."""
+    if not accepted:
+        return SAMPLES
+    for t in accepted:
+        if t in (SAMPLES, STREAMED_XOR_CHUNKS):
+            return t
+    raise ValueError(f"server does not support any of the requested response types: {accepted}")
+
 
 def decode_read_request(body: bytes, compressed: bool = True) -> list[dict]:
     """snappy(proto ReadRequest) → [{start_ms, end_ms, matchers:
     [(op, name, value)]}] (remote.proto:67 Query)."""
+    return decode_read_request_full(body, compressed)[0]
+
+
+def decode_read_request_full(
+    body: bytes, compressed: bool = True
+) -> tuple[list[dict], list[int]]:
+    """Like :func:`decode_read_request` but also returns the request's
+    ``accepted_response_types`` (remote.proto:58, packed or unpacked)."""
     if compressed:
         body = snappy_decode(body)
     queries = []
+    accepted: list[int] = []
     for fno, _wt, qbuf in _fields(body):
+        if fno == 2:  # accepted_response_types
+            if isinstance(qbuf, (bytes, bytearray)):  # packed varints
+                i = 0
+                while i < len(qbuf):
+                    v = 0
+                    shift = 0
+                    while True:
+                        b = qbuf[i]
+                        i += 1
+                        v |= (b & 0x7F) << shift
+                        if not b & 0x80:
+                            break
+                        shift += 7
+                    accepted.append(v)
+            else:
+                accepted.append(qbuf)
+            continue
         if fno != 1:  # ReadRequest.queries
             continue
         q = {"start_ms": 0, "end_ms": 0, "matchers": []}
@@ -59,10 +116,14 @@ def decode_read_request(body: bytes, compressed: bool = True) -> list[dict]:
                         value = mv.decode()
                 q["matchers"].append((_MATCH_TYPES[mtype], name, value))
         queries.append(q)
-    return queries
+    return queries, accepted
 
 
-def encode_read_request(queries: list[dict], compress: bool = True) -> bytes:
+def encode_read_request(
+    queries: list[dict],
+    compress: bool = True,
+    accepted_response_types: list[int] | None = None,
+) -> bytes:
     """The client half: [{start_ms, end_ms, matchers}] → wire bytes."""
     body = bytearray()
     for q in queries:
@@ -77,6 +138,8 @@ def encode_read_request(queries: list[dict], compress: bool = True) -> bytes:
                 + _ld(3, value.encode()),
             )
         body += _ld(1, bytes(qb))
+    for rt in accepted_response_types or []:
+        body += _vint(2, rt)
     out = bytes(body)
     return snappy_encode(out) if compress else out
 
@@ -137,18 +200,226 @@ def decode_read_response(body: bytes, compressed: bool = True) -> list:
     return results
 
 
-def serve_read(samples: DataFrame, request_body: bytes) -> bytes:
-    """Answer a remote-read request over the samples table.
+# --- STREAMED_XOR_CHUNKS framing (storage/remote/chunked.go) ---------------
 
-    One matcher-predicate + time-range filter per query — pushed down by
-    Catalyst; results are collected per matched series only (bounded by
-    the query's selectivity, as in the reference's handler)."""
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC32 with the Castagnoli polynomial (chunked.go:32), table-based."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        poly = 0x82F63B78  # reversed 0x1EDC6F41
+        table = []
+        for i in range(256):
+            crc = i
+            for _ in range(8):
+                crc = (crc >> 1) ^ poly if crc & 1 else crc >> 1
+            table.append(crc)
+        _CRC32C_TABLE = table
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _frame(msg: bytes) -> bytes:
+    """One chunked frame: uvarint(len) + BE crc32c + payload
+    (chunked.go:64-90 ChunkedWriter.Write)."""
+    out = bytearray()
+    v = len(msg)
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    out += struct.pack(">I", _crc32c(msg))
+    out += msg
+    return bytes(out)
+
+
+def split_frames(body: bytes) -> list[bytes]:
+    """Parse a concatenated frame stream back into payloads, verifying
+    each CRC (chunked.go:93-140 ChunkedReader.Next)."""
+    out = []
+    i = 0
+    n = len(body)
+    while i < n:
+        size = shift = 0
+        while True:
+            b = body[i]
+            i += 1
+            size |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        (crc,) = struct.unpack(">I", body[i : i + 4])
+        i += 4
+        payload = body[i : i + size]
+        i += size
+        if _crc32c(payload) != crc:
+            raise ValueError("chunked frame: checksum mismatch")
+        out.append(payload)
+    return out
+
+
+def _encode_chunked_series(labels: dict, chunks: list[tuple[int, int, bytes]]) -> bytes:
+    """prometheus.ChunkedSeries (types.proto:189): sorted labels +
+    XOR-typed chunks."""
+    ts = bytearray()
+    for k in sorted(labels):
+        ts += _ld(1, _ld(1, k.encode()) + _ld(2, labels[k].encode()))
+    for min_t, max_t, data in chunks:
+        ch = (
+            _vint(1, min_t & ((1 << 64) - 1))
+            + _vint(2, max_t & ((1 << 64) - 1))
+            + _vint(3, 1)  # Encoding.XOR (types.proto:177)
+            + _ld(4, data)
+        )
+        ts += _ld(2, ch)
+    return bytes(ts)
+
+
+def encode_chunked_read_response(
+    series: list[tuple[dict, list[tuple[int, int, bytes]]]], query_index: int
+) -> bytes:
+    """ChunkedReadResponse message (remote.proto:83)."""
+    body = bytearray()
+    for labels, chunks in series:
+        body += _ld(1, _encode_chunked_series(labels, chunks))
+    body += _vint(2, query_index & ((1 << 64) - 1))
+    return bytes(body)
+
+
+def decode_chunked_read_response(msg: bytes) -> tuple[int, list]:
+    """→ (query_index, [(labels, [(min_t, max_t, enc, chunk_bytes)])])."""
+    qidx = 0
+    series = []
+    for fno, _wt, v in _fields(msg):
+        if fno == 2:
+            qidx = v
+        elif fno == 1:
+            labels: dict[str, str] = {}
+            chunks = []
+            for tf, _twt, tv in _fields(v):
+                if tf == 1:
+                    name = value = ""
+                    for lf, _lwt, lv in _fields(tv):
+                        if lf == 1:
+                            name = lv.decode()
+                        elif lf == 2:
+                            value = lv.decode()
+                    labels[name] = value
+                elif tf == 2:
+                    min_t = max_t = enc = 0
+                    data = b""
+                    for cf, _cwt, cv in _fields(tv):
+                        if cf == 1:
+                            min_t = cv if cv < (1 << 63) else cv - (1 << 64)
+                        elif cf == 2:
+                            max_t = cv if cv < (1 << 63) else cv - (1 << 64)
+                        elif cf == 3:
+                            enc = cv
+                        elif cf == 4:
+                            data = cv
+                    chunks.append((min_t, max_t, enc, data))
+            series.append((labels, chunks))
+    return qidx, series
+
+
+def encode_streamed_read_response(
+    results: list[list[tuple[dict, list[tuple[int, float]]]]],
+    max_bytes_in_frame: int = DEFAULT_MAX_BYTES_IN_FRAME,
+) -> bytes:
+    """Render per-query series lists as a stream of checksummed
+    ChunkedReadResponse frames (read_handler.go:188
+    remoteReadStreamedXORChunks + codec.go StreamChunkedReadResponses):
+    full series stream in order; a frame flushes once its accumulated
+    chunks exceed ``max_bytes_in_frame``, so a frame may carry part of a
+    series but never interleaves two."""
+    from prometheus_spark.storage.chunkenc import chunk_series
+
+    out = bytearray()
+    for qidx, series_list in enumerate(results):
+        for labels, samples in series_list:
+            chunks = chunk_series(sorted(samples))
+            pending: list = []
+            pending_bytes = 0
+            for ch in chunks:
+                pending.append(ch)
+                pending_bytes += len(ch[2])
+                if pending_bytes >= max_bytes_in_frame:
+                    out += _frame(
+                        encode_chunked_read_response([(labels, pending)], qidx)
+                    )
+                    pending, pending_bytes = [], 0
+            if pending or not chunks:
+                out += _frame(
+                    encode_chunked_read_response([(labels, pending)], qidx)
+                )
+    return bytes(out)
+
+
+def decode_streamed_read_response(body: bytes, n_queries: int = 1) -> list:
+    """Client half: frame stream → [[(labels, [(t, value)])] per query],
+    merging split-series frames back together."""
+    from prometheus_spark.storage.chunkenc import xor_decode
+
+    results: list[list] = [[] for _ in range(n_queries)]
+    # (qidx, labels-key) → accumulated samples
+    for payload in split_frames(body):
+        qidx, series = decode_chunked_read_response(payload)
+        while qidx >= len(results):
+            results.append([])
+        for labels, chunks in series:
+            samples = []
+            for _min_t, _max_t, enc, data in chunks:
+                if enc != 1:
+                    raise ValueError(f"unsupported chunk encoding {enc}")
+                samples.extend(xor_decode(data))
+            bucket = results[qidx]
+            if bucket and bucket[-1][0] == labels:
+                bucket[-1][1].extend(samples)  # continuation frame
+            else:
+                bucket.append((labels, samples))
+    return results
+
+
+def serve_read(samples: DataFrame, request_body: bytes) -> bytes:
+    """Answer a remote-read request over the samples table with the
+    SAMPLES response type (the universal fallback)."""
+    queries = decode_read_request(request_body)
+    return encode_read_response(_execute_queries(samples, queries))
+
+
+def serve_read_negotiated(
+    samples: DataFrame,
+    request_body: bytes,
+    max_bytes_in_frame: int = DEFAULT_MAX_BYTES_IN_FRAME,
+) -> tuple[bytes, str]:
+    """Answer a remote-read request honoring accepted_response_types
+    (read_handler.go:100-115): returns (body, content_type) —
+    snappy(ReadResponse) for SAMPLES, an uncompressed checksummed frame
+    stream for STREAMED_XOR_CHUNKS."""
+    queries, accepted = decode_read_request_full(request_body)
+    rtype = negotiate_response_type(accepted)
+    results = _execute_queries(samples, queries)
+    if rtype == STREAMED_XOR_CHUNKS:
+        return (
+            encode_streamed_read_response(results, max_bytes_in_frame),
+            CONTENT_TYPE_STREAMED,
+        )
+    return encode_read_response(results), CONTENT_TYPE_SAMPLES
+
+
+def _execute_queries(samples: DataFrame, queries: list[dict]) -> list:
+    """One matcher-predicate + time-range filter per query — pushed down
+    by Catalyst; results are collected per matched series only (bounded
+    by the query's selectivity, as in the reference's handler)."""
     from pyspark.sql import functions as F
 
     from prometheus_spark.engine.selectors import matcher_predicate
     from prometheus_spark.parser.ast import Matcher, MatchType
 
-    queries = decode_read_request(request_body)
     results = []
     for q in queries:
         matchers = [
@@ -169,4 +440,4 @@ def serve_read(samples: DataFrame, request_body: bytes) -> bytes:
             entry = series.setdefault(r["sig"], (dict(r["labels"]), []))
             entry[1].append((r["t"], r["value"]))
         results.append([series[k] for k in sorted(series)])
-    return encode_read_response(results)
+    return results

@@ -1245,24 +1245,28 @@ class PromAPI:
                         self.end_headers()
                         return
                     if parsed.path == "/api/v1/read":
-                        # remote read: snappy+protobuf in, same out
-                        # (api.go:482, storage/remote/read_handler.go)
+                        # remote read: snappy+protobuf in; SAMPLES or a
+                        # STREAMED_XOR_CHUNKS frame stream out, per the
+                        # request's accepted_response_types
+                        # (api.go:482, storage/remote/read_handler.go:100)
                         from prometheus_spark.sources.remote_read import (
-                            serve_read,
+                            CONTENT_TYPE_SAMPLES,
+                            serve_read_negotiated,
                         )
 
                         try:
-                            payload = serve_read(api.engine.samples, raw)
+                            payload, ctype = serve_read_negotiated(
+                                api.engine.samples, raw
+                            )
                         except Exception as e:  # noqa: BLE001 — API boundary
                             self.send_response(400)
                             self.end_headers()
                             self.wfile.write(str(e).encode())
                             return
                         self.send_response(200)
-                        self.send_header(
-                            "Content-Type", "application/x-protobuf"
-                        )
-                        self.send_header("Content-Encoding", "snappy")
+                        self.send_header("Content-Type", ctype)
+                        if ctype == CONTENT_TYPE_SAMPLES:
+                            self.send_header("Content-Encoding", "snappy")
                         self.send_header(
                             "Content-Length", str(len(payload))
                         )

@@ -562,6 +562,85 @@ def test_remote_read_roundtrip(spark):
     assert q2 == [("m", [(1000, 1.0), (2000, 2.0)]), ("other", [(1000, 9.0)])]
 
 
+def test_remote_read_streamed_xor_chunks(spark):
+    """STREAMED_XOR_CHUNKS negotiation round-trip: request advertises
+    the streamed type, server answers checksummed ChunkedReadResponse
+    frames of Gorilla XOR chunks (read_handler.go:188, chunked.go),
+    client decodes back to identical samples."""
+    from prometheus_spark.sources.remote_read import (
+        CONTENT_TYPE_SAMPLES,
+        CONTENT_TYPE_STREAMED,
+        STREAMED_XOR_CHUNKS,
+        decode_streamed_read_response,
+        encode_read_request,
+        serve_read_negotiated,
+    )
+    from prometheus_spark.storage import samples_from_rows
+
+    rows = []
+    for i in range(300):  # >120 samples -> multiple chunks per series
+        rows.append(({"__name__": "m", "job": "a"}, i * 1000, float(i)))
+    rows.append(({"__name__": "m", "job": "b"}, 1000, 3.5))
+    samples = samples_from_rows(spark, rows)
+
+    req = encode_read_request(
+        [{"start_ms": 0, "end_ms": 10_000_000,
+          "matchers": [("=", "__name__", "m")]}],
+        accepted_response_types=[STREAMED_XOR_CHUNKS],
+    )
+    body, ctype = serve_read_negotiated(samples, req, max_bytes_in_frame=128)
+    assert ctype == CONTENT_TYPE_STREAMED
+    resp = decode_streamed_read_response(body, n_queries=1)
+    got = sorted((s[0]["job"], s[1]) for s in resp[0])
+    assert got[0][0] == "a" and got[0][1] == [(i * 1000, float(i)) for i in range(300)]
+    assert got[1] == ("b", [(1000, 3.5)])
+    # tiny frame budget forced the 300-sample series across >1 frame
+    from prometheus_spark.sources.remote_read import split_frames
+
+    assert len(split_frames(body)) > 2
+
+    # no accepted types -> SAMPLES fallback, snappy protobuf
+    req2 = encode_read_request(
+        [{"start_ms": 0, "end_ms": 10_000_000,
+          "matchers": [("=", "job", "b")]}]
+    )
+    body2, ctype2 = serve_read_negotiated(samples, req2)
+    assert ctype2 == CONTENT_TYPE_SAMPLES
+    from prometheus_spark.sources.remote_read import decode_read_response
+
+    assert decode_read_response(body2)[0][0][1] == [(1000, 3.5)]
+
+
+def test_xor_chunk_codec_bitstream():
+    """XOR chunk codec round-trips and actually compresses (the Gorilla
+    property: regular timestamps + repeated values cost ~2 bytes/sample,
+    tsdb/chunkenc/xor.go)."""
+    import math
+
+    from prometheus_spark.storage.chunkenc import (
+        chunk_series,
+        xor_decode,
+        xor_encode,
+    )
+
+    samples = [(i * 15_000, 20.0 + (i % 4) * 0.5) for i in range(120)]
+    enc = xor_encode(samples)
+    assert xor_decode(enc) == samples
+    assert len(enc) < 120 * 4  # far below raw 16 bytes/sample
+
+    tricky = [(0, 0.0), (1, -0.0), (17, float("inf")),
+              (1_000_003, float("nan")), (1_000_004, 1e-308)]
+    dec = xor_decode(xor_encode(tricky))
+    assert [t for t, _ in dec] == [t for t, _ in tricky]
+    assert dec[2][1] == float("inf") and math.isnan(dec[3][1])
+    assert dec[4][1] == 1e-308
+
+    chunks = chunk_series([(i * 1000, float(i)) for i in range(250)])
+    assert [(c[0], c[1]) for c in chunks] == [
+        (0, 119_000), (120_000, 239_000), (240_000, 249_000)
+    ]
+
+
 def test_recording_rule_10k_series_distributed(spark):
     """A 10k-series recording rule ticks through the distributed append
     path: the output frame is built and appended without the coordinator
