@@ -457,6 +457,9 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
 
     api.remote_write_receiver = RemoteWriteReceiver(spool_dir)
     api.otlp_receiver = OTLPReceiver(spool_dir)
+    # scrape + push exemplars share spool_dir/_exemplars; re-read per
+    # query so /api/v1/query_exemplars sees fresh scrapes
+    api.exemplars_fn = lambda: scrape_mgr.exemplars_df(spark)
     # /api/v1/targets/relabel_steps debug surface
     api.relabel_configs_by_pool = {
         j.job_name: j.relabel_configs for j in cfg.scrape_jobs

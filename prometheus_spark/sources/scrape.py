@@ -68,23 +68,27 @@ def _merge_labels(
 
 def parse_scrape_body(
     body: bytes, content_type: str, default_ts_ms: int
-) -> tuple[list[tuple[dict, int, object]], dict]:
+) -> tuple[list[tuple[dict, int, object]], dict, list]:
     """Dispatch on Content-Type exactly like the reference's parser
-    selection (model/textparse New()).  Returns (samples, metadata)."""
+    selection (model/textparse New()).  Returns (samples, metadata,
+    exemplars) — exemplars as (series_labels, t_ms, exemplar_labels,
+    value, ex_t_ms), populated by the OpenMetrics parser (the classic
+    text format has no exemplar syntax)."""
     if content_type.startswith(PROTOBUF_CT):
         rows, meta = parse_protobuf_scrape(body, default_ts_ms)
-        return [(labels, t, v) for labels, t, v, _created in rows], meta
+        return [(labels, t, v) for labels, t, v, _created in rows], meta, []
     if content_type.startswith(OPENMETRICS_CT):
-        samples, meta, _e, _c = parse_openmetrics_text(
+        samples, meta, exemplars, _c = parse_openmetrics_text(
             body.decode(), default_ts_ms=default_ts_ms
         )
-        return list(samples), meta
+        return list(samples), meta, list(exemplars)
     from prometheus_spark.sources.promtext import parse_exposition_metadata
 
     text = body.decode()
     return (
         list(parse_exposition_text(text, default_ts_ms)),
         parse_exposition_metadata(text),
+        [],
     )
 
 
@@ -102,6 +106,11 @@ class ScrapeManager:
     ):
         os.makedirs(spool_dir, exist_ok=True)
         self.spool_dir = spool_dir
+        # scraped exemplars land in the same sibling spool the push
+        # receivers use, so /api/v1/query_exemplars covers scraped
+        # targets too (scrape.go appends exemplars next to samples)
+        self.exemplar_dir = os.path.join(spool_dir, "_exemplars")
+        os.makedirs(self.exemplar_dir, exist_ok=True)
         self.targets = targets
         self.metric_relabel = metric_relabel
         self.timeout_s = timeout_s
@@ -126,6 +135,7 @@ class ScrapeManager:
         tl = tgt.target_labels()
         start = time.monotonic()
         rows: list = []
+        exemplar_rows: list = []
         scraped = post_relabel = series_added = 0
         up = 0.0
         try:
@@ -139,7 +149,7 @@ class ScrapeManager:
             with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
                 body = resp.read()
                 ct = resp.headers.get("Content-Type", "text/plain")
-            parsed, meta = parse_scrape_body(body, ct, now_ms)
+            parsed, meta, raw_exemplars = parse_scrape_body(body, ct, now_ms)
             self.metadata.update(meta)
             self.target_metadata.setdefault(tgt.url, {}).update(meta)
             scraped = len(parsed)
@@ -154,6 +164,20 @@ class ScrapeManager:
                 sigs.add(tuple(sorted(labels.items())))
                 rows.append((labels, t, v))
             series_added = len(sigs)
+            # exemplars attach to the series' FINAL label set: same
+            # target-label merge + metric relabeling as the samples; a
+            # relabel-dropped series drops its exemplars with it
+            # (scrape.go append: exemplars ride the sample's labels)
+            for slabels, t, exl, exv, ext in raw_exemplars:
+                slabels = _merge_labels(slabels, tl, tgt.honor_labels)
+                if self.metric_relabel is not None:
+                    slabels = self.metric_relabel(slabels)
+                    if slabels is None:
+                        continue
+                exemplar_rows.append(
+                    {"series_labels": slabels, "t": ext if ext else t,
+                     "labels": exl, "value": exv}
+                )
             up = 1.0
         except Exception:  # noqa: BLE001 — a failed scrape reports up=0
             rows = []
@@ -181,7 +205,36 @@ class ScrapeManager:
                     rec["value"] = float(v)
                 f.write(json.dumps(rec) + "\n")
         os.replace(tmp, path)
+        if exemplar_rows:
+            ex_path = os.path.join(
+                self.exemplar_dir, f"scrape_ex_{os.getpid()}_{self._n:08d}.json"
+            )
+            tmp = ex_path + ".tmp"
+            with open(tmp, "w") as f:
+                for ex in exemplar_rows:
+                    f.write(json.dumps(ex) + "\n")
+            os.replace(tmp, ex_path)
         return len(rows)
+
+    def exemplars_df(self, spark):
+        """The scrape exemplar spool as the canonical exemplar frame
+        (storage.exemplars.EXEMPLAR_SCHEMA) for /api/v1/query_exemplars
+        — same record shape as the remote-write receiver's, so a server
+        sharing one spool dir serves both sources from one frame."""
+        import glob as _glob
+
+        from prometheus_spark.storage.exemplars import exemplars_from_rows
+
+        ex_rows = []
+        for p in sorted(_glob.glob(f"{self.exemplar_dir}/*.json")):
+            with open(p) as f:
+                for line in f:
+                    ex = json.loads(line)
+                    ex_rows.append(
+                        (ex["series_labels"], ex["t"], ex["labels"],
+                         ex["value"], ex["t"])
+                    )
+        return exemplars_from_rows(spark, ex_rows)
 
     # -- background loop ----------------------------------------------
     def start(self, interval_ms: int) -> threading.Thread:

@@ -722,12 +722,21 @@ class PromAPI:
     def query_exemplars(self, params: dict) -> tuple[int, dict]:
         """api.go:756 queryExemplars: series matchers + time range →
         [{seriesLabels, exemplars: [{labels, value, timestamp}]}]."""
-        if self.exemplars is None:
+        exemplars = (
+            self.exemplars_fn()
+            if getattr(self, "exemplars_fn", None)
+            else self.exemplars
+        )
+        if exemplars is None:
             return 200, {"status": "success", "data": []}
-        matches = params.get("match[]", [])
+        # the reference takes a full PromQL `query` and extracts its
+        # selectors (api.go:770 parser.ExtractSelectors); bare match[]
+        # selectors are also accepted
+        matches = list(params.get("match[]", []))
+        matches += params.get("query", [])
         if not matches:
             return 400, {"status": "error", "errorType": "bad_data",
-                         "error": "no match[] parameter provided"}
+                         "error": "no query parameter provided"}
         start = _parse_time_ms(params["start"][0]) if "start" in params else 0
         end = (
             _parse_time_ms(params["end"][0])
@@ -738,14 +747,35 @@ class PromAPI:
         from prometheus_spark.parser.ast import VectorSelector
         from prometheus_spark.storage.exemplars import select_exemplars
 
+        def _selectors(node) -> list:
+            """All VectorSelectors in an expression (the reference's
+            parser.ExtractSelectors walk)."""
+            if isinstance(node, VectorSelector):
+                return [node]
+            out = []
+            for v in vars(node).values():
+                from prometheus_spark.parser.ast import Expr
+
+                if isinstance(v, Expr):
+                    out.extend(_selectors(v))
+                elif isinstance(v, (list, tuple)):
+                    out.extend(
+                        s for x in v if isinstance(x, Expr)
+                        for s in _selectors(x)
+                    )
+            return out
+
         series: dict[tuple, dict] = {}
+        selectors = []
         for m in matches:
-            node = parse_expr(m)
-            if not isinstance(node, VectorSelector):
+            found = _selectors(parse_expr(m))
+            if not found:
                 return 400, {"status": "error", "errorType": "bad_data",
-                             "error": f"not a vector selector: {m}"}
+                             "error": f"no vector selector in: {m}"}
+            selectors.extend(found)
+        for node in selectors:
             rows = select_exemplars(
-                self.exemplars, node.matchers, start, end
+                exemplars, node.matchers, start, end
             ).collect()
             for r in rows:
                 key = tuple(sorted(r["labels"].items()))
