@@ -79,6 +79,9 @@ class ScrapeJobConfig:
     ec2_sd: list = field(default_factory=list)  # {"region", "port", ...}
     azure_sd: list = field(default_factory=list)  # {"subscription_id", ...}
     gce_sd: list = field(default_factory=list)  # {"project", "zone", ...}
+    digitalocean_sd: list = field(default_factory=list)  # {"port", ...}
+    hetzner_sd: list = field(default_factory=list)  # {"role", "port", ...}
+    linode_sd: list = field(default_factory=list)  # {"port", ...}
 
 
 @dataclass
@@ -223,6 +226,11 @@ def load_config(path: str) -> PromConfig:
                 "port": int(es.get("port", 80)),
                 "endpoint": es.get("endpoint", ""),
                 "refresh_interval_ms": _dur_ms(es.get("refresh_interval"), 60_000),
+                "filters": [
+                    {"name": f.get("name", ""),
+                     "values": list(f.get("values") or [])}
+                    for f in es.get("filters") or []
+                ],
             }
             for es in sc.get("ec2_sd_configs") or []
         ]
@@ -248,6 +256,29 @@ def load_config(path: str) -> PromConfig:
                 "refresh_interval_ms": _dur_ms(gs.get("refresh_interval"), 60_000),
             }
             for gs in sc.get("gce_sd_configs") or []
+        ]
+        digitalocean_sd = [
+            {
+                "port": int(ds.get("port", 80)),
+                "refresh_interval_ms": _dur_ms(ds.get("refresh_interval"), 60_000),
+            }
+            for ds in sc.get("digitalocean_sd_configs") or []
+        ]
+        hetzner_sd = [
+            {
+                "role": hz.get("role", "hcloud"),
+                "port": int(hz.get("port", 80)),
+                "refresh_interval_ms": _dur_ms(hz.get("refresh_interval"), 60_000),
+            }
+            for hz in sc.get("hetzner_sd_configs") or []
+        ]
+        linode_sd = [
+            {
+                "port": int(ls.get("port", 80)),
+                "tag_separator": ls.get("tag_separator", ","),
+                "refresh_interval_ms": _dur_ms(ls.get("refresh_interval"), 60_000),
+            }
+            for ls in sc.get("linode_sd_configs") or []
         ]
         cfg.scrape_jobs.append(
             ScrapeJobConfig(
@@ -278,6 +309,9 @@ def load_config(path: str) -> PromConfig:
                 ec2_sd=ec2_sd,
                 azure_sd=azure_sd,
                 gce_sd=gce_sd,
+                digitalocean_sd=digitalocean_sd,
+                hetzner_sd=hetzner_sd,
+                linode_sd=linode_sd,
             )
         )
 
@@ -320,8 +354,11 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
     from prometheus_spark.sources.discovery import (
         AzureDiscovery,
         ConsulDiscovery,
+        DigitalOceanDiscovery,
         EC2Discovery,
         GCEDiscovery,
+        HetznerDiscovery,
+        LinodeDiscovery,
         KubernetesDiscovery,
         DiscoveryManager,
         DNSDiscovery,
@@ -389,6 +426,7 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
                 EC2Discovery(
                     es["region"], es["access_key"], es["secret_key"],
                     es["port"], es["endpoint"], es["refresh_interval_ms"],
+                    filters=es["filters"],
                 )
             )
         for az in jobcfg.azure_sd:
@@ -406,6 +444,27 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
                     gs["project"], gs["zone"], gs["port"], gs["filter"],
                     gs["tag_separator"],
                     refresh_interval_ms=gs["refresh_interval_ms"],
+                )
+            )
+        for ds in jobcfg.digitalocean_sd:
+            providers.append(
+                DigitalOceanDiscovery(
+                    port=ds["port"],
+                    refresh_interval_ms=ds["refresh_interval_ms"],
+                )
+            )
+        for hz in jobcfg.hetzner_sd:
+            providers.append(
+                HetznerDiscovery(
+                    role=hz["role"], port=hz["port"],
+                    refresh_interval_ms=hz["refresh_interval_ms"],
+                )
+            )
+        for ls in jobcfg.linode_sd:
+            providers.append(
+                LinodeDiscovery(
+                    port=ls["port"], tag_separator=ls["tag_separator"],
+                    refresh_interval_ms=ls["refresh_interval_ms"],
                 )
             )
         discovery.register(jobcfg, providers)

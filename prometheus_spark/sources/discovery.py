@@ -360,6 +360,7 @@ class EC2Discovery:
         refresh_interval_ms: int = 60_000,
         timeout_s: float = 10.0,
         fetch_fn: Optional[Callable[[str, dict], bytes]] = None,
+        filters: Optional[list[dict]] = None,
     ):
         self.region = region
         self.access_key = access_key
@@ -369,6 +370,9 @@ class EC2Discovery:
         self.refresh_interval_ms = refresh_interval_ms
         self.timeout_s = timeout_s
         self._fetch = fetch_fn or self._http_post
+        # ec2.go:94 Filters — [{"name": ..., "values": [...]}], encoded
+        # as the query API's Filter.N.Name / Filter.N.Value.M params
+        self.filters = list(filters or [])
         self._last_good: list[TargetGroup] = []
 
     def _http_post(self, url: str, headers: dict) -> bytes:
@@ -376,15 +380,18 @@ class EC2Discovery:
         with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
             return resp.read()
 
-    def _describe(self) -> bytes:
-        query = urllib.parse.urlencode(
-            sorted(
-                {
-                    "Action": "DescribeInstances",
-                    "Version": "2016-11-15",
-                }.items()
-            )
-        )
+    def _describe(self, next_token: str = "") -> bytes:
+        params = {
+            "Action": "DescribeInstances",
+            "Version": "2016-11-15",
+        }
+        for i, f in enumerate(self.filters, start=1):
+            params[f"Filter.{i}.Name"] = f.get("name", "")
+            for j, v in enumerate(f.get("values") or [], start=1):
+                params[f"Filter.{i}.Value.{j}"] = v
+        if next_token:
+            params["NextToken"] = next_token
+        query = urllib.parse.urlencode(sorted(params.items()))
         host = urllib.parse.urlparse(self.endpoint).netloc
         amz_date = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
         headers = _sigv4_headers(
@@ -443,11 +450,20 @@ class EC2Discovery:
                 groups.append(
                     TargetGroup([f"{private_ip}:{self.port}"], labels)
                 )
-        return groups
+        nt = root.find("nextToken")
+        return groups, ((nt.text or "") if nt is not None else "")
 
     def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
         try:
-            out = self._parse(self._describe())
+            # DescribeInstancesPaginator (ec2.go:336): follow NextToken
+            # until the last page
+            out: list[TargetGroup] = []
+            token = ""
+            while True:
+                groups, token = self._parse(self._describe(token))
+                out.extend(groups)
+                if not token:
+                    break
             self._last_good = out
         except Exception:
             out = self._last_good  # keep previous set on failure
@@ -582,6 +598,328 @@ class GCEDiscovery:
             self._last_good = groups
         except Exception:
             groups = self._last_good
+        return groups
+
+
+class _BearerListDiscovery:
+    """Shared plumbing for token-authenticated JSON list APIs
+    (DigitalOcean/Hetzner/Linode): GET with a bearer token, page-aware
+    ``_get_json``, last-good-on-failure refresh."""
+
+    def __init__(
+        self,
+        token: str,
+        port: int,
+        endpoint: str,
+        refresh_interval_ms: int,
+        timeout_s: float,
+        fetch_fn: Optional[Callable[[str], bytes]],
+    ):
+        self.token = token
+        self.port = port
+        self.endpoint = endpoint.rstrip("/")
+        self.refresh_interval_ms = refresh_interval_ms
+        self.timeout_s = timeout_s
+        self._fetch = fetch_fn or self._http_get
+        self._last_good: list[TargetGroup] = []
+
+    def _http_get(self, url: str) -> bytes:
+        req = urllib.request.Request(
+            url, headers={"Authorization": f"Bearer {self.token}"}
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return resp.read()
+
+    def _get_json(self, url: str) -> dict:
+        return json.loads(self._fetch(url))
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        try:
+            out = self._groups()
+            self._last_good = out
+        except Exception:
+            out = self._last_good
+        return out
+
+    def _groups(self) -> list[TargetGroup]:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+def _wrap_list(items: list[str], sep: str = ",") -> str:
+    """Separator-surrounded list — the reference wraps tag/feature lists
+    so relabel regexes need not consider positions."""
+    return sep + sep.join(items) + sep
+
+
+class DigitalOceanDiscovery(_BearerListDiscovery):
+    """digitalocean_sd_configs provider
+    (discovery/digitalocean/digitalocean.go:44-56,205-265): one target
+    per droplet at ``public_ipv4:port`` with the ``__meta_digitalocean_*``
+    labels; droplets without a v4 network are skipped; features/tags are
+    separator-wrapped.  Pages via the API's ``links.pages.next``."""
+
+    def __init__(
+        self,
+        token: str = "",
+        port: int = 80,
+        endpoint: str = "https://api.digitalocean.com",
+        refresh_interval_ms: int = 60_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str], bytes]] = None,
+    ):
+        super().__init__(
+            token, port, endpoint, refresh_interval_ms, timeout_s, fetch_fn
+        )
+
+    def _groups(self) -> list[TargetGroup]:
+        groups: list[TargetGroup] = []
+        url = f"{self.endpoint}/v2/droplets?per_page=200"
+        while url:
+            doc = self._get_json(url)
+            for d in doc.get("droplets") or []:
+                nets = (d.get("networks") or {}).get("v4") or []
+                if not nets:
+                    continue
+                pub4 = next(
+                    (n["ip_address"] for n in nets if n.get("type") == "public"), ""
+                )
+                priv4 = next(
+                    (n["ip_address"] for n in nets if n.get("type") == "private"), ""
+                )
+                v6 = (d.get("networks") or {}).get("v6") or []
+                pub6 = next(
+                    (n["ip_address"] for n in v6 if n.get("type") == "public"), ""
+                )
+                image = d.get("image") or {}
+                labels = {
+                    "__meta_digitalocean_droplet_id": str(d.get("id", "")),
+                    "__meta_digitalocean_droplet_name": d.get("name", ""),
+                    "__meta_digitalocean_image": image.get("slug", "") or "",
+                    "__meta_digitalocean_image_name": image.get("name", ""),
+                    "__meta_digitalocean_private_ipv4": priv4,
+                    "__meta_digitalocean_public_ipv4": pub4,
+                    "__meta_digitalocean_public_ipv6": pub6,
+                    "__meta_digitalocean_region":
+                        (d.get("region") or {}).get("slug", ""),
+                    "__meta_digitalocean_size": d.get("size_slug", ""),
+                    "__meta_digitalocean_status": d.get("status", ""),
+                    "__meta_digitalocean_vpc": d.get("vpc_uuid", ""),
+                }
+                if d.get("features"):
+                    labels["__meta_digitalocean_features"] = _wrap_list(
+                        d["features"]
+                    )
+                if d.get("tags"):
+                    labels["__meta_digitalocean_tags"] = _wrap_list(d["tags"])
+                groups.append(TargetGroup([f"{pub4}:{self.port}"], labels))
+            url = (
+                ((doc.get("links") or {}).get("pages") or {}).get("next", "")
+            )
+        return groups
+
+
+class HetznerDiscovery(_BearerListDiscovery):
+    """hetzner_sd_configs provider, hcloud role
+    (discovery/hetzner/hcloud.go:95-145): one target per server at
+    ``public_ipv4:port`` with ``__meta_hetzner_*`` +
+    ``__meta_hetzner_hcloud_*`` labels (server id/name/status, location
+    + network zone, server type/cores/cpu type/memory/disk, image,
+    label_/labelpresent_, per-network private IPs).  Pages via
+    ``meta.pagination.next_page``."""
+
+    def __init__(
+        self,
+        token: str = "",
+        role: str = "hcloud",
+        port: int = 80,
+        endpoint: str = "https://api.hetzner.cloud",
+        refresh_interval_ms: int = 60_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str], bytes]] = None,
+    ):
+        if role != "hcloud":
+            raise ValueError(
+                f"hetzner role {role!r} not supported (robot needs basic-auth"
+                " webservice credentials; hcloud covers the cloud API)"
+            )
+        super().__init__(
+            token, port, endpoint, refresh_interval_ms, timeout_s, fetch_fn
+        )
+        self.role = role
+
+    def _paged(self, path: str, key: str) -> list[dict]:
+        out: list[dict] = []
+        page = 1
+        while page:
+            doc = self._get_json(
+                f"{self.endpoint}{path}?page={page}&per_page=50"
+            )
+            out += doc.get(key) or []
+            page = (
+                ((doc.get("meta") or {}).get("pagination") or {}).get(
+                    "next_page"
+                )
+                or 0
+            )
+        return out
+
+    def _groups(self) -> list[TargetGroup]:
+        networks = {
+            n["id"]: n.get("name", "")
+            for n in self._paged("/v1/networks", "networks")
+        }
+        groups: list[TargetGroup] = []
+        for s in self._paged("/v1/servers", "servers"):
+            pub = s.get("public_net") or {}
+            ipv4 = (pub.get("ipv4") or {}).get("ip", "")
+            st = s.get("server_type") or {}
+            loc = (s.get("datacenter") or {}).get("location") or {}
+            labels = {
+                "__meta_hetzner_role": "hcloud",
+                "__meta_hetzner_server_id": str(s.get("id", "")),
+                "__meta_hetzner_server_name": s.get("name", ""),
+                "__meta_hetzner_server_status": s.get("status", ""),
+                "__meta_hetzner_public_ipv4": ipv4,
+                "__meta_hetzner_public_ipv6_network":
+                    (pub.get("ipv6") or {}).get("ip", ""),
+                "__meta_hetzner_hcloud_location": loc.get("name", ""),
+                "__meta_hetzner_hcloud_location_network_zone":
+                    loc.get("network_zone", ""),
+                "__meta_hetzner_hcloud_datacenter_location": loc.get("name", ""),
+                "__meta_hetzner_hcloud_datacenter_location_network_zone":
+                    loc.get("network_zone", ""),
+                "__meta_hetzner_hcloud_server_type": st.get("name", ""),
+                "__meta_hetzner_hcloud_cpu_cores": str(st.get("cores", "")),
+                "__meta_hetzner_hcloud_cpu_type": st.get("cpu_type", ""),
+                "__meta_hetzner_hcloud_memory_size_gb":
+                    str(int(st.get("memory", 0))),
+                "__meta_hetzner_hcloud_disk_size_gb": str(st.get("disk", "")),
+            }
+            img = s.get("image") or {}
+            if img:
+                labels["__meta_hetzner_hcloud_image_name"] = img.get("name", "")
+                labels["__meta_hetzner_hcloud_image_description"] = img.get(
+                    "description", ""
+                )
+                labels["__meta_hetzner_hcloud_image_os_version"] = img.get(
+                    "os_version", ""
+                )
+                labels["__meta_hetzner_hcloud_image_os_flavor"] = img.get(
+                    "os_flavor", ""
+                )
+            for pn in s.get("private_net") or []:
+                name = networks.get(pn.get("network"))
+                if name:
+                    labels[
+                        "__meta_hetzner_hcloud_private_ipv4_"
+                        + _sanitize_label_name(name)
+                    ] = pn.get("ip", "")
+            for k, v in (s.get("labels") or {}).items():
+                sk = _sanitize_label_name(k)
+                labels[f"__meta_hetzner_hcloud_label_{sk}"] = v
+                labels[f"__meta_hetzner_hcloud_labelpresent_{sk}"] = "true"
+            groups.append(TargetGroup([f"{ipv4}:{self.port}"], labels))
+        return groups
+
+
+class LinodeDiscovery(_BearerListDiscovery):
+    """linode_sd_configs provider (discovery/linode/linode.go:38-61,
+    280-385): one target per instance at ``public_ipv4:port`` with the
+    ``__meta_linode_*`` labels — first public/private v4 (extras into
+    the separator-wrapped ``extra_ips``), RDNS from the networking ips
+    listing, specs in bytes (MB<<20), backups enabled/disabled, wrapped
+    tags.  Pages via the API's ``page``/``pages`` envelope."""
+
+    def __init__(
+        self,
+        token: str = "",
+        port: int = 80,
+        tag_separator: str = ",",
+        endpoint: str = "https://api.linode.com",
+        refresh_interval_ms: int = 60_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str], bytes]] = None,
+    ):
+        super().__init__(
+            token, port, endpoint, refresh_interval_ms, timeout_s, fetch_fn
+        )
+        self.tag_separator = tag_separator
+
+    def _paged(self, path: str, key: str = "data") -> list[dict]:
+        out: list[dict] = []
+        page = 1
+        while True:
+            doc = self._get_json(f"{self.endpoint}{path}?page={page}")
+            out += doc.get(key) or []
+            if page >= int(doc.get("pages", 1)):
+                return out
+            page += 1
+
+    def _groups(self) -> list[TargetGroup]:
+        # one networking listing covers every instance's RDNS + public
+        # flag (linode.go fetches detailed IPs per page the same way)
+        ip_info = {
+            ip.get("address"): ip
+            for ip in self._paged("/v4/networking/ips")
+        }
+        groups: list[TargetGroup] = []
+        for inst in self._paged("/v4/linode/instances"):
+            pub4 = priv4 = ""
+            extra: list[str] = []
+            for addr in inst.get("ipv4") or []:
+                info = ip_info.get(addr) or {}
+                public = info.get("public", not addr.startswith("192.168."))
+                if public and not pub4:
+                    pub4 = addr
+                elif not public and not priv4:
+                    priv4 = addr
+                else:
+                    extra.append(addr)
+            slaac = (inst.get("ipv6") or "").split("/")[0]
+            specs = inst.get("specs") or {}
+
+            def rdns(a: str) -> str:
+                v = (ip_info.get(a) or {}).get("rdns")
+                return v if v and v != "null" else ""
+
+            labels = {
+                "__meta_linode_instance_id": str(inst.get("id", "")),
+                "__meta_linode_instance_label": inst.get("label", ""),
+                "__meta_linode_image": inst.get("image", "") or "",
+                "__meta_linode_private_ipv4": priv4,
+                "__meta_linode_public_ipv4": pub4,
+                "__meta_linode_public_ipv6": slaac,
+                "__meta_linode_private_ipv4_rdns": rdns(priv4),
+                "__meta_linode_public_ipv4_rdns": rdns(pub4),
+                "__meta_linode_public_ipv6_rdns": rdns(slaac),
+                "__meta_linode_region": inst.get("region", ""),
+                "__meta_linode_type": inst.get("type", ""),
+                "__meta_linode_status": inst.get("status", ""),
+                "__meta_linode_group": inst.get("group", ""),
+                "__meta_linode_gpus": str(specs.get("gpus", 0)),
+                "__meta_linode_hypervisor": inst.get("hypervisor", ""),
+                "__meta_linode_backups": (
+                    "enabled"
+                    if (inst.get("backups") or {}).get("enabled")
+                    else "disabled"
+                ),
+                "__meta_linode_specs_disk_bytes":
+                    str(int(specs.get("disk", 0)) << 20),
+                "__meta_linode_specs_memory_bytes":
+                    str(int(specs.get("memory", 0)) << 20),
+                "__meta_linode_specs_vcpus": str(specs.get("vcpus", 0)),
+                "__meta_linode_specs_transfer_bytes":
+                    str(int(specs.get("transfer", 0)) << 20),
+            }
+            if inst.get("tags"):
+                labels["__meta_linode_tags"] = _wrap_list(
+                    inst["tags"], self.tag_separator
+                )
+            if extra:
+                labels["__meta_linode_extra_ips"] = _wrap_list(
+                    extra, self.tag_separator
+                )
+            groups.append(TargetGroup([f"{pub4}:{self.port}"], labels))
         return groups
 
 

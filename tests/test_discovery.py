@@ -974,3 +974,222 @@ def test_kubernetes_sd_pod_watch_expired_relists():
     # watch returns ERROR -> relist within the same refresh
     assert [g.targets[0] for g in d.refresh()] == ["10.1.0.9:8080"]
     assert [("watch=1" in c) for c in calls] == [False, True, False]
+
+
+def test_ec2_sd_filters_and_pagination():
+    """EC2 filters encode as Filter.N.Name/Value.M query params and
+    NextToken pages are followed to exhaustion (ec2.go:318-343)."""
+    from prometheus_spark.sources.discovery import EC2Discovery
+
+    def xml(instance_id, ip, token=""):
+        nt = f"<nextToken>{token}</nextToken>" if token else ""
+        return (
+            '<DescribeInstancesResponse xmlns="http://ec2.amazonaws.com/doc/2016-11-15/">'
+            f"{nt}<reservationSet><item><instancesSet><item>"
+            f"<instanceId>{instance_id}</instanceId>"
+            f"<privateIpAddress>{ip}</privateIpAddress>"
+            "</item></instancesSet></item></reservationSet>"
+            "</DescribeInstancesResponse>"
+        ).encode()
+
+    urls = []
+
+    def fetch(url, headers):
+        urls.append(url)
+        if "NextToken=page2" in url:
+            return xml("i-2", "10.0.0.2")
+        return xml("i-1", "10.0.0.1", token="page2")
+
+    d = EC2Discovery(
+        "us-east-1", "AKID", "secret", port=9100, fetch_fn=fetch,
+        filters=[{"name": "tag:env", "values": ["prod", "stage"]},
+                 {"name": "instance-state-name", "values": ["running"]}],
+    )
+    groups = d.refresh()
+    assert [g.targets[0] for g in groups] == ["10.0.0.1:9100", "10.0.0.2:9100"]
+    assert len(urls) == 2
+    from urllib.parse import parse_qs, urlparse
+
+    q = parse_qs(urlparse(urls[0]).query)
+    assert q["Filter.1.Name"] == ["tag:env"]
+    assert q["Filter.1.Value.1"] == ["prod"]
+    assert q["Filter.1.Value.2"] == ["stage"]
+    assert q["Filter.2.Name"] == ["instance-state-name"]
+    assert "NextToken" not in q
+    q2 = parse_qs(urlparse(urls[1]).query)
+    assert q2["NextToken"] == ["page2"]
+
+
+def test_digitalocean_sd_droplets():
+    from prometheus_spark.sources.discovery import DigitalOceanDiscovery
+
+    pages = {
+        "": {
+            "droplets": [
+                {
+                    "id": 3164444, "name": "web-1",
+                    "image": {"slug": "ubuntu-22-04-x64", "name": "Ubuntu 22.04"},
+                    "size_slug": "s-1vcpu-1gb", "status": "active",
+                    "vpc_uuid": "vpc-1", "region": {"slug": "nyc3"},
+                    "features": ["ipv6", "monitoring"],
+                    "tags": ["web", "prod"],
+                    "networks": {
+                        "v4": [
+                            {"ip_address": "10.10.0.5", "type": "private"},
+                            {"ip_address": "104.16.1.2", "type": "public"},
+                        ],
+                        "v6": [{"ip_address": "2604:a880::1", "type": "public"}],
+                    },
+                },
+                {"id": 9, "name": "no-net", "networks": {"v4": []}},
+            ],
+            "links": {"pages": {"next": "https://api.digitalocean.com/v2/droplets?page=2"}},
+        },
+        "2": {
+            "droplets": [
+                {
+                    "id": 7, "name": "web-2",
+                    "networks": {"v4": [{"ip_address": "104.16.1.3",
+                                         "type": "public"}]},
+                }
+            ]
+        },
+    }
+
+    def fetch(url):
+        from urllib.parse import parse_qs, urlparse
+
+        page = parse_qs(urlparse(url).query).get("page", [""])[0]
+        return json.dumps(pages[page]).encode()
+
+    d = DigitalOceanDiscovery("tok", port=9100, fetch_fn=fetch)
+    groups = d.refresh()
+    assert [g.targets[0] for g in groups] == ["104.16.1.2:9100", "104.16.1.3:9100"]
+    g = groups[0].labels
+    assert g["__meta_digitalocean_droplet_id"] == "3164444"
+    assert g["__meta_digitalocean_droplet_name"] == "web-1"
+    assert g["__meta_digitalocean_image"] == "ubuntu-22-04-x64"
+    assert g["__meta_digitalocean_image_name"] == "Ubuntu 22.04"
+    assert g["__meta_digitalocean_private_ipv4"] == "10.10.0.5"
+    assert g["__meta_digitalocean_public_ipv4"] == "104.16.1.2"
+    assert g["__meta_digitalocean_public_ipv6"] == "2604:a880::1"
+    assert g["__meta_digitalocean_region"] == "nyc3"
+    assert g["__meta_digitalocean_size"] == "s-1vcpu-1gb"
+    assert g["__meta_digitalocean_status"] == "active"
+    assert g["__meta_digitalocean_features"] == ",ipv6,monitoring,"
+    assert g["__meta_digitalocean_tags"] == ",web,prod,"
+
+
+def test_hetzner_sd_hcloud():
+    from prometheus_spark.sources.discovery import HetznerDiscovery
+
+    responses = {
+        "/v1/networks": {"networks": [{"id": 4711, "name": "mynet"}]},
+        "/v1/servers": {
+            "servers": [
+                {
+                    "id": 42, "name": "srv-1", "status": "running",
+                    "public_net": {
+                        "ipv4": {"ip": "1.2.3.4"},
+                        "ipv6": {"ip": "2001:db8::/64"},
+                    },
+                    "server_type": {"name": "cx11", "cores": 1,
+                                    "cpu_type": "shared", "memory": 2.0,
+                                    "disk": 20},
+                    "datacenter": {"location": {"name": "fsn1",
+                                                "network_zone": "eu-central"}},
+                    "image": {"name": "ubuntu-22.04",
+                              "description": "Ubuntu 22.04",
+                              "os_version": "22.04", "os_flavor": "ubuntu"},
+                    "private_net": [{"network": 4711, "ip": "10.0.0.2"}],
+                    "labels": {"env": "prod", "team/name": "core"},
+                }
+            ]
+        },
+    }
+
+    def fetch(url):
+        from urllib.parse import urlparse
+
+        return json.dumps(responses[urlparse(url).path]).encode()
+
+    d = HetznerDiscovery("tok", port=9100, fetch_fn=fetch)
+    groups = d.refresh()
+    assert groups[0].targets == ["1.2.3.4:9100"]
+    g = groups[0].labels
+    assert g["__meta_hetzner_role"] == "hcloud"
+    assert g["__meta_hetzner_server_id"] == "42"
+    assert g["__meta_hetzner_server_name"] == "srv-1"
+    assert g["__meta_hetzner_public_ipv4"] == "1.2.3.4"
+    assert g["__meta_hetzner_public_ipv6_network"] == "2001:db8::/64"
+    assert g["__meta_hetzner_hcloud_location"] == "fsn1"
+    assert g["__meta_hetzner_hcloud_location_network_zone"] == "eu-central"
+    assert g["__meta_hetzner_hcloud_server_type"] == "cx11"
+    assert g["__meta_hetzner_hcloud_cpu_cores"] == "1"
+    assert g["__meta_hetzner_hcloud_memory_size_gb"] == "2"
+    assert g["__meta_hetzner_hcloud_disk_size_gb"] == "20"
+    assert g["__meta_hetzner_hcloud_image_name"] == "ubuntu-22.04"
+    assert g["__meta_hetzner_hcloud_private_ipv4_mynet"] == "10.0.0.2"
+    assert g["__meta_hetzner_hcloud_label_env"] == "prod"
+    assert g["__meta_hetzner_hcloud_labelpresent_team_name"] == "true"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        HetznerDiscovery("tok", role="robot")
+
+
+def test_linode_sd_instances():
+    from prometheus_spark.sources.discovery import LinodeDiscovery
+
+    responses = {
+        "/v4/networking/ips": {
+            "pages": 1,
+            "data": [
+                {"address": "97.107.1.1", "public": True, "rdns": "li1.example.com"},
+                {"address": "192.168.128.5", "public": False, "rdns": None},
+                {"address": "97.107.1.2", "public": True, "rdns": "null"},
+                {"address": "2600:3c03::1", "public": True,
+                 "rdns": "li1-v6.example.com"},
+            ],
+        },
+        "/v4/linode/instances": {
+            "pages": 1,
+            "data": [
+                {
+                    "id": 123, "label": "db", "image": "linode/debian12",
+                    "region": "us-east", "type": "g6-nanode-1",
+                    "status": "running", "group": "g1",
+                    "hypervisor": "kvm", "tags": ["db"],
+                    "backups": {"enabled": True},
+                    "specs": {"disk": 25600, "memory": 1024, "vcpus": 1,
+                              "transfer": 1000, "gpus": 0},
+                    "ipv4": ["97.107.1.1", "192.168.128.5", "97.107.1.2"],
+                    "ipv6": "2600:3c03::1/128",
+                }
+            ],
+        },
+    }
+
+    def fetch(url):
+        from urllib.parse import urlparse
+
+        return json.dumps(responses[urlparse(url).path]).encode()
+
+    d = LinodeDiscovery("tok", port=9100, fetch_fn=fetch)
+    groups = d.refresh()
+    assert groups[0].targets == ["97.107.1.1:9100"]
+    g = groups[0].labels
+    assert g["__meta_linode_instance_id"] == "123"
+    assert g["__meta_linode_instance_label"] == "db"
+    assert g["__meta_linode_public_ipv4"] == "97.107.1.1"
+    assert g["__meta_linode_private_ipv4"] == "192.168.128.5"
+    assert g["__meta_linode_public_ipv6"] == "2600:3c03::1"
+    assert g["__meta_linode_public_ipv4_rdns"] == "li1.example.com"
+    assert g["__meta_linode_private_ipv4_rdns"] == ""
+    assert g["__meta_linode_public_ipv6_rdns"] == "li1-v6.example.com"
+    assert g["__meta_linode_extra_ips"] == ",97.107.1.2,"
+    assert g["__meta_linode_specs_disk_bytes"] == str(25600 << 20)
+    assert g["__meta_linode_specs_memory_bytes"] == str(1024 << 20)
+    assert g["__meta_linode_backups"] == "enabled"
+    assert g["__meta_linode_tags"] == ",db,"

@@ -1,6 +1,7 @@
 """Synthesize an sf1 (10× sf0.1) bench dataset by replication.
 
-Usage: python tools/gen_sf1.py [out_dir]   (default /tmp/spark_graft_sf1)
+Usage: python tools/gen_sf1.py [out_dir] [--skew]
+(default /tmp/spark_graft_sf1; --skew writes the skewed variant)
 
 Scaling rules (×10, one replica per i in 0..9):
 - events: user_id += i·1e7 (series CARDINALITY ×10 over the same time
@@ -14,6 +15,14 @@ Scaling rules (×10, one replica per i in 0..9):
 - lineitem/orders: order keys += i·1e9 (custkeys untouched so dimension
   joins stay valid)
 - dimension tables copied unchanged
+
+``--skew`` additionally concentrates load on single hot keys — the
+shape that breaks naive hash-partitioned plans and that AQE skew-join
+splitting plus the dedup operators' df-caps must absorb:
+- events: replicas 0-1 collapse onto user_id=42 (≈20% of all rows on
+  one groupBy/sessionization key)
+- documents: replicas 0-1 get a shared trailing sentence (one hot
+  bigram/shingle in ≈20% of docs — the inverted-index hot-gram case)
 
 Then run:  SPARK_GRAFT_SF_DIR=<out_dir> python bench.py
 (tools/bench_sf1.py does both.)
@@ -30,7 +39,9 @@ SRC = "/root/testdata/sf0.1"
 REPLICAS = 10
 
 
-def generate(out_dir: str, src: str = SRC, replicas: int = REPLICAS) -> None:
+def generate(
+    out_dir: str, src: str = SRC, replicas: int = REPLICAS, skew: bool = False
+) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
@@ -45,16 +56,27 @@ def generate(out_dir: str, src: str = SRC, replicas: int = REPLICAS) -> None:
         return f"read_parquet('{src}/{name}.parquet')"
 
     r = f"(SELECT unnest(range({replicas})) AS i)"
+    user_expr = (
+        "CASE WHEN i < 2 THEN 42 ELSE user_id + i * 10000000 END"
+        if skew
+        else "user_id + i * 10000000"
+    )
+    text_expr = (
+        "'replica ' || i || ' ' || text || "
+        "CASE WHEN i < 2 THEN ' the hot gram rides again' ELSE '' END"
+        if skew
+        else "'replica ' || i || ' ' || text"
+    )
     copy(
         f"""SELECT event_id + i * 10000000000 AS event_id, ts,
-                   user_id + i * 10000000 AS user_id,
+                   {user_expr} AS user_id,
                    event_type, value, props
             FROM {tbl('events')} CROSS JOIN {r}""",
         "events",
     )
     copy(
         f"""SELECT doc_id + i * 10000000 AS doc_id,
-                   'replica ' || i || ' ' || text AS text,
+                   {text_expr} AS text,
                    lang, source, n_chars
             FROM {tbl('documents')} CROSS JOIN {r}""",
         "documents",
@@ -83,6 +105,10 @@ def generate(out_dir: str, src: str = SRC, replicas: int = REPLICAS) -> None:
 
 
 if __name__ == "__main__":
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
-    generate(out)
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv[1:]
+    out = args[0] if args else (
+        "/tmp/spark_graft_sf1_skew" if skew else "/tmp/spark_graft_sf1"
+    )
+    generate(out, skew=skew)
     print(out)
