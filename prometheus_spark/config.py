@@ -82,6 +82,9 @@ class ScrapeJobConfig:
     digitalocean_sd: list = field(default_factory=list)  # {"port", ...}
     hetzner_sd: list = field(default_factory=list)  # {"role", "port", ...}
     linode_sd: list = field(default_factory=list)  # {"port", ...}
+    vultr_sd: list = field(default_factory=list)  # {"port", ...}
+    nomad_sd: list = field(default_factory=list)  # {"server", ...}
+    eureka_sd: list = field(default_factory=list)  # {"server", ...}
 
 
 @dataclass
@@ -280,6 +283,30 @@ def load_config(path: str) -> PromConfig:
             }
             for ls in sc.get("linode_sd_configs") or []
         ]
+        vultr_sd = [
+            {
+                "port": int(vs.get("port", 80)),
+                "refresh_interval_ms": _dur_ms(vs.get("refresh_interval"), 60_000),
+            }
+            for vs in sc.get("vultr_sd_configs") or []
+        ]
+        nomad_sd = [
+            {
+                "server": ns.get("server", "http://localhost:4646"),
+                "namespace": ns.get("namespace", "default"),
+                "region": ns.get("region", "global"),
+                "tag_separator": ns.get("tag_separator", ","),
+                "refresh_interval_ms": _dur_ms(ns.get("refresh_interval"), 60_000),
+            }
+            for ns in sc.get("nomad_sd_configs") or []
+        ]
+        eureka_sd = [
+            {
+                "server": eu.get("server", ""),
+                "refresh_interval_ms": _dur_ms(eu.get("refresh_interval"), 30_000),
+            }
+            for eu in sc.get("eureka_sd_configs") or []
+        ]
         cfg.scrape_jobs.append(
             ScrapeJobConfig(
                 job_name=job,
@@ -312,6 +339,9 @@ def load_config(path: str) -> PromConfig:
                 digitalocean_sd=digitalocean_sd,
                 hetzner_sd=hetzner_sd,
                 linode_sd=linode_sd,
+                vultr_sd=vultr_sd,
+                nomad_sd=nomad_sd,
+                eureka_sd=eureka_sd,
             )
         )
 
@@ -356,9 +386,12 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
         ConsulDiscovery,
         DigitalOceanDiscovery,
         EC2Discovery,
+        EurekaDiscovery,
         GCEDiscovery,
         HetznerDiscovery,
         LinodeDiscovery,
+        NomadDiscovery,
+        VultrDiscovery,
         KubernetesDiscovery,
         DiscoveryManager,
         DNSDiscovery,
@@ -465,6 +498,28 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
                 LinodeDiscovery(
                     port=ls["port"], tag_separator=ls["tag_separator"],
                     refresh_interval_ms=ls["refresh_interval_ms"],
+                )
+            )
+        for vs in jobcfg.vultr_sd:
+            providers.append(
+                VultrDiscovery(
+                    port=vs["port"],
+                    refresh_interval_ms=vs["refresh_interval_ms"],
+                )
+            )
+        for ns in jobcfg.nomad_sd:
+            providers.append(
+                NomadDiscovery(
+                    ns["server"], ns["namespace"], ns["region"],
+                    ns["tag_separator"],
+                    refresh_interval_ms=ns["refresh_interval_ms"],
+                )
+            )
+        for eu in jobcfg.eureka_sd:
+            providers.append(
+                EurekaDiscovery(
+                    eu["server"],
+                    refresh_interval_ms=eu["refresh_interval_ms"],
                 )
             )
         discovery.register(jobcfg, providers)

@@ -923,6 +923,236 @@ class LinodeDiscovery(_BearerListDiscovery):
         return groups
 
 
+class VultrDiscovery(_BearerListDiscovery):
+    """vultr_sd_configs provider (discovery/vultr/vultr.go:38-57,
+    148-199): one target per instance at ``main_ip:port`` with the
+    ``__meta_vultr_instance_*`` labels; features/tags separator-wrapped.
+    Pages via the v2 API's ``meta.links.next`` cursor."""
+
+    def __init__(
+        self,
+        token: str = "",
+        port: int = 80,
+        endpoint: str = "https://api.vultr.com",
+        refresh_interval_ms: int = 60_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str], bytes]] = None,
+    ):
+        super().__init__(
+            token, port, endpoint, refresh_interval_ms, timeout_s, fetch_fn
+        )
+
+    def _groups(self) -> list[TargetGroup]:
+        groups: list[TargetGroup] = []
+        cursor = ""
+        while True:
+            url = f"{self.endpoint}/v2/instances?per_page=100"
+            if cursor:
+                url += f"&cursor={urllib.parse.quote(cursor)}"
+            doc = self._get_json(url)
+            for inst in doc.get("instances") or []:
+                labels = {
+                    "__meta_vultr_instance_id": str(inst.get("id", "")),
+                    "__meta_vultr_instance_label": inst.get("label", ""),
+                    "__meta_vultr_instance_os": inst.get("os", ""),
+                    "__meta_vultr_instance_os_id": str(inst.get("os_id", "")),
+                    "__meta_vultr_instance_region": inst.get("region", ""),
+                    "__meta_vultr_instance_plan": inst.get("plan", ""),
+                    "__meta_vultr_instance_vcpu_count":
+                        str(inst.get("vcpu_count", "")),
+                    "__meta_vultr_instance_ram_mb": str(inst.get("ram", "")),
+                    "__meta_vultr_instance_allowed_bandwidth_gb":
+                        str(inst.get("allowed_bandwidth", "")),
+                    "__meta_vultr_instance_disk_gb": str(inst.get("disk", "")),
+                    "__meta_vultr_instance_main_ip": inst.get("main_ip", ""),
+                    "__meta_vultr_instance_main_ipv6":
+                        inst.get("v6_main_ip", ""),
+                    "__meta_vultr_instance_internal_ip":
+                        inst.get("internal_ip", ""),
+                    "__meta_vultr_instance_hostname": inst.get("hostname", ""),
+                    "__meta_vultr_instance_server_status":
+                        inst.get("server_status", ""),
+                }
+                if inst.get("features"):
+                    labels["__meta_vultr_instance_features"] = _wrap_list(
+                        inst["features"]
+                    )
+                if inst.get("tags"):
+                    labels["__meta_vultr_instance_tags"] = _wrap_list(
+                        inst["tags"]
+                    )
+                groups.append(
+                    TargetGroup([f'{inst.get("main_ip", "")}:{self.port}'], labels)
+                )
+            cursor = ((doc.get("meta") or {}).get("links") or {}).get(
+                "next", ""
+            )
+            if not cursor:
+                return groups
+
+
+class NomadDiscovery(_BearerListDiscovery):
+    """nomad_sd_configs provider (discovery/nomad/nomad.go:37-48,
+    170-215): list service stubs (``/v1/services``), then one target per
+    registered instance at ``address:port`` with the ``__meta_nomad_*``
+    labels; tags separator-wrapped."""
+
+    def __init__(
+        self,
+        server: str = "http://localhost:4646",
+        namespace: str = "default",
+        region: str = "global",
+        tag_separator: str = ",",
+        port: int = 80,  # unused (nomad services carry their port)
+        refresh_interval_ms: int = 60_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str], bytes]] = None,
+    ):
+        super().__init__(
+            "", port, server, refresh_interval_ms, timeout_s, fetch_fn
+        )
+        self.namespace = namespace
+        self.region = region
+        self.tag_separator = tag_separator
+
+    def _url(self, path: str) -> str:
+        q = urlencode({"namespace": self.namespace, "region": self.region})
+        return f"{self.endpoint}{path}?{q}"
+
+    def _groups(self) -> list[TargetGroup]:
+        groups: list[TargetGroup] = []
+        for stub in self._get_json(self._url("/v1/services")) or []:
+            for svc in stub.get("Services") or []:
+                name = svc.get("ServiceName", "")
+                if not name:
+                    continue
+                for inst in self._get_json(
+                    self._url(f"/v1/service/{urllib.parse.quote(name)}")
+                ) or []:
+                    addr = inst.get("Address", "")
+                    port = inst.get("Port", 0)
+                    labels = {
+                        "__meta_nomad_address": addr,
+                        "__meta_nomad_dc": inst.get("Datacenter", ""),
+                        "__meta_nomad_node_id": inst.get("NodeID", ""),
+                        "__meta_nomad_namespace": inst.get("Namespace", ""),
+                        "__meta_nomad_service": inst.get("ServiceName", ""),
+                        "__meta_nomad_service_address": addr,
+                        "__meta_nomad_service_id": inst.get("ID", ""),
+                        "__meta_nomad_service_port": str(port),
+                    }
+                    if inst.get("Tags"):
+                        labels["__meta_nomad_tags"] = _wrap_list(
+                            inst["Tags"], self.tag_separator
+                        )
+                    groups.append(TargetGroup([f"{addr}:{port}"], labels))
+        return groups
+
+
+class EurekaDiscovery:
+    """eureka_sd_configs provider (discovery/eureka/eureka.go:36-60,
+    160-230): GET ``{server}/apps`` (XML), one target per application
+    instance at ``hostname:port`` (80 when the port element is absent)
+    with the ``__meta_eureka_app_*`` labels, instance metadata as
+    ``..._metadata_<k>``, and datacenterinfo name + metadata."""
+
+    def __init__(
+        self,
+        server: str,
+        refresh_interval_ms: int = 30_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str], bytes]] = None,
+    ):
+        self.server = server.rstrip("/")
+        self.refresh_interval_ms = refresh_interval_ms
+        self.timeout_s = timeout_s
+        self._fetch = fetch_fn or self._http_get
+        self._last_good: list[TargetGroup] = []
+
+    def _http_get(self, url: str) -> bytes:
+        req = urllib.request.Request(url, headers={"Accept": "application/xml"})
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return resp.read()
+
+    def _groups(self) -> list[TargetGroup]:
+        import xml.etree.ElementTree as ET
+
+        root = ET.fromstring(self._fetch(f"{self.server}/apps"))
+
+        def text(el, tag: str) -> str:
+            found = el.find(tag)
+            return (found.text or "") if found is not None else ""
+
+        groups: list[TargetGroup] = []
+        for app in root.iter("application"):
+            app_name = text(app, "name")
+            for inst in app.findall("instance"):
+                host = text(inst, "hostName")
+                port_el = inst.find("port")
+                port = (port_el.text or "80") if port_el is not None else "80"
+                labels = {
+                    "__meta_eureka_app_name": app_name,
+                    "__meta_eureka_app_instance_id": text(inst, "instanceId"),
+                    "__meta_eureka_app_instance_hostname": host,
+                    "__meta_eureka_app_instance_homepage_url":
+                        text(inst, "homePageUrl"),
+                    "__meta_eureka_app_instance_statuspage_url":
+                        text(inst, "statusPageUrl"),
+                    "__meta_eureka_app_instance_healthcheck_url":
+                        text(inst, "healthCheckUrl"),
+                    "__meta_eureka_app_instance_ip_addr": text(inst, "ipAddr"),
+                    "__meta_eureka_app_instance_vip_address":
+                        text(inst, "vipAddress"),
+                    "__meta_eureka_app_instance_secure_vip_address":
+                        text(inst, "secureVipAddress"),
+                    "__meta_eureka_app_instance_status": text(inst, "status"),
+                    "__meta_eureka_app_instance_country_id":
+                        text(inst, "countryId"),
+                }
+                if port_el is not None:
+                    labels["__meta_eureka_app_instance_port"] = port
+                    labels["__meta_eureka_app_instance_port_enabled"] = (
+                        port_el.get("enabled", "true")
+                    )
+                sport = inst.find("securePort")
+                if sport is not None:
+                    labels["__meta_eureka_app_instance_secure_port"] = (
+                        sport.text or ""
+                    )
+                    labels["__meta_eureka_app_instance_secure_port_enabled"] = (
+                        sport.get("enabled", "false")
+                    )
+                dci = inst.find("dataCenterInfo")
+                if dci is not None:
+                    labels["__meta_eureka_app_instance_datacenterinfo_name"] = (
+                        text(dci, "name")
+                    )
+                    dmeta = dci.find("metadata")
+                    if dmeta is not None:
+                        for m in dmeta:
+                            labels[
+                                "__meta_eureka_app_instance_datacenterinfo_metadata_"
+                                + _sanitize_label_name(m.tag)
+                            ] = m.text or ""
+                meta = inst.find("metadata")
+                if meta is not None:
+                    for m in meta:
+                        labels[
+                            "__meta_eureka_app_instance_metadata_"
+                            + _sanitize_label_name(m.tag)
+                        ] = m.text or ""
+                groups.append(TargetGroup([f"{host}:{port}"], labels))
+        return groups
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        try:
+            out = self._groups()
+            self._last_good = out
+        except Exception:
+            out = self._last_good
+        return out
+
+
 _AZURE_RG_RE = re.compile(
     r"/subscriptions/[^/]+/resourceGroups/([^/]+)/", re.IGNORECASE
 )

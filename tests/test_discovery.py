@@ -1193,3 +1193,145 @@ def test_linode_sd_instances():
     assert g["__meta_linode_specs_memory_bytes"] == str(1024 << 20)
     assert g["__meta_linode_backups"] == "enabled"
     assert g["__meta_linode_tags"] == ",db,"
+
+
+def test_vultr_sd_instances():
+    from prometheus_spark.sources.discovery import VultrDiscovery
+
+    pages = {
+        "": {
+            "instances": [
+                {
+                    "id": "abc-123", "label": "web", "os": "Ubuntu 22.04",
+                    "os_id": 1743, "region": "ewr", "plan": "vc2-1c-1gb",
+                    "vcpu_count": 1, "ram": 1024, "allowed_bandwidth": 1000,
+                    "disk": 25, "main_ip": "45.32.1.1",
+                    "v6_main_ip": "2001:19f0::1", "internal_ip": "10.1.0.2",
+                    "hostname": "web.host", "server_status": "ok",
+                    "features": ["ipv6"], "tags": ["prod"],
+                }
+            ],
+            "meta": {"links": {"next": "cur2"}},
+        },
+        "cur2": {
+            "instances": [
+                {"id": "def-456", "label": "db", "main_ip": "45.32.1.2"}
+            ],
+            "meta": {"links": {"next": ""}},
+        },
+    }
+
+    def fetch(url):
+        from urllib.parse import parse_qs, urlparse
+
+        cur = parse_qs(urlparse(url).query).get("cursor", [""])[0]
+        return json.dumps(pages[cur]).encode()
+
+    d = VultrDiscovery("tok", port=9100, fetch_fn=fetch)
+    groups = d.refresh()
+    assert [g.targets[0] for g in groups] == ["45.32.1.1:9100", "45.32.1.2:9100"]
+    g = groups[0].labels
+    assert g["__meta_vultr_instance_id"] == "abc-123"
+    assert g["__meta_vultr_instance_os_id"] == "1743"
+    assert g["__meta_vultr_instance_plan"] == "vc2-1c-1gb"
+    assert g["__meta_vultr_instance_ram_mb"] == "1024"
+    assert g["__meta_vultr_instance_main_ipv6"] == "2001:19f0::1"
+    assert g["__meta_vultr_instance_features"] == ",ipv6,"
+    assert g["__meta_vultr_instance_tags"] == ",prod,"
+
+
+def test_nomad_sd_services():
+    from prometheus_spark.sources.discovery import NomadDiscovery
+
+    responses = {
+        "/v1/services": [
+            {"Namespace": "default",
+             "Services": [{"ServiceName": "api"}, {"ServiceName": "db"}]}
+        ],
+        "/v1/service/api": [
+            {"ID": "svc-1", "ServiceName": "api", "Address": "10.0.0.5",
+             "Port": 8080, "Datacenter": "dc1", "NodeID": "n-1",
+             "Namespace": "default", "Tags": ["http", "v1"]},
+        ],
+        "/v1/service/db": [
+            {"ID": "svc-2", "ServiceName": "db", "Address": "10.0.0.6",
+             "Port": 5432, "Datacenter": "dc1", "NodeID": "n-2",
+             "Namespace": "default"},
+        ],
+    }
+
+    def fetch(url):
+        from urllib.parse import parse_qs, urlparse
+
+        p = urlparse(url)
+        q = parse_qs(p.query)
+        assert q["namespace"] == ["default"] and q["region"] == ["global"]
+        return json.dumps(responses[p.path]).encode()
+
+    d = NomadDiscovery(fetch_fn=fetch)
+    groups = d.refresh()
+    assert [g.targets[0] for g in groups] == ["10.0.0.5:8080", "10.0.0.6:5432"]
+    g = groups[0].labels
+    assert g["__meta_nomad_service"] == "api"
+    assert g["__meta_nomad_service_id"] == "svc-1"
+    assert g["__meta_nomad_service_port"] == "8080"
+    assert g["__meta_nomad_dc"] == "dc1"
+    assert g["__meta_nomad_node_id"] == "n-1"
+    assert g["__meta_nomad_tags"] == ",http,v1,"
+    assert "__meta_nomad_tags" not in groups[1].labels
+
+
+def test_eureka_sd_apps():
+    from prometheus_spark.sources.discovery import EurekaDiscovery
+
+    xml = """<applications>
+      <application>
+        <name>CONFIG-SERVICE</name>
+        <instance>
+          <instanceId>config-1</instanceId>
+          <hostName>config.example.com</hostName>
+          <ipAddr>192.168.0.11</ipAddr>
+          <status>UP</status>
+          <port enabled="true">8080</port>
+          <securePort enabled="false">8443</securePort>
+          <countryId>1</countryId>
+          <dataCenterInfo>
+            <name>MyOwn</name>
+            <metadata><zone>us-east-1c</zone></metadata>
+          </dataCenterInfo>
+          <homePageUrl>http://config.example.com:8080/</homePageUrl>
+          <statusPageUrl>http://config.example.com:8080/info</statusPageUrl>
+          <healthCheckUrl>http://config.example.com:8080/health</healthCheckUrl>
+          <vipAddress>config</vipAddress>
+          <metadata><management.port>8090</management.port></metadata>
+        </instance>
+        <instance>
+          <instanceId>config-2</instanceId>
+          <hostName>portless.example.com</hostName>
+          <status>DOWN</status>
+        </instance>
+      </application>
+    </applications>"""
+
+    d = EurekaDiscovery(
+        "http://eureka:8761/eureka", fetch_fn=lambda u: xml.encode()
+    )
+    groups = d.refresh()
+    assert [g.targets[0] for g in groups] == [
+        "config.example.com:8080", "portless.example.com:80"
+    ]
+    g = groups[0].labels
+    assert g["__meta_eureka_app_name"] == "CONFIG-SERVICE"
+    assert g["__meta_eureka_app_instance_id"] == "config-1"
+    assert g["__meta_eureka_app_instance_hostname"] == "config.example.com"
+    assert g["__meta_eureka_app_instance_ip_addr"] == "192.168.0.11"
+    assert g["__meta_eureka_app_instance_status"] == "UP"
+    assert g["__meta_eureka_app_instance_port"] == "8080"
+    assert g["__meta_eureka_app_instance_port_enabled"] == "true"
+    assert g["__meta_eureka_app_instance_secure_port"] == "8443"
+    assert g["__meta_eureka_app_instance_secure_port_enabled"] == "false"
+    assert g["__meta_eureka_app_instance_datacenterinfo_name"] == "MyOwn"
+    assert g["__meta_eureka_app_instance_datacenterinfo_metadata_zone"] == "us-east-1c"
+    assert g["__meta_eureka_app_instance_metadata_management_port"] == "8090"
+    assert g["__meta_eureka_app_instance_vip_address"] == "config"
+    assert "__meta_eureka_app_instance_port" not in groups[1].labels
