@@ -1716,14 +1716,15 @@ WITH w AS (
 ),
 h AS (
   SELECT doc_id,
-         ('0x' || substr(md5(word), 1, 8))::BIGINT AS hi,
-         ('0x' || substr(md5(word), 9, 8))::BIGINT AS lo
+         (CASE WHEN ('0x' || substr(md5(word), 1, 8))::BIGINT >= 2147483648
+               THEN ('0x' || substr(md5(word), 1, 8))::BIGINT - 4294967296
+               ELSE ('0x' || substr(md5(word), 1, 8))::BIGINT END) * 4294967296
+         + ('0x' || substr(md5(word), 9, 8))::BIGINT AS hv
   FROM w
 ),
 bits AS (
   SELECT doc_id, j,
-         SUM(CASE WHEN ((CASE WHEN j < 32 THEN lo ELSE hi END) >> (j % 32)) & 1 = 1
-                  THEN 1 ELSE -1 END) AS vote
+         SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
   FROM h, range(0, 64) t(j)
   GROUP BY doc_id, j
 ),

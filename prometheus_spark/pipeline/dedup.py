@@ -367,34 +367,39 @@ def simhash_64_portable(
     string so the value is identical portable SQL in Spark and DuckDB
     (no signed-shift edge cases at bit 63).
 
-    Token hash = two unsigned 32-bit halves of md5 (chars 1-8 → high
-    word, 9-16 → low word); bit j reads the low word for j<32 and the
-    high word for j≥32.  Same zero-shuffle per-row fold as
-    :func:`simhash_64`."""
+    Token hash = the first 16 hex chars of md5 packed into ONE signed
+    64-bit value (``(hi>=2^31 ? hi-2^32 : hi)·2^32 + lo`` — every
+    intermediate stays in signed-64 range, so the identical expression
+    runs in DuckDB's ANSI arithmetic).  Packing to a single long keeps
+    the 64-slot vote fold the same cheap shape as :func:`simhash_64`'s
+    (one shiftright per bit; the earlier hi/lo-struct variant paid 2.5×
+    in the fold).  Arithmetic ``>>`` sign-extends identically in both
+    engines, and ``(h>>j)&1`` reads bit j regardless.  Same zero-shuffle
+    per-row fold as :func:`simhash_64`."""
     words = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != F.lit("")
     )
-    # md5 once per word (the dominant cost); the hi/lo split reads the
-    # already-computed hex string
+    # md5 once per word; pack both 32-bit halves into one long
     digests = F.transform(words, lambda w: F.md5(w))
+
+    def pack(d: Column) -> Column:
+        hi = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
+        signed_hi = F.when(hi >= F.lit(2147483648), hi - F.lit(4294967296)).otherwise(hi)
+        return signed_hi * F.lit(4294967296) + lo
+
     hashed = (
         _spread(df, id_col)
         .select(
             F.col(id_col),
-            F.transform(
-                digests,
-                lambda d: F.struct(
-                    F.conv(F.substring(d, 1, 8), 16, 10).cast("long").alias("hi"),
-                    F.conv(F.substring(d, 9, 8), 16, 10).cast("long").alias("lo"),
-                ),
-            ).alias("__h"),
+            F.transform(digests, pack).alias("__h"),
         )
         .filter(F.size("__h") > 0)
     )
     votes = F.expr(
         "aggregate(__h, array_repeat(0L, 64),"
         " (acc, h) -> zip_with(acc, sequence(0, 63),"
-        "   (a, j) -> a + IF((shiftright(IF(j < 32, h.lo, h.hi), j % 32) & 1) = 1, 1L, -1L)))"
+        "   (a, j) -> a + IF((shiftright(h, j) & 1) = 1, 1L, -1L)))"
     )
     word_expr = (
         "aggregate(zip_with(slice(__v, {start}, 32), sequence(0, 31),"
