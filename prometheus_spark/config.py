@@ -85,6 +85,7 @@ class ScrapeJobConfig:
     vultr_sd: list = field(default_factory=list)  # {"port", ...}
     nomad_sd: list = field(default_factory=list)  # {"server", ...}
     eureka_sd: list = field(default_factory=list)  # {"server", ...}
+    scaleway_sd: list = field(default_factory=list)  # {"project_id", ...}
 
 
 @dataclass
@@ -307,6 +308,15 @@ def load_config(path: str) -> PromConfig:
             }
             for eu in sc.get("eureka_sd_configs") or []
         ]
+        scaleway_sd = [
+            {
+                "project_id": sw.get("project_id", ""),
+                "zone": sw.get("zone", "fr-par-1"),
+                "port": int(sw.get("port", 80)),
+                "refresh_interval_ms": _dur_ms(sw.get("refresh_interval"), 60_000),
+            }
+            for sw in sc.get("scaleway_sd_configs") or []
+        ]
         cfg.scrape_jobs.append(
             ScrapeJobConfig(
                 job_name=job,
@@ -342,6 +352,7 @@ def load_config(path: str) -> PromConfig:
                 vultr_sd=vultr_sd,
                 nomad_sd=nomad_sd,
                 eureka_sd=eureka_sd,
+                scaleway_sd=scaleway_sd,
             )
         )
 
@@ -391,6 +402,7 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
         HetznerDiscovery,
         LinodeDiscovery,
         NomadDiscovery,
+        ScalewayDiscovery,
         VultrDiscovery,
         KubernetesDiscovery,
         DiscoveryManager,
@@ -520,6 +532,13 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
                 EurekaDiscovery(
                     eu["server"],
                     refresh_interval_ms=eu["refresh_interval_ms"],
+                )
+            )
+        for sw in jobcfg.scaleway_sd:
+            providers.append(
+                ScalewayDiscovery(
+                    sw["project_id"], sw["zone"], port=sw["port"],
+                    refresh_interval_ms=sw["refresh_interval_ms"],
                 )
             )
         discovery.register(jobcfg, providers)

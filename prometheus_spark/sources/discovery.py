@@ -1049,6 +1049,124 @@ class NomadDiscovery(_BearerListDiscovery):
         return groups
 
 
+class ScalewayDiscovery(_BearerListDiscovery):
+    """scaleway_sd_configs provider, instance role
+    (discovery/scaleway/instance.go:36-59,120-240): one target per
+    server with the ``__meta_scaleway_instance_*`` labels; address
+    preference private IP > public IP > IPv6; servers with no address
+    are skipped; wrapped tags and public address lists.  Pages via the
+    API's ``page`` param until a short page."""
+
+    def __init__(
+        self,
+        project_id: str = "",
+        zone: str = "fr-par-1",
+        secret_key: str = "",
+        port: int = 80,
+        endpoint: str = "https://api.scaleway.com",
+        refresh_interval_ms: int = 60_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str], bytes]] = None,
+    ):
+        super().__init__(
+            secret_key, port, endpoint, refresh_interval_ms, timeout_s, fetch_fn
+        )
+        self.project_id = project_id
+        self.zone = zone
+
+    def _http_get(self, url: str) -> bytes:  # Scaleway uses a header token
+        req = urllib.request.Request(
+            url, headers={"X-Auth-Token": self.token}
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return resp.read()
+
+    def _groups(self) -> list[TargetGroup]:
+        groups: list[TargetGroup] = []
+        page = 1
+        per_page = 50
+        while True:
+            q = {"page": page, "per_page": per_page}
+            if self.project_id:
+                q["project"] = self.project_id
+            doc = self._get_json(
+                f"{self.endpoint}/instance/v1/zones/{self.zone}/servers?"
+                + urlencode(q)
+            )
+            servers = doc.get("servers") or []
+            for s in servers:
+                image = s.get("image") or {}
+                sg = s.get("security_group") or {}
+                labels = {
+                    "__meta_scaleway_instance_id": s.get("id", ""),
+                    "__meta_scaleway_instance_name": s.get("name", ""),
+                    "__meta_scaleway_instance_boot_type": s.get("boot_type", ""),
+                    "__meta_scaleway_instance_hostname": s.get("hostname", ""),
+                    "__meta_scaleway_instance_image_arch": image.get("arch", ""),
+                    "__meta_scaleway_instance_image_id": image.get("id", ""),
+                    "__meta_scaleway_instance_image_name": image.get("name", ""),
+                    "__meta_scaleway_instance_organization_id":
+                        s.get("organization", ""),
+                    "__meta_scaleway_instance_project_id": s.get("project", ""),
+                    "__meta_scaleway_instance_security_group_id": sg.get("id", ""),
+                    "__meta_scaleway_instance_security_group_name":
+                        sg.get("name", ""),
+                    "__meta_scaleway_instance_status": s.get("state", ""),
+                    "__meta_scaleway_instance_type":
+                        s.get("commercial_type", ""),
+                    "__meta_scaleway_instance_zone": s.get("zone", self.zone),
+                    "__meta_scaleway_instance_region":
+                        "-".join(s.get("zone", self.zone).split("-")[:2]),
+                }
+                if s.get("tags"):
+                    labels["__meta_scaleway_instance_tags"] = _wrap_list(
+                        s["tags"]
+                    )
+                v4s = [
+                    ip["address"]
+                    for ip in s.get("public_ips") or []
+                    if ip.get("family") == "inet" and ip.get("address")
+                ]
+                v6s = [
+                    ip["address"]
+                    for ip in s.get("public_ips") or []
+                    if ip.get("family") == "inet6" and ip.get("address")
+                ]
+                if v4s:
+                    labels[
+                        "__meta_scaleway_instance_public_ipv4_addresses"
+                    ] = _wrap_list(v4s)
+                if v6s:
+                    labels[
+                        "__meta_scaleway_instance_public_ipv6_addresses"
+                    ] = _wrap_list(v6s)
+                addr = ""
+                if (s.get("ipv6") or {}).get("address"):
+                    labels["__meta_scaleway_instance_public_ipv6"] = s["ipv6"][
+                        "address"
+                    ]
+                    addr = s["ipv6"]["address"]
+                pub = s.get("public_ip") or {}
+                if pub.get("address"):
+                    if pub.get("family") != "inet6":
+                        labels["__meta_scaleway_instance_public_ipv4"] = pub[
+                            "address"
+                        ]
+                    addr = pub["address"]
+                if s.get("private_ip"):
+                    labels["__meta_scaleway_instance_private_ipv4"] = s[
+                        "private_ip"
+                    ]
+                    addr = s["private_ip"]
+                if not addr:
+                    continue  # instance.go:230 address-less servers skipped
+                host = f"[{addr}]" if ":" in addr else addr
+                groups.append(TargetGroup([f"{host}:{self.port}"], labels))
+            if len(servers) < per_page:
+                return groups
+            page += 1
+
+
 class EurekaDiscovery:
     """eureka_sd_configs provider (discovery/eureka/eureka.go:36-60,
     160-230): GET ``{server}/apps`` (XML), one target per application

@@ -200,6 +200,59 @@ def decode_read_response(body: bytes, compressed: bool = True) -> list:
     return results
 
 
+class RemoteReadClient:
+    """HTTP remote-read client (storage/remote/client.go:356
+    Read/ReadMultiple): POST a snappy ReadRequest advertising
+    ``[STREAMED_XOR_CHUNKS, SAMPLES]`` (the reference's default
+    AcceptedResponseTypes order, client.go:66) and decode whichever
+    response type the server chose by Content-Type.
+
+    Returns ``[[(labels, [(t_ms, value)])] per query]`` — the same shape
+    :func:`decode_read_response` yields, so callers are agnostic to the
+    negotiated wire format."""
+
+    def __init__(
+        self,
+        url: str,
+        timeout_s: float = 30.0,
+        accepted_response_types: list[int] | None = None,
+        post_fn=None,
+    ):
+        self.url = url
+        self.timeout_s = timeout_s
+        self.accepted = (
+            accepted_response_types
+            if accepted_response_types is not None
+            else [STREAMED_XOR_CHUNKS, SAMPLES]
+        )
+        self._post = post_fn or self._http_post
+
+    def _http_post(self, body: bytes) -> tuple[bytes, str]:
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url,
+            data=body,
+            method="POST",
+            headers={
+                "Content-Type": "application/x-protobuf",
+                "Content-Encoding": "snappy",
+                "X-Prometheus-Remote-Read-Version": "0.1.0",
+            },
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return resp.read(), resp.headers.get("Content-Type", "")
+
+    def read(self, queries: list[dict]) -> list:
+        """queries = [{start_ms, end_ms, matchers: [(op, name, value)]}]."""
+        body, ctype = self._post(
+            encode_read_request(queries, accepted_response_types=self.accepted)
+        )
+        if ctype.startswith("application/x-streamed-protobuf"):
+            return decode_streamed_read_response(body, n_queries=len(queries))
+        return decode_read_response(body)
+
+
 # --- STREAMED_XOR_CHUNKS framing (storage/remote/chunked.go) ---------------
 
 _CRC32C_TABLE = None

@@ -1335,3 +1335,55 @@ def test_eureka_sd_apps():
     assert g["__meta_eureka_app_instance_metadata_management_port"] == "8090"
     assert g["__meta_eureka_app_instance_vip_address"] == "config"
     assert "__meta_eureka_app_instance_port" not in groups[1].labels
+
+
+def test_scaleway_sd_instances():
+    from prometheus_spark.sources.discovery import ScalewayDiscovery
+
+    servers = [
+        {
+            "id": "srv-1", "name": "web", "boot_type": "local",
+            "hostname": "web", "organization": "org-1", "project": "proj-1",
+            "state": "running", "commercial_type": "DEV1-S",
+            "zone": "fr-par-1",
+            "image": {"id": "img-1", "name": "Ubuntu", "arch": "x86_64"},
+            "security_group": {"id": "sg-1", "name": "default"},
+            "tags": ["prod"],
+            "public_ips": [
+                {"address": "51.15.1.1", "family": "inet"},
+                {"address": "2001:bc8::1", "family": "inet6"},
+            ],
+            "public_ip": {"address": "51.15.1.1", "family": "inet"},
+            "ipv6": {"address": "2001:bc8::1"},
+            "private_ip": "10.64.0.2",
+        },
+        {"id": "srv-2", "name": "no-addr", "state": "stopped"},
+    ]
+
+    def fetch(url):
+        from urllib.parse import parse_qs, urlparse
+
+        p = urlparse(url)
+        assert "/instance/v1/zones/fr-par-1/servers" in p.path
+        q = parse_qs(p.query)
+        assert q["project"] == ["proj-1"]
+        return json.dumps(
+            {"servers": servers if q["page"] == ["1"] else []}
+        ).encode()
+
+    d = ScalewayDiscovery("proj-1", "fr-par-1", "key", port=9100, fetch_fn=fetch)
+    groups = d.refresh()
+    # address preference: private beats public; address-less skipped
+    assert [g.targets[0] for g in groups] == ["10.64.0.2:9100"]
+    g = groups[0].labels
+    assert g["__meta_scaleway_instance_id"] == "srv-1"
+    assert g["__meta_scaleway_instance_type"] == "DEV1-S"
+    assert g["__meta_scaleway_instance_zone"] == "fr-par-1"
+    assert g["__meta_scaleway_instance_region"] == "fr-par"
+    assert g["__meta_scaleway_instance_private_ipv4"] == "10.64.0.2"
+    assert g["__meta_scaleway_instance_public_ipv4"] == "51.15.1.1"
+    assert g["__meta_scaleway_instance_public_ipv6"] == "2001:bc8::1"
+    assert g["__meta_scaleway_instance_public_ipv4_addresses"] == ",51.15.1.1,"
+    assert g["__meta_scaleway_instance_tags"] == ",prod,"
+    assert g["__meta_scaleway_instance_image_arch"] == "x86_64"
+    assert g["__meta_scaleway_instance_security_group_name"] == "default"

@@ -611,6 +611,35 @@ def test_remote_read_streamed_xor_chunks(spark):
     assert decode_read_response(body2)[0][0][1] == [(1000, 3.5)]
 
 
+def test_remote_read_client_negotiation(spark):
+    """RemoteReadClient round-trip against serve_read_negotiated: the
+    default accepted list picks STREAMED_XOR_CHUNKS; a SAMPLES-only
+    client gets the fallback. Both decode to the same result shape."""
+    from prometheus_spark.sources.remote_read import (
+        SAMPLES,
+        RemoteReadClient,
+        serve_read_negotiated,
+    )
+    from prometheus_spark.storage import samples_from_rows
+
+    rows = [({"__name__": "m", "job": "a"}, i * 1000, float(i)) for i in range(5)]
+    samples = samples_from_rows(spark, rows)
+
+    def post(body):
+        return serve_read_negotiated(samples, body)
+
+    q = [{"start_ms": 0, "end_ms": 10_000,
+          "matchers": [("=", "__name__", "m")]}]
+    streamed = RemoteReadClient("http://x/api/v1/read", post_fn=post).read(q)
+    plain = RemoteReadClient(
+        "http://x/api/v1/read", accepted_response_types=[SAMPLES], post_fn=post
+    ).read(q)
+    expected = [(i * 1000, float(i)) for i in range(5)]
+    assert streamed[0][0][1] == expected
+    assert plain[0][0][1] == expected
+    assert streamed[0][0][0] == plain[0][0][0]
+
+
 def test_xor_chunk_codec_bitstream():
     """XOR chunk codec round-trips and actually compresses (the Gorilla
     property: regular timestamps + repeated values cost ~2 bytes/sample,
