@@ -86,6 +86,8 @@ class ScrapeJobConfig:
     nomad_sd: list = field(default_factory=list)  # {"server", ...}
     eureka_sd: list = field(default_factory=list)  # {"server", ...}
     scaleway_sd: list = field(default_factory=list)  # {"project_id", ...}
+    marathon_sd: list = field(default_factory=list)  # {"servers", ...}
+    puppetdb_sd: list = field(default_factory=list)  # {"url", "query", ...}
 
 
 @dataclass
@@ -317,6 +319,24 @@ def load_config(path: str) -> PromConfig:
             }
             for sw in sc.get("scaleway_sd_configs") or []
         ]
+        marathon_sd = [
+            {
+                "servers": list(ms.get("servers") or []),
+                "auth_token": ms.get("auth_token", ""),
+                "refresh_interval_ms": _dur_ms(ms.get("refresh_interval"), 30_000),
+            }
+            for ms in sc.get("marathon_sd_configs") or []
+        ]
+        puppetdb_sd = [
+            {
+                "url": ps.get("url", ""),
+                "query": ps.get("query", ""),
+                "port": int(ps.get("port", 80)),
+                "include_parameters": bool(ps.get("include_parameters", False)),
+                "refresh_interval_ms": _dur_ms(ps.get("refresh_interval"), 60_000),
+            }
+            for ps in sc.get("puppetdb_sd_configs") or []
+        ]
         cfg.scrape_jobs.append(
             ScrapeJobConfig(
                 job_name=job,
@@ -353,6 +373,8 @@ def load_config(path: str) -> PromConfig:
                 nomad_sd=nomad_sd,
                 eureka_sd=eureka_sd,
                 scaleway_sd=scaleway_sd,
+                marathon_sd=marathon_sd,
+                puppetdb_sd=puppetdb_sd,
             )
         )
 
@@ -401,7 +423,9 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
         GCEDiscovery,
         HetznerDiscovery,
         LinodeDiscovery,
+        MarathonDiscovery,
         NomadDiscovery,
+        PuppetDBDiscovery,
         ScalewayDiscovery,
         VultrDiscovery,
         KubernetesDiscovery,
@@ -539,6 +563,21 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
                 ScalewayDiscovery(
                     sw["project_id"], sw["zone"], port=sw["port"],
                     refresh_interval_ms=sw["refresh_interval_ms"],
+                )
+            )
+        for ms in jobcfg.marathon_sd:
+            providers.append(
+                MarathonDiscovery(
+                    ms["servers"], ms["auth_token"],
+                    refresh_interval_ms=ms["refresh_interval_ms"],
+                )
+            )
+        for ps in jobcfg.puppetdb_sd:
+            providers.append(
+                PuppetDBDiscovery(
+                    ps["url"], ps["query"], ps["port"],
+                    ps["include_parameters"],
+                    refresh_interval_ms=ps["refresh_interval_ms"],
                 )
             )
         discovery.register(jobcfg, providers)

@@ -1167,6 +1167,207 @@ class ScalewayDiscovery(_BearerListDiscovery):
             page += 1
 
 
+class MarathonDiscovery:
+    """marathon_sd_configs provider (discovery/marathon/marathon.go:
+    41-60,415-520): GET ``/v2/apps?embed=apps.tasks``; one target per
+    (task, port) with ``__meta_marathon_app``/``_image``/``_task``/
+    ``_port_index`` plus ``app_label_*`` and per-port
+    ``port_mapping_label_*`` / ``port_definition_label_*`` labels.  Port
+    resolution follows the reference's precedence: container
+    portMappings > docker portMappings > portDefinitions (app ports only
+    when requirePorts) > task ports, with zero ports resolved from the
+    task; container-network apps use the task's first IP address."""
+
+    def __init__(
+        self,
+        servers: list[str],
+        auth_token: str = "",
+        refresh_interval_ms: int = 30_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str], bytes]] = None,
+    ):
+        self.servers = [s.rstrip("/") for s in (servers or [])]
+        self.auth_token = auth_token
+        self.refresh_interval_ms = refresh_interval_ms
+        self.timeout_s = timeout_s
+        self._fetch = fetch_fn or self._http_get
+        self._last_good: list[TargetGroup] = []
+
+    def _http_get(self, url: str) -> bytes:
+        headers = {}
+        if self.auth_token:
+            headers["Authorization"] = f"token={self.auth_token}"
+        req = urllib.request.Request(url, headers=headers)
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return resp.read()
+
+    @staticmethod
+    def _app_ports(app: dict) -> tuple[list[int], list[dict], str, bool]:
+        container = app.get("container") or {}
+        container_net = any(
+            (n.get("mode") == "container")
+            for n in app.get("networks") or []
+        )
+        pms = container.get("portMappings") or (
+            (container.get("docker") or {}).get("portMappings") or []
+        )
+        if pms:
+            ports = [
+                (pm.get("containerPort") if container_net else pm.get("hostPort"))
+                or 0
+                for pm in pms
+            ]
+            return ports, [pm.get("labels") or {} for pm in pms], (
+                "__meta_marathon_port_mapping_label_"
+            ), container_net
+        pds = app.get("portDefinitions") or []
+        if pds:
+            require = bool(app.get("requirePorts"))
+            ports = [(pd.get("port") or 0) if require else 0 for pd in pds]
+            return ports, [pd.get("labels") or {} for pd in pds], (
+                "__meta_marathon_port_definition_label_"
+            ), container_net
+        return [], [], "", container_net
+
+    def _groups(self) -> list[TargetGroup]:
+        doc = json.loads(self._fetch(f"{self.servers[0]}/v2/apps?embed=apps.tasks"))
+        groups: list[TargetGroup] = []
+        for app in doc.get("apps") or []:
+            base = {"__meta_marathon_app": app.get("id", "")}
+            image = ((app.get("container") or {}).get("docker") or {}).get(
+                "image", ""
+            )
+            if image:
+                base["__meta_marathon_image"] = image
+            for k, v in (app.get("labels") or {}).items():
+                base[
+                    "__meta_marathon_app_label_" + _sanitize_label_name(k)
+                ] = v
+            ports, port_labels, prefix, container_net = self._app_ports(app)
+            for t in app.get("tasks") or []:
+                tports = list(ports)
+                if not tports and t.get("ports"):
+                    tports = list(t["ports"])
+                    port_labels = []
+                host = t.get("host", "")
+                if container_net and t.get("ipAddresses"):
+                    host = t["ipAddresses"][0].get("ipAddress", host)
+                for i, port in enumerate(tports):
+                    if port == 0 and len(t.get("ports") or []) == len(tports):
+                        port = t["ports"][i]
+                    labels = {
+                        **base,
+                        "__meta_marathon_task": t.get("id", ""),
+                        "__meta_marathon_port_index": str(i),
+                    }
+                    if i < len(port_labels):
+                        for k, v in port_labels[i].items():
+                            labels[prefix + _sanitize_label_name(k)] = v
+                    hostp = f"[{host}]" if ":" in host else host
+                    groups.append(TargetGroup([f"{hostp}:{port}"], labels))
+        return groups
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        try:
+            out = self._groups()
+            self._last_good = out
+        except Exception:
+            out = self._last_good
+        return out
+
+
+class PuppetDBDiscovery:
+    """puppetdb_sd_configs provider (discovery/puppetdb/puppetdb.go:
+    44-54,180-260): POST a PQL query to ``/pdb/query/v4``; one target
+    per returned resource at ``certname:port`` with the
+    ``__meta_puppetdb_*`` labels; tags separator-wrapped; parameters
+    flattened only when ``include_parameters`` (they may hold secrets,
+    puppetdb.go:250)."""
+
+    def __init__(
+        self,
+        url: str,
+        query: str,
+        port: int = 80,
+        include_parameters: bool = False,
+        refresh_interval_ms: int = 60_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str, bytes], bytes]] = None,
+    ):
+        if not query:
+            raise ValueError("puppetdb_sd: query missing")
+        self.url = url.rstrip("/") + "/pdb/query/v4"
+        self.query = query
+        self.port = port
+        self.include_parameters = include_parameters
+        self.refresh_interval_ms = refresh_interval_ms
+        self.timeout_s = timeout_s
+        self._fetch = fetch_fn or self._http_post
+        self._last_good: list[TargetGroup] = []
+
+    def _http_post(self, url: str, body: bytes) -> bytes:
+        req = urllib.request.Request(
+            url,
+            data=body,
+            headers={"Content-Type": "application/json",
+                     "Accept": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return resp.read()
+
+    @staticmethod
+    def _flatten_params(prefix: str, value, out: dict) -> None:
+        """Nested parameter maps flatten to underscore-joined label
+        names (puppetdb/resources.go Parameters.toLabels)."""
+        if isinstance(value, dict):
+            for k, v in value.items():
+                PuppetDBDiscovery._flatten_params(
+                    f"{prefix}{_sanitize_label_name(str(k))}_", v, out
+                )
+        elif isinstance(value, list):
+            out[prefix.rstrip("_")] = _wrap_list([str(x) for x in value])
+        elif isinstance(value, bool):
+            out[prefix.rstrip("_")] = "true" if value else "false"
+        elif value is not None:
+            out[prefix.rstrip("_")] = str(value)
+
+    def _groups(self) -> list[TargetGroup]:
+        resources = json.loads(
+            self._fetch(self.url, json.dumps({"query": self.query}).encode())
+        )
+        groups: list[TargetGroup] = []
+        for r in resources or []:
+            certname = r.get("certname", "")
+            labels = {
+                "__meta_puppetdb_query": self.query,
+                "__meta_puppetdb_certname": certname,
+                "__meta_puppetdb_resource": r.get("resource", ""),
+                "__meta_puppetdb_type": r.get("type", ""),
+                "__meta_puppetdb_title": r.get("title", ""),
+                "__meta_puppetdb_exported":
+                    "true" if r.get("exported") else "false",
+                "__meta_puppetdb_file": r.get("file", "") or "",
+                "__meta_puppetdb_environment": r.get("environment", ""),
+            }
+            if r.get("tags"):
+                labels["__meta_puppetdb_tags"] = _wrap_list(r["tags"])
+            if self.include_parameters:
+                self._flatten_params(
+                    "__meta_puppetdb_parameter_", r.get("parameters") or {}, labels
+                )
+            groups.append(TargetGroup([f"{certname}:{self.port}"], labels))
+        return groups
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        try:
+            out = self._groups()
+            self._last_good = out
+        except Exception:
+            out = self._last_good
+        return out
+
+
 class EurekaDiscovery:
     """eureka_sd_configs provider (discovery/eureka/eureka.go:36-60,
     160-230): GET ``{server}/apps`` (XML), one target per application

@@ -1387,3 +1387,126 @@ def test_scaleway_sd_instances():
     assert g["__meta_scaleway_instance_tags"] == ",prod,"
     assert g["__meta_scaleway_instance_image_arch"] == "x86_64"
     assert g["__meta_scaleway_instance_security_group_name"] == "default"
+
+
+def test_marathon_sd_apps():
+    from prometheus_spark.sources.discovery import MarathonDiscovery
+
+    apps = {
+        "apps": [
+            {
+                "id": "/web",
+                "labels": {"team": "core"},
+                "container": {
+                    "docker": {"image": "nginx:1.25"},
+                    "portMappings": [
+                        {"hostPort": 31001, "containerPort": 80,
+                         "labels": {"metrics": "yes"}},
+                        {"hostPort": 31002, "containerPort": 443},
+                    ],
+                },
+                "tasks": [
+                    {"id": "web.t1", "host": "agent-1",
+                     "ports": [31001, 31002]}
+                ],
+            },
+            {
+                "id": "/cnet",
+                "networks": [{"mode": "container"}],
+                "container": {
+                    "portMappings": [{"containerPort": 8080}]
+                },
+                "tasks": [
+                    {"id": "cnet.t1", "host": "agent-2",
+                     "ipAddresses": [{"ipAddress": "10.4.0.7"}]}
+                ],
+            },
+            {
+                "id": "/hostnet",
+                "tasks": [{"id": "hn.t1", "host": "agent-3",
+                           "ports": [9999]}],
+            },
+        ]
+    }
+
+    d = MarathonDiscovery(
+        ["http://marathon:8080"],
+        fetch_fn=lambda u: json.dumps(apps).encode(),
+    )
+    groups = d.refresh()
+    targets = [g.targets[0] for g in groups]
+    # host networking uses hostPort; container net uses containerPort+ip
+    assert targets == [
+        "agent-1:31001", "agent-1:31002", "10.4.0.7:8080", "agent-3:9999"
+    ]
+    g = groups[0].labels
+    assert g["__meta_marathon_app"] == "/web"
+    assert g["__meta_marathon_image"] == "nginx:1.25"
+    assert g["__meta_marathon_task"] == "web.t1"
+    assert g["__meta_marathon_port_index"] == "0"
+    assert g["__meta_marathon_app_label_team"] == "core"
+    assert g["__meta_marathon_port_mapping_label_metrics"] == "yes"
+    assert "__meta_marathon_port_mapping_label_metrics" not in groups[1].labels
+
+
+def test_puppetdb_sd_resources():
+    from prometheus_spark.sources.discovery import PuppetDBDiscovery
+
+    resources = [
+        {
+            "certname": "node1.example.com",
+            "resource": "abc123",
+            "type": "Package",
+            "title": "node_exporter",
+            "exported": False,
+            "file": "/etc/puppet/modules/exporter/init.pp",
+            "environment": "production",
+            "tags": ["package", "exporter"],
+            "parameters": {
+                "ensure": "present",
+                "ports": [9100, 9101],
+                "nested": {"deep": "val"},
+                "on": True,
+            },
+        }
+    ]
+    seen = {}
+
+    def fetch(url, body):
+        seen["url"] = url
+        seen["body"] = json.loads(body)
+        return json.dumps(resources).encode()
+
+    d = PuppetDBDiscovery(
+        "https://puppetdb.example.com", 'resources[certname] { type = "Package" }',
+        port=9100, include_parameters=True, fetch_fn=fetch,
+    )
+    groups = d.refresh()
+    assert seen["url"].endswith("/pdb/query/v4")
+    assert seen["body"] == {"query": 'resources[certname] { type = "Package" }'}
+    assert groups[0].targets == ["node1.example.com:9100"]
+    g = groups[0].labels
+    assert g["__meta_puppetdb_certname"] == "node1.example.com"
+    assert g["__meta_puppetdb_type"] == "Package"
+    assert g["__meta_puppetdb_title"] == "node_exporter"
+    assert g["__meta_puppetdb_exported"] == "false"
+    assert g["__meta_puppetdb_environment"] == "production"
+    assert g["__meta_puppetdb_tags"] == ",package,exporter,"
+    assert g["__meta_puppetdb_parameter_ensure"] == "present"
+    assert g["__meta_puppetdb_parameter_ports"] == ",9100,9101,"
+    assert g["__meta_puppetdb_parameter_nested_deep"] == "val"
+    assert g["__meta_puppetdb_parameter_on"] == "true"
+
+    # parameters hidden by default
+    d2 = PuppetDBDiscovery(
+        "https://pdb", "q", fetch_fn=lambda u, b: json.dumps(resources).encode()
+    )
+    assert not any(
+        k.startswith("__meta_puppetdb_parameter_")
+        for k in d2.refresh()[0].labels
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        PuppetDBDiscovery("https://pdb", "")
