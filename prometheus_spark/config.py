@@ -88,6 +88,8 @@ class ScrapeJobConfig:
     scaleway_sd: list = field(default_factory=list)  # {"project_id", ...}
     marathon_sd: list = field(default_factory=list)  # {"servers", ...}
     puppetdb_sd: list = field(default_factory=list)  # {"url", "query", ...}
+    openstack_sd: list = field(default_factory=list)  # {"role", "region", ...}
+    dockerswarm_sd: list = field(default_factory=list)  # {"host", "role", ...}
 
 
 @dataclass
@@ -337,6 +339,30 @@ def load_config(path: str) -> PromConfig:
             }
             for ps in sc.get("puppetdb_sd_configs") or []
         ]
+        openstack_sd = [
+            {
+                "role": os_.get("role", "instance"),
+                "region": os_.get("region", ""),
+                "identity_endpoint": os_.get("identity_endpoint", ""),
+                "username": os_.get("username", ""),
+                "password": os_.get("password", ""),
+                "project_name": os_.get("project_name", ""),
+                "domain_name": os_.get("domain_name", "Default"),
+                "all_tenants": bool(os_.get("all_tenants", False)),
+                "port": int(os_.get("port", 80)),
+                "refresh_interval_ms": _dur_ms(os_.get("refresh_interval"), 60_000),
+            }
+            for os_ in sc.get("openstack_sd_configs") or []
+        ]
+        dockerswarm_sd = [
+            {
+                "host": dw.get("host", ""),
+                "role": dw.get("role", "tasks"),
+                "port": int(dw.get("port", 80)),
+                "refresh_interval_ms": _dur_ms(dw.get("refresh_interval"), 60_000),
+            }
+            for dw in sc.get("dockerswarm_sd_configs") or []
+        ]
         cfg.scrape_jobs.append(
             ScrapeJobConfig(
                 job_name=job,
@@ -375,6 +401,8 @@ def load_config(path: str) -> PromConfig:
                 scaleway_sd=scaleway_sd,
                 marathon_sd=marathon_sd,
                 puppetdb_sd=puppetdb_sd,
+                openstack_sd=openstack_sd,
+                dockerswarm_sd=dockerswarm_sd,
             )
         )
 
@@ -418,6 +446,7 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
         AzureDiscovery,
         ConsulDiscovery,
         DigitalOceanDiscovery,
+        DockerSwarmDiscovery,
         EC2Discovery,
         EurekaDiscovery,
         GCEDiscovery,
@@ -578,6 +607,22 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
                     ps["url"], ps["query"], ps["port"],
                     ps["include_parameters"],
                     refresh_interval_ms=ps["refresh_interval_ms"],
+                )
+            )
+        for os_ in jobcfg.openstack_sd:
+            providers.append(
+                OpenStackDiscovery(
+                    os_["role"], os_["region"], os_["identity_endpoint"],
+                    os_["username"], os_["password"], os_["project_name"],
+                    os_["domain_name"], os_["all_tenants"], os_["port"],
+                    refresh_interval_ms=os_["refresh_interval_ms"],
+                )
+            )
+        for dw in jobcfg.dockerswarm_sd:
+            providers.append(
+                DockerSwarmDiscovery(
+                    dw["host"], dw["role"], dw["port"],
+                    refresh_interval_ms=dw["refresh_interval_ms"],
                 )
             )
         discovery.register(jobcfg, providers)

@@ -1167,6 +1167,455 @@ class ScalewayDiscovery(_BearerListDiscovery):
             page += 1
 
 
+class DockerSwarmDiscovery:
+    """dockerswarm_sd_configs provider, roles ``nodes``/``services``/
+    ``tasks`` (discovery/moby/nodes.go:30-85, services.go:32-160,
+    tasks.go:32-160, network.go:35-56) over the plain Docker Engine
+    HTTP API (`/nodes`, `/services`, `/tasks`, `/networks`).
+
+    nodes: one target per node at ``status.addr:port``.
+    services: one target per (service, virtual IP, TCP published port)
+    — or ``vip:port`` when the service exposes no TCP port.
+    tasks: published ports from the task's PortStatus, then each
+    network attachment address × the service's TCP ports (or the
+    configured port when none) — with service + node + network labels
+    folded in, exactly the reference's precedence."""
+
+    def __init__(
+        self,
+        host: str,
+        role: str = "tasks",
+        port: int = 80,
+        refresh_interval_ms: int = 60_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str], bytes]] = None,
+    ):
+        if role not in ("nodes", "services", "tasks"):
+            raise ValueError(f"dockerswarm_sd role {role!r} not supported")
+        self.host = host.rstrip("/")
+        self.role = role
+        self.port = port
+        self.refresh_interval_ms = refresh_interval_ms
+        self.timeout_s = timeout_s
+        self._fetch = fetch_fn or self._http_get
+        self._last_good: list[TargetGroup] = []
+
+    def _http_get(self, url: str) -> bytes:
+        req = urllib.request.Request(url)
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return resp.read()
+
+    def _get(self, path: str) -> list:
+        return json.loads(self._fetch(self.host + path)) or []
+
+    # -- shared label builders ------------------------------------------
+    @staticmethod
+    def _node_labels(n: dict) -> dict:
+        spec = n.get("Spec") or {}
+        desc = n.get("Description") or {}
+        plat = desc.get("Platform") or {}
+        status = n.get("Status") or {}
+        out = {
+            "__meta_dockerswarm_node_id": n.get("ID", ""),
+            "__meta_dockerswarm_node_role": spec.get("Role", ""),
+            "__meta_dockerswarm_node_availability": spec.get("Availability", ""),
+            "__meta_dockerswarm_node_hostname": desc.get("Hostname", ""),
+            "__meta_dockerswarm_node_platform_architecture":
+                plat.get("Architecture", ""),
+            "__meta_dockerswarm_node_platform_os": plat.get("OS", ""),
+            "__meta_dockerswarm_node_status": status.get("State", ""),
+            "__meta_dockerswarm_node_address": status.get("Addr", ""),
+        }
+        for k, v in (spec.get("Labels") or {}).items():
+            out["__meta_dockerswarm_node_label_" + _sanitize_label_name(k)] = v
+        return out
+
+    @staticmethod
+    def _service_mode(s: dict) -> str:
+        mode = (s.get("Spec") or {}).get("Mode") or {}
+        if "Replicated" in mode:
+            return "replicated"
+        if "Global" in mode:
+            return "global"
+        return ""
+
+    @classmethod
+    def _service_labels(cls, s: dict) -> dict:
+        spec = s.get("Spec") or {}
+        out = {
+            "__meta_dockerswarm_service_id": s.get("ID", ""),
+            "__meta_dockerswarm_service_name": spec.get("Name", ""),
+            "__meta_dockerswarm_service_mode": cls._service_mode(s),
+        }
+        cspec = (spec.get("TaskTemplate") or {}).get("ContainerSpec")
+        if cspec:
+            out["__meta_dockerswarm_service_task_container_hostname"] = (
+                cspec.get("Hostname", "") or ""
+            )
+            out["__meta_dockerswarm_service_task_container_image"] = (
+                cspec.get("Image", "") or ""
+            )
+        if s.get("UpdateStatus"):
+            out["__meta_dockerswarm_service_updating_status"] = s[
+                "UpdateStatus"
+            ].get("State", "")
+        for k, v in (spec.get("Labels") or {}).items():
+            out["__meta_dockerswarm_service_label_" + _sanitize_label_name(k)] = v
+        return out
+
+    def _network_labels(self) -> dict:
+        out = {}
+        for net in self._get("/networks"):
+            nid = net.get("Id", "")
+            labels = {
+                "__meta_dockerswarm_network_id": nid,
+                "__meta_dockerswarm_network_name": net.get("Name", ""),
+                "__meta_dockerswarm_network_scope": net.get("Scope", ""),
+                "__meta_dockerswarm_network_internal":
+                    "true" if net.get("Internal") else "false",
+                "__meta_dockerswarm_network_ingress":
+                    "true" if net.get("Ingress") else "false",
+            }
+            for k, v in (net.get("Labels") or {}).items():
+                labels[
+                    "__meta_dockerswarm_network_label_" + _sanitize_label_name(k)
+                ] = v
+            out[nid] = labels
+        return out
+
+    @staticmethod
+    def _vip_ip(cidr: str) -> str:
+        return cidr.split("/")[0]
+
+    # -- roles -----------------------------------------------------------
+    def _nodes_groups(self) -> list[TargetGroup]:
+        groups = []
+        for n in self._get("/nodes"):
+            labels = self._node_labels(n)
+            mgr = n.get("ManagerStatus")
+            if mgr:
+                labels["__meta_dockerswarm_node_manager_leader"] = (
+                    "true" if mgr.get("Leader") else "false"
+                )
+                labels["__meta_dockerswarm_node_manager_reachability"] = mgr.get(
+                    "Reachability", ""
+                )
+                labels["__meta_dockerswarm_node_manager_address"] = mgr.get(
+                    "Addr", ""
+                )
+            desc = n.get("Description") or {}
+            labels["__meta_dockerswarm_node_engine_version"] = (
+                (desc.get("Engine") or {}).get("EngineVersion", "")
+            )
+            addr = (n.get("Status") or {}).get("Addr", "")
+            groups.append(TargetGroup([f"{addr}:{self.port}"], labels))
+        return groups
+
+    def _services_groups(self) -> list[TargetGroup]:
+        networks = self._network_labels()
+        groups = []
+        for s in self._get("/services"):
+            common = self._service_labels(s)
+            endpoint = s.get("Endpoint") or {}
+            ports = [
+                p for p in endpoint.get("Ports") or []
+                if p.get("Protocol") == "tcp"
+            ]
+            for vip in endpoint.get("VirtualIPs") or []:
+                ip = self._vip_ip(vip.get("Addr", ""))
+                netl = networks.get(vip.get("NetworkID", ""), {})
+                if ports:
+                    for p in ports:
+                        groups.append(TargetGroup(
+                            [f'{ip}:{p.get("PublishedPort", 0)}'],
+                            {
+                                **common, **netl,
+                                "__meta_dockerswarm_service_endpoint_port_name":
+                                    p.get("Name", "") or "",
+                                "__meta_dockerswarm_service_endpoint_port_publish_mode":
+                                    p.get("PublishMode", ""),
+                            },
+                        ))
+                else:
+                    groups.append(
+                        TargetGroup([f"{ip}:{self.port}"], {**common, **netl})
+                    )
+        return groups
+
+    def _tasks_groups(self) -> list[TargetGroup]:
+        networks = self._network_labels()
+        services = {s.get("ID", ""): s for s in self._get("/services")}
+        nodes = {n.get("ID", ""): self._node_labels(n) for n in self._get("/nodes")}
+        groups = []
+        for t in self._get("/tasks"):
+            status = t.get("Status") or {}
+            common = {
+                "__meta_dockerswarm_task_id": t.get("ID", ""),
+                "__meta_dockerswarm_task_desired_state":
+                    t.get("DesiredState", ""),
+                "__meta_dockerswarm_task_state": status.get("State", ""),
+                "__meta_dockerswarm_task_slot": str(t.get("Slot", 0)),
+            }
+            if status.get("ContainerStatus"):
+                common["__meta_dockerswarm_task_container_id"] = status[
+                    "ContainerStatus"
+                ].get("ContainerID", "")
+            for k, v in (
+                ((t.get("Spec") or {}).get("ContainerSpec") or {}).get("Labels")
+                or {}
+            ).items():
+                common[
+                    "__meta_dockerswarm_container_label_" + _sanitize_label_name(k)
+                ] = v
+            svc = services.get(t.get("ServiceID", ""))
+            svc_ports = []
+            if svc:
+                common.update(self._service_labels(svc))
+                svc_ports = [
+                    p
+                    for p in (svc.get("Endpoint") or {}).get("Ports") or []
+                    if p.get("Protocol") == "tcp"
+                ]
+            node = nodes.get(t.get("NodeID", ""))
+            if node:
+                common.update(node)
+            for p in ((status.get("PortStatus") or {}).get("Ports") or []):
+                if p.get("Protocol") != "tcp":
+                    continue
+                addr = common.get("__meta_dockerswarm_node_address", "")
+                groups.append(TargetGroup(
+                    [f'{addr}:{p.get("PublishedPort", 0)}'],
+                    {**common,
+                     "__meta_dockerswarm_task_port_publish_mode":
+                         p.get("PublishMode", "")},
+                ))
+            for att in t.get("NetworksAttachments") or []:
+                netl = networks.get(
+                    (att.get("Network") or {}).get("ID", ""), {}
+                )
+                for cidr in att.get("Addresses") or []:
+                    ip = self._vip_ip(cidr)
+                    if svc_ports:
+                        for p in svc_ports:
+                            groups.append(TargetGroup(
+                                [f'{ip}:{p.get("PublishedPort", 0)}'],
+                                {**common, **netl,
+                                 "__meta_dockerswarm_task_port_publish_mode":
+                                     p.get("PublishMode", "")},
+                            ))
+                    else:
+                        groups.append(TargetGroup(
+                            [f"{ip}:{self.port}"], {**common, **netl}
+                        ))
+        return groups
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        try:
+            out = {
+                "nodes": self._nodes_groups,
+                "services": self._services_groups,
+                "tasks": self._tasks_groups,
+            }[self.role]()
+            self._last_good = out
+        except Exception:
+            out = self._last_good
+        return out
+
+
+class OpenStackDiscovery:
+    """openstack_sd_configs provider, ``instance`` and ``hypervisor``
+    roles (discovery/openstack/instance.go:38-49,150-250 and
+    hypervisor.go:33-45,61-100).
+
+    instance: one target per (server, address-pool, fixed address) at
+    ``addr:port`` with ``__meta_openstack_instance_*`` + address-pool +
+    metadata ``tag_*`` labels; floating addresses are never targets —
+    they attach as ``public_ip`` to the pool's fixed targets
+    (approximating the reference's neutron floating-IP join with the
+    ``OS-EXT-IPS:type`` field the compute listing already carries).
+    hypervisor: one target per hypervisor at ``host_ip:port``.
+
+    Auth: Keystone v3 password flow (POST /v3/auth/tokens →
+    X-Subject-Token) when ``identity_endpoint``+credentials are set;
+    tests inject ``fetch_fn`` and ``compute_endpoint``."""
+
+    def __init__(
+        self,
+        role: str = "instance",
+        region: str = "",
+        identity_endpoint: str = "",
+        username: str = "",
+        password: str = "",
+        project_name: str = "",
+        domain_name: str = "Default",
+        all_tenants: bool = False,
+        port: int = 80,
+        compute_endpoint: str = "",
+        refresh_interval_ms: int = 60_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str], bytes]] = None,
+    ):
+        if role not in ("instance", "hypervisor"):
+            raise ValueError(f"openstack_sd role {role!r} not supported")
+        self.role = role
+        self.region = region
+        self.identity_endpoint = identity_endpoint.rstrip("/")
+        self.username = username
+        self.password = password
+        self.project_name = project_name
+        self.domain_name = domain_name
+        self.all_tenants = all_tenants
+        self.port = port
+        self.compute_endpoint = compute_endpoint.rstrip("/")
+        self.refresh_interval_ms = refresh_interval_ms
+        self.timeout_s = timeout_s
+        self._fetch = fetch_fn or self._http_get
+        self._token = ""
+        self._last_good: list[TargetGroup] = []
+
+    def _authenticate(self) -> None:
+        body = json.dumps(
+            {
+                "auth": {
+                    "identity": {
+                        "methods": ["password"],
+                        "password": {
+                            "user": {
+                                "name": self.username,
+                                "domain": {"name": self.domain_name},
+                                "password": self.password,
+                            }
+                        },
+                    },
+                    "scope": {
+                        "project": {
+                            "name": self.project_name,
+                            "domain": {"name": self.domain_name},
+                        }
+                    },
+                }
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"{self.identity_endpoint}/v3/auth/tokens",
+            data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            self._token = resp.headers.get("X-Subject-Token", "")
+            doc = json.loads(resp.read())
+        if not self.compute_endpoint:
+            for svc in (doc.get("token") or {}).get("catalog") or []:
+                if svc.get("type") != "compute":
+                    continue
+                for ep in svc.get("endpoints") or []:
+                    if ep.get("interface") == "public" and (
+                        not self.region or ep.get("region") == self.region
+                    ):
+                        self.compute_endpoint = ep.get("url", "").rstrip("/")
+
+    def _http_get(self, url: str) -> bytes:
+        if not self._token and self.identity_endpoint:
+            self._authenticate()
+        req = urllib.request.Request(
+            url, headers={"X-Auth-Token": self._token}
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return resp.read()
+
+    def _instance_groups(self) -> list[TargetGroup]:
+        groups: list[TargetGroup] = []
+        url = f"{self.compute_endpoint}/servers/detail"
+        if self.all_tenants:
+            url += "?all_tenants=True"
+        while url:
+            doc = json.loads(self._fetch(url))
+            for s in doc.get("servers") or []:
+                addresses = s.get("addresses") or {}
+                if not addresses:
+                    continue  # instance.go:175 address-less skipped
+                flavor = s.get("flavor") or {}
+                base = {
+                    "__meta_openstack_instance_id": s.get("id", ""),
+                    "__meta_openstack_instance_status": s.get("status", ""),
+                    "__meta_openstack_instance_name": s.get("name", ""),
+                    "__meta_openstack_project_id": s.get("tenant_id", ""),
+                    "__meta_openstack_user_id": s.get("user_id", ""),
+                    "__meta_openstack_instance_flavor":
+                        flavor.get("original_name") or flavor.get("id", ""),
+                }
+                image = s.get("image")
+                if isinstance(image, dict) and image.get("id"):
+                    base["__meta_openstack_instance_image"] = image["id"]
+                for k, v in (s.get("metadata") or {}).items():
+                    base["__meta_openstack_tag_" + _sanitize_label_name(k)] = str(v)
+                for pool, entries in addresses.items():
+                    if not isinstance(entries, list):
+                        continue
+                    floating = [
+                        e.get("addr")
+                        for e in entries
+                        if isinstance(e, dict)
+                        and e.get("OS-EXT-IPS:type") == "floating"
+                    ]
+                    for e in entries:
+                        if not isinstance(e, dict) or not e.get("addr"):
+                            continue
+                        if e.get("OS-EXT-IPS:type") == "floating":
+                            continue  # floating addrs are not targets
+                        labels = dict(base)
+                        labels["__meta_openstack_address_pool"] = pool
+                        labels["__meta_openstack_private_ip"] = e["addr"]
+                        if floating:
+                            labels["__meta_openstack_public_ip"] = floating[0]
+                        host = (
+                            f'[{e["addr"]}]' if ":" in e["addr"] else e["addr"]
+                        )
+                        groups.append(
+                            TargetGroup([f"{host}:{self.port}"], labels)
+                        )
+            url = next(
+                (
+                    ln.get("href")
+                    for ln in doc.get("servers_links") or []
+                    if ln.get("rel") == "next"
+                ),
+                "",
+            )
+        return groups
+
+    def _hypervisor_groups(self) -> list[TargetGroup]:
+        groups: list[TargetGroup] = []
+        doc = json.loads(self._fetch(f"{self.compute_endpoint}/os-hypervisors/detail"))
+        for h in doc.get("hypervisors") or []:
+            ip = h.get("host_ip", "")
+            labels = {
+                "__meta_openstack_hypervisor_id": str(h.get("id", "")),
+                "__meta_openstack_hypervisor_hostname":
+                    h.get("hypervisor_hostname", ""),
+                "__meta_openstack_hypervisor_host_ip": ip,
+                "__meta_openstack_hypervisor_status": h.get("status", ""),
+                "__meta_openstack_hypervisor_state": h.get("state", ""),
+                "__meta_openstack_hypervisor_type":
+                    h.get("hypervisor_type", ""),
+            }
+            host = f"[{ip}]" if ":" in ip else ip
+            groups.append(TargetGroup([f"{host}:{self.port}"], labels))
+        return groups
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        try:
+            out = (
+                self._instance_groups()
+                if self.role == "instance"
+                else self._hypervisor_groups()
+            )
+            self._last_good = out
+        except Exception:
+            out = self._last_good
+        return out
+
+
 class MarathonDiscovery:
     """marathon_sd_configs provider (discovery/marathon/marathon.go:
     41-60,415-520): GET ``/v2/apps?embed=apps.tasks``; one target per

@@ -1510,3 +1510,203 @@ def test_puppetdb_sd_resources():
 
     with _pytest.raises(ValueError):
         PuppetDBDiscovery("https://pdb", "")
+
+
+def test_openstack_sd_instance_role():
+    from prometheus_spark.sources.discovery import OpenStackDiscovery
+
+    servers = {
+        "servers": [
+            {
+                "id": "srv-1", "name": "web", "status": "ACTIVE",
+                "tenant_id": "proj-1", "user_id": "u-1",
+                "flavor": {"original_name": "m1.small"},
+                "image": {"id": "img-1"},
+                "metadata": {"env": "prod", "team.name": "core"},
+                "addresses": {
+                    "private": [
+                        {"addr": "10.0.0.4", "OS-EXT-IPS:type": "fixed"},
+                        {"addr": "172.24.4.10", "OS-EXT-IPS:type": "floating"},
+                    ],
+                    "empty": [],
+                },
+            },
+            {"id": "srv-2", "name": "no-addr", "addresses": {}},
+        ]
+    }
+
+    d = OpenStackDiscovery(
+        "instance", port=9100,
+        compute_endpoint="https://nova.example/v2.1",
+        fetch_fn=lambda u: json.dumps(servers).encode(),
+    )
+    groups = d.refresh()
+    # floating addr is NOT a target; it decorates the fixed one
+    assert [g.targets[0] for g in groups] == ["10.0.0.4:9100"]
+    g = groups[0].labels
+    assert g["__meta_openstack_instance_id"] == "srv-1"
+    assert g["__meta_openstack_instance_flavor"] == "m1.small"
+    assert g["__meta_openstack_instance_image"] == "img-1"
+    assert g["__meta_openstack_project_id"] == "proj-1"
+    assert g["__meta_openstack_address_pool"] == "private"
+    assert g["__meta_openstack_private_ip"] == "10.0.0.4"
+    assert g["__meta_openstack_public_ip"] == "172.24.4.10"
+    assert g["__meta_openstack_tag_env"] == "prod"
+    assert g["__meta_openstack_tag_team_name"] == "core"
+
+
+def test_openstack_sd_hypervisor_role():
+    from prometheus_spark.sources.discovery import OpenStackDiscovery
+
+    doc = {
+        "hypervisors": [
+            {"id": 1, "hypervisor_hostname": "hv1.example",
+             "host_ip": "10.9.0.1", "status": "enabled", "state": "up",
+             "hypervisor_type": "QEMU"},
+        ]
+    }
+    d = OpenStackDiscovery(
+        "hypervisor", port=9100,
+        compute_endpoint="https://nova.example/v2.1",
+        fetch_fn=lambda u: json.dumps(doc).encode(),
+    )
+    groups = d.refresh()
+    assert groups[0].targets == ["10.9.0.1:9100"]
+    g = groups[0].labels
+    assert g["__meta_openstack_hypervisor_id"] == "1"
+    assert g["__meta_openstack_hypervisor_hostname"] == "hv1.example"
+    assert g["__meta_openstack_hypervisor_type"] == "QEMU"
+    assert g["__meta_openstack_hypervisor_state"] == "up"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        OpenStackDiscovery("network")
+
+
+def _swarm_fetch(responses):
+    def fetch(url):
+        from urllib.parse import urlparse
+
+        return json.dumps(responses[urlparse(url).path]).encode()
+
+    return fetch
+
+
+_SWARM_NODE = {
+    "ID": "node-1",
+    "Spec": {"Role": "manager", "Availability": "active",
+             "Labels": {"rack": "r1"}},
+    "Description": {"Hostname": "mgr1", "Platform": {
+        "Architecture": "x86_64", "OS": "linux"},
+        "Engine": {"EngineVersion": "24.0.5"}},
+    "Status": {"State": "ready", "Addr": "10.0.0.10"},
+    "ManagerStatus": {"Leader": True, "Reachability": "reachable",
+                      "Addr": "10.0.0.10:2377"},
+}
+
+_SWARM_SERVICE = {
+    "ID": "svc-1",
+    "Spec": {"Name": "web", "Labels": {"tier": "front"},
+             "Mode": {"Replicated": {"Replicas": 2}},
+             "TaskTemplate": {"ContainerSpec": {
+                 "Hostname": "web-host", "Image": "nginx:1.25"}}},
+    "Endpoint": {
+        "VirtualIPs": [{"NetworkID": "net-1", "Addr": "10.0.1.5/24"}],
+        "Ports": [{"Name": "http", "Protocol": "tcp",
+                   "PublishMode": "ingress", "PublishedPort": 8080}],
+    },
+}
+
+_SWARM_NETWORKS = [
+    {"Id": "net-1", "Name": "ingress", "Scope": "swarm",
+     "Internal": False, "Ingress": True, "Labels": {"env": "prod"}}
+]
+
+
+def test_dockerswarm_sd_nodes_role():
+    from prometheus_spark.sources.discovery import DockerSwarmDiscovery
+
+    d = DockerSwarmDiscovery(
+        "http://docker:2375", role="nodes", port=9100,
+        fetch_fn=_swarm_fetch({"/nodes": [_SWARM_NODE]}),
+    )
+    groups = d.refresh()
+    assert groups[0].targets == ["10.0.0.10:9100"]
+    g = groups[0].labels
+    assert g["__meta_dockerswarm_node_id"] == "node-1"
+    assert g["__meta_dockerswarm_node_role"] == "manager"
+    assert g["__meta_dockerswarm_node_hostname"] == "mgr1"
+    assert g["__meta_dockerswarm_node_engine_version"] == "24.0.5"
+    assert g["__meta_dockerswarm_node_manager_leader"] == "true"
+    assert g["__meta_dockerswarm_node_manager_address"] == "10.0.0.10:2377"
+    assert g["__meta_dockerswarm_node_label_rack"] == "r1"
+
+
+def test_dockerswarm_sd_services_role():
+    from prometheus_spark.sources.discovery import DockerSwarmDiscovery
+
+    d = DockerSwarmDiscovery(
+        "http://docker:2375", role="services",
+        fetch_fn=_swarm_fetch({
+            "/services": [_SWARM_SERVICE],
+            "/networks": _SWARM_NETWORKS,
+        }),
+    )
+    groups = d.refresh()
+    assert groups[0].targets == ["10.0.1.5:8080"]
+    g = groups[0].labels
+    assert g["__meta_dockerswarm_service_id"] == "svc-1"
+    assert g["__meta_dockerswarm_service_name"] == "web"
+    assert g["__meta_dockerswarm_service_mode"] == "replicated"
+    assert g["__meta_dockerswarm_service_endpoint_port_name"] == "http"
+    assert g["__meta_dockerswarm_service_endpoint_port_publish_mode"] == "ingress"
+    assert g["__meta_dockerswarm_service_task_container_image"] == "nginx:1.25"
+    assert g["__meta_dockerswarm_service_label_tier"] == "front"
+    assert g["__meta_dockerswarm_network_name"] == "ingress"
+    assert g["__meta_dockerswarm_network_ingress"] == "true"
+    assert g["__meta_dockerswarm_network_label_env"] == "prod"
+
+
+def test_dockerswarm_sd_tasks_role():
+    from prometheus_spark.sources.discovery import DockerSwarmDiscovery
+
+    task = {
+        "ID": "task-1", "ServiceID": "svc-1", "NodeID": "node-1",
+        "Slot": 1, "DesiredState": "running",
+        "Status": {"State": "running",
+                   "ContainerStatus": {"ContainerID": "c0ffee"},
+                   "PortStatus": {"Ports": [
+                       {"Protocol": "tcp", "PublishMode": "host",
+                        "PublishedPort": 31000}]}},
+        "Spec": {"ContainerSpec": {"Labels": {"com.example.app": "web"}}},
+        "NetworksAttachments": [
+            {"Network": {"ID": "net-1"}, "Addresses": ["10.0.1.9/24"]}
+        ],
+    }
+    d = DockerSwarmDiscovery(
+        "http://docker:2375", role="tasks",
+        fetch_fn=_swarm_fetch({
+            "/tasks": [task],
+            "/services": [_SWARM_SERVICE],
+            "/nodes": [_SWARM_NODE],
+            "/networks": _SWARM_NETWORKS,
+        }),
+    )
+    groups = d.refresh()
+    # host-published port on the node address + network-attachment x
+    # service port
+    assert [g.targets[0] for g in groups] == [
+        "10.0.0.10:31000", "10.0.1.9:8080"
+    ]
+    g = groups[0].labels
+    assert g["__meta_dockerswarm_task_id"] == "task-1"
+    assert g["__meta_dockerswarm_task_container_id"] == "c0ffee"
+    assert g["__meta_dockerswarm_task_slot"] == "1"
+    assert g["__meta_dockerswarm_task_port_publish_mode"] == "host"
+    assert g["__meta_dockerswarm_container_label_com_example_app"] == "web"
+    assert g["__meta_dockerswarm_service_name"] == "web"
+    assert g["__meta_dockerswarm_node_hostname"] == "mgr1"
+    g2 = groups[1].labels
+    assert g2["__meta_dockerswarm_network_name"] == "ingress"
+    assert g2["__meta_dockerswarm_task_port_publish_mode"] == "ingress"
