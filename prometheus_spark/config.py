@@ -90,6 +90,7 @@ class ScrapeJobConfig:
     puppetdb_sd: list = field(default_factory=list)  # {"url", "query", ...}
     openstack_sd: list = field(default_factory=list)  # {"role", "region", ...}
     dockerswarm_sd: list = field(default_factory=list)  # {"host", "role", ...}
+    docker_sd: list = field(default_factory=list)  # {"host", "port", ...}
 
 
 @dataclass
@@ -363,6 +364,16 @@ def load_config(path: str) -> PromConfig:
             }
             for dw in sc.get("dockerswarm_sd_configs") or []
         ]
+        docker_sd = [
+            {
+                "host": dk.get("host", ""),
+                "port": int(dk.get("port", 80)),
+                "host_networking_host": dk.get("host_networking_host", "localhost"),
+                "match_first_network": bool(dk.get("match_first_network", True)),
+                "refresh_interval_ms": _dur_ms(dk.get("refresh_interval"), 60_000),
+            }
+            for dk in sc.get("docker_sd_configs") or []
+        ]
         cfg.scrape_jobs.append(
             ScrapeJobConfig(
                 job_name=job,
@@ -403,6 +414,7 @@ def load_config(path: str) -> PromConfig:
                 puppetdb_sd=puppetdb_sd,
                 openstack_sd=openstack_sd,
                 dockerswarm_sd=dockerswarm_sd,
+                docker_sd=docker_sd,
             )
         )
 
@@ -446,6 +458,7 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
         AzureDiscovery,
         ConsulDiscovery,
         DigitalOceanDiscovery,
+        DockerDiscovery,
         DockerSwarmDiscovery,
         EC2Discovery,
         EurekaDiscovery,
@@ -623,6 +636,14 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
                 DockerSwarmDiscovery(
                     dw["host"], dw["role"], dw["port"],
                     refresh_interval_ms=dw["refresh_interval_ms"],
+                )
+            )
+        for dk in jobcfg.docker_sd:
+            providers.append(
+                DockerDiscovery(
+                    dk["host"], dk["port"], dk["host_networking_host"],
+                    dk["match_first_network"],
+                    refresh_interval_ms=dk["refresh_interval_ms"],
                 )
             )
         discovery.register(jobcfg, providers)

@@ -1422,6 +1422,134 @@ class DockerSwarmDiscovery:
         return out
 
 
+class DockerDiscovery:
+    """docker_sd_configs provider — plain (non-swarm) containers
+    (discovery/moby/docker.go:42-53,200-330): one target per
+    (container, network, TCP private port) at ``network_ip:private``
+    with the ``__meta_docker_*`` labels (container id/name/network_mode/
+    label_*, network_*, port private/public/public_ip); containers with
+    no exposed TCP port fall back to ``network_ip:port``; host-network
+    containers target ``host_networking_host``; ``container:`` network
+    mode resolves the shared container's networks."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int = 80,
+        host_networking_host: str = "localhost",
+        match_first_network: bool = True,
+        refresh_interval_ms: int = 60_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str], bytes]] = None,
+    ):
+        self.host = host.rstrip("/")
+        self.port = port
+        self.host_networking_host = host_networking_host
+        self.match_first_network = match_first_network
+        self.refresh_interval_ms = refresh_interval_ms
+        self.timeout_s = timeout_s
+        self._fetch = fetch_fn or self._http_get
+        self._last_good: list[TargetGroup] = []
+
+    def _http_get(self, url: str) -> bytes:
+        with urllib.request.urlopen(
+            urllib.request.Request(url), timeout=self.timeout_s
+        ) as resp:
+            return resp.read()
+
+    def _get(self, path: str) -> list:
+        return json.loads(self._fetch(self.host + path)) or []
+
+    def _groups(self) -> list[TargetGroup]:
+        containers = self._get("/containers/json")
+        by_id = {c.get("Id", ""): c for c in containers}
+        network_labels = {}
+        for net in self._get("/networks"):
+            nid = net.get("Id", "")
+            nl = {
+                "__meta_docker_network_id": nid,
+                "__meta_docker_network_name": net.get("Name", ""),
+                "__meta_docker_network_scope": net.get("Scope", ""),
+                "__meta_docker_network_internal":
+                    "true" if net.get("Internal") else "false",
+                "__meta_docker_network_ingress":
+                    "true" if net.get("Ingress") else "false",
+            }
+            for k, v in (net.get("Labels") or {}).items():
+                nl["__meta_docker_network_label_" + _sanitize_label_name(k)] = v
+            network_labels[nid] = nl
+
+        groups: list[TargetGroup] = []
+        for c in containers:
+            names = c.get("Names") or []
+            if not names:
+                continue
+            mode = (c.get("HostConfig") or {}).get("NetworkMode", "")
+            common = {
+                "__meta_docker_container_id": c.get("Id", ""),
+                "__meta_docker_container_name": names[0],
+                "__meta_docker_container_network_mode": mode,
+            }
+            for k, v in (c.get("Labels") or {}).items():
+                common[
+                    "__meta_docker_container_label_" + _sanitize_label_name(k)
+                ] = v
+            networks = (c.get("NetworkSettings") or {}).get("Networks") or {}
+            # container:<id> network mode shares another container's nets
+            m = mode
+            while not networks and m.startswith("container:"):
+                shared = by_id.get(m[len("container:"):])
+                if not shared:
+                    break
+                networks = (
+                    (shared.get("NetworkSettings") or {}).get("Networks") or {}
+                )
+                m = (shared.get("HostConfig") or {}).get("NetworkMode", "")
+            if self.match_first_network and len(networks) > 1:
+                first = sorted(k for k, n in networks.items() if n)[0]
+                networks = {first: networks[first]}
+            for n in networks.values():
+                if not n:
+                    continue
+                ip = n.get("IPAddress") or n.get("GlobalIPv6Address") or ""
+                netl = network_labels.get(n.get("NetworkID", ""), {})
+                added = False
+                for p in c.get("Ports") or []:
+                    if p.get("Type") != "tcp":
+                        continue
+                    labels = {
+                        **common, **netl,
+                        "__meta_docker_network_ip": ip,
+                        "__meta_docker_port_private":
+                            str(p.get("PrivatePort", "")),
+                    }
+                    if p.get("PublicPort"):
+                        labels["__meta_docker_port_public"] = str(p["PublicPort"])
+                        labels["__meta_docker_port_public_ip"] = p.get("IP", "")
+                    host = f"[{ip}]" if ":" in ip else ip
+                    groups.append(TargetGroup(
+                        [f'{host}:{p.get("PrivatePort", 0)}'], labels
+                    ))
+                    added = True
+                if not added:
+                    labels = {**common, **netl, "__meta_docker_network_ip": ip}
+                    if mode != "host":
+                        host = f"[{ip}]" if ":" in ip else ip
+                        addr = f"{host}:{self.port}"
+                    else:
+                        addr = self.host_networking_host
+                    groups.append(TargetGroup([addr], labels))
+        return groups
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        try:
+            out = self._groups()
+            self._last_good = out
+        except Exception:
+            out = self._last_good
+        return out
+
+
 class OpenStackDiscovery:
     """openstack_sd_configs provider, ``instance`` and ``hypervisor``
     roles (discovery/openstack/instance.go:38-49,150-250 and

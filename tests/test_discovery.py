@@ -1710,3 +1710,80 @@ def test_dockerswarm_sd_tasks_role():
     g2 = groups[1].labels
     assert g2["__meta_dockerswarm_network_name"] == "ingress"
     assert g2["__meta_dockerswarm_task_port_publish_mode"] == "ingress"
+
+
+def test_docker_sd_containers():
+    from prometheus_spark.sources.discovery import DockerDiscovery
+
+    responses = {
+        "/containers/json": [
+            {
+                "Id": "c-1",
+                "Names": ["/web"],
+                "Labels": {"com.example.app": "web"},
+                "HostConfig": {"NetworkMode": "bridge"},
+                "NetworkSettings": {"Networks": {
+                    "bridge": {"NetworkID": "net-b", "IPAddress": "172.17.0.2"},
+                }},
+                "Ports": [
+                    {"Type": "tcp", "PrivatePort": 80, "PublicPort": 8080,
+                     "IP": "0.0.0.0"},
+                    {"Type": "udp", "PrivatePort": 53},
+                ],
+            },
+            {
+                "Id": "c-2",
+                "Names": ["/portless"],
+                "HostConfig": {"NetworkMode": "bridge"},
+                "NetworkSettings": {"Networks": {
+                    "bridge": {"NetworkID": "net-b", "IPAddress": "172.17.0.3"},
+                }},
+                "Ports": [],
+            },
+            {
+                "Id": "c-3",
+                "Names": ["/hostnet"],
+                "HostConfig": {"NetworkMode": "host"},
+                "NetworkSettings": {"Networks": {
+                    "host": {"NetworkID": "net-h", "IPAddress": ""},
+                }},
+                "Ports": [],
+            },
+            {
+                "Id": "c-4",
+                "Names": ["/shares-net"],
+                "HostConfig": {"NetworkMode": "container:c-1"},
+                "NetworkSettings": {"Networks": {}},
+                "Ports": [],
+            },
+        ],
+        "/networks": [
+            {"Id": "net-b", "Name": "bridge", "Scope": "local",
+             "Internal": False, "Ingress": False},
+            {"Id": "net-h", "Name": "host", "Scope": "local"},
+        ],
+    }
+
+    d = DockerDiscovery(
+        "http://docker:2375", port=9100,
+        host_networking_host="dockerhost",
+        fetch_fn=_swarm_fetch(responses),
+    )
+    groups = d.refresh()
+    assert [g.targets[0] for g in groups] == [
+        "172.17.0.2:80",      # tcp private port
+        "172.17.0.3:9100",    # fallback port
+        "dockerhost",         # host networking
+        "172.17.0.2:9100",    # shared container network, no own ports
+    ]
+    g = groups[0].labels
+    assert g["__meta_docker_container_id"] == "c-1"
+    assert g["__meta_docker_container_name"] == "/web"
+    assert g["__meta_docker_container_network_mode"] == "bridge"
+    assert g["__meta_docker_container_label_com_example_app"] == "web"
+    assert g["__meta_docker_network_ip"] == "172.17.0.2"
+    assert g["__meta_docker_network_name"] == "bridge"
+    assert g["__meta_docker_port_private"] == "80"
+    assert g["__meta_docker_port_public"] == "8080"
+    assert g["__meta_docker_port_public_ip"] == "0.0.0.0"
+    assert "__meta_docker_port_public" not in groups[1].labels
