@@ -91,6 +91,9 @@ class ScrapeJobConfig:
     openstack_sd: list = field(default_factory=list)  # {"role", "region", ...}
     dockerswarm_sd: list = field(default_factory=list)  # {"host", "role", ...}
     docker_sd: list = field(default_factory=list)  # {"host", "port", ...}
+    lightsail_sd: list = field(default_factory=list)  # {"region", ...}
+    triton_sd: list = field(default_factory=list)  # {"endpoint", ...}
+    ovhcloud_sd: list = field(default_factory=list)  # {"service", ...}
 
 
 @dataclass
@@ -374,6 +377,40 @@ def load_config(path: str) -> PromConfig:
             }
             for dk in sc.get("docker_sd_configs") or []
         ]
+        lightsail_sd = [
+            {
+                "region": lg.get("region", ""),
+                "access_key": lg.get("access_key", ""),
+                "secret_key": lg.get("secret_key", ""),
+                "port": int(lg.get("port", 80)),
+                "endpoint": lg.get("endpoint", ""),
+                "refresh_interval_ms": _dur_ms(lg.get("refresh_interval"), 60_000),
+            }
+            for lg in sc.get("lightsail_sd_configs") or []
+        ]
+        triton_sd = [
+            {
+                "endpoint": tr.get("endpoint", ""),
+                "dns_suffix": tr.get("dns_suffix", "triton.zone"),
+                "role": tr.get("role", "container"),
+                "port": int(tr.get("port", 9163)),
+                "version": int(tr.get("version", 1)),
+                "groups": list(tr.get("groups") or []),
+                "refresh_interval_ms": _dur_ms(tr.get("refresh_interval"), 60_000),
+            }
+            for tr in sc.get("triton_sd_configs") or []
+        ]
+        ovhcloud_sd = [
+            {
+                "application_key": ov.get("application_key", ""),
+                "application_secret": ov.get("application_secret", ""),
+                "consumer_key": ov.get("consumer_key", ""),
+                "service": ov.get("service", "vps"),
+                "endpoint": ov.get("endpoint", "https://eu.api.ovh.com/1.0"),
+                "refresh_interval_ms": _dur_ms(ov.get("refresh_interval"), 60_000),
+            }
+            for ov in sc.get("ovhcloud_sd_configs") or []
+        ]
         cfg.scrape_jobs.append(
             ScrapeJobConfig(
                 job_name=job,
@@ -415,6 +452,9 @@ def load_config(path: str) -> PromConfig:
                 openstack_sd=openstack_sd,
                 dockerswarm_sd=dockerswarm_sd,
                 docker_sd=docker_sd,
+                lightsail_sd=lightsail_sd,
+                triton_sd=triton_sd,
+                ovhcloud_sd=ovhcloud_sd,
             )
         )
 
@@ -469,8 +509,10 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
         NomadDiscovery,
         PuppetDBDiscovery,
         ScalewayDiscovery,
+        TritonDiscovery,
         VultrDiscovery,
         KubernetesDiscovery,
+        LightsailDiscovery,
         DiscoveryManager,
         DNSDiscovery,
         FileDiscovery,
@@ -644,6 +686,30 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
                     dk["host"], dk["port"], dk["host_networking_host"],
                     dk["match_first_network"],
                     refresh_interval_ms=dk["refresh_interval_ms"],
+                )
+            )
+        for lg in jobcfg.lightsail_sd:
+            providers.append(
+                LightsailDiscovery(
+                    lg["region"], lg["access_key"], lg["secret_key"],
+                    lg["port"], lg["endpoint"],
+                    refresh_interval_ms=lg["refresh_interval_ms"],
+                )
+            )
+        for tr in jobcfg.triton_sd:
+            providers.append(
+                TritonDiscovery(
+                    tr["endpoint"], tr["dns_suffix"], tr["role"],
+                    tr["port"], tr["version"], tr["groups"],
+                    refresh_interval_ms=tr["refresh_interval_ms"],
+                )
+            )
+        for ov in jobcfg.ovhcloud_sd:
+            providers.append(
+                OVHcloudDiscovery(
+                    ov["application_key"], ov["application_secret"],
+                    ov["consumer_key"], ov["service"], ov["endpoint"],
+                    refresh_interval_ms=ov["refresh_interval_ms"],
                 )
             )
         discovery.register(jobcfg, providers)

@@ -1422,6 +1422,342 @@ class DockerSwarmDiscovery:
         return out
 
 
+class LightsailDiscovery:
+    """lightsail_sd_configs provider (discovery/aws/lightsail.go:44-56,
+    280-330): one target per instance at ``private_ip:port`` with the
+    ``__meta_lightsail_*`` labels (AZ, blueprint/bundle ids, name,
+    state, support code, public IP, wrapped IPv6 list, ``tag_*``).
+    Plain AWS JSON-RPC (``Lightsail_20161128.GetInstances``) with the
+    stdlib SigV4 signer and pageToken pagination."""
+
+    def __init__(
+        self,
+        region: str,
+        access_key: str = "",
+        secret_key: str = "",
+        port: int = 80,
+        endpoint: str = "",
+        refresh_interval_ms: int = 60_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str, dict, bytes], bytes]] = None,
+    ):
+        self.region = region
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.port = port
+        self.endpoint = endpoint or f"https://lightsail.{region}.amazonaws.com"
+        self.refresh_interval_ms = refresh_interval_ms
+        self.timeout_s = timeout_s
+        self._fetch = fetch_fn or self._http_post
+        self._last_good: list[TargetGroup] = []
+
+    def _http_post(self, url: str, headers: dict, body: bytes) -> bytes:
+        req = urllib.request.Request(url, data=body, headers=headers, method="POST")
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return resp.read()
+
+    def _get_instances(self, page_token: str = "") -> dict:
+        body = json.dumps(
+            {"pageToken": page_token} if page_token else {}
+        ).encode()
+        host = urllib.parse.urlparse(self.endpoint).netloc
+        amz_date = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+        headers = _sigv4_headers(
+            "POST", host, "/", "", body, self.region, "lightsail",
+            self.access_key, self.secret_key, amz_date,
+        )
+        headers["X-Amz-Target"] = "Lightsail_20161128.GetInstances"
+        headers["Content-Type"] = "application/x-amz-json-1.1"
+        return json.loads(self._fetch(f"{self.endpoint}/", headers, body))
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        try:
+            groups: list[TargetGroup] = []
+            token = ""
+            while True:
+                doc = self._get_instances(token)
+                for inst in doc.get("instances") or []:
+                    priv = inst.get("privateIpAddress")
+                    if not priv:
+                        continue
+                    labels = {
+                        "__meta_lightsail_private_ip": priv,
+                        "__meta_lightsail_region": self.region,
+                    }
+                    az = (inst.get("location") or {}).get("availabilityZone")
+                    if az:
+                        labels["__meta_lightsail_availability_zone"] = az
+                    for src, dst in (
+                        ("blueprintId", "blueprint_id"),
+                        ("bundleId", "bundle_id"),
+                        ("name", "instance_name"),
+                        ("supportCode", "instance_support_code"),
+                        ("publicIpAddress", "public_ip"),
+                    ):
+                        if inst.get(src):
+                            labels[f"__meta_lightsail_{dst}"] = inst[src]
+                    state = (inst.get("state") or {}).get("name")
+                    if state:
+                        labels["__meta_lightsail_instance_state"] = state
+                    if inst.get("ipv6Addresses"):
+                        labels["__meta_lightsail_ipv6_addresses"] = _wrap_list(
+                            inst["ipv6Addresses"]
+                        )
+                    for t in inst.get("tags") or []:
+                        if t.get("key"):
+                            labels[
+                                "__meta_lightsail_tag_"
+                                + _sanitize_label_name(t["key"])
+                            ] = t.get("value", "") or ""
+                    groups.append(
+                        TargetGroup([f"{priv}:{self.port}"], labels)
+                    )
+                token = doc.get("nextPageToken", "")
+                if not token:
+                    break
+            self._last_good = groups
+        except Exception:
+            groups = self._last_good
+        return groups
+
+
+class TritonDiscovery:
+    """triton_sd_configs provider (discovery/triton/triton.go:38-45,
+    245-305): GET the CMON discovery endpoint
+    ``https://{endpoint}:{port}/v{version}/discover``; container role →
+    one target per VM at ``{vm_uuid}.{dns_suffix}:{port}``; cn role →
+    one per compute node at ``{server_uuid}.{dns_suffix}:{port}``."""
+
+    def __init__(
+        self,
+        endpoint: str,
+        dns_suffix: str = "triton.zone",
+        role: str = "container",
+        port: int = 9163,
+        version: int = 1,
+        groups: Optional[list[str]] = None,
+        refresh_interval_ms: int = 60_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str], bytes]] = None,
+    ):
+        if role not in ("container", "cn"):
+            raise ValueError(f"triton_sd role {role!r} not supported")
+        self.endpoint = endpoint
+        self.dns_suffix = dns_suffix
+        self.role = role
+        self.port = port
+        self.version = version
+        self.groups_filter = list(groups or [])
+        self.refresh_interval_ms = refresh_interval_ms
+        self.timeout_s = timeout_s
+        self._fetch = fetch_fn or self._http_get
+        self._last_good: list[TargetGroup] = []
+
+    def _http_get(self, url: str) -> bytes:
+        with urllib.request.urlopen(
+            urllib.request.Request(url), timeout=self.timeout_s
+        ) as resp:
+            return resp.read()
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        try:
+            url = (
+                f"https://{self.endpoint}:{self.port}"
+                f"/v{self.version}/discover"
+            )
+            if self.groups_filter:  # triton.go:212 groups query params
+                url += "?" + urlencode(
+                    [("groups", g) for g in self.groups_filter]
+                )
+            doc = json.loads(self._fetch(url))
+            groups: list[TargetGroup] = []
+            if self.role == "container":
+                for c in doc.get("containers") or []:
+                    labels = {
+                        "__meta_triton_machine_id": c.get("vm_uuid", ""),
+                        "__meta_triton_machine_alias": c.get("vm_alias", ""),
+                        "__meta_triton_machine_brand": c.get("vm_brand", ""),
+                        "__meta_triton_machine_image":
+                            c.get("vm_image_uuid", ""),
+                        "__meta_triton_server_id": c.get("server_uuid", ""),
+                    }
+                    if c.get("groups"):
+                        labels["__meta_triton_groups"] = _wrap_list(c["groups"])
+                    groups.append(TargetGroup(
+                        [f'{c.get("vm_uuid", "")}.{self.dns_suffix}:{self.port}'],
+                        labels,
+                    ))
+            else:
+                for cn in doc.get("cns") or []:
+                    labels = {
+                        "__meta_triton_machine_id": cn.get("server_uuid", ""),
+                        "__meta_triton_machine_alias":
+                            cn.get("server_hostname", ""),
+                    }
+                    groups.append(TargetGroup(
+                        [f'{cn.get("server_uuid", "")}.{self.dns_suffix}:{self.port}'],
+                        labels,
+                    ))
+            self._last_good = groups
+        except Exception:
+            groups = self._last_good
+        return groups
+
+
+class OVHcloudDiscovery:
+    """ovhcloud_sd_configs provider, ``vps`` and ``dedicated_server``
+    roles (discovery/ovhcloud/vps.go:34,125-190 and
+    dedicated_server.go:34,110-160): list service names, fetch each
+    service's details + IPs, one target per service with ``__address__``
+    = IPv4 (IPv6 fallback) and the reference's label sets.  Requests
+    signed with the OVH scheme: ``$1$`` + sha1(AS+CK+METHOD+URL+BODY+TS)
+    (the public ovh API contract)."""
+
+    def __init__(
+        self,
+        application_key: str = "",
+        application_secret: str = "",
+        consumer_key: str = "",
+        service: str = "vps",
+        endpoint: str = "https://eu.api.ovh.com/1.0",
+        refresh_interval_ms: int = 60_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str], bytes]] = None,
+    ):
+        if service not in ("vps", "dedicated_server"):
+            raise ValueError(f"ovhcloud_sd service {service!r} not supported")
+        self.application_key = application_key
+        self.application_secret = application_secret
+        self.consumer_key = consumer_key
+        self.service = service
+        self.endpoint = endpoint.rstrip("/")
+        self.refresh_interval_ms = refresh_interval_ms
+        self.timeout_s = timeout_s
+        self._fetch = fetch_fn or self._http_get
+        self._last_good: list[TargetGroup] = []
+
+    def _http_get(self, url: str) -> bytes:
+        import hashlib
+
+        ts = str(int(time.time()))
+        raw = "+".join(
+            [self.application_secret, self.consumer_key, "GET", url, "", ts]
+        )
+        sig = "$1$" + hashlib.sha1(raw.encode()).hexdigest()
+        req = urllib.request.Request(
+            url,
+            headers={
+                "X-Ovh-Application": self.application_key,
+                "X-Ovh-Consumer": self.consumer_key,
+                "X-Ovh-Timestamp": ts,
+                "X-Ovh-Signature": sig,
+            },
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return resp.read()
+
+    def _get(self, path: str):
+        return json.loads(self._fetch(self.endpoint + path))
+
+    @staticmethod
+    def _split_ips(ips: list) -> tuple[str, str]:
+        ipv4 = ipv6 = ""
+        for ip in ips or []:
+            base = str(ip).split("/")[0]
+            if ":" in base:
+                ipv6 = base
+            else:
+                ipv4 = base
+        return ipv4, ipv6
+
+    def _vps_groups(self) -> list[TargetGroup]:
+        groups = []
+        for name in self._get("/vps") or []:
+            try:
+                d = self._get(f"/vps/{urllib.parse.quote(name)}")
+                ips = self._get(f"/vps/{urllib.parse.quote(name)}/ips")
+            except Exception:
+                continue  # vps.go:133 per-service failures are skipped
+            ipv4, ipv6 = self._split_ips(ips)
+            model = d.get("model") or {}
+            labels = {
+                "__meta_ovhcloud_vps_offer": model.get("offer", ""),
+                "__meta_ovhcloud_vps_datacenter":
+                    str(d.get("datacenter") or []),
+                "__meta_ovhcloud_vps_model_vcore": str(model.get("vcore", "")),
+                "__meta_ovhcloud_vps_maximum_additional_ip":
+                    str(model.get("maximumAdditionnalIp", "")),
+                "__meta_ovhcloud_vps_version": str(model.get("version", "")),
+                "__meta_ovhcloud_vps_model_name": model.get("name", ""),
+                "__meta_ovhcloud_vps_disk": str(model.get("disk", "")),
+                "__meta_ovhcloud_vps_memory": str(model.get("memory", "")),
+                "__meta_ovhcloud_vps_zone": d.get("zone", ""),
+                "__meta_ovhcloud_vps_display_name": d.get("displayName", ""),
+                "__meta_ovhcloud_vps_cluster": d.get("cluster", ""),
+                "__meta_ovhcloud_vps_state": d.get("state", ""),
+                "__meta_ovhcloud_vps_name": name,
+                "__meta_ovhcloud_vps_netboot_mode": d.get("netbootMode", ""),
+                "__meta_ovhcloud_vps_memory_limit":
+                    str(d.get("memoryLimit", "")),
+                "__meta_ovhcloud_vps_offer_type": d.get("offerType", ""),
+                "__meta_ovhcloud_vps_vcore": str(d.get("vcore", "")),
+                "__meta_ovhcloud_vps_ipv4": ipv4,
+                "__meta_ovhcloud_vps_ipv6": ipv6,
+                "instance": name,
+            }
+            groups.append(TargetGroup([ipv4 or ipv6], labels))
+        return groups
+
+    def _dedicated_groups(self) -> list[TargetGroup]:
+        groups = []
+        for name in self._get("/dedicated/server") or []:
+            try:
+                d = self._get(f"/dedicated/server/{urllib.parse.quote(name)}")
+                ips = self._get(
+                    f"/dedicated/server/{urllib.parse.quote(name)}/ips"
+                )
+            except Exception:
+                continue
+            ipv4, ipv6 = self._split_ips(ips)
+            labels = {
+                "__meta_ovhcloud_dedicated_server_state": d.get("state", ""),
+                "__meta_ovhcloud_dedicated_server_commercial_range":
+                    d.get("commercialRange", ""),
+                "__meta_ovhcloud_dedicated_server_link_speed":
+                    str(d.get("linkSpeed", "")),
+                "__meta_ovhcloud_dedicated_server_rack": d.get("rack", ""),
+                "__meta_ovhcloud_dedicated_server_no_intervention":
+                    "true" if d.get("noIntervention") else "false",
+                "__meta_ovhcloud_dedicated_server_os": d.get("os", ""),
+                "__meta_ovhcloud_dedicated_server_support_level":
+                    d.get("supportLevel", ""),
+                "__meta_ovhcloud_dedicated_server_server_id":
+                    str(d.get("serverId", "")),
+                "__meta_ovhcloud_dedicated_server_reverse":
+                    d.get("reverse", ""),
+                "__meta_ovhcloud_dedicated_server_datacenter":
+                    d.get("datacenter", ""),
+                "__meta_ovhcloud_dedicated_server_name": name,
+                "__meta_ovhcloud_dedicated_server_ipv4": ipv4,
+                "__meta_ovhcloud_dedicated_server_ipv6": ipv6,
+                "instance": name,
+            }
+            groups.append(TargetGroup([ipv4 or ipv6], labels))
+        return groups
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        try:
+            out = (
+                self._vps_groups()
+                if self.service == "vps"
+                else self._dedicated_groups()
+            )
+            self._last_good = out
+        except Exception:
+            out = self._last_good
+        return out
+
+
 class DockerDiscovery:
     """docker_sd_configs provider — plain (non-swarm) containers
     (discovery/moby/docker.go:42-53,200-330): one target per

@@ -1787,3 +1787,134 @@ def test_docker_sd_containers():
     assert g["__meta_docker_port_public"] == "8080"
     assert g["__meta_docker_port_public_ip"] == "0.0.0.0"
     assert "__meta_docker_port_public" not in groups[1].labels
+
+
+def test_lightsail_sd_instances():
+    from prometheus_spark.sources.discovery import LightsailDiscovery
+
+    pages = [
+        {
+            "instances": [
+                {
+                    "name": "web-1", "privateIpAddress": "172.26.0.10",
+                    "publicIpAddress": "3.3.3.3",
+                    "blueprintId": "ubuntu_22_04", "bundleId": "nano_2_0",
+                    "supportCode": "1234/i-0abc",
+                    "location": {"availabilityZone": "us-east-1a"},
+                    "state": {"name": "running"},
+                    "ipv6Addresses": ["2600:1f18::1"],
+                    "tags": [{"key": "env", "value": "prod"}],
+                },
+                {"name": "no-ip"},
+            ],
+            "nextPageToken": "p2",
+        },
+        {"instances": [{"name": "web-2", "privateIpAddress": "172.26.0.11"}]},
+    ]
+    calls = []
+
+    def fetch(url, headers, body):
+        calls.append((headers, json.loads(body or b"{}")))
+        return json.dumps(pages[len(calls) - 1]).encode()
+
+    d = LightsailDiscovery("us-east-1", "AKID", "sk", port=9100, fetch_fn=fetch)
+    groups = d.refresh()
+    assert [g.targets[0] for g in groups] == ["172.26.0.10:9100", "172.26.0.11:9100"]
+    assert calls[0][0]["X-Amz-Target"] == "Lightsail_20161128.GetInstances"
+    assert calls[1][1] == {"pageToken": "p2"}
+    g = groups[0].labels
+    assert g["__meta_lightsail_availability_zone"] == "us-east-1a"
+    assert g["__meta_lightsail_blueprint_id"] == "ubuntu_22_04"
+    assert g["__meta_lightsail_bundle_id"] == "nano_2_0"
+    assert g["__meta_lightsail_instance_name"] == "web-1"
+    assert g["__meta_lightsail_instance_state"] == "running"
+    assert g["__meta_lightsail_public_ip"] == "3.3.3.3"
+    assert g["__meta_lightsail_ipv6_addresses"] == ",2600:1f18::1,"
+    assert g["__meta_lightsail_tag_env"] == "prod"
+
+
+def test_triton_sd_roles():
+    from prometheus_spark.sources.discovery import TritonDiscovery
+
+    doc = {
+        "containers": [
+            {"vm_uuid": "uuid-1", "vm_alias": "web", "vm_brand": "lx",
+             "vm_image_uuid": "img-1", "server_uuid": "srv-1",
+             "groups": ["pdu1"]},
+        ],
+        "cns": [{"server_uuid": "cn-1", "server_hostname": "cn1.dc"}],
+    }
+
+    urls = []
+
+    def fetch(url):
+        urls.append(url)
+        return json.dumps(doc).encode()
+
+    d = TritonDiscovery("sdc.example.com", "triton.zone", role="container",
+                        port=9163, groups=["pdu1"], fetch_fn=fetch)
+    groups = d.refresh()
+    assert urls[0] == "https://sdc.example.com:9163/v1/discover?groups=pdu1"
+    assert groups[0].targets == ["uuid-1.triton.zone:9163"]
+    g = groups[0].labels
+    assert g["__meta_triton_machine_id"] == "uuid-1"
+    assert g["__meta_triton_machine_alias"] == "web"
+    assert g["__meta_triton_machine_brand"] == "lx"
+    assert g["__meta_triton_groups"] == ",pdu1,"
+    assert g["__meta_triton_server_id"] == "srv-1"
+
+    cn = TritonDiscovery("sdc.example.com", role="cn", fetch_fn=fetch)
+    cng = cn.refresh()
+    assert cng[0].targets == ["cn-1.triton.zone:9163"]
+    assert cng[0].labels["__meta_triton_machine_alias"] == "cn1.dc"
+
+
+def test_ovhcloud_sd_vps_and_dedicated():
+    from prometheus_spark.sources.discovery import OVHcloudDiscovery
+
+    responses = {
+        "/vps": ["vps-a.vps.ovh.net"],
+        "/vps/vps-a.vps.ovh.net": {
+            "model": {"offer": "VPS vle-2-8-80", "vcore": 2, "name": "vle-2-8-80",
+                      "disk": 80, "memory": 8192, "version": "2019v1",
+                      "maximumAdditionnalIp": 16},
+            "zone": "Region GRA", "displayName": "vps-a", "cluster": "cl-1",
+            "state": "running", "netbootMode": "local", "memoryLimit": 8192,
+            "offerType": "ssd", "vcore": 2, "datacenter": [],
+        },
+        "/vps/vps-a.vps.ovh.net/ips": ["139.99.1.1", "2001:41d0::1"],
+        "/dedicated/server": ["ns1.example.ovh.net"],
+        "/dedicated/server/ns1.example.ovh.net": {
+            "state": "ok", "commercialRange": "rise-1", "linkSpeed": 1000,
+            "rack": "R01", "noIntervention": False, "os": "debian12",
+            "supportLevel": "pro", "serverId": 42, "reverse": "ns1.example.com",
+            "datacenter": "gra3",
+        },
+        "/dedicated/server/ns1.example.ovh.net/ips": ["5.5.5.5/32"],
+    }
+    sigs = []
+
+    def make_fetch():
+        def fetch(url):
+            from urllib.parse import urlparse
+
+            return json.dumps(responses[urlparse(url).path.replace("/1.0", "", 1)]).encode()
+        return fetch
+
+    d = OVHcloudDiscovery(service="vps", fetch_fn=make_fetch())
+    groups = d.refresh()
+    assert groups[0].targets == ["139.99.1.1"]
+    g = groups[0].labels
+    assert g["__meta_ovhcloud_vps_offer"] == "VPS vle-2-8-80"
+    assert g["__meta_ovhcloud_vps_model_vcore"] == "2"
+    assert g["__meta_ovhcloud_vps_zone"] == "Region GRA"
+    assert g["__meta_ovhcloud_vps_ipv4"] == "139.99.1.1"
+    assert g["__meta_ovhcloud_vps_ipv6"] == "2001:41d0::1"
+    assert g["instance"] == "vps-a.vps.ovh.net"
+
+    d2 = OVHcloudDiscovery(service="dedicated_server", fetch_fn=make_fetch())
+    g2 = d2.refresh()[0]
+    assert g2.targets == ["5.5.5.5"]
+    assert g2.labels["__meta_ovhcloud_dedicated_server_commercial_range"] == "rise-1"
+    assert g2.labels["__meta_ovhcloud_dedicated_server_server_id"] == "42"
+    assert g2.labels["__meta_ovhcloud_dedicated_server_no_intervention"] == "false"
