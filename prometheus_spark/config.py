@@ -94,6 +94,9 @@ class ScrapeJobConfig:
     lightsail_sd: list = field(default_factory=list)  # {"region", ...}
     triton_sd: list = field(default_factory=list)  # {"endpoint", ...}
     ovhcloud_sd: list = field(default_factory=list)  # {"service", ...}
+    ionos_sd: list = field(default_factory=list)  # {"datacenter_id", ...}
+    stackit_sd: list = field(default_factory=list)  # {"project", ...}
+    uyuni_sd: list = field(default_factory=list)  # {"server", ...}
 
 
 @dataclass
@@ -411,6 +414,35 @@ def load_config(path: str) -> PromConfig:
             }
             for ov in sc.get("ovhcloud_sd_configs") or []
         ]
+        ionos_sd = [
+            {
+                "datacenter_id": io.get("datacenter_id", ""),
+                "port": int(io.get("port", 80)),
+                "refresh_interval_ms": _dur_ms(io.get("refresh_interval"), 60_000),
+            }
+            for io in sc.get("ionos_sd_configs") or []
+        ]
+        stackit_sd = [
+            {
+                "project": st.get("project", ""),
+                "port": int(st.get("port", 80)),
+                "region": st.get("region", "eu01"),
+                "endpoint": st.get("endpoint", ""),
+                "refresh_interval_ms": _dur_ms(st.get("refresh_interval"), 60_000),
+            }
+            for st in sc.get("stackit_sd_configs") or []
+        ]
+        uyuni_sd = [
+            {
+                "server": uy.get("server", ""),
+                "username": uy.get("username", ""),
+                "password": uy.get("password", ""),
+                "entitlement": uy.get("entitlement", "monitoring_entitled"),
+                "separator": uy.get("separator", ","),
+                "refresh_interval_ms": _dur_ms(uy.get("refresh_interval"), 60_000),
+            }
+            for uy in sc.get("uyuni_sd_configs") or []
+        ]
         cfg.scrape_jobs.append(
             ScrapeJobConfig(
                 job_name=job,
@@ -455,6 +487,9 @@ def load_config(path: str) -> PromConfig:
                 lightsail_sd=lightsail_sd,
                 triton_sd=triton_sd,
                 ovhcloud_sd=ovhcloud_sd,
+                ionos_sd=ionos_sd,
+                stackit_sd=stackit_sd,
+                uyuni_sd=uyuni_sd,
             )
         )
 
@@ -509,7 +544,9 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
         NomadDiscovery,
         PuppetDBDiscovery,
         ScalewayDiscovery,
+        StackitDiscovery,
         TritonDiscovery,
+        UyuniDiscovery,
         VultrDiscovery,
         KubernetesDiscovery,
         LightsailDiscovery,
@@ -517,6 +554,7 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
         DNSDiscovery,
         FileDiscovery,
         HTTPDiscovery,
+        IonosDiscovery,
         StaticDiscovery,
         TargetGroup,
     )
@@ -710,6 +748,29 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
                     ov["application_key"], ov["application_secret"],
                     ov["consumer_key"], ov["service"], ov["endpoint"],
                     refresh_interval_ms=ov["refresh_interval_ms"],
+                )
+            )
+        for io in jobcfg.ionos_sd:
+            providers.append(
+                IonosDiscovery(
+                    io["datacenter_id"], port=io["port"],
+                    refresh_interval_ms=io["refresh_interval_ms"],
+                )
+            )
+        for st in jobcfg.stackit_sd:
+            providers.append(
+                StackitDiscovery(
+                    st["project"], port=st["port"], region=st["region"],
+                    endpoint=st["endpoint"],
+                    refresh_interval_ms=st["refresh_interval_ms"],
+                )
+            )
+        for uy in jobcfg.uyuni_sd:
+            providers.append(
+                UyuniDiscovery(
+                    uy["server"], uy["username"], uy["password"],
+                    uy["entitlement"], uy["separator"],
+                    refresh_interval_ms=uy["refresh_interval_ms"],
                 )
             )
         discovery.register(jobcfg, providers)

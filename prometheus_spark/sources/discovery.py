@@ -1758,6 +1758,230 @@ class OVHcloudDiscovery:
         return out
 
 
+class IonosDiscovery(_BearerListDiscovery):
+    """ionos_sd_configs provider (discovery/ionos/server.go:38-52,
+    85-160): GET ``/cloudapi/v6/datacenters/{id}/servers?depth=3``; one
+    target per server with ≥1 NIC IP at ``first_ip:port`` with the
+    ``__meta_ionos_server_*`` labels — wrapped full IP list, per-NIC
+    ``nic_ip_<name>`` lists, boot cdrom/volume/image ids."""
+
+    def __init__(
+        self,
+        datacenter_id: str,
+        token: str = "",
+        port: int = 80,
+        endpoint: str = "https://api.ionos.com",
+        refresh_interval_ms: int = 60_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str], bytes]] = None,
+    ):
+        super().__init__(
+            token, port, endpoint, refresh_interval_ms, timeout_s, fetch_fn
+        )
+        self.datacenter_id = datacenter_id
+
+    def _groups(self) -> list[TargetGroup]:
+        doc = self._get_json(
+            f"{self.endpoint}/cloudapi/v6/datacenters/"
+            f"{self.datacenter_id}/servers?depth=3"
+        )
+        groups: list[TargetGroup] = []
+        for server in doc.get("items") or []:
+            props = server.get("properties") or {}
+            entities = server.get("entities") or {}
+            ips: list[str] = []
+            by_nic: dict[str, list[str]] = {}
+            for nic in (entities.get("nics") or {}).get("items") or []:
+                nprops = nic.get("properties") or {}
+                name = nprops.get("name") or "unnamed"
+                nic_ips = nprops.get("ips") or []
+                ips = nic_ips + ips
+                by_nic[name] = nic_ips + by_nic.get(name, [])
+            if not ips:
+                continue  # server.go:116 IP-less servers dropped
+            labels = {
+                "__meta_ionos_server_availability_zone":
+                    props.get("availabilityZone", ""),
+                "__meta_ionos_server_cpu_family": props.get("cpuFamily", ""),
+                "__meta_ionos_server_servers_id": doc.get("id", ""),
+                "__meta_ionos_server_id": server.get("id", ""),
+                "__meta_ionos_server_ip": _wrap_list(ips),
+                "__meta_ionos_server_lifecycle":
+                    (server.get("metadata") or {}).get("state", ""),
+                "__meta_ionos_server_name": props.get("name", ""),
+                "__meta_ionos_server_state": props.get("vmState", ""),
+                "__meta_ionos_server_type": props.get("type", ""),
+            }
+            for name, nic_ips in by_nic.items():
+                labels[
+                    "__meta_ionos_server_nic_ip_" + _sanitize_label_name(name)
+                ] = _wrap_list(nic_ips)
+            if props.get("bootCdrom"):
+                labels["__meta_ionos_server_boot_cdrom_id"] = props[
+                    "bootCdrom"
+                ].get("id", "")
+            if props.get("bootVolume"):
+                labels["__meta_ionos_server_boot_volume_id"] = props[
+                    "bootVolume"
+                ].get("id", "")
+            volumes = (entities.get("volumes") or {}).get("items") or []
+            if volumes:
+                image = (volumes[0].get("properties") or {}).get("image")
+                if image:
+                    labels["__meta_ionos_server_boot_image_id"] = image
+            groups.append(TargetGroup([f"{ips[0]}:{self.port}"], labels))
+        return groups
+
+
+class StackitDiscovery(_BearerListDiscovery):
+    """stackit_sd_configs provider (discovery/stackit/server.go:35-44,
+    140-225): list a project's servers; address = first public IP, else
+    first private IPv4; servers without NICs or IPs are skipped; labels
+    ``__meta_stackit_*`` incl. per-network ``private_ipv4_<net>`` and
+    ``label_``/``labelpresent_`` pairs."""
+
+    def __init__(
+        self,
+        project: str,
+        token: str = "",
+        port: int = 80,
+        region: str = "eu01",
+        endpoint: str = "",
+        refresh_interval_ms: int = 60_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str], bytes]] = None,
+    ):
+        endpoint = endpoint or f"https://iaas.api.{region}.stackit.cloud"
+        super().__init__(
+            token, port, endpoint, refresh_interval_ms, timeout_s, fetch_fn
+        )
+        self.project = project
+
+    def _groups(self) -> list[TargetGroup]:
+        doc = self._get_json(
+            f"{self.endpoint}/v1/projects/{self.project}/servers?details=true"
+        )
+        groups: list[TargetGroup] = []
+        for server in doc.get("items") or []:
+            nics = server.get("nics")
+            if not nics:
+                continue
+            labels = {
+                "__meta_stackit_project": self.project,
+                "__meta_stackit_id": server.get("id", ""),
+                "__meta_stackit_name": server.get("name", ""),
+                "__meta_stackit_availability_zone":
+                    server.get("availabilityZone", ""),
+                "__meta_stackit_status": server.get("status", ""),
+                "__meta_stackit_power_status": server.get("powerStatus", ""),
+                "__meta_stackit_type": server.get("machineType", ""),
+            }
+            address = public_ip = ""
+            for nic in nics:
+                if nic.get("publicIp") and not public_ip:
+                    public_ip = nic["publicIp"]
+                    address = public_ip
+                if nic.get("ipv4"):
+                    labels[
+                        "__meta_stackit_private_ipv4_"
+                        + _sanitize_label_name(nic.get("networkName", ""))
+                    ] = nic["ipv4"]
+                    if not address:
+                        address = nic["ipv4"]
+            if not address:
+                continue
+            if public_ip:
+                labels["__meta_stackit_public_ipv4"] = public_ip
+            for k, v in (server.get("labels") or {}).items():
+                if isinstance(v, str):
+                    sk = _sanitize_label_name(k)
+                    labels[f"__meta_stackit_label_{sk}"] = v
+                    labels[f"__meta_stackit_labelpresent_{sk}"] = "true"
+            groups.append(TargetGroup([f"{address}:{self.port}"], labels))
+        return groups
+
+
+class UyuniDiscovery:
+    """uyuni_sd_configs provider (discovery/uyuni/uyuni.go:42-50,
+    160-330): XML-RPC against ``{server}/rpc/api`` — auth.login, then
+    system.listSystemGroupsForSystemsWithEntitlement /
+    system.monitoring.listEndpoints / system.getNetworkForSystems; one
+    target per monitoring endpoint at ``hostname:port`` with the
+    ``__meta_uyuni_*`` labels (stdlib ``xmlrpc.client``)."""
+
+    def __init__(
+        self,
+        server: str,
+        username: str = "",
+        password: str = "",
+        entitlement: str = "monitoring_entitled",
+        separator: str = ",",
+        refresh_interval_ms: int = 60_000,
+        timeout_s: float = 10.0,
+        rpc_client=None,
+    ):
+        self.server = server.rstrip("/")
+        self.username = username
+        self.password = password
+        self.entitlement = entitlement
+        self.separator = separator
+        self.refresh_interval_ms = refresh_interval_ms
+        self.timeout_s = timeout_s
+        self._rpc = rpc_client  # object with .<method>(args...) attrs
+        self._last_good: list[TargetGroup] = []
+
+    def _client(self):
+        if self._rpc is not None:
+            return self._rpc
+        import xmlrpc.client
+
+        return xmlrpc.client.ServerProxy(self.server + "/rpc/api")
+
+    def _groups(self) -> list[TargetGroup]:
+        c = self._client()
+        token = c.auth.login(self.username, self.password)
+        groups_by_system = c.system.listSystemGroupsForSystemsWithEntitlement(
+            token, self.entitlement
+        )
+        by_system_groups = {
+            g["id"]: [x.get("name", "") for x in g.get("system_groups") or []]
+            for g in groups_by_system
+        }
+        system_ids = list(by_system_groups)
+        endpoints = c.system.monitoring.listEndpoints(token, system_ids)
+        networks = c.system.getNetworkForSystems(token, system_ids)
+        net_by_id = {n["system_id"]: n for n in networks}
+        out: list[TargetGroup] = []
+        for ep in endpoints:
+            sid = ep.get("system_id")
+            net = net_by_id.get(sid) or {}
+            host = net.get("hostname", "")
+            labels = {
+                "__meta_uyuni_minion_hostname": host,
+                "__meta_uyuni_primary_fqdn": net.get("primary_fqdn", ""),
+                "__meta_uyuni_system_id": str(sid),
+                "__meta_uyuni_groups": self.separator.join(
+                    by_system_groups.get(sid, [])
+                ),
+                "__meta_uyuni_endpoint_name": ep.get("endpoint_name", ""),
+                "__meta_uyuni_exporter": ep.get("exporter_name", ""),
+                "__meta_uyuni_proxy_module": ep.get("module", ""),
+                "__meta_uyuni_metrics_path": ep.get("path", ""),
+                "__meta_uyuni_scheme":
+                    "https" if ep.get("tls_enabled") else "http",
+            }
+            out.append(TargetGroup([f'{host}:{ep.get("port", 0)}'], labels))
+        return out
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        try:
+            out = self._groups()
+            self._last_good = out
+        except Exception:
+            out = self._last_good
+        return out
+
+
 class DockerDiscovery:
     """docker_sd_configs provider — plain (non-swarm) containers
     (discovery/moby/docker.go:42-53,200-330): one target per

@@ -1918,3 +1918,130 @@ def test_ovhcloud_sd_vps_and_dedicated():
     assert g2.labels["__meta_ovhcloud_dedicated_server_commercial_range"] == "rise-1"
     assert g2.labels["__meta_ovhcloud_dedicated_server_server_id"] == "42"
     assert g2.labels["__meta_ovhcloud_dedicated_server_no_intervention"] == "false"
+
+
+def test_ionos_sd_servers():
+    from prometheus_spark.sources.discovery import IonosDiscovery
+
+    doc = {
+        "id": "dc-servers",
+        "items": [
+            {
+                "id": "srv-1",
+                "metadata": {"state": "AVAILABLE"},
+                "properties": {
+                    "name": "web", "availabilityZone": "AUTO",
+                    "cpuFamily": "INTEL_SKYLAKE", "vmState": "RUNNING",
+                    "type": "ENTERPRISE",
+                    "bootVolume": {"id": "vol-1"},
+                },
+                "entities": {
+                    "nics": {"items": [
+                        {"properties": {"name": "nic0",
+                                        "ips": ["85.215.1.1"]}},
+                        {"properties": {"ips": ["10.7.0.2"]}},
+                    ]},
+                    "volumes": {"items": [
+                        {"properties": {"image": "img-9"}}
+                    ]},
+                },
+            },
+            {"id": "srv-2", "properties": {"name": "no-ip"}},
+        ],
+    }
+    d = IonosDiscovery("dc-1", "tok", port=9100,
+                       fetch_fn=lambda u: json.dumps(doc).encode())
+    groups = d.refresh()
+    # second NIC's ips are prepended (reference prepend order)
+    assert groups[0].targets == ["10.7.0.2:9100"]
+    g = groups[0].labels
+    assert g["__meta_ionos_server_id"] == "srv-1"
+    assert g["__meta_ionos_server_ip"] == ",10.7.0.2,85.215.1.1,"
+    assert g["__meta_ionos_server_nic_ip_nic0"] == ",85.215.1.1,"
+    assert g["__meta_ionos_server_nic_ip_unnamed"] == ",10.7.0.2,"
+    assert g["__meta_ionos_server_lifecycle"] == "AVAILABLE"
+    assert g["__meta_ionos_server_state"] == "RUNNING"
+    assert g["__meta_ionos_server_boot_volume_id"] == "vol-1"
+    assert g["__meta_ionos_server_boot_image_id"] == "img-9"
+    assert len(groups) == 1
+
+
+def test_stackit_sd_servers():
+    from prometheus_spark.sources.discovery import StackitDiscovery
+
+    doc = {
+        "items": [
+            {
+                "id": "s-1", "name": "app", "availabilityZone": "eu01-1",
+                "status": "ACTIVE", "powerStatus": "RUNNING",
+                "machineType": "g1.1",
+                "labels": {"env": "prod", "num": 3},
+                "nics": [
+                    {"networkName": "net-a", "ipv4": "10.0.0.5",
+                     "publicIp": "193.148.1.1"},
+                    {"networkName": "net-b", "ipv4": "10.0.1.5"},
+                ],
+            },
+            {"id": "s-2", "name": "no-nics"},
+        ]
+    }
+
+    def fetch(url):
+        assert "/v1/projects/proj-1/servers" in url
+        return json.dumps(doc).encode()
+
+    d = StackitDiscovery("proj-1", "tok", port=9100, fetch_fn=fetch)
+    groups = d.refresh()
+    assert groups[0].targets == ["193.148.1.1:9100"]
+    g = groups[0].labels
+    assert g["__meta_stackit_project"] == "proj-1"
+    assert g["__meta_stackit_type"] == "g1.1"
+    assert g["__meta_stackit_public_ipv4"] == "193.148.1.1"
+    assert g["__meta_stackit_private_ipv4_net_a"] == "10.0.0.5"
+    assert g["__meta_stackit_private_ipv4_net_b"] == "10.0.1.5"
+    assert g["__meta_stackit_label_env"] == "prod"
+    assert g["__meta_stackit_labelpresent_env"] == "true"
+    assert "__meta_stackit_label_num" not in g  # non-string dropped
+    assert len(groups) == 1
+
+
+def test_uyuni_sd_endpoints():
+    from prometheus_spark.sources.discovery import UyuniDiscovery
+
+    class _NS:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    class FakeRPC:
+        def __init__(self):
+            self.auth = _NS(login=lambda u, p: "tok-1")
+            self.system = _NS(
+                listSystemGroupsForSystemsWithEntitlement=lambda t, e: [
+                    {"id": 1000, "system_groups": [{"id": 1, "name": "HA"}]},
+                ],
+                monitoring=_NS(listEndpoints=lambda t, ids: [
+                    {"system_id": 1000, "endpoint_name": "node_exporter",
+                     "port": 9100, "path": "/metrics",
+                     "module": "exporter_exporter",
+                     "exporter_name": "node", "tls_enabled": True},
+                ]),
+                getNetworkForSystems=lambda t, ids: [
+                    {"system_id": 1000, "hostname": "minion1.example",
+                     "primary_fqdn": "minion1.example.com",
+                     "ip": "10.11.0.5"},
+                ],
+            )
+
+    d = UyuniDiscovery("https://uyuni.example", "admin", "pw",
+                       rpc_client=FakeRPC())
+    groups = d.refresh()
+    assert groups[0].targets == ["minion1.example:9100"]
+    g = groups[0].labels
+    assert g["__meta_uyuni_minion_hostname"] == "minion1.example"
+    assert g["__meta_uyuni_primary_fqdn"] == "minion1.example.com"
+    assert g["__meta_uyuni_system_id"] == "1000"
+    assert g["__meta_uyuni_groups"] == "HA"
+    assert g["__meta_uyuni_endpoint_name"] == "node_exporter"
+    assert g["__meta_uyuni_exporter"] == "node"
+    assert g["__meta_uyuni_metrics_path"] == "/metrics"
+    assert g["__meta_uyuni_scheme"] == "https"
