@@ -97,6 +97,7 @@ class ScrapeJobConfig:
     ionos_sd: list = field(default_factory=list)  # {"datacenter_id", ...}
     stackit_sd: list = field(default_factory=list)  # {"project", ...}
     uyuni_sd: list = field(default_factory=list)  # {"server", ...}
+    outscale_sd: list = field(default_factory=list)  # {"region", ...}
 
 
 @dataclass
@@ -443,6 +444,17 @@ def load_config(path: str) -> PromConfig:
             }
             for uy in sc.get("uyuni_sd_configs") or []
         ]
+        outscale_sd = [
+            {
+                "region": ot.get("region", ""),
+                "access_key": ot.get("access_key", ""),
+                "secret_key": ot.get("secret_key", ""),
+                "port": int(ot.get("port", 80)),
+                "endpoint": ot.get("endpoint", ""),
+                "refresh_interval_ms": _dur_ms(ot.get("refresh_interval"), 60_000),
+            }
+            for ot in sc.get("outscale_sd_configs") or []
+        ]
         cfg.scrape_jobs.append(
             ScrapeJobConfig(
                 job_name=job,
@@ -490,6 +502,7 @@ def load_config(path: str) -> PromConfig:
                 ionos_sd=ionos_sd,
                 stackit_sd=stackit_sd,
                 uyuni_sd=uyuni_sd,
+                outscale_sd=outscale_sd,
             )
         )
 
@@ -771,6 +784,14 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
                     uy["server"], uy["username"], uy["password"],
                     uy["entitlement"], uy["separator"],
                     refresh_interval_ms=uy["refresh_interval_ms"],
+                )
+            )
+        for ot in jobcfg.outscale_sd:
+            providers.append(
+                OutscaleDiscovery(
+                    ot["region"], ot["access_key"], ot["secret_key"],
+                    ot["port"], ot["endpoint"],
+                    refresh_interval_ms=ot["refresh_interval_ms"],
                 )
             )
         discovery.register(jobcfg, providers)

@@ -1758,6 +1758,85 @@ class OVHcloudDiscovery:
         return out
 
 
+class OutscaleDiscovery:
+    """outscale_sd_configs provider (discovery/outscale/vm.go:28-37,
+    85-150): POST ``ReadVms`` to the OAPI endpoint (SigV4-signed, the
+    same stdlib signer EC2 uses); one target per VM at
+    ``private_ip:port`` (public fallback, address-less skipped) with the
+    ``__meta_outscale_vm_*`` labels; empty tag keys/values dropped."""
+
+    def __init__(
+        self,
+        region: str,
+        access_key: str = "",
+        secret_key: str = "",
+        port: int = 80,
+        endpoint: str = "",
+        refresh_interval_ms: int = 60_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str, dict, bytes], bytes]] = None,
+    ):
+        self.region = region
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.port = port
+        self.endpoint = endpoint or f"https://api.{region}.outscale.com/api/v1"
+        self.refresh_interval_ms = refresh_interval_ms
+        self.timeout_s = timeout_s
+        self._fetch = fetch_fn or self._http_post
+        self._last_good: list[TargetGroup] = []
+
+    def _http_post(self, url: str, headers: dict, body: bytes) -> bytes:
+        req = urllib.request.Request(url, data=body, headers=headers, method="POST")
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return resp.read()
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        try:
+            body = b"{}"
+            parsed = urllib.parse.urlparse(self.endpoint)
+            amz_date = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+            headers = _sigv4_headers(
+                "POST", parsed.netloc, parsed.path + "/ReadVms", "", body,
+                self.region, "oapi", self.access_key, self.secret_key,
+                amz_date,
+            )
+            headers["Content-Type"] = "application/json"
+            doc = json.loads(
+                self._fetch(f"{self.endpoint}/ReadVms", headers, body)
+            )
+            groups: list[TargetGroup] = []
+            for vm in doc.get("Vms") or []:
+                addr_ip = vm.get("PrivateIp") or vm.get("PublicIp")
+                if not addr_ip:
+                    continue
+                labels = {
+                    "__meta_outscale_vm_instance_id": vm.get("VmId", ""),
+                    "__meta_outscale_vm_region": self.region,
+                    "__meta_outscale_vm_state": vm.get("State", ""),
+                }
+                sub = (vm.get("Placement") or {}).get("SubregionName")
+                if sub:
+                    labels["__meta_outscale_vm_subregion"] = sub
+                if vm.get("PrivateIp"):
+                    labels["__meta_outscale_vm_private_ip"] = vm["PrivateIp"]
+                if vm.get("PublicIp"):
+                    labels["__meta_outscale_vm_public_ip"] = vm["PublicIp"]
+                for t in vm.get("Tags") or []:
+                    if t.get("Key") and t.get("Value"):
+                        labels[
+                            "__meta_outscale_vm_tag_"
+                            + _sanitize_label_name(t["Key"])
+                        ] = t["Value"]
+                groups.append(
+                    TargetGroup([f"{addr_ip}:{self.port}"], labels)
+                )
+            self._last_good = groups
+        except Exception:
+            groups = self._last_good
+        return groups
+
+
 class IonosDiscovery(_BearerListDiscovery):
     """ionos_sd_configs provider (discovery/ionos/server.go:38-52,
     85-160): GET ``/cloudapi/v6/datacenters/{id}/servers?depth=3``; one

@@ -2045,3 +2045,42 @@ def test_uyuni_sd_endpoints():
     assert g["__meta_uyuni_exporter"] == "node"
     assert g["__meta_uyuni_metrics_path"] == "/metrics"
     assert g["__meta_uyuni_scheme"] == "https"
+
+
+def test_outscale_sd_vms():
+    from prometheus_spark.sources.discovery import OutscaleDiscovery
+
+    doc = {
+        "Vms": [
+            {
+                "VmId": "i-12345678", "State": "running",
+                "PrivateIp": "10.8.0.4", "PublicIp": "171.33.1.1",
+                "Placement": {"SubregionName": "eu-west-2a"},
+                "Tags": [{"Key": "name", "Value": "web"},
+                         {"Key": "", "Value": "dropped"},
+                         {"Key": "empty", "Value": ""}],
+            },
+            {"VmId": "i-noaddr", "State": "pending"},
+        ]
+    }
+    seen = {}
+
+    def fetch(url, headers, body):
+        seen["url"] = url
+        seen["auth"] = headers.get("Authorization", "")
+        return json.dumps(doc).encode()
+
+    d = OutscaleDiscovery("eu-west-2", "AK", "SK", port=9100, fetch_fn=fetch)
+    groups = d.refresh()
+    assert seen["url"].endswith("/ReadVms")
+    assert seen["auth"].startswith("AWS4-HMAC-SHA256")
+    assert "/oapi/" in seen["auth"]
+    assert [g.targets[0] for g in groups] == ["10.8.0.4:9100"]
+    g = groups[0].labels
+    assert g["__meta_outscale_vm_instance_id"] == "i-12345678"
+    assert g["__meta_outscale_vm_region"] == "eu-west-2"
+    assert g["__meta_outscale_vm_subregion"] == "eu-west-2a"
+    assert g["__meta_outscale_vm_private_ip"] == "10.8.0.4"
+    assert g["__meta_outscale_vm_public_ip"] == "171.33.1.1"
+    assert g["__meta_outscale_vm_tag_name"] == "web"
+    assert "__meta_outscale_vm_tag_empty" not in g
