@@ -98,6 +98,8 @@ class ScrapeJobConfig:
     stackit_sd: list = field(default_factory=list)  # {"project", ...}
     uyuni_sd: list = field(default_factory=list)  # {"server", ...}
     outscale_sd: list = field(default_factory=list)  # {"region", ...}
+    serverset_sd: list = field(default_factory=list)  # {"servers", "paths"}
+    nerve_sd: list = field(default_factory=list)  # {"servers", "paths"}
 
 
 @dataclass
@@ -455,6 +457,22 @@ def load_config(path: str) -> PromConfig:
             }
             for ot in sc.get("outscale_sd_configs") or []
         ]
+        serverset_sd = [
+            {
+                "servers": list(zs.get("servers") or []),
+                "paths": list(zs.get("paths") or []),
+                "timeout_s": float(zs.get("timeout", 10)),
+            }
+            for zs in sc.get("serverset_sd_configs") or []
+        ]
+        nerve_sd = [
+            {
+                "servers": list(zs.get("servers") or []),
+                "paths": list(zs.get("paths") or []),
+                "timeout_s": float(zs.get("timeout", 10)),
+            }
+            for zs in sc.get("nerve_sd_configs") or []
+        ]
         cfg.scrape_jobs.append(
             ScrapeJobConfig(
                 job_name=job,
@@ -503,6 +521,8 @@ def load_config(path: str) -> PromConfig:
                 stackit_sd=stackit_sd,
                 uyuni_sd=uyuni_sd,
                 outscale_sd=outscale_sd,
+                serverset_sd=serverset_sd,
+                nerve_sd=nerve_sd,
             )
         )
 
@@ -560,6 +580,7 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
         StackitDiscovery,
         TritonDiscovery,
         UyuniDiscovery,
+        ZookeeperDiscovery,
         VultrDiscovery,
         KubernetesDiscovery,
         LightsailDiscovery,
@@ -792,6 +813,20 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
                     ot["region"], ot["access_key"], ot["secret_key"],
                     ot["port"], ot["endpoint"],
                     refresh_interval_ms=ot["refresh_interval_ms"],
+                )
+            )
+        for zs in jobcfg.serverset_sd:
+            providers.append(
+                ZookeeperDiscovery(
+                    zs["servers"], zs["paths"], "serverset",
+                    timeout_s=zs["timeout_s"],
+                )
+            )
+        for zs in jobcfg.nerve_sd:
+            providers.append(
+                ZookeeperDiscovery(
+                    zs["servers"], zs["paths"], "nerve",
+                    timeout_s=zs["timeout_s"],
                 )
             )
         discovery.register(jobcfg, providers)

@@ -1758,6 +1758,220 @@ class OVHcloudDiscovery:
         return out
 
 
+class _ZKClient:
+    """Minimal read-only ZooKeeper wire client (stdlib socket/struct):
+    the connect handshake plus getChildren (op 8) and getData (op 4) —
+    all this provider needs.  Every packet is 4-byte-BE length framed;
+    replies carry (xid, zxid, err) headers.  One short-lived session per
+    refresh — the reference holds a watch-driven TreeCache session
+    (util/treecache); refresh-polling is this repo's documented SD
+    stance (same as the Kubernetes list mode)."""
+
+    _OP_GETDATA = 4
+    _OP_GETCHILDREN = 8
+
+    def __init__(self, servers: list[str], timeout_s: float = 10.0):
+        import socket
+
+        self.timeout_s = timeout_s
+        last_err: Exception | None = None
+        for server in servers:
+            host, _, port = server.partition(":")
+            try:
+                self._sock = socket.create_connection(
+                    (host, int(port or 2181)), timeout=timeout_s
+                )
+                break
+            except OSError as e:  # try the next ensemble member
+                last_err = e
+        else:
+            raise last_err or OSError("no zookeeper servers")
+        self._xid = 0
+        self._handshake()
+
+    def _send(self, payload: bytes) -> None:
+        import struct as _s
+
+        self._sock.sendall(_s.pack(">i", len(payload)) + payload)
+
+    def _recv(self) -> bytes:
+        import struct as _s
+
+        hdr = b""
+        while len(hdr) < 4:
+            chunk = self._sock.recv(4 - len(hdr))
+            if not chunk:
+                raise OSError("zookeeper connection closed")
+            hdr += chunk
+        (n,) = _s.unpack(">i", hdr)
+        out = b""
+        while len(out) < n:
+            chunk = self._sock.recv(n - len(out))
+            if not chunk:
+                raise OSError("zookeeper connection closed")
+            out += chunk
+        return out
+
+    def _handshake(self) -> None:
+        import struct as _s
+
+        # ConnectRequest: protoVersion, lastZxidSeen, timeOut, sessionId,
+        # passwd buffer
+        self._send(
+            _s.pack(">iqiq", 0, 0, int(self.timeout_s * 1000), 0)
+            + _s.pack(">i", 16)
+            + b"\x00" * 16
+        )
+        self._recv()  # ConnectResponse — session established
+
+    def _call(self, op: int, path: str) -> bytes:
+        import struct as _s
+
+        self._xid += 1
+        raw = path.encode()
+        self._send(
+            _s.pack(">ii", self._xid, op)
+            + _s.pack(">i", len(raw))
+            + raw
+            + b"\x00"  # watch=false
+        )
+        reply = self._recv()
+        _xid, _zxid, err = _s.unpack(">iqi", reply[:16])
+        if err != 0:
+            raise OSError(f"zookeeper error {err} for {path!r}")
+        return reply[16:]
+
+    def get_children(self, path: str) -> list[str]:
+        import struct as _s
+
+        body = self._call(self._OP_GETCHILDREN, path)
+        (count,) = _s.unpack(">i", body[:4])
+        out = []
+        pos = 4
+        for _ in range(count):
+            (n,) = _s.unpack(">i", body[pos : pos + 4])
+            pos += 4
+            out.append(body[pos : pos + n].decode())
+            pos += n
+        return out
+
+    def get_data(self, path: str) -> Optional[bytes]:
+        import struct as _s
+
+        body = self._call(self._OP_GETDATA, path)
+        (n,) = _s.unpack(">i", body[:4])
+        return None if n < 0 else body[4 : 4 + n]
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+
+class ZookeeperDiscovery:
+    """serverset_sd_configs / nerve_sd_configs provider
+    (discovery/zookeeper/zookeeper.go:255-300,304-330): walk each
+    configured znode path recursively; every node whose data parses as a
+    member JSON becomes a target — serverset members at
+    ``serviceEndpoint.host:port`` with ``__meta_serverset_*`` labels
+    (additional endpoints, status, shard), nerve members at
+    ``host:port`` with ``__meta_nerve_*``."""
+
+    def __init__(
+        self,
+        servers: list[str],
+        paths: list[str],
+        role: str = "serverset",
+        timeout_s: float = 10.0,
+        refresh_interval_ms: int = 60_000,
+        zk_client_fn=None,
+    ):
+        if role not in ("serverset", "nerve"):
+            raise ValueError(f"zookeeper sd role {role!r} not supported")
+        self.servers = list(servers)
+        self.paths = list(paths)
+        self.role = role
+        self.timeout_s = timeout_s
+        self.refresh_interval_ms = refresh_interval_ms
+        self._zk_fn = zk_client_fn or (
+            lambda: _ZKClient(self.servers, self.timeout_s)
+        )
+        self._last_good: list[TargetGroup] = []
+
+    def _parse_serverset(self, data: bytes, path: str) -> Optional[TargetGroup]:
+        member = json.loads(data)
+        ep = member.get("serviceEndpoint") or {}
+        host, port = ep.get("host", ""), int(ep.get("port", 0))
+        labels = {
+            "__meta_serverset_path": path,
+            "__meta_serverset_endpoint_host": host,
+            "__meta_serverset_endpoint_port": str(port),
+            "__meta_serverset_status": member.get("status", ""),
+            "__meta_serverset_shard": str(member.get("shard", 0)),
+        }
+        for name, aep in (member.get("additionalEndpoints") or {}).items():
+            clean = _sanitize_label_name(name)
+            labels[f"__meta_serverset_endpoint_host_{clean}"] = aep.get("host", "")
+            labels[f"__meta_serverset_endpoint_port_{clean}"] = str(
+                aep.get("port", 0)
+            )
+        return TargetGroup([f"{host}:{port}"], labels)
+
+    def _parse_nerve(self, data: bytes, path: str) -> Optional[TargetGroup]:
+        member = json.loads(data)
+        host, port = member.get("host", ""), int(member.get("port", 0))
+        return TargetGroup(
+            [f"{host}:{port}"],
+            {
+                "__meta_nerve_path": path,
+                "__meta_nerve_endpoint_host": host,
+                "__meta_nerve_endpoint_port": str(port),
+                "__meta_nerve_endpoint_name": member.get("name", ""),
+            },
+        )
+
+    def _walk(self, zk, path: str, out: list[TargetGroup]) -> None:
+        parse = (
+            self._parse_serverset
+            if self.role == "serverset"
+            else self._parse_nerve
+        )
+        try:
+            data = zk.get_data(path)
+        except OSError:
+            return  # NoNode and friends → nothing under this path
+        if data:
+            try:
+                g = parse(data, path)
+                if g is not None:
+                    out.append(g)
+            except (ValueError, KeyError, TypeError):
+                pass  # non-member node data
+        try:
+            children = zk.get_children(path)
+        except OSError:
+            return
+        for child in children:
+            self._walk(zk, path.rstrip("/") + "/" + child, out)
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        try:
+            zk = self._zk_fn()
+            try:
+                out: list[TargetGroup] = []
+                for p in self.paths:
+                    self._walk(zk, p, out)
+            finally:
+                close = getattr(zk, "close", None)
+                if close:
+                    close()
+            self._last_good = out
+        except Exception:
+            out = self._last_good
+        return out
+
+
 class OutscaleDiscovery:
     """outscale_sd_configs provider (discovery/outscale/vm.go:28-37,
     85-150): POST ``ReadVms`` to the OAPI endpoint (SigV4-signed, the

@@ -2084,3 +2084,141 @@ def test_outscale_sd_vms():
     assert g["__meta_outscale_vm_public_ip"] == "171.33.1.1"
     assert g["__meta_outscale_vm_tag_name"] == "web"
     assert "__meta_outscale_vm_tag_empty" not in g
+
+
+class _FakeZK:
+    """In-memory znode tree honoring the _ZKClient surface."""
+
+    def __init__(self, tree):
+        self.tree = tree  # path -> bytes|None
+
+    def get_data(self, path):
+        if path not in self.tree:
+            raise OSError("no node")
+        return self.tree[path]
+
+    def get_children(self, path):
+        prefix = path.rstrip("/") + "/"
+        return sorted({
+            p[len(prefix):].split("/")[0]
+            for p in self.tree
+            if p.startswith(prefix)
+        })
+
+    def close(self):
+        pass
+
+
+def test_zookeeper_sd_serverset_and_nerve():
+    from prometheus_spark.sources.discovery import ZookeeperDiscovery
+
+    member = {
+        "serviceEndpoint": {"host": "10.3.0.1", "port": 31337},
+        "additionalEndpoints": {"health-check": {"host": "10.3.0.1",
+                                                 "port": 31338}},
+        "status": "ALIVE",
+        "shard": 2,
+    }
+    tree = {
+        "/aurora/web": None,
+        "/aurora/web/member_0000000001": json.dumps(member).encode(),
+        "/aurora/web/member_0000000001/deep": b"not json",
+    }
+    d = ZookeeperDiscovery(
+        ["zk:2181"], ["/aurora/web"], role="serverset",
+        zk_client_fn=lambda: _FakeZK(tree),
+    )
+    groups = d.refresh()
+    assert groups[0].targets == ["10.3.0.1:31337"]
+    g = groups[0].labels
+    assert g["__meta_serverset_path"] == "/aurora/web/member_0000000001"
+    assert g["__meta_serverset_endpoint_host"] == "10.3.0.1"
+    assert g["__meta_serverset_endpoint_port"] == "31337"
+    assert g["__meta_serverset_endpoint_host_health_check"] == "10.3.0.1"
+    assert g["__meta_serverset_endpoint_port_health_check"] == "31338"
+    assert g["__meta_serverset_status"] == "ALIVE"
+    assert g["__meta_serverset_shard"] == "2"
+
+    nerve_tree = {
+        "/nerve/services/web/services": None,
+        "/nerve/services/web/services/node-1": json.dumps(
+            {"host": "10.4.0.1", "port": 8080, "name": "web"}
+        ).encode(),
+    }
+    n = ZookeeperDiscovery(
+        ["zk:2181"], ["/nerve/services/web/services"], role="nerve",
+        zk_client_fn=lambda: _FakeZK(nerve_tree),
+    )
+    ng = n.refresh()[0]
+    assert ng.targets == ["10.4.0.1:8080"]
+    assert ng.labels["__meta_nerve_endpoint_name"] == "web"
+
+
+def test_zookeeper_wire_client():
+    """_ZKClient speaks the real framed wire protocol: handshake,
+    getChildren (op 8), getData (op 4) against an in-process fake ZK
+    server socket."""
+    import socket
+    import struct
+    import threading
+
+    from prometheus_spark.sources.discovery import _ZKClient
+
+    member = json.dumps({"serviceEndpoint": {"host": "h", "port": 1}}).encode()
+    znodes = {"/svc": (None, ["member_1"]),
+              "/svc/member_1": (member, [])}
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+
+    def read_packet(conn):
+        hdr = conn.recv(4)
+        (n,) = struct.unpack(">i", hdr)
+        out = b""
+        while len(out) < n:
+            out += conn.recv(n - len(out))
+        return out
+
+    def send_packet(conn, payload):
+        conn.sendall(struct.pack(">i", len(payload)) + payload)
+
+    def serve():
+        conn, _ = srv.accept()
+        read_packet(conn)  # ConnectRequest
+        send_packet(conn, struct.pack(">iiq", 0, 30000, 7) +
+                    struct.pack(">i", 16) + b"\x00" * 16)
+        while True:
+            try:
+                pkt = read_packet(conn)
+            except Exception:
+                return
+            xid, op = struct.unpack(">ii", pkt[:8])
+            (plen,) = struct.unpack(">i", pkt[8:12])
+            path = pkt[12:12 + plen].decode()
+            if path not in znodes:
+                send_packet(conn, struct.pack(">iqi", xid, 1, -101))
+                continue
+            data, children = znodes[path]
+            if op == 8:  # getChildren
+                body = struct.pack(">i", len(children))
+                for c in children:
+                    body += struct.pack(">i", len(c)) + c.encode()
+                send_packet(conn, struct.pack(">iqi", xid, 1, 0) + body)
+            elif op == 4:  # getData
+                payload = (struct.pack(">i", -1) if data is None
+                           else struct.pack(">i", len(data)) + data)
+                send_packet(conn, struct.pack(">iqi", xid, 1, 0) + payload)
+
+    threading.Thread(target=serve, daemon=True).start()
+    port = srv.getsockname()[1]
+    zk = _ZKClient([f"127.0.0.1:{port}"], timeout_s=5)
+    assert zk.get_children("/svc") == ["member_1"]
+    assert zk.get_data("/svc/member_1") == member
+    assert zk.get_data("/svc") is None
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        zk.get_data("/missing")
+    zk.close()
+    srv.close()
