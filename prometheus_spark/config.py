@@ -100,6 +100,7 @@ class ScrapeJobConfig:
     outscale_sd: list = field(default_factory=list)  # {"region", ...}
     serverset_sd: list = field(default_factory=list)  # {"servers", "paths"}
     nerve_sd: list = field(default_factory=list)  # {"servers", "paths"}
+    kuma_sd: list = field(default_factory=list)  # {"server", ...}
 
 
 @dataclass
@@ -473,6 +474,14 @@ def load_config(path: str) -> PromConfig:
             }
             for zs in sc.get("nerve_sd_configs") or []
         ]
+        kuma_sd = [
+            {
+                "server": km.get("server", ""),
+                "client_id": km.get("client_id", "prometheus_spark"),
+                "refresh_interval_ms": _dur_ms(km.get("refresh_interval"), 15_000),
+            }
+            for km in sc.get("kuma_sd_configs") or []
+        ]
         cfg.scrape_jobs.append(
             ScrapeJobConfig(
                 job_name=job,
@@ -523,6 +532,7 @@ def load_config(path: str) -> PromConfig:
                 outscale_sd=outscale_sd,
                 serverset_sd=serverset_sd,
                 nerve_sd=nerve_sd,
+                kuma_sd=kuma_sd,
             )
         )
 
@@ -583,6 +593,7 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
         ZookeeperDiscovery,
         VultrDiscovery,
         KubernetesDiscovery,
+        KumaDiscovery,
         LightsailDiscovery,
         DiscoveryManager,
         DNSDiscovery,
@@ -827,6 +838,13 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
                 ZookeeperDiscovery(
                     zs["servers"], zs["paths"], "nerve",
                     timeout_s=zs["timeout_s"],
+                )
+            )
+        for km in jobcfg.kuma_sd:
+            providers.append(
+                KumaDiscovery(
+                    km["server"], km["client_id"],
+                    refresh_interval_ms=km["refresh_interval_ms"],
                 )
             )
         discovery.register(jobcfg, providers)

@@ -1972,6 +1972,101 @@ class ZookeeperDiscovery:
         return out
 
 
+class KumaDiscovery:
+    """kuma_sd_configs provider — the reference's xDS REST-JSON client
+    specialized to Kuma MADS v1 (discovery/xds/client.go:160-210,
+    kuma.go:42-160): POST a DiscoveryRequest to
+    ``{server}/v3/discovery:monitoringassignments``; each
+    MonitoringAssignment target becomes a scrape target carrying
+    ``__meta_kuma_mesh/service/dataplane`` + user ``label_*`` labels and
+    the relabel-visible ``__address__``/``__scheme__``/
+    ``__metrics_path__``/``instance``.  version_info/nonce are echoed
+    back (304 → keep the current set)."""
+
+    def __init__(
+        self,
+        server: str,
+        client_id: str = "prometheus_spark",
+        refresh_interval_ms: int = 15_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str, bytes], bytes]] = None,
+    ):
+        self.server = server.rstrip("/")
+        self.client_id = client_id
+        self.refresh_interval_ms = refresh_interval_ms
+        self.timeout_s = timeout_s
+        self._fetch = fetch_fn or self._http_post
+        self._version = ""
+        self._nonce = ""
+        self._last_good: list[TargetGroup] = []
+
+    def _http_post(self, url: str, body: bytes) -> bytes:
+        req = urllib.request.Request(
+            url,
+            data=body,
+            headers={"Content-Type": "application/json",
+                     "Accept": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            if resp.status == 304:
+                return b""
+            return resp.read()
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        try:
+            body = json.dumps(
+                {
+                    "version_info": self._version,
+                    "response_nonce": self._nonce,
+                    "type_url": (
+                        "type.googleapis.com/"
+                        "kuma.observability.v1.MonitoringAssignment"
+                    ),
+                    "resource_names": [],
+                    "node": {"id": self.client_id},
+                }
+            ).encode()
+            raw = self._fetch(
+                f"{self.server}/v3/discovery:monitoringassignments", body
+            )
+            if not raw:  # 304 Not Modified
+                return self._last_good
+            doc = json.loads(raw)
+            self._version = doc.get("version_info", "") or doc.get(
+                "versionInfo", ""
+            )
+            self._nonce = doc.get("nonce", "")
+            groups: list[TargetGroup] = []
+            for res in doc.get("resources") or []:
+                common = {
+                    "__meta_kuma_label_" + _sanitize_label_name(k): v
+                    for k, v in (res.get("labels") or {}).items()
+                }
+                common["__meta_kuma_mesh"] = res.get("mesh", "")
+                common["__meta_kuma_service"] = res.get("service", "")
+                for t in res.get("targets") or []:
+                    labels = {
+                        **common,
+                        **{
+                            "__meta_kuma_label_" + _sanitize_label_name(k): v
+                            for k, v in (t.get("labels") or {}).items()
+                        },
+                        "__meta_kuma_dataplane": t.get("name", ""),
+                        "instance": t.get("name", ""),
+                        "__scheme__": t.get("scheme", ""),
+                        "__metrics_path__": t.get("metricsPath", "")
+                        or t.get("metrics_path", ""),
+                    }
+                    groups.append(
+                        TargetGroup([t.get("address", "")], labels)
+                    )
+            self._last_good = groups
+        except Exception:
+            groups = self._last_good
+        return groups
+
+
 class OutscaleDiscovery:
     """outscale_sd_configs provider (discovery/outscale/vm.go:28-37,
     85-150): POST ``ReadVms`` to the OAPI endpoint (SigV4-signed, the

@@ -2222,3 +2222,58 @@ def test_zookeeper_wire_client():
         zk.get_data("/missing")
     zk.close()
     srv.close()
+
+
+def test_kuma_sd_mads():
+    from prometheus_spark.sources.discovery import KumaDiscovery
+
+    response = {
+        "version_info": "v7",
+        "nonce": "n-1",
+        "resources": [
+            {
+                "@type": "type.googleapis.com/kuma.observability.v1.MonitoringAssignment",
+                "mesh": "default",
+                "service": "backend",
+                "labels": {"team": "core"},
+                "targets": [
+                    {
+                        "name": "backend-dp-1",
+                        "address": "10.5.0.4:5670",
+                        "scheme": "http",
+                        "metricsPath": "/metrics",
+                        "labels": {"kuma.io/zone": "east"},
+                    }
+                ],
+            }
+        ],
+    }
+    calls = []
+
+    def fetch(url, body):
+        calls.append((url, json.loads(body)))
+        return json.dumps(response).encode()
+
+    d = KumaDiscovery("http://kuma-cp:5676", client_id="prom-1", fetch_fn=fetch)
+    groups = d.refresh()
+    assert calls[0][0] == "http://kuma-cp:5676/v3/discovery:monitoringassignments"
+    assert calls[0][1]["node"] == {"id": "prom-1"}
+    assert calls[0][1]["version_info"] == ""
+    g = groups[0]
+    assert g.targets == ["10.5.0.4:5670"]
+    assert g.labels["__meta_kuma_mesh"] == "default"
+    assert g.labels["__meta_kuma_service"] == "backend"
+    assert g.labels["__meta_kuma_dataplane"] == "backend-dp-1"
+    assert g.labels["__meta_kuma_label_team"] == "core"
+    assert g.labels["__meta_kuma_label_kuma_io_zone"] == "east"
+    assert g.labels["__scheme__"] == "http"
+    assert g.labels["__metrics_path__"] == "/metrics"
+    assert g.labels["instance"] == "backend-dp-1"
+
+    # second refresh echoes version/nonce; 304 keeps the set
+    d._fetch = lambda u, b: (
+        calls.append((u, json.loads(b))), b"",
+    )[1]
+    assert len(d.refresh()) == 1
+    assert calls[1][1]["version_info"] == "v7"
+    assert calls[1][1]["response_nonce"] == "n-1"
