@@ -490,6 +490,71 @@ class TestStats:
         self.failures.extend(other.failures)
 
 
+#: evals unioned into one Spark job when ``batch_evals > 1``.  MEASURED
+#: on local[32]/4 workers: batching at 8 made the full sweep SLOWER
+#: (283s vs 204s) — the wide thread pool already hides per-job
+#: scheduling, and the k-way union adds Catalyst analysis — so the
+#: default stays un-batched; the knob exists for low-parallelism
+#: environments where per-job overhead dominates.
+DEFAULT_BATCH_EVALS = 1
+
+
+def _batch_eligible(cmd: EvalCmd) -> bool:
+    return (
+        not cmd.is_string
+        and cmd.matrix_grid is None
+        and not cmd.expect_fail
+    )
+
+
+def _eval_batch(tasks: list) -> list[tuple[str, str | None]]:
+    """Evaluate several vector evals against one engine in a SINGLE
+    Spark job: tag each range_query frame, union them, collect once,
+    and dispatch rows back to per-eval comparison.  The corpus wall is
+    dominated by per-job scheduling on tiny data — k evals per job
+    divides that overhead by k.  Any error anywhere in the batch falls
+    back to individual evaluation, so semantics (expected failures,
+    runtime guards, per-eval messages) are exactly the un-batched
+    path's."""
+    from pyspark.sql import functions as F
+
+    try:
+        frames = []
+        for i, (engine, cmd) in enumerate(tasks):
+            df = engine.range_query(
+                cmd.query, cmd.start_ms, cmd.end_ms, cmd.step_ms
+            )
+            cols = ["labels", "t", "value"] + (
+                ["hist"] if "hist" in df.columns else []
+            )
+            frames.append(
+                df.select(F.lit(i).alias("__eval"), *cols)
+            )
+        union = frames[0]
+        for f in frames[1:]:
+            union = union.unionByName(f, allowMissingColumns=True)
+        has_hist = "hist" in union.columns
+        by_eval: dict[int, list] = {i: [] for i in range(len(tasks))}
+        for r in union.collect():
+            by_eval[r["__eval"]].append(r)
+    except Exception:
+        # build or execute failed somewhere in the union — isolate
+        return [_eval_one(e, c) for e, c in tasks]
+
+    out: list[tuple[str, str | None]] = []
+    for i, (engine, cmd) in enumerate(tasks):
+        try:
+            _check_vector_result(cmd, by_eval[i], has_hist)
+            out.append(("pass", None))
+        except AssertionError as e:
+            out.append(
+                ("fail", f"line {cmd.line}: {cmd.query}\n  {e}")
+            )
+        except Exception:
+            out.append(_eval_one(engine, cmd))
+    return out
+
+
 def _eval_one(engine, cmd: EvalCmd) -> tuple[str, str | None]:
     """Run one eval; returns (outcome, failure_message)."""
     try:
@@ -514,6 +579,7 @@ def run_test_text(
     query_filter=None,
     parallel_evals: int = 1,
     eval_offset: int = 0,
+    batch_evals: int = DEFAULT_BATCH_EVALS,
 ) -> TestStats:
     """Execute a promqltest script against the Spark engine.
 
@@ -604,11 +670,34 @@ def run_test_text(
         engine = PromQLEngine(spark, samples, kahan=True, ordered=False)
         tasks.extend((engine, c) for c in evals)
 
-    if parallel_evals > 1 and len(tasks) > 1:
+    # Batch consecutive eligible evals sharing an engine into unioned
+    # single-job units; everything else stays a singleton.  Units then
+    # fan out across the shared pool as before.
+    units: list[list] = []
+    for engine, cmd in tasks:
+        if (
+            batch_evals > 1
+            and _batch_eligible(cmd)
+            and units
+            and len(units[-1]) < batch_evals
+            and units[-1][0][0] is engine
+            and _batch_eligible(units[-1][0][1])
+        ):
+            units[-1].append((engine, cmd))
+        else:
+            units.append([(engine, cmd)])
+
+    def run_unit(unit: list) -> list[tuple[str, str | None]]:
+        if len(unit) == 1:
+            e, c = unit[0]
+            return [_eval_one(e, c)]
+        return _eval_batch(unit)
+
+    if parallel_evals > 1 and len(units) > 1:
         with ThreadPoolExecutor(parallel_evals) as pool:
-            results = list(pool.map(lambda t: _eval_one(t[0], t[1]), tasks))
+            results = [r for rs in pool.map(run_unit, units) for r in rs]
     else:
-        results = [_eval_one(e, c) for e, c in tasks]
+        results = [r for u in units for r in run_unit(u)]
     for outcome, msg in results:
         if outcome == "pass":
             stats.total += 1
@@ -647,7 +736,12 @@ def _run_eval(engine, cmd: EvalCmd) -> None:
     got_rows = result.collect()
     if cmd.expect_fail:
         raise AssertionError("expected query to fail, but it succeeded")
+    _check_vector_result(cmd, got_rows, "hist" in result.columns)
 
+
+def _check_vector_result(cmd: EvalCmd, got_rows, has_hist: bool) -> None:
+    """Compare collected rows against the eval's expectation — the
+    comparison half of :func:`_run_eval`, shared with the batched path."""
     # expected: map sig -> {step_idx: value}
     num_steps = (cmd.end_ms - cmd.start_ms) // cmd.step_ms + 1
     expected: dict[tuple, dict[int, float]] = {}
@@ -665,7 +759,6 @@ def _run_eval(engine, cmd: EvalCmd) -> None:
                 slots[idx] = v
 
     got: dict[tuple, dict[int, float]] = {}
-    has_hist = "hist" in result.columns
     for r in got_rows:
         labels = dict(r["labels"])
         key = tuple(sorted(labels.items()))
