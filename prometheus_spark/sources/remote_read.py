@@ -29,6 +29,8 @@ import struct
 from pyspark.sql import DataFrame
 
 from prometheus_spark.sources.remote_write import (
+    _decode_hist,
+    _encode_hist,
     _f64,
     _fields,
     _ld,
@@ -148,7 +150,11 @@ def encode_read_response(
     results: list[list[tuple[dict, list[tuple[int, float]]]]],
     compress: bool = True,
 ) -> bytes:
-    """[[(labels, [(t_ms, value)])] per query] → snappy(ReadResponse)."""
+    """[[(labels, [(t_ms, value)])] per query] → snappy(ReadResponse).
+
+    A sample whose value is a dict is a native histogram and rides
+    ``TimeSeries.histograms`` (prompb/types.proto field 4) instead of
+    ``samples``."""
     body = bytearray()
     for series_list in results:
         qr = bytearray()
@@ -157,7 +163,12 @@ def encode_read_response(
             for k in sorted(labels):
                 ts += _ld(1, _ld(1, k.encode()) + _ld(2, labels[k].encode()))
             for t, v in samples:
-                ts += _ld(2, _f64(1, float(v)) + _vint(2, t & ((1 << 64) - 1)))
+                if isinstance(v, dict):
+                    ts += _ld(4, _encode_hist(v, t))
+                else:
+                    ts += _ld(
+                        2, _f64(1, float(v)) + _vint(2, t & ((1 << 64) - 1))
+                    )
             qr += _ld(1, bytes(ts))
         body += _ld(1, bytes(qr))
     out = bytes(body)
@@ -195,6 +206,10 @@ def decode_read_response(body: bytes, compressed: bool = True) -> list:
                         elif sf == 2:
                             t = sv if sv < (1 << 63) else sv - (1 << 64)
                     samples.append((t, val))
+                elif tf == 4:  # native histogram (types.proto field 4)
+                    hr = _decode_hist(tv)
+                    samples.append((hr["t"], hr["hist"]))
+            samples.sort(key=lambda p: p[0])
             series_list.append((labels, samples))
         results.append(series_list)
     return results
@@ -394,7 +409,15 @@ def encode_streamed_read_response(
     out = bytearray()
     for qidx, series_list in enumerate(results):
         for labels, samples in series_list:
-            chunks = chunk_series(sorted(samples))
+            # the streamed path carries XOR (float) chunks only; native
+            # histograms need the HISTOGRAM chunk encoding
+            # (tsdb/chunkenc/histogram.go) which is not implemented —
+            # clients needing histograms use the SAMPLES fallback, which
+            # carries them in full (TimeSeries.histograms)
+            floats = sorted(
+                (t, v) for t, v in samples if not isinstance(v, dict)
+            )
+            chunks = chunk_series(floats)
             pending: list = []
             pending_bytes = 0
             for ch in chunks:
@@ -479,18 +502,27 @@ def _execute_queries(samples: DataFrame, queries: list[dict]) -> list:
             Matcher(name, MatchType(op), value)
             for op, name, value in q["matchers"]
         ]
+        has_hist = "hist" in samples.columns
+        present = F.col("value").isNotNull()
+        cols = ["sig", "labels", "t", "value"]
+        if has_hist:  # native histograms ride along (value is null)
+            present = present | F.col("hist").isNotNull()
+            cols.append("hist")
         df = (
             samples.where(matcher_predicate(matchers))
             .where(
                 (F.col("t") >= q["start_ms"]) & (F.col("t") <= q["end_ms"])
             )
-            .where(~F.col("stale") & F.col("value").isNotNull())
-            .select("sig", "labels", "t", "value")
+            .where(~F.col("stale") & present)
+            .select(*cols)
             .orderBy("sig", "t")
         )
         series: dict[str, tuple[dict, list]] = {}
         for r in df.collect():
             entry = series.setdefault(r["sig"], (dict(r["labels"]), []))
-            entry[1].append((r["t"], r["value"]))
+            if has_hist and r["value"] is None and r["hist"] is not None:
+                entry[1].append((r["t"], r["hist"].asDict(recursive=True)))
+            else:
+                entry[1].append((r["t"], r["value"]))
         results.append([series[k] for k in sorted(series)])
     return results

@@ -59,6 +59,10 @@ def _zigzag_dec(n: int) -> int:
     return (n >> 1) ^ -(n & 1)
 
 
+def _zigzag_enc(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1
+
+
 def _fields(buf: bytes):
     """Iterate (field_no, wire_type, value) over a protobuf message body.
     Length-delimited values come back as bytes; varints as int; fixed64
@@ -218,6 +222,48 @@ def _decode_hist(buf: bytes) -> dict:
         elif fno == 14:
             h["counter_reset_hint"] = v
     return {"t": t, "hist": h}
+
+
+def _encode_hist(h: dict, t_ms: int) -> bytes:
+    """prompb Histogram (types.proto:160-230) for a FLOAT histogram —
+    the engine's canonical ``hist`` struct: count_float=2, sum=3,
+    schema=4 (sint), zero_threshold=5, zero_count_float=7,
+    negative_spans=8 / negative_counts=10, positive_spans=11 /
+    positive_counts=13, reset_hint=14, timestamp=15, custom_values=16.
+    Mirror of :func:`_decode_hist` (the two round-trip in tests)."""
+    out = bytearray()
+    out += _f64(2, float(h.get("count", 0.0)))
+    out += _f64(3, float(h.get("sum", 0.0)))
+    out += _vint(4, _zigzag_enc(int(h.get("schema", 0))))
+    out += _f64(5, float(h.get("zero_threshold", 0.0)))
+    out += _f64(7, float(h.get("zero_count", 0.0)))
+
+    def spans(fno: int, items) -> bytes:
+        b = bytearray()
+        for s in items or []:
+            b += _ld(
+                fno,
+                _vint(1, _zigzag_enc(int(s.get("offset", 0))))
+                + _vint(2, int(s.get("length", 0))),
+            )
+        return bytes(b)
+
+    def packed_doubles(fno: int, vals) -> bytes:
+        if not vals:
+            return b""
+        return _ld(
+            fno, b"".join(struct.pack("<d", float(v)) for v in vals)
+        )
+
+    out += spans(8, h.get("neg_spans"))
+    out += packed_doubles(10, h.get("neg_buckets"))
+    out += spans(11, h.get("pos_spans"))
+    out += packed_doubles(13, h.get("pos_buckets"))
+    if h.get("counter_reset_hint"):
+        out += _vint(14, int(h["counter_reset_hint"]))
+    out += _vint(15, t_ms & ((1 << 64) - 1))
+    out += packed_doubles(16, h.get("custom_values"))
+    return bytes(out)
 
 
 def _decode_exemplar(buf: bytes) -> dict:

@@ -640,6 +640,63 @@ def test_remote_read_client_negotiation(spark):
     assert streamed[0][0][0] == plain[0][0][0]
 
 
+def test_remote_read_native_histograms(spark):
+    """Native-histogram samples ride TimeSeries.histograms in the
+    SAMPLES remote-read response (prompb/types.proto field 4) and decode
+    back to the canonical hist dict; the streamed path drops them
+    (documented: XOR chunks are float-only)."""
+    from prometheus_spark.sources.remote_read import (
+        STREAMED_XOR_CHUNKS,
+        decode_read_response,
+        decode_streamed_read_response,
+        encode_read_request,
+        serve_read,
+        serve_read_negotiated,
+    )
+    from prometheus_spark.storage import samples_from_rows
+
+    hist = {
+        "schema": 0, "zero_threshold": 0.001, "zero_count": 2.0,
+        "count": 12.0, "sum": 18.4,
+        "pos_spans": [{"offset": 0, "length": 2}],
+        "pos_buckets": [3.0, 4.0],
+        "neg_spans": [{"offset": 1, "length": 1}],
+        "neg_buckets": [3.0],
+        "custom_values": [], "counter_reset_hint": 0,
+    }
+    rows = [
+        ({"__name__": "lat"}, 1000, hist),
+        ({"__name__": "lat"}, 2000, 5.5),
+    ]
+    samples = samples_from_rows(spark, rows)
+    req = encode_read_request(
+        [{"start_ms": 0, "end_ms": 10_000,
+          "matchers": [("=", "__name__", "lat")]}]
+    )
+    resp = decode_read_response(serve_read(samples, req))
+    (labels, got) = resp[0][0]
+    assert labels["__name__"] == "lat"
+    assert got[1] == (2000, 5.5)
+    t0, h0 = got[0]
+    assert t0 == 1000 and isinstance(h0, dict)
+    assert h0["count"] == 12.0 and h0["sum"] == 18.4
+    assert h0["zero_threshold"] == 0.001 and h0["zero_count"] == 2.0
+    assert h0["pos_spans"] == [{"offset": 0, "length": 2}]
+    assert h0["pos_buckets"] == [3.0, 4.0]
+    assert h0["neg_spans"] == [{"offset": 1, "length": 1}]
+    assert h0["neg_buckets"] == [3.0]
+
+    # streamed: float samples only, histogram point dropped
+    sreq = encode_read_request(
+        [{"start_ms": 0, "end_ms": 10_000,
+          "matchers": [("=", "__name__", "lat")]}],
+        accepted_response_types=[STREAMED_XOR_CHUNKS],
+    )
+    body, _ = serve_read_negotiated(samples, sreq)
+    sresp = decode_streamed_read_response(body, 1)
+    assert sresp[0][0][1] == [(2000, 5.5)]
+
+
 def test_xor_chunk_codec_bitstream():
     """XOR chunk codec round-trips and actually compresses (the Gorilla
     property: regular timestamps + repeated values cost ~2 bytes/sample,
