@@ -101,6 +101,7 @@ class ScrapeJobConfig:
     serverset_sd: list = field(default_factory=list)  # {"servers", "paths"}
     nerve_sd: list = field(default_factory=list)  # {"servers", "paths"}
     kuma_sd: list = field(default_factory=list)  # {"server", ...}
+    oci_sd: list = field(default_factory=list)  # {"region", "tenancy", ...}
 
 
 @dataclass
@@ -482,6 +483,19 @@ def load_config(path: str) -> PromConfig:
             }
             for km in sc.get("kuma_sd_configs") or []
         ]
+        oci_sd = [
+            {
+                "region": oc.get("region", ""),
+                "tenancy": oc.get("tenancy", ""),
+                "user": oc.get("user", ""),
+                "fingerprint": oc.get("fingerprint", ""),
+                "private_key_pem": oc.get("private_key", ""),
+                "compartments": list(oc.get("compartments") or []),
+                "port": int(oc.get("port", 9100)),
+                "refresh_interval_ms": _dur_ms(oc.get("refresh_interval"), 60_000),
+            }
+            for oc in sc.get("oci_sd_configs") or []
+        ]
         cfg.scrape_jobs.append(
             ScrapeJobConfig(
                 job_name=job,
@@ -533,6 +547,7 @@ def load_config(path: str) -> PromConfig:
                 serverset_sd=serverset_sd,
                 nerve_sd=nerve_sd,
                 kuma_sd=kuma_sd,
+                oci_sd=oci_sd,
             )
         )
 
@@ -845,6 +860,15 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
                 KumaDiscovery(
                     km["server"], km["client_id"],
                     refresh_interval_ms=km["refresh_interval_ms"],
+                )
+            )
+        for oc in jobcfg.oci_sd:
+            providers.append(
+                OCIDiscovery(
+                    oc["region"], oc["tenancy"], oc["user"],
+                    oc["fingerprint"], oc["private_key_pem"],
+                    oc["compartments"], oc["port"],
+                    refresh_interval_ms=oc["refresh_interval_ms"],
                 )
             )
         discovery.register(jobcfg, providers)

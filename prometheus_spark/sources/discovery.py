@@ -1972,6 +1972,229 @@ class ZookeeperDiscovery:
         return out
 
 
+# --- minimal RSA-SHA256 signer (OCI HTTP Signature auth) -------------------
+#
+# OCI request signing needs RSASSA-PKCS1-v1_5 over SHA-256 — stdlib has
+# no RSA, but signing (not verifying untrusted input) is just modular
+# exponentiation with the private exponent plus a fixed DER prefix, and
+# key material is a DER structure a 40-line TLV reader handles.
+
+
+def _der_walk(data: bytes, pos: int = 0) -> tuple[int, bytes, int]:
+    """One DER TLV: returns (tag, value, next_pos)."""
+    tag = data[pos]
+    pos += 1
+    length = data[pos]
+    pos += 1
+    if length & 0x80:
+        nbytes = length & 0x7F
+        length = int.from_bytes(data[pos : pos + nbytes], "big")
+        pos += nbytes
+    return tag, data[pos : pos + length], pos + length
+
+
+def _rsa_key_from_pem(pem: str) -> tuple[int, int]:
+    """(n, d) from a PKCS#1 (``RSA PRIVATE KEY``) or PKCS#8
+    (``PRIVATE KEY``) PEM."""
+    import base64
+    import re as _re
+
+    body = "".join(
+        ln
+        for ln in pem.strip().splitlines()
+        if ln and not ln.startswith("-----")
+    )
+    der = base64.b64decode(body)
+    _tag, seq, _ = _der_walk(der)
+    # PKCS#8 wraps PKCS#1 in version+algid+OCTET STRING
+    pos = 0
+    tag, first, pos = _der_walk(seq, pos)
+    if tag == 0x02 and len(first) <= 2:  # version int
+        tag2, second, pos2 = _der_walk(seq, pos)
+        if tag2 == 0x30:  # AlgorithmIdentifier → PKCS#8
+            _t, octets, _p = _der_walk(seq, pos2)
+            _tg, seq, _ = _der_walk(octets)
+            pos = 0
+            _t, _version, pos = _der_walk(seq, pos)
+    ints = []
+    while pos < len(seq) and len(ints) < 4:
+        _t, v, pos = _der_walk(seq, pos)
+        ints.append(int.from_bytes(v, "big"))
+    # RSAPrivateKey ::= {version already consumed? ints: n, e, d, ...}
+    n, _e, d = ints[0], ints[1], ints[2]
+    return n, d
+
+
+#: DigestInfo DER prefix for SHA-256 (RFC 8017 §9.2)
+_SHA256_DER_PREFIX = bytes.fromhex(
+    "3031300d060960864801650304020105000420"
+)
+
+
+def _rsa_sha256_sign(message: bytes, n: int, d: int) -> bytes:
+    import hashlib
+
+    k = (n.bit_length() + 7) // 8
+    t = _SHA256_DER_PREFIX + hashlib.sha256(message).digest()
+    em = b"\x00\x01" + b"\xff" * (k - len(t) - 3) + b"\x00" + t
+    return pow(int.from_bytes(em, "big"), d, n).to_bytes(k, "big")
+
+
+class OCIDiscovery:
+    """oci_sd_configs provider (discovery/oci/oci.go:48-65,600-700):
+    list instances per compartment, resolve the primary VNIC via
+    vnicAttachments + vnics, one target per instance at
+    ``private_ip:port`` (public → sorted-first IPv6 fallback) with the
+    ``__meta_oci_*`` labels (freeform ``tag_``, scalar-stringified
+    ``defined_tag_<ns>_<k>``).
+
+    Auth is OCI's HTTP Signature scheme — RSA-SHA256 over
+    ``date (request-target) host`` with the API-key fingerprint keyId —
+    implemented on the pure-Python signer above."""
+
+    def __init__(
+        self,
+        region: str,
+        tenancy: str = "",
+        user: str = "",
+        fingerprint: str = "",
+        private_key_pem: str = "",
+        compartments: Optional[list[str]] = None,
+        port: int = 9100,
+        endpoint: str = "",
+        refresh_interval_ms: int = 60_000,
+        timeout_s: float = 10.0,
+        fetch_fn: Optional[Callable[[str], bytes]] = None,
+    ):
+        self.region = region
+        self.tenancy = tenancy
+        self.user = user
+        self.fingerprint = fingerprint
+        self.private_key_pem = private_key_pem
+        self.compartments = list(compartments or ([tenancy] if tenancy else []))
+        self.port = port
+        self.endpoint = (
+            endpoint or f"https://iaas.{region}.oraclecloud.com"
+        ).rstrip("/")
+        self.refresh_interval_ms = refresh_interval_ms
+        self.timeout_s = timeout_s
+        self._fetch = fetch_fn or self._http_get
+        self._key: Optional[tuple[int, int]] = None
+        self._last_good: list[TargetGroup] = []
+
+    def signed_headers(self, method: str, url: str) -> dict:
+        """The OCI Signature v1 header set for a body-less request."""
+        if self._key is None:
+            self._key = _rsa_key_from_pem(self.private_key_pem)
+        parsed = urllib.parse.urlparse(url)
+        target = parsed.path + (f"?{parsed.query}" if parsed.query else "")
+        date = time.strftime("%a, %d %b %Y %H:%M:%S GMT", time.gmtime())
+        signing = (
+            f"date: {date}\n(request-target): {method.lower()} {target}\n"
+            f"host: {parsed.netloc}"
+        )
+        import base64
+
+        sig = base64.b64encode(
+            _rsa_sha256_sign(signing.encode(), *self._key)
+        ).decode()
+        key_id = f"{self.tenancy}/{self.user}/{self.fingerprint}"
+        return {
+            "Date": date,
+            "Authorization": (
+                'Signature version="1",keyId="%s",algorithm="rsa-sha256",'
+                'headers="date (request-target) host",signature="%s"'
+                % (key_id, sig)
+            ),
+        }
+
+    def _http_get(self, url: str) -> bytes:
+        req = urllib.request.Request(url, headers=self.signed_headers("get", url))
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return resp.read()
+
+    def _get(self, path: str, **params) -> list:
+        q = urlencode({k: v for k, v in params.items() if v})
+        return json.loads(
+            self._fetch(f"{self.endpoint}/20160918{path}" + (f"?{q}" if q else ""))
+        )
+
+    def _primary_vnic(self, compartment: str, instance_id: str) -> dict:
+        for att in self._get(
+            "/vnicAttachments", compartmentId=compartment, instanceId=instance_id
+        ):
+            if att.get("lifecycleState") != "ATTACHED" or not att.get("vnicId"):
+                continue
+            vnic = json.loads(
+                self._fetch(f'{self.endpoint}/20160918/vnics/{att["vnicId"]}')
+            )
+            if vnic.get("isPrimary"):
+                return vnic
+        return {}
+
+    def refresh(self, now_ms: Optional[int] = None) -> list[TargetGroup]:
+        try:
+            groups: list[TargetGroup] = []
+            for compartment in self.compartments:
+                for inst in self._get("/instances", compartmentId=compartment):
+                    vnic = self._primary_vnic(
+                        compartment, inst.get("id", "")
+                    )
+                    ipv6 = sorted(vnic.get("ipv6Addresses") or [])
+                    addr = (
+                        vnic.get("privateIp")
+                        or vnic.get("publicIp")
+                        or (ipv6[0] if ipv6 else "")
+                    )
+                    labels = {
+                        "__meta_oci_instance_id": inst.get("id", ""),
+                        "__meta_oci_instance_name":
+                            inst.get("displayName", ""),
+                        "__meta_oci_instance_state":
+                            inst.get("lifecycleState", ""),
+                        "__meta_oci_instance_shape": inst.get("shape", ""),
+                        "__meta_oci_availability_domain":
+                            inst.get("availabilityDomain", ""),
+                        "__meta_oci_fault_domain":
+                            inst.get("faultDomain", ""),
+                        "__meta_oci_region": inst.get("region", ""),
+                        "__meta_oci_tenancy_id": self.tenancy,
+                        "__meta_oci_compartment_id": compartment,
+                        "__meta_oci_image_id": inst.get("imageId", ""),
+                        "__meta_oci_vnic_id": vnic.get("id", ""),
+                        "__meta_oci_private_ip": vnic.get("privateIp", "") or "",
+                        "__meta_oci_public_ip": vnic.get("publicIp", "") or "",
+                        "__meta_oci_hostname_label":
+                            vnic.get("hostnameLabel", "") or "",
+                        "__meta_oci_ipv6_addresses":
+                            _wrap_list(ipv6) if ipv6 else "",
+                    }
+                    for k, v in (inst.get("freeformTags") or {}).items():
+                        labels[
+                            "__meta_oci_tag_" + _sanitize_label_name(k)
+                        ] = str(v)
+                    for ns, tags in (inst.get("definedTags") or {}).items():
+                        for k, v in (tags or {}).items():
+                            if isinstance(v, bool):
+                                v = "true" if v else "false"
+                            elif isinstance(v, float) and v.is_integer():
+                                v = str(int(v))
+                            elif not isinstance(v, (str, int)):
+                                continue  # non-scalar skipped (oci.go)
+                            labels[
+                                "__meta_oci_defined_tag_"
+                                + _sanitize_label_name(ns)
+                                + "_"
+                                + _sanitize_label_name(k)
+                            ] = str(v)
+                    host = f"[{addr}]" if ":" in addr else addr
+                    groups.append(TargetGroup([f"{host}:{self.port}"], labels))
+            self._last_good = groups
+        except Exception:
+            groups = self._last_good
+        return groups
+
+
 class KumaDiscovery:
     """kuma_sd_configs provider — the reference's xDS REST-JSON client
     specialized to Kuma MADS v1 (discovery/xds/client.go:160-210,
