@@ -330,17 +330,19 @@ def split_frames(body: bytes) -> list[bytes]:
     return out
 
 
-def _encode_chunked_series(labels: dict, chunks: list[tuple[int, int, bytes]]) -> bytes:
+def _encode_chunked_series(
+    labels: dict, chunks: list[tuple[int, int, int, bytes]]
+) -> bytes:
     """prometheus.ChunkedSeries (types.proto:189): sorted labels +
-    XOR-typed chunks."""
+    typed chunks (Encoding.XOR=1 / FLOAT_HISTOGRAM=3, types.proto:177)."""
     ts = bytearray()
     for k in sorted(labels):
         ts += _ld(1, _ld(1, k.encode()) + _ld(2, labels[k].encode()))
-    for min_t, max_t, data in chunks:
+    for min_t, max_t, enc, data in chunks:
         ch = (
             _vint(1, min_t & ((1 << 64) - 1))
             + _vint(2, max_t & ((1 << 64) - 1))
-            + _vint(3, 1)  # Encoding.XOR (types.proto:177)
+            + _vint(3, enc)
             + _ld(4, data)
         )
         ts += _ld(2, ch)
@@ -404,25 +406,34 @@ def encode_streamed_read_response(
     full series stream in order; a frame flushes once its accumulated
     chunks exceed ``max_bytes_in_frame``, so a frame may carry part of a
     series but never interleaves two."""
-    from prometheus_spark.storage.chunkenc import chunk_series
+    from prometheus_spark.storage.chunkenc import chunk_fh_series, chunk_series
 
     out = bytearray()
     for qidx, series_list in enumerate(results):
         for labels, samples in series_list:
-            # the streamed path carries XOR (float) chunks only; native
-            # histograms need the HISTOGRAM chunk encoding
-            # (tsdb/chunkenc/histogram.go) which is not implemented —
-            # clients needing histograms use the SAMPLES fallback, which
-            # carries them in full (TimeSeries.histograms)
+            # float samples → XOR chunks (enc 1); native histograms →
+            # FLOAT_HISTOGRAM chunks (enc 3, tsdb/chunkenc/
+            # float_histogram.go).  Chunks are emitted in start-time
+            # order; the proto allows overlap (remote.proto:80-82).
             floats = sorted(
                 (t, v) for t, v in samples if not isinstance(v, dict)
             )
-            chunks = chunk_series(floats)
+            hists = sorted(
+                ((t, v) for t, v in samples if isinstance(v, dict)),
+                key=lambda p: p[0],
+            )
+            chunks = sorted(
+                [(mn, mx, 1, data) for mn, mx, data in chunk_series(floats)]
+                + [
+                    (mn, mx, 3, data)
+                    for mn, mx, data in chunk_fh_series(hists)
+                ]
+            )
             pending: list = []
             pending_bytes = 0
             for ch in chunks:
                 pending.append(ch)
-                pending_bytes += len(ch[2])
+                pending_bytes += len(ch[3])
                 if pending_bytes >= max_bytes_in_frame:
                     out += _frame(
                         encode_chunked_read_response([(labels, pending)], qidx)
@@ -438,7 +449,7 @@ def encode_streamed_read_response(
 def decode_streamed_read_response(body: bytes, n_queries: int = 1) -> list:
     """Client half: frame stream → [[(labels, [(t, value)])] per query],
     merging split-series frames back together."""
-    from prometheus_spark.storage.chunkenc import xor_decode
+    from prometheus_spark.storage.chunkenc import fh_decode, xor_decode
 
     results: list[list] = [[] for _ in range(n_queries)]
     # (qidx, labels-key) → accumulated samples
@@ -449,14 +460,23 @@ def decode_streamed_read_response(body: bytes, n_queries: int = 1) -> list:
         for labels, chunks in series:
             samples = []
             for _min_t, _max_t, enc, data in chunks:
-                if enc != 1:
+                if enc == 1:
+                    samples.extend(xor_decode(data))
+                elif enc == 3:
+                    samples.extend(fh_decode(data))
+                else:
                     raise ValueError(f"unsupported chunk encoding {enc}")
-                samples.extend(xor_decode(data))
+            samples.sort(key=lambda p: p[0])
             bucket = results[qidx]
             if bucket and bucket[-1][0] == labels:
                 bucket[-1][1].extend(samples)  # continuation frame
             else:
                 bucket.append((labels, samples))
+    # float and histogram chunks may interleave across frames — restore
+    # global time order per series
+    for series_list in results:
+        for _labels, samples in series_list:
+            samples.sort(key=lambda p: p[0])
     return results
 
 

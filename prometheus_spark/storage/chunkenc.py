@@ -256,3 +256,315 @@ def chunk_series(
         part = samples[i : i + samples_per_chunk]
         out.append((part[0][0], part[-1][0], xor_encode(part)))
     return out
+
+
+# --- FLOAT_HISTOGRAM chunks (tsdb/chunkenc/float_histogram.go) -------------
+#
+# Layout: 2-byte BE sample count + 1 flag byte (counter-reset header in
+# the top 2 bits, histogram.go:69-86) + bitstream.  The first sample
+# writes the chunk layout (zero threshold, varbit schema, varbit spans,
+# custom bounds for NHCB schemas — histogram_meta.go:22-130) then raw
+# 64-bit count/zeroCount/sum/buckets; later samples write a varbit
+# timestamp dod and XOR-encode every value stream with per-stream
+# leading/trailing windows (count/zeroCount/sum start with a zeroed
+# window, buckets with the 0xff sentinel — float_histogram.go:556-612).
+
+#: model/histogram.go CustomBucketsSchema — NHCB layouts carry bounds
+CUSTOM_BUCKETS_SCHEMA = -53
+
+_CR_HINT_TO_HEADER = {1: 0x80, 2: 0x40, 3: 0xC0}  # prompb hint → header
+_CR_HEADER_TO_HINT = {v: k for k, v in _CR_HINT_TO_HEADER.items()}
+
+
+def _varbit_int(w: _BitWriter, val: int) -> None:
+    """varbit.go:35 putVarbitInt — dod-tuned bit bucketing."""
+    for nbits, prefix, plen in (
+        (3, 0b10, 2), (6, 0b110, 3), (9, 0b1110, 4), (12, 0b11110, 5),
+        (18, 0b111110, 6), (25, 0b1111110, 7), (56, 0b11111110, 8),
+    ):
+        if val == 0:
+            w.write_bit(0)
+            return
+        if -((1 << (nbits - 1)) - 1) <= val <= 1 << (nbits - 1):
+            w.write_bits(prefix, plen)
+            w.write_bits(val, nbits)
+            return
+    w.write_bits(0b11111111, 8)
+    w.write_bits(val, 64)
+
+
+def _read_varbit_int(r: _BitReader) -> int:
+    d = 0
+    for _ in range(8):
+        d <<= 1
+        if r.read_bit() == 0:
+            break
+        d |= 1
+    sizes = {0b10: 3, 0b110: 6, 0b1110: 9, 0b11110: 12,
+             0b111110: 18, 0b1111110: 25, 0b11111110: 56}
+    if d == 0:
+        return 0
+    if d == 0b11111111:
+        v = r.read_bits(64)
+        return v - (1 << 64) if v >= 1 << 63 else v
+    sz = sizes[d]
+    v = r.read_bits(sz)
+    if v > 1 << (sz - 1):
+        v -= 1 << sz
+    return v
+
+
+def _varbit_uint(w: _BitWriter, val: int) -> None:
+    for nbits, prefix, plen in (
+        (3, 0b10, 2), (6, 0b110, 3), (9, 0b1110, 4), (12, 0b11110, 5),
+        (18, 0b111110, 6), (25, 0b1111110, 7), (56, 0b11111110, 8),
+    ):
+        if val == 0:
+            w.write_bit(0)
+            return
+        if val < (1 << nbits):
+            w.write_bits(prefix, plen)
+            w.write_bits(val, nbits)
+            return
+    w.write_bits(0b11111111, 8)
+    w.write_bits(val, 64)
+
+
+def _read_varbit_uint(r: _BitReader) -> int:
+    d = 0
+    for _ in range(8):
+        d <<= 1
+        if r.read_bit() == 0:
+            break
+        d |= 1
+    sizes = {0b10: 3, 0b110: 6, 0b1110: 9, 0b11110: 12,
+             0b111110: 18, 0b1111110: 25, 0b11111110: 56}
+    if d == 0:
+        return 0
+    return r.read_bits(64 if d == 0b11111111 else sizes[d])
+
+
+def _f64_bits(v: float) -> int:
+    return struct.unpack("<Q", struct.pack("<d", float(v)))[0]
+
+
+def _bits_f64(b: int) -> float:
+    return struct.unpack("<d", struct.pack("<Q", b))[0]
+
+
+def _put_zero_threshold(w: _BitWriter, threshold: float) -> None:
+    """histogram_meta.go:146 putZeroThreshold — one byte for powers of
+    two in [2^-243, 2^10], 255+raw float otherwise."""
+    import math
+
+    if threshold == 0:
+        w.write_byte(0)
+        return
+    frac, exp = math.frexp(threshold)
+    if frac != 0.5 or exp < -242 or exp > 11:
+        w.write_byte(255)
+        w.write_bits(_f64_bits(threshold), 64)
+        return
+    w.write_byte(exp + 243)
+
+
+def _read_zero_threshold(r: _BitReader) -> float:
+    import math
+
+    b = r.read_byte()
+    if b == 0:
+        return 0.0
+    if b == 255:
+        return _bits_f64(r.read_bits(64))
+    return math.ldexp(0.5, b - 243)
+
+
+def _put_custom_bound(w: _BitWriter, f: float) -> None:
+    """histogram_meta.go:200 putCustomBound — millis-scaled varbit for
+    typical bounds, raw float fallback."""
+    tf = f * 1000
+    if tf < 0 or tf > 33554430 or round(tf) != tf:
+        w.write_bit(0)
+        w.write_bits(_f64_bits(f), 64)
+        return
+    _varbit_uint(w, int(round(tf)) + 1)
+
+
+def _read_custom_bound(r: _BitReader) -> float:
+    b = _read_varbit_uint(r)
+    if b == 0:
+        return _bits_f64(r.read_bits(64))
+    return (b - 1) / 1000
+
+
+def _layout_key(h: dict) -> tuple:
+    return (
+        h.get("schema", 0),
+        h.get("zero_threshold", 0.0),
+        tuple((s["offset"], s["length"]) for s in h.get("pos_spans") or []),
+        tuple((s["offset"], s["length"]) for s in h.get("neg_spans") or []),
+        tuple(h.get("custom_values") or []),
+    )
+
+
+def fh_encode(samples: list[tuple[int, dict]]) -> bytes:
+    """[(t_ms, hist_dict)] → FLOAT_HISTOGRAM chunk bytes.  Every sample
+    must share the first sample's layout (use :func:`chunk_fh_series`
+    to split on layout changes)."""
+    if len(samples) > 0xFFFF:
+        raise ValueError("chunk capacity exceeded")
+    first = samples[0][1]
+    header = _CR_HINT_TO_HEADER.get(int(first.get("counter_reset_hint", 0)), 0)
+    w = _BitWriter(struct.pack(">H", len(samples)) + bytes([header]))
+    schema = int(first.get("schema", 0))
+    _put_zero_threshold(w, float(first.get("zero_threshold", 0.0)))
+    _varbit_int(w, schema)
+    for spans in (first.get("pos_spans") or [], first.get("neg_spans") or []):
+        _varbit_uint(w, len(spans))
+        for s in spans:
+            _varbit_uint(w, int(s["length"]))
+            _varbit_int(w, int(s["offset"]))
+    if schema == CUSTOM_BUCKETS_SCHEMA:
+        bounds = first.get("custom_values") or []
+        _varbit_uint(w, len(bounds))
+        for b in bounds:
+            _put_custom_bound(w, float(b))
+
+    n_pos = len(first.get("pos_buckets") or [])
+    n_neg = len(first.get("neg_buckets") or [])
+    # per-stream XOR windows: cnt/zcnt/sum start zeroed, buckets 0xff
+    cnt = {"leading": 0, "trailing": 0}
+    zcnt = {"leading": 0, "trailing": 0}
+    sm = {"leading": 0, "trailing": 0}
+    pstates = [{"leading": 0xFF, "trailing": 0} for _ in range(n_pos)]
+    nstates = [{"leading": 0xFF, "trailing": 0} for _ in range(n_neg)]
+    prev = {"cnt": 0, "zcnt": 0, "sum": 0, "pos": [0] * n_pos, "neg": [0] * n_neg}
+    prev_t = t_delta = 0
+    for i, (t, h) in enumerate(samples):
+        if i == 0:
+            _varbit_int(w, t)
+            for v in (h.get("count", 0.0), h.get("zero_count", 0.0), h.get("sum", 0.0)):
+                w.write_bits(_f64_bits(v), 64)
+            for v in h.get("pos_buckets") or []:
+                w.write_bits(_f64_bits(v), 64)
+            for v in h.get("neg_buckets") or []:
+                w.write_bits(_f64_bits(v), 64)
+        else:
+            dod = (t - prev_t) - t_delta
+            t_delta = t - prev_t
+            _varbit_int(w, dod)
+            for state, key, v in (
+                (cnt, "cnt", h.get("count", 0.0)),
+                (zcnt, "zcnt", h.get("zero_count", 0.0)),
+                (sm, "sum", h.get("sum", 0.0)),
+            ):
+                _xor_write(w, _f64_bits(v), prev[key], state)
+                prev[key] = _f64_bits(v)
+            for j, v in enumerate(h.get("pos_buckets") or []):
+                _xor_write(w, _f64_bits(v), prev["pos"][j], pstates[j])
+                prev["pos"][j] = _f64_bits(v)
+            for j, v in enumerate(h.get("neg_buckets") or []):
+                _xor_write(w, _f64_bits(v), prev["neg"][j], nstates[j])
+                prev["neg"][j] = _f64_bits(v)
+        if i == 0:
+            prev["cnt"] = _f64_bits(h.get("count", 0.0))
+            prev["zcnt"] = _f64_bits(h.get("zero_count", 0.0))
+            prev["sum"] = _f64_bits(h.get("sum", 0.0))
+            prev["pos"] = [_f64_bits(v) for v in h.get("pos_buckets") or []]
+            prev["neg"] = [_f64_bits(v) for v in h.get("neg_buckets") or []]
+        prev_t = t
+    return bytes(w.stream)
+
+
+def fh_decode(data: bytes) -> list[tuple[int, dict]]:
+    """FLOAT_HISTOGRAM chunk bytes → [(t_ms, hist_dict)]."""
+    (num,) = struct.unpack(">H", data[:2])
+    hint = _CR_HEADER_TO_HINT.get(data[2] & 0xC0, 0)
+    r = _BitReader(data[3:])
+    zero_threshold = _read_zero_threshold(r)
+    schema = _read_varbit_int(r)
+    spans_out = []
+    for _side in range(2):
+        spans = []
+        for _ in range(_read_varbit_uint(r)):
+            length = _read_varbit_uint(r)
+            offset = _read_varbit_int(r)
+            spans.append({"offset": offset, "length": length})
+        spans_out.append(spans)
+    pos_spans, neg_spans = spans_out
+    custom_values = []
+    if schema == CUSTOM_BUCKETS_SCHEMA:
+        custom_values = [
+            _read_custom_bound(r) for _ in range(_read_varbit_uint(r))
+        ]
+    n_pos = sum(s["length"] for s in pos_spans)
+    n_neg = sum(s["length"] for s in neg_spans)
+
+    cnt = {"leading": 0, "trailing": 0}
+    zcnt = {"leading": 0, "trailing": 0}
+    sm = {"leading": 0, "trailing": 0}
+    pstates = [{"leading": 0xFF, "trailing": 0} for _ in range(n_pos)]
+    nstates = [{"leading": 0xFF, "trailing": 0} for _ in range(n_neg)]
+    prev = {"cnt": 0, "zcnt": 0, "sum": 0, "pos": [0] * n_pos, "neg": [0] * n_neg}
+    out: list[tuple[int, dict]] = []
+    t = t_delta = 0
+    for i in range(num):
+        if i == 0:
+            t = _read_varbit_int(r)
+            prev["cnt"] = r.read_bits(64)
+            prev["zcnt"] = r.read_bits(64)
+            prev["sum"] = r.read_bits(64)
+            prev["pos"] = [r.read_bits(64) for _ in range(n_pos)]
+            prev["neg"] = [r.read_bits(64) for _ in range(n_neg)]
+        else:
+            t_delta += _read_varbit_int(r)
+            t += t_delta
+            prev["cnt"] = _xor_read(r, prev["cnt"], cnt)
+            prev["zcnt"] = _xor_read(r, prev["zcnt"], zcnt)
+            prev["sum"] = _xor_read(r, prev["sum"], sm)
+            prev["pos"] = [
+                _xor_read(r, prev["pos"][j], pstates[j]) for j in range(n_pos)
+            ]
+            prev["neg"] = [
+                _xor_read(r, prev["neg"][j], nstates[j]) for j in range(n_neg)
+            ]
+        out.append((
+            t,
+            {
+                "schema": schema,
+                "zero_threshold": zero_threshold,
+                "zero_count": _bits_f64(prev["zcnt"]),
+                "count": _bits_f64(prev["cnt"]),
+                "sum": _bits_f64(prev["sum"]),
+                "pos_spans": [dict(s) for s in pos_spans],
+                "pos_buckets": [_bits_f64(b) for b in prev["pos"]],
+                "neg_spans": [dict(s) for s in neg_spans],
+                "neg_buckets": [_bits_f64(b) for b in prev["neg"]],
+                "custom_values": list(custom_values),
+                "counter_reset_hint": hint,
+            },
+        ))
+    return out
+
+
+def chunk_fh_series(
+    samples: list[tuple[int, dict]],
+    samples_per_chunk: int = SAMPLES_PER_CHUNK,
+) -> list[tuple[int, int, bytes]]:
+    """Split a histogram series into FLOAT_HISTOGRAM chunks, cutting on
+    layout change (the reference recodes compatible layout expansions,
+    tsdb/chunkenc/float_histogram.go:620 recode; cutting a fresh chunk
+    is always a valid encoding) or at samples_per_chunk."""
+    out = []
+    run: list[tuple[int, dict]] = []
+    key = None
+    for t, h in samples:
+        k = _layout_key(h)
+        if run and (k != key or len(run) >= samples_per_chunk):
+            out.append((run[0][0], run[-1][0], fh_encode(run)))
+            run = []
+        key = k
+        run.append((t, h))
+    if run:
+        out.append((run[0][0], run[-1][0], fh_encode(run)))
+    return out

@@ -686,7 +686,8 @@ def test_remote_read_native_histograms(spark):
     assert h0["neg_spans"] == [{"offset": 1, "length": 1}]
     assert h0["neg_buckets"] == [3.0]
 
-    # streamed: float samples only, histogram point dropped
+    # streamed: histograms ride FLOAT_HISTOGRAM chunks (enc 3) next to
+    # the float XOR chunks and decode back in time order
     sreq = encode_read_request(
         [{"start_ms": 0, "end_ms": 10_000,
           "matchers": [("=", "__name__", "lat")]}],
@@ -694,7 +695,13 @@ def test_remote_read_native_histograms(spark):
     )
     body, _ = serve_read_negotiated(samples, sreq)
     sresp = decode_streamed_read_response(body, 1)
-    assert sresp[0][0][1] == [(2000, 5.5)]
+    sgot = sresp[0][0][1]
+    assert sgot[1] == (2000, 5.5)
+    st, sh = sgot[0]
+    assert st == 1000 and isinstance(sh, dict)
+    assert sh["count"] == 12.0 and sh["sum"] == 18.4
+    assert sh["pos_buckets"] == [3.0, 4.0]
+    assert sh["neg_spans"] == [{"offset": 1, "length": 1}]
 
 
 def test_xor_chunk_codec_bitstream():
@@ -1009,3 +1016,37 @@ def test_agent_mode_scrape_forward(spark, tmp_path):
         if r["name"] in ("up", "agent_test_total")
     }
     assert got["agent_test_total"] == 42.0 and got["up"] == 1.0
+
+
+def test_float_histogram_chunk_codec():
+    """FLOAT_HISTOGRAM chunk codec round-trips (layout header, varbit
+    timestamps, per-stream XOR windows — tsdb/chunkenc/
+    float_histogram.go) and cuts chunks on layout change."""
+    from prometheus_spark.storage.chunkenc import (
+        chunk_fh_series,
+        fh_decode,
+        fh_encode,
+    )
+
+    def mk(t, i, schema=3):
+        return (t, {
+            "schema": schema, "zero_threshold": 2.0 ** -128,
+            "zero_count": 1.0 + i, "count": 10.0 + 2 * i, "sum": 7.5 * i,
+            "pos_spans": [{"offset": 0, "length": 3}],
+            "pos_buckets": [float(i), float(i + 1), 2.0],
+            "neg_spans": [], "neg_buckets": [],
+            "custom_values": [], "counter_reset_hint": 3,
+        })
+
+    samples = [mk(i * 30_000, i) for i in range(125)]
+    chunks = chunk_fh_series(samples)
+    assert len(chunks) == 2  # 120-sample cut
+    dec = [s for _a, _b, c in chunks for s in fh_decode(c)]
+    assert dec == samples
+
+    # schema change forces a chunk cut
+    mixed = samples[:2] + [mk(90_000, 2, schema=0)]
+    assert len(chunk_fh_series(mixed)) == 2
+
+    enc = fh_encode(samples[:10])
+    assert len(enc) < 10 * (5 * 8 + 10)  # well under raw 5 floats/sample
