@@ -449,7 +449,11 @@ def encode_streamed_read_response(
 def decode_streamed_read_response(body: bytes, n_queries: int = 1) -> list:
     """Client half: frame stream → [[(labels, [(t, value)])] per query],
     merging split-series frames back together."""
-    from prometheus_spark.storage.chunkenc import fh_decode, xor_decode
+    from prometheus_spark.storage.chunkenc import (
+        fh_decode,
+        hist_int_decode,
+        xor_decode,
+    )
 
     results: list[list] = [[] for _ in range(n_queries)]
     # (qidx, labels-key) → accumulated samples
@@ -462,6 +466,8 @@ def decode_streamed_read_response(body: bytes, n_queries: int = 1) -> list:
             for _min_t, _max_t, enc, data in chunks:
                 if enc == 1:
                     samples.extend(xor_decode(data))
+                elif enc == 2:  # reference-native integer histograms
+                    samples.extend(hist_int_decode(data))
                 elif enc == 3:
                     samples.extend(fh_decode(data))
                 else:

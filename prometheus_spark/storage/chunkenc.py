@@ -547,6 +547,165 @@ def fh_decode(data: bytes) -> list[tuple[int, dict]]:
     return out
 
 
+def hist_int_encode(samples: list[tuple[int, dict]]) -> bytes:
+    """Integer HISTOGRAM chunk (enc 2, tsdb/chunkenc/histogram.go:558):
+    bucket values are the model's delta-encoded int64s, timestamps/
+    counts double-delta varbit, sum XOR.  The hist dicts here carry
+    INTEGER semantics: ``pos_buckets``/``neg_buckets`` are per-bucket
+    deltas (ints), count/zero_count integral.  Our engine stores float
+    histograms and streams enc 3; this encoder exists for round-trip
+    tests and for tooling that must write reference-native chunks."""
+    if len(samples) > 0xFFFF:
+        raise ValueError("chunk capacity exceeded")
+    first = samples[0][1]
+    header = _CR_HINT_TO_HEADER.get(int(first.get("counter_reset_hint", 0)), 0)
+    w = _BitWriter(struct.pack(">H", len(samples)) + bytes([header]))
+    schema = int(first.get("schema", 0))
+    _put_zero_threshold(w, float(first.get("zero_threshold", 0.0)))
+    _varbit_int(w, schema)
+    for spans in (first.get("pos_spans") or [], first.get("neg_spans") or []):
+        _varbit_uint(w, len(spans))
+        for s in spans:
+            _varbit_uint(w, int(s["length"]))
+            _varbit_int(w, int(s["offset"]))
+    if schema == CUSTOM_BUCKETS_SCHEMA:
+        bounds = first.get("custom_values") or []
+        _varbit_uint(w, len(bounds))
+        for b in bounds:
+            _put_custom_bound(w, float(b))
+
+    n_pos = len(first.get("pos_buckets") or [])
+    n_neg = len(first.get("neg_buckets") or [])
+    sum_state = {"leading": 0, "trailing": 0}
+    prev_sum = 0
+    st = {"t": 0, "tD": 0, "cnt": 0, "cntD": 0, "z": 0, "zD": 0,
+          "pos": [0] * n_pos, "posD": [0] * n_pos,
+          "neg": [0] * n_neg, "negD": [0] * n_neg}
+    for i, (t, h) in enumerate(samples):
+        if i == 0:
+            _varbit_int(w, t)
+            _varbit_uint(w, int(h.get("count", 0)))
+            _varbit_uint(w, int(h.get("zero_count", 0)))
+            w.write_bits(_f64_bits(h.get("sum", 0.0)), 64)
+            for v in h.get("pos_buckets") or []:
+                _varbit_int(w, int(v))
+            for v in h.get("neg_buckets") or []:
+                _varbit_int(w, int(v))
+            st["t"], st["cnt"], st["z"] = t, int(h.get("count", 0)), int(
+                h.get("zero_count", 0)
+            )
+            st["pos"] = [int(v) for v in h.get("pos_buckets") or []]
+            st["neg"] = [int(v) for v in h.get("neg_buckets") or []]
+        else:
+            t_delta = t - st["t"]
+            cnt_delta = int(h.get("count", 0)) - st["cnt"]
+            z_delta = int(h.get("zero_count", 0)) - st["z"]
+            _varbit_int(w, t_delta - st["tD"])
+            _varbit_int(w, cnt_delta - st["cntD"])
+            _varbit_int(w, z_delta - st["zD"])
+            _xor_write(w, _f64_bits(h.get("sum", 0.0)), prev_sum, sum_state)
+            for j, v in enumerate(h.get("pos_buckets") or []):
+                delta = int(v) - st["pos"][j]
+                _varbit_int(w, delta - st["posD"][j])
+                st["posD"][j] = delta
+                st["pos"][j] = int(v)
+            for j, v in enumerate(h.get("neg_buckets") or []):
+                delta = int(v) - st["neg"][j]
+                _varbit_int(w, delta - st["negD"][j])
+                st["negD"][j] = delta
+                st["neg"][j] = int(v)
+            st["t"], st["tD"] = t, t_delta
+            st["cnt"], st["cntD"] = int(h.get("count", 0)), cnt_delta
+            st["z"], st["zD"] = int(h.get("zero_count", 0)), z_delta
+        prev_sum = _f64_bits(h.get("sum", 0.0))
+    return bytes(w.stream)
+
+
+def hist_int_decode(data: bytes) -> list[tuple[int, dict]]:
+    """Integer HISTOGRAM chunk (enc 2) → [(t_ms, FLOAT hist_dict)]:
+    integer bucket deltas are prefix-summed into absolute float counts,
+    the same conversion the reference's iterator exposes via
+    AtFloatHistogram (histogram.go:1218-1240) and our prompb decoder
+    applies — so enc-2 chunks from a reference server land in the same
+    canonical shape as everything else."""
+    (num,) = struct.unpack(">H", data[:2])
+    hint = _CR_HEADER_TO_HINT.get(data[2] & 0xC0, 0)
+    r = _BitReader(data[3:])
+    zero_threshold = _read_zero_threshold(r)
+    schema = _read_varbit_int(r)
+    spans_out = []
+    for _side in range(2):
+        spans = []
+        for _ in range(_read_varbit_uint(r)):
+            length = _read_varbit_uint(r)
+            offset = _read_varbit_int(r)
+            spans.append({"offset": offset, "length": length})
+        spans_out.append(spans)
+    pos_spans, neg_spans = spans_out
+    custom_values = []
+    if schema == CUSTOM_BUCKETS_SCHEMA:
+        custom_values = [
+            _read_custom_bound(r) for _ in range(_read_varbit_uint(r))
+        ]
+    n_pos = sum(s["length"] for s in pos_spans)
+    n_neg = sum(s["length"] for s in neg_spans)
+
+    sum_state = {"leading": 0, "trailing": 0}
+    st = {"t": 0, "tD": 0, "cnt": 0, "cntD": 0, "z": 0, "zD": 0,
+          "sum": 0,
+          "pos": [0] * n_pos, "posD": [0] * n_pos,
+          "neg": [0] * n_neg, "negD": [0] * n_neg}
+    out: list[tuple[int, dict]] = []
+    for i in range(num):
+        if i == 0:
+            st["t"] = _read_varbit_int(r)
+            st["cnt"] = _read_varbit_uint(r)
+            st["z"] = _read_varbit_uint(r)
+            st["sum"] = r.read_bits(64)
+            st["pos"] = [_read_varbit_int(r) for _ in range(n_pos)]
+            st["neg"] = [_read_varbit_int(r) for _ in range(n_neg)]
+        else:
+            st["tD"] += _read_varbit_int(r)
+            st["t"] += st["tD"]
+            st["cntD"] += _read_varbit_int(r)
+            st["cnt"] += st["cntD"]
+            st["zD"] += _read_varbit_int(r)
+            st["z"] += st["zD"]
+            st["sum"] = _xor_read(r, st["sum"], sum_state)
+            for j in range(n_pos):
+                st["posD"][j] += _read_varbit_int(r)
+                st["pos"][j] += st["posD"][j]
+            for j in range(n_neg):
+                st["negD"][j] += _read_varbit_int(r)
+                st["neg"][j] += st["negD"][j]
+
+        def prefix(vals: list) -> list[float]:
+            acc = 0
+            out_ = []
+            for v in vals:
+                acc += v
+                out_.append(float(acc))
+            return out_
+
+        out.append((
+            st["t"],
+            {
+                "schema": schema,
+                "zero_threshold": zero_threshold,
+                "zero_count": float(st["z"]),
+                "count": float(st["cnt"]),
+                "sum": _bits_f64(st["sum"]),
+                "pos_spans": [dict(s) for s in pos_spans],
+                "pos_buckets": prefix(st["pos"]),
+                "neg_spans": [dict(s) for s in neg_spans],
+                "neg_buckets": prefix(st["neg"]),
+                "custom_values": list(custom_values),
+                "counter_reset_hint": hint,
+            },
+        ))
+    return out
+
+
 def chunk_fh_series(
     samples: list[tuple[int, dict]],
     samples_per_chunk: int = SAMPLES_PER_CHUNK,

@@ -1050,3 +1050,57 @@ def test_float_histogram_chunk_codec():
 
     enc = fh_encode(samples[:10])
     assert len(enc) < 10 * (5 * 8 + 10)  # well under raw 5 floats/sample
+
+
+def test_integer_histogram_chunk_decode():
+    """The client decodes reference-native integer HISTOGRAM chunks
+    (enc 2): double-delta counts and delta-encoded buckets prefix-sum
+    into the canonical FLOAT hist shape (histogram.go:1151-1300
+    iterator semantics)."""
+    from prometheus_spark.storage.chunkenc import (
+        hist_int_decode,
+        hist_int_encode,
+    )
+
+    def mk(t, i):
+        # integer model: buckets are DELTAS; absolute counts are the
+        # prefix sums [3+i, 5+i, 4+i]
+        return (t, {
+            "schema": 0, "zero_threshold": 2.0 ** -128,
+            "zero_count": 2 + i, "count": 20 + 3 * i, "sum": 1.25 * i,
+            "pos_spans": [{"offset": 0, "length": 3}],
+            "pos_buckets": [3 + i, 2, -1 - 0],
+            "neg_spans": [{"offset": 2, "length": 1}],
+            "neg_buckets": [4 + i],
+            "custom_values": [], "counter_reset_hint": 1,
+        })
+
+    samples = [mk(i * 15_000, i) for i in range(40)]
+    dec = hist_int_decode(hist_int_encode(samples))
+    assert len(dec) == 40
+    t0, h0 = dec[0]
+    assert t0 == 0
+    assert h0["count"] == 20.0 and h0["zero_count"] == 2.0
+    assert h0["pos_buckets"] == [3.0, 5.0, 4.0]  # prefix sums
+    assert h0["neg_buckets"] == [4.0]
+    assert h0["counter_reset_hint"] == 1
+    t9, h9 = dec[9]
+    assert t9 == 135_000
+    assert h9["count"] == 47.0 and h9["sum"] == 1.25 * 9
+    assert h9["pos_buckets"] == [12.0, 14.0, 13.0]
+
+    # enc-2 chunks decode through the streamed client path too
+    from prometheus_spark.sources.remote_read import (
+        _frame,
+        decode_streamed_read_response,
+        encode_chunked_read_response,
+    )
+
+    chunk = hist_int_encode(samples[:5])
+    body = _frame(encode_chunked_read_response(
+        [({"__name__": "ih"}, [(0, 60_000, 2, chunk)])], 0
+    ))
+    resp = decode_streamed_read_response(body, 1)
+    labels, got = resp[0][0]
+    assert labels == {"__name__": "ih"}
+    assert len(got) == 5 and got[0][1]["pos_buckets"] == [3.0, 5.0, 4.0]
