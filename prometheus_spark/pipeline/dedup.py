@@ -206,6 +206,68 @@ def _minhash_sig_array(
     return hashed.mapInArrow(permute, f"{id_col} {id_type}, __sig array<bigint>")
 
 
+#: band buckets larger than this emit STAR edges (bucket-min → member,
+#: k-1 rows) instead of the k² all-pairs clique.  For downstream
+#: connected-components clustering the star spans the same components;
+#: it only drops redundant intra-clique edges.  Without the cap, a
+#: corpus where documents have large duplicate clusters (every member
+#: shares every band bucket) makes pair output QUADRATIC in cluster
+#: size — measured: the 100x-replicated sf10 bench corpus took the
+#: all-pairs plan from ~1s (sf1) to 154s; the star cap returns it to
+#: linear.  Buckets at or under the cap keep exact all-pairs semantics,
+#: so small-scale outputs (and the sf0.01 driver oracle) are unchanged.
+STAR_THRESHOLD = 64
+
+
+def _bucketed_pairs(
+    banded: DataFrame, id_col: str, star_threshold: Optional[int]
+) -> DataFrame:
+    """(id, band, bucket) frame → distinct (doc_a, doc_b) candidates:
+    all-pairs inside small buckets, star edges inside oversized ones."""
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    if star_threshold is None:
+        small = banded
+        star = None
+    else:
+        stats = banded.groupBy("band", "bucket").agg(
+            F.count("*").alias("__n"), F.min(id_col).alias("__rep")
+        )
+        joined = banded.join(stats, ["band", "bucket"])
+        small = joined.filter(F.col("__n") <= star_threshold).select(
+            id_col, "band", "bucket"
+        )
+        star = (
+            joined.filter(
+                (F.col("__n") > star_threshold)
+                & (F.col(id_col) != F.col("__rep"))
+            )
+            .select(
+                F.col("__rep").alias("doc_a"), F.col(id_col).alias("doc_b")
+            )
+        )
+        a = small.alias("a")
+        b = small.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
+
+
 def minhash_dup_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -213,13 +275,17 @@ def minhash_dup_candidates(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    star_threshold: Optional[int] = STAR_THRESHOLD,
 ) -> DataFrame:
     """LSH banding: documents sharing any band bucket are candidate
     near-duplicates.  Returns (doc_a, doc_b) pairs with doc_a < doc_b.
 
     Scale path: band hashes explode to ``bands`` rows per doc; the
-    self-join happens inside each (band, bucket) — skewed buckets are rare
-    with 64-bit hashes and AQE splits them.
+    self-join happens inside each (band, bucket) — skewed buckets are
+    rare with 64-bit hashes and AQE splits them; mega-buckets (whole
+    duplicate clusters hashing identically) emit star edges instead of
+    quadratic cliques (``star_threshold``; None restores exact
+    all-pairs).
     """
     rows_per_band = num_perm // bands
     sigs = _minhash_sig_array(df, text_col, id_col, num_perm, shingle_n)
@@ -240,25 +306,9 @@ def minhash_dup_candidates(
     banded = sigs.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
     )
-    # both sides of the self-join share this lineage; persist the tiny
-    # (id, band, bucket) frame — bands·n_docs rows — so the full
-    # shingle→signature pipeline executes once, not twice
-    from pyspark import StorageLevel
-
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
-    )
-    return pairs
+    # the (id, band, bucket) frame is persisted inside _bucketed_pairs so
+    # the full shingle→signature pipeline executes once, not per side
+    return _bucketed_pairs(banded, id_col, star_threshold)
 
 
 # --- oracle-portable (md5-based) variants ------------------------------
@@ -302,6 +352,7 @@ def minhash_dup_candidates_portable(
     num_perm: int = 16,
     bands: int = 4,
     shingle_n: int = 2,
+    star_threshold: Optional[int] = STAR_THRESHOLD,
 ) -> DataFrame:
     """LSH banding with the oracle-portable md5 permutation family.
 
@@ -343,21 +394,7 @@ def minhash_dup_candidates_portable(
         ]
     )
     banded = sigs.select(F.col(id_col), F.posexplode(buckets).alias("band", "bucket"))
-    from pyspark import StorageLevel
-
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
-    )
+    return _bucketed_pairs(banded, id_col, star_threshold)
 
 
 def simhash_64_portable(

@@ -442,3 +442,35 @@ def test_lsh_probe_all_equals_bruteforce(spark, emb):
         for r in lsh_bucketed_topk(emb, q, k=12, planes=4, probe_all=True).collect()
     ]
     assert probed == exact
+
+
+@needs_data
+def test_minhash_star_cap_on_mega_clusters(spark, docs):
+    """A duplicate cluster larger than star_threshold emits star edges
+    (linear) instead of the quadratic clique, while spanning the same
+    connected component; small buckets keep exact all-pairs."""
+    from prometheus_spark.pipeline import (
+        connected_components,
+        minhash_dup_candidates_portable,
+    )
+
+    base = docs.limit(1).select("doc_id", "text")
+    clones = base
+    for i in range(1, 100):  # 100-way duplicate cluster
+        clones = clones.unionByName(
+            base.withColumn("doc_id", F.col("doc_id") + i)
+        )
+    capped = minhash_dup_candidates_portable(
+        clones, shingle_n=2, star_threshold=16
+    )
+    rows = capped.collect()
+    # star edges: one per non-representative member, not 100*99/2
+    assert len(rows) == 99
+    comp = connected_components(capped)
+    assert comp.select("cluster").distinct().count() == 1
+    assert comp.count() == 100
+
+    uncapped = minhash_dup_candidates_portable(
+        clones, shingle_n=2, star_threshold=None
+    )
+    assert uncapped.count() == 100 * 99 // 2
