@@ -1671,6 +1671,8 @@ FROM range(0, 64) t(i)
     # renderings.
     from prometheus_spark.pipeline.dedup import PORTABLE_P, portable_perm_constants
 
+    from prometheus_spark.pipeline.dedup import STAR_THRESHOLD as _star
+
     _p = PORTABLE_P
     _consts = portable_perm_constants(16, _p)
     _min_cols = ",\n       ".join(
@@ -1701,10 +1703,24 @@ m AS (
 ),
 bands AS (
 {_band_rows}
+),
+sized AS (
+  SELECT doc_id, band, bucket,
+         COUNT(*) OVER (PARTITION BY band, bucket) AS n,
+         MIN(doc_id) OVER (PARTITION BY band, bucket) AS rep
+  FROM bands
+),
+small AS (SELECT doc_id, band, bucket FROM sized WHERE n <= {_star}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM small a JOIN small b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  UNION ALL
+  -- oversized buckets emit star edges, mirroring dedup.py STAR_THRESHOLD
+  SELECT rep AS doc_a, doc_id AS doc_b FROM sized
+  WHERE n > {_star} AND doc_id <> rep
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+SELECT DISTINCT doc_a, doc_b FROM pairs
 """
 
     o["dedup_simhash"] = r"""
