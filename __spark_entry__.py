@@ -51,6 +51,7 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 _SAMPLES_CACHE: dict[str, DataFrame] = {}
+_ENGINE_CACHE: dict = {}
 
 
 def _engine(spark: SparkSession, sf_dir: str, lookback_ms: int = LOOKBACK_MS):
@@ -62,7 +63,12 @@ def _engine(spark: SparkSession, sf_dir: str, lookback_ms: int = LOOKBACK_MS):
         _SAMPLES_CACHE[key] = samples_from_events(
             spark, _tbl(spark, sf_dir, "events")
         ).cache()
-    return PromQLEngine(spark, _SAMPLES_CACHE[key], lookback_ms=lookback_ms)
+    ekey = (sf_dir, lookback_ms)
+    if ekey not in _ENGINE_CACHE:
+        _ENGINE_CACHE[ekey] = PromQLEngine(
+            spark, _SAMPLES_CACHE[key], lookback_ms=lookback_ms
+        )
+    return _ENGINE_CACHE[ekey]
 
 
 def _promql_instant(spark, sf_dir, query, round_to=None, lookback_ms=LOOKBACK_MS):

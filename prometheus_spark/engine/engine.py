@@ -7,6 +7,7 @@ result shaping (sorted by label set, engine.go:907).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,7 +43,7 @@ class PromQLEngine:
         ordered: bool = True,
     ):
         self.spark = spark
-        self.samples = samples
+        self._samples = samples
         self.lookback_ms = lookback_ms
         self.strict = strict
         self.kahan = kahan
@@ -50,6 +51,26 @@ class PromQLEngine:
         # ordering, engine.go:907) — for order-insensitive consumers
         # like the corpus runner it is a pure extra exchange per query
         self.ordered = ordered
+        # Logical-plan cache: parse + plan construction + Catalyst analysis
+        # cost ~200-300 ms per query and are identical for a repeated
+        # (query, grid) pair — the dominant pattern under dashboard load,
+        # where panels re-issue step-aligned queries every refresh.
+        # DataFrames are immutable plan handles, so reuse is safe; execution
+        # still happens per call.  Bounded FIFO to cap driver memory.
+        self._plan_cache: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+        self._plan_cache_max = 256
+
+    @property
+    def samples(self) -> DataFrame:
+        return self._samples
+
+    @samples.setter
+    def samples(self, df: DataFrame) -> None:
+        # Swapping the data under the engine (e.g. the admin delete-series
+        # endpoint masking rows) invalidates every cached plan — they close
+        # over the old DataFrame.
+        self._samples = df
+        self._plan_cache.clear()
 
     def _ctx(self, start_ms: int, end_ms: int, step_ms: int) -> EvalContext:
         return EvalContext(
@@ -84,6 +105,10 @@ class PromQLEngine:
         while isinstance(inner, ParenExpr):
             inner = inner.expr
         if isinstance(inner, (MatrixSelector, SubqueryExpr)):
+            key = ("instant-matrix", query, time_ms)
+            cached = self._plan_cache.get(key)
+            if cached is not None:
+                return cached
             ctx = self._ctx(time_ms, time_ms, 1)
             w, _rng, _mode = Evaluator(ctx)._matrix_arg(inner)
             hist_cols = ["hist"] if "hist" in w.columns else []
@@ -91,11 +116,22 @@ class PromQLEngine:
                 "sig", "labels", F.col("sample_t").alias("t"), "value",
                 "drop_name", *hist_cols,
             )
-            return self._finalize(out)
+            out = self._finalize(out)
+            self._plan_cache_put(key, out)
+            return out
         return self.range_query(query, time_ms, time_ms, 1)
+
+    def _plan_cache_put(self, key: tuple, df: DataFrame) -> None:
+        self._plan_cache[key] = df
+        if len(self._plan_cache) > self._plan_cache_max:
+            self._plan_cache.popitem(last=False)
 
     def range_query(self, query: str, start_ms: int, end_ms: int, step_ms: int) -> DataFrame:
         """→ DataFrame (sig, labels, t, value), sorted by (sig, t)."""
+        key = ("range", query, start_ms, end_ms, step_ms)
+        cached = self._plan_cache.get(key)
+        if cached is not None:
+            return cached
         node = parse_expr(query)
         ctx = self._ctx(start_ms, end_ms, step_ms)
         result = Evaluator(ctx).eval(node)
@@ -105,13 +141,17 @@ class PromQLEngine:
             empty = F.map_from_arrays(
                 F.array().cast("array<string>"), F.array().cast("array<string>")
             )
-            return result.df.select(
+            out = result.df.select(
                 F.lit("").alias("sig"), empty.alias("labels"), "t", "value"
             ).orderBy("t")
+            self._plan_cache_put(key, out)
+            return out
         if isinstance(result, StringValue):
             raise ValueError("string results are API-only; not a DataFrame")
         if isinstance(result, VectorFrame):
-            return self._finalize(result.df)
+            out = self._finalize(result.df)
+            self._plan_cache_put(key, out)
+            return out
         raise TypeError(f"unexpected result {type(result).__name__}")
 
     def _finalize(self, df: DataFrame) -> DataFrame:
@@ -138,8 +178,16 @@ class PromQLEngine:
         if "hist" in df.columns:
             cols.append("hist")
         out = df.selectExpr(*cols)
+        # Sort BEFORE the duplicate guard: RangePartitioning(sig, t)
+        # satisfies the guard window's ClusteredDistribution(sig, t) and its
+        # required sort order, so the window rides the sort's exchange
+        # instead of adding its own hash exchange + re-sort (one fewer
+        # shuffle stage on every query; ordering is preserved through the
+        # window projection).
+        if self.ordered:
+            out = out.orderBy("sig", "t")
         if self.strict:
             from prometheus_spark.engine.guards import check_unique_labelsets
 
             out = check_unique_labelsets(out)
-        return out.orderBy("sig", "t") if self.ordered else out
+        return out

@@ -158,3 +158,29 @@ def test_staleness(spark):
     assert q(eng, "m", t=25_000) == {}
     # at 30s the new sample revives it
     assert list(q(eng, "m", t=30_000).values()) == [2.0]
+
+
+def test_plan_cache_hit_and_invalidation(spark):
+    rows = [({"__name__": "m", "a": "1"}, 0, 5.0)]
+    eng = PromQLEngine(spark, samples_from_rows(spark, rows))
+    df1 = eng.instant_query("m", 1_000)
+    df2 = eng.instant_query("m", 1_000)
+    assert df1 is df2  # identical (query, ts) reuses the analyzed plan
+    df3 = eng.instant_query("m", 2_000)
+    assert df3 is not df1  # different ts is a different plan
+    # swapping the samples frame must drop every cached plan
+    eng.samples = samples_from_rows(spark, [({"__name__": "m", "a": "1"}, 0, 9.0)])
+    df4 = eng.instant_query("m", 1_000)
+    assert df4 is not df1
+    assert [r["value"] for r in df4.collect()] == [9.0]
+
+
+def test_ordered_output_sorted_with_guard(spark):
+    # the guard window now rides the final range sort; output must stay
+    # globally ordered by (sig, t)
+    rows = [
+        ({"__name__": "m", "a": str(i)}, 0, float(i)) for i in range(20)
+    ]
+    eng = PromQLEngine(spark, samples_from_rows(spark, rows))
+    got = [r["sig"] for r in eng.instant_query("m", 1_000).collect()]
+    assert got == sorted(got)
