@@ -747,8 +747,14 @@ def _pipe_jaccard(spark, sf_dir):
 
 def _pipe_minhash(spark, sf_dir):
     from prometheus_spark.pipeline import minhash_dup_candidates_portable
+    from prometheus_spark.pipeline.dedup import STAR_THRESHOLD
 
-    return minhash_dup_candidates_portable(_tbl(spark, sf_dir, "documents"), shingle_n=2)
+    # the star cap is opt-in (public default is exact all-pairs); this
+    # scale entry opts in, and the DuckDB oracle SQL mirrors the cap
+    return minhash_dup_candidates_portable(
+        _tbl(spark, sf_dir, "documents"), shingle_n=2,
+        star_threshold=STAR_THRESHOLD,
+    )
 
 
 def _pipe_simhash(spark, sf_dir):

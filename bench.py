@@ -83,8 +83,12 @@ def main() -> None:
             topk_ngrams,
         )
 
+        from prometheus_spark.pipeline.dedup import STAR_THRESHOLD
+
         tiny = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(64).cache()
-        minhash_dup_candidates_portable(tiny).count()
+        minhash_dup_candidates_portable(
+            tiny, star_threshold=STAR_THRESHOLD
+        ).count()
         ngram_jaccard_pairs(tiny, n=2, threshold=0.5).count()
         topk_ngrams(tiny).count()
         tiny.unpersist()

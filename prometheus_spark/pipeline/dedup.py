@@ -214,8 +214,12 @@ def _minhash_sig_array(
 #: shares every band bucket) makes pair output QUADRATIC in cluster
 #: size — measured: the 100x-replicated sf10 bench corpus took the
 #: all-pairs plan from ~1s (sf1) to 154s; the star cap returns it to
-#: linear.  Buckets at or under the cap keep exact all-pairs semantics,
-#: so small-scale outputs (and the sf0.01 driver oracle) are unchanged.
+#: linear.  Buckets at or under the cap keep exact all-pairs semantics.
+#: The cap is OPT-IN (public APIs default to ``star_threshold=None`` =
+#: exact all-pairs): a consumer that post-verifies candidate pairs
+#: pairwise would silently miss member↔member pairs under the cap, so
+#: scale call sites (bench, the driver entries, clustering pipelines
+#: that only need spanning edges) pass ``STAR_THRESHOLD`` explicitly.
 STAR_THRESHOLD = 64
 
 
@@ -275,17 +279,23 @@ def minhash_dup_candidates(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
-    star_threshold: Optional[int] = STAR_THRESHOLD,
+    star_threshold: Optional[int] = None,
 ) -> DataFrame:
     """LSH banding: documents sharing any band bucket are candidate
     near-duplicates.  Returns (doc_a, doc_b) pairs with doc_a < doc_b.
 
+    By default (``star_threshold=None``) the pair set is exact: every
+    co-bucketed pair appears.  Passing ``star_threshold=n`` (e.g. the
+    module's ``STAR_THRESHOLD``) caps buckets larger than n to rep→member
+    star edges — same connected components, fewer edges — which pairwise
+    post-verifiers must NOT rely on; opt in only when downstream is a
+    clustering pass.
+
     Scale path: band hashes explode to ``bands`` rows per doc; the
     self-join happens inside each (band, bucket) — skewed buckets are
     rare with 64-bit hashes and AQE splits them; mega-buckets (whole
-    duplicate clusters hashing identically) emit star edges instead of
-    quadratic cliques (``star_threshold``; None restores exact
-    all-pairs).
+    duplicate clusters hashing identically) are the quadratic hazard the
+    star cap addresses.
     """
     rows_per_band = num_perm // bands
     sigs = _minhash_sig_array(df, text_col, id_col, num_perm, shingle_n)
@@ -352,9 +362,11 @@ def minhash_dup_candidates_portable(
     num_perm: int = 16,
     bands: int = 4,
     shingle_n: int = 2,
-    star_threshold: Optional[int] = STAR_THRESHOLD,
+    star_threshold: Optional[int] = None,
 ) -> DataFrame:
     """LSH banding with the oracle-portable md5 permutation family.
+    ``star_threshold`` is opt-in exactly as in
+    :func:`minhash_dup_candidates` (None = exact all-pairs).
 
     Plan is the same shape as :func:`minhash_dup_candidates`: per-row
     signature build (array_min over transform — zero shuffle), tiny

@@ -400,7 +400,7 @@ class EC2Discovery:
         )
         return self._fetch(f"{self.endpoint}/?{query}", headers)
 
-    def _parse(self, xml_bytes: bytes) -> list[TargetGroup]:
+    def _parse(self, xml_bytes: bytes) -> tuple[list[TargetGroup], str]:
         import xml.etree.ElementTree as ET
 
         root = ET.fromstring(xml_bytes)
@@ -416,8 +416,11 @@ class EC2Discovery:
             return (found.text or "") if found is not None else ""
 
         groups: list[TargetGroup] = []
-        for inst in root.iter("instances" + "Set"):
-            for item in inst.findall("item"):
+        # ownerId lives on the *reservation*, not the instance
+        # (discovery/aws/ec2.go:362 uses r.OwnerId for every instance in r)
+        for reservation in root.findall("reservationSet/item"):
+            owner_id = text(reservation, "ownerId")
+            for item in reservation.findall("instancesSet/item"):
                 private_ip = text(item, "privateIpAddress")
                 if not private_ip:
                     continue
@@ -430,8 +433,9 @@ class EC2Discovery:
                     "__meta_ec2_architecture": text(item, "architecture"),
                     "__meta_ec2_availability_zone":
                         text(item, "placement/availabilityZone"),
-                    "__meta_ec2_owner_id": text(item, "ownerId"),
-                    "__meta_ec2_platform": text(item, "platformDetails"),
+                    "__meta_ec2_owner_id": owner_id,
+                    # inst.Platform (ec2.go:381) — "windows" or absent
+                    "__meta_ec2_platform": text(item, "platform"),
                     "__meta_ec2_private_ip": private_ip,
                     "__meta_ec2_private_dns_name":
                         text(item, "privateDnsName"),

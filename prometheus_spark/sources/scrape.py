@@ -174,8 +174,12 @@ class ScrapeManager:
                     slabels = self.metric_relabel(slabels)
                     if slabels is None:
                         continue
+                # keep the sample time and the exemplar's own (optional)
+                # timestamp separate: `ext is not None` so a legitimate
+                # explicit exemplar timestamp of 0 survives
                 exemplar_rows.append(
-                    {"series_labels": slabels, "t": ext if ext else t,
+                    {"series_labels": slabels, "t": t,
+                     "ex_t": ext,
                      "labels": exl, "value": exv}
                 )
             up = 1.0
@@ -232,7 +236,7 @@ class ScrapeManager:
                     ex = json.loads(line)
                     ex_rows.append(
                         (ex["series_labels"], ex["t"], ex["labels"],
-                         ex["value"], ex["t"])
+                         ex["value"], ex.get("ex_t"))
                     )
         return exemplars_from_rows(spark, ex_rows)
 

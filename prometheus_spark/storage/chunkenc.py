@@ -266,8 +266,10 @@ def chunk_series(
 # custom bounds for NHCB schemas — histogram_meta.go:22-130) then raw
 # 64-bit count/zeroCount/sum/buckets; later samples write a varbit
 # timestamp dod and XOR-encode every value stream with per-stream
-# leading/trailing windows (count/zeroCount/sum start with a zeroed
-# window, buckets with the 0xff sentinel — float_histogram.go:556-612).
+# leading/trailing windows (count/zeroCount/sum AND buckets all start
+# with the 0xff "no window yet" sentinel — float_histogram.go:93,556-612 —
+# so the first changed value always opens a fresh window instead of
+# taking the reuse branch with a full-width 64-bit window).
 
 #: model/histogram.go CustomBucketsSchema — NHCB layouts carry bounds
 CUSTOM_BUCKETS_SCHEMA = -53
@@ -432,10 +434,12 @@ def fh_encode(samples: list[tuple[int, dict]]) -> bytes:
 
     n_pos = len(first.get("pos_buckets") or [])
     n_neg = len(first.get("neg_buckets") or [])
-    # per-stream XOR windows: cnt/zcnt/sum start zeroed, buckets 0xff
-    cnt = {"leading": 0, "trailing": 0}
-    zcnt = {"leading": 0, "trailing": 0}
-    sm = {"leading": 0, "trailing": 0}
+    # per-stream XOR windows all start at the 0xff "no window" sentinel
+    # (float_histogram.go:93 appender init), so the first changed value
+    # opens a tight window instead of reusing a full-width one
+    cnt = {"leading": 0xFF, "trailing": 0}
+    zcnt = {"leading": 0xFF, "trailing": 0}
+    sm = {"leading": 0xFF, "trailing": 0}
     pstates = [{"leading": 0xFF, "trailing": 0} for _ in range(n_pos)]
     nstates = [{"leading": 0xFF, "trailing": 0} for _ in range(n_neg)]
     prev = {"cnt": 0, "zcnt": 0, "sum": 0, "pos": [0] * n_pos, "neg": [0] * n_neg}
@@ -500,9 +504,9 @@ def fh_decode(data: bytes) -> list[tuple[int, dict]]:
     n_pos = sum(s["length"] for s in pos_spans)
     n_neg = sum(s["length"] for s in neg_spans)
 
-    cnt = {"leading": 0, "trailing": 0}
-    zcnt = {"leading": 0, "trailing": 0}
-    sm = {"leading": 0, "trailing": 0}
+    cnt = {"leading": 0xFF, "trailing": 0}
+    zcnt = {"leading": 0xFF, "trailing": 0}
+    sm = {"leading": 0xFF, "trailing": 0}
     pstates = [{"leading": 0xFF, "trailing": 0} for _ in range(n_pos)]
     nstates = [{"leading": 0xFF, "trailing": 0} for _ in range(n_neg)]
     prev = {"cnt": 0, "zcnt": 0, "sum": 0, "pos": [0] * n_pos, "neg": [0] * n_neg}
@@ -576,7 +580,8 @@ def hist_int_encode(samples: list[tuple[int, dict]]) -> bytes:
 
     n_pos = len(first.get("pos_buckets") or [])
     n_neg = len(first.get("neg_buckets") or [])
-    sum_state = {"leading": 0, "trailing": 0}
+    # histogram.go:107 — the appender's sum XOR window starts at 0xff
+    sum_state = {"leading": 0xFF, "trailing": 0}
     prev_sum = 0
     st = {"t": 0, "tD": 0, "cnt": 0, "cntD": 0, "z": 0, "zD": 0,
           "pos": [0] * n_pos, "posD": [0] * n_pos,
@@ -650,7 +655,7 @@ def hist_int_decode(data: bytes) -> list[tuple[int, dict]]:
     n_pos = sum(s["length"] for s in pos_spans)
     n_neg = sum(s["length"] for s in neg_spans)
 
-    sum_state = {"leading": 0, "trailing": 0}
+    sum_state = {"leading": 0xFF, "trailing": 0}
     st = {"t": 0, "tD": 0, "cnt": 0, "cntD": 0, "z": 0, "zD": 0,
           "sum": 0,
           "pos": [0] * n_pos, "posD": [0] * n_pos,

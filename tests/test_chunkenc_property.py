@@ -204,3 +204,46 @@ def test_prompb_histogram_roundtrip(t, data):
         assert all(_eq(a, b) for a, b in zip(g[k], h[k]))
         assert len(g[k]) == len(h[k])
     assert g["counter_reset_hint"] == h["counter_reset_hint"]
+
+
+def test_histogram_xor_windows_start_unset_for_compression():
+    """The cnt/zeroCount/sum XOR windows must start at the 0xff "no window
+    yet" sentinel (float_histogram.go:93, histogram.go:107).  A zeroed
+    initial window makes the reuse branch always taken, writing every
+    changed value as a full 2+64-bit delta; with the sentinel the first
+    change opens a tight window.  50 slowly-incrementing samples encode in
+    well under the ~800 bytes the zeroed-window encoder produced."""
+    from prometheus_spark.storage.chunkenc import (
+        hist_int_decode,
+        hist_int_encode,
+    )
+
+    def fh(i):
+        return {
+            "schema": 0, "zero_threshold": 0.0, "zero_count": 0.0,
+            "count": 100.0 + i, "sum": 100.0 + i * 0.5,
+            "pos_spans": [], "pos_buckets": [],
+            "neg_spans": [], "neg_buckets": [],
+            "custom_values": [], "counter_reset_hint": 0,
+        }
+
+    samples = [(i * 1000, fh(i)) for i in range(50)]
+    buf = fh_encode(samples)
+    dec = fh_decode(buf)
+    assert [t for t, _ in dec] == [t for t, _ in samples]
+    assert all(
+        a[1]["sum"] == b[1]["sum"] and a[1]["count"] == b[1]["count"]
+        for a, b in zip(samples, dec)
+    )
+    assert len(buf) < 300, len(buf)
+
+    def ih(i):
+        h = fh(i)
+        h["count"], h["zero_count"] = 100 + i, 0
+        return h
+
+    si = [(i * 1000, ih(i)) for i in range(50)]
+    bi = hist_int_encode(si)
+    di = hist_int_decode(bi)
+    assert all(a[1]["sum"] == b[1]["sum"] for a, b in zip(si, di))
+    assert len(bi) < 150, len(bi)

@@ -515,6 +515,7 @@ _EC2_XML = b"""<?xml version="1.0" encoding="UTF-8"?>
       <privateIpAddress>10.0.0.7</privateIpAddress>
       <ipAddress>1.2.3.4</ipAddress>
       <architecture>x86_64</architecture>
+      <platform>windows</platform>
       <tagSet><item><key>Name</key><value>web-1</value></item>
               <item><key>env.tier</key><value>prod</value></item></tagSet>
     </item></instancesSet>
@@ -546,6 +547,10 @@ def test_ec2_sd_describe_instances():
     assert g["__meta_ec2_vpc_id"] == "vpc-1"
     assert g["__meta_ec2_tag_Name"] == "web-1"
     assert g["__meta_ec2_tag_env_tier"] == "prod"  # sanitized key
+    # ownerId comes from the reservation element, platform from the instance
+    # (discovery/aws/ec2.go:362,381)
+    assert g["__meta_ec2_owner_id"] == "123456789012"
+    assert g["__meta_ec2_platform"] == "windows"
 
     # failure keeps the last good set
     d2 = EC2Discovery("us-east-1", fetch_fn=fetch)

@@ -184,6 +184,7 @@ def test_scrape_exemplars_to_query_exemplars(spark, tmp_path):
         b'{trace_id="abc123"} 0.5 3.0\n'
         b'http_requests_total{code="500"} 1\n'
         b'dropme_total 2 # {trace_id="zzz"} 1.0\n'
+        b'epoch_total 7 # {trace_id="zero"} 1.5 0.0\n'
         b"# EOF\n"
     )
 
@@ -238,4 +239,14 @@ def test_scrape_exemplars_to_query_exemplars(spark, tmp_path):
     assert s["exemplars"] == [
         {"labels": {"trace_id": "abc123"}, "value": "0.5",
          "timestamp": 3.0}
+    ]
+    # a legitimate explicit exemplar timestamp of 0 must NOT be replaced
+    # by the scrape time (ext-is-None check, not truthiness)
+    code, resp = api.handle(
+        "/api/v1/query_exemplars",
+        {"query": ["epoch_total"], "start": ["0"], "end": ["100"]},
+    )
+    assert code == 200
+    assert resp["data"][0]["exemplars"] == [
+        {"labels": {"trace_id": "zero"}, "value": "1.5", "timestamp": 0.0}
     ]
