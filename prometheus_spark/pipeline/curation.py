@@ -1,0 +1,257 @@
+"""Corpus-curation operators for training-data pipelines: PII redaction,
+document chunking, GPT-style sequence packing, and boilerplate (shared
+line) removal.
+
+Like textstats, every operator is a pure column-expression plan (no
+Python UDFs) restricted to the regex/array subset that both Spark's Java
+regex engine and DuckDB's RE2 implement identically, so the driver's
+DuckDB oracle verifies each one value-for-value.
+
+Scale notes are per-operator; the common theme is that the hot path is
+map-only (redaction, chunking) or a single keyed shuffle whose key the
+user controls (packing shards, boilerplate lines).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# --- PII redaction -----------------------------------------------------
+#
+# Patterns stay inside the Java-regex ∩ RE2 common subset: character
+# classes, bounded repetition, non-capturing groups, \b word boundaries.
+# No lookaround (RE2 has none), no backreferences.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, pattern, replacement) — applied IN ORDER; replacements
+    # contain no digits or '@', so later patterns never re-match them
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    # generic international-ish phone: 8+ digits allowing separators;
+    # runs AFTER ssn/ipv4 so their digit runs are already tokenized out
+    ("phone", r"\+?[0-9][0-9() \-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails, IPv4s, SSNs, and phone numbers, in that order.
+
+    Returns (id, redacted, n_email, n_ipv4, n_ssn, n_phone) where each
+    count is the number of matches at its stage (i.e. counted against
+    the text AFTER the earlier replacements, mirroring the replacement
+    cascade exactly).
+
+    Scale: map-only — four regexp_count + four regexp_replace per row,
+    all whole-stage codegen; no shuffle, no UDF.  At 100 TB this is a
+    pure scan-transform-write pass.
+    """
+    stage = F.col(text_col)
+    counts = []
+    for name, pattern, repl in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(stage, F.lit(pattern)).cast("long").alias(f"n_{name}")
+        )
+        stage = F.regexp_replace(stage, pattern, repl)
+    return df.select(
+        F.col(id_col), stage.alias("redacted"), *counts
+    )
+
+
+# --- document chunking -------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 64,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into whitespace-token windows of
+    ``max_tokens`` tokens advancing by ``max_tokens - overlap`` — the
+    RAG/embedding-prep chunker.  Returns (id, chunk_id, n_tokens,
+    chunk_text); empty documents produce no chunks.
+
+    Scale: map-only explode — tokens never leave the row until the final
+    per-chunk projection, so the fan-out is bounded by document length /
+    stride.  No shuffle.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("require 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
+    )
+    n = F.size(words)
+    # chunk start offsets 0, stride, 2*stride, ... below n
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: s < n,
+    )
+    out = df.select(
+        F.col(id_col), words.alias("__w"),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+    )
+    piece = F.slice(F.col("__w"), F.col("__start") + 1, max_tokens)
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+# --- GPT-style sequence packing ---------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: Optional[str] = None,
+) -> DataFrame:
+    """Concatenation packing: documents are laid end-to-end in ``id``
+    order and cut into fixed ``seq_len``-token training sequences
+    (documents may straddle a boundary — the standard GPT-style packing,
+    where an EOS token separates documents and nothing is padded).
+
+    Returns (id, n_tokens, offset, first_seq, last_seq): the document's
+    token offset in the concatenated stream and the first/last sequence
+    indices it lands in.  Zero-token documents take no space (last_seq =
+    first_seq, degenerate).
+
+    Scale: the running offset is a prefix sum — a window over
+    ``shard_col`` partitions.  Pass a shard column at scale (stream
+    packing is per-shard anyway in real pipelines); ``None`` means one
+    global stream, which Spark executes on a single partition — fine for
+    notebooks, wrong for 100 TB, and documented as such.
+    """
+    token_count = F.size(
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != F.lit(""))
+    ).cast("long")
+    # +1 for the EOS separator each document contributes
+    occupied = token_count + 1
+    if shard_col is None:
+        w = Window.orderBy(id_col)
+    else:
+        w = Window.partitionBy(shard_col).orderBy(id_col)
+    offset = F.coalesce(
+        F.sum(F.col("__occ")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    base = df.select(
+        *( [F.col(shard_col)] if shard_col else [] ),
+        F.col(id_col),
+        token_count.alias("n_tokens"),
+        occupied.alias("__occ"),
+    )
+    out = base.select(
+        *( [F.col(shard_col)] if shard_col else [] ),
+        F.col(id_col),
+        F.col("n_tokens"),
+        offset.alias("offset"),
+    )
+    first_seq = F.floor(F.col("offset") / seq_len)
+    last_seq = F.floor(
+        (F.col("offset") + F.greatest(F.col("n_tokens") - 1, F.lit(0))) / seq_len
+    )
+    return out.select(
+        *( [F.col(shard_col)] if shard_col else [] ),
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("offset"),
+        first_seq.cast("long").alias("first_seq"),
+        last_seq.cast("long").alias("last_seq"),
+    )
+
+
+# --- boilerplate (shared-line) removal ---------------------------------
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lines (newline-split, trimmed, non-empty) that occur in at least
+    ``min_docs`` DISTINCT documents — nav bars, cookie banners, license
+    headers.  Returns (line, n_docs) ordered nowhere (caller sorts).
+
+    Scale: explode → distinct per doc → count-distinct groupBy.  Only
+    (line, id) pairs shuffle, never document bodies; partial aggregation
+    collapses per-partition repeats before the exchange.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(lines)).alias("line"))
+        .groupBy("line")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Strip boilerplate lines (per :func:`boilerplate_lines`) from every
+    document.  Returns (id, clean_text, n_removed) with surviving lines
+    re-joined by '\\n' in original order; a document that was ALL
+    boilerplate comes back with empty clean_text.
+
+    Scale: docs posexplode to (id, pos, line); the boilerplate set is
+    usually tiny relative to the corpus, so the anti-join broadcasts
+    under AQE; re-assembly groups by id — one shuffle keyed on the
+    document id, carrying only surviving lines.
+    """
+    bp = boilerplate_lines(df, min_docs, text_col, id_col).select(
+        F.col("line").alias("__bp_line")
+    )
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "line")
+    )
+    kept = exploded.join(
+        bp, exploded["line"] == bp["__bp_line"], "left_anti"
+    )
+    n_lines = df.select(
+        F.col(id_col), F.size(lines).cast("long").alias("__n_lines")
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count("*").alias("__n_kept"),
+        )
+    )
+    return (
+        n_lines.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("__n_lines") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

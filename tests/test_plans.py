@@ -324,3 +324,43 @@ def test_series_limit_pushed_into_plan(spark, tmp_path):
     assert resp.get("warnings") == ["results truncated due to limit"]
     code, resp = api.labels({"limit": ["1"]})
     assert code == 200 and resp["data"] == ["__name__"]
+
+
+def test_curation_map_only_ops_no_shuffle(spark, tmp_path):
+    """pii_redact and chunk_documents are scan→project passes: at 100 TB
+    they must not shuffle (no Exchange) and must not enter Python (no
+    BatchEvalPython / ArrowEvalPython)."""
+    from prometheus_spark.pipeline import chunk_documents, pii_redact
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"word{i} the quick fox {i}") for i in range(20)],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    for df in (pii_redact(docs), chunk_documents(docs, 8, 2)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+
+def test_pack_sequences_single_shard_exchange(spark, tmp_path):
+    """pack_sequences with a shard column is one hash exchange on the
+    shard key feeding the window prefix-sum — not a global single
+    partition sort."""
+    from prometheus_spark.pipeline import pack_sequences
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "a b c", f"lang{i % 3}") for i in range(30)],
+        "doc_id long, text string, lang string",
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    plan = pack_sequences(docs, 16, shard_col="lang")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # no global (single-partition) exchange when sharded
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "EvalPython" not in plan, plan
