@@ -255,3 +255,194 @@ def remove_boilerplate(
             .alias("n_removed"),
         )
     )
+
+
+# --- repeated-span (exact substring) removal ---------------------------
+
+
+def repeated_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Word ``n``-token spans whose md5 occurs in at least ``min_docs``
+    DISTINCT documents — the candidate set of the exact-substring dedup
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), with fixed-length token windows standing in for
+    suffix-array substrings (the standard scalable approximation).
+
+    Returns (span_hash, n_docs).  Only (hash, id) pairs shuffle.
+    """
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != F.lit("")
+    )
+    count = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    grams = F.slice(words, 1, count)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(words, j + 1, count), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    spans = F.transform(grams, lambda g: F.md5(g))
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(spans)).alias("span_hash"))
+        .groupBy("span_hash")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut cross-document repeated spans OUT of each document: a token is
+    dropped iff it is covered by some ``n``-token span (starting at any
+    of the ``n`` positions ending at it) that appears in >= ``min_docs``
+    distinct documents.  Surviving tokens re-join in order.
+
+    Returns (id, clean_text, n_removed).
+
+    Scale: tokens explode to (id, pos, token, span-start hash); the
+    duplicated-span set is small relative to the corpus so its join
+    broadcasts under AQE; coverage is a per-document window max over the
+    previous ``n-1`` rows (dense positions, so a rows-frame — no range
+    join); re-assembly is one groupBy(id) shuffle of surviving tokens.
+    """
+    dup = repeated_spans(df, n, min_docs, text_col, id_col).select(
+        F.col("span_hash").alias("__dup_hash")
+    )
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != F.lit("")
+    )
+    cnt = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    grams = F.slice(words, 1, cnt)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(words, j + 1, cnt), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    # pad span hashes to token length with NULLs (tail positions start no span)
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.zip_with(
+                words,
+                F.concat(
+                    F.transform(grams, lambda g: F.md5(g)),
+                    F.array_repeat(F.lit(None).cast("string"), n - 1),
+                ),
+                lambda w, h: F.struct(w.alias("w"), h.alias("h")),
+            )
+        ).alias("pos", "th"),
+    ).select(
+        F.col(id_col), F.col("pos"), F.col("th.w").alias("w"), F.col("th.h").alias("h")
+    )
+    flagged = toks.join(dup, toks["h"] == dup["__dup_hash"], "left").select(
+        F.col(id_col),
+        "pos",
+        "w",
+        F.when(F.col("__dup_hash").isNotNull(), 1).otherwise(0).alias("__start"),
+    )
+    w_cov = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    covered = flagged.select(
+        F.col(id_col), "pos", "w", F.max("__start").over(w_cov).alias("__cov")
+    )
+    kept = covered.filter(F.col("__cov") == 0)
+    n_tokens = df.select(
+        F.col(id_col), F.size(words).cast("long").alias("__n_tok")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("__n_kept"),
+    )
+    return n_tokens.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.col("__n_tok") - F.coalesce("__n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+
+# --- temperature-weighted source mixing --------------------------------
+
+
+def source_mix_rates(
+    df: DataFrame, alpha: float = 0.7, source_col: str = "source"
+) -> DataFrame:
+    """Per-source keep rates for temperature sampling: sampling
+    probability proportional to count^alpha (alpha < 1 flattens the
+    source distribution — the multilingual/multi-source rebalancing of
+    GPT-3/PaLM-style mixes).  Realized as a per-document keep rate
+    (count/min_count)^(alpha-1), so the smallest source keeps rate 1.0
+    and larger sources are downsampled toward the tempered mix.
+
+    Returns (source, n_docs, rate).
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy()
+    return counts.select(
+        F.col(source_col),
+        F.col("n_docs"),
+        F.round(
+            F.pow(
+                F.col("n_docs") / F.min("n_docs").over(w), F.lit(alpha - 1.0)
+            ),
+            6,
+        ).alias("rate"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.7,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic temperature-weighted source mix: keep each document
+    iff md5(salt:id) mod 1e6 < rate(source)·1e6 (rates from
+    :func:`source_mix_rates`).  Pure hash decision — reproducible across
+    engines and runs, no RNG state.
+
+    Scale: the rate table is |sources| rows (broadcast); the keep filter
+    is map-only.  No shuffle of document bodies anywhere.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    w = Window.partitionBy()
+    rates = counts.select(
+        F.col(source_col),
+        F.pow(F.col("__n") / F.min("__n").over(w), F.lit(alpha - 1.0)).alias(
+            "__rate"
+        ),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(bucket < F.col("__rate") * 1_000_000)
+        .drop("__rate")
+    )

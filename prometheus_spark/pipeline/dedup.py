@@ -809,3 +809,106 @@ def decontaminate(
         .select(id_col)
     )
     return train_df.join(contaminated, id_col, "left_anti")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023: cluster the embedding space, then drop items
+    whose cosine similarity to another item in the same cluster exceeds
+    ``threshold``).
+
+    Clustering here is a one-shot spherical assignment against
+    ``n_clusters`` deterministic seed vectors — the ``n_clusters`` rows
+    with the smallest ``md5(salt:id)`` (a uniform, engine-portable
+    sample; the same trick :func:`stratified_sample` uses).  Assignment
+    is argmax over ``dot(v, seed) / |seed|`` (equals cosine argmax —
+    ``|v|`` is constant per row), tie-broken by seed rank.  For a
+    trained-centroid variant use :class:`~prometheus_spark.pipeline.
+    similarity.IvfIndex` and feed its ``cid`` column to the same
+    within-cluster prune.
+
+    The prune keeps a vector iff NO smaller-id vector in its cluster is
+    ``>= threshold`` cosine-similar — deterministic, order-free.
+
+    Returns (id, cid) for the kept vectors.
+
+    Scale: the seed table is ``n_clusters`` rows (broadcast); assignment
+    shuffles (id, sim, rank) triples with map-side partial max — one
+    keyed shuffle of O(rows) narrow tuples, embeddings never shuffle for
+    it.  The within-cluster self-join is quadratic per cluster, which is
+    the SemDeDup design point: pick ``n_clusters`` so clusters fit the
+    quadratic budget (the published pipelines use k≈10⁴-10⁵ for
+    billion-item corpora).
+    """
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    from pyspark.sql import Window
+
+    seeds = (
+        df.select(F.col(id_col), F.col(vec_col), h.alias("__h"))
+        .orderBy("__h")
+        .limit(n_clusters)
+    )
+    seeds = seeds.select(
+        F.row_number().over(Window.orderBy("__h")).alias("__rank"),
+        F.col(vec_col).alias("__sv"),
+        F.sqrt(
+            F.aggregate(
+                F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+            )
+        ).alias("__snorm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("__sv"), lambda x, c: x.cast("double") * c.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    assigned = (
+        df.join(F.broadcast(seeds))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.struct(
+                (dot / F.col("__snorm")).alias("sim"),
+                (-F.col("__rank")).alias("neg_rank"),
+                F.col("__rank").alias("rank"),
+            ).alias("__cand"),
+        )
+        .groupBy(id_col, vec_col)
+        .agg(F.max("__cand").alias("__best"))
+        .select(
+            F.col(id_col), F.col(vec_col), F.col("__best.rank").alias("cid")
+        )
+    )
+    a = assigned.select(
+        F.col("cid"), F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
+    )
+    b = assigned.select(
+        F.col("cid"), F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
+    )
+    pdot = F.aggregate(
+        F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _nrm(c):
+        return F.sqrt(
+            F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+        )
+
+    dominated = (
+        a.join(b, (a["cid"] == b["cid"]) & (F.col("__idb") < F.col("__ida")))
+        .filter(pdot / (_nrm(F.col("__va")) * _nrm(F.col("__vb"))) >= F.lit(threshold))
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dominated, id_col, "left_anti").select(
+        F.col(id_col), F.col("cid").cast("long").alias("cid")
+    )

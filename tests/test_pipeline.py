@@ -474,3 +474,81 @@ def test_minhash_star_cap_on_mega_clusters(spark, docs):
         clones, shingle_n=2, star_threshold=None
     )
     assert uncapped.count() == 100 * 99 // 2
+
+
+@needs_data
+def test_semantic_dedup_drops_clones(spark, emb):
+    from prometheus_spark.pipeline import semantic_dedup
+
+    base = emb.filter(F.col("vec_id") < 100)
+    # clone every vector under a higher id: the clone lands in the same
+    # cluster with cosine 1.0 and must be pruned; originals all survive
+    clones = base.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    kept = semantic_dedup(base.unionByName(clones), n_clusters=4, threshold=0.99)
+    ids = {r["vec_id"] for r in kept.collect()}
+    assert ids == set(range(100))
+    # deterministic: same input -> same kept set and cluster ids
+    again = semantic_dedup(base.unionByName(clones), n_clusters=4, threshold=0.99)
+    assert sorted(map(tuple, kept.collect())) == sorted(map(tuple, again.collect()))
+
+
+@needs_data
+def test_semantic_dedup_threshold_monotone(spark, emb):
+    from prometheus_spark.pipeline import semantic_dedup
+
+    loose = semantic_dedup(emb, n_clusters=8, threshold=0.3).count()
+    tight = semantic_dedup(emb, n_clusters=8, threshold=0.9).count()
+    assert loose <= tight <= emb.count()
+
+
+def test_bigram_lm_score_prefers_fluent(spark):
+    from prometheus_spark.pipeline import bigram_lm_score
+
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((100, "zeppelin quark flux bogon"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_score(df).collect()}
+    # the 20x repeated sentence is maximally predictable; the singleton
+    # of unseen-context bigrams must score strictly more bits
+    assert out[0]["bits"] < out[100]["bits"]
+    assert out[0]["n_bigrams"] == 5 and out[100]["n_bigrams"] == 3
+    # < 2 tokens -> zero bigrams, zero bits
+    single = spark.createDataFrame([(0, "hello")], "doc_id long, text string")
+    r = bigram_lm_score(single).collect()[0]
+    assert r["n_bigrams"] == 0 and r["bits"] == 0.0
+
+
+def test_remove_repeated_spans_exact(spark):
+    from prometheus_spark.pipeline import remove_repeated_spans
+
+    shared = "a b c d e f"  # the duplicated 6-token span
+    df = spark.createDataFrame(
+        [
+            (1, f"x1 x2 {shared} y1 y2"),
+            (2, f"z1 {shared} z2"),
+            (3, "u1 u2 u3 u4 u5 u6 u7"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_repeated_spans(df, n=6, min_docs=2).collect()}
+    assert out[1]["clean_text"] == "x1 x2 y1 y2" and out[1]["n_removed"] == 6
+    assert out[2]["clean_text"] == "z1 z2" and out[2]["n_removed"] == 6
+    assert out[3]["clean_text"] == "u1 u2 u3 u4 u5 u6 u7" and out[3]["n_removed"] == 0
+
+
+def test_temperature_mix_rates(spark):
+    from prometheus_spark.pipeline import source_mix_rates, temperature_mix
+
+    rows = [(i, "big") for i in range(400)] + [(i + 1000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {r["source"]: r["rate"] for r in source_mix_rates(df, alpha=0.5).collect()}
+    assert rates["small"] == 1.0
+    assert abs(rates["big"] - 0.5) < 1e-6  # (400/100)^(0.5-1) = 0.5
+    kept = temperature_mix(df, alpha=0.5)
+    by_src = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src["small"] == 100  # rate 1.0 keeps everything
+    assert 150 < by_src["big"] < 250  # ~200 expected at rate 0.5
+    # deterministic
+    assert kept.count() == temperature_mix(df, alpha=0.5).count()
