@@ -333,6 +333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_bigram_lm"] = lambda s, d: _pipe_bigram_lm(s, d)
     q["doc_repeated_spans"] = lambda s, d: _pipe_repeated_spans(s, d)
     q["doc_temperature_mix"] = lambda s, d: _pipe_temperature_mix(s, d)
+    q["dedup_paragraphs"] = lambda s, d: _pipe_paragraph_dedup(s, d)
+    q["doc_subword_stats"] = lambda s, d: _pipe_subword(s, d)
 
     # The driver records only the FIRST 50 entries in CORRECTNESS_r{N}.json;
     # order so that every §2 family and every pipeline operator has a
@@ -349,12 +351,10 @@ _DRIVER_WINDOW = [
     # PromQL families (17)
     "promql_instant_selector",
     "promql_sum_by",
-    "promql_quantile_agg",
     "promql_topk",
     "promql_binop_div",
     "promql_group_left",
     "promql_rate",
-    "promql_quantile_over_time",
     "promql_subquery_max",
     # range queries + classic histograms (4)
     "promql_range_selector",
@@ -406,6 +406,8 @@ _DRIVER_WINDOW = [
     "doc_bigram_lm",
     "doc_repeated_spans",
     "doc_temperature_mix",
+    "dedup_paragraphs",
+    "doc_subword_stats",
 ]
 
 
@@ -958,6 +960,35 @@ def _pipe_repeated_spans(spark, sf_dir):
     return remove_repeated_spans(
         _tbl(spark, sf_dir, "documents"), n=6, min_docs=2
     )
+
+
+def _pipe_subword(spark, sf_dir):
+    """Self-trained subword vocab (all chars + top-64 words) + greedy
+    longest-match segmentation; the Python loop touches DISTINCT words
+    only (mapInPandas), the corpus side is pure JVM."""
+    from prometheus_spark.pipeline import subword_token_stats
+
+    return subword_token_stats(
+        _tbl(spark, sf_dir, "documents"), top_words=64
+    )
+
+
+_PARA_AUGMENT = (
+    "'shared intro' || chr(10) || chr(10) || text || chr(10) || chr(10) "
+    "|| 'tail ' || lang"
+)
+
+
+def _pipe_paragraph_dedup(spark, sf_dir):
+    """The synthetic docs have no repeated paragraphs, so inject a
+    corpus-wide intro and a per-lang tail (the oracle mirrors the same
+    expression): only their first occurrences survive."""
+    from prometheus_spark.pipeline import paragraph_dedup
+
+    docs = _tbl(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_PARA_AUGMENT} AS text"
+    )
+    return paragraph_dedup(docs, sep="\n\n")
 
 
 def _pipe_temperature_mix(spark, sf_dir):
@@ -2086,5 +2117,87 @@ SELECT d.doc_id, d.lang
 FROM documents d JOIN r USING (lang)
 WHERE (('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
        % 1000000) < rate * 1000000
+"""
+
+    # paragraph-level first-occurrence dedup over the augmented corpus
+    o["dedup_paragraphs"] = rf"""
+WITH d AS (SELECT doc_id, {_PARA_AUGMENT} AS t FROM documents),
+sp AS (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS parts FROM d),
+l AS (SELECT doc_id,
+             unnest(list_transform(parts, x -> trim(x))) AS para,
+             unnest(range(1, len(parts) + 1)) AS i
+      FROM sp),
+nz AS (SELECT doc_id, i, para, md5(para) AS h FROM l WHERE para <> ''),
+keep AS (
+  SELECT doc_id, i FROM (
+    SELECT doc_id, i,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+    FROM nz
+  ) WHERE rn = 1
+),
+np AS (SELECT doc_id, COUNT(*) AS n FROM nz GROUP BY doc_id),
+rb AS (SELECT nz.doc_id,
+              array_to_string(list(nz.para ORDER BY nz.i),
+                              chr(10) || chr(10)) AS clean_text,
+              COUNT(*) AS n_kept
+       FROM nz JOIN keep ON nz.doc_id = keep.doc_id AND nz.i = keep.i
+       GROUP BY nz.doc_id)
+SELECT np.doc_id,
+       COALESCE(rb.clean_text, '') AS clean_text,
+       CAST(np.n - COALESCE(rb.n_kept, 0) AS BIGINT) AS n_removed
+FROM np LEFT JOIN rb ON np.doc_id = rb.doc_id
+"""
+
+    # greedy longest-match subword segmentation against the self-trained
+    # vocab (all corpus chars + top-64 words) — recursive CTE replica of
+    # pipeline/tokenizer.greedy_segment
+    o["doc_subword_stats"] = r"""
+WITH RECURSIVE
+w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws
+  FROM w WHERE len(ws) > 0
+),
+tok2 AS (SELECT doc_id, pos, ws[pos] AS wd FROM toks),
+dw AS (SELECT DISTINCT wd FROM tok2),
+chars AS (
+  SELECT DISTINCT unnest(regexp_extract_all(wd, '.')) AS piece FROM dw
+),
+topw AS (
+  SELECT wd AS piece FROM (
+    SELECT wd, COUNT(*) AS c FROM tok2 GROUP BY wd
+    ORDER BY c DESC, wd ASC LIMIT 64
+  )
+),
+vocab AS (
+  SELECT DISTINCT piece FROM (
+    SELECT piece FROM chars UNION ALL SELECT piece FROM topw
+  )
+),
+seg AS (
+  SELECT wd, 1 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM dw
+  UNION ALL
+  SELECT wd, pos + GREATEST(ml, 1),
+         list_append(pieces,
+                     CASE WHEN ml > 0 THEN substr(wd, pos, ml)
+                          ELSE '<unk>' END)
+  FROM (
+    SELECT s.wd, s.pos, s.pieces,
+           COALESCE((SELECT MAX(len(piece)) FROM vocab
+                     WHERE piece = substr(s.wd, s.pos, len(piece))), 0) AS ml
+    FROM seg s WHERE s.pos <= len(s.wd)
+  )
+),
+final AS (SELECT wd, pieces FROM seg WHERE pos = len(wd) + 1)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(f.pieces)) AS BIGINT) AS n_pieces,
+       array_to_string(flatten(list(f.pieces ORDER BY t.pos)), ' ') AS pieces_text
+FROM tok2 t JOIN final f USING (wd)
+GROUP BY t.doc_id
 """
     return o

@@ -912,3 +912,63 @@ def semantic_dedup(
     return assigned.join(dominated, id_col, "left_anti").select(
         F.col(id_col), F.col("cid").cast("long").alias("cid")
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    sep: str = "\n\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup: every paragraph keeps
+    only its FIRST occurrence (smallest (doc_id, position)); later
+    repeats across or within documents are dropped and the documents
+    re-assembled — the paragraph-granular pass most public LLM data
+    recipes run between document-level dedup and span removal.
+
+    Returns (id, clean_text, n_removed) — n_removed counts dropped
+    paragraphs; a document whose every paragraph appeared earlier comes
+    back empty.
+
+    Scale: the keep/drop decision shuffles only (md5, id, pos) triples
+    (window ``row_number`` keyed by the 16-byte hash); paragraph text
+    shuffles once, keyed by the document id, for re-assembly.  Skewed
+    boilerplate paragraphs concentrate on one hash key but carry no
+    text — AQE's skew handling splits the decision partition if needed.
+    """
+    from pyspark.sql import Window
+
+    paras = F.filter(
+        F.transform(F.split(F.col(text_col), sep), lambda p: F.trim(p)),
+        lambda p: p != F.lit(""),
+    )
+    exploded = df.select(F.col(id_col), F.posexplode(paras).alias("pos", "para"))
+    decisions = exploded.select(
+        F.col(id_col), "pos", F.md5(F.col("para")).alias("__h")
+    )
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    first = decisions.select(
+        F.col(id_col).alias("__kid"), F.col("pos").alias("__kpos"),
+        F.row_number().over(w).alias("__rn"),
+    ).filter(F.col("__rn") == 1)
+    kept = exploded.join(
+        first,
+        (exploded[id_col] == first["__kid"]) & (exploded["pos"] == first["__kpos"]),
+        "left_semi",
+    )
+    n_paras = df.select(F.col(id_col), F.size(paras).cast("long").alias("__n"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("__n_kept"),
+    )
+    return n_paras.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.col("__n") - F.coalesce("__n_kept", F.lit(0))).cast("long").alias("n_removed"),
+    )

@@ -552,3 +552,24 @@ def test_temperature_mix_rates(spark):
     assert 150 < by_src["big"] < 250  # ~200 expected at rate 0.5
     # deterministic
     assert kept.count() == temperature_mix(df, alpha=0.5).count()
+
+
+def test_paragraph_dedup_first_occurrence(spark):
+    from prometheus_spark.pipeline import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "intro\n\nbody one\n\nrepeat"),
+            (2, "intro\n\nbody two\n\nrepeat"),
+            (3, "repeat\n\nrepeat"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    # doc 1 is first for all three of its paragraphs
+    assert out[1]["clean_text"] == "intro\n\nbody one\n\nrepeat"
+    assert out[1]["n_removed"] == 0
+    # doc 2 loses intro+repeat (doc 1 owns them), keeps its unique body
+    assert out[2]["clean_text"] == "body two" and out[2]["n_removed"] == 2
+    # doc 3's paragraphs all appeared earlier (in doc 1) -> empty
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 2

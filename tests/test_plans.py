@@ -364,3 +364,58 @@ def test_pack_sequences_single_shard_exchange(spark, tmp_path):
     # no global (single-partition) exchange when sharded
     assert "Exchange SinglePartition" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_temperature_mix_broadcasts_rates(spark, tmp_path):
+    """temperature_mix joins the per-source rate table (|sources| rows)
+    as a broadcast; document rows must not shuffle for the keep filter."""
+    from prometheus_spark.pipeline import temperature_mix
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(30)],
+        "doc_id long, source string",
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    plan = temperature_mix(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # the only exchanges belong to the tiny counts aggregation feeding
+    # the broadcast side — the probe (document) side reads straight from
+    # the scan into the join
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_bigram_lm_no_python_no_cartesian(spark, tmp_path):
+    """bigram_lm_score is pure aggregations + joins: no Python in the
+    plan, the vocab scalar rides a broadcast, no cartesian product."""
+    from prometheus_spark.pipeline import bigram_lm_score
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "the quick brown fox jumps") for i in range(20)],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    plan = bigram_lm_score(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row vocab scalar
+
+
+def test_semantic_dedup_seed_side_broadcast(spark):
+    """semantic_dedup's cluster assignment joins an n_clusters-row seed
+    table — that join must broadcast (the embedding table is the 100 TB
+    side), and nothing in the plan enters Python."""
+    from prometheus_spark.pipeline import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = semantic_dedup(emb, n_clusters=4, threshold=0.99)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "EvalPython" not in plan, plan
