@@ -335,6 +335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_temperature_mix"] = lambda s, d: _pipe_temperature_mix(s, d)
     q["dedup_paragraphs"] = lambda s, d: _pipe_paragraph_dedup(s, d)
     q["doc_subword_stats"] = lambda s, d: _pipe_subword(s, d)
+    q["doc_c4_filter"] = lambda s, d: _pipe_c4(s, d)
+    q["doc_dsir_weights"] = lambda s, d: _pipe_dsir(s, d)
 
     # The driver records only the FIRST 50 entries in CORRECTNESS_r{N}.json;
     # order so that every §2 family and every pipeline operator has a
@@ -353,9 +355,10 @@ _DRIVER_WINDOW = [
     "promql_sum_by",
     "promql_topk",
     "promql_binop_div",
-    "promql_group_left",
+    # (group_left and subquery rotated out of the 50-entry window in r5
+    # to admit doc_c4_filter/doc_dsir_weights — both remain declared
+    # below the window, oracle-replica-verified, and corpus-covered)
     "promql_rate",
-    "promql_subquery_max",
     # range queries + classic histograms (4)
     "promql_range_selector",
     "promql_range_rate",
@@ -408,6 +411,8 @@ _DRIVER_WINDOW = [
     "doc_temperature_mix",
     "dedup_paragraphs",
     "doc_subword_stats",
+    "doc_c4_filter",
+    "doc_dsir_weights",
 ]
 
 
@@ -989,6 +994,37 @@ def _pipe_paragraph_dedup(spark, sf_dir):
         "doc_id", f"{_PARA_AUGMENT} AS text"
     )
     return paragraph_dedup(docs, sep="\n\n")
+
+
+_C4_AUGMENT = (
+    "'An introductory line for every document.' || chr(10) || "
+    "text || (CASE WHEN doc_id % 3 = 0 THEN '' ELSE '.' END) || chr(10) || "
+    "'tiny.' || chr(10) || "
+    "'This page uses javascript everywhere.' || chr(10) || "
+    "(CASE WHEN lang = 'en' THEN 'A closing english line.' ELSE 'short tail' END)"
+)
+
+
+def _pipe_c4(spark, sf_dir):
+    """The synthetic docs are single-line word salad, so the entry
+    injects C4-relevant structure (good lines, a too-short line, a
+    badword line, a doc_id%3-dependent unpunctuated body, a
+    lang-dependent tail) — the oracle mirrors the same expression."""
+    from prometheus_spark.pipeline import c4_clean
+
+    docs = _tbl(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", f"{_C4_AUGMENT} AS text"
+    )
+    return c4_clean(docs)
+
+
+def _pipe_dsir(spark, sf_dir):
+    """DSIR importance weights of every document toward the English
+    subset's hashed-ngram distribution."""
+    from prometheus_spark.pipeline import dsir_weights
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.filter(F.col("lang") == "en"), n_buckets=256)
 
 
 def _pipe_temperature_mix(spark, sf_dir):
@@ -2199,5 +2235,75 @@ SELECT t.doc_id,
        array_to_string(flatten(list(f.pieces ORDER BY t.pos)), ' ') AS pieces_text
 FROM tok2 t JOIN final f USING (wd)
 GROUP BY t.doc_id
+"""
+
+    # C4-style line filtering over the augmented corpus (same augmentation
+    # expression as the Spark entry)
+    o["doc_c4_filter"] = rf"""
+WITH d AS (SELECT doc_id, {_C4_AUGMENT} AS t FROM documents),
+ll AS (SELECT doc_id,
+         list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines
+       FROM d),
+k AS (SELECT doc_id, lines,
+        list_filter(lines, x ->
+           regexp_matches(x, '[.!?"'']$')
+           AND len(list_filter(string_split_regex(x, '\s+'), w -> w <> '')) >= 3
+           AND NOT contains(lower(x), 'lorem ipsum')
+           AND NOT contains(lower(x), 'javascript')
+           AND NOT contains(lower(x), 'cookie policy')
+           AND NOT contains(lower(x), 'privacy policy')
+           AND NOT contains(lower(x), 'terms of use')
+           AND NOT contains(lower(x), '{{')
+        ) AS kept
+      FROM ll)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS clean_text,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       len(kept) >= 2 AS keep
+FROM k
+"""
+
+    # DSIR hashed-ngram importance weights toward the lang='en' subset
+    # (B=256 buckets, add-0.5 smoothing, unigram+bigram features)
+    o["doc_dsir_weights"] = r"""
+WITH w AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, lang, unnest(ws) AS gram FROM w
+  UNION ALL
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS gram
+  FROM w WHERE len(ws) >= 2
+),
+f AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('dsir1:' || gram), 1, 8))::BIGINT % 256 AS bucket
+  FROM g
+),
+tgt AS (SELECT bucket, COUNT(*) AS ct FROM f WHERE lang = 'en' GROUP BY bucket),
+raw AS (SELECT bucket, COUNT(*) AS cr FROM f GROUP BY bucket),
+tot AS (SELECT (SELECT SUM(ct) FROM tgt) AS nt, (SELECT SUM(cr) FROM raw) AS nr),
+ratios AS (
+  SELECT raw.bucket,
+         ln((COALESCE(tgt.ct, 0) + 0.5) / (tot.nt + 0.5 * 256))
+         - ln((raw.cr + 0.5) / (tot.nr + 0.5 * 256)) AS lr
+  FROM raw LEFT JOIN tgt USING (bucket), tot
+),
+scored AS (
+  SELECT f.doc_id, COUNT(*) AS n_feats, ROUND(SUM(r.lr), 6) AS weight
+  FROM f JOIN ratios r USING (bucket)
+  GROUP BY f.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
+       COALESCE(s.weight, 0.0) AS weight
+FROM documents d LEFT JOIN scored s USING (doc_id)
 """
     return o

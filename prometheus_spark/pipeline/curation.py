@@ -446,3 +446,69 @@ def temperature_mix(
         .filter(bucket < F.col("__rate") * 1_000_000)
         .drop("__rate")
     )
+
+
+# --- C4-style heuristic line cleaning ---------------------------------
+#
+# The rule set follows the public C4 recipe (Raffel et al. 2020, §2.2):
+# keep only lines that end in terminal punctuation, have enough words,
+# and mention no blocklisted phrase; then drop whole documents that
+# retain too few lines.  Rules stay in the Spark-regex ∩ DuckDB-RE2
+# common subset so the DuckDB oracle verifies value-for-value.
+C4_BADWORDS: tuple[str, ...] = (
+    "lorem ipsum",
+    "javascript",
+    "cookie policy",
+    "privacy policy",
+    "terms of use",
+    "{",
+)
+
+_TERMINAL_PUNCT_RE = "[.!?\"']$"
+
+
+def c4_clean(
+    df: DataFrame,
+    min_words: int = 3,
+    min_lines: int = 2,
+    badwords: tuple[str, ...] = C4_BADWORDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style line-level cleaning: a line survives iff it ends in
+    terminal punctuation (``. ! ? " '``), has at least ``min_words``
+    whitespace words, and contains no ``badwords`` phrase
+    (case-insensitive).  Returns one row per input document:
+    (id, clean_text, n_lines, n_kept, keep) where ``keep`` is the
+    document-level verdict ``n_kept >= min_lines`` — the C4 "at least
+    3 sentences" gate, parameterized.
+
+    Scale: entirely map-only — split/filter/join are per-row array
+    expressions inside whole-stage codegen; no shuffle, no UDF, and the
+    parquet scan prunes to (id, text).
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+
+    def _line_ok(line):
+        lline = F.lower(line)
+        ok = line.rlike(_TERMINAL_PUNCT_RE) & (
+            F.size(
+                F.filter(F.split(line, r"\s+"), lambda w: w != F.lit(""))
+            )
+            >= F.lit(min_words)
+        )
+        for bw in badwords:
+            ok = ok & ~lline.contains(bw)
+        return ok
+
+    kept = F.filter(lines, _line_ok)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(kept) >= F.lit(min_lines)).alias("keep"),
+    )

@@ -573,3 +573,43 @@ def test_paragraph_dedup_first_occurrence(spark):
     assert out[2]["clean_text"] == "body two" and out[2]["n_removed"] == 2
     # doc 3's paragraphs all appeared earlier (in doc 1) -> empty
     assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 2
+
+
+def test_c4_clean_rules(spark):
+    from prometheus_spark.pipeline import c4_clean
+
+    df = spark.createDataFrame(
+        [
+            (1, "A good long line.\nno punct here\nshort.\nWe obey the cookie policy here.\nAnother proper line!"),
+            (2, "nothing survives here\nat all"),
+            (3, "Only one survivor line."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_clean(df).collect()}
+    assert out[1]["clean_text"] == "A good long line.\nAnother proper line!"
+    assert out[1]["n_lines"] == 5 and out[1]["n_kept"] == 2 and out[1]["keep"]
+    assert out[2]["n_kept"] == 0 and not out[2]["keep"]
+    # one good line is below the min_lines=2 doc gate
+    assert out[3]["n_kept"] == 1 and not out[3]["keep"]
+
+
+def test_dsir_weights_prefer_target_like(spark):
+    from prometheus_spark.pipeline import dsir_weights
+
+    raw = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") if i % 2 else (i, "omega psi chi phi")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(100, "alpha beta gamma"), (101, "alpha beta")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["weight"] for r in dsir_weights(raw, tgt, n_buckets=64).collect()}
+    # every target-like doc outranks every non-target-like doc
+    assert min(out[i] for i in range(1, 20, 2)) > max(out[i] for i in range(0, 20, 2))
+    # empty doc gets weight 0 and survives with a row
+    empty = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    row = dsir_weights(empty, tgt, n_buckets=64).collect()[0]
+    assert row["n_feats"] == 0 and row["weight"] == 0.0

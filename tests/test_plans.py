@@ -419,3 +419,42 @@ def test_semantic_dedup_seed_side_broadcast(spark):
     ).executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_dsir_scoring_broadcasts_ratio_table(spark, tmp_path):
+    """dsir_weights joins exploded doc features against the
+    n_buckets-row log-ratio table — that join must broadcast (the
+    feature stream is the 100 TB side) and stay UDF-free."""
+    from prometheus_spark.pipeline import dsir_weights
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(30)],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    plan = dsir_weights(docs, docs.limit(10))._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_c4_clean_map_only(spark, tmp_path):
+    """c4_clean is a pure per-row projection: no exchange at all and the
+    scan prunes to the (doc_id, text) columns."""
+    from prometheus_spark.pipeline import c4_clean
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "A good line.", "en", "s", 12) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    qe = c4_clean(docs)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
