@@ -337,6 +337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_subword_stats"] = lambda s, d: _pipe_subword(s, d)
     q["doc_c4_filter"] = lambda s, d: _pipe_c4(s, d)
     q["doc_dsir_weights"] = lambda s, d: _pipe_dsir(s, d)
+    q["doc_split_corpus"] = lambda s, d: _pipe_split(s, d)
+    q["doc_shard_corpus"] = lambda s, d: _pipe_shard(s, d)
 
     # The driver records only the FIRST 50 entries in CORRECTNESS_r{N}.json;
     # order so that every §2 family and every pipeline operator has a
@@ -1025,6 +1027,20 @@ def _pipe_dsir(spark, sf_dir):
 
     docs = _tbl(spark, sf_dir, "documents")
     return dsir_weights(docs, docs.filter(F.col("lang") == "en"), n_buckets=256)
+
+
+def _pipe_split(spark, sf_dir):
+    from prometheus_spark.pipeline import split_corpus
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    return split_corpus(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+
+
+def _pipe_shard(spark, sf_dir):
+    from prometheus_spark.pipeline import shard_corpus
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id")
+    return shard_corpus(docs, n_shards=16)
 
 
 def _pipe_temperature_mix(spark, sf_dir):
@@ -2305,5 +2321,35 @@ SELECT d.doc_id,
        CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
        COALESCE(s.weight, 0.0) AS weight
 FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+    # deterministic hash split: names laid out on the ring in sorted
+    # order (test < train < val), fractions 0.05 / 0.9 / 0.05
+    o["doc_split_corpus"] = r"""
+SELECT doc_id, lang,
+       CASE
+         WHEN ('0x' || substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 1000000 < 50000 THEN 'test'
+         WHEN ('0x' || substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 1000000 < 950000 THEN 'train'
+         ELSE 'val'
+       END AS split
+FROM documents
+"""
+
+    # deterministic global shuffle: shard + within-shard serving order
+    o["doc_shard_corpus"] = r"""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('shuffle1:shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 16 AS shard,
+         ('0x' || substr(md5('shuffle1:ord:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000000 AS ord
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT)
+         AS shard_pos
+FROM h
 """
     return o

@@ -512,3 +512,90 @@ def c4_clean(
         F.size(kept).cast("long").alias("n_kept"),
         (F.size(kept) >= F.lit(min_lines)).alias("keep"),
     )
+
+
+# --- deterministic splits & global shuffle ----------------------------
+
+
+def _hash_bucket(id_col: str, salt: str, mod: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % mod
+    )
+
+
+def split_corpus(
+    df: DataFrame,
+    fractions: Optional[dict[str, float]] = None,
+    salt: str = "split1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document to a named split (train/val/test by
+    default) by a pure hash of (salt, id) — reproducible across runs,
+    engines, and re-partitionings, and stable under corpus growth
+    (adding documents never moves an existing one between splits).
+
+    ``fractions`` maps split name → fraction; they must sum to ≤ 1 and
+    are laid out on the hash ring in SORTED-name order (deterministic
+    regardless of dict ordering).  Remainder documents (if the sum is
+    < 1) go to the FIRST sorted split.  Returns the input plus a
+    ``split`` column.
+
+    Scale: map-only — one hash per row, no shuffle, no UDF.
+    """
+    if fractions is None:
+        fractions = {"test": 0.01, "train": 0.98, "val": 0.01}
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    bucket = _hash_bucket(id_col, salt, 1_000_000)
+    names = sorted(fractions)
+    expr = None
+    acc = 0.0
+    for name in names:
+        acc += fractions[name]
+        cond = bucket < F.lit(int(round(acc * 1_000_000)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = expr.otherwise(F.lit(names[0]))
+    return df.withColumn("split", expr)
+
+
+def shard_corpus(
+    df: DataFrame,
+    n_shards: int = 1024,
+    salt: str = "shuffle1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle for training: every document gets a
+    ``shard`` in [0, n_shards) and a ``shard_pos`` giving its serving
+    order within the shard — both pure functions of (salt, id), so the
+    epoch-0 data order is reproducible bit-for-bit on any cluster.
+
+    Returns the input plus (shard, shard_pos).  Write with
+    ``.repartition(n_shards, "shard").sortWithinPartitions("shard_pos")``
+    for one output file per shard in serving order.
+
+    Scale: one hash per row plus ONE shuffle keyed by shard; the
+    within-shard ordering is a per-shard window sort (shard-sized,
+    spillable) — no global sort, no driver involvement.  n_shards
+    should be chosen so a shard fits one task (~corpus/n_shards rows).
+    """
+    order = _hash_bucket(id_col, salt + ":ord", 1_000_000_000)
+    shard = _hash_bucket(id_col, salt + ":shard", n_shards)
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__ord").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("__ord", order)
+        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .drop("__ord")
+    )

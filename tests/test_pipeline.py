@@ -613,3 +613,36 @@ def test_dsir_weights_prefer_target_like(spark):
     empty = spark.createDataFrame([(1, "")], "doc_id long, text string")
     row = dsir_weights(empty, tgt, n_buckets=64).collect()[0]
     assert row["n_feats"] == 0 and row["weight"] == 0.0
+
+
+def test_split_corpus_deterministic_and_stable(spark):
+    from prometheus_spark.pipeline import split_corpus
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = split_corpus(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert 1400 < counts["train"] < 1800
+    assert 100 < counts["val"] < 300 and 100 < counts["test"] < 300
+    # stability: membership of existing ids never changes when the corpus grows
+    small = split_corpus(df.limit(500), {"train": 0.8, "val": 0.1, "test": 0.1})
+    merged = small.alias("s").join(out.alias("f"), "doc_id")
+    assert merged.filter("s.split <> f.split").count() == 0
+
+
+def test_shard_corpus_positions(spark):
+    from prometheus_spark.pipeline import shard_corpus
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    out = shard_corpus(df, n_shards=8).collect()
+    assert len(out) == 300
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    assert set(by_shard) <= set(range(8))
+    for shard, poss in by_shard.items():
+        # positions are a dense 1..n sequence per shard
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # reproducible bit-for-bit
+    again = {(r["doc_id"], r["shard"], r["shard_pos"])
+             for r in shard_corpus(df, n_shards=8).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["shard_pos"]) for r in out}
