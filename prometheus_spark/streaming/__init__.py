@@ -14,6 +14,9 @@ from prometheus_spark.streaming.rules import (
     RuleGroup,
     RulesEngine,
 )
+from prometheus_spark.streaming.stateful import (
+    streaming_counter_increase,
+)
 
 __all__ = [
     "AlertingRule",
@@ -25,5 +28,6 @@ __all__ = [
     "load_rule_file",
     "parse_rule_groups",
     "samples_stream_from_events",
+    "streaming_counter_increase",
     "with_ooo_window",
 ]

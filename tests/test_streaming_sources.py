@@ -1104,3 +1104,68 @@ def test_integer_histogram_chunk_decode():
     labels, got = resp[0][0]
     assert labels == {"__name__": "ih"}
     assert len(got) == 5 and got[0][1]["pos_buckets"] == [3.0, 5.0, 4.0]
+
+
+def test_streaming_counter_increase_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-series counter state across
+    micro-batches: a reset inside batch 2 is detected against the last
+    value of batch 1."""
+    import json as _json
+    import time
+
+    from prometheus_spark.streaming import streaming_counter_increase
+
+    src = tmp_path / "src"
+    src.mkdir()
+    chk = str(tmp_path / "chk")
+
+    def write_batch(name, rows):
+        p = src / name
+        tmp = src / (name + ".tmp")
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        tmp.rename(p)
+
+    # batch 1 lands before the stream starts
+    write_batch("b1.json", [
+        {"sig": "a", "t": 1, "value": 10.0},
+        {"sig": "a", "t": 2, "value": 15.0},
+        {"sig": "b", "t": 1, "value": 100.0},
+    ])
+
+    stream = (
+        spark.readStream.schema("sig string, t long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        streaming_counter_increase(stream)
+        .writeStream.format("memory")
+        .queryName("ctr_inc")
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: 'a' resets (15 -> 3), 'b' keeps counting
+        write_batch("b2.json", [
+            {"sig": "a", "t": 3, "value": 3.0},
+            {"sig": "b", "t": 2, "value": 110.0},
+        ])
+        q.processAllAvailable()
+        rows = {
+            (r["sig"], r["t"]): r
+            for r in spark.sql("SELECT * FROM ctr_inc").collect()
+        }
+    finally:
+        q.stop()
+
+    assert rows[("a", 1)]["cum_increase"] == 0.0
+    assert rows[("a", 2)]["cum_increase"] == 5.0
+    # reset: 15 -> 3 adds the restarted counter's value
+    assert rows[("a", 3)]["cum_increase"] == 8.0
+    assert rows[("a", 3)]["resets"] == 1
+    assert rows[("b", 2)]["cum_increase"] == 10.0
+    assert rows[("b", 2)]["resets"] == 0
