@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_split_corpus"] = lambda s, d: _pipe_split(s, d)
     q["doc_shard_corpus"] = lambda s, d: _pipe_shard(s, d)
     q["stream_counter_increase"] = lambda s, d: _pipe_stream_increase(s, d)
+    q["events_session_window"] = lambda s, d: _pipe_session_window(s, d)
 
     # The driver records only the FIRST 50 entries in CORRECTNESS_r{N}.json;
     # order so that every §2 family and every pipeline operator has a
@@ -1068,6 +1069,19 @@ def _pipe_stream_increase(spark, sf_dir):
     q.awaitTermination()
     return spark.table(name).selectExpr(
         "sig", "t", "value", "round(cum_increase, 6) AS cum_increase", "resets"
+    )
+
+
+def _pipe_session_window(spark, sf_dir):
+    """Native session_window sessionization (batch mode of the
+    streaming operator) — gap-merged per-user sessions with
+    end = last event + gap."""
+    from prometheus_spark.pipeline import streaming_session_stats
+
+    ev = _tbl(spark, sf_dir, "events")
+    return streaming_session_stats(ev, gap_minutes=30).select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
     )
 
 
@@ -2410,5 +2424,31 @@ SELECT sig, t, value,
        CAST(SUM(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END)
               OVER (PARTITION BY sig ORDER BY t) AS BIGINT) AS resets
 FROM d
+"""
+
+    # session_window semantics in SQL: lag+cumsum session assignment,
+    # session end = last event + gap (30 min)
+    o["events_session_window"] = r"""
+WITH s AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT user_id, ts, value,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM g
+GROUP BY user_id, sid
 """
     return o

@@ -63,3 +63,50 @@ def session_stats(
             F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
         )
     )
+
+
+def streaming_session_stats(
+    stream: DataFrame,
+    gap_minutes: float = 30.0,
+    watermark_minutes: float = 60.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming sessionization with Spark's NATIVE session windows:
+    ``session_window(ts, gap)`` merges events into dynamic per-user
+    windows that close after ``gap_minutes`` of silence; the watermark
+    bounds state and admits late events up to ``watermark_minutes``.
+
+    Works on a streaming frame (append mode — a session row emits once
+    its window is older than the watermark, i.e. the session is final)
+    and on a batch frame (all sessions emit).  Returns one row per
+    closed session: (user, session_start, session_end, n_events,
+    sum_value).
+
+    Scale: state is one open window per active user, managed by the
+    state store across executors; no UDF, no driver involvement — this
+    is the operator the batch ``sessionize`` (lag+cumsum) cannot be at
+    streaming time, expressed the Structured-Streaming-native way
+    instead of via hand-rolled applyInPandasWithState state.
+    """
+    gap = f"{int(gap_minutes * 60)} seconds"
+    wm = f"{int(watermark_minutes * 60)} seconds"
+    return (
+        stream.withWatermark(ts_col, wm)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+            F.col(user_col),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1169,3 +1169,93 @@ def test_streaming_counter_increase_state_across_batches(spark, tmp_path):
     assert rows[("a", 3)]["resets"] == 1
     assert rows[("b", 2)]["cum_increase"] == 10.0
     assert rows[("b", 2)]["resets"] == 0
+
+
+def test_streaming_session_stats_native_session_window(spark, tmp_path):
+    """Native session_window sessionization over a stream: sessions
+    from batch 1 emit (append mode) once batch 2's watermark passes;
+    two bursts separated by > gap become two sessions."""
+    import json as _json
+
+    from prometheus_spark.pipeline import streaming_session_stats
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        tmp = src / (name + ".tmp")
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        tmp.rename(src / name)
+
+    # user 1: two bursts 2h apart (gap 30m => 2 sessions)
+    write_batch("b1.json", [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00Z", "value": 1.0},
+        {"user_id": 1, "ts": "2024-01-01T00:10:00Z", "value": 2.0},
+        {"user_id": 1, "ts": "2024-01-01T02:00:00Z", "value": 5.0},
+    ])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        streaming_session_stats(stream, gap_minutes=30, watermark_minutes=60)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: far-future event pushes the watermark past batch 1
+        write_batch("b2.json", [
+            {"user_id": 2, "ts": "2024-01-02T00:00:00Z", "value": 0.0},
+        ])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM sess_out WHERE user_id = 1 ORDER BY session_start"
+        ).collect()
+    finally:
+        q.stop()
+
+    assert len(rows) == 2
+    assert rows[0]["n_events"] == 2 and rows[0]["sum_value"] == 3.0
+    # session end = last event + gap
+    assert (rows[0]["session_end"] - rows[0]["session_start"]).total_seconds() == 40 * 60
+    assert rows[1]["n_events"] == 1 and rows[1]["sum_value"] == 5.0
+
+
+def test_streaming_session_stats_batch_matches_sessionize(spark):
+    """On a batch frame, session_window grouping agrees with the
+    lag+cumsum sessionize() formulation."""
+    import datetime as dt
+
+    from prometheus_spark.pipeline import sessionize, streaming_session_stats
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(5):
+        t = base
+        for burst in range(3):
+            for i in range(4):
+                rows.append((eid, u, t, 1.0))
+                t += dt.timedelta(minutes=7)
+                eid += 1
+            t += dt.timedelta(minutes=45)  # > 30m gap => new session
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    sw = streaming_session_stats(df, gap_minutes=30)
+    assert sw.count() == 15  # 5 users x 3 sessions
+    agg = (
+        sessionize(df, gap_minutes=30)
+        .groupBy("user_id", "session_seq")
+        .count()
+    )
+    assert agg.count() == 15
+    assert sw.agg({"n_events": "sum"}).collect()[0][0] == 60
