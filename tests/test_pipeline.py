@@ -646,3 +646,55 @@ def test_shard_corpus_positions(spark):
     again = {(r["doc_id"], r["shard"], r["shard_pos"])
              for r in shard_corpus(df, n_shards=8).collect()}
     assert again == {(r["doc_id"], r["shard"], r["shard_pos"]) for r in out}
+
+
+def test_paragraph_dedup_invariants_random_corpus(spark):
+    """Global invariants on a seeded random corpus: kept paragraphs
+    are exactly the distinct ones (each kept once), counts reconcile."""
+    import random
+
+    from prometheus_spark.pipeline import paragraph_dedup
+
+    rng = random.Random(42)
+    pool = [f"paragraph {i} body text" for i in range(30)]
+    docs = []
+    for d in range(60):
+        n = rng.randint(0, 6)
+        docs.append((d, "\n\n".join(rng.choice(pool) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    out = paragraph_dedup(df).collect()
+    assert len(out) == 60
+    kept = []
+    for r in out:
+        if r["clean_text"]:
+            kept.extend(r["clean_text"].split("\n\n"))
+    distinct_in_corpus = {
+        p for _, t in docs for p in t.split("\n\n") if p
+    }
+    # each distinct paragraph survives exactly once, corpus-wide
+    assert sorted(kept) == sorted(distinct_in_corpus)
+    total_paras = sum(len([p for p in t.split("\n\n") if p]) for _, t in docs)
+    assert sum(r["n_removed"] for r in out) == total_paras - len(distinct_in_corpus)
+
+
+def test_c4_clean_idempotent(spark):
+    from prometheus_spark.pipeline import c4_clean
+
+    df = spark.createDataFrame(
+        [
+            (1, "Keep this proper line.\nbad line\nAnother one to keep!\nx.\nWe use javascript here."),
+            (2, "no survivors"),
+        ],
+        "doc_id long, text string",
+    )
+    once = c4_clean(df).select("doc_id", F.col("clean_text").alias("text"))
+    joined = {
+        r["doc_id"]: r
+        for r in c4_clean(once).alias("a")
+        .join(c4_clean(df).alias("b"), "doc_id")
+        .selectExpr("doc_id", "a.clean_text AS again", "b.clean_text AS first")
+        .collect()
+    }
+    for r in joined.values():
+        assert r["again"] == r["first"]
