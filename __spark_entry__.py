@@ -382,12 +382,13 @@ _DRIVER_WINDOW = [
     "tpch_top_orders_per_segment",
     "events_hourly_stats",
     "events_sessionization",
-    # text pipeline (7)
+    # text pipeline (4)
+    # (lang_id / fingerprint / repetition_ratio rotated out in r5 to admit
+    # doc_split_corpus / doc_shard_corpus / events_session_window — all
+    # three rotated-out entries were driver-green in r3 AND r4 and remain
+    # declared below the window and oracle-replica-verified)
     "doc_token_count",
     "doc_quality_score",
-    "doc_lang_id",
-    "doc_fingerprint",
-    "doc_repetition_ratio",
     "doc_topk_ngrams",
     "doc_sample_stratified",
     # dedup (6)
@@ -420,6 +421,10 @@ _DRIVER_WINDOW = [
     "doc_subword_stats",
     "doc_c4_filter",
     "doc_dsir_weights",
+    # splits / sharding / native session windows (3, new in r5)
+    "doc_split_corpus",
+    "doc_shard_corpus",
+    "events_session_window",
 ]
 
 

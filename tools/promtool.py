@@ -8,11 +8,32 @@ Usage::
 
     python tools/promtool.py check rules rules1.yml [rules2.yml ...]
     python tools/promtool.py check config prometheus.yml
+    python tools/promtool.py check web-config web.yml [more.yml ...]
     python tools/promtool.py check metrics < exposition.txt
+    python tools/promtool.py check service-discovery <config.yml> <job>
+    python tools/promtool.py check healthy|ready <server-url>
     python tools/promtool.py test rules tests.yml [more.yml ...]
     python tools/promtool.py query instant <samples_parquet> <expr> [--time ms]
     python tools/promtool.py query range <samples_parquet> <expr> \
         --start ms --end ms --step ms
+    python tools/promtool.py query series <samples_parquet> <match...> \
+        [--start ms --end ms]
+    python tools/promtool.py query labels <samples_parquet> <name> \
+        [--start ms --end ms]
+    python tools/promtool.py query analyze <samples_parquet> \
+        [--type histogram] [--duration ms]
+    python tools/promtool.py tsdb list <block_store_dir>
+    python tools/promtool.py tsdb analyze <block_store_dir> [topN]
+    python tools/promtool.py tsdb dump <block_store_dir> [--match expr ...]
+    python tools/promtool.py tsdb dump-openmetrics <block_store_dir> [...]
+    python tools/promtool.py tsdb bench write <samples_parquet> [...]
+    python tools/promtool.py tsdb create-blocks-from openmetrics <in> <out>
+    python tools/promtool.py tsdb create-blocks-from rules <store> <rules> <out>
+    python tools/promtool.py push metrics <remote-write-url> <file> [...]
+    python tools/promtool.py debug pprof|metrics|all <server-url> [--output f]
+    python tools/promtool.py promql format '<expr>'
+    python tools/promtool.py promql label-matchers set|delete [-t =] \
+        '<expr>' <name> [<value>]
 """
 
 from __future__ import annotations
@@ -763,7 +784,8 @@ def main(argv: list[str]) -> int:
         flags = {a: "" for a in argv[2:] if a.startswith("--")}
         pos = [a for a in argv[2:] if not a.startswith("--")]
         return push_metrics(pos[0], pos[1:], flags)
-    if len(argv) >= 2 and argv[0] == "tsdb" and argv[1] == "blocks" and len(argv) >= 3:
+    if len(argv) >= 3 and argv[0] == "tsdb" and argv[1] in ("blocks", "list"):
+        # the reference names this subcommand ``tsdb list`` (main.go:269)
         return tsdb_blocks(argv[2])
     if len(argv) >= 2 and argv[0] == "tsdb" and argv[1] == "analyze" and len(argv) >= 3:
         return tsdb_analyze(argv[2], int(argv[3]) if len(argv) > 3 else 10)
