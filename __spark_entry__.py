@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_paragraphs"] = lambda s, d: _pipe_paragraph_dedup(s, d)
     q["doc_subword_stats"] = lambda s, d: _pipe_subword(s, d)
     q["doc_c4_filter"] = lambda s, d: _pipe_c4(s, d)
+    q["doc_gopher_quality"] = lambda s, d: _pipe_gopher(s, d)
     q["doc_dsir_weights"] = lambda s, d: _pipe_dsir(s, d)
     q["doc_split_corpus"] = lambda s, d: _pipe_split(s, d)
     q["doc_shard_corpus"] = lambda s, d: _pipe_shard(s, d)
@@ -382,15 +383,15 @@ _DRIVER_WINDOW = [
     "tpch_top_orders_per_segment",
     "events_hourly_stats",
     "events_sessionization",
-    # text pipeline (4)
-    # (lang_id / fingerprint / repetition_ratio rotated out in r5 to admit
-    # doc_split_corpus / doc_shard_corpus / events_session_window — all
-    # three rotated-out entries were driver-green in r3 AND r4 and remain
-    # declared below the window and oracle-replica-verified)
+    # text pipeline (3)
+    # (lang_id / fingerprint / repetition_ratio / sample_stratified rotated
+    # out in r5 to admit doc_split_corpus / doc_shard_corpus /
+    # events_session_window / doc_gopher_quality — all rotated-out entries
+    # were driver-green in r3 AND r4 and remain declared below the window
+    # and oracle-replica-verified)
     "doc_token_count",
     "doc_quality_score",
     "doc_topk_ngrams",
-    "doc_sample_stratified",
     # dedup (6)
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -421,6 +422,7 @@ _DRIVER_WINDOW = [
     "doc_subword_stats",
     "doc_c4_filter",
     "doc_dsir_weights",
+    "doc_gopher_quality",
     # splits / sharding / native session windows (3, new in r5)
     "doc_split_corpus",
     "doc_shard_corpus",
@@ -1028,6 +1030,34 @@ def _pipe_c4(spark, sf_dir):
         "doc_id", "lang", f"{_C4_AUGMENT} AS text"
     )
     return c4_clean(docs)
+
+
+# Structure injected for the Gopher-rules entry: a doc_id%5-dependent
+# bullet line, a doc_id%7-dependent ellipsis line, doc_id%11-dependent
+# '#' symbols, and a lang-dependent stopword tail — exercises every rule
+# on the single-line synthetic corpus.  The oracle evaluates the same
+# SQL expression.
+_GOPHER_AUGMENT = (
+    "text || chr(10) || "
+    "(CASE WHEN doc_id % 5 = 0 THEN '- bullet item one' "
+    " ELSE 'a plain middle line' END) || chr(10) || "
+    "(CASE WHEN doc_id % 7 = 0 THEN 'a trailing teaser...' "
+    " ELSE 'a steady closing line' END) || "
+    "(CASE WHEN doc_id % 11 = 0 THEN ' ## ##' ELSE '' END) || chr(10) || "
+    "(CASE WHEN lang = 'en' THEN 'that have with' ELSE 'sans mots requis' END)"
+)
+
+
+def _pipe_gopher(spark, sf_dir):
+    """Gopher/MassiveWeb quality rules over the augmented corpus;
+    bullet/ellipsis thresholds tightened to 0.2 so the injected
+    structure (1 of 4 lines) actually trips them."""
+    from prometheus_spark.pipeline import gopher_quality
+
+    docs = _tbl(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", f"{_GOPHER_AUGMENT} AS text"
+    )
+    return gopher_quality(docs, max_bullet_frac=0.2, max_ellipsis_frac=0.2)
 
 
 def _pipe_dsir(spark, sf_dir):
@@ -2340,6 +2370,67 @@ SELECT doc_id,
        CAST(len(kept) AS BIGINT) AS n_kept,
        len(kept) >= 2 AS keep
 FROM k
+"""
+
+    # Gopher/MassiveWeb quality rules over the same augmented corpus as
+    # the Spark entry (bullet/ellipsis thresholds 0.2; other thresholds
+    # are the Rae et al. 2021 Appendix A.1.1 defaults)
+    o["doc_gopher_quality"] = rf"""
+WITH d AS (SELECT doc_id, {_GOPHER_AUGMENT} AS t FROM documents),
+w AS (SELECT doc_id, t,
+        list_filter(string_split_regex(trim(t), '\s+'), x -> x <> '') AS ws,
+        list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+                    x -> x <> '') AS ls
+      FROM d),
+s AS (SELECT doc_id,
+        CAST(len(ws) AS BIGINT) AS n_words,
+        len(ls) AS n_lines,
+        len(t) - len(replace(t, '#', '')) AS n_hash,
+        (len(t) - len(replace(t, '...', ''))) / 3.0 AS n_ell,
+        list_sum(list_transform(ws, x -> len(x))) AS sum_wl,
+        len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+        len(list_filter(ls, x -> regexp_matches(x, '^[-*•·]'))) AS n_bullet,
+        len(list_filter(ls, x -> regexp_matches(x, '(\.\.\.|…)$'))) AS n_elll,
+        (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'the')
+              THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'be')
+              THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'to')
+              THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'of')
+              THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'and')
+              THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'that')
+              THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'have')
+              THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'with')
+              THEN 1 ELSE 0 END) AS n_stop_hits
+      FROM w),
+r AS (SELECT doc_id, n_words,
+        CASE WHEN n_words > 0 THEN ROUND(sum_wl / n_words, 6)
+             ELSE 0.0 END AS mean_word_len,
+        CASE WHEN n_words > 0 THEN ROUND((n_hash + n_ell) / n_words, 6)
+             ELSE 0.0 END AS symbol_ratio,
+        CASE WHEN n_lines > 0 THEN ROUND(n_bullet / (n_lines * 1.0), 6)
+             ELSE 0.0 END AS frac_bullet_lines,
+        CASE WHEN n_lines > 0 THEN ROUND(n_elll / (n_lines * 1.0), 6)
+             ELSE 0.0 END AS frac_ellipsis_lines,
+        CASE WHEN n_words > 0 THEN ROUND(n_alpha / (n_words * 1.0), 6)
+             ELSE 0.0 END AS frac_alpha_words,
+        CAST(n_stop_hits AS BIGINT) AS n_stop_hits
+      FROM s)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, frac_bullet_lines,
+       frac_ellipsis_lines, frac_alpha_words, n_stop_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio < 0.1
+        AND frac_bullet_lines < 0.2
+        AND frac_ellipsis_lines < 0.2
+        AND frac_alpha_words > 0.8
+        AND n_stop_hits >= 2) AS keep
+FROM r
 """
 
     # DSIR hashed-ngram importance weights toward the lang='en' subset

@@ -599,3 +599,107 @@ def shard_corpus(
         .withColumn("shard_pos", F.row_number().over(w).cast("long"))
         .drop("__ord")
     )
+
+
+# --- Gopher quality rules ----------------------------------------------
+
+#: The required-stopword set from the MassiveWeb filter (Gopher,
+#: Rae et al. 2021, Appendix A.1.1): a document must contain at least
+#: ``min_stop_hits`` of these as whole words.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality(
+    df: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style document quality rules (MassiveWeb heuristics,
+    Rae et al. 2021 Appendix A.1.1) as one map-only column plan.
+
+    Emits one row per document with every rule's statistic plus the
+    combined ``keep`` verdict: word count in [min_words, max_words],
+    mean word length in [min_mean_word_len, max_mean_word_len],
+    ``#``/``...`` symbol-to-word ratio below ``max_symbol_ratio``,
+    fraction of bullet-initial lines below ``max_bullet_frac``,
+    fraction of ellipsis-terminal lines below ``max_ellipsis_frac``,
+    fraction of words containing an alphabetic character above
+    ``min_alpha_frac``, and at least ``min_stop_hits`` of ``stopwords``
+    present as whole words.
+
+    All ratios are rounded to 6 decimals so results are exactly
+    reproducible across engines (the driver's DuckDB oracle compares
+    values).  Scale: pure per-row array expressions inside whole-stage
+    codegen — no UDF, no shuffle; the parquet scan prunes to
+    (id, text).
+    """
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
+    )
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        words.alias("__w"),
+        lines.alias("__l"),
+    )
+
+    n_words = F.size("__w").cast("long")
+    n_lines = F.size("__l")
+    # '#' occurrences + '...' occurrences (each 3 chars), over the word count
+    n_hash = F.length("__t") - F.length(F.replace(F.col("__t"), F.lit("#")))
+    n_ellipsis = (
+        F.length("__t") - F.length(F.replace(F.col("__t"), F.lit("...")))
+    ) / F.lit(3)
+    mean_wl = F.aggregate(
+        "__w", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    ).cast("double")
+    n_alpha = F.size(F.filter("__w", lambda w: w.rlike("[A-Za-z]")))
+    n_bullet = F.size(F.filter("__l", lambda s: s.rlike("^[-*•·]")))
+    n_ell_lines = F.size(F.filter("__l", lambda s: s.rlike(r"(\.\.\.|…)$")))
+    lower_words = F.transform("__w", lambda w: F.lower(w))
+    stop_hits = None
+    for s in stopwords:
+        hit = F.array_contains(lower_words, s).cast("long")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+
+    def _ratio(num, den):
+        return F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0))
+
+    stats = staged.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        _ratio(mean_wl, n_words).alias("mean_word_len"),
+        _ratio(n_hash + n_ellipsis, n_words).alias("symbol_ratio"),
+        _ratio(n_bullet, n_lines).alias("frac_bullet_lines"),
+        _ratio(n_ell_lines, n_lines).alias("frac_ellipsis_lines"),
+        _ratio(n_alpha, n_words).alias("frac_alpha_words"),
+        stop_hits.alias("n_stop_hits"),
+    )
+    return stats.withColumn(
+        "keep",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") < max_symbol_ratio)
+        & (F.col("frac_bullet_lines") < max_bullet_frac)
+        & (F.col("frac_ellipsis_lines") < max_ellipsis_frac)
+        & (F.col("frac_alpha_words") > min_alpha_frac)
+        & (F.col("n_stop_hits") >= min_stop_hits),
+    )

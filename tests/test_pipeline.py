@@ -698,3 +698,37 @@ def test_c4_clean_idempotent(spark):
     }
     for r in joined.values():
         assert r["again"] == r["first"]
+
+
+def test_gopher_quality_rules(spark):
+    from prometheus_spark.pipeline import gopher_quality
+
+    good = "the cat sat with all of them and that was fine " * 10
+    df = spark.createDataFrame(
+        [
+            (1, good),  # passes every rule
+            (2, "the and of that " * 3),  # 12 words < min_words
+            (3, good + " ##### ##### ##### ##### #####"),  # symbol ratio
+            (4, "\n".join(["- item " + good[:40]] * 9 + [good])),  # bullets
+            (5, good.replace("the", "000").replace("and", "111")
+                 .replace("that", "222").replace("with", "333")
+                 .replace("of", "444")),  # no stopwords + low alpha frac
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(df, min_words=50).collect()}
+    assert out[1]["keep"] and out[1]["n_stop_hits"] >= 5
+    assert not out[2]["keep"] and out[2]["n_words"] == 12
+    assert not out[3]["keep"] and out[3]["symbol_ratio"] >= 0.1
+    assert not out[4]["keep"] and out[4]["frac_bullet_lines"] == 0.9
+    assert not out[5]["keep"] and out[5]["n_stop_hits"] == 0
+
+
+def test_gopher_quality_empty_text_safe(spark):
+    from prometheus_spark.pipeline import gopher_quality
+
+    df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    for r in rows.values():
+        assert r["n_words"] == 0 and not r["keep"]
+        assert r["mean_word_len"] == 0.0 and r["frac_alpha_words"] == 0.0
