@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_subword_stats"] = lambda s, d: _pipe_subword(s, d)
     q["doc_c4_filter"] = lambda s, d: _pipe_c4(s, d)
     q["doc_gopher_quality"] = lambda s, d: _pipe_gopher(s, d)
+    q["stream_hourly_stats"] = lambda s, d: _pipe_stream_window(s, d)
     q["doc_dsir_weights"] = lambda s, d: _pipe_dsir(s, d)
     q["doc_split_corpus"] = lambda s, d: _pipe_split(s, d)
     q["doc_shard_corpus"] = lambda s, d: _pipe_shard(s, d)
@@ -382,7 +383,8 @@ _DRIVER_WINDOW = [
     "tpch_revenue_by_nation",
     "tpch_top_orders_per_segment",
     "events_hourly_stats",
-    "events_sessionization",
+    # (events_sessionization rotated out in r5 — green in r3 AND r4; its
+    # native session_window successor events_session_window is in-window)
     # text pipeline (3)
     # (lang_id / fingerprint / repetition_ratio / sample_stratified rotated
     # out in r5 to admit doc_split_corpus / doc_shard_corpus /
@@ -423,6 +425,7 @@ _DRIVER_WINDOW = [
     "doc_c4_filter",
     "doc_dsir_weights",
     "doc_gopher_quality",
+    "stream_hourly_stats",
     # splits / sharding / native session windows (3, new in r5)
     "doc_split_corpus",
     "doc_shard_corpus",
@@ -1107,6 +1110,39 @@ def _pipe_stream_increase(spark, sf_dir):
     )
 
 
+def _pipe_stream_window(spark, sf_dir):
+    """Tumbling-window streaming aggregation (watermark + F.window) run
+    as a real Structured Streaming query in append mode: only windows
+    the final watermark (max ts − 10 min) has passed are emitted, and
+    the oracle applies the same finalization cutoff in SQL."""
+    import tempfile
+    import uuid
+
+    from prometheus_spark.streaming import streaming_windowed_stats
+
+    name = f"stream_win_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .selectExpr("event_type AS sig", "ts", "value")
+    )
+    q = (
+        streaming_windowed_stats(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="win_chk_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _pipe_session_window(spark, sf_dir):
     """Native session_window sessionization (batch mode of the
     streaming operator) — gap-merged per-user sessions with
@@ -1687,6 +1723,28 @@ SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
 SELECT date_trunc('hour', ts) AS hour, event_type,
        COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+
+    # streaming tumbling-window agg: append mode emits a window only
+    # once the watermark (max ts - 10 min) passes its end — the cutoff
+    # is applied identically here
+    o["stream_hourly_stats"] = """
+WITH mx AS (SELECT MAX(ts) AS m FROM events),
+agg AS (
+  SELECT event_type AS sig,
+         date_trunc('hour', ts) AS window_start,
+         COUNT(*) AS n,
+         ROUND(SUM(value), 6) AS sum_value,
+         ROUND(AVG(value), 6) AS avg_value,
+         MIN(value) AS min_value,
+         MAX(value) AS max_value
+  FROM events GROUP BY 1, 2
+)
+SELECT sig, window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       n, sum_value, avg_value, min_value, max_value
+FROM agg, mx
+WHERE window_start + INTERVAL 1 HOUR <= m - INTERVAL 10 MINUTE
 """
 
     # --- pipeline: text ------------------------------------------------------

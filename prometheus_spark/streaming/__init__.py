@@ -17,6 +17,9 @@ from prometheus_spark.streaming.rules import (
 from prometheus_spark.streaming.stateful import (
     streaming_counter_increase,
 )
+from prometheus_spark.streaming.windows import (
+    streaming_windowed_stats,
+)
 
 __all__ = [
     "AlertingRule",
@@ -29,5 +32,6 @@ __all__ = [
     "parse_rule_groups",
     "samples_stream_from_events",
     "streaming_counter_increase",
+    "streaming_windowed_stats",
     "with_ooo_window",
 ]

@@ -1259,3 +1259,73 @@ def test_streaming_session_stats_batch_matches_sessionize(spark):
     )
     assert agg.count() == 15
     assert sw.agg({"n_events": "sum"}).collect()[0][0] == 60
+
+
+def test_streaming_windowed_stats_append_and_late_drop(spark, tmp_path):
+    """Tumbling-window agg over a stream: batch-1 windows emit once
+    batch 2 pushes the watermark past their end, each exactly once; a
+    batch-3 row older than the watermark is dropped by the engine."""
+    import json as _json
+
+    from prometheus_spark.streaming import streaming_windowed_stats
+
+    src = tmp_path / "win_src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        tmp = src / (name + ".tmp")
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        tmp.rename(src / name)
+
+    write_batch("b1.json", [
+        {"sig": "a", "ts": "2024-01-01T00:05:00Z", "value": 1.0},
+        {"sig": "a", "ts": "2024-01-01T00:25:00Z", "value": 3.0},
+        {"sig": "b", "ts": "2024-01-01T00:40:00Z", "value": 10.0},
+    ])
+
+    stream = (
+        spark.readStream.schema("sig string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        streaming_windowed_stats(stream, window="30 minutes",
+                                 watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "win_chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # nothing finalized yet: watermark is 00:40 - 10m = 00:30, which
+        # has not passed the [00:30, 01:00) window, and [00:00, 00:30)
+        # needed a batch boundary to flush
+        # batch 2 pushes the watermark to 01:50
+        write_batch("b2.json", [
+            {"sig": "b", "ts": "2024-01-01T02:00:00Z", "value": 20.0},
+        ])
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM win_out").collect()
+        # batch 3: a late row inside the long-finalized first window
+        # must be dropped, not re-emitted or double-counted
+        write_batch("b3.json", [
+            {"sig": "a", "ts": "2024-01-01T00:10:00Z", "value": 99.0},
+            {"sig": "b", "ts": "2024-01-01T02:10:00Z", "value": 30.0},
+        ])
+        q.processAllAvailable()
+        final = spark.sql("SELECT * FROM win_out").collect()
+    finally:
+        q.stop()
+
+    by_key = {(r["sig"], r["window_start"].isoformat()): r for r in emitted}
+    assert by_key[("a", "2024-01-01T00:00:00")]["n"] == 2
+    assert by_key[("a", "2024-01-01T00:00:00")]["sum_value"] == 4.0
+    assert by_key[("b", "2024-01-01T00:30:00")]["n"] == 1
+    # exactly-once: the late 00:10 row changed nothing
+    assert {(r["sig"], r["window_start"].isoformat(), r["n"])
+            for r in final} == {(r["sig"], r["window_start"].isoformat(), r["n"])
+                                for r in emitted}
