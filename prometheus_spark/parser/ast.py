@@ -70,9 +70,12 @@ class DurationValue:
     promql/durations.go) — resolved against the evaluation context.
 
     ``fn`` maps {"step", "range", "start", "end"} (seconds) → seconds.
+    ``src`` is a reparseable PromQL rendering of the expression (set by
+    the parser) so the printer can round-trip computed durations.
     """
 
     fn: object  # Callable[[dict], float]
+    src: str = ""
 
     def resolve_ms(self, qc: dict) -> int:
         return int(round(self.fn(qc) * 1000))

@@ -16,7 +16,7 @@ def _duration_ms(v) -> Any:
         return None
     if isinstance(v, A.DurationValue):
         # context-dependent durations (step()/range()) serialize symbolically
-        return {"type": "DurationExpr"}
+        return {"type": "DurationExpr", "src": v.src}
     return v
 
 

@@ -132,6 +132,8 @@ class Parser:
                 return fill_lhs, fill_rhs
             self.expect("OP", "(")
             neg = bool(self.accept("OP", "-"))
+            if not neg:
+                self.accept("OP", "+")  # the printer signs infinities
             tok = self.next()
             if tok.kind != "NUMBER":
                 raise ParseError(f"fill: expected number at {tok.pos}")
@@ -190,9 +192,18 @@ class Parser:
     # --- unary / postfix -------------------------------------------------
     def parse_unary(self) -> Expr:
         if self.accept("OP", "-"):
-            return UnaryExpr("-", self.parse_unary())
+            inner = self.parse_unary()
+            # fold sign into number literals like the reference parser
+            # (generated_parser.y unary_expr: NumberLiteral negated in
+            # place) so `-Inf`/`-1` round-trip as literals
+            if isinstance(inner, NumberLiteral):
+                return NumberLiteral(-inner.value)
+            return UnaryExpr("-", inner)
         if self.accept("OP", "+"):
-            return UnaryExpr("+", self.parse_unary())
+            inner = self.parse_unary()
+            if isinstance(inner, NumberLiteral):
+                return inner
+            return UnaryExpr("+", inner)
         return self.parse_postfix(self.parse_atom())
 
     def parse_postfix(self, e: Expr) -> Expr:
@@ -254,7 +265,13 @@ class Parser:
         if offset_ms is not None:
             from prometheus_spark.parser.ast import DurationValue
 
-            if isinstance(target.offset_ms, DurationValue) or isinstance(
+            if target.offset_ms == 0 and not isinstance(
+                target.offset_ms, DurationValue
+            ):
+                # first offset modifier — no need to compose with the
+                # implicit 0 (keeps DurationValue src reparseable)
+                target.offset_ms = offset_ms
+            elif isinstance(target.offset_ms, DurationValue) or isinstance(
                 offset_ms, DurationValue
             ):
                 prev, new = target.offset_ms, offset_ms
@@ -268,7 +285,19 @@ class Parser:
                     if isinstance(new, DurationValue)
                     else (lambda qc, v=new: v / 1000.0)
                 )
-                target.offset_ms = DurationValue(lambda qc: pf(qc) + nf(qc))
+                from prometheus_spark.parser.printer import format_duration_ms
+
+                def _osrc(v):
+                    return (
+                        v.src
+                        if isinstance(v, DurationValue)
+                        else format_duration_ms(int(v))
+                    )
+
+                target.offset_ms = DurationValue(
+                    lambda qc: pf(qc) + nf(qc),
+                    f"({_osrc(prev)} + {_osrc(new)})",
+                )
             else:
                 target.offset_ms += offset_ms
         if at is not None:
@@ -334,6 +363,8 @@ class Parser:
         else:
             self.accept("OP", "+")
         prim = self._dur_primary_nosign()
+        if sign == 1.0:
+            return self._dur_to_ms(prim)
         return self._dur_to_ms(_dur_combine("*", sign, prim))
 
     def _dur_primary_nosign(self):
@@ -372,7 +403,7 @@ class Parser:
             self.expect("OP", "(")
             self.expect("OP", ")")
             key = t.text.lower()
-            return DurationValue(lambda qc, k=key: qc[k])
+            return DurationValue(lambda qc, k=key: qc[k], f"{key}()")
         if t.kind == "IDENT" and t.text.lower() in ("min_of", "max_of"):
             self.next()
             self.expect("OP", "(")
@@ -567,8 +598,30 @@ def _dur_combine(op, left, right, pick=None):
     if isinstance(left, DurationValue) or isinstance(right, DurationValue):
         lf = left.fn if isinstance(left, DurationValue) else (lambda qc, v=left: v)
         rf = right.fn if isinstance(right, DurationValue) else (lambda qc, v=right: v)
-        return DurationValue(lambda qc: apply(lf(qc), rf(qc)))
+        if op == "minmax":
+            src = (
+                f"{'min_of' if pick is min else 'max_of'}"
+                f"({_dur_src(left)}, {_dur_src(right)})"
+            )
+        elif op == "*" and left == -1.0:
+            # produced only by unary minus (parse_duration_expr)
+            src = f"-{_dur_src(right)}"
+        else:
+            src = f"({_dur_src(left)} {op} {_dur_src(right)})"
+        return DurationValue(lambda qc: apply(lf(qc), rf(qc)), src)
     return apply(left, right)
+
+
+def _dur_src(v) -> str:
+    """Reparseable rendering of a duration operand: a DurationValue's
+    recorded source, or a folded constant in seconds re-encoded as a
+    duration literal (ms precision)."""
+    from prometheus_spark.parser.ast import DurationValue
+    from prometheus_spark.parser.printer import format_duration_ms
+
+    if isinstance(v, DurationValue):
+        return v.src
+    return format_duration_ms(int(round(float(v) * 1000.0)))
 
 
 def _number(text: str) -> float:

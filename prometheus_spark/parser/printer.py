@@ -107,6 +107,8 @@ def _fmt_matcher(m) -> str:
 
 def _dur(v, what: str = "duration") -> str:
     if isinstance(v, DurationValue):
+        if v.src:
+            return v.src
         raise FormatError(f"cannot format a computed {what} expression")
     return format_duration_ms(int(v))
 
@@ -121,8 +123,8 @@ def _at_offset_suffix(at, offset_ms) -> str:
         else:
             out += f" @ {at / 1000.0:.3f}"
     if isinstance(offset_ms, DurationValue):
-        raise FormatError("cannot format a computed offset expression")
-    if offset_ms:
+        out += f" offset {_dur(offset_ms, 'offset')}"
+    elif offset_ms:
         if offset_ms > 0:
             out += f" offset {format_duration_ms(offset_ms)}"
         else:
@@ -143,7 +145,9 @@ def _vector_selector_str(
         label_strings.append(_fmt_matcher(m))
     out = node.name or ""
     if label_strings:
-        out += "{" + ",".join(sorted(label_strings)) + "}"
+        # source order, as the reference does (printer.go VectorSelector
+        # String iterates the matcher slice) — keeps round-trips lossless
+        out += "{" + ",".join(label_strings) + "}"
     if not with_modifiers:
         return out
     if node.at is not None:
@@ -158,8 +162,8 @@ def _vector_selector_str(
     elif node.smoothed:
         out += " smoothed"
     if isinstance(node.offset_ms, DurationValue):
-        raise FormatError("cannot format a computed offset expression")
-    if node.offset_ms > 0:
+        out += f" offset {_dur(node.offset_ms, 'offset')}"
+    elif node.offset_ms > 0:
         out += f" offset {format_duration_ms(node.offset_ms)}"
     elif node.offset_ms < 0:
         out += f" offset -{format_duration_ms(-node.offset_ms)}"
@@ -170,7 +174,10 @@ def _agg_op_str(node: AggregateExpr) -> str:
     out = node.op
     if node.has_grouping and node.without:
         out += " without (" + ", ".join(node.grouping) + ") "
-    elif node.has_grouping and node.grouping:
+    elif node.has_grouping:
+        # an explicit empty `by ()` is preserved (our AST distinguishes
+        # it from no grouping; the reference's cannot, so its String()
+        # collapses both — semantically identical either way)
         out += " by (" + ", ".join(node.grouping) + ") "
     return out
 
@@ -186,6 +193,11 @@ def _matching_str(node: BinaryExpr) -> str:
         if vm.labels or vm.on or many:
             tag = "on" if vm.on else "ignoring"
             out += f" {tag} (" + ", ".join(vm.labels) + ")"
+        elif vm.card == MatchCardinality.ONE_TO_ONE:
+            # an explicit empty `ignoring ()` on an arithmetic/comparison
+            # op (set ops default to a non-None many-to-many matching, so
+            # eliding there is lossless; here vm would otherwise be None)
+            out += " ignoring ()"
         if many:
             card = (
                 "left" if vm.card == MatchCardinality.MANY_TO_ONE else "right"
@@ -245,6 +257,11 @@ def to_promql(node: Expr) -> str:
             + to_promql(node.rhs)
         )
     if isinstance(node, UnaryExpr):
+        # avoid `-+Inf`/`++Inf`: _fmt_number signs infinities itself
+        if isinstance(node.expr, NumberLiteral) and node.expr.value == float(
+            "inf"
+        ):
+            return node.op + "Inf"
         return node.op + to_promql(node.expr)
     if isinstance(node, ParenExpr):
         return "(" + to_promql(node.expr) + ")"

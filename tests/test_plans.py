@@ -458,3 +458,43 @@ def test_c4_clean_map_only(spark, tmp_path):
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_gopher_quality_map_only(spark, tmp_path):
+    """gopher_quality is a pure per-row projection: no exchange, no
+    Python, and the scan prunes to (doc_id, text)."""
+    from prometheus_spark.pipeline import gopher_quality
+
+    path = str(tmp_path / "gq_docs")
+    spark.createDataFrame(
+        [(i, "the cat sat with that and of be to have", "en", "s", 40)
+         for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    qe = gopher_quality(docs)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_streaming_windowed_stats_batch_single_shuffle(spark, tmp_path):
+    """On a batch frame the windowed-stats plan is one keyed aggregation:
+    a partial aggregate below a single exchange (map-side combine), no
+    Python, no extra shuffle for the window projection."""
+    from prometheus_spark.streaming import streaming_windowed_stats
+
+    path = str(tmp_path / "win_ev")
+    spark.sql(
+        "SELECT id AS sig_id, timestamp_seconds(1704067200 + id * 60) AS ts,"
+        " CAST(id AS DOUBLE) AS value, CAST(id % 3 AS STRING) AS sig"
+        " FROM range(100)"
+    ).write.parquet(path)
+    ev = spark.read.parquet(path).select("sig", "ts", "value")
+
+    plan = streaming_windowed_stats(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan, plan
+    assert "partial" in plan.lower(), plan

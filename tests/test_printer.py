@@ -114,3 +114,68 @@ def test_utf8_label_name_quoting():
     )
     # quoted metric-name shorthand round-trips through the __name__ matcher
     assert to_promql(parse_expr('{"metric.name"}')) == '{__name__="metric.name"}'
+
+
+def test_printer_roundtrip_over_reference_corpus():
+    """For every eval expression in the reference's promqltest corpus,
+    parse → to_promql → parse must reproduce the identical AST (modulo
+    source positions, which astjson does not serialize).  Exercises the
+    printer against thousands of real queries, including ones expected
+    to fail at EVALUATION time (they still parse)."""
+    import glob
+    import re
+
+    from prometheus_spark.parser import parse_expr
+    from prometheus_spark.parser.astjson import ast_to_dict
+
+    instant = re.compile(
+        r"^eval(?:_(?:fail|warn|info|ordered))?\s+instant\s+at\s+\S+\s+(.*)$"
+    )
+    rng = re.compile(
+        r"^eval(?:_(?:fail|warn|info|ordered))?\s+range\s+from\s+\S+"
+        r"\s+to\s+\S+\s+step\s+\S+\s+(.*)$"
+    )
+    exprs = []
+    for path in sorted(
+        glob.glob("/root/reference/promql/promqltest/testdata/*.test")
+    ):
+        for line in open(path, encoding="utf-8"):
+            s = line.strip()
+            m = instant.match(s) or rng.match(s)
+            if m:
+                exprs.append(m.group(1))
+    assert len(exprs) > 1500, f"corpus extraction looks broken: {len(exprs)}"
+
+    def _norm(v):
+        # NaN != NaN would flag literal-NaN queries as divergent
+        if isinstance(v, float):
+            return "NaN" if v != v else v
+        if isinstance(v, dict):
+            return {k: _norm(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [_norm(x) for x in v]
+        return v
+
+    checked = parse_failures = 0
+    for q in exprs:
+        try:
+            ast1 = parse_expr(q)
+        except Exception:
+            # eval_fail lines may be parse-time failures; skip those
+            parse_failures += 1
+            continue
+        printed = to_promql(ast1)
+        ast2 = parse_expr(printed)
+        assert _norm(ast_to_dict(ast2)) == _norm(ast_to_dict(ast1)), (
+            f"round-trip diverged:\n  in:  {q}\n  out: {printed}"
+        )
+        # the multiline prettifier must also reparse to the same AST
+        pretty = prettify(ast1)
+        ast3 = parse_expr(pretty)
+        assert _norm(ast_to_dict(ast3)) == _norm(ast_to_dict(ast1)), (
+            f"prettify round-trip diverged:\n  in:  {q}\n  out: {pretty}"
+        )
+        checked += 1
+    # the corpus is overwhelmingly parseable — guard against silently
+    # skipping everything
+    assert checked > 1500 and parse_failures < 200, (checked, parse_failures)
