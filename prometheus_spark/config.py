@@ -35,6 +35,25 @@ def _dur_ms(v, default: int) -> int:
     return parse_duration_ms(str(v))
 
 
+_SIZE_UNITS = {
+    "B": 1, "KB": 1000, "MB": 1000**2, "GB": 1000**3, "TB": 1000**4,
+    "KIB": 1024, "MIB": 1024**2, "GIB": 1024**3, "TIB": 1024**4,
+}
+
+
+def _size_bytes(v) -> int:
+    """common/config.Size: '512MB', '64KiB', or a plain byte count."""
+    if v is None:
+        return 0
+    if isinstance(v, (int, float)):
+        return int(v)
+    s = str(v).strip()
+    for unit in sorted(_SIZE_UNITS, key=len, reverse=True):
+        if s.upper().endswith(unit):
+            return int(float(s[: -len(unit)]) * _SIZE_UNITS[unit])
+    return int(float(s))
+
+
 def _relabels(raw: Optional[list]) -> list[RelabelConfig]:
     out = []
     for rc in raw or []:
@@ -62,6 +81,13 @@ class ScrapeJobConfig:
     honor_labels: bool = False
     relabel_configs: list = field(default_factory=list)
     metric_relabel_configs: list = field(default_factory=list)
+    # scrape protections (config.go ScrapeConfig; 0 = unlimited)
+    sample_limit: int = 0
+    label_limit: int = 0
+    label_name_length_limit: int = 0
+    label_value_length_limit: int = 0
+    body_size_limit: int = 0  # bytes
+    target_limit: int = 0
     # raw scrape_config fields needed to re-derive the URL AFTER target
     # relabeling (scrape/target.go PopulateLabels: __scheme__,
     # __metrics_path__, __param_* are relabel-visible and -mutable)
@@ -512,6 +538,16 @@ def load_config(path: str) -> PromConfig:
                 metric_relabel_configs=_relabels(
                     sc.get("metric_relabel_configs")
                 ),
+                sample_limit=int(sc.get("sample_limit", 0)),
+                label_limit=int(sc.get("label_limit", 0)),
+                label_name_length_limit=int(
+                    sc.get("label_name_length_limit", 0)
+                ),
+                label_value_length_limit=int(
+                    sc.get("label_value_length_limit", 0)
+                ),
+                body_size_limit=_size_bytes(sc.get("body_size_limit", 0)),
+                target_limit=int(sc.get("target_limit", 0)),
                 scheme=scheme,
                 metrics_path=path_,
                 params=dict(sc.get("params") or {}),

@@ -4062,9 +4062,39 @@ def populate_targets(jobcfg, groups: list[TargetGroup]) -> list[ScrapeTarget]:
             final = {k: v for k, v in res.items() if not k.startswith("__")}
             final.setdefault("instance", address)
             out.append(
-                ScrapeTarget(url, labels=final, honor_labels=jobcfg.honor_labels)
+                ScrapeTarget(
+                    url,
+                    labels=final,
+                    honor_labels=jobcfg.honor_labels,
+                    limits=_job_limits(jobcfg),
+                )
             )
     return out
+
+
+def _job_limits(jobcfg):
+    """Per-job scrape protections → ScrapeLimits (None when all off)."""
+    from prometheus_spark.sources.scrape import ScrapeLimits
+
+    lims = ScrapeLimits(
+        sample_limit=getattr(jobcfg, "sample_limit", 0),
+        label_limit=getattr(jobcfg, "label_limit", 0),
+        label_name_length_limit=getattr(jobcfg, "label_name_length_limit", 0),
+        label_value_length_limit=getattr(
+            jobcfg, "label_value_length_limit", 0
+        ),
+        body_size_limit=getattr(jobcfg, "body_size_limit", 0),
+        target_limit=getattr(jobcfg, "target_limit", 0),
+    )
+    if not any(
+        (
+            lims.sample_limit, lims.label_limit,
+            lims.label_name_length_limit, lims.label_value_length_limit,
+            lims.body_size_limit, lims.target_limit,
+        )
+    ):
+        return None
+    return lims
 
 
 class DiscoveryManager:

@@ -33,6 +33,25 @@ PROTOBUF_CT = "application/vnd.google.protobuf"
 OPENMETRICS_CT = "application/openmetrics-text"
 
 
+class ScrapeLimitError(Exception):
+    """A scrape-protection limit was exceeded — the whole scrape is
+    discarded and the target reports up=0 (scrape.go errSampleLimit /
+    errBodySizeLimit / verifyLabelLimits)."""
+
+
+@dataclass
+class ScrapeLimits:
+    """Scrape protections (config.go ScrapeConfig, enforced in
+    scrape.go): 0 means unlimited, matching the reference defaults."""
+
+    sample_limit: int = 0  # post-metric-relabeling sample count
+    label_limit: int = 0  # labels per sample
+    label_name_length_limit: int = 0
+    label_value_length_limit: int = 0
+    body_size_limit: int = 0  # uncompressed response bytes
+    target_limit: int = 0  # targets per job/pool
+
+
 @dataclass
 class ScrapeTarget:
     url: str
@@ -40,6 +59,7 @@ class ScrapeTarget:
     # defaults to the host:port of the url like the reference
     labels: dict[str, str] = field(default_factory=dict)
     honor_labels: bool = False
+    limits: Optional[ScrapeLimits] = None  # falls back to the manager's
 
     def target_labels(self) -> dict[str, str]:
         out = dict(self.labels)
@@ -103,6 +123,7 @@ class ScrapeManager:
         targets: list[ScrapeTarget],
         metric_relabel: Optional[Callable[[dict], Optional[dict]]] = None,
         timeout_s: float = 10.0,
+        limits: Optional[ScrapeLimits] = None,
     ):
         os.makedirs(spool_dir, exist_ok=True)
         self.spool_dir = spool_dir
@@ -114,6 +135,7 @@ class ScrapeManager:
         self.targets = targets
         self.metric_relabel = metric_relabel
         self.timeout_s = timeout_s
+        self.limits = limits or ScrapeLimits()
         # family → {type, help, unit}, accumulated across scrapes — the
         # metadata store the /api/v1/metadata endpoint serves
         self.metadata: dict[str, dict] = {}
@@ -126,19 +148,54 @@ class ScrapeManager:
     # -- one scrape pass ----------------------------------------------
     def scrape_once(self, now_ms: Optional[int] = None) -> int:
         now_ms = int(time.time() * 1000) if now_ms is None else now_ms
+        # target_limit fails EVERY target of the over-limit job, not
+        # just the overflow (scrape.go scrapePool.sync
+        # refreshTargetLimitErr); per-job pools share this manager, so
+        # the count is per job label
+        job_counts: dict[str, int] = {}
+        for tgt in self.targets:
+            job = tgt.labels.get("job", "")
+            job_counts[job] = job_counts.get(job, 0) + 1
         written = 0
         for tgt in self.targets:
-            written += self._scrape_target(tgt, now_ms)
+            lim = tgt.limits or self.limits
+            over = bool(lim.target_limit) and (
+                job_counts[tgt.labels.get("job", "")] > lim.target_limit
+            )
+            written += self._scrape_target(tgt, now_ms, fail_all=over)
         return written
 
-    def _scrape_target(self, tgt: ScrapeTarget, now_ms: int) -> int:
+    def _check_label_limits(self, labels: dict, lim: ScrapeLimits) -> None:
+        """scrape.go verifyLabelLimits — any violation fails the scrape."""
+        if lim.label_limit and len(labels) > lim.label_limit:
+            raise ScrapeLimitError(
+                f"label_limit exceeded ({len(labels)} > {lim.label_limit})"
+            )
+        for k, v in labels.items():
+            if (
+                lim.label_name_length_limit
+                and len(k) > lim.label_name_length_limit
+            ):
+                raise ScrapeLimitError(f"label name too long: {k!r}")
+            if (
+                lim.label_value_length_limit
+                and len(v) > lim.label_value_length_limit
+            ):
+                raise ScrapeLimitError(f"label value too long for {k!r}")
+
+    def _scrape_target(
+        self, tgt: ScrapeTarget, now_ms: int, fail_all: bool = False
+    ) -> int:
         tl = tgt.target_labels()
+        lim = tgt.limits or self.limits
         start = time.monotonic()
         rows: list = []
         exemplar_rows: list = []
         scraped = post_relabel = series_added = 0
         up = 0.0
         try:
+            if fail_all:
+                raise ScrapeLimitError("target_limit exceeded")
             req = urllib.request.Request(
                 tgt.url,
                 headers={
@@ -147,7 +204,12 @@ class ScrapeManager:
                 },
             )
             with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
-                body = resp.read()
+                if lim.body_size_limit:
+                    body = resp.read(lim.body_size_limit + 1)
+                    if len(body) > lim.body_size_limit:
+                        raise ScrapeLimitError("body_size_limit exceeded")
+                else:
+                    body = resp.read()
                 ct = resp.headers.get("Content-Type", "text/plain")
             parsed, meta, raw_exemplars = parse_scrape_body(body, ct, now_ms)
             self.metadata.update(meta)
@@ -161,6 +223,11 @@ class ScrapeManager:
                     if labels is None:
                         continue
                 post_relabel += 1
+                self._check_label_limits(labels, lim)
+                if lim.sample_limit and post_relabel > lim.sample_limit:
+                    raise ScrapeLimitError(
+                        f"sample_limit exceeded (> {lim.sample_limit})"
+                    )
                 sigs.add(tuple(sorted(labels.items())))
                 rows.append((labels, t, v))
             series_added = len(sigs)
@@ -183,8 +250,10 @@ class ScrapeManager:
                      "labels": exl, "value": exv}
                 )
             up = 1.0
-        except Exception:  # noqa: BLE001 — a failed scrape reports up=0
+        except Exception:  # noqa: BLE001 — a failed scrape (including a
+            # ScrapeLimitError) discards every sample and reports up=0
             rows = []
+            exemplar_rows = []
         duration = time.monotonic() - start
         # report series (scrape.go report()): target labels only
         for name, value in (

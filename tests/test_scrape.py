@@ -250,3 +250,130 @@ def test_scrape_exemplars_to_query_exemplars(spark, tmp_path):
     assert resp["data"][0]["exemplars"] == [
         {"labels": {"trace_id": "zero"}, "value": "1.5", "timestamp": 0.0}
     ]
+
+
+def _spool_rows(tmp_path, sub):
+    import glob as _glob
+    import json as _json
+
+    out = []
+    for p in sorted(_glob.glob(f"{tmp_path}/{sub}/*.json")):
+        with open(p) as f:
+            out.extend(_json.loads(x) for x in f if x.strip())
+    return out
+
+
+def test_scrape_sample_limit_fails_whole_scrape(tmp_path, exposition_server):
+    from prometheus_spark.sources.scrape import ScrapeLimits
+
+    mgr = ScrapeManager(
+        str(tmp_path / "spool"),
+        [ScrapeTarget(exposition_server, labels={"job": "node"})],
+        limits=ScrapeLimits(sample_limit=1),
+    )
+    mgr.scrape_once(now_ms=60_000)
+    rows = {r["labels"]["__name__"]: r for r in _spool_rows(tmp_path, "spool")}
+    # every scraped sample discarded; only report series remain
+    assert "http_requests_total" not in rows and "node_load1" not in rows
+    assert rows["up"]["value"] == 0.0
+    # the count that tripped the limit is still reported
+    assert rows["scrape_samples_scraped"]["value"] == 2.0
+
+
+def test_scrape_body_size_limit(tmp_path, exposition_server):
+    from prometheus_spark.sources.scrape import ScrapeLimits
+
+    mgr = ScrapeManager(
+        str(tmp_path / "spool"),
+        [ScrapeTarget(exposition_server, labels={"job": "node"})],
+        limits=ScrapeLimits(body_size_limit=10),
+    )
+    mgr.scrape_once(now_ms=60_000)
+    rows = {r["labels"]["__name__"]: r for r in _spool_rows(tmp_path, "spool")}
+    assert rows["up"]["value"] == 0.0
+    assert "http_requests_total" not in rows
+
+
+def test_scrape_label_limits(tmp_path, exposition_server):
+    from prometheus_spark.sources.scrape import ScrapeLimits
+
+    # http_requests_total carries (method, job→exported_job, job,
+    # instance, __name__) = 5 labels post-merge; a limit of 4 trips
+    mgr = ScrapeManager(
+        str(tmp_path / "spool"),
+        [ScrapeTarget(exposition_server, labels={"job": "node"})],
+        limits=ScrapeLimits(label_limit=4),
+    )
+    mgr.scrape_once(now_ms=60_000)
+    rows = {r["labels"]["__name__"]: r for r in _spool_rows(tmp_path, "spool")}
+    assert rows["up"]["value"] == 0.0
+
+    # a generous limit passes
+    mgr2 = ScrapeManager(
+        str(tmp_path / "spool2"),
+        [ScrapeTarget(exposition_server, labels={"job": "node"})],
+        limits=ScrapeLimits(label_limit=10, label_value_length_limit=64),
+    )
+    mgr2.scrape_once(now_ms=60_000)
+    rows2 = {
+        r["labels"]["__name__"]: r for r in _spool_rows(tmp_path, "spool2")
+    }
+    assert rows2["up"]["value"] == 1.0
+    assert "http_requests_total" in rows2
+
+
+def test_scrape_target_limit_fails_all_job_targets(
+    tmp_path, exposition_server
+):
+    from prometheus_spark.sources.scrape import ScrapeLimits
+
+    lim = ScrapeLimits(target_limit=1)
+    mgr = ScrapeManager(
+        str(tmp_path / "spool"),
+        [
+            ScrapeTarget(exposition_server, labels={"job": "a",
+                                                    "instance": "i1"},
+                         limits=lim),
+            ScrapeTarget(exposition_server, labels={"job": "a",
+                                                    "instance": "i2"},
+                         limits=lim),
+            # a different job under its own limit keeps scraping
+            ScrapeTarget(exposition_server, labels={"job": "b"},
+                         limits=lim),
+        ],
+    )
+    mgr.scrape_once(now_ms=60_000)
+    ups = {
+        (r["labels"]["job"], r["labels"]["instance"]): r["value"]
+        for r in _spool_rows(tmp_path, "spool")
+        if r["labels"]["__name__"] == "up"
+    }
+    assert ups[("a", "i1")] == 0.0 and ups[("a", "i2")] == 0.0
+    assert [v for (j, _), v in ups.items() if j == "b"] == [1.0]
+
+
+def test_config_parses_scrape_limits(tmp_path):
+    from prometheus_spark.config import load_config
+
+    p = tmp_path / "prom.yml"
+    p.write_text(
+        """
+scrape_configs:
+  - job_name: guarded
+    sample_limit: 1000
+    label_limit: 30
+    label_name_length_limit: 200
+    label_value_length_limit: 2048
+    body_size_limit: 10MB
+    target_limit: 50
+    static_configs:
+      - targets: ['localhost:9100']
+"""
+    )
+    cfg = load_config(str(p))
+    jc = cfg.scrape_jobs[0]
+    assert jc.sample_limit == 1000 and jc.label_limit == 30
+    assert jc.label_name_length_limit == 200
+    assert jc.label_value_length_limit == 2048
+    assert jc.body_size_limit == 10_000_000
+    assert jc.target_limit == 50
