@@ -79,6 +79,8 @@ class ScrapeJobConfig:
     scrape_interval_ms: int = DEFAULT_SCRAPE_INTERVAL_MS
     scrape_timeout_ms: int = DEFAULT_SCRAPE_TIMEOUT_MS
     honor_labels: bool = False
+    honor_timestamps: bool = True
+    scrape_protocols: tuple = ()  # () = reference default order
     relabel_configs: list = field(default_factory=list)
     metric_relabel_configs: list = field(default_factory=list)
     # scrape protections (config.go ScrapeConfig; 0 = unlimited)
@@ -534,6 +536,8 @@ def load_config(path: str) -> PromConfig:
                     sc.get("scrape_timeout"), cfg.scrape_timeout_ms
                 ),
                 honor_labels=bool(sc.get("honor_labels", False)),
+                honor_timestamps=bool(sc.get("honor_timestamps", True)),
+                scrape_protocols=tuple(sc.get("scrape_protocols") or ()),
                 relabel_configs=_relabels(sc.get("relabel_configs")),
                 metric_relabel_configs=_relabels(
                     sc.get("metric_relabel_configs")

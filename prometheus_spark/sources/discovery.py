@@ -32,7 +32,10 @@ from typing import Callable, Optional
 from urllib.parse import urlencode
 
 from prometheus_spark.sources.relabel import process_labels
-from prometheus_spark.sources.scrape import ScrapeTarget
+from prometheus_spark.sources.scrape import (
+    DEFAULT_SCRAPE_PROTOCOLS,
+    ScrapeTarget,
+)
 
 
 @dataclass
@@ -4066,6 +4069,13 @@ def populate_targets(jobcfg, groups: list[TargetGroup]) -> list[ScrapeTarget]:
                     url,
                     labels=final,
                     honor_labels=jobcfg.honor_labels,
+                    honor_timestamps=getattr(
+                        jobcfg, "honor_timestamps", True
+                    ),
+                    scrape_protocols=(
+                        tuple(getattr(jobcfg, "scrape_protocols", ()) or ())
+                        or DEFAULT_SCRAPE_PROTOCOLS
+                    ),
                     limits=_job_limits(jobcfg),
                 )
             )

@@ -32,6 +32,42 @@ from prometheus_spark.sources.protobuf_scrape import parse_protobuf_scrape
 PROTOBUF_CT = "application/vnd.google.protobuf"
 OPENMETRICS_CT = "application/openmetrics-text"
 
+#: config.go ScrapeProtocolsHeaders — protocol name → Accept media type
+SCRAPE_PROTOCOL_HEADERS = {
+    "PrometheusProto": (
+        f"{PROTOBUF_CT};proto=io.prometheus.client.MetricFamily;"
+        "encoding=delimited"
+    ),
+    "PrometheusText0.0.4": "text/plain;version=0.0.4",
+    "PrometheusText1.0.0": "text/plain;version=1.0.0",
+    "OpenMetricsText0.0.1": f"{OPENMETRICS_CT};version=0.0.1",
+    "OpenMetricsText1.0.0": f"{OPENMETRICS_CT};version=1.0.0",
+}
+
+#: config.go DefaultScrapeProtocols (priority order)
+DEFAULT_SCRAPE_PROTOCOLS = (
+    "OpenMetricsText1.0.0",
+    "OpenMetricsText0.0.1",
+    "PrometheusText1.0.0",
+    "PrometheusText0.0.4",
+)
+
+
+def accept_header(protocols) -> str:
+    """scrape.go acceptHeader: q-weights descend from 0.<n+1>, with a
+    trailing match-anything at the lowest weight."""
+    vals = []
+    weight = len(SCRAPE_PROTOCOL_HEADERS) + 1
+    for sp in protocols:
+        try:
+            val = SCRAPE_PROTOCOL_HEADERS[sp]
+        except KeyError:
+            raise ValueError(f"unknown scrape protocol {sp!r}") from None
+        vals.append(f"{val};q=0.{weight}")
+        weight -= 1
+    vals.append(f"*/*;q=0.{weight}")
+    return ",".join(vals)
+
 
 class ScrapeLimitError(Exception):
     """A scrape-protection limit was exceeded — the whole scrape is
@@ -60,6 +96,11 @@ class ScrapeTarget:
     labels: dict[str, str] = field(default_factory=dict)
     honor_labels: bool = False
     limits: Optional[ScrapeLimits] = None  # falls back to the manager's
+    # honor_timestamps=False replaces every exposed timestamp with the
+    # scrape time (scrape.go:1699 parsedTimestamp = nil)
+    honor_timestamps: bool = True
+    # Accept-header negotiation order (config.go scrape_protocols)
+    scrape_protocols: tuple = DEFAULT_SCRAPE_PROTOCOLS
 
     def target_labels(self) -> dict[str, str]:
         out = dict(self.labels)
@@ -198,10 +239,7 @@ class ScrapeManager:
                 raise ScrapeLimitError("target_limit exceeded")
             req = urllib.request.Request(
                 tgt.url,
-                headers={
-                    "Accept": f"{OPENMETRICS_CT};version=1.0.0,"
-                    "text/plain;version=0.0.4;q=0.5,*/*;q=0.1"
-                },
+                headers={"Accept": accept_header(tgt.scrape_protocols)},
             )
             with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
                 if lim.body_size_limit:
@@ -217,6 +255,8 @@ class ScrapeManager:
             scraped = len(parsed)
             sigs = set()
             for labels, t, v in parsed:
+                if not tgt.honor_timestamps:
+                    t = now_ms
                 labels = _merge_labels(labels, tl, tgt.honor_labels)
                 if self.metric_relabel is not None:
                     labels = self.metric_relabel(labels)
@@ -236,6 +276,8 @@ class ScrapeManager:
             # relabel-dropped series drops its exemplars with it
             # (scrape.go append: exemplars ride the sample's labels)
             for slabels, t, exl, exv, ext in raw_exemplars:
+                if not tgt.honor_timestamps:
+                    t = now_ms
                 slabels = _merge_labels(slabels, tl, tgt.honor_labels)
                 if self.metric_relabel is not None:
                     slabels = self.metric_relabel(slabels)

@@ -377,3 +377,87 @@ scrape_configs:
     assert jc.label_value_length_limit == 2048
     assert jc.body_size_limit == 10_000_000
     assert jc.target_limit == 50
+
+
+def test_honor_timestamps_false_uses_scrape_time(tmp_path):
+    # exposition with an explicit (old) timestamp
+    body = b"metric_with_ts 7 1000\n"
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = socketserver.TCPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/metrics"
+    try:
+        mgr = ScrapeManager(
+            str(tmp_path / "sp1"),
+            [ScrapeTarget(url, labels={"job": "j"},
+                          honor_timestamps=False)],
+        )
+        mgr.scrape_once(now_ms=99_000)
+        rows = {r["labels"]["__name__"]: r for r in _spool_rows(tmp_path, "sp1")}
+        assert rows["metric_with_ts"]["t"] == 99_000
+
+        mgr2 = ScrapeManager(
+            str(tmp_path / "sp2"),
+            [ScrapeTarget(url, labels={"job": "j"})],  # default honors
+        )
+        mgr2.scrape_once(now_ms=99_000)
+        rows2 = {r["labels"]["__name__"]: r for r in _spool_rows(tmp_path, "sp2")}
+        assert rows2["metric_with_ts"]["t"] == 1000
+    finally:
+        srv.shutdown()
+
+
+def test_accept_header_protocol_order():
+    from prometheus_spark.sources.scrape import (
+        DEFAULT_SCRAPE_PROTOCOLS,
+        accept_header,
+    )
+
+    hdr = accept_header(DEFAULT_SCRAPE_PROTOCOLS)
+    # reference acceptHeader: q descends from 0.6, */* last at the
+    # lowest weight (scrape.go:706-721)
+    assert hdr == (
+        "application/openmetrics-text;version=1.0.0;q=0.6,"
+        "application/openmetrics-text;version=0.0.1;q=0.5,"
+        "text/plain;version=1.0.0;q=0.4,"
+        "text/plain;version=0.0.4;q=0.3,"
+        "*/*;q=0.2"
+    )
+    proto_first = accept_header(("PrometheusProto", "PrometheusText0.0.4"))
+    assert proto_first.startswith(
+        "application/vnd.google.protobuf;"
+        "proto=io.prometheus.client.MetricFamily;encoding=delimited;q=0.6"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        accept_header(("NotAProtocol",))
+
+
+def test_config_parses_honor_timestamps_and_protocols(tmp_path):
+    from prometheus_spark.config import load_config
+
+    p = tmp_path / "prom.yml"
+    p.write_text(
+        """
+scrape_configs:
+  - job_name: proto_first
+    honor_timestamps: false
+    scrape_protocols: ['PrometheusProto', 'PrometheusText0.0.4']
+    static_configs:
+      - targets: ['localhost:9100']
+"""
+    )
+    jc = load_config(str(p)).scrape_jobs[0]
+    assert jc.honor_timestamps is False
+    assert jc.scrape_protocols == ("PrometheusProto", "PrometheusText0.0.4")
