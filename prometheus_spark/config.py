@@ -35,6 +35,40 @@ def _dur_ms(v, default: int) -> int:
     return parse_duration_ms(str(v))
 
 
+def _auth_header(sc: dict) -> Optional[str]:
+    """Precompute the Authorization header from a scrape/HTTP-client
+    config section: ``basic_auth`` (username + password/password_file),
+    ``authorization`` (type + credentials/credentials_file), or the
+    legacy ``bearer_token``/``bearer_token_file`` (config.go
+    HTTPClientConfig.Validate precedence — at most one may be set)."""
+    import base64
+
+    def _read(path):
+        with open(path) as f:
+            return f.read().strip()
+
+    ba = sc.get("basic_auth")
+    if ba:
+        pw = ba.get("password", "")
+        if not pw and ba.get("password_file"):
+            pw = _read(ba["password_file"])
+        tok = base64.b64encode(
+            f"{ba.get('username', '')}:{pw}".encode()
+        ).decode()
+        return f"Basic {tok}"
+    auth = sc.get("authorization")
+    if auth:
+        cred = auth.get("credentials", "")
+        if not cred and auth.get("credentials_file"):
+            cred = _read(auth["credentials_file"])
+        return f"{auth.get('type', 'Bearer')} {cred}"
+    if sc.get("bearer_token"):
+        return f"Bearer {sc['bearer_token']}"
+    if sc.get("bearer_token_file"):
+        return f"Bearer {_read(sc['bearer_token_file'])}"
+    return None
+
+
 _SIZE_UNITS = {
     "B": 1, "KB": 1000, "MB": 1000**2, "GB": 1000**3, "TB": 1000**4,
     "KIB": 1024, "MIB": 1024**2, "GIB": 1024**3, "TIB": 1024**4,
@@ -81,6 +115,7 @@ class ScrapeJobConfig:
     honor_labels: bool = False
     honor_timestamps: bool = True
     scrape_protocols: tuple = ()  # () = reference default order
+    auth_header: Optional[str] = None  # precomputed Authorization value
     relabel_configs: list = field(default_factory=list)
     metric_relabel_configs: list = field(default_factory=list)
     # scrape protections (config.go ScrapeConfig; 0 = unlimited)
@@ -538,6 +573,7 @@ def load_config(path: str) -> PromConfig:
                 honor_labels=bool(sc.get("honor_labels", False)),
                 honor_timestamps=bool(sc.get("honor_timestamps", True)),
                 scrape_protocols=tuple(sc.get("scrape_protocols") or ()),
+                auth_header=_auth_header(sc),
                 relabel_configs=_relabels(sc.get("relabel_configs")),
                 metric_relabel_configs=_relabels(
                     sc.get("metric_relabel_configs")

@@ -4076,6 +4076,7 @@ def populate_targets(jobcfg, groups: list[TargetGroup]) -> list[ScrapeTarget]:
                         tuple(getattr(jobcfg, "scrape_protocols", ()) or ())
                         or DEFAULT_SCRAPE_PROTOCOLS
                     ),
+                    auth_header=getattr(jobcfg, "auth_header", None),
                     limits=_job_limits(jobcfg),
                 )
             )

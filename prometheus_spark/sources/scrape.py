@@ -101,6 +101,9 @@ class ScrapeTarget:
     honor_timestamps: bool = True
     # Accept-header negotiation order (config.go scrape_protocols)
     scrape_protocols: tuple = DEFAULT_SCRAPE_PROTOCOLS
+    # precomputed Authorization header value ("Basic …" / "Bearer …"),
+    # from basic_auth / authorization / bearer_token scrape config
+    auth_header: Optional[str] = None
 
     def target_labels(self) -> dict[str, str]:
         out = dict(self.labels)
@@ -237,10 +240,10 @@ class ScrapeManager:
         try:
             if fail_all:
                 raise ScrapeLimitError("target_limit exceeded")
-            req = urllib.request.Request(
-                tgt.url,
-                headers={"Accept": accept_header(tgt.scrape_protocols)},
-            )
+            headers = {"Accept": accept_header(tgt.scrape_protocols)}
+            if tgt.auth_header:
+                headers["Authorization"] = tgt.auth_header
+            req = urllib.request.Request(tgt.url, headers=headers)
             with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
                 if lim.body_size_limit:
                     body = resp.read(lim.body_size_limit + 1)

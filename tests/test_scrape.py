@@ -461,3 +461,64 @@ scrape_configs:
     jc = load_config(str(p)).scrape_jobs[0]
     assert jc.honor_timestamps is False
     assert jc.scrape_protocols == ("PrometheusProto", "PrometheusText0.0.4")
+
+
+def test_scrape_sends_authorization_header(tmp_path):
+    seen = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            seen["auth"] = self.headers.get("Authorization")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.end_headers()
+            self.wfile.write(b"m 1\n")
+
+        def log_message(self, *a):
+            pass
+
+    srv = socketserver.TCPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/metrics"
+    try:
+        mgr = ScrapeManager(
+            str(tmp_path / "sp"),
+            [ScrapeTarget(url, labels={"job": "j"},
+                          auth_header="Bearer sekrit")],
+        )
+        mgr.scrape_once(now_ms=1_000)
+        assert seen["auth"] == "Bearer sekrit"
+    finally:
+        srv.shutdown()
+
+
+def test_config_auth_header_variants(tmp_path):
+    from prometheus_spark.config import load_config
+
+    (tmp_path / "tok").write_text("filetoken\n")
+    p = tmp_path / "prom.yml"
+    p.write_text(
+        f"""
+scrape_configs:
+  - job_name: basic
+    basic_auth:
+      username: alice
+      password: wonder
+    static_configs: [{{targets: ['a:1']}}]
+  - job_name: authz
+    authorization:
+      credentials_file: {tmp_path}/tok
+    static_configs: [{{targets: ['a:1']}}]
+  - job_name: legacy
+    bearer_token: xyz
+    static_configs: [{{targets: ['a:1']}}]
+"""
+    )
+    jobs = {j.job_name: j for j in load_config(str(p)).scrape_jobs}
+    import base64
+
+    assert jobs["basic"].auth_header == (
+        "Basic " + base64.b64encode(b"alice:wonder").decode()
+    )
+    assert jobs["authz"].auth_header == "Bearer filetoken"
+    assert jobs["legacy"].auth_header == "Bearer xyz"
