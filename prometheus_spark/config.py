@@ -223,8 +223,30 @@ def load_config(path: str) -> PromConfig:
         pat = pat if os.path.isabs(pat) else os.path.join(base, pat)
         cfg.rule_files.extend(sorted(_glob.glob(pat)))
 
+    # scrape_config_files: glob-included YAML files, each a document
+    # with its own scrape_configs list (config.go ScrapeConfigFiles /
+    # GetScrapeConfigs — included jobs join the inline ones and job
+    # names must be globally unique)
+    all_scrape_configs = list(doc.get("scrape_configs") or [])
+    for pat in doc.get("scrape_config_files") or []:
+        pat = pat if os.path.isabs(pat) else os.path.join(base, pat)
+        for inc in sorted(_glob.glob(pat)):
+            with open(inc) as f:
+                sub = yaml.safe_load(f.read()) or {}
+            if not isinstance(sub, dict):
+                raise ValueError(
+                    f"invalid scrape config file {inc}: must be a mapping"
+                )
+            extra = set(sub) - {"scrape_configs"}
+            if extra:  # config.go: only scrape_configs allowed in includes
+                raise ValueError(
+                    f"invalid field(s) {sorted(extra)} in scrape config "
+                    f"file {inc}"
+                )
+            all_scrape_configs.extend(sub.get("scrape_configs") or [])
+
     seen_jobs = set()
-    for sc in doc.get("scrape_configs") or []:
+    for sc in all_scrape_configs:
         job = sc.get("job_name")
         if not job:
             raise ValueError("scrape config missing job_name")

@@ -166,3 +166,44 @@ def test_relabel_steps_endpoint(spark, config_dir, tmp_path):
         {"scrapePool": ["nope"], "labels": ["{}"]},
     )
     assert code == 400
+
+
+def test_scrape_config_files_includes(tmp_path):
+    from prometheus_spark.config import load_config
+
+    (tmp_path / "jobs").mkdir()
+    (tmp_path / "jobs" / "a.yml").write_text(
+        "scrape_configs:\n  - job_name: inc_a\n"
+        "    static_configs: [{targets: ['a:1']}]\n"
+    )
+    (tmp_path / "jobs" / "b.yml").write_text(
+        "scrape_configs:\n  - job_name: inc_b\n"
+        "    static_configs: [{targets: ['b:1']}]\n"
+    )
+    p = tmp_path / "prom.yml"
+    p.write_text(
+        """
+scrape_config_files:
+  - jobs/*.yml
+scrape_configs:
+  - job_name: inline
+    static_configs: [{targets: ['c:1']}]
+"""
+    )
+    cfg = load_config(str(p))
+    assert [j.job_name for j in cfg.scrape_jobs] == ["inline", "inc_a", "inc_b"]
+
+    # duplicate job names across include boundaries must error
+    (tmp_path / "jobs" / "dup.yml").write_text(
+        "scrape_configs:\n  - job_name: inline\n"
+        "    static_configs: [{targets: ['d:1']}]\n"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple scrape configs"):
+        load_config(str(p))
+
+    # non-scrape_configs fields in an include are rejected
+    (tmp_path / "jobs" / "dup.yml").write_text("global: {}\n")
+    with _pytest.raises(ValueError, match="invalid field"):
+        load_config(str(p))
