@@ -116,6 +116,12 @@ class ScrapeJobConfig:
     honor_timestamps: bool = True
     scrape_protocols: tuple = ()  # () = reference default order
     auth_header: Optional[str] = None  # precomputed Authorization value
+    # native-histogram knobs (config.go:532-536); the first flips the
+    # default protocol order to proto-first, the other two steer the
+    # downstream frame assembly (sources/nhcb.classic_to_nhcb)
+    scrape_native_histograms: bool = False
+    convert_classic_histograms_to_nhcb: bool = False
+    always_scrape_classic_histograms: bool = False
     relabel_configs: list = field(default_factory=list)
     metric_relabel_configs: list = field(default_factory=list)
     # scrape protections (config.go ScrapeConfig; 0 = unlimited)
@@ -596,6 +602,15 @@ def load_config(path: str) -> PromConfig:
                 honor_timestamps=bool(sc.get("honor_timestamps", True)),
                 scrape_protocols=tuple(sc.get("scrape_protocols") or ()),
                 auth_header=_auth_header(sc),
+                scrape_native_histograms=bool(
+                    sc.get("scrape_native_histograms", False)
+                ),
+                convert_classic_histograms_to_nhcb=bool(
+                    sc.get("convert_classic_histograms_to_nhcb", False)
+                ),
+                always_scrape_classic_histograms=bool(
+                    sc.get("always_scrape_classic_histograms", False)
+                ),
                 relabel_configs=_relabels(sc.get("relabel_configs")),
                 metric_relabel_configs=_relabels(
                     sc.get("metric_relabel_configs")

@@ -34,6 +34,7 @@ from urllib.parse import urlencode
 from prometheus_spark.sources.relabel import process_labels
 from prometheus_spark.sources.scrape import (
     DEFAULT_SCRAPE_PROTOCOLS,
+    PROTO_FIRST_SCRAPE_PROTOCOLS,
     ScrapeTarget,
 )
 
@@ -4074,7 +4075,13 @@ def populate_targets(jobcfg, groups: list[TargetGroup]) -> list[ScrapeTarget]:
                     ),
                     scrape_protocols=(
                         tuple(getattr(jobcfg, "scrape_protocols", ()) or ())
-                        or DEFAULT_SCRAPE_PROTOCOLS
+                        or (
+                            PROTO_FIRST_SCRAPE_PROTOCOLS
+                            if getattr(
+                                jobcfg, "scrape_native_histograms", False
+                            )
+                            else DEFAULT_SCRAPE_PROTOCOLS
+                        )
                     ),
                     auth_header=getattr(jobcfg, "auth_header", None),
                     limits=_job_limits(jobcfg),

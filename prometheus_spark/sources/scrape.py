@@ -52,6 +52,11 @@ DEFAULT_SCRAPE_PROTOCOLS = (
     "PrometheusText0.0.4",
 )
 
+#: config.go DefaultProtoFirstScrapeProtocols — the default when
+#: ``scrape_native_histograms`` is on (protobuf carries the native
+#: histogram exposition)
+PROTO_FIRST_SCRAPE_PROTOCOLS = ("PrometheusProto",) + DEFAULT_SCRAPE_PROTOCOLS
+
 
 def accept_header(protocols) -> str:
     """scrape.go acceptHeader: q-weights descend from 0.<n+1>, with a

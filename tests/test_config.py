@@ -207,3 +207,29 @@ scrape_configs:
     (tmp_path / "jobs" / "dup.yml").write_text("global: {}\n")
     with _pytest.raises(ValueError, match="invalid field"):
         load_config(str(p))
+
+
+def test_scrape_native_histograms_flips_protocol_default(tmp_path):
+    from prometheus_spark.config import load_config
+    from prometheus_spark.sources.discovery import populate_targets, TargetGroup
+
+    p = tmp_path / "prom.yml"
+    p.write_text(
+        """
+scrape_configs:
+  - job_name: nh
+    scrape_native_histograms: true
+    static_configs: [{targets: ['a:1']}]
+  - job_name: plain
+    static_configs: [{targets: ['a:1']}]
+"""
+    )
+    cfg = load_config(str(p))
+    jobs = {j.job_name: j for j in cfg.scrape_jobs}
+    assert jobs["nh"].scrape_native_histograms is True
+
+    grp = TargetGroup(targets=["a:1"], labels={})
+    (nh_tgt,) = populate_targets(jobs["nh"], [grp])
+    (plain_tgt,) = populate_targets(jobs["plain"], [grp])
+    assert nh_tgt.scrape_protocols[0] == "PrometheusProto"
+    assert plain_tgt.scrape_protocols[0] == "OpenMetricsText1.0.0"
