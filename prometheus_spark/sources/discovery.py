@@ -4084,6 +4084,12 @@ def populate_targets(jobcfg, groups: list[TargetGroup]) -> list[ScrapeTarget]:
                         )
                     ),
                     auth_header=getattr(jobcfg, "auth_header", None),
+                    interval_ms=getattr(jobcfg, "scrape_interval_ms", None),
+                    timeout_s=(
+                        jobcfg.scrape_timeout_ms / 1000.0
+                        if getattr(jobcfg, "scrape_timeout_ms", None)
+                        else None
+                    ),
                     limits=_job_limits(jobcfg),
                 )
             )

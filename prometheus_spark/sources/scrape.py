@@ -109,6 +109,10 @@ class ScrapeTarget:
     # precomputed Authorization header value ("Basic …" / "Bearer …"),
     # from basic_auth / authorization / bearer_token scrape config
     auth_header: Optional[str] = None
+    # per-job cadence/deadline (scrape_interval / scrape_timeout);
+    # None falls back to the manager's defaults
+    interval_ms: Optional[int] = None
+    timeout_s: Optional[float] = None
 
     def target_labels(self) -> dict[str, str]:
         out = dict(self.labels)
@@ -249,7 +253,10 @@ class ScrapeManager:
             if tgt.auth_header:
                 headers["Authorization"] = tgt.auth_header
             req = urllib.request.Request(tgt.url, headers=headers)
-            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            timeout_s = (
+                tgt.timeout_s if tgt.timeout_s is not None else self.timeout_s
+            )
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
                 if lim.body_size_limit:
                     body = resp.read(lim.body_size_limit + 1)
                     if len(body) > lim.body_size_limit:
@@ -361,9 +368,31 @@ class ScrapeManager:
 
     # -- background loop ----------------------------------------------
     def start(self, interval_ms: int) -> threading.Thread:
+        """Per-target scheduler: each target scrapes on its own
+        ``interval_ms`` (falling back to the argument), like the
+        reference's one-loop-per-target tickers (scrape.go scrapeLoop
+        run).  Targets added by discovery reconciliation are picked up
+        on the next tick and scrape immediately."""
+
         def loop():
-            while not self._stop.wait(interval_ms / 1000.0):
-                self.scrape_once()
+            next_due: dict[int, float] = {}
+            while not self._stop.is_set():
+                now = time.time()
+                # snapshot: discovery may swap self.targets concurrently
+                targets = list(self.targets)
+                due = [t for t in targets if next_due.get(id(t), 0.0) <= now]
+                now_ms = int(now * 1000)
+                for tgt in due:
+                    iv = (tgt.interval_ms or interval_ms) / 1000.0
+                    next_due[id(tgt)] = now + iv
+                    self._scrape_target(tgt, now_ms)
+                # sleep until the earliest deadline, capped for prompt
+                # stop/reconcile responsiveness
+                pending = [
+                    next_due.get(id(t), 0.0) for t in targets
+                ] or [now + 1.0]
+                delay = max(0.05, min(min(pending) - time.time(), 1.0))
+                self._stop.wait(delay)
 
         thread = threading.Thread(target=loop, daemon=True)
         thread.start()

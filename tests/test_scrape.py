@@ -522,3 +522,46 @@ scrape_configs:
     )
     assert jobs["authz"].auth_header == "Bearer filetoken"
     assert jobs["legacy"].auth_header == "Bearer xyz"
+
+
+def test_per_target_scrape_intervals(tmp_path):
+    import collections
+    import time as _time
+
+    counts = collections.Counter()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            counts[self.path] += 1
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.end_headers()
+            self.wfile.write(b"m 1\n")
+
+        def log_message(self, *a):
+            pass
+
+    class Server(socketserver.ThreadingMixIn, http.server.HTTPServer):
+        daemon_threads = True
+
+    srv = Server(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        mgr = ScrapeManager(
+            str(tmp_path / "sp"),
+            [
+                ScrapeTarget(f"{base}/fast", labels={"job": "fast"},
+                             interval_ms=150),
+                ScrapeTarget(f"{base}/slow", labels={"job": "slow"},
+                             interval_ms=2_000),
+            ],
+        )
+        mgr.start(interval_ms=2_000)
+        _time.sleep(1.3)
+        mgr.stop()
+        # fast target ticks ~every 150ms (>=4 in 1.3s); slow only once
+        assert counts["/fast"] >= 4, counts
+        assert counts["/slow"] == 1, counts
+    finally:
+        srv.shutdown()
