@@ -18,6 +18,7 @@ from prometheus_spark.streaming.stateful import (
     streaming_counter_increase,
 )
 from prometheus_spark.streaming.windows import (
+    streaming_exact_dedup,
     streaming_windowed_stats,
 )
 
@@ -32,6 +33,7 @@ __all__ = [
     "parse_rule_groups",
     "samples_stream_from_events",
     "streaming_counter_increase",
+    "streaming_exact_dedup",
     "streaming_windowed_stats",
     "with_ooo_window",
 ]

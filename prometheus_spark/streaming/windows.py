@@ -63,3 +63,32 @@ def streaming_windowed_stats(
             "max_value",
         )
     )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    key_cols: list,
+    watermark: str = "1 hour",
+    time_col: str = "ts",
+) -> DataFrame:
+    """First-occurrence exact dedup over a stream:
+    ``dropDuplicatesWithinWatermark`` keyed by ``key_cols`` — the
+    incremental form of the batch exact-dedup operator
+    (pipeline.dedup.dedup_exact) for continuously ingested corpora.
+
+    A duplicate arriving within ``watermark`` of the first occurrence
+    is dropped; state for a key is evicted once the watermark passes
+    it, so the state store holds only the active horizon — O(keys per
+    watermark window), never the full corpus.  For exactly-once global
+    dedup over unbounded history, pair this with the batch
+    cross-corpus anti-join (pipeline.dedup.cross_corpus_exact_dedup) as a
+    periodic compaction.
+
+    Works on batch frames too (falls back to plain dropDuplicates,
+    the same semantics with an infinite horizon).
+    """
+    if stream.isStreaming:
+        return stream.withWatermark(
+            time_col, watermark
+        ).dropDuplicatesWithinWatermark(key_cols)
+    return stream.dropDuplicates(key_cols)

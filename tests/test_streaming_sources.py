@@ -1329,3 +1329,64 @@ def test_streaming_windowed_stats_append_and_late_drop(spark, tmp_path):
     assert {(r["sig"], r["window_start"].isoformat(), r["n"])
             for r in final} == {(r["sig"], r["window_start"].isoformat(), r["n"])
                                 for r in emitted}
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state survives micro-batch
+    boundaries: a batch-2 duplicate of a batch-1 key is dropped while
+    it is inside the watermark horizon."""
+    import json as _json
+
+    from prometheus_spark.streaming import streaming_exact_dedup
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        tmp = src / (name + ".tmp")
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        tmp.rename(src / name)
+
+    write_batch("b1.json", [
+        {"h": "k1", "ts": "2024-01-01T00:00:00Z", "doc_id": 1},
+        {"h": "k2", "ts": "2024-01-01T00:01:00Z", "doc_id": 2},
+    ])
+    stream = (
+        spark.readStream.schema("h string, ts timestamp, doc_id long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        streaming_exact_dedup(stream, ["h"], watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch("b2.json", [
+            {"h": "k1", "ts": "2024-01-01T00:02:00Z", "doc_id": 99},  # dup
+            {"h": "k3", "ts": "2024-01-01T00:03:00Z", "doc_id": 3},
+        ])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT h, doc_id FROM dd_out ORDER BY h").collect()
+    finally:
+        q.stop()
+
+    assert [(r["h"], r["doc_id"]) for r in rows] == [
+        ("k1", 1), ("k2", 2), ("k3", 3)
+    ]
+
+
+def test_streaming_exact_dedup_batch_fallback(spark):
+    from prometheus_spark.streaming import streaming_exact_dedup
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "h string, doc_id long"
+    )
+    out = streaming_exact_dedup(df, ["h"])
+    assert out.count() == 2
