@@ -122,6 +122,8 @@ class ScrapeJobConfig:
     scrape_native_histograms: bool = False
     convert_classic_histograms_to_nhcb: bool = False
     always_scrape_classic_histograms: bool = False
+    enable_compression: bool = True
+    follow_redirects: bool = True
     relabel_configs: list = field(default_factory=list)
     metric_relabel_configs: list = field(default_factory=list)
     # scrape protections (config.go ScrapeConfig; 0 = unlimited)
@@ -611,6 +613,8 @@ def load_config(path: str) -> PromConfig:
                 always_scrape_classic_histograms=bool(
                     sc.get("always_scrape_classic_histograms", False)
                 ),
+                enable_compression=bool(sc.get("enable_compression", True)),
+                follow_redirects=bool(sc.get("follow_redirects", True)),
                 relabel_configs=_relabels(sc.get("relabel_configs")),
                 metric_relabel_configs=_relabels(
                     sc.get("metric_relabel_configs")

@@ -4084,6 +4084,12 @@ def populate_targets(jobcfg, groups: list[TargetGroup]) -> list[ScrapeTarget]:
                         )
                     ),
                     auth_header=getattr(jobcfg, "auth_header", None),
+                    enable_compression=getattr(
+                        jobcfg, "enable_compression", True
+                    ),
+                    follow_redirects=getattr(
+                        jobcfg, "follow_redirects", True
+                    ),
                     interval_ms=getattr(jobcfg, "scrape_interval_ms", None),
                     timeout_s=(
                         jobcfg.scrape_timeout_ms / 1000.0

@@ -74,6 +74,13 @@ def accept_header(protocols) -> str:
     return ",".join(vals)
 
 
+class _NoRedirect(urllib.request.HTTPRedirectHandler):
+    """follow_redirects: false — a 3xx response fails the scrape."""
+
+    def redirect_request(self, req, fp, code, msg, headers, newurl):
+        return None
+
+
 class ScrapeLimitError(Exception):
     """A scrape-protection limit was exceeded — the whole scrape is
     discarded and the target reports up=0 (scrape.go errSampleLimit /
@@ -113,6 +120,9 @@ class ScrapeTarget:
     # None falls back to the manager's defaults
     interval_ms: Optional[int] = None
     timeout_s: Optional[float] = None
+    # HTTP client behavior (config.go HTTPClientConfig defaults)
+    enable_compression: bool = True  # Accept-Encoding: gzip
+    follow_redirects: bool = True
 
     def target_labels(self) -> dict[str, str]:
         out = dict(self.labels)
@@ -252,11 +262,18 @@ class ScrapeManager:
             headers = {"Accept": accept_header(tgt.scrape_protocols)}
             if tgt.auth_header:
                 headers["Authorization"] = tgt.auth_header
+            if tgt.enable_compression:
+                headers["Accept-Encoding"] = "gzip"
             req = urllib.request.Request(tgt.url, headers=headers)
             timeout_s = (
                 tgt.timeout_s if tgt.timeout_s is not None else self.timeout_s
             )
-            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            opener = (
+                urllib.request.build_opener()
+                if tgt.follow_redirects
+                else urllib.request.build_opener(_NoRedirect())
+            )
+            with opener.open(req, timeout=timeout_s) as resp:
                 if lim.body_size_limit:
                     body = resp.read(lim.body_size_limit + 1)
                     if len(body) > lim.body_size_limit:
@@ -264,6 +281,18 @@ class ScrapeManager:
                 else:
                     body = resp.read()
                 ct = resp.headers.get("Content-Type", "text/plain")
+                if resp.headers.get("Content-Encoding") == "gzip":
+                    # the body-size limit applies to the UNCOMPRESSED
+                    # payload (scrape.go readResponse wraps the gzip
+                    # reader in the limit reader)
+                    import gzip as _gzip
+
+                    body = _gzip.decompress(body)
+                    if (
+                        lim.body_size_limit
+                        and len(body) > lim.body_size_limit
+                    ):
+                        raise ScrapeLimitError("body_size_limit exceeded")
             parsed, meta, raw_exemplars = parse_scrape_body(body, ct, now_ms)
             self.metadata.update(meta)
             self.target_metadata.setdefault(tgt.url, {}).update(meta)

@@ -565,3 +565,65 @@ def test_per_target_scrape_intervals(tmp_path):
         assert counts["/slow"] == 1, counts
     finally:
         srv.shutdown()
+
+
+def test_scrape_gzip_and_redirects(tmp_path):
+    import gzip as _gzip
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/redir":
+                self.send_response(302)
+                self.send_header("Location", "/metrics")
+                self.end_headers()
+                return
+            body = b"gz_metric 5\n"
+            if "gzip" in (self.headers.get("Accept-Encoding") or ""):
+                body = _gzip.compress(body)
+                self.send_response(200)
+                self.send_header("Content-Encoding", "gzip")
+            else:
+                self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    class Server(socketserver.ThreadingMixIn, http.server.HTTPServer):
+        daemon_threads = True
+
+    srv = Server(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # gzip negotiation round-trips transparently
+        mgr = ScrapeManager(
+            str(tmp_path / "s1"),
+            [ScrapeTarget(f"{base}/metrics", labels={"job": "j"})],
+        )
+        mgr.scrape_once(now_ms=1_000)
+        rows = {r["labels"]["__name__"]: r for r in _spool_rows(tmp_path, "s1")}
+        assert rows["gz_metric"]["value"] == 5.0
+
+        # redirects are followed by default…
+        mgr2 = ScrapeManager(
+            str(tmp_path / "s2"),
+            [ScrapeTarget(f"{base}/redir", labels={"job": "j"})],
+        )
+        mgr2.scrape_once(now_ms=1_000)
+        rows2 = {r["labels"]["__name__"]: r for r in _spool_rows(tmp_path, "s2")}
+        assert rows2["up"]["value"] == 1.0 and "gz_metric" in rows2
+
+        # …and fail the scrape when follow_redirects is off
+        mgr3 = ScrapeManager(
+            str(tmp_path / "s3"),
+            [ScrapeTarget(f"{base}/redir", labels={"job": "j"},
+                          follow_redirects=False)],
+        )
+        mgr3.scrape_once(now_ms=1_000)
+        rows3 = {r["labels"]["__name__"]: r for r in _spool_rows(tmp_path, "s3")}
+        assert rows3["up"]["value"] == 0.0
+    finally:
+        srv.shutdown()
