@@ -664,11 +664,32 @@ def run_test_text(
 
     # Phase 2: one engine per run (driver-side createDataFrame, cheap),
     # then every (engine, eval) pair goes through the shared pool.
+    # Each run's samples frame is cached for its evals and unpersisted
+    # once its LAST eval completes — a long corpus file has hundreds of
+    # load blocks, and never releasing them accumulates cached blocks +
+    # listener/codegen state until the worker JVM thrashes in GC.
     tasks: list[tuple] = []
+    pending: dict[int, int] = {}  # id(engine) → evals left
+    engines: dict[int, object] = {}
     for run_rows, run_stale, evals in runs:
         samples = samples_from_rows(spark, run_rows, run_stale).cache()
         engine = PromQLEngine(spark, samples, kahan=True, ordered=False)
         tasks.extend((engine, c) for c in evals)
+        pending[id(engine)] = len(evals)
+        engines[id(engine)] = samples
+
+    import threading as _threading
+
+    _done_lock = _threading.Lock()
+
+    def _mark_done(engine, n: int) -> None:
+        with _done_lock:
+            left = pending.get(id(engine), 0) - n
+            pending[id(engine)] = left
+            if left <= 0:
+                frame = engines.pop(id(engine), None)
+                if frame is not None:
+                    frame.unpersist(blocking=False)
 
     # Batch consecutive eligible evals sharing an engine into unioned
     # single-job units; everything else stays a singleton.  Units then
@@ -688,10 +709,13 @@ def run_test_text(
             units.append([(engine, cmd)])
 
     def run_unit(unit: list) -> list[tuple[str, str | None]]:
-        if len(unit) == 1:
-            e, c = unit[0]
-            return [_eval_one(e, c)]
-        return _eval_batch(unit)
+        try:
+            if len(unit) == 1:
+                e, c = unit[0]
+                return [_eval_one(e, c)]
+            return _eval_batch(unit)
+        finally:
+            _mark_done(unit[0][0], len(unit))
 
     if parallel_evals > 1 and len(units) > 1:
         with ThreadPoolExecutor(parallel_evals) as pool:
