@@ -145,9 +145,10 @@ def _vector_selector_str(
         label_strings.append(_fmt_matcher(m))
     out = node.name or ""
     if label_strings:
-        # source order, as the reference does (printer.go VectorSelector
-        # String iterates the matcher slice) — keeps round-trips lossless
-        out += "{" + ",".join(label_strings) + "}"
+        # the reference canonicalizes by sorting the matcher strings
+        # (printer.go:400 sort.Strings) — matchers are an unordered
+        # conjunction, so this is lossless up to ordering
+        out += "{" + ",".join(sorted(label_strings)) + "}"
     if not with_modifiers:
         return out
     if node.at is not None:

@@ -153,7 +153,18 @@ def test_printer_roundtrip_over_reference_corpus():
         if isinstance(v, dict):
             return {k: _norm(x) for k, x in v.items()}
         if isinstance(v, list):
-            return [_norm(x) for x in v]
+            out = [_norm(x) for x in v]
+            # matcher lists are an unordered conjunction; the printer
+            # canonicalizes by sorting (like the reference's
+            # printer.go:400), so compare order-insensitively
+            if out and all(
+                isinstance(x, dict) and set(x) == {"name", "type", "value"}
+                for x in out
+            ):
+                out = sorted(
+                    out, key=lambda m: (m["name"], m["type"], m["value"])
+                )
+            return out
         return v
 
     checked = parse_failures = 0
