@@ -42,7 +42,21 @@ def main(argv: list[str]) -> int:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_CORPUS_MEM", "8g"),
+        )
+        # the SQL status store retains per-execution plan DESCRIPTIONS
+        # (default 1000 executions); classic-histogram evals compose
+        # very large SQL plans, so the default retention grows the heap
+        # superlinearly over a long corpus file until the session GC-
+        # storms (measured: histograms.test per-eval cost 0.5s → 2.4s
+        # within one session, then thrash).  Keep only a handful.
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.ui.retainedJobs", "50")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "1000")
+        .config("spark.sql.codegen.cache.maxEntries", "200")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -51,7 +51,14 @@ WEIGHTS = {
 # wall); populate when running on a box with more cores than
 # 4×worker_cpus, where the wall floor becomes the largest single file
 # (native_histograms alone drops 95s → 63s with a 2-way split).
-SPLITS: dict[str, list] = {}
+# histograms.test MUST be sliced: its classic-histogram evals build
+# very large Catalyst trees, and one session running all 185 evals
+# accumulates live analysis state until the JVM GC-storms (measured:
+# 0+80→44s, 0+120→60s, 0+160→158s, full→timeout at 500s; every slice
+# run fresh passes, so this is session pressure, not a wrong answer).
+SPLITS: dict[str, list] = {
+    "histograms.test": [(0, 65), (65, 60), (125, 100000)],
+}
 _SPLITS_EXAMPLE = {
     "native_histograms.test": [(0, 261), (261, 100000)],
     "histograms.test": [(0, 93), (93, 100000)],
