@@ -26,6 +26,12 @@ from prometheus_spark.model.histogram import FloatHist, from_row
 from prometheus_spark.parser.lexer import parse_duration_ms
 
 
+class QueryQueueTimeout(Exception):
+    """promql.ErrQueryTimeout: no concurrency slot freed within
+    --query.timeout; the API maps it to 503/errorType=timeout
+    (api.go returnAPIError errorTimeout)."""
+
+
 def marshal_float(v: float) -> str:
     """jsonutil.MarshalFloat: shortest 'f' form, 'e' outside
     [1e-6, 1e21), Inf/NaN spelled out."""
@@ -235,6 +241,15 @@ class PromAPI:
         self.snapshot_dir: Optional[str] = None  # /admin/tsdb/snapshot target
         self.blocks_dir: Optional[str] = None  # /status/tsdb/blocks source
         self.notifier = None  # NotifierManager for /alertmanagers
+        # --query.max-concurrency / --query.timeout defaults (main.go
+        # flag defaults 20 and 2m; engine.go exec blocks on the
+        # concurrency gate and fails with ErrQueryTimeout("query queue")
+        # once the timeout elapses waiting for a slot)
+        import threading as _threading
+
+        self.max_concurrency = 20
+        self.queue_timeout_s = 120.0
+        self._query_gate = _threading.BoundedSemaphore(self.max_concurrency)
 
     def targets_metadata(self, params: dict) -> tuple[int, dict]:
         """api.go targetMetadata: per-target metric metadata filtered by
@@ -371,12 +386,22 @@ class PromAPI:
 
     # -- endpoint implementations -------------------------------------
     def _track(self, q: str):
-        """Claim an active-query slot when a tracker is configured
-        (promql/query_logger.go ActiveQueryTracker); returns a finisher."""
+        """Claim a concurrency slot (bounded at ``max_concurrency``,
+        waiting at most ``queue_timeout_s`` — engine.go exec's gate) and
+        an active-query tracker slot when a tracker is configured
+        (promql/query_logger.go ActiveQueryTracker); returns a finisher.
+        Raises QueryQueueTimeout when no slot frees in time."""
+        if not self._query_gate.acquire(timeout=self.queue_timeout_s):
+            raise QueryQueueTimeout("query timed out in query queue")
         if getattr(self, "query_tracker", None) is None:
-            return lambda: None
+            return lambda: self._query_gate.release()
         slot = self.query_tracker.insert(q)
-        return lambda: self.query_tracker.delete(slot)
+
+        def _done():
+            self.query_tracker.delete(slot)
+            self._query_gate.release()
+
+        return _done
 
     def query(self, params: dict) -> tuple[int, dict]:
         import time as _time
@@ -386,7 +411,11 @@ class PromAPI:
             _parse_time_ms(params["time"][0]) if "time" in params else 0
         )
         t_start = _time.monotonic()
-        done = self._track(q)
+        try:
+            done = self._track(q)
+        except QueryQueueTimeout as e:
+            return 503, {"status": "error", "errorType": "timeout",
+                         "error": str(e)}
         try:
             df = self.engine.instant_query(q, t_ms)
             t_prepared = _time.monotonic()
@@ -445,7 +474,11 @@ class PromAPI:
         import time as _time
 
         t_start = _time.monotonic()
-        done = self._track(q)
+        try:
+            done = self._track(q)
+        except QueryQueueTimeout as e:
+            return 503, {"status": "error", "errorType": "timeout",
+                         "error": str(e)}
         try:
             df = self.engine.range_query(q, start, end, step)
             t_prepared = _time.monotonic()

@@ -569,3 +569,30 @@ def test_main_server_mounts_write_and_otlp(spark, tmp_path):
         for r in spool_to_samples(spark, str(tmp_path / "spool")).collect()
     }
     assert "mounted" in names and "g" in names
+
+
+def test_query_concurrency_gate(api):
+    """The --query.max-concurrency gate: with every slot held, a query
+    waits up to queue_timeout_s and then fails 503/timeout (engine.go
+    exec concurrency gate + ErrQueryTimeout); releasing a slot lets
+    queries through again."""
+    api.max_concurrency = 1
+    import threading as _t
+
+    api._query_gate = _t.BoundedSemaphore(1)
+    api.queue_timeout_s = 0.2
+    assert api._query_gate.acquire()  # hold the only slot
+    try:
+        code, resp = api.handle(
+            "/api/v1/query", {"query": ["m"], "time": ["600"]}
+        )
+        assert code == 503
+        assert resp["errorType"] == "timeout"
+        assert "query queue" in resp["error"]
+    finally:
+        api._query_gate.release()
+    code, resp = api.handle("/api/v1/query", {"query": ["m"], "time": ["600"]})
+    assert code == 200
+    # the successful query released its slot (no leak)
+    assert api._query_gate.acquire(timeout=1.0)
+    api._query_gate.release()
