@@ -1019,6 +1019,39 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
         from prometheus_spark.engine import PromQLEngine
         from prometheus_spark.streaming.rules import RulesEngine
 
+        # convert_classic_histograms_to_nhcb (config.go:534): fold the
+        # flagged jobs' classic bucket series into native-histogram-
+        # with-custom-buckets rows before the engine sees them; jobs
+        # without the flag keep their classic series untouched.
+        nhcb_jobs = {
+            j.job_name
+            for j in cfg.scrape_jobs
+            if getattr(j, "convert_classic_histograms_to_nhcb", False)
+        }
+        if nhcb_jobs:
+            from pyspark.sql import functions as F
+
+            from prometheus_spark.sources.nhcb import classic_to_nhcb
+
+            from prometheus_spark.model.schema import HISTOGRAM_TYPE
+
+            if "hist" not in samples.columns:
+                samples = samples.withColumn(
+                    "hist", F.lit(None).cast(HISTOGRAM_TYPE)
+                )
+            in_scope = F.element_at("labels", "job").isin(*nhcb_jobs)
+            keep = any(
+                getattr(j, "always_scrape_classic_histograms", False)
+                for j in cfg.scrape_jobs
+                if j.job_name in nhcb_jobs
+            )
+            # allowMissingColumns: the fold emits the canonical 7-column
+            # frame; extra columns on the input (e.g. ``st`` created
+            # timestamps) come back NULL on folded rows
+            samples = classic_to_nhcb(
+                samples.filter(in_scope), keep_classic=keep
+            ).unionByName(samples.filter(~in_scope), allowMissingColumns=True)
+
         engine = PromQLEngine(spark, samples)
         rules_engine = RulesEngine(spark, samples)
 

@@ -233,3 +233,43 @@ scrape_configs:
     (plain_tgt,) = populate_targets(jobs["plain"], [grp])
     assert nh_tgt.scrape_protocols[0] == "PrometheusProto"
     assert plain_tgt.scrape_protocols[0] == "OpenMetricsText1.0.0"
+
+
+def test_convert_classic_histograms_to_nhcb_in_server(tmp_path, spark):
+    from prometheus_spark.config import build_server, load_config
+    from prometheus_spark.storage import samples_from_rows
+
+    p = tmp_path / "prom.yml"
+    p.write_text(
+        """
+scrape_configs:
+  - job_name: folded
+    convert_classic_histograms_to_nhcb: true
+    static_configs: [{targets: ['a:1']}]
+  - job_name: plain
+    static_configs: [{targets: ['b:1']}]
+"""
+    )
+    cfg = load_config(str(p))
+    rows = []
+    for job in ("folded", "plain"):
+        for le, c in (("1", 1.0), ("2", 3.0), ("+Inf", 4.0)):
+            rows.append(
+                ({"__name__": "lat_bucket", "le": le, "job": job}, 0, c)
+            )
+        rows.append(({"__name__": "lat_sum", "job": job}, 0, 5.0))
+        rows.append(({"__name__": "lat_count", "job": job}, 0, 4.0))
+    samples = samples_from_rows(spark, rows)
+    srv = build_server(spark, cfg, samples=samples, spool_dir=str(tmp_path / "sp"))
+    eng = srv["engine"]
+    out = {
+        (r["labels"]["job"], r["name"]): r
+        for r in eng.samples.collect()
+    }
+    # the flagged job's classic series folded into one NHCB row
+    assert ("folded", "lat") in out
+    assert out[("folded", "lat")]["hist"] is not None
+    assert ("folded", "lat_bucket") not in out
+    # the plain job keeps its classic series
+    assert ("plain", "lat_bucket") in out
+    assert ("plain", "lat") not in out
