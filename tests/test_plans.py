@@ -498,3 +498,24 @@ def test_streaming_windowed_stats_batch_single_shuffle(spark, tmp_path):
     assert plan.count("Exchange") == 1, plan
     assert "EvalPython" not in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_classic_histogram_plan_size_bounded(spark):
+    """Scale guard: the classic histogram_quantile plan must stay a
+    bounded expression tree — a blowup here is invisible on tiny data
+    but multiplies driver analysis cost and memory at query volume."""
+    from prometheus_spark.engine import PromQLEngine
+
+    rows = []
+    for s in range(4):
+        for le in ("0.1", "1", "10", "+Inf"):
+            rows.append(
+                ({"__name__": "d_bucket", "le": le, "i": str(s)},
+                 60_000, float(s))
+            )
+    samples = samples_from_rows(spark, rows)
+    eng = PromQLEngine(spark, samples)
+    df = eng.instant_query("histogram_quantile(0.9, d_bucket)", 120_000)
+    # optimizedPlan treeString length as a cheap proxy for node count
+    tree = df._jdf.queryExecution().optimizedPlan().treeString()
+    assert len(tree) < 200_000, f"plan blew up: {len(tree)} chars"

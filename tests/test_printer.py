@@ -190,3 +190,72 @@ def test_printer_roundtrip_over_reference_corpus():
     # the corpus is overwhelmingly parseable — guard against silently
     # skipping everything
     assert checked > 1500 and parse_failures < 200, (checked, parse_failures)
+
+
+def test_printer_roundtrip_random_asts():
+    """Property test: random well-formed PromQL expressions round-trip
+    through the printer (hypothesis-generated, beyond what the corpus
+    covers — deep nesting, modifier combinations, odd label values)."""
+    from hypothesis import given, settings, strategies as st
+
+    from prometheus_spark.parser import parse_expr
+
+    names = st.sampled_from(["up", "http_requests_total", "node_load1"])
+    lnames = st.sampled_from(["job", "instance", "env", "code"])
+    lvals = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), blacklist_characters='"\\\n'
+        ),
+        max_size=8,
+    )
+    ops = st.sampled_from(["=", "!=", "=~", "!~"])
+    durs = st.sampled_from(["30s", "5m", "1h", "90s"])
+    aggs = st.sampled_from(["sum", "min", "max", "avg", "count", "group"])
+    binops = st.sampled_from(["+", "-", "*", "/", "and", "or", "unless"])
+    fns1 = st.sampled_from(["abs", "ceil", "rate", "increase", "changes"])
+
+    @st.composite
+    def selector(draw):
+        name = draw(names)
+        matchers = draw(
+            st.lists(st.tuples(lnames, ops, lvals), max_size=2, unique_by=lambda m: m[0])
+        )
+        ms = ",".join(
+            f'{ln}{op}{json.dumps(lv)}' for ln, op, lv in matchers
+        )
+        sel = name + ("{" + ms + "}" if ms else "")
+        if draw(st.booleans()):
+            sel += f" offset {draw(durs)}"
+        return sel
+
+    import json
+
+    @st.composite
+    def expr(draw, depth=0):
+        if depth >= 3:
+            return draw(selector())
+        kind = draw(st.integers(0, 3))
+        if kind == 0:
+            return draw(selector())
+        if kind == 1:
+            inner = draw(expr(depth=depth + 1))
+            return f"{draw(aggs)} by (job) ({inner})"
+        if kind == 2:
+            fn = draw(fns1)
+            if fn in ("rate", "increase", "changes"):
+                return f"{fn}({draw(selector())}[{draw(durs)}])"
+            return f"{fn}({draw(expr(depth=depth + 1))})"
+        return (
+            f"({draw(expr(depth=depth + 1))}) {draw(binops)} "
+            f"({draw(expr(depth=depth + 1))})"
+        )
+
+    @settings(max_examples=200, deadline=None)
+    @given(expr())
+    def check(q):
+        ast1 = parse_expr(q)
+        printed = to_promql(ast1)
+        ast2 = parse_expr(printed)
+        assert to_promql(ast2) == printed  # printing is a fixpoint
+
+    check()
