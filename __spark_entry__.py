@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_c4_filter"] = lambda s, d: _pipe_c4(s, d)
     q["doc_gopher_quality"] = lambda s, d: _pipe_gopher(s, d)
     q["stream_hourly_stats"] = lambda s, d: _pipe_stream_window(s, d)
+    q["tsdb_block_roundtrip"] = lambda s, d: _tsdb_block_roundtrip(s, d)
     q["doc_dsir_weights"] = lambda s, d: _pipe_dsir(s, d)
     q["doc_split_corpus"] = lambda s, d: _pipe_split(s, d)
     q["doc_shard_corpus"] = lambda s, d: _pipe_shard(s, d)
@@ -407,9 +408,9 @@ _DRIVER_WINDOW = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    # multimodal (2)
+    # multimodal (1; frame_sample rotated out in r5 — green in r3 AND
+    # r4 — to admit tsdb_block_roundtrip)
     "multimodal_features",
-    "multimodal_frame_sample",
     # curation (4)
     "doc_pii_redact",
     "doc_chunks",
@@ -426,6 +427,7 @@ _DRIVER_WINDOW = [
     "doc_dsir_weights",
     "doc_gopher_quality",
     "stream_hourly_stats",
+    "tsdb_block_roundtrip",
     # splits / sharding / native session windows (3, new in r5)
     "doc_split_corpus",
     "doc_shard_corpus",
@@ -1110,6 +1112,46 @@ def _pipe_stream_increase(spark, sf_dir):
     )
 
 
+def _tsdb_block_roundtrip(spark, sf_dir):
+    """Write events-derived series into a REAL reference-format TSDB
+    block (v2 index + XOR chunk segments, storage/tsdb_block.py) and
+    read it back distributed; the round-trip is the identity, so the
+    DuckDB oracle is the same derivation straight off the parquet —
+    hash-equality proves the native codec end-to-end."""
+    import tempfile
+
+    from prometheus_spark.storage import read_block, write_block
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 17 == 0)
+        .select(
+            "event_type",
+            (F.col("event_id")).alias("t"),
+            F.col("value"),
+        )
+        .collect()
+    )
+    series: dict = {}
+    for r in ev:
+        series.setdefault(r["event_type"], []).append(
+            (int(r["t"]), float(r["value"]))
+        )
+    block = tempfile.mkdtemp(prefix="graft_blk_")
+    write_block(
+        block,
+        [
+            ({"__name__": "events_total", "event_type": k}, v)
+            for k, v in series.items()
+        ],
+    )
+    return read_block(spark, block).selectExpr(
+        "element_at(labels, 'event_type') AS event_type",
+        "t",
+        "round(value, 6) AS value",
+    )
+
+
 def _pipe_stream_window(spark, sf_dir):
     """Tumbling-window streaming aggregation (watermark + F.window) run
     as a real Structured Streaming query in append mode: only windows
@@ -1723,6 +1765,14 @@ SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
 SELECT date_trunc('hour', ts) AS hour, event_type,
        COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+
+    # native TSDB block round-trip: write_block→read_block is the
+    # identity over the derived series, so the oracle is the same
+    # derivation straight off the parquet
+    o["tsdb_block_roundtrip"] = """
+SELECT event_type, event_id AS t, ROUND(value, 6) AS value
+FROM events WHERE event_id % 17 = 0
 """
 
     # streaming tumbling-window agg: append mode emits a window only

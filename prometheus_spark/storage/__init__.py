@@ -17,6 +17,10 @@ from prometheus_spark.storage.samples import (
     samples_from_rows,
     write_samples,
 )
+from prometheus_spark.storage.tsdb_block import (
+    read_block,
+    write_block,
+)
 
 __all__ = [
     "apply_retention",
@@ -26,8 +30,10 @@ __all__ = [
     "plan_compaction",
     "build_series_dim",
     "merge_series_dim",
+    "read_block",
     "read_samples",
     "read_series_dim",
+    "write_block",
     "samples_from_events",
     "samples_from_rows",
     "write_samples",

@@ -1,0 +1,118 @@
+"""Native TSDB block format: read the reference's real on-disk fixture,
+round-trip our writer through the distributed reader, tombstones.
+
+Reference: tsdb/docs/format/{index,chunks,tombstones}.md, index v1
+fixture tsdb/testdata/index_format_v1 (102 series / 102 samples).
+"""
+
+import pytest
+
+FIXTURE = "/root/reference/tsdb/testdata/index_format_v1"
+
+HIST = {
+    "schema": 0, "zero_threshold": 0.0, "zero_count": 1.0, "count": 7.0,
+    "sum": 13.5, "pos_spans": [{"offset": 0, "length": 2}],
+    "pos_buckets": [2.0, 4.0], "neg_spans": [], "neg_buckets": [],
+    "custom_values": [], "counter_reset_hint": 0,
+}
+
+
+def test_read_reference_v1_index():
+    from prometheus_spark.storage.tsdb_block import (
+        block_chunk_tasks,
+        decode_chunk,
+        read_chunk_at,
+        read_index_series,
+        read_meta,
+    )
+
+    meta = read_meta(FIXTURE)
+    series = read_index_series(FIXTURE + "/index")
+    assert len(series) == meta["stats"]["numSeries"] == 102
+    # labels resolve through the v1 offset-keyed symbol table
+    assert {"bar": "0"} in [s["labels"] for s in series]
+    tasks = block_chunk_tasks(FIXTURE)
+    seg = open(tasks[0][1], "rb").read()
+    total = sum(
+        len(decode_chunk(*read_chunk_at(seg, t[2]))) for t in tasks
+    )
+    assert total == meta["stats"]["numSamples"] == 102
+
+
+def test_read_block_distributed_and_query(spark):
+    from prometheus_spark.engine import PromQLEngine
+    from prometheus_spark.storage import read_block
+
+    df = read_block(spark, FIXTURE)
+    assert df.count() == 102
+    eng = PromQLEngine(spark, df)
+    out = eng.instant_query('count({foo=~".+"})', 3).collect()
+    assert out and out[0]["value"] == 2.0
+
+
+def test_write_read_roundtrip_all_encodings(spark, tmp_path):
+    from prometheus_spark.storage import read_block, write_block
+
+    fhist = dict(HIST, count=7.5, sum=1.25, pos_buckets=[2.5, 5.0])
+    block = str(tmp_path / "blk")
+    write_block(block, [
+        ({"__name__": "cpu", "host": "a"}, [(1000, 1.5), (2000, 2.5)]),
+        ({"__name__": "lat", "host": "i"}, [(1000, HIST)]),
+        ({"__name__": "lat", "host": "f"}, [(1000, fhist)]),
+    ])
+    rows = {
+        (r["name"], r["labels"]["host"], r["t"]): r
+        for r in read_block(spark, block).collect()
+    }
+    assert rows[("cpu", "a", 1000)]["value"] == 1.5
+    assert rows[("cpu", "a", 2000)]["value"] == 2.5
+    # integer histogram chunk (absolute buckets restored from deltas)
+    ih = rows[("lat", "i", 1000)]["hist"]
+    assert list(ih["pos_buckets"]) == [2.0, 4.0] and ih["count"] == 7.0
+    # float histogram chunk
+    fh = rows[("lat", "f", 1000)]["hist"]
+    assert list(fh["pos_buckets"]) == [2.5, 5.0] and fh["sum"] == 1.25
+
+
+def test_tombstones_filter_applies(spark, tmp_path):
+    import struct as _struct
+
+    from prometheus_spark.storage import read_block, write_block
+    from prometheus_spark.storage.tsdb_block import (
+        TOMBSTONE_MAGIC,
+        read_index_series,
+    )
+    from prometheus_spark.storage.tsdb_block import _enc_uvarint, _enc_varint
+
+    block = str(tmp_path / "blk_ts")
+    write_block(block, [
+        ({"__name__": "m", "k": "x"}, [(1000, 1.0), (2000, 2.0), (3000, 3.0)]),
+        ({"__name__": "m", "k": "y"}, [(1000, 9.0)]),
+    ])
+    # delete [1500, 2500] on series x (v2 ids = offset/16)
+    sx = next(
+        s for s in read_index_series(block + "/index")
+        if s["labels"]["k"] == "x"
+    )
+    body = _enc_uvarint(sx["id"]) + _enc_varint(1500) + _enc_varint(2500)
+    with open(block + "/tombstones", "wb") as f:
+        f.write(_struct.pack(">IB", TOMBSTONE_MAGIC, 1) + body + b"\0\0\0\0")
+
+    vals = sorted(
+        (r["labels"]["k"], r["t"])
+        for r in read_block(spark, block).collect()
+    )
+    assert vals == [("x", 1000), ("x", 3000), ("y", 1000)]
+    # and the raw view keeps everything
+    assert read_block(spark, block, apply_tombstones=False).count() == 4
+
+
+def test_promtool_native_block_listing(capsys):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import promtool
+
+    assert promtool.tsdb_blocks(FIXTURE) == 0
+    out = capsys.readouterr().out
+    assert "01DXXFZDYD1MQW6079WK0K6EDQ" in out and "102" in out

@@ -163,7 +163,29 @@ def query(kind: str, store: str, expr: str, args: dict) -> int:
 
 
 def tsdb_blocks(store: str) -> int:
-    """cmd/promtool tsdb list: one line per block (t_bucket dir)."""
+    """cmd/promtool tsdb list: one line per block — parquet t_bucket
+    dirs, or reference-native ULID block dirs when present."""
+    if _is_native_block_dir(store):
+        import glob as _glob
+
+        from prometheus_spark.storage.tsdb_block import read_meta
+
+        dirs = (
+            [store]
+            if os.path.exists(os.path.join(store, "index"))
+            else sorted(
+                os.path.dirname(p)
+                for p in _glob.glob(os.path.join(store, "*", "index"))
+            )
+        )
+        print(f"{'BLOCK ULID':<28}{'MIN TIME':>16}{'MAX TIME':>16}"
+              f"{'NUM SAMPLES':>14}{'NUM SERIES':>12}")
+        for d in dirs:
+            m = read_meta(d)
+            st = m.get("stats", {})
+            print(f"{m['ulid']:<28}{m['minTime']:>16}{m['maxTime']:>16}"
+                  f"{st.get('numSamples', 0):>14}{st.get('numSeries', 0):>12}")
+        return 0
     from prometheus_spark.storage.compact import DEFAULT_BLOCK_MS, list_buckets
 
     print(f"{'BLOCK':<24}{'MIN TIME':>16}{'MAX TIME':>16}")
@@ -616,15 +638,46 @@ def _labels_go(labels: dict) -> str:
     return "{" + inner + "}"
 
 
+def _is_native_block_dir(store: str) -> bool:
+    """A reference-format data dir: either one block (index file at the
+    top) or a directory of ULID block dirs each holding an index."""
+    import glob as _glob
+
+    return os.path.exists(os.path.join(store, "index")) or bool(
+        _glob.glob(os.path.join(store, "*", "index"))
+    )
+
+
+def _read_store(spark, store: str):
+    """Dispatch on layout: reference-native TSDB blocks are read via
+    the index/chunk codec (storage.tsdb_block); otherwise the parquet
+    block store."""
+    import glob as _glob
+
+    from prometheus_spark.storage import read_block, read_samples
+
+    if os.path.exists(os.path.join(store, "index")):
+        return read_block(spark, store)
+    native = sorted(
+        os.path.dirname(p)
+        for p in _glob.glob(os.path.join(store, "*", "index"))
+    )
+    if native:
+        df = read_block(spark, native[0])
+        for b in native[1:]:
+            df = df.unionByName(read_block(spark, b))
+        return df
+    return read_samples(spark, store)
+
+
 def _dump_frame(store: str, flags: dict):
     from pyspark.sql import functions as F
 
     from prometheus_spark.engine.selectors import matcher_predicate
     from prometheus_spark.parser import parse_expr
-    from prometheus_spark.storage import read_samples
 
     spark = _spark()
-    df = read_samples(spark, store)
+    df = _read_store(spark, store)
     match = flags.get("--match")
     if match:
         node = parse_expr(match)
