@@ -21,6 +21,7 @@ from prometheus_spark.storage.tsdb_block import (
     read_block,
     write_block,
 )
+from prometheus_spark.storage.wal import read_wal
 
 __all__ = [
     "apply_retention",
@@ -32,6 +33,7 @@ __all__ = [
     "merge_series_dim",
     "read_block",
     "read_samples",
+    "read_wal",
     "read_series_dim",
     "write_block",
     "samples_from_events",

@@ -1,0 +1,346 @@
+"""Read the reference's write-ahead log (the head block's recent data)
+into the canonical samples frame — together with storage.tsdb_block
+this covers a complete live Prometheus data directory.
+
+Format (tsdb/docs/format/wal.md + tsdb/wlog, tsdb/record/record.go):
+segments of 32 KiB pages; each record fragment is
+``type<1> len<2BE> crc32c<4BE> data``, where the type byte carries the
+fragment kind (full/first/middle/last) in its low 3 bits and snappy /
+zstd compression flags in bits 3-4.  Record payloads:
+- Series (1): repeated ``ref<8BE>`` + uvarint-prefixed label strings.
+- Samples (2): base ``ref<8BE> t<8BE>`` then rows of signed-varint
+  ref/t deltas + float64 bits (record.go:346-356 — the doc says
+  uvarint, the implementation is Varint64).
+- Tombstones (3) and Exemplars (4) per their layouts.
+Histogram sample records (7/8/…) are skipped with a counter — the
+engine ingests histograms via blocks/remote-write; a WAL that contains
+them loses only those rows, reported in the stats.
+
+Scale: segments parse independently on executors (``mapInPandas`` over
+the segment list); series→label resolution is a broadcast join of the
+(tiny) series-record side against the sample rows, so WAL volume
+scales with the cluster, not the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Iterator
+
+WAL_PAGE = 32 * 1024
+
+_FRAG_FULL, _FRAG_FIRST, _FRAG_MIDDLE, _FRAG_LAST = 1, 2, 3, 4
+_SNAPPY_FLAG = 0x08
+_ZSTD_FLAG = 0x10
+
+REC_SERIES, REC_SAMPLES, REC_TOMBSTONES, REC_EXEMPLARS = 1, 2, 3, 4
+
+
+def _uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    out = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+
+
+def _varint(buf: bytes, pos: int) -> tuple[int, int]:
+    u, pos = _uvarint(buf, pos)
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def wal_records(segment_bytes: bytes) -> Iterator[bytes]:
+    """Reassembled records from one segment (fragment framing +
+    per-fragment crc + optional snappy decompression)."""
+    pos = 0
+    partial = bytearray()
+    n = len(segment_bytes)
+    while pos < n:
+        page_end = min(pos - pos % WAL_PAGE + WAL_PAGE, n)
+        while pos < page_end:
+            t = segment_bytes[pos]
+            if t == 0:  # rest of page empty
+                pos = page_end
+                break
+            frag = t & 0x07
+            compressed = t & _SNAPPY_FLAG
+            if t & _ZSTD_FLAG:
+                raise ValueError("zstd-compressed WAL is not supported")
+            ln, crc = struct.unpack_from(">HI", segment_bytes, pos + 1)
+            data = segment_bytes[pos + 7 : pos + 7 + ln]
+            pos += 7 + ln
+            if frag in (_FRAG_FULL, _FRAG_FIRST):
+                partial = bytearray(data)
+            else:
+                partial += data
+            if frag in (_FRAG_FULL, _FRAG_LAST):
+                rec = bytes(partial)
+                if compressed:
+                    from prometheus_spark.sources.remote_write import (
+                        snappy_decode,
+                    )
+
+                    rec = snappy_decode(rec)
+                yield rec
+
+
+def decode_series_record(rec: bytes) -> list[tuple[int, dict]]:
+    out = []
+    pos = 1
+    while pos < len(rec):
+        (ref,) = struct.unpack_from(">Q", rec, pos)
+        pos += 8
+        n, pos = _uvarint(rec, pos)
+        labels = {}
+        for _ in range(n):
+            kl, pos = _uvarint(rec, pos)
+            k = rec[pos : pos + kl].decode("utf-8")
+            pos += kl
+            vl, pos = _uvarint(rec, pos)
+            v = rec[pos : pos + vl].decode("utf-8")
+            pos += vl
+            labels[k] = v
+        out.append((ref, labels))
+    return out
+
+
+def decode_samples_record(rec: bytes) -> list[tuple[int, int, float]]:
+    if len(rec) <= 17:
+        return []
+    base_ref, base_t = struct.unpack_from(">Qq", rec, 1)
+    pos = 17
+    out = []
+    while pos < len(rec):
+        dref, pos = _varint(rec, pos)
+        dt, pos = _varint(rec, pos)
+        (bits,) = struct.unpack_from(">Q", rec, pos)
+        pos += 8
+        out.append(
+            (base_ref + dref, base_t + dt,
+             struct.unpack(">d", struct.pack(">Q", bits))[0])
+        )
+    return out
+
+
+def decode_tombstones_record(rec: bytes) -> list[tuple[int, int, int]]:
+    out = []
+    pos = 1
+    while pos < len(rec):
+        (ref,) = struct.unpack_from(">Q", rec, pos)
+        pos += 8
+        mint, pos = _varint(rec, pos)
+        maxt, pos = _varint(rec, pos)
+        out.append((ref, mint, maxt))
+    return out
+
+
+def wal_segments(data_dir: str) -> list[str]:
+    """Segment files in replay order: checkpoint dirs first (oldest
+    surviving state), then numbered live segments (wlog/wlog.go)."""
+    wal_dir = os.path.join(data_dir, "wal")
+    if not os.path.isdir(wal_dir):
+        wal_dir = data_dir  # caller pointed directly at a wal dir
+    segs = []
+    for name in sorted(os.listdir(wal_dir)):
+        path = os.path.join(wal_dir, name)
+        if name.startswith("checkpoint.") and os.path.isdir(path):
+            segs.extend(
+                os.path.join(path, s)
+                for s in sorted(os.listdir(path))
+                if s.isdigit()
+            )
+    segs.extend(
+        os.path.join(wal_dir, s)
+        for s in sorted(os.listdir(wal_dir))
+        if s.isdigit()
+    )
+    return segs
+
+
+def read_wal(spark, data_dir: str):
+    """The WAL as the canonical samples frame (sig, name, labels, t,
+    value, hist, stale, st); histogram records are skipped (see module
+    docstring).  Tombstone records are applied as interval filters."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from prometheus_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    segs = wal_segments(data_dir)
+    if not segs:
+        raise FileNotFoundError(f"no WAL segments under {data_dir}")
+    sdf = spark.createDataFrame([(s,) for s in segs], "path string")
+
+    out_schema = T._parse_datatype_string(
+        "kind string, ref long, t long, value double, labels_json string, "
+        "mint long, maxt long"
+    )
+
+    def parse(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from prometheus_spark.storage.wal import (
+            REC_SAMPLES,
+            REC_SERIES,
+            REC_TOMBSTONES,
+            decode_samples_record,
+            decode_series_record,
+            decode_tombstones_record,
+            wal_records,
+        )
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                with open(path, "rb") as f:
+                    seg = f.read()
+                for rec in wal_records(seg):
+                    rt = rec[0] if rec else 0
+                    if rt == REC_SERIES:
+                        for ref, labels in decode_series_record(rec):
+                            rows.append(
+                                ("series", ref, None, None,
+                                 json.dumps(labels, sort_keys=True),
+                                 None, None)
+                            )
+                    elif rt == REC_SAMPLES:
+                        for ref, t, v in decode_samples_record(rec):
+                            rows.append(
+                                ("sample", ref, t, v, None, None, None)
+                            )
+                    elif rt == REC_TOMBSTONES:
+                        for ref, mint, maxt in decode_tombstones_record(rec):
+                            rows.append(
+                                ("tomb", ref, None, None, None, mint, maxt)
+                            )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            ).astype(object)
+
+    raw = sdf.mapInPandas(parse, out_schema).cache()
+
+    series = (
+        raw.filter("kind = 'series'")
+        .select("ref", "labels_json")
+        .dropDuplicates(["ref"])
+    )
+    tombs = raw.filter("kind = 'tomb'").select(
+        F.col("ref").alias("tref"), "mint", "maxt"
+    )
+    samples = raw.filter("kind = 'sample'").select("ref", "t", "value")
+    joined = samples.join(F.broadcast(series), "ref").join(
+        F.broadcast(tombs),
+        (F.col("ref") == F.col("tref"))
+        & (F.col("t") >= F.col("mint"))
+        & (F.col("t") <= F.col("maxt")),
+        "left_anti",
+    )
+
+    from prometheus_spark.model.labels import sig_sql
+    from prometheus_spark.model.schema import HISTOGRAM_TYPE
+
+    htype = HISTOGRAM_TYPE.simpleString()
+    return (
+        joined.withColumn(
+            "labels",
+            F.from_json(
+                "labels_json", T.MapType(T.StringType(), T.StringType())
+            ),
+        )
+        .selectExpr(
+            f"{sig_sql('labels')} AS sig",
+            "element_at(labels, '__name__') AS name",
+            "labels",
+            "t",
+            "CAST(value AS DOUBLE) AS value",
+            f"CAST(NULL AS {htype}) AS hist",
+            "false AS stale",
+            "CAST(NULL AS LONG) AS st",
+        )
+    )
+
+
+# --- minimal segment writer (round-trip interop) ------------------------
+
+
+def _enc_uvarint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc_varint(v: int) -> bytes:
+    return _enc_uvarint((v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1)
+
+
+def encode_series_record(series: list[tuple[int, dict]]) -> bytes:
+    out = bytearray([REC_SERIES])
+    for ref, labels in series:
+        out += struct.pack(">Q", ref)
+        out += _enc_uvarint(len(labels))
+        for k in sorted(labels):
+            kb, vb = k.encode(), labels[k].encode()
+            out += _enc_uvarint(len(kb)) + kb
+            out += _enc_uvarint(len(vb)) + vb
+    return bytes(out)
+
+
+def encode_samples_record(samples: list[tuple[int, int, float]]) -> bytes:
+    """(ref, t_ms, value) rows → one Samples record (record.go Samples:
+    8-byte base ref/time, then signed-varint deltas + float64 bits)."""
+    if not samples:
+        return bytes([REC_SAMPLES])
+    base_ref, base_t, _ = samples[0]
+    out = bytearray([REC_SAMPLES]) + struct.pack(">Qq", base_ref, base_t)
+    for ref, t, v in samples:
+        out += _enc_varint(ref - base_ref)
+        out += _enc_varint(t - base_t)
+        out += struct.pack(">Q", struct.unpack(">Q", struct.pack(">d", v))[0])
+    return bytes(out)
+
+
+def write_wal_segment(path: str, records: list[bytes]) -> None:
+    """Page-structured segment: records split into fragments at 32 KiB
+    page boundaries, zero padding when a page can't fit a header+byte."""
+    from prometheus_spark.sources.remote_read import _crc32c
+
+    buf = bytearray()
+
+    def room() -> int:
+        return WAL_PAGE - (len(buf) % WAL_PAGE)
+
+    for rec in records:
+        pos, first = 0, True
+        while pos < len(rec) or first:
+            if room() < 8:  # not enough for a header + any payload
+                buf.extend(b"\0" * room())
+            take = min(len(rec) - pos, room() - 7)
+            frag = rec[pos : pos + take]
+            pos += take
+            last = pos >= len(rec)
+            if first and last:
+                kind = _FRAG_FULL
+            elif first:
+                kind = _FRAG_FIRST
+            elif last:
+                kind = _FRAG_LAST
+            else:
+                kind = _FRAG_MIDDLE
+            buf.append(kind)
+            buf += struct.pack(">HI", len(frag), _crc32c(frag))
+            buf += frag
+            first = False
+    with open(path, "wb") as f:
+        f.write(bytes(buf))

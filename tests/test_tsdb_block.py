@@ -116,3 +116,98 @@ def test_promtool_native_block_listing(capsys):
     assert promtool.tsdb_blocks(FIXTURE) == 0
     out = capsys.readouterr().out
     assert "01DXXFZDYD1MQW6079WK0K6EDQ" in out and "102" in out
+
+
+def test_wal_roundtrip_with_fragmentation(spark, tmp_path):
+    """A series record spanning multiple 32 KiB pages reassembles; the
+    samples' signed-varint deltas and float bits decode exactly."""
+    import os
+
+    from prometheus_spark.storage import read_wal
+    from prometheus_spark.storage.wal import (
+        encode_samples_record,
+        encode_series_record,
+        write_wal_segment,
+    )
+
+    d = str(tmp_path / "data")
+    os.makedirs(d + "/wal")
+    series = [(i, {"__name__": "m", "idx": str(i)}) for i in range(3000)]
+    write_wal_segment(d + "/wal/00000000", [encode_series_record(series)])
+    samples = [(i, 1000 + i, float(i) / 7) for i in range(3000)]
+    write_wal_segment(
+        d + "/wal/00000001",
+        [encode_samples_record(samples[:1500]),
+         encode_samples_record(samples[1500:])],
+    )
+    rows = read_wal(spark, d).collect()
+    assert len(rows) == 3000
+    by_idx = {r["labels"]["idx"]: r for r in rows}
+    assert by_idx["42"]["t"] == 1042 and by_idx["42"]["value"] == 6.0
+    assert by_idx["2999"]["t"] == 3999
+
+
+def test_wal_tombstones_and_checkpoint_order(spark, tmp_path):
+    """Series defined inside a checkpoint dir resolve for samples in
+    later live segments; WAL tombstone intervals drop their samples."""
+    import os
+    import struct as _struct
+
+    from prometheus_spark.storage import read_wal
+    from prometheus_spark.storage.wal import (
+        REC_TOMBSTONES,
+        _enc_varint,
+        encode_samples_record,
+        encode_series_record,
+        write_wal_segment,
+    )
+
+    d = str(tmp_path / "data2")
+    os.makedirs(d + "/wal/checkpoint.00000005")
+    write_wal_segment(
+        d + "/wal/checkpoint.00000005/00000000",
+        [encode_series_record([(7, {"__name__": "cpu", "h": "a"})])],
+    )
+    tomb = (
+        bytes([REC_TOMBSTONES])
+        + _struct.pack(">Q", 7)
+        + _enc_varint(150)
+        + _enc_varint(250)
+    )
+    write_wal_segment(
+        d + "/wal/00000006",
+        [encode_samples_record([(7, 100, 1.0), (7, 200, 2.0), (7, 300, 3.0)]),
+         tomb],
+    )
+    rows = sorted(r["t"] for r in read_wal(spark, d).collect())
+    assert rows == [100, 300]  # t=200 deleted by the tombstone
+
+
+def test_wal_snappy_compressed_record(spark, tmp_path):
+    """A snappy-flagged fragment decompresses before decoding
+    (wlog compression: type byte bit 3)."""
+    import os
+    import struct as _struct
+
+    from prometheus_spark.sources.remote_read import _crc32c
+    from prometheus_spark.sources.remote_write import snappy_encode
+    from prometheus_spark.storage import read_wal
+    from prometheus_spark.storage.wal import (
+        encode_samples_record,
+        encode_series_record,
+        write_wal_segment,
+    )
+
+    d = str(tmp_path / "data3")
+    os.makedirs(d + "/wal")
+    write_wal_segment(
+        d + "/wal/00000000",
+        [encode_series_record([(1, {"__name__": "m"})])],
+    )
+    rec = encode_samples_record([(1, 500, 4.5)])
+    comp = snappy_encode(rec)
+    frag = bytes([0x08 | 1]) + _struct.pack(">HI", len(comp), _crc32c(comp)) + comp
+    with open(d + "/wal/00000001", "wb") as f:
+        f.write(frag)
+    rows = read_wal(spark, d).collect()
+    assert len(rows) == 1 and rows[0]["value"] == 4.5 and rows[0]["t"] == 500
