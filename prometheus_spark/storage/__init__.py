@@ -19,6 +19,7 @@ from prometheus_spark.storage.samples import (
 )
 from prometheus_spark.storage.tsdb_block import (
     read_block,
+    read_data_dir,
     write_block,
 )
 from prometheus_spark.storage.wal import read_wal
@@ -32,6 +33,7 @@ __all__ = [
     "build_series_dim",
     "merge_series_dim",
     "read_block",
+    "read_data_dir",
     "read_samples",
     "read_wal",
     "read_series_dim",

@@ -475,3 +475,27 @@ def write_block(
             },
             f,
         )
+
+
+def read_data_dir(spark, data_dir: str):
+    """A complete live Prometheus data directory in one call: every
+    ULID block (read_block) plus the WAL head (storage.wal.read_wal),
+    merged and deduped with block data as the primary source
+    (fanout merge semantics — the WAL re-covers the newest block's
+    window until the next truncation)."""
+    import glob as _glob
+
+    from prometheus_spark.storage.fanout import merge_samples
+    from prometheus_spark.storage.wal import read_wal, wal_segments
+
+    frames = [
+        read_block(spark, os.path.dirname(p))
+        for p in sorted(_glob.glob(os.path.join(data_dir, "*", "index")))
+    ]
+    if wal_segments(data_dir):
+        frames.append(read_wal(spark, data_dir))
+    if not frames:
+        raise FileNotFoundError(f"no blocks or WAL under {data_dir}")
+    if len(frames) == 1:
+        return frames[0]
+    return merge_samples(frames)

@@ -211,3 +211,32 @@ def test_wal_snappy_compressed_record(spark, tmp_path):
         f.write(frag)
     rows = read_wal(spark, d).collect()
     assert len(rows) == 1 and rows[0]["value"] == 4.5 and rows[0]["t"] == 500
+
+
+def test_read_data_dir_blocks_plus_wal(spark, tmp_path):
+    """One call over a live-style data dir: block samples + WAL head,
+    deduped with the block as primary."""
+    import os
+
+    from prometheus_spark.storage import write_block
+    from prometheus_spark.storage.tsdb_block import read_data_dir
+    from prometheus_spark.storage.wal import (
+        encode_samples_record,
+        encode_series_record,
+        write_wal_segment,
+    )
+
+    d = str(tmp_path / "datadir")
+    write_block(
+        d + "/01BLOCKULID000000000000000",
+        [({"__name__": "m", "k": "a"}, [(1000, 1.0), (2000, 2.0)])],
+    )
+    os.makedirs(d + "/wal")
+    write_wal_segment(
+        d + "/wal/00000000",
+        [encode_series_record([(5, {"__name__": "m", "k": "a"})]),
+         # overlaps t=2000 (block wins) and extends to t=3000
+         encode_samples_record([(5, 2000, 99.0), (5, 3000, 3.0)])],
+    )
+    rows = {r["t"]: r["value"] for r in read_data_dir(spark, d).collect()}
+    assert rows == {1000: 1.0, 2000: 2.0, 3000: 3.0}
