@@ -486,7 +486,12 @@ def read_data_dir(spark, data_dir: str):
     import glob as _glob
 
     from prometheus_spark.storage.fanout import merge_samples
-    from prometheus_spark.storage.wal import read_wal, wal_segments
+    from prometheus_spark.storage.wal import (
+        read_head_chunks,
+        read_wal,
+        wal_segments,
+        wal_series_map,
+    )
 
     frames = [
         read_block(spark, os.path.dirname(p))
@@ -494,6 +499,14 @@ def read_data_dir(spark, data_dir: str):
     ]
     if wal_segments(data_dir):
         frames.append(read_wal(spark, data_dir))
+        # chunks_head holds samples the WAL may have truncated past a
+        # checkpoint; ref→labels comes from the WAL's series records
+        if os.path.isdir(os.path.join(data_dir, "chunks_head")):
+            frames.append(
+                read_head_chunks(
+                    spark, data_dir, wal_series_map(data_dir)
+                )
+            )
     if not frames:
         raise FileNotFoundError(f"no blocks or WAL under {data_dir}")
     if len(frames) == 1:

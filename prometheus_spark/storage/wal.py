@@ -344,3 +344,114 @@ def write_wal_segment(path: str, records: list[bytes]) -> None:
             first = False
     with open(path, "wb") as f:
         f.write(bytes(buf))
+
+
+# --- head chunks (chunks_head/) -----------------------------------------
+#
+# tsdb/docs/format/head_chunks.md: same segment framing as block chunks
+# but each chunk is self-describing (series ref + mint/maxt inline, no
+# index); the encoding byte's top bit flags out-of-order chunks.
+
+HEAD_CHUNKS_MAGIC = 0x0130BC91
+
+
+def head_chunk_entries(seg: bytes) -> Iterator[tuple[int, int, int, int, bytes]]:
+    """(series_ref, mint, maxt, encoding, data) per chunk in a
+    chunks_head segment."""
+    magic, _version = struct.unpack_from(">IB", seg, 0)
+    if magic != HEAD_CHUNKS_MAGIC:
+        raise ValueError(f"not a head-chunks segment: magic {magic:#x}")
+    pos, n = 8, len(seg)
+    while pos + 25 <= n:
+        ref, mint, maxt = struct.unpack_from(">QQQ", seg, pos)
+        if ref == 0 and mint == 0 and maxt == 0:
+            break  # zero tail padding
+        enc = seg[pos + 24]
+        ln, dpos = _uvarint(seg, pos + 25)
+        data = seg[dpos : dpos + ln]
+        pos = dpos + ln + 4  # skip crc
+        yield ref, int(mint), int(maxt), enc & 0x7F, data
+
+
+def read_head_chunks(spark, data_dir: str, series_labels):
+    """chunks_head/ segments as the canonical float samples frame.
+    ``series_labels``: {series_ref: labels dict} (from the WAL's series
+    records — the head has no index of its own)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from prometheus_spark.model.labels import sig_sql
+    from prometheus_spark.model.schema import HISTOGRAM_TYPE
+    from prometheus_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    head_dir = os.path.join(data_dir, "chunks_head")
+    segs = sorted(
+        os.path.join(head_dir, s)
+        for s in os.listdir(head_dir)
+        if s.isdigit()
+    )
+    sdf = spark.createDataFrame([(s,) for s in segs], "path string")
+    labels_b = spark.sparkContext.broadcast(
+        {int(k): json.dumps(v, sort_keys=True) for k, v in series_labels.items()}
+    )
+    out_schema = T._parse_datatype_string(
+        "labels_json string, t long, value double"
+    )
+
+    def parse(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from prometheus_spark.storage.tsdb_block import decode_chunk
+        from prometheus_spark.storage.wal import head_chunk_entries
+
+        lookup = labels_b.value
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                with open(path, "rb") as f:
+                    seg = f.read()
+                for ref, _mint, _maxt, enc, data in head_chunk_entries(seg):
+                    lbl = lookup.get(int(ref))
+                    if lbl is None:
+                        continue  # series truncated out of the WAL
+                    for t, v in decode_chunk(enc, data):
+                        if not isinstance(v, dict):
+                            rows.append((lbl, t, float(v)))
+            yield pd.DataFrame(
+                rows, columns=["labels_json", "t", "value"]
+            ).astype(object)
+
+    htype = HISTOGRAM_TYPE.simpleString()
+    return (
+        sdf.mapInPandas(parse, out_schema)
+        .withColumn(
+            "labels",
+            F.from_json(
+                "labels_json", T.MapType(T.StringType(), T.StringType())
+            ),
+        )
+        .selectExpr(
+            f"{sig_sql('labels')} AS sig",
+            "element_at(labels, '__name__') AS name",
+            "labels",
+            "t",
+            "CAST(value AS DOUBLE) AS value",
+            f"CAST(NULL AS {htype}) AS hist",
+            "false AS stale",
+            "CAST(NULL AS LONG) AS st",
+        )
+    )
+
+
+def wal_series_map(data_dir: str) -> dict[int, dict]:
+    """Driver-side skim of the WAL for series records only (the head
+    chunks' ref→labels index; sample records are skipped unscanned)."""
+    out: dict[int, dict] = {}
+    for path in wal_segments(data_dir):
+        with open(path, "rb") as f:
+            seg = f.read()
+        for rec in wal_records(seg):
+            if rec and rec[0] == REC_SERIES:
+                out.update(decode_series_record(rec))
+    return out

@@ -240,3 +240,42 @@ def test_read_data_dir_blocks_plus_wal(spark, tmp_path):
     )
     rows = {r["t"]: r["value"] for r in read_data_dir(spark, d).collect()}
     assert rows == {1000: 1.0, 2000: 2.0, 3000: 3.0}
+
+
+def test_head_chunks_read(spark, tmp_path):
+    """chunks_head segments (self-describing chunks, no index) resolve
+    series through the WAL's series records and join the data dir."""
+    import os
+    import struct as _struct
+
+    from prometheus_spark.sources.remote_read import _crc32c
+    from prometheus_spark.storage import chunkenc
+    from prometheus_spark.storage.tsdb_block import read_data_dir
+    from prometheus_spark.storage.wal import (
+        HEAD_CHUNKS_MAGIC,
+        encode_series_record,
+        write_wal_segment,
+    )
+
+    d = str(tmp_path / "live")
+    os.makedirs(d + "/wal")
+    os.makedirs(d + "/chunks_head")
+    write_wal_segment(
+        d + "/wal/00000000",
+        [encode_series_record([(9, {"__name__": "hm", "k": "h"})])],
+    )
+    data = chunkenc.xor_encode([(100, 5.0), (200, 6.0)])
+    seg = bytearray(_struct.pack(">IB3x", HEAD_CHUNKS_MAGIC, 1))
+    seg += _struct.pack(">QQQ", 9, 100, 200)
+    seg.append(1)  # EncXOR, in-order
+    from prometheus_spark.storage.wal import _enc_uvarint
+
+    seg += _enc_uvarint(len(data)) + data
+    seg += _struct.pack(">I", _crc32c(bytes([1]) + data))
+    with open(d + "/chunks_head/000001", "wb") as f:
+        f.write(bytes(seg))
+
+    rows = sorted(
+        (r["t"], r["value"]) for r in read_data_dir(spark, d).collect()
+    )
+    assert rows == [(100, 5.0), (200, 6.0)]
