@@ -201,10 +201,8 @@ def tsdb_analyze(store: str, limit: int = 10) -> int:
     computed distributed, only the top-k summaries reach the driver."""
     from pyspark.sql import functions as F
 
-    from prometheus_spark.storage import read_samples
-
     spark = _spark()
-    df = read_samples(spark, store)
+    df = _read_store(spark, store)
     n_samples = df.count()
     n_series = df.select("sig").distinct().count()
     print(f"Samples: {n_samples}")
