@@ -30,7 +30,7 @@ from __future__ import annotations
 import json
 import os
 import struct
-from typing import Iterator, Optional
+from typing import Iterator
 
 INDEX_MAGIC = 0xBAAAD700
 CHUNKS_MAGIC = 0x85BD40DD
