@@ -455,3 +455,73 @@ def wal_series_map(data_dir: str) -> dict[int, dict]:
             if rec and rec[0] == REC_SERIES:
                 out.update(decode_series_record(rec))
     return out
+
+
+# --- exemplar records (type 4) ------------------------------------------
+
+
+def decode_exemplars_record(rec: bytes) -> list[tuple[int, int, float, dict]]:
+    """(series_ref, t_ms, value, exemplar_labels) rows (record.go
+    ExemplarsFromBuffer: samples layout + a label set per row)."""
+    if len(rec) <= 17:
+        return []
+    base_ref, base_t = struct.unpack_from(">Qq", rec, 1)
+    pos = 17
+    out = []
+    while pos < len(rec):
+        dref, pos = _varint(rec, pos)
+        dt, pos = _varint(rec, pos)
+        (bits,) = struct.unpack_from(">Q", rec, pos)
+        pos += 8
+        n, pos = _uvarint(rec, pos)
+        labels = {}
+        for _ in range(n):
+            kl, pos = _uvarint(rec, pos)
+            k = rec[pos : pos + kl].decode("utf-8")
+            pos += kl
+            vl, pos = _uvarint(rec, pos)
+            labels[k] = rec[pos : pos + vl].decode("utf-8")
+            pos += vl
+        out.append(
+            (base_ref + dref, base_t + dt,
+             struct.unpack(">d", struct.pack(">Q", bits))[0], labels)
+        )
+    return out
+
+
+def encode_exemplars_record(
+    exemplars: list[tuple[int, int, float, dict]],
+) -> bytes:
+    if not exemplars:
+        return bytes([REC_EXEMPLARS])
+    base_ref, base_t, _, _ = exemplars[0]
+    out = bytearray([REC_EXEMPLARS]) + struct.pack(">Qq", base_ref, base_t)
+    for ref, t, v, labels in exemplars:
+        out += _enc_varint(ref - base_ref) + _enc_varint(t - base_t)
+        out += struct.pack(">Q", struct.unpack(">Q", struct.pack(">d", v))[0])
+        out += _enc_uvarint(len(labels))
+        for k in sorted(labels):
+            kb, vb = k.encode(), labels[k].encode()
+            out += _enc_uvarint(len(kb)) + kb + _enc_uvarint(len(vb)) + vb
+    return bytes(out)
+
+
+def read_wal_exemplars(spark, data_dir: str):
+    """WAL exemplar records as the canonical exemplar frame
+    (storage.exemplars.EXEMPLAR_SCHEMA) — series labels resolved
+    through the WAL's series records, so /api/v1/query_exemplars can
+    serve straight from a native data dir."""
+    from prometheus_spark.storage.exemplars import exemplars_from_rows
+
+    series = wal_series_map(data_dir)
+    rows = []
+    for path in wal_segments(data_dir):
+        with open(path, "rb") as f:
+            seg = f.read()
+        for rec in wal_records(seg):
+            if rec and rec[0] == REC_EXEMPLARS:
+                for ref, t, v, exl in decode_exemplars_record(rec):
+                    slabels = series.get(ref)
+                    if slabels is not None:
+                        rows.append((slabels, t, exl, v, t))
+    return exemplars_from_rows(spark, rows)

@@ -279,3 +279,32 @@ def test_head_chunks_read(spark, tmp_path):
         (r["t"], r["value"]) for r in read_data_dir(spark, d).collect()
     )
     assert rows == [(100, 5.0), (200, 6.0)]
+
+
+def test_wal_exemplars_roundtrip(spark, tmp_path):
+    """Exemplar records resolve series labels and land in the canonical
+    exemplar frame (query_exemplars-ready)."""
+    import os
+
+    from prometheus_spark.storage.wal import (
+        encode_exemplars_record,
+        encode_series_record,
+        read_wal_exemplars,
+        write_wal_segment,
+    )
+
+    d = str(tmp_path / "exdata")
+    os.makedirs(d + "/wal")
+    write_wal_segment(d + "/wal/00000000", [
+        encode_series_record([(3, {"__name__": "req", "job": "api"})]),
+        encode_exemplars_record([
+            (3, 1000, 0.25, {"trace_id": "abc"}),
+            (3, 2000, 0.75, {"trace_id": "def"}),
+        ]),
+    ])
+    rows = sorted(read_wal_exemplars(spark, d).collect(), key=lambda r: r["t"])
+    assert len(rows) == 2
+    assert rows[0]["labels"]["job"] == "api"
+    assert rows[0]["ex_labels"]["trace_id"] == "abc"
+    assert rows[0]["value"] == 0.25
+    assert rows[1]["ex_labels"]["trace_id"] == "def" and rows[1]["t"] == 2000
