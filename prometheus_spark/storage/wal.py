@@ -177,18 +177,28 @@ def read_wal(spark, data_dir: str):
         raise FileNotFoundError(f"no WAL segments under {data_dir}")
     sdf = spark.createDataFrame([(s,) for s in segs], "path string")
 
+    hist_fields = (
+        "h_schema int, h_zt double, h_zc double, h_count double, "
+        "h_sum double, h_pos_off array<int>, h_pos_len array<int>, "
+        "h_pos_bkt array<double>, h_neg_off array<int>, "
+        "h_neg_len array<int>, h_neg_bkt array<double>, "
+        "h_custom array<double>, h_hint int"
+    )
     out_schema = T._parse_datatype_string(
         "kind string, ref long, t long, value double, labels_json string, "
-        "mint long, maxt long"
+        "mint long, maxt long, " + hist_fields
     )
 
     def parse(batches: Iterator) -> Iterator:
         import pandas as pd
 
         from prometheus_spark.storage.wal import (
+            REC_FLOAT_HISTOGRAM_SAMPLES,
+            REC_HISTOGRAM_SAMPLES,
             REC_SAMPLES,
             REC_SERIES,
             REC_TOMBSTONES,
+            decode_histogram_samples_record,
             decode_samples_record,
             decode_series_record,
             decode_tombstones_record,
@@ -200,6 +210,7 @@ def read_wal(spark, data_dir: str):
             for path in pdf["path"]:
                 with open(path, "rb") as f:
                     seg = f.read()
+                pad = (None,) * 13
                 for rec in wal_records(seg):
                     rt = rec[0] if rec else 0
                     if rt == REC_SERIES:
@@ -207,17 +218,37 @@ def read_wal(spark, data_dir: str):
                             rows.append(
                                 ("series", ref, None, None,
                                  json.dumps(labels, sort_keys=True),
-                                 None, None)
+                                 None, None) + pad
                             )
                     elif rt == REC_SAMPLES:
                         for ref, t, v in decode_samples_record(rec):
                             rows.append(
                                 ("sample", ref, t, v, None, None, None)
+                                + pad
+                            )
+                    elif rt in (REC_HISTOGRAM_SAMPLES,
+                                REC_FLOAT_HISTOGRAM_SAMPLES):
+                        for ref, t, h in decode_histogram_samples_record(rec):
+                            rows.append(
+                                ("hsample", ref, t, None, None, None, None,
+                                 int(h["schema"]),
+                                 float(h["zero_threshold"]),
+                                 float(h["zero_count"]), float(h["count"]),
+                                 float(h["sum"]),
+                                 [int(x["offset"]) for x in h["pos_spans"]],
+                                 [int(x["length"]) for x in h["pos_spans"]],
+                                 [float(x) for x in h["pos_buckets"]],
+                                 [int(x["offset"]) for x in h["neg_spans"]],
+                                 [int(x["length"]) for x in h["neg_spans"]],
+                                 [float(x) for x in h["neg_buckets"]],
+                                 [float(x) for x in h["custom_values"]],
+                                 int(h["counter_reset_hint"]))
                             )
                     elif rt == REC_TOMBSTONES:
                         for ref, mint, maxt in decode_tombstones_record(rec):
                             rows.append(
                                 ("tomb", ref, None, None, None, mint, maxt)
+                                + pad
                             )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in out_schema.fields]
@@ -233,7 +264,9 @@ def read_wal(spark, data_dir: str):
     tombs = raw.filter("kind = 'tomb'").select(
         F.col("ref").alias("tref"), "mint", "maxt"
     )
-    samples = raw.filter("kind = 'sample'").select("ref", "t", "value")
+    samples = raw.filter("kind IN ('sample', 'hsample')").drop(
+        "labels_json", "mint", "maxt"
+    )
     joined = samples.join(F.broadcast(series), "ref").join(
         F.broadcast(tombs),
         (F.col("ref") == F.col("tref"))
@@ -246,6 +279,16 @@ def read_wal(spark, data_dir: str):
     from prometheus_spark.model.schema import HISTOGRAM_TYPE
 
     htype = HISTOGRAM_TYPE.simpleString()
+    hist = (
+        "CASE WHEN kind = 'hsample' THEN named_struct("
+        "'schema', h_schema, 'zero_threshold', h_zt, 'zero_count', h_zc, "
+        "'count', h_count, 'sum', h_sum, "
+        "'pos_spans', arrays_zip(h_pos_off, h_pos_len), "
+        "'pos_buckets', h_pos_bkt, "
+        "'neg_spans', arrays_zip(h_neg_off, h_neg_len), "
+        "'neg_buckets', h_neg_bkt, 'custom_values', h_custom, "
+        "'counter_reset_hint', CAST(h_hint AS TINYINT)) END"
+    )
     return (
         joined.withColumn(
             "labels",
@@ -259,7 +302,7 @@ def read_wal(spark, data_dir: str):
             "labels",
             "t",
             "CAST(value AS DOUBLE) AS value",
-            f"CAST(NULL AS {htype}) AS hist",
+            f"CAST({hist} AS {htype}) AS hist",
             "false AS stale",
             "CAST(NULL AS LONG) AS st",
         )
@@ -525,3 +568,130 @@ def read_wal_exemplars(spark, data_dir: str):
                     if slabels is not None:
                         rows.append((slabels, t, exl, v, t))
     return exemplars_from_rows(spark, rows)
+
+
+# --- histogram sample records (types 7/8) --------------------------------
+
+REC_HISTOGRAM_SAMPLES, REC_FLOAT_HISTOGRAM_SAMPLES = 7, 8
+
+_NHCB_SCHEMA = -53  # histogram.IsCustomBucketsSchema
+
+
+def _decode_hist_struct(rec: bytes, pos: int, as_float: bool):
+    """record.go DecodeHistogram/DecodeFloatHistogram → (model-
+    convention hist dict, new pos).  Integer buckets arrive as deltas
+    and convert to the absolute float convention of the samples frame."""
+    hint = rec[pos]
+    pos += 1
+    schema, pos = _varint(rec, pos)
+    (zt_bits,) = struct.unpack_from(">Q", rec, pos)
+    pos += 8
+    zt = struct.unpack(">d", struct.pack(">Q", zt_bits))[0]
+
+    def f64(p):
+        (b,) = struct.unpack_from(">Q", rec, p)
+        return struct.unpack(">d", struct.pack(">Q", b))[0], p + 8
+
+    if as_float:
+        zc, pos = f64(pos)
+        cnt, pos = f64(pos)
+    else:
+        zc, pos = _uvarint(rec, pos)
+        cnt, pos = _uvarint(rec, pos)
+    s, pos = f64(pos)
+
+    def spans(p):
+        n, p = _uvarint(rec, p)
+        out = []
+        for _ in range(n):
+            off, p = _varint(rec, p)
+            ln, p = _uvarint(rec, p)
+            out.append({"offset": off, "length": ln})
+        return out, p
+
+    pos_spans, pos = spans(pos)
+    neg_spans, pos = spans(pos)
+
+    def buckets(p):
+        n, p = _uvarint(rec, p)
+        out = []
+        if as_float:
+            for _ in range(n):
+                v, p = f64(p)
+                out.append(v)
+        else:
+            run = 0
+            for _ in range(n):
+                d, p = _varint(rec, p)
+                run += d
+                out.append(float(run))
+        return out, p
+
+    pos_b, pos = buckets(pos)
+    neg_b, pos = buckets(pos)
+    custom = []
+    if schema == _NHCB_SCHEMA:
+        n, pos = _uvarint(rec, pos)
+        for _ in range(n):
+            v, pos = f64(pos)
+            custom.append(v)
+    return {
+        "schema": schema, "zero_threshold": zt, "zero_count": float(zc),
+        "count": float(cnt), "sum": s, "pos_spans": pos_spans,
+        "pos_buckets": pos_b, "neg_spans": neg_spans, "neg_buckets": neg_b,
+        "custom_values": custom, "counter_reset_hint": hint,
+    }, pos
+
+
+def decode_histogram_samples_record(rec: bytes):
+    """(ref, t_ms, hist-dict) rows for record types 7 (integer) and 8
+    (float); V2 variants (11+) are not emitted by stable releases."""
+    as_float = rec[0] == REC_FLOAT_HISTOGRAM_SAMPLES
+    if len(rec) <= 17:
+        return []
+    base_ref, base_t = struct.unpack_from(">Qq", rec, 1)
+    pos = 17
+    out = []
+    while pos < len(rec):
+        dref, pos = _varint(rec, pos)
+        dt, pos = _varint(rec, pos)
+        h, pos = _decode_hist_struct(rec, pos, as_float)
+        out.append((base_ref + dref, base_t + dt, h))
+    return out
+
+
+def encode_float_histogram_samples_record(
+    samples: list[tuple[int, int, dict]],
+) -> bytes:
+    """Inverse of the type-8 decode, for round-trip tests."""
+    if not samples:
+        return bytes([REC_FLOAT_HISTOGRAM_SAMPLES])
+    base_ref, base_t, _ = samples[0]
+    out = bytearray([REC_FLOAT_HISTOGRAM_SAMPLES]) + struct.pack(
+        ">Qq", base_ref, base_t
+    )
+
+    def f64(v):
+        return struct.pack(">Q", struct.unpack(">Q", struct.pack(">d", v))[0])
+
+    for ref, t, h in samples:
+        out += _enc_varint(ref - base_ref) + _enc_varint(t - base_t)
+        out += bytes([int(h.get("counter_reset_hint", 0))])
+        out += _enc_varint(int(h["schema"]))
+        out += f64(float(h["zero_threshold"]))
+        out += f64(float(h["zero_count"])) + f64(float(h["count"]))
+        out += f64(float(h["sum"]))
+        for spans in (h["pos_spans"], h["neg_spans"]):
+            out += _enc_uvarint(len(spans))
+            for sp in spans:
+                out += _enc_varint(int(sp["offset"]))
+                out += _enc_uvarint(int(sp["length"]))
+        for bkts in (h["pos_buckets"], h["neg_buckets"]):
+            out += _enc_uvarint(len(bkts))
+            for b in bkts:
+                out += f64(float(b))
+        if int(h["schema"]) == _NHCB_SCHEMA:
+            out += _enc_uvarint(len(h["custom_values"]))
+            for v in h["custom_values"]:
+                out += f64(float(v))
+    return bytes(out)

@@ -308,3 +308,31 @@ def test_wal_exemplars_roundtrip(spark, tmp_path):
     assert rows[0]["ex_labels"]["trace_id"] == "abc"
     assert rows[0]["value"] == 0.25
     assert rows[1]["ex_labels"]["trace_id"] == "def" and rows[1]["t"] == 2000
+
+
+def test_wal_float_histogram_samples(spark, tmp_path):
+    """Type-8 float-histogram WAL records decode into the samples
+    frame's hist struct."""
+    import os
+
+    from prometheus_spark.storage import read_wal
+    from prometheus_spark.storage.wal import (
+        encode_float_histogram_samples_record,
+        encode_series_record,
+        write_wal_segment,
+    )
+
+    d = str(tmp_path / "hwal")
+    os.makedirs(d + "/wal")
+    h = dict(HIST, count=7.5, sum=2.25, pos_buckets=[1.5, 6.0])
+    write_wal_segment(d + "/wal/00000000", [
+        encode_series_record([(4, {"__name__": "lat", "k": "w"})]),
+        encode_float_histogram_samples_record([(4, 1234, h)]),
+    ])
+    rows = read_wal(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["t"] == 1234 and r["value"] is None
+    assert r["hist"]["count"] == 7.5 and r["hist"]["sum"] == 2.25
+    assert list(r["hist"]["pos_buckets"]) == [1.5, 6.0]
+    assert [s["offset"] for s in r["hist"]["pos_spans"]] == [0]
