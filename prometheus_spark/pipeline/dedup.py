@@ -8,6 +8,8 @@ groupBy(doc) signature build and the band-bucket join, both keyed small.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import math
 import re
 from dataclasses import dataclass, field
+from typing import Optional
 
 from prometheus_spark.parser.ast import MatchType, VectorSelector
 from prometheus_spark.parser.lexer import parse_duration_ms
