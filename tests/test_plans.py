@@ -519,3 +519,62 @@ def test_classic_histogram_plan_size_bounded(spark):
     # optimizedPlan treeString length as a cheap proxy for node count
     tree = df._jdf.queryExecution().optimizedPlan().treeString()
     assert len(tree) < 200_000, f"plan blew up: {len(tree)} chars"
+
+
+def test_minhash_candidates_plan_shape(spark):
+    """Pin the round-7 minhash plan: stats via partial-agg groupBy with
+    the annotate join's exchange shared (persist AFTER the join — an
+    InMemoryRelation drops output partitioning, so persisting the banded
+    frame before the join forced both sides to re-shuffle: measured 2x
+    at bench scale).  Also: no window over the bucket (a mega-bucket
+    would buffer in one task), no cartesian, and the wide text column
+    never travels through an exchange."""
+    import re
+
+    from prometheus_spark.pipeline import minhash_dup_candidates_portable
+    from prometheus_spark.pipeline.dedup import STAR_THRESHOLD
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} x{i % 3} common words here {i % 2}") for i in range(60)],
+        ["doc_id", "text"],
+    )
+    df = minhash_dup_candidates_portable(
+        docs, shingle_n=2, star_threshold=STAR_THRESHOLD
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # skew contract: stats are aggregated, not windowed
+    # one persisted frame, placed after the annotate join
+    assert plan.count("InMemoryTableScan") >= 2  # small + star read the cache
+    # exchange budget: sig build repartition + stats agg + annotate join
+    # + self-join sides + union-distinct (AQE coalesces at runtime);
+    # a regression re-adding per-side signature builds would exceed this
+    assert plan.count("Exchange hashpartitioning") <= 9, plan
+    for ex in re.findall(r"Exchange hashpartitioning[^\n]*\n[^\n]*", plan):
+        assert "text" not in ex  # wide column stays at the scan
+    df.count()  # plan must actually execute
+
+
+def test_ngram_jaccard_plan_shape(spark):
+    """Pin the round-7 jaccard plan: gram document-frequency via
+    partial-agg groupBy (skew-proof for stop-word grams) + ONE streaming
+    1:N annotate join, persisted after the join; no window over the
+    gram key; no cartesian; gram-hash exchanges carry longs, never the
+    text column."""
+    import re
+
+    from prometheus_spark.pipeline import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} x{i % 3} common words here {i % 2}") for i in range(60)],
+        ["doc_id", "text"],
+    )
+    df = ngram_jaccard_pairs(docs, n=2, threshold=0.1)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("InMemoryTableScan") >= 2  # rare_inv + summary read the cache
+    assert plan.count("Exchange hashpartitioning") <= 15, plan
+    for ex in re.findall(r"Exchange hashpartitioning[^\n]*\n[^\n]*", plan):
+        assert "text" not in ex
+    df.count()
