@@ -174,8 +174,9 @@ def xor_encode(samples: list[tuple[int, float]]) -> bytes:
             w.varint(t)
             w.write_bits(bits, 64)
         elif i == 1:
+            # uint64 wraparound for negative deltas (xor.go:156 uint64 cast)
             t_delta = t - prev_t
-            w.uvarint(t_delta)
+            w.uvarint(t_delta & 0xFFFFFFFFFFFFFFFF)
             _xor_write(w, bits, prev_bits, state)
         else:
             dod = (t - prev_t) - t_delta
@@ -220,6 +221,8 @@ def xor_decode(data: bytes) -> list[tuple[int, float]]:
             bits = r.read_bits(64)
         elif i == 1:
             t_delta = r.uvarint()
+            if t_delta >= 1 << 63:  # uint64 wrap of a negative delta
+                t_delta -= 1 << 64
             t += t_delta
             bits = _xor_read(r, bits, state)
         else:
@@ -256,6 +259,341 @@ def chunk_series(
         part = samples[i : i + samples_per_chunk]
         out.append((part[0][0], part[-1][0], xor_encode(part)))
     return out
+
+
+# --- XOR2 chunks (tsdb/chunkenc/xor2.go) ------------------------------------
+#
+# XOR2 replaces the separate dod + value prefixes with a JOINT control
+# prefix per sample (>= 2) and adds an optional start-timestamp (ST)
+# stream.  Layout: 2-byte BE count + 1-byte ST header (bit 7 =
+# firstSTKnown, bits 6-0 = firstSTChangeOn; st.go:37-55) + bitstream.
+#
+# Joint control (xor2.go:19-26):
+#   0     dod=0, value unchanged
+#   10    dod=0, value changed        (then <varbit_xor2_nn>)
+#   110   13-bit signed dod, byte-packed  (then <varbit_xor2>)
+#   1110  20-bit signed dod, byte-packed  (then <varbit_xor2>)
+#   11110 64-bit dod escape               (then <varbit_xor2>)
+#   11111 dod=0, stale NaN
+#
+# <varbit_xor2>  (xor2.go:31-36):  0 unchanged | 10 reuse window |
+#                110 new window | 111 stale NaN
+# <varbit_xor2_nn> (xor2.go:38-41): 0 reuse window | 1 new window
+#
+# Values XOR against the last NON-stale value (xor2Iterator.baselineV,
+# xor2.go:500), unlike EncXOR which XORs against the raw previous bits.
+# ST deltas are (prevT - st), first recorded at firstSTChangeOn then
+# delta-encoded with putVarbitInt (st.go:58-100; the appender's
+# putVarbitIntFast writes identical bits).
+
+#: value/value.go StaleNaN — bit-exact staleness marker
+STALE_NAN_BITS = 0x7FF0000000000002
+
+#: st.go:19 — an ST change later than this index forces an early record
+_MAX_FIRST_ST_CHANGE_ON = 0x7F
+
+
+def _xor2_write_vdelta(w: _BitWriter, vbits: int, baseline: int, state: dict) -> None:
+    """<varbit_xor2> — the dod≠0 value encoding (xor2Appender.writeVDelta)."""
+    if vbits == STALE_NAN_BITS:
+        w.write_bits(0b111, 3)
+        return
+    delta = vbits ^ baseline
+    if delta == 0:
+        w.write_bit(0)
+        return
+    if _xor2_window_fits(delta, state):
+        w.write_bits(0b10, 2)
+        w.write_bits(
+            delta >> state["trailing"],
+            64 - state["leading"] - state["trailing"],
+        )
+        return
+    _xor2_new_window(w, delta, state, prefix=0b110, plen=3)
+
+
+def _xor2_window_fits(delta: int, state: dict) -> bool:
+    leading = min(_clz64(delta), 31)
+    trailing = _ctz64(delta)
+    return (
+        state["leading"] != 0xFF
+        and leading >= state["leading"]
+        and trailing >= state["trailing"]
+    )
+
+
+def _xor2_new_window(w: _BitWriter, delta: int, state: dict, prefix: int, plen: int) -> None:
+    leading = min(_clz64(delta), 31)
+    trailing = _ctz64(delta)
+    state["leading"], state["trailing"] = leading, trailing
+    w.write_bits(prefix, plen)
+    w.write_bits(leading, 5)
+    sigbits = 64 - leading - trailing
+    w.write_bits(sigbits, 6)  # 64 wraps to 0; decoder restores
+    w.write_bits(delta >> trailing, sigbits)
+
+
+def _xor2_write_vdelta_nn(w: _BitWriter, delta: int, state: dict) -> None:
+    """<varbit_xor2_nn> — dod=0, value-changed encoding
+    (xor2Appender.writeVDeltaKnownNonZero; delta is non-zero)."""
+    if _xor2_window_fits(delta, state):
+        w.write_bit(0)
+        w.write_bits(
+            delta >> state["trailing"],
+            64 - state["leading"] - state["trailing"],
+        )
+        return
+    _xor2_new_window(w, delta, state, prefix=1, plen=1)
+
+
+def xor2_encode(
+    samples: list[tuple[int, float]], sts: list[int] | None = None
+) -> bytes:
+    """[(t_ms, value)] → XOR2 chunk bytes (enc 4).  ``sts`` optionally
+    carries a start timestamp per sample (0 = unknown, the reference's
+    sentinel); omitted → the ST header stays 0x00 and the stream carries
+    no ST bits (xor2.go:48-54)."""
+    n = len(samples)
+    if n > 0xFFFF:
+        raise ValueError("chunk capacity exceeded")
+    st_list = [int(s) for s in sts] if sts is not None else [0] * n
+    w = _BitWriter(struct.pack(">H", n) + b"\x00")
+    state = {"leading": 0xFF, "trailing": 0}
+    baseline = 0  # bits of the last non-stale value
+    prev_t = t_delta = 0
+    prev_st = st_diff = 0
+    first_st_change_on = 0
+    for i, (t, v) in enumerate(samples):
+        st = st_list[i]
+        vbits = _f64_bits(float(v))
+        if i == 0:
+            w.varint(t)
+            w.write_bits(vbits, 64)
+            if st != 0:
+                w.varint(t - st)
+                w.stream[2] |= 0x80  # firstSTKnown
+        elif i == 1:
+            t_delta = t - prev_t
+            # Go stores tDelta as uint64 (xor2.go:207) — a negative delta
+            # wraps through two's complement and round-trips via the
+            # iterator's int64 re-cast
+            w.uvarint(t_delta & 0xFFFFFFFFFFFFFFFF)
+            _xor2_write_vdelta(w, vbits, baseline, state)
+            if st != prev_st:
+                st_diff = prev_t - st
+                first_st_change_on = 1
+                w.stream[2] |= 1
+                _varbit_int(w, st_diff)
+        else:
+            new_delta = t - prev_t
+            dod = new_delta - t_delta
+            t_delta = new_delta
+            if dod == 0:
+                if vbits == STALE_NAN_BITS:
+                    w.write_bits(0b11111, 5)
+                elif vbits == baseline:
+                    w.write_bit(0)
+                else:
+                    w.write_bits(0b10, 2)
+                    _xor2_write_vdelta_nn(w, vbits ^ baseline, state)
+            else:
+                if -(1 << 12) <= dod <= (1 << 12) - 1:
+                    # prefix 110 packed with the top 5 dod bits → 2 bytes
+                    w.write_byte(0b1100_0000 | ((dod >> 8) & 0x1F))
+                    w.write_byte(dod & 0xFF)
+                elif -(1 << 19) <= dod <= (1 << 19) - 1:
+                    w.write_byte(0b1110_0000 | ((dod >> 16) & 0x0F))
+                    w.write_byte((dod >> 8) & 0xFF)
+                    w.write_byte(dod & 0xFF)
+                else:
+                    w.write_bits(0b11110, 5)
+                    w.write_bits(dod, 64)
+                _xor2_write_vdelta(w, vbits, baseline, state)
+            # ST stream (xor2.go Append default arm)
+            if first_st_change_on == 0 and st == prev_st and i != _MAX_FIRST_ST_CHANGE_ON:
+                pass
+            elif first_st_change_on == 0:
+                st_diff = prev_t - st
+                first_st_change_on = i
+                w.stream[2] |= i & 0x7F
+                _varbit_int(w, st_diff)
+            else:
+                new_diff = prev_t - st
+                _varbit_int(w, new_diff - st_diff)
+                st_diff = new_diff
+        if vbits != STALE_NAN_BITS:
+            baseline = vbits
+        prev_t, prev_st = t, st
+    return bytes(w.stream)
+
+
+def _xor2_read_window(r: _BitReader, baseline: int, state: dict) -> int:
+    """Reuse-window read: sz bits shifted by the current trailing."""
+    sz = 64 - state["leading"] - state["trailing"]
+    return baseline ^ (r.read_bits(sz) << state["trailing"])
+
+
+def _xor2_read_new_window(r: _BitReader, baseline: int, state: dict) -> int:
+    leading = r.read_bits(5)
+    sigbits = r.read_bits(6) or 64
+    state["leading"], state["trailing"] = leading, 64 - leading - sigbits
+    return baseline ^ (r.read_bits(sigbits) << state["trailing"])
+
+
+def _xor2_read_vdelta(r: _BitReader, baseline: int, state: dict) -> int:
+    """<varbit_xor2>: 0 unchanged | 10 reuse | 110 new | 111 stale."""
+    if r.read_bit() == 0:
+        return baseline
+    if r.read_bit() == 0:
+        return _xor2_read_window(r, baseline, state)
+    if r.read_bit() == 0:
+        return _xor2_read_new_window(r, baseline, state)
+    return STALE_NAN_BITS
+
+
+def xor2_st_decode(data: bytes) -> list[tuple[int, int, float]]:
+    """XOR2 chunk bytes → [(st_ms, t_ms, value)] (st 0 = unknown)."""
+    (num,) = struct.unpack(">H", data[:2])
+    first_st_known = bool(data[2] & 0x80)
+    first_st_change_on = data[2] & 0x7F
+    r = _BitReader(data[3:])
+    state = {"leading": 0, "trailing": 0}
+    out: list[tuple[int, int, float]] = []
+    baseline = 0
+    t = t_delta = 0
+    st = st_diff = 0
+    for i in range(num):
+        prev_t = t
+        if i == 0:
+            t = r.varint()
+            vbits = r.read_bits(64)
+            if first_st_known:
+                st = t - r.varint()
+        elif i == 1:
+            t_delta = r.uvarint()
+            if t_delta >= 1 << 63:  # uint64 wrap of a negative delta
+                t_delta -= 1 << 64
+            t += t_delta
+            vbits = _xor2_read_vdelta(r, baseline, state)
+            if first_st_change_on == 1:
+                st_diff = _read_varbit_int(r)
+                st = prev_t - st_diff
+        else:
+            ones = 0
+            while ones < 4 and r.read_bit():
+                ones += 1
+            if ones == 0:  # dod=0, unchanged
+                t += t_delta
+                vbits = baseline
+            elif ones == 1:  # dod=0, value changed
+                t += t_delta
+                if r.read_bit() == 0:
+                    vbits = _xor2_read_window(r, baseline, state)
+                else:
+                    vbits = _xor2_read_new_window(r, baseline, state)
+            elif ones < 4:  # 13- or 20-bit dod
+                width = 13 if ones == 2 else 20
+                b = r.read_bits(width)
+                if b >= 1 << (width - 1):  # xor2.go readDod: >= (symmetric)
+                    b -= 1 << width
+                t_delta += b
+                t += t_delta
+                vbits = _xor2_read_vdelta(r, baseline, state)
+            elif r.read_bit() == 0:  # 11110: 64-bit dod escape
+                b = r.read_bits(64)
+                if b >= 1 << 63:
+                    b -= 1 << 64
+                t_delta += b
+                t += t_delta
+                vbits = _xor2_read_vdelta(r, baseline, state)
+            else:  # 11111: dod=0, stale NaN
+                t += t_delta
+                vbits = STALE_NAN_BITS
+            if first_st_change_on > 0 and i >= first_st_change_on:
+                sdod = _read_varbit_int(r)
+                st_diff = sdod if i == first_st_change_on else st_diff + sdod
+                st = prev_t - st_diff
+        if vbits != STALE_NAN_BITS:
+            baseline = vbits
+        out.append((st, t, _bits_f64(vbits)))
+    return out
+
+
+def xor2_decode(data: bytes) -> list[tuple[int, float]]:
+    """XOR2 chunk bytes → [(t_ms, value)] (ST stream decoded, dropped)."""
+    return [(t, v) for _st, t, v in xor2_st_decode(data)]
+
+
+# --- shared ST stream codec (tsdb/chunkenc/st.go stEncoder/stDecoder) ------
+#
+# The histogram ST chunks (enc 5/6) append start-timestamp data AFTER
+# each sample's base encoding.  The ST header byte (bit 7 firstSTKnown,
+# bits 6-0 firstSTChangeOn) sits at stream index 2 in all three ST
+# layouts — xor2's byte after the count, and byte 2 of the 3-byte
+# histogram ST header.
+
+
+class _STEncoder:
+    """st.go:26-100 — tracks st/stDiff/firstSTChangeOn across appends.
+    ``encode`` must run after each sample with ``num`` = 1-based count."""
+
+    def __init__(self) -> None:
+        self.st = 0
+        self.st_diff = 0
+        self.change_on = 0
+
+    def encode(self, w: _BitWriter, num: int, cur_t: int, prev_t: int, st: int) -> None:
+        st = int(st)
+        if num == 1:
+            if st != 0:
+                w.varint(cur_t - st)
+                w.stream[2] |= 0x80
+        elif num == 2:
+            if st != self.st:
+                self.st_diff = prev_t - st
+                self.change_on = 1
+                w.stream[2] |= 1
+                _varbit_int(w, self.st_diff)
+        elif self.change_on == 0:
+            # forced record at maxFirstSTChangeOn keeps the 7-bit header
+            # valid even if ST first changes on a later sample (st.go:81)
+            if st != self.st or num - 1 == _MAX_FIRST_ST_CHANGE_ON:
+                self.st_diff = prev_t - st
+                self.change_on = num - 1
+                w.stream[2] |= self.change_on & 0x7F
+                _varbit_int(w, self.st_diff)
+        else:
+            new_diff = prev_t - st
+            _varbit_int(w, new_diff - self.st_diff)
+            self.st_diff = new_diff
+        self.st = st
+
+
+class _STDecoder:
+    """st.go:102-139 — mirrors :class:`_STEncoder` on the read side."""
+
+    def __init__(self, header_byte: int) -> None:
+        self.known = bool(header_byte & 0x80)
+        self.change_on = header_byte & 0x7F
+        self.st = 0
+        self.st_diff = 0
+
+    def decode(self, r: _BitReader, num_read: int, cur_t: int, prev_t: int) -> int:
+        if num_read == 1:
+            if self.known:
+                self.st = cur_t - r.varint()
+        elif num_read == 2:
+            if self.change_on == 1:
+                self.st_diff = _read_varbit_int(r)
+                self.st = prev_t - self.st_diff
+        elif self.change_on > 0 and num_read - 1 >= self.change_on:
+            sdod = _read_varbit_int(r)
+            if num_read - 1 == self.change_on:
+                self.st_diff = sdod
+            else:
+                self.st_diff += sdod
+            self.st = prev_t - self.st_diff
+        return self.st
 
 
 # --- FLOAT_HISTOGRAM chunks (tsdb/chunkenc/float_histogram.go) -------------
@@ -409,15 +747,31 @@ def _layout_key(h: dict) -> tuple:
     )
 
 
-def fh_encode(samples: list[tuple[int, dict]]) -> bytes:
+def fh_encode(
+    samples: list[tuple[int, dict]], sts: list[int] | None = None
+) -> bytes:
     """[(t_ms, hist_dict)] → FLOAT_HISTOGRAM chunk bytes.  Every sample
     must share the first sample's layout (use :func:`chunk_fh_series`
-    to split on layout changes)."""
-    if len(samples) > 0xFFFF:
-        raise ValueError("chunk capacity exceeded")
+    to split on layout changes).
+
+    Passing ``sts`` (one start timestamp per sample, 0 = unknown)
+    switches to the FLOAT_HISTOGRAM_ST layout (enc 6,
+    float_histogram_st.go): 3-byte header = counter-reset bits 7-6 of
+    byte 0 + 14-bit BE count in bytes 0-1 + ST header byte 2, with the
+    ST stream interleaved after each sample's base encoding."""
     first = samples[0][1]
     header = _CR_HINT_TO_HEADER.get(int(first.get("counter_reset_hint", 0)), 0)
-    w = _BitWriter(struct.pack(">H", len(samples)) + bytes([header]))
+    st_enc: _STEncoder | None = None
+    if sts is not None:
+        if len(samples) > 0x3FFF:
+            raise ValueError("ST chunk capacity exceeded")
+        n = len(samples)
+        w = _BitWriter(bytes([header | ((n >> 8) & 0x3F), n & 0xFF, 0]))
+        st_enc = _STEncoder()
+    else:
+        if len(samples) > 0xFFFF:
+            raise ValueError("chunk capacity exceeded")
+        w = _BitWriter(struct.pack(">H", len(samples)) + bytes([header]))
     schema = int(first.get("schema", 0))
     _put_zero_threshold(w, float(first.get("zero_threshold", 0.0)))
     _varbit_int(w, schema)
@@ -476,14 +830,32 @@ def fh_encode(samples: list[tuple[int, dict]]) -> bytes:
             prev["sum"] = _f64_bits(h.get("sum", 0.0))
             prev["pos"] = [_f64_bits(v) for v in h.get("pos_buckets") or []]
             prev["neg"] = [_f64_bits(v) for v in h.get("neg_buckets") or []]
+        if st_enc is not None:
+            st_enc.encode(w, i + 1, t, prev_t, int(sts[i]))
         prev_t = t
     return bytes(w.stream)
 
 
 def fh_decode(data: bytes) -> list[tuple[int, dict]]:
     """FLOAT_HISTOGRAM chunk bytes → [(t_ms, hist_dict)]."""
-    (num,) = struct.unpack(">H", data[:2])
-    hint = _CR_HEADER_TO_HINT.get(data[2] & 0xC0, 0)
+    return [(t, h) for _st, t, h in _fh_decode(data, st_mode=False)]
+
+
+def fh_st_decode(data: bytes) -> list[tuple[int, int, dict]]:
+    """FLOAT_HISTOGRAM_ST chunk bytes (enc 6) → [(st_ms, t_ms, hist_dict)]
+    (st 0 = unknown)."""
+    return _fh_decode(data, st_mode=True)
+
+
+def _fh_decode(data: bytes, st_mode: bool) -> list[tuple[int, int, dict]]:
+    if st_mode:
+        num = struct.unpack(">H", data[:2])[0] & 0x3FFF
+        hint = _CR_HEADER_TO_HINT.get(data[0] & 0xC0, 0)
+        st_dec: _STDecoder | None = _STDecoder(data[2])
+    else:
+        (num,) = struct.unpack(">H", data[:2])
+        hint = _CR_HEADER_TO_HINT.get(data[2] & 0xC0, 0)
+        st_dec = None
     r = _BitReader(data[3:])
     zero_threshold = _read_zero_threshold(r)
     schema = _read_varbit_int(r)
@@ -510,9 +882,11 @@ def fh_decode(data: bytes) -> list[tuple[int, dict]]:
     pstates = [{"leading": 0xFF, "trailing": 0} for _ in range(n_pos)]
     nstates = [{"leading": 0xFF, "trailing": 0} for _ in range(n_neg)]
     prev = {"cnt": 0, "zcnt": 0, "sum": 0, "pos": [0] * n_pos, "neg": [0] * n_neg}
-    out: list[tuple[int, dict]] = []
+    out: list[tuple[int, int, dict]] = []
     t = t_delta = 0
+    st = 0
     for i in range(num):
+        prev_t = t
         if i == 0:
             t = _read_varbit_int(r)
             prev["cnt"] = r.read_bits(64)
@@ -532,7 +906,10 @@ def fh_decode(data: bytes) -> list[tuple[int, dict]]:
             prev["neg"] = [
                 _xor_read(r, prev["neg"][j], nstates[j]) for j in range(n_neg)
             ]
+        if st_dec is not None:
+            st = st_dec.decode(r, i + 1, t, prev_t)
         out.append((
+            st,
             t,
             {
                 "schema": schema,
@@ -551,7 +928,9 @@ def fh_decode(data: bytes) -> list[tuple[int, dict]]:
     return out
 
 
-def hist_int_encode(samples: list[tuple[int, dict]]) -> bytes:
+def hist_int_encode(
+    samples: list[tuple[int, dict]], sts: list[int] | None = None
+) -> bytes:
     """Integer HISTOGRAM chunk (enc 2, tsdb/chunkenc/histogram.go:558):
     bucket values are the model's delta-encoded int64s, timestamps/
     counts double-delta varbit, sum XOR.  The hist dicts here carry
@@ -559,11 +938,21 @@ def hist_int_encode(samples: list[tuple[int, dict]]) -> bytes:
     deltas (ints), count/zero_count integral.  Our engine stores float
     histograms and streams enc 3; this encoder exists for round-trip
     tests and for tooling that must write reference-native chunks."""
-    if len(samples) > 0xFFFF:
-        raise ValueError("chunk capacity exceeded")
     first = samples[0][1]
     header = _CR_HINT_TO_HEADER.get(int(first.get("counter_reset_hint", 0)), 0)
-    w = _BitWriter(struct.pack(">H", len(samples)) + bytes([header]))
+    stenc: _STEncoder | None = None
+    if sts is not None:
+        # HISTOGRAM_ST layout (enc 5, histogram_st.go:27-32): CR bits 7-6
+        # of byte 0, 14-bit BE count in bytes 0-1, ST header byte 2
+        if len(samples) > 0x3FFF:
+            raise ValueError("ST chunk capacity exceeded")
+        n = len(samples)
+        w = _BitWriter(bytes([header | ((n >> 8) & 0x3F), n & 0xFF, 0]))
+        stenc = _STEncoder()
+    else:
+        if len(samples) > 0xFFFF:
+            raise ValueError("chunk capacity exceeded")
+        w = _BitWriter(struct.pack(">H", len(samples)) + bytes([header]))
     schema = int(first.get("schema", 0))
     _put_zero_threshold(w, float(first.get("zero_threshold", 0.0)))
     _varbit_int(w, schema)
@@ -587,6 +976,7 @@ def hist_int_encode(samples: list[tuple[int, dict]]) -> bytes:
           "pos": [0] * n_pos, "posD": [0] * n_pos,
           "neg": [0] * n_neg, "negD": [0] * n_neg}
     for i, (t, h) in enumerate(samples):
+        prev_t = st["t"]
         if i == 0:
             _varbit_int(w, t)
             _varbit_uint(w, int(h.get("count", 0)))
@@ -622,6 +1012,8 @@ def hist_int_encode(samples: list[tuple[int, dict]]) -> bytes:
             st["t"], st["tD"] = t, t_delta
             st["cnt"], st["cntD"] = int(h.get("count", 0)), cnt_delta
             st["z"], st["zD"] = int(h.get("zero_count", 0)), z_delta
+        if stenc is not None:
+            stenc.encode(w, i + 1, t, prev_t, int(sts[i]))
         prev_sum = _f64_bits(h.get("sum", 0.0))
     return bytes(w.stream)
 
@@ -633,8 +1025,24 @@ def hist_int_decode(data: bytes) -> list[tuple[int, dict]]:
     AtFloatHistogram (histogram.go:1218-1240) and our prompb decoder
     applies — so enc-2 chunks from a reference server land in the same
     canonical shape as everything else."""
-    (num,) = struct.unpack(">H", data[:2])
-    hint = _CR_HEADER_TO_HINT.get(data[2] & 0xC0, 0)
+    return [(t, h) for _st, t, h in _hist_int_decode(data, st_mode=False)]
+
+
+def hist_int_st_decode(data: bytes) -> list[tuple[int, int, dict]]:
+    """HISTOGRAM_ST chunk bytes (enc 5) → [(st_ms, t_ms, FLOAT hist_dict)]
+    (st 0 = unknown)."""
+    return _hist_int_decode(data, st_mode=True)
+
+
+def _hist_int_decode(data: bytes, st_mode: bool) -> list[tuple[int, int, dict]]:
+    if st_mode:
+        num = struct.unpack(">H", data[:2])[0] & 0x3FFF
+        hint = _CR_HEADER_TO_HINT.get(data[0] & 0xC0, 0)
+        stdec: _STDecoder | None = _STDecoder(data[2])
+    else:
+        (num,) = struct.unpack(">H", data[:2])
+        hint = _CR_HEADER_TO_HINT.get(data[2] & 0xC0, 0)
+        stdec = None
     r = _BitReader(data[3:])
     zero_threshold = _read_zero_threshold(r)
     schema = _read_varbit_int(r)
@@ -660,8 +1068,10 @@ def hist_int_decode(data: bytes) -> list[tuple[int, dict]]:
           "sum": 0,
           "pos": [0] * n_pos, "posD": [0] * n_pos,
           "neg": [0] * n_neg, "negD": [0] * n_neg}
-    out: list[tuple[int, dict]] = []
+    out: list[tuple[int, int, dict]] = []
+    sample_st = 0
     for i in range(num):
+        prev_t = st["t"]
         if i == 0:
             st["t"] = _read_varbit_int(r)
             st["cnt"] = _read_varbit_uint(r)
@@ -683,6 +1093,8 @@ def hist_int_decode(data: bytes) -> list[tuple[int, dict]]:
             for j in range(n_neg):
                 st["negD"][j] += _read_varbit_int(r)
                 st["neg"][j] += st["negD"][j]
+        if stdec is not None:
+            sample_st = stdec.decode(r, i + 1, st["t"], prev_t)
 
         def prefix(vals: list) -> list[float]:
             acc = 0
@@ -693,6 +1105,7 @@ def hist_int_decode(data: bytes) -> list[tuple[int, dict]]:
             return out_
 
         out.append((
+            sample_st,
             st["t"],
             {
                 "schema": schema,

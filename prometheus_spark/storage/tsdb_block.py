@@ -40,6 +40,9 @@ TOMBSTONE_MAGIC = 0x0130BA30
 ENC_XOR = 1
 ENC_HISTOGRAM = 2
 ENC_FLOAT_HISTOGRAM = 3
+ENC_XOR2 = 4
+ENC_HISTOGRAM_ST = 5
+ENC_FLOAT_HISTOGRAM_ST = 6
 
 
 def _uvarint(buf: bytes, pos: int) -> tuple[int, int]:
@@ -181,6 +184,15 @@ def decode_chunk(enc: int, data: bytes) -> list[tuple[int, object]]:
         return chunkenc.hist_int_decode(data)
     if enc == ENC_FLOAT_HISTOGRAM:
         return chunkenc.fh_decode(data)
+    # newer reference servers' codecs (chunk.go:25-35); the optional
+    # start-timestamp stream is decoded then dropped — samples carry
+    # (t, v) in the engine's canonical shape either way
+    if enc == ENC_XOR2:
+        return chunkenc.xor2_decode(data)
+    if enc == ENC_HISTOGRAM_ST:
+        return [(t, h) for _st, t, h in chunkenc.hist_int_st_decode(data)]
+    if enc == ENC_FLOAT_HISTOGRAM_ST:
+        return [(t, h) for _st, t, h in chunkenc.fh_st_decode(data)]
     raise ValueError(f"unsupported chunk encoding {enc}")
 
 

@@ -247,3 +247,170 @@ def test_histogram_xor_windows_start_unset_for_compression():
     di = hist_int_decode(bi)
     assert all(a[1]["sum"] == b[1]["sum"] for a, b in zip(si, di))
     assert len(bi) < 150, len(bi)
+
+
+# --- XOR2 + ST chunk codecs (tsdb/chunkenc/xor2.go, st.go, *_st.go) ---------
+
+from prometheus_spark.storage.chunkenc import (  # noqa: E402
+    STALE_NAN_BITS,
+    fh_st_decode,
+    hist_int_st_decode,
+    xor2_decode,
+    xor2_encode,
+    xor2_st_decode,
+)
+
+_STALE = struct.unpack("<d", struct.pack("<Q", STALE_NAN_BITS))[0]
+
+# doubles plus the bit-exact stale marker (XOR2 encodes it specially in
+# both the joint control and the value stream)
+_xor2_doubles = st.one_of(_doubles, st.just(_STALE))
+
+# timestamps that exercise every dod bin: 0, 13-bit, 20-bit, 64-bit
+# escape, and negative second-sample deltas (uint64 wraparound)
+_xor2_timestamps = st.lists(
+    st.integers(min_value=-(1 << 40), max_value=1 << 40),
+    min_size=1,
+    max_size=140,
+).map(lambda deltas: [sum(deltas[: i + 1]) for i in range(len(deltas))])
+
+
+@settings(max_examples=200, deadline=None)
+@given(_xor2_timestamps, st.data())
+def test_xor2_chunk_roundtrip(ts, data):
+    values = data.draw(
+        st.lists(_xor2_doubles, min_size=len(ts), max_size=len(ts))
+    )
+    samples = list(zip(ts, values))
+    dec = xor2_decode(xor2_encode(samples))
+    assert len(dec) == len(samples)
+    for (t1, v1), (t2, v2) in zip(samples, dec):
+        assert t1 == t2
+        assert _eq(v1, v2)
+
+
+# ST streams: 0 = unknown; changes at arbitrary sample indices including
+# past the 7-bit firstSTChangeOn forced-record boundary (index 127)
+def _st_lists(n):
+    return st.lists(
+        st.one_of(st.just(0), st.integers(min_value=1, max_value=1 << 35)),
+        min_size=n,
+        max_size=n,
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=140),
+    st.data(),
+)
+def test_xor2_st_stream_roundtrip(n, data):
+    ts = [1_000_000 + 15_000 * i + (i % 3) for i in range(n)]
+    sts = data.draw(_st_lists(n))
+    samples = [(t, float(i)) for i, t in enumerate(ts)]
+    dec = xor2_st_decode(xor2_encode(samples, sts))
+    assert [(s, t) for s, t, _v in dec] == list(zip(sts, ts))
+
+
+def test_xor2_st_change_past_header_boundary():
+    """An ST that first changes after sample 127 forces an early record
+    at maxFirstSTChangeOn so the 7-bit header field stays valid."""
+    n = 200
+    ts = [10_000 * i for i in range(n)]
+    sts = [0] * 180 + [123_456] * 20
+    samples = [(t, 1.0) for t in ts]
+    enc = xor2_encode(samples, sts)
+    assert enc[2] & 0x7F == 127  # forced firstSTChangeOn record
+    dec = xor2_st_decode(enc)
+    assert [s for s, _t, _v in dec] == sts
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=1, max_value=150), st.data())
+def test_float_histogram_st_roundtrip(n, data):
+    ts = [5_000_000 + 60_000 * i for i in range(n)]
+    sts = data.draw(_st_lists(n))
+    samples = [
+        (
+            t,
+            {
+                "schema": 0,
+                "zero_threshold": 2.938735877055719e-39,
+                "zero_count": float(i % 4),
+                "count": 10.0 + i,
+                "sum": 2.5 * i - 3,
+                "pos_spans": [{"offset": 1, "length": 2}],
+                "pos_buckets": [1.0 + i, float(i % 7)],
+                "neg_spans": [],
+                "neg_buckets": [],
+                "custom_values": [],
+                "counter_reset_hint": 0,
+            },
+        )
+        for i, t in enumerate(ts)
+    ]
+    dec = fh_st_decode(fh_encode(samples, sts))
+    assert [(s, t) for s, t, _h in dec] == list(zip(sts, ts))
+    for (_t0, h0), (_s, _t1, h1) in zip(samples, dec):
+        assert h1["count"] == h0["count"]
+        assert h1["sum"] == h0["sum"]
+        assert h1["pos_buckets"] == h0["pos_buckets"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=1, max_value=150), st.data())
+def test_integer_histogram_st_roundtrip(n, data):
+    ts = [5_000_000 + 60_000 * i for i in range(n)]
+    sts = data.draw(_st_lists(n))
+    samples = [
+        (
+            t,
+            {
+                "schema": 0,
+                "zero_threshold": 2.938735877055719e-39,
+                "zero_count": i % 4,
+                "count": 10 + i,
+                "sum": 2.5 * i - 3,
+                "pos_spans": [{"offset": 1, "length": 2}],
+                "pos_buckets": [1 + i, i % 7],  # integer deltas
+                "neg_spans": [],
+                "neg_buckets": [],
+                "custom_values": [],
+                "counter_reset_hint": 0,
+            },
+        )
+        for i, t in enumerate(ts)
+    ]
+    dec = hist_int_st_decode(hist_int_encode(samples, sts))
+    assert [(s, t) for s, t, _h in dec] == list(zip(sts, ts))
+    for (_t0, h0), (_s, _t1, h1) in zip(samples, dec):
+        assert h1["count"] == float(h0["count"])
+        assert h1["sum"] == h0["sum"]
+
+
+def test_decode_chunk_dispatches_new_encodings():
+    from prometheus_spark.storage.tsdb_block import (
+        ENC_FLOAT_HISTOGRAM_ST,
+        ENC_HISTOGRAM_ST,
+        ENC_XOR2,
+        decode_chunk,
+    )
+
+    samples = [(1000 + 15_000 * i, float(i) * 1.5) for i in range(30)]
+    assert decode_chunk(ENC_XOR2, xor2_encode(samples)) == samples
+
+    h = {
+        "schema": 0, "zero_threshold": 0.0, "zero_count": 0.0,
+        "count": 5.0, "sum": 9.0,
+        "pos_spans": [{"offset": 0, "length": 1}], "pos_buckets": [5.0],
+        "neg_spans": [], "neg_buckets": [], "custom_values": [],
+        "counter_reset_hint": 0,
+    }
+    fh_chunk = fh_encode([(1000, h)], sts=[900])
+    [(t, hist)] = decode_chunk(ENC_FLOAT_HISTOGRAM_ST, fh_chunk)
+    assert t == 1000 and hist["count"] == 5.0
+
+    hi = dict(h, count=5, zero_count=0, pos_buckets=[5])
+    hi_chunk = hist_int_encode([(1000, hi)], sts=[900])
+    [(t, hist)] = decode_chunk(ENC_HISTOGRAM_ST, hi_chunk)
+    assert t == 1000 and hist["count"] == 5.0
