@@ -193,6 +193,8 @@ def read_wal(spark, data_dir: str):
         import pandas as pd
 
         from prometheus_spark.storage.wal import (
+            REC_CB_FLOAT_HISTOGRAM_SAMPLES,
+            REC_CB_HISTOGRAM_SAMPLES,
             REC_FLOAT_HISTOGRAM_SAMPLES,
             REC_HISTOGRAM_SAMPLES,
             REC_SAMPLES,
@@ -227,7 +229,9 @@ def read_wal(spark, data_dir: str):
                                 + pad
                             )
                     elif rt in (REC_HISTOGRAM_SAMPLES,
-                                REC_FLOAT_HISTOGRAM_SAMPLES):
+                                REC_FLOAT_HISTOGRAM_SAMPLES,
+                                REC_CB_HISTOGRAM_SAMPLES,
+                                REC_CB_FLOAT_HISTOGRAM_SAMPLES):
                         for ref, t, h in decode_histogram_samples_record(rec):
                             rows.append(
                                 ("hsample", ref, t, None, None, None, None,
@@ -573,6 +577,10 @@ def read_wal_exemplars(spark, data_dir: str):
 # --- histogram sample records (types 7/8) --------------------------------
 
 REC_HISTOGRAM_SAMPLES, REC_FLOAT_HISTOGRAM_SAMPLES = 7, 8
+# record.go:57-60 — custom-bucket (NHCB) histograms travel in their own
+# record types with the IDENTICAL payload layout; the reference's encoder
+# splits a mixed batch into one exponential and one custom-buckets record
+REC_CB_HISTOGRAM_SAMPLES, REC_CB_FLOAT_HISTOGRAM_SAMPLES = 9, 10
 
 _NHCB_SCHEMA = -53  # histogram.IsCustomBucketsSchema
 
@@ -644,9 +652,11 @@ def _decode_hist_struct(rec: bytes, pos: int, as_float: bool):
 
 
 def decode_histogram_samples_record(rec: bytes):
-    """(ref, t_ms, hist-dict) rows for record types 7 (integer) and 8
-    (float); V2 variants (11+) are not emitted by stable releases."""
-    as_float = rec[0] == REC_FLOAT_HISTOGRAM_SAMPLES
+    """(ref, t_ms, hist-dict) rows for record types 7/9 (integer) and
+    8/10 (float); V2 variants (11+) are not emitted by stable releases."""
+    as_float = rec[0] in (
+        REC_FLOAT_HISTOGRAM_SAMPLES, REC_CB_FLOAT_HISTOGRAM_SAMPLES
+    )
     if len(rec) <= 17:
         return []
     base_ref, base_t = struct.unpack_from(">Qq", rec, 1)
@@ -662,12 +672,17 @@ def decode_histogram_samples_record(rec: bytes):
 
 def encode_float_histogram_samples_record(
     samples: list[tuple[int, int, dict]],
+    rec_type: int = REC_FLOAT_HISTOGRAM_SAMPLES,
 ) -> bytes:
-    """Inverse of the type-8 decode, for round-trip tests."""
+    """record.go floatHistogramSamplesV1 / EncodeFloatHistogram — the
+    type-8 record (type 10 with ``rec_type`` for custom-bucket layouts;
+    identical payload, record.go:58-60).  Together with the type-7
+    encoder this lets ``write_wal_segment`` round-trip every record kind
+    the reader decodes."""
     if not samples:
-        return bytes([REC_FLOAT_HISTOGRAM_SAMPLES])
+        return bytes([rec_type])
     base_ref, base_t, _ = samples[0]
-    out = bytearray([REC_FLOAT_HISTOGRAM_SAMPLES]) + struct.pack(
+    out = bytearray([rec_type]) + struct.pack(
         ">Qq", base_ref, base_t
     )
 
@@ -695,3 +710,70 @@ def encode_float_histogram_samples_record(
             for v in h["custom_values"]:
                 out += f64(float(v))
     return bytes(out)
+
+
+def encode_histogram_samples_record(
+    samples: list[tuple[int, int, dict]],
+    rec_type: int = REC_HISTOGRAM_SAMPLES,
+) -> bytes:
+    """record.go histogramSamplesV1 / EncodeHistogram — the INTEGER
+    type-7 record (type 9 for custom-bucket layouts).  The hist dicts
+    use the reader's canonical float-absolute bucket convention; the
+    encoder converts back to the wire's integer-delta buckets and
+    uvarint counts, so encode∘decode is the identity."""
+    if not samples:
+        return bytes([rec_type])
+    base_ref, base_t, _ = samples[0]
+    out = bytearray([rec_type]) + struct.pack(">Qq", base_ref, base_t)
+
+    def f64(v):
+        return struct.pack(">Q", struct.unpack(">Q", struct.pack(">d", v))[0])
+
+    for ref, t, h in samples:
+        out += _enc_varint(ref - base_ref) + _enc_varint(t - base_t)
+        out += bytes([int(h.get("counter_reset_hint", 0))])
+        out += _enc_varint(int(h["schema"]))
+        out += f64(float(h["zero_threshold"]))
+        out += _enc_uvarint(int(h["zero_count"]))
+        out += _enc_uvarint(int(h["count"]))
+        out += f64(float(h["sum"]))
+        for spans in (h["pos_spans"], h["neg_spans"]):
+            out += _enc_uvarint(len(spans))
+            for sp in spans:
+                out += _enc_varint(int(sp["offset"]))
+                out += _enc_uvarint(int(sp["length"]))
+        for bkts in (h["pos_buckets"], h["neg_buckets"]):
+            out += _enc_uvarint(len(bkts))
+            run = 0
+            for b in bkts:  # absolute floats → integer deltas on the wire
+                out += _enc_varint(int(b) - run)
+                run = int(b)
+        if int(h["schema"]) == _NHCB_SCHEMA:
+            out += _enc_uvarint(len(h["custom_values"]))
+            for v in h["custom_values"]:
+                out += f64(float(v))
+    return bytes(out)
+
+
+def histogram_samples_records(
+    samples: list[tuple[int, int, dict]], as_float: bool
+) -> list[bytes]:
+    """Split a mixed batch the way the reference's Encoder does
+    (record.go HistogramSamples → leftover custom-bucket samples become
+    a second record of type 9/10): returns 1-2 encoded records."""
+    expo = [s for s in samples if int(s[2]["schema"]) != _NHCB_SCHEMA]
+    custom = [s for s in samples if int(s[2]["schema"]) == _NHCB_SCHEMA]
+    enc = (
+        encode_float_histogram_samples_record
+        if as_float
+        else encode_histogram_samples_record
+    )
+    cb_type = (
+        REC_CB_FLOAT_HISTOGRAM_SAMPLES if as_float else REC_CB_HISTOGRAM_SAMPLES
+    )
+    out = []
+    if expo:
+        out.append(enc(expo))
+    if custom:
+        out.append(enc(custom, rec_type=cb_type))
+    return out

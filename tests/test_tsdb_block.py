@@ -336,3 +336,98 @@ def test_wal_float_histogram_samples(spark, tmp_path):
     assert r["hist"]["count"] == 7.5 and r["hist"]["sum"] == 2.25
     assert list(r["hist"]["pos_buckets"]) == [1.5, 6.0]
     assert [s["offset"] for s in r["hist"]["pos_spans"]] == [0]
+
+
+def _mk_hist(i, custom=False):
+    base = {
+        "schema": -53 if custom else 0,
+        "zero_threshold": 0.0 if custom else 2.938735877055719e-39,
+        "zero_count": float(i % 3),
+        "count": float(10 + i),
+        "sum": 2.5 * i - 1,
+        "pos_spans": [{"offset": 0, "length": 2}],
+        "pos_buckets": [float(3 + i), float(7 + i)],  # absolute floats
+        "neg_spans": [] if custom else [{"offset": 1, "length": 1}],
+        "neg_buckets": [] if custom else [float(i % 5)],
+        "custom_values": [0.5, 2.0] if custom else [],
+        "counter_reset_hint": i % 3,
+    }
+    return base
+
+
+def test_wal_mixed_record_stream_roundtrip(tmp_path):
+    """write_wal_segment must round-trip every record kind the reader
+    decodes: series, samples, exemplars, integer/float histogram samples
+    (types 7/8), and their custom-bucket variants (types 9/10), mixed in
+    one segment (record.go types 1-10 minus mmap/metadata)."""
+    from prometheus_spark.storage.wal import (
+        REC_CB_FLOAT_HISTOGRAM_SAMPLES,
+        REC_CB_HISTOGRAM_SAMPLES,
+        REC_EXEMPLARS,
+        REC_FLOAT_HISTOGRAM_SAMPLES,
+        REC_HISTOGRAM_SAMPLES,
+        REC_SAMPLES,
+        REC_SERIES,
+        decode_exemplars_record,
+        decode_histogram_samples_record,
+        decode_samples_record,
+        decode_series_record,
+        encode_exemplars_record,
+        encode_samples_record,
+        encode_series_record,
+        histogram_samples_records,
+        wal_records,
+        write_wal_segment,
+    )
+
+    series = [(1, {"__name__": "m", "job": "j"}), (2, {"__name__": "n"})]
+    samples = [(1, 1000 + 15 * i, float(i)) for i in range(40)]
+    exemplars = [
+        (1, 1000 + 60 * i, 1.5 * i, {"trace_id": f"t{i}"}) for i in range(10)
+    ]
+    int_hists = [(2, 1000 + 30 * i, _mk_hist(i)) for i in range(12)]
+    fl_hists = [(2, 2000 + 30 * i, _mk_hist(i)) for i in range(12)]
+    mixed_int = int_hists + [(2, 5000 + 30 * i, _mk_hist(i, custom=True)) for i in range(5)]
+    mixed_fl = fl_hists + [(2, 6000 + 30 * i, _mk_hist(i, custom=True)) for i in range(5)]
+
+    int_recs = histogram_samples_records(mixed_int, as_float=False)
+    fl_recs = histogram_samples_records(mixed_fl, as_float=True)
+    assert len(int_recs) == 2 and len(fl_recs) == 2  # split on custom buckets
+    assert int_recs[0][0] == REC_HISTOGRAM_SAMPLES
+    assert int_recs[1][0] == REC_CB_HISTOGRAM_SAMPLES
+    assert fl_recs[0][0] == REC_FLOAT_HISTOGRAM_SAMPLES
+    assert fl_recs[1][0] == REC_CB_FLOAT_HISTOGRAM_SAMPLES
+
+    path = str(tmp_path / "00000000")
+    write_wal_segment(
+        path,
+        [
+            encode_series_record(series),
+            encode_samples_record(samples),
+            encode_exemplars_record(exemplars),
+            *int_recs,
+            *fl_recs,
+        ],
+    )
+
+    with open(path, "rb") as f:
+        seg = f.read()
+    got = {"series": [], "samples": [], "exemplars": [], "ih": [], "fh": []}
+    for rec in wal_records(seg):
+        rt = rec[0]
+        if rt == REC_SERIES:
+            got["series"] += decode_series_record(rec)
+        elif rt == REC_SAMPLES:
+            got["samples"] += decode_samples_record(rec)
+        elif rt == REC_EXEMPLARS:
+            got["exemplars"] += decode_exemplars_record(rec)
+        elif rt in (REC_HISTOGRAM_SAMPLES, REC_CB_HISTOGRAM_SAMPLES):
+            got["ih"] += decode_histogram_samples_record(rec)
+        elif rt in (REC_FLOAT_HISTOGRAM_SAMPLES, REC_CB_FLOAT_HISTOGRAM_SAMPLES):
+            got["fh"] += decode_histogram_samples_record(rec)
+
+    assert got["series"] == series
+    assert got["samples"] == samples
+    assert got["exemplars"] == exemplars
+    assert got["ih"] == mixed_int
+    assert got["fh"] == mixed_fl
