@@ -193,6 +193,16 @@ class RulesEngine:
         # place a driver collect is the right call (mirrors the reference
         # keeping active alerts in memory, rules/alerting.go:387)
         result = self.engine.instant_query(rule.expr, ts).collect()
+
+        def query_fn(expr: str):
+            """template.go QueryFunc — instant query at the eval ts,
+            rows as (labels, value) for the {{ query ... }} pipeline."""
+            return [
+                (dict(row["labels"]), row["value"])
+                for row in self.engine.instant_query(expr, ts).collect()
+                if row["value"] is not None
+            ]
+
         resolved_now: dict[str, dict] = {}
         values: dict[str, float] = {}
         annots: dict[str, dict] = {}
@@ -204,13 +214,19 @@ class RulesEngine:
             # rule labels are templates expanded per series
             # (alerting.go:437-440)
             for k, tmpl in rule.labels.items():
-                labels[k] = expand_template(tmpl, series_labels, v)
+                labels[k] = expand_template(
+                    tmpl, series_labels, v,
+                    query_fn=query_fn, now_seconds=ts / 1000.0,
+                )
             labels["alertname"] = rule.alert
             sig = sig_for(labels)
             resolved_now[sig] = labels
             values[sig] = v
             annots[sig] = {
-                k: expand_template(tmpl, series_labels, v)
+                k: expand_template(
+                    tmpl, series_labels, v,
+                    query_fn=query_fn, now_seconds=ts / 1000.0,
+                )
                 for k, tmpl in rule.annotations.items()
             }
 

@@ -241,6 +241,63 @@ def test_template_expansion():
         expand_template("{{ $value | humanizeDuration }}", labels, 3661) == "1h 1m 1s"
     )
     assert expand_template("{{ $labels.missing }}!", labels, 0) == "!"
-    # unsupported constructs pass through untouched
-    assert expand_template("{{ range . }}x{{ end }}", labels, 0) == "{{ range . }}x{{ end }}"
+    # control structures execute (round 7: full template interpreter);
+    # ranging over the alert-data struct is a template error, rendered
+    # with the reference's error marker (rules/alerting.go:429)
+    assert expand_template(
+        "{{ range .Labels }}x{{ end }}", labels, 0
+    ) == "x" * len(labels)
+    assert expand_template("{{ range .Value }}x{{ end }}", labels, 0).startswith(
+        "<error expanding template:"
+    )
     assert expand_template("plain", labels, 0) == "plain"
+
+
+def test_alert_annotation_query_and_re_replace(spark, tmp_path):
+    """Round-7 template surface: {{ query ... | first | value }} and
+    reReplaceAll inside alert annotations (template/template.go funcmap)
+    expand against the rule evaluator's own engine."""
+    _write(
+        tmp_path,
+        "alerts.yml",
+        """
+        groups:
+        - name: example
+          rules:
+          - alert: InstanceDown
+            expr: up == 0
+            labels:
+              host: '{{ reReplaceAll ":\\\\d+" "" $labels.instance }}'
+            annotations:
+              others: '{{ query "sum(up)" | first | value }} up total'
+              cond: '{{ if eq $labels.job "prometheus" }}core{{ else }}edge{{ end }}'
+        """,
+    )
+    test_yml = _write(
+        tmp_path,
+        "test.yml",
+        """
+        rule_files:
+          - alerts.yml
+        evaluation_interval: 1m
+        tests:
+          - interval: 1m
+            input_series:
+              - series: 'up{job="prometheus", instance="localhost:9090"}'
+                values: '0 0 0'
+              - series: 'up{job="other", instance="x:1"}'
+                values: '1 1 1'
+            alert_rule_test:
+              - eval_time: 2m
+                alertname: InstanceDown
+                exp_alerts:
+                  - exp_labels:
+                      instance: localhost:9090
+                      job: prometheus
+                      host: localhost
+                    exp_annotations:
+                      others: "1 up total"
+                      cond: "core"
+        """,
+    )
+    assert run_rule_test_file(spark, str(test_yml)) == []
