@@ -89,6 +89,22 @@ def _probe_buckets(query: Sequence[float], hyper, multiprobe: bool) -> list[int]
     )
 
 
+def _auto_planes(df: DataFrame, planes: int | None) -> int:
+    """Adaptive hyperplane count: target ~64 vectors per bucket so the
+    multiprobe candidate set holds ≥ (planes+1)·64 vectors.  A fixed
+    plane count is a recall trap — 12 planes over a 2k-vector table
+    makes 4096 buckets of 0.5 vectors each and recall@10 collapses to
+    ~0.1 (measured by tools/ann_recall.py); the same 12 planes over 1B
+    vectors is far too coarse.  Clamped to [4, 20] (≤ 1M partitions for
+    the materialized index)."""
+    import math
+
+    if planes is not None:
+        return planes
+    n = df.count()
+    return max(4, min(20, int(math.log2(max(n, 1) / 64 or 1)) if n > 64 else 4))
+
+
 class AnnIndex:
     """Materialized LSH index: the bucket column is computed ONCE at build
     time and persisted partitioned by bucket, so each query is a
@@ -112,10 +128,11 @@ class AnnIndex:
         df: DataFrame,
         vec_col: str = "embedding",
         id_col: str = "vec_id",
-        planes: int = 12,
+        planes: int | None = None,
         seed: int = 7,
         path: str | None = None,
     ) -> "AnnIndex":
+        planes = _auto_planes(df, planes)
         first = df.select(F.size(vec_col).alias("d")).first()
         dim = first["d"] if first else 1
         hyper = _hyperplanes(planes, dim, seed)
@@ -141,16 +158,25 @@ def lsh_bucketed_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    planes: int = 12,
+    planes: int | None = None,
     seed: int = 7,
     multiprobe: bool = True,
     probe_all: bool = False,
+    tables: int = 1,
 ) -> DataFrame:
     """One-shot ANN top-k: random-hyperplane signature buckets; candidates
     = query's bucket ∪ all single-bit-flip buckets (multiprobe), then
     exact cosine rank.  Recall < 1 by construction.  For repeated queries
     use :class:`AnnIndex`, which materializes + partitions the bucket
     column so probing is a partition-pruned scan.
+
+    ``planes=None`` (the default) sizes the bucket count to the table
+    (~64 vectors/bucket — see :func:`_auto_planes`; a fixed count is a
+    recall trap at both ends of the scale).  ``tables>1`` builds the
+    classic multi-table scheme — L independent hyperplane sets whose
+    probed buckets UNION into the candidate set — trading candidates for
+    recall on weakly-clustered embeddings; measure with
+    tools/ann_recall.py.
 
     ``probe_all=True`` probes every one of the 2^planes buckets —
     recall = 1 by construction (the answer equals brute-force top-k, so a
@@ -161,14 +187,20 @@ def lsh_bucketed_topk(
     first = df.select(F.size(vec_col).alias("d")).first()
     if first is None:
         return df.sparkSession.createDataFrame([], f"{id_col} long, cosine double")
-    hyper = _hyperplanes(planes, first["d"], seed)
-    probes = (
-        list(range(1 << planes)) if probe_all else _probe_buckets(query, hyper, multiprobe)
-    )
-    candidates = df.withColumn("__bucket", _bucket_expr(F.col(vec_col), hyper)).filter(
-        F.col("__bucket").isin(probes)
-    )
-    return cosine_topk_bruteforce(candidates, query, k, vec_col, id_col)
+    planes = _auto_planes(df, planes)
+    if probe_all:
+        hyper = _hyperplanes(planes, first["d"], seed)
+        candidates = df.withColumn(
+            "__bucket", _bucket_expr(F.col(vec_col), hyper)
+        ).filter(F.col("__bucket").isin(list(range(1 << planes))))
+        return cosine_topk_bruteforce(candidates, query, k, vec_col, id_col)
+    cond = None
+    for t in range(max(1, tables)):
+        hyper = _hyperplanes(planes, first["d"], seed + 101 * t)
+        probes = _probe_buckets(query, hyper, multiprobe)
+        hit = _bucket_expr(F.col(vec_col), hyper).isin(probes)
+        cond = hit if cond is None else (cond | hit)
+    return cosine_topk_bruteforce(df.filter(cond), query, k, vec_col, id_col)
 
 
 def _dot_cols(vec: Column, coeffs: Sequence[float]) -> Column:

@@ -732,3 +732,70 @@ def test_gopher_quality_empty_text_safe(spark):
     for r in rows.values():
         assert r["n_words"] == 0 and not r["keep"]
         assert r["mean_word_len"] == 0.0 and r["frac_alpha_words"] == 0.0
+
+
+def test_ann_recall_on_clustered_embeddings(spark):
+    """Recall guard (tools/ann_recall.py is the report): on clustered
+    embeddings — the structure real embedding models produce — the
+    default LSH (adaptive planes + multiprobe) and IVF (nprobe=4)
+    settings must reach recall@10 >= 0.9 vs brute force.  The uniform
+    synthetic testdata embeddings are the adversarial no-structure case
+    and are reported, not asserted (locality methods are information-
+    bound there)."""
+    import numpy as np
+
+    from prometheus_spark.pipeline.similarity import (
+        IvfIndex,
+        cosine_topk_bruteforce,
+        lsh_bucketed_topk,
+    )
+
+    rng = np.random.RandomState(42)
+    centers = rng.standard_normal((16, 32)) * 3
+    rows = [
+        (i, [float(x) for x in centers[i % 16] + rng.standard_normal(32) * 0.5])
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    df.count()
+    queries = {i: rows[i][1] for i in range(0, 600, 60)}
+    k = 10
+    truth = {
+        q: {r[0] for r in cosine_topk_bruteforce(df, v, k).collect()}
+        for q, v in queries.items()
+    }
+
+    def mean_recall(fn):
+        return sum(
+            len({r[0] for r in fn(v).collect()} & truth[q]) / k
+            for q, v in queries.items()
+        ) / len(queries)
+
+    lsh = mean_recall(lambda v: lsh_bucketed_topk(df, v, k))
+    assert lsh >= 0.9, f"LSH default recall@10 collapsed: {lsh}"
+
+    ivf = IvfIndex.build(df, n_centroids=16, iters=3)
+    ivf_r = mean_recall(lambda v: ivf.topk(v, k, nprobe=4))
+    assert ivf_r >= 0.9, f"IVF nprobe=4 recall@10 collapsed: {ivf_r}"
+
+    # exact modes equal brute force by construction
+    v0 = queries[0]
+    bf = [r[0] for r in cosine_topk_bruteforce(df, v0, k).collect()]
+    ex = [r[0] for r in lsh_bucketed_topk(df, v0, k, planes=4, probe_all=True).collect()]
+    assert ex == bf
+    ex2 = [r[0] for r in ivf.topk(v0, k, nprobe=16).collect()]
+    assert ex2 == bf
+
+    # multi-table union recovers recall on weak-structure data
+    uni = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(32)]) for i in range(600)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    uni.count()
+    uq = [r["embedding"] for r in uni.filter(uni.vec_id == 7).collect()][0]
+    t1 = {r[0] for r in lsh_bucketed_topk(uni, uq, k, tables=1).collect()}
+    t6 = {r[0] for r in lsh_bucketed_topk(uni, uq, k, tables=6).collect()}
+    bf_u = {r[0] for r in cosine_topk_bruteforce(uni, uq, k).collect()}
+    assert len(t6 & bf_u) >= len(t1 & bf_u)  # more tables, never worse
+    df.unpersist()
+    uni.unpersist()
