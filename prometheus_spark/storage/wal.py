@@ -12,9 +12,13 @@ zstd compression flags in bits 3-4.  Record payloads:
   ref/t deltas + float64 bits (record.go:346-356 — the doc says
   uvarint, the implementation is Varint64).
 - Tombstones (3) and Exemplars (4) per their layouts.
-Histogram sample records (7/8/…) are skipped with a counter — the
-engine ingests histograms via blocks/remote-write; a WAL that contains
-them loses only those rows, reported in the stats.
+- Histogram samples (7/8) and their custom-bucket variants (9/10):
+  samples framing + EncodeHistogram payloads.
+- V2 start-timestamp records (11/12/13): varint first-sample header
+  and a per-sample ST marker byte (record.go:963-966).
+Every record kind lands in the canonical samples frame; only
+mmap-marker (5) and metadata (6) records are skipped (they carry no
+sample data).
 
 Scale: segments parse independently on executors (``mapInPandas`` over
 the segment list); series→label resolution is a broadcast join of the
@@ -164,8 +168,9 @@ def wal_segments(data_dir: str) -> list[str]:
 
 def read_wal(spark, data_dir: str):
     """The WAL as the canonical samples frame (sig, name, labels, t,
-    value, hist, stale, st); histogram records are skipped (see module
-    docstring).  Tombstone records are applied as interval filters."""
+    value, hist, stale, st) — float, histogram, custom-bucket, and V2
+    start-timestamp records included.  Tombstone records are applied as
+    interval filters."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -186,7 +191,7 @@ def read_wal(spark, data_dir: str):
     )
     out_schema = T._parse_datatype_string(
         "kind string, ref long, t long, value double, labels_json string, "
-        "mint long, maxt long, " + hist_fields
+        "mint long, maxt long, " + hist_fields + ", st long"
     )
 
     def parse(batches: Iterator) -> Iterator:
@@ -197,11 +202,16 @@ def read_wal(spark, data_dir: str):
             REC_CB_HISTOGRAM_SAMPLES,
             REC_FLOAT_HISTOGRAM_SAMPLES,
             REC_HISTOGRAM_SAMPLES,
+            REC_HISTOGRAM_SAMPLES_V2,
+            REC_FLOAT_HISTOGRAM_SAMPLES_V2,
             REC_SAMPLES,
+            REC_SAMPLES_V2,
             REC_SERIES,
             REC_TOMBSTONES,
             decode_histogram_samples_record,
+            decode_histogram_samples_v2_record,
             decode_samples_record,
+            decode_samples_v2_record,
             decode_series_record,
             decode_tombstones_record,
             wal_records,
@@ -215,18 +225,40 @@ def read_wal(spark, data_dir: str):
                 pad = (None,) * 13
                 for rec in wal_records(seg):
                     rt = rec[0] if rec else 0
+                    def hist_fields_of(h):
+                        return (
+                            int(h["schema"]),
+                            float(h["zero_threshold"]),
+                            float(h["zero_count"]), float(h["count"]),
+                            float(h["sum"]),
+                            [int(x["offset"]) for x in h["pos_spans"]],
+                            [int(x["length"]) for x in h["pos_spans"]],
+                            [float(x) for x in h["pos_buckets"]],
+                            [int(x["offset"]) for x in h["neg_spans"]],
+                            [int(x["length"]) for x in h["neg_spans"]],
+                            [float(x) for x in h["neg_buckets"]],
+                            [float(x) for x in h["custom_values"]],
+                            int(h["counter_reset_hint"]),
+                        )
+
                     if rt == REC_SERIES:
                         for ref, labels in decode_series_record(rec):
                             rows.append(
                                 ("series", ref, None, None,
                                  json.dumps(labels, sort_keys=True),
-                                 None, None) + pad
+                                 None, None) + pad + (None,)
                             )
                     elif rt == REC_SAMPLES:
                         for ref, t, v in decode_samples_record(rec):
                             rows.append(
                                 ("sample", ref, t, v, None, None, None)
-                                + pad
+                                + pad + (None,)
+                            )
+                    elif rt == REC_SAMPLES_V2:
+                        for ref, st, t, v in decode_samples_v2_record(rec):
+                            rows.append(
+                                ("sample", ref, t, v, None, None, None)
+                                + pad + (st or None,)
                             )
                     elif rt in (REC_HISTOGRAM_SAMPLES,
                                 REC_FLOAT_HISTOGRAM_SAMPLES,
@@ -234,25 +266,23 @@ def read_wal(spark, data_dir: str):
                                 REC_CB_FLOAT_HISTOGRAM_SAMPLES):
                         for ref, t, h in decode_histogram_samples_record(rec):
                             rows.append(
-                                ("hsample", ref, t, None, None, None, None,
-                                 int(h["schema"]),
-                                 float(h["zero_threshold"]),
-                                 float(h["zero_count"]), float(h["count"]),
-                                 float(h["sum"]),
-                                 [int(x["offset"]) for x in h["pos_spans"]],
-                                 [int(x["length"]) for x in h["pos_spans"]],
-                                 [float(x) for x in h["pos_buckets"]],
-                                 [int(x["offset"]) for x in h["neg_spans"]],
-                                 [int(x["length"]) for x in h["neg_spans"]],
-                                 [float(x) for x in h["neg_buckets"]],
-                                 [float(x) for x in h["custom_values"]],
-                                 int(h["counter_reset_hint"]))
+                                ("hsample", ref, t, None, None, None, None)
+                                + hist_fields_of(h) + (None,)
+                            )
+                    elif rt in (REC_HISTOGRAM_SAMPLES_V2,
+                                REC_FLOAT_HISTOGRAM_SAMPLES_V2):
+                        for ref, st, t, h in (
+                            decode_histogram_samples_v2_record(rec)
+                        ):
+                            rows.append(
+                                ("hsample", ref, t, None, None, None, None)
+                                + hist_fields_of(h) + (st or None,)
                             )
                     elif rt == REC_TOMBSTONES:
                         for ref, mint, maxt in decode_tombstones_record(rec):
                             rows.append(
                                 ("tomb", ref, None, None, None, mint, maxt)
-                                + pad
+                                + pad + (None,)
                             )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in out_schema.fields]
@@ -308,7 +338,7 @@ def read_wal(spark, data_dir: str):
             "CAST(value AS DOUBLE) AS value",
             f"CAST({hist} AS {htype}) AS hist",
             "false AS stale",
-            "CAST(NULL AS LONG) AS st",
+            "CAST(st AS LONG) AS st",
         )
     )
 
@@ -777,3 +807,173 @@ def histogram_samples_records(
     if custom:
         out.append(enc(custom, rec_type=cb_type))
     return out
+
+
+# --- V2 (start-timestamp) sample records, types 11/12/13 -------------------
+#
+# record.go:62-66 — written when the encoder runs with EnableSTStorage.
+# Framing differs from V1: NO 8-byte base header; the first sample
+# carries varint(ref), varint(firstT), varint(firstST), then each later
+# sample varint(ref delta vs PREVIOUS), varint(t - firstT), and an ST
+# marker byte (record.go:963-966 / readSTMarker): 0 = no ST (st=0),
+# 1 = same as previous sample's ST, 2 = explicit varint(st - firstST).
+
+REC_SAMPLES_V2 = 11
+REC_HISTOGRAM_SAMPLES_V2 = 12
+REC_FLOAT_HISTOGRAM_SAMPLES_V2 = 13
+
+_NO_ST, _SAME_ST, _EXPLICIT_ST = 0, 1, 2
+
+
+def _read_st_marker(rec: bytes, pos: int, prev_st: int, first_st: int):
+    marker = rec[pos]
+    pos += 1
+    if marker == _NO_ST:
+        return 0, pos
+    if marker == _SAME_ST:
+        return prev_st, pos
+    delta, pos = _varint(rec, pos)
+    return first_st + delta, pos
+
+
+def _write_st_marker(out: bytearray, st: int, first_st: int, prev_st: int) -> None:
+    if st == 0:
+        out.append(_NO_ST)
+    elif st == prev_st:
+        out.append(_SAME_ST)
+    else:
+        out.append(_EXPLICIT_ST)
+        out += _enc_varint(st - first_st)
+
+
+def decode_samples_v2_record(rec: bytes) -> list[tuple[int, int, int, float]]:
+    """(ref, st_ms, t_ms, value) rows for record type 11."""
+    out: list[tuple[int, int, int, float]] = []
+    pos = 1
+    first_t = first_st = 0
+    prev_ref = prev_st = 0
+    while pos < len(rec):
+        if not out:
+            ref, pos = _varint(rec, pos)
+            first_t, pos = _varint(rec, pos)
+            t = first_t
+            st, pos = _varint(rec, pos)
+            first_st = st
+        else:
+            dref, pos = _varint(rec, pos)
+            ref = prev_ref + dref
+            dt, pos = _varint(rec, pos)
+            t = first_t + dt
+            st, pos = _read_st_marker(rec, pos, prev_st, first_st)
+        (bits,) = struct.unpack_from(">Q", rec, pos)
+        pos += 8
+        out.append(
+            (ref, st, t, struct.unpack(">d", struct.pack(">Q", bits))[0])
+        )
+        prev_ref, prev_st = ref, st
+    return out
+
+
+def encode_samples_v2_record(
+    samples: list[tuple[int, int, int, float]],
+) -> bytes:
+    """Inverse of :func:`decode_samples_v2_record` (record.go samplesV2)."""
+    out = bytearray([REC_SAMPLES_V2])
+    if not samples:
+        return bytes(out)
+    first_ref, first_st, first_t, _ = samples[0]
+    prev_ref, prev_st = first_ref, first_st
+    for i, (ref, st, t, v) in enumerate(samples):
+        if i == 0:
+            out += _enc_varint(ref) + _enc_varint(t) + _enc_varint(st)
+        else:
+            out += _enc_varint(ref - prev_ref) + _enc_varint(t - first_t)
+            _write_st_marker(out, st, first_st, prev_st)
+            prev_ref, prev_st = ref, st
+        out += struct.pack(">Q", struct.unpack(">Q", struct.pack(">d", v))[0])
+    return bytes(out)
+
+
+def decode_histogram_samples_v2_record(rec: bytes):
+    """(ref, st_ms, t_ms, hist-dict) rows for record types 12 (integer)
+    and 13 (float) — the V2 framing around EncodeHistogram payloads."""
+    as_float = rec[0] == REC_FLOAT_HISTOGRAM_SAMPLES_V2
+    out = []
+    pos = 1
+    first_t = first_st = 0
+    prev_ref = prev_st = 0
+    while pos < len(rec):
+        if not out:
+            ref, pos = _varint(rec, pos)
+            first_t, pos = _varint(rec, pos)
+            t = first_t
+            st, pos = _varint(rec, pos)
+            first_st = st
+        else:
+            dref, pos = _varint(rec, pos)
+            ref = prev_ref + dref
+            dt, pos = _varint(rec, pos)
+            t = first_t + dt
+            st, pos = _read_st_marker(rec, pos, prev_st, first_st)
+        h, pos = _decode_hist_struct(rec, pos, as_float)
+        out.append((ref, st, t, h))
+        prev_ref, prev_st = ref, st
+    return out
+
+
+def encode_histogram_samples_v2_record(
+    samples: list[tuple[int, int, int, dict]], as_float: bool
+) -> bytes:
+    """Inverse of :func:`decode_histogram_samples_v2_record`
+    (record.go histogramSamplesV2 / floatHistogramSamplesV2)."""
+    rec_type = (
+        REC_FLOAT_HISTOGRAM_SAMPLES_V2 if as_float else REC_HISTOGRAM_SAMPLES_V2
+    )
+    out = bytearray([rec_type])
+    if not samples:
+        return bytes(out)
+
+    def f64(v):
+        return struct.pack(">Q", struct.unpack(">Q", struct.pack(">d", v))[0])
+
+    def put_hist(h: dict) -> None:
+        out.append(int(h.get("counter_reset_hint", 0)))
+        out.extend(_enc_varint(int(h["schema"])))
+        out.extend(f64(float(h["zero_threshold"])))
+        if as_float:
+            out.extend(f64(float(h["zero_count"])) + f64(float(h["count"])))
+        else:
+            out.extend(_enc_uvarint(int(h["zero_count"])))
+            out.extend(_enc_uvarint(int(h["count"])))
+        out.extend(f64(float(h["sum"])))
+        for spans in (h["pos_spans"], h["neg_spans"]):
+            out.extend(_enc_uvarint(len(spans)))
+            for sp in spans:
+                out.extend(_enc_varint(int(sp["offset"])))
+                out.extend(_enc_uvarint(int(sp["length"])))
+        for bkts in (h["pos_buckets"], h["neg_buckets"]):
+            out.extend(_enc_uvarint(len(bkts)))
+            if as_float:
+                for b in bkts:
+                    out.extend(f64(float(b)))
+            else:
+                run = 0
+                for b in bkts:
+                    out.extend(_enc_varint(int(b) - run))
+                    run = int(b)
+        if int(h["schema"]) == _NHCB_SCHEMA:
+            out.extend(_enc_uvarint(len(h["custom_values"])))
+            for v in h["custom_values"]:
+                out.extend(f64(float(v)))
+
+    first_ref, first_st, first_t, _ = samples[0]
+    prev_ref, prev_st = first_ref, first_st
+    for i, (ref, st, t, h) in enumerate(samples):
+        if i == 0:
+            out += _enc_varint(ref) + _enc_varint(t) + _enc_varint(st)
+        else:
+            out += _enc_varint(ref - prev_ref) + _enc_varint(t - first_t)
+            _write_st_marker(out, st, first_st, prev_st)
+            prev_ref, prev_st = ref, st
+        put_hist(h)
+    return bytes(out)

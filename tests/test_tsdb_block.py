@@ -431,3 +431,59 @@ def test_wal_mixed_record_stream_roundtrip(tmp_path):
     assert got["exemplars"] == exemplars
     assert got["ih"] == mixed_int
     assert got["fh"] == mixed_fl
+
+
+def test_wal_v2_records_roundtrip_and_read(spark, tmp_path):
+    """Record types 11/12/13 (start-timestamp V2, record.go:62-66):
+    encode/decode identity for the V2 framing (varint first-sample
+    header, per-sample ST marker byte) and read_wal surfacing st into
+    the canonical samples frame."""
+    from prometheus_spark.storage.wal import (
+        decode_histogram_samples_v2_record,
+        decode_samples_v2_record,
+        encode_samples_v2_record,
+        encode_histogram_samples_v2_record,
+        encode_series_record,
+        read_wal,
+        write_wal_segment,
+    )
+
+    samples = [
+        (1, 0, 1000, 2.0),        # no ST
+        (1, 900, 2000, 3.0),      # explicit ST
+        (1, 900, 3000, 4.0),      # same as previous
+        (2, 500, 3500, 5.0),      # explicit again, ref delta
+    ]
+    assert decode_samples_v2_record(encode_samples_v2_record(samples)) == samples
+
+    hists = [
+        (2, 800, 4000, _mk_hist(0)),
+        (2, 800, 5000, _mk_hist(1)),
+        (2, 0, 6000, _mk_hist(2, custom=True)),
+    ]
+    for as_float in (True, False):
+        enc = encode_histogram_samples_v2_record(hists, as_float=as_float)
+        assert decode_histogram_samples_v2_record(enc) == hists
+
+    d = tmp_path / "data"
+    (d / "wal").mkdir(parents=True)
+    write_wal_segment(
+        str(d / "wal" / "00000000"),
+        [
+            encode_series_record([(1, {"__name__": "m"}), (2, {"__name__": "h"})]),
+            encode_samples_v2_record(samples),
+            encode_histogram_samples_v2_record(hists, as_float=True),
+        ],
+    )
+    df = read_wal(spark, str(d)).orderBy("t")
+    rows = df.collect()
+    assert len(rows) == 7
+    # float V2 rows: st lands in the frame (0 -> NULL)
+    by_t = {r["t"]: r for r in rows}
+    assert by_t[1000]["st"] is None and by_t[1000]["value"] == 2.0
+    assert by_t[2000]["st"] == 900
+    assert by_t[3000]["st"] == 900
+    assert by_t[3500]["st"] == 500
+    # histogram V2 rows decode into the hist column with st
+    assert by_t[4000]["st"] == 800 and by_t[4000]["hist"]["count"] == 10.0
+    assert by_t[6000]["st"] is None and by_t[6000]["hist"]["schema"] == -53
