@@ -16,9 +16,10 @@ zstd compression flags in bits 3-4.  Record payloads:
   samples framing + EncodeHistogram payloads.
 - V2 start-timestamp records (11/12/13): varint first-sample header
   and a per-sample ST marker byte (record.go:963-966).
-Every record kind lands in the canonical samples frame; only
-mmap-marker (5) and metadata (6) records are skipped (they carry no
-sample data).
+Every sample-bearing record kind lands in the canonical samples frame;
+metadata records (6) resolve through :func:`read_wal_metadata`, and
+mmap-marker records (5) are skipped (they only coordinate head-chunk
+truncation).
 
 Scale: segments parse independently on executors (``mapInPandas`` over
 the segment list); series→label resolution is a broadcast join of the
@@ -977,3 +978,78 @@ def encode_histogram_samples_v2_record(
             prev_ref, prev_st = ref, st
         put_hist(h)
     return bytes(out)
+
+
+# --- metadata records (type 6) ----------------------------------------------
+
+REC_METADATA = 6
+
+#: record.go:106-113 MetricType ↔ the model's string names
+_METRIC_TYPES = {
+    0: "unknown", 1: "counter", 2: "gauge", 3: "histogram",
+    4: "gaugehistogram", 5: "summary", 6: "info", 7: "stateset",
+}
+_METRIC_TYPE_IDS = {v: k for k, v in _METRIC_TYPES.items()}
+
+
+def decode_metadata_record(rec: bytes) -> list[tuple[int, str, str, str]]:
+    """(series_ref, type, unit, help) rows (record.go Decoder.Metadata).
+    Unknown extra fields are decoded and skipped so alignment holds."""
+    out = []
+    pos = 1
+    while pos < len(rec):
+        ref, pos = _uvarint(rec, pos)
+        typ = rec[pos]
+        pos += 1
+        num_fields, pos = _uvarint(rec, pos)
+        unit = help_ = ""
+        for _ in range(num_fields):
+            nl, pos = _uvarint(rec, pos)
+            fname = rec[pos : pos + nl].decode("utf-8")
+            pos += nl
+            vl, pos = _uvarint(rec, pos)
+            fval = rec[pos : pos + vl].decode("utf-8")
+            pos += vl
+            if fname == "UNIT":
+                unit = fval
+            elif fname == "HELP":
+                help_ = fval
+        out.append((ref, _METRIC_TYPES.get(typ, "unknown"), unit, help_))
+    return out
+
+
+def encode_metadata_record(
+    metadata: list[tuple[int, str, str, str]],
+) -> bytes:
+    """Inverse of :func:`decode_metadata_record` (record.go Encoder.Metadata)."""
+    out = bytearray([REC_METADATA])
+    for ref, typ, unit, help_ in metadata:
+        out += _enc_uvarint(ref)
+        out.append(_METRIC_TYPE_IDS.get(typ, 0))
+        out += _enc_uvarint(2)
+        for fname, fval in (("UNIT", unit), ("HELP", help_)):
+            nb, vb = fname.encode(), fval.encode()
+            out += _enc_uvarint(len(nb)) + nb + _enc_uvarint(len(vb)) + vb
+    return bytes(out)
+
+
+def read_wal_metadata(data_dir: str) -> dict[str, dict]:
+    """Metric metadata from the WAL's type-6 records, resolved through
+    the series records to metric names: {metric: {type, unit, help}} —
+    the shape /api/v1/metadata serves.  Later records win (the
+    reference's head keeps the latest metadata per series)."""
+    series = wal_series_map(data_dir)
+    out: dict[str, dict] = {}
+    for path in wal_segments(data_dir):
+        with open(path, "rb") as f:
+            seg = f.read()
+        for rec in wal_records(seg):
+            if rec and rec[0] == REC_METADATA:
+                for ref, typ, unit, help_ in decode_metadata_record(rec):
+                    labels = series.get(ref)
+                    if labels is None:
+                        continue
+                    name = labels.get("__name__")
+                    if name:
+                        out[name] = {"type": typ, "unit": unit, "help": help_}
+    return out

@@ -487,3 +487,43 @@ def test_wal_v2_records_roundtrip_and_read(spark, tmp_path):
     # histogram V2 rows decode into the hist column with st
     assert by_t[4000]["st"] == 800 and by_t[4000]["hist"]["count"] == 10.0
     assert by_t[6000]["st"] is None and by_t[6000]["hist"]["schema"] == -53
+
+
+def test_wal_metadata_records(tmp_path):
+    """Type-6 metadata records (record.go Encoder.Metadata) round-trip
+    and resolve through the series records to metric names."""
+    from prometheus_spark.storage.wal import (
+        decode_metadata_record,
+        encode_metadata_record,
+        encode_series_record,
+        read_wal_metadata,
+        write_wal_segment,
+    )
+
+    meta = [
+        (1, "counter", "seconds", "Total request time"),
+        (2, "gauge", "", "Current sessions"),
+        (3, "histogram", "bytes", ""),
+    ]
+    assert decode_metadata_record(encode_metadata_record(meta)) == meta
+
+    d = tmp_path / "data"
+    (d / "wal").mkdir(parents=True)
+    write_wal_segment(
+        str(d / "wal" / "00000000"),
+        [
+            encode_series_record(
+                [(1, {"__name__": "http_request_seconds_total"}),
+                 (2, {"__name__": "sessions"})]
+            ),
+            encode_metadata_record(meta),
+            # later record wins for the same series
+            encode_metadata_record([(2, "gauge", "conns", "updated")]),
+        ],
+    )
+    got = read_wal_metadata(str(d))
+    assert got["http_request_seconds_total"] == {
+        "type": "counter", "unit": "seconds", "help": "Total request time"
+    }
+    assert got["sessions"] == {"type": "gauge", "unit": "conns", "help": "updated"}
+    assert len(got) == 2  # ref 3 has no series record -> dropped
