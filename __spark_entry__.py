@@ -1343,7 +1343,11 @@ WITH sums AS (
   GROUP BY user_id
 )
 SELECT user_id, ROUND(value, 6) AS value FROM sums
-ORDER BY value DESC LIMIT 3
+-- tie-break mirrors the engine's deterministic sig-ascending order
+-- (aggregations.py topk): sig for a by(user_id) group compares the
+-- user_id as a STRING.  Reference tie order is unspecified
+-- (engine.go topk heap), so any deterministic choice is conformant.
+ORDER BY value DESC, CAST(user_id AS VARCHAR) ASC LIMIT 3
 """
     o["promql_count_by"] = f"""
 SELECT event_type AS etype, CAST(COUNT(*) AS DOUBLE) AS value

@@ -62,8 +62,21 @@ def _increase_fn(
     else:
         last_v, cum_inc, resets = None, 0.0, 0
     out_t, out_v, out_ci, out_rs = [], [], [], []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("t")
+    # a group's micro-batch arrives as MULTIPLE Arrow chunks whose
+    # relative order follows the shuffle, not the timestamp — sorting
+    # per-chunk silently mis-orders multi-chunk groups once the input
+    # has >1 scan partition (surfaced by the sf1 oracle run; invisible
+    # at small scale where file order == t order).  Concatenate the
+    # whole batch, sort once; buffering is bounded by the group's rows
+    # in ONE micro-batch, the same bound applyInPandasWithState already
+    # imposes on state-function authors.
+    batch = list(pdfs)
+    whole = (
+        pd.concat(batch, ignore_index=True).sort_values("t")
+        if len(batch) > 1
+        else (batch[0].sort_values("t") if batch else pd.DataFrame(columns=["t", "value"]))
+    )
+    for pdf in (whole,):
         for t, v in zip(pdf["t"], pdf["value"]):
             if last_v is None:
                 pass  # first sample starts the counter; no increase yet
