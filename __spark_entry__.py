@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verifies values; the production xxhash64 paths stay the scale
     # default and are bit-equality-tested in tests/test_pipeline.py
     q["dedup_minhash_candidates"] = lambda s, d: _pipe_minhash(s, d)
+    q["dedup_repeated_substrings"] = lambda s, d: _pipe_repeated_substrings(s, d)
     q["dedup_simhash"] = lambda s, d: _pipe_simhash(s, d)
     q["dedup_embedding_cosine"] = lambda s, d: _pipe_embed_dup(s, d)
     q["dedup_cross_corpus"] = lambda s, d: _pipe_cross_dedup(s, d)
@@ -783,6 +784,16 @@ def _pipe_jaccard(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     return ngram_jaccard_pairs(docs, n=2, threshold=0.5).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _pipe_repeated_substrings(spark, sf_dir):
+    from prometheus_spark.pipeline import repeated_substring_stats
+
+    # Lee et al. exact-substring dedup stats: windows of 5 tokens whose
+    # exact text occurs >= 2 times in the corpus
+    return repeated_substring_stats(
+        _tbl(spark, sf_dir, "documents"), window=5
     )
 
 
@@ -1943,6 +1954,26 @@ inter AS (
 SELECT doc_a, doc_b, ROUND(i * 1.0 / (sa.s + sb.s - i), 6) AS jaccard
 FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
 WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.5
+"""
+    o["dedup_repeated_substrings"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS w
+  FROM documents
+), wins AS (
+  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(w) - 4, 0) + 1),
+                                 i -> {'pos': i, 'g': array_to_string(w[i:i+4], ' ')})) AS u
+    FROM toks)
+), cnt AS (SELECT g, COUNT(*) AS c FROM wins GROUP BY g)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+       CAST(COALESCE(MIN(CASE WHEN c >= 2 THEN pos END), 0) AS INT) AS first_repeated,
+       CAST(COALESCE(MAX(CASE WHEN c >= 2 THEN pos END), 0) AS INT) AS last_repeated
+FROM wins JOIN cnt USING (g)
+GROUP BY doc_id
 """
     o["dedup_clusters"] = r"""
 WITH RECURSIVE pairs AS (

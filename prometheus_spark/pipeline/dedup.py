@@ -991,3 +991,72 @@ def paragraph_dedup(
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         (F.col("__n") - F.coalesce("__n_kept", F.lit(0))).cast("long").alias("n_removed"),
     )
+
+
+def repeated_substring_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 10,
+) -> DataFrame:
+    """Exact repeated-substring detection à la "Deduplicating Training
+    Data Makes Language Models Better" (Lee et al., 2022): every
+    length-``window`` token run whose exact text occurs ≥ 2 times in the
+    corpus — across OR within documents — is flagged.  Returns one row
+    per document with ≥ 1 window:
+    ``(doc_id, n_windows, n_repeated, first_repeated, last_repeated)``
+    (positions 1-based; first/last are 0 when nothing repeats — a
+    non-null sentinel keeps the frame join/compare-friendly).
+
+    The published method builds a corpus-wide suffix array; the Spark
+    shape replaces it with fixed-width window fingerprints — an
+    inverted index over xxhash64(window text) (equal windows ⇒ equal
+    hashes; 2^-64 collisions accepted as in :func:`ngram_jaccard_pairs`).
+    Runs with to the skew-safe annotate-join pattern: the per-window
+    count is a partial-aggregating groupBy (a boilerplate window
+    repeated millions of times combines map-side), the 1:N join back
+    streams under sort-merge with the groupBy's exchange REUSED, and
+    there is no self-join at all — cost is linear in corpus tokens.
+    Documents shorter than ``window`` tokens have no windows and are
+    absent from the output.
+    """
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    hashed = (
+        _spread(df, id_col)
+        .select(F.col(id_col), words.alias("__w"))
+        # docs shorter than the window have no windows — filtered here;
+        # the transform must ALSO be total for short rows because
+        # Catalyst infers size(transform(...)) > 0 from the downstream
+        # posexplode and evaluates it in the same conjunct without
+        # short-circuiting (sequence(1, 0) DESCENDS in Spark and would
+        # hand slice() an invalid 0 start under ANSI mode — hence the
+        # greatest(..., 1) floor, whose bogus single window only exists
+        # on rows this filter drops)
+        .filter(F.size("__w") >= window)
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"transform(sequence(1, greatest(size(__w) - {window - 1}, 1)),"
+                f" i -> xxhash64(concat_ws(' ', slice(__w, i, {window}))))"
+            ).alias("__gs"),
+        )
+    )
+    inv = hashed.select(
+        F.col(id_col), F.posexplode("__gs").alias("__pos0", "g")
+    ).select(id_col, (F.col("__pos0") + 1).alias("pos"), "g")
+    cnt = inv.groupBy("g").agg(F.count("*").alias("__c"))
+    ann = inv.join(cnt, "g")
+    rep = F.col("__c") >= 2
+    return ann.groupBy(id_col).agg(
+        F.count("*").alias("n_windows"),
+        F.sum(rep.cast("long")).alias("n_repeated"),
+        F.coalesce(F.min(F.when(rep, F.col("pos"))), F.lit(0)).alias(
+            "first_repeated"
+        ),
+        F.coalesce(F.max(F.when(rep, F.col("pos"))), F.lit(0)).alias(
+            "last_repeated"
+        ),
+    )

@@ -799,3 +799,28 @@ def test_ann_recall_on_clustered_embeddings(spark):
     assert len(t6 & bf_u) >= len(t1 & bf_u)  # more tables, never worse
     df.unpersist()
     uni.unpersist()
+
+
+def test_repeated_substring_stats(spark):
+    """Lee et al. exact-substring windows: repeats across and within
+    documents flag positions; short docs (< window tokens) are absent."""
+    from prometheus_spark.pipeline import repeated_substring_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a quick brown fox jumps over me today ok"),  # shares a 5-run
+            (3, "totally unique words nothing here matches anything else now"),
+            (4, "rep rep rep rep rep rep rep rep"),  # repeats WITHIN the doc
+            (5, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repeated_substring_stats(docs, window=5).collect()}
+    assert 5 not in out  # shorter than the window
+    # doc1/doc2 share "quick brown fox jumps over" at positions 2
+    assert out[1]["n_repeated"] == 1 and out[1]["first_repeated"] == 2
+    assert out[2]["n_repeated"] == 1 and out[2]["first_repeated"] == 2
+    assert out[3]["n_repeated"] == 0 and out[3]["first_repeated"] == 0
+    # within-doc repetition counts too (Lee et al. semantics)
+    assert out[4]["n_windows"] == 4 and out[4]["n_repeated"] == 4
