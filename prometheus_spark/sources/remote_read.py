@@ -448,12 +448,12 @@ def encode_streamed_read_response(
 
 def decode_streamed_read_response(body: bytes, n_queries: int = 1) -> list:
     """Client half: frame stream → [[(labels, [(t, value)])] per query],
-    merging split-series frames back together."""
-    from prometheus_spark.storage.chunkenc import (
-        fh_decode,
-        hist_int_decode,
-        xor_decode,
-    )
+    merging split-series frames back together.  Chunk payloads dispatch
+    through the full six-codec table (XOR/XOR2, integer/float histogram
+    and both ST variants) — a newer reference server streams its native
+    chunk bytes verbatim (read_handler.go), so the client must decode
+    whatever codec the server's TSDB holds."""
+    from prometheus_spark.storage.tsdb_block import decode_chunk
 
     results: list[list] = [[] for _ in range(n_queries)]
     # (qidx, labels-key) → accumulated samples
@@ -464,14 +464,7 @@ def decode_streamed_read_response(body: bytes, n_queries: int = 1) -> list:
         for labels, chunks in series:
             samples = []
             for _min_t, _max_t, enc, data in chunks:
-                if enc == 1:
-                    samples.extend(xor_decode(data))
-                elif enc == 2:  # reference-native integer histograms
-                    samples.extend(hist_int_decode(data))
-                elif enc == 3:
-                    samples.extend(fh_decode(data))
-                else:
-                    raise ValueError(f"unsupported chunk encoding {enc}")
+                samples.extend(decode_chunk(enc, data))
             samples.sort(key=lambda p: p[0])
             bucket = results[qidx]
             if bucket and bucket[-1][0] == labels:

@@ -414,3 +414,48 @@ def test_decode_chunk_dispatches_new_encodings():
     hi_chunk = hist_int_encode([(1000, hi)], sts=[900])
     [(t, hist)] = decode_chunk(ENC_HISTOGRAM_ST, hi_chunk)
     assert t == 1000 and hist["count"] == 5.0
+
+
+def test_streamed_read_client_decodes_xor2_chunks():
+    """A newer reference server streams its TSDB's native chunk bytes
+    (read_handler.go) — the remote-read client must decode XOR2/ST
+    codecs, not just 1/2/3."""
+    from prometheus_spark.sources.remote_read import (
+        _frame,
+        decode_streamed_read_response,
+    )
+
+    samples = [(1000 + 15_000 * i, float(i)) for i in range(40)]
+    chunk = xor2_encode(samples)
+    # hand-build a ChunkedReadResponse protobuf: one series, one chunk
+    def _ld(tag, b):
+        out = bytearray([(tag << 3) | 2])
+        v = len(b)
+        while v >= 0x80:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        out.append(v)
+        return bytes(out) + b
+
+    def _vint(tag, v):
+        out = bytearray([tag << 3])
+        while v >= 0x80:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        out.append(v)
+        return bytes(out)
+
+    lbl = _ld(1, _ld(1, b"__name__") + _ld(2, b"m"))
+    chunk_msg = (
+        _vint(1, samples[0][0] & 0xFFFFFFFFFFFFFFFF)
+        + _vint(2, samples[-1][0])
+        + _vint(3, 4)  # Encoding.XOR2
+        + _ld(4, chunk)
+    )
+    series_body = lbl + _ld(2, chunk_msg)
+    payload = _ld(1, series_body)  # ChunkedReadResponse.chunked_series
+    body = _frame(payload)
+    [result] = decode_streamed_read_response(body, n_queries=1)
+    [(labels, got)] = result
+    assert labels == {"__name__": "m"}
+    assert got == samples
