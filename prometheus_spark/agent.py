@@ -74,10 +74,14 @@ class AgentForwarder:
         )
 
         # one batch frame over exactly the new files — the heavy path
-        # (parse, shard, send) is distributed; float samples only (the
-        # v1 wire carries histograms too, but the agent forwards what
-        # the sender supports; hist rows ride along when present)
-        df = spool_to_samples(self.spark, paths).filter("value IS NOT NULL")
+        # (parse, shard, send) is distributed; float AND native-histogram
+        # rows forward (the sender encodes dict values onto the wire's
+        # histograms field, round-7 parity with send_native_histograms)
+        df = spool_to_samples(self.spark, paths)
+        if "hist" in df.columns:
+            df = df.filter("value IS NOT NULL OR hist IS NOT NULL")
+        else:
+            df = df.filter("value IS NOT NULL")
         for url in self.urls:
             send_samples_df(
                 df, url, max_batch=self.max_batch
@@ -97,7 +101,11 @@ class AgentForwarder:
         def _part(rows_iter):
             batch: list = []
             for r in rows_iter:
-                batch.append((dict(r["labels"]), int(r["t"]), float(r["value"])))
+                if "hist" in r.__fields__ and r["hist"] is not None:
+                    v = r["hist"].asDict(recursive=True)
+                else:
+                    v = float(r["value"])
+                batch.append((dict(r["labels"]), int(r["t"]), v))
                 if len(batch) >= max_batch:
                     try:
                         send_write_request_v2(url, list(batch))
@@ -110,7 +118,10 @@ class AgentForwarder:
                 except Exception:  # noqa: BLE001
                     pass
 
-        df.select("labels", "t", "value").foreachPartition(_part)
+        cols = ["labels", "t", "value"] + (
+            ["hist"] if "hist" in df.columns else []
+        )
+        df.select(*cols).foreachPartition(_part)
 
     def start(self, interval_s: float = 5.0) -> threading.Thread:
         def loop():

@@ -477,7 +477,10 @@ def encode_write_request_v2(
         ts = bytearray()
         ts += _write_varint(1 << 3 | 2) + _write_varint(len(refs)) + refs
         for t, v in content["samples"]:
-            ts += _ld(2, _f64(1, float(v)) + _vint(2, t & ((1 << 64) - 1)))
+            if isinstance(v, dict):  # native histogram (v2 field 3)
+                ts += _ld(3, _encode_hist(v, t))
+            else:
+                ts += _ld(2, _f64(1, float(v)) + _vint(2, t & ((1 << 64) - 1)))
         for ex in content["exemplars"]:
             ex_refs = bytearray()
             for k, v in sorted(ex.get("labels", {}).items()):
@@ -504,8 +507,10 @@ def encode_write_request_v2(
 def encode_write_request(
     rows: Iterable[tuple[dict, int, float]], compress: bool = True
 ) -> bytes:
-    """[(labels, t_ms, float value)] → snappy(proto WriteRequest),
-    grouping consecutive rows with identical labels into one TimeSeries."""
+    """[(labels, t_ms, value)] → snappy(proto WriteRequest), grouping
+    rows with identical labels into one TimeSeries.  A dict value is a
+    native histogram and rides TimeSeries.histograms (field 4) — the
+    reference's send_native_histograms path (queue_manager.go)."""
     series: dict[tuple, list] = {}
     for labels, t, v in rows:
         series.setdefault(tuple(sorted(labels.items())), []).append((t, v))
@@ -515,7 +520,10 @@ def encode_write_request(
         for k, v in key:
             ts += _ld(1, _ld(1, k.encode()) + _ld(2, v.encode()))
         for t, v in samples:
-            ts += _ld(2, _f64(1, float(v)) + _vint(2, t & ((1 << 64) - 1)))
+            if isinstance(v, dict):
+                ts += _ld(4, _encode_hist(v, t))
+            else:
+                ts += _ld(2, _f64(1, float(v)) + _vint(2, t & ((1 << 64) - 1)))
         body += _ld(1, bytes(ts))
     out = bytes(body)
     return snappy_encode(out) if compress else out
@@ -772,9 +780,14 @@ def send_samples_df(
             batch.clear()
 
         for r in rows_iter:
-            batch.append((dict(r["labels"]), int(r["t"]), float(r["value"])))
+            if "hist" in r.__fields__ and r["hist"] is not None:
+                v = r["hist"].asDict(recursive=True)
+            else:
+                v = float(r["value"])
+            batch.append((dict(r["labels"]), int(r["t"]), v))
             if len(batch) >= max_batch:
                 flush()
         flush()
 
-    df.select("labels", "t", "value").foreachPartition(_send_partition)
+    cols = ["labels", "t", "value"] + (["hist"] if "hist" in df.columns else [])
+    df.select(*cols).foreachPartition(_send_partition)

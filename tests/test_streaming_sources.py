@@ -1390,3 +1390,26 @@ def test_streaming_exact_dedup_batch_fallback(spark):
     )
     out = streaming_exact_dedup(df, ["h"])
     assert out.count() == 2
+
+
+def test_write_request_native_histograms_both_versions():
+    """The remote-write SENDER forwards native histograms: dict values
+    ride TimeSeries.histograms (v1 field 4, v2 field 3) and round-trip
+    through the receiver decoders — send_native_histograms parity."""
+    from prometheus_spark.sources.remote_write import (
+        decode_write_request,
+        decode_write_request_v2,
+        encode_write_request,
+        encode_write_request_v2,
+    )
+
+    h = {
+        "count": 4.0, "sum": 9.5, "schema": 0, "zero_threshold": 1e-128,
+        "zero_count": 1.0,
+        "pos_spans": [{"offset": 0, "length": 2}], "pos_buckets": [1.0, 3.0],
+        "neg_spans": [], "neg_buckets": [], "custom_values": [],
+        "counter_reset_hint": 0,
+    }
+    rows = [({"__name__": "m", "job": "j"}, 1000, 2.5), ({"__name__": "h"}, 2000, h)]
+    assert decode_write_request(encode_write_request(rows)) == rows
+    assert decode_write_request_v2(encode_write_request_v2(rows)) == rows
