@@ -1397,6 +1397,27 @@ class PromAPI:
                         if "time" in params
                         else 0
                     )
+                    # protobuf negotiation serves native histograms;
+                    # text cannot carry them (federate.go:190-200)
+                    accept = self.headers.get("Accept", "")
+                    if "application/vnd.google.protobuf" in accept:
+                        from prometheus_spark.sources.federate import (
+                            federate_protobuf,
+                        )
+
+                        body = federate_protobuf(
+                            api.engine.samples, matcher_dicts, now_ms
+                        )
+                        self.send_response(200)
+                        self.send_header(
+                            "Content-Type",
+                            "application/vnd.google.protobuf; "
+                            "proto=io.prometheus.client.MetricFamily; "
+                            "encoding=delimited",
+                        )
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return
                     lines = federate(
                         api.engine.samples, matcher_dicts, now_ms
                     ).collect()

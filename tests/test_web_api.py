@@ -596,3 +596,45 @@ def test_query_concurrency_gate(api):
     # the successful query released its slot (no leak)
     assert api._query_gate.acquire(timeout=1.0)
     api._query_gate.release()
+
+
+def test_federate_protobuf_native_histograms(spark):
+    """Protobuf federation (federate.go negotiation path) serves native
+    histograms; the body round-trips through our own protobuf scrape
+    parser and the text path still excludes histogram series."""
+    from prometheus_spark.sources.federate import federate, federate_protobuf
+    from prometheus_spark.sources.protobuf_scrape import parse_protobuf_scrape
+    from prometheus_spark.storage import samples_from_rows
+
+    hist = {
+        "schema": 0, "zero_threshold": 1e-128, "zero_count": 1.0,
+        "count": 4.0, "sum": 9.5,
+        "pos_spans": [{"offset": 0, "length": 2}], "pos_buckets": [1.0, 3.0],
+        "neg_spans": [], "neg_buckets": [], "custom_values": [],
+        "counter_reset_hint": 0,
+    }
+    gauge_hist = dict(hist, counter_reset_hint=3)
+    samples = samples_from_rows(
+        spark,
+        [
+            ({"__name__": "m", "i": "1"}, 1000, 2.5),
+            ({"__name__": "h", "i": "1"}, 2000, hist),
+            ({"__name__": "h", "i": "1"}, 3000, hist),  # newer wins
+            ({"__name__": "hg", "i": "2"}, 2500, gauge_hist),
+        ],
+    )
+    body = federate_protobuf(samples, [], 10_000)
+    rows, meta = parse_protobuf_scrape(body)
+    by_name = {r[0]["__name__"]: r for r in rows}
+    assert by_name["m"][2] == 2.5
+    h = by_name["h"][2]
+    assert isinstance(h, dict) and h["count"] == 4.0 and h["pos_buckets"] == [1.0, 3.0]
+    assert by_name["h"][1] == 3000  # latest sample per series
+    assert meta["h"]["type"] == "histogram"
+    assert meta["hg"]["type"] == "gaugehistogram"
+    assert meta["m"]["type"] == "unknown"
+
+    # text federation drops native-histogram series (non-protobuf format)
+    lines = [r["line"] for r in federate(samples, [], 10_000).collect()]
+    assert any(line.startswith("m{") for line in lines)
+    assert not any(line.startswith("h{") for line in lines)
