@@ -36,12 +36,17 @@ class AgentForwarder:
         remote_write_urls: list[str],
         max_batch: int = 500,
         v2: bool = False,
+        remote_writes: list | None = None,
     ):
         self.spark = spark
         self.spool_dir = spool_dir
         self.urls = list(remote_write_urls)
         self.max_batch = max_batch
         self.v2 = v2
+        # full config.RemoteWriteConfig entries (write_relabel_configs,
+        # auth, headers, queue tuning, send_native_histograms) — when
+        # given they take precedence over the bare URL list
+        self.remote_writes = list(remote_writes or [])
         self._hwm_path = os.path.join(spool_dir, ".agent_hwm")
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -82,10 +87,19 @@ class AgentForwarder:
             df = df.filter("value IS NOT NULL OR hist IS NOT NULL")
         else:
             df = df.filter("value IS NOT NULL")
-        for url in self.urls:
-            send_samples_df(
-                df, url, max_batch=self.max_batch
-            ) if not self.v2 else self._send_v2(df, url)
+        if self.remote_writes:
+            from prometheus_spark.sources.remote_write import forward_samples
+
+            for rw in self.remote_writes:
+                if rw.v2:
+                    self._send_v2(df, rw.url)
+                else:
+                    forward_samples(df, rw)
+        else:
+            for url in self.urls:
+                send_samples_df(
+                    df, url, max_batch=self.max_batch
+                ) if not self.v2 else self._send_v2(df, url)
         tmp = self._hwm_path + ".tmp"
         with open(tmp, "w") as f:
             f.write(names[-1])
@@ -149,7 +163,12 @@ def build_agent(spark, cfg, spool_dir: str = "/tmp/prom_agent_spool"):
     from prometheus_spark.config import build_server
 
     srv = build_server(spark, cfg, samples=None, spool_dir=spool_dir)
-    forwarder = AgentForwarder(spark, spool_dir, cfg.remote_write_urls)
+    forwarder = AgentForwarder(
+        spark,
+        spool_dir,
+        cfg.remote_write_urls,
+        remote_writes=getattr(cfg, "remote_writes", []),
+    )
     return {
         "discovery": srv["discovery"],
         "scrape_manager": srv["scrape_manager"],

@@ -199,7 +199,32 @@ class PromConfig:
     alertmanager_relabel_configs: list = field(default_factory=list)
     alertmanager_sets: list = field(default_factory=list)  # AlertmanagerSet
     remote_write_urls: list = field(default_factory=list)
+    remote_writes: list = field(default_factory=list)  # RemoteWriteConfig
     raw_yaml: str = ""
+
+
+@dataclass
+class RemoteWriteConfig:
+    """One ``remote_write`` entry (config.go RemoteWriteConfig +
+    QueueConfig defaults, config.go DefaultQueueConfig): endpoint,
+    client auth/headers, write relabeling, payload gates, and the
+    queue tuning our sharded sender honors."""
+
+    url: str
+    name: str = ""
+    remote_timeout_s: float = 30.0
+    headers: dict = field(default_factory=dict)
+    auth_header: Optional[str] = None
+    write_relabel_configs: list = field(default_factory=list)
+    send_exemplars: bool = False
+    send_native_histograms: bool = False
+    v2: bool = False  # protobuf_message io.prometheus.write.v2.Request
+    # QueueConfig (DefaultQueueConfig: MaxSamplesPerSend 2000,
+    # MinBackoff 30ms, MaxBackoff 5s, MaxRetries via sample age)
+    max_samples_per_send: int = 2000
+    min_backoff_s: float = 0.03
+    max_backoff_s: float = 5.0
+    retries: int = 3
 
 
 def load_config(path: str) -> PromConfig:
@@ -689,8 +714,35 @@ def load_config(path: str) -> PromConfig:
             cfg.alertmanager_relabel_configs = am_relabels
 
     for rw in doc.get("remote_write") or []:
-        if rw.get("url"):
-            cfg.remote_write_urls.append(rw["url"])
+        if not rw.get("url"):
+            continue
+        cfg.remote_write_urls.append(rw["url"])
+        qc = rw.get("queue_config") or {}
+        cfg.remote_writes.append(
+            RemoteWriteConfig(
+                url=rw["url"],
+                name=rw.get("name", ""),
+                remote_timeout_s=_dur_ms(rw.get("remote_timeout"), 30_000)
+                / 1000.0,
+                headers=dict(rw.get("headers") or {}),
+                auth_header=_auth_header(rw),
+                write_relabel_configs=_relabels(
+                    rw.get("write_relabel_configs")
+                ),
+                send_exemplars=bool(rw.get("send_exemplars", False)),
+                send_native_histograms=bool(
+                    rw.get("send_native_histograms", False)
+                ),
+                v2=str(rw.get("protobuf_message", "")).endswith(
+                    "write.v2.Request"
+                ),
+                max_samples_per_send=int(
+                    qc.get("max_samples_per_send", 2000)
+                ),
+                min_backoff_s=_dur_ms(qc.get("min_backoff"), 30) / 1000.0,
+                max_backoff_s=_dur_ms(qc.get("max_backoff"), 5_000) / 1000.0,
+            )
+        )
     return cfg
 
 

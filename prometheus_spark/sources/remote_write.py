@@ -690,23 +690,30 @@ def spool_to_samples(spark, spool_dir: str, streaming: bool = False):
     )
 
 
-def send_write_request(url: str, rows, timeout: float = 10.0) -> int:
+def send_write_request(
+    url: str,
+    rows,
+    timeout: float = 10.0,
+    headers: Optional[dict] = None,
+    auth_header: Optional[str] = None,
+) -> int:
     """Sender leg (queue_manager.go counterpart): POST one encoded batch.
     Use ``df.foreachPartition`` with this per partition for distributed
-    sends — each executor ships its own shard."""
+    sends — each executor ships its own shard.  ``headers`` adds the
+    config's custom headers; ``auth_header`` the precomputed
+    Authorization value (remote_write basic_auth/authorization)."""
     import urllib.request
 
     body = encode_write_request(rows)
-    req = urllib.request.Request(
-        url,
-        data=body,
-        headers={
-            "Content-Encoding": "snappy",
-            "Content-Type": "application/x-protobuf",
-            "X-Prometheus-Remote-Write-Version": "0.1.0",
-        },
-        method="POST",
-    )
+    hdrs = {
+        "Content-Encoding": "snappy",
+        "Content-Type": "application/x-protobuf",
+        "X-Prometheus-Remote-Write-Version": "0.1.0",
+    }
+    hdrs.update(headers or {})
+    if auth_header:
+        hdrs["Authorization"] = auth_header
+    req = urllib.request.Request(url, data=body, headers=hdrs, method="POST")
     with urllib.request.urlopen(req, timeout=timeout) as resp:
         return resp.status
 
@@ -740,6 +747,8 @@ def send_samples_df(
     timeout: float = 10.0,
     retries: int = 3,
     min_backoff_s: float = 0.03,
+    headers: Optional[dict] = None,
+    auth_header: Optional[str] = None,
 ) -> None:
     """Distributed remote-write sender (queue_manager.go semantics):
     each DataFrame partition is a shard with its own send loop —
@@ -765,7 +774,10 @@ def send_samples_df(
             delay = min_backoff_s
             for attempt in range(retries + 1):
                 try:
-                    send_write_request(url, list(batch), timeout)
+                    send_write_request(
+                        url, list(batch), timeout,
+                        headers=headers, auth_header=auth_header,
+                    )
                     break
                 except urllib.error.HTTPError as e:
                     if 400 <= e.code < 500 or attempt == retries:
@@ -791,3 +803,28 @@ def send_samples_df(
 
     cols = ["labels", "t", "value"] + (["hist"] if "hist" in df.columns else [])
     df.select(*cols).foreachPartition(_send_partition)
+
+
+def forward_samples(df, rw) -> None:
+    """Ship a samples frame per one ``remote_write`` config entry
+    (config.RemoteWriteConfig): apply ``write_relabel_configs``
+    distributed (rows whose label set is dropped never leave the
+    executors), gate native histograms on ``send_native_histograms``
+    (reference default: off — hist rows are dropped, not downcast), and
+    send with the entry's auth/headers/queue tuning."""
+    from prometheus_spark.sources.relabel import apply_relabel
+
+    if rw.write_relabel_configs:
+        df = apply_relabel(df, rw.write_relabel_configs)
+    if "hist" in df.columns and not rw.send_native_histograms:
+        df = df.filter("hist IS NULL")
+    send_samples_df(
+        df,
+        rw.url,
+        max_batch=rw.max_samples_per_send,
+        timeout=rw.remote_timeout_s,
+        min_backoff_s=rw.min_backoff_s,
+        retries=rw.retries,
+        headers=rw.headers,
+        auth_header=rw.auth_header,
+    )

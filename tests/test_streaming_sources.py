@@ -1413,3 +1413,107 @@ def test_write_request_native_histograms_both_versions():
     rows = [({"__name__": "m", "job": "j"}, 1000, 2.5), ({"__name__": "h"}, 2000, h)]
     assert decode_write_request(encode_write_request(rows)) == rows
     assert decode_write_request_v2(encode_write_request_v2(rows)) == rows
+
+
+def test_remote_write_config_driven_forward(spark, tmp_path):
+    """forward_samples honors a full remote_write config entry:
+    write_relabel_configs drop rows distributed, send_native_histograms
+    defaults OFF (hist rows never leave), and the Authorization header +
+    custom headers reach the wire."""
+    import threading
+
+    from prometheus_spark.config import RemoteWriteConfig
+    from prometheus_spark.sources.relabel import RelabelConfig
+    from prometheus_spark.sources.remote_write import (
+        RemoteWriteReceiver,
+        forward_samples,
+        spool_to_samples,
+    )
+
+    seen_headers: dict = {}
+    recv = RemoteWriteReceiver(str(tmp_path / "spool"))
+    srv = recv.server()
+    orig = srv.RequestHandlerClass.do_POST
+
+    def capturing_post(handler):
+        seen_headers["authorization"] = handler.headers.get("Authorization")
+        seen_headers["x_scope"] = handler.headers.get("X-Scope-OrgID")
+        return orig(handler)
+
+    srv.RequestHandlerClass.do_POST = capturing_post
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/api/v1/write"
+    try:
+        hist = {
+            "schema": 0, "zero_threshold": 0.0, "zero_count": 0.0,
+            "count": 2.0, "sum": 3.0,
+            "pos_spans": [{"offset": 0, "length": 1}], "pos_buckets": [2.0],
+            "neg_spans": [], "neg_buckets": [], "custom_values": [],
+            "counter_reset_hint": 0,
+        }
+        rows = [
+            ({"__name__": "keepme", "env": "prod"}, 1000, 1.0),
+            ({"__name__": "dropme", "env": "dev"}, 2000, 2.0),
+            ({"__name__": "h", "env": "prod"}, 3000, hist),
+        ]
+        df = samples_from_rows(spark, rows)
+        rw = RemoteWriteConfig(
+            url=url,
+            auth_header="Bearer sekrit",
+            headers={"X-Scope-OrgID": "tenant-1"},
+            write_relabel_configs=[
+                RelabelConfig(action="drop", source_labels=["env"], regex="dev")
+            ],
+            max_samples_per_send=10,
+        )
+        forward_samples(df, rw)
+        got = spool_to_samples(spark, str(tmp_path / "spool"))
+        names = {r["name"] for r in got.collect()}
+        assert names == {"keepme"}  # dev dropped by relabel, hist gated off
+        assert seen_headers["authorization"] == "Bearer sekrit"
+        assert seen_headers["x_scope"] == "tenant-1"
+    finally:
+        srv.shutdown()
+
+
+def test_remote_write_config_parsing(tmp_path):
+    """remote_write entries parse auth, relabeling, queue tuning, and
+    the v2 protobuf_message switch (config.go RemoteWriteConfig)."""
+    import textwrap
+
+    from prometheus_spark.config import load_config
+
+    p = tmp_path / "prometheus.yml"
+    p.write_text(textwrap.dedent("""
+        remote_write:
+          - url: http://a/api/v1/write
+            remote_timeout: 7s
+            headers:
+              X-Scope-OrgID: t1
+            authorization:
+              type: Bearer
+              credentials: tok
+            send_native_histograms: true
+            write_relabel_configs:
+              - action: drop
+                source_labels: [env]
+                regex: dev
+            queue_config:
+              max_samples_per_send: 123
+              min_backoff: 50ms
+              max_backoff: 2s
+          - url: http://b/api/v1/write
+            protobuf_message: io.prometheus.write.v2.Request
+    """))
+    cfg = load_config(str(p))
+    a, b = cfg.remote_writes
+    assert a.url == "http://a/api/v1/write"
+    assert a.remote_timeout_s == 7.0
+    assert a.headers == {"X-Scope-OrgID": "t1"}
+    assert a.auth_header == "Bearer tok"
+    assert a.send_native_histograms is True
+    assert len(a.write_relabel_configs) == 1
+    assert a.write_relabel_configs[0].action == "drop"
+    assert a.max_samples_per_send == 123
+    assert a.min_backoff_s == 0.05 and a.max_backoff_s == 2.0
+    assert a.v2 is False and b.v2 is True
