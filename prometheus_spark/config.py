@@ -200,7 +200,24 @@ class PromConfig:
     alertmanager_sets: list = field(default_factory=list)  # AlertmanagerSet
     remote_write_urls: list = field(default_factory=list)
     remote_writes: list = field(default_factory=list)  # RemoteWriteConfig
+    remote_reads: list = field(default_factory=list)  # RemoteReadConfig
     raw_yaml: str = ""
+
+
+@dataclass
+class RemoteReadConfig:
+    """One ``remote_read`` entry (config.go RemoteReadConfig): endpoint,
+    client auth/headers, the read_recent switch, and required_matchers
+    (queries lacking these equality matchers skip the endpoint)."""
+
+    url: str
+    name: str = ""
+    remote_timeout_s: float = 60.0
+    headers: dict = field(default_factory=dict)
+    auth_header: Optional[str] = None
+    read_recent: bool = False
+    required_matchers: dict = field(default_factory=dict)
+    filter_external_labels: bool = True
 
 
 @dataclass
@@ -741,6 +758,25 @@ def load_config(path: str) -> PromConfig:
                 ),
                 min_backoff_s=_dur_ms(qc.get("min_backoff"), 30) / 1000.0,
                 max_backoff_s=_dur_ms(qc.get("max_backoff"), 5_000) / 1000.0,
+            )
+        )
+
+    for rr in doc.get("remote_read") or []:
+        if not rr.get("url"):
+            continue
+        cfg.remote_reads.append(
+            RemoteReadConfig(
+                url=rr["url"],
+                name=rr.get("name", ""),
+                remote_timeout_s=_dur_ms(rr.get("remote_timeout"), 60_000)
+                / 1000.0,
+                headers=dict(rr.get("headers") or {}),
+                auth_header=_auth_header(rr),
+                read_recent=bool(rr.get("read_recent", False)),
+                required_matchers=dict(rr.get("required_matchers") or {}),
+                filter_external_labels=bool(
+                    rr.get("filter_external_labels", True)
+                ),
             )
         )
     return cfg

@@ -545,3 +545,61 @@ def _execute_queries(samples: DataFrame, queries: list[dict]) -> list:
                 entry[1].append((r["t"], r["value"]))
         results.append([series[k] for k in sorted(series)])
     return results
+
+
+def read_remote_samples(
+    spark,
+    cfg,
+    start_ms: int,
+    end_ms: int,
+    matchers: list[tuple[str, str, str]] | None = None,
+    post_fn=None,
+) -> "DataFrame":
+    """One ``remote_read`` endpoint (config.RemoteReadConfig) → the
+    canonical samples frame — the fanout read leg (storage/remote/
+    read.go sampleAndChunkQueryable).  ``required_matchers`` gates the
+    call the way the reference does: a query that doesn't carry every
+    required equality matcher skips the endpoint (returns an empty
+    frame) rather than flooding it.
+
+    Scale note: remote-read responses are selector-bounded by protocol
+    design (the reference buffers them the same way); the decoded rows
+    enter a regular distributed frame for everything downstream.  Merge
+    with local data via storage.fanout.merge_samples."""
+    from prometheus_spark.storage import samples_from_rows
+
+    matchers = list(matchers or [])
+    eq = {name: value for op, name, value in matchers if op == "="}
+    for k, v in (cfg.required_matchers or {}).items():
+        if eq.get(k) != v:
+            return samples_from_rows(spark, [])
+
+    def post(body: bytes) -> tuple[bytes, str]:
+        import urllib.request
+
+        hdrs = {
+            "Content-Type": "application/x-protobuf",
+            "Content-Encoding": "snappy",
+            "X-Prometheus-Remote-Read-Version": "0.1.0",
+        }
+        hdrs.update(cfg.headers or {})
+        if cfg.auth_header:
+            hdrs["Authorization"] = cfg.auth_header
+        req = urllib.request.Request(
+            cfg.url, data=body, method="POST", headers=hdrs
+        )
+        with urllib.request.urlopen(req, timeout=cfg.remote_timeout_s) as r:
+            return r.read(), r.headers.get("Content-Type", "")
+
+    client = RemoteReadClient(
+        cfg.url, cfg.remote_timeout_s, post_fn=post_fn or post
+    )
+    [series] = client.read(
+        [{"start_ms": start_ms, "end_ms": end_ms, "matchers": matchers}]
+    )
+    rows = []
+    for labels, samples in series:
+        for item in samples:
+            t, v = item[0], item[1]
+            rows.append((dict(labels), int(t), v))
+    return samples_from_rows(spark, rows)

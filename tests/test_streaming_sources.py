@@ -1517,3 +1517,57 @@ def test_remote_write_config_parsing(tmp_path):
     assert a.max_samples_per_send == 123
     assert a.min_backoff_s == 0.05 and a.max_backoff_s == 2.0
     assert a.v2 is False and b.v2 is True
+
+
+def test_remote_read_config_fanout_leg(spark, tmp_path):
+    """remote_read config entry → read_remote_samples: the client leg
+    queries a (served-by-us) endpoint and lands in the canonical samples
+    frame; required_matchers gate unqualified queries; merge_samples
+    fans local + remote together."""
+    import textwrap
+
+    from prometheus_spark.config import load_config
+    from prometheus_spark.sources.remote_read import (
+        read_remote_samples,
+        serve_read_negotiated,
+    )
+    from prometheus_spark.storage import merge_samples
+
+    p = tmp_path / "prometheus.yml"
+    p.write_text(textwrap.dedent("""
+        remote_read:
+          - url: http://remote/api/v1/read
+            read_recent: true
+            required_matchers:
+              source: remote
+    """))
+    cfg = load_config(str(p)).remote_reads[0]
+    assert cfg.read_recent is True and cfg.required_matchers == {"source": "remote"}
+
+    remote_store = samples_from_rows(
+        spark,
+        [({"__name__": "m", "source": "remote"}, t, float(t)) for t in (1000, 2000)],
+    )
+
+    def post(body):
+        resp, ctype = serve_read_negotiated(remote_store, body)
+        return resp, ctype
+
+    got = read_remote_samples(
+        spark, cfg, 0, 10_000,
+        matchers=[("=", "source", "remote"), ("=", "__name__", "m")],
+        post_fn=post,
+    )
+    assert sorted((r["t"], r["value"]) for r in got.collect()) == [
+        (1000, 1000.0), (2000, 2000.0)
+    ]
+    # a query missing the required matcher never hits the endpoint
+    empty = read_remote_samples(
+        spark, cfg, 0, 10_000, matchers=[("=", "__name__", "m")],
+        post_fn=lambda b: (_ for _ in ()).throw(AssertionError("should not POST")),
+    )
+    assert empty.count() == 0
+    # fanout: local + remote merge into one frame
+    local = samples_from_rows(spark, [({"__name__": "m", "source": "local"}, 1500, 7.0)])
+    merged = merge_samples([local, got])
+    assert merged.count() == 3
