@@ -201,6 +201,7 @@ class PromConfig:
     remote_write_urls: list = field(default_factory=list)
     remote_writes: list = field(default_factory=list)  # RemoteWriteConfig
     remote_reads: list = field(default_factory=list)  # RemoteReadConfig
+    otlp: dict = field(default_factory=dict)  # config.go OTLPConfig knobs
     raw_yaml: str = ""
 
 
@@ -779,6 +780,9 @@ def load_config(path: str) -> PromConfig:
                 ),
             )
         )
+
+    if isinstance(doc.get("otlp"), dict):
+        cfg.otlp = dict(doc["otlp"])
     return cfg
 
 
@@ -1157,7 +1161,7 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
     from prometheus_spark.sources.remote_write import RemoteWriteReceiver
 
     api.remote_write_receiver = RemoteWriteReceiver(spool_dir)
-    api.otlp_receiver = OTLPReceiver(spool_dir)
+    api.otlp_receiver = OTLPReceiver(spool_dir, otlp_config=cfg.otlp)
     # scrape + push exemplars share spool_dir/_exemplars; re-read per
     # query so /api/v1/query_exemplars sees fresh scrapes
     api.exemplars_fn = lambda: scrape_mgr.exemplars_df(spark)

@@ -80,10 +80,23 @@ def _sanitize_label(name: str) -> str:
 
 
 def normalize_metric_name(
-    name: str, unit: str, metric_type: str, monotonic: bool = False
+    name: str,
+    unit: str,
+    metric_type: str,
+    monotonic: bool = False,
+    strategy: str = "UnderscoreEscapingWithSuffixes",
 ) -> str:
-    """otlptranslator.BuildCompliantName essentials."""
-    out = _sanitize(name)
+    """otlptranslator.BuildCompliantName essentials.  ``strategy`` maps
+    the config's ``otlp.translation_strategy`` options: underscore
+    escaping and/or type-unit suffixes, or ``NoTranslation`` verbatim
+    (config.go OTLPConfig / otlptranslator TranslationStrategyOption)."""
+    if strategy == "NoTranslation":
+        return name
+    escape = strategy.startswith("UnderscoreEscaping")
+    with_suffixes = strategy.endswith("WithSuffixes")
+    out = _sanitize(name) if escape else name
+    if not with_suffixes:
+        return out
     main_unit, per_unit = "", ""
     if unit and "/" in unit:
         num, _, den = unit.partition("/")
@@ -376,7 +389,14 @@ _IDENTIFYING = ("service.name", "service.namespace", "service.instance.id")
 
 
 def otlp_to_rows(
-    body: bytes, emit_target_info: bool = True, with_exemplars: bool = False
+    body: bytes,
+    emit_target_info: bool = True,
+    with_exemplars: bool = False,
+    promote_resource_attributes: list | None = None,
+    promote_all_resource_attributes: bool = False,
+    ignore_resource_attributes: list | None = None,
+    keep_identifying_resource_attributes: bool = False,
+    translation_strategy: str = "UnderscoreEscapingWithSuffixes",
 ):
     """ExportMetricsServiceRequest → [(labels, t_ms, value_or_hist, st)].
 
@@ -386,7 +406,17 @@ def otlp_to_rows(
     datapoint exemplars translated to trace_id/span_id-labelled
     prometheus exemplars (helper.go getPromExemplars), attached to the
     translated series (classic histograms: the ``_count`` series).
+
+    The keyword knobs mirror the config's ``otlp:`` section
+    (config.go OTLPConfig): promoted resource attributes become labels
+    on every translated series (datapoint attributes win on collision),
+    the ignore list removes attributes from promotion AND target_info,
+    ``keep_identifying_resource_attributes`` copies service.* into
+    target_info too, and ``translation_strategy`` selects the metric
+    name normalization (see :func:`normalize_metric_name`).
     """
+    promote = set(promote_resource_attributes or ())
+    ignore = set(ignore_resource_attributes or ())
     rows: list = []
     exemplars: list = []
 
@@ -405,6 +435,14 @@ def otlp_to_rows(
             elif rf == 2:
                 scope_bufs.append(rv)
         base: dict[str, str] = {}
+        # promoted resource attributes land on every series; job/instance
+        # and datapoint attributes override on collision (helper.go
+        # promoteResourceAttributes ordering)
+        for k, v in resource_attrs.items():
+            if k in ignore or k in _IDENTIFYING:
+                continue
+            if promote_all_resource_attributes or k in promote:
+                base[_sanitize_label(k)] = v
         job = resource_attrs.get("service.name")
         if job is not None:
             ns = resource_attrs.get("service.namespace")
@@ -469,7 +507,7 @@ def otlp_to_rows(
                     return out
 
                 if gauge_dps:
-                    mname = normalize_metric_name(name, unit, "gauge")
+                    mname = normalize_metric_name(name, unit, "gauge", strategy=translation_strategy)
                     for buf in gauge_dps:
                         dp = _number_dp(buf)
                         ts_seen.add(dp["t"])
@@ -478,7 +516,8 @@ def otlp_to_rows(
                         _take_exemplars(dp, lbls(dp, mname))
                 if sum_dps and temporality == _CUMULATIVE:
                     mname = normalize_metric_name(
-                        name, unit, "sum", monotonic=monotonic
+                        name, unit, "sum", monotonic=monotonic,
+                        strategy=translation_strategy,
                     )
                     for buf in sum_dps:
                         dp = _number_dp(buf)
@@ -487,7 +526,7 @@ def otlp_to_rows(
                                      dp["value"], dp["st"]))
                         _take_exemplars(dp, lbls(dp, mname))
                 if hist_dps and temporality == _CUMULATIVE:
-                    mname = normalize_metric_name(name, unit, "histogram")
+                    mname = normalize_metric_name(name, unit, "histogram", strategy=translation_strategy)
                     for buf in hist_dps:
                         dp = _hist_dp(buf)
                         ts_seen.add(dp["t"])
@@ -517,7 +556,7 @@ def otlp_to_rows(
                                 dp["t"], float(dp["count"]), st,
                             ))
                 if exp_dps and temporality == _CUMULATIVE:
-                    mname = normalize_metric_name(name, unit, "histogram")
+                    mname = normalize_metric_name(name, unit, "histogram", strategy=translation_strategy)
                     for buf in exp_dps:
                         dp = _exp_hist_dp(buf)
                         h = _exp_to_native(dp)
@@ -527,7 +566,7 @@ def otlp_to_rows(
                         rows.append((lbls(dp, mname), dp["t"], h, dp["st"]))
                         _take_exemplars(dp, lbls(dp, mname))
                 if summary_dps:
-                    mname = normalize_metric_name(name, unit, "summary")
+                    mname = normalize_metric_name(name, unit, "summary", strategy=translation_strategy)
                     for buf in summary_dps:
                         dp = _summary_dp(buf)
                         ts_seen.add(dp["t"])
@@ -545,7 +584,8 @@ def otlp_to_rows(
         extra_attrs = {
             _sanitize_label(k): v
             for k, v in resource_attrs.items()
-            if k not in _IDENTIFYING
+            if (keep_identifying_resource_attributes or k not in _IDENTIFYING)
+            and k not in ignore
         }
         if emit_target_info and extra_attrs and base and ts_seen:
             for t in sorted(ts_seen):
@@ -563,7 +603,7 @@ class OTLPReceiver:
     translated and appended as JSON-lines into a spool directory shared
     with the remote-write receiver (same readStream pickup)."""
 
-    def __init__(self, spool_dir: str):
+    def __init__(self, spool_dir: str, otlp_config: dict | None = None):
         import os
 
         self.spool_dir = spool_dir
@@ -571,12 +611,30 @@ class OTLPReceiver:
         os.makedirs(spool_dir, exist_ok=True)
         os.makedirs(self.exemplar_dir, exist_ok=True)
         self._n = 0
+        # the config's otlp: section (config.go OTLPConfig), applied to
+        # every translated request
+        self.otlp_config = dict(otlp_config or {})
 
     def handle_body(self, body: bytes) -> int:
         import json
         import os
 
-        rows, exemplars = otlp_to_rows(body, with_exemplars=True)
+        oc = self.otlp_config
+        rows, exemplars = otlp_to_rows(
+            body,
+            with_exemplars=True,
+            promote_resource_attributes=oc.get("promote_resource_attributes"),
+            promote_all_resource_attributes=bool(
+                oc.get("promote_all_resource_attributes", False)
+            ),
+            ignore_resource_attributes=oc.get("ignore_resource_attributes"),
+            keep_identifying_resource_attributes=bool(
+                oc.get("keep_identifying_resource_attributes", False)
+            ),
+            translation_strategy=oc.get(
+                "translation_strategy", "UnderscoreEscapingWithSuffixes"
+            ),
+        )
         self._n += 1
         path = os.path.join(
             self.spool_dir, f"otlp_{os.getpid()}_{self._n:08d}.json"

@@ -327,3 +327,48 @@ def test_otlp_exemplar_translation(spark, tmp_path):
     recv.handle_body(body)
     got = recv.exemplars_df(spark).collect()
     assert len(got) == 1 and got[0]["ex_labels"]["trace_id"] == e["labels"]["trace_id"]
+
+
+def test_otlp_config_knobs():
+    """config.go OTLPConfig knobs: resource-attribute promotion,
+    ignore list, keep_identifying in target_info, and the
+    translation_strategy name modes."""
+    from prometheus_spark.sources.otlp import normalize_metric_name
+
+    assert normalize_metric_name("a.b", "s", "gauge") == "a_b_seconds"
+    assert (
+        normalize_metric_name("a.b", "s", "gauge",
+                              strategy="UnderscoreEscapingWithoutSuffixes")
+        == "a_b"
+    )
+    assert (
+        normalize_metric_name("a.b", "s", "gauge",
+                              strategy="NoUTF8EscapingWithSuffixes")
+        == "a.b_seconds"
+    )
+    assert (
+        normalize_metric_name("a.b", "s", "gauge", strategy="NoTranslation")
+        == "a.b"
+    )
+
+    gauge = _ld(1, b"m") + _ld(5, _ld(1, _otlp_number_dp(60_000_000_000, 5.0)))
+    body = _otlp_request(
+        [gauge],
+        [_kv("service.name", "svc"), _kv("service.instance.id", "i1"),
+         _kv("k8s.cluster.name", "c1"), _kv("noise", "x")],
+    )
+    rows = otlp_to_rows(
+        body,
+        promote_resource_attributes=["k8s.cluster.name"],
+        ignore_resource_attributes=["noise"],
+        keep_identifying_resource_attributes=True,
+    )
+    by_name = {}
+    for labels, t, v, st in rows:
+        by_name.setdefault(labels["__name__"], []).append((labels, v))
+    [(mlabels, _)] = by_name["m"]
+    assert mlabels["k8s_cluster_name"] == "c1"  # promoted
+    assert "noise" not in mlabels
+    [(tilabels, _)] = by_name["target_info"]
+    assert tilabels["service_name"] == "svc"  # keep_identifying
+    assert "noise" not in tilabels  # ignored everywhere
