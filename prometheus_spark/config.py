@@ -202,6 +202,10 @@ class PromConfig:
     remote_writes: list = field(default_factory=list)  # RemoteWriteConfig
     remote_reads: list = field(default_factory=list)  # RemoteReadConfig
     otlp: dict = field(default_factory=dict)  # config.go OTLPConfig knobs
+    # storage: section (config.go StorageConfig): tsdb.out_of_order_time_window
+    # feeds streaming.with_ooo_window; exemplars.max_exemplars the store cap
+    ooo_time_window_ms: int = 0
+    max_exemplars: int = 100_000
     raw_yaml: str = ""
 
 
@@ -783,6 +787,14 @@ def load_config(path: str) -> PromConfig:
 
     if isinstance(doc.get("otlp"), dict):
         cfg.otlp = dict(doc["otlp"])
+
+    storage = doc.get("storage") or {}
+    tsdb = storage.get("tsdb") or {}
+    if tsdb.get("out_of_order_time_window") is not None:
+        cfg.ooo_time_window_ms = _dur_ms(tsdb["out_of_order_time_window"], 0)
+    ex = storage.get("exemplars") or {}
+    if ex.get("max_exemplars") is not None:
+        cfg.max_exemplars = int(ex["max_exemplars"])
     return cfg
 
 

@@ -273,3 +273,29 @@ scrape_configs:
     # the plain job keeps its classic series
     assert ("plain", "lat_bucket") in out
     assert ("plain", "lat") not in out
+
+
+def test_storage_section_parsed(tmp_path):
+    """storage.tsdb.out_of_order_time_window and
+    storage.exemplars.max_exemplars (config.go StorageConfig) surface on
+    the loaded config — the OOO window feeds streaming.with_ooo_window."""
+    import textwrap
+
+    from prometheus_spark.config import load_config
+
+    p = tmp_path / "prometheus.yml"
+    p.write_text(textwrap.dedent("""
+        storage:
+          tsdb:
+            out_of_order_time_window: 10m
+          exemplars:
+            max_exemplars: 5000
+    """))
+    cfg = load_config(str(p))
+    assert cfg.ooo_time_window_ms == 600_000
+    assert cfg.max_exemplars == 5000
+    # defaults when absent
+    p2 = tmp_path / "empty.yml"
+    p2.write_text("{}")
+    cfg2 = load_config(str(p2))
+    assert cfg2.ooo_time_window_ms == 0 and cfg2.max_exemplars == 100_000
