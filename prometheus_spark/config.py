@@ -124,6 +124,7 @@ class ScrapeJobConfig:
     always_scrape_classic_histograms: bool = False
     enable_compression: bool = True
     follow_redirects: bool = True
+    fallback_scrape_protocol: str = ""  # blank-Content-Type substitute
     relabel_configs: list = field(default_factory=list)
     metric_relabel_configs: list = field(default_factory=list)
     # scrape protections (config.go ScrapeConfig; 0 = unlimited)
@@ -662,6 +663,9 @@ def load_config(path: str) -> PromConfig:
                 ),
                 enable_compression=bool(sc.get("enable_compression", True)),
                 follow_redirects=bool(sc.get("follow_redirects", True)),
+                fallback_scrape_protocol=str(
+                    sc.get("fallback_scrape_protocol", "") or ""
+                ),
                 relabel_configs=_relabels(sc.get("relabel_configs")),
                 metric_relabel_configs=_relabels(
                     sc.get("metric_relabel_configs")

@@ -4090,6 +4090,9 @@ def populate_targets(jobcfg, groups: list[TargetGroup]) -> list[ScrapeTarget]:
                     follow_redirects=getattr(
                         jobcfg, "follow_redirects", True
                     ),
+                    fallback_scrape_protocol=getattr(
+                        jobcfg, "fallback_scrape_protocol", ""
+                    ),
                     interval_ms=getattr(jobcfg, "scrape_interval_ms", None),
                     timeout_s=(
                         jobcfg.scrape_timeout_ms / 1000.0

@@ -123,6 +123,9 @@ class ScrapeTarget:
     # HTTP client behavior (config.go HTTPClientConfig defaults)
     enable_compression: bool = True  # Accept-Encoding: gzip
     follow_redirects: bool = True
+    # parser substitute for blank/invalid Content-Type responses
+    # (config.go fallback_scrape_protocol); "" = fail the scrape
+    fallback_scrape_protocol: str = ""
 
     def target_labels(self) -> dict[str, str]:
         out = dict(self.labels)
@@ -150,13 +153,31 @@ def _merge_labels(
 
 
 def parse_scrape_body(
-    body: bytes, content_type: str, default_ts_ms: int
+    body: bytes,
+    content_type: str,
+    default_ts_ms: int,
+    fallback_protocol: str = "",
 ) -> tuple[list[tuple[dict, int, object]], dict, list]:
     """Dispatch on Content-Type exactly like the reference's parser
     selection (model/textparse New()).  Returns (samples, metadata,
     exemplars) — exemplars as (series_labels, t_ms, exemplar_labels,
     value, ex_t_ms), populated by the OpenMetrics parser (the classic
-    text format has no exemplar syntax)."""
+    text format has no exemplar syntax).
+
+    A blank Content-Type substitutes the job's configured
+    ``fallback_scrape_protocol`` and FAILS the scrape when none is set
+    (textparse interface.go extractMediaType: "non-compliant scrape
+    target sending blank Content-Type and no fallback_scrape_protocol
+    specified")."""
+    if not content_type.strip():
+        if not fallback_protocol:
+            raise ValueError(
+                "non-compliant scrape target sending blank Content-Type "
+                "and no fallback_scrape_protocol specified for target"
+            )
+        content_type = SCRAPE_PROTOCOL_HEADERS.get(
+            fallback_protocol, fallback_protocol
+        )
     if content_type.startswith(PROTOBUF_CT):
         rows, meta = parse_protobuf_scrape(body, default_ts_ms)
         return [(labels, t, v) for labels, t, v, _created in rows], meta, []
@@ -280,7 +301,7 @@ class ScrapeManager:
                         raise ScrapeLimitError("body_size_limit exceeded")
                 else:
                     body = resp.read()
-                ct = resp.headers.get("Content-Type", "text/plain")
+                ct = resp.headers.get("Content-Type", "")
                 if resp.headers.get("Content-Encoding") == "gzip":
                     # the body-size limit applies to the UNCOMPRESSED
                     # payload (scrape.go readResponse wraps the gzip
@@ -293,7 +314,10 @@ class ScrapeManager:
                         and len(body) > lim.body_size_limit
                     ):
                         raise ScrapeLimitError("body_size_limit exceeded")
-            parsed, meta, raw_exemplars = parse_scrape_body(body, ct, now_ms)
+            parsed, meta, raw_exemplars = parse_scrape_body(
+                body, ct, now_ms,
+                fallback_protocol=tgt.fallback_scrape_protocol,
+            )
             self.metadata.update(meta)
             self.target_metadata.setdefault(tgt.url, {}).update(meta)
             scraped = len(parsed)

@@ -627,3 +627,20 @@ def test_scrape_gzip_and_redirects(tmp_path):
         assert rows3["up"]["value"] == 0.0
     finally:
         srv.shutdown()
+
+
+def test_fallback_scrape_protocol():
+    """Blank Content-Type: fail the scrape without a configured
+    fallback; parse with the fallback's media type when set
+    (textparse interface.go extractMediaType semantics)."""
+    import pytest as _pytest
+
+    from prometheus_spark.sources.scrape import parse_scrape_body
+
+    body = b"m 1\n"
+    with _pytest.raises(ValueError, match="fallback_scrape_protocol"):
+        parse_scrape_body(body, "", 1000)
+    rows, _meta, _ex = parse_scrape_body(
+        body, "", 1000, fallback_protocol="PrometheusText0.0.4"
+    )
+    assert rows == [({"__name__": "m"}, 1000, 1.0)]
