@@ -84,7 +84,9 @@ class AgentForwarder:
         # histograms field, round-7 parity with send_native_histograms)
         df = spool_to_samples(self.spark, paths)
         if "hist" in df.columns:
-            df = df.filter("value IS NOT NULL OR hist IS NOT NULL")
+            # stale markers forward too — they become StaleNaN samples
+            # on the wire (the reference's WAL watcher ships them)
+            df = df.filter("value IS NOT NULL OR hist IS NOT NULL OR stale")
         else:
             df = df.filter("value IS NOT NULL")
         if self.remote_writes:
@@ -113,10 +115,17 @@ class AgentForwarder:
         max_batch = self.max_batch
 
         def _part(rows_iter):
+            import struct as _struct
+
+            stale_nan = _struct.unpack(
+                "<d", _struct.pack("<Q", 0x7FF0000000000002)
+            )[0]
             batch: list = []
             for r in rows_iter:
                 if "hist" in r.__fields__ and r["hist"] is not None:
                     v = r["hist"].asDict(recursive=True)
+                elif "stale" in r.__fields__ and r["stale"]:
+                    v = stale_nan  # staleness marker on the wire
                 else:
                     v = float(r["value"])
                 batch.append((dict(r["labels"]), int(r["t"]), v))
@@ -132,9 +141,10 @@ class AgentForwarder:
                 except Exception:  # noqa: BLE001
                     pass
 
-        cols = ["labels", "t", "value"] + (
-            ["hist"] if "hist" in df.columns else []
-        )
+        cols = ["labels", "t", "value"]
+        for optional in ("hist", "stale"):
+            if optional in df.columns:
+                cols.append(optional)
         df.select(*cols).foreachPartition(_part)
 
     def start(self, interval_s: float = 5.0) -> threading.Thread:

@@ -125,6 +125,7 @@ class ScrapeJobConfig:
     enable_compression: bool = True
     follow_redirects: bool = True
     fallback_scrape_protocol: str = ""  # blank-Content-Type substitute
+    track_timestamps_staleness: bool = False
     relabel_configs: list = field(default_factory=list)
     metric_relabel_configs: list = field(default_factory=list)
     # scrape protections (config.go ScrapeConfig; 0 = unlimited)
@@ -665,6 +666,9 @@ def load_config(path: str) -> PromConfig:
                 follow_redirects=bool(sc.get("follow_redirects", True)),
                 fallback_scrape_protocol=str(
                     sc.get("fallback_scrape_protocol", "") or ""
+                ),
+                track_timestamps_staleness=bool(
+                    sc.get("track_timestamps_staleness", False)
                 ),
                 relabel_configs=_relabels(sc.get("relabel_configs")),
                 metric_relabel_configs=_relabels(

@@ -4093,6 +4093,9 @@ def populate_targets(jobcfg, groups: list[TargetGroup]) -> list[ScrapeTarget]:
                     fallback_scrape_protocol=getattr(
                         jobcfg, "fallback_scrape_protocol", ""
                     ),
+                    track_timestamps_staleness=getattr(
+                        jobcfg, "track_timestamps_staleness", False
+                    ),
                     interval_ms=getattr(jobcfg, "scrape_interval_ms", None),
                     timeout_s=(
                         jobcfg.scrape_timeout_ms / 1000.0

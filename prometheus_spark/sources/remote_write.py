@@ -672,6 +672,7 @@ def spool_to_samples(spark, spool_dir: str, streaming: bool = False):
             T.StructField("value", T.DoubleType()),
             T.StructField("hist", HISTOGRAM_TYPE),
             T.StructField("st", T.LongType()),
+            T.StructField("stale", T.BooleanType()),
         ]
     )
     reader = (
@@ -685,7 +686,8 @@ def spool_to_samples(spark, spool_dir: str, streaming: bool = False):
         "t",
         "value",
         "hist",
-        F.lit(False).alias("stale"),
+        # scrape staleness markers ride the spool as {"stale": true} rows
+        F.coalesce(F.col("stale"), F.lit(False)).alias("stale"),
         "st",
     )
 
@@ -791,9 +793,17 @@ def send_samples_df(
                     delay *= 2
             batch.clear()
 
+        import struct as _struct
+
+        stale_nan = _struct.unpack("<d", _struct.pack("<Q", 0x7FF0000000000002))[0]
         for r in rows_iter:
             if "hist" in r.__fields__ and r["hist"] is not None:
                 v = r["hist"].asDict(recursive=True)
+            elif "stale" in r.__fields__ and r["stale"]:
+                # staleness markers ride the wire as the bit-exact
+                # StaleNaN float (value/value.go), like the reference's
+                # remote-write of stale appends
+                v = stale_nan
             else:
                 v = float(r["value"])
             batch.append((dict(r["labels"]), int(r["t"]), v))
@@ -801,7 +811,10 @@ def send_samples_df(
                 flush()
         flush()
 
-    cols = ["labels", "t", "value"] + (["hist"] if "hist" in df.columns else [])
+    cols = ["labels", "t", "value"]
+    for optional in ("hist", "stale"):
+        if optional in df.columns:
+            cols.append(optional)
     df.select(*cols).foreachPartition(_send_partition)
 
 

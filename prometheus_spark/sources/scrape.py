@@ -126,6 +126,10 @@ class ScrapeTarget:
     # parser substitute for blank/invalid Content-Type responses
     # (config.go fallback_scrape_protocol); "" = fail the scrape
     fallback_scrape_protocol: str = ""
+    # staleness markers also track samples carrying their OWN exposed
+    # timestamps (config.go track_timestamps_staleness; default off —
+    # explicitly-timestamped series are assumed push-like)
+    track_timestamps_staleness: bool = False
 
     def target_labels(self) -> dict[str, str]:
         out = dict(self.labels)
@@ -226,6 +230,9 @@ class ScrapeManager:
         # per-target family metadata for /api/v1/targets/metadata
         # (reference scrape cache MetadataList per target)
         self.target_metadata: dict[str, dict[str, dict]] = {}
+        # staleness tracking: per-target label sets seen last scrape
+        # (scrape.go scrapeCache seriesCur/seriesPrev → StaleNaN append)
+        self._prev_series: dict[str, dict[tuple, dict]] = {}
         self._n = 0
         self._stop = threading.Event()
 
@@ -275,6 +282,7 @@ class ScrapeManager:
         start = time.monotonic()
         rows: list = []
         exemplar_rows: list = []
+        tracked: dict = {}  # label sets eligible for staleness tracking
         scraped = post_relabel = series_added = 0
         up = 0.0
         try:
@@ -338,6 +346,11 @@ class ScrapeManager:
                     )
                 sigs.add(tuple(sorted(labels.items())))
                 rows.append((labels, t, v))
+                # staleness tracking excludes explicitly-timestamped
+                # samples unless track_timestamps_staleness is on
+                # (scrape.go:1699 trackTimestampsStaleness)
+                if t == now_ms or tgt.track_timestamps_staleness:
+                    tracked[tuple(sorted(labels.items()))] = labels
             series_added = len(sigs)
             # exemplars attach to the series' FINAL label set: same
             # target-label merge + metric relabeling as the samples; a
@@ -364,6 +377,7 @@ class ScrapeManager:
             # ScrapeLimitError) discards every sample and reports up=0
             rows = []
             exemplar_rows = []
+            tracked = {}
         duration = time.monotonic() - start
         # report series (scrape.go report()): target labels only
         for name, value in (
@@ -374,6 +388,14 @@ class ScrapeManager:
             ("scrape_series_added", float(series_added)),
         ):
             rows.append(({**tl, "__name__": name}, now_ms, value))
+        # staleness markers for series seen last scrape but not this one
+        # — including ALL of them after a failed scrape (scrape.go
+        # report() + endOfRunStaleness semantics)
+        prev = self._prev_series.get(tgt.url, {})
+        stale_rows = [
+            labels for key, labels in prev.items() if key not in tracked
+        ]
+        self._prev_series[tgt.url] = tracked
         self._n += 1
         path = os.path.join(
             self.spool_dir, f"scrape_{os.getpid()}_{self._n:08d}.json"
@@ -387,6 +409,13 @@ class ScrapeManager:
                 else:
                     rec["value"] = float(v)
                 f.write(json.dumps(rec) + "\n")
+            for labels in stale_rows:
+                f.write(
+                    json.dumps(
+                        {"labels": labels, "t": now_ms, "stale": True}
+                    )
+                    + "\n"
+                )
         os.replace(tmp, path)
         if exemplar_rows:
             ex_path = os.path.join(

@@ -644,3 +644,55 @@ def test_fallback_scrape_protocol():
         body, "", 1000, fallback_protocol="PrometheusText0.0.4"
     )
     assert rows == [({"__name__": "m"}, 1000, 1.0)]
+
+
+def test_scrape_staleness_markers(spark, tmp_path):
+    """A series present in scrape N but absent in scrape N+1 gets a
+    staleness marker row (scrape.go scrapeCache seriesPrev → StaleNaN);
+    a failed scrape stales everything previously tracked."""
+    import http.server
+    import threading
+
+    from prometheus_spark.sources.remote_write import spool_to_samples
+    from prometheus_spark.sources.scrape import ScrapeManager, ScrapeTarget
+
+    bodies = [b"a 1\nb 2\n", b"a 3\n"]
+    state = {"i": 0}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = bodies[min(state["i"], len(bodies) - 1)]
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain;version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/metrics"
+    try:
+        mgr = ScrapeManager(str(tmp_path / "spool"), [ScrapeTarget(url)])
+        mgr.scrape_once(now_ms=60_000)
+        state["i"] = 1
+        mgr.scrape_once(now_ms=120_000)  # b vanished → stale marker
+        df = spool_to_samples(spark, str(tmp_path / "spool"))
+        stale = df.filter("stale").collect()
+        assert len(stale) == 1
+        assert stale[0]["name"] == "b" and stale[0]["t"] == 120_000
+        # failed scrape → everything previously tracked goes stale
+        srv.shutdown()
+        mgr.scrape_once(now_ms=180_000)
+        df2 = spool_to_samples(spark, str(tmp_path / "spool"))
+        stale_names = sorted(
+            r["name"] for r in df2.filter("stale AND t = 180000").collect()
+        )
+        assert stale_names == ["a"]
+    finally:
+        try:
+            srv.shutdown()
+        except Exception:
+            pass
