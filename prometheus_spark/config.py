@@ -208,6 +208,7 @@ class PromConfig:
     # feeds streaming.with_ooo_window; exemplars.max_exemplars the store cap
     ooo_time_window_ms: int = 0
     max_exemplars: int = 100_000
+    extra_scrape_metrics: bool = False  # global extra report series
     raw_yaml: str = ""
 
 
@@ -796,6 +797,10 @@ def load_config(path: str) -> PromConfig:
     if isinstance(doc.get("otlp"), dict):
         cfg.otlp = dict(doc["otlp"])
 
+    g = doc.get("global") or {}
+    if g.get("extra_scrape_metrics") is not None:
+        cfg.extra_scrape_metrics = bool(g["extra_scrape_metrics"])
+
     storage = doc.get("storage") or {}
     tsdb = storage.get("tsdb") or {}
     if tsdb.get("out_of_order_time_window") is not None:
@@ -1109,6 +1114,7 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
     scrape_mgr = ScrapeManager(
         spool_dir, discovery.targets(), metric_relabel=metric_relabel,
         timeout_s=cfg.scrape_timeout_ms / 1000.0,
+        extra_scrape_metrics=cfg.extra_scrape_metrics,
     )
 
     rule_groups = []

@@ -212,6 +212,7 @@ class ScrapeManager:
         metric_relabel: Optional[Callable[[dict], Optional[dict]]] = None,
         timeout_s: float = 10.0,
         limits: Optional[ScrapeLimits] = None,
+        extra_scrape_metrics: bool = False,
     ):
         os.makedirs(spool_dir, exist_ok=True)
         self.spool_dir = spool_dir
@@ -224,6 +225,8 @@ class ScrapeManager:
         self.metric_relabel = metric_relabel
         self.timeout_s = timeout_s
         self.limits = limits or ScrapeLimits()
+        # extra report series per scrape (config.go extra_scrape_metrics)
+        self.extra_scrape_metrics = extra_scrape_metrics
         # family → {type, help, unit}, accumulated across scrapes — the
         # metadata store the /api/v1/metadata endpoint serves
         self.metadata: dict[str, dict] = {}
@@ -284,6 +287,7 @@ class ScrapeManager:
         exemplar_rows: list = []
         tracked: dict = {}  # label sets eligible for staleness tracking
         scraped = post_relabel = series_added = 0
+        bytes_read = -1  # -1 on failure (scrape.go report bytesRead)
         up = 0.0
         try:
             if fail_all:
@@ -322,6 +326,7 @@ class ScrapeManager:
                         and len(body) > lim.body_size_limit
                     ):
                         raise ScrapeLimitError("body_size_limit exceeded")
+                bytes_read = len(body)
             parsed, meta, raw_exemplars = parse_scrape_body(
                 body, ct, now_ms,
                 fallback_protocol=tgt.fallback_scrape_protocol,
@@ -388,6 +393,16 @@ class ScrapeManager:
             ("scrape_series_added", float(series_added)),
         ):
             rows.append(({**tl, "__name__": name}, now_ms, value))
+        if self.extra_scrape_metrics:
+            # --enable-feature=extra-scrape-metrics / the yaml knob
+            # (scrape.go scrapeTimeout/SampleLimit/BodySizeBytes metrics)
+            timeout_s = tgt.timeout_s if tgt.timeout_s else self.timeout_s
+            for name, value in (
+                ("scrape_timeout_seconds", float(timeout_s)),
+                ("scrape_sample_limit", float(lim.sample_limit)),
+                ("scrape_body_size_bytes", float(bytes_read)),
+            ):
+                rows.append(({**tl, "__name__": name}, now_ms, value))
         # staleness markers for series seen last scrape but not this one
         # — including ALL of them after a failed scrape (scrape.go
         # report() + endOfRunStaleness semantics)

@@ -696,3 +696,61 @@ def test_scrape_staleness_markers(spark, tmp_path):
             srv.shutdown()
         except Exception:
             pass
+
+
+def test_extra_scrape_metrics(tmp_path):
+    """global extra_scrape_metrics emits scrape_timeout_seconds /
+    scrape_sample_limit / scrape_body_size_bytes report series
+    (scrape.go extra report samples); body size is -1 on failure."""
+    import http.server
+    import json as _json
+    import threading
+
+    from prometheus_spark.sources.scrape import ScrapeManager, ScrapeTarget
+
+    body = b"a 1\n"
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain;version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/metrics"
+    try:
+        mgr = ScrapeManager(
+            str(tmp_path / "s"), [ScrapeTarget(url)],
+            extra_scrape_metrics=True,
+        )
+        mgr.scrape_once(now_ms=60_000)
+        rows = []
+        for p in sorted((tmp_path / "s").glob("*.json")):
+            rows += [_json.loads(line) for line in p.read_text().splitlines()]
+        by_name = {r["labels"].get("__name__"): r for r in rows}
+        assert by_name["scrape_body_size_bytes"]["value"] == float(len(body))
+        assert by_name["scrape_timeout_seconds"]["value"] == 10.0
+        assert by_name["scrape_sample_limit"]["value"] == 0.0
+        # failure → body size -1
+        srv.shutdown()
+        mgr.scrape_once(now_ms=120_000)
+        rows2 = []
+        for p in sorted((tmp_path / "s").glob("*.json")):
+            rows2 += [_json.loads(line) for line in p.read_text().splitlines()]
+        fail = [
+            r for r in rows2
+            if r["labels"].get("__name__") == "scrape_body_size_bytes"
+            and r["t"] == 120_000
+        ]
+        assert fail and fail[0]["value"] == -1.0
+    finally:
+        try:
+            srv.shutdown()
+        except Exception:
+            pass
