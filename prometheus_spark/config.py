@@ -126,6 +126,7 @@ class ScrapeJobConfig:
     follow_redirects: bool = True
     fallback_scrape_protocol: str = ""  # blank-Content-Type substitute
     track_timestamps_staleness: bool = False
+    keep_dropped_targets: int = 0  # relabel-dropped kept for /targets
     relabel_configs: list = field(default_factory=list)
     metric_relabel_configs: list = field(default_factory=list)
     # scrape protections (config.go ScrapeConfig; 0 = unlimited)
@@ -671,6 +672,7 @@ def load_config(path: str) -> PromConfig:
                 track_timestamps_staleness=bool(
                     sc.get("track_timestamps_staleness", False)
                 ),
+                keep_dropped_targets=int(sc.get("keep_dropped_targets", 0)),
                 relabel_configs=_relabels(sc.get("relabel_configs")),
                 metric_relabel_configs=_relabels(
                     sc.get("metric_relabel_configs")
@@ -1181,6 +1183,7 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
     )
     api.config_yaml = cfg.raw_yaml
     api.notifier = notifier
+    api.discovery = discovery  # /targets droppedTargets source
     # push-ingest receivers share the scrape spool; the main server then
     # serves /api/v1/write and /api/v1/otlp/v1/metrics out of the box
     from prometheus_spark.sources.otlp import OTLPReceiver

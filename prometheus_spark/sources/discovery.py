@@ -4039,19 +4039,35 @@ def sd_check(jobcfg, groups: list[TargetGroup]) -> list[dict]:
     return out
 
 
-def populate_targets(jobcfg, groups: list[TargetGroup]) -> list[ScrapeTarget]:
+def populate_targets(
+    jobcfg, groups: list[TargetGroup], dropped: list | None = None
+) -> list[ScrapeTarget]:
     """scrape/target.go PopulateLabels: assemble the relabel-visible
     label set per address, run target relabeling, then re-derive the
     scrape URL from the POST-relabel ``__address__`` / ``__scheme__`` /
     ``__metrics_path__`` / ``__param_*`` (so a config that rewrites
     ``__address__`` — the blackbox-exporter pattern — scrapes the
-    rewritten endpoint), default ``instance``, and strip meta labels."""
+    rewritten endpoint), default ``instance``, and strip meta labels.
+
+    ``dropped`` (when given) collects the PRE-relabel label sets of
+    targets relabeling dropped, capped per job by
+    ``keep_dropped_targets`` (0 = unlimited; scrape/manager.go
+    droppedTargets for /api/v1/targets?state=dropped)."""
     out: list[ScrapeTarget] = []
+    keep_cap = getattr(jobcfg, "keep_dropped_targets", 0)
+    job_dropped = 0
     for grp in groups:
         for addr in grp.targets:
             lbls = discovered_labels(jobcfg, grp, addr)
             res = process_labels(lbls, jobcfg.relabel_configs)
             if res is None:
+                if dropped is not None and (
+                    not keep_cap or job_dropped < keep_cap
+                ):
+                    dropped.append(
+                        {"job": jobcfg.job_name, "discoveredLabels": lbls}
+                    )
+                    job_dropped += 1
                 continue  # target dropped by relabeling
             scheme = res.get("__scheme__", jobcfg.scheme)
             path = res.get("__metrics_path__", jobcfg.metrics_path)
@@ -4161,11 +4177,15 @@ class DiscoveryManager:
     def targets(self, now_ms: Optional[int] = None) -> list[ScrapeTarget]:
         now_ms = int(time.time() * 1000) if now_ms is None else now_ms
         out: list[ScrapeTarget] = []
+        dropped: list[dict] = []
         for jobcfg, providers in self._jobs.values():
             groups: list[TargetGroup] = []
             for p in providers:
                 groups.extend(self._provider_groups(p, now_ms))
-            out.extend(populate_targets(jobcfg, groups))
+            out.extend(populate_targets(jobcfg, groups, dropped=dropped))
+        # relabel-dropped targets for /api/v1/targets?state=dropped
+        # (scrape/manager.go droppedTargets + droppedTargetsCount)
+        self.dropped_targets = dropped
         return out
 
     def apply(self, scrape_manager, now_ms: Optional[int] = None) -> bool:

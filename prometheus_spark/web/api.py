@@ -369,7 +369,10 @@ class PromAPI:
         return 200, {"status": "success", "data": {"alerts": alerts}}
 
     def targets(self) -> tuple[int, dict]:
-        """api.go targets endpoint over the scrape manager's targets."""
+        """api.go targets endpoint over the scrape manager's targets;
+        relabel-dropped targets come from the discovery manager's last
+        reconcile (scrape/manager.go droppedTargets, capped per job by
+        keep_dropped_targets)."""
         active = []
         if self.scrape_manager is not None:
             for t in self.scrape_manager.targets:
@@ -379,9 +382,24 @@ class PromAPI:
                     "labels": labels,
                     "health": "unknown",
                 })
+        dropped = [
+            {"discoveredLabels": d["discoveredLabels"]}
+            for d in getattr(
+                getattr(self, "discovery", None), "dropped_targets", []
+            ) or []
+        ]
+        counts: dict[str, int] = {}
+        for d in getattr(
+            getattr(self, "discovery", None), "dropped_targets", []
+        ) or []:
+            counts[d["job"]] = counts.get(d["job"], 0) + 1
         return 200, {
             "status": "success",
-            "data": {"activeTargets": active, "droppedTargets": []},
+            "data": {
+                "activeTargets": active,
+                "droppedTargets": dropped,
+                "droppedTargetCounts": counts,
+            },
         }
 
     # -- endpoint implementations -------------------------------------

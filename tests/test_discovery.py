@@ -2457,3 +2457,34 @@ def test_oci_signed_headers():
     em = pow(int.from_bytes(sig, "big"), e, n).to_bytes(k, "big")
     t = _SHA256_DER_PREFIX + hashlib.sha256(signing.encode()).digest()
     assert em.endswith(b"\x00" + t)
+
+
+def test_dropped_targets_tracked():
+    """Relabel-dropped targets surface with their discovered labels,
+    capped by keep_dropped_targets (scrape/manager.go droppedTargets)."""
+    from prometheus_spark.config import ScrapeJobConfig
+    from prometheus_spark.sources.discovery import (
+        TargetGroup,
+        populate_targets,
+    )
+    from prometheus_spark.sources.relabel import RelabelConfig
+
+    job = ScrapeJobConfig(
+        job_name="j",
+        targets=[],
+        relabel_configs=[
+            RelabelConfig(action="drop", source_labels=["__address__"],
+                          regex="bad.*")
+        ],
+        keep_dropped_targets=2,
+    )
+    grp = TargetGroup(
+        targets=["good:1", "bad1:1", "bad2:1", "bad3:1"], labels={}
+    )
+    dropped: list = []
+    out = populate_targets(job, [grp], dropped=dropped)
+    assert [t.labels.get("instance", "") or t.url for t in out]
+    assert len(out) == 1
+    assert len(dropped) == 2  # capped
+    assert all(d["job"] == "j" for d in dropped)
+    assert dropped[0]["discoveredLabels"]["__address__"].startswith("bad")
