@@ -204,3 +204,27 @@ def test_go_float_rendering():
     assert _run("{{ . }}", 0.0015) == "0.0015"
     assert _run("{{ . }}", 0.00001) == "1e-05"
     assert _run("{{ . }}", float("nan")) == "NaN"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="{}$.|()\"' abcdefif range end with hum", max_size=60))
+def test_template_never_crashes_unexpectedly(text):
+    """Arbitrary template-ish input either renders or raises
+    TemplateError — never an unhandled exception (the rule evaluator
+    relies on catching TemplateError to emit the reference's error
+    marker)."""
+    try:
+        render_template(text, {"Labels": {"a": "b"}, "Value": 1.0}, funcs=_FUNCS)
+    except TemplateError:
+        pass
+
+
+def test_expand_template_handles_garbage():
+    out = expand_template("{{ $value | ", {"a": "b"}, 1.0)
+    assert out.startswith("<error expanding template:")
+    out2 = expand_template("{{ if }}x{{ end }}", {}, 0.0)
+    assert out2.startswith("<error expanding template:")
