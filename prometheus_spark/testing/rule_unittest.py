@@ -224,18 +224,34 @@ class _TestGroupRunner:
             rows = df.collect()
         except Exception as e:  # noqa: BLE001 — report as test failure
             return [f"    expr: {expr!r}, time: {at}ms, err: {e}"]
+        from prometheus_spark.testing.histogram_literal import (
+            parse_histogram_literal,
+        )
+        from prometheus_spark.testing.promqltest import _values_equal
+
         got = []
         for r in rows:
             labels = dict(r["labels"]) if "labels" in r.__fields__ else {}
-            got.append((sorted(labels.items()), r["value"]))
+            hv = r["hist"] if "hist" in r.__fields__ else None
+            v = hv.asDict(recursive=True) if hv is not None else r["value"]
+            got.append((sorted(labels.items()), v))
         exp = []
         for s in case.get("exp_samples") or []:
             labels = parse_series_labels(s.get("labels") or "{}")
-            exp.append((sorted(labels.items()), float(s.get("value", 0))))
+            if s.get("histogram"):
+                # exp_samples may carry a native-histogram literal
+                # (unittest.go parses the same {{...}} spec)
+                exp.append((
+                    sorted(labels.items()),
+                    parse_histogram_literal(str(s["histogram"])),
+                ))
+            else:
+                exp.append((sorted(labels.items()), float(s.get("value", 0))))
         got.sort(key=lambda x: x[0])
         exp.sort(key=lambda x: x[0])
         ok = len(got) == len(exp) and all(
-            g[0] == e[0] and _almost(g[1], e[1]) for g, e in zip(got, exp)
+            g[0] == e[0] and _values_equal(e[1], g[1])
+            for g, e in zip(got, exp)
         )
         if not ok:
             return [

@@ -301,3 +301,42 @@ def test_alert_annotation_query_and_re_replace(spark, tmp_path):
         """,
     )
     assert run_rule_test_file(spark, str(test_yml)) == []
+
+
+def test_exp_samples_histogram_literals(spark, tmp_path):
+    """exp_samples entries may carry native-histogram {{...}} literals
+    (promtool unittest.yml's histogram cases) — previously they were
+    read as value 0 and histogram results compared as None."""
+    test_yml = _write(
+        tmp_path,
+        "test.yml",
+        """
+        evaluation_interval: 1m
+        tests:
+          - interval: 1m
+            input_series:
+              - series: test_histogram
+                values: '{{schema:1 sum:-0.3 count:32.1 z_bucket:7.1 z_bucket_w:0.05 buckets:[5.1 10 7] offset:-3 n_buckets:[4.1 5] n_offset:-5}}'
+              - series: test_histogram_repeat
+                values: '{{sum:3 count:2 buckets:[2]}}x2'
+            promql_expr_test:
+              - expr: test_histogram
+                eval_time: 1m
+                exp_samples:
+                  - labels: 'test_histogram'
+                    histogram: '{{schema:1 sum:-0.3 count:32.1 z_bucket:7.1 z_bucket_w:0.05 buckets:[5.1 10 7] offset:-3 n_buckets:[4.1 5] n_offset:-5}}'
+              - expr: test_histogram_repeat
+                eval_time: 2m
+                exp_samples:
+                  - labels: 'test_histogram_repeat'
+                    histogram: '{{count:2 sum:3 buckets:[2]}}'
+              # a WRONG expectation must fail
+              - expr: test_histogram_repeat
+                eval_time: 2m
+                exp_samples:
+                  - labels: 'test_histogram_repeat'
+                    histogram: '{{count:9 sum:3 buckets:[9]}}'
+        """,
+    )
+    errs = run_rule_test_file(spark, str(test_yml))
+    assert len(errs) == 1  # only the deliberately wrong case fails
