@@ -57,8 +57,14 @@ class PromQLEngine:
         # where panels re-issue step-aligned queries every refresh.
         # DataFrames are immutable plan handles, so reuse is safe; execution
         # still happens per call.  Bounded FIFO to cap driver memory.
+        # A lock guards put/evict: concurrent rule evaluation (SURVEY §2.8,
+        # reference rules/manager.go concurrent_rule_eval) drives this cache
+        # from multiple driver threads.
         self._plan_cache: "OrderedDict[tuple, DataFrame]" = OrderedDict()
         self._plan_cache_max = 256
+        import threading
+
+        self._plan_cache_lock = threading.Lock()
 
     @property
     def samples(self) -> DataFrame:
@@ -122,9 +128,10 @@ class PromQLEngine:
         return self.range_query(query, time_ms, time_ms, 1)
 
     def _plan_cache_put(self, key: tuple, df: DataFrame) -> None:
-        self._plan_cache[key] = df
-        if len(self._plan_cache) > self._plan_cache_max:
-            self._plan_cache.popitem(last=False)
+        with self._plan_cache_lock:
+            self._plan_cache[key] = df
+            if len(self._plan_cache) > self._plan_cache_max:
+                self._plan_cache.popitem(last=False)
 
     def range_query(self, query: str, start_ms: int, end_ms: int, step_ms: int) -> DataFrame:
         """→ DataFrame (sig, labels, t, value), sorted by (sig, t)."""

@@ -8,6 +8,11 @@ from prometheus_spark.streaming.rulefmt import (
     load_rule_file,
     parse_rule_groups,
 )
+from prometheus_spark.streaming.rule_deps import (
+    ConcurrentRuleEvalController,
+    build_dependency_map,
+    split_group_into_batches,
+)
 from prometheus_spark.streaming.rules import (
     AlertingRule,
     RecordingRule,
@@ -24,7 +29,10 @@ from prometheus_spark.streaming.windows import (
 
 __all__ = [
     "AlertingRule",
+    "ConcurrentRuleEvalController",
     "RecordingRule",
+    "build_dependency_map",
+    "split_group_into_batches",
     "RuleError",
     "RuleGroup",
     "RulesEngine",

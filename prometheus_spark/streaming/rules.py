@@ -92,11 +92,39 @@ class RulesEngine:
     + ALERTS series); ``alert_rows`` is the small driver-side alert-state
     snapshot."""
 
-    def __init__(self, spark: SparkSession, samples: DataFrame, lookback_ms: int = 300_000):
+    def __init__(
+        self,
+        spark: SparkSession,
+        samples: DataFrame,
+        lookback_ms: int = 300_000,
+        concurrent_eval: bool = False,
+        max_concurrent: int = 4,
+        concurrency_controller=None,
+    ):
+        """``concurrent_eval`` mirrors the reference feature flag
+        ``concurrent_rule_eval`` (rules/manager.go:176-181): when on,
+        independent rules in a group evaluate concurrently, bounded by
+        ``max_concurrent`` (``--rules.max-concurrent-evals``, global
+        across groups since the controller is per-engine).  Dependent
+        rules stay in definition order; results are assembled in rule
+        order, so output is identical to sequential evaluation."""
         from prometheus_spark.engine import PromQLEngine
+        from prometheus_spark.streaming.rule_deps import (
+            ConcurrentRuleEvalController,
+            sequential_rule_eval_controller,
+        )
 
         self.spark = spark
         self.engine = PromQLEngine(spark, samples, lookback_ms=lookback_ms)
+        if concurrency_controller is not None:
+            self.concurrency = concurrency_controller
+        elif concurrent_eval:
+            self.concurrency = ConcurrentRuleEvalController(max_concurrent)
+        else:
+            self.concurrency = sequential_rule_eval_controller()
+        # batching is a pure function of the group's rule list — cache the
+        # parse + dependency analysis across ticks
+        self._batch_cache: dict = {}
         # alert state per rule INSTANCE: "group/idx/alertname" ->
         # {sig -> state dict} — bounded by active-alert cardinality
         self._alert_state: dict[str, dict] = {}
@@ -119,14 +147,18 @@ class RulesEngine:
           active_since_ms, value)
         """
         ts = group.eval_timestamp(ts_ms)
+        results = self._eval_rules(group, ts)
         frames: list[DataFrame] = []
         alert_sample_rows: list = []
         alert_rows: list = []
-        for idx, rule in enumerate(group.rules):
-            if isinstance(rule, RecordingRule):
-                frames.append(self._eval_recording(group, rule, ts))
-            elif isinstance(rule, AlertingRule):
-                s, a = self._eval_alerting(group, rule, ts, idx)
+        # assemble in rule-definition order regardless of completion order
+        # so concurrent output is bit-identical to sequential
+        for idx in range(len(group.rules)):
+            kind, payload = results[idx]
+            if kind == "rec":
+                frames.append(payload)
+            else:
+                s, a = payload
                 alert_sample_rows += s
                 alert_rows += a
         if alert_sample_rows:
@@ -139,13 +171,87 @@ class RulesEngine:
                 (labels, t) for labels, t, v, stale in alert_sample_rows if stale
             ]
             alerts_df = samples_from_rows(self.spark, value_rows, stale_rows)
-            frames.append(alerts_df.drop("hist"))
+            # align to the recording-rule layout (_as_samples): float-only,
+            # no start-timestamp — ALERTS meta-series carry neither
+            frames.append(
+                alerts_df.select("sig", "name", "labels", "t", "value", "stale")
+            )
         if not frames:
             return None, alert_rows
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
         return out, alert_rows
+
+    def _group_batches(self, group: RuleGroup):
+        """Dependency-ordered concurrency batches for the group, cached
+        per (group name, rule list) — reference manager.go:556
+        ``SplitGroupIntoBatches`` via the engine's controller.  Returns
+        None for strictly-sequential evaluation."""
+        key = (
+            group.name,
+            tuple(
+                (type(r).__name__, getattr(r, "record", getattr(r, "alert", "")), r.expr)
+                for r in group.rules
+            ),
+        )
+        if key not in self._batch_cache:
+            self._batch_cache[key] = self.concurrency.split_group_into_batches(
+                group.rules
+            )
+        return self._batch_cache[key]
+
+    def _eval_rules(self, group: RuleGroup, ts: int) -> dict:
+        """Evaluate every rule in the group, honoring dependency order
+        (reference rules/group.go:634 Eval + manager.go concurrency
+        controller).  Independent batches fan out over a thread pool;
+        each concurrent slot is gated by the controller's semaphore —
+        when no slot is free the rule evaluates inline in the caller's
+        thread, exactly like the reference's ``Allow`` try-acquire.
+
+        Per-rule state maps (``_prev_series``, ``_alert_state``) are
+        keyed per rule instance, so concurrent rules never share mutable
+        state; Spark job submission is thread-safe."""
+
+        def eval_one(idx: int):
+            rule = group.rules[idx]
+            if isinstance(rule, RecordingRule):
+                return "rec", self._eval_recording(group, rule, ts)
+            return "alert", self._eval_alerting(group, rule, ts, idx)
+
+        results: dict = {}
+        batches = self._group_batches(group)
+        if batches is None:
+            for idx in range(len(group.rules)):
+                results[idx] = eval_one(idx)
+            return results
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        for batch in batches:
+            if len(batch) == 1:
+                results[batch[0]] = eval_one(batch[0])
+                continue
+            futures: dict = {}
+            inline: list[int] = []
+            with ThreadPoolExecutor(max_workers=len(batch)) as pool:
+                for idx in batch:
+                    if self.concurrency.allow():
+
+                        def run(i=idx):
+                            try:
+                                return eval_one(i)
+                            finally:
+                                self.concurrency.done()
+
+                        futures[idx] = pool.submit(run)
+                    else:
+                        inline.append(idx)
+                for idx in inline:
+                    results[idx] = eval_one(idx)
+                for idx, fut in futures.items():
+                    results[idx] = fut.result()
+        return results
 
     def _eval_recording(self, group: RuleGroup, rule: RecordingRule, ts: int) -> DataFrame:
         key = f"{group.name}/{rule.record}"

@@ -1,0 +1,269 @@
+"""Rule dependency analysis + concurrent evaluation.
+
+Mirrors the reference's rules/manager_test.go: TestDependencyMap,
+TestDependenciesEdgeCases, TestSplitGroupIntoBatches shapes, and
+TestAsyncRuleEvaluation (concurrent results bit-identical to
+sequential, and concurrency actually observed)."""
+
+import threading
+import time
+
+import pytest
+
+from prometheus_spark.storage import samples_from_rows
+from prometheus_spark.streaming import AlertingRule, RecordingRule, RuleGroup, RulesEngine
+from prometheus_spark.streaming.rule_deps import (
+    ConcurrentRuleEvalController,
+    build_dependency_map,
+    dependencies,
+    dependents,
+    is_independent,
+    split_group_into_batches,
+)
+
+M = 60_000
+
+
+# --- dependency map (manager_test.go TestDependencyMap) ----------------------
+def test_dependency_map():
+    r1 = RecordingRule("user:requests:rate1m", "sum by (user) (rate(requests[1m]))")
+    r2 = AlertingRule("ZeroRequests", "user:requests:rate1m <= 0")
+    r3 = RecordingRule("user:requests:rate5m", "sum by (user) (rate(requests[5m]))")
+    r4 = RecordingRule("user:requests:increase1h", "increase(user:requests:rate1m[1h])")
+    r5 = RecordingRule(
+        "user:requests:sum5m", 'sum by (user) ({__name__=~"user:requests.+5m"})'
+    )
+    rules = [r1, r2, r3, r4, r5]
+    dm = build_dependency_map(rules)
+
+    assert dependencies(dm, 0) == []
+    assert dependents(dm, 0) == [1, 3]
+    assert not is_independent(dm, 0)
+
+    assert dependents(dm, 1) == []
+    assert dependencies(dm, 1) == [0]
+    assert not is_independent(dm, 1)
+
+    assert dependents(dm, 2) == [4]
+    assert dependencies(dm, 2) == []
+    assert not is_independent(dm, 2)
+
+    assert dependents(dm, 3) == []
+    assert dependencies(dm, 3) == [0]
+    assert not is_independent(dm, 3)
+
+    assert dependents(dm, 4) == []
+    assert dependencies(dm, 4) == [2]
+    assert not is_independent(dm, 4)
+
+
+def test_dependency_edge_cases():
+    # ≤1 rule → empty map, queries don't blow up
+    only = RecordingRule("user:requests:rate1m", "sum(rate(requests[1m]))")
+    assert build_dependency_map([only]) == {}
+    assert build_dependency_map([]) == {}
+    assert is_independent({}, 0)
+
+    # rules referencing no other rule's series are independent
+    dm = build_dependency_map(
+        [RecordingRule("1", "one"), RecordingRule("2", "two")]
+    )
+    assert is_independent(dm, 0) and is_independent(dm, 1)
+
+    # regexp name matcher that matches an earlier rule → dependency
+    dm = build_dependency_map(
+        [
+            RecordingRule("first", "sum(requests)"),
+            RecordingRule("second", 'sum({__name__=~"fir.+"})'),
+        ]
+    )
+    assert dependents(dm, 0) == [1]
+
+    # name-less (wildcard) selector → indeterminate: whole group sequential
+    dm = build_dependency_map(
+        [
+            RecordingRule("first", "sum(requests)"),
+            RecordingRule("second", 'sum({cluster="prod"})'),
+        ]
+    )
+    assert dm is None
+    assert not is_independent(dm, 0)
+
+    # later-defined rules are NOT strict dependencies (definition order
+    # is the execution contract — group.go:1180)
+    dm = build_dependency_map(
+        [
+            RecordingRule("uses_later", "sum(comes_later)"),
+            RecordingRule("comes_later", "sum(requests)"),
+        ]
+    )
+    assert dependencies(dm, 0) == []
+
+
+def test_dependency_on_alerts_meta_series():
+    # querying ALERTS{alertname="X"} depends on the alerting rule X
+    a = AlertingRule("HighErrors", "errors_total > 100")
+    r = RecordingRule("alert:count", 'count(ALERTS{alertname="HighErrors"})')
+    dm = build_dependency_map([a, r])
+    assert dependents(dm, 0) == [1]
+
+    # no alertname matcher → depends on EVERY earlier alerting rule
+    a2 = AlertingRule("Other", "x > 1")
+    r2 = RecordingRule("alert:count", "count(ALERTS)")
+    dm = build_dependency_map([a, a2, r2])
+    assert dependents(dm, 0) == [2] and dependents(dm, 1) == [2]
+
+    # non-matching alertname → no dependency
+    r3 = RecordingRule("alert:count", 'count(ALERTS_FOR_STATE{alertname="Nope"})')
+    dm = build_dependency_map([a, r3])
+    assert dm == {}
+
+
+# --- batching (manager.go SplitGroupIntoBatches) -----------------------------
+def test_split_group_into_batches():
+    rules = [
+        RecordingRule("a", "sum(x)"),          # no deps, has dependent
+        RecordingRule("b", "sum(a)"),          # dep on a, dependent of c
+        RecordingRule("c", "sum(b)"),          # dep on b, no dependents
+        RecordingRule("d", "sum(y)"),          # independent
+    ]
+    dm = build_dependency_map(rules)
+    order = split_group_into_batches(rules, dm)
+    # batch 1: no dependencies {a, d}; middle: b sequential; tail: {c}
+    assert order == [[0, 3], [1], [2]]
+
+    # all independent → single concurrent batch
+    rules = [RecordingRule(str(i), f"sum(m{i})") for i in range(8)]
+    order = split_group_into_batches(rules, build_dependency_map(rules))
+    assert order == [list(range(8))]
+
+    # indeterminate → None
+    assert split_group_into_batches(rules, None) is None
+
+
+def test_controller_semaphore():
+    c = ConcurrentRuleEvalController(2)
+    assert c.allow() and c.allow()
+    assert not c.allow()  # try-acquire, non-blocking
+    c.done()
+    assert c.allow()
+    c.done()
+    c.done()
+
+
+# --- concurrent evaluation (manager_test.go TestAsyncRuleEvaluation) ---------
+@pytest.fixture()
+def dep_samples(spark):
+    rows = []
+    for i in range(11):
+        rows.append(({"__name__": "requests", "user": "u1"}, i * M, float(i * 10)))
+        rows.append(({"__name__": "requests", "user": "u2"}, i * M, float(i * 20)))
+    return samples_from_rows(spark, rows).cache()
+
+
+class _CountingEngine(RulesEngine):
+    """Instrumented engine: tracks max concurrently-inflight rule evals
+    (the test's analogue of the reference's inflightQueries counter)."""
+
+    def __init__(self, *args, delay=0.15, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._inflight = 0
+        self.max_inflight = 0
+        self._mtx = threading.Lock()
+        self._delay = delay
+
+    def _eval_recording(self, group, rule, ts):
+        with self._mtx:
+            self._inflight += 1
+            self.max_inflight = max(self.max_inflight, self._inflight)
+        try:
+            time.sleep(self._delay)
+            return super()._eval_recording(group, rule, ts)
+        finally:
+            with self._mtx:
+                self._inflight -= 1
+
+
+def _group():
+    return RuleGroup(
+        "g",
+        M,
+        [
+            RecordingRule("user:requests:rate2m", "sum by (user) (rate(requests[2m]))"),
+            RecordingRule("user:requests:rate5m", "sum by (user) (rate(requests[5m]))"),
+            RecordingRule("user:requests:total", "sum by (user) (requests)"),
+            RecordingRule("all:requests:total", "sum(user:requests:total)"),
+        ],
+    )
+
+
+def test_concurrent_eval_matches_sequential(spark, dep_samples):
+    seq = RulesEngine(spark, dep_samples)
+    con = _CountingEngine(spark, dep_samples, concurrent_eval=True, max_concurrent=4)
+
+    out_seq, _ = seq.eval_tick(_group(), 10 * M)
+    out_con, _ = con.eval_tick(_group(), 10 * M)
+
+    rows_seq = sorted(
+        (r["name"], tuple(sorted(r["labels"].items())), r["t"], r["value"])
+        for r in out_seq.collect()
+    )
+    rows_con = sorted(
+        (r["name"], tuple(sorted(r["labels"].items())), r["t"], r["value"])
+        for r in out_con.collect()
+    )
+    # 3 independent rules × 2 users; the dependent all:requests:total reads
+    # this tick's storage (outputs append after the tick) → empty first tick
+    assert rows_seq == rows_con and len(rows_seq) == 6
+    # the three independent rules overlapped
+    assert con.max_inflight >= 2
+
+
+def test_sequential_controller_never_overlaps(spark, dep_samples):
+    eng = _CountingEngine(spark, dep_samples)  # default sequential controller
+    eng.eval_tick(_group(), 10 * M)
+    assert eng.max_inflight == 1
+
+
+def test_insufficient_concurrency_still_correct(spark, dep_samples):
+    # 8 independent rules, 2 slots: overflow evaluates inline; all outputs land
+    rules = [
+        RecordingRule(f"rec{i}", "sum by (user) (requests)") for i in range(8)
+    ]
+    group = RuleGroup("g8", M, rules)
+    eng = _CountingEngine(
+        spark, dep_samples, concurrent_eval=True, max_concurrent=2, delay=0.05
+    )
+    out, _ = eng.eval_tick(group, 10 * M)
+    names = {r["name"] for r in out.collect()}
+    assert names == {f"rec{i}" for i in range(8)}
+    # at most 2 concurrent slots + 1 inline caller thread
+    assert 2 <= eng.max_inflight <= 3
+
+
+def test_mixed_recording_alerting_group_unions(spark, dep_samples):
+    """Recording + alerting rules in ONE group produce a single coherent
+    samples frame (regression: the ALERTS frame carried the r7 ``st``
+    start-timestamp column and broke the union with recording output)."""
+    group = RuleGroup(
+        "mix",
+        M,
+        [
+            RecordingRule("user:total", "sum by (user) (requests)"),
+            AlertingRule("High", "requests > 150"),
+        ],
+    )
+    eng = RulesEngine(spark, dep_samples)
+    out, alerts = eng.eval_tick(group, 10 * M)
+    names = {r["name"] for r in out.collect()}
+    assert names == {"user:total", "ALERTS", "ALERTS_FOR_STATE"}
+    assert [a[0] for a in alerts] == ["High"]
+
+
+def test_dependent_rule_sees_ordering(spark, dep_samples):
+    """all:requests:total depends on user:requests:total; with dependency
+    batching it must evaluate in a later batch (strict ordering), and the
+    group's batches reflect manager.go's 3-bucket split."""
+    eng = RulesEngine(spark, dep_samples, concurrent_eval=True, max_concurrent=4)
+    order = eng._group_batches(_group())
+    assert order == [[0, 1, 2], [3]]
