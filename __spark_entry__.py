@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["federate_roundtrip"] = _federate_roundtrip
     q["openmetrics_ingest"] = _openmetrics_ingest
     q["nhcb_ingest"] = _nhcb_ingest
+    q["st_zero_ingestion"] = _st_zero_ingest
     q["merge_dedupe"] = _merge_dedupe
 
     # --- TPC-H-ish relational coverage (joins, windows, sort) ------------
@@ -624,6 +625,46 @@ def _nhcb_ingest(spark, sf_dir):
         F.element_at(h["pos_buckets"], 1).alias("b1"),
         F.element_at(h["pos_buckets"], 2).alias("b2"),
         F.element_at(h["pos_buckets"], 3).alias("b3"),
+    )
+
+
+def _st_zero_ingest(spark, sf_dir):
+    """ST/created-timestamp zero-ingestion shape (reference
+    scrape/scrape.go:1752-1768 enableSTZeroIngestion +
+    tsdb/head_append.go:511 AppendSTZeroSample): an OpenMetrics body with
+    ``*_created`` series yields one synthetic zero sample at each
+    series' start timestamp before the real sample, and the start
+    timestamp rides every sample (``st`` column).  Two scrapes with an
+    unchanged ST inject the zero only once (the head's OOO-ST no-op)."""
+    from prometheus_spark.sources.scrape import maybe_st_zero, parse_scrape_body
+    from prometheus_spark.storage import samples_from_rows
+
+    bodies = [
+        (60_000, b'# TYPE req counter\nreq_total{job="a"} 10\n'
+                 b'req_created{job="a"} 30\nreq_total{job="b"} 5\n'
+                 b'req_created{job="b"} 45\n# EOF\n'),
+        (120_000, b'# TYPE req counter\nreq_total{job="a"} 17\n'
+                  b'req_created{job="a"} 30\nreq_total{job="b"} 6\n'
+                  b'req_created{job="b"} 45\n# EOF\n'),
+    ]
+    st_seen: dict = {}
+    rows = []
+    for now_ms, body in bodies:
+        parsed, _m, _e = parse_scrape_body(
+            body, "application/openmetrics-text", now_ms
+        )
+        for labels, t, v, st in parsed:
+            zero = maybe_st_zero(labels, t, v, st, st_seen)
+            if zero is not None:
+                rows.append(zero)
+            rows.append((labels, t, v, st))
+    df = samples_from_rows(spark, rows)
+    return df.select(
+        "name",
+        F.element_at("labels", "job").alias("job"),
+        "t",
+        "value",
+        F.col("st").alias("start_ts"),
     )
 
 
@@ -1737,6 +1778,16 @@ SELECT * FROM (VALUES
   ('rpc_seconds_sum', '', '', 1700000000000, 4.2),
   ('rpc_seconds_count', '', '', 1700000000000, 7.0)
 ) AS t(name, code, le, t, value)
+"""
+    o["st_zero_ingestion"] = """
+SELECT * FROM (VALUES
+  ('req_total', 'a', 30000, 0.0, 30000),
+  ('req_total', 'a', 60000, 10.0, 30000),
+  ('req_total', 'b', 45000, 0.0, 45000),
+  ('req_total', 'b', 60000, 5.0, 45000),
+  ('req_total', 'a', 120000, 17.0, 30000),
+  ('req_total', 'b', 120000, 6.0, 45000)
+) AS t(name, job, t, value, start_ts)
 """
     o["nhcb_ingest"] = """
 SELECT 'rpc_seconds' AS name, 7.0 AS hcount, 4.2 AS hsum,

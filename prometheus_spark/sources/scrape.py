@@ -164,9 +164,11 @@ def parse_scrape_body(
 ) -> tuple[list[tuple[dict, int, object]], dict, list]:
     """Dispatch on Content-Type exactly like the reference's parser
     selection (model/textparse New()).  Returns (samples, metadata,
-    exemplars) — exemplars as (series_labels, t_ms, exemplar_labels,
-    value, ex_t_ms), populated by the OpenMetrics parser (the classic
-    text format has no exemplar syntax).
+    exemplars) — samples as (labels, t_ms, value, st_ms) where st_ms is
+    the created/start timestamp (textparse ``p.StartTimestamp()``; None
+    when the format doesn't expose one); exemplars as (series_labels,
+    t_ms, exemplar_labels, value, ex_t_ms), populated by the OpenMetrics
+    parser (the classic text format has no exemplar syntax).
 
     A blank Content-Type substitutes the job's configured
     ``fallback_scrape_protocol`` and FAILS the scrape when none is set
@@ -184,20 +186,95 @@ def parse_scrape_body(
         )
     if content_type.startswith(PROTOBUF_CT):
         rows, meta = parse_protobuf_scrape(body, default_ts_ms)
-        return [(labels, t, v) for labels, t, v, _created in rows], meta, []
+        return list(rows), meta, []
     if content_type.startswith(OPENMETRICS_CT):
-        samples, meta, exemplars, _c = parse_openmetrics_text(
+        samples, meta, exemplars, created = parse_openmetrics_text(
             body.decode(), default_ts_ms=default_ts_ms
         )
-        return list(samples), meta, list(exemplars)
+        return (
+            [(l, t, v, _om_start_ts(l, created)) for l, t, v in samples],
+            meta,
+            list(exemplars),
+        )
     from prometheus_spark.sources.promtext import parse_exposition_metadata
 
     text = body.decode()
     return (
-        list(parse_exposition_text(text, default_ts_ms)),
+        [(l, t, v, None) for l, t, v in parse_exposition_text(text, default_ts_ms)],
         parse_exposition_metadata(text),
         [],
     )
+
+
+# suffixes whose ``<base>_created`` series applies to the sample
+# (openmetricsparse.go CreatedTimestamp: counter _total, summary/histogram
+# _count/_sum/_bucket and quantile/le-carrying series share the family's
+# created series, which is exposed without le/quantile labels)
+_CREATED_SUFFIXES = ("_total", "_count", "_sum", "_bucket", "")
+
+
+def _om_start_ts(labels: dict, created: dict):
+    """Per-sample start timestamp from the OpenMetrics ``*_created``
+    map keyed by (family base name, sorted non-reserved label items)."""
+    if not created:
+        return None
+    name = labels.get("__name__", "")
+    key_labels = tuple(
+        sorted(
+            (k, v)
+            for k, v in labels.items()
+            if k not in ("__name__", "le", "quantile")
+        )
+    )
+    for suf in _CREATED_SUFFIXES:
+        if suf and not name.endswith(suf):
+            continue
+        base = name[: len(name) - len(suf)] if suf else name
+        st = created.get((base, key_labels))
+        if st is not None:
+            return st
+    return None
+
+
+def _zero_value_like(v):
+    """The synthetic zero sample to inject at the start timestamp:
+    0.0 for float counters (head_append.go AppendSTZeroSample); an
+    all-zero histogram sharing schema/zero-threshold/custom bounds for
+    native histograms (AppendHistogramSTZeroSample appends the zero
+    &Histogram{} with the series' layout so chunk appenders don't force
+    a layout-change cut)."""
+    if not isinstance(v, dict):
+        return 0.0
+    return {
+        "schema": v.get("schema", 0),
+        "zero_threshold": v.get("zero_threshold", 0.0),
+        "zero_count": 0.0,
+        "count": 0.0,
+        "sum": 0.0,
+        "pos_spans": [],
+        "pos_buckets": [],
+        "neg_spans": [],
+        "neg_buckets": [],
+        "custom_values": v.get("custom_values", []),
+        "counter_reset_hint": 0,
+    }
+
+
+def maybe_st_zero(labels: dict, t: int, v, st, st_seen: dict):
+    """The ST zero-ingestion decision for one sample (scrape.go:1752 +
+    head_append.go:511 AppendSTZeroSample): return the synthetic zero
+    row ``(labels, st, zero, st)`` to append BEFORE the real sample, or
+    None when no injection applies — st missing, st >= t
+    (ErrSTNewerThanSample), or the same st already ingested for the
+    series (the head's OOO check; counters share their ST across
+    scrapes).  Mutates ``st_seen`` (series key → last ingested st)."""
+    if st is None or st >= t:
+        return None
+    key = tuple(sorted(labels.items()))
+    if st_seen.get(key) == st:
+        return None
+    st_seen[key] = st
+    return (labels, st, _zero_value_like(v), st)
 
 
 class ScrapeManager:
@@ -213,6 +290,7 @@ class ScrapeManager:
         timeout_s: float = 10.0,
         limits: Optional[ScrapeLimits] = None,
         extra_scrape_metrics: bool = False,
+        enable_st_zero_ingestion: bool = False,
     ):
         os.makedirs(spool_dir, exist_ok=True)
         self.spool_dir = spool_dir
@@ -227,6 +305,16 @@ class ScrapeManager:
         self.limits = limits or ScrapeLimits()
         # extra report series per scrape (config.go extra_scrape_metrics)
         self.extra_scrape_metrics = extra_scrape_metrics
+        # created-timestamp zero-ingestion (feature flag
+        # created-timestamp-zero-ingestion; scrape.go:1752
+        # enableSTZeroIngestion): inject a synthetic zero sample at the
+        # series' start timestamp so rate()/increase() see the counter's
+        # birth instead of under-extrapolating
+        self.enable_st_zero_ingestion = enable_st_zero_ingestion
+        # per-target {series key: last zero-ingested st} — the analogue
+        # of the head's OOO check that makes repeated same-ST scrapes
+        # no-ops (head_append.go:525 "often hit ... counters share ST")
+        self._st_ingested: dict[str, dict[tuple, int]] = {}
         # family → {type, help, unit}, accumulated across scrapes — the
         # metadata store the /api/v1/metadata endpoint serves
         self.metadata: dict[str, dict] = {}
@@ -335,7 +423,8 @@ class ScrapeManager:
             self.target_metadata.setdefault(tgt.url, {}).update(meta)
             scraped = len(parsed)
             sigs = set()
-            for labels, t, v in parsed:
+            st_seen = self._st_ingested.setdefault(tgt.url, {})
+            for labels, t, v, st in parsed:
                 if not tgt.honor_timestamps:
                     t = now_ms
                 labels = _merge_labels(labels, tl, tgt.honor_labels)
@@ -349,8 +438,16 @@ class ScrapeManager:
                     raise ScrapeLimitError(
                         f"sample_limit exceeded (> {lim.sample_limit})"
                     )
-                sigs.add(tuple(sorted(labels.items())))
-                rows.append((labels, t, v))
+                key = tuple(sorted(labels.items()))
+                sigs.add(key)
+                # ST zero-ingestion (scrape.go:1752-1768): one synthetic
+                # zero sample at the start timestamp, before the real
+                # sample; skips (invalid/OOO st) never fail the scrape
+                if self.enable_st_zero_ingestion:
+                    zero_row = maybe_st_zero(labels, t, v, st, st_seen)
+                    if zero_row is not None:
+                        rows.append(zero_row)
+                rows.append((labels, t, v, st))
                 # staleness tracking excludes explicitly-timestamped
                 # samples unless track_timestamps_staleness is on
                 # (scrape.go:1699 trackTimestampsStaleness)
@@ -392,7 +489,7 @@ class ScrapeManager:
             ("scrape_samples_post_metric_relabeling", float(post_relabel)),
             ("scrape_series_added", float(series_added)),
         ):
-            rows.append(({**tl, "__name__": name}, now_ms, value))
+            rows.append(({**tl, "__name__": name}, now_ms, value, None))
         if self.extra_scrape_metrics:
             # --enable-feature=extra-scrape-metrics / the yaml knob
             # (scrape.go scrapeTimeout/SampleLimit/BodySizeBytes metrics)
@@ -402,7 +499,7 @@ class ScrapeManager:
                 ("scrape_sample_limit", float(lim.sample_limit)),
                 ("scrape_body_size_bytes", float(bytes_read)),
             ):
-                rows.append(({**tl, "__name__": name}, now_ms, value))
+                rows.append(({**tl, "__name__": name}, now_ms, value, None))
         # staleness markers for series seen last scrape but not this one
         # — including ALL of them after a failed scrape (scrape.go
         # report() + endOfRunStaleness semantics)
@@ -417,12 +514,14 @@ class ScrapeManager:
         )
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            for labels, t, v in rows:
+            for labels, t, v, st in rows:
                 rec = {"labels": labels, "t": t}
                 if isinstance(v, dict):
                     rec["hist"] = v
                 else:
                     rec["value"] = float(v)
+                if st is not None:
+                    rec["st"] = st
                 f.write(json.dumps(rec) + "\n")
             for labels in stale_rows:
                 f.write(

@@ -643,7 +643,7 @@ def test_fallback_scrape_protocol():
     rows, _meta, _ex = parse_scrape_body(
         body, "", 1000, fallback_protocol="PrometheusText0.0.4"
     )
-    assert rows == [({"__name__": "m"}, 1000, 1.0)]
+    assert rows == [({"__name__": "m"}, 1000, 1.0, None)]
 
 
 def test_scrape_staleness_markers(spark, tmp_path):
@@ -754,3 +754,118 @@ def test_extra_scrape_metrics(tmp_path):
             srv.shutdown()
         except Exception:
             pass
+
+
+def _om_server(bodies, state):
+    import http.server
+    import threading
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = bodies[min(state["i"], len(bodies) - 1)]
+            self.send_response(200)
+            self.send_header(
+                "Content-Type",
+                "application/openmetrics-text; version=1.0.0; charset=utf-8",
+            )
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}/metrics"
+
+
+def test_st_zero_ingestion(spark, tmp_path):
+    """created-timestamp zero-ingestion (scrape.go:1752-1768
+    enableSTZeroIngestion + head_append.go AppendSTZeroSample): with the
+    flag on, a counter exposing ``_created`` gets ONE synthetic zero
+    sample at the start timestamp; repeated scrapes with the same ST are
+    the OOO no-op case; increase() then sees the counter's birth."""
+    from prometheus_spark.engine import PromQLEngine
+    from prometheus_spark.sources.remote_write import spool_to_samples
+    from prometheus_spark.sources.scrape import ScrapeManager, ScrapeTarget
+
+    bodies = [
+        b"# TYPE req counter\nreq_total 10\nreq_created 30\n# EOF\n",
+        b"# TYPE req counter\nreq_total 14\nreq_created 30\n# EOF\n",
+    ]
+    state = {"i": 0}
+    srv, url = _om_server(bodies, state)
+    try:
+        mgr = ScrapeManager(
+            str(tmp_path / "spool"),
+            [ScrapeTarget(url, labels={"job": "j"})],
+            enable_st_zero_ingestion=True,
+        )
+        mgr.scrape_once(now_ms=60_000)
+        state["i"] = 1
+        mgr.scrape_once(now_ms=120_000)
+        df = spool_to_samples(spark, str(tmp_path / "spool"))
+        req = df.filter("name = 'req_total'").orderBy("t").collect()
+        # one zero sample at st=30s, then the two real samples carrying st
+        assert [(r["t"], r["value"]) for r in req] == [
+            (30_000, 0.0), (60_000, 10.0), (120_000, 14.0),
+        ]
+        assert [r["st"] for r in req] == [30_000, 30_000, 30_000]
+        # increase() over a window covering the birth sees the full 14
+        # (no zero sample would extrapolate from 10→14 only)
+        eng = PromQLEngine(spark, df)
+        out = eng.instant_query("increase(req_total[2m])", 120_000).collect()
+        assert len(out) == 1
+        assert abs(out[0]["value"] - 14.0) < 1e-9
+    finally:
+        srv.shutdown()
+
+
+def test_st_zero_ingestion_off_by_default(spark, tmp_path):
+    from prometheus_spark.sources.remote_write import spool_to_samples
+    from prometheus_spark.sources.scrape import ScrapeManager, ScrapeTarget
+
+    bodies = [b"# TYPE req counter\nreq_total 10\nreq_created 30\n# EOF\n"]
+    srv, url = _om_server(bodies, {"i": 0})
+    try:
+        mgr = ScrapeManager(str(tmp_path / "spool"), [ScrapeTarget(url)])
+        mgr.scrape_once(now_ms=60_000)
+        df = spool_to_samples(spark, str(tmp_path / "spool"))
+        req = df.filter("name = 'req_total'").collect()
+        # no synthetic zero, but the start timestamp still rides the sample
+        assert [(r["t"], r["value"], r["st"]) for r in req] == [
+            (60_000, 10.0, 30_000)
+        ]
+    finally:
+        srv.shutdown()
+
+
+def test_st_zero_reingested_on_counter_reset(spark, tmp_path):
+    """A NEW start timestamp (counter restarted) re-injects the zero
+    sample at the new birth — the st_seen map keys on the value, not
+    just presence."""
+    from prometheus_spark.sources.remote_write import spool_to_samples
+    from prometheus_spark.sources.scrape import ScrapeManager, ScrapeTarget
+
+    bodies = [
+        b"# TYPE req counter\nreq_total 10\nreq_created 30\n# EOF\n",
+        b"# TYPE req counter\nreq_total 1\nreq_created 90\n# EOF\n",
+    ]
+    state = {"i": 0}
+    srv, url = _om_server(bodies, state)
+    try:
+        mgr = ScrapeManager(
+            str(tmp_path / "spool"), [ScrapeTarget(url)],
+            enable_st_zero_ingestion=True,
+        )
+        mgr.scrape_once(now_ms=60_000)
+        state["i"] = 1
+        mgr.scrape_once(now_ms=120_000)
+        df = spool_to_samples(spark, str(tmp_path / "spool"))
+        req = df.filter("name = 'req_total'").orderBy("t").collect()
+        assert [(r["t"], r["value"]) for r in req] == [
+            (30_000, 0.0), (60_000, 10.0), (90_000, 0.0), (120_000, 1.0),
+        ]
+    finally:
+        srv.shutdown()
