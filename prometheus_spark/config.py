@@ -136,6 +136,9 @@ class ScrapeJobConfig:
     label_value_length_limit: int = 0
     body_size_limit: int = 0  # bytes
     target_limit: int = 0
+    # native-histogram scrape protections (config.go:823-832)
+    native_histogram_bucket_limit: int = 0
+    native_histogram_min_bucket_factor: float = 0.0
     # raw scrape_config fields needed to re-derive the URL AFTER target
     # relabeling (scrape/target.go PopulateLabels: __scheme__,
     # __metrics_path__, __param_* are relabel-visible and -mutable)
@@ -687,6 +690,12 @@ def load_config(path: str) -> PromConfig:
                 ),
                 body_size_limit=_size_bytes(sc.get("body_size_limit", 0)),
                 target_limit=int(sc.get("target_limit", 0)),
+                native_histogram_bucket_limit=int(
+                    sc.get("native_histogram_bucket_limit", 0)
+                ),
+                native_histogram_min_bucket_factor=float(
+                    sc.get("native_histogram_min_bucket_factor", 0.0)
+                ),
                 scheme=scheme,
                 metrics_path=path_,
                 params=dict(sc.get("params") or {}),

@@ -4137,12 +4137,20 @@ def _job_limits(jobcfg):
         ),
         body_size_limit=getattr(jobcfg, "body_size_limit", 0),
         target_limit=getattr(jobcfg, "target_limit", 0),
+        native_histogram_bucket_limit=getattr(
+            jobcfg, "native_histogram_bucket_limit", 0
+        ),
+        native_histogram_min_bucket_factor=getattr(
+            jobcfg, "native_histogram_min_bucket_factor", 0.0
+        ),
     )
     if not any(
         (
             lims.sample_limit, lims.label_limit,
             lims.label_name_length_limit, lims.label_value_length_limit,
             lims.body_size_limit, lims.target_limit,
+            lims.native_histogram_bucket_limit,
+            lims.native_histogram_min_bucket_factor,
         )
     ):
         return None

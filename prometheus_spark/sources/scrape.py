@@ -98,6 +98,10 @@ class ScrapeLimits:
     label_value_length_limit: int = 0
     body_size_limit: int = 0  # uncompressed response bytes
     target_limit: int = 0  # targets per job/pool
+    # native-histogram protections (config.go:823, scrape/target.go:426):
+    # bucket_limit 0 = unlimited; min_bucket_factor 0 = no schema cap
+    native_histogram_bucket_limit: int = 0
+    native_histogram_min_bucket_factor: float = 0.0
 
 
 @dataclass
@@ -424,6 +428,18 @@ class ScrapeManager:
             scraped = len(parsed)
             sigs = set()
             st_seen = self._st_ingested.setdefault(tgt.url, {})
+            # native-histogram protections (target.go:426-503): schema cap
+            # wraps the bucket limit, so it applies first per sample
+            from prometheus_spark.sources.hist_limits import (
+                EXP_SCHEMA_MAX,
+                apply_hist_limits,
+                pick_schema,
+            )
+
+            max_schema = pick_schema(lim.native_histogram_min_bucket_factor)
+            guard_hists = bool(lim.native_histogram_bucket_limit) or (
+                max_schema < EXP_SCHEMA_MAX
+            )
             for labels, t, v, st in parsed:
                 if not tgt.honor_timestamps:
                     t = now_ms
@@ -437,6 +453,12 @@ class ScrapeManager:
                 if lim.sample_limit and post_relabel > lim.sample_limit:
                     raise ScrapeLimitError(
                         f"sample_limit exceeded (> {lim.sample_limit})"
+                    )
+                if guard_hists and isinstance(v, dict):
+                    # BucketLimitError propagates → fails the scrape,
+                    # exactly like sample_limit (scrape.go:1885)
+                    v = apply_hist_limits(
+                        v, lim.native_histogram_bucket_limit, max_schema
                     )
                 key = tuple(sorted(labels.items()))
                 sigs.add(key)
