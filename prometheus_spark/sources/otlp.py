@@ -219,7 +219,99 @@ def convert_buckets_layout(
 # --------------------------------------------------------------------------
 # datapoint decoders
 
-_CUMULATIVE = 2  # AggregationTemporality enum
+_DELTA = 1  # AggregationTemporality enum
+_CUMULATIVE = 2
+
+
+class DeltaToCumulative:
+    """In-memory delta→cumulative conversion state — the opt-in path of
+    the reference OTLP handler (storage/remote/write_otlp_handler.go:43
+    ``OTLPOptions.ConvertDelta``, backed by the otel deltatocumulative
+    processor).  Per series: running totals keyed by the final label
+    set; a changed start timestamp marks a new stream and resets the
+    accumulator; out-of-order datapoints are dropped (the processor
+    requires strictly increasing timestamps per series).
+
+    State lives on the receiver (per OTLPReceiver instance) so totals
+    accumulate across requests, like the processor living inside the
+    long-lived handler.  Cardinality is bounded by active delta series —
+    the same footprint the reference accepts in-memory."""
+
+    _DROP = object()  # sentinel: out-of-order datapoint, drop it
+
+    def __init__(self):
+        self._state: dict = {}
+
+    def _slot(self, key, t, st):
+        """Existing stream state, None for a fresh/reset stream, or
+        _DROP for an out-of-order datapoint."""
+        s = self._state.get(key)
+        if s is None:
+            return None
+        if t <= s["t"]:
+            return self._DROP
+        if st is not None and s["st"] is not None and st != s["st"]:
+            return None  # restarted source → new stream, reset totals
+        return s
+
+    def add_number(self, key, t, v, st):
+        """→ (cumulative_value, stream_start) or None to drop."""
+        s = self._slot(key, t, st)
+        if s is self._DROP:
+            return None
+        if s is None:
+            s = {"t": t, "st": st, "value": float(v)}
+            self._state[key] = s
+        else:
+            s["t"] = t
+            s["value"] += float(v)
+        return s["value"], s["st"]
+
+    def add_classic(self, key, t, dp, st):
+        """Explicit-bounds histogram delta → accumulated (count, sum,
+        bucket_counts, stream_start); a bounds change resets the
+        stream."""
+        s = self._slot(key, t, st)
+        if s is self._DROP:
+            return None
+        if s is not None and s["bounds"] != list(dp["bounds"]):
+            s = None
+        if s is None:
+            s = {
+                "t": t, "st": st,
+                "count": float(dp["count"]),
+                "sum": None if dp["sum"] is None else float(dp["sum"]),
+                "bounds": list(dp["bounds"]),
+                "buckets": [float(b) for b in dp["bucket_counts"]],
+            }
+            self._state[key] = s
+        else:
+            s["t"] = t
+            s["count"] += float(dp["count"])
+            if dp["sum"] is not None:
+                s["sum"] = (s["sum"] or 0.0) + float(dp["sum"])
+            for i, b in enumerate(dp["bucket_counts"]):
+                if i < len(s["buckets"]):
+                    s["buckets"][i] += float(b)
+                else:
+                    s["buckets"].append(float(b))
+        return s["count"], s["sum"], list(s["buckets"]), s["st"]
+
+    def add_native(self, key, t, hist, st):
+        """Exponential-histogram delta → accumulated native histogram
+        dict (FloatHist.add handles schema reconciliation)."""
+        from prometheus_spark.model.histogram import from_row
+
+        s = self._slot(key, t, st)
+        if s is self._DROP:
+            return None
+        if s is None:
+            s = {"t": t, "st": st, "hist": from_row(hist)}
+            self._state[key] = s
+        else:
+            s["t"] = t
+            s["hist"].add(from_row(hist))
+        return s["hist"].to_row(), s["st"]
 
 
 def _otlp_exemplar(buf: bytes) -> dict:
@@ -397,6 +489,8 @@ def otlp_to_rows(
     ignore_resource_attributes: list | None = None,
     keep_identifying_resource_attributes: bool = False,
     translation_strategy: str = "UnderscoreEscapingWithSuffixes",
+    delta_state: "DeltaToCumulative | None" = None,
+    native_delta: bool = False,
 ):
     """ExportMetricsServiceRequest → [(labels, t_ms, value_or_hist, st)].
 
@@ -414,7 +508,18 @@ def otlp_to_rows(
     ``keep_identifying_resource_attributes`` copies service.* into
     target_info too, and ``translation_strategy`` selects the metric
     name normalization (see :func:`normalize_metric_name`).
+
+    Delta temporality (write_otlp_handler.go:41-47 OTLPOptions):
+    rejected (dropped) by default; ``delta_state`` opts into in-memory
+    delta→cumulative conversion (ConvertDelta); ``native_delta`` opts
+    into storing raw delta samples as-is (NativeDelta).  The two are
+    mutually exclusive, as in the reference.
     """
+    if native_delta and delta_state is not None:
+        raise ValueError(
+            "cannot enable native delta ingestion and delta2cumulative "
+            "conversion at the same time"
+        )
     promote = set(promote_resource_attributes or ())
     ignore = set(ignore_resource_attributes or ())
     rows: list = []
@@ -514,23 +619,53 @@ def otlp_to_rows(
                         rows.append((lbls(dp, mname), dp["t"],
                                      dp["value"], dp["st"]))
                         _take_exemplars(dp, lbls(dp, mname))
-                if sum_dps and temporality == _CUMULATIVE:
+                convert = temporality == _DELTA and delta_state is not None
+                accept_delta = temporality == _DELTA and (
+                    native_delta or convert
+                )
+                if sum_dps and (temporality == _CUMULATIVE or accept_delta):
                     mname = normalize_metric_name(
                         name, unit, "sum", monotonic=monotonic,
                         strategy=translation_strategy,
                     )
-                    for buf in sum_dps:
-                        dp = _number_dp(buf)
+                    dps = [_number_dp(buf) for buf in sum_dps]
+                    if convert:
+                        # the processor requires per-series time order
+                        dps.sort(key=lambda d: d["t"])
+                    for dp in dps:
+                        slabels = lbls(dp, mname)
+                        v, st = dp["value"], dp["st"]
+                        if convert:
+                            acc = delta_state.add_number(
+                                tuple(sorted(slabels.items())),
+                                dp["t"], v, st,
+                            )
+                            if acc is None:
+                                continue
+                            v, st = acc
                         ts_seen.add(dp["t"])
-                        rows.append((lbls(dp, mname), dp["t"],
-                                     dp["value"], dp["st"]))
-                        _take_exemplars(dp, lbls(dp, mname))
-                if hist_dps and temporality == _CUMULATIVE:
+                        rows.append((slabels, dp["t"], v, st))
+                        _take_exemplars(dp, slabels)
+                if hist_dps and (temporality == _CUMULATIVE or accept_delta):
                     mname = normalize_metric_name(name, unit, "histogram", strategy=translation_strategy)
-                    for buf in hist_dps:
-                        dp = _hist_dp(buf)
-                        ts_seen.add(dp["t"])
+                    hdps = [_hist_dp(buf) for buf in hist_dps]
+                    if convert:
+                        hdps.sort(key=lambda d: d["t"])
+                    for dp in hdps:
                         st = dp["st"]
+                        if convert:
+                            acc = delta_state.add_classic(
+                                tuple(sorted(lbls(dp, mname).items())),
+                                dp["t"], dp, st,
+                            )
+                            if acc is None:
+                                continue
+                            dp = dict(
+                                dp,
+                                count=acc[0], sum=acc[1], bucket_counts=acc[2],
+                            )
+                            st = acc[3]
+                        ts_seen.add(dp["t"])
                         rows.append((lbls(dp, mname + "_count"), dp["t"],
                                      float(dp["count"]), st))
                         _take_exemplars(dp, lbls(dp, mname + "_count"))
@@ -555,15 +690,26 @@ def otlp_to_rows(
                                 lbls(dp, mname + "_bucket", {"le": "+Inf"}),
                                 dp["t"], float(dp["count"]), st,
                             ))
-                if exp_dps and temporality == _CUMULATIVE:
+                if exp_dps and (temporality == _CUMULATIVE or accept_delta):
                     mname = normalize_metric_name(name, unit, "histogram", strategy=translation_strategy)
-                    for buf in exp_dps:
-                        dp = _exp_hist_dp(buf)
+                    edps = [_exp_hist_dp(buf) for buf in exp_dps]
+                    if convert:
+                        edps.sort(key=lambda d: d["t"])
+                    for dp in edps:
                         h = _exp_to_native(dp)
                         if h is None:
                             continue
+                        st = dp["st"]
+                        if convert:
+                            acc = delta_state.add_native(
+                                tuple(sorted(lbls(dp, mname).items())),
+                                dp["t"], h, st,
+                            )
+                            if acc is None:
+                                continue
+                            h, st = acc
                         ts_seen.add(dp["t"])
-                        rows.append((lbls(dp, mname), dp["t"], h, dp["st"]))
+                        rows.append((lbls(dp, mname), dp["t"], h, st))
                         _take_exemplars(dp, lbls(dp, mname))
                 if summary_dps:
                     mname = normalize_metric_name(name, unit, "summary", strategy=translation_strategy)
@@ -603,7 +749,13 @@ class OTLPReceiver:
     translated and appended as JSON-lines into a spool directory shared
     with the remote-write receiver (same readStream pickup)."""
 
-    def __init__(self, spool_dir: str, otlp_config: dict | None = None):
+    def __init__(
+        self,
+        spool_dir: str,
+        otlp_config: dict | None = None,
+        convert_delta: bool = False,
+        native_delta: bool = False,
+    ):
         import os
 
         self.spool_dir = spool_dir
@@ -614,6 +766,15 @@ class OTLPReceiver:
         # the config's otlp: section (config.go OTLPConfig), applied to
         # every translated request
         self.otlp_config = dict(otlp_config or {})
+        # feature flags otlp-deltatocumulative / otlp-native-delta-ingestion
+        # (write_otlp_handler.go:58-61 — mutually exclusive)
+        if convert_delta and native_delta:
+            raise ValueError(
+                "cannot enable native delta ingestion and delta2cumulative "
+                "conversion at the same time"
+            )
+        self.native_delta = native_delta
+        self.delta_state = DeltaToCumulative() if convert_delta else None
 
     def handle_body(self, body: bytes) -> int:
         import json
@@ -634,6 +795,8 @@ class OTLPReceiver:
             translation_strategy=oc.get(
                 "translation_strategy", "UnderscoreEscapingWithSuffixes"
             ),
+            delta_state=self.delta_state,
+            native_delta=self.native_delta,
         )
         self._n += 1
         path = os.path.join(

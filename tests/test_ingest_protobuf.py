@@ -372,3 +372,133 @@ def test_otlp_config_knobs():
     [(tilabels, _)] = by_name["target_info"]
     assert tilabels["service_name"] == "svc"  # keep_identifying
     assert "noise" not in tilabels  # ignored everywhere
+
+
+# --- OTLP delta temporality (write_otlp_handler.go OTLPOptions) -------------
+
+
+def _delta_sum_body(values_ts, monotonic=1, st_ns=None, name=b"some.delta.total"):
+    dps = b""
+    for t_ns, v in values_ts:
+        dp = _fix64(3, t_ns) + _df64(4, v)
+        if st_ns is not None:
+            dp = _fix64(2, st_ns) + dp
+        dps += _ld(1, dp)
+    summ = _ld(1, name) + _ld(7, dps + _vint(2, 1) + _vint(3, monotonic))
+    return _otlp_request([summ], [])
+
+
+def test_otlp_delta_to_cumulative():
+    """Mirror of write_otlp_handler_test.go TestOTLPDelta: delta values
+    0,1,2 at t,t+1s,t+2s convert to cumulative 0,1,3."""
+    from prometheus_spark.sources.otlp import DeltaToCumulative
+
+    body = _delta_sum_body(
+        [(0, 0.0), (1_000_000_000, 1.0), (2_000_000_000, 2.0)], monotonic=0
+    )
+    rows = otlp_to_rows(body, delta_state=DeltaToCumulative())
+    assert [(r[1], r[2]) for r in rows] == [(0, 0.0), (1_000, 1.0), (2_000, 3.0)]
+    # non-monotonic sum → gauge-style name, no _total
+    assert rows[0][0]["__name__"] == "some_delta_total"
+
+
+def test_otlp_delta_state_spans_requests():
+    from prometheus_spark.sources.otlp import DeltaToCumulative
+
+    state = DeltaToCumulative()
+    r1 = otlp_to_rows(_delta_sum_body([(0, 5.0)]), delta_state=state)
+    r2 = otlp_to_rows(
+        _delta_sum_body([(1_000_000_000, 7.0)]), delta_state=state
+    )
+    assert r1[0][2] == 5.0 and r2[0][2] == 12.0
+    # out-of-order delta dropped (processor requires time order per series)
+    r3 = otlp_to_rows(
+        _delta_sum_body([(500_000_000, 99.0)]), delta_state=state
+    )
+    assert r3 == []
+
+
+def test_otlp_delta_new_stream_resets():
+    from prometheus_spark.sources.otlp import DeltaToCumulative
+
+    state = DeltaToCumulative()
+    otlp_to_rows(_delta_sum_body([(1_000_000_000, 5.0)], st_ns=0),
+                 delta_state=state)
+    # restarted source: new start timestamp → totals reset
+    out = otlp_to_rows(
+        _delta_sum_body([(3_000_000_000, 2.0)], st_ns=2_000_000_000),
+        delta_state=state,
+    )
+    assert out[0][2] == 2.0 and out[0][3] == 2_000
+
+
+def test_otlp_native_delta_stores_raw():
+    body = _delta_sum_body([(0, 5.0), (1_000_000_000, 7.0)])
+    rows = otlp_to_rows(body, native_delta=True)
+    assert [(r[1], r[2]) for r in rows] == [(0, 5.0), (1_000, 7.0)]
+
+
+def test_otlp_delta_flags_mutually_exclusive():
+    from prometheus_spark.sources.otlp import DeltaToCumulative, OTLPReceiver
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at the same time"):
+        otlp_to_rows(b"", delta_state=DeltaToCumulative(), native_delta=True)
+    with _pytest.raises(ValueError, match="at the same time"):
+        OTLPReceiver("/tmp/_never", convert_delta=True, native_delta=True)
+
+
+def test_otlp_delta_classic_histogram_accumulates():
+    from prometheus_spark.sources.otlp import DeltaToCumulative
+
+    def hdp(t_ns, count, s, buckets):
+        return (
+            _fix64(3, t_ns)
+            + _fix64(4, count)
+            + _df64(5, s)
+            + _ld(6, struct.pack("<" + "Q" * len(buckets), *buckets))
+            + _ld(7, struct.pack("<d", 0.5))
+        )
+
+    state = DeltaToCumulative()
+    hist1 = _ld(1, b"lat") + _ld(3, b"s") + _ld(
+        9, _ld(1, hdp(1_000_000_000, 3, 1.5, [2, 1])) + _vint(2, 1)
+    )
+    hist2 = _ld(1, b"lat") + _ld(3, b"s") + _ld(
+        9, _ld(1, hdp(2_000_000_000, 2, 1.0, [1, 1])) + _vint(2, 1)
+    )
+    otlp_to_rows(_otlp_request([hist1], []), delta_state=state)
+    rows = otlp_to_rows(_otlp_request([hist2], []), delta_state=state)
+    got = {(r[0]["__name__"], r[0].get("le")): r[2] for r in rows}
+    assert got[("lat_seconds_count", None)] == 5.0
+    assert got[("lat_seconds_sum", None)] == 2.5
+    assert got[("lat_seconds_bucket", "0.5")] == 3.0  # 2+1
+    assert got[("lat_seconds_bucket", "+Inf")] == 5.0
+
+
+def test_otlp_delta_exponential_histogram_accumulates():
+    from prometheus_spark.sources.otlp import DeltaToCumulative
+
+    def edp(t_ns, count, s, counts):
+        pos = _vint(1, _zz(1)) + _ld(
+            2, b"".join(_write_varint(c) for c in counts)
+        )
+        return (
+            _fix64(3, t_ns)
+            + _fix64(4, count)
+            + _df64(5, s)
+            + _vint(6, _zz(2))  # scale 2
+            + _ld(8, pos)
+        )
+
+    state = DeltaToCumulative()
+    m1 = _ld(1, b"exp") + _ld(10, _ld(1, edp(1_000_000_000, 3, 3.0, [1, 2]))
+                              + _vint(2, 1))
+    m2 = _ld(1, b"exp") + _ld(10, _ld(1, edp(2_000_000_000, 2, 2.0, [2, 0]))
+                              + _vint(2, 1))
+    otlp_to_rows(_otlp_request([m1], []), delta_state=state)
+    rows = otlp_to_rows(_otlp_request([m2], []), delta_state=state)
+    h = rows[0][2]
+    assert h["count"] == 5.0 and h["sum"] == 5.0
+    assert list(h["pos_buckets"]) == [3.0, 2.0]
