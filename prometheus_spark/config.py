@@ -88,6 +88,13 @@ def _size_bytes(v) -> int:
     return int(float(s))
 
 
+def _validation_scheme(v) -> str:
+    """config.go:645: anything but utf8/legacy falls back to the
+    default (utf8)."""
+    s = str(v or "").strip().lower()
+    return s if s in ("utf8", "legacy") else "utf8"
+
+
 def _relabels(raw: Optional[list]) -> list[RelabelConfig]:
     out = []
     for rc in raw or []:
@@ -139,6 +146,10 @@ class ScrapeJobConfig:
     # native-histogram scrape protections (config.go:823-832)
     native_histogram_bucket_limit: int = 0
     native_histogram_min_bucket_factor: float = 0.0
+    # name validation/escaping + failure logging (config.go:500,526,530)
+    metric_name_validation_scheme: str = "utf8"
+    metric_name_escaping_scheme: str = ""
+    scrape_failure_log_file: str = ""
     # raw scrape_config fields needed to re-derive the URL AFTER target
     # relabeling (scrape/target.go PopulateLabels: __scheme__,
     # __metrics_path__, __param_* are relabel-visible and -mutable)
@@ -695,6 +706,22 @@ def load_config(path: str) -> PromConfig:
                 ),
                 native_histogram_min_bucket_factor=float(
                     sc.get("native_histogram_min_bucket_factor", 0.0)
+                ),
+                metric_name_validation_scheme=_validation_scheme(
+                    sc.get(
+                        "metric_name_validation_scheme",
+                        g.get("metric_name_validation_scheme", "utf8"),
+                    )
+                ),
+                metric_name_escaping_scheme=str(
+                    sc.get("metric_name_escaping_scheme", "") or ""
+                ),
+                scrape_failure_log_file=str(
+                    sc.get(
+                        "scrape_failure_log_file",
+                        g.get("scrape_failure_log_file", ""),
+                    )
+                    or ""
                 ),
                 scheme=scheme,
                 metrics_path=path_,

@@ -4112,6 +4112,16 @@ def populate_targets(
                     track_timestamps_staleness=getattr(
                         jobcfg, "track_timestamps_staleness", False
                     ),
+                    metric_name_validation_scheme=getattr(
+                        jobcfg, "metric_name_validation_scheme", "utf8"
+                    )
+                    or "utf8",
+                    metric_name_escaping_scheme=getattr(
+                        jobcfg, "metric_name_escaping_scheme", ""
+                    ),
+                    scrape_failure_log_file=getattr(
+                        jobcfg, "scrape_failure_log_file", ""
+                    ),
                     interval_ms=getattr(jobcfg, "scrape_interval_ms", None),
                     timeout_s=(
                         jobcfg.scrape_timeout_ms / 1000.0

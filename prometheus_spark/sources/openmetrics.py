@@ -31,8 +31,12 @@ from prometheus_spark.sources.promtext import _LABEL_RE, _parse_value, _unescape
 
 _SAMPLE_RE = re.compile(
     r"""^
-    (?P<name>[a-zA-Z_:][a-zA-Z0-9_:]*)
-    (?:\{(?P<labels>.*?)\})?
+    (?:
+      (?P<name>[a-zA-Z_:][a-zA-Z0-9_:]*)
+      (?:\{(?P<labels>.*?)\})?
+      |
+      \{(?P<qlabels>.*?)\}   # UTF-8 names: {"metric.name","l.x"="v"}
+    )
     \s+
     (?P<value>[^\s#]+)
     (?:\s+(?P<ts>-?\d+(?:\.\d+)?))?
@@ -50,15 +54,20 @@ _TYPES = {
 
 
 def _parse_labelblob(blob: str, line: str) -> dict[str, str]:
+    from prometheus_spark.sources.promtext import _QLABEL_RE
+
     labels: dict[str, str] = {}
     pos = 0
     while pos < len(blob):
-        lm = _LABEL_RE.match(blob, pos)
+        lm = _LABEL_RE.match(blob, pos) or _QLABEL_RE.match(blob, pos)
         if not lm:
             if blob[pos:].strip() in ("", ","):
                 break
             raise ValueError(f"invalid labels in line: {line!r}")
-        labels[lm.group("k")] = _unescape(lm.group("v"))
+        k = lm.group("k")
+        if lm.re is _QLABEL_RE:  # quoted label names carry escapes
+            k = _unescape(k)
+        labels[k] = _unescape(lm.group("v"))
         pos = lm.end()
     return labels
 
@@ -107,9 +116,16 @@ def parse_openmetrics_text(
         m = _SAMPLE_RE.match(line)
         if not m:
             raise ValueError(f"invalid OpenMetrics line: {line!r}")
-        labels = {"__name__": m.group("name")}
-        if m.group("labels"):
-            labels.update(_parse_labelblob(m.group("labels"), line))
+        if m.group("qlabels") is not None:
+            from prometheus_spark.sources.promtext import parse_labelblob_utf8
+
+            labels = parse_labelblob_utf8(m.group("qlabels"), line, True)
+            if "__name__" not in labels:
+                raise ValueError(f"missing metric name in line: {line!r}")
+        else:
+            labels = {"__name__": m.group("name")}
+            if m.group("labels"):
+                labels.update(_parse_labelblob(m.group("labels"), line))
         # OpenMetrics timestamps are seconds
         t = (
             int(round(float(m.group("ts")) * 1000.0))
@@ -117,7 +133,7 @@ def parse_openmetrics_text(
             else default_ts_ms
         )
         value = _parse_value(m.group("value"))
-        name = m.group("name")
+        name = labels["__name__"]
         if name.endswith("_created"):
             base = name[: -len("_created")]
             key = (base, tuple(sorted(

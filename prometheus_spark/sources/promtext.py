@@ -21,8 +21,12 @@ from pyspark.sql import types as T
 
 _LINE_RE = re.compile(
     r"""^
-    (?P<name>[a-zA-Z_:][a-zA-Z0-9_:]*)
-    (?:\{(?P<labels>.*)\})?
+    (?:
+      (?P<name>[a-zA-Z_:][a-zA-Z0-9_:]*)
+      (?:\{(?P<labels>.*)\})?
+      |
+      \{(?P<qlabels>.*)\}   # UTF-8 names: {"metric.name","l.x"="v"}
+    )
     \s+
     (?P<value>[^\s]+)
     (?:\s+(?P<ts>-?\d+))?
@@ -32,7 +36,42 @@ _LINE_RE = re.compile(
 _LABEL_RE = re.compile(
     r'\s*(?P<k>[a-zA-Z_][a-zA-Z0-9_]*)\s*=\s*"(?P<v>(?:\\.|[^"\\])*)"\s*(?:,|$)'
 )
+# UTF-8 name extension (textparse; OpenMetrics 1.0 quoted names): label
+# names — and a leading bare string carrying the metric name — are
+# double-quoted inside the brace block: {"metric.name","l.x"="v"}
+_QLABEL_RE = re.compile(
+    r'\s*"(?P<k>(?:\\.|[^"\\])*)"\s*=\s*"(?P<v>(?:\\.|[^"\\])*)"\s*(?:,|$)'
+)
+_QNAME_RE = re.compile(r'\s*"(?P<n>(?:\\.|[^"\\])*)"\s*(?:,|$)')
 _ESCAPES = {"\\n": "\n", "\\\\": "\\", '\\"': '"'}
+
+
+def parse_labelblob_utf8(blob: str, line: str, allow_name: bool) -> dict:
+    """Brace-block contents → labels dict.  Accepts classic pairs,
+    quoted-name pairs, and (``allow_name``) one leading bare quoted
+    string that becomes ``__name__``."""
+    labels: dict[str, str] = {}
+    pos = 0
+    first = True
+    while pos < len(blob):
+        lm = _LABEL_RE.match(blob, pos) or _QLABEL_RE.match(blob, pos)
+        if lm:
+            labels[_unescape(lm.group("k")) if lm.re is _QLABEL_RE
+                   else lm.group("k")] = _unescape(lm.group("v"))
+            pos = lm.end()
+            first = False
+            continue
+        if first and allow_name:
+            nm = _QNAME_RE.match(blob, pos)
+            if nm:
+                labels["__name__"] = _unescape(nm.group("n"))
+                pos = nm.end()
+                first = False
+                continue
+        if blob[pos:].strip() in ("", ","):
+            break
+        raise ValueError(f"invalid labels in line: {line!r}")
+    return labels
 
 
 def _unescape(v: str) -> str:
@@ -65,18 +104,16 @@ def parse_exposition_text(
         m = _LINE_RE.match(line)
         if not m:
             raise ValueError(f"invalid exposition line: {line!r}")
-        labels = {"__name__": m.group("name")}
-        blob = m.group("labels")
-        if blob:
-            pos = 0
-            while pos < len(blob):
-                lm = _LABEL_RE.match(blob, pos)
-                if not lm:
-                    if blob[pos:].strip() in ("", ","):
-                        break
-                    raise ValueError(f"invalid labels in line: {line!r}")
-                labels[lm.group("k")] = _unescape(lm.group("v"))
-                pos = lm.end()
+        if m.group("qlabels") is not None:
+            # UTF-8 quoted-name form: {"metric.name","l"="v"} value
+            labels = parse_labelblob_utf8(m.group("qlabels"), line, True)
+            if "__name__" not in labels:
+                raise ValueError(f"missing metric name in line: {line!r}")
+        else:
+            labels = {"__name__": m.group("name")}
+            blob = m.group("labels")
+            if blob:
+                labels.update(parse_labelblob_utf8(blob, line, False))
         ts = int(m.group("ts")) if m.group("ts") else default_ts_ms
         out.append((labels, ts, _parse_value(m.group("value"))))
     return out

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import threading
 import time
 import urllib.request
@@ -58,9 +59,11 @@ DEFAULT_SCRAPE_PROTOCOLS = (
 PROTO_FIRST_SCRAPE_PROTOCOLS = ("PrometheusProto",) + DEFAULT_SCRAPE_PROTOCOLS
 
 
-def accept_header(protocols) -> str:
+def accept_header(protocols, escaping_scheme: str = "") -> str:
     """scrape.go acceptHeader: q-weights descend from 0.<n+1>, with a
-    trailing match-anything at the lowest weight."""
+    trailing match-anything at the lowest weight.  A non-empty escaping
+    scheme is negotiated via ``;escaping=`` — only on the newer text
+    formats (scrape.go:711-714)."""
     vals = []
     weight = len(SCRAPE_PROTOCOL_HEADERS) + 1
     for sp in protocols:
@@ -68,10 +71,45 @@ def accept_header(protocols) -> str:
             val = SCRAPE_PROTOCOL_HEADERS[sp]
         except KeyError:
             raise ValueError(f"unknown scrape protocol {sp!r}") from None
+        if escaping_scheme and sp in ("PrometheusText1.0.0", "OpenMetricsText1.0.0"):
+            val += f";escaping={escaping_scheme}"
         vals.append(f"{val};q=0.{weight}")
         weight -= 1
     vals.append(f"*/*;q=0.{weight}")
     return ",".join(vals)
+
+
+_ESCAPING_SCHEMES = ("allow-utf-8", "underscores", "dots", "values")
+
+
+def to_escaping_scheme(s: str, validation_scheme: str = "utf8") -> str:
+    """config.go:1063 ToEscapingScheme: blank falls back on the
+    validation scheme's natural escaping."""
+    if not s:
+        return "allow-utf-8" if validation_scheme != "legacy" else "underscores"
+    if s not in _ESCAPING_SCHEMES:
+        raise ValueError(f"invalid metric name escaping scheme {s!r}")
+    return s
+
+
+_LEGACY_METRIC_RE = re.compile(r"^[a-zA-Z_:][a-zA-Z0-9_:]*$")
+_LEGACY_LABEL_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
+
+
+def labels_valid(labels: dict, scheme: str) -> bool:
+    """labels.Labels.IsValid(scheme) (scrape.go:1737): legacy restricts
+    metric/label names to the classic charset; utf8 only requires
+    non-empty valid UTF-8 (Python strs always are)."""
+    for k, v in labels.items():
+        if not k:
+            return False
+        if scheme == "legacy":
+            if k == "__name__":
+                if not _LEGACY_METRIC_RE.match(v):
+                    return False
+            elif not _LEGACY_LABEL_RE.match(k):
+                return False
+    return True
 
 
 class _NoRedirect(urllib.request.HTTPRedirectHandler):
@@ -134,6 +172,15 @@ class ScrapeTarget:
     # timestamps (config.go track_timestamps_staleness; default off —
     # explicitly-timestamped series are assumed push-like)
     track_timestamps_staleness: bool = False
+    # metric/label name validation after relabeling (config.go:526
+    # metric_name_validation_scheme: "utf8" default / "legacy")
+    metric_name_validation_scheme: str = "utf8"
+    # escaping mode requested through content negotiation (config.go:530
+    # metric_name_escaping_scheme; "" = follow the validation scheme)
+    metric_name_escaping_scheme: str = ""
+    # file receiving one line per failed scrape (config.go:500
+    # scrape_failure_log_file; "" = disabled)
+    scrape_failure_log_file: str = ""
 
     def target_labels(self) -> dict[str, str]:
         out = dict(self.labels)
@@ -384,7 +431,13 @@ class ScrapeManager:
         try:
             if fail_all:
                 raise ScrapeLimitError("target_limit exceeded")
-            headers = {"Accept": accept_header(tgt.scrape_protocols)}
+            escaping = to_escaping_scheme(
+                tgt.metric_name_escaping_scheme,
+                tgt.metric_name_validation_scheme,
+            )
+            headers = {
+                "Accept": accept_header(tgt.scrape_protocols, escaping)
+            }
             if tgt.auth_header:
                 headers["Authorization"] = tgt.auth_header
             if tgt.enable_compression:
@@ -449,6 +502,14 @@ class ScrapeManager:
                     if labels is None:
                         continue
                 post_relabel += 1
+                if not labels_valid(
+                    labels, tgt.metric_name_validation_scheme
+                ):
+                    # scrape.go:1737 — invalid names fail the scrape
+                    raise ScrapeLimitError(
+                        "invalid metric name or label names: "
+                        f"{sorted(labels)!r}"
+                    )
                 self._check_label_limits(labels, lim)
                 if lim.sample_limit and post_relabel > lim.sample_limit:
                     raise ScrapeLimitError(
@@ -497,11 +558,30 @@ class ScrapeManager:
                      "labels": exl, "value": exv}
                 )
             up = 1.0
-        except Exception:  # noqa: BLE001 — a failed scrape (including a
-            # ScrapeLimitError) discards every sample and reports up=0
+        except Exception as scrape_err:  # noqa: BLE001 — a failed scrape
+            # (including a ScrapeLimitError) discards every sample and
+            # reports up=0
             rows = []
             exemplar_rows = []
             tracked = {}
+            # scrape_failure_log_file (scrape.go:1429 scrapeFailureLogger):
+            # one line per failed scrape; logging must never fail the loop
+            if tgt.scrape_failure_log_file:
+                try:
+                    with open(tgt.scrape_failure_log_file, "a") as lf:
+                        lf.write(
+                            json.dumps(
+                                {
+                                    "time": now_ms,
+                                    "level": "ERROR",
+                                    "msg": str(scrape_err) or "Scrape failed",
+                                    "target": tgt.url,
+                                }
+                            )
+                            + "\n"
+                        )
+                except OSError:
+                    pass
         duration = time.monotonic() - start
         # report series (scrape.go report()): target labels only
         for name, value in (

@@ -869,3 +869,122 @@ def test_st_zero_reingested_on_counter_reset(spark, tmp_path):
         ]
     finally:
         srv.shutdown()
+
+
+def test_metric_name_validation_scheme(spark, tmp_path):
+    """legacy validation fails the scrape on UTF-8 names; utf8 (default)
+    accepts them (scrape.go:1737 lset.IsValid)."""
+    from prometheus_spark.sources.remote_write import spool_to_samples
+    from prometheus_spark.sources.scrape import labels_valid
+
+    assert labels_valid({"__name__": "ok_name", "job": "j"}, "legacy")
+    assert not labels_valid({"__name__": "weird.name", "job": "j"}, "legacy")
+    assert not labels_valid({"__name__": "ok", "bad.label": "x"}, "legacy")
+    assert labels_valid({"__name__": "weird.name", "bad.label": "x"}, "utf8")
+    assert not labels_valid({"": "x"}, "utf8")
+
+    bodies = [b'{"weird.name"} 1\n']
+    srv, url = _om_server(
+        [b'# TYPE x gauge\n{"weird.name"} 1\n# EOF\n'], {"i": 0}
+    )
+    try:
+        mgr = ScrapeManager(
+            str(tmp_path / "legacy"),
+            [ScrapeTarget(url, metric_name_validation_scheme="legacy")],
+        )
+        mgr.scrape_once(now_ms=0)
+        rows = {
+            r["name"]: r
+            for r in spool_to_samples(spark, str(tmp_path / "legacy")).collect()
+        }
+        assert rows["up"]["value"] == 0.0  # legacy rejects the UTF-8 name
+
+        mgr2 = ScrapeManager(str(tmp_path / "utf8"), [ScrapeTarget(url)])
+        mgr2.scrape_once(now_ms=0)
+        rows2 = {
+            r["name"]: r
+            for r in spool_to_samples(spark, str(tmp_path / "utf8")).collect()
+        }
+        assert rows2["up"]["value"] == 1.0
+        assert rows2["weird.name"]["value"] == 1.0
+    finally:
+        srv.shutdown()
+
+
+def test_escaping_scheme_negotiated_in_accept():
+    from prometheus_spark.sources.scrape import accept_header, to_escaping_scheme
+
+    hdr = accept_header(
+        ("OpenMetricsText1.0.0", "PrometheusText0.0.4"), "underscores"
+    )
+    assert "escaping=underscores" in hdr
+    # only the NEW text formats carry the parameter (scrape.go:711-714)
+    assert "version=0.0.4;escaping" not in hdr
+    assert to_escaping_scheme("", "utf8") == "allow-utf-8"
+    assert to_escaping_scheme("", "legacy") == "underscores"
+    assert to_escaping_scheme("dots", "utf8") == "dots"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="escaping scheme"):
+        to_escaping_scheme("bogus", "utf8")
+
+
+def test_scrape_failure_log_file(tmp_path):
+    import json as _json
+
+    log = tmp_path / "failures.log"
+    mgr = ScrapeManager(
+        str(tmp_path / "spool"),
+        [
+            ScrapeTarget(
+                "http://127.0.0.1:9/none",
+                labels={"job": "dead"},
+                scrape_failure_log_file=str(log),
+            )
+        ],
+        timeout_s=0.3,
+    )
+    mgr.scrape_once(now_ms=1234)
+    mgr.scrape_once(now_ms=5678)
+    lines = [
+        _json.loads(line) for line in log.read_text().strip().split("\n")
+    ]
+    assert len(lines) == 2
+    assert lines[0]["time"] == 1234 and lines[0]["level"] == "ERROR"
+    assert lines[0]["target"].startswith("http://127.0.0.1:9/")
+
+
+def test_config_scrape_tail_roundtrip(tmp_path):
+    from prometheus_spark.config import load_config
+    from prometheus_spark.sources.discovery import populate_targets
+
+    p = tmp_path / "prom.yml"
+    p.write_text(
+        """
+global:
+  scrape_failure_log_file: /tmp/global-failures.log
+  metric_name_validation_scheme: legacy
+scrape_configs:
+  - job_name: a
+    metric_name_escaping_scheme: dots
+    static_configs:
+      - targets: ['localhost:9100']
+  - job_name: b
+    metric_name_validation_scheme: utf8
+    scrape_failure_log_file: /tmp/b.log
+    static_configs:
+      - targets: ['localhost:9101']
+"""
+    )
+    cfg = load_config(str(p))
+    a, b = cfg.scrape_jobs
+    assert a.metric_name_validation_scheme == "legacy"  # global fallback
+    assert a.metric_name_escaping_scheme == "dots"
+    assert a.scrape_failure_log_file == "/tmp/global-failures.log"
+    assert b.metric_name_validation_scheme == "utf8"
+    assert b.scrape_failure_log_file == "/tmp/b.log"
+    from prometheus_spark.sources.discovery import TargetGroup
+
+    ta = populate_targets(a, [TargetGroup(["localhost:9100"], {})])[0]
+    assert ta.metric_name_validation_scheme == "legacy"
+    assert ta.metric_name_escaping_scheme == "dots"
