@@ -105,6 +105,32 @@ def _auto_planes(df: DataFrame, planes: int | None) -> int:
     return max(4, min(20, int(math.log2(max(n, 1) / 64 or 1)) if n > 64 else 4))
 
 
+def _bucket_entropy(counts: list[int], planes: int) -> float:
+    """Normalized bucket-occupancy entropy in [0, 1].  ≈1 means the
+    hyperplane buckets split the data uniformly — the no-structure case
+    where single-table LSH recall collapses (ANN_RECALL.json measured
+    0.61 on uniform embeddings); well-clustered embeddings concentrate
+    into few buckets and score well below 1."""
+    import math
+
+    n = sum(counts)
+    if n <= 1:
+        return 0.0
+    h = 0.0
+    for c in counts:
+        if c > 0:
+            p = c / n
+            h -= p * math.log(p)
+    hmax = math.log(min(1 << planes, n))
+    return h / hmax if hmax > 0 else 0.0
+
+
+# normalized-entropy threshold above which the bucket distribution is
+# treated as unstructured, and the table count the guard escalates to
+WEAK_STRUCTURE_ENTROPY = 0.9
+WEAK_STRUCTURE_TABLES = 4
+
+
 class AnnIndex:
     """Materialized LSH index: the bucket column is computed ONCE at build
     time and persisted partitioned by bucket, so each query is a
@@ -121,6 +147,10 @@ class AnnIndex:
         self.hyper = hyper
         self.vec_col = vec_col
         self.id_col = id_col
+        # set by build(): normalized bucket-occupancy entropy and the
+        # weak-structure verdict (the build-time recall guard)
+        self.bucket_entropy = 0.0
+        self.weak_structure = False
 
     @classmethod
     def build(
@@ -144,7 +174,27 @@ class AnnIndex:
             bucketed = df.sparkSession.read.parquet(path)
         else:
             bucketed = bucketed.cache()
-        return cls(bucketed, hyper, vec_col, id_col)
+        idx = cls(bucketed, hyper, vec_col, id_col)
+        # recall guard at build time (amortized over all queries): a
+        # near-uniform bucket histogram means weak locality structure
+        occupancy = [
+            r["count"] for r in bucketed.groupBy("bucket").count().collect()
+        ]
+        idx.bucket_entropy = _bucket_entropy(occupancy, planes)
+        idx.weak_structure = idx.bucket_entropy >= WEAK_STRUCTURE_ENTROPY
+        if idx.weak_structure:
+            import warnings
+
+            warnings.warn(
+                f"AnnIndex bucket occupancy is near-uniform (normalized "
+                f"entropy {idx.bucket_entropy:.2f}): recall on this corpus "
+                f"will be low at default settings (measured ~0.6 on "
+                f"uniform data, ANN_RECALL.json). Use multiprobe topk, "
+                f"the multi-table lsh_bucketed_topk path, or IVF with "
+                f"higher nprobe.",
+                stacklevel=2,
+            )
+        return idx
 
     def topk(self, query: Sequence[float], k: int = 10, multiprobe: bool = True) -> DataFrame:
         probes = _probe_buckets(query, self.hyper, multiprobe)
@@ -162,7 +212,7 @@ def lsh_bucketed_topk(
     seed: int = 7,
     multiprobe: bool = True,
     probe_all: bool = False,
-    tables: int = 1,
+    tables: int | None = None,
 ) -> DataFrame:
     """One-shot ANN top-k: random-hyperplane signature buckets; candidates
     = query's bucket ∪ all single-bit-flip buckets (multiprobe), then
@@ -177,6 +227,18 @@ def lsh_bucketed_topk(
     probed buckets UNION into the candidate set — trading candidates for
     recall on weakly-clustered embeddings; measure with
     tools/ann_recall.py.
+
+    ``tables=None`` (the default) is the RECALL GUARD: one extra
+    aggregation measures the bucket-occupancy entropy of the first
+    hyperplane set; near-uniform occupancy (normalized entropy ≥
+    ``WEAK_STRUCTURE_ENTROPY``) means the buckets carry little locality
+    signal — single-table recall measured 0.61 on such data
+    (ANN_RECALL.json) — so the guard escalates to
+    ``WEAK_STRUCTURE_TABLES`` hash tables and emits a warning instead of
+    silently returning ~60 % recall.  Clustered data keeps the cheap
+    single-table plan.  Pass an explicit ``tables`` to skip the
+    measurement (e.g. in a tight loop, or after AnnIndex already
+    reported structure at build time).
 
     ``probe_all=True`` probes every one of the 2^planes buckets —
     recall = 1 by construction (the answer equals brute-force top-k, so a
@@ -194,6 +256,33 @@ def lsh_bucketed_topk(
             "__bucket", _bucket_expr(F.col(vec_col), hyper)
         ).filter(F.col("__bucket").isin(list(range(1 << planes))))
         return cosine_topk_bruteforce(candidates, query, k, vec_col, id_col)
+    if tables is None:
+        hyper0 = _hyperplanes(planes, first["d"], seed)
+        occupancy = [
+            r["count"]
+            for r in df.select(
+                _bucket_expr(F.col(vec_col), hyper0).alias("__b")
+            )
+            .groupBy("__b")
+            .count()
+            .collect()
+        ]
+        entropy = _bucket_entropy(occupancy, planes)
+        if entropy >= WEAK_STRUCTURE_ENTROPY:
+            import warnings
+
+            tables = WEAK_STRUCTURE_TABLES
+            warnings.warn(
+                f"LSH bucket occupancy is near-uniform (normalized "
+                f"entropy {entropy:.2f} >= {WEAK_STRUCTURE_ENTROPY}): the "
+                f"embeddings carry weak locality structure; escalating to "
+                f"{tables} hash tables to protect recall. Measure with "
+                f"tools/ann_recall.py; pass tables= explicitly to skip "
+                f"this check.",
+                stacklevel=2,
+            )
+        else:
+            tables = 1
     cond = None
     for t in range(max(1, tables)):
         hyper = _hyperplanes(planes, first["d"], seed + 101 * t)
