@@ -131,6 +131,17 @@ def main() -> None:
         print(f"# {name}: {best:.2f}s cold={cold.get(name)}s ({n} rows)",
               file=sys.stderr)
 
+    # Cold-path regression pin (PERF_NOTES.md: cold/warm ≈ 1.7× is the
+    # documented Janino-compile + cache-population cost; at 100 TB it
+    # amortizes to noise).  A ratio above 2× means compile cost grew —
+    # flag it loudly in the artifact so it can't drift silently.
+    cold_ratio = round(cold_total / total, 3) if total > 0 else 0.0
+    if cold_ratio > 2.0:
+        print(
+            f"# WARNING cold_total/warm = {cold_ratio} > 2.0 — cold-path "
+            "regression (see PERF_NOTES.md cold-path decomposition)",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -140,6 +151,8 @@ def main() -> None:
                 "queries": timings,
                 "cold": cold,
                 "cold_total": round(cold_total, 3),
+                "cold_ratio": cold_ratio,
+                "cold_ratio_ok": cold_ratio <= 2.0,
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "runs": RUNS,
