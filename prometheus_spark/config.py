@@ -208,6 +208,9 @@ class PromConfig:
     scrape_interval_ms: int = DEFAULT_SCRAPE_INTERVAL_MS
     scrape_timeout_ms: int = DEFAULT_SCRAPE_TIMEOUT_MS
     evaluation_interval_ms: int = DEFAULT_EVAL_INTERVAL_MS
+    # global rule_query_offset (config.go:496): per-group query_offset
+    # overrides it
+    rule_query_offset_ms: int = 0
     external_labels: dict = field(default_factory=dict)
     scrape_jobs: list = field(default_factory=list)
     rule_files: list = field(default_factory=list)  # resolved paths
@@ -284,6 +287,7 @@ def load_config(path: str) -> PromConfig:
         scrape_timeout_ms=_dur_ms(
             g.get("scrape_timeout"), DEFAULT_SCRAPE_TIMEOUT_MS
         ),
+        rule_query_offset_ms=_dur_ms(g.get("rule_query_offset"), 0),
         evaluation_interval_ms=_dur_ms(
             g.get("evaluation_interval"), DEFAULT_EVAL_INTERVAL_MS
         ),

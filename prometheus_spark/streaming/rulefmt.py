@@ -111,7 +111,20 @@ def parse_rule_groups(text: str) -> list[RuleGroup]:
                         annotations=annotations,
                     )
                 )
-        groups.append(RuleGroup(name=name, interval_ms=interval_ms, rules=rules))
+        qoff = g.get("query_offset")
+        groups.append(
+            RuleGroup(
+                name=name,
+                interval_ms=interval_ms,
+                rules=rules,
+                query_offset_ms=(
+                    None
+                    if qoff in (None, "")
+                    else _duration_ms(qoff, "query_offset")
+                ),
+                limit=int(g.get("limit") or 0),
+            )
+        )
     return groups
 
 

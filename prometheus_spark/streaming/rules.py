@@ -51,6 +51,13 @@ class RuleGroup:
     name: str
     interval_ms: int
     rules: list = field(default_factory=list)
+    # rulefmt.go:162: evaluate this group's queries this far in the past
+    # so slow-to-arrive underlying data is complete; None falls back on
+    # the global rule_query_offset (rules/group.go:693 QueryOffset)
+    query_offset_ms: Optional[int] = None
+    # rulefmt.go:163: a rule producing more series than this errors
+    # (0 = unlimited; rules/group.go Limit())
+    limit: int = 0
 
     def eval_timestamp(self, ts_ms: int) -> int:
         """Align to the interval grid (rules/group.go:422)."""
@@ -100,6 +107,7 @@ class RulesEngine:
         concurrent_eval: bool = False,
         max_concurrent: int = 4,
         concurrency_controller=None,
+        default_rule_query_offset_ms: int = 0,
     ):
         """``concurrent_eval`` mirrors the reference feature flag
         ``concurrent_rule_eval`` (rules/manager.go:176-181): when on,
@@ -125,6 +133,9 @@ class RulesEngine:
         # batching is a pure function of the group's rule list — cache the
         # parse + dependency analysis across ticks
         self._batch_cache: dict = {}
+        # global rule_query_offset default (config.go:496; per-group
+        # query_offset overrides — rules/group.go:693)
+        self.default_rule_query_offset_ms = default_rule_query_offset_ms
         # alert state per rule INSTANCE: "group/idx/alertname" ->
         # {sig -> state dict} — bounded by active-alert cardinality
         self._alert_state: dict[str, dict] = {}
@@ -146,7 +157,15 @@ class RulesEngine:
         - alert_rows: (alertname, labels, annotations, state,
           active_since_ms, value)
         """
-        ts = group.eval_timestamp(ts_ms)
+        # query_offset shifts both the query timestamp and the appended
+        # sample timestamps into the past (recording.go:87 ts-offset,
+        # group.go:623 stale markers at ts-offset)
+        offset = (
+            group.query_offset_ms
+            if group.query_offset_ms is not None
+            else self.default_rule_query_offset_ms
+        )
+        ts = group.eval_timestamp(ts_ms) - offset
         results = self._eval_rules(group, ts)
         frames: list[DataFrame] = []
         alert_sample_rows: list = []
@@ -264,6 +283,12 @@ class RulesEngine:
         # pin this tick's output so the next tick's anti-join (and the
         # caller's append) don't re-run the query
         current = current.persist()
+        if group.limit and current.count() > group.limit:
+            # recording.go:110 "exceeded limit": the rule eval fails, no
+            # samples append; previous-series state stays so staleness
+            # resolves when the rule recovers (group.go EvalFailures path)
+            current.unpersist()
+            return current.limit(0)
         prev = self._prev_series.get(key)
         out = current
         if prev is not None:
@@ -299,6 +324,10 @@ class RulesEngine:
         # place a driver collect is the right call (mirrors the reference
         # keeping active alerts in memory, rules/alerting.go:387)
         result = self.engine.instant_query(rule.expr, ts).collect()
+        if group.limit and len(result) > group.limit:
+            # alerting.go:528 "exceeded limit of %d with %d alerts" —
+            # the eval errors; alert state is left untouched
+            return [], []
 
         def query_fn(expr: str):
             """template.go QueryFunc — instant query at the eval ts,

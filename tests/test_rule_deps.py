@@ -267,3 +267,76 @@ def test_dependent_rule_sees_ordering(spark, dep_samples):
     eng = RulesEngine(spark, dep_samples, concurrent_eval=True, max_concurrent=4)
     order = eng._group_batches(_group())
     assert order == [[0, 1, 2], [3]]
+
+
+# --- query_offset / limit (rulefmt.go:162-163, rules/group.go:693) ----------
+def test_rule_query_offset(spark, dep_samples):
+    """query_offset shifts the query AND output timestamps into the past
+    (recording.go:87, group.go:623)."""
+    g = RuleGroup(
+        "off", M, [RecordingRule("user:total", "sum by (user) (requests)")],
+        query_offset_ms=2 * M,
+    )
+    eng = RulesEngine(spark, dep_samples)
+    out, _ = eng.eval_tick(g, 10 * M)
+    rows = out.collect()
+    assert all(r["t"] == 8 * M for r in rows)
+    # value is the one at t=8m (i=8): u1 80, u2 160
+    vals = {r["labels"]["user"]: r["value"] for r in rows}
+    assert vals == {"u1": 80.0, "u2": 160.0}
+
+    # global default applies when the group doesn't set one
+    eng2 = RulesEngine(spark, dep_samples, default_rule_query_offset_ms=M)
+    g2 = RuleGroup("off2", M, [RecordingRule("user:total", "sum by (user) (requests)")])
+    out2, _ = eng2.eval_tick(g2, 10 * M)
+    assert all(r["t"] == 9 * M for r in out2.collect())
+
+
+def test_rule_group_limit(spark, dep_samples):
+    """A rule producing more series than the group limit appends nothing
+    (recording.go:110 / alerting.go:528 'exceeded limit')."""
+    g = RuleGroup(
+        "lim", M,
+        [
+            RecordingRule("user:total", "sum by (user) (requests)"),  # 2 series
+            AlertingRule("Any", "requests > 0"),  # 2 alerts
+        ],
+        limit=1,
+    )
+    eng = RulesEngine(spark, dep_samples)
+    out, alerts = eng.eval_tick(g, 10 * M)
+    assert alerts == []
+    assert (out is None) or out.count() == 0
+    # limit=2 admits both rules
+    g2 = RuleGroup("lim2", M, list(g.rules), limit=2)
+    out2, alerts2 = eng.eval_tick(g2, 10 * M)
+    assert len(alerts2) == 2
+    assert out2.filter("name = 'user:total'").count() == 2
+
+
+def test_rulefmt_parses_query_offset_and_limit():
+    from prometheus_spark.streaming import parse_rule_groups
+
+    groups = parse_rule_groups(
+        """
+groups:
+  - name: g
+    interval: 30s
+    query_offset: 2m
+    limit: 7
+    rules:
+      - record: a
+        expr: up
+"""
+    )
+    assert groups[0].query_offset_ms == 120_000
+    assert groups[0].limit == 7
+    assert groups[0].interval_ms == 30_000
+
+
+def test_config_rule_query_offset(tmp_path):
+    from prometheus_spark.config import load_config
+
+    p = tmp_path / "c.yml"
+    p.write_text("global:\n  rule_query_offset: 1m\n")
+    assert load_config(str(p)).rule_query_offset_ms == 60_000
