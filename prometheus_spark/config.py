@@ -853,11 +853,23 @@ def load_config(path: str) -> PromConfig:
     return cfg
 
 
-def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/prom_spool"):
+def build_server(
+    spark,
+    cfg: PromConfig,
+    samples=None,
+    spool_dir: str = "/tmp/prom_spool",
+    concurrent_rule_eval: bool = False,
+    max_concurrent_evals: int = 4,
+):
     """Assemble the runtime from a loaded config: scrape manager (one
     target list across jobs, per-job labels + metric relabeling), rule
     groups from rule_files, notifier, and the /api/v1 surface — the
     same wiring cmd/prometheus/main.go performs on the reference.
+
+    ``concurrent_rule_eval`` / ``max_concurrent_evals`` mirror the
+    reference's ``--enable-feature=concurrent-rule-eval`` and
+    ``--rules.max-concurrent-evals`` flags (rules/manager.go:176-181);
+    the semaphore is engine-global, i.e. shared across groups.
 
     Returns a dict of components; callers drive the tick/scrape loops
     (or call .start() on each) so tests and notebooks stay in control of
@@ -1213,7 +1225,13 @@ def build_server(spark, cfg: PromConfig, samples=None, spool_dir: str = "/tmp/pr
             ).unionByName(samples.filter(~in_scope), allowMissingColumns=True)
 
         engine = PromQLEngine(spark, samples)
-        rules_engine = RulesEngine(spark, samples)
+        rules_engine = RulesEngine(
+            spark,
+            samples,
+            concurrent_eval=concurrent_rule_eval,
+            max_concurrent=max_concurrent_evals,
+            default_rule_query_offset_ms=cfg.rule_query_offset_ms,
+        )
 
     api = PromAPI(
         engine,

@@ -18,6 +18,7 @@ from prometheus_spark.streaming.rules import (
     RecordingRule,
     RuleGroup,
     RulesEngine,
+    RulesManager,
 )
 from prometheus_spark.streaming.stateful import (
     streaming_counter_increase,
@@ -36,6 +37,7 @@ __all__ = [
     "RuleError",
     "RuleGroup",
     "RulesEngine",
+    "RulesManager",
     "ingest_events_stream",
     "load_rule_file",
     "parse_rule_groups",

@@ -19,6 +19,7 @@ reference also materializes those in memory).
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -572,3 +573,94 @@ class RulesEngine:
         if trigger_seconds:
             writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
         return writer.start()
+
+
+class RulesManager:
+    """Multi-group scheduler — the reference's rules Manager
+    (rules/manager.go:95 ``Manager``, ``Run``/``Update``/``Stop``):
+
+    - each group evaluates on its OWN interval, with a hash-staggered
+      evaluation timestamp (rules/group.go:422 ``EvalTimestamp``: the
+      group-name hash offsets the interval grid so a thousand groups
+      don't all fire on the same second);
+    - ``update()`` diffs the group set by name like ``Manager.Update``:
+      unchanged groups keep their state (alert maps / previous-series
+      frames live in the engine keyed per group+rule, so state transfer
+      is free), removed groups stop, new groups start on the next tick;
+    - concurrency comes from the ENGINE's controller, global across
+      groups (manager.go:550 "Concurrency is controlled globally, not
+      on a per-group basis").
+
+    Driver-side scheduling only — every evaluation remains a
+    distributed Spark job."""
+
+    def __init__(self, engine: RulesEngine, append_fn, now_fn=None):
+        import time as _time
+
+        self.engine = engine
+        self.append_fn = append_fn
+        self.now_fn = now_fn or (lambda: int(_time.time() * 1000))
+        self._groups: dict[str, RuleGroup] = {}
+        self._next_due: dict[str, int] = {}
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    @staticmethod
+    def _group_offset_ms(group: RuleGroup) -> int:
+        """Deterministic per-group stagger inside its interval
+        (group.go:312 hash over {name, file} — we key on name)."""
+        import zlib
+
+        return zlib.crc32(group.name.encode()) % max(group.interval_ms, 1)
+
+    def eval_timestamp(self, group: RuleGroup, now_ms: int) -> int:
+        """group.go:422 EvalTimestamp: align to the interval grid, then
+        shift by the group's offset, never landing in the future."""
+        offset = self._group_offset_ms(group)
+        adj = now_ms - offset
+        return adj - (adj % group.interval_ms) + offset
+
+    def update(self, groups: list) -> None:
+        """Manager.Update semantics: swap the group set; by-name diff
+        decides what starts/stops; shared engine state keyed by group
+        name carries over for survivors."""
+        new = {g.name: g for g in groups}
+        for name in list(self._next_due):
+            if name not in new:
+                del self._next_due[name]
+        self._groups = new
+
+    def tick(self, now_ms: Optional[int] = None) -> int:
+        """Evaluate every group whose deadline passed; returns the
+        number of groups evaluated.  Exposed for tests/notebooks —
+        ``start()`` drives it on a thread."""
+        now_ms = self.now_fn() if now_ms is None else now_ms
+        ran = 0
+        for name, group in list(self._groups.items()):
+            due = self._next_due.get(name)
+            if due is None:
+                # first sighting: evaluate at the next aligned slot
+                self._next_due[name] = (
+                    self.eval_timestamp(group, now_ms) + group.interval_ms
+                )
+                continue
+            if now_ms < due:
+                continue
+            samples_df, alerts = self.engine.eval_tick(group, due)
+            self.append_fn(samples_df, alerts)
+            self._next_due[name] = due + group.interval_ms
+            ran += 1
+        return ran
+
+    def start(self, poll_s: float = 0.5) -> threading.Thread:
+        def loop():
+            while not self._stop.is_set():
+                self.tick()
+                self._stop.wait(poll_s)
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+        return self._thread
+
+    def stop(self) -> None:
+        self._stop.set()

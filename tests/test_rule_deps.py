@@ -340,3 +340,59 @@ def test_config_rule_query_offset(tmp_path):
     p = tmp_path / "c.yml"
     p.write_text("global:\n  rule_query_offset: 1m\n")
     assert load_config(str(p)).rule_query_offset_ms == 60_000
+
+
+# --- RulesManager (rules/manager.go Run/Update) ------------------------------
+def test_rules_manager_staggered_scheduling(spark, dep_samples):
+    from prometheus_spark.streaming import RulesManager
+
+    eng = RulesEngine(spark, dep_samples)
+    appended = []
+
+    def append(df, alerts):
+        appended.append((df, alerts))
+
+    mgr = RulesManager(eng, append, now_fn=lambda: 0)
+    g1 = RuleGroup("fast", M, [RecordingRule("r1", "sum(requests)")])
+    g2 = RuleGroup("slow", 5 * M, [RecordingRule("r2", "sum(requests)")])
+    mgr.update([g1, g2])
+
+    # hash-staggered timestamps: aligned to the interval grid + offset
+    ts1 = mgr.eval_timestamp(g1, 10 * M + 7)
+    assert (ts1 - mgr._group_offset_ms(g1)) % M == 0
+    assert ts1 <= 10 * M + 7
+
+    # first tick arms deadlines; subsequent ticks fire each group at
+    # most once per elapsed interval: over 10 simulated minutes the
+    # 1m group evaluates ~10x, the 5m group ~2x
+    mgr.tick(now_ms=0)
+    total = 0
+    for now in range(M, 13 * M + 1, M):
+        total += mgr.tick(now_ms=now)
+    fast_evals = sum(
+        1 for df, _ in appended if df.filter("name = 'r1'").count() > 0
+    )
+    slow_evals = len(appended) - fast_evals
+    assert fast_evals >= 10 and slow_evals >= 2
+    assert total == len(appended)
+
+
+def test_rules_manager_update_preserves_state(spark, dep_samples):
+    from prometheus_spark.streaming import RulesManager
+
+    eng = RulesEngine(spark, dep_samples)
+    out = []
+    mgr = RulesManager(eng, lambda df, a: out.append((df, a)))
+    g = RuleGroup("g", M, [AlertingRule("High", "requests > 150")])
+    mgr.update([g])
+    mgr.tick(now_ms=10 * M)
+    mgr.tick(now_ms=11 * M + 1)
+    assert any(a for _df, a in out for a in [a] if a)  # alert fired
+    state_before = dict(eng._alert_state)
+    # update with the SAME group (by name) keeps engine state
+    mgr.update([RuleGroup("g", M, list(g.rules))])
+    assert eng._alert_state == state_before
+    # removed group drops its schedule
+    mgr.update([])
+    assert mgr._next_due == {}
+    assert mgr.tick(now_ms=20 * M) == 0
