@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["openmetrics_ingest"] = _openmetrics_ingest
     q["nhcb_ingest"] = _nhcb_ingest
     q["st_zero_ingestion"] = _st_zero_ingest
+    q["doc_url_dedup"] = _pipe_url_dedup
     q["merge_dedupe"] = _merge_dedupe
 
     # --- TPC-H-ish relational coverage (joins, windows, sort) ------------
@@ -666,6 +667,37 @@ def _st_zero_ingest(spark, sf_dir):
         "value",
         F.col("st").alias("start_ts"),
     )
+
+
+def _pipe_url_dedup(spark, sf_dir):
+    """URL-level dedup (pipeline/urls.py) — the crawl pipeline's first
+    dedup stage.  Deterministic messy URLs derived from doc_id/source
+    (case variants, www., default port, tracking params, unsorted
+    params, fragments, trailing slashes) all normalize to
+    https://{source}.example.com/docs/{doc_id%50}?a=1&b=2, then one doc
+    per canonical URL survives (longest text, ties by lowest id)."""
+    from prometheus_spark.pipeline import url_dedup
+
+    docs = _tbl(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("www."), F.col("source")))
+        .otherwise(F.col("source")),
+        F.lit(".example.com"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("?utm_source=x&b=2&a=1")
+        ).otherwise(F.lit("?a=1&b=2")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    out = url_dedup(
+        docs.withColumn("url", url), quality_col="n_chars"
+    )
+    return out.select("normalized_url", "doc_id")
 
 
 def _merge_dedupe(spark, sf_dir):
@@ -1778,6 +1810,20 @@ SELECT * FROM (VALUES
   ('rpc_seconds_sum', '', '', 1700000000000, 4.2),
   ('rpc_seconds_count', '', '', 1700000000000, 7.0)
 ) AS t(name, code, le, t, value)
+"""
+    o["doc_url_dedup"] = """
+SELECT 'https://' || source || '.example.com/docs/' || (doc_id % 50)
+         || '?a=1&b=2' AS normalized_url,
+       doc_id
+FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source, doc_id % 50
+           ORDER BY n_chars DESC, doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn = 1
 """
     o["st_zero_ingestion"] = """
 SELECT * FROM (VALUES

@@ -1,0 +1,96 @@
+"""URL normalization + URL-level dedup for web-crawl corpora.
+
+Standard first-stage components of large-scale crawl pipelines
+(CCNet/C4/RefinedWeb all dedupe by URL before any content dedup):
+the same page is fetched under many spellings — scheme/host case,
+``www.`` prefixes, default ports, tracking query parameters, fragments,
+trailing slashes — so a canonical form collapses refetches at a tiny
+fraction of content-dedup cost.
+
+Spark-first: the whole normalization is composed Catalyst expressions
+(``parse_url`` + array ops — JVM-side, whole-stage codegen; no Python in
+the hot path), and the dedup is one hash-shuffle on the normalized key
+with a max_by-style keep rule.  At 100 TB the normalize is a map stage
+and the dedup shuffles only (url, doc_id, quality-key) triples — text
+never enters the exchange.
+
+Canonical form (documented so the DuckDB oracle can replicate it):
+- scheme and host lowercased; a leading ``www.`` dropped from the host
+- explicit default ports stripped (``:80`` http, ``:443`` https)
+- fragment (``#…``) dropped
+- query: parameters split on ``&``; tracking params dropped (``utm_*``,
+  ``fbclid``, ``gclid``, ``ref``); the rest sorted byte-wise and
+  re-joined (param ORDER never distinguishes resources)
+- path: trailing ``/`` stripped (except the bare root, which becomes
+  the empty path)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# query parameters that identify a *campaign*, not a resource
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|ref)="
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonical URL form as a single Catalyst expression tree."""
+    url = F.col(url) if isinstance(url, str) else url
+    # fragment never reaches the server — strip before parsing
+    base = F.split(url, "#", 2).getItem(0)
+    scheme = F.lower(F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1))
+    host = F.lower(F.coalesce(F.parse_url(base, F.lit("HOST")), F.lit("")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    # parse_url's HOST excludes the port; pull it separately
+    port = F.regexp_extract(base, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*:(\d+)", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = F.coalesce(F.parse_url(base, F.lit("PATH")), F.lit(""))
+    path = F.when(path == "/", "").otherwise(
+        F.regexp_replace(path, r"/$", "")
+    )
+    query = F.coalesce(F.parse_url(base, F.lit("QUERY")), F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qnorm = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Keep ONE document per canonical URL: the highest ``quality_col``
+    (e.g. longest text), ties broken by lowest id for determinism.
+
+    Plan shape: map-stage normalize → one hash exchange on the
+    normalized URL → per-key top-1 (rank inside the window, no global
+    sort).  Skew note: a single hot URL only ever carries its refetch
+    count, so per-key cardinality is bounded by crawl-revisit policy —
+    no salting needed."""
+    norm = df.withColumn("__nurl", normalize_url(url_col))
+    order = (
+        [F.desc(quality_col), F.asc(id_col)] if quality_col else [F.asc(id_col)]
+    )
+    w = Window.partitionBy("__nurl").orderBy(*order)
+    return (
+        norm.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumnRenamed("__nurl", "normalized_url")
+    )

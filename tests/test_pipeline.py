@@ -889,3 +889,45 @@ def test_ann_recall_guard_silent_on_clustered(spark):
         assert not any("near-uniform" in str(x.message) for x in w)
     assert not idx.weak_structure and idx.bucket_entropy < 0.9
     df.unpersist()
+
+
+def test_normalize_url_canonical_form(spark):
+    from prometheus_spark.pipeline import normalize_url
+
+    cases = [
+        # scheme/host case, www., fragment
+        ("HTTPS://WWW.Example.COM/a/b#frag", "https://example.com/a/b"),
+        # default ports stripped, non-default kept
+        ("http://h.io:80/x", "http://h.io/x"),
+        ("https://h.io:443/x", "https://h.io/x"),
+        ("http://h.io:8080/x", "http://h.io:8080/x"),
+        # tracking params dropped, rest sorted; param order irrelevant
+        ("https://h.io/p?b=2&utm_source=tw&a=1", "https://h.io/p?a=1&b=2"),
+        ("https://h.io/p?a=1&b=2", "https://h.io/p?a=1&b=2"),
+        # tracking-only query → no '?'
+        ("https://h.io/p?utm_campaign=x&fbclid=y", "https://h.io/p"),
+        # trailing slash + bare root collapse
+        ("https://h.io/p/", "https://h.io/p"),
+        ("https://h.io/", "https://h.io"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["n"] for r in df.select(normalize_url("url").alias("n")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_keeps_best(spark):
+    from prometheus_spark.pipeline import url_dedup
+
+    rows = [
+        (1, "https://h.io/p?b=2&a=1", 50),
+        (2, "HTTPS://WWW.h.io/p/?a=1&b=2&utm_source=x#s", 90),  # same page
+        (3, "https://h.io/q", 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+    out = {r["doc_id"]: r for r in url_dedup(df, quality_col="n_chars").collect()}
+    assert set(out) == {2, 3}  # doc 2 wins its URL group on length
+    assert out[2]["normalized_url"] == "https://h.io/p?a=1&b=2"
+    # plan shape: normalize is map-only; the dedup is ONE exchange on the
+    # canonical key (no extra shuffle, no cartesian)
+    plan = url_dedup(df, quality_col="n_chars")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
