@@ -633,9 +633,16 @@ class RulesManager:
     def tick(self, now_ms: Optional[int] = None) -> int:
         """Evaluate every group whose deadline passed; returns the
         number of groups evaluated.  Exposed for tests/notebooks —
-        ``start()`` drives it on a thread."""
+        ``start()`` drives it on a thread.
+
+        Due groups evaluate CONCURRENTLY (the reference runs one
+        goroutine per group, manager.go:236 ``Run``); group state in the
+        engine is keyed per group/rule so evals are disjoint, and
+        rule-level concurrency inside each group stays bounded by the
+        engine's global controller.  Appends happen in group-name order
+        for deterministic downstream writes."""
         now_ms = self.now_fn() if now_ms is None else now_ms
-        ran = 0
+        due_groups: list[tuple[str, RuleGroup, int]] = []
         for name, group in list(self._groups.items()):
             due = self._next_due.get(name)
             if due is None:
@@ -644,13 +651,27 @@ class RulesManager:
                     self.eval_timestamp(group, now_ms) + group.interval_ms
                 )
                 continue
-            if now_ms < due:
-                continue
-            samples_df, alerts = self.engine.eval_tick(group, due)
+            if now_ms >= due:
+                due_groups.append((name, group, due))
+        if not due_groups:
+            return 0
+        if len(due_groups) == 1:
+            name, group, due = due_groups[0]
+            results = {name: self.engine.eval_tick(group, due)}
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(due_groups)) as pool:
+                futs = {
+                    name: pool.submit(self.engine.eval_tick, group, due)
+                    for name, group, due in due_groups
+                }
+                results = {name: fut.result() for name, fut in futs.items()}
+        for name, group, due in sorted(due_groups):
+            samples_df, alerts = results[name]
             self.append_fn(samples_df, alerts)
             self._next_due[name] = due + group.interval_ms
-            ran += 1
-        return ran
+        return len(due_groups)
 
     def start(self, poll_s: float = 0.5) -> threading.Thread:
         def loop():

@@ -396,3 +396,24 @@ def test_rules_manager_update_preserves_state(spark, dep_samples):
     mgr.update([])
     assert mgr._next_due == {}
     assert mgr.tick(now_ms=20 * M) == 0
+
+
+def test_rules_manager_concurrent_groups(spark, dep_samples):
+    """Due groups evaluate concurrently (manager.go:236 one goroutine
+    per group) with deterministic name-ordered appends."""
+    from prometheus_spark.streaming import RulesManager
+
+    eng = _CountingEngine(spark, dep_samples, delay=0.2)
+    order = []
+    mgr = RulesManager(eng, lambda df, a: order.append(df))
+    groups = [
+        RuleGroup(f"g{i}", M, [RecordingRule(f"r{i}", "sum by (user) (requests)")])
+        for i in range(3)
+    ]
+    mgr.update(groups)
+    mgr.tick(now_ms=10 * M)  # arm
+    n = mgr.tick(now_ms=12 * M)  # all three due
+    assert n == 3
+    assert eng.max_inflight >= 2  # groups overlapped
+    names = [df.select("name").first()["name"] for df in order]
+    assert names == ["r0", "r1", "r2"]  # name-ordered appends
