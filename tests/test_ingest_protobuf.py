@@ -502,3 +502,57 @@ def test_otlp_delta_exponential_histogram_accumulates():
     h = rows[0][2]
     assert h["count"] == 5.0 and h["sum"] == 5.0
     assert list(h["pos_buckets"]) == [3.0, 2.0]
+
+
+def test_otlp_delta_property_cumsum():
+    """Property: for any in-order delta sequence, the converted values
+    are exact prefix sums (the deltatocumulative invariant)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from prometheus_spark.sources.otlp import DeltaToCumulative
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.floats(-1e9, 1e9, allow_nan=False), min_size=1, max_size=30))
+    def check(deltas):
+        state = DeltaToCumulative()
+        running = 0.0
+        for i, d in enumerate(deltas):
+            got = state.add_number(("s",), i + 1, d, None)
+            running += d
+            assert got is not None
+            assert got[0] == pytest.approx(running, rel=1e-9, abs=1e-9)
+
+    check()
+
+
+def test_otlp_delta_property_ooo_never_corrupts():
+    """Property: out-of-order or duplicate-timestamp deltas are dropped
+    and never perturb the running total."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from prometheus_spark.sources.otlp import DeltaToCumulative
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 20), st.floats(-100, 100, allow_nan=False)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(points):
+        state = DeltaToCumulative()
+        expected = 0.0
+        last_t = None
+        for t, d in points:
+            got = state.add_number(("s",), t, d, None)
+            if last_t is None or t > last_t:
+                expected += d
+                last_t = t
+                assert got is not None and got[0] == pytest.approx(expected)
+            else:
+                assert got is None  # dropped, total untouched
+
+    check()

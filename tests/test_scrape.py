@@ -988,3 +988,40 @@ scrape_configs:
     ta = populate_targets(a, [TargetGroup(["localhost:9100"], {})])[0]
     assert ta.metric_name_validation_scheme == "legacy"
     assert ta.metric_name_escaping_scheme == "dots"
+
+
+def test_quoted_name_parser_property():
+    """Property: arbitrary UTF-8 metric/label names and values survive a
+    render→parse round-trip through the quoted-name exposition syntax
+    (textparse UTF-8 extension)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from prometheus_spark.sources.promtext import parse_exposition_text
+
+    def esc(s):
+        return s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+    name_st = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+        min_size=1,
+        max_size=24,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(name_st, name_st, name_st)
+    def check(metric, lname, lvalue):
+        line = f'{{"{esc(metric)}","{esc(lname)}"="{esc(lvalue)}"}} 1 1000\n'
+        try:
+            out = parse_exposition_text(line)
+        except ValueError:
+            # only structural collisions may fail: a label name that is
+            # just whitespace around '=' etc. — never a crash
+            return
+        assert len(out) == 1
+        labels, t, v = out[0]
+        assert labels["__name__"] == metric
+        assert labels[lname] == lvalue
+        assert t == 1000 and v == 1.0
+
+    check()
