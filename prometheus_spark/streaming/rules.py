@@ -80,13 +80,24 @@ def _with_rule_labels(result: DataFrame, name: str, extra: dict[str, str]) -> Da
 
 
 def _as_samples(df: DataFrame, ts: int) -> DataFrame:
-    """Normalize a query result to the canonical samples layout."""
+    """Normalize a query result to the canonical samples layout.
+    Histogram-valued results keep their ``hist`` struct — recording
+    rules record native histograms like the reference
+    (rules/recording.go Eval appends whatever the vector carries)."""
+    from prometheus_spark.model.schema import HISTOGRAM_TYPE
+
+    hist = (
+        F.col("hist")
+        if "hist" in df.columns
+        else F.lit(None).cast(HISTOGRAM_TYPE)
+    )
     cols = [
         sig_expr("labels").alias("sig"),
         F.element_at("labels", METRIC_NAME_LABEL).alias("name"),
         F.col("labels"),
         F.lit(ts).cast("long").alias("t"),
         F.col("value").cast("double").alias("value"),
+        hist.alias("hist"),
         F.lit(False).alias("stale"),
     ]
     return df.select(*cols)
@@ -194,7 +205,9 @@ class RulesEngine:
             # align to the recording-rule layout (_as_samples): float-only,
             # no start-timestamp — ALERTS meta-series carry neither
             frames.append(
-                alerts_df.select("sig", "name", "labels", "t", "value", "stale")
+                alerts_df.select(
+                    "sig", "name", "labels", "t", "value", "hist", "stale"
+                )
             )
         if not frames:
             return None, alert_rows
@@ -275,11 +288,9 @@ class RulesEngine:
 
     def _eval_recording(self, group: RuleGroup, rule: RecordingRule, ts: int) -> DataFrame:
         key = f"{group.name}/{rule.record}"
-        result = _with_rule_labels(
-            self.engine.instant_query(rule.expr, ts).select("labels", "value"),
-            rule.record,
-            rule.labels,
-        )
+        q = self.engine.instant_query(rule.expr, ts)
+        keep = ["labels", "value"] + (["hist"] if "hist" in q.columns else [])
+        result = _with_rule_labels(q.select(*keep), rule.record, rule.labels)
         current = _as_samples(result, ts)
         # pin this tick's output so the next tick's anti-join (and the
         # caller's append) don't re-run the query
@@ -296,12 +307,15 @@ class RulesEngine:
             # staleness markers for series that vanished since last tick:
             # distributed anti-join, no driver materialization
             vanished = prev.join(current.select("sig"), "sig", "left_anti")
+            from prometheus_spark.model.schema import HISTOGRAM_TYPE
+
             stale = vanished.select(
                 "sig",
                 "name",
                 "labels",
                 F.lit(ts).cast("long").alias("t"),
                 F.lit(None).cast("double").alias("value"),
+                F.lit(None).cast(HISTOGRAM_TYPE).alias("hist"),
                 F.lit(True).alias("stale"),
             )
             out = current.unionByName(stale)

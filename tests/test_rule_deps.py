@@ -417,3 +417,38 @@ def test_rules_manager_concurrent_groups(spark, dep_samples):
     assert eng.max_inflight >= 2  # groups overlapped
     names = [df.select("name").first()["name"] for df in order]
     assert names == ["r0", "r1", "r2"]  # name-ordered appends
+
+
+def test_recording_rule_records_native_histograms(spark):
+    """A rule whose expression yields native histograms records the hist
+    struct (recording.go Eval appends whatever the vector carries) —
+    previously the hist column was silently dropped."""
+    h = {
+        "schema": 0, "zero_threshold": 0.001, "zero_count": 1.0,
+        "count": 5.0, "sum": 10.0,
+        "pos_spans": [{"offset": 0, "length": 2}],
+        "pos_buckets": [2.0, 2.0],
+        "neg_spans": [], "neg_buckets": [], "custom_values": [],
+        "counter_reset_hint": 0,
+    }
+    rows = [
+        ({"__name__": "nh", "job": "a"}, 10 * M, h),
+        ({"__name__": "nh", "job": "b"}, 10 * M, h),
+    ]
+    eng = RulesEngine(spark, samples_from_rows(spark, rows))
+    g = RuleGroup("g", M, [RecordingRule("nh:sum", "sum(nh)")])
+    out, _ = eng.eval_tick(g, 10 * M)
+    r = out.collect()
+    assert len(r) == 1
+    assert r[0]["name"] == "nh:sum" and r[0]["value"] is None
+    assert r[0]["hist"]["count"] == 10.0 and r[0]["hist"]["sum"] == 20.0
+    # float rules still union cleanly alongside (7-column layout)
+    g2 = RuleGroup(
+        "g2", M,
+        [RecordingRule("nh:count", "histogram_count(sum(nh))"),
+         RecordingRule("nh:sum2", "sum(nh)")],
+    )
+    out2, _ = eng.eval_tick(g2, 10 * M)
+    by = {x["name"]: x for x in out2.collect()}
+    assert by["nh:count"]["value"] == 10.0 and by["nh:count"]["hist"] is None
+    assert by["nh:sum2"]["hist"] is not None
