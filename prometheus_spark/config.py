@@ -95,6 +95,16 @@ def _validation_scheme(v) -> str:
     return s if s in ("utf8", "legacy") else "utf8"
 
 
+def _escaping_scheme(v) -> str:
+    """config.go:164: an invalid metric_name_escaping_scheme is a
+    LOAD-TIME error — otherwise every scrape would silently fail with
+    up=0 and nothing pointing at the config typo."""
+    s = str(v or "").strip()
+    if s and s not in ("allow-utf-8", "underscores", "dots", "values"):
+        raise ValueError(f"invalid metric name escaping scheme {s!r}")
+    return s
+
+
 def _relabels(raw: Optional[list]) -> list[RelabelConfig]:
     out = []
     for rc in raw or []:
@@ -717,8 +727,11 @@ def load_config(path: str) -> PromConfig:
                         g.get("metric_name_validation_scheme", "utf8"),
                     )
                 ),
-                metric_name_escaping_scheme=str(
-                    sc.get("metric_name_escaping_scheme", "") or ""
+                metric_name_escaping_scheme=_escaping_scheme(
+                    sc.get(
+                        "metric_name_escaping_scheme",
+                        g.get("metric_name_escaping_scheme", ""),
+                    )
                 ),
                 scrape_failure_log_file=str(
                     sc.get(

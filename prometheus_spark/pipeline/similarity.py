@@ -130,6 +130,40 @@ def _bucket_entropy(counts: list[int], planes: int) -> float:
 WEAK_STRUCTURE_ENTROPY = 0.9
 WEAK_STRUCTURE_TABLES = 4
 
+# (plan semantic hash, planes, seed) → measured entropy: the structure
+# probe is a full aggregation pass, so a caller looping queries over one
+# dataset must pay it ONCE, not per top-k call
+_STRUCTURE_CACHE: dict = {}
+
+
+def _measured_entropy(df: DataFrame, vec_col: str, planes: int, seed: int) -> float:
+    key = None
+    try:
+        key = (
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            planes,
+            seed,
+        )
+        if key in _STRUCTURE_CACHE:
+            return _STRUCTURE_CACHE[key]
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+    first = df.select(F.size(vec_col).alias("d")).first()
+    hyper0 = _hyperplanes(planes, first["d"] if first else 1, seed)
+    occupancy = [
+        r["count"]
+        for r in df.select(_bucket_expr(F.col(vec_col), hyper0).alias("__b"))
+        .groupBy("__b")
+        .count()
+        .collect()
+    ]
+    entropy = _bucket_entropy(occupancy, planes)
+    if key is not None:
+        if len(_STRUCTURE_CACHE) > 64:
+            _STRUCTURE_CACHE.clear()
+        _STRUCTURE_CACHE[key] = entropy
+    return entropy
+
 
 class AnnIndex:
     """Materialized LSH index: the bucket column is computed ONCE at build
@@ -257,17 +291,7 @@ def lsh_bucketed_topk(
         ).filter(F.col("__bucket").isin(list(range(1 << planes))))
         return cosine_topk_bruteforce(candidates, query, k, vec_col, id_col)
     if tables is None:
-        hyper0 = _hyperplanes(planes, first["d"], seed)
-        occupancy = [
-            r["count"]
-            for r in df.select(
-                _bucket_expr(F.col(vec_col), hyper0).alias("__b")
-            )
-            .groupBy("__b")
-            .count()
-            .collect()
-        ]
-        entropy = _bucket_entropy(occupancy, planes)
+        entropy = _measured_entropy(df, vec_col, planes, seed)
         if entropy >= WEAK_STRUCTURE_ENTROPY:
             import warnings
 

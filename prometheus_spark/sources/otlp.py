@@ -239,20 +239,37 @@ class DeltaToCumulative:
 
     _DROP = object()  # sentinel: out-of-order datapoint, drop it
 
-    def __init__(self):
+    def __init__(self, max_series: int = 1_000_000):
         self._state: dict = {}
+        # bound on tracked delta series — state is per-receiver and
+        # lives for the process; past the cap the oldest-updated series
+        # are evicted (the otel processor expires idle streams too)
+        self.max_series = max_series
 
     def _slot(self, key, t, st):
         """Existing stream state, None for a fresh/reset stream, or
-        _DROP for an out-of-order datapoint."""
+        _DROP for an out-of-order datapoint.  The stream-restart check
+        runs FIRST: a restarted source's new start timestamp resets the
+        accumulator even when its first sample timestamp doesn't exceed
+        the dead stream's last one (clock skew / start-aligned first
+        point)."""
         s = self._state.get(key)
         if s is None:
             return None
-        if t <= s["t"]:
-            return self._DROP
         if st is not None and s["st"] is not None and st != s["st"]:
             return None  # restarted source → new stream, reset totals
+        if t <= s["t"]:
+            return self._DROP
         return s
+
+    def _evict_if_full(self):
+        if len(self._state) <= self.max_series:
+            return
+        drop = sorted(self._state.items(), key=lambda kv: kv[1]["t"])[
+            : len(self._state) - self.max_series
+        ]
+        for k, _ in drop:
+            del self._state[k]
 
     def add_number(self, key, t, v, st):
         """→ (cumulative_value, stream_start) or None to drop."""
@@ -262,6 +279,7 @@ class DeltaToCumulative:
         if s is None:
             s = {"t": t, "st": st, "value": float(v)}
             self._state[key] = s
+            self._evict_if_full()
         else:
             s["t"] = t
             s["value"] += float(v)
@@ -285,6 +303,7 @@ class DeltaToCumulative:
                 "buckets": [float(b) for b in dp["bucket_counts"]],
             }
             self._state[key] = s
+            self._evict_if_full()
         else:
             s["t"] = t
             s["count"] += float(dp["count"])
@@ -308,6 +327,7 @@ class DeltaToCumulative:
         if s is None:
             s = {"t": t, "st": st, "hist": from_row(hist)}
             self._state[key] = s
+            self._evict_if_full()
         else:
             s["t"] = t
             s["hist"].add(from_row(hist))

@@ -75,10 +75,24 @@ def parse_labelblob_utf8(blob: str, line: str, allow_name: bool) -> dict:
 
 
 def _unescape(v: str) -> str:
-    out = v
-    for esc, ch in _ESCAPES.items():
-        out = out.replace(esc, ch)
-    return out
+    """Single-pass unescape (textparse replacer semantics): sequential
+    str.replace would mis-decode ``\\\\n`` (escaped backslash followed
+    by a literal n) as backslash+newline because the second replace sees
+    the freshly-produced backslash."""
+    if "\\" not in v:
+        return v
+    out = []
+    i = 0
+    n = len(v)
+    while i < n:
+        c = v[i]
+        if c == "\\" and i + 1 < n:
+            out.append(_ESCAPES.get(v[i : i + 2], v[i : i + 2]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 def _parse_value(s: str) -> float:

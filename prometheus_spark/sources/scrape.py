@@ -480,7 +480,10 @@ class ScrapeManager:
             self.target_metadata.setdefault(tgt.url, {}).update(meta)
             scraped = len(parsed)
             sigs = set()
-            st_seen = self._st_ingested.setdefault(tgt.url, {})
+            # work on a COPY: a scrape that fails later in the loop
+            # discards its rows, so the st-ingested marks must roll back
+            # too or the zero sample would be suppressed forever
+            st_seen = dict(self._st_ingested.get(tgt.url, {}))
             # native-histogram protections (target.go:426-503): schema cap
             # wraps the bucket limit, so it applies first per sample
             from prometheus_spark.sources.hist_limits import (
@@ -557,6 +560,8 @@ class ScrapeManager:
                      "ex_t": ext,
                      "labels": exl, "value": exv}
                 )
+            # the scrape committed — persist the ST-ingestion marks
+            self._st_ingested[tgt.url] = st_seen
             up = 1.0
         except Exception as scrape_err:  # noqa: BLE001 — a failed scrape
             # (including a ScrapeLimitError) discards every sample and

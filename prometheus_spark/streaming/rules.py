@@ -158,6 +158,23 @@ class RulesEngine:
         # one row per output series, never collected
         self._prev_series: dict[str, DataFrame] = {}
 
+    def drop_group_state(self, group_name: str) -> None:
+        """Release everything keyed under a group (Manager.Update stops
+        removed groups): unpersist previous-series frames, drop alert
+        state, previous-alert series, and dependency batches."""
+        prefix = f"{group_name}/"
+        for key in [k for k in self._prev_series if k.startswith(prefix)]:
+            try:
+                self._prev_series[key].unpersist()
+            except Exception:  # noqa: BLE001 — already-stopped contexts
+                pass
+            del self._prev_series[key]
+        for m in (self._alert_state, self._prev_alert_series):
+            for key in [k for k in m if k.startswith(prefix)]:
+                del m[key]
+        for key in [k for k in self._batch_cache if k[0] == group_name]:
+            del self._batch_cache[key]
+
     # -- batch core ---------------------------------------------------------
     def eval_tick(self, group: RuleGroup, ts_ms: int) -> tuple[Optional[DataFrame], list]:
         """Evaluate all rules in the group at the aligned timestamp.
@@ -618,6 +635,14 @@ class RulesManager:
         self._next_due: dict[str, int] = {}
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        # observability mirrors of the reference group metrics
+        # (rule_group_iterations_missed_total, rule_evaluation_failures)
+        self.iterations_missed = 0
+        self.eval_failures: dict[str, int] = {}
+        self.last_error: dict[str, Exception] = {}
+        # bound on concurrently-evaluating groups (goroutines are free,
+        # Python threads are not)
+        self.max_group_concurrency = 16
 
     @staticmethod
     def _group_offset_ms(group: RuleGroup) -> int:
@@ -637,11 +662,15 @@ class RulesManager:
     def update(self, groups: list) -> None:
         """Manager.Update semantics: swap the group set; by-name diff
         decides what starts/stops; shared engine state keyed by group
-        name carries over for survivors."""
+        name carries over for survivors.  Removed groups release their
+        engine state (persisted previous-series frames, alert maps,
+        batch cache) — otherwise a server with churning rule files
+        pins cached DataFrames forever."""
         new = {g.name: g for g in groups}
         for name in list(self._next_due):
             if name not in new:
                 del self._next_due[name]
+                self.engine.drop_group_state(name)
         self._groups = new
 
     def tick(self, now_ms: Optional[int] = None) -> int:
@@ -669,28 +698,61 @@ class RulesManager:
                 due_groups.append((name, group, due))
         if not due_groups:
             return 0
+
+        def one(group, due):
+            # per-group error containment (group.go Eval: a failing rule
+            # bumps EvalFailures and the group keeps running) — one bad
+            # group must never kill the scheduler or the other groups
+            try:
+                return "ok", self.engine.eval_tick(group, due)
+            except Exception as e:  # noqa: BLE001
+                return "err", e
+
         if len(due_groups) == 1:
             name, group, due = due_groups[0]
-            results = {name: self.engine.eval_tick(group, due)}
+            results = {name: one(group, due)}
         else:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=len(due_groups)) as pool:
+            with ThreadPoolExecutor(
+                max_workers=min(len(due_groups), self.max_group_concurrency)
+            ) as pool:
                 futs = {
-                    name: pool.submit(self.engine.eval_tick, group, due)
+                    name: pool.submit(one, group, due)
                     for name, group, due in due_groups
                 }
                 results = {name: fut.result() for name, fut in futs.items()}
         for name, group, due in sorted(due_groups):
-            samples_df, alerts = results[name]
-            self.append_fn(samples_df, alerts)
-            self._next_due[name] = due + group.interval_ms
+            status, payload = results[name]
+            if status == "ok":
+                samples_df, alerts = payload
+                try:
+                    self.append_fn(samples_df, alerts)
+                except Exception as e:  # noqa: BLE001
+                    self.eval_failures[name] = (
+                        self.eval_failures.get(name, 0) + 1
+                    )
+                    self.last_error[name] = e
+            else:
+                self.eval_failures[name] = self.eval_failures.get(name, 0) + 1
+                self.last_error[name] = payload
+            # advance PAST any intervals missed while stalled — the
+            # reference skips missed iterations rather than replaying
+            # them at stale timestamps (group.go run: iterationsMissed)
+            behind = max(0, (now_ms - due) // group.interval_ms)
+            self.iterations_missed += behind
+            self._next_due[name] = due + (behind + 1) * group.interval_ms
         return len(due_groups)
 
     def start(self, poll_s: float = 0.5) -> threading.Thread:
         def loop():
             while not self._stop.is_set():
-                self.tick()
+                try:
+                    self.tick()
+                except Exception as e:  # noqa: BLE001 — the scheduler
+                    # thread must never die; per-group errors are already
+                    # contained, this guards scheduling itself
+                    self.last_error["__scheduler__"] = e
                 self._stop.wait(poll_s)
 
         self._thread = threading.Thread(target=loop, daemon=True)

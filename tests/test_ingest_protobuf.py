@@ -556,3 +556,27 @@ def test_otlp_delta_property_ooo_never_corrupts():
                 assert got is None  # dropped, total untouched
 
     check()
+
+
+def test_otlp_delta_reset_wins_over_ooo():
+    """Regression (code review): a restarted stream (new start ts) must
+    reset even when its first sample timestamp doesn't exceed the dead
+    stream's last one."""
+    from prometheus_spark.sources.otlp import DeltaToCumulative
+
+    state = DeltaToCumulative()
+    assert state.add_number(("s",), 10, 100.0, 1)[0] == 100.0
+    # restart: new st=5, first t == old last t → reset, not drop
+    got = state.add_number(("s",), 10, 7.0, 5)
+    assert got == (7.0, 5)
+
+
+def test_otlp_delta_state_bounded():
+    from prometheus_spark.sources.otlp import DeltaToCumulative
+
+    state = DeltaToCumulative(max_series=10)
+    for i in range(25):
+        state.add_number((f"s{i}",), i, 1.0, None)
+    assert len(state._state) <= 10
+    # the most recently updated series survive
+    assert ("s24",) in state._state

@@ -452,3 +452,51 @@ def test_recording_rule_records_native_histograms(spark):
     by = {x["name"]: x for x in out2.collect()}
     assert by["nh:count"]["value"] == 10.0 and by["nh:count"]["hist"] is None
     assert by["nh:sum2"]["hist"] is not None
+
+
+def test_rules_manager_error_containment_and_missed_skip(spark, dep_samples):
+    """Regression (code review): one failing group neither kills the
+    tick nor blocks other groups; stalls skip missed intervals instead
+    of replaying them at stale timestamps."""
+    from prometheus_spark.streaming import RulesManager
+
+    eng = RulesEngine(spark, dep_samples)
+    out = []
+    mgr = RulesManager(eng, lambda df, a: out.append(df))
+    good = RuleGroup("good", M, [RecordingRule("ok", "sum(requests)")])
+    bad = RuleGroup("bad", M, [RecordingRule("boom", "sum(requests")])  # parse err
+    mgr.update([bad, good])
+    mgr.tick(now_ms=10 * M)  # arm
+    n = mgr.tick(now_ms=11 * M + 1)
+    assert n == 2
+    assert len(out) == 1  # good group appended
+    assert mgr.eval_failures.get("bad") == 1
+    assert "bad" in mgr.last_error
+    # stall: 10 intervals pass → ONE evaluation, missed counted, next_due
+    # lands in the future
+    before_missed = mgr.iterations_missed
+    mgr.tick(now_ms=21 * M + 1)
+    assert mgr.iterations_missed - before_missed >= 9 * 2  # both groups stalled
+    assert all(due > 21 * M for due in mgr._next_due.values())
+
+
+def test_rules_manager_update_releases_state(spark, dep_samples):
+    """Regression (code review): removing a group releases its engine
+    state (persisted prev frames, alert maps, batch cache)."""
+    from prometheus_spark.streaming import RulesManager
+
+    eng = RulesEngine(spark, dep_samples)
+    mgr = RulesManager(eng, lambda df, a: None)
+    g = RuleGroup(
+        "gone", M,
+        [RecordingRule("r", "sum(requests)"), AlertingRule("A", "requests > 0")],
+    )
+    mgr.update([g])
+    mgr.tick(now_ms=10 * M)
+    mgr.tick(now_ms=11 * M + 1)
+    assert any(k.startswith("gone/") for k in eng._prev_series)
+    assert any(k.startswith("gone/") for k in eng._alert_state)
+    mgr.update([])
+    assert not any(k.startswith("gone/") for k in eng._prev_series)
+    assert not any(k.startswith("gone/") for k in eng._alert_state)
+    assert not any(k[0] == "gone" for k in eng._batch_cache)

@@ -1025,3 +1025,70 @@ def test_quoted_name_parser_property():
         assert t == 1000 and v == 1.0
 
     check()
+
+
+def test_unescape_escaped_backslash_before_n():
+    """Regression (code review): sequential replaces decoded the 3-char
+    sequence backslash-backslash-n as backslash+NEWLINE."""
+    from prometheus_spark.sources.promtext import _unescape, parse_exposition_text
+
+    assert _unescape("\\\\n") == "\\n"  # escaped backslash, literal n
+    assert _unescape("a\\nb") == "a\nb"  # real newline escape intact
+    out = parse_exposition_text('m{l="x\\\\ny"} 1\n')
+    assert out[0][0]["l"] == "x\\ny"
+
+
+def test_st_zero_marks_roll_back_on_failed_scrape(spark, tmp_path):
+    """Regression (code review): a scrape that fails AFTER recording an
+    ST mark must not suppress the zero sample on the next success."""
+    from prometheus_spark.sources.remote_write import spool_to_samples
+    from prometheus_spark.sources.scrape import ScrapeLimits
+
+    # first body trips sample_limit AFTER the counter; second is clean
+    bodies = [
+        b"# TYPE req counter\nreq_total 10\nreq_created 30\n"
+        b"a_total 1\nb_total 2\nc_total 3\n# EOF\n",
+        b"# TYPE req counter\nreq_total 10\nreq_created 30\n# EOF\n",
+    ]
+    state = {"i": 0}
+    srv, url = _om_server(bodies, state)
+    try:
+        mgr = ScrapeManager(
+            str(tmp_path / "spool"),
+            [ScrapeTarget(url, limits=ScrapeLimits(sample_limit=2))],
+            enable_st_zero_ingestion=True,
+        )
+        mgr.scrape_once(now_ms=60_000)  # fails on sample_limit
+        state["i"] = 1
+        mgr.scrape_once(now_ms=120_000)  # succeeds
+        df = spool_to_samples(spark, str(tmp_path / "spool"))
+        req = df.filter("name = 'req_total'").orderBy("t").collect()
+        # the zero sample at st=30s must be present despite the failure
+        assert [(r["t"], r["value"]) for r in req] == [
+            (30_000, 0.0), (120_000, 10.0),
+        ]
+    finally:
+        srv.shutdown()
+
+
+def test_config_rejects_bad_escaping_scheme(tmp_path):
+    import pytest as _pytest
+
+    from prometheus_spark.config import load_config
+
+    p = tmp_path / "bad.yml"
+    p.write_text(
+        "scrape_configs:\n  - job_name: a\n"
+        "    metric_name_escaping_scheme: underscore\n"  # typo
+        "    static_configs:\n      - targets: ['h:1']\n"
+    )
+    with _pytest.raises(ValueError, match="escaping scheme"):
+        load_config(str(p))
+    # global fallback honored
+    p2 = tmp_path / "ok.yml"
+    p2.write_text(
+        "global:\n  metric_name_escaping_scheme: underscores\n"
+        "scrape_configs:\n  - job_name: a\n"
+        "    static_configs:\n      - targets: ['h:1']\n"
+    )
+    assert load_config(str(p2)).scrape_jobs[0].metric_name_escaping_scheme == "underscores"
