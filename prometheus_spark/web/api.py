@@ -319,15 +319,53 @@ class PromAPI:
         /api/v1/alerts serves it."""
         self.last_alerts = alert_rows
 
-    def rules(self) -> tuple[int, dict]:
-        """api.go rules endpoint: groups with their rule definitions."""
+    def rules(self, params: Optional[dict] = None) -> tuple[int, dict]:
+        """api.go:1633 rules endpoint: groups with their rule
+        definitions, the reference's query filters (``type``,
+        ``rule_name[]``, ``rule_group[]``, ``exclude_alerts``), per-rule
+        alert state derived from the rules engine's active-alert maps,
+        and the group's ``limit``."""
         from prometheus_spark.streaming.rules import AlertingRule, RecordingRule
+
+        params = params or {}
+        want_type = params.get("type", [""])[0]
+        if want_type not in ("", "alert", "record"):
+            return 400, {
+                "status": "error", "errorType": "bad_data",
+                "error": f"not supported value {want_type!r} of type parameter",
+            }
+        name_set = set(params.get("rule_name[]", []))
+        group_set = set(params.get("rule_group[]", []))
+        exclude_alerts = params.get("exclude_alerts", [""])[0] == "true"
+
+        def rule_alerts(group, idx, rule):
+            """Active alerts for one alerting rule from the engine's
+            state map (keyed per rule instance)."""
+            if self.rules_engine is None:
+                return []
+            key = f"{group.name}/{idx}/{rule.alert}"
+            out = []
+            for st in self.rules_engine._alert_state.get(key, {}).values():
+                out.append({
+                    "labels": dict(st["labels"]),
+                    "annotations": dict(st.get("annotations") or {}),
+                    "state": st["state"],
+                    "activeAt": _ts_number(st["active_since"]),
+                    "value": marshal_float(st["value"]),
+                })
+            return out
 
         groups = []
         for g in self.rule_groups:
+            if group_set and g.name not in group_set:
+                continue
             rules = []
-            for r in g.rules:
+            for idx, r in enumerate(g.rules):
                 if isinstance(r, RecordingRule):
+                    if want_type == "alert":
+                        continue
+                    if name_set and r.record not in name_set:
+                        continue
                     rules.append({
                         "type": "recording",
                         "name": r.record,
@@ -336,21 +374,38 @@ class PromAPI:
                         "health": "ok",
                     })
                 elif isinstance(r, AlertingRule):
-                    rules.append({
+                    if want_type == "record":
+                        continue
+                    if name_set and r.alert not in name_set:
+                        continue
+                    alerts = rule_alerts(g, idx, r)
+                    state = "inactive"
+                    if any(a["state"] == "firing" for a in alerts):
+                        state = "firing"
+                    elif any(a["state"] == "pending" for a in alerts):
+                        state = "pending"
+                    entry = {
                         "type": "alerting",
                         "name": r.alert,
                         "query": r.expr,
                         "duration": r.for_ms / 1000,
                         "keepFiringFor": r.keep_firing_for_ms / 1000,
                         "labels": r.labels,
+                        "annotations": r.annotations,
                         "health": "ok",
-                        "state": "inactive",
-                    })
-            groups.append({
+                        "state": state,
+                    }
+                    if not exclude_alerts:
+                        entry["alerts"] = alerts
+                    rules.append(entry)
+            entry = {
                 "name": g.name,
                 "interval": g.interval_ms / 1000,
                 "rules": rules,
-            })
+            }
+            if g.limit:
+                entry["limit"] = g.limit
+            groups.append(entry)
         return 200, {"status": "success", "data": {"groups": groups}}
 
     def alerts(self) -> tuple[int, dict]:
@@ -1049,7 +1104,7 @@ class PromAPI:
                 return 400, {"status": "error", "errorType": "bad_data",
                              "error": str(e)}
         if path == "/api/v1/rules":
-            return self.rules()
+            return self.rules(params)
         if path == "/api/v1/alerts":
             return self.alerts()
         if path == "/api/v1/targets":

@@ -638,3 +638,59 @@ def test_federate_protobuf_native_histograms(spark):
     lines = [r["line"] for r in federate(samples, [], 10_000).collect()]
     assert any(line.startswith("m{") for line in lines)
     assert not any(line.startswith("h{") for line in lines)
+
+
+def test_rules_endpoint_filters_and_alert_state(spark):
+    """api.go:1633 rules query filters (type, rule_name[], rule_group[],
+    exclude_alerts) + per-rule alert state from the engine's maps."""
+    from prometheus_spark.storage import samples_from_rows
+    from prometheus_spark.streaming import (
+        AlertingRule,
+        RecordingRule,
+        RuleGroup,
+        RulesEngine,
+    )
+    from prometheus_spark.web.api import PromAPI
+
+    M = 60_000
+    rows = [({"__name__": "m"}, i * M, float(i * 100)) for i in range(11)]
+    eng = RulesEngine(spark, samples_from_rows(spark, rows))
+    groups = [
+        RuleGroup("g1", M, [
+            RecordingRule("rec:m", "sum(m)"),
+            AlertingRule("Hot", "m > 50", annotations={"d": "hot"}),
+        ], limit=5),
+        RuleGroup("g2", M, [RecordingRule("other", "sum(m)")]),
+    ]
+    eng.eval_tick(groups[0], 10 * M)  # arms the Hot alert (firing)
+    api = PromAPI(engine=None, rule_groups=groups, rules_engine=eng)
+
+    code, resp = api.handle("/api/v1/rules", {})
+    assert code == 200
+    g1 = resp["data"]["groups"][0]
+    assert g1["limit"] == 5
+    hot = next(r for r in g1["rules"] if r["type"] == "alerting")
+    assert hot["state"] == "firing"
+    assert hot["alerts"][0]["state"] == "firing"
+    assert hot["annotations"] == {"d": "hot"}
+
+    code, resp = api.handle("/api/v1/rules", {"type": ["record"]})
+    assert all(
+        r["type"] == "recording"
+        for grp in resp["data"]["groups"] for r in grp["rules"]
+    )
+    code, resp = api.handle("/api/v1/rules", {"rule_group[]": ["g2"]})
+    assert [grp["name"] for grp in resp["data"]["groups"]] == ["g2"]
+    code, resp = api.handle("/api/v1/rules", {"rule_name[]": ["Hot"]})
+    got = [r["name"] for grp in resp["data"]["groups"] for r in grp["rules"]]
+    assert got == ["Hot"]
+    code, resp = api.handle(
+        "/api/v1/rules", {"exclude_alerts": ["true"]}
+    )
+    hot = next(
+        r for grp in resp["data"]["groups"] for r in grp["rules"]
+        if r["name"] == "Hot"
+    )
+    assert "alerts" not in hot and hot["state"] == "firing"
+    code, _ = api.handle("/api/v1/rules", {"type": ["bogus"]})
+    assert code == 400
