@@ -50,8 +50,9 @@ def _validate_labels(labels: dict, what: str) -> dict[str, str]:
     return out
 
 
-def parse_rule_groups(text: str) -> list[RuleGroup]:
-    """YAML rule-file body → [RuleGroup] (rulefmt.Parse)."""
+def parse_rule_groups(text: str, file: str = "") -> list[RuleGroup]:
+    """YAML rule-file body → [RuleGroup] (rulefmt.Parse); ``file`` tags
+    each group with its source path (group.go File())."""
     doc = yaml.safe_load(text) or {}
     groups_raw = doc.get("groups")
     if not isinstance(groups_raw, list):
@@ -123,6 +124,7 @@ def parse_rule_groups(text: str) -> list[RuleGroup]:
                     else _duration_ms(qoff, "query_offset")
                 ),
                 limit=int(g.get("limit") or 0),
+                file=file,
             )
         )
     return groups
@@ -131,4 +133,4 @@ def parse_rule_groups(text: str) -> list[RuleGroup]:
 def load_rule_file(path: str) -> list[RuleGroup]:
     """rulefmt.ParseFile: read + parse a rule file."""
     with open(path) as f:
-        return parse_rule_groups(f.read())
+        return parse_rule_groups(f.read(), file=path)

@@ -59,6 +59,9 @@ class RuleGroup:
     # rulefmt.go:163: a rule producing more series than this errors
     # (0 = unlimited; rules/group.go Limit())
     limit: int = 0
+    # source rule file (rules/group.go File()) — pagination tokens and
+    # the /api/v1/rules file[] filter key on it
+    file: str = ""
 
     def eval_timestamp(self, ts_ms: int) -> int:
         """Align to the interval grid (rules/group.go:422)."""

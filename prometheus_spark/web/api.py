@@ -336,7 +336,67 @@ class PromAPI:
             }
         name_set = set(params.get("rule_name[]", []))
         group_set = set(params.get("rule_group[]", []))
+        file_set = set(params.get("file[]", []))
         exclude_alerts = params.get("exclude_alerts", [""])[0] == "true"
+
+        # match[]: rule labels must satisfy at least one matcher set
+        # (sets ORed, matchers within a set ANDed — group.go:180)
+        matcher_sets = []
+        for m in params.get("match[]", []):
+            from prometheus_spark.parser import parse_expr
+            from prometheus_spark.parser.ast import VectorSelector
+
+            try:
+                node = parse_expr(m)
+            except Exception as e:  # noqa: BLE001
+                return 400, {"status": "error", "errorType": "bad_data",
+                             "error": str(e)}
+            if not isinstance(node, VectorSelector):
+                return 400, {"status": "error", "errorType": "bad_data",
+                             "error": f"invalid matcher {m!r}"}
+            ms = list(node.matchers)
+            if node.name:
+                from prometheus_spark.parser.ast import MatchType, Matcher
+
+                ms.append(Matcher("__name__", MatchType.EQ, node.name))
+            matcher_sets.append(ms)
+
+        def rule_matches(labels: dict) -> bool:
+            if not matcher_sets:
+                return True
+            from prometheus_spark.streaming.rule_deps import matcher_matches
+
+            return any(
+                all(matcher_matches(m, labels.get(m.name, "")) for m in ms)
+                for ms in matcher_sets
+            )
+
+        # pagination (api.go:1807 parseListRulesPaginationRequest)
+        import hashlib
+
+        def group_token(g) -> str:
+            return hashlib.sha256(
+                f"{getattr(g, 'file', '')};{g.name}".encode()
+            ).hexdigest()
+
+        next_token = params.get("group_next_token", [""])[0]
+        group_limit_raw = params.get("group_limit", [""])[0]
+        max_groups = -1
+        if next_token and not group_limit_raw:
+            return 400, {
+                "status": "error", "errorType": "bad_data",
+                "error": "group_limit needs to be present in order to "
+                         "paginate over the groups",
+            }
+        if group_limit_raw:
+            try:
+                max_groups = int(group_limit_raw)
+            except ValueError:
+                return 400, {"status": "error", "errorType": "bad_data",
+                             "error": "group_limit needs to be a valid number"}
+            if max_groups <= 0:
+                return 400, {"status": "error", "errorType": "bad_data",
+                             "error": "group_limit needs to be greater than 0"}
 
         def rule_alerts(group, idx, rule):
             """Active alerts for one alerting rule from the engine's
@@ -356,11 +416,21 @@ class PromAPI:
             return out
 
         groups = []
+        overflow_token = None
+        found_token = not next_token
         for g in self.rule_groups:
+            if max_groups > 0 and next_token and not found_token:
+                if next_token != group_token(g):
+                    continue
+                found_token = True
             if group_set and g.name not in group_set:
+                continue
+            if file_set and getattr(g, "file", "") not in file_set:
                 continue
             rules = []
             for idx, r in enumerate(g.rules):
+                if not rule_matches(r.labels):
+                    continue
                 if isinstance(r, RecordingRule):
                     if want_type == "alert":
                         continue
@@ -398,15 +468,32 @@ class PromAPI:
                     if not exclude_alerts:
                         entry["alerts"] = alerts
                     rules.append(entry)
+            if not rules:
+                # all rules of the group filtered out → skip the group
+                # (api.go:1773 "If the rule group response has no rules")
+                continue
+            if max_groups > 0 and len(groups) == max_groups:
+                overflow_token = group_token(g)
+                break
             entry = {
                 "name": g.name,
+                "file": getattr(g, "file", ""),
                 "interval": g.interval_ms / 1000,
                 "rules": rules,
             }
             if g.limit:
                 entry["limit"] = g.limit
             groups.append(entry)
-        return 200, {"status": "success", "data": {"groups": groups}}
+        if max_groups > 0 and next_token and not found_token:
+            return 400, {
+                "status": "error", "errorType": "bad_data",
+                "error": f"invalid group_next_token '{next_token}'. "
+                         "were rule groups changed?",
+            }
+        data: dict = {"groups": groups}
+        if overflow_token:
+            data["groupNextToken"] = overflow_token
+        return 200, {"status": "success", "data": data}
 
     def alerts(self) -> tuple[int, dict]:
         """api.go alerts endpoint over the last eval's alert snapshot."""

@@ -694,3 +694,66 @@ def test_rules_endpoint_filters_and_alert_state(spark):
     assert "alerts" not in hot and hot["state"] == "firing"
     code, _ = api.handle("/api/v1/rules", {"type": ["bogus"]})
     assert code == 400
+
+
+def test_rules_endpoint_pagination_and_match(spark):
+    """api.go:1807 pagination (group_limit + sha256 group_next_token)
+    plus match[]/file[] filters."""
+    import hashlib
+
+    from prometheus_spark.storage import samples_from_rows
+    from prometheus_spark.streaming import RecordingRule, RuleGroup, RulesEngine
+    from prometheus_spark.web.api import PromAPI
+
+    M = 60_000
+    eng = RulesEngine(
+        spark, samples_from_rows(spark, [({"__name__": "m"}, 0, 1.0)])
+    )
+    groups = [
+        RuleGroup(
+            f"g{i}", M,
+            [RecordingRule(f"r{i}", "sum(m)", labels={"team": f"t{i % 2}"})],
+            file=f"f{i % 2}.yml",
+        )
+        for i in range(5)
+    ]
+    api = PromAPI(engine=None, rule_groups=groups, rules_engine=eng)
+
+    # page 1: 2 groups + continuation token of the 3rd
+    code, resp = api.handle("/api/v1/rules", {"group_limit": ["2"]})
+    assert code == 200
+    page1 = resp["data"]["groups"]
+    assert [g["name"] for g in page1] == ["g0", "g1"]
+    token = resp["data"]["groupNextToken"]
+    assert token == hashlib.sha256(b"f0.yml;g2").hexdigest()
+    # page 2 resumes AT the token's group
+    code, resp = api.handle(
+        "/api/v1/rules",
+        {"group_limit": ["2"], "group_next_token": [token]},
+    )
+    assert [g["name"] for g in resp["data"]["groups"]] == ["g2", "g3"]
+    # last page has no token
+    token2 = resp["data"]["groupNextToken"]
+    code, resp = api.handle(
+        "/api/v1/rules",
+        {"group_limit": ["2"], "group_next_token": [token2]},
+    )
+    assert [g["name"] for g in resp["data"]["groups"]] == ["g4"]
+    assert "groupNextToken" not in resp["data"]
+
+    # token without limit / bogus token / bad limit → 400
+    assert api.handle("/api/v1/rules", {"group_next_token": [token]})[0] == 400
+    assert api.handle(
+        "/api/v1/rules", {"group_limit": ["2"], "group_next_token": ["zz"]}
+    )[0] == 400
+    assert api.handle("/api/v1/rules", {"group_limit": ["0"]})[0] == 400
+
+    # match[]: only rules whose labels satisfy a matcher set survive;
+    # groups left empty are dropped entirely
+    code, resp = api.handle("/api/v1/rules", {"match[]": ['{team="t1"}']})
+    names = [g["name"] for g in resp["data"]["groups"]]
+    assert names == ["g1", "g3"]
+    # file[] filter
+    code, resp = api.handle("/api/v1/rules", {"file[]": ["f1.yml"]})
+    assert [g["name"] for g in resp["data"]["groups"]] == ["g1", "g3"]
+    assert all(g["file"] == "f1.yml" for g in resp["data"]["groups"])
