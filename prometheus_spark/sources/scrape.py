@@ -311,6 +311,68 @@ def _zero_value_like(v):
     }
 
 
+def _family_type(name: str, meta: dict) -> str:
+    """Metric-family type for a series name (scrape_append_v2.go
+    isSeriesPartOfFamily essentials): exact family match or a known
+    suffix of one."""
+    fam = meta.get(name)
+    if fam:
+        return fam.get("type", "")
+    for suf in ("_total", "_count", "_sum", "_bucket"):
+        if name.endswith(suf):
+            fam = meta.get(name[: -len(suf)])
+            if fam:
+                return fam.get("type", "")
+    return ""
+
+
+def synthesize_st(cache: dict, key, name: str, t: int, v, meta: dict):
+    """ST synthesis for one cumulative sample lacking an exposed start
+    timestamp (scrape/st_synthesis.go stCache): the FIRST sample of a
+    series establishes the reference — it is dropped and remembered as
+    the starting value; later samples append ``value - starting`` with
+    ``st`` = the reference time.  A reset re-anchors st at ``t-1`` with
+    no further adjustment.  Only counters, histograms, and summary
+    _count/_sum synthesize; everything else passes through.
+
+    Returns (value, st, skip_append)."""
+    mtype = _family_type(name, meta)
+    if mtype in ("summary",):
+        if not (name.endswith("_count") or name.endswith("_sum")):
+            return v, None, False
+    elif mtype not in ("counter", "histogram"):
+        return v, None, False
+
+    c = cache.get(key)
+    if isinstance(v, dict):  # native histogram
+        from prometheus_spark.model.histogram import from_row
+
+        cur = from_row(v)
+        if c is None:
+            cache[key] = {"st": t, "prev": v, "hist": True, "starting": v}
+            return v, t, True
+        prev = from_row(c["prev"])
+        if cur.detect_reset(prev):
+            c.update(prev=v, starting=None, st=t - 1)
+            return v, c["st"], False
+        c["prev"] = v
+        if c["starting"] is None:
+            return v, c["st"], False
+        adjusted = from_row(v)
+        adjusted.add(from_row(c["starting"]), sub=True)
+        adjusted.compact()
+        return adjusted.to_row(), c["st"], False
+    # float counter / classic-histogram series
+    if c is None:
+        cache[key] = {"st": t, "prev": float(v), "starting": float(v)}
+        return v, t, True
+    if float(v) < c["prev"]:
+        c["starting"] = 0.0
+        c["st"] = t - 1  # reset happened somewhere in (prev_t, t]
+    c["prev"] = float(v)
+    return float(v) - c["starting"], c["st"], False
+
+
 def maybe_st_zero(labels: dict, t: int, v, st, st_seen: dict):
     """The ST zero-ingestion decision for one sample (scrape.go:1752 +
     head_append.go:511 AppendSTZeroSample): return the synthetic zero
@@ -342,6 +404,7 @@ class ScrapeManager:
         limits: Optional[ScrapeLimits] = None,
         extra_scrape_metrics: bool = False,
         enable_st_zero_ingestion: bool = False,
+        synthesize_st_enabled: bool = False,
     ):
         os.makedirs(spool_dir, exist_ok=True)
         self.spool_dir = spool_dir
@@ -366,6 +429,12 @@ class ScrapeManager:
         # of the head's OOO check that makes repeated same-ST scrapes
         # no-ops (head_append.go:525 "often hit ... counters share ST")
         self._st_ingested: dict[str, dict[tuple, int]] = {}
+        # st-synthesis (feature flag st-synthesis; scrape/st_synthesis.go):
+        # synthesize start timestamps for cumulative series that expose
+        # none — first sample dropped as the reference point, later
+        # values re-anchored to it
+        self.synthesize_st_enabled = synthesize_st_enabled
+        self._st_synth: dict[str, dict] = {}
         # family → {type, help, unit}, accumulated across scrapes — the
         # metadata store the /api/v1/metadata endpoint serves
         self.metadata: dict[str, dict] = {}
@@ -480,10 +549,16 @@ class ScrapeManager:
             self.target_metadata.setdefault(tgt.url, {}).update(meta)
             scraped = len(parsed)
             sigs = set()
-            # work on a COPY: a scrape that fails later in the loop
-            # discards its rows, so the st-ingested marks must roll back
-            # too or the zero sample would be suppressed forever
+            # work on COPIES: a scrape that fails later in the loop
+            # discards its rows, so the st-ingested marks and synthesis
+            # reference points must roll back too
             st_seen = dict(self._st_ingested.get(tgt.url, {}))
+            if self.synthesize_st_enabled:
+                import copy as _copy
+
+                synth_cache = _copy.deepcopy(self._st_synth.get(tgt.url, {}))
+            else:
+                synth_cache = {}
             # native-histogram protections (target.go:426-503): schema cap
             # wraps the bucket limit, so it applies first per sample
             from prometheus_spark.sources.hist_limits import (
@@ -526,6 +601,15 @@ class ScrapeManager:
                     )
                 key = tuple(sorted(labels.items()))
                 sigs.add(key)
+                # st-synthesis (scrape_append_v2.go:269): only samples
+                # WITHOUT an exposed start timestamp synthesize one
+                if self.synthesize_st_enabled and st is None:
+                    v, st, skip = synthesize_st(
+                        synth_cache, key, labels.get("__name__", ""),
+                        t, v, meta,
+                    )
+                    if skip:  # first sample = the reference point
+                        continue
                 # ST zero-ingestion (scrape.go:1752-1768): one synthetic
                 # zero sample at the start timestamp, before the real
                 # sample; skips (invalid/OOO st) never fail the scrape
@@ -560,8 +644,11 @@ class ScrapeManager:
                      "ex_t": ext,
                      "labels": exl, "value": exv}
                 )
-            # the scrape committed — persist the ST-ingestion marks
+            # the scrape committed — persist the ST-ingestion marks and
+            # synthesis reference points
             self._st_ingested[tgt.url] = st_seen
+            if self.synthesize_st_enabled:
+                self._st_synth[tgt.url] = synth_cache
             up = 1.0
         except Exception as scrape_err:  # noqa: BLE001 — a failed scrape
             # (including a ScrapeLimitError) discards every sample and

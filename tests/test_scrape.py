@@ -1092,3 +1092,64 @@ def test_config_rejects_bad_escaping_scheme(tmp_path):
         "    static_configs:\n      - targets: ['h:1']\n"
     )
     assert load_config(str(p2)).scrape_jobs[0].metric_name_escaping_scheme == "underscores"
+
+
+def test_st_synthesis_float_counter(spark, tmp_path):
+    """st-synthesis (scrape/st_synthesis.go): a counter without
+    *_created drops its first sample as the reference point, later
+    samples append value-starting with st anchored at the first scrape;
+    a reset re-anchors st at t-1 with no adjustment.  Gauges pass
+    through untouched."""
+    from prometheus_spark.sources.remote_write import spool_to_samples
+
+    bodies = [
+        b"# TYPE req counter\nreq_total 10\ng 1\n# EOF\n",
+        b"# TYPE req counter\nreq_total 14\ng 2\n# EOF\n",
+        b"# TYPE req counter\nreq_total 3\ng 3\n# EOF\n",  # reset
+    ]
+    state = {"i": 0}
+    srv, url = _om_server(bodies, state)
+    try:
+        mgr = ScrapeManager(
+            str(tmp_path / "spool"), [ScrapeTarget(url)],
+            synthesize_st_enabled=True,
+        )
+        for i, now in enumerate((60_000, 120_000, 180_000)):
+            state["i"] = i
+            mgr.scrape_once(now_ms=now)
+        df = spool_to_samples(spark, str(tmp_path / "spool"))
+        req = df.filter("name = 'req_total'").orderBy("t").collect()
+        # first sample dropped; second re-anchored (14-10); reset as-is
+        assert [(r["t"], r["value"], r["st"]) for r in req] == [
+            (120_000, 4.0, 60_000),
+            (180_000, 3.0, 179_999),
+        ]
+        # the untyped gauge-like series is untouched (no metadata type)
+        g = df.filter("name = 'g'").orderBy("t").collect()
+        assert [(r["t"], r["value"], r["st"]) for r in g] == [
+            (60_000, 1.0, None), (120_000, 2.0, None), (180_000, 3.0, None),
+        ]
+    finally:
+        srv.shutdown()
+
+
+def test_st_synthesis_not_applied_when_created_present(spark, tmp_path):
+    """Samples that expose their own start timestamp bypass synthesis
+    (scrape_append_v2.go:269 'st == 0' gate)."""
+    from prometheus_spark.sources.remote_write import spool_to_samples
+
+    bodies = [b"# TYPE req counter\nreq_total 10\nreq_created 30\n# EOF\n"]
+    srv, url = _om_server(bodies, {"i": 0})
+    try:
+        mgr = ScrapeManager(
+            str(tmp_path / "spool"), [ScrapeTarget(url)],
+            synthesize_st_enabled=True,
+        )
+        mgr.scrape_once(now_ms=60_000)
+        df = spool_to_samples(spark, str(tmp_path / "spool"))
+        req = df.filter("name = 'req_total'").collect()
+        assert [(r["t"], r["value"], r["st"]) for r in req] == [
+            (60_000, 10.0, 30_000)
+        ]
+    finally:
+        srv.shutdown()
