@@ -628,12 +628,18 @@ class RulesManager:
     Driver-side scheduling only — every evaluation remains a
     distributed Spark job."""
 
-    def __init__(self, engine: RulesEngine, append_fn, now_fn=None):
+    def __init__(self, engine: RulesEngine, append_fn, now_fn=None, restore=False):
         import time as _time
 
         self.engine = engine
         self.append_fn = append_fn
         self.now_fn = now_fn or (lambda: int(_time.time() * 1000))
+        # restore=True replays each group's persisted ALERTS_FOR_STATE
+        # after its FIRST eval post-restart (rules/group.go:272
+        # shouldRestore), pulling active_since back to the stored
+        # activation time
+        self.restore = restore
+        self._restored: set[str] = set()
         self._groups: dict[str, RuleGroup] = {}
         self._next_due: dict[str, int] = {}
         self._stop = threading.Event()
@@ -707,7 +713,13 @@ class RulesManager:
             # bumps EvalFailures and the group keeps running) — one bad
             # group must never kill the scheduler or the other groups
             try:
-                return "ok", self.engine.eval_tick(group, due)
+                out = self.engine.eval_tick(group, due)
+                if self.restore and group.name not in self._restored:
+                    # restore 'for' state right after the group's first
+                    # eval (rules/group.go:272-275)
+                    self._restored.add(group.name)
+                    self.engine.restore_for_state(group, due)
+                return "ok", out
             except Exception as e:  # noqa: BLE001
                 return "err", e
 

@@ -500,3 +500,27 @@ def test_rules_manager_update_releases_state(spark, dep_samples):
     assert not any(k.startswith("gone/") for k in eng._prev_series)
     assert not any(k.startswith("gone/") for k in eng._alert_state)
     assert not any(k[0] == "gone" for k in eng._batch_cache)
+
+
+def test_rules_manager_restores_for_state(spark):
+    """restore=True pulls active_since back from the stored
+    ALERTS_FOR_STATE after each group's first eval (group.go:272)."""
+    from prometheus_spark.streaming import RulesManager
+
+    # alert active since t=2m persisted before the "restart"
+    rows = [
+        ({"__name__": "m"}, i * M, 500.0) for i in range(11)
+    ] + [
+        ({"__name__": "ALERTS_FOR_STATE", "alertname": "Hot"}, 9 * M, 120.0)
+    ]
+    eng = RulesEngine(spark, samples_from_rows(spark, rows))
+    g = RuleGroup("g", M, [AlertingRule("Hot", "m > 100", for_ms=30 * M)])
+    mgr = RulesManager(eng, lambda df, a: None, restore=True)
+    mgr.update([g])
+    mgr.tick(now_ms=10 * M)  # arm
+    mgr.tick(now_ms=11 * M + 1)  # first eval + restore
+    st = eng._alert_state["g/0/Hot"]
+    (alert_state,) = st.values()
+    # restored activation = stored 120 s (2m) + downtime shift, NOT the
+    # fresh re-arm at 11m
+    assert alert_state["active_since"] < 11 * M
