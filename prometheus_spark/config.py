@@ -1279,3 +1279,99 @@ def build_server(
         "rules_engine": rules_engine,
         "api": api,
     }
+
+
+def generate_checksum(config_path: str) -> str:
+    """config/reload.go:33 GenerateChecksum: sha256 over the main YAML
+    plus every referenced rule file and scrape-config file (prefix-
+    tagged, NUL-separated, glob-expanded) — changes to ANY of them flip
+    the checksum, so auto-reload catches rule-file edits too."""
+    import glob as _glob
+    import hashlib
+    import os as _os
+
+    h = hashlib.sha256()
+    with open(config_path, "rb") as f:
+        content = f.read()
+    h.update(content)
+    doc = yaml.safe_load(content.decode()) or {}
+    base = _os.path.dirname(_os.path.abspath(config_path))
+
+    def joined(patterns):
+        return [
+            p if _os.path.isabs(p) else _os.path.join(base, p)
+            for p in patterns or []
+        ]
+
+    files = {
+        "r": joined(doc.get("rule_files")),
+        "s": joined(doc.get("scrape_config_files")),
+    }
+    for prefix in ("r", "s"):
+        for pattern in files[prefix]:
+            for path in sorted(_glob.glob(pattern)):
+                h.update((prefix + "\x00" + path + "\x00").encode())
+                with open(path, "rb") as f:
+                    h.update(f.read())
+                h.update(b"\x00")
+    return h.hexdigest()
+
+
+class ConfigWatcher:
+    """--config.auto-reload (cmd/prometheus/main.go:419,1360): poll the
+    config checksum every ``interval_s`` and call ``reload_fn()`` when
+    it changes.  The reload callback owns the actual re-assembly (e.g.
+    load_config + build_server swap, or the /-/reload handler);
+    callback failures are recorded and never kill the watcher."""
+
+    def __init__(self, config_path: str, reload_fn, interval_s: float = 30.0):
+        import threading as _threading
+
+        self.config_path = config_path
+        self.reload_fn = reload_fn
+        self.interval_s = max(1.0, interval_s)  # main.go:685 floor of 1s
+        self.checksum = None
+        self.reloads = 0
+        self.last_error = None
+        self._stop = _threading.Event()
+        self._thread = None
+
+    def check_once(self) -> bool:
+        """One poll; returns True when a reload fired."""
+        try:
+            current = generate_checksum(self.config_path)
+        except OSError as e:
+            self.last_error = e
+            return False
+        if self.checksum is None:
+            self.checksum = current
+            return False
+        if current == self.checksum:
+            return False
+        try:
+            self.reload_fn()
+            self.reloads += 1
+            self.checksum = current
+            return True
+        except Exception as e:  # noqa: BLE001 — keep watching
+            self.last_error = e
+            # checksum NOT advanced: a failed reload retries next poll
+            return False
+
+    def start(self):
+        import threading as _threading
+
+        def loop():
+            self.check_once()  # establishes the baseline
+            while not self._stop.is_set():
+                self._stop.wait(self.interval_s)
+                if self._stop.is_set():
+                    break
+                self.check_once()
+
+        self._thread = _threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+        return self._thread
+
+    def stop(self):
+        self._stop.set()

@@ -299,3 +299,40 @@ def test_storage_section_parsed(tmp_path):
     p2.write_text("{}")
     cfg2 = load_config(str(p2))
     assert cfg2.ooo_time_window_ms == 0 and cfg2.max_exemplars == 100_000
+
+
+def test_generate_checksum_covers_rule_files(tmp_path):
+    from prometheus_spark.config import generate_checksum
+
+    rules = tmp_path / "rules.yml"
+    rules.write_text("groups: []\n")
+    cfg = tmp_path / "prom.yml"
+    cfg.write_text(f"rule_files: ['{rules}']\n")
+    c1 = generate_checksum(str(cfg))
+    assert c1 == generate_checksum(str(cfg))  # stable
+    rules.write_text("groups: [{name: g, rules: []}]\n")
+    assert generate_checksum(str(cfg)) != c1  # rule-file edit flips it
+
+
+def test_config_watcher_reloads_on_change(tmp_path):
+    from prometheus_spark.config import ConfigWatcher
+
+    cfg = tmp_path / "prom.yml"
+    cfg.write_text("global: {}\n")
+    fired = []
+    w = ConfigWatcher(str(cfg), lambda: fired.append(1), interval_s=1)
+    assert not w.check_once()  # baseline
+    assert not w.check_once()  # unchanged
+    cfg.write_text("global: {scrape_interval: 30s}\n")
+    assert w.check_once()
+    assert fired == [1]
+    # failing reload retries: checksum not advanced
+    cfg.write_text("global: {scrape_interval: 15s}\n")
+    boom = ConfigWatcher(str(cfg), lambda: 1 / 0, interval_s=1)
+    boom.check_once()
+    cfg.write_text("global: {scrape_interval: 10s}\n")
+    assert not boom.check_once()
+    assert boom.last_error is not None
+    ok = []
+    boom.reload_fn = lambda: ok.append(1)
+    assert boom.check_once()  # retried on next poll after failure
