@@ -220,8 +220,12 @@ class PromAPI:
         rule_groups: Optional[list] = None,
         rules_engine=None,
         scrape_manager=None,
+        per_step_stats: bool = False,
     ):
         self.engine = engine
+        # --enable-feature=promql-per-step-stats: stats=all additionally
+        # returns per-step queryable-sample counts (engine/stats.py)
+        self.per_step_stats = per_step_stats
         self.metadata = metadata or {}
         self.rule_groups = rule_groups or []
         self.rules_engine = rules_engine
@@ -615,6 +619,12 @@ class PromAPI:
         data = render_result(rows, rtype)
         if params.get("stats", [""])[0]:
             data["stats"] = _query_stats(t_start, t_prepared, _time.monotonic())
+            if params["stats"][0] == "all" and self.per_step_stats:
+                from prometheus_spark.engine.stats import query_samples_stats
+
+                data["stats"]["samples"] = query_samples_stats(
+                    self.engine, q, t_ms, t_ms, 1
+                )
         return 200, {"status": "success", "data": data}
 
     def query_range(self, params: dict) -> tuple[int, dict]:
@@ -651,6 +661,12 @@ class PromAPI:
         data = render_result(rows, "matrix")
         if params.get("stats", [""])[0]:
             data["stats"] = _query_stats(t_start, t_prepared, _time.monotonic())
+            if params["stats"][0] == "all" and self.per_step_stats:
+                from prometheus_spark.engine.stats import query_samples_stats
+
+                data["stats"]["samples"] = query_samples_stats(
+                    self.engine, q, start, end, step
+                )
         return 200, {
             "status": "success",
             "data": data,

@@ -757,3 +757,49 @@ def test_rules_endpoint_pagination_and_match(spark):
     code, resp = api.handle("/api/v1/rules", {"file[]": ["f1.yml"]})
     assert [g["name"] for g in resp["data"]["groups"]] == ["g1", "g3"]
     assert all(g["file"] == "f1.yml" for g in resp["data"]["groups"])
+
+
+def test_per_step_stats(spark):
+    """stats=all + per_step_stats (promql-per-step-stats flag): per-step
+    queryable-sample counts alongside the timing stats
+    (util/stats/query_stats.go QuerySamples)."""
+    from prometheus_spark.engine import PromQLEngine
+    from prometheus_spark.storage import samples_from_rows
+    from prometheus_spark.web.api import PromAPI
+
+    M = 60_000
+    rows = []
+    for i in range(11):
+        rows.append(({"__name__": "m", "k": "a"}, i * M, float(i)))
+        rows.append(({"__name__": "m", "k": "b"}, i * M, float(i * 2)))
+    eng = PromQLEngine(spark, samples_from_rows(spark, rows))
+    api = PromAPI(eng, per_step_stats=True)
+
+    # range query: 2 series × one point per step (lookback) → n=2 each
+    code, resp = api.handle(
+        "/api/v1/query_range",
+        {"query": ["m"], "start": ["300"], "end": ["600"],
+         "step": ["60"], "stats": ["all"]},
+    )
+    assert code == 200
+    s = resp["data"]["stats"]["samples"]
+    assert s["totalQueryableSamples"] == 2 * 6
+    assert s["peakSamples"] == 2
+    assert s["totalQueryableSamplesPerStep"][0] == [300.0, 2]
+
+    # matrix selector counts every window sample: rate(m[5m]) at t=600
+    # → window (300,600] = 5 sample times × 2 series = 10
+    code, resp = api.handle(
+        "/api/v1/query",
+        {"query": ["rate(m[5m])"], "time": ["600"], "stats": ["all"]},
+    )
+    s = resp["data"]["stats"]["samples"]
+    assert s["totalQueryableSamples"] == 10
+    assert s["totalQueryableSamplesPerStep"] == [[600.0, 10]]
+
+    # without the feature flag, stats=all returns timings only
+    api2 = PromAPI(eng)
+    code, resp = api2.handle(
+        "/api/v1/query", {"query": ["m"], "time": ["600"], "stats": ["all"]}
+    )
+    assert "samples" not in resp["data"]["stats"]
