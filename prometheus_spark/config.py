@@ -1340,7 +1340,9 @@ class ConfigWatcher:
         """One poll; returns True when a reload fired."""
         try:
             current = generate_checksum(self.config_path)
-        except OSError as e:
+        except Exception as e:  # noqa: BLE001 — half-written YAML during a
+            # non-atomic editor save raises yaml/decode errors, not just
+            # OSError; the watcher must survive ALL of them and retry
             self.last_error = e
             return False
         if self.checksum is None:
@@ -1362,12 +1364,13 @@ class ConfigWatcher:
         import threading as _threading
 
         def loop():
-            self.check_once()  # establishes the baseline
             while not self._stop.is_set():
+                try:
+                    self.check_once()
+                except Exception as e:  # noqa: BLE001 — belt and braces:
+                    # the poll thread must never die
+                    self.last_error = e
                 self._stop.wait(self.interval_s)
-                if self._stop.is_set():
-                    break
-                self.check_once()
 
         self._thread = _threading.Thread(target=loop, daemon=True)
         self._thread.start()

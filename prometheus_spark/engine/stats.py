@@ -48,6 +48,33 @@ def _qctx(ctx) -> dict:
     }
 
 
+def _sample_weight(df: DataFrame):
+    """Per-row queryable-sample weight: floats count 1; a native
+    histogram counts its equivalent float-sample size — Size()/16
+    (promql/value.go:282; FloatHistogram.Size at
+    float_histogram.go:649: 168 fixed bytes + 8 per span/bucket/custom
+    bound)."""
+    if "hist" not in df.columns:
+        return F.lit(1)
+    h = F.col("hist")
+
+    def sz(field):
+        return F.coalesce(F.size(h[field]), F.lit(0))
+
+    size_bytes = (
+        F.lit(168)
+        + 8 * (sz("pos_spans") + sz("neg_spans"))
+        + 8 * (sz("pos_buckets") + sz("neg_buckets") + sz("custom_values"))
+    )
+    return F.when(
+        h.isNotNull(), F.floor(size_bytes / 16).cast("long")
+    ).otherwise(F.lit(1))
+
+
+def _counted(df: DataFrame) -> DataFrame:
+    return df.groupBy("t").agg(F.sum(_sample_weight(df)).alias("count"))
+
+
 def _selector_counts(ctx, node) -> list[DataFrame]:
     """Per-step (t, n) count frames for every selector under ``node``."""
     from prometheus_spark.engine.selectors import (
@@ -64,7 +91,7 @@ def _selector_counts(ctx, node) -> list[DataFrame]:
             if "hist" in df.columns
             else F.col("value").isNotNull()
         )
-        out.append(df.filter(present).groupBy("t").count())
+        out.append(_counted(df.filter(present)))
     elif isinstance(node, MatrixSelector):
         qc = _qctx(ctx)
         range_ms = resolve_duration_ms(node.range_ms, qc)
@@ -73,29 +100,28 @@ def _selector_counts(ctx, node) -> list[DataFrame]:
             offset_ms=resolve_duration_ms(node.selector.offset_ms, qc),
             at=node.selector.at,
         )
-        out.append(w.groupBy("t").count())
+        out.append(_counted(w))
     elif isinstance(node, SubqueryExpr):
-        # the inner expression evaluates over the subquery's grid
-        # (engine.go:1932): widen the context to [start-range, end] at
-        # the subquery step (default: the engine's eval interval)
+        # the inner expression evaluates over the subquery's own grid —
+        # the EXACT window/alignment the evaluator uses (_subquery:
+        # offset/@ handling, epoch-aligned inner start with the
+        # left-open bump, at_* carried through with_grid)
         qc = _qctx(ctx)
-        range_ms = resolve_duration_ms(node.range_ms, qc)
-        step = (
-            resolve_duration_ms(node.step_ms, qc)
-            if node.step_ms
-            else 60_000
-        )
-        sub_ctx = type(ctx)(
-            spark=ctx.spark,
-            samples=ctx.samples,
-            start_ms=ctx.start_ms - range_ms,
-            end_ms=ctx.end_ms,
-            step_ms=step,
-            lookback_ms=ctx.lookback_ms,
-            strict=ctx.strict,
-            kahan=ctx.kahan,
-        )
-        out += _selector_counts(sub_ctx, node.expr)
+        step = resolve_duration_ms(node.step_ms, qc) if node.step_ms else 60_000
+        offset = resolve_duration_ms(node.offset_ms, qc)
+        if node.at is not None:
+            ref = ctx.resolve_at(node.at) - offset
+            inner_end, outer_start = ref, ref
+        else:
+            inner_end = ctx.end_ms - offset
+            outer_start = ctx.start_ms - offset
+        rng = resolve_duration_ms(node.range_ms, qc)
+        inner_start = (outer_start - rng) // step * step
+        if inner_start <= outer_start - rng:
+            inner_start += step
+        if inner_start <= inner_end:
+            sub_ctx = ctx.with_grid(inner_start, inner_end, step)
+            out += _selector_counts(sub_ctx, node.expr)
     elif isinstance(node, Call):
         for a in node.args:
             out += _selector_counts(ctx, a)

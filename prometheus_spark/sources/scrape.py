@@ -343,8 +343,16 @@ def synthesize_st(cache: dict, key, name: str, t: int, v, meta: dict):
     elif mtype not in ("counter", "histogram"):
         return v, None, False
 
+    # COPY-ON-WRITE: entries are never mutated in place, always
+    # replaced — the caller's rollback-on-failed-scrape is then a
+    # shallow dict copy instead of a deepcopy of every series
     c = cache.get(key)
-    if isinstance(v, dict):  # native histogram
+    is_hist = isinstance(v, dict)
+    if c is not None and bool(c.get("hist")) != is_hist:
+        # exposition type flipped (float↔native) — the cached reference
+        # is meaningless; re-establish it from this sample
+        c = None
+    if is_hist:  # native histogram
         from prometheus_spark.model.histogram import from_row
 
         cur = from_row(v)
@@ -353,24 +361,27 @@ def synthesize_st(cache: dict, key, name: str, t: int, v, meta: dict):
             return v, t, True
         prev = from_row(c["prev"])
         if cur.detect_reset(prev):
-            c.update(prev=v, starting=None, st=t - 1)
-            return v, c["st"], False
-        c["prev"] = v
-        if c["starting"] is None:
-            return v, c["st"], False
+            cache[key] = {**c, "prev": v, "starting": None, "st": t - 1}
+            return v, t - 1, False
+        st = c["st"]
+        starting = c["starting"]
+        cache[key] = {**c, "prev": v}
+        if starting is None:
+            return v, st, False
         adjusted = from_row(v)
-        adjusted.add(from_row(c["starting"]), sub=True)
+        adjusted.add(from_row(starting), sub=True)
         adjusted.compact()
-        return adjusted.to_row(), c["st"], False
+        return adjusted.to_row(), st, False
     # float counter / classic-histogram series
     if c is None:
         cache[key] = {"st": t, "prev": float(v), "starting": float(v)}
         return v, t, True
+    st, starting = c["st"], c["starting"]
     if float(v) < c["prev"]:
-        c["starting"] = 0.0
-        c["st"] = t - 1  # reset happened somewhere in (prev_t, t]
-    c["prev"] = float(v)
-    return float(v) - c["starting"], c["st"], False
+        starting = 0.0
+        st = t - 1  # reset happened somewhere in (prev_t, t]
+    cache[key] = {**c, "prev": float(v), "starting": starting, "st": st}
+    return float(v) - starting, st, False
 
 
 def maybe_st_zero(labels: dict, t: int, v, st, st_seen: dict):
@@ -553,12 +564,14 @@ class ScrapeManager:
             # discards its rows, so the st-ingested marks and synthesis
             # reference points must roll back too
             st_seen = dict(self._st_ingested.get(tgt.url, {}))
-            if self.synthesize_st_enabled:
-                import copy as _copy
-
-                synth_cache = _copy.deepcopy(self._st_synth.get(tgt.url, {}))
-            else:
-                synth_cache = {}
+            # shallow copy suffices: synthesize_st is copy-on-write
+            # (entries replaced, never mutated), so the shared entries
+            # stay valid when a failed scrape discards this dict
+            synth_cache = (
+                dict(self._st_synth.get(tgt.url, {}))
+                if self.synthesize_st_enabled
+                else {}
+            )
             # native-histogram protections (target.go:426-503): schema cap
             # wraps the bucket limit, so it applies first per sample
             from prometheus_spark.sources.hist_limits import (

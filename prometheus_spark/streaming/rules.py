@@ -714,14 +714,19 @@ class RulesManager:
             # group must never kill the scheduler or the other groups
             try:
                 out = self.engine.eval_tick(group, due)
-                if self.restore and group.name not in self._restored:
-                    # restore 'for' state right after the group's first
-                    # eval (rules/group.go:272-275)
-                    self._restored.add(group.name)
-                    self.engine.restore_for_state(group, due)
-                return "ok", out
             except Exception as e:  # noqa: BLE001
                 return "err", e
+            if self.restore and group.name not in self._restored:
+                # restore 'for' state right after the group's first eval
+                # (rules/group.go:272-275); a restore failure must not
+                # discard the successful eval's output, and retries on
+                # the next tick (marked restored only on success)
+                try:
+                    self.engine.restore_for_state(group, due)
+                    self._restored.add(group.name)
+                except Exception as e:  # noqa: BLE001
+                    self.last_error[group.name] = e
+            return "ok", out
 
         if len(due_groups) == 1:
             name, group, due = due_groups[0]

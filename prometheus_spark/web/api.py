@@ -341,7 +341,18 @@ class PromAPI:
         name_set = set(params.get("rule_name[]", []))
         group_set = set(params.get("rule_group[]", []))
         file_set = set(params.get("file[]", []))
-        exclude_alerts = params.get("exclude_alerts", [""])[0] == "true"
+        # strconv.ParseBool semantics (api.go:1793 parseExcludeAlerts)
+        ea_raw = params.get("exclude_alerts", [""])[0]
+        if ea_raw in ("1", "t", "T", "TRUE", "true", "True"):
+            exclude_alerts = True
+        elif ea_raw in ("", "0", "f", "F", "FALSE", "false", "False"):
+            exclude_alerts = False
+        else:
+            return 400, {
+                "status": "error", "errorType": "bad_data",
+                "error": f"error converting exclude_alerts: invalid "
+                         f"syntax {ea_raw!r}",
+            }
 
         # match[]: rule labels must satisfy at least one matcher set
         # (sets ORed, matchers within a set ANDed — group.go:180)
@@ -605,7 +616,21 @@ class PromAPI:
             done()
             return 400, {"status": "error", "errorType": "bad_data",
                          "error": str(e)}
-        done()
+        # per-step sample stats run INSIDE the tracked region so their
+        # counting jobs respect the query-concurrency limiter; stats
+        # failures never fail the query (and never leak the slot)
+        samples_stats = None
+        try:
+            if params.get("stats", [""])[0] == "all" and self.per_step_stats:
+                from prometheus_spark.engine.stats import query_samples_stats
+
+                samples_stats = query_samples_stats(
+                    self.engine, q, t_ms, t_ms, 1
+                )
+        except Exception:  # noqa: BLE001
+            samples_stats = None
+        finally:
+            done()
         from prometheus_spark.parser import parse_expr
         from prometheus_spark.parser.ast import ValueType
 
@@ -619,12 +644,8 @@ class PromAPI:
         data = render_result(rows, rtype)
         if params.get("stats", [""])[0]:
             data["stats"] = _query_stats(t_start, t_prepared, _time.monotonic())
-            if params["stats"][0] == "all" and self.per_step_stats:
-                from prometheus_spark.engine.stats import query_samples_stats
-
-                data["stats"]["samples"] = query_samples_stats(
-                    self.engine, q, t_ms, t_ms, 1
-                )
+            if samples_stats is not None:
+                data["stats"]["samples"] = samples_stats
         return 200, {"status": "success", "data": data}
 
     def query_range(self, params: dict) -> tuple[int, dict]:
@@ -653,6 +674,15 @@ class PromAPI:
             df = self.engine.range_query(q, start, end, step)
             t_prepared = _time.monotonic()
             rows = df.collect()
+            # inside the tracked region: the stats counting jobs must
+            # respect the query-concurrency limiter
+            samples_stats = None
+            if params.get("stats", [""])[0] == "all" and self.per_step_stats:
+                from prometheus_spark.engine.stats import query_samples_stats
+
+                samples_stats = query_samples_stats(
+                    self.engine, q, start, end, step
+                )
         except Exception as e:  # noqa: BLE001 — API boundary
             return 400, {"status": "error", "errorType": "bad_data",
                          "error": str(e)}
@@ -661,12 +691,8 @@ class PromAPI:
         data = render_result(rows, "matrix")
         if params.get("stats", [""])[0]:
             data["stats"] = _query_stats(t_start, t_prepared, _time.monotonic())
-            if params["stats"][0] == "all" and self.per_step_stats:
-                from prometheus_spark.engine.stats import query_samples_stats
-
-                data["stats"]["samples"] = query_samples_stats(
-                    self.engine, q, start, end, step
-                )
+            if samples_stats is not None:
+                data["stats"]["samples"] = samples_stats
         return 200, {
             "status": "success",
             "data": data,

@@ -336,3 +336,20 @@ def test_config_watcher_reloads_on_change(tmp_path):
     ok = []
     boom.reload_fn = lambda: ok.append(1)
     assert boom.check_once()  # retried on next poll after failure
+
+
+def test_config_watcher_survives_malformed_yaml(tmp_path):
+    """Regression (code review): a half-written config mid-edit raises
+    yaml errors, not OSError — the watcher must survive and retry."""
+    from prometheus_spark.config import ConfigWatcher
+
+    cfg = tmp_path / "prom.yml"
+    cfg.write_text("global: {}\n")
+    fired = []
+    w = ConfigWatcher(str(cfg), lambda: fired.append(1), interval_s=1)
+    w.check_once()  # baseline
+    cfg.write_text("global: [unclosed\n")  # malformed mid-save
+    assert not w.check_once()
+    assert w.last_error is not None
+    cfg.write_text("global: {scrape_interval: 30s}\n")  # save completes
+    assert w.check_once() and fired == [1]

@@ -524,3 +524,31 @@ def test_rules_manager_restores_for_state(spark):
     # restored activation = stored 120 s (2m) + downtime shift, NOT the
     # fresh re-arm at 11m
     assert alert_state["active_since"] < 11 * M
+
+
+def test_rules_manager_restore_failure_keeps_output(spark, dep_samples):
+    """Regression (code review): a failing restore_for_state must not
+    discard the successful eval's samples, and retries next tick."""
+    from prometheus_spark.streaming import RulesManager
+
+    eng = RulesEngine(spark, dep_samples)
+    calls = {"n": 0}
+    orig = eng.restore_for_state
+
+    def flaky(group, ts, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient")
+        return orig(group, ts, **kw)
+
+    eng.restore_for_state = flaky
+    out = []
+    mgr = RulesManager(eng, lambda df, a: out.append(df), restore=True)
+    g = RuleGroup("g", M, [RecordingRule("r", "sum(requests)")])
+    mgr.update([g])
+    mgr.tick(now_ms=10 * M)  # arm
+    mgr.tick(now_ms=11 * M + 1)  # eval ok, restore raises
+    assert len(out) == 1  # samples still appended
+    assert "g" not in mgr._restored and "g" in mgr.last_error
+    mgr.tick(now_ms=12 * M + 1)  # restore retried and succeeds
+    assert "g" in mgr._restored and calls["n"] == 2

@@ -1153,3 +1153,22 @@ def test_st_synthesis_not_applied_when_created_present(spark, tmp_path):
         ]
     finally:
         srv.shutdown()
+
+
+def test_st_synthesis_type_flip_resets():
+    """Regression (code review): a series flipping float↔native-histogram
+    exposition must re-establish the reference, not crash the scrape."""
+    from prometheus_spark.sources.scrape import synthesize_st
+
+    meta = {"m": {"type": "histogram"}}
+    cache = {}
+    synthesize_st(cache, ("s",), "m", 100, 10.0, meta)  # float reference
+    h = {"schema": 0, "zero_threshold": 0.0, "zero_count": 0.0,
+         "count": 3.0, "sum": 3.0,
+         "pos_spans": [{"offset": 0, "length": 1}], "pos_buckets": [3.0],
+         "neg_spans": [], "neg_buckets": [], "custom_values": [],
+         "counter_reset_hint": 0}
+    v, st, skip = synthesize_st(cache, ("s",), "m", 200, h, meta)
+    assert skip and st == 200  # new reference, no crash
+    v, st, skip = synthesize_st(cache, ("s",), "m", 300, 5.0, meta)  # flip back
+    assert skip and st == 300

@@ -803,3 +803,38 @@ def test_per_step_stats(spark):
         "/api/v1/query", {"query": ["m"], "time": ["600"], "stats": ["all"]}
     )
     assert "samples" not in resp["data"]["stats"]
+
+
+def test_exclude_alerts_parsebool_and_hist_weighting(spark):
+    from prometheus_spark.engine import PromQLEngine
+    from prometheus_spark.storage import samples_from_rows
+    from prometheus_spark.streaming import AlertingRule, RuleGroup, RulesEngine
+    from prometheus_spark.web.api import PromAPI
+
+    M = 60_000
+    eng_r = RulesEngine(
+        spark, samples_from_rows(spark, [({"__name__": "m"}, 0, 1.0)])
+    )
+    g = RuleGroup("g", M, [AlertingRule("A", "m > 0")])
+    api = PromAPI(engine=None, rule_groups=[g], rules_engine=eng_r)
+    # strconv.ParseBool variants accepted; invalid → 400
+    for v in ("1", "t", "TRUE", "True"):
+        code, resp = api.handle("/api/v1/rules", {"exclude_alerts": [v]})
+        assert code == 200
+        assert "alerts" not in resp["data"]["groups"][0]["rules"][0]
+    assert api.handle("/api/v1/rules", {"exclude_alerts": ["bogus"]})[0] == 400
+
+    # native histograms weigh Size()/16 in per-step stats, not 1
+    h = {"schema": 0, "zero_threshold": 0.001, "zero_count": 1.0,
+         "count": 5.0, "sum": 10.0,
+         "pos_spans": [{"offset": 0, "length": 2}],
+         "pos_buckets": [2.0, 2.0], "neg_spans": [], "neg_buckets": [],
+         "custom_values": [], "counter_reset_hint": 0}
+    eng = PromQLEngine(
+        spark, samples_from_rows(spark, [({"__name__": "nh"}, 600_000, h)])
+    )
+    from prometheus_spark.engine.stats import query_samples_stats
+
+    s = query_samples_stats(eng, "nh", 600_000, 600_000, 1)
+    # Size = 168 + 8*1 span + 8*2 buckets = 192 → 192//16 = 12
+    assert s["totalQueryableSamples"] == 12
