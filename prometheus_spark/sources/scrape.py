@@ -311,19 +311,40 @@ def _zero_value_like(v):
     }
 
 
-def _family_type(name: str, meta: dict) -> str:
-    """Metric-family type for a series name (scrape_append_v2.go
+def _family_meta(name: str, meta: dict) -> dict:
+    """Metric-family metadata for a series name (scrape_append_v2.go
     isSeriesPartOfFamily essentials): exact family match or a known
     suffix of one."""
     fam = meta.get(name)
     if fam:
-        return fam.get("type", "")
+        return fam
     for suf in ("_total", "_count", "_sum", "_bucket"):
         if name.endswith(suf):
             fam = meta.get(name[: -len(suf)])
             if fam:
-                return fam.get("type", "")
-    return ""
+                return fam
+    return {}
+
+
+def _family_type(name: str, meta: dict) -> str:
+    return _family_meta(name, meta).get("type", "")
+
+
+def add_type_and_unit_labels(labels: dict, meta: dict) -> dict:
+    """type-and-unit-labels feature (schema/labels.go:105 AddToLabels
+    via the parsers): attach ``__type__``/``__unit__`` from the family
+    metadata — the type only when known (not ""/unknown), the unit only
+    when non-empty; family metadata overrides user-exposed
+    ``__type__``/``__unit__`` labels (promparse.go:256)."""
+    fam = _family_meta(labels.get("__name__", ""), meta)
+    out = dict(labels)
+    ftype = fam.get("type", "")
+    if ftype and ftype != "unknown":
+        out["__type__"] = ftype
+    unit = fam.get("unit", "")
+    if unit:
+        out["__unit__"] = unit
+    return out
 
 
 def synthesize_st(cache: dict, key, name: str, t: int, v, meta: dict):
@@ -416,6 +437,7 @@ class ScrapeManager:
         extra_scrape_metrics: bool = False,
         enable_st_zero_ingestion: bool = False,
         synthesize_st_enabled: bool = False,
+        enable_type_and_unit_labels: bool = False,
     ):
         os.makedirs(spool_dir, exist_ok=True)
         self.spool_dir = spool_dir
@@ -446,6 +468,9 @@ class ScrapeManager:
         # values re-anchored to it
         self.synthesize_st_enabled = synthesize_st_enabled
         self._st_synth: dict[str, dict] = {}
+        # type-and-unit-labels feature: __type__/__unit__ metadata labels
+        # attached from family metadata at parse time (schema/labels.go)
+        self.enable_type_and_unit_labels = enable_type_and_unit_labels
         # family → {type, help, unit}, accumulated across scrapes — the
         # metadata store the /api/v1/metadata endpoint serves
         self.metadata: dict[str, dict] = {}
@@ -587,6 +612,10 @@ class ScrapeManager:
             for labels, t, v, st in parsed:
                 if not tgt.honor_timestamps:
                     t = now_ms
+                if self.enable_type_and_unit_labels:
+                    # parser-level in the reference, so the labels are
+                    # relabel-visible like any others
+                    labels = add_type_and_unit_labels(labels, meta)
                 labels = _merge_labels(labels, tl, tgt.honor_labels)
                 if self.metric_relabel is not None:
                     labels = self.metric_relabel(labels)

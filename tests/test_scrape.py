@@ -1172,3 +1172,43 @@ def test_st_synthesis_type_flip_resets():
     assert skip and st == 200  # new reference, no crash
     v, st, skip = synthesize_st(cache, ("s",), "m", 300, 5.0, meta)  # flip back
     assert skip and st == 300
+
+
+def test_type_and_unit_labels(spark, tmp_path):
+    """type-and-unit-labels feature: __type__/__unit__ attached from
+    family metadata (suffix-aware); unknown types and empty units are
+    omitted; user-exposed metadata labels lose to the family's."""
+    from prometheus_spark.sources.remote_write import spool_to_samples
+    from prometheus_spark.sources.scrape import add_type_and_unit_labels
+
+    # unit helper rules
+    meta = {"lat": {"type": "histogram", "unit": "seconds"},
+            "x": {"type": "unknown"}}
+    out = add_type_and_unit_labels({"__name__": "lat_bucket", "le": "1"}, meta)
+    assert out["__type__"] == "histogram" and out["__unit__"] == "seconds"
+    out = add_type_and_unit_labels({"__name__": "x", "__type__": "gauge"}, meta)
+    assert out["__type__"] == "gauge"  # family type unknown → user's kept
+
+    body = (
+        b"# TYPE req counter\n# UNIT req bytes\nreq_total 1\n"
+        b"# TYPE g gauge\ng 2\n# EOF\n"
+    )
+    srv, url = _om_server([body], {"i": 0})
+    try:
+        mgr = ScrapeManager(
+            str(tmp_path / "spool"), [ScrapeTarget(url)],
+            enable_type_and_unit_labels=True,
+        )
+        mgr.scrape_once(now_ms=0)
+        rows = {
+            r["name"]: r
+            for r in spool_to_samples(spark, str(tmp_path / "spool")).collect()
+        }
+        req = rows["req_total"]["labels"]
+        assert req["__type__"] == "counter" and req["__unit__"] == "bytes"
+        g = rows["g"]["labels"]
+        assert g["__type__"] == "gauge" and "__unit__" not in g
+        # report series carry no metadata labels
+        assert "__type__" not in rows["up"]["labels"]
+    finally:
+        srv.shutdown()
