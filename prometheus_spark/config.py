@@ -873,6 +873,7 @@ def build_server(
     spool_dir: str = "/tmp/prom_spool",
     concurrent_rule_eval: bool = False,
     max_concurrent_evals: int = 4,
+    feature_flags: Optional[list] = None,
 ):
     """Assemble the runtime from a loaded config: scrape manager (one
     target list across jobs, per-job labels + metric relabeling), rule
@@ -883,6 +884,13 @@ def build_server(
     reference's ``--enable-feature=concurrent-rule-eval`` and
     ``--rules.max-concurrent-evals`` flags (rules/manager.go:176-181);
     the semaphore is engine-global, i.e. shared across groups.
+
+    ``feature_flags`` mirrors ``--enable-feature`` (cmd/prometheus/
+    main.go:230-330) for the flags this engine implements:
+    ``created-timestamp-zero-ingestion``, ``st-synthesis``,
+    ``type-and-unit-labels``, ``concurrent-rule-eval``,
+    ``promql-per-step-stats``.  Unknown flags raise, like the
+    reference's fatal startup error.
 
     Returns a dict of components; callers drive the tick/scrape loops
     (or call .start() on each) so tests and notebooks stay in control of
@@ -1178,10 +1186,27 @@ def build_server(
         job = labels.get("job", "")
         return process_labels(labels, metric_relabel_by_job.get(job, []))
 
+    known_flags = {
+        "created-timestamp-zero-ingestion",
+        "st-synthesis",
+        "type-and-unit-labels",
+        "concurrent-rule-eval",
+        "promql-per-step-stats",
+    }
+    flags = set(feature_flags or ())
+    unknown = flags - known_flags
+    if unknown:
+        raise ValueError(f"unknown feature flag(s): {sorted(unknown)}")
+    if "concurrent-rule-eval" in flags:
+        concurrent_rule_eval = True
+
     scrape_mgr = ScrapeManager(
         spool_dir, discovery.targets(), metric_relabel=metric_relabel,
         timeout_s=cfg.scrape_timeout_ms / 1000.0,
         extra_scrape_metrics=cfg.extra_scrape_metrics,
+        enable_st_zero_ingestion="created-timestamp-zero-ingestion" in flags,
+        synthesize_st_enabled="st-synthesis" in flags,
+        enable_type_and_unit_labels="type-and-unit-labels" in flags,
     )
 
     rule_groups = []
@@ -1251,8 +1276,10 @@ def build_server(
         rule_groups=rule_groups,
         rules_engine=rules_engine,
         scrape_manager=scrape_mgr,
+        per_step_stats="promql-per-step-stats" in flags,
     )
     api.config_yaml = cfg.raw_yaml
+    api.flags = {"enabled_features": sorted(flags)}
     api.notifier = notifier
     api.discovery = discovery  # /targets droppedTargets source
     # push-ingest receivers share the scrape spool; the main server then

@@ -353,3 +353,34 @@ def test_config_watcher_survives_malformed_yaml(tmp_path):
     assert w.last_error is not None
     cfg.write_text("global: {scrape_interval: 30s}\n")  # save completes
     assert w.check_once() and fired == [1]
+
+
+def test_build_server_feature_flags(spark, tmp_path):
+    """--enable-feature pass-through (cmd/prometheus/main.go:230):
+    known flags wire the r8 features; unknown flags fail startup."""
+    import pytest as _pytest
+
+    from prometheus_spark.config import build_server, load_config
+
+    p = tmp_path / "prom.yml"
+    p.write_text("global: {}\nscrape_configs: []\n")
+    cfg = load_config(str(p))
+    parts = build_server(
+        spark, cfg, spool_dir=str(tmp_path / "spool"),
+        feature_flags=[
+            "created-timestamp-zero-ingestion", "st-synthesis",
+            "type-and-unit-labels", "promql-per-step-stats",
+            "concurrent-rule-eval",
+        ],
+    )
+    mgr = parts["scrape_manager"]
+    assert mgr.enable_st_zero_ingestion and mgr.synthesize_st_enabled
+    assert mgr.enable_type_and_unit_labels
+    assert parts["api"].per_step_stats
+    assert parts["api"].flags["enabled_features"] == [
+        "concurrent-rule-eval", "created-timestamp-zero-ingestion",
+        "promql-per-step-stats", "st-synthesis", "type-and-unit-labels",
+    ]
+    with _pytest.raises(ValueError, match="unknown feature"):
+        build_server(spark, cfg, spool_dir=str(tmp_path / "s2"),
+                     feature_flags=["bogus-flag"])
