@@ -1192,6 +1192,9 @@ def build_server(
         "type-and-unit-labels",
         "concurrent-rule-eval",
         "promql-per-step-stats",
+        "extra-scrape-metrics",
+        "otlp-deltatocumulative",
+        "otlp-native-delta-ingestion",
     }
     flags = set(feature_flags or ())
     unknown = flags - known_flags
@@ -1203,7 +1206,9 @@ def build_server(
     scrape_mgr = ScrapeManager(
         spool_dir, discovery.targets(), metric_relabel=metric_relabel,
         timeout_s=cfg.scrape_timeout_ms / 1000.0,
-        extra_scrape_metrics=cfg.extra_scrape_metrics,
+        extra_scrape_metrics=(
+            cfg.extra_scrape_metrics or "extra-scrape-metrics" in flags
+        ),
         enable_st_zero_ingestion="created-timestamp-zero-ingestion" in flags,
         synthesize_st_enabled="st-synthesis" in flags,
         enable_type_and_unit_labels="type-and-unit-labels" in flags,
@@ -1279,7 +1284,8 @@ def build_server(
         per_step_stats="promql-per-step-stats" in flags,
     )
     api.config_yaml = cfg.raw_yaml
-    api.flags = {"enabled_features": sorted(flags)}
+    # reference serveFlags returns a flag-name → string-value map
+    api.flags = {"enable-feature": ",".join(sorted(flags))}
     api.notifier = notifier
     api.discovery = discovery  # /targets droppedTargets source
     # push-ingest receivers share the scrape spool; the main server then
@@ -1288,7 +1294,13 @@ def build_server(
     from prometheus_spark.sources.remote_write import RemoteWriteReceiver
 
     api.remote_write_receiver = RemoteWriteReceiver(spool_dir)
-    api.otlp_receiver = OTLPReceiver(spool_dir, otlp_config=cfg.otlp)
+    api.otlp_receiver = OTLPReceiver(
+        spool_dir,
+        otlp_config=cfg.otlp,
+        convert_delta="otlp-deltatocumulative" in flags,
+        native_delta="otlp-native-delta-ingestion" in flags,
+        enable_type_and_unit_labels="type-and-unit-labels" in flags,
+    )
     # scrape + push exemplars share spool_dir/_exemplars; re-read per
     # query so /api/v1/query_exemplars sees fresh scrapes
     api.exemplars_fn = lambda: scrape_mgr.exemplars_df(spark)

@@ -64,6 +64,20 @@ _PER_UNIT_MAP = {
 }
 
 
+def _unit_word(unit: str) -> str:
+    """Normalized unit word for the __unit__ label (otlptranslator
+    unitNamer.Build essentials: the same main/per mapping the name
+    suffix logic uses)."""
+    if not unit:
+        return ""
+    if "/" in unit:
+        num, _, den = unit.partition("/")
+        main = _UNIT_MAP.get(num.strip(), _sanitize(num.strip()))
+        per = _PER_UNIT_MAP.get(den.strip(), _sanitize(den.strip()))
+        return f"{main}_per_{per}" if per else main
+    return _UNIT_MAP.get(unit.strip(), _sanitize(unit.strip()))
+
+
 def _sanitize(name: str) -> str:
     out = re.sub(r"[^a-zA-Z0-9_:]", "_", name)
     out = re.sub(r"__+", "_", out)
@@ -511,6 +525,7 @@ def otlp_to_rows(
     translation_strategy: str = "UnderscoreEscapingWithSuffixes",
     delta_state: "DeltaToCumulative | None" = None,
     native_delta: bool = False,
+    enable_type_and_unit_labels: bool = False,
 ):
     """ExportMetricsServiceRequest → [(labels, t_ms, value_or_hist, st)].
 
@@ -623,15 +638,27 @@ def otlp_to_rows(
                             v for f, _w, v in _fields(mv) if f == 1
                         ]
 
+                # current family's metadata for __type__/__unit__
+                # (type-and-unit-labels also covers the OTLP path —
+                # otlptranslator helper.go:165); branches set the type
+                mt = {"type": ""}
+
                 def lbls(dp: dict, mname: str, extra: dict = {}) -> dict:
                     out = dict(base)
                     for k, v in _keyvalues(dp["attrs"]).items():
                         out[_sanitize_label(k)] = v
                     out.update(extra)
                     out["__name__"] = mname
+                    if enable_type_and_unit_labels:
+                        if mt["type"] and mt["type"] != "unknown":
+                            out["__type__"] = mt["type"]
+                        uw = _unit_word(unit)
+                        if uw:
+                            out["__unit__"] = uw
                     return out
 
                 if gauge_dps:
+                    mt["type"] = "gauge"
                     mname = normalize_metric_name(name, unit, "gauge", strategy=translation_strategy)
                     for buf in gauge_dps:
                         dp = _number_dp(buf)
@@ -644,6 +671,13 @@ def otlp_to_rows(
                     native_delta or convert
                 )
                 if sum_dps and (temporality == _CUMULATIVE or accept_delta):
+                    # native delta stores with unknown type (main.go
+                    # otlp-native-delta-ingestion comment)
+                    mt["type"] = (
+                        "unknown"
+                        if temporality == _DELTA and native_delta
+                        else ("counter" if monotonic else "gauge")
+                    )
                     mname = normalize_metric_name(
                         name, unit, "sum", monotonic=monotonic,
                         strategy=translation_strategy,
@@ -667,6 +701,7 @@ def otlp_to_rows(
                         rows.append((slabels, dp["t"], v, st))
                         _take_exemplars(dp, slabels)
                 if hist_dps and (temporality == _CUMULATIVE or accept_delta):
+                    mt["type"] = "histogram"
                     mname = normalize_metric_name(name, unit, "histogram", strategy=translation_strategy)
                     hdps = [_hist_dp(buf) for buf in hist_dps]
                     if convert:
@@ -711,6 +746,7 @@ def otlp_to_rows(
                                 dp["t"], float(dp["count"]), st,
                             ))
                 if exp_dps and (temporality == _CUMULATIVE or accept_delta):
+                    mt["type"] = "histogram"
                     mname = normalize_metric_name(name, unit, "histogram", strategy=translation_strategy)
                     edps = [_exp_hist_dp(buf) for buf in exp_dps]
                     if convert:
@@ -732,6 +768,7 @@ def otlp_to_rows(
                         rows.append((lbls(dp, mname), dp["t"], h, st))
                         _take_exemplars(dp, lbls(dp, mname))
                 if summary_dps:
+                    mt["type"] = "summary"
                     mname = normalize_metric_name(name, unit, "summary", strategy=translation_strategy)
                     for buf in summary_dps:
                         dp = _summary_dp(buf)
@@ -775,6 +812,7 @@ class OTLPReceiver:
         otlp_config: dict | None = None,
         convert_delta: bool = False,
         native_delta: bool = False,
+        enable_type_and_unit_labels: bool = False,
     ):
         import os
 
@@ -795,6 +833,7 @@ class OTLPReceiver:
             )
         self.native_delta = native_delta
         self.delta_state = DeltaToCumulative() if convert_delta else None
+        self.enable_type_and_unit_labels = enable_type_and_unit_labels
 
     def handle_body(self, body: bytes) -> int:
         import json
@@ -817,6 +856,7 @@ class OTLPReceiver:
             ),
             delta_state=self.delta_state,
             native_delta=self.native_delta,
+            enable_type_and_unit_labels=self.enable_type_and_unit_labels,
         )
         self._n += 1
         path = os.path.join(

@@ -311,17 +311,29 @@ def _zero_value_like(v):
     }
 
 
+# suffixes each family TYPE may shed when binding series to a family
+# (scrape.go:1911 isSeriesPartOfFamily — the gates are type-specific)
+_FAMILY_SUFFIXES = {
+    "counter": ("_total",),
+    "histogram": ("_bucket", "_sum", "_count"),
+    "gaugehistogram": ("_bucket", "_gsum", "_gcount"),
+    "summary": ("_sum", "_count"),
+}
+
+
 def _family_meta(name: str, meta: dict) -> dict:
-    """Metric-family metadata for a series name (scrape_append_v2.go
-    isSeriesPartOfFamily essentials): exact family match or a known
-    suffix of one."""
+    """Metric-family metadata for a series name (scrape.go:1911
+    isSeriesPartOfFamily): exact family match, or a suffix-stripped
+    match gated on the FAMILY's type — `_total` only binds to counter
+    families, `_bucket`/`_sum`/`_count` to histogram/summary families,
+    never the reverse."""
     fam = meta.get(name)
     if fam:
         return fam
-    for suf in ("_total", "_count", "_sum", "_bucket"):
+    for suf in ("_total", "_count", "_sum", "_bucket", "_gsum", "_gcount"):
         if name.endswith(suf):
             fam = meta.get(name[: -len(suf)])
-            if fam:
+            if fam and suf in _FAMILY_SUFFIXES.get(fam.get("type", ""), ()):
                 return fam
     return {}
 
@@ -330,19 +342,22 @@ def _family_type(name: str, meta: dict) -> str:
     return _family_meta(name, meta).get("type", "")
 
 
-def add_type_and_unit_labels(labels: dict, meta: dict) -> dict:
+def add_type_and_unit_labels(labels: dict, meta: dict, units: bool = True) -> dict:
     """type-and-unit-labels feature (schema/labels.go:105 AddToLabels
     via the parsers): attach ``__type__``/``__unit__`` from the family
     metadata — the type only when known (not ""/unknown), the unit only
     when non-empty; family metadata overrides user-exposed
-    ``__type__``/``__unit__`` labels (promparse.go:256)."""
+    ``__type__``/``__unit__`` labels (promparse.go:256).  ``units=False``
+    for the classic text format, which has no unit metadata in the
+    reference (promparse.go:220 Unit() is nil — a lenient ``# UNIT``
+    comment must not change series identity vs the reference)."""
     fam = _family_meta(labels.get("__name__", ""), meta)
     out = dict(labels)
     ftype = fam.get("type", "")
     if ftype and ftype != "unknown":
         out["__type__"] = ftype
     unit = fam.get("unit", "")
-    if unit:
+    if units and unit:
         out["__unit__"] = unit
     return out
 
@@ -581,6 +596,11 @@ class ScrapeManager:
                 body, ct, now_ms,
                 fallback_protocol=tgt.fallback_scrape_protocol,
             )
+            # the classic text format carries no unit metadata in the
+            # reference parsers — attach __unit__ only for OM/protobuf
+            units_ok = ct.startswith(OPENMETRICS_CT) or ct.startswith(
+                PROTOBUF_CT
+            )
             self.metadata.update(meta)
             self.target_metadata.setdefault(tgt.url, {}).update(meta)
             scraped = len(parsed)
@@ -615,7 +635,7 @@ class ScrapeManager:
                 if self.enable_type_and_unit_labels:
                     # parser-level in the reference, so the labels are
                     # relabel-visible like any others
-                    labels = add_type_and_unit_labels(labels, meta)
+                    labels = add_type_and_unit_labels(labels, meta, units_ok)
                 labels = _merge_labels(labels, tl, tgt.honor_labels)
                 if self.metric_relabel is not None:
                     labels = self.metric_relabel(labels)
@@ -673,6 +693,12 @@ class ScrapeManager:
             for slabels, t, exl, exv, ext in raw_exemplars:
                 if not tgt.honor_timestamps:
                     t = now_ms
+                if self.enable_type_and_unit_labels:
+                    # exemplars ride the SAME series identity as their
+                    # samples — metadata labels included
+                    slabels = add_type_and_unit_labels(
+                        slabels, meta, units_ok
+                    )
                 slabels = _merge_labels(slabels, tl, tgt.honor_labels)
                 if self.metric_relabel is not None:
                     slabels = self.metric_relabel(slabels)

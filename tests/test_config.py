@@ -377,10 +377,10 @@ def test_build_server_feature_flags(spark, tmp_path):
     assert mgr.enable_st_zero_ingestion and mgr.synthesize_st_enabled
     assert mgr.enable_type_and_unit_labels
     assert parts["api"].per_step_stats
-    assert parts["api"].flags["enabled_features"] == [
-        "concurrent-rule-eval", "created-timestamp-zero-ingestion",
-        "promql-per-step-stats", "st-synthesis", "type-and-unit-labels",
-    ]
+    assert parts["api"].flags["enable-feature"] == (
+        "concurrent-rule-eval,created-timestamp-zero-ingestion,"
+        "promql-per-step-stats,st-synthesis,type-and-unit-labels"
+    )
     with _pytest.raises(ValueError, match="unknown feature"):
         build_server(spark, cfg, spool_dir=str(tmp_path / "s2"),
                      feature_flags=["bogus-flag"])

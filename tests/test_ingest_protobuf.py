@@ -580,3 +580,25 @@ def test_otlp_delta_state_bounded():
     assert len(state._state) <= 10
     # the most recently updated series survive
     assert ("s24",) in state._state
+
+
+def test_otlp_type_and_unit_labels():
+    """type-and-unit-labels covers the OTLP path too (otlptranslator
+    helper.go:165): __type__ from the OTLP metric kind, __unit__ from
+    the normalized unit."""
+    gauge = _ld(1, b"mem.usage") + _ld(3, b"By") + _ld(
+        5, _ld(1, _otlp_number_dp(60_000_000_000, 3.5))
+    )
+    summ = _ld(1, b"reqs") + _ld(7,
+        _ld(1, _otlp_number_dp(60_000_000_000, 9.0)) + _vint(2, 2) + _vint(3, 1)
+    )
+    body = _otlp_request([gauge, summ], [])
+    rows = otlp_to_rows(body, enable_type_and_unit_labels=True)
+    by = {r[0]["__name__"]: r[0] for r in rows}
+    g = by["mem_usage_bytes"]
+    assert g["__type__"] == "gauge" and g["__unit__"] == "bytes"
+    c = by["reqs_total"]
+    assert c["__type__"] == "counter" and "__unit__" not in c
+    # off by default
+    rows = otlp_to_rows(body)
+    assert all("__type__" not in r[0] for r in rows)

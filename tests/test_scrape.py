@@ -1212,3 +1212,22 @@ def test_type_and_unit_labels(spark, tmp_path):
         assert "__type__" not in rows["up"]["labels"]
     finally:
         srv.shutdown()
+
+
+def test_family_meta_type_gated_and_no_classic_units():
+    """Regression (code review): suffix binding is gated on the family's
+    TYPE (a gauge family never claims foo_total), and the classic text
+    format never attaches __unit__ (promparse.go has no units)."""
+    from prometheus_spark.sources.scrape import (
+        _family_meta,
+        add_type_and_unit_labels,
+    )
+
+    meta = {"errors": {"type": "gauge"}, "lat": {"type": "histogram", "unit": "s"}}
+    # gauge family does NOT bind errors_total
+    assert _family_meta("errors_total", meta) == {}
+    # histogram family binds its _bucket/_sum/_count series
+    assert _family_meta("lat_bucket", meta)["type"] == "histogram"
+    # units suppressed for classic text bodies
+    out = add_type_and_unit_labels({"__name__": "lat_count"}, meta, units=False)
+    assert out["__type__"] == "histogram" and "__unit__" not in out
