@@ -784,8 +784,12 @@ def test_per_step_stats(spark):
     assert code == 200
     s = resp["data"]["stats"]["samples"]
     assert s["totalQueryableSamples"] == 2 * 6
-    assert s["peakSamples"] == 2
+    # evaluator-memory peak: evalSeries accumulates every selected sample
+    # (engine.go:1873) — 2 series × 6 steps
+    assert s["peakSamples"] == 12
     assert s["totalQueryableSamplesPerStep"][0] == [300.0, 2]
+    assert s["samplesRead"] == 2 * 6
+    assert len(s["samplesReadPerStep"]) == 6
 
     # matrix selector counts every window sample: rate(m[5m]) at t=600
     # → window (300,600] = 5 sample times × 2 series = 10
