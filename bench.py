@@ -104,32 +104,39 @@ def main() -> None:
     # The COLD first run is recorded alongside the steady-state min so
     # compile-cost regressions (e.g. a codegen spike the warm-up would
     # otherwise mask) stay visible round-over-round.
-    RUNS = 2
+    #
+    # Runs are INTERLEAVED (q1 q2 … qN | q1 q2 … | q1 q2 …), not batched
+    # per query: a transient load spike on a shared box then contaminates
+    # at most one round of each query instead of every run of one query,
+    # and the per-query min across rounds discards it.  (Round-8's
+    # apparent 16% "regression" was exactly this failure mode.)
+    RUNS = 3
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    total = 0.0
-    cold_total = 0.0
-    for name in HEADLINE:
-        fn = qs[name]
-        best = float("inf")
-        n = 0
-        for i in range(RUNS):
+    rows: dict[str, int] = {}
+    for rnd in range(RUNS):
+        for name in HEADLINE:
+            fn = qs[name]
             t0 = time.monotonic()
             try:
                 df = fn(spark, SF_DIR)
-                n = df.count()
+                rows[name] = df.count()
             except Exception as e:  # keep the bench robust: failed = inf
                 print(f"# bench {name} failed: {e}", file=sys.stderr)
-                break
+                timings.setdefault(name, float("inf"))
+                continue
             elapsed = time.monotonic() - t0
-            if i == 0:
+            if rnd == 0:
                 cold[name] = round(elapsed, 3)
-            best = min(best, elapsed)
-        timings[name] = round(best, 3) if best != float("inf") else best
-        total += best
-        cold_total += cold.get(name, float("inf"))
-        print(f"# {name}: {best:.2f}s cold={cold.get(name)}s ({n} rows)",
-              file=sys.stderr)
+            timings[name] = min(timings.get(name, float("inf")), elapsed)
+
+    total = sum(timings.values())
+    cold_total = sum(cold.get(n, float("inf")) for n in HEADLINE)
+    timings = {n: (round(v, 3) if v != float("inf") else v)
+               for n, v in timings.items()}
+    for name in HEADLINE:
+        print(f"# {name}: {timings.get(name)}s cold={cold.get(name)}s "
+              f"({rows.get(name)} rows)", file=sys.stderr)
 
     # Cold-path regression pin (PERF_NOTES.md: cold/warm ≈ 1.7× is the
     # documented Janino-compile + cache-population cost; at 100 TB it
@@ -157,6 +164,7 @@ def main() -> None:
                 "cpus": CPUS,
                 "runs": RUNS,
                 "timing": "min",
+                "interleaved": True,
             }
         )
     )

@@ -77,6 +77,7 @@ def parse_openmetrics_text(
     default_ts_ms: int = 0,
     skip_created: bool = True,
     strict_eof: bool = False,
+    require_timestamps: bool = False,
 ):
     """Parse one OpenMetrics body.
 
@@ -127,11 +128,15 @@ def parse_openmetrics_text(
             if m.group("labels"):
                 labels.update(_parse_labelblob(m.group("labels"), line))
         # OpenMetrics timestamps are seconds
-        t = (
-            int(round(float(m.group("ts")) * 1000.0))
-            if m.group("ts")
-            else default_ts_ms
-        )
+        if m.group("ts"):
+            t = int(round(float(m.group("ts")) * 1000.0))
+        elif require_timestamps:
+            # the backfill importer requires explicit timestamps
+            # (cmd/promtool/backfill.go getMinAndMaxTimestamps:
+            # "expected timestamp for series")
+            raise ValueError(f"expected timestamp for series: {line!r}")
+        else:
+            t = default_ts_ms
         value = _parse_value(m.group("value"))
         name = labels["__name__"]
         if name.endswith("_created"):

@@ -37,7 +37,12 @@ def backfill_openmetrics(
         write_samples,
     )
 
-    samples, _meta, _ex, _created = parse_openmetrics_text(text)
+    # strict importer semantics (cmd/promtool/backfill.go): the dump must
+    # be a complete OpenMetrics document (# EOF terminator, nothing after
+    # it) and every sample needs an explicit timestamp
+    samples, _meta, _ex, _created = parse_openmetrics_text(
+        text, strict_eof=True, require_timestamps=True
+    )
     if extra_labels:
         samples = [
             ({**labels, **extra_labels}, t, v) for labels, t, v in samples
