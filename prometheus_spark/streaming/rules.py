@@ -179,7 +179,9 @@ class RulesEngine:
             del self._batch_cache[key]
 
     # -- batch core ---------------------------------------------------------
-    def eval_tick(self, group: RuleGroup, ts_ms: int) -> tuple[Optional[DataFrame], list]:
+    def eval_tick(
+        self, group: RuleGroup, ts_ms: int, emit_alert_series: bool = True
+    ) -> tuple[Optional[DataFrame], list]:
         """Evaluate all rules in the group at the aligned timestamp.
 
         Returns (samples_df, alert_rows):
@@ -188,6 +190,13 @@ class RulesEngine:
           staleness markers — or None when nothing was produced
         - alert_rows: (alertname, labels, annotations, state,
           active_since_ms, value)
+
+        ``emit_alert_series=False`` suppresses the ALERTS /
+        ALERTS_FOR_STATE output series (state still updates, alert_rows
+        still returned) — the reference emits them only once the rule is
+        restored (alerting.go:539 ``if r.restored.Load()``), so the
+        pre-restore eval cannot overwrite the persisted activation time
+        with a fresh one.  Recording-rule output is never suppressed.
         """
         # query_offset shifts both the query timestamp and the appended
         # sample timestamps into the past (recording.go:87 ts-offset,
@@ -198,7 +207,9 @@ class RulesEngine:
             else self.default_rule_query_offset_ms
         )
         ts = group.eval_timestamp(ts_ms) - offset
-        results = self._eval_rules(group, ts)
+        results = self._eval_rules(
+            group, ts, offset_ms=offset, emit_alert_series=emit_alert_series
+        )
         frames: list[DataFrame] = []
         alert_sample_rows: list = []
         alert_rows: list = []
@@ -254,7 +265,10 @@ class RulesEngine:
             )
         return self._batch_cache[key]
 
-    def _eval_rules(self, group: RuleGroup, ts: int) -> dict:
+    def _eval_rules(
+        self, group: RuleGroup, ts: int, offset_ms: int = 0,
+        emit_alert_series: bool = True,
+    ) -> dict:
         """Evaluate every rule in the group, honoring dependency order
         (reference rules/group.go:634 Eval + manager.go concurrency
         controller).  Independent batches fan out over a thread pool;
@@ -270,7 +284,10 @@ class RulesEngine:
             rule = group.rules[idx]
             if isinstance(rule, RecordingRule):
                 return "rec", self._eval_recording(group, rule, ts)
-            return "alert", self._eval_alerting(group, rule, ts, idx)
+            return "alert", self._eval_alerting(
+                group, rule, ts, idx, active_ts=ts + offset_ms,
+                emit_series=emit_alert_series,
+            )
 
         results: dict = {}
         batches = self._group_batches(group)
@@ -344,7 +361,8 @@ class RulesEngine:
         return out
 
     def _eval_alerting(
-        self, group: RuleGroup, rule: AlertingRule, ts: int, rule_idx: int = 0
+        self, group: RuleGroup, rule: AlertingRule, ts: int, rule_idx: int = 0,
+        active_ts: int | None = None, emit_series: bool = True,
     ):
         """Mirror of AlertingRule.Eval (rules/alerting.go:387-550):
         pending→firing via the ``for`` hold, keep_firing_for flap
@@ -354,6 +372,16 @@ class RulesEngine:
         """
         from prometheus_spark.model.labels import sig_for
         from prometheus_spark.streaming.templating import expand_template
+
+        # Two clocks (alerting.go:387 Eval): the QUERY and the output
+        # samples run at ``ts`` = evalTime - queryOffset, but the
+        # activation bookkeeping (ActiveAt, the `for` hold, and
+        # keep_firing_since) uses the UNSHIFTED eval timestamp — the
+        # reference stamps ActiveAt: ts (:459) while sampling at
+        # ts.Add(-queryOffset) (:540), and RestoreForState mixes the two
+        # domains deliberately.
+        if active_ts is None:
+            active_ts = ts
 
         # alert-rule results are bounded by firing cardinality — the one
         # place a driver collect is the right call (mirrors the reference
@@ -413,7 +441,7 @@ class RulesEngine:
             if st is None or st["state"] == "inactive":
                 rule_state[sig] = {
                     "labels": labels,
-                    "active_since": ts,
+                    "active_since": active_ts,
                     "state": "pending",
                     "keep_firing_since": None,
                     "value": values[sig],
@@ -432,8 +460,8 @@ class RulesEngine:
                 keep_firing = False
                 if st["state"] == "firing" and rule.keep_firing_for_ms > 0:
                     if st["keep_firing_since"] is None:
-                        st["keep_firing_since"] = ts
-                    if ts - st["keep_firing_since"] < rule.keep_firing_for_ms:
+                        st["keep_firing_since"] = active_ts
+                    if active_ts - st["keep_firing_since"] < rule.keep_firing_for_ms:
                         keep_firing = True
                 if not keep_firing:
                     # pending alerts drop immediately; firing alerts
@@ -449,7 +477,8 @@ class RulesEngine:
                         )
                     del rule_state[sig]
                     continue
-            if st["state"] == "pending" and ts - st["active_since"] >= rule.for_ms:
+            if (st["state"] == "pending"
+                    and active_ts - st["active_since"] >= rule.for_ms):
                 st["state"] = "firing"
             alabels = dict(st["labels"])
             alabels[METRIC_NAME_LABEL] = "ALERTS"
@@ -464,6 +493,12 @@ class RulesEngine:
                 (rule.alert, st["labels"], st["annotations"], st["state"],
                  st["active_since"], st["value"])
             )
+
+        if not emit_series:
+            # pre-restore eval: state updated, no series output and no
+            # stale-marker bookkeeping (the reference's empty vector
+            # leaves seriesInPreviousEval untouched)
+            return [], alerts
 
         # stale markers for output series emitted last tick but not now
         # (state transitions change the alertstate label → the old series
@@ -713,7 +748,12 @@ class RulesManager:
             # bumps EvalFailures and the group keeps running) — one bad
             # group must never kill the scheduler or the other groups
             try:
-                out = self.engine.eval_tick(group, due)
+                # before the group's first successful restore, alert
+                # output series are suppressed (alerting.go:539 gates on
+                # r.restored) so a fresh activation can never overwrite
+                # the persisted ALERTS_FOR_STATE value
+                emit = not (self.restore and group.name not in self._restored)
+                out = self.engine.eval_tick(group, due, emit_alert_series=emit)
             except Exception as e:  # noqa: BLE001
                 return "err", e
             if self.restore and group.name not in self._restored:
