@@ -747,6 +747,9 @@ class RulesManager:
             # per-group error containment (group.go Eval: a failing rule
             # bumps EvalFailures and the group keeps running) — one bad
             # group must never kill the scheduler or the other groups
+            import time as _time
+
+            _t0 = _time.monotonic()
             try:
                 # before the group's first successful restore, alert
                 # output series are suppressed (alerting.go:539 gates on
@@ -766,6 +769,21 @@ class RulesManager:
                     self._restored.add(group.name)
                 except Exception as e:  # noqa: BLE001
                     self.last_error[group.name] = e
+            # rules/group.go NewGroupMetrics: last duration + timestamp
+            from prometheus_spark.web.selfmetrics import REGISTRY
+
+            REGISTRY.gauge_set(
+                "prometheus_rule_group_last_duration_seconds",
+                _time.monotonic() - _t0,
+                help_="The duration of the last rule group evaluation.",
+                rule_group=group.name,
+            )
+            REGISTRY.gauge_set(
+                "prometheus_rule_group_last_evaluation_timestamp_seconds",
+                due / 1000.0,
+                help_="The timestamp of the last rule group evaluation.",
+                rule_group=group.name,
+            )
             return "ok", out
 
         if len(due_groups) == 1:
@@ -782,7 +800,18 @@ class RulesManager:
                     for name, group, due in due_groups
                 }
                 results = {name: fut.result() for name, fut in futs.items()}
+        from prometheus_spark.web.selfmetrics import REGISTRY
+
         for name, group, due in sorted(due_groups):
+            REGISTRY.counter_add(
+                "prometheus_rule_group_iterations_total",
+                help_="The total number of scheduled rule group evaluations.",
+                rule_group=name,
+            )
+            REGISTRY.gauge_set(
+                "prometheus_rule_group_rules", len(group.rules),
+                help_="The number of rules.", rule_group=name,
+            )
             status, payload = results[name]
             if status == "ok":
                 samples_df, alerts = payload
@@ -796,10 +825,22 @@ class RulesManager:
             else:
                 self.eval_failures[name] = self.eval_failures.get(name, 0) + 1
                 self.last_error[name] = payload
+                REGISTRY.counter_add(
+                    "prometheus_rule_evaluation_failures_total",
+                    help_="The total number of rule evaluation failures.",
+                    rule_group=name,
+                )
             # advance PAST any intervals missed while stalled — the
             # reference skips missed iterations rather than replaying
             # them at stale timestamps (group.go run: iterationsMissed)
             behind = max(0, (now_ms - due) // group.interval_ms)
+            if behind:
+                REGISTRY.counter_add(
+                    "prometheus_rule_group_iterations_missed_total", behind,
+                    help_="The total number of rule group evaluations missed "
+                          "due to slow rule group evaluation.",
+                    rule_group=name,
+                )
             self.iterations_missed += behind
             self._next_due[name] = due + (behind + 1) * group.interval_ms
         return len(due_groups)

@@ -560,6 +560,38 @@ class PromAPI:
         }
 
     # -- endpoint implementations -------------------------------------
+    def _engine_metrics(self, t_start, t_prepared, samples_stats=None):
+        """Engine self-telemetry for one completed query — the
+        reference's engine metrics (promql/engine.go:392-470): query
+        count, duration slices, and querySamplesRead fed from the
+        query's SamplesRead (:691)."""
+        import time as _time
+
+        from prometheus_spark.web.selfmetrics import REGISTRY
+
+        now = _time.monotonic()
+        REGISTRY.counter_add(
+            "prometheus_engine_queries_total",
+            help_="Number of PromQL queries executed.",
+        )
+        REGISTRY.observe(
+            "prometheus_engine_query_duration_seconds",
+            t_prepared - t_start,
+            help_="Query timings",
+            slice="queue_and_prepare_time",
+        )
+        REGISTRY.observe(
+            "prometheus_engine_query_duration_seconds",
+            now - t_prepared,
+            slice="inner_eval",
+        )
+        if samples_stats:
+            REGISTRY.counter_add(
+                "prometheus_engine_query_samples_total",
+                float(samples_stats.get("samplesRead", 0)),
+                help_="The total number of samples read by all queries.",
+            )
+
     def _track(self, q: str):
         """Claim a concurrency slot (bounded at ``max_concurrency``,
         waiting at most ``queue_timeout_s`` — engine.go exec's gate) and
@@ -631,6 +663,7 @@ class PromAPI:
             samples_stats = None
         finally:
             done()
+        self._engine_metrics(t_start, t_prepared, samples_stats)
         from prometheus_spark.parser import parse_expr
         from prometheus_spark.parser.ast import ValueType
 
@@ -688,6 +721,7 @@ class PromAPI:
                          "error": str(e)}
         finally:
             done()
+        self._engine_metrics(t_start, t_prepared, samples_stats)
         data = render_result(rows, "matrix")
         if params.get("stats", [""])[0]:
             data["stats"] = _query_stats(t_start, t_prepared, _time.monotonic())
@@ -1156,6 +1190,9 @@ class PromAPI:
 
     # -- dispatch ------------------------------------------------------
     def handle(self, path: str, params: dict) -> tuple[int, dict]:
+        import time as _time
+
+        t0 = _time.monotonic()
         try:
             code, resp = self._dispatch(path, params)
         except Exception as e:  # noqa: BLE001 — api.go errorInternal
@@ -1166,7 +1203,30 @@ class PromAPI:
         sm[(path, "requests")] = sm.get((path, "requests"), 0) + 1
         if code >= 400:
             sm[(path, "errors")] = sm.get((path, "errors"), 0) + 1
+        # the /metrics self-instrumentation registry (web/web.go
+        # instrumentHandler: requests by handler+code, duration summary)
+        from prometheus_spark.web.selfmetrics import REGISTRY
+
+        REGISTRY.counter_add(
+            "prometheus_http_requests_total",
+            help_="Counter of HTTP requests.",
+            handler=path, code=str(code),
+        )
+        REGISTRY.observe(
+            "prometheus_http_request_duration_seconds",
+            _time.monotonic() - t0,
+            help_="Histogram of latencies for HTTP requests.",
+            handler=path,
+        )
         return code, resp
+
+    def metrics_text(self) -> str:
+        """The server's own telemetry as text exposition — the body the
+        HTTP server serves at ``/metrics`` (the reference's self-scrape
+        surface)."""
+        from prometheus_spark.web.selfmetrics import REGISTRY
+
+        return REGISTRY.render()
 
     def _dispatch(self, path: str, params: dict) -> tuple[int, dict]:
         if path == "/api/v1/status/self_metrics":
@@ -1583,6 +1643,18 @@ class PromAPI:
                     _threading.Thread(
                         target=self.server.shutdown, daemon=True
                     ).start()
+                    return
+                if parsed.path == "/metrics":
+                    # the server's own telemetry (self-scrape surface)
+                    body = api.metrics_text().encode()
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type",
+                        "text/plain; version=0.0.4; charset=utf-8",
+                    )
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                     return
                 if parsed.path == "/federate":
                     from prometheus_spark.parser import parse_expr
