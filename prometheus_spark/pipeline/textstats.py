@@ -118,17 +118,11 @@ def repetition_ratio(
     )
     n = F.size(words).cast("double")
     n_distinct = F.size(F.array_distinct(words)).cast("double")
-    # bigrams: w[i] + ' ' + w[i+1] for i in [0, n-2]
-    bigrams = F.filter(
-        F.transform(
-            words,
-            lambda w, i: F.when(
-                i < F.size(words) - 1,
-                F.concat_ws(" ", w, F.element_at(words, i + 2)),
-            ),
-        ),
-        lambda g: g.isNotNull(),
-    )
+    # bigrams via zip_with over shifted slices — O(words) per document.
+    # (A transform-lambda that closes over ``words`` re-evaluates the
+    # split per ELEMENT — no common-subexpression elimination across
+    # lambda scopes — turning tokenization O(words²) per doc.)
+    bigrams = _ngrams_all(words, 2)
     nb = F.size(bigrams).cast("double")
     nb_distinct = F.size(F.array_distinct(bigrams)).cast("double")
     dup_word = F.when(n > 0, 1.0 - n_distinct / n).otherwise(0.0)
@@ -139,6 +133,20 @@ def repetition_ratio(
         F.round(dup_word, 6).alias("dup_word_frac"),
         F.round(dup_bigram, 6).alias("dup_bigram_frac"),
     )
+
+
+def _ngrams_all(words, n: int):
+    """All word n-grams (duplicates kept), as zip_with over shifted
+    slices — elementwise array ops, O(words) per document (same shape as
+    dedup._word_ngrams, which is the distinct variant)."""
+    count = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    grams = F.slice(words, 1, count)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(words, j + 1, count),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return grams
 
 
 def topk_ngrams(
@@ -152,30 +160,20 @@ def topk_ngrams(
     final top-k is a TakeOrderedAndProject (no global sort) — the plan
     holds at 100 TB because only per-partition top candidates reach the
     driver-side limit stage.  Tie-break: count desc, gram asc.
+
+    Tokenization is materialized ONCE per row and grams are built by
+    zip_with over shifted slices (O(words) per doc); the previous
+    transform-lambda closed over the split and re-evaluated it per
+    element — O(words²) — which cost 25× at the sf10 scale rung.
     """
     words = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != F.lit("")
     )
-    grams = F.filter(
-        F.transform(
-            words,
-            lambda w, i: F.when(
-                i < F.size(words) - (n - 1),
-                F.concat_ws(
-                    " ",
-                    *(
-                        [w]
-                        + [F.element_at(words, i + j + 1) for j in range(1, n)]
-                    ),
-                ),
-            ),
-        ),
-        lambda g: g.isNotNull(),
-    )
     from prometheus_spark.pipeline.dedup import _spread
 
+    toks = _spread(df, text_col).select(words.alias("__w"))
     return (
-        _spread(df, text_col).select(F.explode(grams).alias("gram"))
+        toks.select(F.explode(_ngrams_all(F.col("__w"), n)).alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("gram"))
