@@ -301,6 +301,34 @@ class Evaluator:
                     ctx, fn, w, rng, self._scalar(node.args[1]), self._scalar(node.args[2])
                 )
             m_idx = 1 if fn == "quantile_over_time" else 0
+            m_node = node.args[m_idx]
+            while isinstance(m_node, ParenExpr):
+                m_node = m_node.expr
+            # prefix/as-of fast path: plain selector, wide range/step
+            # ratio → O(samples + series×steps) instead of the
+            # range/step-factor window explode (range_functions.py
+            # eval_range_function_prefix)
+            if (
+                fn in RF.PREFIX_RANGE_FUNCS
+                and isinstance(m_node, MatrixSelector)
+                and not m_node.anchored and not m_node.smoothed
+                and not m_node.selector.anchored
+                and not m_node.selector.smoothed
+                and m_node.selector.at is None
+            ):
+                qc = self._qctx()
+                rng = resolve_duration_ms(m_node.range_ms, qc)
+                off = resolve_duration_ms(m_node.selector.offset_ms, qc)
+                thr = RF.prefix_threshold()
+                # instant queries have explode factor 1 — fast path is
+                # pure overhead there (thr == 0 forces it anyway, for
+                # the corpus parity sweep)
+                if thr == 0 or (
+                    not ctx.is_instant and rng // ctx.step_ms >= thr
+                ):
+                    return RF.eval_range_function_prefix(
+                        ctx, fn, m_node.selector, rng, off
+                    )
             w, rng, mode = self._matrix_arg(node.args[m_idx])
             return RF.eval_range_function(ctx, fn, w, rng, param, mode=mode)
 

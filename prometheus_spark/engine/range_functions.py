@@ -59,6 +59,33 @@ _ANCHORED_SAFE = frozenset({"resets", "changes", "rate", "increase", "delta"})
 _SMOOTHED_SAFE = frozenset({"rate", "increase", "delta"})
 
 
+# ---------------------------------------------------------------------
+# prefix/as-of fast path (O(samples + series×steps), no range/step
+# explode) — functions whose window statistics decompose into prefix
+# sums + the window's first/last sample.  sum/avg_over_time stay on the
+# explode path: a cumulative-difference sum can cancel catastrophically
+# where a direct window sum cannot.
+PREFIX_RANGE_FUNCS = frozenset(
+    {
+        "rate", "increase", "delta", "changes", "resets",
+        "count_over_time", "present_over_time",
+        "first_over_time", "last_over_time",
+        "ts_of_first_over_time", "ts_of_last_over_time",
+    }
+)
+
+
+def prefix_threshold() -> int:
+    """Minimum range/step ratio for the fast path.  Below it, the
+    explode path's duplication factor is small and its single shuffle
+    wins; above it, the explode factor dominates (a [1d] window on a 10s
+    step duplicates every sample 8640×).  Override for testing with
+    PROMSPARK_PREFIX_RANGE_THRESHOLD."""
+    import os
+
+    return int(os.environ.get("PROMSPARK_PREFIX_RANGE_THRESHOLD", "64"))
+
+
 def eval_range_function(
     ctx: EvalContext,
     func: str,
@@ -456,7 +483,18 @@ def _extrapolated(
             F.expr("sum(__drop)").alias("correction"),
         )
     )
+    return _extrapolate_from_stats(ctx, stats, range_ms, is_counter, is_rate)
 
+
+def _extrapolate_from_stats(
+    ctx: EvalContext, stats: DataFrame, range_ms: int,
+    is_counter: bool, is_rate: bool,
+) -> DataFrame:
+    """The extrapolatedRate arithmetic over canonical per-(sig, step)
+    window statistics: (sig, labels, t, wend, n, first_t, last_t,
+    first_v, last_v, st0, correction).  Shared verbatim between the
+    windowed-explode path and the prefix/as-of fast path so the two are
+    semantically identical by construction."""
     # The extrapolation arithmetic is assembled as ONE SQL string passed
     # to F.expr: semantically identical to building it Column-by-Column,
     # but a single py4j round trip instead of ~1500 — plan-construction
@@ -704,3 +742,223 @@ def _holt_winters(ctx: EvalContext, windowed: DataFrame, sf, tf) -> DataFrame:
         "sig", "labels", "t", final["l"].alias("value")
     )
     return _finish(out, ctx)
+
+
+# ---------------------------------------------------------------------
+# prefix/as-of fast path
+
+
+def eval_range_function_prefix(
+    ctx: EvalContext,
+    func: str,
+    selector,
+    range_ms: int,
+    offset_ms: int = 0,
+) -> VectorFrame:
+    """O(samples + series×steps) evaluation of PREFIX_RANGE_FUNCS over a
+    plain matrix selector — no per-window sample duplication.
+
+    The reference evaluator is incremental (its ring buffer advances the
+    window per step, engine.go matrixIterSlice); the windowed-explode
+    plan replays each sample in every window instead, which costs
+    range/step × the input (8640× for ``rate(x[1d])`` at a 10s step).
+    This path restores the O(samples) shape with set operations:
+
+    1. one pass over the matched samples computes, per series in
+       timestamp order, the sample index and prefix sums of counter
+       drops / change flags / reset flags (window functions over ONE
+       sort);
+    2. two boundary PROBES per (series, step) — at the window end and
+       the window start — are unioned into the same sort; an ascending
+       carry gives the last sample ≤ wend (the window's LAST sample +
+       its prefix stats), a descending carry gives the first sample >
+       wstart (the window's FIRST sample + its stats);
+    3. every window statistic follows by subtraction: n = idxᵦ − idxₐ+1,
+       correction = cumdropᵦ − cumdropₐ (the straddling pair drops out
+       exactly because cumₐ includes it), changes/resets likewise; the
+       rate family feeds the SAME ``_extrapolate_from_stats`` arithmetic
+       as the explode path.
+
+    Series carrying native histograms are routed to the explode path
+    (mixed-window drop semantics live there); both halves union.
+    """
+    from prometheus_spark.engine.selectors import (
+        matcher_predicate,
+        windowed_samples,
+    )
+    from pyspark.sql.window import Window as W
+
+    base = ctx.samples.filter(
+        matcher_predicate(selector.matchers, ctx.samples.columns)
+    ).filter(~F.col("stale"))
+    lo = ctx.start_ms - offset_ms - range_ms
+    hi = ctx.end_ms - offset_ms
+    base = base.filter((F.col("t") > lo) & (F.col("t") <= hi))
+    has_hist = "hist" in base.columns
+    st = F.col("st") if "st" in base.columns else F.lit(None).cast("long")
+    cols = [F.col("sig"), F.col("labels"), F.col("t"), F.col("value"),
+            st.alias("st")]
+
+    hist_out = None
+    if has_hist:
+        # route whole series with any histogram sample to the explode
+        # path — it owns the histogram algebra and mixed-window drops
+        flagged = base.withColumn(
+            "__has_h",
+            F.max(F.col("hist").isNotNull().cast("int")).over(
+                W.partitionBy("sig")
+            ),
+        )
+        hseries = flagged.filter(F.col("__has_h") == 1).drop("__has_h")
+        base_f = flagged.filter(F.col("__has_h") == 0).select(*cols)
+        # lazily evaluated: zero hist series → empty explode input
+        hw = windowed_samples(ctx, hseries, range_ms, offset_ms=offset_ms)
+        hist_out = eval_range_function(ctx, func, hw, range_ms).df
+    else:
+        base_f = base.select(*cols)
+
+    samples = base_f.select(
+        "sig", "labels",
+        F.col("t").alias("pt"), F.lit(0).alias("ord"),
+        F.lit(None).cast("string").alias("kind"),
+        F.lit(None).cast("long").alias("step_t"),
+        "value", "st",
+    )
+    sigs = base_f.groupBy("sig").agg(F.first("labels").alias("labels"))
+    bounds = ctx.grid.select(
+        F.col("t").alias("step_t"),
+        (F.col("t") - offset_ms).alias("__wend"),
+    )
+    probes = (
+        sigs.crossJoin(F.broadcast(bounds))
+        .select(
+            "sig", "labels", "step_t",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("e").alias("kind"),
+                             F.col("__wend").alias("pt")),
+                    F.struct(F.lit("s").alias("kind"),
+                             (F.col("__wend") - range_ms).alias("pt")),
+                )
+            ).alias("__p"),
+        )
+        .select(
+            "sig", "labels", F.col("__p.pt").alias("pt"),
+            F.lit(1).alias("ord"), F.col("__p.kind").alias("kind"),
+            "step_t",
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("long").alias("st"),
+        )
+    )
+    tall = samples.unionByName(probes)
+
+    asc = W.partitionBy("sig").orderBy("pt", "ord")
+    before = asc.rowsBetween(W.unboundedPreceding, -1)
+    upto = asc.rowsBetween(W.unboundedPreceding, W.currentRow)
+    is_sample = F.col("ord") == 0
+
+    prev = F.last(
+        F.when(is_sample, F.struct("pt", "value", "st")), ignorenulls=True
+    ).over(before)
+    cur_v, prev_v = F.col("value"), prev["value"]
+    value_reset = (~F.isnan(cur_v)) & (~F.isnan(prev_v)) & (cur_v < prev_v)
+    st_reset = _st_reset_expr(prev["st"], prev["pt"], F.col("st"), F.col("pt"))
+    counter_reset = F.when(
+        is_sample & prev.isNotNull(), value_reset | st_reset
+    ).otherwise(F.lit(False))
+    changed = F.when(
+        is_sample & prev.isNotNull(),
+        (cur_v != prev_v) & ~(F.isnan(cur_v) & F.isnan(prev_v)),
+    ).otherwise(F.lit(False))
+
+    step1 = tall.select(
+        "*",
+        F.sum(is_sample.cast("long")).over(upto).alias("idx"),
+        F.when(counter_reset, F.coalesce(prev_v, F.lit(0.0)))
+        .otherwise(F.lit(0.0)).alias("__drop"),
+        counter_reset.cast("long").alias("__res"),
+        changed.cast("long").alias("__chg"),
+    )
+    step2 = step1.select(
+        "*",
+        F.sum("__drop").over(upto).alias("cum_drop"),
+        F.sum("__res").over(upto).alias("cum_res"),
+        F.sum("__chg").over(upto).alias("cum_chg"),
+        F.last(
+            F.when(is_sample, F.struct(F.col("pt").alias("t"), "value")),
+            ignorenulls=True,
+        ).over(upto).alias("__b"),
+    )
+    desc = (
+        W.partitionBy("sig")
+        .orderBy(F.desc("pt"), F.desc("ord"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    step3 = step2.select(
+        "*",
+        F.last(
+            F.when(
+                is_sample,
+                F.struct(
+                    F.col("pt").alias("t"), "value", "st", "idx",
+                    "cum_drop", "cum_res", "cum_chg",
+                ),
+            ),
+            ignorenulls=True,
+        ).over(desc).alias("__a"),
+    )
+
+    pr = step3.filter(F.col("kind").isNotNull())
+    stats = pr.groupBy("sig", "step_t").agg(
+        F.first("labels").alias("labels"),
+        F.max(F.when(F.col("kind") == "e", F.struct(
+            "idx", "cum_drop", "cum_res", "cum_chg",
+            F.col("__b")["t"].alias("b_t"), F.col("__b")["value"].alias("b_v"),
+        ))).alias("e"),
+        F.max(F.when(F.col("kind") == "s", F.col("__a"))).alias("a"),
+    )
+    e, a = F.col("e"), F.col("a")
+    wend = F.col("step_t") - F.lit(offset_ms)
+    wstart = wend - F.lit(range_ms)
+    valid = (
+        e["b_t"].isNotNull() & (e["b_t"] > wstart)
+        & a["t"].isNotNull() & (a["t"] <= wend)
+    )
+    stats = stats.filter(valid).select(
+        "sig", "labels", F.col("step_t").alias("t"), wend.alias("wend"),
+        (e["idx"] - a["idx"] + 1).alias("n"),
+        a["t"].alias("first_t"), e["b_t"].alias("last_t"),
+        a["value"].alias("first_v"), e["b_v"].alias("last_v"),
+        a["st"].alias("st0"),
+        (e["cum_drop"] - a["cum_drop"]).alias("correction"),
+        (e["cum_res"] - a["cum_res"]).cast("double").alias("__resets"),
+        (e["cum_chg"] - a["cum_chg"]).cast("double").alias("__changes"),
+    )
+
+    if func in ("rate", "increase", "delta"):
+        if func == "delta":
+            # non-counter: no reset correction (functions.go:467
+            # extrapolatedRate's isCounter=false branch)
+            stats = stats.withColumn("correction", F.lit(0.0))
+        out = _extrapolate_from_stats(
+            ctx, stats, range_ms,
+            is_counter=func != "delta", is_rate=func == "rate",
+        )
+    else:
+        val = {
+            "changes": F.col("__changes"),
+            "resets": F.col("__resets"),
+            "count_over_time": F.col("n").cast("double"),
+            "present_over_time": F.lit(1.0),
+            "first_over_time": F.col("first_v"),
+            "last_over_time": F.col("last_v"),
+            "ts_of_first_over_time": F.col("first_t") / 1000.0,
+            "ts_of_last_over_time": F.col("last_t") / 1000.0,
+        }[func]
+        out = _finish(
+            stats.select("sig", "labels", "t", val.alias("value")),
+            ctx, keep_name=func in _KEEPS_NAME,
+        )
+    if hist_out is not None:
+        out = _union_hist(out, hist_out)
+    return VectorFrame(out)

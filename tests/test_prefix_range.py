@@ -1,0 +1,100 @@
+"""Prefix/as-of fast path for range functions — differential parity.
+
+The fast path (range_functions.eval_range_function_prefix) must be
+bit-identical to the windowed-explode path for every function in
+PREFIX_RANGE_FUNCS, on data with counter resets, gaps, NaNs, offsets,
+and empty/single-sample windows.
+
+Pitfall encoded here: each side gets a FRESH PromQLEngine — the plan
+cache is keyed by (query, grid) and would otherwise hand the second run
+the first run's plan, comparing the fast path against itself."""
+
+import math
+import os
+
+import pytest
+
+from prometheus_spark.engine import PromQLEngine
+from prometheus_spark.storage import samples_from_rows
+
+M = 10_000
+
+
+@pytest.fixture(scope="module")
+def samples(spark):
+    import random
+
+    random.seed(7)
+    rows = []
+    v1 = v2 = 0.0
+    for i in range(120):
+        v1 += random.random() * 10
+        if random.random() < 0.06:
+            v1 = random.random()  # counter reset
+        rows.append(({"__name__": "c", "l": "a"}, i * M, round(v1, 3)))
+        if i % 3 != 1:  # gaps
+            v2 += random.random() * 5
+            if random.random() < 0.1:
+                v2 = 0.0
+            rows.append(({"__name__": "c", "l": "b"}, i * M, round(v2, 3)))
+        if i % 2 == 0:
+            v = float("nan") if random.random() < 0.08 else random.gauss(0, 5)
+            rows.append(({"__name__": "g"}, i * M, v))
+    for i in (0, 40, 41, 115):  # sparse: empty and 1-sample windows
+        rows.append(({"__name__": "sp"}, i * M, float(i)))
+    return samples_from_rows(spark, rows).cache()
+
+
+QUERIES = [
+    "rate(c[300s])", "increase(c[300s])", "delta(c[300s])",
+    "delta(g[300s])", "changes(c[250s])", "resets(c[250s])",
+    "count_over_time(c[170s])", "present_over_time(g[90s])",
+    "last_over_time(c[130s])", "first_over_time(g[110s])",
+    "ts_of_last_over_time(c[300s])", "ts_of_first_over_time(c[300s])",
+    "rate(c[300s] offset 50s)", "rate(sp[100s])",
+    "count_over_time(sp[30s])", "changes(sp[500s])",
+    "increase(sp[60s] offset 7s)",
+]
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return round(v, 9)
+
+
+def _run(spark, samples, q, threshold):
+    os.environ["PROMSPARK_PREFIX_RANGE_THRESHOLD"] = threshold
+    try:
+        df = PromQLEngine(spark, samples).range_query(
+            q, 100_000, 1_150_000, 30_000
+        )
+        return sorted(
+            (r["sig"], r["t"], _norm(r["value"])) for r in df.collect()
+        )
+    finally:
+        os.environ.pop("PROMSPARK_PREFIX_RANGE_THRESHOLD", None)
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_prefix_matches_explode(spark, samples, q):
+    fast = _run(spark, samples, q, "1")
+    slow = _run(spark, samples, q, "99999999")
+    assert fast == slow
+
+
+def test_default_gate_uses_fast_path_on_wide_ratio(spark, samples):
+    """range/step = 100 ≥ default threshold → the plan must NOT contain
+    the window explode (no per-sample sequence/explode duplication)."""
+    eng = PromQLEngine(spark, samples)
+    df = eng.range_query("rate(c[1000s])", 100_000, 1_150_000, 10_000)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" not in plan or "cum_drop" in plan
+    # fast-path signature: the probe union + prefix-sum window carry
+    assert "cum_drop" in plan
+
+    df2 = eng.range_query("rate(c[50s])", 100_000, 1_150_000, 10_000)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "cum_drop" not in plan2  # narrow ratio stays on explode
