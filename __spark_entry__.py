@@ -263,6 +263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- PromQL: range queries (step grid, §2.5) -------------------------
     q["promql_range_selector"] = _promql_range_selector
     q["promql_range_rate"] = _promql_range_rate
+    q["promql_range_rate_wide"] = lambda s, d: _promql_range_wide(s, d, "rate", 6)
+    q["promql_range_changes_wide"] = lambda s, d: _promql_range_wide(s, d, "changes", 6)
 
     # --- PromQL: classic histograms (§2.4) -------------------------------
     q["promql_histogram_quantile_classic"] = lambda s, d: _hist_classic(
@@ -500,6 +502,19 @@ def _promql_range_rate(spark, sf_dir):
         F.element_at("labels", "user_id").alias("user_id"),
         "t",
         F.round("value", 10).alias("value"),
+    )
+
+
+def _promql_range_wide(spark, sf_dir, fn, round_to):
+    """Wide range/step ratio (7d window, 1h step → ratio 168): exercises
+    the prefix/as-of fast path (range_functions.eval_range_function_prefix)
+    under the driver's correctness gate."""
+    return _engine(spark, sf_dir).range_query(
+        f"{fn}(purchase[{RANGE_7D}])", T0_MS - 2 * 86_400_000, T0_MS, 3_600_000
+    ).select(
+        F.element_at("labels", "user_id").alias("user_id"),
+        "t",
+        F.round("value", round_to).alias("value"),
     )
 
 
@@ -1762,6 +1777,29 @@ y AS (
 SELECT user_id, st AS t,
        ROUND(delta * ((sampled + ext_start2 + ext_end) / sampled) / ({_R7} / 1000.0), 10) AS value
 FROM y
+"""
+
+    # wide range/step ratio (7d window, 1h step over 2d → 49 steps,
+    # ratio 168 ≥ 64): the engine side evaluates on the prefix/as-of
+    # fast path; identical extrapolation arithmetic
+    _GRIDH = ", ".join(f"({_T0 - k * 3_600_000})" for k in range(48, -1, -1))
+    o["promql_range_rate_wide"] = (
+        o["promql_range_rate"]
+        .replace(f"VALUES {_GRID3}", f"VALUES {_GRIDH}")
+        .replace(", 10) AS value", ", 6) AS value")
+    )
+    o["promql_range_changes_wide"] = f"""
+WITH steps(st) AS (SELECT * FROM (VALUES {_GRIDH})),
+w AS (
+  SELECT s.st, CAST(e.user_id AS VARCHAR) AS user_id, e.value,
+         LAG(e.value) OVER (PARTITION BY s.st, e.user_id ORDER BY epoch_ms(e.ts)) AS prev
+  FROM steps s JOIN events e
+    ON e.event_type = 'purchase'
+   AND epoch_ms(e.ts) > s.st - {_R7} AND epoch_ms(e.ts) <= s.st
+)
+SELECT user_id, st AS t,
+       ROUND(CAST(SUM(CASE WHEN prev IS NOT NULL AND value <> prev THEN 1 ELSE 0 END) AS DOUBLE), 6) AS value
+FROM w GROUP BY user_id, st
 """
 
     # --- classic histograms -------------------------------------------------
