@@ -198,7 +198,12 @@ def main() -> None:
     end_ms = num_intervals * INTERVAL_MS
     results: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for expr, steps in cases:
+    for i, (expr, steps) in enumerate(cases):
+        if i and i % 8 == 0:
+            # long single-JVM runs accumulate unreferenced shuffle files
+            # (cleaned only on GC); without this, late queries measure
+            # 3-4x slower than the same query in a fresh session
+            spark.sparkContext._jvm.System.gc()
         name = f"expr={expr},steps={steps}"
         start_ms = (num_intervals - steps) * INTERVAL_MS
         t0 = time.monotonic()
