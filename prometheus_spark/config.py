@@ -232,6 +232,10 @@ class PromConfig:
     remote_writes: list = field(default_factory=list)  # RemoteWriteConfig
     remote_reads: list = field(default_factory=list)  # RemoteReadConfig
     otlp: dict = field(default_factory=dict)  # config.go OTLPConfig knobs
+    # tracing: section (config.go:1223 TracingConfig) — validated and
+    # surfaced; span export itself is delegated to Spark's own listener
+    # infrastructure rather than an in-process OTel SDK
+    tracing: dict = field(default_factory=dict)
     # storage: section (config.go StorageConfig): tsdb.out_of_order_time_window
     # feeds streaming.with_ooo_window; exemplars.max_exemplars the store cap
     ooo_time_window_ms: int = 0
@@ -278,6 +282,54 @@ class RemoteWriteConfig:
     min_backoff_s: float = 0.03
     max_backoff_s: float = 5.0
     retries: int = 3
+
+
+# headers the tracing/remote clients may not override
+# (config.go:48 reservedHeaders)
+_RESERVED_HEADERS = {
+    "host", "content-encoding", "content-length", "content-type",
+    "user-agent", "connection", "keep-alive", "proxy-authenticate",
+    "proxy-authorization", "www-authenticate", "accept-encoding",
+    "x-prometheus-remote-write-version", "x-prometheus-remote-read-version",
+}
+
+
+def _parse_tracing(t: dict) -> dict:
+    """config.go:1240 TracingConfig.UnmarshalYAML: grpc default client,
+    endpoint required, http|grpc client types, gzip-only compression,
+    no authorization / reserved headers."""
+    out = {
+        "client_type": str(t.get("client_type", "grpc")),
+        "endpoint": str(t.get("endpoint", "") or ""),
+        "sampling_fraction": float(t.get("sampling_fraction", 0.0)),
+        "insecure": bool(t.get("insecure", False)),
+        "headers": dict(t.get("headers") or {}),
+        "compression": str(t.get("compression", "") or ""),
+        "timeout_ms": _dur_ms(t.get("timeout"), 10_000),
+        "tls_config": dict(t.get("tls_config") or {}),
+    }
+    if out["client_type"] not in ("http", "grpc"):
+        raise ValueError(
+            "expected tracing client type to be to be http or grpc, "
+            f"but got {out['client_type']}"
+        )
+    for header in out["headers"]:
+        if header.lower() == "authorization":
+            raise ValueError(
+                "custom authorization header configuration is not yet supported"
+            )
+        if header.lower() in _RESERVED_HEADERS:
+            raise ValueError(
+                f"{header} is a reserved header. It must not be changed"
+            )
+    if not out["endpoint"]:
+        raise ValueError("tracing endpoint must be set")
+    if out["compression"] not in ("", "gzip"):
+        raise ValueError(
+            f"invalid compression type {out['compression']} provided, "
+            "valid options: gzip"
+        )
+    return out
 
 
 def load_config(path: str) -> PromConfig:
@@ -851,6 +903,9 @@ def load_config(path: str) -> PromConfig:
 
     if isinstance(doc.get("otlp"), dict):
         cfg.otlp = dict(doc["otlp"])
+
+    if isinstance(doc.get("tracing"), dict):
+        cfg.tracing = _parse_tracing(doc["tracing"])
 
     g = doc.get("global") or {}
     if g.get("extra_scrape_metrics") is not None:

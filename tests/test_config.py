@@ -384,3 +384,39 @@ def test_build_server_feature_flags(spark, tmp_path):
     with _pytest.raises(ValueError, match="unknown feature"):
         build_server(spark, cfg, spool_dir=str(tmp_path / "s2"),
                      feature_flags=["bogus-flag"])
+
+
+def test_tracing_config(tmp_path):
+    """config.go:1223 TracingConfig: grpc default, endpoint required,
+    client-type/compression/header validation."""
+    from prometheus_spark.config import load_config
+
+    p = tmp_path / "t.yml"
+    p.write_text(
+        "tracing:\n  endpoint: localhost:4317\n"
+        "  sampling_fraction: 0.5\n  compression: gzip\n"
+        "  headers:\n    X-Scope-OrgID: tenant1\n  timeout: 20s\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg.tracing["client_type"] == "grpc"  # default
+    assert cfg.tracing["endpoint"] == "localhost:4317"
+    assert cfg.tracing["sampling_fraction"] == 0.5
+    assert cfg.tracing["timeout_ms"] == 20_000
+
+    import pytest as _pytest
+
+    for body, msg in [
+        ("tracing:\n  client_type: http\n  sampling_fraction: 1\n",
+         "endpoint must be set"),
+        ("tracing:\n  endpoint: e\n  client_type: udp\n",
+         "client type"),
+        ("tracing:\n  endpoint: e\n  compression: zstd\n",
+         "compression"),
+        ("tracing:\n  endpoint: e\n  headers:\n    authorization: x\n",
+         "authorization"),
+        ("tracing:\n  endpoint: e\n  headers:\n    User-Agent: x\n",
+         "reserved"),
+    ]:
+        p.write_text(body)
+        with _pytest.raises(ValueError, match=msg):
+            load_config(str(p))
