@@ -380,52 +380,58 @@ def write_block(
     # chunks segment 000001 (refs index it as segment 0)
     seg = bytearray(struct.pack(">IB3x", CHUNKS_MAGIC, 1))
     entries = []  # (labels, [(mint, maxt, ref)])
-    for labels, samples in series_samples:
-        samples = sorted(samples)
-        is_hist = samples and isinstance(samples[0][1], dict)
-        if is_hist:
-            ints = all(
-                float(s[1]["count"]).is_integer()
-                and all(float(b).is_integer() for b in s[1]["pos_buckets"])
-                and all(float(b).is_integer() for b in s[1]["neg_buckets"])
-                for s in samples
-            )
-            enc = ENC_HISTOGRAM if ints else ENC_FLOAT_HISTOGRAM
-            if ints:
-                # hist_int_encode takes the integer model's DELTA-form
-                # buckets; the samples-frame convention is absolute
-                def _deltas(bkts):
-                    out, prev = [], 0
-                    for b in bkts:
-                        out.append(int(b) - prev)
-                        prev = int(b)
-                    return out
-
-                data = chunkenc.hist_int_encode(
-                    [
-                        (
-                            t,
-                            dict(
-                                h,
-                                pos_buckets=_deltas(h["pos_buckets"]),
-                                neg_buckets=_deltas(h["neg_buckets"]),
-                            ),
-                        )
-                        for t, h in samples
-                    ]
+    for labels, all_samples in series_samples:
+        all_samples = sorted(all_samples)
+        metas = []
+        # cut chunks at 120 samples — the reference's head/compactor
+        # target (tsdb/head_append.go samplesPerChunk); a single chunk
+        # also hard-caps at 65535 samples, which sf10-scale series exceed
+        for ci in range(0, len(all_samples), 120):
+            samples = all_samples[ci:ci + 120]
+            is_hist = samples and isinstance(samples[0][1], dict)
+            if is_hist:
+                ints = all(
+                    float(s[1]["count"]).is_integer()
+                    and all(float(b).is_integer() for b in s[1]["pos_buckets"])
+                    and all(float(b).is_integer() for b in s[1]["neg_buckets"])
+                    for s in samples
                 )
+                enc = ENC_HISTOGRAM if ints else ENC_FLOAT_HISTOGRAM
+                if ints:
+                    # hist_int_encode takes the integer model's DELTA-form
+                    # buckets; the samples-frame convention is absolute
+                    def _deltas(bkts):
+                        out, prev = [], 0
+                        for b in bkts:
+                            out.append(int(b) - prev)
+                            prev = int(b)
+                        return out
+
+                    data = chunkenc.hist_int_encode(
+                        [
+                            (
+                                t,
+                                dict(
+                                    h,
+                                    pos_buckets=_deltas(h["pos_buckets"]),
+                                    neg_buckets=_deltas(h["neg_buckets"]),
+                                ),
+                            )
+                            for t, h in samples
+                        ]
+                    )
+                else:
+                    data = chunkenc.fh_encode(samples)
             else:
-                data = chunkenc.fh_encode(samples)
-        else:
-            enc = ENC_XOR
-            data = chunkenc.xor_encode(samples)
-        ref = len(seg)
-        body = bytes([enc]) + data
-        seg += _enc_uvarint(len(data)) + body
-        seg += struct.pack(">I", _crc32c(body))
-        entries.append(
-            (labels, [(samples[0][0], samples[-1][0], ref)])
-        )
+                enc = ENC_XOR
+                data = chunkenc.xor_encode(samples)
+            ref = len(seg)
+            body = bytes([enc]) + data
+            seg += _enc_uvarint(len(data)) + body
+            seg += struct.pack(">I", _crc32c(body))
+            metas.append((samples[0][0], samples[-1][0], ref))
+        if metas:
+            entries.append((labels, metas))
     with open(os.path.join(block_dir, "chunks", "000001"), "wb") as f:
         f.write(seg)
 
@@ -458,6 +464,14 @@ def write_block(
         mint, maxt, ref = chunks[0]
         body += _enc_varint(mint) + _enc_uvarint(maxt - mint)
         body += _enc_uvarint(ref)
+        prev_maxt, prev_ref = maxt, ref
+        for mint, maxt, ref in chunks[1:]:
+            # subsequent metas are delta-coded against the previous chunk
+            # (tsdb/index/index.go AddSeries)
+            body += _enc_uvarint(mint - prev_maxt)
+            body += _enc_uvarint(maxt - mint)
+            body += _enc_varint(ref - prev_ref)
+            prev_maxt, prev_ref = maxt, ref
         idx += _enc_uvarint(len(body)) + body
         idx += struct.pack(">I", _crc32c(bytes(body)))
 

@@ -527,3 +527,31 @@ def test_wal_metadata_records(tmp_path):
     }
     assert got["sessions"] == {"type": "gauge", "unit": "conns", "help": "updated"}
     assert len(got) == 2  # ref 3 has no series record -> dropped
+
+
+def test_write_block_multi_chunk_series(tmp_path):
+    """Series longer than one chunk split at 120 samples with
+    delta-coded chunk metas (tsdb/index/index.go AddSeries;
+    head_append.go samplesPerChunk) — sf10-scale series exceed the
+    65535-sample single-chunk cap."""
+    import os
+
+    from prometheus_spark.storage.tsdb_block import (
+        decode_chunk, read_chunk_at, read_index_series, write_block,
+    )
+
+    d = str(tmp_path / "block")
+    os.makedirs(d)
+    samples = [(i * 1000, float(i % 97)) for i in range(1000)]
+    write_block(d, [({"__name__": "big"}, samples)])
+    (entry,) = read_index_series(os.path.join(d, "index"))
+    assert len(entry["chunks"]) == (1000 + 119) // 120
+    with open(os.path.join(d, "chunks", "000001"), "rb") as f:
+        seg = f.read()
+    got = []
+    for mint, maxt, ref in entry["chunks"]:
+        enc, data = read_chunk_at(seg, ref & 0xFFFFFFFF)
+        part = decode_chunk(enc, data)
+        assert part[0][0] == mint and part[-1][0] == maxt
+        got += part
+    assert got == samples

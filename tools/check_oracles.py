@@ -48,11 +48,15 @@ def main():
         SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
         )
-        .config("spark.sql.shuffle.partitions", "8")
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_CPUS", "8"),
+        )
         # single-file parquet from duckdb at sf1/sf10 splits into only a
         # handful of 128MB scan partitions, serializing regex/UDF-heavy
         # map stages on a 32-core box — split finer
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         # sf1-sized streaming memory-sink collects overflow the 1g
