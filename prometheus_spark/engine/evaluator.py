@@ -294,6 +294,31 @@ class Evaluator:
             if fn == "predict_linear":
                 param = self._scalar(node.args[1])
             if fn == "double_exponential_smoothing":
+                m_node = node.args[0]
+                while isinstance(m_node, ParenExpr):
+                    m_node = m_node.expr
+                # as-of fast path: the DES recurrence itself is
+                # irreducible, but the range/step window explode is not
+                # (range_functions.eval_des_asof)
+                if (
+                    isinstance(m_node, MatrixSelector)
+                    and not m_node.anchored and not m_node.smoothed
+                    and not m_node.selector.anchored
+                    and not m_node.selector.smoothed
+                    and m_node.selector.at is None
+                ):
+                    qc = self._qctx()
+                    rng = resolve_duration_ms(m_node.range_ms, qc)
+                    off = resolve_duration_ms(m_node.selector.offset_ms, qc)
+                    thr = RF.prefix_threshold()
+                    if thr == 0 or (
+                        not ctx.is_instant and rng // ctx.step_ms >= thr
+                    ):
+                        return RF.eval_des_asof(
+                            ctx, m_node.selector, rng, off,
+                            self._scalar(node.args[1]),
+                            self._scalar(node.args[2]),
+                        )
                 w, rng, mode = self._matrix_arg(node.args[0])
                 if mode is not None:
                     raise PromQLEvalError(f"{mode} modifier cannot be used with {fn}")

@@ -962,3 +962,111 @@ def eval_range_function_prefix(
     if hist_out is not None:
         out = _union_hist(out, hist_out)
     return VectorFrame(out)
+
+
+def eval_des_asof(
+    ctx: EvalContext,
+    selector,
+    range_ms: int,
+    offset_ms: int,
+    sf,
+    tf,
+) -> VectorFrame:
+    """double_exponential_smoothing over a plain matrix selector without
+    the range/step window explode.
+
+    The DES recurrence (reference functions.go:981) consumes every
+    in-window sample per step and does not decompose into prefix sums —
+    the O(steps × window) sample touches are irreducible (the reference's
+    ring buffer pays the same).  What IS reducible is the explode: the
+    windowed plan duplicates every sample once per window it falls in
+    (8640× for ``[1d]`` at a 10s step) and pushes the copies through a
+    shuffle before folding.  This path ships each series' samples ONCE
+    into an Arrow batch and runs the recurrence for ALL steps of that
+    series simultaneously in numpy, iterating over the in-window sample
+    OFFSET: per iteration one vectorized multiply-add across the step
+    lanes, ``max_window_len`` iterations total.
+
+    Bit-parity with :func:`_holt_winters`: the fold order is identical —
+    ``level = sf·x + (1−sf)·(level₀ + trend₀)`` then
+    ``trend = tf·(level − level₀) + (1−tf)·trend₀`` with
+    ``level₀ = v[0], trend₀ = v[1] − v[0]`` — same IEEE-754 double ops in
+    the same order, so results match the JVM fold exactly (pinned by
+    tests/test_prefix_range.py::test_des_asof_parity).
+
+    Histogram samples are invisible to DES in the explode path
+    (``floats_only``); the same value-not-null filter applies here.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from prometheus_spark.engine.selectors import matcher_predicate
+
+    if not isinstance(sf, ConstScalar) or not isinstance(tf, ConstScalar):
+        raise PromQLEvalError(
+            "double_exponential_smoothing: scalar parameters required"
+        )
+    a, b = float(sf.value), float(tf.value)
+    if not (0 < a < 1) or not (0 < b < 1):
+        raise PromQLEvalError("smoothing/trend factors must be in (0, 1)")
+    oma, omb = 1.0 - a, 1.0 - b
+
+    base = ctx.samples.filter(
+        matcher_predicate(selector.matchers, ctx.samples.columns)
+    ).filter(~F.col("stale")).filter(F.col("value").isNotNull())
+    lo = ctx.start_ms - offset_ms - range_ms
+    hi = ctx.end_ms - offset_ms
+    base = base.filter((F.col("t") > lo) & (F.col("t") <= hi))
+
+    step_arr = np.arange(
+        ctx.start_ms, ctx.end_ms + 1, ctx.step_ms, dtype=np.int64
+    )
+    wend_arr = step_arr - offset_ms
+    rng = int(range_ms)
+
+    def des_series(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        order = np.argsort(pdf["t"].to_numpy(np.int64), kind="mergesort")
+        ts = pdf["t"].to_numpy(np.int64)[order]
+        vs = pdf["value"].to_numpy(np.float64)[order]
+        right = np.searchsorted(ts, wend_arr, side="right")
+        left = np.searchsorted(ts, wend_arr - rng, side="right")
+        n = right - left
+        valid = n >= 2
+        if not valid.any():
+            return pd.DataFrame({"sig": [], "t": [], "value": []}).astype(
+                {"sig": str, "t": np.int64, "value": np.float64}
+            )
+        start = left[valid]
+        length = n[valid]
+        level = vs[start].copy()
+        trend = vs[start + 1] - vs[start]
+        last = len(vs) - 1
+        for j in range(1, int(length.max())):
+            active = length > j
+            if not active.any():
+                break
+            x = vs[np.minimum(start + j, last)]
+            nl = a * x + oma * (level + trend)
+            nt = b * (nl - level) + omb * trend
+            level = np.where(active, nl, level)
+            trend = np.where(active, nt, trend)
+        return pd.DataFrame(
+            {
+                "sig": pdf["sig"].iloc[0],
+                "t": step_arr[valid],
+                "value": level,
+            }
+        )
+
+    res = base.select("sig", "t", "value").groupBy("sig").applyInPandas(
+        des_series, schema="sig string, t long, value double"
+    )
+    # labels re-attached from the series-cardinality side (maps can't be
+    # group keys and don't need to ride through Arrow)
+    sigs = base.groupBy("sig").agg(F.first("labels").alias("labels"))
+    # pyarrow's pandas bridge reads float NaN as null; the recurrence
+    # never produces a genuine null, so restore NaN on the way out
+    out = res.join(sigs, "sig").select(
+        "sig", "labels", "t", F.coalesce(F.col("value"), _NAN()).alias("value")
+    )
+    return VectorFrame(_finish(out, ctx))

@@ -98,3 +98,40 @@ def test_default_gate_uses_fast_path_on_wide_ratio(spark, samples):
     df2 = eng.range_query("rate(c[50s])", 100_000, 1_150_000, 10_000)
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     assert "cum_drop" not in plan2  # narrow ratio stays on explode
+
+
+DES_QUERIES = [
+    "double_exponential_smoothing(c[300s], 0.3, 0.2)",
+    "double_exponential_smoothing(g[250s], 0.5, 0.5)",
+    "double_exponential_smoothing(sp[500s], 0.1, 0.9)",
+    "double_exponential_smoothing(c[170s] offset 50s, 0.4, 0.1)",
+    "double_exponential_smoothing(sp[30s], 0.6, 0.3)",  # all-sparse: <2-sample windows drop
+]
+
+
+@pytest.mark.parametrize("q", DES_QUERIES)
+def test_des_asof_parity(spark, samples, q):
+    """eval_des_asof must be bit-identical to the windowed-explode fold
+    (same IEEE op order — see the docstring's recurrence mapping)."""
+    fast = _run(spark, samples, q, "1")
+    slow = _run(spark, samples, q, "99999999")
+    assert fast == slow
+
+
+def test_des_default_gate(spark, samples):
+    """Wide range/step ratio routes DES through applyInPandas (no window
+    explode in the plan); narrow ratio stays on the explode path."""
+    eng = PromQLEngine(spark, samples)
+    df = eng.range_query(
+        "double_exponential_smoothing(c[1000s], 0.3, 0.2)",
+        100_000, 1_150_000, 10_000,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+
+    df2 = eng.range_query(
+        "double_exponential_smoothing(c[50s], 0.3, 0.2)",
+        100_000, 1_150_000, 10_000,
+    )
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan2
