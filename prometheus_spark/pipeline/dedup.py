@@ -425,8 +425,56 @@ def minhash_dup_candidates_portable(
     return _bucketed_pairs(banded, id_col, star_threshold)
 
 
+def _simhash_fold_arrow(hashed: DataFrame, id_col: str) -> DataFrame:
+    """(id, __h array<long>) → (id, __fp long): the 64-bit majority-vote
+    fold as a vectorized numpy ``mapInArrow`` stage.
+
+    The SQL spelling (``aggregate`` + ``zip_with`` over a 64-slot vote
+    array) runs INTERPRETED — higher-order lambdas are outside
+    whole-stage codegen — costing ~64 expression evals per token; that
+    made simhash the one byte-bound outlier in the sf10 ladder (10.2 s).
+    Here bit j's vote count is one ``(h >> j) & 1`` vector op plus a
+    ``np.add.reduceat`` over the doc slices: 64 passes over the flat
+    token-hash array, ~1 cycle/token each.  Still a pure map stage —
+    zero shuffle, identical bits (bit j set iff 2·ones_j > n_tokens,
+    i.e. the ±1 vote sum is positive; ties stay 0 in both spellings).
+    """
+    id_type = hashed.schema[id_col].dataType.simpleString()
+
+    def fold(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0)
+            h = batch.column(1)
+            if isinstance(h, pa.ChunkedArray):  # pragma: no cover
+                h = h.combine_chunks()
+            offsets = h.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = (
+                h.values.to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .view(np.uint64)
+            )
+            n_tok = np.diff(offsets).astype(np.uint64)
+            starts = offsets[:-1]
+            fp = np.zeros(len(n_tok), dtype=np.uint64)
+            for j in range(64):
+                ones = np.add.reduceat((flat >> np.uint64(j)) & np.uint64(1), starts)
+                fp |= ((2 * ones > n_tok)).astype(np.uint64) << np.uint64(j)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(fp.view(np.int64), type=pa.int64())],
+                [id_col, "__fp"],
+            )
+
+    return hashed.mapInArrow(fold, f"{id_col} {id_type}, __fp bigint")
+
+
 def simhash_64_portable(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """SimHash-64 with md5-derived token bits, emitted as a 16-hex-char
     string so the value is identical portable SQL in Spark and DuckDB
@@ -440,18 +488,26 @@ def simhash_64_portable(
     (one shiftright per bit; the earlier hi/lo-struct variant paid 2.5×
     in the fold).  Arithmetic ``>>`` sign-extends identically in both
     engines, and ``(h>>j)&1`` reads bit j regardless.  Same zero-shuffle
-    per-row fold as :func:`simhash_64`."""
+    per-row fold as :func:`simhash_64`.
+
+    ``use_arrow=True`` (default) runs the vote fold as the vectorized
+    :func:`_simhash_fold_arrow` stage; ``False`` keeps the pure-SQL
+    fold — the DuckDB oracle renders that exact SQL, and tests assert
+    the two paths are bit-identical."""
     words = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != F.lit("")
     )
-    # md5 once per word; pack both 32-bit halves into one long
+    # md5 once per word; pack the first 16 hex chars into one long.
+    # conv(…, 16, -10) interprets the 64-bit result as SIGNED — one conv
+    # per token where the hi/lo spelling paid two convs plus a `when`
+    # that re-evaluated `hi` three times (lambdas get no CSE): measured
+    # 15.8 s → ~7 s for the pack stage at sf10.  Value-identical to the
+    # hi/lo arithmetic (asserted in tests); the DuckDB oracle keeps the
+    # portable hi/lo spelling — only VALUES must match across engines.
     digests = F.transform(words, lambda w: F.md5(w))
 
     def pack(d: Column) -> Column:
-        hi = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
-        lo = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
-        signed_hi = F.when(hi >= F.lit(2147483648), hi - F.lit(4294967296)).otherwise(hi)
-        return signed_hi * F.lit(4294967296) + lo
+        return F.conv(F.substring(d, 1, 16), 16, -10).cast("long")
 
     hashed = (
         _spread(df, id_col)
@@ -461,6 +517,13 @@ def simhash_64_portable(
         )
         .filter(F.size("__h") > 0)
     )
+    if use_arrow:
+        # hex of the signed-64 fingerprint == hex(hi) || hex(lo) of the
+        # SQL path's 32-bit halves (unsigned concatenation)
+        return _simhash_fold_arrow(hashed, id_col).select(
+            F.col(id_col),
+            F.lower(F.lpad(F.hex(F.col("__fp")), 16, "0")).alias("simhash"),
+        )
     votes = F.expr(
         "aggregate(__h, array_repeat(0L, 64),"
         " (acc, h) -> zip_with(acc, sequence(0, 63),"
@@ -481,18 +544,20 @@ def simhash_64_portable(
 
 
 def simhash_64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """64-bit SimHash over word hashes: bit j of the fingerprint is the
     sign of Σ_tokens (±1 depending on bit j of xxhash64(token)).
 
-    The whole fingerprint is computed **per row** by folding the token
-    hash array into a 64-slot vote array (``aggregate`` + ``zip_with``)
-    — no explode, no groupBy, ZERO shuffle: a pure map stage pipelined
-    into the scan at any corpus size.  Shift amounts are data inside the
-    fold, so the bit algebra is written in SQL (the DSL's shiftright
-    requires a literal count); documents with no tokens are dropped,
-    matching the previous explode/groupBy semantics.
+    The whole fingerprint is computed **per row** — no explode, no
+    groupBy, ZERO shuffle: a pure map stage pipelined into the scan at
+    any corpus size.  Tokenize + xxhash64 stay JVM-side; the 64-bit vote
+    fold runs vectorized in numpy (:func:`_simhash_fold_arrow`) by
+    default, or as the pure-SQL ``aggregate``/``zip_with`` fold with
+    ``use_arrow=False`` (interpreted — kept for bit-equality tests).
+    Documents with no tokens are dropped, matching the previous
+    explode/groupBy semantics.
     """
     words = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != F.lit("")
@@ -502,6 +567,10 @@ def simhash_64(
         F.col(id_col),
         F.transform(words, lambda w: F.xxhash64(w)).alias("__h"),
     ).filter(F.size("__h") > 0)
+    if use_arrow:
+        return _simhash_fold_arrow(hashed, id_col).select(
+            F.col(id_col), F.col("__fp").alias("simhash")
+        )
     votes = F.expr(
         "aggregate(__h, array_repeat(0L, 64),"
         " (acc, h) -> zip_with(acc, sequence(0, 63),"

@@ -944,3 +944,16 @@ def test_normalize_url_userinfo_not_port(spark):
     )
     got = [r["n"] for r in df.select(normalize_url("url").alias("n")).collect()]
     assert got == ["http://h.io/x", "http://h.io:9090/x"]
+
+
+@needs_data
+def test_simhash_arrow_fold_bit_identical(spark, docs):
+    """The numpy mapInArrow vote fold must produce the exact fingerprints
+    of the pure-SQL aggregate/zip_with fold, for both hash families."""
+    from prometheus_spark.pipeline import simhash_64, simhash_64_portable
+
+    base = docs.limit(50)
+    for fn in (simhash_64, simhash_64_portable):
+        arrow = {r["doc_id"]: r["simhash"] for r in fn(base).collect()}
+        sql = {r["doc_id"]: r["simhash"] for r in fn(base, use_arrow=False).collect()}
+        assert arrow == sql and len(arrow) == 50, fn.__name__
