@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["promql_range_rate"] = _promql_range_rate
     q["promql_range_rate_wide"] = lambda s, d: _promql_range_wide(s, d, "rate", 6)
     q["promql_range_changes_wide"] = lambda s, d: _promql_range_wide(s, d, "changes", 6)
+    q["promql_des_wide"] = _promql_des_wide
 
     # --- PromQL: classic histograms (§2.4) -------------------------------
     q["promql_histogram_quantile_classic"] = lambda s, d: _hist_classic(
@@ -515,6 +516,22 @@ def _promql_range_wide(spark, sf_dir, fn, round_to):
         F.element_at("labels", "user_id").alias("user_id"),
         "t",
         F.round("value", round_to).alias("value"),
+    )
+
+
+def _promql_des_wide(spark, sf_dir):
+    """double_exponential_smoothing at wide range/step ratio (168 ≥ the
+    gate threshold): exercises the as-of Arrow fast path
+    (range_functions.eval_des_asof) under the driver's correctness gate;
+    the DuckDB oracle replays the recurrence as a recursive CTE with the
+    identical IEEE op order."""
+    return _engine(spark, sf_dir).range_query(
+        f"double_exponential_smoothing(purchase[{RANGE_7D}], 0.3, 0.2)",
+        T0_MS - 2 * 86_400_000, T0_MS, 3_600_000,
+    ).select(
+        F.element_at("labels", "user_id").alias("user_id"),
+        "t",
+        F.round("value", 6).alias("value"),
     )
 
 
@@ -1788,6 +1805,38 @@ FROM y
         .replace(f"VALUES {_GRID3}", f"VALUES {_GRIDH}")
         .replace(", 10) AS value", ", 6) AS value")
     )
+    # DES recurrence as a recursive CTE, same IEEE op order as the
+    # engine's fold: l0 = x1, b0 = x2 - x1, then per sample
+    # l' = sf·x + (1−sf)·(l + b); b' = tf·(l' − l) + (1−tf)·b.
+    # (1−0.3 and 1−0.2 are exactly 0.7/0.8 in binary64, so the literals
+    # parse to the identical doubles the engine multiplies by.)
+    o["promql_des_wide"] = f"""
+WITH RECURSIVE steps(st) AS (SELECT * FROM (VALUES {_GRIDH})),
+w AS (
+  SELECT s.st, CAST(e.user_id AS VARCHAR) AS user_id, e.value,
+         ROW_NUMBER() OVER (PARTITION BY s.st, e.user_id ORDER BY epoch_ms(e.ts)) AS i,
+         COUNT(*) OVER (PARTITION BY s.st, e.user_id) AS n
+  FROM steps s JOIN events e
+    ON e.event_type = 'purchase'
+   AND epoch_ms(e.ts) > s.st - {_R7} AND epoch_ms(e.ts) <= s.st
+),
+rec(st, user_id, i, n, l, b) AS (
+  SELECT w1.st, w1.user_id, 2, w1.n,
+         0.3 * w2.value + 0.7 * (w1.value + (w2.value - w1.value)),
+         0.2 * ((0.3 * w2.value + 0.7 * (w1.value + (w2.value - w1.value))) - w1.value)
+           + 0.8 * (w2.value - w1.value)
+  FROM w w1 JOIN w w2
+    ON w2.st = w1.st AND w2.user_id = w1.user_id AND w2.i = 2
+  WHERE w1.i = 1 AND w1.n >= 2
+  UNION ALL
+  SELECT r.st, r.user_id, r.i + 1, r.n,
+         0.3 * w.value + 0.7 * (r.l + r.b),
+         0.2 * ((0.3 * w.value + 0.7 * (r.l + r.b)) - r.l) + 0.8 * r.b
+  FROM rec r JOIN w
+    ON w.st = r.st AND w.user_id = r.user_id AND w.i = r.i + 1
+)
+SELECT user_id, st AS t, ROUND(l, 6) AS value FROM rec WHERE i = n
+"""
     o["promql_range_changes_wide"] = f"""
 WITH steps(st) AS (SELECT * FROM (VALUES {_GRIDH})),
 w AS (
