@@ -1363,6 +1363,22 @@ def build_server(
     api.relabel_configs_by_pool = {
         j.job_name: j.relabel_configs for j in cfg.scrape_jobs
     }
+    # tracing manager: install/replace the span provider from the
+    # config's tracing section (cmd/prometheus/main.go wires
+    # tracing.Manager into the reloaders list; tracing.go:71 ApplyConfig)
+    from prometheus_spark.tracing import Manager as TracingManager
+
+    tracing_mgr = TracingManager()
+    if cfg.tracing:
+        try:
+            tracing_mgr.apply_config(cfg.tracing)
+        except RuntimeError as exc:
+            # grpc exporter needs the optional opentelemetry dependency;
+            # run without tracing rather than failing startup
+            import logging
+
+            logging.getLogger(__name__).warning("tracing disabled: %s", exc)
+
     return {
         "config": cfg,
         "discovery": discovery,
@@ -1372,6 +1388,7 @@ def build_server(
         "engine": engine,
         "rules_engine": rules_engine,
         "api": api,
+        "tracing": tracing_mgr,
     }
 
 

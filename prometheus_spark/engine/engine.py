@@ -139,27 +139,36 @@ class PromQLEngine:
         cached = self._plan_cache.get(key)
         if cached is not None:
             return cached
-        node = parse_expr(query)
-        ctx = self._ctx(start_ms, end_ms, step_ms)
-        result = Evaluator(ctx).eval(node)
-        if isinstance(result, ConstScalar):
-            result = scalar_frame_from_const(ctx, result.value)
-        if isinstance(result, ScalarFrame):
-            empty = F.map_from_arrays(
-                F.array().cast("array<string>"), F.array().cast("array<string>")
-            )
-            out = result.df.select(
-                F.lit("").alias("sig"), empty.alias("labels"), "t", "value"
-            ).orderBy("t")
-            self._plan_cache_put(key, out)
-            return out
-        if isinstance(result, StringValue):
-            raise ValueError("string results are API-only; not a DataFrame")
-        if isinstance(result, VectorFrame):
-            out = self._finalize(result.df)
-            self._plan_cache_put(key, out)
-            return out
-        raise TypeError(f"unexpected result {type(result).__name__}")
+        # span names are the reference's stats timer operations
+        # (util/stats/query_stats.go:61 SpanOperation); the Spark
+        # analogue of "eval" is logical-plan construction
+        from prometheus_spark.tracing import span
+
+        with span("promqlExec", query=query):
+            with span("promqlPrepare"):
+                node = parse_expr(query)
+            ctx = self._ctx(start_ms, end_ms, step_ms)
+            with span("promqlEval"):
+                result = Evaluator(ctx).eval(node)
+            if isinstance(result, ConstScalar):
+                result = scalar_frame_from_const(ctx, result.value)
+            if isinstance(result, ScalarFrame):
+                empty = F.map_from_arrays(
+                    F.array().cast("array<string>"), F.array().cast("array<string>")
+                )
+                out = result.df.select(
+                    F.lit("").alias("sig"), empty.alias("labels"), "t", "value"
+                ).orderBy("t")
+                self._plan_cache_put(key, out)
+                return out
+            if isinstance(result, StringValue):
+                raise ValueError("string results are API-only; not a DataFrame")
+            if isinstance(result, VectorFrame):
+                with span("promqlSort"):
+                    out = self._finalize(result.df)
+                self._plan_cache_put(key, out)
+                return out
+            raise TypeError(f"unexpected result {type(result).__name__}")
 
     def _finalize(self, df: DataFrame) -> DataFrame:
         """Delayed name removal (reference: delayed __name__ dropping +

@@ -55,6 +55,18 @@ class Evaluator:
 
     # ------------------------------------------------------------------
     def eval(self, node: Expr):
+        # per-expression eval span (reference promql/engine.go:2065
+        # "promqlInnerEval eval <type>"); zero-cost while tracing is off
+        from prometheus_spark import tracing
+
+        if tracing._ACTIVE:
+            with tracing.span(
+                f"promqlInnerEval eval {type(node).__name__}"
+            ):
+                return self._eval_node(node)
+        return self._eval_node(node)
+
+    def _eval_node(self, node: Expr):
         ctx = self.ctx
         if isinstance(node, NumberLiteral):
             return ConstScalar(node.value)

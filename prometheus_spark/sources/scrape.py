@@ -539,6 +539,15 @@ class ScrapeManager:
     def _scrape_target(
         self, tgt: ScrapeTarget, now_ms: int, fail_all: bool = False
     ) -> int:
+        # "Scrape" span per target fetch (reference scrape/scrape.go:746)
+        from prometheus_spark.tracing import span
+
+        with span("Scrape"):
+            return self._scrape_target_inner(tgt, now_ms, fail_all)
+
+    def _scrape_target_inner(
+        self, tgt: ScrapeTarget, now_ms: int, fail_all: bool = False
+    ) -> int:
         tl = tgt.target_labels()
         lim = tgt.limits or self.limits
         start = time.monotonic()

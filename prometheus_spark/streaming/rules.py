@@ -281,13 +281,19 @@ class RulesEngine:
         state; Spark job submission is thread-safe."""
 
         def eval_one(idx: int):
+            from prometheus_spark.tracing import span
+
             rule = group.rules[idx]
-            if isinstance(rule, RecordingRule):
-                return "rec", self._eval_recording(group, rule, ts)
-            return "alert", self._eval_alerting(
-                group, rule, ts, idx, active_ts=ts + offset_ms,
-                emit_series=emit_alert_series,
-            )
+            name = rule.record if isinstance(rule, RecordingRule) else rule.alert
+            # "rule" span with the rule's name attribute
+            # (reference rules/group.go:515-516)
+            with span("rule", name=name):
+                if isinstance(rule, RecordingRule):
+                    return "rec", self._eval_recording(group, rule, ts)
+                return "alert", self._eval_alerting(
+                    group, rule, ts, idx, active_ts=ts + offset_ms,
+                    emit_series=emit_alert_series,
+                )
 
         results: dict = {}
         batches = self._group_batches(group)
