@@ -370,6 +370,32 @@ class Evaluator:
             return RF.eval_range_function(ctx, fn, w, rng, param, mode=mode)
 
         if fn == "absent_over_time":
+            m_node = node.args[0]
+            while isinstance(m_node, ParenExpr):
+                m_node = m_node.expr
+            # absent_over_time(x[r]) ≡ absent(present_over_time(x[r]));
+            # at wide range/step ratio, route presence through the
+            # prefix fast path instead of the window explode
+            if (
+                isinstance(m_node, MatrixSelector)
+                and not m_node.anchored and not m_node.smoothed
+                and not m_node.selector.anchored
+                and not m_node.selector.smoothed
+                and m_node.selector.at is None
+            ):
+                qc = self._qctx()
+                rng = resolve_duration_ms(m_node.range_ms, qc)
+                off = resolve_duration_ms(m_node.selector.offset_ms, qc)
+                thr = RF.prefix_threshold()
+                if thr == 0 or (
+                    not ctx.is_instant and rng // ctx.step_ms >= thr
+                ):
+                    pv = RF.eval_range_function_prefix(
+                        ctx, "present_over_time", m_node.selector, rng, off
+                    )
+                    return FN.eval_absent(
+                        ctx, pv, _inferred_labels(node.args[0])
+                    )
             w, _, mode = self._matrix_arg(node.args[0])
             if mode is not None:
                 raise PromQLEvalError(f"{mode} modifier cannot be used with absent_over_time")

@@ -109,6 +109,24 @@ DES_QUERIES = [
 ]
 
 
+ABSENT_QUERIES = [
+    "absent_over_time(c[300s])",
+    "absent_over_time(sp[30s])",       # sparse: mostly-absent windows
+    "absent_over_time(g[90s])",        # gappy gauge
+    "absent_over_time(sp[60s] offset 7s)",
+    "absent_over_time(nosuch[120s])",  # nothing matches: all-absent
+]
+
+
+@pytest.mark.parametrize("q", ABSENT_QUERIES)
+def test_absent_over_time_prefix_parity(spark, samples, q):
+    """absent_over_time routed through present_over_time's prefix path
+    must match the windowed-explode evaluation exactly."""
+    fast = _run(spark, samples, q, "1")
+    slow = _run(spark, samples, q, "99999999")
+    assert fast == slow
+
+
 @pytest.mark.parametrize("q", DES_QUERIES)
 def test_des_asof_parity(spark, samples, q):
     """eval_des_asof must be bit-identical to the windowed-explode fold
