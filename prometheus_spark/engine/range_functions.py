@@ -79,11 +79,17 @@ def prefix_threshold() -> int:
     """Minimum range/step ratio for the fast path.  Below it, the
     explode path's duplication factor is small and its single shuffle
     wins; above it, the explode factor dominates (a [1d] window on a 10s
-    step duplicates every sample 8640×).  Override for testing with
+    step duplicates every sample 8640×).  Measured crossover on the
+    reference macro-bench shapes (27M samples, local[32]): ratio 6 →
+    explode wins (1.5 vs 1.9 s), ratio 30 → prefix wins 2×
+    (``histogram_quantile(0.9, rate(h_hundred[5m]))`` steps=1000:
+    17.9 → 9.2 s); 24 splits the gap with margin toward explode, whose
+    worst case is bounded (dup ≤ ratio) while the prefix probe count
+    (2·series·steps) is density-blind.  Override for testing with
     PROMSPARK_PREFIX_RANGE_THRESHOLD."""
     import os
 
-    return int(os.environ.get("PROMSPARK_PREFIX_RANGE_THRESHOLD", "64"))
+    return int(os.environ.get("PROMSPARK_PREFIX_RANGE_THRESHOLD", "24"))
 
 
 def eval_range_function(
