@@ -1039,8 +1039,12 @@ def eval_des_asof(
         n = right - left
         valid = n >= 2
         if not valid.any():
-            return pd.DataFrame({"sig": [], "t": [], "value": []}).astype(
-                {"sig": str, "t": np.int64, "value": np.float64}
+            return pd.DataFrame(
+                {"sig": pd.Series([], dtype=str),
+                 "lk": pd.Series([], dtype=object),
+                 "lv": pd.Series([], dtype=object),
+                 "t": pd.Series([], dtype=np.int64),
+                 "value": pd.Series([], dtype=np.float64)}
             )
         start = left[valid]
         length = n[valid]
@@ -1056,23 +1060,36 @@ def eval_des_asof(
             nt = b * (nl - level) + omb * trend
             level = np.where(active, nl, level)
             trend = np.where(active, nt, trend)
+        m = int(valid.sum())
         return pd.DataFrame(
             {
                 "sig": pdf["sig"].iloc[0],
+                # label key/value arrays (constant per series) ride the
+                # batch so no second scan/join re-derives them; Arrow
+                # can't marshal pandas dicts to MAP, arrays it can
+                "lk": [pdf["lk"].iloc[0]] * m,
+                "lv": [pdf["lv"].iloc[0]] * m,
                 "t": step_arr[valid],
                 "value": level,
             }
         )
 
-    res = base.select("sig", "t", "value").groupBy("sig").applyInPandas(
-        des_series, schema="sig string, t long, value double"
+    res = base.select(
+        "sig",
+        F.map_keys("labels").alias("lk"),
+        F.map_values("labels").alias("lv"),
+        "t",
+        "value",
+    ).groupBy("sig").applyInPandas(
+        des_series,
+        schema="sig string, lk array<string>, lv array<string>, t long, value double",
     )
-    # labels re-attached from the series-cardinality side (maps can't be
-    # group keys and don't need to ride through Arrow)
-    sigs = base.groupBy("sig").agg(F.first("labels").alias("labels"))
     # pyarrow's pandas bridge reads float NaN as null; the recurrence
     # never produces a genuine null, so restore NaN on the way out
-    out = res.join(sigs, "sig").select(
-        "sig", "labels", "t", F.coalesce(F.col("value"), _NAN()).alias("value")
+    out = res.select(
+        "sig",
+        F.map_from_arrays("lk", "lv").alias("labels"),
+        "t",
+        F.coalesce(F.col("value"), _NAN()).alias("value"),
     )
     return VectorFrame(_finish(out, ctx))
