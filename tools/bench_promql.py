@@ -164,6 +164,10 @@ def main() -> None:
     ap.add_argument("--out", default="BENCH_PROMQL.json")
     ap.add_argument("--filter", default="")
     ap.add_argument("--intervals", type=int, default=8640 + 10000)
+    # Go's BenchmarkRangeQuery reports steady-state per-iteration time
+    # (b.N warm runs); min-of-N mirrors that instead of charging each
+    # case its one-time Janino codegen
+    ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -206,13 +210,16 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         name = f"expr={expr},steps={steps}"
         start_ms = (num_intervals - steps) * INTERVAL_MS
-        t0 = time.monotonic()
         try:
-            df = eng.range_query(expr, start_ms, end_ms, INTERVAL_MS)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.monotonic() - t0
-            results[name] = round(dt, 4)
-            print(f"ok   {dt:8.3f}s  {name}", file=sys.stderr, flush=True)
+            best = None
+            for _ in range(max(1, args.runs)):
+                t0 = time.monotonic()
+                df = eng.range_query(expr, start_ms, end_ms, INTERVAL_MS)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            results[name] = round(best, 4)
+            print(f"ok   {best:8.3f}s  {name}", file=sys.stderr, flush=True)
         except Exception as e:  # noqa: BLE001 — record and continue
             errors[name] = str(e)[:200]
             print(f"FAIL {name}: {e}", file=sys.stderr, flush=True)
@@ -229,6 +236,8 @@ def main() -> None:
         "samples": n,
         "num_intervals": num_intervals,
         "setup_sec": round(setup_sec, 2),
+        "runs": args.runs,
+        "timing": "min",
         "source": "promql/bench_test.go rangeQueryCases",
     }
     with open(args.out, "w") as f:
