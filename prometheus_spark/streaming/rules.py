@@ -320,7 +320,14 @@ class RulesEngine:
                             finally:
                                 self.concurrency.done()
 
-                        futures[idx] = pool.submit(run)
+                        # copy_context: pool threads don't inherit
+                        # contextvars, which would orphan the tracing
+                        # span parent (the reference passes ctx through)
+                        import contextvars
+
+                        futures[idx] = pool.submit(
+                            contextvars.copy_context().run, run
+                        )
                     else:
                         inline.append(idx)
                 for idx in inline:
