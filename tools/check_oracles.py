@@ -91,13 +91,13 @@ def main():
             srows = sdf.collect()
             scols = sorted(sdf.columns)
         except Exception as e:
-            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:200]}")
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:200]}", flush=True)
             report[name] = {"rows_match": False, "schema_match": False,
                             "hash_match": False, "err": f"{type(e).__name__}: {str(e)[:300]}"}
             bad += 1
             continue
         if name not in oracles:
-            print(f"rows-only {name}: {len(srows)} rows")
+            print(f"rows-only {name}: {len(srows)} rows", flush=True)
             report[name] = {"rows_match": None, "schema_match": None,
                             "hash_match": None, "spark_rows": len(srows),
                             "err": None, "note": "no oracle"}
@@ -106,7 +106,7 @@ def main():
         try:
             ddf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
-            print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
+            print(f"FAIL {name}: duckdb error: {str(e)[:200]}", flush=True)
             report[name] = {"rows_match": False, "schema_match": False,
                             "hash_match": False, "err": f"duckdb: {str(e)[:300]}"}
             bad += 1
@@ -140,7 +140,7 @@ def main():
                             "oracle_rows": len(dset), "err": None}
             bad += 1
             continue
-        print(f"OK   {name}: {len(sset)} rows")
+        print(f"OK   {name}: {len(sset)} rows", flush=True)
         report[name] = {"rows_match": True, "schema_match": True,
                         "hash_match": True, "spark_rows": len(sset),
                         "oracle_rows": len(dset), "err": None}
