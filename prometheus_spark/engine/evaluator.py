@@ -366,6 +366,18 @@ class Evaluator:
                     return RF.eval_range_function_prefix(
                         ctx, fn, m_node.selector, rng, off
                     )
+                # explode-favoring ratio, but histogram windows are
+                # Python-cost dominated: pure-hist series still win on
+                # the as-of path (range_functions.eval_rate_hybrid)
+                if (
+                    fn in ("rate", "increase", "delta")
+                    and not ctx.is_instant
+                    and "hist" in ctx.samples.columns
+                    and rng // ctx.step_ms >= RF.hist_asof_threshold()
+                ):
+                    return RF.eval_rate_hybrid(
+                        ctx, fn, m_node.selector, rng, off
+                    )
             w, rng, mode = self._matrix_arg(node.args[m_idx])
             return RF.eval_range_function(ctx, fn, w, rng, param, mode=mode)
 

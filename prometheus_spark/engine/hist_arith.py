@@ -597,3 +597,181 @@ def window_resets_changes(ctx: EvalContext, windowed: DataFrame, func: str) -> D
 
     out = _grouped_apply_batched(src, ("sig", "t"), one_group)
     return assemble(out, drop_name=True)
+
+
+def window_rate_asof(
+    ctx: EvalContext,
+    base: DataFrame,
+    range_ms: int,
+    offset_ms: int,
+    is_counter: bool,
+    is_rate: bool,
+) -> DataFrame:
+    """rate/increase/delta over PURE-histogram series without the
+    range/step window explode.
+
+    :func:`window_rate` receives every sample duplicated once per window
+    it falls in and runs ``hist_rate`` per (sig, step) group — at ratio
+    40 (``rate(h[20m])`` on a 30s grid) that is 40× the input through a
+    shuffle AND 40× the ``from_row`` deserializations.  Here each series
+    ships ONCE into an Arrow batch: samples deserialize once, adjacent-
+    pair counter resets and schema/custom-bucket arrays are computed
+    once, windows come from two ``searchsorted`` probes, and each window
+    replays ``hist_rate``'s exact op sequence on index slices — the
+    per-window correction loop touches only the resets inside the window
+    (``reset_idx`` bisection), so windows without resets cost three
+    histogram ops (copy, sub, mul).  Bit-identical to the explode path:
+    same ops in the same order per window (pinned by
+    tests/test_prefix_range.py::test_hist_rate_asof_parity and the
+    native_histograms corpus under PROMSPARK_PREFIX_RANGE_THRESHOLD=0).
+
+    ``base``: un-windowed samples (sig, labels, t, hist[, st]) of series
+    whose samples are ALL histograms; mixed float+hist series must stay
+    on the explode path (``_split_windows`` owns per-window float/mixed
+    routing).
+    """
+    from prometheus_spark.shipping import ensure_shipped
+
+    ensure_shipped(ctx.spark)
+    import numpy as np
+
+    if "st" not in base.columns:
+        base = base.withColumn("st", F.lit(None).cast("long"))
+    src = base.select("sig", "labels", "t", "hist", "st")
+    range_s = range_ms / 1000.0
+    rng = int(range_ms)
+    step_arr = np.arange(
+        ctx.start_ms, ctx.end_ms + 1, ctx.step_ms, dtype=np.int64
+    )
+    wend_arr = step_arr - offset_ms
+
+    def one_series(pdf, rows):
+        from prometheus_spark.model.histogram import (
+            GAUGE_TYPE,
+            FloatHist,
+            HistIncompatibleSchema,
+            from_row,
+            st_reset,
+        )
+
+        pdf = pdf.sort_values("t")
+        ts = pdf["t"].to_numpy(np.int64)
+        points = [from_row(h) for h in pdf["hist"]]
+        sts = [None if st is None or st != st else int(st) for st in pdf["st"]]
+        labels = dict(pdf["labels"].iloc[0])
+        n_s = len(points)
+        reset = np.zeros(n_s, dtype=bool)  # reset[j] = pair (j-1, j)
+        if is_counter:
+            for j in range(1, n_s):
+                pj, pp = points[j], points[j - 1]
+                if pj is None or pp is None:
+                    continue
+                reset[j] = st_reset(
+                    sts[j - 1], int(ts[j - 1]), sts[j], int(ts[j])
+                ) or pj.detect_reset(pp)
+        reset_idx = np.flatnonzero(reset)
+        nones = np.array([p is None for p in points], dtype=bool)
+        schemas = np.array(
+            [p.schema if p is not None else 127 for p in points], dtype=np.int32
+        )
+        customs = np.array(
+            [bool(p.uses_custom_buckets()) if p is not None else False
+             for p in points],
+            dtype=bool,
+        )
+        right = np.searchsorted(ts, wend_arr, side="right")
+        left = np.searchsorted(ts, wend_arr - rng, side="right")
+
+        def rate_window(a: int, b: int):
+            # hist_rate (model/histogram.py:1094) on the index slice
+            prev, last = points[a], points[b]
+            if prev is None or last is None:
+                return None
+            using_custom = prev.uses_custom_buckets()
+            if is_counter:
+                second = points[a + 1]
+                if second is not None and reset[a + 1]:
+                    prev = FloatHist(
+                        schema=second.schema,
+                        custom_values=list(second.custom_values),
+                    )
+                    using_custom = second.uses_custom_buckets()
+            if last.uses_custom_buckets() != using_custom:
+                return None
+            min_schema = min(last.schema, prev.schema)
+            if b - a >= 2:  # middles a+1 .. b-1
+                mid = slice(a + 1, b)
+                if nones[mid].any():
+                    return None
+                if is_counter:
+                    if (customs[mid] != using_custom).any():
+                        return None
+                    noncust = ~customs[mid]
+                    if noncust.any():
+                        mmin = int(schemas[mid][noncust].min())
+                        if mmin < min_schema:
+                            min_schema = mmin
+            h = last.copy().reduce_to_schema(min_schema)
+            try:
+                h.add(prev, sub=True)
+                if is_counter:
+                    # pairs j in [a+2 .. b] with a reset, in time order —
+                    # identical op order to hist_rate's loop (the window's
+                    # first pair is a numeric no-op there: on reset, prev
+                    # was replaced by an empty histogram before the add)
+                    lo = int(np.searchsorted(reset_idx, a + 2))
+                    hi = int(np.searchsorted(reset_idx, b, side="right"))
+                    for j in reset_idx[lo:hi]:
+                        h.add(points[int(j) - 1])
+            except HistIncompatibleSchema:
+                return None
+            h.counter_reset_hint = GAUGE_TYPE
+            return h.compact()
+
+        for w in range(len(step_arr)):
+            a, b = int(left[w]), int(right[w]) - 1
+            npts = b - a + 1
+            if npts < 1:
+                continue
+            wend = int(wend_arr[w])
+            first_t, last_t = int(ts[a]), int(ts[b])
+            st0 = sts[a] or 0
+            st_cond = (
+                is_counter and st0 != 0 and (wend - rng) < st0 < first_t
+            )
+            h = rate_window(a, b) if npts >= 2 else None
+            if h is None and not (st_cond and npts == 1):
+                continue
+            # extrapolation — window_rate.one_group, verbatim arithmetic
+            sampled = (last_t - first_t) / 1000.0
+            avg_spacing = sampled / (npts - 1) if npts > 1 else 0.0
+            threshold = avg_spacing * 1.1
+            dur_start = (first_t - (wend - rng)) / 1000.0
+            dur_end = (wend - last_t) / 1000.0
+            if st_cond:
+                dur_start = 0.0
+                sampled = (last_t - st0) / 1000.0
+                if h is None:
+                    h = points[a].copy()
+                else:
+                    h.add(points[a])
+            else:
+                if dur_start >= threshold:
+                    dur_start = avg_spacing / 2.0
+                if is_counter and h.count > 0 and points[a].count >= 0:
+                    dur_zero = sampled * (points[a].count / h.count)
+                    if dur_zero < dur_start:
+                        dur_start = dur_zero
+            if dur_end >= threshold:
+                dur_end = avg_spacing / 2.0
+            factor = (sampled + dur_start + dur_end) / sampled if sampled else 1.0
+            if is_rate:
+                factor /= range_s
+            h.mul(factor)
+            h.compact()
+            h.counter_reset_hint = GAUGE_TYPE
+            _append_row(rows, labels, int(step_arr[w]), None, h)
+        return
+
+    out = _grouped_apply_batched(src, ("sig",), one_series)
+    return assemble(out, drop_name=True)

@@ -807,19 +807,50 @@ def eval_range_function_prefix(
 
     hist_out = None
     if has_hist:
-        # route whole series with any histogram sample to the explode
-        # path — it owns the histogram algebra and mixed-window drops
+        # histogram-carrying series split three ways: pure-histogram
+        # series take the as-of path for the rate family (same
+        # O(samples + steps) shape as the float fast path, no window
+        # explode — hist_arith.window_rate_asof); mixed float+hist
+        # series go to the explode path, which owns per-window
+        # float/mixed routing (_split_windows); pure-float series stay
+        # on the float fast path
         flagged = base.withColumn(
             "__has_h",
             F.max(F.col("hist").isNotNull().cast("int")).over(
                 W.partitionBy("sig")
             ),
+        ).withColumn(
+            "__has_f",
+            F.max(F.col("value").isNotNull().cast("int")).over(
+                W.partitionBy("sig")
+            ),
         )
-        hseries = flagged.filter(F.col("__has_h") == 1).drop("__has_h")
         base_f = flagged.filter(F.col("__has_h") == 0).select(*cols)
-        # lazily evaluated: zero hist series → empty explode input
-        hw = windowed_samples(ctx, hseries, range_ms, offset_ms=offset_ms)
-        hist_out = eval_range_function(ctx, func, hw, range_ms).df
+        from prometheus_spark.engine import hist_arith
+
+        if func in ("rate", "increase", "delta"):
+            pure_h = flagged.filter(
+                (F.col("__has_h") == 1) & (F.col("__has_f") == 0)
+            ).drop("__has_h", "__has_f")
+            mixed = flagged.filter(
+                (F.col("__has_h") == 1) & (F.col("__has_f") == 1)
+            ).drop("__has_h", "__has_f")
+            hist_out = hist_arith.window_rate_asof(
+                ctx, pure_h, range_ms, offset_ms,
+                is_counter=func != "delta", is_rate=func == "rate",
+            )
+            mw = windowed_samples(ctx, mixed, range_ms, offset_ms=offset_ms)
+            hist_out = hist_out.unionByName(
+                eval_range_function(ctx, func, mw, range_ms).df,
+                allowMissingColumns=True,
+            )
+        else:
+            hseries = flagged.filter(F.col("__has_h") == 1).drop(
+                "__has_h", "__has_f"
+            )
+            # lazily evaluated: zero hist series → empty explode input
+            hw = windowed_samples(ctx, hseries, range_ms, offset_ms=offset_ms)
+            hist_out = eval_range_function(ctx, func, hw, range_ms).df
     else:
         base_f = base.select(*cols)
 
@@ -1093,3 +1124,67 @@ def eval_des_asof(
         F.coalesce(F.col("value"), _NAN()).alias("value"),
     )
     return VectorFrame(_finish(out, ctx))
+
+
+def hist_asof_threshold() -> int:
+    """Minimum range/step ratio for routing PURE-histogram series of a
+    rate-family call through :func:`hist_arith.window_rate_asof` when
+    the ratio is below :func:`prefix_threshold` (floats keep the explode
+    path there).  Histogram windows are Python-cost dominated — the
+    explode multiplies ``from_row`` deserializations and shuffle bytes
+    by the ratio, so as-of wins for histograms at ratios where the
+    float explode still wins.  The hybrid costs one extra per-sig window
+    pass to split series, so it only engages on storage whose schema
+    carries a hist column.  Override with PROMSPARK_HIST_ASOF_THRESHOLD."""
+    import os
+
+    return int(os.environ.get("PROMSPARK_HIST_ASOF_THRESHOLD", "4"))
+
+
+def eval_rate_hybrid(
+    ctx: EvalContext,
+    func: str,
+    selector,
+    range_ms: int,
+    offset_ms: int = 0,
+) -> VectorFrame:
+    """rate/increase/delta at explode-favoring ratios over hist-bearing
+    storage: float and mixed series keep the windowed-explode path
+    (optimal at low range/step), pure-histogram series take the as-of
+    path.  Bit-identical to the pure explode evaluation — the split
+    only reroutes series whose every window the explode path would hand
+    to ``window_rate`` anyway."""
+    from pyspark.sql.window import Window as W
+
+    from prometheus_spark.engine import hist_arith
+    from prometheus_spark.engine.selectors import (
+        matcher_predicate,
+        windowed_samples,
+    )
+
+    base = ctx.samples.filter(
+        matcher_predicate(selector.matchers, ctx.samples.columns)
+    ).filter(~F.col("stale"))
+    lo = ctx.start_ms - offset_ms - range_ms
+    hi = ctx.end_ms - offset_ms
+    base = base.filter((F.col("t") > lo) & (F.col("t") <= hi))
+    flagged = base.withColumn(
+        "__has_h",
+        F.max(F.col("hist").isNotNull().cast("int")).over(W.partitionBy("sig")),
+    ).withColumn(
+        "__has_f",
+        F.max(F.col("value").isNotNull().cast("int")).over(W.partitionBy("sig")),
+    )
+    pure_h = flagged.filter(
+        (F.col("__has_h") == 1) & (F.col("__has_f") == 0)
+    ).drop("__has_h", "__has_f")
+    rest = flagged.filter(
+        (F.col("__has_h") == 0) | (F.col("__has_f") == 1)
+    ).drop("__has_h", "__has_f")
+    w = windowed_samples(ctx, rest, range_ms, offset_ms=offset_ms)
+    out = eval_range_function(ctx, func, w, range_ms).df
+    h = hist_arith.window_rate_asof(
+        ctx, pure_h, range_ms, offset_ms,
+        is_counter=func != "delta", is_rate=func == "rate",
+    )
+    return VectorFrame(out.unionByName(h, allowMissingColumns=True))

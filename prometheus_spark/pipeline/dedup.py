@@ -974,16 +974,21 @@ def semantic_dedup(
             F.col(id_col), F.col(vec_col), F.col("__best.rank").alias("cid")
         )
     )
-    a = assigned.select(
-        F.col("cid"), F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
-    )
-    b = assigned.select(
-        F.col("cid"), F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
-    )
-    pdot = F.aggregate(
-        F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # Within-cluster prune, quadratic in DISTINCT vectors, not rows.
+    # The naive member×member self-join put the interpreted cosine fold
+    # into a SortMergeJoin predicate over every pair — on a corpus with
+    # k exact copies of each vector that is k² the necessary work (the
+    # sf10 replication ladder has k=100 → 10,000× pairs; one stage ran
+    # 86 min before this rewrite).  Identical vectors ⇒ identical cosine
+    # against anything, so the pair set collapses to vector-GROUPS
+    # (xxhash64 of the array): a member is dominated iff the smallest id
+    # among qualifying groups (cosine ≥ threshold, own group included
+    # via its self-cosine) is smaller than the member's id.  Group-level
+    # cosines are bit-identical to the member-level ones (same arrays,
+    # same fold; fp multiplication is commutative), so the kept set is
+    # exactly the old one.
+    keyed = assigned.select(
+        F.col(id_col), F.col("cid"), F.xxhash64(F.col(vec_col)).alias("__vkey")
     )
 
     def _nrm(c):
@@ -991,15 +996,50 @@ def semantic_dedup(
             F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
         )
 
-    dominated = (
-        a.join(b, (a["cid"] == b["cid"]) & (F.col("__idb") < F.col("__ida")))
-        .filter(pdot / (_nrm(F.col("__va")) * _nrm(F.col("__vb"))) >= F.lit(threshold))
-        .select(F.col("__ida").alias(id_col))
-        .distinct()
+    def _cos(u, v):
+        pdot = F.aggregate(
+            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return pdot / (_nrm(u) * _nrm(v))
+
+    groups = assigned.groupBy("cid", F.xxhash64(F.col(vec_col)).alias("__vkey")).agg(
+        F.min(id_col).alias("__gmin"), F.first(vec_col).alias("__gv")
     )
-    return assigned.join(dominated, id_col, "left_anti").select(
-        F.col(id_col), F.col("cid").cast("long").alias("cid")
+    ga = groups.select(
+        "cid", F.col("__vkey").alias("__ka"),
+        F.col("__gv").alias("__va"),
+        # own group qualifies through its (numerical) self-cosine —
+        # identical vectors are ≥ threshold for any threshold ≤ ~1
+        F.when(
+            _cos(F.col("__gv"), F.col("__gv")) >= F.lit(threshold),
+            F.col("__gmin"),
+        ).alias("__own_min"),
     )
+    gb = groups.select(
+        "cid", F.col("__vkey").alias("__kb"),
+        F.col("__gv").alias("__vb"), F.col("__gmin").alias("__bmin"),
+    )
+    cross_min = (
+        ga.join(gb, (ga["cid"] == gb["cid"]) & (F.col("__ka") != F.col("__kb")))
+        .filter(_cos(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
+        .groupBy(ga["cid"].alias("cid"), F.col("__ka"))
+        .agg(F.min("__bmin").alias("__cross_min"))
+    )
+    qual = (
+        ga.select("cid", F.col("__ka"), "__own_min")
+        .join(cross_min, ["cid", "__ka"], "left")
+        .select(
+            "cid", F.col("__ka").alias("__vkey"),
+            F.least("__own_min", "__cross_min").alias("__qual_min"),
+        )
+    )
+    kept = (
+        keyed.join(qual, ["cid", "__vkey"], "left")
+        .filter(F.col("__qual_min").isNull() | (F.col("__qual_min") >= F.col(id_col)))
+    )
+    return kept.select(F.col(id_col), F.col("cid").cast("long").alias("cid"))
 
 
 def paragraph_dedup(

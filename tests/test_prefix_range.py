@@ -153,3 +153,127 @@ def test_des_default_gate(spark, samples):
     )
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" not in plan2
+
+
+@pytest.fixture(scope="module")
+def hist_samples(spark):
+    """Pure-histogram series with counter resets, STs, gaps, and schema
+    changes — the shapes that exercise every hist_rate branch."""
+    from prometheus_spark.storage import samples_from_rows
+
+    def h(i, schema=1, count=None):
+        c = float(count if count is not None else 12 + i * 9)
+        return {
+            "schema": schema, "zero_threshold": 0.001, "zero_count": 2.0 + i,
+            "count": c, "sum": 18.4 * (i + 1),
+            "pos_spans": [{"offset": 0, "length": 2}, {"offset": 1, "length": 2}],
+            "pos_buckets": [float(i + 1), float(i + 2), float(i + 1), float(i + 1)],
+            "neg_spans": [{"offset": 0, "length": 2}],
+            "neg_buckets": [1.0, float(i % 3 + 1)],
+            "custom_values": [], "counter_reset_hint": 0,
+        }
+
+    rows = []
+    for i in range(60):
+        # hc: counter with resets at i=20 (count drop) and i=45
+        ci = i if i < 20 else (i - 20 if i < 45 else i - 45)
+        rows.append(({"__name__": "hc", "l": "a"}, i * M, h(ci)))
+        # hs: schema change mid-stream (schema 2 for i in 25..35)
+        if i % 2 == 0:
+            rows.append(
+                ({"__name__": "hs"}, i * M, h(i, schema=2 if 25 <= i <= 35 else 1))
+            )
+        # hst: with start timestamps implying resets
+        rows.append(
+            ({"__name__": "hst"}, i * M,
+             h(i % 17), (i // 17) * 17 * M)
+        )
+    # hsp: sparse — empty, 1-sample, 2-sample windows
+    for i in (0, 30, 31, 58):
+        rows.append(({"__name__": "hsp"}, i * M, h(i)))
+    return samples_from_rows(spark, rows).cache()
+
+
+HIST_QUERIES = [
+    "rate(hc[300s])", "increase(hc[300s])", "delta(hc[300s])",
+    "rate(hs[250s])", "increase(hst[300s])", "rate(hst[170s])",
+    "rate(hsp[100s])", "increase(hsp[400s] offset 30s)",
+    "rate(hc[1000s])",
+]
+
+
+def _run_hist(spark, samples, q, threshold):
+    os.environ["PROMSPARK_PREFIX_RANGE_THRESHOLD"] = threshold
+    try:
+        df = PromQLEngine(spark, samples).range_query(
+            q, 100_000, 590_000, 30_000
+        )
+        return sorted(
+            (r["sig"], r["t"], repr(r["hist"])) for r in df.collect()
+        )
+    finally:
+        os.environ.pop("PROMSPARK_PREFIX_RANGE_THRESHOLD", None)
+
+
+@pytest.mark.parametrize("q", HIST_QUERIES)
+def test_hist_rate_asof_parity(spark, hist_samples, q):
+    """window_rate_asof must be bit-identical to the windowed-explode
+    hist rate (same op sequence per window — see its docstring)."""
+    fast = _run_hist(spark, hist_samples, q, "1")
+    slow = _run_hist(spark, hist_samples, q, "99999999")
+    assert fast == slow
+    assert fast, q  # non-empty: the fixture covers every query
+
+
+def test_hist_rate_asof_mixed_series_stay_on_explode(spark):
+    """A series with BOTH float and histogram samples must produce the
+    explode path's per-window float/mixed routing under the fast path."""
+    from prometheus_spark.storage import samples_from_rows
+
+    def h(i):
+        return {
+            "schema": 1, "zero_threshold": 0.001, "zero_count": 1.0,
+            "count": float(i + 3), "sum": 2.2 * (i + 1),
+            "pos_spans": [{"offset": 0, "length": 1}],
+            "pos_buckets": [float(i + 1)],
+            "neg_spans": [], "neg_buckets": [],
+            "custom_values": [], "counter_reset_hint": 0,
+        }
+
+    rows = []
+    for i in range(40):
+        # floats for i<15, histograms after: early windows all-float,
+        # late all-hist, the boundary mixed (dropped)
+        rows.append(({"__name__": "mx"}, i * M, h(i) if i >= 15 else float(i)))
+    samples = samples_from_rows(spark, rows)
+    fast = _run_hist(spark, samples, "rate(mx[120s])", "1")
+    slow = _run_hist(spark, samples, "rate(mx[120s])", "99999999")
+    assert fast == slow and fast
+
+
+@pytest.mark.parametrize("q", [
+    "rate(hc[120s])", "increase(hst[150s])", "delta(hs[120s])",
+    "rate(hsp[120s])",
+])
+def test_hist_rate_hybrid_parity(spark, hist_samples, q):
+    """At explode-favoring ratios (below prefix_threshold), pure-hist
+    series route through eval_rate_hybrid; result must equal the pure
+    explode evaluation."""
+    os.environ["PROMSPARK_PREFIX_RANGE_THRESHOLD"] = "99999999"
+    try:
+        os.environ["PROMSPARK_HIST_ASOF_THRESHOLD"] = "1"
+        hybrid = sorted(
+            (r["sig"], r["t"], repr(r["hist"]))
+            for r in PromQLEngine(spark, hist_samples)
+            .range_query(q, 100_000, 590_000, 30_000).collect()
+        )
+        os.environ["PROMSPARK_HIST_ASOF_THRESHOLD"] = "99999999"
+        explode = sorted(
+            (r["sig"], r["t"], repr(r["hist"]))
+            for r in PromQLEngine(spark, hist_samples)
+            .range_query(q, 100_000, 590_000, 30_000).collect()
+        )
+    finally:
+        os.environ.pop("PROMSPARK_PREFIX_RANGE_THRESHOLD", None)
+        os.environ.pop("PROMSPARK_HIST_ASOF_THRESHOLD", None)
+    assert hybrid == explode and hybrid

@@ -141,6 +141,131 @@ BASE_CASES = [
 ]
 
 
+def build_join_storage(spark, num_intervals: int, num_instances: int = 1000):
+    """setupJoinQueryTestData (bench_test.go:104): two metric names over
+    ``num_instances`` UUID-labeled instances sharing 6 common labels.
+    Python's seeded RNG stands in for Go's uuid.NewRandomFromReader —
+    the shape (distinct v4-format UUIDs, hex-uniform first char so
+    ``instance=~"0.*"`` keeps 1/16) is what the benchmark measures."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from prometheus_spark.model.labels import sig_expr
+
+    rnd = random.Random(0)
+
+    def uuid4() -> str:
+        b = bytearray(rnd.getrandbits(8) for _ in range(16))
+        b[6] = (b[6] & 0x0F) | 0x40
+        b[8] = (b[8] & 0x3F) | 0x80
+        h = bytes(b).hex()
+        return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
+
+    common = {
+        "environment": "staging",
+        "cluster": "test-kubernetes-cluster",
+        "namespace": "test-kubernetes-namespace",
+        "job": "worker",
+        "rpc_method": "fetch-my-data-from-this-service",
+        "domain": "test-domain",
+    }
+    metrics = []
+    for _ in range(num_instances):
+        inst = uuid4()
+        for name in ("rpc_request_success_total", "rpc_request_error_total"):
+            metrics.append({**common, "instance": inst, "__name__": name})
+    nm = len(metrics)
+    mdf = spark.createDataFrame(
+        [(m, i) for i, m in enumerate(metrics)],
+        "labels map<string,string>, idx long",
+    )
+    steps = spark.range(num_intervals).withColumnRenamed("id", "s")
+    return steps.crossJoin(F.broadcast(mdf)).select(
+        sig_expr("labels").alias("sig"),
+        F.col("labels")["__name__"].alias("name"),
+        "labels",
+        (F.col("s") * INTERVAL_MS).alias("t"),
+        (F.col("s") + F.col("idx") / F.lit(float(nm))).cast("double").alias("value"),
+        F.lit(False).alias("stale"),
+    )
+
+
+JOIN_CASES = [  # bench_test.go:406-430, steps=5000, 1000 instances
+    ("rpc_request_success_total + rpc_request_error_total", 5000),
+    ("rpc_request_success_total + ON (job, instance) GROUP_LEFT rpc_request_error_total", 5000),
+    ('rpc_request_success_total AND rpc_request_error_total{instance=~"0.*"}', 5000),
+    ('rpc_request_success_total OR rpc_request_error_total{instance=~"0.*"}', 5000),
+    ('rpc_request_success_total UNLESS rpc_request_error_total{instance=~"0.*"}', 5000),
+]
+
+
+def build_native_hist_storage(spark, num_series: int = 3000, samples_per: int = 2000):
+    """generateNativeHistogramSeries (bench_test.go:722) +
+    GenerateTestHistogram (tsdb/tsdbutil/histogram.go:40), built
+    distributedly: schema-1 histograms with delta-coded buckets
+    [i+1,1,-1,0] → absolute float counts [i+1,i+2,i+1,i+1], 15s interval.
+    (The reference also injects one schema-3 histogram at t=0 per series
+    through a duplicate-timestamp append; one sample in 2000 does not
+    move the benchmark and our storage keeps last-per-timestamp.)"""
+    from pyspark.sql import functions as F
+
+    from prometheus_spark.model.labels import sig_expr
+    from prometheus_spark.model.schema import HISTOGRAM_TYPE
+
+    sids = spark.range(num_series).withColumnRenamed("id", "h")
+    idx = spark.range(samples_per).withColumnRenamed("id", "i")
+    i = F.col("i").cast("double")
+    labels = F.map_from_arrays(
+        F.array(F.lit("__name__"), F.lit("foo"), F.lit("h")),
+        F.array(
+            F.lit("native_histogram_series"), F.lit("bar"),
+            F.col("h").cast("string"),
+        ),
+    )
+    spans = F.array(
+        F.struct(F.lit(0).alias("offset"), F.lit(2).alias("length")),
+        F.struct(F.lit(1).alias("offset"), F.lit(2).alias("length")),
+    )
+    buckets = F.array(i + 1, i + 2, i + 1, i + 1)
+    hist = F.struct(
+        F.lit(1).alias("schema"),
+        F.lit(0.001).alias("zero_threshold"),
+        (i + 2).alias("zero_count"),
+        (i * 9 + 12).alias("count"),
+        (F.lit(18.4) * (i + 1)).alias("sum"),
+        spans.alias("pos_spans"),
+        buckets.alias("pos_buckets"),
+        spans.alias("neg_spans"),
+        buckets.alias("neg_buckets"),
+        F.array().cast("array<double>").alias("custom_values"),
+        # counter_reset_hint: unknown at i=0, NotCounterReset after
+        # (GenerateTestHistograms sets it from the second sample on)
+        F.when(F.col("i") == 0, F.lit(0)).otherwise(F.lit(2))
+        .cast("tinyint").alias("counter_reset_hint"),
+    ).cast(HISTOGRAM_TYPE)
+    return sids.crossJoin(idx).select(
+        sig_expr(labels).alias("sig"),
+        F.lit("native_histogram_series").alias("name"),
+        labels.alias("labels"),
+        (F.col("i") * 15_000).alias("t"),
+        F.lit(None).cast("double").alias("value"),
+        hist.alias("hist"),
+        F.lit(False).alias("stale"),
+    )
+
+
+NATIVE_HIST_CASES = [  # bench_test.go:471-503; 0..2h at 30s step
+    "sum(native_histogram_series)",
+    "sum(rate(native_histogram_series[2m]))",
+    "sum(rate(native_histogram_series[20m]))",
+    "histogram_count(sum(rate(native_histogram_series[2m])))",
+    "histogram_count(sum(rate(native_histogram_series[20m])))",
+    "histogram_count(sum(rate(native_histogram_series[2m]))) + histogram_sum(sum(rate(native_histogram_series[2m])))",
+    "histogram_count(sum(rate(native_histogram_series[20m]))) + histogram_sum(sum(rate(native_histogram_series[20m])))",
+]
+
+
 def expand_cases() -> list[tuple[str, int]]:
     tmp = []
     for expr, steps in BASE_CASES:
@@ -161,14 +286,24 @@ def expand_cases() -> list[tuple[str, int]]:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="BENCH_PROMQL.json")
+    ap.add_argument("--out", default=None)
     ap.add_argument("--filter", default="")
     ap.add_argument("--intervals", type=int, default=8640 + 10000)
     # Go's BenchmarkRangeQuery reports steady-state per-iteration time
     # (b.N warm runs); min-of-N mirrors that instead of charging each
     # case its one-time Janino codegen
     ap.add_argument("--runs", type=int, default=2)
+    # range = BenchmarkRangeQuery; join = BenchmarkJoinQuery;
+    # native_hist = BenchmarkNativeHistograms (bench_test.go:382,456)
+    ap.add_argument("--suite", default="range",
+                    choices=["range", "join", "native_hist"])
     args = ap.parse_args()
+    if args.out is None:
+        args.out = {
+            "range": "BENCH_PROMQL.json",
+            "join": "BENCH_JOIN.json",
+            "native_hist": "BENCH_NATIVE_HIST.json",
+        }[args.suite]
 
     from pyspark.sql import SparkSession
 
@@ -189,32 +324,51 @@ def main() -> None:
 
     num_intervals = args.intervals
     t_setup = time.monotonic()
-    samples = build_storage(spark, num_intervals).persist()
+    if args.suite == "join":
+        num_intervals = 8640 + 5000  # bench_test.go:397-401
+        samples = build_join_storage(spark, num_intervals).persist()
+        warm = ("sum(rpc_request_success_total)", 600_000, 1_200_000, 60_000)
+        grid = [
+            (expr, (num_intervals - steps) * INTERVAL_MS,
+             num_intervals * INTERVAL_MS, INTERVAL_MS, steps)
+            for expr, steps in JOIN_CASES
+        ]
+    elif args.suite == "native_hist":
+        samples = build_native_hist_storage(spark).persist()
+        warm = ("sum(native_histogram_series)", 0, 600_000, 60_000)
+        # start=unix(0), end=+2h, 30s step (bench_test.go:467-469)
+        grid = [(expr, 0, 7_200_000, 30_000, 241) for expr in NATIVE_HIST_CASES]
+    else:
+        samples = build_storage(spark, num_intervals).persist()
+        warm = ("sum(rate(a_one[1m]))", 600_000, 1_200_000, 60_000)
+        grid = [
+            (expr, (num_intervals - steps) * INTERVAL_MS,
+             num_intervals * INTERVAL_MS, INTERVAL_MS, steps)
+            for expr, steps in expand_cases()
+        ]
     n = samples.count()  # materialize — the Go bench compacts before timing
     eng = PromQLEngine(spark, samples)
     # untimed warm-up (codegen class cache), like bench.py
-    eng.range_query("sum(rate(a_one[1m]))", 600_000, 1_200_000, 60_000).count()
+    eng.range_query(*warm).count()
     setup_sec = time.monotonic() - t_setup
 
-    cases = expand_cases()
+    cases = grid
     if args.filter:
         cases = [c for c in cases if args.filter in c[0]]
-    end_ms = num_intervals * INTERVAL_MS
     results: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for i, (expr, steps) in enumerate(cases):
+    for i, (expr, start_ms, end_ms, step_ms, steps) in enumerate(cases):
         if i and i % 8 == 0:
             # long single-JVM runs accumulate unreferenced shuffle files
             # (cleaned only on GC); without this, late queries measure
             # 3-4x slower than the same query in a fresh session
             spark.sparkContext._jvm.System.gc()
         name = f"expr={expr},steps={steps}"
-        start_ms = (num_intervals - steps) * INTERVAL_MS
         try:
             best = None
             for _ in range(max(1, args.runs)):
                 t0 = time.monotonic()
-                df = eng.range_query(expr, start_ms, end_ms, INTERVAL_MS)
+                df = eng.range_query(expr, start_ms, end_ms, step_ms)
                 df.write.format("noop").mode("overwrite").save()
                 dt = time.monotonic() - t0
                 best = dt if best is None else min(best, dt)
@@ -226,7 +380,7 @@ def main() -> None:
 
     total = round(sum(results.values()), 3)
     out = {
-        "metric": "promql_macro_bench_total_sec",
+        "metric": f"promql_{args.suite}_bench_total_sec",
         "value": total,
         "unit": "sec",
         "queries": results,
@@ -238,7 +392,8 @@ def main() -> None:
         "setup_sec": round(setup_sec, 2),
         "runs": args.runs,
         "timing": "min",
-        "source": "promql/bench_test.go rangeQueryCases",
+        "suite": args.suite,
+        "source": "promql/bench_test.go BenchmarkRangeQuery/BenchmarkJoinQuery/BenchmarkNativeHistograms",
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
