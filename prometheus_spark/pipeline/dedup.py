@@ -723,26 +723,69 @@ def embedding_near_dup_pairs(
     norm = F.sqrt(
         F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x)
     )
+    # Candidate verification runs in DISTINCT-vector space: exact
+    # duplicates all land in the same bucket regardless of ``planes``
+    # (the bucket is a function of the vector), so the naive member
+    # self-join is k² the necessary cosine folds on a corpus with k
+    # copies per vector.  Collapse to xxhash64(vector) groups: the
+    # cosine is computed once per GROUP pair (bit-identical — same
+    # arrays, commutative fp muls) and the qualifying pairs expand back
+    # to member ids with plain codegen equality joins.  The pair OUTPUT
+    # stays quadratic in clique size — that is the operator's contract.
     v = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"), norm.alias("norm"))
-    a, b = v.alias("a"), v.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    keyed = v.select(
+        F.col(id_col), F.xxhash64(F.col(vec_col)).alias("__vkey")
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    groups = v.groupBy("bucket", F.xxhash64(F.col(vec_col)).alias("__vkey")).agg(
+        F.first(vec_col).alias("__gv"), F.first("norm").alias("__gn")
+    )
+
+    def _dot(u, w):
+        return F.aggregate(
+            F.zip_with(u, w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
+
+    # intra-group pairs: cosine of a vector with itself, one fold per group
+    self_cos = (_dot(F.col("__gv"), F.col("__gv")) / (F.col("__gn") * F.col("__gn")))
+    intra_groups = groups.select(
+        "__vkey", self_cos.alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+    ka = keyed.select(F.col("__vkey"), F.col(id_col).alias("id_a"))
+    kb = keyed.select(F.col("__vkey").alias("__kb"), F.col(id_col).alias("id_b"))
+    intra = (
+        intra_groups.join(ka, "__vkey")
+        .join(kb, (F.col("__vkey") == F.col("__kb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", "cosine")
+    )
+    # cross-group pairs: one fold per distinct-vector pair per bucket
+    ga = groups.select(
+        "bucket", F.col("__vkey").alias("__ka"),
+        F.col("__gv").alias("__va"), F.col("__gn").alias("__na"),
+    )
+    gb = groups.select(
+        F.col("bucket").alias("__bb"), F.col("__vkey").alias("__kb2"),
+        F.col("__gv").alias("__vb"), F.col("__gn").alias("__nb"),
+    )
+    cross_groups = (
+        ga.join(gb, (F.col("bucket") == F.col("__bb")) & (F.col("__ka") < F.col("__kb2")))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cosine"),
+            "__ka", "__kb2",
+            (_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
+    cross = (
+        cross_groups.join(ka.withColumnRenamed("__vkey", "__ka"), "__ka")
+        .join(kb.withColumnRenamed("__kb", "__kb2"), "__kb2")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "cosine",
+        )
+    )
+    return intra.unionByName(cross)
 
 
 def connected_components(
