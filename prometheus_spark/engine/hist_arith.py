@@ -132,7 +132,10 @@ def _grouped_apply_batched(src: DataFrame, keys, process) -> DataFrame:
     import pandas as pd
 
     keys = list(keys)
-    part = src.repartition(F.col(keys[0])).sortWithinPartitions(*keys)
+    # hash on the FULL key: grouping (sig, t) by sig alone serializes
+    # low-sig-cardinality shapes — a global sum() has ONE output sig, so
+    # every (t) group landed in a single task
+    part = src.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(*keys)
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         carry = None
