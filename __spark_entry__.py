@@ -1211,7 +1211,16 @@ def _pipe_stream_increase(spark, sf_dir):
         # events file out of the sf dir
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .selectExpr("event_type AS sig", "event_id AS t", "value")
+        # cents scaling: the per-sig cumulative sum is sequential in the
+        # stream's state but a segment-tree window sum in DuckDB —
+        # different fp orders drift past the 6-decimal rounding at sf10
+        # magnitudes.  Integer-cent doubles accumulate exactly (< 2^53)
+        # in any order; /100 on output is a deterministic IEEE division
+        # of identical operands.
+        .selectExpr(
+            "event_type AS sig", "event_id AS t",
+            "CAST(ROUND(value * 100) AS DOUBLE) AS value",
+        )
     )
     q = (
         streaming_counter_increase(stream)
@@ -1224,7 +1233,8 @@ def _pipe_stream_increase(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name).selectExpr(
-        "sig", "t", "value", "round(cum_increase, 6) AS cum_increase", "resets"
+        "sig", "t", "value / 100 AS value",
+        "round(cum_increase, 6) / 100 AS cum_increase", "resets",
     )
 
 
@@ -1279,6 +1289,13 @@ def _pipe_stream_window(spark, sf_dir):
     from prometheus_spark.streaming import streaming_windowed_stats
 
     name = f"stream_win_{uuid.uuid4().hex[:8]}"
+    # cents scaling: cumulative float sums at sf10 magnitudes carry
+    # enough summation-order noise (~1e-5) to flip the 6-decimal
+    # rounding/.9g hash, and DuckDB's segment-tree window sums use a
+    # different order than the stream's sequential state.  Integer-cent
+    # doubles are EXACT below 2^53 in any order on both engines; the
+    # trailing /100 is one deterministic IEEE division of identical
+    # operands.  (Caught by the sf10 oracle run: 21 knife-edge rows.)
     stream = (
         spark.readStream.schema(
             "event_id long, ts timestamp, user_id long, event_type string, "
@@ -1286,7 +1303,10 @@ def _pipe_stream_window(spark, sf_dir):
         )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .selectExpr("event_type AS sig", "ts", "value")
+        .selectExpr(
+            "event_type AS sig", "ts",
+            "CAST(ROUND(value * 100) AS DOUBLE) AS value",
+        )
     )
     q = (
         streaming_windowed_stats(stream)
@@ -1298,7 +1318,13 @@ def _pipe_stream_window(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return spark.table(name).select(
+        "sig", "window_start", "window_end", "n",
+        (F.col("sum_value") / 100).alias("sum_value"),
+        (F.col("avg_value") / 100).alias("avg_value"),
+        (F.col("min_value") / 100).alias("min_value"),
+        (F.col("max_value") / 100).alias("max_value"),
+    )
 
 
 def _pipe_session_window(spark, sf_dir):
@@ -1977,16 +2003,19 @@ FROM events WHERE event_id % 17 = 0
     # streaming tumbling-window agg: append mode emits a window only
     # once the watermark (max ts - 10 min) passes its end — the cutoff
     # is applied identically here
+    # cents scaling mirrors the Spark entry: integer-cent doubles sum
+    # exactly in any order on both engines; the /100 is one
+    # deterministic IEEE division of identical operands
     o["stream_hourly_stats"] = """
 WITH mx AS (SELECT MAX(ts) AS m FROM events),
 agg AS (
   SELECT event_type AS sig,
          date_trunc('hour', ts) AS window_start,
          COUNT(*) AS n,
-         ROUND(SUM(value), 6) AS sum_value,
-         ROUND(AVG(value), 6) AS avg_value,
-         MIN(value) AS min_value,
-         MAX(value) AS max_value
+         ROUND(SUM(ROUND(value * 100)), 6) / 100 AS sum_value,
+         ROUND(AVG(ROUND(value * 100)), 6) / 100 AS avg_value,
+         MIN(ROUND(value * 100)) / 100 AS min_value,
+         MAX(ROUND(value * 100)) / 100 AS max_value
   FROM events GROUP BY 1, 2
 )
 SELECT sig, window_start,
@@ -2834,16 +2863,19 @@ FROM h
 
     # batch-SQL equivalent of the streaming stateful counter-increase:
     # reset-aware cumulative window sum in (sig, t) order
+    # cents scaling mirrors the Spark entry (exact integer sums in any
+    # window-aggregation order)
     o["stream_counter_increase"] = r"""
-WITH e AS (SELECT event_type AS sig, event_id AS t, value FROM events),
+WITH e AS (SELECT event_type AS sig, event_id AS t,
+                  CAST(ROUND(value * 100) AS DOUBLE) AS value FROM events),
 d AS (SELECT sig, t, value,
              lag(value) OVER (PARTITION BY sig ORDER BY t) AS prev
       FROM e)
-SELECT sig, t, value,
+SELECT sig, t, value / 100 AS value,
        ROUND(SUM(CASE WHEN prev IS NULL THEN 0
                       WHEN value < prev THEN value
                       ELSE value - prev END)
-               OVER (PARTITION BY sig ORDER BY t), 6) AS cum_increase,
+               OVER (PARTITION BY sig ORDER BY t), 6) / 100 AS cum_increase,
        CAST(SUM(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END)
               OVER (PARTITION BY sig ORDER BY t) AS BIGINT) AS resets
 FROM d
