@@ -80,6 +80,7 @@ def main() -> None:
         from prometheus_spark.pipeline import (
             minhash_dup_candidates_portable,
             ngram_jaccard_pairs,
+            simhash_64_portable,
             topk_ngrams,
         )
 
@@ -91,6 +92,10 @@ def main() -> None:
         ).count()
         ngram_jaccard_pairs(tiny, n=2, threshold=0.5).count()
         topk_ngrams(tiny).count()
+        # spins up the Arrow python workers + compiles the mapInArrow
+        # plan shape (the simhash vote fold) once, like the codegen
+        # warm-ups above
+        simhash_64_portable(tiny).count()
         tiny.unpersist()
         print(f"# load(samples cache): {time.monotonic() - t0:.2f}s", file=sys.stderr)
     except Exception as e:
