@@ -1369,15 +1369,18 @@ def build_server(
     from prometheus_spark.tracing import Manager as TracingManager
 
     tracing_mgr = TracingManager()
-    if cfg.tracing:
-        try:
-            tracing_mgr.apply_config(cfg.tracing)
-        except RuntimeError as exc:
-            # grpc exporter needs the optional opentelemetry dependency;
-            # run without tracing rather than failing startup
-            import logging
+    # Always apply — an empty/removed tracing: section must DEINSTALL a
+    # provider left live by a previous build (tracing.go ApplyConfig
+    # shuts down on empty config; reloads go through a fresh Manager
+    # here, and Manager.stop() tears down the global either way).
+    try:
+        tracing_mgr.apply_config(cfg.tracing)
+    except RuntimeError as exc:
+        # grpc exporter needs the optional opentelemetry dependency;
+        # run without tracing rather than failing startup
+        import logging
 
-            logging.getLogger(__name__).warning("tracing disabled: %s", exc)
+        logging.getLogger(__name__).warning("tracing disabled: %s", exc)
 
     return {
         "config": cfg,

@@ -191,12 +191,16 @@ def _minhash_sig_array(
                 h0 = h0.combine_chunks()
             offsets = h0.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
             vals = h0.values.to_numpy(zero_copy_only=False).astype(np.int64)
-            vals_u = vals.view(np.uint64)
+            # A sliced ListArray's child buffer can extend past
+            # offsets[-1]; reduceat's last segment runs to the buffer
+            # end, so truncate to the logical range (rebasing starts)
+            # or the final document's min absorbs foreign hashes.
+            vals_u = vals[offsets[0] : offsets[-1]].view(np.uint64)
             mat = _xxh64_long_matrix(vals_u, seeds)  # (N, P)
             # per-document min over the doc's shingle slice; every list
             # is non-empty (filtered upstream)
             mins = np.minimum.reduceat(
-                mat.view(np.int64), offsets[:-1], axis=0
+                mat.view(np.int64), offsets[:-1] - offsets[0], axis=0
             )  # signed view: Spark's hash is a signed long min
             flat = pa.array(mins.reshape(-1), type=pa.int64())
             sig_offsets = pa.array(
@@ -458,8 +462,13 @@ def _simhash_fold_arrow(hashed: DataFrame, id_col: str) -> DataFrame:
                 .astype(np.int64)
                 .view(np.uint64)
             )
+            # Same sliced-ListArray guard as the minhash fold: truncate
+            # the flat buffer to [offsets[0], offsets[-1]) and rebase
+            # starts, so reduceat's final segment stops at the last
+            # document instead of absorbing trailing child values.
+            flat = flat[offsets[0] : offsets[-1]]
             n_tok = np.diff(offsets).astype(np.uint64)
-            starts = offsets[:-1]
+            starts = offsets[:-1] - offsets[0]
             fp = np.zeros(len(n_tok), dtype=np.uint64)
             for j in range(64):
                 ones = np.add.reduceat((flat >> np.uint64(j)) & np.uint64(1), starts)
@@ -689,6 +698,19 @@ def ngram_jaccard_pairs(
     )
 
 
+def _vector_key(col):
+    """Vector-identity key for the distinct-vector-space collapse: TWO
+    independently-seeded xxhash64 values packed in a struct.  A single
+    64-bit key silently merges distinct vectors on collision (birthday
+    risk ~n²/2^65 at corpus scale), which would compute cosines against
+    an arbitrary ``first()`` representative; the paired key pushes the
+    risk to ~2^-128 while staying a fixed-width codegen compare (struct
+    equality/ordering are native Spark operations)."""
+    return F.struct(
+        F.xxhash64(col).alias("h1"), F.xxhash64(F.lit(1), col).alias("h2")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -734,9 +756,9 @@ def embedding_near_dup_pairs(
     # stays quadratic in clique size — that is the operator's contract.
     v = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"), norm.alias("norm"))
     keyed = v.select(
-        F.col(id_col), F.xxhash64(F.col(vec_col)).alias("__vkey")
+        F.col(id_col), _vector_key(F.col(vec_col)).alias("__vkey")
     )
-    groups = v.groupBy("bucket", F.xxhash64(F.col(vec_col)).alias("__vkey")).agg(
+    groups = v.groupBy("bucket", _vector_key(F.col(vec_col)).alias("__vkey")).agg(
         F.first(vec_col).alias("__gv"), F.first("norm").alias("__gn")
     )
 
@@ -1031,7 +1053,7 @@ def semantic_dedup(
     # same fold; fp multiplication is commutative), so the kept set is
     # exactly the old one.
     keyed = assigned.select(
-        F.col(id_col), F.col("cid"), F.xxhash64(F.col(vec_col)).alias("__vkey")
+        F.col(id_col), F.col("cid"), _vector_key(F.col(vec_col)).alias("__vkey")
     )
 
     def _nrm(c):
@@ -1047,7 +1069,7 @@ def semantic_dedup(
         )
         return pdot / (_nrm(u) * _nrm(v))
 
-    groups = assigned.groupBy("cid", F.xxhash64(F.col(vec_col)).alias("__vkey")).agg(
+    groups = assigned.groupBy("cid", _vector_key(F.col(vec_col)).alias("__vkey")).agg(
         F.min(id_col).alias("__gmin"), F.first(vec_col).alias("__gv")
     )
     ga = groups.select(

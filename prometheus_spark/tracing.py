@@ -239,7 +239,12 @@ def span(_span_name: str, **attributes) -> Iterator[Optional[Span]]:
     if not _ACTIVE or _PROVIDER is None:
         yield None
         return
-    s = _PROVIDER.start(_span_name)
+    # Bind the provider to a local: a concurrent Manager.stop() /
+    # apply_config (reload disabling tracing) may null the global
+    # between span start and finish — the race must degrade to a
+    # harmlessly dropped span, not an AttributeError from the finally.
+    prov = _PROVIDER
+    s = prov.start(_span_name)
     if attributes:
         s.attributes.update(attributes)
     token = _current_span.set(s)
@@ -247,7 +252,7 @@ def span(_span_name: str, **attributes) -> Iterator[Optional[Span]]:
         yield s
     finally:
         _current_span.reset(token)
-        _PROVIDER.finish(s)
+        prov.finish(s)
 
 
 def _default_exporter_factory(cfg: dict):
@@ -280,10 +285,15 @@ class Manager:
             self.stop()
             self._config = None
             return
-        if self._config == tracing_cfg:
+        if self._config == tracing_cfg and _PROVIDER is not None:
             return  # tracing.go:89-91: unchanged → no-op
-        if self._provider is not None:
-            self._provider.shutdown()
+        # The installed provider is a process-wide global; a reload may
+        # run through a FRESH Manager (build_server creates one per
+        # build), so shut down whatever is live — ours or a previous
+        # build's — before installing the replacement (tracing.go keeps
+        # one global otel provider for the same reason).
+        for prov in {p for p in (_PROVIDER, self._provider) if p is not None}:
+            prov.shutdown()
         exporter = self._factory(tracing_cfg)
         self._provider = TracerProvider(
             exporter, tracing_cfg.get("sampling_fraction", 0.0)
@@ -294,12 +304,14 @@ class Manager:
 
     def stop(self) -> None:
         global _ACTIVE, _PROVIDER
-        if self._provider is not None:
-            self._provider.shutdown()
-            if _PROVIDER is self._provider:
-                _ACTIVE = False
-                _PROVIDER = None
-            self._provider = None
+        # Deinstall the live global even when it was installed by a
+        # different Manager instance (reload-removes-tracing through a
+        # fresh build must flush and deactivate the old provider).
+        for prov in {p for p in (_PROVIDER, self._provider) if p is not None}:
+            prov.shutdown()
+        _ACTIVE = False
+        _PROVIDER = None
+        self._provider = None
 
     def force_flush(self) -> None:
         if self._provider is not None:
