@@ -64,6 +64,24 @@ def _group_flag(node: AggregateExpr) -> bool:
     return by is not None and "__name__" in by
 
 
+def _has_python_stage(df) -> bool:
+    """True when the frame's lineage contains a Python eval stage
+    (``mapInArrow`` / ``mapInPandas`` / pandas UDF).  Forking a plan
+    ABOVE such a stage runs it once per consumer — callers use this to
+    decide whether to fork below a shared exchange instead."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # pragma: no cover - py4j surface drift
+        return True
+    return (
+        "MapInArrow" in plan
+        or "MapInPandas" in plan
+        or "FlatMapGroupsInPandas" in plan
+        or "EvalPython" in plan
+        or "PythonUDF" in plan
+    )
+
+
 def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, param) -> VectorFrame:
     op = node.op
     if op in ("topk", "bottomk", "limitk", "limit_ratio"):
@@ -75,27 +93,69 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
     df = _regroup(vf, node)
     v = F.col("value")
     hist_part = None
+    mixed = False
     if op in ("sum", "avg") and "hist" in df.columns:
         # sum/avg aggregate histograms too (engine.go:3716 KahanAdd);
         # groups mixing float and histogram samples are dropped with a
-        # warning (engine.go:3854-3860), enforced via per-group kind flags
-        from pyspark.sql.window import Window as W
-
+        # warning (engine.go:3854-3860).  The kind flags ride the float
+        # aggregation's OWN shuffle (narrow rows — the hist struct is
+        # projected to a bool, SQL aggregates skip the NULL value of
+        # histogram rows, partial aggregation combines map-side); the
+        # old per-group Window pre-pass shuffled every full-width
+        # histogram row a second time, which dominated sum(rate(h[..]))
         from prometheus_spark.engine import hist_arith
 
         # original series sig orders the Kahan fold (the reference sums
         # series in label order)
         src = _regroup(VectorFrame(vf.df.withColumn("__ord", F.col("sig"))), node, extra=["__ord"])
-        wk = W.partitionBy("sig", "t")
-        flagged = src.withColumn(
-            "__has_f", F.max(v.isNotNull().cast("int")).over(wk)
-        ).withColumn("__has_h", F.max(F.col("hist").isNotNull().cast("int")).over(wk))
-        pure = flagged.filter(~((F.col("__has_f") == 1) & (F.col("__has_h") == 1)))
-        hist_rows = pure.filter(F.col("hist").isNotNull()).select(
-            "sig", "labels", "t", "hist", "__ord"
-        )
-        hist_part = hist_arith.group_sum(ctx, hist_rows, avg=op == "avg")
-        df = pure.filter(v.isNotNull()).select("sig", "labels", "t", "value", "drop_name")
+        # When the input lineage contains a Python stage (rate over
+        # native histograms etc.), forking the plan above it would run
+        # that stage once per consumer — fork BELOW one shared (sig, t)
+        # exchange instead, which Spark reuses across the float and
+        # histogram branches.  Cheap-to-recompute plans (plain scans)
+        # skip the pre-exchange so the float side keeps its map-side
+        # partial aggregation.  PROMSPARK_AGG_HIST_FORK overrides:
+        # "flags" / "shared" force one strategy, "window" restores the
+        # r9 per-group Window pre-pass (A/B baseline).
+        import os as _os
+
+        strategy = _os.environ.get("PROMSPARK_AGG_HIST_FORK", "auto")
+        if strategy == "auto":
+            strategy = "shared" if _has_python_stage(src) else "flags"
+        if strategy == "window":
+            from pyspark.sql.window import Window as W
+
+            wk = W.partitionBy("sig", "t")
+            flagged = src.withColumn(
+                "__has_f", F.max(v.isNotNull().cast("int")).over(wk)
+            ).withColumn(
+                "__has_h", F.max(F.col("hist").isNotNull().cast("int")).over(wk)
+            )
+            pure = flagged.filter(
+                ~((F.col("__has_f") == 1) & (F.col("__has_h") == 1))
+            )
+            hist_rows = pure.filter(F.col("hist").isNotNull()).select(
+                "sig", "labels", "t", "hist", "__ord"
+            )
+            hist_part = hist_arith.group_sum(ctx, hist_rows, avg=op == "avg")
+            df = pure.filter(v.isNotNull()).select(
+                "sig", "labels", "t", "value", "drop_name"
+            )
+        else:
+            if strategy == "shared":
+                src = src.repartition(F.col("sig"), F.col("t"))
+            hist_rows = src.filter(F.col("hist").isNotNull()).select(
+                "sig", "labels", "t", "hist", "__ord"
+            )
+            hist_part = hist_arith.group_sum(
+                ctx, hist_rows, avg=op == "avg",
+                pre_partitioned=strategy == "shared",
+            )
+            df = src.select(
+                "sig", "labels", "t", "value", "drop_name",
+                F.col("hist").isNotNull().alias("__hh"),
+            )
+            mixed = True
     elif op not in ("count", "group", "count_values"):
         # float aggregations ignore histogram samples (value NULL) — the
         # reference warns & drops them; count/group/count_values see every
@@ -136,11 +196,25 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
         raise PromQLEvalError(f"unsupported aggregator {op}")
 
     flag = "bool_or(drop_name)" if _group_flag(node) else "false"
-    out = df.groupBy("sig", "t").agg(
+    aggs = [
         F.expr("first(labels)").alias("labels"),
         F.expr(f"CAST({agg} AS DOUBLE)").alias("value"),
         F.expr(flag).alias("drop_name"),
-    )
+    ]
+    if mixed:
+        aggs += [
+            F.expr("max(CAST(value IS NOT NULL AS INT)) = 1").alias("__gf"),
+            F.expr("max(CAST(__hh AS INT)) = 1").alias("__gh"),
+        ]
+    out = df.groupBy("sig", "t").agg(*aggs)
+    mixed_keys = None
+    if mixed:
+        # groups with both kinds: drop from BOTH sides (float rows via
+        # the flag filter here; histogram fold output via an anti join
+        # against this almost-always-empty key set — both branches hang
+        # off the same exchange, which Spark reuses)
+        mixed_keys = out.filter(F.col("__gf") & F.col("__gh")).select("sig", "t")
+        out = out.filter(F.col("__gf") & ~F.col("__gh")).drop("__gf", "__gh")
     result = out.selectExpr(
         "sig", "labels", "t", "t AS sample_t", "value", "drop_name"
     )
@@ -148,6 +222,8 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
         from prometheus_spark.model.schema import HISTOGRAM_TYPE
 
         hist_part = hist_part.drop("drop_name")
+        if mixed_keys is not None:
+            hist_part = hist_part.join(mixed_keys, ["sig", "t"], "left_anti")
         if _group_flag(node):
             hflags = src.groupBy("sig", "t").agg(
                 F.bool_or("drop_name").alias("drop_name")
@@ -192,8 +268,13 @@ def kahan_sum_sql(v: str) -> str:
 
 
 def avg_sql(v: str, kahan: bool) -> str:
-    """SQL form of :func:`_avg_agg` — mean with overflow fallback."""
-    n = f"CAST(count({v}) AS DOUBLE)"
+    """SQL form of :func:`_avg_agg` — mean with overflow fallback.
+
+    The divisor is NULL (not 0) for groups without float samples: such
+    groups only occur on the mixed float/histogram path, are filtered
+    out right after the aggregation, and must not trip ANSI
+    divide-by-zero on the way."""
+    n = f"nullif(CAST(count({v}) AS DOUBLE), 0.0D)"
     s = kahan_sum_sql(v) if kahan else f"sum({v})"
     direct = f"({s} / {n})"
     any_inf = f"max(CAST(abs({v}) = {_INF_SQL} AS INT)) = 1"

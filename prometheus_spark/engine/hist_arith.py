@@ -286,15 +286,56 @@ def group_sum(
     avg: bool,
     drop_name: bool = False,
     order_col: str = "__ord",
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Sum/avg histograms per (sig, t) group (engine.go:3716 ``KahanAdd``
     path).  ``df``: (sig, labels, t, hist, <order_col>) with hist non-null;
     ``order_col`` fixes the Kahan summation order (the reference iterates
     series in label order / samples in time order — compensation is
-    order-sensitive).  Groups with incompatible schemas are dropped."""
+    order-sensitive).  Groups with incompatible schemas are dropped.
+    ``pre_partitioned``: the caller guarantees ``df`` is already
+    hash-partitioned by (sig, t) (e.g. it forked off a shared
+    repartition) — skip the exchange, only sort within partitions.
+
+    Execution: a ``mapInArrow`` stage over (sig, t, ord)-sorted
+    partitions.  When every histogram in an Arrow chunk shares one
+    bucket LAYOUT (schema, zero threshold, span structure, custom
+    bounds) — the overwhelmingly common case, since a metric family's
+    series share their exposition layout — the whole normal-form fold
+    collapses to an element-wise Kahan sum over a (rows × buckets)
+    float64 matrix, iterated POSITIONALLY across all groups at once
+    (iteration k folds the k-th member of every group — max-group-size
+    vectorized steps instead of a Python op per row×bucket).  The fold
+    order and every float operation replicate ``_kahan_inc`` /
+    ``_fold_parts`` bit-for-bit; mixed-layout groups fall back to the
+    scalar ``hist_sum``/``hist_mean`` path.  Set
+    ``PROMSPARK_HIST_GS_VECTOR=0`` to force the scalar path everywhere
+    (differential parity testing)."""
+    import os
+
     from prometheus_spark.shipping import ensure_shipped
 
     ensure_shipped(ctx.spark)
+    if os.environ.get("PROMSPARK_HIST_GS_VECTOR", "1") == "0":
+        return _group_sum_pandas(ctx, df, avg, drop_name, order_col)
+    src = df.select("sig", "labels", "t", "hist", F.col(order_col).alias("__ord"))
+    if not pre_partitioned:
+        src = src.repartition(F.col("sig"), F.col("t"))
+    part = src.sortWithinPartitions("sig", "t", "__ord")
+    out = part.mapInArrow(_gs_arrow_fn(avg), FLAT_SCHEMA)
+    return assemble(out, drop_name=drop_name)
+
+
+def _group_sum_pandas(
+    ctx: EvalContext,
+    df: DataFrame,
+    avg: bool,
+    drop_name: bool = False,
+    order_col: str = "__ord",
+) -> DataFrame:
+    """Scalar reference implementation of :func:`group_sum` (per-group
+    ``from_row`` + ``hist_sum`` Python fold) — the differential-parity
+    baseline for the vectorized path."""
     src = df.select("sig", "labels", "t", "hist", F.col(order_col).alias("__ord"))
 
     def one_group(pdf, rows):
@@ -309,6 +350,372 @@ def group_sum(
 
     out = _grouped_apply_batched(src, ("sig", "t"), one_group)
     return assemble(out, drop_name=drop_name)
+
+
+def _pa_flat_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("label_keys", pa.list_(pa.string())),
+            ("label_values", pa.list_(pa.string())),
+            ("t", pa.int64()),
+            ("value", pa.float64()),
+            ("has_hist", pa.bool_()),
+            ("h_schema", pa.int32()),
+            ("h_zt", pa.float64()),
+            ("h_zc", pa.float64()),
+            ("h_count", pa.float64()),
+            ("h_sum", pa.float64()),
+            ("h_pos_off", pa.list_(pa.int32())),
+            ("h_pos_len", pa.list_(pa.int32())),
+            ("h_pos_bkt", pa.list_(pa.float64())),
+            ("h_neg_off", pa.list_(pa.int32())),
+            ("h_neg_len", pa.list_(pa.int32())),
+            ("h_neg_bkt", pa.list_(pa.float64())),
+            ("h_custom", pa.list_(pa.float64())),
+            ("h_hint", pa.int32()),
+        ]
+    )
+
+
+def _kahan_fold_segments(M, starts, lens):
+    """Element-wise Kahan fold of matrix-row segments, positionally
+    vectorized: iteration k adds row (start+k) of every still-active
+    segment.  Bit-identical to running ``_kahan_inc`` down each segment
+    column-wise (same op order per element; ``np.where`` evaluates both
+    branch expressions but selects the scalar code's branch)."""
+    import numpy as np
+
+    g, w = len(starts), M.shape[1]
+    s = np.zeros((g, w))
+    c = np.zeros((g, w))
+    maxlen = int(lens.max()) if g else 0
+    for k in range(maxlen):
+        active = lens > k
+        rows = M[starts[active] + k]
+        sa = s[active]
+        ca = c[active]
+        t = sa + rows
+        ca = np.where(
+            np.abs(sa) >= np.abs(rows),
+            ca + ((sa - t) + rows),
+            ca + ((rows - t) + sa),
+        )
+        ca[np.isinf(t)] = 0.0  # kahansum.Inc: overflow resets compensation
+        s[active] = t
+        c[active] = ca
+    return s + c
+
+
+def _gs_arrow_fn(avg: bool):
+    """Build the ``mapInArrow`` batches function for :func:`group_sum`."""
+
+    def batches(it):
+        import pyarrow as pa
+
+        out_schema = _pa_flat_schema()
+        carry = None  # pa.Table tail: the (possibly incomplete) last group
+        emitted = False
+        for batch in it:
+            tbl = pa.Table.from_batches([batch], schema=batch.schema)
+            if carry is not None:
+                tbl = pa.concat_tables([carry, tbl])
+                carry = None
+            n = tbl.num_rows
+            if n == 0:
+                continue
+            # partition is (sig, t)-sorted → the final group is the
+            # contiguous run equal to the last key; hold it for the next
+            # batch so no group is split across fold calls
+            import pyarrow.compute as pc
+
+            last_sig = tbl.column("sig")[n - 1]
+            last_t = tbl.column("t")[n - 1]
+            tail_mask = pc.and_(
+                pc.equal(tbl.column("sig"), last_sig),
+                pc.equal(tbl.column("t"), last_t),
+            )
+            tail_n = pc.sum(pc.cast(tail_mask, pa.int64())).as_py() or 0
+            carry = tbl.slice(n - tail_n)
+            head = tbl.slice(0, n - tail_n)
+            if head.num_rows:
+                rb = _gs_fold_chunk(head, avg, out_schema)
+                if rb is not None and rb.num_rows:
+                    emitted = True
+                    yield rb
+        if carry is not None and carry.num_rows:
+            rb = _gs_fold_chunk(carry, avg, out_schema)
+            if rb is not None and rb.num_rows:
+                emitted = True
+                yield rb
+        if not emitted:
+            yield pa.RecordBatch.from_pydict(
+                {f.name: [] for f in out_schema}, schema=out_schema
+            )
+
+    return batches
+
+
+def _gs_fold_chunk(tbl, avg: bool, out_schema):
+    """Fold one (sig, t)-sorted chunk of COMPLETE groups into one output
+    RecordBatch (one row per surviving group)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from prometheus_spark.model.histogram import from_row, hist_mean, hist_sum
+
+    tbl = tbl.combine_chunks()
+    b = tbl.to_batches()[0] if tbl.num_rows else None
+    if b is None:
+        return None
+    hist = b.column(tbl.schema.get_field_index("hist"))
+    if hist.null_count:
+        # hist_sum drops None members (and hist_mean's n counts only
+        # non-null) — filtering them up front is equivalent
+        b = b.filter(hist.is_valid())
+        if b.num_rows == 0:
+            return None
+        hist = b.column(tbl.schema.get_field_index("hist"))
+    n = b.num_rows
+    t_np = b.column(tbl.schema.get_field_index("t")).to_numpy(zero_copy_only=False)
+    sig_codes = pc.dictionary_encode(
+        b.column(tbl.schema.get_field_index("sig"))
+    ).indices.to_numpy(zero_copy_only=False)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    if n > 1:
+        new[1:] = (t_np[1:] != t_np[:-1]) | (sig_codes[1:] != sig_codes[:-1])
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, n))
+    labels_arr = b.column(tbl.schema.get_field_index("labels"))
+
+    rows = _fresh()
+    ok, parsed = _gs_try_uniform(hist, n)
+    if ok:
+        _gs_fold_uniform(parsed, t_np, starts, lens, labels_arr, avg, rows)
+    else:
+        # mixed layouts in the chunk: per-group scalar fold (exact
+        # normal-form algebra; rare — layouts within a metric family are
+        # stable, and most chunks hold one family)
+        hl = hist.to_pylist()
+        for gi in range(len(starts)):
+            s0, ln = int(starts[gi]), int(lens[gi])
+            hists = [from_row(hl[i]) for i in range(s0, s0 + ln)]
+            acc, incompatible = (hist_mean if avg else hist_sum)(hists)
+            if acc is not None and not incompatible:
+                _append_row(
+                    rows, _gs_labels_at(labels_arr, s0), int(t_np[s0]), None, acc
+                )
+    if not rows["t"]:
+        return None
+    return pa.RecordBatch.from_pydict(rows, schema=out_schema)
+
+
+def _gs_labels_at(labels_arr, i: int) -> dict:
+    v = labels_arr[i].as_py()
+    return dict(v) if v is not None else {}
+
+
+def _gs_list_parts(arr, n):
+    """ListArray → (per-row counts, flat values ndarray rebased to the
+    logical slice, ok).  ok=False when null list slots are present (the
+    scalar path treats null as [], which offsets can't express safely)."""
+    import numpy as np
+
+    if arr.null_count:
+        return None, None, False
+    offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offs)
+    return counts, offs, True
+
+
+def _gs_try_uniform(hist, n):
+    """Check chunk-wide layout uniformity and pre-extract the numpy
+    views the vectorized fold needs.  Returns (ok, parsed)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from prometheus_spark.model.histogram import from_row
+
+    def fld(name):
+        f = hist.field(name)
+        if isinstance(f, pa.ChunkedArray):  # pragma: no cover
+            f = f.combine_chunks()
+        return f
+
+    scalars = {}
+    for name in ("schema", "zero_threshold", "zero_count", "count", "sum",
+                 "counter_reset_hint"):
+        a = fld(name)
+        if a.null_count:
+            return False, None
+        scalars[name] = a.to_numpy(zero_copy_only=False)
+    schema_np = scalars["schema"]
+    zt_np = scalars["zero_threshold"]
+    if not (schema_np == schema_np[0]).all() or not (zt_np == zt_np[0]).all():
+        return False, None
+
+    def list_mat(name, dtype):
+        """Uniform-width list column → (n, w) matrix (or None on ragged
+        widths / nulls)."""
+        arr = fld(name)
+        counts, offs, ok = _gs_list_parts(arr, n)
+        if not ok:
+            return None, None
+        w = int(counts[0]) if len(counts) else 0
+        if not (counts == w).all():
+            return None, None
+        if w == 0:
+            return np.empty((n, 0), dtype=dtype), arr
+        flat = arr.values.to_numpy(zero_copy_only=False).astype(dtype)
+        return flat[offs[0] : offs[-1]].reshape(n, w), arr
+
+    def span_mats(name):
+        arr = fld(name)
+        counts, offs, ok = _gs_list_parts(arr, n)
+        if not ok:
+            return None
+        w = int(counts[0]) if len(counts) else 0
+        if not (counts == w).all():
+            return None
+        if w == 0:
+            return np.empty((n, 0), np.int64), np.empty((n, 0), np.int64)
+        st = arr.values  # StructArray(offset, length), child of the list
+        o = st.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = st.field("length").to_numpy(zero_copy_only=False).astype(np.int64)
+        return (
+            o[offs[0] : offs[-1]].reshape(n, w),
+            ln[offs[0] : offs[-1]].reshape(n, w),
+        )
+
+    ps = span_mats("pos_spans")
+    ns = span_mats("neg_spans")
+    if ps is None or ns is None:
+        return False, None
+    for mat in (*ps, *ns):
+        if mat.size and not (mat == mat[0]).all():
+            return False, None
+    pos_mat, _ = list_mat("pos_buckets", np.float64)
+    neg_mat, _ = list_mat("neg_buckets", np.float64)
+    cus_mat, _ = list_mat("custom_values", np.float64)
+    if pos_mat is None or neg_mat is None or cus_mat is None:
+        return False, None
+    if cus_mat.size and not (cus_mat == cus_mat[0]).all():
+        return False, None
+    tmpl = from_row(hist.slice(0, 1).to_pylist()[0])
+    if len(tmpl.pos_buckets) != pos_mat.shape[1] or len(tmpl.neg_buckets) != neg_mat.shape[1]:
+        return False, None  # pragma: no cover - span/bucket length mismatch
+    return True, {
+        "tmpl": tmpl,
+        "cnt": scalars["count"],
+        "sum": scalars["sum"],
+        "zc": scalars["zero_count"],
+        "hint": scalars["counter_reset_hint"].astype(np.int64),
+        "pos": pos_mat,
+        "neg": neg_mat,
+    }
+
+
+def _gs_fold_uniform(parsed, t_np, starts, lens, labels_arr, avg, rows):
+    """The vectorized uniform-layout fold: replicates
+    ``_normal_forms`` + ``_fold_parts`` (+ ``hist_mean``'s overflow
+    fallback and ÷n) for histograms sharing one layout."""
+    import numpy as np
+
+    from prometheus_spark.model.histogram import (
+        GAUGE_TYPE,
+        UNKNOWN_RESET,
+        FloatHist,
+    )
+
+    tmpl = parsed["tmpl"]
+    zt = tmpl.zero_threshold
+    custom = tmpl.uses_custom_buckets()
+    pos_idx = tmpl._indexes(tmpl.pos_spans)
+    neg_idx = tmpl._indexes(tmpl.neg_spans)
+    if custom:
+        # _normal_forms custom branch: zc part is 0, neg maps ignored,
+        # no bound filter (identical custom_values → no remap)
+        kept_pos = list(range(len(pos_idx)))
+        kept_neg = []
+        zc_col = np.zeros(len(parsed["cnt"]))
+    else:
+        # equal zero thresholds → _zero_fold is the identity; the bound
+        # filter depends only on (idx, schema, zt) → compute once
+        kept_pos = [
+            j for j, i in enumerate(pos_idx) if tmpl._exp_bounds(i)[1] > zt
+        ]
+        kept_neg = [
+            j for j, i in enumerate(neg_idx) if tmpl._exp_bounds(i)[1] > zt
+        ]
+        zc_col = parsed["zc"]
+    p = len(kept_pos)
+    q = len(kept_neg)
+    M = np.column_stack(
+        [parsed["cnt"], parsed["sum"], zc_col]
+        + ([parsed["pos"][:, kept_pos]] if p else [])
+        + ([parsed["neg"][:, kept_neg]] if q else [])
+    )
+    tot = _kahan_fold_segments(M, starts, lens)
+    # hint lattice fold: all-equal → value; any gauge (= max 3) → gauge;
+    # else unknown — the sequential _fold_hint reduce has exactly these
+    # three outcomes
+    hint = parsed["hint"]
+    hmin = np.minimum.reduceat(hint, starts)
+    hmax = np.maximum.reduceat(hint, starts)
+    hint_g = np.where(
+        hmin == hmax, hmin, np.where(hmax == GAUGE_TYPE, GAUGE_TYPE, UNKNOWN_RESET)
+    )
+    over_fb = None
+    if avg:
+        # hist_mean overflow fallback: Σ overflowed but no input did →
+        # refold Σ(h÷n).  Input overflow checks the UNFILTERED fields.
+        row_over = (
+            np.isinf(parsed["cnt"]) | np.isinf(parsed["sum"]) | np.isinf(parsed["zc"])
+        )
+        if parsed["pos"].size:
+            row_over |= np.isinf(parsed["pos"]).any(axis=1)
+        if parsed["neg"].size:
+            row_over |= np.isinf(parsed["neg"]).any(axis=1)
+        grp_in_over = np.maximum.reduceat(row_over.astype(np.int8), starts) > 0
+        acc_over = np.isinf(tot).any(axis=1)
+        fb = acc_over & ~grp_in_over
+        if fb.any():
+            over_fb = {}
+            for gi in np.flatnonzero(fb):
+                s0, ln = int(starts[gi]), int(lens[gi])
+                seg = M[s0 : s0 + ln] / float(ln)
+                over_fb[int(gi)] = _kahan_fold_segments(
+                    seg, np.array([0]), np.array([ln])
+                )[0]
+    pos_keys = [pos_idx[j] for j in kept_pos]
+    neg_keys = [neg_idx[j] for j in kept_neg]
+    for gi in range(len(starts)):
+        row = tot[gi]
+        fallback = over_fb is not None and int(gi) in over_fb
+        if fallback:
+            row = over_fb[int(gi)]
+        fh = FloatHist(
+            schema=tmpl.schema,
+            zero_threshold=zt,
+            zero_count=float(row[2]),
+            count=float(row[0]),
+            sum=float(row[1]),
+            custom_values=list(tmpl.custom_values),
+            counter_reset_hint=int(hint_g[gi]),
+        )
+        fh._set_pos(dict(zip(pos_keys, map(float, row[3 : 3 + p]))))
+        fh._set_neg(dict(zip(neg_keys, map(float, row[3 + p : 3 + p + q]))))
+        fh.compact()  # _fold_parts returns out.compact()
+        if avg and not fallback:
+            fh.div(float(lens[gi]))
+            fh.compact()
+        _append_row(
+            rows, _gs_labels_at(labels_arr, int(starts[gi])), int(t_np[starts[gi]]),
+            None, fh,
+        )
 
 
 def window_rate(
