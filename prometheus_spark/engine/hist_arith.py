@@ -1039,10 +1039,50 @@ def window_rate_asof(
     whose samples are ALL histograms; mixed float+hist series must stay
     on the explode path (``_split_windows`` owns per-window float/mixed
     routing).
+
+    Execution: a ``mapInArrow`` stage (r10).  When the chunk's
+    histograms share one bucket layout, start timestamps are absent,
+    and a series has no counter resets — the overwhelmingly common
+    shape — that series' windows compute as pure numpy: window values
+    are one fancy-indexed matrix subtraction (uniform layout ⇒
+    ``FloatHist.add`` degenerates to element-wise field math), the
+    extrapolation arithmetic vectorizes with the scalar code's exact op
+    sequence, and ``Compact(0)`` becomes a flat keep-mask.  Series with
+    resets / STs / layout drift replay the exact scalar ``hist_rate``
+    sequence per window (``_rate_series_scalar``).
+    ``PROMSPARK_HIST_RATE_VECTOR=0`` forces the scalar pandas path
+    everywhere (differential parity baseline).
     """
+    import os
+
     from prometheus_spark.shipping import ensure_shipped
 
     ensure_shipped(ctx.spark)
+    if os.environ.get("PROMSPARK_HIST_RATE_VECTOR", "1") == "0":
+        return _window_rate_asof_pandas(
+            ctx, base, range_ms, offset_ms, is_counter, is_rate
+        )
+    if "st" not in base.columns:
+        base = base.withColumn("st", F.lit(None).cast("long"))
+    src = base.select("sig", "labels", "t", "hist", "st")
+    part = src.repartition(F.col("sig")).sortWithinPartitions("sig", "t")
+    fn = _rate_asof_arrow_fn(
+        ctx.start_ms, ctx.end_ms, ctx.step_ms,
+        range_ms, offset_ms, is_counter, is_rate,
+    )
+    return assemble(part.mapInArrow(fn, FLAT_SCHEMA), drop_name=True)
+
+
+def _window_rate_asof_pandas(
+    ctx: EvalContext,
+    base: DataFrame,
+    range_ms: int,
+    offset_ms: int,
+    is_counter: bool,
+    is_rate: bool,
+) -> DataFrame:
+    """Scalar (pandas grouped-apply) spelling of
+    :func:`window_rate_asof` — the differential-parity baseline."""
     import numpy as np
 
     if "st" not in base.columns:
@@ -1056,132 +1096,522 @@ def window_rate_asof(
     wend_arr = step_arr - offset_ms
 
     def one_series(pdf, rows):
-        from prometheus_spark.model.histogram import (
-            GAUGE_TYPE,
-            FloatHist,
-            HistIncompatibleSchema,
-            from_row,
-            st_reset,
-        )
+        from prometheus_spark.model.histogram import from_row
 
         pdf = pdf.sort_values("t")
         ts = pdf["t"].to_numpy(np.int64)
         points = [from_row(h) for h in pdf["hist"]]
         sts = [None if st is None or st != st else int(st) for st in pdf["st"]]
         labels = dict(pdf["labels"].iloc[0])
-        n_s = len(points)
-        reset = np.zeros(n_s, dtype=bool)  # reset[j] = pair (j-1, j)
-        if is_counter:
-            for j in range(1, n_s):
-                pj, pp = points[j], points[j - 1]
-                if pj is None or pp is None:
-                    continue
-                reset[j] = st_reset(
-                    sts[j - 1], int(ts[j - 1]), sts[j], int(ts[j])
-                ) or pj.detect_reset(pp)
-        reset_idx = np.flatnonzero(reset)
-        nones = np.array([p is None for p in points], dtype=bool)
-        schemas = np.array(
-            [p.schema if p is not None else 127 for p in points], dtype=np.int32
+        _rate_series_scalar(
+            ts, points, sts, labels, rows,
+            step_arr, wend_arr, rng, range_s, is_counter, is_rate,
         )
-        customs = np.array(
-            [bool(p.uses_custom_buckets()) if p is not None else False
-             for p in points],
-            dtype=bool,
-        )
-        right = np.searchsorted(ts, wend_arr, side="right")
-        left = np.searchsorted(ts, wend_arr - rng, side="right")
-
-        def rate_window(a: int, b: int):
-            # hist_rate (model/histogram.py:1094) on the index slice
-            prev, last = points[a], points[b]
-            if prev is None or last is None:
-                return None
-            using_custom = prev.uses_custom_buckets()
-            if is_counter:
-                second = points[a + 1]
-                if second is not None and reset[a + 1]:
-                    prev = FloatHist(
-                        schema=second.schema,
-                        custom_values=list(second.custom_values),
-                    )
-                    using_custom = second.uses_custom_buckets()
-            if last.uses_custom_buckets() != using_custom:
-                return None
-            min_schema = min(last.schema, prev.schema)
-            if b - a >= 2:  # middles a+1 .. b-1
-                mid = slice(a + 1, b)
-                if nones[mid].any():
-                    return None
-                if is_counter:
-                    if (customs[mid] != using_custom).any():
-                        return None
-                    noncust = ~customs[mid]
-                    if noncust.any():
-                        mmin = int(schemas[mid][noncust].min())
-                        if mmin < min_schema:
-                            min_schema = mmin
-            h = last.copy().reduce_to_schema(min_schema)
-            try:
-                h.add(prev, sub=True)
-                if is_counter:
-                    # pairs j in [a+2 .. b] with a reset, in time order —
-                    # identical op order to hist_rate's loop (the window's
-                    # first pair is a numeric no-op there: on reset, prev
-                    # was replaced by an empty histogram before the add)
-                    lo = int(np.searchsorted(reset_idx, a + 2))
-                    hi = int(np.searchsorted(reset_idx, b, side="right"))
-                    for j in reset_idx[lo:hi]:
-                        h.add(points[int(j) - 1])
-            except HistIncompatibleSchema:
-                return None
-            h.counter_reset_hint = GAUGE_TYPE
-            return h.compact()
-
-        for w in range(len(step_arr)):
-            a, b = int(left[w]), int(right[w]) - 1
-            npts = b - a + 1
-            if npts < 1:
-                continue
-            wend = int(wend_arr[w])
-            first_t, last_t = int(ts[a]), int(ts[b])
-            st0 = sts[a] or 0
-            st_cond = (
-                is_counter and st0 != 0 and (wend - rng) < st0 < first_t
-            )
-            h = rate_window(a, b) if npts >= 2 else None
-            if h is None and not (st_cond and npts == 1):
-                continue
-            # extrapolation — window_rate.one_group, verbatim arithmetic
-            sampled = (last_t - first_t) / 1000.0
-            avg_spacing = sampled / (npts - 1) if npts > 1 else 0.0
-            threshold = avg_spacing * 1.1
-            dur_start = (first_t - (wend - rng)) / 1000.0
-            dur_end = (wend - last_t) / 1000.0
-            if st_cond:
-                dur_start = 0.0
-                sampled = (last_t - st0) / 1000.0
-                if h is None:
-                    h = points[a].copy()
-                else:
-                    h.add(points[a])
-            else:
-                if dur_start >= threshold:
-                    dur_start = avg_spacing / 2.0
-                if is_counter and h.count > 0 and points[a].count >= 0:
-                    dur_zero = sampled * (points[a].count / h.count)
-                    if dur_zero < dur_start:
-                        dur_start = dur_zero
-            if dur_end >= threshold:
-                dur_end = avg_spacing / 2.0
-            factor = (sampled + dur_start + dur_end) / sampled if sampled else 1.0
-            if is_rate:
-                factor /= range_s
-            h.mul(factor)
-            h.compact()
-            h.counter_reset_hint = GAUGE_TYPE
-            _append_row(rows, labels, int(step_arr[w]), None, h)
-        return
 
     out = _grouped_apply_batched(src, ("sig",), one_series)
     return assemble(out, drop_name=True)
+
+
+def _rate_series_scalar(
+    ts, points, sts, labels, rows,
+    step_arr, wend_arr, rng, range_s, is_counter, is_rate,
+):
+    """Exact scalar hist_rate + extrapolation replay for ONE series —
+    shared by the pandas path and the Arrow path's fallback tier."""
+    import numpy as np
+
+    from prometheus_spark.model.histogram import (
+        GAUGE_TYPE,
+        FloatHist,
+        HistIncompatibleSchema,
+        st_reset,
+    )
+
+    n_s = len(points)
+    reset = np.zeros(n_s, dtype=bool)  # reset[j] = pair (j-1, j)
+    if is_counter:
+        for j in range(1, n_s):
+            pj, pp = points[j], points[j - 1]
+            if pj is None or pp is None:
+                continue
+            reset[j] = st_reset(
+                sts[j - 1], int(ts[j - 1]), sts[j], int(ts[j])
+            ) or pj.detect_reset(pp)
+    reset_idx = np.flatnonzero(reset)
+    nones = np.array([p is None for p in points], dtype=bool)
+    schemas = np.array(
+        [p.schema if p is not None else 127 for p in points], dtype=np.int32
+    )
+    customs = np.array(
+        [bool(p.uses_custom_buckets()) if p is not None else False
+         for p in points],
+        dtype=bool,
+    )
+    right = np.searchsorted(ts, wend_arr, side="right")
+    left = np.searchsorted(ts, wend_arr - rng, side="right")
+
+    def rate_window(a: int, b: int):
+        # hist_rate (model/histogram.py:1094) on the index slice
+        prev, last = points[a], points[b]
+        if prev is None or last is None:
+            return None
+        using_custom = prev.uses_custom_buckets()
+        if is_counter:
+            second = points[a + 1]
+            if second is not None and reset[a + 1]:
+                prev = FloatHist(
+                    schema=second.schema,
+                    custom_values=list(second.custom_values),
+                )
+                using_custom = second.uses_custom_buckets()
+        if last.uses_custom_buckets() != using_custom:
+            return None
+        min_schema = min(last.schema, prev.schema)
+        if b - a >= 2:  # middles a+1 .. b-1
+            mid = slice(a + 1, b)
+            if nones[mid].any():
+                return None
+            if is_counter:
+                if (customs[mid] != using_custom).any():
+                    return None
+                noncust = ~customs[mid]
+                if noncust.any():
+                    mmin = int(schemas[mid][noncust].min())
+                    if mmin < min_schema:
+                        min_schema = mmin
+        h = last.copy().reduce_to_schema(min_schema)
+        try:
+            h.add(prev, sub=True)
+            if is_counter:
+                # pairs j in [a+2 .. b] with a reset, in time order —
+                # identical op order to hist_rate's loop (the window's
+                # first pair is a numeric no-op there: on reset, prev
+                # was replaced by an empty histogram before the add)
+                lo = int(np.searchsorted(reset_idx, a + 2))
+                hi = int(np.searchsorted(reset_idx, b, side="right"))
+                for j in reset_idx[lo:hi]:
+                    h.add(points[int(j) - 1])
+        except HistIncompatibleSchema:
+            return None
+        h.counter_reset_hint = GAUGE_TYPE
+        return h.compact()
+
+    for w in range(len(step_arr)):
+        a, b = int(left[w]), int(right[w]) - 1
+        npts = b - a + 1
+        if npts < 1:
+            continue
+        wend = int(wend_arr[w])
+        first_t, last_t = int(ts[a]), int(ts[b])
+        st0 = sts[a] or 0
+        st_cond = (
+            is_counter and st0 != 0 and (wend - rng) < st0 < first_t
+        )
+        h = rate_window(a, b) if npts >= 2 else None
+        if h is None and not (st_cond and npts == 1):
+            continue
+        # extrapolation — window_rate.one_group, verbatim arithmetic
+        sampled = (last_t - first_t) / 1000.0
+        avg_spacing = sampled / (npts - 1) if npts > 1 else 0.0
+        threshold = avg_spacing * 1.1
+        dur_start = (first_t - (wend - rng)) / 1000.0
+        dur_end = (wend - last_t) / 1000.0
+        if st_cond:
+            dur_start = 0.0
+            sampled = (last_t - st0) / 1000.0
+            if h is None:
+                h = points[a].copy()
+            else:
+                h.add(points[a])
+        else:
+            if dur_start >= threshold:
+                dur_start = avg_spacing / 2.0
+            if is_counter and h.count > 0 and points[a].count >= 0:
+                dur_zero = sampled * (points[a].count / h.count)
+                if dur_zero < dur_start:
+                    dur_start = dur_zero
+        if dur_end >= threshold:
+            dur_end = avg_spacing / 2.0
+        factor = (sampled + dur_start + dur_end) / sampled if sampled else 1.0
+        if is_rate:
+            factor /= range_s
+        h.mul(factor)
+        h.compact()
+        h.counter_reset_hint = GAUGE_TYPE
+        _append_row(rows, labels, int(step_arr[w]), None, h)
+    return
+
+
+def _rate_asof_arrow_fn(
+    start_ms, end_ms, step_ms, range_ms, offset_ms, is_counter, is_rate
+):
+    """Build the ``mapInArrow`` batches function for
+    :func:`window_rate_asof` (sig-sorted partitions, carry the tail
+    series across Arrow batches)."""
+
+    def batches(it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out_schema = _pa_flat_schema()
+        carry = None
+        emitted = False
+        for batch in it:
+            tbl = pa.Table.from_batches([batch], schema=batch.schema)
+            if carry is not None:
+                tbl = pa.concat_tables([carry, tbl])
+                carry = None
+            n = tbl.num_rows
+            if n == 0:
+                continue
+            tail_mask = pc.equal(tbl.column("sig"), tbl.column("sig")[n - 1])
+            tail_n = pc.sum(pc.cast(tail_mask, pa.int64())).as_py() or 0
+            carry = tbl.slice(n - tail_n)
+            head = tbl.slice(0, n - tail_n)
+            if head.num_rows:
+                rb = _rate_fold_chunk(
+                    head, out_schema, start_ms, end_ms, step_ms,
+                    range_ms, offset_ms, is_counter, is_rate,
+                )
+                if rb is not None and rb.num_rows:
+                    emitted = True
+                    yield rb
+        if carry is not None and carry.num_rows:
+            rb = _rate_fold_chunk(
+                carry, out_schema, start_ms, end_ms, step_ms,
+                range_ms, offset_ms, is_counter, is_rate,
+            )
+            if rb is not None and rb.num_rows:
+                emitted = True
+                yield rb
+        if not emitted:
+            yield pa.RecordBatch.from_pydict(
+                {f.name: [] for f in out_schema}, schema=out_schema
+            )
+
+    return batches
+
+
+def _rate_fold_chunk(
+    tbl, out_schema, start_ms, end_ms, step_ms, range_ms, offset_ms,
+    is_counter, is_rate,
+):
+    """Rate/increase/delta over one sig-sorted chunk of COMPLETE series."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    range_s = range_ms / 1000.0
+    rng = int(range_ms)
+    step_arr = np.arange(start_ms, end_ms + 1, step_ms, dtype=np.int64)
+    wend_arr = step_arr - offset_ms
+
+    tbl = tbl.combine_chunks()
+    b = tbl.to_batches()[0] if tbl.num_rows else None
+    if b is None:
+        return None
+    n = b.num_rows
+    idx = tbl.schema.get_field_index
+    hist = b.column(idx("hist"))
+    st_col = b.column(idx("st"))
+    t_np = b.column(idx("t")).to_numpy(zero_copy_only=False)
+    sig_codes = pc.dictionary_encode(b.column(idx("sig"))).indices.to_numpy(
+        zero_copy_only=False
+    )
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    if n > 1:
+        new[1:] = sig_codes[1:] != sig_codes[:-1]
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, n))
+    labels_arr = b.column(idx("labels"))
+
+    parsed = None
+    if st_col.null_count == n and not hist.null_count:
+        ok, parsed = _gs_try_uniform(hist, n)
+        if not ok:
+            parsed = None
+
+    rows = _fresh()
+    hl = None  # lazy pylist for fallback series
+    out_cols = None
+    scalar_series = []
+    if parsed is None:
+        scalar_series = list(range(len(starts)))
+    else:
+        out_cols = _rate_fold_uniform(
+            parsed, t_np, starts, lens, labels_arr, rows, scalar_series,
+            step_arr, wend_arr, rng, range_s, is_counter, is_rate,
+        )
+    if scalar_series:
+        from prometheus_spark.model.histogram import from_row
+
+        hl = hist.to_pylist()
+        stl = st_col.to_pylist()
+        for gi in scalar_series:
+            s0, ln = int(starts[gi]), int(lens[gi])
+            points = [from_row(hl[i]) for i in range(s0, s0 + ln)]
+            sts = [None if s is None else int(s) for s in stl[s0 : s0 + ln]]
+            _rate_series_scalar(
+                t_np[s0 : s0 + ln], points, sts,
+                _gs_labels_at(labels_arr, s0), rows,
+                step_arr, wend_arr, rng, range_s, is_counter, is_rate,
+            )
+    if parsed is not None and out_cols is not None:
+        return _rate_emit(out_cols, rows, out_schema)
+    if not rows["t"]:
+        return None
+    return pa.RecordBatch.from_pydict(rows, schema=out_schema)
+
+
+def _rate_fold_uniform(
+    parsed, t_np, starts, lens, labels_arr, rows, scalar_series,
+    step_arr, wend_arr, rng, range_s, is_counter, is_rate,
+):
+    """Vectorized reset-free windows for uniform-layout chunks.
+
+    Returns columnar output arrays; series that need the exact scalar
+    replay (any counter reset) are appended to ``scalar_series`` and
+    produce their rows via ``rows`` instead."""
+    import numpy as np
+
+    from prometheus_spark.model.histogram import (
+        COUNTER_RESET,
+        GAUGE_TYPE,
+        NOT_COUNTER_RESET,
+    )
+
+    tmpl = parsed["tmpl"]
+    zt = tmpl.zero_threshold
+    custom = tmpl.uses_custom_buckets()
+    pos_idx = tmpl._indexes(tmpl.pos_spans)
+    neg_idx = tmpl._indexes(tmpl.neg_spans)
+    if custom:
+        kept_pos = list(range(len(pos_idx)))
+        kept_neg = list(range(len(neg_idx)))
+        cmp_pos, cmp_neg = kept_pos, []
+        sub_zc = False
+    else:
+        kept_pos = [j for j, i in enumerate(pos_idx) if tmpl._exp_bounds(i)[1] > zt]
+        kept_neg = [j for j, i in enumerate(neg_idx) if tmpl._exp_bounds(i)[1] > zt]
+        cmp_pos, cmp_neg = kept_pos, kept_neg
+        sub_zc = True
+    cnt, sm, zc = parsed["cnt"], parsed["sum"], parsed["zc"]
+    pos, neg = parsed["pos"], parsed["neg"]
+    hint = parsed["hint"]
+    n = len(cnt)
+
+    # adjacent-pair counter resets, whole chunk at once (pairs crossing
+    # a series boundary are masked off) — detect_reset for identical
+    # layouts: hint shortcuts, then count/zero-count decrease, then any
+    # populated previous bucket shrinking (custom: count + pos only)
+    reset = np.zeros(n, dtype=bool)
+    if is_counter and n > 1:
+        cur, prv = slice(1, None), slice(None, -1)
+        dec = cnt[cur] < cnt[prv]
+        if sub_zc:
+            dec = dec | (zc[cur] < zc[prv])
+        for mat, cols in ((pos, cmp_pos), (neg, cmp_neg)):
+            if cols:
+                m = mat[:, cols]
+                dec = dec | ((m[prv] != 0) & (m[cur] < m[prv])).any(axis=1)
+        hc = hint[1:]
+        pair = np.where(
+            hc == COUNTER_RESET, True,
+            np.where(hc == NOT_COUNTER_RESET, False, dec),
+        )
+        reset[1:] = pair
+        reset[starts] = False  # pairs never cross series boundaries
+
+    M = np.column_stack(
+        [cnt, sm, zc]
+        + ([pos] if pos.shape[1] else [])
+        + ([neg] if neg.shape[1] else [])
+    )
+    p_all, q_all = pos.shape[1], neg.shape[1]
+    sub_mask = np.zeros(M.shape[1], dtype=bool)
+    sub_mask[0] = sub_mask[1] = True
+    sub_mask[2] = sub_zc
+    for j in kept_pos:
+        sub_mask[3 + j] = True
+    for j in kept_neg:
+        sub_mask[3 + p_all + j] = True
+
+    out_rows = []
+    out_t = []
+    out_series = []  # gi per output row (labels lookup)
+    for gi in range(len(starts)):
+        s0, ln = int(starts[gi]), int(lens[gi])
+        if is_counter and reset[s0 + 1 : s0 + ln].any():
+            scalar_series.append(gi)
+            continue
+        ts = t_np[s0 : s0 + ln]
+        right = np.searchsorted(ts, wend_arr, side="right")
+        left = np.searchsorted(ts, wend_arr - rng, side="right")
+        npts = right - left
+        valid = npts >= 2
+        if not valid.any():
+            continue
+        a = s0 + left[valid]
+        bidx = s0 + right[valid] - 1
+        nw = npts[valid].astype(np.float64)
+        R = M[bidx].copy()
+        R[:, sub_mask] -= M[a][:, sub_mask]
+        first_t = t_np[a].astype(np.float64)
+        last_t = t_np[bidx].astype(np.float64)
+        wend = wend_arr[valid].astype(np.float64)
+        # extrapolation — _rate_series_scalar's arithmetic, same op order
+        sampled = (last_t - first_t) / 1000.0
+        avg_spacing = sampled / (nw - 1.0)
+        threshold = avg_spacing * 1.1
+        dur_start = (first_t - (wend - rng)) / 1000.0
+        dur_end = (wend - last_t) / 1000.0
+        dur_start = np.where(dur_start >= threshold, avg_spacing / 2.0, dur_start)
+        if is_counter:
+            hcnt = R[:, 0]
+            acnt = M[a, 0]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                dur_zero = sampled * (acnt / hcnt)
+            m = (hcnt > 0) & (acnt >= 0) & (dur_zero < dur_start)
+            dur_start = np.where(m, dur_zero, dur_start)
+        dur_end = np.where(dur_end >= threshold, avg_spacing / 2.0, dur_end)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            factor = np.where(
+                sampled != 0.0, (sampled + dur_start + dur_end) / sampled, 1.0
+            )
+        if is_rate:
+            factor = factor / range_s
+        R *= factor[:, None]
+        out_rows.append(R)
+        out_t.append(step_arr[valid])
+        out_series.append(np.full(int(valid.sum()), gi, dtype=np.int64))
+    if out_rows:
+        R_out = np.concatenate(out_rows)
+        t_out = np.concatenate(out_t)
+        s_out = np.concatenate(out_series)
+    else:
+        R_out = np.empty((0, M.shape[1]))
+        t_out = np.empty(0, np.int64)
+        s_out = np.empty(0, np.int64)
+    return {
+        "R": R_out, "t": t_out, "series": s_out, "tmpl": tmpl,
+        "pos_keys": list(pos_idx), "neg_keys": list(neg_idx),
+        "p": p_all, "q": q_all, "starts": starts, "labels_arr": labels_arr,
+    }
+
+
+def _rate_emit(out_cols, rows, out_schema):
+    """Build the output RecordBatch: columnar for the vectorized
+    windows (Compact(0) = flat keep-mask; spans rebuilt per distinct
+    zero pattern), plus the scalar-fallback rows accumulated in
+    ``rows``."""
+    import numpy as np
+    import pyarrow as pa
+
+    from prometheus_spark.model.histogram import GAUGE_TYPE, _map_to_spans
+
+    R = out_cols["R"]
+    k = R.shape[0]
+    batches = []
+    if k:
+        tmpl = out_cols["tmpl"]
+        p, q = out_cols["p"], out_cols["q"]
+        pos_keys, neg_keys = out_cols["pos_keys"], out_cols["neg_keys"]
+        pos_vals = R[:, 3 : 3 + p]
+        neg_vals = R[:, 3 + p : 3 + p + q]
+
+        span_cache = {}
+
+        def spans_for(keys, keep_row):
+            key = keep_row.tobytes()
+            hit = span_cache.get(key)
+            if hit is None:
+                m = {kk: 1.0 for kk, keep in zip(keys, keep_row) if keep}
+                sp, _ = _map_to_spans(m)
+                hit = ([int(o) for o, _ in sp], [int(l) for _, l in sp])
+                span_cache[key] = hit
+            return hit
+
+        def list_col(vals, keys):
+            w = vals.shape[1]
+            if w == 0:
+                offs = np.zeros(k + 1, dtype=np.int32)
+                return (
+                    pa.ListArray.from_arrays(
+                        pa.array(offs), pa.array([], type=pa.float64())
+                    ),
+                    [[]] * k,
+                    [[]] * k,
+                )
+            keep = vals != 0.0
+            lens_ = keep.sum(axis=1).astype(np.int32)
+            offs = np.zeros(k + 1, dtype=np.int32)
+            np.cumsum(lens_, out=offs[1:])
+            flat = vals[keep]
+            full = lens_ == w
+            full_spans = spans_for(keys, np.ones(w, dtype=bool))
+            offs_l, lens_l = [], []
+            for i in range(k):
+                if full[i]:
+                    o, ln = full_spans
+                else:
+                    o, ln = spans_for(keys, keep[i])
+                offs_l.append(o)
+                lens_l.append(ln)
+            return (
+                pa.ListArray.from_arrays(pa.array(offs), pa.array(flat)),
+                offs_l,
+                lens_l,
+            )
+
+        pos_col, pos_offs, pos_lens = list_col(pos_vals, pos_keys)
+        neg_col, neg_offs, neg_lens = list_col(neg_vals, neg_keys)
+        # labels: constant per series
+        lab_cache = {}
+        keys_l, vals_l = [], []
+        for gi in out_cols["series"]:
+            gi = int(gi)
+            hit = lab_cache.get(gi)
+            if hit is None:
+                d = _gs_labels_at(
+                    out_cols["labels_arr"], int(out_cols["starts"][gi])
+                )
+                hit = (list(d.keys()), list(d.values()))
+                lab_cache[gi] = hit
+            keys_l.append(hit[0])
+            vals_l.append(hit[1])
+        cv = [float(v) for v in tmpl.custom_values]
+        data = {
+            "label_keys": pa.array(keys_l, type=pa.list_(pa.string())),
+            "label_values": pa.array(vals_l, type=pa.list_(pa.string())),
+            "t": pa.array(out_cols["t"], type=pa.int64()),
+            "value": pa.array([None] * k, type=pa.float64()),
+            "has_hist": pa.array(np.ones(k, dtype=bool)),
+            "h_schema": pa.array(
+                np.full(k, tmpl.schema, dtype=np.int32), type=pa.int32()
+            ),
+            "h_zt": pa.array(np.full(k, tmpl.zero_threshold)),
+            "h_zc": pa.array(R[:, 2]),
+            "h_count": pa.array(R[:, 0]),
+            "h_sum": pa.array(R[:, 1]),
+            "h_pos_off": pa.array(pos_offs, type=pa.list_(pa.int32())),
+            "h_pos_len": pa.array(pos_lens, type=pa.list_(pa.int32())),
+            "h_pos_bkt": pos_col,
+            "h_neg_off": pa.array(neg_offs, type=pa.list_(pa.int32())),
+            "h_neg_len": pa.array(neg_lens, type=pa.list_(pa.int32())),
+            "h_neg_bkt": neg_col,
+            "h_custom": pa.array([cv] * k, type=pa.list_(pa.float64())),
+            "h_hint": pa.array(
+                np.full(k, GAUGE_TYPE, dtype=np.int32), type=pa.int32()
+            ),
+        }
+        batches.append(pa.RecordBatch.from_pydict(data, schema=out_schema))
+    if rows["t"]:
+        batches.append(pa.RecordBatch.from_pydict(rows, schema=out_schema))
+    if not batches:
+        return None
+    if len(batches) == 1:
+        return batches[0]
+    tb = pa.Table.from_batches(batches).combine_chunks()
+    return tb.to_batches()[0]
+
