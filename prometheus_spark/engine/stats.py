@@ -494,20 +494,26 @@ class _Ev:
         w = windowed_samples(
             self.ctx, node.selector, rng, offset_ms=off, at=node.selector.at
         )
+        # bare matrix selectors are root-only (instant queries — one
+        # window per series) and the per-point breakdown is never read
+        # downstream, so aggregate the window weight SERVER-side: the
+        # collect is bounded to one row per series instead of one row
+        # per sample (a stats=all on big_metric[1d] previously pulled
+        # every sample in the day to the driver)
         rows = (
-            w.select("sig", "labels", "sample_t",
-                     _weight(w).alias("w"), _hist_flag(w).alias("h"))
+            w.groupBy("sig")
+            .agg(
+                F.first("labels").alias("labels"),
+                F.sum(_weight(w)).alias("tw"),
+            )
             .collect()
         )
-        per: dict = {}
-        for r in rows:
-            labels, pts = per.setdefault(r["sig"], (dict(r["labels"]), {}))
-            pts[r["sample_t"]] = _Pt(int(r["w"]), bool(r["h"]))
         out = []
         tot = 0
-        for key in sorted(per):
-            labels, pts = per[key]
-            s = _Ser(key, labels, pts)
+        for r in sorted(rows, key=lambda r: r["sig"]):
+            # single synthetic point carrying the window total — total()
+            # and the peak accounting see the same numbers as before
+            s = _Ser(r["sig"], dict(r["labels"]), {0: _Pt(int(r["tw"] or 0))})
             tot += s.total()
             self.current += s.total()
             out.append(s)
