@@ -457,7 +457,7 @@ def _gs_arrow_fn(avg: bool):
     return batches
 
 
-def _gs_fold_chunk(tbl, avg: bool, out_schema):
+def _gs_fold_chunk(tbl, avg: bool, out_schema, retier: bool = True):
     """Fold one (sig, t)-sorted chunk of COMPLETE groups into one output
     RecordBatch (one row per surviving group)."""
     import numpy as np
@@ -492,25 +492,60 @@ def _gs_fold_chunk(tbl, avg: bool, out_schema):
     labels_arr = b.column(tbl.schema.get_field_index("labels"))
 
     rows = _fresh()
+    sub_batches = []
     ok, parsed = _gs_try_uniform(hist, n)
     if ok:
         _gs_fold_uniform(parsed, t_np, starts, lens, labels_arr, avg, rows)
+        scalar_groups = []
     else:
-        # mixed layouts in the chunk: per-group scalar fold (exact
-        # normal-form algebra; rare — layouts within a metric family are
-        # stable, and most chunks hold one family)
-        hl = hist.to_pylist()
-        for gi in range(len(starts)):
-            s0, ln = int(starts[gi]), int(lens[gi])
-            hists = [from_row(hl[i]) for i in range(s0, s0 + ln)]
-            acc, incompatible = (hist_mean if avg else hist_sum)(hists)
-            if acc is not None and not incompatible:
-                _append_row(
-                    rows, _gs_labels_at(labels_arr, s0), int(t_np[s0]), None, acc
+        # mixed layouts in the chunk: middle tier — groups whose rows
+        # share ONE layout are gathered per layout and re-enter the
+        # vectorized fold (take() compacts them into a uniform batch);
+        # only genuinely mixed-layout groups pay the scalar normal-form
+        # algebra.  retier=False guards the recursion: a re-gathered
+        # batch is uniform by construction, but if the layout key ever
+        # under-approximates _gs_try_uniform, fall scalar, never loop.
+        scalar_groups = list(range(len(starts)))
+        keys = _gs_layout_keys(hist, n) if retier else None
+        if keys is not None:
+            by_layout: dict = {}
+            scalar_groups = []
+            for gi in range(len(starts)):
+                s0, ln = int(starts[gi]), int(lens[gi])
+                k0 = keys[s0]
+                if all(keys[r] == k0 for r in range(s0 + 1, s0 + ln)):
+                    by_layout.setdefault(k0, []).append(gi)
+                else:
+                    scalar_groups.append(gi)
+            tbl2 = pa.Table.from_batches([b])
+            for gids in by_layout.values():
+                idx = np.concatenate(
+                    [np.arange(starts[gi], starts[gi] + lens[gi]) for gi in gids]
                 )
-    if not rows["t"]:
+                rb = _gs_fold_chunk(
+                    tbl2.take(pa.array(idx)), avg, out_schema, retier=False
+                )
+                if rb is not None and rb.num_rows:
+                    sub_batches.append(rb)
+        if scalar_groups:
+            hl = hist.to_pylist()
+            for gi in scalar_groups:
+                s0, ln = int(starts[gi]), int(lens[gi])
+                hists = [from_row(hl[i]) for i in range(s0, s0 + ln)]
+                acc, incompatible = (hist_mean if avg else hist_sum)(hists)
+                if acc is not None and not incompatible:
+                    _append_row(
+                        rows, _gs_labels_at(labels_arr, s0), int(t_np[s0]),
+                        None, acc,
+                    )
+    if rows["t"]:
+        sub_batches.append(pa.RecordBatch.from_pydict(rows, schema=out_schema))
+    if not sub_batches:
         return None
-    return pa.RecordBatch.from_pydict(rows, schema=out_schema)
+    if len(sub_batches) == 1:
+        return sub_batches[0]
+    merged = pa.Table.from_batches(sub_batches).combine_chunks()
+    return merged.to_batches()[0]
 
 
 def _gs_labels_at(labels_arr, i: int) -> dict:
@@ -529,6 +564,57 @@ def _gs_list_parts(arr, n):
     offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     counts = np.diff(offs)
     return counts, offs, True
+
+
+def _gs_layout_keys(hist, n):
+    """Per-row bucket-layout keys (hashable tuples) for the mixed-layout
+    middle tier: rows sharing a key satisfy :func:`_gs_try_uniform` when
+    gathered into their own batch (same schema, zero threshold, span
+    content, bucket counts, custom bounds).  Returns None when nulls in
+    any histogram field force the scalar path."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fld(name):
+        f = hist.field(name)
+        if isinstance(f, pa.ChunkedArray):  # pragma: no cover
+            f = f.combine_chunks()
+        return f
+
+    for name in ("schema", "zero_threshold", "zero_count", "count", "sum",
+                 "counter_reset_hint"):
+        if fld(name).null_count:
+            return None
+    sc_np = fld("schema").to_numpy(zero_copy_only=False)
+    zt_np = fld("zero_threshold").to_numpy(zero_copy_only=False)
+    blobs = []
+    for name, is_span in (("pos_spans", True), ("neg_spans", True),
+                          ("custom_values", False)):
+        arr = fld(name)
+        counts, offs, okc = _gs_list_parts(arr, n)
+        if not okc:
+            return None
+        if is_span:
+            st = arr.values
+            o = st.field("offset").to_numpy(zero_copy_only=False).astype(np.int32)
+            ln = st.field("length").to_numpy(zero_copy_only=False).astype(np.int32)
+            flat = (np.column_stack([o, ln]) if len(o)
+                    else np.empty((0, 2), np.int32))
+        else:
+            flat = arr.values.to_numpy(zero_copy_only=False)
+        blobs.append((offs, flat))
+    pb_counts, _, ok1 = _gs_list_parts(fld("pos_buckets"), n)
+    nb_counts, _, ok2 = _gs_list_parts(fld("neg_buckets"), n)
+    if not (ok1 and ok2):
+        return None
+    keys = []
+    for i in range(n):
+        key = (int(sc_np[i]), float(zt_np[i]),
+               int(pb_counts[i]), int(nb_counts[i]))
+        for offs, flat in blobs:
+            key += (flat[offs[i] : offs[i + 1]].tobytes(),)
+        keys.append(key)
+    return keys
 
 
 def _gs_try_uniform(hist, n):
@@ -1294,7 +1380,7 @@ def _rate_asof_arrow_fn(
 
 def _rate_fold_chunk(
     tbl, out_schema, start_ms, end_ms, step_ms, range_ms, offset_ms,
-    is_counter, is_rate,
+    is_counter, is_rate, retier: bool = True,
 ):
     """Rate/increase/delta over one sig-sorted chunk of COMPLETE series."""
     import numpy as np
@@ -1335,9 +1421,40 @@ def _rate_fold_chunk(
     rows = _fresh()
     hl = None  # lazy pylist for fallback series
     out_cols = None
+    sub_batches = []
     scalar_series = []
     if parsed is None:
         scalar_series = list(range(len(starts)))
+        # middle tier: when the chunk mixes layouts across SERIES (but
+        # histograms are non-null and STs absent), gather each
+        # layout-uniform series set into its own batch and re-enter the
+        # vectorized fold; only series with intra-series drift stay
+        # scalar.  retier guards the recursion like _gs_fold_chunk's.
+        if retier and st_col.null_count == n and not hist.null_count:
+            keys = _gs_layout_keys(hist, n)
+            if keys is not None:
+                by_layout: dict = {}
+                scalar_series = []
+                for gi in range(len(starts)):
+                    s0, ln = int(starts[gi]), int(lens[gi])
+                    k0 = keys[s0]
+                    if all(keys[r] == k0 for r in range(s0 + 1, s0 + ln)):
+                        by_layout.setdefault(k0, []).append(gi)
+                    else:
+                        scalar_series.append(gi)
+                tbl2 = pa.Table.from_batches([b])
+                for gids in by_layout.values():
+                    gidx = np.concatenate(
+                        [np.arange(starts[gi], starts[gi] + lens[gi])
+                         for gi in gids]
+                    )
+                    rb = _rate_fold_chunk(
+                        tbl2.take(pa.array(gidx)), out_schema, start_ms,
+                        end_ms, step_ms, range_ms, offset_ms, is_counter,
+                        is_rate, retier=False,
+                    )
+                    if rb is not None and rb.num_rows:
+                        sub_batches.append(rb)
     else:
         out_cols = _rate_fold_uniform(
             parsed, t_np, starts, lens, labels_arr, rows, scalar_series,
@@ -1357,11 +1474,20 @@ def _rate_fold_chunk(
                 _gs_labels_at(labels_arr, s0), rows,
                 step_arr, wend_arr, rng, range_s, is_counter, is_rate,
             )
-    if parsed is not None and out_cols is not None:
-        return _rate_emit(out_cols, rows, out_schema)
-    if not rows["t"]:
+    if out_cols is not None:
+        main = _rate_emit(out_cols, rows, out_schema)
+    elif rows["t"]:
+        main = pa.RecordBatch.from_pydict(rows, schema=out_schema)
+    else:
+        main = None
+    if main is not None and main.num_rows:
+        sub_batches.append(main)
+    if not sub_batches:
         return None
-    return pa.RecordBatch.from_pydict(rows, schema=out_schema)
+    if len(sub_batches) == 1:
+        return sub_batches[0]
+    merged = pa.Table.from_batches(sub_batches).combine_chunks()
+    return merged.to_batches()[0]
 
 
 def _rate_fold_uniform(
