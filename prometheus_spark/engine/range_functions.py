@@ -819,14 +819,29 @@ def eval_range_function_prefix(
         # sig+kind bits) instead of a per-sig Window — the Window
         # shuffled and sorted every full-width histogram row before a
         # single useful op ran.
-        kinds = base.groupBy("sig").agg(
-            F.max(F.col("hist").isNotNull().cast("int")).alias("__has_h"),
-            F.max(F.col("value").isNotNull().cast("int")).alias("__has_f"),
-        )
-        # no broadcast hint: AQE turns this into a broadcast join at
-        # runtime for any sane cardinality, while a forced broadcast of
-        # a 10M-series family would pin the driver at 100TB scale
-        flagged = base.join(kinds, "sig")
+        import os as _os
+
+        if _os.environ.get("PROMSPARK_RATE_KINDS_JOIN", "1") == "0":
+            flagged = base.withColumn(
+                "__has_h",
+                F.max(F.col("hist").isNotNull().cast("int")).over(
+                    W.partitionBy("sig")
+                ),
+            ).withColumn(
+                "__has_f",
+                F.max(F.col("value").isNotNull().cast("int")).over(
+                    W.partitionBy("sig")
+                ),
+            )
+        else:
+            kinds = base.groupBy("sig").agg(
+                F.max(F.col("hist").isNotNull().cast("int")).alias("__has_h"),
+                F.max(F.col("value").isNotNull().cast("int")).alias("__has_f"),
+            )
+            # no broadcast hint: AQE turns this into a broadcast join at
+            # runtime for any sane cardinality, while a forced broadcast
+            # of a 10M-series family would pin the driver at 100TB scale
+            flagged = base.join(kinds, "sig")
         base_f = flagged.filter(F.col("__has_h") == 0).select(*cols)
         from prometheus_spark.engine import hist_arith
 

@@ -673,7 +673,16 @@ def run_test_text(
     pending: dict[int, int] = {}  # id(engine) → evals left
     engines: dict[int, object] = {}
     for run_rows, run_stale, evals in runs:
-        samples = samples_from_rows(spark, run_rows, run_stale).cache()
+        # localCheckpoint truncates the lineage to an RDD scan:
+        # createDataFrame inlines every sample row into a LocalRelation,
+        # and engine plans reference the storage frame MANY times (flag
+        # branches, union halves) — each reference COPIES the relation,
+        # so analysis/canonicalization cost scaled with data × fan-out
+        # (the histograms.test "session pressure" GC storms).  A LogicalRDD
+        # leaf is O(1) to duplicate.
+        samples = samples_from_rows(spark, run_rows, run_stale).localCheckpoint(
+            eager=False
+        )
         engine = PromQLEngine(spark, samples, kahan=True, ordered=False)
         tasks.extend((engine, c) for c in evals)
         pending[id(engine)] = len(evals)

@@ -59,6 +59,16 @@ WEIGHTS = {
 SPLITS: dict[str, list] = {
     "histograms.test": [(0, 65), (65, 60), (125, 100000)],
 }
+# Forced fast-path sweeps (PROMSPARK_PREFIX_RANGE_THRESHOLD=0) route
+# EVERY range function through the prefix/as-of dispatcher, growing
+# each classic-histogram plan further — the same session-pressure wall
+# arrives after fewer evals (r10: a 60-eval slice OOM'd an 8g worker
+# heap).  Slice the two big plan-heavy files finer in that mode.
+if os.environ.get("PROMSPARK_PREFIX_RANGE_THRESHOLD") == "0":
+    SPLITS["histograms.test"] = [
+        (0, 32), (32, 33), (65, 30), (95, 30), (125, 30), (155, 100000),
+    ]
+    SPLITS["functions.test"] = [(0, 150), (150, 150), (300, 100000)]
 _SPLITS_EXAMPLE = {
     "native_histograms.test": [(0, 261), (261, 100000)],
     "histograms.test": [(0, 93), (93, 100000)],
