@@ -41,6 +41,7 @@ class PromQLEngine:
         strict: bool = True,
         kahan: bool = False,
         ordered: bool = True,
+        plan_cache_size: int = 256,
     ):
         self.spark = spark
         self._samples = samples
@@ -60,11 +61,43 @@ class PromQLEngine:
         # A lock guards put/evict: concurrent rule evaluation (SURVEY §2.8,
         # reference rules/manager.go concurrent_rule_eval) drives this cache
         # from multiple driver threads.
-        self._plan_cache: "OrderedDict[tuple, DataFrame]" = OrderedDict()
-        self._plan_cache_max = 256
+        #
+        # Entries are weighted by their plan-CONSTRUCTION cost: a cached
+        # DataFrame pins its full analyzed Catalyst tree in the JVM, and
+        # tree size tracks the py4j/analysis work that built it.  Classic-
+        # histogram queries (per-`le` pivots) build trees 10-100x a plain
+        # selector's — ~150 of them retained at once GC-storms an 8 GiB
+        # driver (measured round 11; the corpus runner now opts out with
+        # plan_cache_size=0 since test queries never repeat).  The cache
+        # therefore evicts FIFO past EITHER the entry cap OR a total
+        # construction-time budget, so it holds ~256 cheap dashboard plans
+        # but only a few dozen pathological ones.  The budget is the most
+        # the cache can save per full turnover, so ms is the natural unit.
+        self._plan_cache: "OrderedDict[tuple, tuple[DataFrame, float]]" = (
+            OrderedDict()
+        )
+        self._plan_cache_max = plan_cache_size
+        import os
         import threading
 
+        self._plan_cache_budget_ms = float(
+            os.environ.get("PROMSPARK_PLAN_CACHE_BUDGET_MS", "30000")
+        )
+        self._plan_cache_cost_ms = 0.0
         self._plan_cache_lock = threading.Lock()
+
+    def release_plans(self) -> None:
+        """Drop every cached plan handle.
+
+        Long-lived drivers (rules manager, query API) call this after a
+        samples-frame swap or on memory pressure; the corpus runner calls
+        it as each load-block's evals finish.  Dropping the Python
+        DataFrame wrappers releases the analyzed Catalyst trees they pin
+        on the JVM side (py4j detach on refcount zero).
+        """
+        with self._plan_cache_lock:
+            self._plan_cache.clear()
+            self._plan_cache_cost_ms = 0.0
 
     @property
     def samples(self) -> DataFrame:
@@ -76,7 +109,7 @@ class PromQLEngine:
         # endpoint masking rows) invalidates every cached plan — they close
         # over the old DataFrame.
         self._samples = df
-        self._plan_cache.clear()
+        self.release_plans()
 
     def _ctx(self, start_ms: int, end_ms: int, step_ms: int) -> EvalContext:
         return EvalContext(
@@ -112,9 +145,12 @@ class PromQLEngine:
             inner = inner.expr
         if isinstance(inner, (MatrixSelector, SubqueryExpr)):
             key = ("instant-matrix", query, time_ms)
-            cached = self._plan_cache.get(key)
+            cached = self._plan_cache_get(key)
             if cached is not None:
                 return cached
+            import time as _time
+
+            t0 = _time.monotonic()
             ctx = self._ctx(time_ms, time_ms, 1)
             w, _rng, _mode = Evaluator(ctx)._matrix_arg(inner)
             hist_cols = ["hist"] if "hist" in w.columns else []
@@ -123,20 +159,34 @@ class PromQLEngine:
                 "drop_name", *hist_cols,
             )
             out = self._finalize(out)
-            self._plan_cache_put(key, out)
+            self._plan_cache_put(key, out, (_time.monotonic() - t0) * 1000.0)
             return out
         return self.range_query(query, time_ms, time_ms, 1)
 
-    def _plan_cache_put(self, key: tuple, df: DataFrame) -> None:
+    def _plan_cache_get(self, key: tuple) -> Optional[DataFrame]:
+        hit = self._plan_cache.get(key)
+        return hit[0] if hit is not None else None
+
+    def _plan_cache_put(self, key: tuple, df: DataFrame, cost_ms: float) -> None:
+        if self._plan_cache_max <= 0:
+            return
         with self._plan_cache_lock:
-            self._plan_cache[key] = df
-            if len(self._plan_cache) > self._plan_cache_max:
-                self._plan_cache.popitem(last=False)
+            prev = self._plan_cache.pop(key, None)
+            if prev is not None:
+                self._plan_cache_cost_ms -= prev[1]
+            self._plan_cache[key] = (df, cost_ms)
+            self._plan_cache_cost_ms += cost_ms
+            while self._plan_cache and (
+                len(self._plan_cache) > self._plan_cache_max
+                or self._plan_cache_cost_ms > self._plan_cache_budget_ms
+            ):
+                _, (_, c) = self._plan_cache.popitem(last=False)
+                self._plan_cache_cost_ms -= c
 
     def range_query(self, query: str, start_ms: int, end_ms: int, step_ms: int) -> DataFrame:
         """→ DataFrame (sig, labels, t, value), sorted by (sig, t)."""
         key = ("range", query, start_ms, end_ms, step_ms)
-        cached = self._plan_cache.get(key)
+        cached = self._plan_cache_get(key)
         if cached is not None:
             return cached
         # span names are the reference's stats timer operations
@@ -144,6 +194,9 @@ class PromQLEngine:
         # analogue of "eval" is logical-plan construction
         from prometheus_spark.tracing import span
 
+        import time as _time
+
+        t0 = _time.monotonic()
         with span("promqlExec", query=query):
             with span("promqlPrepare"):
                 node = parse_expr(query)
@@ -159,14 +212,14 @@ class PromQLEngine:
                 out = result.df.select(
                     F.lit("").alias("sig"), empty.alias("labels"), "t", "value"
                 ).orderBy("t")
-                self._plan_cache_put(key, out)
+                self._plan_cache_put(key, out, (_time.monotonic() - t0) * 1000.0)
                 return out
             if isinstance(result, StringValue):
                 raise ValueError("string results are API-only; not a DataFrame")
             if isinstance(result, VectorFrame):
                 with span("promqlSort"):
                     out = self._finalize(result.df)
-                self._plan_cache_put(key, out)
+                self._plan_cache_put(key, out, (_time.monotonic() - t0) * 1000.0)
                 return out
             raise TypeError(f"unexpected result {type(result).__name__}")
 

@@ -683,7 +683,14 @@ def run_test_text(
         samples = samples_from_rows(spark, run_rows, run_stale).localCheckpoint(
             eager=False
         )
-        engine = PromQLEngine(spark, samples, kahan=True, ordered=False)
+        # plan_cache_size=0: test queries never repeat, so a cache is pure
+        # retention — each cached classic-histogram eval pins a huge
+        # analyzed tree in the JVM, and a 91-eval load block retaining all
+        # of them GC-stormed the worker (the round-10 histograms.test
+        # session-pressure wall; root-caused round 11).
+        engine = PromQLEngine(
+            spark, samples, kahan=True, ordered=False, plan_cache_size=0
+        )
         tasks.extend((engine, c) for c in evals)
         pending[id(engine)] = len(evals)
         engines[id(engine)] = samples

@@ -51,24 +51,12 @@ WEIGHTS = {
 # wall); populate when running on a box with more cores than
 # 4×worker_cpus, where the wall floor becomes the largest single file
 # (native_histograms alone drops 95s → 63s with a 2-way split).
-# histograms.test MUST be sliced: its classic-histogram evals build
-# very large Catalyst trees, and one session running all 185 evals
-# accumulates live analysis state until the JVM GC-storms (measured:
-# 0+80→44s, 0+120→60s, 0+160→158s, full→timeout at 500s; every slice
-# run fresh passes, so this is session pressure, not a wrong answer).
-SPLITS: dict[str, list] = {
-    "histograms.test": [(0, 65), (65, 60), (125, 100000)],
-}
-# Forced fast-path sweeps (PROMSPARK_PREFIX_RANGE_THRESHOLD=0) route
-# EVERY range function through the prefix/as-of dispatcher, growing
-# each classic-histogram plan further — the same session-pressure wall
-# arrives after fewer evals (r10: a 60-eval slice OOM'd an 8g worker
-# heap).  Slice the two big plan-heavy files finer in that mode.
-if os.environ.get("PROMSPARK_PREFIX_RANGE_THRESHOLD") == "0":
-    SPLITS["histograms.test"] = [
-        (0, 32), (32, 33), (65, 30), (95, 30), (125, 30), (155, 100000),
-    ]
-    SPLITS["functions.test"] = [(0, 150), (150, 150), (300, 100000)]
+# (The round-4..10 histograms.test MANDATORY split is gone: the
+# "session pressure" was the engine plan cache retaining every eval's
+# analyzed classic-histogram tree — root-caused round 11; the corpus
+# runner now builds engines with plan_cache_size=0 and the full file
+# runs in one session.)
+SPLITS: dict[str, list] = {}
 _SPLITS_EXAMPLE = {
     "native_histograms.test": [(0, 261), (261, 100000)],
     "histograms.test": [(0, 93), (93, 100000)],
