@@ -144,6 +144,13 @@ def main() -> None:
             if rnd == 0:
                 cold[name] = round(elapsed, 3)
             timings[name] = min(timings.get(name, float("inf")), elapsed)
+            # each run rebuilds its pipeline and persists fresh
+            # intermediates; the previous run's are dead weight —
+            # release them outside the timed window so no run measures
+            # another's pinned blocks
+            from prometheus_spark.pipeline.dedup import release_intermediates
+
+            release_intermediates()
 
     total = sum(timings.values())
     cold_total = sum(cold.get(n, float("inf")) for n in HEADLINE)

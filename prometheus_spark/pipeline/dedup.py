@@ -8,10 +8,55 @@ groupBy(doc) signature build and the band-bucket join, both keyed small.
 
 from __future__ import annotations
 
+import threading
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Unpersist contract for operator intermediates: candidate generators
+# persist a mid-pipeline frame (the band-bucket index, the annotated
+# gram index) that the RETURNED DataFrame still references lazily, so
+# the operator itself can never unpersist it.  Every such persist goes
+# through _track_persist; callers that have fully consumed the results
+# (bench harnesses, batch jobs between pipeline stages) call
+# release_intermediates() to drop the pinned blocks deterministically.
+# Callers that don't are still safe: Spark's ContextCleaner unpersists
+# each frame once its (Python → py4j → JVM) references are garbage —
+# just later, and only after a driver GC.
+# localCheckpoint() frames (connected_components rounds) are NOT
+# tracked: a checkpoint's blocks are its ONLY copy (lineage truncated),
+# so unpersisting one under a live result would fail the job — those
+# remain ContextCleaner-managed by design.
+_PERSISTED: list = []
+_PERSISTED_LOCK = threading.Lock()
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    with _PERSISTED_LOCK:
+        _PERSISTED.append(df)
+    return df
+
+
+def release_intermediates() -> int:
+    """Unpersist every tracked operator intermediate; → handle count.
+
+    Safe to call any time results built from them have been consumed
+    (collected/written): persisted frames keep full lineage, so a
+    late re-execution merely recomputes.
+    """
+    with _PERSISTED_LOCK:
+        handles = list(_PERSISTED)
+        del _PERSISTED[:]
+    for df in handles:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
+    return len(handles)
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
@@ -246,10 +291,8 @@ def _bucketed_pairs(
     read the one cached frame; persisting *before* the join (the previous
     shape) broke exchange reuse because an InMemoryRelation carries no
     output partitioning, forcing both join sides to re-shuffle."""
-    from pyspark import StorageLevel
-
     if star_threshold is None:
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        banded = _track_persist(banded)
         small = banded
         star = None
         a = banded.alias("a")
@@ -258,9 +301,7 @@ def _bucketed_pairs(
         stats = banded.groupBy("band", "bucket").agg(
             F.count("*").alias("__n"), F.min(id_col).alias("__rep")
         )
-        joined = banded.join(stats, ["band", "bucket"]).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        joined = _track_persist(banded.join(stats, ["band", "bucket"]))
         small = joined.filter(F.col("__n") <= star_threshold).select(
             id_col, "band", "bucket"
         )
@@ -636,8 +677,6 @@ def ngram_jaccard_pairs(
         ).alias("gs"),
     )
     inv = grams.select(F.col(id_col), F.explode("gs").alias("g"))
-    from pyspark import StorageLevel
-
     # document frequency per gram: partial-aggregating groupBy (a
     # stop-word gram's count combines map-side — skew-proof), then ONE
     # 1:N annotate join back onto the index.  The join streams under
@@ -649,7 +688,7 @@ def ngram_jaccard_pairs(
     # the per-doc summary without recompute.  Measured 1.6× at bench
     # scale vs the previous semi-join + left-join shape.
     gdf = inv.groupBy("g").agg(F.count("*").alias("gdf"))
-    ann = inv.join(gdf, "g").persist(StorageLevel.MEMORY_AND_DISK)
+    ann = _track_persist(inv.join(gdf, "g"))
     # document-frequency cap: only grams rare enough to be selective
     # feed the self-join (a stop-word bigram would be quadratic)
     rare_inv = ann.filter(

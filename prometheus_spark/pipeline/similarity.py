@@ -186,6 +186,17 @@ class AnnIndex:
         self.bucket_entropy = 0.0
         self.weak_structure = False
 
+    def unpersist(self) -> None:
+        """Release the cached index frame (in-memory builds).
+
+        Deterministic counterpart to the lazy ContextCleaner path; a
+        parquet-backed index (build(path=...)) holds no cached blocks,
+        so this is a no-op there."""
+        try:
+            self.df.unpersist(blocking=False)
+        except Exception:
+            pass
+
     @classmethod
     def build(
         cls,
@@ -363,6 +374,14 @@ class IvfIndex:
         self.centroids = centroids  # list[list[float]], unit-normalized
         self.vec_col = vec_col
         self.id_col = id_col
+
+    def unpersist(self) -> None:
+        """Release the cached index frame (in-memory builds); no-op for
+        parquet-backed indexes."""
+        try:
+            self.df.unpersist(blocking=False)
+        except Exception:
+            pass
 
     @classmethod
     def build(
