@@ -224,4 +224,12 @@ def parse_openmetrics_df(
                 }
             )
 
-    return src.mapInPandas(batches, PARSED_OM_SCHEMA)
+    parsed = src.mapInPandas(batches, PARSED_OM_SCHEMA)
+    # pandas→Arrow folds float NaN into null; the parser never emits a
+    # null value itself, so restore NaN samples (created_t stays
+    # genuinely nullable — it's object-dtyped, not a float fold)
+    from pyspark.sql import functions as F
+
+    return parsed.withColumn(
+        "value", F.coalesce(F.col("value"), F.lit(float("nan")))
+    )

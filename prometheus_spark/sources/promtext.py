@@ -145,6 +145,78 @@ PARSED_SCHEMA = T.StructType(
 )
 
 
+# Fast-path classifier: a line is JVM-parseable when it has a classic
+# metric name, a brace block of classic keys with BACKSLASH-FREE quoted
+# values (no escapes ⇒ every '"' is structural, so the blob splits on
+# '",' boundaries without a state machine), a numeric/inf/nan value
+# token, and an optional ≤18-digit timestamp.  Everything else (UTF-8
+# quoted names, escaped label values, exotic float spellings like
+# '1_0' or 'infinity', oversized timestamps) takes the Python parser.
+_FAST_PAIR = r'[a-zA-Z_][a-zA-Z0-9_]*\s*=\s*"[^"\\]*"'
+_FAST_LINE_RE = (
+    r"^[a-zA-Z_:][a-zA-Z0-9_:]*"
+    r"(\{\s*(" + _FAST_PAIR + r"(\s*,\s*" + _FAST_PAIR + r")*(\s*,)?\s*)?\})?"
+    r"\s+([+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?"
+    r"|[+-]?(?:[iI][nN][fF]|[nN][aA][nN]))"
+    r"(\s+-?[0-9]{1,18})?\s*$"
+)
+
+
+def _parse_fast_jvm(src: DataFrame, line_col: str, ts_col: Optional[str]) -> DataFrame:
+    """Whole-stage-codegen parse of fast-classified lines (no Python).
+
+    One semantic divergence from the Python path, by design: a line with
+    a DUPLICATE label key errors downstream at map assembly (Spark's
+    map-key dedup policy) instead of silently last-winning — closer to
+    the reference parser, which rejects duplicate labels outright.
+    """
+    from pyspark.sql import functions as F
+
+    s = F.trim(F.col(line_col))
+    name = F.regexp_extract(s, r"^([a-zA-Z_:][a-zA-Z0-9_:]*)", 1)
+    blob = F.regexp_extract(s, r"^[a-zA-Z_:][a-zA-Z0-9_:]*\{(.*)\}", 1)
+    # value/timestamp live after the LAST '}' (value and ts are
+    # brace-free by classification; label values may contain '}')
+    tail = (
+        F.when(s.contains("{"), F.regexp_extract(s, r"\}([^}]*)$", 1))
+        .otherwise(F.regexp_replace(s, r"^[a-zA-Z_:][a-zA-Z0-9_:]*", ""))
+    )
+    tokens = F.split(F.trim(tail), r"\s+")
+    value_tok = F.element_at(tokens, 1)
+    lv = F.lower(value_tok)
+    value = (
+        F.when(lv.isin("inf", "+inf"), F.lit(float("inf")))
+        .when(lv == "-inf", F.lit(float("-inf")))
+        .when(lv.endswith("nan"), F.lit(float("nan")))
+        .otherwise(value_tok.cast("double"))
+    )
+    ts_parsed = F.when(
+        F.size(tokens) >= 2, F.element_at(tokens, 2).cast("long")
+    )
+    default_ts = F.col(ts_col).cast("long") if ts_col else F.lit(0).cast("long")
+    t = F.coalesce(ts_parsed, default_ts)
+    # '",'-boundary split keeps both quotes on every pair (lookbehind),
+    # so inner whitespace of quoted values survives the per-pair trim
+    parts = F.split(blob, r'(?<=")\s*,')
+    parts = F.filter(
+        F.transform(parts, lambda p: F.trim(p)), lambda p: p != F.lit("")
+    )
+    keys = F.transform(parts, lambda p: F.trim(F.substring_index(p, "=", 1)))
+    raw_vals = F.transform(
+        parts,
+        lambda p: F.trim(F.substr(p, F.instr(p, "=") + F.lit(1), F.length(p))),
+    )
+    vals = F.transform(
+        raw_vals, lambda q: F.substr(q, F.lit(2), F.length(q) - F.lit(2))
+    )
+    return src.select(
+        F.concat(F.array(F.lit("__name__")), keys).alias("label_keys"),
+        F.concat(F.array(name), vals).alias("label_values"),
+        t.alias("t"),
+        value.alias("value"),
+    )
+
+
 def parse_exposition_df(
     lines: DataFrame, line_col: str = "line", ts_col: Optional[str] = None
 ) -> DataFrame:
@@ -153,14 +225,41 @@ def parse_exposition_df(
     Works identically on a batch frame or a ``readStream`` frame (e.g.
     file/socket/Kafka source) — append ``.writeStream`` downstream for
     streaming ingest with checkpointing as the WAL equivalent.
+
+    Ingest is parse-bound (BENCH_INGEST: the Python line parser was ~87%
+    of pipeline cost), so lines matching a strict classifier regex are
+    parsed entirely JVM-side inside whole-stage codegen; only lines the
+    fast grammar can't express (escapes, quoted UTF-8 names, exotic
+    float spellings) go through the Arrow-batched Python parser.  Set
+    ``PROMSPARK_PROMTEXT_JVM=0`` to force the Python path everywhere
+    (parity sweeps / A-B timing).
     """
+    import os
+
+    from pyspark.sql import functions as F
+
+    cols = [line_col] + ([ts_col] if ts_col else [])
+    src = lines.select(*cols)
+
+    if os.environ.get("PROMSPARK_PROMTEXT_JVM", "1") != "0":
+        s = F.trim(F.col(line_col))
+        is_content = (s != F.lit("")) & (~s.startswith("#"))
+        is_fast = is_content & s.rlike(_FAST_LINE_RE)
+        fast = _parse_fast_jvm(src.filter(is_fast), line_col, ts_col)
+        slow = _parse_python(
+            src.filter(is_content & ~s.rlike(_FAST_LINE_RE)), line_col, ts_col
+        )
+        return fast.unionByName(slow)
+    return _parse_python(src, line_col, ts_col)
+
+
+def _parse_python(src: DataFrame, line_col: str, ts_col: Optional[str]) -> DataFrame:
+    """The Arrow-batched Python parser (full grammar)."""
     import pandas as pd
 
     from prometheus_spark.shipping import ensure_shipped
 
-    ensure_shipped(lines.sparkSession)
-    cols = [line_col] + ([ts_col] if ts_col else [])
-    src = lines.select(*cols)
+    ensure_shipped(src.sparkSession)
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
@@ -186,7 +285,15 @@ def parse_exposition_df(
                 }
             )
 
-    return src.mapInPandas(batches, PARSED_SCHEMA)
+    parsed = src.mapInPandas(batches, PARSED_SCHEMA)
+    # pandas→Arrow folds float NaN into null; the parser itself never
+    # emits null (every sample line has a float value), so any null here
+    # IS a NaN sample — restore it (a scraped NaN must ingest as NaN)
+    from pyspark.sql import functions as F
+
+    return parsed.withColumn(
+        "value", F.coalesce(F.col("value"), F.lit(float("nan")))
+    )
 
 
 def to_samples(parsed: DataFrame) -> DataFrame:
