@@ -55,6 +55,39 @@ def _regroup(vf: VectorFrame, node: AggregateExpr, extra: list = ()) -> DataFram
     )
 
 
+def _regroup_split(vf: VectorFrame, node: AggregateExpr, extra: list = ()):
+    """Split-contract regroup: the group labelset and its sig are
+    computed once per SERIES on the dim (not once per sample row), the
+    fact picks up its group sig through a narrow (sig → gsig) join, and
+    the output dim is the per-group labelset.  → (fact, dim)."""
+    from prometheus_spark.model.labels import group_labels_sql, sig_sql
+
+    by = node.grouping if (node.has_grouping and not node.without) else None
+    without = node.grouping if (node.has_grouping and node.without) else None
+    glabels = group_labels_sql("labels", by, without)
+    gd = vf.dim.selectExpr(
+        "sig", sig_sql(glabels) + " AS __gsig", glabels + " AS __glabels"
+    )
+    dim = (
+        gd.select(F.col("__gsig").alias("sig"), F.col("__glabels").alias("labels"))
+        .dropDuplicates(["sig"])
+    )
+    fact_in = vf.fact
+    hist_cols = ["hist"] if "hist" in fact_in.columns else []
+    fact = (
+        fact_in.join(gd.select("sig", "__gsig"), "sig")
+        .select(
+            F.col("__gsig").alias("sig"),
+            "t",
+            "value",
+            "drop_name",
+            *hist_cols,
+            *extra,
+        )
+    )
+    return fact, dim
+
+
 def _group_flag(node: AggregateExpr) -> bool:
     """Does the group key retain __name__?  Only ``by (..., __name__, ...)``
     keeps it; then the group's drop flag is the OR of its members' flags
@@ -90,11 +123,22 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
             vf = VectorFrame(vf.df.filter(F.col("value").isNotNull()))
         return _eval_k_selector(ctx, node, vf, param)
 
-    df = _regroup(vf, node)
+    if op == "quantile":
+        # float-only: histogram rows (value NULL) are warned-and-dropped
+        return _eval_quantile(
+            ctx,
+            _regroup(vf, node).filter(F.col("value").isNotNull()),
+            param,
+            group_flag=_group_flag(node),
+        )
+    if op == "count_values":
+        return _eval_count_values(ctx, node, _regroup(vf, node), param)
+
+    fact, gdim = _regroup_split(vf, node)
     v = F.col("value")
     hist_part = None
     mixed = False
-    if op in ("sum", "avg") and "hist" in df.columns:
+    if op in ("sum", "avg") and "hist" in fact.columns:
         # sum/avg aggregate histograms too (engine.go:3716 KahanAdd);
         # groups mixing float and histogram samples are dropped with a
         # warning (engine.go:3854-3860).  The kind flags ride the float
@@ -107,7 +151,13 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
 
         # original series sig orders the Kahan fold (the reference sums
         # series in label order)
-        src = _regroup(VectorFrame(vf.df.withColumn("__ord", F.col("sig"))), node, extra=["__ord"])
+        src, _ = _regroup_split(
+            VectorFrame(
+                fact=vf.fact.withColumn("__ord", F.col("sig")), dim=vf.dim
+            ),
+            node,
+            extra=["__ord"],
+        )
         # When the input lineage contains a Python stage (rate over
         # native histograms etc.), forking the plan above it would run
         # that stage once per consumer — fork BELOW one shared (sig, t)
@@ -122,6 +172,14 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
         strategy = _os.environ.get("PROMSPARK_AGG_HIST_FORK", "auto")
         if strategy == "auto":
             strategy = "shared" if _has_python_stage(src) else "flags"
+        # hist_arith.group_sum still takes labels inline (legacy frame
+        # shape) — attach them from the per-GROUP dim with a narrow join
+        # on the hist branch only; the float branch stays label-free
+        def _with_labels(rows):
+            return rows.join(gdim, "sig").select(
+                "sig", "labels", "t", "hist", "__ord"
+            )
+
         if strategy == "window":
             from pyspark.sql.window import Window as W
 
@@ -134,35 +192,29 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
             pure = flagged.filter(
                 ~((F.col("__has_f") == 1) & (F.col("__has_h") == 1))
             )
-            hist_rows = pure.filter(F.col("hist").isNotNull()).select(
-                "sig", "labels", "t", "hist", "__ord"
-            )
+            hist_rows = _with_labels(pure.filter(F.col("hist").isNotNull()))
             hist_part = hist_arith.group_sum(ctx, hist_rows, avg=op == "avg")
-            df = pure.filter(v.isNotNull()).select(
-                "sig", "labels", "t", "value", "drop_name"
+            fact = pure.filter(v.isNotNull()).select(
+                "sig", "t", "value", "drop_name"
             )
         else:
             if strategy == "shared":
                 src = src.repartition(F.col("sig"), F.col("t"))
-            hist_rows = src.filter(F.col("hist").isNotNull()).select(
-                "sig", "labels", "t", "hist", "__ord"
-            )
+            hist_rows = _with_labels(src.filter(F.col("hist").isNotNull()))
             hist_part = hist_arith.group_sum(
                 ctx, hist_rows, avg=op == "avg",
                 pre_partitioned=strategy == "shared",
             )
-            df = src.select(
-                "sig", "labels", "t", "value", "drop_name",
+            fact = src.select(
+                "sig", "t", "value", "drop_name",
                 F.col("hist").isNotNull().alias("__hh"),
             )
             mixed = True
-    elif op not in ("count", "group", "count_values"):
+    elif op not in ("count", "group"):
         # float aggregations ignore histogram samples (value NULL) — the
         # reference warns & drops them; count/group/count_values see every
         # series (count_values renders histograms as their Go string)
-        df = df.filter(v.isNotNull())
-    if op == "quantile":
-        return _eval_quantile(ctx, df, param, group_flag=_group_flag(node))
+        fact = fact.filter(v.isNotNull())
 
     masked = "(CASE WHEN NOT isnan(value) THEN value END)"  # NaN → NULL
     bad = f"max(CAST(isnan(value) OR abs(value) = {_INF_SQL} AS INT)) = 1"
@@ -190,14 +242,11 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
             f"CASE WHEN {bad} THEN {_NAN_SQL} "
             f"ELSE coalesce(var_pop(value), {_NAN_SQL}) END"
         )
-    elif op == "count_values":
-        return _eval_count_values(ctx, node, df, param)
     else:
         raise PromQLEvalError(f"unsupported aggregator {op}")
 
     flag = "bool_or(drop_name)" if _group_flag(node) else "false"
     aggs = [
-        F.expr("first(labels)").alias("labels"),
         F.expr(f"CAST({agg} AS DOUBLE)").alias("value"),
         F.expr(flag).alias("drop_name"),
     ]
@@ -206,7 +255,7 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
             F.expr("max(CAST(value IS NOT NULL AS INT)) = 1").alias("__gf"),
             F.expr("max(CAST(__hh AS INT)) = 1").alias("__gh"),
         ]
-    out = df.groupBy("sig", "t").agg(*aggs)
+    out = fact.groupBy("sig", "t").agg(*aggs)
     mixed_keys = None
     if mixed:
         # groups with both kinds: drop from BOTH sides (float rows via
@@ -216,12 +265,12 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
         mixed_keys = out.filter(F.col("__gf") & F.col("__gh")).select("sig", "t")
         out = out.filter(F.col("__gf") & ~F.col("__gh")).drop("__gf", "__gh")
     result = out.selectExpr(
-        "sig", "labels", "t", "t AS sample_t", "value", "drop_name"
+        "sig", "t", "t AS sample_t", "value", "drop_name"
     )
     if hist_part is not None:
         from prometheus_spark.model.schema import HISTOGRAM_TYPE
 
-        hist_part = hist_part.drop("drop_name")
+        hist_part = hist_part.drop("drop_name", "labels")
         if mixed_keys is not None:
             hist_part = hist_part.join(mixed_keys, ["sig", "t"], "left_anti")
         if _group_flag(node):
@@ -236,7 +285,7 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
         result = result.withColumn(
             "hist", F.lit(None).cast(HISTOGRAM_TYPE)
         ).unionByName(hist_part.select(*result.columns, "hist"))
-    return VectorFrame(result)
+    return VectorFrame(fact=result, dim=gdim)
 
 
 # ---------------------------------------------------------------------------

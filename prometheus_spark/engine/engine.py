@@ -152,13 +152,14 @@ class PromQLEngine:
 
             t0 = _time.monotonic()
             ctx = self._ctx(time_ms, time_ms, 1)
-            w, _rng, _mode = Evaluator(ctx)._matrix_arg(inner)
+            w, dim, _rng, _mode = Evaluator(ctx)._matrix_arg(inner)
             hist_cols = ["hist"] if "hist" in w.columns else []
-            out = w.select(
-                "sig", "labels", F.col("sample_t").alias("t"), "value",
+            fact = w.select(
+                "sig", F.col("sample_t").alias("t"),
+                F.col("sample_t").alias("sample_t"), "value",
                 "drop_name", *hist_cols,
             )
-            out = self._finalize(out)
+            out = self._finalize_vf(VectorFrame(fact=fact, dim=dim))
             self._plan_cache_put(key, out, (_time.monotonic() - t0) * 1000.0)
             return out
         return self.range_query(query, time_ms, time_ms, 1)
@@ -218,10 +219,46 @@ class PromQLEngine:
                 raise ValueError("string results are API-only; not a DataFrame")
             if isinstance(result, VectorFrame):
                 with span("promqlSort"):
-                    out = self._finalize(result.df)
+                    out = self._finalize_vf(result)
                 self._plan_cache_put(key, out, (_time.monotonic() - t0) * 1000.0)
                 return out
             raise TypeError(f"unexpected result {type(result).__name__}")
+
+    def _finalize_vf(self, result: VectorFrame) -> DataFrame:
+        """Split-frame finalization: the delayed-name-removal relabel and
+        its re-signature run on the per-series DIM (one row per series ×
+        drop flag), not per output row; the fact joins the two candidate
+        (sig, labels) forms back by sig and drop_name picks one."""
+        if not result.is_split:
+            return self._finalize(result.df)
+        from prometheus_spark.model.labels import drop_metadata_sql, sig_sql
+
+        fact, dim = result.fact, result.dim
+        hist_cols = ["hist"] if "hist" in fact.columns else []
+        if "drop_name" in fact.columns:
+            dim2 = dim.selectExpr(
+                "sig", "labels", drop_metadata_sql("labels") + " AS __l_nd"
+            ).selectExpr(
+                "sig", "labels", "__l_nd", sig_sql("__l_nd") + " AS __s_nd"
+            )
+            out = fact.join(dim2, "sig").selectExpr(
+                "CASE WHEN drop_name THEN __s_nd ELSE sig END AS sig",
+                "CASE WHEN drop_name THEN __l_nd ELSE labels END AS labels",
+                "t",
+                "value",
+                *hist_cols,
+            )
+        else:
+            out = fact.join(dim, "sig").select(
+                "sig", "labels", "t", "value", *hist_cols
+            )
+        if self.ordered:
+            out = out.orderBy("sig", "t")
+        if self.strict:
+            from prometheus_spark.engine.guards import check_unique_labelsets
+
+            out = check_unique_labelsets(out)
+        return out
 
     def _finalize(self, df: DataFrame) -> DataFrame:
         """Delayed name removal (reference: delayed __name__ dropping +

@@ -180,9 +180,10 @@ class Evaluator:
         return ScalarFrame(joined.select("t", out.cast("double").alias("value")))
 
     # ------------------------------------------------------------------
-    def _matrix_arg(self, node: Expr) -> tuple[DataFrame, int, Optional[str]]:
-        """Evaluate a range-vector argument → (windowed frame, range_ms,
-        extended-mode: None | 'anchored' | 'smoothed')."""
+    def _matrix_arg(self, node: Expr):
+        """Evaluate a range-vector argument → (windowed frame, labels
+        dim, range_ms, extended-mode: None | 'anchored' | 'smoothed').
+        Split frame contract: the windowed frame carries no labels."""
         ctx = self.ctx
         while isinstance(node, ParenExpr):
             node = node.expr
@@ -193,15 +194,15 @@ class Evaluator:
             if node.anchored or node.smoothed:
                 from prometheus_spark.engine.selectors import extended_windowed_samples
 
-                w = extended_windowed_samples(
+                w, dim = extended_windowed_samples(
                     ctx, sel, rng, off, sel.at, smoothed=node.smoothed
                 )
-                return w, rng, "smoothed" if node.smoothed else "anchored"
-            w = windowed_samples(ctx, sel, rng, off, sel.at)
-            return w, rng, None
+                return w, dim, rng, "smoothed" if node.smoothed else "anchored"
+            w, dim = windowed_samples(ctx, sel, rng, off, sel.at)
+            return w, dim, rng, None
         if isinstance(node, SubqueryExpr):
-            w, rng = self._subquery(node)
-            return w, rng, None
+            w, dim, rng = self._subquery(node)
+            return w, dim, rng, None
         raise PromQLEvalError("expected range vector argument")
 
     def _qctx(self) -> dict:
@@ -216,7 +217,7 @@ class Evaluator:
             "end": end / 1000.0,
         }
 
-    def _subquery(self, node: SubqueryExpr) -> tuple[DataFrame, int]:
+    def _subquery(self, node: SubqueryExpr) -> tuple:
         """Subquery (engine.go:1932): evaluate inner expr over an
         epoch-aligned denser grid, then window the result."""
         ctx = self.ctx
@@ -242,8 +243,8 @@ class Evaluator:
             empty = ctx.samples.filter(F.lit(False)).select(
                 "sig", "labels", "t", "value"
             )
-            w = windowed_samples(ctx, empty, rng, offset, node.at)
-            return w, rng
+            w, dim = windowed_samples(ctx, empty, rng, offset, node.at)
+            return w, dim, rng
         sub_ctx = ctx.with_grid(inner_start, inner_end, step)
         inner = Evaluator(sub_ctx).eval(node.expr)
         if isinstance(inner, ConstScalar):
@@ -261,13 +262,17 @@ class Evaluator:
                 F.col("hist").isNotNull() & hint.isin(1, 2),
                 F.col("hist").withField("counter_reset_hint", F.lit(0).cast("tinyint")),
             ).otherwise(F.col("hist"))
-            inner = VectorFrame(inner.df.withColumn("hist", norm))
+            inner = VectorFrame(
+                fact=inner.fact.withColumn("hist", norm), dim=inner.dim
+            )
             hist_cols = ["hist"]
-        samples_like = inner.df.select(
-            "sig", "labels", "t", "value", "drop_name", *hist_cols
+        samples_like = inner.fact.select(
+            "sig", "t", "value", "drop_name", *hist_cols
         )
-        w = windowed_samples(ctx, samples_like, rng, offset, node.at)
-        return w, rng
+        w, dim = windowed_samples(
+            ctx, samples_like, rng, offset, node.at, dim=inner.dim
+        )
+        return w, dim, rng
 
     # ------------------------------------------------------------------
     def _call(self, node: Call):
@@ -331,11 +336,12 @@ class Evaluator:
                             self._scalar(node.args[1]),
                             self._scalar(node.args[2]),
                         )
-                w, rng, mode = self._matrix_arg(node.args[0])
+                w, dim, rng, mode = self._matrix_arg(node.args[0])
                 if mode is not None:
                     raise PromQLEvalError(f"{mode} modifier cannot be used with {fn}")
                 return RF.eval_range_function(
-                    ctx, fn, w, rng, self._scalar(node.args[1]), self._scalar(node.args[2])
+                    ctx, fn, w, rng, self._scalar(node.args[1]), self._scalar(node.args[2]),
+                    dim=dim,
                 )
             m_idx = 1 if fn == "quantile_over_time" else 0
             m_node = node.args[m_idx]
@@ -378,8 +384,8 @@ class Evaluator:
                     return RF.eval_rate_hybrid(
                         ctx, fn, m_node.selector, rng, off
                     )
-            w, rng, mode = self._matrix_arg(node.args[m_idx])
-            return RF.eval_range_function(ctx, fn, w, rng, param, mode=mode)
+            w, dim, rng, mode = self._matrix_arg(node.args[m_idx])
+            return RF.eval_range_function(ctx, fn, w, rng, param, mode=mode, dim=dim)
 
         if fn == "absent_over_time":
             m_node = node.args[0]
@@ -408,7 +414,7 @@ class Evaluator:
                     return FN.eval_absent(
                         ctx, pv, _inferred_labels(node.args[0])
                     )
-            w, _, mode = self._matrix_arg(node.args[0])
+            w, _dim, _, mode = self._matrix_arg(node.args[0])
             if mode is not None:
                 raise PromQLEvalError(f"{mode} modifier cannot be used with absent_over_time")
             inferred = _inferred_labels(node.args[0])

@@ -249,7 +249,7 @@ def eval_vector(ctx: EvalContext, scalar) -> VectorFrame:
 def eval_absent(ctx: EvalContext, vf: VectorFrame, inferred: dict[str, str]) -> VectorFrame:
     """absent(v) — 1 for steps where v has no elements (functions.go:1717);
     labels inferred from equality matchers of the argument selector."""
-    present = vf.df.select("t").distinct()
+    present = vf.fact.select("t").distinct()
     keys = sorted(inferred)
     labels = (
         F.map_from_arrays(

@@ -100,11 +100,19 @@ def eval_range_function(
     param=None,
     param2=None,
     mode: str = None,
+    dim: DataFrame = None,
 ) -> VectorFrame:
-    """windowed: (sig, labels, t, sample_t, value) — one row per sample per
-    step window (see selectors.windowed_samples).  ``mode`` selects the
-    experimental anchored/smoothed semantics (boundary samples included,
-    no extrapolation — functions.go:309 ``extendedRate``)."""
+    """windowed: (sig, t, sample_t, value) — one row per sample per
+    step window, labels-free (split frame contract; ``dim`` carries the
+    per-series labels and passes through untouched — range functions
+    never change a labelset, only the drop_name flag).  ``mode`` selects
+    the experimental anchored/smoothed semantics (boundary samples
+    included, no extrapolation — functions.go:309 ``extendedRate``).
+    The histogram branches feed hist_arith, whose folds still take
+    labels inline — those join ``dim`` back on the (small) hist side
+    only; their outputs drop labels again before the union."""
+    def _hl(w):  # hist-branch labels re-attach
+        return w.join(dim, "sig")
     if mode is not None:
         safe = _SMOOTHED_SAFE if mode == "smoothed" else _ANCHORED_SAFE
         if func not in safe:
@@ -125,7 +133,7 @@ def eval_range_function(
                 out = _union_hist(
                     out,
                     hist_arith.window_extended_rate(
-                        ctx, hist_w, range_ms,
+                        ctx, _hl(hist_w), range_ms,
                         is_counter=func != "delta", is_rate=func == "rate",
                         smoothed=mode == "smoothed",
                     ),
@@ -141,12 +149,12 @@ def eval_range_function(
                 out = _union_hist(
                     _resets_changes(ctx, flagged.filter(F.col("__has_h") == 0), func),
                     hist_arith.window_resets_changes(
-                        ctx, flagged.filter(F.col("__has_h") == 1), func
+                        ctx, _hl(flagged.filter(F.col("__has_h") == 1)), func
                     ),
                 )
             else:
                 out = _resets_changes(ctx, windowed, func)
-        return VectorFrame(out)
+        return VectorFrame(fact=out, dim=dim)
     # windows may contain histogram samples (value NULL, hist non-null):
     # rate/sum/avg aggregate all-histogram windows through the histogram
     # algebra and drop mixed windows (reference warns); other float
@@ -160,7 +168,8 @@ def eval_range_function(
             from prometheus_spark.engine import hist_arith
 
             out_h = hist_arith.window_rate(
-                ctx, hist_w, range_ms, is_counter=func != "delta", is_rate=func == "rate"
+                ctx, _hl(hist_w), range_ms,
+                is_counter=func != "delta", is_rate=func == "rate",
             )
             out = _union_hist(out, out_h)
     elif func in ("sum_over_time", "avg_over_time") and has_hist:
@@ -171,7 +180,7 @@ def eval_range_function(
 
             out_h = hist_arith.group_sum(
                 ctx,
-                hist_w.select("sig", "labels", "t", "hist", "sample_t"),
+                _hl(hist_w).select("sig", "labels", "t", "hist", "sample_t"),
                 avg=func == "avg_over_time",
                 drop_name=True,
                 order_col="sample_t",
@@ -195,7 +204,8 @@ def eval_range_function(
                     ctx, flagged.filter(F.col("__has_h") == 0), is_rate=func == "irate"
                 ),
                 hist_arith.window_instant_pair(
-                    ctx, flagged.filter(F.col("__has_h") == 1), is_rate=func == "irate"
+                    ctx, _hl(flagged.filter(F.col("__has_h") == 1)),
+                    is_rate=func == "irate",
                 ),
             )
         else:
@@ -211,7 +221,7 @@ def eval_range_function(
             out = _union_hist(
                 _resets_changes(ctx, flagged.filter(F.col("__has_h") == 0), func),
                 hist_arith.window_resets_changes(
-                    ctx, flagged.filter(F.col("__has_h") == 1), func
+                    ctx, _hl(flagged.filter(F.col("__has_h") == 1)), func
                 ),
             )
         else:
@@ -226,7 +236,7 @@ def eval_range_function(
         out = _simple_over_time(ctx, windowed, func)
     else:
         out = _simple_over_time(ctx, floats_only, func)
-    return VectorFrame(out)
+    return VectorFrame(fact=out, dim=dim)
 
 
 def _grouped(windowed: DataFrame):
@@ -256,6 +266,8 @@ def _union_hist(float_out: DataFrame, hist_out: DataFrame) -> DataFrame:
     """Union a float-only result frame with a hist-carrying one."""
     from prometheus_spark.model.schema import HISTOGRAM_TYPE
 
+    if "labels" in hist_out.columns:
+        hist_out = hist_out.drop("labels")
     if "hist" not in float_out.columns:
         float_out = float_out.withColumn("hist", F.lit(None).cast(HISTOGRAM_TYPE))
     if "hist" not in hist_out.columns:
@@ -273,14 +285,11 @@ def _first_last_hist(ctx: EvalContext, windowed: DataFrame, func: str) -> DataFr
         if "drop_name" in windowed.columns
         else []
     )
-    out = _grouped(windowed).agg(
-        F.first("labels").alias("labels"), agg.alias("__p"), *flag_agg
-    )
+    out = _grouped(windowed).agg(agg.alias("__p"), *flag_agg)
     if "drop_name" not in out.columns:
         out = out.withColumn("drop_name", F.lit(False))
     return out.select(
         "sig",
-        "labels",
         "t",
         F.col("t").alias("sample_t"),
         F.col("__p")["value"].alias("value"),
@@ -300,7 +309,6 @@ def _finish(df: DataFrame, ctx: EvalContext = None, keep_name: bool = False) -> 
         flag = F.lit(True)
     return df.select(
         "sig",
-        "labels",
         "t",
         F.col("t").alias("sample_t"),
         F.col("value").cast("double").alias("value"),
@@ -351,14 +359,12 @@ def _simple_over_time(ctx: EvalContext, windowed: DataFrame, func: str) -> DataF
         # NaN-first order statistics (functions.go:1438) — NaN anywhere in
         # the window propagates.
         med = _grouped(windowed).agg(
-            F.expr("first(labels)").alias("labels"),
             F.expr(
                 quantile_sql(sorted_values_sql("value"), "0.5D")
             ).alias("__med"),
         )
         joined = windowed.join(med.select("sig", "t", "__med"), ["sig", "t"])
         out = joined.groupBy("sig", "t").agg(
-            F.expr("first(labels)").alias("labels"),
             F.expr(
                 # a NaN sample makes the median undefined → propagate
                 # (functions.go funcMadOverTime)
@@ -376,7 +382,6 @@ def _simple_over_time(ctx: EvalContext, windowed: DataFrame, func: str) -> DataF
         else []
     )
     out = _grouped(windowed).agg(
-        F.expr("first(labels)").alias("labels"),
         F.expr(f"CAST({aggs[func]} AS DOUBLE)").alias("value"),
         *flag_agg,
     )
@@ -395,9 +400,7 @@ def _quantile_over_time(ctx: EvalContext, windowed: DataFrame, param) -> DataFra
 
     arr = F.expr(sorted_values_sql("value")).alias("__arr")
     if isinstance(param, ConstScalar):
-        grouped = _grouped(windowed).agg(
-            F.expr("first(labels)").alias("labels"), arr
-        )
+        grouped = _grouped(windowed).agg(arr)
         phi = float_sql(float(param.value))
     elif isinstance(param, ScalarFrame):
         p = param.df.withColumnRenamed("value", "__phi")
@@ -405,7 +408,6 @@ def _quantile_over_time(ctx: EvalContext, windowed: DataFrame, param) -> DataFra
             windowed.join(F.broadcast(p), "t", "left")
             .groupBy("sig", "t")
             .agg(
-                F.expr("first(labels)").alias("labels"),
                 arr,
                 F.expr("first(__phi)").alias("__p"),
             )
@@ -414,7 +416,7 @@ def _quantile_over_time(ctx: EvalContext, windowed: DataFrame, param) -> DataFra
     else:
         raise PromQLEvalError("quantile_over_time: unsupported parameter type")
     out = grouped.selectExpr(
-        "sig", "labels", "t", quantile_sql("__arr", phi) + " AS value"
+        "sig", "t", quantile_sql("__arr", phi) + " AS value"
     )
     return _finish(out, ctx)
 
@@ -478,7 +480,6 @@ def _extrapolated(
         windowed.selectExpr("*", drop + " AS __drop")
         .groupBy("sig", "t")
         .agg(
-            F.expr("first(labels)").alias("labels"),
             F.expr("max(wend)").alias("wend"),
             F.expr("count(*)").alias("n"),
             F.expr("min(sample_t)").alias("first_t"),
@@ -497,7 +498,7 @@ def _extrapolate_from_stats(
     is_counter: bool, is_rate: bool,
 ) -> DataFrame:
     """The extrapolatedRate arithmetic over canonical per-(sig, step)
-    window statistics: (sig, labels, t, wend, n, first_t, last_t,
+    window statistics: (sig, t, wend, n, first_t, last_t,
     first_v, last_v, st0, correction).  Shared verbatim between the
     windowed-explode path and the prefix/as-of fast path so the two are
     semantically identical by construction."""
@@ -559,7 +560,7 @@ def _extrapolate_from_stats(
         value = f"({value} / {R / 1000.0}D)"
 
     out = stats.filter(F.expr(f"n >= 2 OR {st_cond}")).select(
-        "sig", "labels", "t", F.expr(value).alias("value")
+        "sig", "t", F.expr(value).alias("value")
     )
     return _finish(out, ctx)
 
@@ -611,7 +612,6 @@ def _extended_delta(
         windowed.selectExpr("*", drop + " AS __drop")
         .groupBy("sig", "t")
         .agg(
-            F.expr("first(labels)").alias("labels"),
             F.expr("min_by(__eff, sample_t)").alias("first_v"),
             F.expr("max_by(__eff, sample_t)").alias("last_v"),
             F.expr("sum(__drop)").alias("correction"),
@@ -620,7 +620,7 @@ def _extended_delta(
     value = "(last_v - first_v + correction)"
     if is_rate:
         value = f"({value} / {range_ms / 1000.0}D)"
-    out = stats.selectExpr("sig", "labels", "t", value + " AS value")
+    out = stats.selectExpr("sig", "t", value + " AS value")
     return _finish(out, ctx)
 
 
@@ -632,7 +632,7 @@ def _instant_pair(ctx: EvalContext, windowed: DataFrame, is_rate: bool) -> DataF
         F.sort_array(F.collect_list(F.struct("sample_t", "value", "st"))), -2, 2
     )
     stats = _grouped(windowed).agg(
-        F.first("labels").alias("labels"), F.count("*").alias("n"), pair.alias("p")
+        F.count("*").alias("n"), pair.alias("p")
     )
     a, b = F.col("p")[0], F.col("p")[1]  # a = previous, b = last
     if is_rate:
@@ -644,7 +644,7 @@ def _instant_pair(ctx: EvalContext, windowed: DataFrame, is_rate: bool) -> DataF
         value = dv / ((b["sample_t"] - a["sample_t"]) / 1000.0)
     else:
         value = b["value"] - a["value"]
-    out = stats.filter(F.col("n") >= 2).select("sig", "labels", "t", value.alias("value"))
+    out = stats.filter(F.col("n") >= 2).select("sig", "t", value.alias("value"))
     return _finish(out, ctx)
 
 
@@ -667,7 +667,7 @@ def _resets_changes(ctx: EvalContext, windowed: DataFrame, func: str) -> DataFra
     out = (
         windowed.withColumn("__f", flag)
         .groupBy("sig", "t")
-        .agg(F.first("labels").alias("labels"), F.sum("__f").cast("double").alias("value"))
+        .agg(F.sum("__f").cast("double").alias("value"))
     )
     return _finish(out, ctx)
 
@@ -684,7 +684,6 @@ def _linreg(ctx: EvalContext, windowed: DataFrame, predict_s) -> DataFrame:
         raise PromQLEvalError("predict_linear: scalar parameter required")
 
     stats = _grouped(windowed).agg(
-        F.first("labels").alias("labels"),
         F.count("*").alias("n"),
         F.min("sample_t").alias("t0"),
         F.sum("value").alias("sy"),
@@ -713,7 +712,7 @@ def _linreg(ctx: EvalContext, windowed: DataFrame, predict_s) -> DataFrame:
             slope * dur + intercept
         )
 
-    out = stats.filter(F.col("n") >= 2).select("sig", "labels", "t", value.alias("value"))
+    out = stats.filter(F.col("n") >= 2).select("sig", "t", value.alias("value"))
     return _finish(out, ctx)
 
 
@@ -728,7 +727,7 @@ def _holt_winters(ctx: EvalContext, windowed: DataFrame, sf, tf) -> DataFrame:
         raise PromQLEvalError("smoothing/trend factors must be in (0, 1)")
     pts = F.sort_array(F.collect_list(F.struct("sample_t", "value")))
     stats = _grouped(windowed).agg(
-        F.first("labels").alias("labels"), F.count("*").alias("n"), pts.alias("pts")
+        F.count("*").alias("n"), pts.alias("pts")
     )
     vals = F.transform(F.col("pts"), lambda p: p["value"])
     # fold state: (level, trend); x1 = s0, b1 = s1 - s0
@@ -745,7 +744,7 @@ def _holt_winters(ctx: EvalContext, windowed: DataFrame, sf, tf) -> DataFrame:
 
     final = F.aggregate(rest, init, step)
     out = stats.filter(F.col("n") >= 2).select(
-        "sig", "labels", "t", final["l"].alias("value")
+        "sig", "t", final["l"].alias("value")
     )
     return _finish(out, ctx)
 
@@ -802,8 +801,13 @@ def eval_range_function_prefix(
     base = base.filter((F.col("t") > lo) & (F.col("t") <= hi))
     has_hist = "hist" in base.columns
     st = F.col("st") if "st" in base.columns else F.lit(None).cast("long")
-    cols = [F.col("sig"), F.col("labels"), F.col("t"), F.col("value"),
-            st.alias("st")]
+    cols = [F.col("sig"), F.col("t"), F.col("value"), st.alias("st")]
+    # one labels dim for the whole call (float fast path + hist halves)
+    dim = (
+        base.select("sig", "labels")
+        .groupBy("sig")
+        .agg(F.first("labels").alias("labels"))
+    )
 
     hist_out = None
     if has_hist:
@@ -855,10 +859,10 @@ def eval_range_function_prefix(
             hist_out = hist_arith.window_rate_asof(
                 ctx, pure_h, range_ms, offset_ms,
                 is_counter=func != "delta", is_rate=func == "rate",
-            )
-            mw = windowed_samples(ctx, mixed, range_ms, offset_ms=offset_ms)
+            ).drop("labels")
+            mw, mdim = windowed_samples(ctx, mixed, range_ms, offset_ms=offset_ms)
             hist_out = hist_out.unionByName(
-                eval_range_function(ctx, func, mw, range_ms).df,
+                eval_range_function(ctx, func, mw, range_ms, dim=mdim).fact,
                 allowMissingColumns=True,
             )
         else:
@@ -866,19 +870,19 @@ def eval_range_function_prefix(
                 "__has_h", "__has_f"
             )
             # lazily evaluated: zero hist series → empty explode input
-            hw = windowed_samples(ctx, hseries, range_ms, offset_ms=offset_ms)
-            hist_out = eval_range_function(ctx, func, hw, range_ms).df
+            hw, hdim = windowed_samples(ctx, hseries, range_ms, offset_ms=offset_ms)
+            hist_out = eval_range_function(ctx, func, hw, range_ms, dim=hdim).fact
     else:
         base_f = base.select(*cols)
 
     samples = base_f.select(
-        "sig", "labels",
+        "sig",
         F.col("t").alias("pt"), F.lit(0).alias("ord"),
         F.lit(None).cast("string").alias("kind"),
         F.lit(None).cast("long").alias("step_t"),
         "value", "st",
     )
-    sigs = base_f.groupBy("sig").agg(F.first("labels").alias("labels"))
+    sigs = base_f.select("sig").distinct()
     bounds = ctx.grid.select(
         F.col("t").alias("step_t"),
         (F.col("t") - offset_ms).alias("__wend"),
@@ -886,7 +890,7 @@ def eval_range_function_prefix(
     probes = (
         sigs.crossJoin(F.broadcast(bounds))
         .select(
-            "sig", "labels", "step_t",
+            "sig", "step_t",
             F.explode(
                 F.array(
                     F.struct(F.lit("e").alias("kind"),
@@ -897,7 +901,7 @@ def eval_range_function_prefix(
             ).alias("__p"),
         )
         .select(
-            "sig", "labels", F.col("__p.pt").alias("pt"),
+            "sig", F.col("__p.pt").alias("pt"),
             F.lit(1).alias("ord"), F.col("__p.kind").alias("kind"),
             "step_t",
             F.lit(None).cast("double").alias("value"),
@@ -964,7 +968,6 @@ def eval_range_function_prefix(
 
     pr = step3.filter(F.col("kind").isNotNull())
     stats = pr.groupBy("sig", "step_t").agg(
-        F.first("labels").alias("labels"),
         F.max(F.when(F.col("kind") == "e", F.struct(
             "idx", "cum_drop", "cum_res", "cum_chg",
             F.col("__b")["t"].alias("b_t"), F.col("__b")["value"].alias("b_v"),
@@ -979,7 +982,7 @@ def eval_range_function_prefix(
         & a["t"].isNotNull() & (a["t"] <= wend)
     )
     stats = stats.filter(valid).select(
-        "sig", "labels", F.col("step_t").alias("t"), wend.alias("wend"),
+        "sig", F.col("step_t").alias("t"), wend.alias("wend"),
         (e["idx"] - a["idx"] + 1).alias("n"),
         a["t"].alias("first_t"), e["b_t"].alias("last_t"),
         a["value"].alias("first_v"), e["b_v"].alias("last_v"),
@@ -1010,12 +1013,12 @@ def eval_range_function_prefix(
             "ts_of_last_over_time": F.col("last_t") / 1000.0,
         }[func]
         out = _finish(
-            stats.select("sig", "labels", "t", val.alias("value")),
+            stats.select("sig", "t", val.alias("value")),
             ctx, keep_name=func in _KEEPS_NAME,
         )
     if hist_out is not None:
         out = _union_hist(out, hist_out)
-    return VectorFrame(out)
+    return VectorFrame(fact=out, dim=dim)
 
 
 def eval_des_asof(
@@ -1089,8 +1092,6 @@ def eval_des_asof(
         if not valid.any():
             return pd.DataFrame(
                 {"sig": pd.Series([], dtype=str),
-                 "lk": pd.Series([], dtype=object),
-                 "lv": pd.Series([], dtype=object),
                  "t": pd.Series([], dtype=np.int64),
                  "value": pd.Series([], dtype=np.float64)}
             )
@@ -1108,39 +1109,33 @@ def eval_des_asof(
             nt = b * (nl - level) + omb * trend
             level = np.where(active, nl, level)
             trend = np.where(active, nt, trend)
-        m = int(valid.sum())
         return pd.DataFrame(
             {
                 "sig": pdf["sig"].iloc[0],
-                # label key/value arrays (constant per series) ride the
-                # batch so no second scan/join re-derives them; Arrow
-                # can't marshal pandas dicts to MAP, arrays it can
-                "lk": [pdf["lk"].iloc[0]] * m,
-                "lv": [pdf["lv"].iloc[0]] * m,
                 "t": step_arr[valid],
                 "value": level,
             }
         )
 
-    res = base.select(
-        "sig",
-        F.map_keys("labels").alias("lk"),
-        F.map_values("labels").alias("lv"),
-        "t",
-        "value",
-    ).groupBy("sig").applyInPandas(
+    # split frame contract: labels live on the dim, so the Arrow
+    # batches carry only (sig, t, value) — no per-batch label arrays
+    dim = (
+        base.select("sig", "labels")
+        .groupBy("sig")
+        .agg(F.first("labels").alias("labels"))
+    )
+    res = base.select("sig", "t", "value").groupBy("sig").applyInPandas(
         des_series,
-        schema="sig string, lk array<string>, lv array<string>, t long, value double",
+        schema="sig string, t long, value double",
     )
     # pyarrow's pandas bridge reads float NaN as null; the recurrence
     # never produces a genuine null, so restore NaN on the way out
     out = res.select(
         "sig",
-        F.map_from_arrays("lk", "lv").alias("labels"),
         "t",
         F.coalesce(F.col("value"), _NAN()).alias("value"),
     )
-    return VectorFrame(_finish(out, ctx))
+    return VectorFrame(fact=_finish(out, ctx), dim=dim)
 
 
 def hist_asof_threshold() -> int:
@@ -1198,10 +1193,17 @@ def eval_rate_hybrid(
     rest = flagged.filter(
         (F.col("__has_h") == 0) | (F.col("__has_f") == 1)
     ).drop("__has_h", "__has_f")
-    w = windowed_samples(ctx, rest, range_ms, offset_ms=offset_ms)
-    out = eval_range_function(ctx, func, w, range_ms).df
+    dim = (
+        base.select("sig", "labels")
+        .groupBy("sig")
+        .agg(F.first("labels").alias("labels"))
+    )
+    w, _wdim = windowed_samples(ctx, rest, range_ms, offset_ms=offset_ms)
+    out = eval_range_function(ctx, func, w, range_ms, dim=_wdim).fact
     h = hist_arith.window_rate_asof(
         ctx, pure_h, range_ms, offset_ms,
         is_counter=func != "delta", is_rate=func == "rate",
+    ).drop("labels")
+    return VectorFrame(
+        fact=out.unionByName(h, allowMissingColumns=True), dim=dim
     )
-    return VectorFrame(out.unionByName(h, allowMissingColumns=True))

@@ -175,41 +175,59 @@ def eval_vector_selector(ctx: EvalContext, node: VectorSelector) -> VectorFrame:
     if node.at is not None:
         # Pinned evaluation time: value identical at every step —
         # step-invariant broadcast (reference: engine.go:4646, 2564).
+        # Split contract: labels stay on a per-sig dim; the max_by pick,
+        # broadcast-grid crossJoin and everything downstream move only
+        # the narrow fact columns.
         ref = ctx.resolve_at(node.at) - offset
-        picked = (
-            base.filter((F.col("t") > ref - ctx.lookback_ms) & (F.col("t") <= ref))
+        in_window = base.filter(
+            (F.col("t") > ref - ctx.lookback_ms) & (F.col("t") <= ref)
+        )
+        dim = (
+            in_window.select("sig", "labels")
             .groupBy("sig")
+            .agg(F.first("labels").alias("labels"))
+        )
+        picked = (
+            in_window.groupBy("sig")
             .agg(
                 F.max_by(
-                    F.struct("labels", "t", "value", "stale", *hist_cols), "t"
+                    F.struct("t", "value", "stale", *hist_cols), "t"
                 ).alias("s"),
             )
             .select("sig", "s.*")
             .filter(~F.col("stale"))
-            .select("sig", "labels", F.col("t").alias("sample_t"), "value", *hist_cols)
+            .select("sig", F.col("t").alias("sample_t"), "value", *hist_cols)
         )
-        out = picked.crossJoin(F.broadcast(ctx.grid)).select(
-            "sig", "labels", "t", "sample_t", "value",
+        fact = picked.crossJoin(F.broadcast(ctx.grid)).select(
+            "sig", "t", "sample_t", "value",
             F.lit(False).alias("drop_name"), *hist_cols,
         )
-        return VectorFrame(out)
+        return VectorFrame(fact=fact, dim=dim)
 
     # Sliding path: sample serves steps where (step_t - offset) ∈
     # [t, min(t + lookback, next_t)).  Stale markers terminate the serve
     # interval of the previous sample and emit nothing themselves.
     # Composed as string-SQL selectExprs (2 round trips, not ~15).
+    # Split contract: the lead() window (shuffle+sort on sig) and the
+    # step explode (rows × steps-served) carry no labels map — the dim
+    # branch reduces the same matched rows to one labels row per series.
     lo, hi = ctx.start_ms - offset - ctx.lookback_ms, ctx.end_ms - offset
+    in_window = base.filter(f"t > {lo} AND t <= {hi}")
+    dim = (
+        in_window.select("sig", "labels")
+        .groupBy("sig")
+        .agg(F.first("labels").alias("labels"))
+    )
     valid_to = (
         f"least(t + {ctx.lookback_ms}, "
         f"coalesce(lead(t) OVER (PARTITION BY sig ORDER BY t), {2**62}L))"
     )
     exploded = (
-        base.filter(f"t > {lo} AND t <= {hi}")
+        in_window.drop("labels")
         .selectExpr("*", f"{valid_to} AS __valid_to")
         .filter("NOT stale")
         .selectExpr(
             "sig",
-            "labels",
             "t AS sample_t",
             "value",
             *hist_cols,
@@ -217,16 +235,15 @@ def eval_vector_selector(ctx: EvalContext, node: VectorSelector) -> VectorFrame:
             + " AS __kk",
         )
     )
-    out = exploded.selectExpr(
+    fact = exploded.selectExpr(
         "sig",
-        "labels",
         _step_t_sql(ctx) + " AS t",
         "sample_t",
         "value",
         "false AS drop_name",
         *hist_cols,
     )
-    return VectorFrame(out)
+    return VectorFrame(fact=fact, dim=dim)
 
 
 def PromQLEvalError_(msg):
@@ -341,12 +358,18 @@ def windowed_samples(
     range_ms: int,
     offset_ms: int = 0,
     at=None,
-) -> DataFrame:
-    """Matrix-selector expansion: (sig, labels, t=step_t, sample_t, value)
-    with one row per sample per window it falls in.
+    dim: DataFrame = None,
+) -> tuple:
+    """Matrix-selector expansion → ``(windows, dim)``: windows =
+    ``(sig, t=step_t, sample_t, value, drop_name, st[, hist], wend)``
+    with one row per sample per window it falls in — NO labels (split
+    frame contract: the explode multiplies rows by windows-served, so
+    the labels map must not ride it); dim = ``(sig, labels)``, one row
+    per in-range series.
 
     Accepts a VectorSelector (scans storage) or a prepared sample-like
-    DataFrame (subquery results) with columns (sig, labels, t, value).
+    DataFrame (subquery results) with columns (sig[, labels], t, value);
+    pass ``dim`` for label-free prepared frames (derived here otherwise).
     """
     if isinstance(node_or_df, VectorSelector):
         base = ctx.samples.filter(
@@ -357,27 +380,41 @@ def windowed_samples(
     hist_cols = ["hist"] if "hist" in base.columns else []
     dn = "drop_name" if "drop_name" in base.columns else "false AS drop_name"
     st = "st" if "st" in base.columns else "CAST(NULL AS BIGINT) AS st"
-    base = base.selectExpr("sig", "labels", "t", "value", dn, st, *hist_cols)
+
+    if at is not None:
+        ref = ctx.resolve_at(at) - offset_ms
+        in_range = base.filter(
+            (F.col("t") > ref - range_ms) & (F.col("t") <= ref)
+        )
+    else:
+        lo, hi = ctx.start_ms - offset_ms - range_ms, ctx.end_ms - offset_ms
+        in_range = base.filter(f"t > {lo} AND t <= {hi}")
+    if dim is None:
+        dim = (
+            in_range.select("sig", "labels")
+            .groupBy("sig")
+            .agg(F.first("labels").alias("labels"))
+        )
+    in_range = in_range.selectExpr("sig", "t", "value", dn, st, *hist_cols)
 
     # ``wend`` = the window's (offset-adjusted) right edge — rate
     # extrapolation measures sample distance to it (functions.go:472,
     # rangeEnd = ts - offset).
     if at is not None:
-        ref = ctx.resolve_at(at) - offset_ms
-        window = base.filter((F.col("t") > ref - range_ms) & (F.col("t") <= ref))
-        return window.crossJoin(F.broadcast(ctx.grid.select(F.col("t").alias("step_t")))).select(
-            "sig", "labels", F.col("step_t").alias("out_t"), F.col("t").alias("sample_t"),
+        w = in_range.crossJoin(
+            F.broadcast(ctx.grid.select(F.col("t").alias("step_t")))
+        ).select(
+            "sig", F.col("step_t").alias("out_t"), F.col("t").alias("sample_t"),
             "value", "drop_name", "st", *hist_cols, F.lit(ref).alias("wend"),
         ).withColumnsRenamed({"out_t": "t"})
+        return w, dim
 
-    return _sliding_windows(ctx, base, range_ms, offset_ms, hist_cols)
+    return _sliding_windows(ctx, in_range, range_ms, offset_ms, hist_cols), dim
 
 
-def _sliding_windows(ctx, base, range_ms, offset_ms, hist_cols):
-    lo, hi = ctx.start_ms - offset_ms - range_ms, ctx.end_ms - offset_ms
-    exploded = base.filter(f"t > {lo} AND t <= {hi}").selectExpr(
+def _sliding_windows(ctx, in_range, range_ms, offset_ms, hist_cols):
+    exploded = in_range.selectExpr(
         "sig",
-        "labels",
         "t AS sample_t",
         "value",
         "drop_name",
@@ -390,7 +427,6 @@ def _sliding_windows(ctx, base, range_ms, offset_ms, hist_cols):
     )
     return exploded.selectExpr(
         "sig",
-        "labels",
         _step_t_sql(ctx) + " AS t",
         "sample_t",
         "value",
@@ -408,8 +444,10 @@ def extended_windowed_samples(
     offset_ms: int = 0,
     at=None,
     smoothed: bool = False,
-) -> DataFrame:
-    """Anchored/smoothed matrix windows (reference: engine.go extendFloats
+) -> tuple:
+    """Anchored/smoothed matrix windows → ``(windows, dim)`` — split
+    frame contract: windows carry no labels; dim = (sig, labels) for the
+    time-scoped matched series (reference: engine.go extendFloats
     + functions.go:309 ``extendedRate`` inputs).
 
     The window is materialized as: a left-boundary row at ``sample_t =
@@ -447,7 +485,7 @@ def extended_windowed_samples(
             f"lag(hist) {over} AS prev_h",
         ]
     with_adj = base.selectExpr(
-        "sig", "labels", "t", "value", *hcols, *adj_exprs
+        "sig", "t", "value", *hcols, *adj_exprs
     )
 
     if at is not None:
@@ -482,7 +520,6 @@ def extended_windowed_samples(
                 ]
         return df.selectExpr(
             "sig",
-            "labels",
             "step_t AS t",
             f"CAST({sample_t_sql} AS BIGINT) AS sample_t",
             "t AS orig_t",
@@ -494,8 +531,14 @@ def extended_windowed_samples(
         )
 
     if at is not None:
-        grid = ctx.grid.selectExpr("t AS step_t")
         rstart, rend = ref - range_ms, ref
+        dim = (
+            base.filter(f"t > {rstart - lb} AND t <= {rend + lb}")
+            .select("sig", "labels")
+            .groupBy("sig")
+            .agg(F.first("labels").alias("labels"))
+        )
+        grid = ctx.grid.selectExpr("t AS step_t")
         pinned = with_adj.crossJoin(F.broadcast(grid))
         # pinned windows: classify each sample against the fixed range
         interior = pinned.filter(f"t > {rstart} AND t <= {rend}")
@@ -510,6 +553,12 @@ def extended_windowed_samples(
     else:
         lo = ctx.start_ms - offset_ms - range_ms - lb
         hi = ctx.end_ms - offset_ms + (lb if smoothed else 0)
+        dim = (
+            base.filter(f"t > {lo} AND t <= {hi}")
+            .select("sig", "labels")
+            .groupBy("sig")
+            .agg(F.first("labels").alias("labels"))
+        )
         scoped = with_adj.filter(f"t > {lo} AND t <= {hi}")
 
         def explode(df, lo_sql: str, hi_sql: str):
@@ -558,8 +607,9 @@ def extended_windowed_samples(
         "OVER (PARTITION BY sig, t) AS __before",
     )
     valid = flagged.filter("__after = 1 AND __before = 1")
-    return valid.select(
-        "sig", "labels", "t", "sample_t", "orig_t", "value", *hcols, "wend", "role",
+    w = valid.select(
+        "sig", "t", "sample_t", "orig_t", "value", *hcols, "wend", "role",
         "__nt", "__nv", "__pt", "__pv",
         *(["__nh", "__ph"] if has_hist else []),
     )
+    return w, dim

@@ -293,12 +293,13 @@ def _fetch_ms(ctx, selector, range_ms: int, offset_ms: int, at) -> dict:
     (labels, {step_t: _Win})}.  Bounded: ≤ series × steps rows."""
     from prometheus_spark.engine.selectors import windowed_samples
 
-    w = windowed_samples(ctx, selector, range_ms, offset_ms=offset_ms, at=at)
+    w, dim = windowed_samples(ctx, selector, range_ms, offset_ms=offset_ms, at=at)
     wt = _weight(w)
     ish = _hist_flag(w)
     new = F.col("sample_t") > (F.col("wend") - F.lit(ctx.step_ms))
     rows = (
-        w.groupBy("sig", "t")
+        w.join(dim, "sig")
+        .groupBy("sig", "t")
         .agg(
             F.first("labels").alias("labels"),
             F.sum(F.when(~ish, 1).otherwise(0)).alias("nf"),
@@ -491,9 +492,10 @@ class _Ev:
         off = self._dur(node.selector.offset_ms)
         from prometheus_spark.engine.selectors import windowed_samples
 
-        w = windowed_samples(
+        w, _ms_dim = windowed_samples(
             self.ctx, node.selector, rng, offset_ms=off, at=node.selector.at
         )
+        w = w.join(_ms_dim, "sig")
         # bare matrix selectors are root-only (instant queries — one
         # window per series) and the per-point breakdown is never read
         # downstream, so aggregate the window weight SERVER-side: the

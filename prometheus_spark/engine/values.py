@@ -50,9 +50,76 @@ class ScalarFrame:
     df: DataFrame  # (t LONG, value DOUBLE) — exactly one row per step
 
 
-@dataclass
 class VectorFrame:
-    df: DataFrame  # VECTOR_COLS
+    """Vector value — one row per (series, step).
+
+    Two physical representations (round 11 frame contract):
+
+    - **split** (preferred): ``fact`` carries the narrow per-step rows
+      ``(sig, t, sample_t, value, drop_name[, hist][, st])`` and ``dim``
+      carries the per-series labels ``(sig, labels)``.  Shuffles, sorts
+      and window explodes move only the fact; anything label-derived
+      (group keys, match keys, output labelsets) is computed on the dim
+      — one row per series, not per sample — and joined back by ``sig``.
+      At fleet-typical 20-40 labels/series the labels map dwarfs the
+      numeric columns, so this is the difference between shuffling
+      bytes and shuffling kilobytes per row (measured 1.6-2.1x on a
+      24-label synthetic).
+    - **legacy**: one ``df`` with ``labels`` inline (VECTOR_COLS order).
+      Kept for literal/synthetic frames and as a migration bridge.
+
+    Either view is derivable lazily: ``.df`` joins fact⋈dim once;
+    ``.fact`` drops the labels column; ``.dim`` re-derives per-sig
+    labels with a partial-aggregating groupBy.  NOTE: deriving ``.dim``
+    from a legacy frame re-executes the upstream plan for that branch —
+    producers should construct split frames so this bridge stays cold.
+    """
+
+    __slots__ = ("_df", "_fact", "_dim")
+
+    def __init__(
+        self,
+        df: DataFrame = None,
+        *,
+        fact: DataFrame = None,
+        dim: DataFrame = None,
+    ):
+        if df is None and (fact is None or dim is None):
+            raise ValueError("VectorFrame needs df or (fact and dim)")
+        self._df = df
+        self._fact = fact
+        self._dim = dim
+
+    @property
+    def is_split(self) -> bool:
+        return self._fact is not None
+
+    @property
+    def df(self) -> DataFrame:
+        if self._df is None:
+            fact, dim = self._fact, self._dim
+            extras = [c for c in fact.columns if c not in VECTOR_COLS]
+            order = [
+                c for c in VECTOR_COLS if c in fact.columns or c == "labels"
+            ] + extras
+            self._df = fact.join(dim, "sig").select(*order)
+        return self._df
+
+    @property
+    def fact(self) -> DataFrame:
+        if self._fact is None:
+            self._fact = self._df.drop("labels")
+        return self._fact
+
+    @property
+    def dim(self) -> DataFrame:
+        if self._dim is None:
+            self._dim = (
+                self._df.select("sig", "labels")
+                .groupBy("sig")
+                .agg(F.first("labels").alias("labels"))
+            )
+        return self._dim
 
 
 def scalar_frame_from_const(ctx, value: float) -> ScalarFrame:
