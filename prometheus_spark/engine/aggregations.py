@@ -120,19 +120,15 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
     if op in ("topk", "bottomk", "limitk", "limit_ratio"):
         if op in ("topk", "bottomk"):
             # histograms never enter the value heap (engine.go:3986 region)
-            vf = VectorFrame(vf.df.filter(F.col("value").isNotNull()))
+            vf = VectorFrame(
+                fact=vf.fact.filter(F.col("value").isNotNull()), dim=vf.dim
+            )
         return _eval_k_selector(ctx, node, vf, param)
 
     if op == "quantile":
-        # float-only: histogram rows (value NULL) are warned-and-dropped
-        return _eval_quantile(
-            ctx,
-            _regroup(vf, node).filter(F.col("value").isNotNull()),
-            param,
-            group_flag=_group_flag(node),
-        )
+        return _eval_quantile(ctx, node, vf, param)
     if op == "count_values":
-        return _eval_count_values(ctx, node, _regroup(vf, node), param)
+        return _eval_count_values(ctx, node, vf, param)
 
     fact, gdim = _regroup_split(vf, node)
     v = F.col("value")
@@ -448,15 +444,17 @@ def float_sql(x: float) -> str:
     return repr(float(x)) + "D"
 
 
-def _eval_quantile(ctx: EvalContext, df: DataFrame, param, group_flag: bool = False) -> VectorFrame:
+def _eval_quantile(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, param) -> VectorFrame:
+    group_flag = _group_flag(node)
+    # float-only: histogram rows (value NULL) are warned-and-dropped
+    fact, gdim = _regroup_split(vf, node)
+    df = fact.filter(F.col("value").isNotNull())
     arr = F.expr(sorted_values_sql("value")).alias("__arr")
     flag = F.expr("bool_or(drop_name)" if group_flag else "false").alias(
         "drop_name"
     )
     if isinstance(param, ConstScalar):
-        grouped = df.groupBy("sig", "t").agg(
-            F.expr("first(labels)").alias("labels"), arr, flag
-        )
+        grouped = df.groupBy("sig", "t").agg(arr, flag)
         phi = float_sql(float(param.value))
     elif isinstance(param, ScalarFrame):
         # per-step φ (e.g. quantile(scalar(foo), v)) — broadcast join on t
@@ -465,7 +463,6 @@ def _eval_quantile(ctx: EvalContext, df: DataFrame, param, group_flag: bool = Fa
             df.join(F.broadcast(p), "t", "left")
             .groupBy("sig", "t")
             .agg(
-                F.expr("first(labels)").alias("labels"),
                 arr,
                 F.expr("first(__phi)").alias("__p"),
                 flag,
@@ -475,21 +472,27 @@ def _eval_quantile(ctx: EvalContext, df: DataFrame, param, group_flag: bool = Fa
     else:
         raise PromQLEvalError("quantile: unsupported parameter type")
     return VectorFrame(
-        grouped.selectExpr(
+        fact=grouped.selectExpr(
             "sig",
-            "labels",
             "t",
             "t AS sample_t",
             f"CAST({quantile_sql('__arr', phi)} AS DOUBLE) AS value",
             "drop_name",
-        )
+        ),
+        dim=gdim,
     )
 
 
 def _eval_count_values(
-    ctx: EvalContext, node: AggregateExpr, df: DataFrame, param
+    ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, param
 ) -> VectorFrame:
-    """count_values("label", v) — reference: engine.go:4208."""
+    """count_values("label", v) — reference: engine.go:4208.
+
+    Split contract: the rendered value string is a per-ROW fact, but the
+    output labelset only varies per (group sig, value string) pair — an
+    output-cardinality-bounded dim.  The per-row work is the render plus
+    one narrow pair join; map building and re-signing run on the pair
+    dim."""
     from prometheus_spark.engine.values import StringValue
 
     if not isinstance(param, StringValue):
@@ -497,37 +500,55 @@ def _eval_count_values(
     lbl = param.value
     if not _valid_label_name(lbl):
         raise PromQLEvalError(f"count_values: invalid label name {lbl!r}")
+    fact, gdim = _regroup_split(vf, node)
     # Go renders sample values with minimal float formatting (%g-like via
     # strconv); format_number-style trailing ".0" must be stripped.
     # Histogram samples render via FloatHistogram.String()
     # (aggregators.test:447) — Arrow-batched UDF on the tiny hist subset.
     vstr = _format_float_expr(F.col("value"))
-    if "hist" in df.columns:
+    if "hist" in fact.columns:
         from prometheus_spark.shipping import ensure_shipped
 
         ensure_shipped(ctx.spark)
         vstr = F.when(F.col("value").isNotNull(), vstr).otherwise(
             _hist_string_udf()(F.col("hist"))
         )
+    fact = fact.withColumn("__vs", vstr)
     new_labels = F.map_concat(
         F.map_filter("labels", lambda k, _: k != F.lit(lbl)),
-        F.create_map(F.lit(lbl), vstr),
+        F.create_map(F.lit(lbl), F.col("__vs")),
     )
-    regrouped = df.select(
-        sig_expr(new_labels).alias("sig"), new_labels.alias("labels"), "t", "value",
-        "drop_name",
+    pairs = (
+        fact.select("sig", "__vs")
+        .distinct()
+        .join(gdim, "sig")
+        .select(
+            "sig",
+            "__vs",
+            sig_expr(new_labels).alias("__nsig"),
+            new_labels.alias("__nlabels"),
+        )
     )
     flag = (
         F.bool_or("drop_name").alias("drop_name")
         if _group_flag(node)
         else F.lit(False).alias("drop_name")
     )
-    out = regrouped.groupBy("sig", "t").agg(
-        F.first("labels").alias("labels"), F.count("*").cast("double").alias("value"), flag
+    out = (
+        fact.join(pairs.select("sig", "__vs", "__nsig"), ["sig", "__vs"])
+        .groupBy("__nsig", "t")
+        .agg(F.count("*").cast("double").alias("value"), flag)
     )
-    return VectorFrame(out.select(
-        "sig", "labels", "t", F.col("t").alias("sample_t"), "value", "drop_name"
-    ))
+    dim = pairs.select(
+        F.col("__nsig").alias("sig"), F.col("__nlabels").alias("labels")
+    ).dropDuplicates(["sig"])
+    return VectorFrame(
+        fact=out.select(
+            F.col("__nsig").alias("sig"), "t",
+            F.col("t").alias("sample_t"), "value", "drop_name",
+        ),
+        dim=dim,
+    )
 
 
 def _hist_string_udf():
@@ -583,9 +604,12 @@ def _eval_k_selector(
     by = node.grouping if (node.has_grouping and not node.without) else None
     without = node.grouping if (node.has_grouping and node.without) else None
     glabels = group_labels_expr("labels", by, without)
-    df = vf.df.withColumn("gsig", sig_expr(glabels))
-    # limitk/limit_ratio keep whole samples — histograms included
-    out_cols = ["sig", "labels", "t", "sample_t", "value", "drop_name"] + (
+    # split contract: k-selectors return whole input rows (labels
+    # untouched) — group sigs come from the dim, the heap window runs on
+    # narrow fact rows, and the dim passes through
+    gmap = vf.dim.select("sig", sig_expr(glabels).alias("gsig"))
+    df = vf.fact.join(gmap, "sig")
+    out_cols = ["sig", "t", "sample_t", "value", "drop_name"] + (
         ["hist"] if "hist" in df.columns and op in ("limitk", "limit_ratio") else []
     )
 
@@ -615,7 +639,7 @@ def _eval_k_selector(
             raise PromQLEvalError("limit_ratio: unsupported parameter type")
         keep = F.when(r >= 0, u < r).otherwise(u >= F.lit(1.0) + r)
         out = df.filter(keep).drop("gsig")
-        return VectorFrame(out.select(*out_cols))
+        return VectorFrame(fact=out.select(*out_cols), dim=vf.dim)
 
     # k: constant, or per-step scalar (e.g. topk(scalar(foo), v) — k varies
     # across the range grid, reference engine.go:1590 fParams)
@@ -623,7 +647,7 @@ def _eval_k_selector(
         if math.isnan(param.value):
             raise PromQLEvalError("Parameter value is NaN")
         if int(param.value) < 1:
-            return VectorFrame(vf.df.filter(F.lit(False)))
+            return VectorFrame(fact=vf.fact.filter(F.lit(False)), dim=vf.dim)
         k = F.lit(int(param.value))
     elif isinstance(param, ScalarFrame):
         p = param.df.withColumnRenamed("value", "__k")
@@ -645,4 +669,4 @@ def _eval_k_selector(
         order = [F.col("sig").asc()]
     w = Window.partitionBy("gsig", "t").orderBy(*order)
     out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
-    return VectorFrame(out.select(*out_cols))
+    return VectorFrame(fact=out.select(*out_cols), dim=vf.dim)

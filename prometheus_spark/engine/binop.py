@@ -131,15 +131,16 @@ def vector_scalar(
     Histogram samples combine with scalars only via ``*`` (either side),
     ``/`` (histogram on the left), and the ``</``/``>/`` trim operators —
     vectorElemBinop mixed cases; everything else drops them."""
-    has_hist = "hist" in vf.df.columns
+    has_hist = "hist" in vf.fact.columns
     if node.op in ("</", ">/"):
         # trims apply to histogram-left × scalar only; floats and
         # scalar-left forms drop every sample (vectorElemBinop TRIM_*)
         if not has_hist or not vector_on_left:
             return VectorFrame(
-                vf.df.filter(F.lit(False)).select(
-                    "sig", "labels", "t", "sample_t", "value", "drop_name"
-                )
+                fact=vf.fact.filter(F.lit(False)).select(
+                    "sig", "t", "sample_t", "value", "drop_name"
+                ),
+                dim=vf.dim,
             )
         from prometheus_spark.engine import hist_arith
 
@@ -154,29 +155,33 @@ def vector_scalar(
     hist_mul = has_hist and (
         node.op == "*" or (node.op == "/" and vector_on_left)
     ) and node.op not in COMPARISON_OPS
-    df = vf.df if hist_mul else vf.df.filter(F.col("value").isNotNull())
+    # split contract: a vector⊗scalar never changes a labelset — fact-only
+    # ops, dim passes through untouched
+    fact = vf.fact if hist_mul else vf.fact.filter(F.col("value").isNotNull())
+    dim = vf.dim
     if isinstance(scalar, ConstScalar):
         s = F.lit(float(scalar.value))
     else:  # per-step scalar — broadcast join on t
-        df = df.join(F.broadcast(scalar.df.withColumnRenamed("value", "__s")), "t")
+        fact = fact.join(
+            F.broadcast(scalar.df.withColumnRenamed("value", "__s")), "t"
+        )
         s = F.col("__s")
     l, r = (F.col("value"), s) if vector_on_left else (s, F.col("value"))
     if node.op in COMPARISON_OPS:
         pred = compare_expr(node.op, l, r)
         if node.return_bool:
-            out = df.select(
+            out = fact.select(
                 "sig",
-                "labels",
                 "t",
                 "sample_t",
                 F.when(pred, 1.0).otherwise(0.0).alias("value"),
                 F.lit(True).alias("drop_name"),
             )
         else:
-            out = df.filter(pred).select(
-                "sig", "labels", "t", "sample_t", "value", "drop_name"
+            out = fact.filter(pred).select(
+                "sig", "t", "sample_t", "value", "drop_name"
             )
-        return VectorFrame(out)
+        return VectorFrame(fact=out, dim=dim)
     hist_cols = []
     if hist_mul:
         hist_cols = [
@@ -185,9 +190,8 @@ def vector_scalar(
                 scale_hist_expr(F.col("hist"), s, is_div=node.op == "/"),
             ).alias("hist")
         ]
-    out = df.select(
+    out = fact.select(
         "sig",
-        "labels",
         "t",
         "sample_t",
         F.when(F.col("value").isNotNull(), arith_expr(node.op, l, r))
@@ -198,7 +202,7 @@ def vector_scalar(
         F.lit(True).alias("drop_name"),
         *hist_cols,
     )
-    return VectorFrame(out)
+    return VectorFrame(fact=out, dim=dim)
 
 
 def _msig_sql(vm: VectorMatching) -> str:
@@ -344,25 +348,35 @@ def _align_hist(l: DataFrame, r: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def set_op(ctx: EvalContext, op: str, lhs: VectorFrame, rhs: VectorFrame, vm: VectorMatching) -> VectorFrame:
-    """and / or / unless (engine.go:3115-3190)."""
-    ldf, rdf = _align_hist(lhs.df, rhs.df)
-    cols = ["sig", "labels", "t", "sample_t", "value", "drop_name"] + (
-        ["hist"] if "hist" in ldf.columns else []
+    """and / or / unless (engine.go:3115-3190).
+
+    Split frame contract: match signatures are computed once per SERIES
+    on each side's dim and joined onto the facts by sig; the semi/anti
+    joins then move only narrow fact rows."""
+    lf, rf = _align_hist(lhs.fact, rhs.fact)
+    cols = ["sig", "t", "sample_t", "value", "drop_name"] + (
+        ["hist"] if "hist" in lf.columns else []
     )
-    l = _with_match_sig(ldf, vm)
-    r = _with_match_sig(rdf, vm)
+    msig = _msig_sql(vm)
+    lmap = lhs.dim.selectExpr("sig", msig + " AS msig")
+    rmap = rhs.dim.selectExpr("sig", msig + " AS msig")
+    l = lf.join(lmap, "sig")
+    r = rf.join(rmap, "sig")
     rkeys = r.select("msig", "t").distinct()
     if op == "and":
         out = l.join(rkeys, ["msig", "t"], "left_semi")
+        dim = lhs.dim
     elif op == "unless":
         out = l.join(rkeys, ["msig", "t"], "left_anti")
+        dim = lhs.dim
     elif op == "or":
         lkeys = l.select("msig", "t").distinct()
         extra = r.select(*l.columns).join(lkeys, ["msig", "t"], "left_anti")
         out = l.unionByName(extra)
+        dim = lhs.dim.unionByName(rhs.dim).dropDuplicates(["sig"])
     else:
         raise PromQLEvalError(op)
-    return VectorFrame(out.select(*cols))
+    return VectorFrame(fact=out.select(*cols), dim=dim)
 
 
 def vector_vector(
@@ -371,7 +385,142 @@ def vector_vector(
     vm = node.matching or VectorMatching()
     if node.op in ("and", "or", "unless"):
         return set_op(ctx, node.op, lhs, rhs, vm)
+    has_hist = "hist" in lhs.fact.columns or "hist" in rhs.fact.columns
+    # Split fast path for the common shapes: no group_left/right include
+    # labels, no fill modifiers, no histogram arithmetic/trim — there the
+    # result labelset is a function of the MANY side's labels alone, so
+    # match sig AND result (sig, labels) both compute per series on the
+    # dim and the (msig, t) equi-join moves only narrow fact rows.  The
+    # label-entangled shapes (includes pull label values from the one
+    # side per pair; fills synthesize rows) keep the legacy inline-labels
+    # plan.
+    if not (
+        vm.include
+        or node.fill_lhs is not None
+        or node.fill_rhs is not None
+        or node.op in ("</", ">/")
+        or (has_hist and node.op in ("+", "-", "*", "/"))
+    ):
+        return _vector_vector_split(ctx, node, lhs, rhs, vm)
+    return _vector_vector_legacy(ctx, node, lhs, rhs, vm)
 
+
+def _vector_vector_split(
+    ctx: EvalContext, node: BinaryExpr, lhs: VectorFrame, rhs: VectorFrame,
+    vm: VectorMatching,
+) -> VectorFrame:
+    from prometheus_spark.model.labels import sig_sql
+
+    card = vm.card
+    one_is_rhs = card != MatchCardinality.ONE_TO_MANY
+    lf, rf = _align_hist(lhs.fact, rhs.fact)
+    has_hist = "hist" in lf.columns
+    many_f, one_f = (lf, rf) if one_is_rhs else (rf, lf)
+    many_d, one_d = (
+        (lhs.dim, rhs.dim) if one_is_rhs else (rhs.dim, lhs.dim)
+    )
+
+    msig = _msig_sql(vm)
+    rlabels = _result_labels_sql(vm)
+    mdim = many_d.selectExpr(
+        "sig",
+        msig + " AS msig",
+        sig_sql(rlabels) + " AS __rsig",
+        rlabels + " AS __rlabels",
+    )
+    many = many_f.join(mdim.select("sig", "msig", "__rsig"), "sig")
+    one = one_f.join(one_d.selectExpr("sig", msig + " AS msig"), "sig").selectExpr(
+        "msig",
+        "t",
+        "value AS __ov",
+        "drop_name AS __odrop",
+        *(["hist AS __ohist"] if has_hist else []),
+    )
+
+    guard = "0.0D"
+    if ctx.strict:
+        side = "right" if one_is_rhs else "left"
+        one = one.selectExpr(
+            "*",
+            "CASE WHEN count(1) OVER (PARTITION BY msig, t) > 1 THEN "
+            "CAST(raise_error(concat("
+            f"'found duplicate series for the match group on the {side} "
+            "hand-side of the operation: ', msig)) AS DOUBLE) END AS __chk",
+        )
+        guard = "coalesce(__chk, 0.0D)"
+
+    joined = many.join(one, ["msig", "t"], "inner")
+    if ctx.strict and card == MatchCardinality.ONE_TO_ONE:
+        joined = joined.selectExpr(
+            "*",
+            "CASE WHEN count(1) OVER (PARTITION BY msig, t) > 1 THEN "
+            "CAST(raise_error('multiple matches for labels: many-to-one "
+            "matching must be explicit (group_left/group_right)') "
+            "AS DOUBLE) END AS __chk2",
+        )
+        guard = f"({guard} + coalesce(__chk2, 0.0D))"
+
+    l_val = "value" if one_is_rhs else "__ov"
+    r_val = "__ov" if one_is_rhs else "value"
+    l_hist = ("hist" if one_is_rhs else "__ohist") if has_hist else "NULL"
+    r_hist = ("__ohist" if one_is_rhs else "hist") if has_hist else "NULL"
+    both_float = f"({l_val} IS NOT NULL AND {r_val} IS NOT NULL)"
+    both_hist = (
+        f"({l_hist} IS NOT NULL AND {r_hist} IS NOT NULL)" if has_hist else "false"
+    )
+
+    if node.op in COMPARISON_OPS:
+        flag = "true" if node.return_bool else "drop_name"
+        pred_f = compare_sql(node.op, l_val, r_val)
+        if has_hist and node.op in ("==", "!="):
+            pred_h = (
+                f"({l_hist} = {r_hist})"
+                if node.op == "=="
+                else f"(NOT ({l_hist} = {r_hist}))"
+            )
+            supported = f"({both_float} OR {both_hist})"
+            pred = (
+                f"(CASE WHEN {both_hist} THEN {pred_h} "
+                f"ELSE {both_float} AND {pred_f} END)"
+            )
+        else:
+            supported = both_float
+            pred = f"({both_float} AND {pred_f})"
+        if node.return_bool:
+            joined = joined.filter(f"{supported} OR ({guard}) != 0.0D")
+            value = f"(CASE WHEN {pred} THEN 1.0D ELSE 0.0D END + {guard})"
+        else:
+            joined = joined.filter(f"({supported} AND {pred}) OR ({guard}) != 0.0D")
+            value = f"({l_val} + {guard})"  # filter keeps the lhs sample
+    else:
+        flag = "true"
+        joined = joined.filter(f"{both_float} OR ({guard}) != 0.0D")
+        value = (
+            f"(CAST({arith_sql(node.op, l_val, r_val)} AS DOUBLE) + {guard})"
+        )
+
+    hist_out = []
+    if has_hist and node.op in COMPARISON_OPS and not node.return_bool:
+        hist_out = [("hist" if one_is_rhs else "__ohist") + " AS hist"]
+
+    fact = joined.selectExpr(
+        "__rsig AS sig",
+        "t",
+        "t AS sample_t",
+        value + " AS value",
+        flag + " AS drop_name",
+        *hist_out,
+    )
+    dim = mdim.select(
+        F.col("__rsig").alias("sig"), F.col("__rlabels").alias("labels")
+    ).dropDuplicates(["sig"])
+    return VectorFrame(fact=fact, dim=dim)
+
+
+def _vector_vector_legacy(
+    ctx: EvalContext, node: BinaryExpr, lhs: VectorFrame, rhs: VectorFrame,
+    vm: VectorMatching,
+) -> VectorFrame:
     card = vm.card
     # The "one" side must be unique per (msig, t): rhs for one-to-one and
     # group_left, lhs for group_right (engine.go:3216-3229).

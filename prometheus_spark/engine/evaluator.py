@@ -115,7 +115,7 @@ class Evaluator:
             return ScalarFrame(v.df.select("t", (-F.col("value")).alias("value")))
         if isinstance(v, VectorFrame):
             hist_cols = []
-            if "hist" in v.df.columns:
+            if "hist" in v.fact.columns:
                 # −histogram ≡ histogram × −1 (vectorElemBinop MUL path)
                 from prometheus_spark.engine.binop import scale_hist_expr
 
@@ -126,15 +126,15 @@ class Evaluator:
                     ).alias("hist")
                 ]
             return VectorFrame(
-                v.df.select(
+                fact=v.fact.select(
                     "sig",
-                    "labels",
                     "t",
                     "sample_t",
                     (-F.col("value")).alias("value"),
                     F.lit(True).alias("drop_name"),
                     *hist_cols,
-                )
+                ),
+                dim=v.dim,
             )
         raise PromQLEvalError("unary - on non-numeric value")
 
@@ -461,7 +461,9 @@ class Evaluator:
             # presentation-order only (functions.go:1046-1055); ordering is
             # applied by the result shaper; histogram samples are dropped
             vf = self._vector(node.args[0])
-            return VectorFrame(vf.df.filter(F.col("value").isNotNull()))
+            return VectorFrame(
+                fact=vf.fact.filter(F.col("value").isNotNull()), dim=vf.dim
+            )
         if fn in ("sort_by_label", "sort_by_label_desc"):
             # lexicographic label order — applied by the result shaper
             return self._vector(node.args[0])
@@ -474,7 +476,7 @@ class Evaluator:
             phi = self._scalar(node.args[0])
             vf = self._vector(node.args[1])
             classic = FN.eval_histogram_quantile_classic(ctx, phi, vf)
-            if "hist" in vf.df.columns and isinstance(phi, ConstScalar):
+            if "hist" in vf.fact.columns and isinstance(phi, ConstScalar):
                 from prometheus_spark.engine.hist_functions import (
                     eval_hist_quantile_native,
                 )
@@ -482,7 +484,13 @@ class Evaluator:
                 native = eval_hist_quantile_native(
                     ctx, float(phi.value), FN.filter_conflicting_native(vf)
                 )
-                return self._guarded(VectorFrame(classic.df.unionByName(native)))
+                # native output sigs are the untouched series sigs — the
+                # input dim covers them; classic contributes its
+                # labels-minus-le dim
+                dim = classic.dim.unionByName(vf.dim).dropDuplicates(["sig"])
+                return self._guarded(VectorFrame(
+                    fact=classic.fact.unionByName(native), dim=dim
+                ))
             return self._guarded(classic)
         if fn == "histogram_quantiles":
             # multi-φ variant adding a quantile label (functions.go:2243)
@@ -516,7 +524,7 @@ class Evaluator:
             lo, up = self._const(node.args[0]), self._const(node.args[1])
             vf = self._vector(node.args[2])
             classic = FN.eval_histogram_fraction_classic(ctx, lo, up, vf)
-            if "hist" in vf.df.columns:
+            if "hist" in vf.fact.columns:
                 from prometheus_spark.engine.hist_functions import (
                     eval_hist_fraction_native,
                 )
@@ -524,7 +532,10 @@ class Evaluator:
                 native = eval_hist_fraction_native(
                     ctx, lo, up, FN.filter_conflicting_native(vf)
                 )
-                return self._guarded(VectorFrame(classic.df.unionByName(native)))
+                dim = classic.dim.unionByName(vf.dim).dropDuplicates(["sig"])
+                return self._guarded(VectorFrame(
+                    fact=classic.fact.unionByName(native), dim=dim
+                ))
             return self._guarded(classic)
         if fn == "info":
             return self._info(node)

@@ -54,21 +54,23 @@ _SIMPLE_MATH = {
 
 
 def _project(vf: VectorFrame, value: Column, keep_name: bool = False) -> VectorFrame:
-    # delayed name removal: labels stay intact; meaning-changing functions
-    # flag the row and finalization strips the metadata labels
+    # delayed name removal: labels stay intact (on the dim); meaning-
+    # changing functions flag the row and finalization strips the
+    # metadata labels.  Point-wise math never touches the labelset —
+    # fact-only projection, dim passes through.
     flag = F.col("drop_name") if keep_name else F.lit(True)
     # computed samples live at the eval timestamp: nested timestamp() sees
     # the step time, not the source sample's time (at_modifier.test:173).
     # Histogram samples (value NULL) are ignored by point-wise float math.
     return VectorFrame(
-        vf.df.filter(F.col("value").isNotNull()).select(
+        fact=vf.fact.filter(F.col("value").isNotNull()).select(
             "sig",
-            "labels",
             "t",
             F.col("t").alias("sample_t"),
             value.cast("double").alias("value"),
             flag.alias("drop_name"),
-        )
+        ),
+        dim=vf.dim,
     )
 
 
@@ -124,9 +126,10 @@ def eval_clamp(vf: VectorFrame, lo, hi) -> VectorFrame:
     """clamp (functions.go:1137): min > max ⇒ drop all elements; NaN
     propagates."""
     l, h = F.lit(lo), F.lit(hi)
-    df = vf.df
     if isinstance(lo, float) and isinstance(hi, float) and lo > hi:
-        return VectorFrame(df.filter(F.lit(False)))
+        return VectorFrame(
+            fact=vf.fact.filter(F.lit(False)), dim=vf.dim
+        )
     v = F.col("value")
     # Go math.Max/Min propagate NaN — a NaN bound makes every output NaN
     out = F.when(F.isnan(v) | F.isnan(l) | F.isnan(h), _NAN()).otherwise(
@@ -165,14 +168,14 @@ def eval_date_func(func: str, vf: VectorFrame) -> VectorFrame:
 def eval_timestamp(vf: VectorFrame) -> VectorFrame:
     # timestamp() applies to histogram samples as well — no float filter
     return VectorFrame(
-        vf.df.select(
+        fact=vf.fact.select(
             "sig",
-            "labels",
             "t",
             F.col("t").alias("sample_t"),
             (F.col("sample_t") / 1000.0).cast("double").alias("value"),
             F.lit(True).alias("drop_name"),
-        )
+        ),
+        dim=vf.dim,
     )
 
 
@@ -185,33 +188,34 @@ def eval_start_timestamp(vf: VectorFrame) -> VectorFrame:
     column entirely → empty result."""
     from pyspark.sql.window import Window
 
-    if "st" not in vf.df.columns:
+    if "st" not in vf.fact.columns:
         return VectorFrame(
-            vf.df.filter(F.lit(False)).select(
-                "sig", "labels", "t", "sample_t", "value",
+            fact=vf.fact.filter(F.lit(False)).select(
+                "sig", "t", "sample_t", "value",
                 F.lit(True).alias("drop_name"),
-            )
+            ),
+            dim=vf.dim,
         )
     # applies to histogram samples too — no float filter
     has_any = F.max(F.col("st").isNotNull().cast("int")).over(Window.partitionBy("sig"))
     return VectorFrame(
-        vf.df.withColumn("__has_st", has_any)
+        fact=vf.fact.withColumn("__has_st", has_any)
         .filter(F.col("__has_st") == 1)
         .select(
             "sig",
-            "labels",
             "t",
             F.col("t").alias("sample_t"),
             (F.coalesce(F.col("st"), F.lit(0)) / 1000.0).cast("double").alias("value"),
             F.lit(True).alias("drop_name"),
-        )
+        ),
+        dim=vf.dim,
     )
 
 
 def eval_scalar(ctx: EvalContext, vf: VectorFrame) -> ScalarFrame:
     """scalar(v): the single *float* element's value, else NaN
     (functions.go:1174 — histogram samples don't count)."""
-    per_step = vf.df.groupBy("t").agg(
+    per_step = vf.fact.groupBy("t").agg(
         F.count("value").alias("n"),  # non-null = float samples only
         F.first("value", ignorenulls=True).alias("v"),
     )
@@ -306,13 +310,27 @@ def eval_label_replace(
     )
     # writing __name__ re-establishes the name: clear the drop flag
     # (name_label_dropping.test:64; reference funcLabelReplace)
-    flag = F.lit(False) if dst == "__name__" else F.col("drop_name")
-    return VectorFrame(
-        vf.df.select(
-            sig_expr(labels).alias("sig"), labels.alias("labels"), "t", "sample_t",
-            "value", flag.alias("drop_name"),
-        )
+    return _relabel(vf, labels, clear_flag=dst == "__name__")
+
+
+def _relabel(vf: VectorFrame, labels: Column, clear_flag: bool) -> VectorFrame:
+    """Apply a labels→labels transform: computed once per SERIES on the
+    dim; the fact swaps sigs through a narrow (sig → __nsig) join."""
+    mapping = vf.dim.select(
+        "sig",
+        sig_expr(labels).alias("__nsig"),
+        labels.alias("__nlabels"),
     )
+    flag = F.lit(False) if clear_flag else F.col("drop_name")
+    hist_cols = ["hist"] if "hist" in vf.fact.columns else []
+    fact = vf.fact.join(mapping.select("sig", "__nsig"), "sig").select(
+        F.col("__nsig").alias("sig"), "t", "sample_t", "value",
+        flag.alias("drop_name"), *hist_cols,
+    )
+    dim = mapping.select(
+        F.col("__nsig").alias("sig"), F.col("__nlabels").alias("labels")
+    ).dropDuplicates(["sig"])
+    return VectorFrame(fact=fact, dim=dim)
 
 
 def eval_label_join(vf: VectorFrame, dst: str, sep: str, srcs: list[str]) -> VectorFrame:
@@ -326,13 +344,7 @@ def eval_label_join(vf: VectorFrame, dst: str, sep: str, srcs: list[str]) -> Vec
     )
     without_dst = F.map_filter("labels", lambda k, _: k != F.lit(dst))
     labels = F.when(newv == "", without_dst).otherwise(with_dst)
-    flag = F.lit(False) if dst == "__name__" else F.col("drop_name")
-    return VectorFrame(
-        vf.df.select(
-            sig_expr(labels).alias("sig"), labels.alias("labels"), "t", "sample_t",
-            "value", flag.alias("drop_name"),
-        )
-    )
+    return _relabel(vf, labels, clear_flag=dst == "__name__")
 
 
 _NO_LE_SQL = "map_filter(labels, (k, v) -> k != 'le')"
@@ -357,19 +369,25 @@ def _classic_native_conflicts(vf: VectorFrame):
     signature keeps ``__name__`` and excludes only ``le``."""
     from prometheus_spark.model.labels import sig_sql
 
-    if "hist" not in vf.df.columns:
+    if "hist" not in vf.fact.columns:
         return None
-    df = vf.df
+    # csig for a classic-bucket series = labels-minus-le signature,
+    # computed per SERIES on the dim; native series' csig is their own
+    # sig (full labels).  Facts contribute only (sig, t) pairs.
+    ldim = vf.dim.selectExpr(
+        "sig",
+        sig_sql(_NO_LE_SQL) + " AS __csig",
+        _parse_le_sql(_LE_SQL) + " AS __le",
+    )
     classic_keys = (
-        df.filter(
-            f"value IS NOT NULL AND {_parse_le_sql(_LE_SQL)} IS NOT NULL"
-        )
-        .selectExpr(sig_sql(_NO_LE_SQL) + " AS csig", "t")
+        vf.fact.filter("value IS NOT NULL")
+        .join(ldim.filter("__le IS NOT NULL").select("sig", "__csig"), "sig")
+        .selectExpr("__csig AS csig", "t")
         .distinct()
     )
     native_keys = (
-        df.filter("hist IS NOT NULL")
-        .selectExpr(sig_sql("labels") + " AS csig", "t")
+        vf.fact.filter("hist IS NOT NULL")
+        .selectExpr("sig AS csig", "t")
         .distinct()
     )
     return classic_keys.join(native_keys, ["csig", "t"], "inner")
@@ -382,9 +400,12 @@ def filter_conflicting_native(vf: VectorFrame) -> VectorFrame:
     conflicts = _classic_native_conflicts(vf)
     if conflicts is None:
         return vf
-    keyed = vf.df.selectExpr("*", sig_sql("labels") + " AS csig")
+    keyed = vf.fact.selectExpr("*", "sig AS csig")
     return VectorFrame(
-        keyed.join(F.broadcast(conflicts), ["csig", "t"], "left_anti").drop("csig")
+        fact=keyed.join(
+            F.broadcast(conflicts), ["csig", "t"], "left_anti"
+        ).drop("csig"),
+        dim=vf.dim,
     )
 
 
@@ -397,35 +418,46 @@ def _classic_buckets(vf: VectorFrame):
     Groups conflicting with a native histogram are removed."""
     from prometheus_spark.model.labels import sig_sql
 
+    # Split contract: the labels-minus-le signature and the parsed le
+    # are per-SERIES facts — computed once on the dim and joined onto
+    # the samples by sig.  ONE groupBy then collects the whole (le, c)
+    # array per (group, step); duplicate le representations ("0.2",
+    # "2e-1") merge inside the sorted array by a linear fold — the
+    # previous plan paid a second full shuffle just for that merge.
+    bdim = vf.dim.selectExpr(
+        "sig",
+        sig_sql(_NO_LE_SQL) + " AS __csig",
+        _NO_LE_SQL + " AS __clabels",
+        _parse_le_sql(_LE_SQL) + " AS __le",
+    ).filter("__le IS NOT NULL")
+    merge_dups = (
+        "aggregate(__raw, "
+        "CAST(array() AS ARRAY<STRUCT<le: DOUBLE, c: DOUBLE>>), "
+        "(acc, b) -> CASE WHEN size(acc) > 0 "
+        "AND element_at(acc, -1).le = b.le "
+        "THEN concat(slice(acc, 1, size(acc) - 1), "
+        "array(named_struct('le', b.le, "
+        "'c', element_at(acc, -1).c + b.c))) "
+        "ELSE concat(acc, array(b)) END)"
+    )
     grouped = (
-        vf.df.filter("value IS NOT NULL")  # histogram samples aside
+        vf.fact.filter("value IS NOT NULL")  # histogram samples aside
+        .join(bdim.select("sig", "__csig", "__le"), "sig")
         .selectExpr(
-            sig_sql(_NO_LE_SQL) + " AS csig",
-            _NO_LE_SQL + " AS labels",  # name kept under delayed removal
-            "t",
-            _parse_le_sql(_LE_SQL) + " AS __le",
-            "value",
-        )
-        .filter("__le IS NOT NULL")
-        # duplicate le representations ("0.2", "2e-1") merge by summing
-        .groupBy("csig", "t", "__le")
-        .agg(
-            F.expr("first(labels)").alias("labels"),
-            F.expr("sum(value)").alias("c"),
-        )
-        .selectExpr(
-            "csig", "labels", "t", "named_struct('le', __le, 'c', c) AS b"
+            "__csig AS csig", "t",
+            "named_struct('le', __le, 'c', value) AS b",
         )
         .groupBy("csig", "t")
-        .agg(
-            F.expr("first(labels)").alias("labels"),
-            F.expr("sort_array(collect_list(b))").alias("bs"),
-        )
+        .agg(F.expr("sort_array(collect_list(b))").alias("__raw"))
+        .selectExpr("csig", "t", merge_dups + " AS bs")
     )
     conflicts = _classic_native_conflicts(vf)
     if conflicts is not None:
         grouped = grouped.join(F.broadcast(conflicts), ["csig", "t"], "left_anti")
-    return grouped.selectExpr(sig_sql("labels") + " AS sig", "labels", "t", "bs")
+    dim = bdim.select(
+        F.col("__csig").alias("sig"), F.col("__clabels").alias("labels")
+    ).dropDuplicates(["sig"])
+    return grouped.selectExpr("csig AS sig", "t", "bs"), dim
 
 
 def eval_histogram_fraction_classic(
@@ -437,7 +469,7 @@ def eval_histogram_fraction_classic(
     fold carrying (rank, lowerRank, upperRank, set-flags)."""
     from prometheus_spark.engine.aggregations import float_sql
 
-    buckets = _classic_buckets(vf)
+    buckets, bdim = _classic_buckets(vf)
     nan = "CAST('NaN' AS DOUBLE)"
     minf = "CAST('-Infinity' AS DOUBLE)"
     pinf = "CAST('Infinity' AS DOUBLE)"
@@ -490,7 +522,7 @@ def eval_histogram_fraction_classic(
         )
         # stage the fold once so lrank/urank don't duplicate the aggregate
         staged = buckets.selectExpr(
-            "sig", "labels", "t", "bs",
+            "sig", "t", "bs",
             f"aggregate(bs, {init}, {step}) AS __acc",
         )
         lrank = (
@@ -508,10 +540,10 @@ def eval_histogram_fraction_classic(
         f"ELSE {inner} END"
     )
     out = staged.selectExpr(
-        "sig", "labels", "t", "t AS sample_t",
+        "sig", "t", "t AS sample_t",
         f"CAST({value} AS DOUBLE) AS value", "true AS drop_name",
     )
-    return VectorFrame(out)
+    return VectorFrame(fact=out, dim=bdim)
 
 
 def eval_histogram_quantile_classic(ctx: EvalContext, phi, vf: VectorFrame) -> VectorFrame:
@@ -526,7 +558,7 @@ def eval_histogram_quantile_classic(ctx: EvalContext, phi, vf: VectorFrame) -> V
         raise PromQLEvalError("histogram_quantile: scalar parameter required")
     q = float(phi.value)
 
-    buckets = _classic_buckets(vf)
+    buckets, bdim = _classic_buckets(vf)
 
     # merge duplicate le's (sum), enforce monotonicity (running max), then
     # interpolate — all array expressions composed as SQL strings.
@@ -560,9 +592,9 @@ def eval_histogram_quantile_classic(ctx: EvalContext, phi, vf: VectorFrame) -> V
             f"transform(__mono, b -> b.c >= {rank}), true), 0) AS INT)"
         )
         staged = buckets.selectExpr(
-            "sig", "labels", "t", "bs", f"{mono} AS __mono"
+            "sig", "t", "bs", f"{mono} AS __mono"
         ).selectExpr(
-            "sig", "labels", "t", "bs", "__mono",
+            "sig", "t", "bs", "__mono",
             f"greatest({idx0}, 1) AS __idx",
             f"{idx0} AS __idx0",
         )
@@ -591,7 +623,7 @@ def eval_histogram_quantile_classic(ctx: EvalContext, phi, vf: VectorFrame) -> V
         f"CASE WHEN {has_inf} AND size(bs) >= 2 THEN {core} ELSE {nan} END"
     )
     out = staged.selectExpr(
-        "sig", "labels", "t", "t AS sample_t",
+        "sig", "t", "t AS sample_t",
         f"CAST({value} AS DOUBLE) AS value", "true AS drop_name",
     )
-    return VectorFrame(out)
+    return VectorFrame(fact=out, dim=bdim)

@@ -34,18 +34,17 @@ HIST_ACCESSORS = frozenset(
 
 
 def _hist_rows(vf: VectorFrame) -> DataFrame:
-    if "hist" not in vf.df.columns:
-        return vf.df.filter(F.lit(False)).withColumn(
+    if "hist" not in vf.fact.columns:
+        return vf.fact.filter(F.lit(False)).withColumn(
             "hist", F.lit(None).cast("string")
         )  # schema-compatible empty; callers only use when hist exists
-    return vf.df.filter(F.col("hist").isNotNull())
+    return vf.fact.filter(F.col("hist").isNotNull())
 
 
 def _project(df: DataFrame, value) -> DataFrame:
-    # delayed name removal: labels stay, row is flagged
+    # delayed name removal: labels stay (on the dim), row is flagged
     return df.select(
         "sig",
-        "labels",
         "t",
         F.col("t").alias("sample_t"),
         value.cast("double").alias("value"),
@@ -55,18 +54,19 @@ def _project(df: DataFrame, value) -> DataFrame:
 
 def eval_hist_accessor(ctx: EvalContext, fn: str, vf: VectorFrame) -> VectorFrame:
     """histogram_count/sum/avg: struct reads; stddev/stdvar: bucket walk."""
-    if "hist" not in vf.df.columns:
+    if "hist" not in vf.fact.columns:
         return VectorFrame(
-            vf.df.filter(F.lit(False)).select(
-                "sig", "labels", "t", "sample_t", "value", "drop_name"
-            )
+            fact=vf.fact.filter(F.lit(False)).select(
+                "sig", "t", "sample_t", "value", "drop_name"
+            ),
+            dim=vf.dim,
         )
     df = _hist_rows(vf)
     h = F.col("hist")
     if fn == "histogram_count":
-        return VectorFrame(_project(df, h["count"]))
+        return VectorFrame(fact=_project(df, h["count"]), dim=vf.dim)
     if fn == "histogram_sum":
-        return VectorFrame(_project(df, h["sum"]))
+        return VectorFrame(fact=_project(df, h["sum"]), dim=vf.dim)
     if fn == "histogram_avg":
         # ANSI mode errors on /0 — empty histograms must yield IEEE NaN/Inf
         avg = F.when(
@@ -77,15 +77,14 @@ def eval_hist_accessor(ctx: EvalContext, fn: str, vf: VectorFrame) -> VectorFram
                 F.when(h["sum"] > 0, F.lit(float("inf"))).otherwise(F.lit(float("-inf")))
             ),
         ).otherwise(h["sum"] / h["count"])
-        return VectorFrame(_project(df, avg))
+        return VectorFrame(fact=_project(df, avg), dim=vf.dim)
     # stddev / stdvar — bucket geometry walk
-    return VectorFrame(_hist_python_fn(ctx, df, fn))
+    return VectorFrame(fact=_hist_python_fn(ctx, df, fn), dim=vf.dim)
 
 
 _UDF_SCHEMA = T.StructType(
     [
-        T.StructField("label_keys", T.ArrayType(T.StringType())),
-        T.StructField("label_values", T.ArrayType(T.StringType())),
+        T.StructField("sig", T.StringType()),
         T.StructField("t", T.LongType()),
         T.StructField("value", T.DoubleType()),
     ]
@@ -96,7 +95,10 @@ def _hist_python_fn(ctx: EvalContext, df: DataFrame, fn: str, args: tuple = ()) 
     from prometheus_spark.shipping import ensure_shipped
 
     ensure_shipped(ctx.spark)
-    src = df.select("labels", "t", "hist")
+    # split contract: the walk never changes the labelset, so only the
+    # sig key rides the Arrow batch (the old shape shipped label arrays
+    # through Python and re-hashed the sig per row on the way out)
+    src = df.select("sig", "t", "hist")
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -104,13 +106,12 @@ def _hist_python_fn(ctx: EvalContext, df: DataFrame, fn: str, args: tuple = ()) 
         from prometheus_spark.model.histogram import from_row
 
         for pdf in it:
-            ks, vs, ts, vals = [], [], [], []
+            sigs, ts, vals = [], [], []
             for row in pdf.itertuples(index=False):
                 hd = row.hist
                 if hd is None:
                     continue
                 fh = from_row(hd)
-                labels = dict(row.labels)
                 if fn == "histogram_stddev":
                     v = math.sqrt(fh.stdvar())
                 elif fn == "histogram_stdvar":
@@ -121,26 +122,22 @@ def _hist_python_fn(ctx: EvalContext, df: DataFrame, fn: str, args: tuple = ()) 
                     v = fh.fraction(args[0], args[1])
                 else:
                     raise ValueError(fn)
-                ks.append(list(labels.keys()))
-                vs.append(list(labels.values()))
+                sigs.append(row.sig)
                 ts.append(row.t)
                 vals.append(v)
             yield pd.DataFrame(
                 {
-                    "label_keys": pd.Series(ks, dtype=object),
-                    "label_values": pd.Series(vs, dtype=object),
+                    "sig": pd.Series(sigs, dtype=object),
                     "t": pd.Series(ts, dtype="int64"),
                     "value": pd.Series(vals, dtype="float64"),
                 }
             )
 
     parsed = src.mapInPandas(batches, _UDF_SCHEMA)
-    labels = F.map_from_arrays("label_keys", "label_values")
     # pandas→Arrow folds NaN into null; this UDF never emits legit nulls,
     # so coalesce restores IEEE NaN
     return parsed.select(
-        sig_expr(labels).alias("sig"),
-        labels.alias("labels"),
+        "sig",
         "t",
         F.col("t").alias("sample_t"),
         F.coalesce(F.col("value"), F.lit(float("nan"))).alias("value"),
