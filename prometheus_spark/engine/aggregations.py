@@ -55,7 +55,7 @@ def _regroup(vf: VectorFrame, node: AggregateExpr, extra: list = ()) -> DataFram
     )
 
 
-def _regroup_split(vf: VectorFrame, node: AggregateExpr, extra: list = ()):
+def _regroup_split(vf: VectorFrame, node: AggregateExpr, extra: list = (), ctx: EvalContext = None):
     """Split-contract regroup: the group labelset and its sig are
     computed once per SERIES on the dim (not once per sample row), the
     fact picks up its group sig through a narrow (sig → gsig) join, and
@@ -64,6 +64,26 @@ def _regroup_split(vf: VectorFrame, node: AggregateExpr, extra: list = ()):
 
     by = node.grouping if (node.has_grouping and not node.without) else None
     without = node.grouping if (node.has_grouping and node.without) else None
+    fact_in = vf.fact
+    hist_cols = ["hist"] if "hist" in fact_in.columns else []
+    if by is not None and not by:
+        by = None  # `by ()` ≡ no grouping
+    if by is None and without is None:
+        # ungrouped: ONE group with the empty labelset — the group sig
+        # is a plan-time constant, so no mapping join and a literal
+        # single-row dim (the common sum(...)/topk(k, ...) shape pays
+        # zero dim stages)
+        empty = "CAST(map() AS MAP<STRING, STRING>)"
+        gsig_const = sig_sql(empty)
+        dim = vf.dim.sparkSession.range(1).selectExpr(
+            gsig_const + " AS sig", empty + " AS labels"
+        )
+        fact = fact_in.selectExpr(
+            gsig_const + " AS sig", "t", "value", "drop_name",
+            *hist_cols, *extra,
+        )
+        return fact, dim
+
     glabels = group_labels_sql("labels", by, without)
     gd = vf.dim.selectExpr(
         "sig", sig_sql(glabels) + " AS __gsig", glabels + " AS __glabels"
@@ -72,10 +92,11 @@ def _regroup_split(vf: VectorFrame, node: AggregateExpr, extra: list = ()):
         gd.select(F.col("__gsig").alias("sig"), F.col("__glabels").alias("labels"))
         .dropDuplicates(["sig"])
     )
-    fact_in = vf.fact
-    hist_cols = ["hist"] if "hist" in fact_in.columns else []
+    mapping = gd.select("sig", "__gsig")
+    if ctx is not None:
+        mapping = ctx.dim_hint(mapping)
     fact = (
-        fact_in.join(gd.select("sig", "__gsig"), "sig")
+        fact_in.join(mapping, "sig")
         .select(
             F.col("__gsig").alias("sig"),
             "t",
@@ -130,7 +151,7 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
     if op == "count_values":
         return _eval_count_values(ctx, node, vf, param)
 
-    fact, gdim = _regroup_split(vf, node)
+    fact, gdim = _regroup_split(vf, node, ctx=ctx)
     v = F.col("value")
     hist_part = None
     mixed = False
@@ -153,6 +174,7 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
             ),
             node,
             extra=["__ord"],
+            ctx=ctx,
         )
         # When the input lineage contains a Python stage (rate over
         # native histograms etc.), forking the plan above it would run
@@ -172,7 +194,7 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
         # shape) — attach them from the per-GROUP dim with a narrow join
         # on the hist branch only; the float branch stays label-free
         def _with_labels(rows):
-            return rows.join(gdim, "sig").select(
+            return rows.join(ctx.dim_hint(gdim), "sig").select(
                 "sig", "labels", "t", "hist", "__ord"
             )
 
@@ -447,7 +469,7 @@ def float_sql(x: float) -> str:
 def _eval_quantile(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, param) -> VectorFrame:
     group_flag = _group_flag(node)
     # float-only: histogram rows (value NULL) are warned-and-dropped
-    fact, gdim = _regroup_split(vf, node)
+    fact, gdim = _regroup_split(vf, node, ctx=ctx)
     df = fact.filter(F.col("value").isNotNull())
     arr = F.expr(sorted_values_sql("value")).alias("__arr")
     flag = F.expr("bool_or(drop_name)" if group_flag else "false").alias(
@@ -500,7 +522,7 @@ def _eval_count_values(
     lbl = param.value
     if not _valid_label_name(lbl):
         raise PromQLEvalError(f"count_values: invalid label name {lbl!r}")
-    fact, gdim = _regroup_split(vf, node)
+    fact, gdim = _regroup_split(vf, node, ctx=ctx)
     # Go renders sample values with minimal float formatting (%g-like via
     # strconv); format_number-style trailing ".0" must be stripped.
     # Histogram samples render via FloatHistogram.String()
@@ -513,33 +535,32 @@ def _eval_count_values(
         vstr = F.when(F.col("value").isNotNull(), vstr).otherwise(
             _hist_string_udf()(F.col("hist"))
         )
-    fact = fact.withColumn("__vs", vstr)
+    # one narrow group-dim join attaches the (small) group labels, the
+    # new labelset and its sig compute per row (they vary per rendered
+    # value — genuinely per-row label state), and the count groupBy
+    # partial-aggregates one labels map per output group per partition
+    fact = fact.withColumn("__vs", vstr).join(ctx.dim_hint(gdim), "sig")
     new_labels = F.map_concat(
         F.map_filter("labels", lambda k, _: k != F.lit(lbl)),
         F.create_map(F.lit(lbl), F.col("__vs")),
     )
-    pairs = (
-        fact.select("sig", "__vs")
-        .distinct()
-        .join(gdim, "sig")
-        .select(
-            "sig",
-            "__vs",
-            sig_expr(new_labels).alias("__nsig"),
-            new_labels.alias("__nlabels"),
-        )
+    regrouped = fact.select(
+        sig_expr(new_labels).alias("__nsig"),
+        new_labels.alias("__nlabels"),
+        "t",
+        "drop_name",
     )
     flag = (
         F.bool_or("drop_name").alias("drop_name")
         if _group_flag(node)
         else F.lit(False).alias("drop_name")
     )
-    out = (
-        fact.join(pairs.select("sig", "__vs", "__nsig"), ["sig", "__vs"])
-        .groupBy("__nsig", "t")
-        .agg(F.count("*").cast("double").alias("value"), flag)
+    out = regrouped.groupBy("__nsig", "t").agg(
+        F.first("__nlabels").alias("__nlabels"),
+        F.count("*").cast("double").alias("value"),
+        flag,
     )
-    dim = pairs.select(
+    dim = out.select(
         F.col("__nsig").alias("sig"), F.col("__nlabels").alias("labels")
     ).dropDuplicates(["sig"])
     return VectorFrame(
@@ -603,12 +624,21 @@ def _eval_k_selector(
     op = node.op
     by = node.grouping if (node.has_grouping and not node.without) else None
     without = node.grouping if (node.has_grouping and node.without) else None
-    glabels = group_labels_expr("labels", by, without)
     # split contract: k-selectors return whole input rows (labels
     # untouched) — group sigs come from the dim, the heap window runs on
-    # narrow fact rows, and the dim passes through
-    gmap = vf.dim.select("sig", sig_expr(glabels).alias("gsig"))
-    df = vf.fact.join(gmap, "sig")
+    # narrow fact rows, and the dim passes through.  Ungrouped calls
+    # (the common topk(k, x)) use the constant empty-group sig: no join.
+    if (by is None or not by) and without is None:
+        from prometheus_spark.model.labels import sig_sql
+
+        df = vf.fact.withColumn(
+            "gsig",
+            F.expr(sig_sql("CAST(map() AS MAP<STRING, STRING>)")),
+        )
+    else:
+        glabels = group_labels_expr("labels", by, without)
+        gmap = vf.dim.select("sig", sig_expr(glabels).alias("gsig"))
+        df = vf.fact.join(ctx.dim_hint(gmap), "sig")
     out_cols = ["sig", "t", "sample_t", "value", "drop_name"] + (
         ["hist"] if "hist" in df.columns and op in ("limitk", "limit_ratio") else []
     )

@@ -360,8 +360,8 @@ def set_op(ctx: EvalContext, op: str, lhs: VectorFrame, rhs: VectorFrame, vm: Ve
     msig = _msig_sql(vm)
     lmap = lhs.dim.selectExpr("sig", msig + " AS msig")
     rmap = rhs.dim.selectExpr("sig", msig + " AS msig")
-    l = lf.join(lmap, "sig")
-    r = rf.join(rmap, "sig")
+    l = lf.join(ctx.dim_hint(lmap), "sig")
+    r = rf.join(ctx.dim_hint(rmap), "sig")
     rkeys = r.select("msig", "t").distinct()
     if op == "and":
         out = l.join(rkeys, ["msig", "t"], "left_semi")
@@ -421,15 +421,29 @@ def _vector_vector_split(
     )
 
     msig = _msig_sql(vm)
-    rlabels = _result_labels_sql(vm)
-    mdim = many_d.selectExpr(
-        "sig",
-        msig + " AS msig",
-        sig_sql(rlabels) + " AS __rsig",
-        rlabels + " AS __rlabels",
+    # Plain one-to-one matching (no on/ignoring) leaves the result
+    # labelset EQUAL to the many side's labels (__name__ removal is the
+    # drop_name flag, applied at finalize) — so the result sig IS the
+    # input sig: reuse the input dim verbatim, skip the re-sign and the
+    # output dedup (the overwhelmingly common `a / b` shape pays one
+    # narrow mapping join and nothing else).
+    identity_result = (
+        card == MatchCardinality.ONE_TO_ONE and vm.on is False and not vm.labels
     )
-    many = many_f.join(mdim.select("sig", "msig", "__rsig"), "sig")
-    one = one_f.join(one_d.selectExpr("sig", msig + " AS msig"), "sig").selectExpr(
+    if identity_result:
+        mdim = many_d.selectExpr("sig", msig + " AS msig", "sig AS __rsig")
+    else:
+        rlabels = _result_labels_sql(vm)
+        mdim = many_d.selectExpr(
+            "sig",
+            msig + " AS msig",
+            sig_sql(rlabels) + " AS __rsig",
+            rlabels + " AS __rlabels",
+        )
+    many = many_f.join(ctx.dim_hint(mdim.select("sig", "msig", "__rsig")), "sig")
+    one = one_f.join(
+        ctx.dim_hint(one_d.selectExpr("sig", msig + " AS msig")), "sig"
+    ).selectExpr(
         "msig",
         "t",
         "value AS __ov",
@@ -511,9 +525,12 @@ def _vector_vector_split(
         flag + " AS drop_name",
         *hist_out,
     )
-    dim = mdim.select(
-        F.col("__rsig").alias("sig"), F.col("__rlabels").alias("labels")
-    ).dropDuplicates(["sig"])
+    if identity_result:
+        dim = many_d
+    else:
+        dim = mdim.select(
+            F.col("__rsig").alias("sig"), F.col("__rlabels").alias("labels")
+        ).dropDuplicates(["sig"])
     return VectorFrame(fact=fact, dim=dim)
 
 

@@ -36,6 +36,25 @@ class EvalContext:
     # setOffsetForAtModifier adjusts offsets so @-times stay absolute).
     at_start_ms: int | None = None
     at_end_ms: int | None = None
+    # Engine-lifetime series dimension (sig, labels[, name]) — one row
+    # per series, persisted by the engine.  Selectors FILTER it instead
+    # of re-aggregating per-sig labels out of the sample scan on every
+    # query (that per-query derivation measurably regressed the macro
+    # bench).  None ⇒ derive from the matched rows (contexts built
+    # without an engine).
+    series_dim: "DataFrame | None" = None
+    # True when the engine measured the series dim as comfortably
+    # broadcast-sized: operators then hint F.broadcast on dim-side
+    # mapping joins, planning static BHJs instead of paying AQE's
+    # shuffle-then-convert stage per tiny join.  False for huge series
+    # sets (a forced broadcast of a 10M-series dim would pin the
+    # driver) — those keep runtime-decided joins.
+    dims_broadcastable: bool = False
+
+    def dim_hint(self, df: "DataFrame") -> "DataFrame":
+        from pyspark.sql import functions as F
+
+        return F.broadcast(df) if self.dims_broadcastable else df
 
     @property
     def num_steps(self) -> int:

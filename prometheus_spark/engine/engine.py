@@ -85,6 +85,8 @@ class PromQLEngine:
         )
         self._plan_cache_cost_ms = 0.0
         self._plan_cache_lock = threading.Lock()
+        self._series_dim: Optional[DataFrame] = None
+        self._dims_broadcastable = False
 
     def release_plans(self) -> None:
         """Drop every cached plan handle.
@@ -100,6 +102,46 @@ class PromQLEngine:
             self._plan_cache_cost_ms = 0.0
 
     @property
+    def series_dim(self) -> DataFrame:
+        """(sig, labels, name) — one row per series, persisted for the
+        engine's lifetime.  The split frame contract reads per-series
+        labels from here; computing it once amortizes the dedup over
+        every query instead of paying a per-sig aggregation of the
+        sample scan per selector.  (At fleet scale the storage layer's
+        series index plays this role; for ad-hoc frames one dedup pass
+        per engine is the honest equivalent.)"""
+        if self._series_dim is None:
+            from pyspark import StorageLevel
+
+            cols = ["sig", "labels"] + (
+                ["name"] if "name" in self._samples.columns else []
+            )
+            self._series_dim = (
+                self._samples.select(*cols)
+                .dropDuplicates(["sig"])
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            # one count materializes the cache AND sizes it: small series
+            # sets unlock static broadcast hints on dim joins (see
+            # EvalContext.dim_hint); huge ones must not pin the driver
+            import os
+
+            n = self._series_dim.count()
+            self._dims_broadcastable = n <= int(
+                os.environ.get("PROMSPARK_DIM_BC_MAX", "2000000")
+            )
+        return self._series_dim
+
+    def release_series_dim(self) -> None:
+        """Unpersist the cached series dimension (engine teardown)."""
+        if self._series_dim is not None:
+            try:
+                self._series_dim.unpersist(blocking=False)
+            except Exception:
+                pass
+            self._series_dim = None
+
+    @property
     def samples(self) -> DataFrame:
         return self._samples
 
@@ -110,6 +152,7 @@ class PromQLEngine:
         # over the old DataFrame.
         self._samples = df
         self.release_plans()
+        self.release_series_dim()
 
     def _ctx(self, start_ms: int, end_ms: int, step_ms: int) -> EvalContext:
         return EvalContext(
@@ -121,6 +164,8 @@ class PromQLEngine:
             lookback_ms=self.lookback_ms,
             strict=self.strict,
             kahan=self.kahan,
+            series_dim=self.series_dim,
+            dims_broadcastable=self._dims_broadcastable,
         )
 
     def instant_query(self, query: str, time_ms: int) -> DataFrame:
@@ -241,6 +286,8 @@ class PromQLEngine:
             ).selectExpr(
                 "sig", "labels", "__l_nd", sig_sql("__l_nd") + " AS __s_nd"
             )
+            if self._dims_broadcastable:
+                dim2 = F.broadcast(dim2)
             out = fact.join(dim2, "sig").selectExpr(
                 "CASE WHEN drop_name THEN __s_nd ELSE sig END AS sig",
                 "CASE WHEN drop_name THEN __l_nd ELSE labels END AS labels",
@@ -249,6 +296,8 @@ class PromQLEngine:
                 *hist_cols,
             )
         else:
+            if self._dims_broadcastable:
+                dim = F.broadcast(dim)
             out = fact.join(dim, "sig").select(
                 "sig", "labels", "t", "value", *hist_cols
             )

@@ -409,7 +409,7 @@ def filter_conflicting_native(vf: VectorFrame) -> VectorFrame:
     )
 
 
-def _classic_buckets(vf: VectorFrame):
+def _classic_buckets(vf: VectorFrame, ctx: EvalContext = None):
     """Group ``le``-labeled bucket series by labels-minus-le (``__name__``
     kept — reference signature, engine.go:1343) per step and collect
     sorted, coalesced (le, cumulative-count) arrays (quantile.go:620
@@ -442,7 +442,7 @@ def _classic_buckets(vf: VectorFrame):
     )
     grouped = (
         vf.fact.filter("value IS NOT NULL")  # histogram samples aside
-        .join(bdim.select("sig", "__csig", "__le"), "sig")
+        .join(bdim.select("sig", "__csig", "__le") if ctx is None else ctx.dim_hint(bdim.select("sig", "__csig", "__le")), "sig")
         .selectExpr(
             "__csig AS csig", "t",
             "named_struct('le', __le, 'c', value) AS b",
@@ -469,7 +469,7 @@ def eval_histogram_fraction_classic(
     fold carrying (rank, lowerRank, upperRank, set-flags)."""
     from prometheus_spark.engine.aggregations import float_sql
 
-    buckets, bdim = _classic_buckets(vf)
+    buckets, bdim = _classic_buckets(vf, ctx)
     nan = "CAST('NaN' AS DOUBLE)"
     minf = "CAST('-Infinity' AS DOUBLE)"
     pinf = "CAST('Infinity' AS DOUBLE)"
@@ -558,7 +558,7 @@ def eval_histogram_quantile_classic(ctx: EvalContext, phi, vf: VectorFrame) -> V
         raise PromQLEvalError("histogram_quantile: scalar parameter required")
     q = float(phi.value)
 
-    buckets, bdim = _classic_buckets(vf)
+    buckets, bdim = _classic_buckets(vf, ctx)
 
     # merge duplicate le's (sum), enforce monotonicity (running max), then
     # interpolate — all array expressions composed as SQL strings.

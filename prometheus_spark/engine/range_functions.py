@@ -803,11 +803,9 @@ def eval_range_function_prefix(
     st = F.col("st") if "st" in base.columns else F.lit(None).cast("long")
     cols = [F.col("sig"), F.col("t"), F.col("value"), st.alias("st")]
     # one labels dim for the whole call (float fast path + hist halves)
-    dim = (
-        base.select("sig", "labels")
-        .groupBy("sig")
-        .agg(F.first("labels").alias("labels"))
-    )
+    from prometheus_spark.engine.selectors import selector_dim
+
+    dim = selector_dim(ctx, selector.matchers, base)
 
     hist_out = None
     if has_hist:
@@ -1119,11 +1117,9 @@ def eval_des_asof(
 
     # split frame contract: labels live on the dim, so the Arrow
     # batches carry only (sig, t, value) — no per-batch label arrays
-    dim = (
-        base.select("sig", "labels")
-        .groupBy("sig")
-        .agg(F.first("labels").alias("labels"))
-    )
+    from prometheus_spark.engine.selectors import selector_dim
+
+    dim = selector_dim(ctx, selector.matchers, base)
     res = base.select("sig", "t", "value").groupBy("sig").applyInPandas(
         des_series,
         schema="sig string, t long, value double",
@@ -1171,6 +1167,7 @@ def eval_rate_hybrid(
     from prometheus_spark.engine import hist_arith
     from prometheus_spark.engine.selectors import (
         matcher_predicate,
+        selector_dim,
         windowed_samples,
     )
 
@@ -1193,11 +1190,7 @@ def eval_rate_hybrid(
     rest = flagged.filter(
         (F.col("__has_h") == 0) | (F.col("__has_f") == 1)
     ).drop("__has_h", "__has_f")
-    dim = (
-        base.select("sig", "labels")
-        .groupBy("sig")
-        .agg(F.first("labels").alias("labels"))
-    )
+    dim = selector_dim(ctx, selector.matchers, base)
     w, _wdim = windowed_samples(ctx, rest, range_ms, offset_ms=offset_ms)
     out = eval_range_function(ctx, func, w, range_ms, dim=_wdim).fact
     h = hist_arith.window_rate_asof(

@@ -148,6 +148,26 @@ def _explode_steps(df: DataFrame, ctx: EvalContext, lo_ms: Column, hi_ms: Column
     )
 
 
+def selector_dim(ctx: EvalContext, matchers, in_window: DataFrame) -> DataFrame:
+    """(sig, labels) for a selector's matched series.
+
+    Preferred source: the engine's persisted series dimension, FILTERED
+    by the matchers — no per-query aggregation.  Sigs outside the query
+    window may remain; every consumer joins dims to facts by sig, so
+    extras prune for free.  Fallback (contexts without an engine):
+    derive from the matched in-window rows."""
+    sd = ctx.series_dim
+    if sd is not None:
+        return sd.filter(matcher_predicate(matchers, sd.columns)).select(
+            "sig", "labels"
+        )
+    return (
+        in_window.select("sig", "labels")
+        .groupBy("sig")
+        .agg(F.first("labels").alias("labels"))
+    )
+
+
 def eval_vector_selector(ctx: EvalContext, node: VectorSelector) -> VectorFrame:
     from prometheus_spark.parser.ast import resolve_duration_ms
 
@@ -182,11 +202,7 @@ def eval_vector_selector(ctx: EvalContext, node: VectorSelector) -> VectorFrame:
         in_window = base.filter(
             (F.col("t") > ref - ctx.lookback_ms) & (F.col("t") <= ref)
         )
-        dim = (
-            in_window.select("sig", "labels")
-            .groupBy("sig")
-            .agg(F.first("labels").alias("labels"))
-        )
+        dim = selector_dim(ctx, node.matchers, in_window)
         picked = (
             in_window.groupBy("sig")
             .agg(
@@ -213,11 +229,7 @@ def eval_vector_selector(ctx: EvalContext, node: VectorSelector) -> VectorFrame:
     # branch reduces the same matched rows to one labels row per series.
     lo, hi = ctx.start_ms - offset - ctx.lookback_ms, ctx.end_ms - offset
     in_window = base.filter(f"t > {lo} AND t <= {hi}")
-    dim = (
-        in_window.select("sig", "labels")
-        .groupBy("sig")
-        .agg(F.first("labels").alias("labels"))
-    )
+    dim = selector_dim(ctx, node.matchers, in_window)
     valid_to = (
         f"least(t + {ctx.lookback_ms}, "
         f"coalesce(lead(t) OVER (PARTITION BY sig ORDER BY t), {2**62}L))"
@@ -371,9 +383,11 @@ def windowed_samples(
     DataFrame (subquery results) with columns (sig[, labels], t, value);
     pass ``dim`` for label-free prepared frames (derived here otherwise).
     """
+    matchers = None
     if isinstance(node_or_df, VectorSelector):
+        matchers = node_or_df.matchers
         base = ctx.samples.filter(
-            matcher_predicate(node_or_df.matchers, ctx.samples.columns)
+            matcher_predicate(matchers, ctx.samples.columns)
         ).filter(~F.col("stale"))
     else:
         base = node_or_df
@@ -390,11 +404,14 @@ def windowed_samples(
         lo, hi = ctx.start_ms - offset_ms - range_ms, ctx.end_ms - offset_ms
         in_range = base.filter(f"t > {lo} AND t <= {hi}")
     if dim is None:
-        dim = (
-            in_range.select("sig", "labels")
-            .groupBy("sig")
-            .agg(F.first("labels").alias("labels"))
-        )
+        if matchers is not None:
+            dim = selector_dim(ctx, matchers, in_range)
+        else:
+            dim = (
+                in_range.select("sig", "labels")
+                .groupBy("sig")
+                .agg(F.first("labels").alias("labels"))
+            )
     in_range = in_range.selectExpr("sig", "t", "value", dn, st, *hist_cols)
 
     # ``wend`` = the window's (offset-adjusted) right edge — rate
@@ -532,11 +549,9 @@ def extended_windowed_samples(
 
     if at is not None:
         rstart, rend = ref - range_ms, ref
-        dim = (
-            base.filter(f"t > {rstart - lb} AND t <= {rend + lb}")
-            .select("sig", "labels")
-            .groupBy("sig")
-            .agg(F.first("labels").alias("labels"))
+        dim = selector_dim(
+            ctx, node.matchers,
+            base.filter(f"t > {rstart - lb} AND t <= {rend + lb}"),
         )
         grid = ctx.grid.selectExpr("t AS step_t")
         pinned = with_adj.crossJoin(F.broadcast(grid))
@@ -553,11 +568,8 @@ def extended_windowed_samples(
     else:
         lo = ctx.start_ms - offset_ms - range_ms - lb
         hi = ctx.end_ms - offset_ms + (lb if smoothed else 0)
-        dim = (
-            base.filter(f"t > {lo} AND t <= {hi}")
-            .select("sig", "labels")
-            .groupBy("sig")
-            .agg(F.first("labels").alias("labels"))
+        dim = selector_dim(
+            ctx, node.matchers, base.filter(f"t > {lo} AND t <= {hi}")
         )
         scoped = with_adj.filter(f"t > {lo} AND t <= {hi}")
 

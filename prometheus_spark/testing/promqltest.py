@@ -707,6 +707,7 @@ def run_test_text(
                 frame = engines.pop(id(engine), None)
                 if frame is not None:
                     frame.unpersist(blocking=False)
+                engine.release_series_dim()
 
     # Batch consecutive eligible evals sharing an engine into unioned
     # single-job units; everything else stays a singleton.  Units then
