@@ -1494,11 +1494,22 @@ def _rate_fold_uniform(
     parsed, t_np, starts, lens, labels_arr, rows, scalar_series,
     step_arr, wend_arr, rng, range_s, is_counter, is_rate,
 ):
-    """Vectorized reset-free windows for uniform-layout chunks.
+    """Vectorized windows for uniform-layout chunks — reset-aware.
 
-    Returns columnar output arrays; series that need the exact scalar
-    replay (any counter reset) are appended to ``scalar_series`` and
-    produce their rows via ``rows`` instead."""
+    Reset-free windows are pure matrix ops.  Counter resets no longer
+    demote the whole series to the scalar replay (round-11; a
+    restart-heavy fleet degraded to the slow path exactly when busiest):
+    the pair-reset vector splits each series at its reset seams — the
+    window base becomes the empty histogram when the window's FIRST
+    pair resets (hist_rate replaces prev), and each in-window reset pair
+    adds back the pre-reset row, applied in ascending order with the
+    same IEEE op sequence as the scalar ``hist_rate`` loop (bit parity).
+    Only the per-reset adds loop in Python — windows without resets in
+    a reset-bearing series stay fully vectorized.
+
+    Returns columnar output arrays; ``scalar_series`` receives nothing
+    here anymore (STs / layout drift / nulls are routed before this
+    tier)."""
     import numpy as np
 
     from prometheus_spark.model.histogram import (
@@ -1568,9 +1579,7 @@ def _rate_fold_uniform(
     out_series = []  # gi per output row (labels lookup)
     for gi in range(len(starts)):
         s0, ln = int(starts[gi]), int(lens[gi])
-        if is_counter and reset[s0 + 1 : s0 + ln].any():
-            scalar_series.append(gi)
-            continue
+        has_reset = bool(is_counter and reset[s0 + 1 : s0 + ln].any())
         ts = t_np[s0 : s0 + ln]
         right = np.searchsorted(ts, wend_arr, side="right")
         left = np.searchsorted(ts, wend_arr - rng, side="right")
@@ -1582,7 +1591,23 @@ def _rate_fold_uniform(
         bidx = s0 + right[valid] - 1
         nw = npts[valid].astype(np.float64)
         R = M[bidx].copy()
-        R[:, sub_mask] -= M[a][:, sub_mask]
+        if has_reset:
+            # absolute positions j of reset pairs (j-1, j) in this series
+            r_idx = s0 + 1 + np.flatnonzero(reset[s0 + 1 : s0 + ln])
+            # window's first pair resets ⇒ hist_rate replaces prev with
+            # an EMPTY histogram: no base subtraction for those windows
+            base = M[a].copy()
+            base[reset[a + 1]] = 0.0
+            R[:, sub_mask] -= base[:, sub_mask]
+            # in-window resets at pairs j ∈ [a+2, b] add back the
+            # pre-reset row, ascending — the scalar loop's exact order
+            lo = np.searchsorted(r_idx, a + 2)
+            hi = np.searchsorted(r_idx, bidx, side="right")
+            for w in np.flatnonzero(hi > lo):
+                for j in r_idx[lo[w] : hi[w]]:
+                    R[w] += M[int(j) - 1]
+        else:
+            R[:, sub_mask] -= M[a][:, sub_mask]
         first_t = t_np[a].astype(np.float64)
         last_t = t_np[bidx].astype(np.float64)
         wend = wend_arr[valid].astype(np.float64)

@@ -66,6 +66,17 @@ def _corpus():
     for i in range(80):
         cum = cum + rng.randint(1, 3) if i != 37 else 1
         rows.append(("rst", {"h": "rst"}, i * 15000, _mk(cum, i, 0), None))
+    # dense resets: several per [5m] window → exercises the segmented
+    # vector fold's in-window multi-correction ordering (round 11)
+    cum = 0
+    for i in range(80):
+        cum = cum + rng.randint(1, 3) if i % 7 else 1
+        rows.append(("dense", {"h": "dense"}, i * 15000, _mk(cum, i, 0), None))
+    # reset on the window's FIRST pair at various alignments
+    cum = 0
+    for i in range(80):
+        cum = cum + 2 if i % 11 else 0
+        rows.append(("edge", {"h": "edge"}, i * 15000, _mk(cum, i, 0), None))
     # explicit hint=1 reset marker
     cum = 0
     for i in range(80):

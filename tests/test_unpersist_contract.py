@@ -16,8 +16,11 @@ from prometheus_spark.pipeline import dedup
 from prometheus_spark.pipeline.similarity import AnnIndex
 
 
-def _n_persistent(spark) -> int:
-    return int(spark.sparkContext._jsc.getPersistentRDDs().size())
+def _persistent_ids(spark) -> set:
+    # track IDs, not counts: the suite's shared session unpersists other
+    # frames asynchronously (ContextCleaner, engine series dims), so a
+    # global count is racy — what matters is that THESE blocks are gone
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
 
 
 @pytest.fixture()
@@ -30,23 +33,25 @@ def docs(spark):
 
 
 def test_minhash_release(spark, docs):
-    base = _n_persistent(spark)
+    base = _persistent_ids(spark)
     out = dedup.minhash_dup_candidates_portable(docs, star_threshold=8)
     out.count()  # materializes the tracked band-bucket intermediate
-    assert _n_persistent(spark) > base
+    new = _persistent_ids(spark) - base
+    assert new
     released = dedup.release_intermediates()
     assert released >= 1
-    assert _n_persistent(spark) == base
+    assert not (new & _persistent_ids(spark))
     # idempotent: nothing tracked twice
     assert dedup.release_intermediates() == 0
 
 
 def test_ngram_jaccard_release(spark, docs):
-    base = _n_persistent(spark)
+    base = _persistent_ids(spark)
     dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.3).count()
-    assert _n_persistent(spark) > base
+    new = _persistent_ids(spark) - base
+    assert new
     assert dedup.release_intermediates() >= 1
-    assert _n_persistent(spark) == base
+    assert not (new & _persistent_ids(spark))
 
 
 def test_released_frame_recomputes(spark, docs):
@@ -61,9 +66,10 @@ def test_released_frame_recomputes(spark, docs):
 def test_ann_index_unpersist(spark):
     rows = [(i, [float((i * j) % 5 - 2) for j in range(8)]) for i in range(40)]
     emb = spark.createDataFrame(rows, "id long, emb array<float>")
-    base = _n_persistent(spark)
+    base = _persistent_ids(spark)
     idx = AnnIndex.build(emb, vec_col="emb", id_col="id", planes=4)
     idx.df.count()
-    assert _n_persistent(spark) > base
+    new = _persistent_ids(spark) - base
+    assert new
     idx.unpersist()
-    assert _n_persistent(spark) == base
+    assert not (new & _persistent_ids(spark))

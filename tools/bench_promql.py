@@ -244,7 +244,7 @@ def build_native_hist_storage(spark, num_series: int = 3000, samples_per: int = 
         F.when(F.col("i") == 0, F.lit(0)).otherwise(F.lit(2))
         .cast("tinyint").alias("counter_reset_hint"),
     ).cast(HISTOGRAM_TYPE)
-    return sids.crossJoin(idx).select(
+    base = sids.crossJoin(idx).select(
         sig_expr(labels).alias("sig"),
         F.lit("native_histogram_series").alias("name"),
         labels.alias("labels"),
@@ -253,6 +253,44 @@ def build_native_hist_storage(spark, num_series: int = 3000, samples_per: int = 
         hist.alias("hist"),
         F.lit(False).alias("stale"),
     )
+    # reset-heavy companion metric (round 11): 600 series whose counters
+    # reset every ~10 samples with unknown hints — a restart-heavy fleet.
+    # Exercises the segmented vector fold (reset-free windows stay
+    # vectorized; only per-reset correction adds loop) instead of the
+    # scalar whole-series replay it previously forced.
+    rsids = spark.range(600).withColumnRenamed("id", "h")
+    seg = ((F.col("i") + F.col("h")) % 10).cast("double")  # resets at seg=0
+    rlabels = F.map_from_arrays(
+        F.array(F.lit("__name__"), F.lit("foo"), F.lit("h")),
+        F.array(
+            F.lit("native_histogram_resets"), F.lit("bar"),
+            F.col("h").cast("string"),
+        ),
+    )
+    rbuckets = F.array(seg + 1, seg + 2, seg + 1, seg + 1)
+    rhist = F.struct(
+        F.lit(1).alias("schema"),
+        F.lit(0.001).alias("zero_threshold"),
+        (seg + 2).alias("zero_count"),
+        (seg * 9 + 12).alias("count"),
+        (F.lit(18.4) * (seg + 1)).alias("sum"),
+        spans.alias("pos_spans"),
+        rbuckets.alias("pos_buckets"),
+        spans.alias("neg_spans"),
+        rbuckets.alias("neg_buckets"),
+        F.array().cast("array<double>").alias("custom_values"),
+        F.lit(0).cast("tinyint").alias("counter_reset_hint"),
+    ).cast(HISTOGRAM_TYPE)
+    resets = rsids.crossJoin(idx).select(
+        sig_expr(rlabels).alias("sig"),
+        F.lit("native_histogram_resets").alias("name"),
+        rlabels.alias("labels"),
+        (F.col("i") * 15_000).alias("t"),
+        F.lit(None).cast("double").alias("value"),
+        rhist.alias("hist"),
+        F.lit(False).alias("stale"),
+    )
+    return base.unionByName(resets)
 
 
 NATIVE_HIST_CASES = [  # bench_test.go:471-503; 0..2h at 30s step
@@ -263,6 +301,9 @@ NATIVE_HIST_CASES = [  # bench_test.go:471-503; 0..2h at 30s step
     "histogram_count(sum(rate(native_histogram_series[20m])))",
     "histogram_count(sum(rate(native_histogram_series[2m]))) + histogram_sum(sum(rate(native_histogram_series[2m])))",
     "histogram_count(sum(rate(native_histogram_series[20m]))) + histogram_sum(sum(rate(native_histogram_series[20m])))",
+    # reset-heavy synthetic (not in the reference suite; round 11 —
+    # pins the segmented vector fold's win over the scalar replay)
+    "sum(rate(native_histogram_resets[5m]))",
 ]
 
 
