@@ -258,7 +258,9 @@ def build_native_hist_storage(spark, num_series: int = 3000, samples_per: int = 
     # Exercises the segmented vector fold (reset-free windows stay
     # vectorized; only per-reset correction adds loop) instead of the
     # scalar whole-series replay it previously forced.
-    rsids = spark.range(600).withColumnRenamed("id", "h")
+    # small: the reset case needs reset DENSITY, not volume — and the
+    # companion rows fatten every other case's scan of the shared table
+    rsids = spark.range(300).withColumnRenamed("id", "h")
     seg = ((F.col("i") + F.col("h")) % 10).cast("double")  # resets at seg=0
     rlabels = F.map_from_arrays(
         F.array(F.lit("__name__"), F.lit("foo"), F.lit("h")),
@@ -281,7 +283,8 @@ def build_native_hist_storage(spark, num_series: int = 3000, samples_per: int = 
         F.array().cast("array<double>").alias("custom_values"),
         F.lit(0).cast("tinyint").alias("counter_reset_hint"),
     ).cast(HISTOGRAM_TYPE)
-    resets = rsids.crossJoin(idx).select(
+    ridx = spark.range(600).withColumnRenamed("id", "i")
+    resets = rsids.crossJoin(ridx).select(
         sig_expr(rlabels).alias("sig"),
         F.lit("native_histogram_resets").alias("name"),
         rlabels.alias("labels"),
