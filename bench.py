@@ -63,6 +63,9 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        # 1m Tungsten pages: tiny dim broadcasts otherwise pay a 32m+
+        # alloc+zero each (see prometheus_spark/session.py RECOMMENDED)
+        .config("spark.buffer.pageSize", "1m")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -42,6 +42,15 @@ RECOMMENDED = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # Tungsten's page-size heuristic (heap / 2·cores·16, up to 64m)
+    # targets one big shuffle per core.  A PromQL query stream is the
+    # opposite shape: MANY small broadcast hash relations (the split
+    # frame contract's dim joins), and every BytesToBytesMap pays one
+    # full page up front — at the heuristic's 16m that is 16 MB of
+    # long[] pinned per tiny dim broadcast, measured 5 GB live across
+    # one forced-path corpus file (the round-11 GC storm's JVM half).
+    # 1m caps the per-relation floor; large shuffles just chain pages.
+    "spark.buffer.pageSize": "1m",
 }
 
 

@@ -295,11 +295,16 @@ class RulesEngine:
                     emit_series=emit_alert_series,
                 )
 
+        from prometheus_spark import pygc
+
         results: dict = {}
         batches = self._group_batches(group)
         if batches is None:
             for idx in range(len(group.rules)):
                 results[idx] = eval_one(idx)
+            # months-lived managers re-eval every interval; py4j handles
+            # from finished evals are cycle-garbage (pygc docstring)
+            pygc.tick(len(group.rules))
             return results
 
         from concurrent.futures import ThreadPoolExecutor
@@ -334,6 +339,7 @@ class RulesEngine:
                     results[idx] = eval_one(idx)
                 for idx, fut in futures.items():
                     results[idx] = fut.result()
+        pygc.tick(len(group.rules))
         return results
 
     def _eval_recording(self, group: RuleGroup, rule: RecordingRule, ts: int) -> DataFrame:

@@ -57,6 +57,12 @@ def main(argv: list[str]) -> int:
         .config("spark.ui.retainedStages", "100")
         .config("spark.ui.retainedTasks", "1000")
         .config("spark.sql.codegen.cache.maxEntries", "200")
+        # every broadcast hash relation pays one Tungsten page up
+        # front; the default page heuristic (16m at 8g/8cores) pins
+        # 16 MB per tiny dim broadcast — at 24 concurrent forced-path
+        # evals that alone fills the heap (round-11 GC storm, JVM
+        # half; see prometheus_spark/session.py RECOMMENDED)
+        .config("spark.buffer.pageSize", "1m")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

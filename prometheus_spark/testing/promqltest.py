@@ -726,6 +726,8 @@ def run_test_text(
         else:
             units.append([(engine, cmd)])
 
+    from prometheus_spark import pygc
+
     def run_unit(unit: list) -> list[tuple[str, str | None]]:
         try:
             if len(unit) == 1:
@@ -734,6 +736,12 @@ def run_test_text(
             return _eval_batch(unit)
         finally:
             _mark_done(unit[0][0], len(unit))
+            # each eval's py4j handles are cycle-garbage from birth
+            # (see pygc module docstring); a long corpus file at
+            # parallel_evals=24 pins ~50 MB of JVM plan+broadcast
+            # state per uncollected eval — collect on a deterministic
+            # completion cadence
+            pygc.tick(len(unit))
 
     if parallel_evals > 1 and len(units) > 1:
         with ThreadPoolExecutor(parallel_evals) as pool:

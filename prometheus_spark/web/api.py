@@ -607,6 +607,12 @@ class PromAPI:
         def _done():
             self.query_tracker.delete(slot)
             self._query_gate.release()
+            # py4j handles self-cycle and are only freed by the cycle
+            # collector; a months-lived query API otherwise accumulates
+            # pinned JVM plans + broadcast pages (see pygc docstring)
+            from prometheus_spark import pygc
+
+            pygc.tick()
 
         return _done
 

@@ -12,6 +12,9 @@ def spark():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        # 1m Tungsten pages — tiny dim broadcasts otherwise pin a full
+        # 16m page each (see prometheus_spark/session.py RECOMMENDED)
+        .config("spark.buffer.pageSize", "1m")
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")

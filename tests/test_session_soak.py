@@ -138,3 +138,60 @@ def test_soak_500_mixed_evals_one_engine(spark):
     engine.release_plans()
     assert len(engine._plan_cache) == 0
     assert engine._plan_cache_cost_ms == 0.0
+
+
+@pytest.mark.slow
+def test_soak_forced_path_classic_histograms(spark, monkeypatch):
+    """Round-11 regression pin: a long-lived session streaming
+    classic-histogram queries through the PREFIX fast path (the
+    default route for wide-ratio queries like ``rate(h[1d])`` at a
+    10s step) must not accumulate pinned JVM state.
+
+    The round-11 storm had two stacked causes, both fixed and both
+    pinned here: (1) py4j handles self-cycle, so finished evals'
+    plans — and since the split contract, their broadcast dim hash
+    relations — were only freeable by Python's cycle collector,
+    which effectively never ran (prometheus_spark/pygc.py); (2) each
+    tiny broadcast relation paid a full Tungsten page (16 MB at the
+    default heuristic — spark.buffer.pageSize=1m in conftest).
+    150 distinct forced-path evals through ONE engine, concurrent
+    like the corpus worker, then post-GC heap delta bounded."""
+    monkeypatch.setenv("PROMSPARK_PREFIX_RANGE_THRESHOLD", "0")
+    monkeypatch.setenv("PROMSPARK_HIST_ASOF_THRESHOLD", "0")
+    # tick on the corpus cadence even though this loop drives the
+    # engine directly (the server endpoints / test runner own ticking)
+    from prometheus_spark import pygc
+
+    samples = _mk_samples(spark)
+    engine = PromQLEngine(
+        spark, samples, ordered=False, plan_cache_size=0
+    )
+    queries = [
+        tpl.format(i=i)
+        for i in range(50)
+        for tpl in (
+            "histogram_quantile(0.9, rate(h_bucket[5m])) + {i}",
+            "histogram_quantile(0.{i}1, sum by (le) (rate(h_bucket[10m])))",
+            "sum(increase(h_bucket[15m])) by (le) + {i}",
+        )
+    ]
+    assert len(set(queries)) == 150
+
+    heap_before = _used_heap(spark)
+    t_ms = 115 * 60_000
+
+    def run_one(q: str) -> None:
+        engine.range_query(q, t_ms - 10 * 60_000, t_ms, 60_000).collect()
+        pygc.tick()
+
+    with ThreadPoolExecutor(8) as pool:
+        list(pool.map(run_one, queries))
+
+    heap_after = _used_heap(spark)
+    # round-11: ~50 MB pinned per uncollected eval; 150 evals would
+    # show multiple GiB.  Post-fix the delta is near-zero; 1.5 GiB is
+    # the alarm line (shared-session noise headroom).
+    assert heap_after - heap_before < 1536 * 1024**2, (
+        heap_before,
+        heap_after,
+    )

@@ -88,6 +88,7 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        .config("spark.buffer.pageSize", "1m")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

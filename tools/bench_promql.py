@@ -360,6 +360,10 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        # dim broadcasts pay one Tungsten page each; the default page
+        # heuristic at 48g/32cores is 32m+ per tiny hash relation —
+        # pure alloc+zero latency on every steps=1 microcase
+        .config("spark.buffer.pageSize", "1m")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -405,7 +409,13 @@ def main() -> None:
         if i and i % 8 == 0:
             # long single-JVM runs accumulate unreferenced shuffle files
             # (cleaned only on GC); without this, late queries measure
-            # 3-4x slower than the same query in a fresh session
+            # 3-4x slower than the same query in a fresh session.
+            # Python cycles FIRST: py4j handles self-cycle (pygc
+            # docstring), so without collecting them the JVM GC can't
+            # release the plans + broadcast pages they pin.
+            import gc as _gc
+
+            _gc.collect()
             spark.sparkContext._jvm.System.gc()
         name = f"expr={expr},steps={steps}"
         try:

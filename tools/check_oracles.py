@@ -64,6 +64,7 @@ def main():
         # evicting task results) — not a product failure
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "16g"))
         .config("spark.driver.maxResultSize", "4g")
+        .config("spark.buffer.pageSize", "1m")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

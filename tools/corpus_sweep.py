@@ -92,11 +92,33 @@ def balance(files: list[str], n: int) -> list[list[str]]:
     return [b for b in buckets if b]
 
 
+# The files whose evals actually route differently when the prefix /
+# as-of fast paths are forced everywhere (thresholds 0): the rate
+# family, range aggregations and histogram windows.  --forced runs
+# exactly these with both thresholds pinned to 0 — the fast-path
+# parity gate (round 11's only serious bug, a forced-path GC storm,
+# was invisible to the default sweep).
+FORCED_FILES = [
+    "functions.test",
+    "native_histograms.test",
+    "histograms.test",
+    "range_queries.test",
+]
+
+
 def main() -> None:
-    files = sys.argv[1:] or sorted(
-        f for f in os.listdir(TESTDATA) if f.endswith(".test")
+    args = sys.argv[1:]
+    forced = "--forced" in args
+    args = [a for a in args if a != "--forced"]
+    files = args or (
+        FORCED_FILES
+        if forced
+        else sorted(f for f in os.listdir(TESTDATA) if f.endswith(".test"))
     )
     env = dict(os.environ)
+    if forced:
+        env["PROMSPARK_PREFIX_RANGE_THRESHOLD"] = "0"
+        env["PROMSPARK_HIST_ASOF_THRESHOLD"] = "0"
     env["SPARK_GRAFT_CORPUS_CAPS"] = "{}"  # uncapped
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
 
