@@ -190,14 +190,6 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
         strategy = _os.environ.get("PROMSPARK_AGG_HIST_FORK", "auto")
         if strategy == "auto":
             strategy = "shared" if _has_python_stage(src) else "flags"
-        # hist_arith.group_sum still takes labels inline (legacy frame
-        # shape) — attach them from the per-GROUP dim with a narrow join
-        # on the hist branch only; the float branch stays label-free
-        def _with_labels(rows):
-            return rows.join(ctx.dim_hint(gdim), "sig").select(
-                "sig", "labels", "t", "hist", "__ord"
-            )
-
         if strategy == "window":
             from pyspark.sql.window import Window as W
 
@@ -210,7 +202,11 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
             pure = flagged.filter(
                 ~((F.col("__has_f") == 1) & (F.col("__has_h") == 1))
             )
-            hist_rows = _with_labels(pure.filter(F.col("hist").isNotNull()))
+            # sig-native fold (round 12): the group sig IS the output
+            # identity; labels stay on gdim until engine finalize
+            hist_rows = pure.filter(F.col("hist").isNotNull()).select(
+                "sig", "t", "hist", "__ord"
+            )
             hist_part = hist_arith.group_sum(ctx, hist_rows, avg=op == "avg")
             fact = pure.filter(v.isNotNull()).select(
                 "sig", "t", "value", "drop_name"
@@ -218,7 +214,9 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
         else:
             if strategy == "shared":
                 src = src.repartition(F.col("sig"), F.col("t"))
-            hist_rows = _with_labels(src.filter(F.col("hist").isNotNull()))
+            hist_rows = src.filter(F.col("hist").isNotNull()).select(
+                "sig", "t", "hist", "__ord"
+            )
             hist_part = hist_arith.group_sum(
                 ctx, hist_rows, avg=op == "avg",
                 pre_partitioned=strategy == "shared",
@@ -288,7 +286,7 @@ def eval_aggregation(ctx: EvalContext, node: AggregateExpr, vf: VectorFrame, par
     if hist_part is not None:
         from prometheus_spark.model.schema import HISTOGRAM_TYPE
 
-        hist_part = hist_part.drop("drop_name", "labels")
+        hist_part = hist_part.drop("drop_name")
         if mixed_keys is not None:
             hist_part = hist_part.join(mixed_keys, ["sig", "t"], "left_anti")
         if _group_flag(node):

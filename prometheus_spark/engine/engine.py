@@ -113,12 +113,28 @@ class PromQLEngine:
         if self._series_dim is None:
             from pyspark import StorageLevel
 
-            cols = ["sig", "labels"] + (
-                ["name"] if "name" in self._samples.columns else []
+            aggs = [F.first("labels").alias("labels")] + (
+                [F.first("name").alias("name")]
+                if "name" in self._samples.columns
+                else []
             )
+            # per-series KIND flags ride the same one-pass dedup (a real
+            # TSDB's series index knows each series' sample type): rate
+            # routing reads them from here instead of paying a per-query
+            # full-scan kinds aggregation — flags are whole-frame, so a
+            # "pure histogram" verdict is conservative under any time
+            # filter (globally-pure ⊆ in-window-pure)
+            if "hist" in self._samples.columns:
+                # stale markers carry a float NaN — don't let them
+                # demote a pure-histogram series to the mixed path
+                live = ~F.col("stale") if "stale" in self._samples.columns else F.lit(True)
+                aggs += [
+                    F.max((live & F.col("hist").isNotNull()).cast("int")).alias("__has_h"),
+                    F.max((live & F.col("value").isNotNull()).cast("int")).alias("__has_f"),
+                ]
             self._series_dim = (
-                self._samples.select(*cols)
-                .dropDuplicates(["sig"])
+                self._samples.groupBy("sig")
+                .agg(*aggs)
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
             # one count materializes the cache AND sizes it: small series

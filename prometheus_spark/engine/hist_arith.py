@@ -8,9 +8,17 @@ Arrow batch (``_grouped_apply_batched``), never a pandas frame per group.
 Histogram samples are a small fraction of any real workload; the float hot
 path never enters Python.
 
+Split frame contract (round 12): the folds are SIG-NATIVE — input and
+output rows carry the series/group signature string only, never the
+labels map.  Labels live in the caller's dim and join back per SERIES
+at output shaping (engine finalize), so the Arrow transfer, the
+repartition shuffle and the per-row emit all stay ~40 bytes/row
+regardless of label width.  The three legacy-frame consumers
+(``binop_add_sub``, ``trim_scalar``, ``smoothed_instant_hist``) keep
+labels inline in their own contract by joining them back from a
+deduped (sig, labels) dim after the sig-native fold.
+
 Arrow marshalling rules (hard-won):
-- maps can't cross pandas→Arrow: labels ship as parallel key/value arrays
-  and the struct is assembled JVM-side;
 - list columns must be ``dtype=object`` and every batch must yield a
   correctly-shaped DataFrame even when empty.
 """
@@ -26,12 +34,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from prometheus_spark.engine.context import EvalContext
-from prometheus_spark.model.labels import drop_name_expr, sig_expr
+from prometheus_spark.model.labels import sig_expr
 from prometheus_spark.model.schema import HISTOGRAM_TYPE
 
 _FLAT_FIELDS = [
-    T.StructField("label_keys", T.ArrayType(T.StringType())),
-    T.StructField("label_values", T.ArrayType(T.StringType())),
+    T.StructField("sig", T.StringType()),
     T.StructField("t", T.LongType()),
     T.StructField("value", T.DoubleType()),
     T.StructField("has_hist", T.BooleanType()),
@@ -52,7 +59,7 @@ _FLAT_FIELDS = [
 FLAT_SCHEMA = T.StructType(_FLAT_FIELDS)
 
 _EMPTY = {
-    "label_keys": [], "label_values": [], "t": [], "value": [], "has_hist": [],
+    "sig": [], "t": [], "value": [], "has_hist": [],
     "h_schema": [], "h_zt": [], "h_zc": [], "h_count": [], "h_sum": [],
     "h_pos_off": [], "h_pos_len": [], "h_pos_bkt": [],
     "h_neg_off": [], "h_neg_len": [], "h_neg_bkt": [],
@@ -65,7 +72,7 @@ def _emit_pdf(rows: dict):
     import pandas as pd
 
     object_cols = {
-        "label_keys", "label_values", "h_pos_off", "h_pos_len", "h_pos_bkt",
+        "sig", "h_pos_off", "h_pos_len", "h_pos_bkt",
         "h_neg_off", "h_neg_len", "h_neg_bkt", "h_custom",
     }
     data = {}
@@ -82,9 +89,8 @@ def _emit_pdf(rows: dict):
     return pd.DataFrame(data)
 
 
-def _append_row(rows: dict, labels: dict, t: int, value, fh) -> None:
-    rows["label_keys"].append(list(labels.keys()))
-    rows["label_values"].append(list(labels.values()))
+def _append_row(rows: dict, sig: str, t: int, value, fh) -> None:
+    rows["sig"].append(sig)
     rows["t"].append(int(t))
     rows["value"].append(value)
     if fh is None:
@@ -173,7 +179,9 @@ def _grouped_apply_batched(src: DataFrame, keys, process) -> DataFrame:
 
 
 def assemble(df: DataFrame, drop_name: bool = False) -> DataFrame:
-    """Flattened Python output → canonical vector frame with hist struct.
+    """Flattened Python output → split-contract FACT frame
+    (sig, t, sample_t, value, drop_name, hist) — sig passes through
+    from the fold; labels stay on the caller's dim.
 
     The projection is one static SQL string (composed once at import) —
     assemble runs on every histogram-path query, and the old per-call
@@ -183,8 +191,6 @@ def assemble(df: DataFrame, drop_name: bool = False) -> DataFrame:
 
 @functools.lru_cache(maxsize=2)
 def _ASSEMBLE_COLS(drop_name: bool) -> tuple:
-    from prometheus_spark.model.labels import sig_sql
-
     htype = HISTOGRAM_TYPE.simpleString()
     hist = (
         "CAST(named_struct("
@@ -198,9 +204,8 @@ def _ASSEMBLE_COLS(drop_name: bool) -> tuple:
         "'counter_reset_hint', CAST(h_hint AS TINYINT)"
         f") AS {htype})"
     )
-    labels = "map_from_arrays(label_keys, label_values)"
-    # delayed name removal: labels stay; drop_name flags the row and the
-    # engine's finalization strips the metadata labels
+    # delayed name removal: drop_name flags the row; the engine's
+    # finalization strips the metadata labels on the DIM side.
     # pandas→Arrow folds NaN into null in the float column; histogram rows
     # legitimately carry NULL value, so only coalesce non-hist rows
     value = (
@@ -208,8 +213,7 @@ def _ASSEMBLE_COLS(drop_name: bool) -> tuple:
         "ELSE coalesce(value, CAST('NaN' AS DOUBLE)) END"
     )
     return (
-        sig_sql(labels) + " AS sig",
-        labels + " AS labels",
+        "sig",
         "t",
         "t AS sample_t",
         value + " AS value",
@@ -218,14 +222,28 @@ def _ASSEMBLE_COLS(drop_name: bool) -> tuple:
     )
 
 
+def _with_labels_back(ctx: EvalContext, fact: DataFrame, ldim: DataFrame) -> DataFrame:
+    """Legacy-frame adapter: join labels back onto a sig-native fold
+    output (the three label-entangled consumers keep labels inline in
+    their own contract)."""
+    cols = [c for c in fact.columns if c != "sig"]
+    return fact.join(ctx.dim_hint(ldim), "sig").select("sig", "labels", *cols)
+
+
 def binop_add_sub(ctx: EvalContext, pairs: DataFrame, sub: bool) -> DataFrame:
     """hist ± hist over joined pairs (engine.go:3484 ``vectorElemBinop``
     ADD/SUB histogram case).  ``pairs``: (labels, t, __lh, __rh) with both
-    histograms non-null.  Incompatible schemas drop the sample."""
+    histograms non-null.  Incompatible schemas drop the sample.  The fold
+    runs sig-native (labels never cross Arrow); labels join back from the
+    pair-derived dim to keep the caller's legacy inline-labels frame."""
     from prometheus_spark.shipping import ensure_shipped
 
     ensure_shipped(ctx.spark)
-    src = pairs.select("labels", "t", "__lh", "__rh")
+    keyed = pairs.select(
+        sig_expr(F.col("labels")).alias("sig"), "labels", "t", "__lh", "__rh"
+    )
+    ldim = keyed.select("sig", "labels").dropDuplicates(["sig"])
+    src = keyed.select("sig", "t", "__lh", "__rh")
 
     def batches(it: Iterator) -> Iterator:
         from prometheus_spark.model.histogram import (
@@ -237,8 +255,8 @@ def binop_add_sub(ctx: EvalContext, pairs: DataFrame, sub: bool) -> DataFrame:
         for pdf in it:
             rows = _fresh()
             # itertuples mangles leading-underscore names; zip columns
-            for labels, t, lh, rh in zip(
-                pdf["labels"], pdf["t"], pdf["__lh"], pdf["__rh"]
+            for sig, t, lh, rh in zip(
+                pdf["sig"], pdf["t"], pdf["__lh"], pdf["__rh"]
             ):
                 l, r = from_row(lh), from_row(rh)
                 try:
@@ -248,36 +266,43 @@ def binop_add_sub(ctx: EvalContext, pairs: DataFrame, sub: bool) -> DataFrame:
                 if sub:
                     l.counter_reset_hint = GAUGE_TYPE
                 l.compact()
-                _append_row(rows, dict(labels), t, None, l)
+                _append_row(rows, sig, t, None, l)
             yield _emit_pdf(rows)
 
     # hist±hist changes the metric schema → flag for delayed name removal
-    return assemble(src.mapInPandas(batches, FLAT_SCHEMA), drop_name=True)
+    out = assemble(src.mapInPandas(batches, FLAT_SCHEMA), drop_name=True)
+    return _with_labels_back(ctx, out, ldim)
 
 
 def trim_scalar(ctx: EvalContext, src: DataFrame, is_upper: bool) -> DataFrame:
     """``</`` / ``>/`` — histogram bucket trimming by a scalar
     (vectorElemBinop TRIM_UPPER/TRIM_LOWER; float_histogram.go:2129).
-    ``src``: (labels, t, hist, __s) with hist non-null."""
+    ``src``: (labels, t, hist, __s) with hist non-null.  Sig-native fold
+    + labels join-back, like :func:`binop_add_sub`."""
     from prometheus_spark.shipping import ensure_shipped
 
     ensure_shipped(ctx.spark)
+    keyed = src.select(
+        sig_expr(F.col("labels")).alias("sig"), "labels", "t", "hist", "__s"
+    )
+    ldim = keyed.select("sig", "labels").dropDuplicates(["sig"])
 
     def batches(it: Iterator) -> Iterator:
         from prometheus_spark.model.histogram import from_row, hist_trim_buckets
 
         for pdf in it:
             rows = _fresh()
-            for labels, t, hd, s in zip(
-                pdf["labels"], pdf["t"], pdf["hist"], pdf["__s"]
+            for sig, t, hd, s in zip(
+                pdf["sig"], pdf["t"], pdf["hist"], pdf["__s"]
             ):
                 h = hist_trim_buckets(from_row(hd), float(s), is_upper)
-                _append_row(rows, dict(labels), t, None, h)
+                _append_row(rows, sig, t, None, h)
             yield _emit_pdf(rows)
 
-    return assemble(
-        src.select("labels", "t", "hist", "__s").mapInPandas(batches, FLAT_SCHEMA)
+    out = assemble(
+        keyed.select("sig", "t", "hist", "__s").mapInPandas(batches, FLAT_SCHEMA)
     )
+    return _with_labels_back(ctx, out, ldim)
 
 
 def group_sum(
@@ -289,7 +314,9 @@ def group_sum(
     pre_partitioned: bool = False,
 ) -> DataFrame:
     """Sum/avg histograms per (sig, t) group (engine.go:3716 ``KahanAdd``
-    path).  ``df``: (sig, labels, t, hist, <order_col>) with hist non-null;
+    path).  ``df``: (sig, t, hist, <order_col>) with hist non-null —
+    sig is the GROUP signature (split contract; labels live on the
+    caller's gdim and never enter the fold);
     ``order_col`` fixes the Kahan summation order (the reference iterates
     series in label order / samples in time order — compensation is
     order-sensitive).  Groups with incompatible schemas are dropped.
@@ -318,7 +345,7 @@ def group_sum(
     ensure_shipped(ctx.spark)
     if os.environ.get("PROMSPARK_HIST_GS_VECTOR", "1") == "0":
         return _group_sum_pandas(ctx, df, avg, drop_name, order_col)
-    src = df.select("sig", "labels", "t", "hist", F.col(order_col).alias("__ord"))
+    src = df.select("sig", "t", "hist", F.col(order_col).alias("__ord"))
     if not pre_partitioned:
         src = src.repartition(F.col("sig"), F.col("t"))
     part = src.sortWithinPartitions("sig", "t", "__ord")
@@ -336,7 +363,7 @@ def _group_sum_pandas(
     """Scalar reference implementation of :func:`group_sum` (per-group
     ``from_row`` + ``hist_sum`` Python fold) — the differential-parity
     baseline for the vectorized path."""
-    src = df.select("sig", "labels", "t", "hist", F.col(order_col).alias("__ord"))
+    src = df.select("sig", "t", "hist", F.col(order_col).alias("__ord"))
 
     def one_group(pdf, rows):
         from prometheus_spark.model.histogram import from_row, hist_mean, hist_sum
@@ -345,7 +372,7 @@ def _group_sum_pandas(
         hists = [from_row(h) for h in pdf["hist"]]
         acc, incompatible = (hist_mean if avg else hist_sum)(hists)
         if acc is not None and not incompatible:
-            _append_row(rows, dict(pdf["labels"].iloc[0]), pdf["t"].iloc[0], None, acc)
+            _append_row(rows, str(pdf["sig"].iloc[0]), pdf["t"].iloc[0], None, acc)
         return
 
     out = _grouped_apply_batched(src, ("sig", "t"), one_group)
@@ -357,8 +384,7 @@ def _pa_flat_schema():
 
     return pa.schema(
         [
-            ("label_keys", pa.list_(pa.string())),
-            ("label_values", pa.list_(pa.string())),
+            ("sig", pa.string()),
             ("t", pa.int64()),
             ("value", pa.float64()),
             ("has_hist", pa.bool_()),
@@ -489,13 +515,13 @@ def _gs_fold_chunk(tbl, avg: bool, out_schema, retier: bool = True):
         new[1:] = (t_np[1:] != t_np[:-1]) | (sig_codes[1:] != sig_codes[:-1])
     starts = np.flatnonzero(new)
     lens = np.diff(np.append(starts, n))
-    labels_arr = b.column(tbl.schema.get_field_index("labels"))
+    sig_arr = b.column(tbl.schema.get_field_index("sig"))
 
     rows = _fresh()
     sub_batches = []
     ok, parsed = _gs_try_uniform(hist, n)
     if ok:
-        _gs_fold_uniform(parsed, t_np, starts, lens, labels_arr, avg, rows)
+        _gs_fold_uniform(parsed, t_np, starts, lens, sig_arr, avg, rows)
         scalar_groups = []
     else:
         # mixed layouts in the chunk: middle tier — groups whose rows
@@ -535,7 +561,7 @@ def _gs_fold_chunk(tbl, avg: bool, out_schema, retier: bool = True):
                 acc, incompatible = (hist_mean if avg else hist_sum)(hists)
                 if acc is not None and not incompatible:
                     _append_row(
-                        rows, _gs_labels_at(labels_arr, s0), int(t_np[s0]),
+                        rows, _gs_sig_at(sig_arr, s0), int(t_np[s0]),
                         None, acc,
                     )
     if rows["t"]:
@@ -548,9 +574,9 @@ def _gs_fold_chunk(tbl, avg: bool, out_schema, retier: bool = True):
     return merged.to_batches()[0]
 
 
-def _gs_labels_at(labels_arr, i: int) -> dict:
-    v = labels_arr[i].as_py()
-    return dict(v) if v is not None else {}
+def _gs_sig_at(sig_arr, i: int) -> str:
+    v = sig_arr[i].as_py()
+    return v if v is not None else ""
 
 
 def _gs_list_parts(arr, n):
@@ -704,7 +730,7 @@ def _gs_try_uniform(hist, n):
     }
 
 
-def _gs_fold_uniform(parsed, t_np, starts, lens, labels_arr, avg, rows):
+def _gs_fold_uniform(parsed, t_np, starts, lens, sig_arr, avg, rows):
     """The vectorized uniform-layout fold: replicates
     ``_normal_forms`` + ``_fold_parts`` (+ ``hist_mean``'s overflow
     fallback and ÷n) for histograms sharing one layout."""
@@ -799,7 +825,7 @@ def _gs_fold_uniform(parsed, t_np, starts, lens, labels_arr, avg, rows):
             fh.div(float(lens[gi]))
             fh.compact()
         _append_row(
-            rows, _gs_labels_at(labels_arr, int(starts[gi])), int(t_np[starts[gi]]),
+            rows, _gs_sig_at(sig_arr, int(starts[gi])), int(t_np[starts[gi]]),
             None, fh,
         )
 
@@ -812,14 +838,15 @@ def window_rate(
     is_rate: bool,
 ) -> DataFrame:
     """rate/increase/delta over all-histogram windows (functions.go:640
-    ``histogramRate`` + :452 extrapolation).  ``windowed``: (sig, labels,
-    t, wend, sample_t, hist), hist non-null."""
+    ``histogramRate`` + :452 extrapolation).  ``windowed``: (sig, t,
+    wend, sample_t, hist), hist non-null — split contract, labels on
+    the caller's dim."""
     from prometheus_spark.shipping import ensure_shipped
 
     ensure_shipped(ctx.spark)
     if "st" not in windowed.columns:
         windowed = windowed.withColumn("st", F.lit(None).cast("long"))
-    src = windowed.select("sig", "labels", "t", "wend", "sample_t", "hist", "st")
+    src = windowed.select("sig", "t", "wend", "sample_t", "hist", "st")
     range_s = range_ms / 1000.0
 
     def one_group(pdf, rows):
@@ -867,7 +894,7 @@ def window_rate(
         from prometheus_spark.model.histogram import GAUGE_TYPE
 
         h.counter_reset_hint = GAUGE_TYPE
-        _append_row(rows, dict(pdf["labels"].iloc[0]), int(pdf["t"].iloc[0]), None, h)
+        _append_row(rows, str(pdf["sig"].iloc[0]), int(pdf["t"].iloc[0]), None, h)
         return
 
     out = _grouped_apply_batched(src, ("sig", "t"), one_group)
@@ -883,7 +910,7 @@ def window_instant_pair(ctx: EvalContext, windowed: DataFrame, is_rate: bool) ->
     ensure_shipped(ctx.spark)
     if "st" not in windowed.columns:
         windowed = windowed.withColumn("st", F.lit(None).cast("long"))
-    src = windowed.select("sig", "labels", "t", "sample_t", "value", "hist", "st")
+    src = windowed.select("sig", "t", "sample_t", "value", "hist", "st")
 
     def one_group(pdf, rows):
         from prometheus_spark.model.histogram import (
@@ -906,14 +933,14 @@ def window_instant_pair(ctx: EvalContext, windowed: DataFrame, is_rate: bool) ->
         s0 = None if s0 is None or s0 != s0 else int(s0)
         s1 = None if s1 is None or s1 != s1 else int(s1)
         streset = st_reset(s0, t0, s1, t1)
-        labels = dict(pdf["labels"].iloc[0])
+        sig = str(pdf["sig"].iloc[0])
         t_out = int(pdf["t"].iloc[0])
         if h0 is None and h1 is None:
             v0, v1 = float(pdf["value"].iloc[-2]), float(pdf["value"].iloc[-1])
             res = v1 if (is_rate and (v1 < v0 or streset)) else v1 - v0
             if is_rate:
                 res /= dt
-            _append_row(rows, labels, t_out, res, None)
+            _append_row(rows, sig, t_out, res, None)
         elif h0 is not None and h1 is not None:
             res = h1.copy()
             try:
@@ -925,7 +952,7 @@ def window_instant_pair(ctx: EvalContext, windowed: DataFrame, is_rate: bool) ->
             if is_rate:
                 res.div(dt)
             res.compact()
-            _append_row(rows, labels, t_out, None, res)
+            _append_row(rows, sig, t_out, None, res)
         # mixed float/histogram pair: drop
         return
 
@@ -946,7 +973,7 @@ def window_extended_rate(
     from prometheus_spark.shipping import ensure_shipped
 
     ensure_shipped(ctx.spark)
-    src = windowed.select("sig", "labels", "t", "sample_t", "orig_t", "hist", "wend", "role")
+    src = windowed.select("sig", "t", "sample_t", "orig_t", "hist", "wend", "role")
 
     def one_group(pdf, rows):
         from prometheus_spark.model.histogram import from_row, hist_extended_rate
@@ -963,7 +990,7 @@ def window_extended_rate(
             points, range_ms, int(pdf["wend"].iloc[0]), is_counter, is_rate, smoothed
         )
         if h is not None:
-            _append_row(rows, dict(pdf["labels"].iloc[0]), int(pdf["t"].iloc[0]), None, h)
+            _append_row(rows, str(pdf["sig"].iloc[0]), int(pdf["t"].iloc[0]), None, h)
         return
 
     out = _grouped_apply_batched(src, ("sig", "t"), one_group)
@@ -977,11 +1004,14 @@ def smoothed_instant_hist(
     (engine.go ``smoothSeries`` histogram branch): exact sample → copy;
     surrounded → interpolateHistograms (counter unless both gauge); only a
     preceding sample → carry forward with hint reset to unknown; a step
-    window mixing floats and histograms is skipped.  Name kept."""
+    window mixing floats and histograms is skipped.  Name kept.  Fold is
+    sig-native; labels join back (the smoothed selector's frame is the
+    legacy inline-labels contract)."""
     from prometheus_spark.shipping import ensure_shipped
 
     ensure_shipped(ctx.spark)
-    src = df.select("sig", "labels", "t", "value", "hist")
+    ldim = df.select("sig", "labels").dropDuplicates(["sig"])
+    src = df.select("sig", "t", "value", "hist")
     lb = ctx.lookback_ms
     start, end, step = ctx.start_ms, ctx.end_ms, ctx.step_ms
     ref = ctx.resolve_at(at) - offset if at is not None else None
@@ -1002,7 +1032,7 @@ def smoothed_instant_hist(
         ts = [int(x) for x in pdf["t"]]
         vals = list(pdf["value"])
         hists = [from_row(h) if h is not None else None for h in pdf["hist"]]
-        labels = dict(pdf["labels"].iloc[0])
+        sig = str(pdf["sig"].iloc[0])
         for step_t in range(start, end + 1, step or 1):
             data_ts = ref if ref is not None else step_t - off
             lo_i = bisect_left(ts, data_ts - lb + 1)
@@ -1035,11 +1065,11 @@ def smoothed_instant_hist(
             else:
                 continue
             out_h.compact()
-            _append_row(rows, labels, step_t, None, out_h)
+            _append_row(rows, sig, step_t, None, out_h)
         return
 
     out = _grouped_apply_batched(src, ("sig",), one_series)
-    return assemble(out)
+    return _with_labels_back(ctx, assemble(out), ldim)
 
 
 def window_resets_changes(ctx: EvalContext, windowed: DataFrame, func: str) -> DataFrame:
@@ -1051,7 +1081,7 @@ def window_resets_changes(ctx: EvalContext, windowed: DataFrame, func: str) -> D
     ensure_shipped(ctx.spark)
     if "st" not in windowed.columns:
         windowed = windowed.withColumn("st", F.lit(None).cast("long"))
-    src = windowed.select("sig", "labels", "t", "sample_t", "value", "hist", "st")
+    src = windowed.select("sig", "t", "sample_t", "value", "hist", "st")
     count_resets = func == "resets"
 
     def one_group(pdf, rows):
@@ -1088,7 +1118,7 @@ def window_resets_changes(ctx: EvalContext, windowed: DataFrame, func: str) -> D
                 elif not cur_h.equals(prev_h):
                     n += 1
             prev_f, prev_h, prev_t, prev_st = cur_f, cur_h, cur_t, cur_st
-        _append_row(rows, dict(pdf["labels"].iloc[0]), int(pdf["t"].iloc[0]), float(n), None)
+        _append_row(rows, str(pdf["sig"].iloc[0]), int(pdf["t"].iloc[0]), float(n), None)
         return
 
     out = _grouped_apply_batched(src, ("sig", "t"), one_group)
@@ -1150,7 +1180,7 @@ def window_rate_asof(
         )
     if "st" not in base.columns:
         base = base.withColumn("st", F.lit(None).cast("long"))
-    src = base.select("sig", "labels", "t", "hist", "st")
+    src = base.select("sig", "t", "hist", "st")
     part = src.repartition(F.col("sig")).sortWithinPartitions("sig", "t")
     fn = _rate_asof_arrow_fn(
         ctx.start_ms, ctx.end_ms, ctx.step_ms,
@@ -1173,7 +1203,7 @@ def _window_rate_asof_pandas(
 
     if "st" not in base.columns:
         base = base.withColumn("st", F.lit(None).cast("long"))
-    src = base.select("sig", "labels", "t", "hist", "st")
+    src = base.select("sig", "t", "hist", "st")
     range_s = range_ms / 1000.0
     rng = int(range_ms)
     step_arr = np.arange(
@@ -1188,9 +1218,9 @@ def _window_rate_asof_pandas(
         ts = pdf["t"].to_numpy(np.int64)
         points = [from_row(h) for h in pdf["hist"]]
         sts = [None if st is None or st != st else int(st) for st in pdf["st"]]
-        labels = dict(pdf["labels"].iloc[0])
+        sig = str(pdf["sig"].iloc[0])
         _rate_series_scalar(
-            ts, points, sts, labels, rows,
+            ts, points, sts, sig, rows,
             step_arr, wend_arr, rng, range_s, is_counter, is_rate,
         )
 
@@ -1199,7 +1229,7 @@ def _window_rate_asof_pandas(
 
 
 def _rate_series_scalar(
-    ts, points, sts, labels, rows,
+    ts, points, sts, sig, rows,
     step_arr, wend_arr, rng, range_s, is_counter, is_rate,
 ):
     """Exact scalar hist_rate + extrapolation replay for ONE series —
@@ -1324,7 +1354,7 @@ def _rate_series_scalar(
         h.mul(factor)
         h.compact()
         h.counter_reset_hint = GAUGE_TYPE
-        _append_row(rows, labels, int(step_arr[w]), None, h)
+        _append_row(rows, sig, int(step_arr[w]), None, h)
     return
 
 
@@ -1410,7 +1440,7 @@ def _rate_fold_chunk(
         new[1:] = sig_codes[1:] != sig_codes[:-1]
     starts = np.flatnonzero(new)
     lens = np.diff(np.append(starts, n))
-    labels_arr = b.column(idx("labels"))
+    sig_arr = b.column(idx("sig"))
 
     parsed = None
     if st_col.null_count == n and not hist.null_count:
@@ -1457,7 +1487,7 @@ def _rate_fold_chunk(
                         sub_batches.append(rb)
     else:
         out_cols = _rate_fold_uniform(
-            parsed, t_np, starts, lens, labels_arr, rows, scalar_series,
+            parsed, t_np, starts, lens, sig_arr, rows, scalar_series,
             step_arr, wend_arr, rng, range_s, is_counter, is_rate,
         )
     if scalar_series:
@@ -1471,7 +1501,7 @@ def _rate_fold_chunk(
             sts = [None if s is None else int(s) for s in stl[s0 : s0 + ln]]
             _rate_series_scalar(
                 t_np[s0 : s0 + ln], points, sts,
-                _gs_labels_at(labels_arr, s0), rows,
+                _gs_sig_at(sig_arr, s0), rows,
                 step_arr, wend_arr, rng, range_s, is_counter, is_rate,
             )
     if out_cols is not None:
@@ -1491,7 +1521,7 @@ def _rate_fold_chunk(
 
 
 def _rate_fold_uniform(
-    parsed, t_np, starts, lens, labels_arr, rows, scalar_series,
+    parsed, t_np, starts, lens, sig_arr, rows, scalar_series,
     step_arr, wend_arr, rng, range_s, is_counter, is_rate,
 ):
     """Vectorized windows for uniform-layout chunks — reset-aware.
@@ -1647,7 +1677,7 @@ def _rate_fold_uniform(
     return {
         "R": R_out, "t": t_out, "series": s_out, "tmpl": tmpl,
         "pos_keys": list(pos_idx), "neg_keys": list(neg_idx),
-        "p": p_all, "q": q_all, "starts": starts, "labels_arr": labels_arr,
+        "p": p_all, "q": q_all, "starts": starts, "sig_arr": sig_arr,
     }
 
 
@@ -1717,24 +1747,21 @@ def _rate_emit(out_cols, rows, out_schema):
 
         pos_col, pos_offs, pos_lens = list_col(pos_vals, pos_keys)
         neg_col, neg_offs, neg_lens = list_col(neg_vals, neg_keys)
-        # labels: constant per series
-        lab_cache = {}
-        keys_l, vals_l = [], []
+        # sig: constant per series
+        sig_cache = {}
+        sigs_l = []
         for gi in out_cols["series"]:
             gi = int(gi)
-            hit = lab_cache.get(gi)
+            hit = sig_cache.get(gi)
             if hit is None:
-                d = _gs_labels_at(
-                    out_cols["labels_arr"], int(out_cols["starts"][gi])
+                hit = _gs_sig_at(
+                    out_cols["sig_arr"], int(out_cols["starts"][gi])
                 )
-                hit = (list(d.keys()), list(d.values()))
-                lab_cache[gi] = hit
-            keys_l.append(hit[0])
-            vals_l.append(hit[1])
+                sig_cache[gi] = hit
+            sigs_l.append(hit)
         cv = [float(v) for v in tmpl.custom_values]
         data = {
-            "label_keys": pa.array(keys_l, type=pa.list_(pa.string())),
-            "label_values": pa.array(vals_l, type=pa.list_(pa.string())),
+            "sig": pa.array(sigs_l, type=pa.string()),
             "t": pa.array(out_cols["t"], type=pa.int64()),
             "value": pa.array([None] * k, type=pa.float64()),
             "has_hist": pa.array(np.ones(k, dtype=bool)),

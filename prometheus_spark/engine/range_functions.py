@@ -108,11 +108,8 @@ def eval_range_function(
     never change a labelset, only the drop_name flag).  ``mode`` selects
     the experimental anchored/smoothed semantics (boundary samples
     included, no extrapolation — functions.go:309 ``extendedRate``).
-    The histogram branches feed hist_arith, whose folds still take
-    labels inline — those join ``dim`` back on the (small) hist side
-    only; their outputs drop labels again before the union."""
-    def _hl(w):  # hist-branch labels re-attach
-        return w.join(dim, "sig")
+    The histogram branches feed hist_arith's sig-native folds directly
+    (round 12) — no labels join on either side of the fold."""
     if mode is not None:
         safe = _SMOOTHED_SAFE if mode == "smoothed" else _ANCHORED_SAFE
         if func not in safe:
@@ -133,7 +130,7 @@ def eval_range_function(
                 out = _union_hist(
                     out,
                     hist_arith.window_extended_rate(
-                        ctx, _hl(hist_w), range_ms,
+                        ctx, hist_w, range_ms,
                         is_counter=func != "delta", is_rate=func == "rate",
                         smoothed=mode == "smoothed",
                     ),
@@ -149,7 +146,7 @@ def eval_range_function(
                 out = _union_hist(
                     _resets_changes(ctx, flagged.filter(F.col("__has_h") == 0), func),
                     hist_arith.window_resets_changes(
-                        ctx, _hl(flagged.filter(F.col("__has_h") == 1)), func
+                        ctx, flagged.filter(F.col("__has_h") == 1), func
                     ),
                 )
             else:
@@ -168,7 +165,7 @@ def eval_range_function(
             from prometheus_spark.engine import hist_arith
 
             out_h = hist_arith.window_rate(
-                ctx, _hl(hist_w), range_ms,
+                ctx, hist_w, range_ms,
                 is_counter=func != "delta", is_rate=func == "rate",
             )
             out = _union_hist(out, out_h)
@@ -180,7 +177,7 @@ def eval_range_function(
 
             out_h = hist_arith.group_sum(
                 ctx,
-                _hl(hist_w).select("sig", "labels", "t", "hist", "sample_t"),
+                hist_w.select("sig", "t", "hist", "sample_t"),
                 avg=func == "avg_over_time",
                 drop_name=True,
                 order_col="sample_t",
@@ -204,7 +201,7 @@ def eval_range_function(
                     ctx, flagged.filter(F.col("__has_h") == 0), is_rate=func == "irate"
                 ),
                 hist_arith.window_instant_pair(
-                    ctx, _hl(flagged.filter(F.col("__has_h") == 1)),
+                    ctx, flagged.filter(F.col("__has_h") == 1),
                     is_rate=func == "irate",
                 ),
             )
@@ -221,7 +218,7 @@ def eval_range_function(
             out = _union_hist(
                 _resets_changes(ctx, flagged.filter(F.col("__has_h") == 0), func),
                 hist_arith.window_resets_changes(
-                    ctx, _hl(flagged.filter(F.col("__has_h") == 1)), func
+                    ctx, flagged.filter(F.col("__has_h") == 1), func
                 ),
             )
         else:
@@ -836,14 +833,11 @@ def eval_range_function_prefix(
                 ),
             )
         else:
-            kinds = base.groupBy("sig").agg(
-                F.max(F.col("hist").isNotNull().cast("int")).alias("__has_h"),
-                F.max(F.col("value").isNotNull().cast("int")).alias("__has_f"),
-            )
-            # no broadcast hint: AQE turns this into a broadcast join at
-            # runtime for any sane cardinality, while a forced broadcast
-            # of a 10M-series family would pin the driver at 100TB scale
-            flagged = base.join(kinds, "sig")
+            # engine series dim flags when available (no per-query
+            # scan); fallback aggregate keeps runtime-decided joins —
+            # a forced broadcast of a 10M-series family would pin the
+            # driver at 100TB scale (dim_hint handles that cutoff)
+            flagged = base.join(_kind_flags(ctx, base), "sig")
         base_f = flagged.filter(F.col("__has_h") == 0).select(*cols)
         from prometheus_spark.engine import hist_arith
 
@@ -857,7 +851,7 @@ def eval_range_function_prefix(
             hist_out = hist_arith.window_rate_asof(
                 ctx, pure_h, range_ms, offset_ms,
                 is_counter=func != "delta", is_rate=func == "rate",
-            ).drop("labels")
+            )
             mw, mdim = windowed_samples(ctx, mixed, range_ms, offset_ms=offset_ms)
             hist_out = hist_out.unionByName(
                 eval_range_function(ctx, func, mw, range_ms, dim=mdim).fact,
@@ -1149,6 +1143,27 @@ def hist_asof_threshold() -> int:
     return int(os.environ.get("PROMSPARK_HIST_ASOF_THRESHOLD", "4"))
 
 
+def _kind_flags(ctx: EvalContext, base: DataFrame) -> DataFrame:
+    """(sig, __has_h, __has_f) per series, for float/hist/mixed routing.
+
+    Preferred source: the engine series dim, which carries whole-frame
+    kind flags computed once per samples frame (a TSDB series index
+    knows its series' sample types) — rate queries then skip the
+    per-query full-scan kinds aggregation entirely.  Whole-frame flags
+    are CONSERVATIVE under the query's time filter: globally-pure-hist
+    ⊆ in-window-pure-hist (the fast paths' requirement), and any
+    global mix routes to the explode path, which is correct for every
+    per-window kind.  Fallback (contexts without an engine): the
+    narrow aggregate over the matched rows."""
+    sd = ctx.series_dim
+    if sd is not None and "__has_h" in sd.columns:
+        return ctx.dim_hint(sd.select("sig", "__has_h", "__has_f"))
+    return base.groupBy("sig").agg(
+        F.max(F.col("hist").isNotNull().cast("int")).alias("__has_h"),
+        F.max(F.col("value").isNotNull().cast("int")).alias("__has_f"),
+    )
+
+
 def eval_rate_hybrid(
     ctx: EvalContext,
     func: str,
@@ -1162,8 +1177,6 @@ def eval_rate_hybrid(
     path.  Bit-identical to the pure explode evaluation — the split
     only reroutes series whose every window the explode path would hand
     to ``window_rate`` anyway."""
-    from pyspark.sql.window import Window as W
-
     from prometheus_spark.engine import hist_arith
     from prometheus_spark.engine.selectors import (
         matcher_predicate,
@@ -1177,13 +1190,12 @@ def eval_rate_hybrid(
     lo = ctx.start_ms - offset_ms - range_ms
     hi = ctx.end_ms - offset_ms
     base = base.filter((F.col("t") > lo) & (F.col("t") <= hi))
-    flagged = base.withColumn(
-        "__has_h",
-        F.max(F.col("hist").isNotNull().cast("int")).over(W.partitionBy("sig")),
-    ).withColumn(
-        "__has_f",
-        F.max(F.col("value").isNotNull().cast("int")).over(W.partitionBy("sig")),
-    )
+    # per-series kind flags from the engine series dim (no per-query
+    # scan; see _kind_flags) — the previous per-sig Window shuffled
+    # and sorted every full-width histogram row before a single useful
+    # op ran (measured: 2× the cost of the rate fold itself on the
+    # native-hist macro bench)
+    flagged = base.join(_kind_flags(ctx, base), "sig")
     pure_h = flagged.filter(
         (F.col("__has_h") == 1) & (F.col("__has_f") == 0)
     ).drop("__has_h", "__has_f")
@@ -1196,7 +1208,7 @@ def eval_rate_hybrid(
     h = hist_arith.window_rate_asof(
         ctx, pure_h, range_ms, offset_ms,
         is_counter=func != "delta", is_rate=func == "rate",
-    ).drop("labels")
+    )
     return VectorFrame(
         fact=out.unionByName(h, allowMissingColumns=True), dim=dim
     )

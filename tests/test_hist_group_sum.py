@@ -128,14 +128,13 @@ def test_group_sum_vector_scalar_parity(spark, avg):
     fast = _run(ctx, df, avg, vector=True)
     slow = _run(ctx, df, avg, vector=False)
     assert set(fast) == set(slow)
-    # output sig is recomputed from the label set by assemble()
-    out_labels = [dict(r["labels"]) for r in fast.values()]
-    assert {"a": "v0"} in out_labels  # uniform groups present
-    assert {"a": "x"} not in out_labels  # incompatible group dropped
+    # sig-native fold (round 12): the group sig passes through verbatim
+    out_sigs = {k[0] for k in fast}
+    assert "sig0" in out_sigs  # uniform groups present
+    assert "sigX" not in out_sigs  # incompatible group dropped
     for k, rf in fast.items():
         rs = slow[k]
         assert rf["hist"] == rs["hist"], (k, rf["hist"], rs["hist"])
-        assert rf["labels"] == rs["labels"]
 
 
 def test_group_sum_avg_overflow_fallback(spark):

