@@ -88,9 +88,13 @@ def _regroup_split(vf: VectorFrame, node: AggregateExpr, extra: list = (), ctx: 
     gd = vf.dim.selectExpr(
         "sig", sig_sql(glabels) + " AS __gsig", glabels + " AS __glabels"
     )
+    gdim_rows = gd.select(
+        F.col("__gsig").alias("sig"), F.col("__glabels").alias("labels")
+    )
     dim = (
-        gd.select(F.col("__gsig").alias("sig"), F.col("__glabels").alias("labels"))
-        .dropDuplicates(["sig"])
+        ctx.dim_dedup(gdim_rows)
+        if ctx is not None
+        else gdim_rows.dropDuplicates(["sig"])
     )
     mapping = gd.select("sig", "__gsig")
     if ctx is not None:

@@ -373,7 +373,7 @@ def set_op(ctx: EvalContext, op: str, lhs: VectorFrame, rhs: VectorFrame, vm: Ve
         lkeys = l.select("msig", "t").distinct()
         extra = r.select(*l.columns).join(lkeys, ["msig", "t"], "left_anti")
         out = l.unionByName(extra)
-        dim = lhs.dim.unionByName(rhs.dim).dropDuplicates(["sig"])
+        dim = ctx.dim_dedup(lhs.dim.unionByName(rhs.dim))
     else:
         raise PromQLEvalError(op)
     return VectorFrame(fact=out.select(*cols), dim=dim)
@@ -451,8 +451,25 @@ def _vector_vector_split(
         *(["hist AS __ohist"] if has_hist else []),
     )
 
+    def _dup_msigs_possible(d) -> bool:
+        """Plan-time probe: can two of this side's SERIES share a match
+        signature?  Decidable from the tiny dim; when they can't, no
+        (msig, t) duplicate can exist and the window guard is elided —
+        the reference's check is an O(input) hash insert
+        (engine.go:3349 region), and a result-sized window exchange on
+        every strict binop was our single largest fixed overhead."""
+        return (
+            d.selectExpr(msig + " AS m")
+            .groupBy("m")
+            .count()
+            .filter("count > 1")
+            .limit(1)
+            .count()
+            > 0
+        )
+
     guard = "0.0D"
-    if ctx.strict:
+    if ctx.strict and _dup_msigs_possible(one_d):
         side = "right" if one_is_rhs else "left"
         one = one.selectExpr(
             "*",
@@ -464,7 +481,11 @@ def _vector_vector_split(
         guard = "coalesce(__chk, 0.0D)"
 
     joined = many.join(one, ["msig", "t"], "inner")
-    if ctx.strict and card == MatchCardinality.ONE_TO_ONE:
+    if (
+        ctx.strict
+        and card == MatchCardinality.ONE_TO_ONE
+        and _dup_msigs_possible(many_d)
+    ):
         joined = joined.selectExpr(
             "*",
             "CASE WHEN count(1) OVER (PARTITION BY msig, t) > 1 THEN "
@@ -528,9 +549,12 @@ def _vector_vector_split(
     if identity_result:
         dim = many_d
     else:
-        dim = mdim.select(
-            F.col("__rsig").alias("sig"), F.col("__rlabels").alias("labels")
-        ).dropDuplicates(["sig"])
+        dim = ctx.dim_dedup(
+            mdim.select(
+                F.col("__rsig").alias("sig"),
+                F.col("__rlabels").alias("labels"),
+            )
+        )
     return VectorFrame(fact=fact, dim=dim)
 
 

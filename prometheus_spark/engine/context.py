@@ -50,11 +50,26 @@ class EvalContext:
     # sets (a forced broadcast of a 10M-series dim would pin the
     # driver) — those keep runtime-decided joins.
     dims_broadcastable: bool = False
+    # True when the series dim is SMALL (engine-measured ≤ ~64k rows):
+    # dim-side dedups/aggregations then run on ONE partition —
+    # coalesce(1) satisfies the clustering requirement, so Catalyst
+    # plans NO exchange and AQE has no shuffle stage to re-optimize.
+    # Every elided dim exchange removes a scheduling round trip from
+    # the per-query latency floor (instant queries are dominated by
+    # stage round trips, not data).
+    dims_tiny: bool = False
 
     def dim_hint(self, df: "DataFrame") -> "DataFrame":
         from pyspark.sql import functions as F
 
         return F.broadcast(df) if self.dims_broadcastable else df
+
+    def dim_dedup(self, df: "DataFrame", *keys: str) -> "DataFrame":
+        """Per-series dedup of a dim-derived frame without an exchange
+        when the dim is tiny (see ``dims_tiny``)."""
+        if self.dims_tiny:
+            df = df.coalesce(1)
+        return df.dropDuplicates(list(keys) or ["sig"])
 
     @property
     def num_steps(self) -> int:

@@ -87,6 +87,7 @@ class PromQLEngine:
         self._plan_cache_lock = threading.Lock()
         self._series_dim: Optional[DataFrame] = None
         self._dims_broadcastable = False
+        self._dims_tiny = False
 
     def release_plans(self) -> None:
         """Drop every cached plan handle.
@@ -146,6 +147,9 @@ class PromQLEngine:
             self._dims_broadcastable = n <= int(
                 os.environ.get("PROMSPARK_DIM_BC_MAX", "2000000")
             )
+            self._dims_tiny = n <= int(
+                os.environ.get("PROMSPARK_DIM_TINY_MAX", "65536")
+            )
         return self._series_dim
 
     def release_series_dim(self) -> None:
@@ -182,6 +186,7 @@ class PromQLEngine:
             kahan=self.kahan,
             series_dim=self.series_dim,
             dims_broadcastable=self._dims_broadcastable,
+            dims_tiny=self._dims_tiny,
         )
 
     def instant_query(self, query: str, time_ms: int) -> DataFrame:
@@ -296,12 +301,36 @@ class PromQLEngine:
 
         fact, dim = result.fact, result.dim
         hist_cols = ["hist"] if "hist" in fact.columns else []
+        guard_needed = False
         if "drop_name" in fact.columns:
             dim2 = dim.selectExpr(
                 "sig", "labels", drop_metadata_sql("labels") + " AS __l_nd"
             ).selectExpr(
                 "sig", "labels", "__l_nd", sig_sql("__l_nd") + " AS __s_nd"
             )
+            if self.strict:
+                # Plan-time collision probe on the per-series dim:
+                # post-name-drop duplicates can only arise when two
+                # series' candidate output labelsets collide, which is
+                # decidable from the (tiny) dim alone.  The reference's
+                # check is an O(result) hash insert (engine.go:4283);
+                # a window-count guard over the full result was our
+                # equivalent but cost an output-sized exchange on
+                # EVERY name-dropping query (~10% of the macro bench).
+                # One dim-sized count here elides it whenever no
+                # labelsets can collide — the overwhelmingly common
+                # case; colliding dims keep the exact per-step guard.
+                guard_needed = (
+                    dim2.selectExpr(
+                        "explode(array_distinct(array(sig, __s_nd))) AS c"
+                    )
+                    .groupBy("c")
+                    .count()
+                    .filter("count > 1")
+                    .limit(1)
+                    .count()
+                    > 0
+                )
             if self._dims_broadcastable:
                 dim2 = F.broadcast(dim2)
             out = fact.join(dim2, "sig").selectExpr(
@@ -312,6 +341,8 @@ class PromQLEngine:
                 *hist_cols,
             )
         else:
+            # output sigs are the dim's sigs — deduped per series by
+            # construction, so no labelset collision is possible
             if self._dims_broadcastable:
                 dim = F.broadcast(dim)
             out = fact.join(dim, "sig").select(
@@ -319,7 +350,7 @@ class PromQLEngine:
             )
         if self.ordered:
             out = out.orderBy("sig", "t")
-        if self.strict:
+        if self.strict and guard_needed:
             from prometheus_spark.engine.guards import check_unique_labelsets
 
             out = check_unique_labelsets(out)

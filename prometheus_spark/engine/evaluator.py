@@ -452,11 +452,11 @@ class Evaluator:
             return FN.eval_absent(ctx, vf, _inferred_labels(node.args[0]))
         if fn == "label_replace":
             args = [self._string(a) for a in node.args[1:]]
-            return self._guarded(FN.eval_label_replace(self._vector(node.args[0]), *args))
+            return self._guarded(FN.eval_label_replace(self._vector(node.args[0]), *args, ctx=ctx))
         if fn == "label_join":
             dst, sep = self._string(node.args[1]), self._string(node.args[2])
             srcs = [self._string(a) for a in node.args[3:]]
-            return self._guarded(FN.eval_label_join(self._vector(node.args[0]), dst, sep, srcs))
+            return self._guarded(FN.eval_label_join(self._vector(node.args[0]), dst, sep, srcs, ctx=ctx))
         if fn in ("sort", "sort_desc"):
             # presentation-order only (functions.go:1046-1055); ordering is
             # applied by the result shaper; histogram samples are dropped
@@ -487,7 +487,7 @@ class Evaluator:
                 # native output sigs are the untouched series sigs — the
                 # input dim covers them; classic contributes its
                 # labels-minus-le dim
-                dim = classic.dim.unionByName(vf.dim).dropDuplicates(["sig"])
+                dim = ctx.dim_dedup(classic.dim.unionByName(vf.dim))
                 return self._guarded(VectorFrame(
                     fact=classic.fact.unionByName(native), dim=dim
                 ))
@@ -532,7 +532,7 @@ class Evaluator:
                 native = eval_hist_fraction_native(
                     ctx, lo, up, FN.filter_conflicting_native(vf)
                 )
-                dim = classic.dim.unionByName(vf.dim).dropDuplicates(["sig"])
+                dim = ctx.dim_dedup(classic.dim.unionByName(vf.dim))
                 return self._guarded(VectorFrame(
                     fact=classic.fact.unionByName(native), dim=dim
                 ))

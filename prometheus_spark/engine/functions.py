@@ -286,7 +286,8 @@ _LABEL_NAME_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
 
 
 def eval_label_replace(
-    vf: VectorFrame, dst: str, repl: str, src: str, regex: str
+    vf: VectorFrame, dst: str, repl: str, src: str, regex: str,
+    ctx: EvalContext = None,
 ) -> VectorFrame:
     """label_replace (functions.go:2483): fully-anchored regex on src label
     value; on match, dst := template expansion; empty result deletes dst."""
@@ -310,12 +311,22 @@ def eval_label_replace(
     )
     # writing __name__ re-establishes the name: clear the drop flag
     # (name_label_dropping.test:64; reference funcLabelReplace)
-    return _relabel(vf, labels, clear_flag=dst == "__name__")
+    return _relabel(vf, labels, clear_flag=dst == "__name__", ctx=ctx)
 
 
-def _relabel(vf: VectorFrame, labels: Column, clear_flag: bool) -> VectorFrame:
+def _relabel(
+    vf: VectorFrame, labels: Column, clear_flag: bool, ctx: EvalContext = None
+) -> VectorFrame:
     """Apply a labels→labels transform: computed once per SERIES on the
-    dim; the fact swaps sigs through a narrow (sig → __nsig) join."""
+    dim; the fact swaps sigs through a narrow (sig → __nsig) join.
+
+    Re-signing is the one place distinct SERIES can collapse onto one
+    sig, which the deduped output dim then hides from the finalize-time
+    collision probe — so the duplicate-labelset guard runs HERE, and
+    only when a plan-time probe of the (tiny) mapping shows two series
+    actually sharing a new sig (functions.test:527,591,2072,2075 pin
+    the error; the probe keeps the common non-colliding relabel free of
+    the result-sized guard exchange)."""
     mapping = vf.dim.select(
         "sig",
         sig_expr(labels).alias("__nsig"),
@@ -327,13 +338,30 @@ def _relabel(vf: VectorFrame, labels: Column, clear_flag: bool) -> VectorFrame:
         F.col("__nsig").alias("sig"), "t", "sample_t", "value",
         flag.alias("drop_name"), *hist_cols,
     )
-    dim = mapping.select(
+    if ctx is not None and ctx.strict:
+        colliding = (
+            mapping.groupBy("__nsig")
+            .count()
+            .filter("count > 1")
+            .limit(1)
+            .count()
+            > 0
+        )
+        if colliding:
+            from prometheus_spark.engine.guards import check_unique_labelsets
+
+            fact = check_unique_labelsets(fact)
+    ndim = mapping.select(
         F.col("__nsig").alias("sig"), F.col("__nlabels").alias("labels")
-    ).dropDuplicates(["sig"])
+    )
+    dim = ctx.dim_dedup(ndim) if ctx is not None else ndim.dropDuplicates(["sig"])
     return VectorFrame(fact=fact, dim=dim)
 
 
-def eval_label_join(vf: VectorFrame, dst: str, sep: str, srcs: list[str]) -> VectorFrame:
+def eval_label_join(
+    vf: VectorFrame, dst: str, sep: str, srcs: list[str],
+    ctx: EvalContext = None,
+) -> VectorFrame:
     if not _LABEL_NAME_RE.match(dst):
         raise PromQLEvalError(f"label_join: invalid destination label {dst!r}")
     parts = [F.coalesce(F.element_at("labels", F.lit(s)), F.lit("")) for s in srcs]
@@ -344,7 +372,7 @@ def eval_label_join(vf: VectorFrame, dst: str, sep: str, srcs: list[str]) -> Vec
     )
     without_dst = F.map_filter("labels", lambda k, _: k != F.lit(dst))
     labels = F.when(newv == "", without_dst).otherwise(with_dst)
-    return _relabel(vf, labels, clear_flag=dst == "__name__")
+    return _relabel(vf, labels, clear_flag=dst == "__name__", ctx=ctx)
 
 
 _NO_LE_SQL = "map_filter(labels, (k, v) -> k != 'le')"
@@ -430,33 +458,80 @@ def _classic_buckets(vf: VectorFrame, ctx: EvalContext = None):
         _NO_LE_SQL + " AS __clabels",
         _parse_le_sql(_LE_SQL) + " AS __le",
     ).filter("__le IS NOT NULL")
-    merge_dups = (
-        "aggregate(__raw, "
-        "CAST(array() AS ARRAY<STRUCT<le: DOUBLE, c: DOUBLE>>), "
-        "(acc, b) -> CASE WHEN size(acc) > 0 "
-        "AND element_at(acc, -1).le = b.le "
-        "THEN concat(slice(acc, 1, size(acc) - 1), "
-        "array(named_struct('le', b.le, "
-        "'c', element_at(acc, -1).c + b.c))) "
-        "ELSE concat(acc, array(b)) END)"
+    mapping = (
+        bdim.select("sig", "__csig", "__le")
+        if ctx is None
+        else ctx.dim_hint(bdim.select("sig", "__csig", "__le"))
     )
-    grouped = (
-        vf.fact.filter("value IS NOT NULL")  # histogram samples aside
-        .join(bdim.select("sig", "__csig", "__le") if ctx is None else ctx.dim_hint(bdim.select("sig", "__csig", "__le")), "sig")
-        .selectExpr(
-            "__csig AS csig", "t",
-            "named_struct('le', __le, 'c', value) AS b",
+    joined = vf.fact.filter("value IS NOT NULL").join(  # hist samples aside
+        mapping, "sig"
+    )
+    # The le domain is a per-METRIC-FAMILY constant (a handful of
+    # bucket bounds), knowable at plan time from the tiny dim.  With it,
+    # the bucket-array build becomes a dense pivot — one conditional sum
+    # per bound — which runs as a map-side-combining HashAggregate
+    # instead of a collect_list ObjectHashAggregate shuffling every
+    # (sample × bound) row (measured 2× on the reference macro-bench's
+    # histogram_quantile(0.9, rate(h_hundred[5m]))).  Duplicate le
+    # representations ("0.2", "2e-1") parse to one double and SUM —
+    # exactly coalesceBuckets' merge (quantile.go:620).  Wide or
+    # unknown domains (dim-less contexts) keep the collect_list path.
+    les = None
+    if ctx is not None:
+        les = sorted(
+            r["__le"]
+            for r in bdim.select("__le").distinct().collect()
+            if r["__le"] is not None
         )
-        .groupBy("csig", "t")
-        .agg(F.expr("sort_array(collect_list(b))").alias("__raw"))
-        .selectExpr("csig", "t", merge_dups + " AS bs")
-    )
+    if les and len(les) <= 64:
+        from prometheus_spark.engine.aggregations import float_sql
+
+        aggs = [
+            F.sum(F.when(F.col("__le") == F.lit(v), F.col("value"))).alias(
+                f"__b{i}"
+            )
+            for i, v in enumerate(les)
+        ]
+        entries = ", ".join(
+            f"named_struct('le', {float_sql(v)}, 'c', __b{i})"
+            for i, v in enumerate(les)
+        )
+        grouped = (
+            joined.selectExpr("__csig AS csig", "t", "__le", "value")
+            .groupBy("csig", "t")
+            .agg(*aggs)
+            .selectExpr(
+                "csig", "t",
+                f"filter(array({entries}), b -> b.c IS NOT NULL) AS bs",
+            )
+        )
+    else:
+        merge_dups = (
+            "aggregate(__raw, "
+            "CAST(array() AS ARRAY<STRUCT<le: DOUBLE, c: DOUBLE>>), "
+            "(acc, b) -> CASE WHEN size(acc) > 0 "
+            "AND element_at(acc, -1).le = b.le "
+            "THEN concat(slice(acc, 1, size(acc) - 1), "
+            "array(named_struct('le', b.le, "
+            "'c', element_at(acc, -1).c + b.c))) "
+            "ELSE concat(acc, array(b)) END)"
+        )
+        grouped = (
+            joined.selectExpr(
+                "__csig AS csig", "t",
+                "named_struct('le', __le, 'c', value) AS b",
+            )
+            .groupBy("csig", "t")
+            .agg(F.expr("sort_array(collect_list(b))").alias("__raw"))
+            .selectExpr("csig", "t", merge_dups + " AS bs")
+        )
     conflicts = _classic_native_conflicts(vf)
     if conflicts is not None:
         grouped = grouped.join(F.broadcast(conflicts), ["csig", "t"], "left_anti")
-    dim = bdim.select(
+    cdim = bdim.select(
         F.col("__csig").alias("sig"), F.col("__clabels").alias("labels")
-    ).dropDuplicates(["sig"])
+    )
+    dim = ctx.dim_dedup(cdim) if ctx is not None else cdim.dropDuplicates(["sig"])
     return grouped.selectExpr("csig AS sig", "t", "bs"), dim
 
 

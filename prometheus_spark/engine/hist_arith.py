@@ -242,7 +242,7 @@ def binop_add_sub(ctx: EvalContext, pairs: DataFrame, sub: bool) -> DataFrame:
     keyed = pairs.select(
         sig_expr(F.col("labels")).alias("sig"), "labels", "t", "__lh", "__rh"
     )
-    ldim = keyed.select("sig", "labels").dropDuplicates(["sig"])
+    ldim = ctx.dim_dedup(keyed.select("sig", "labels"))
     src = keyed.select("sig", "t", "__lh", "__rh")
 
     def batches(it: Iterator) -> Iterator:
@@ -285,7 +285,7 @@ def trim_scalar(ctx: EvalContext, src: DataFrame, is_upper: bool) -> DataFrame:
     keyed = src.select(
         sig_expr(F.col("labels")).alias("sig"), "labels", "t", "hist", "__s"
     )
-    ldim = keyed.select("sig", "labels").dropDuplicates(["sig"])
+    ldim = ctx.dim_dedup(keyed.select("sig", "labels"))
 
     def batches(it: Iterator) -> Iterator:
         from prometheus_spark.model.histogram import from_row, hist_trim_buckets
@@ -1010,7 +1010,7 @@ def smoothed_instant_hist(
     from prometheus_spark.shipping import ensure_shipped
 
     ensure_shipped(ctx.spark)
-    ldim = df.select("sig", "labels").dropDuplicates(["sig"])
+    ldim = ctx.dim_dedup(df.select("sig", "labels"))
     src = df.select("sig", "t", "value", "hist")
     lb = ctx.lookback_ms
     start, end, step = ctx.start_ms, ctx.end_ms, ctx.step_ms

@@ -939,6 +939,11 @@ def eval_range_function_prefix(
             ignorenulls=True,
         ).over(upto).alias("__b"),
     )
+    # backward carry: the first sample AFTER the window start, found by
+    # a descending re-sort.  (A [1, unboundedFollowing] frame on the
+    # ascending order would avoid the second sort but Spark's
+    # unbounded-following frame processor re-scans the remainder per
+    # row — measured O(n²), 8× worse than the sort.)
     desc = (
         W.partitionBy("sig")
         .orderBy(F.desc("pt"), F.desc("ord"))
