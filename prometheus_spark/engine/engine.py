@@ -278,19 +278,56 @@ class PromQLEngine:
                 )
                 out = result.df.select(
                     F.lit("").alias("sig"), empty.alias("labels"), "t", "value"
-                ).orderBy("t")
+                )
+                if ctx.num_steps <= self._sort_one_max():
+                    out = out.repartitionByRange(1, "t").sortWithinPartitions("t")
+                else:
+                    out = out.orderBy("t")
                 self._plan_cache_put(key, out, (_time.monotonic() - t0) * 1000.0)
                 return out
             if isinstance(result, StringValue):
                 raise ValueError("string results are API-only; not a DataFrame")
             if isinstance(result, VectorFrame):
                 with span("promqlSort"):
-                    out = self._finalize_vf(result)
+                    out = self._finalize_vf(result, num_steps=ctx.num_steps)
                 self._plan_cache_put(key, out, (_time.monotonic() - t0) * 1000.0)
                 return out
             raise TypeError(f"unexpected result {type(result).__name__}")
 
-    def _finalize_vf(self, result: VectorFrame) -> DataFrame:
+    def _sort_one_max(self) -> int:
+        """Estimated-row cap under which the result sort runs on ONE
+        range partition.  A global ``orderBy`` plans a range exchange
+        whose partitioner SAMPLES its child — re-executing the entire
+        query chain once just to pick split points (measured: the two
+        window/aggregate stages of ``rate(x[1d])`` each run twice,
+        doubling query CPU).  ``repartitionByRange(1, ...)`` skips
+        sampling outright (RangePartitioner computes no bounds for a
+        single partition), so small results — the overwhelming majority
+        of PromQL answers: series × steps rows — pay one parallel map
+        pass plus a single-task merge sort instead of two full
+        executions.  Large results keep the sampled range sort, whose
+        parallel sort amortizes the double execution."""
+        import os
+
+        return int(os.environ.get("PROMSPARK_SORT_ONE_MAX", "1000000"))
+
+    def _ordered_out(self, out: DataFrame, dim, num_steps) -> DataFrame:
+        small = False
+        if num_steps is not None and num_steps > 0 and dim is not None:
+            need = self._sort_one_max() // num_steps + 1
+            try:
+                # bounded probe: is the per-series dim smaller than the
+                # row budget allows?  limit() caps the plan-time scan.
+                small = dim.limit(need).count() < need
+            except Exception:  # pragma: no cover — probe must never fail a query
+                small = False
+        if small:
+            return out.repartitionByRange(1, "sig", "t").sortWithinPartitions(
+                "sig", "t"
+            )
+        return out.orderBy("sig", "t")
+
+    def _finalize_vf(self, result: VectorFrame, num_steps=None) -> DataFrame:
         """Split-frame finalization: the delayed-name-removal relabel and
         its re-signature run on the per-series DIM (one row per series ×
         drop flag), not per output row; the fact joins the two candidate
@@ -349,7 +386,7 @@ class PromQLEngine:
                 "sig", "labels", "t", "value", *hist_cols
             )
         if self.ordered:
-            out = out.orderBy("sig", "t")
+            out = self._ordered_out(out, result.dim, num_steps)
         if self.strict and guard_needed:
             from prometheus_spark.engine.guards import check_unique_labelsets
 

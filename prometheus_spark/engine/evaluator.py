@@ -328,9 +328,12 @@ class Evaluator:
                     rng = resolve_duration_ms(m_node.range_ms, qc)
                     off = resolve_duration_ms(m_node.selector.offset_ms, qc)
                     thr = RF.prefix_threshold()
-                    if thr == 0 or (
-                        not ctx.is_instant and rng // ctx.step_ms >= thr
-                    ):
+                    # instant queries route here too: their step grid is
+                    # 1 ms wide, so range//step always clears the
+                    # threshold — and the explode path's JVM array fold
+                    # (collect_list + F.aggregate) measures ~4 s on a
+                    # [1d] window where the as-of scalar loop is ~ms
+                    if thr == 0 or rng // ctx.step_ms >= thr:
                         return RF.eval_des_asof(
                             ctx, m_node.selector, rng, off,
                             self._scalar(node.args[1]),

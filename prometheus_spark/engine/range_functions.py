@@ -746,6 +746,27 @@ def _holt_winters(ctx: EvalContext, windowed: DataFrame, sf, tf) -> DataFrame:
     return _finish(out, ctx)
 
 
+def _pyfold_repartition(ctx: EvalContext, df: DataFrame) -> DataFrame:
+    """Explicit sig-hash repartition ahead of a CPU-bound Python fold.
+
+    ``groupBy(sig).applyInPandas`` plans its own exchange, and AQE then
+    coalesces it by SHUFFLE BYTES — but these folds cost milliseconds of
+    Python per series while compressing to a few KB, so byte-based
+    coalescing serializes them onto a handful of tasks (measured: the
+    DES fold for 100 series ran on 9-12 tasks, wall ≈ series/task ×
+    fold time).  A user-specified repartition is exempt from AQE
+    coalescing and its hash partitioning satisfies the groupBy's
+    clustering requirement, so no second exchange is planned.  2× the
+    scheduler parallelism keeps hash-placement skew (a few series per
+    task) from doubling the stage wall."""
+    import os
+
+    p = int(
+        os.environ.get("PROMSPARK_PYFOLD_PARTITIONS", "0")
+    ) or 2 * ctx.spark.sparkContext.defaultParallelism
+    return df.repartition(p, "sig")
+
+
 # ---------------------------------------------------------------------
 # prefix/as-of fast path
 
@@ -1094,6 +1115,28 @@ def eval_des_asof(
             )
         start = left[valid]
         length = n[valid]
+        if int(valid.sum()) <= 4:
+            # few valid steps (instant queries): the lane-vectorized
+            # fold below degenerates to ~6 numpy calls per SAMPLE on
+            # 1-wide arrays — a plain float loop is ~50× cheaper and
+            # performs the identical IEEE-754 op sequence
+            lv = []
+            for s, ln in zip(start.tolist(), length.tolist()):
+                level_s = float(vs[s])
+                trend_s = float(vs[s + 1]) - level_s
+                for j in range(1, ln):
+                    x = float(vs[s + j])
+                    nl = a * x + oma * (level_s + trend_s)
+                    trend_s = b * (nl - level_s) + omb * trend_s
+                    level_s = nl
+                lv.append(level_s)
+            return pd.DataFrame(
+                {
+                    "sig": pdf["sig"].iloc[0],
+                    "t": step_arr[valid],
+                    "value": np.asarray(lv, dtype=np.float64),
+                }
+            )
         level = vs[start].copy()
         trend = vs[start + 1] - vs[start]
         last = len(vs) - 1
@@ -1119,9 +1162,13 @@ def eval_des_asof(
     from prometheus_spark.engine.selectors import selector_dim
 
     dim = selector_dim(ctx, selector.matchers, base)
-    res = base.select("sig", "t", "value").groupBy("sig").applyInPandas(
-        des_series,
-        schema="sig string, t long, value double",
+    res = (
+        _pyfold_repartition(ctx, base.select("sig", "t", "value"))
+        .groupBy("sig")
+        .applyInPandas(
+            des_series,
+            schema="sig string, t long, value double",
+        )
     )
     # pyarrow's pandas bridge reads float NaN as null; the recurrence
     # never produces a genuine null, so restore NaN on the way out

@@ -51,6 +51,14 @@ RECOMMENDED = {
     # one forced-path corpus file (the round-11 GC storm's JVM half).
     # 1m caps the per-relation floor; large shuffles just chain pages.
     "spark.buffer.pageSize": "1m",
+    # AQE coalescing sizes partitions by SHUFFLE BYTES (1m floor by
+    # default), but engine operator stages are CPU-bound per row —
+    # window chains over (sig, t) cost ~10 µs/row while compressing to
+    # ~20 bytes/row, so a 20 MB shuffle carrying 10+ s of CPU gets
+    # squeezed onto a third of the cores (measured: rate(x[1d])'s
+    # window stage at 15/32 tasks).  A 256k floor keeps such stages at
+    # the configured parallelism; genuinely tiny shuffles still merge.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "256k",
 }
 
 
