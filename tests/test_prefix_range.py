@@ -91,13 +91,16 @@ def test_default_gate_uses_fast_path_on_wide_ratio(spark, samples):
     eng = PromQLEngine(spark, samples)
     df = eng.range_query("rate(c[1000s])", 100_000, 1_150_000, 10_000)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Generate explode" not in plan or "cum_drop" in plan
-    # fast-path signature: the probe union + prefix-sum window carry
-    assert "cum_drop" in plan
+    # fast-path signature: the Arrow stats fold (series_stats grouped-map)
+    # or, under PROMSPARK_PREFIX_IMPL=sql, the prefix-sum window carry
+    fast_marker = ("series_stats" in plan) or ("cum_drop" in plan)
+    assert "Generate explode" not in plan or fast_marker
+    assert fast_marker
 
     df2 = eng.range_query("rate(c[50s])", 100_000, 1_150_000, 10_000)
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
-    assert "cum_drop" not in plan2  # narrow ratio stays on explode
+    # narrow ratio stays on explode
+    assert "series_stats" not in plan2 and "cum_drop" not in plan2
 
 
 DES_QUERIES = [
