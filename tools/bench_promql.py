@@ -368,6 +368,15 @@ def main() -> None:
         # The 1m default stays for the corpus/tests/server personas
         # (many tiny broadcasts, small shuffles).
         .config("spark.buffer.pageSize", os.environ.get("PAGESZ", "64m"))
+        # System.gc() (the periodic shuffle-file hygiene below) otherwise
+        # triggers a FULL G1 collection: 48g heap compaction + region
+        # uncommit, whose re-expansion allocation stalls poison the next
+        # case (measured 56 s for a 2.9 s query).  A concurrent cycle
+        # still processes the weak/phantom refs the ContextCleaner needs.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+ExplicitGCInvokesConcurrent",
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -421,6 +430,13 @@ def main() -> None:
 
             _gc.collect()
             spark.sparkContext._jvm.System.gc()
+            # the gc kicks off ASYNC work (ContextCleaner shuffle-file
+            # removal, G1 region uncommit/recommit); without a settle
+            # pause that work lands inside the NEXT case's timed runs —
+            # event-log forensics showed the case right after a gc
+            # boundary spending 24-48x its normal CPU in allocation
+            # stalls (zero reported GC time, zero fetch wait)
+            time.sleep(2.0)
         name = f"expr={expr},steps={steps}"
         try:
             best = None
