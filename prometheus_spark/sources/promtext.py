@@ -189,7 +189,10 @@ def _fast_parse_cols(s, default_ts):
     )
     t = F.coalesce(ts_parsed, default_ts)
     # '",'-boundary split keeps both quotes on every pair (lookbehind),
-    # so inner whitespace of quoted values survives the per-pair trim
+    # so inner whitespace of quoted values survives the per-pair trim.
+    # (A single-transform entry-struct variant was measured SLOWER than
+    # these parallel primitive-array transforms — per-pair struct
+    # allocation outweighs the saved traversals.)
     parts = F.split(blob, r'(?<=")\s*,')
     parts = F.filter(
         F.transform(parts, lambda p: F.trim(p)), lambda p: p != F.lit("")
@@ -242,62 +245,29 @@ def parse_exposition_df(
 def _parse_hybrid_onepass(
     src: DataFrame, line_col: str, ts_col: Optional[str]
 ) -> DataFrame:
-    """Single-pass hybrid: classify ONCE per line in one projection;
-    fast lines parse in whole-stage codegen, slow lines go to an Arrow
-    UDF that receives NULL for fast rows (nulls cost nothing to ship).
+    """Hybrid fast/slow parse — filter + union.
 
-    The previous filter+union shape scanned the source twice and
-    evaluated the classifier regex per branch — measured as most of the
-    hybrid's overhead vs the JVM-only parse (BENCH_INGEST stage split:
-    the fallback branch's second scan + duplicate classifier ate ~half
-    of the fast path's isolated 5× win).  One projection also keeps the
-    plan streaming-safe (no checkpoint/cache barrier).
+    A true one-pass formulation was built and MEASURED SLOWER (round 12):
+    wrapping the fast parse in ``explode(array(struct(...)))`` so slow
+    lines' multi-sample arrays could share one projection costs +2.7 s
+    on 4.5M lines (per-row array+struct allocation through Generate) and
+    the null-input Arrow UDF node adds another ~1 s — 4.9 s total vs
+    1.8 s for this shape.  The union's duplicated work is small: the
+    classifier regex is 0.33 s/pass and the source re-scan is a
+    localCheckpoint/file read, while each branch keeps a flat
+    whole-stage-codegen projection.
     """
-    import pandas as pd
-
     from pyspark.sql import functions as F
-
-    from prometheus_spark.shipping import ensure_shipped
-
-    ensure_shipped(src.sparkSession)
-
-    @F.pandas_udf(T.ArrayType(T.StructType(PARSED_SCHEMA.fields)))
-    def _slow_parse(line: "pd.Series", default_ts: "pd.Series") -> "pd.Series":
-        out = []
-        for ln, ts in zip(line, default_ts):
-            if ln is None:
-                out.append(None)
-                continue
-            rows = [
-                {
-                    "label_keys": list(labels.keys()),
-                    "label_values": list(labels.values()),
-                    "t": t,
-                    "value": v,
-                }
-                for labels, t, v in parse_exposition_text(ln, int(ts))
-            ]
-            out.append(rows)
-        return pd.Series(out, dtype=object)
 
     s = F.trim(F.col(line_col))
     is_content = (s != F.lit("")) & (~s.startswith("#"))
-    content = src.filter(is_content)
     default_ts = F.col(ts_col).cast("long") if ts_col else F.lit(0).cast("long")
-    fast = F.struct(*_fast_parse_cols(s, default_ts))
-    is_fast = s.rlike(_FAST_LINE_RE)
-    rows = F.when(is_fast, F.array(fast)).otherwise(
-        _slow_parse(F.when(~is_fast, s), default_ts)
+    is_fast = is_content & s.rlike(_FAST_LINE_RE)
+    fast = src.filter(is_fast).select(*_fast_parse_cols(s, default_ts))
+    slow = _parse_python(
+        src.filter(is_content & ~s.rlike(_FAST_LINE_RE)), line_col, ts_col
     )
-    parsed = content.select(F.explode(rows).alias("__r")).select(
-        "__r.label_keys", "__r.label_values", "__r.t", "__r.value"
-    )
-    # pandas→Arrow folds float NaN into null on the slow branch; the
-    # parsers never emit null values, so restore NaN (a scraped NaN must
-    # ingest as NaN — differential-test-caught bug, round 11)
-    return parsed.withColumn(
-        "value", F.coalesce(F.col("value"), F.lit(float("nan")))
-    )
+    return fast.unionByName(slow)
 
 
 def _parse_python(src: DataFrame, line_col: str, ts_col: Optional[str]) -> DataFrame:
@@ -347,11 +317,25 @@ def to_samples(parsed: DataFrame) -> DataFrame:
     """Parsed rows → canonical samples layout (adds sig/name/stale)."""
     from pyspark.sql import functions as F
 
-    from prometheus_spark.model.labels import sig_expr
+    from prometheus_spark.model.labels import KV_SEP, PAIR_SEP
 
+    # signature straight from the parallel arrays: building the map first
+    # and re-extracting entries (sig_expr) costs an extra per-row
+    # map build + entries pass — measured 0.55 s / 4.5M samples on the
+    # append stage; byte-identical sigs (exceptAll == 0 rows)
+    entries = F.array_sort(
+        F.arrays_zip(
+            F.col("label_keys").alias("key"),
+            F.col("label_values").alias("value"),
+        )
+    )
+    sig = F.array_join(
+        F.transform(entries, lambda e: F.concat_ws(KV_SEP, e["key"], e["value"])),
+        PAIR_SEP,
+    )
     labels = F.map_from_arrays("label_keys", "label_values")
     return parsed.select(
-        sig_expr(labels).alias("sig"),
+        sig.alias("sig"),
         F.element_at(labels, F.lit("__name__")).alias("name"),
         labels.alias("labels"),
         "t",

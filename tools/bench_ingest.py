@@ -115,10 +115,20 @@ def main() -> None:
         .localCheckpoint()  # materialize inputs: stages time work, not gen
     )
 
+    # min-of-N steady state, matching the other suites' methodology
+    # (bench_promql/bench.py: the reference's go-bench loop measures
+    # steady state; single-shot numbers on this box carry ±10% noise —
+    # three identical-code runs measured 761/915/932 k samples/s)
+    runs = int(os.environ.get("BENCH_INGEST_RUNS", "2"))
+
     def timed(df, agg_cols) -> float:
-        t0 = time.monotonic()
-        df.agg(*agg_cols).collect()
-        return time.monotonic() - t0
+        best = None
+        for _ in range(max(1, runs)):
+            t0 = time.monotonic()
+            df.agg(*agg_cols).collect()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        return best
 
     # warm-up: compile codegen + spin Arrow python workers on a slice
     warm = lines.limit(5000)
@@ -179,6 +189,8 @@ def main() -> None:
             total_samples / results["openmetrics_parse_sec"]
         ),
         "cpus": cpus,
+        "runs": runs,
+        "timing": "min",
     }
     print(json.dumps(out))
     with open(os.path.join(REPO, "BENCH_INGEST.json"), "w") as f:
