@@ -387,17 +387,16 @@ def vector_vector(
         return set_op(ctx, node.op, lhs, rhs, vm)
     has_hist = "hist" in lhs.fact.columns or "hist" in rhs.fact.columns
     # Split fast path for the common shapes: no group_left/right include
-    # labels, no fill modifiers, no histogram arithmetic/trim — there the
-    # result labelset is a function of the MANY side's labels alone, so
-    # match sig AND result (sig, labels) both compute per series on the
-    # dim and the (msig, t) equi-join moves only narrow fact rows.  The
-    # label-entangled shapes (includes pull label values from the one
-    # side per pair; fills synthesize rows) keep the legacy inline-labels
-    # plan.
+    # labels, no histogram arithmetic/trim — there the result labelset
+    # is a function of the MANY side's labels alone (fill-synthesized
+    # rows take the one side's match labels, which also compute per
+    # SERIES on the one dim), so match sig AND result (sig, labels)
+    # both compute per series on the dims and the (msig, t) equi-join
+    # moves only narrow fact rows.  The label-entangled shapes (includes
+    # pull label values from the one side per matched pair) keep the
+    # legacy inline-labels plan.
     if not (
         vm.include
-        or node.fill_lhs is not None
-        or node.fill_rhs is not None
         or node.op in ("</", ">/")
         or (has_hist and node.op in ("+", "-", "*", "/"))
     ):
@@ -441,14 +440,54 @@ def _vector_vector_split(
             rlabels + " AS __rlabels",
         )
     many = many_f.join(ctx.dim_hint(mdim.select("sig", "msig", "__rsig")), "sig")
-    one = one_f.join(
-        ctx.dim_hint(one_d.selectExpr("sig", msig + " AS msig")), "sig"
-    ).selectExpr(
+
+    # fill modifiers (ast.go:329): fill_lhs always fills the "many"
+    # side and fill_rhs the "one" side (the reference swaps operands
+    # for group_right but not the fill values; fill-modifier.test:185).
+    fill_many = node.fill_lhs
+    fill_one = node.fill_rhs
+    if fill_many is not None and fill_one is not None:
+        how = "full_outer"
+    elif fill_many is not None:
+        how = "right_outer"  # keep unmatched "one" rows
+    elif fill_one is not None:
+        how = "left_outer"  # keep unmatched "many" rows
+    else:
+        how = "inner"
+
+    fdim = None
+    one_map = one_d.selectExpr("sig", msig + " AS msig")
+    if fill_many is not None:
+        # Synthetic many-side rows take the one side's MATCH labels as
+        # their labelset, then the result-labels shaping — both pure
+        # functions of the one side's labels, so computed once per
+        # SERIES on the one dim (legacy-path parity: coalesce(labels,
+        # match_labels) before the result select).
+        on = vm.labels if vm.on else None
+        ignoring = vm.labels if not vm.on else None
+        rl = _result_labels_sql(vm)
+        fmap = one_d.select(
+            F.col("sig"),
+            F.expr(msig).alias("msig"),
+            _match_labels_map(F.col("labels"), on, ignoring).alias("labels"),
+        ).selectExpr(
+            "sig",
+            "msig",
+            sig_sql(rl) + " AS __fsig",
+            rl + " AS __flabels",
+        )
+        one_map = fmap.select("sig", "msig", "__fsig")
+        fdim = fmap.select(
+            F.col("__fsig").alias("sig"), F.col("__flabels").alias("labels")
+        )
+
+    one = one_f.join(ctx.dim_hint(one_map), "sig").selectExpr(
         "msig",
         "t",
         "value AS __ov",
         "drop_name AS __odrop",
         *(["hist AS __ohist"] if has_hist else []),
+        *(["__fsig"] if fill_many is not None else []),
     )
 
     def _dup_msigs_possible(d) -> bool:
@@ -480,7 +519,15 @@ def _vector_vector_split(
         )
         guard = "coalesce(__chk, 0.0D)"
 
-    joined = many.join(one, ["msig", "t"], "inner")
+    joined = many.join(one, ["msig", "t"], how)
+    if fill_one is not None:
+        joined = joined.withColumn(
+            "__ov", F.coalesce(F.col("__ov"), F.lit(float(fill_one)))
+        )
+    if fill_many is not None:
+        joined = joined.withColumn(
+            "value", F.coalesce(F.col("value"), F.lit(float(fill_many)))
+        )
     if (
         ctx.strict
         and card == MatchCardinality.ONE_TO_ONE
@@ -538,8 +585,9 @@ def _vector_vector_split(
     if has_hist and node.op in COMPARISON_OPS and not node.return_bool:
         hist_out = [("hist" if one_is_rhs else "__ohist") + " AS hist"]
 
+    sig_out = "coalesce(__rsig, __fsig)" if fill_many is not None else "__rsig"
     fact = joined.selectExpr(
-        "__rsig AS sig",
+        sig_out + " AS sig",
         "t",
         "t AS sample_t",
         value + " AS value",
@@ -555,6 +603,8 @@ def _vector_vector_split(
                 F.col("__rlabels").alias("labels"),
             )
         )
+    if fdim is not None:
+        dim = ctx.dim_dedup(dim.unionByName(fdim))
     return VectorFrame(fact=fact, dim=dim)
 
 
