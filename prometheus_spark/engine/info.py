@@ -77,14 +77,15 @@ def eval_info(
     info_vf = eval_vector_selector(ctx, VectorSelector(None, effective))
 
     # base series that are themselves info metrics pass through unenriched
+    # — carried as a flag on ONE pass over the base frame (a filter+union
+    # pair would execute the upstream plan twice; r12)
     base_name = F.coalesce(
         F.element_at("labels", F.lit(METRIC_NAME_LABEL)), F.lit("")
     )
     is_info = F.lit(True)
     for m in effective:
         is_info = is_info & _matcher_on_value(m, base_name)
-    passthrough = base.df.filter(is_info)
-    enrichable = base.df.filter(~is_info)
+    flagged = base.df.withColumn("__isinfo", is_info)
 
     ident = F.array(*[F.lit(k) for k in IDENTIFYING_LABELS])
     data_labels = F.map_filter(
@@ -148,14 +149,18 @@ def eval_info(
         ).alias("__data")
     )
 
-    b = enrichable.withColumn(
+    b = flagged.withColumn(
         "__binst", F.coalesce(F.element_at("labels", F.lit("instance")), F.lit(""))
     ).withColumn("__bjob", F.coalesce(F.element_at("labels", F.lit("job")), F.lit("")))
+    # info-series rows are excluded from the match (they pass through
+    # unenriched): the ~__isinfo term makes them left-join misses, so
+    # their data map coalesces to empty below
     joined = b.join(
         F.broadcast(info),
         (b["__binst"] == info["__inst"])
         & (b["__bjob"] == info["__job"])
-        & (b["t"] == info["__it"]),
+        & (b["t"] == info["__it"])
+        & ~b["__isinfo"],
         "left",
     )
 
@@ -172,20 +177,22 @@ def eval_info(
             val = F.element_at(data, F.lit(m.name))
         cond = _matcher_on_value(m, val)
         keep = keep & cond  # matchers accepting "" pass on absent labels
-    joined = joined.filter(keep)
+    joined = joined.filter(F.col("__isinfo") | keep)
 
     base_keys = F.map_keys(F.col("labels"))
     addable = F.map_filter(data, lambda k, _: ~F.array_contains(base_keys, k))
     new_labels = F.map_concat(F.col("labels"), addable)
 
     out = joined.select(
-        sig_expr(new_labels).alias("sig"),
-        new_labels.alias("labels"),
+        F.when(F.col("__isinfo"), F.col("sig"))
+        .otherwise(sig_expr(new_labels))
+        .alias("sig"),
+        F.when(F.col("__isinfo"), F.col("labels"))
+        .otherwise(new_labels)
+        .alias("labels"),
         "t",
         "sample_t",
         "value",
         "drop_name",
-    ).unionByName(
-        passthrough.select("sig", "labels", "t", "sample_t", "value", "drop_name")
     )
     return VectorFrame(out)
