@@ -92,7 +92,7 @@ def main() -> None:
         .appName("bench_labels")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", os.environ.get("PROMSPARK_AQE_MINPART", "256k"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
