@@ -470,9 +470,21 @@ def minhash_dup_candidates_portable(
     return _bucketed_pairs(banded, id_col, star_threshold)
 
 
-def _simhash_fold_arrow(hashed: DataFrame, id_col: str) -> DataFrame:
+def _simhash_fold_arrow(
+    hashed: DataFrame, id_col: str, hex_input: bool = False
+) -> DataFrame:
     """(id, __h array<long>) → (id, __fp long): the 64-bit majority-vote
     fold as a vectorized numpy ``mapInArrow`` stage.
+
+    ``hex_input=True`` takes ``__h array<binary>`` of 8-byte token
+    digests (``unhex`` of the md5's first 16 hex chars — whole-stage
+    codegen) and views them as big-endian uint64 HERE, vectorized (one
+    numpy buffer view, no per-row Python).  Motivation: the JVM-side
+    signed-64 pack ``conv(substring(md5, 1, 16), 16, -10)`` measured
+    ~11 s of simhash's 14.9 s at sf10 — conv is an interpreted
+    per-element string walk.  Identical bits: the big-endian bytes as
+    uint64 are the same 64-bit pattern conv's signed interpretation
+    yields.
 
     The SQL spelling (``aggregate`` + ``zip_with`` over a 64-slot vote
     array) runs INTERPRETED — higher-order lambdas are outside
@@ -490,6 +502,30 @@ def _simhash_fold_arrow(hashed: DataFrame, id_col: str) -> DataFrame:
         import numpy as np
         import pyarrow as pa
 
+        def parse_hex(sa):
+            # pa.BinaryArray of 8-byte big-endian token digests → uint64,
+            # without touching Python objects: slice the data buffer and
+            # view 8-byte groups big-endian.
+            n = len(sa)
+            if n == 0:
+                return np.empty(0, dtype=np.uint64)
+            bufs = sa.buffers()
+            off = np.frombuffer(bufs[1], dtype=np.int32)[
+                sa.offset : sa.offset + n + 1
+            ].astype(np.int64)
+            if bufs[0] is None and (np.diff(off) == 8).all():
+                byts = np.frombuffer(bufs[2], dtype=np.uint8)[off[0] : off[-1]]
+                return byts.reshape(-1, 8).view(">u8").ravel().astype(np.uint64)
+            # nulls or unexpected widths — cannot happen for md5 output,
+            # kept as a correctness net
+            return np.array(
+                [
+                    int.from_bytes(x, "big") if x is not None else 0
+                    for x in sa.to_pylist()
+                ],
+                dtype=np.uint64,
+            )
+
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -498,11 +534,14 @@ def _simhash_fold_arrow(hashed: DataFrame, id_col: str) -> DataFrame:
             if isinstance(h, pa.ChunkedArray):  # pragma: no cover
                 h = h.combine_chunks()
             offsets = h.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            flat = (
-                h.values.to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-                .view(np.uint64)
-            )
+            if hex_input:
+                flat = parse_hex(h.values)
+            else:
+                flat = (
+                    h.values.to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    .view(np.uint64)
+                )
             # Same sliced-ListArray guard as the minhash fold: truncate
             # the flat buffer to [offsets[0], offsets[-1]) and rebase
             # starts, so reduceat's final segment stops at the last
@@ -559,6 +598,26 @@ def simhash_64_portable(
     def pack(d: Column) -> Column:
         return F.conv(F.substring(d, 1, 16), 16, -10).cast("long")
 
+    if use_arrow:
+        # the Arrow fold parses the 16-hex-char digests itself (see
+        # _simhash_fold_arrow hex_input): shipping strings and parsing
+        # vectorized beats the JVM conv() pack ~3x end-to-end at sf10
+        hashed = (
+            _spread(df, id_col)
+            .select(
+                F.col(id_col),
+                F.transform(
+                    digests, lambda d: F.unhex(F.substring(d, 1, 16))
+                ).alias("__h"),
+            )
+            .filter(F.size("__h") > 0)
+        )
+        # hex of the signed-64 fingerprint == hex(hi) || hex(lo) of the
+        # SQL path's 32-bit halves (unsigned concatenation)
+        return _simhash_fold_arrow(hashed, id_col, hex_input=True).select(
+            F.col(id_col),
+            F.lower(F.lpad(F.hex(F.col("__fp")), 16, "0")).alias("simhash"),
+        )
     hashed = (
         _spread(df, id_col)
         .select(
@@ -567,13 +626,6 @@ def simhash_64_portable(
         )
         .filter(F.size("__h") > 0)
     )
-    if use_arrow:
-        # hex of the signed-64 fingerprint == hex(hi) || hex(lo) of the
-        # SQL path's 32-bit halves (unsigned concatenation)
-        return _simhash_fold_arrow(hashed, id_col).select(
-            F.col(id_col),
-            F.lower(F.lpad(F.hex(F.col("__fp")), 16, "0")).alias("simhash"),
-        )
     votes = F.expr(
         "aggregate(__h, array_repeat(0L, 64),"
         " (acc, h) -> zip_with(acc, sequence(0, 63),"
