@@ -84,6 +84,34 @@ def _regroup_split(vf: VectorFrame, node: AggregateExpr, extra: list = (), ctx: 
         )
         return fact, dim
 
+    if ctx is not None and ctx.sig_inline_ok():
+        # Sig pair-filter path: the fact's canonical sig embeds the full
+        # labelset, so the group sig is a key-filtered subsequence of its
+        # pairs — computed inline per fact row.  No per-series map
+        # rebuild, no mapping broadcast join; the output dim dedups the
+        # same filtered string on the (persisted) series dim, keeping the
+        # plan-time row probe cheap (engine._ordered_out).
+        from prometheus_spark.model.labels import (
+            METADATA_LABELS,
+            labels_from_sig_sql,
+            sig_subset_sql,
+        )
+
+        if by is not None:
+            gsig = sig_subset_sql("sig", keep=tuple(by))
+        else:
+            gsig = sig_subset_sql(
+                "sig", drop=tuple(without) + tuple(METADATA_LABELS)
+            )
+        fact = fact_in.selectExpr(
+            f"{gsig} AS sig", "t", "value", "drop_name", *hist_cols, *extra
+        )
+        gdim_rows = vf.dim.selectExpr(f"{gsig} AS sig")
+        dim = ctx.dim_dedup(gdim_rows).selectExpr(
+            "sig", labels_from_sig_sql("sig") + " AS labels"
+        )
+        return fact, dim
+
     glabels = group_labels_sql("labels", by, without)
     gd = vf.dim.selectExpr(
         "sig", sig_sql(glabels) + " AS __gsig", glabels + " AS __glabels"
@@ -637,6 +665,19 @@ def _eval_k_selector(
             "gsig",
             F.expr(sig_sql("CAST(map() AS MAP<STRING, STRING>)")),
         )
+    elif ctx.sig_inline_ok():
+        # sig pair-filter path (see _regroup_split): the heap window's
+        # partition key computes inline from the fact's own sig — no
+        # dim mapping join
+        from prometheus_spark.model.labels import METADATA_LABELS, sig_subset_sql
+
+        if by is not None:
+            gsig = sig_subset_sql("sig", keep=tuple(by))
+        else:
+            gsig = sig_subset_sql(
+                "sig", drop=tuple(without) + tuple(METADATA_LABELS)
+            )
+        df = vf.fact.withColumn("gsig", F.expr(gsig))
     else:
         glabels = group_labels_expr("labels", by, without)
         gmap = vf.dim.select("sig", sig_expr(glabels).alias("gsig"))

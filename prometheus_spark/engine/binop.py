@@ -217,6 +217,34 @@ def _with_match_sig(df: DataFrame, vm: VectorMatching) -> DataFrame:
     return df.selectExpr("*", _msig_sql(vm) + " AS msig")
 
 
+def _msig_pair_sql(vm: VectorMatching) -> str:
+    """Match signature as a pair-filter of the row's own canonical sig
+    (labels.sig_subset_sql) — valid when the engine probed the frame's
+    labels as separator-free (EvalContext.sig_pairs_ok)."""
+    from prometheus_spark.model.labels import sig_subset_sql
+
+    if vm.on:
+        return sig_subset_sql("sig", keep=tuple(vm.labels))
+    return sig_subset_sql(
+        "sig", drop=tuple(vm.labels or ()) + (METRIC_NAME_LABEL,)
+    )
+
+
+def _rsig_pair_sql(vm: VectorMatching) -> str:
+    """Result signature as a pair-filter of the many side's sig — the
+    split-path mirror of :func:`_result_labels_sql` (vm.include shapes
+    never reach the split path).  Returns the literal column reference
+    ``sig`` when the result labels are the many side's labels verbatim."""
+    from prometheus_spark.model.labels import sig_subset_sql
+
+    if vm.card == MatchCardinality.ONE_TO_ONE:
+        if vm.on:
+            return sig_subset_sql("sig", keep=tuple(vm.labels))
+        if vm.labels:
+            return sig_subset_sql("sig", drop=tuple(vm.labels))
+    return "sig"
+
+
 def arith_sql(op: str, l: str, r: str) -> str:
     """SQL-string form of :func:`arith_expr` (engine.go:3484)."""
     if op in ("+", "-", "*"):
@@ -357,11 +385,18 @@ def set_op(ctx: EvalContext, op: str, lhs: VectorFrame, rhs: VectorFrame, vm: Ve
     cols = ["sig", "t", "sample_t", "value", "drop_name"] + (
         ["hist"] if "hist" in lf.columns else []
     )
-    msig = _msig_sql(vm)
-    lmap = lhs.dim.selectExpr("sig", msig + " AS msig")
-    rmap = rhs.dim.selectExpr("sig", msig + " AS msig")
-    l = lf.join(ctx.dim_hint(lmap), "sig")
-    r = rf.join(ctx.dim_hint(rmap), "sig")
+    if ctx.sig_inline_ok():
+        # sig pair-filter path: match sigs inline from each fact's own
+        # sig (labels.sig_subset_sql) — no dim mapping joins
+        msig_pair = _msig_pair_sql(vm)
+        l = lf.selectExpr("*", msig_pair + " AS msig")
+        r = rf.selectExpr("*", msig_pair + " AS msig")
+    else:
+        msig = _msig_sql(vm)
+        lmap = lhs.dim.selectExpr("sig", msig + " AS msig")
+        rmap = rhs.dim.selectExpr("sig", msig + " AS msig")
+        l = lf.join(ctx.dim_hint(lmap), "sig")
+        r = rf.join(ctx.dim_hint(rmap), "sig")
     rkeys = r.select("msig", "t").distinct()
     if op == "and":
         out = l.join(rkeys, ["msig", "t"], "left_semi")
@@ -429,17 +464,33 @@ def _vector_vector_split(
     identity_result = (
         card == MatchCardinality.ONE_TO_ONE and vm.on is False and not vm.labels
     )
-    if identity_result:
-        mdim = many_d.selectExpr("sig", msig + " AS msig", "sig AS __rsig")
-    else:
-        rlabels = _result_labels_sql(vm)
-        mdim = many_d.selectExpr(
-            "sig",
-            msig + " AS msig",
-            sig_sql(rlabels) + " AS __rsig",
-            rlabels + " AS __rlabels",
+    pairs_ok = ctx.sig_inline_ok()
+    if pairs_ok:
+        # Sig pair-filter path (labels.sig_subset_sql): match and result
+        # sigs are key-filtered subsequences of each fact's own canonical
+        # sig — computed inline per row, eliding BOTH dim mapping joins.
+        # group_left/right (no include) and plain 1:1 keep the many
+        # side's labels verbatim, so the result sig is the input sig and
+        # the input dim passes through untouched.
+        msig_pair = _msig_pair_sql(vm)
+        rsig_pair = _rsig_pair_sql(vm)
+        many = many_f.selectExpr(
+            "*", msig_pair + " AS msig", rsig_pair + " AS __rsig"
         )
-    many = many_f.join(ctx.dim_hint(mdim.select("sig", "msig", "__rsig")), "sig")
+    else:
+        if identity_result:
+            mdim = many_d.selectExpr("sig", msig + " AS msig", "sig AS __rsig")
+        else:
+            rlabels = _result_labels_sql(vm)
+            mdim = many_d.selectExpr(
+                "sig",
+                msig + " AS msig",
+                sig_sql(rlabels) + " AS __rsig",
+                rlabels + " AS __rlabels",
+            )
+        many = many_f.join(
+            ctx.dim_hint(mdim.select("sig", "msig", "__rsig")), "sig"
+        )
 
     # fill modifiers (ast.go:329): fill_lhs always fills the "many"
     # side and fill_rhs the "one" side (the reference swaps operands
@@ -456,39 +507,64 @@ def _vector_vector_split(
         how = "inner"
 
     fdim = None
-    one_map = one_d.selectExpr("sig", msig + " AS msig")
-    if fill_many is not None:
-        # Synthetic many-side rows take the one side's MATCH labels as
-        # their labelset, then the result-labels shaping — both pure
-        # functions of the one side's labels, so computed once per
-        # SERIES on the one dim (legacy-path parity: coalesce(labels,
-        # match_labels) before the result select).
-        on = vm.labels if vm.on else None
-        ignoring = vm.labels if not vm.on else None
-        rl = _result_labels_sql(vm)
-        fmap = one_d.select(
-            F.col("sig"),
-            F.expr(msig).alias("msig"),
-            _match_labels_map(F.col("labels"), on, ignoring).alias("labels"),
-        ).selectExpr(
-            "sig",
-            "msig",
-            sig_sql(rl) + " AS __fsig",
-            rl + " AS __flabels",
-        )
-        one_map = fmap.select("sig", "msig", "__fsig")
-        fdim = fmap.select(
-            F.col("__fsig").alias("sig"), F.col("__flabels").alias("labels")
-        )
-
-    one = one_f.join(ctx.dim_hint(one_map), "sig").selectExpr(
-        "msig",
+    one_cols = [
         "t",
         "value AS __ov",
         "drop_name AS __odrop",
         *(["hist AS __ohist"] if has_hist else []),
-        *(["__fsig"] if fill_many is not None else []),
-    )
+    ]
+    if pairs_ok:
+        # fill-synthesized rows take the one side's MATCH labels, and the
+        # split path's result shaping is the identity over that map (it
+        # already contains exactly the on-labels / excludes the ignored
+        # ones) — so __fsig ≡ msig, itself a pair-filter of the one
+        # side's sig.  The fill dim rebuilds the map from the string.
+        one = one_f.selectExpr(
+            _msig_pair_sql(vm) + " AS msig",
+            *one_cols,
+            *(
+                [_msig_pair_sql(vm) + " AS __fsig"]
+                if fill_many is not None
+                else []
+            ),
+        )
+        if fill_many is not None:
+            from prometheus_spark.model.labels import labels_from_sig_sql
+
+            fdim = ctx.dim_dedup(
+                one_d.selectExpr(_msig_pair_sql(vm) + " AS sig")
+            ).selectExpr("sig", labels_from_sig_sql("sig") + " AS labels")
+    else:
+        one_map = one_d.selectExpr("sig", msig + " AS msig")
+        if fill_many is not None:
+            # Synthetic many-side rows take the one side's MATCH labels as
+            # their labelset, then the result-labels shaping — both pure
+            # functions of the one side's labels, so computed once per
+            # SERIES on the one dim (legacy-path parity: coalesce(labels,
+            # match_labels) before the result select).
+            on = vm.labels if vm.on else None
+            ignoring = vm.labels if not vm.on else None
+            rl = _result_labels_sql(vm)
+            fmap = one_d.select(
+                F.col("sig"),
+                F.expr(msig).alias("msig"),
+                _match_labels_map(F.col("labels"), on, ignoring).alias("labels"),
+            ).selectExpr(
+                "sig",
+                "msig",
+                sig_sql(rl) + " AS __fsig",
+                rl + " AS __flabels",
+            )
+            one_map = fmap.select("sig", "msig", "__fsig")
+            fdim = fmap.select(
+                F.col("__fsig").alias("sig"), F.col("__flabels").alias("labels")
+            )
+
+        one = one_f.join(ctx.dim_hint(one_map), "sig").selectExpr(
+            "msig",
+            *one_cols,
+            *(["__fsig"] if fill_many is not None else []),
+        )
 
     def _dup_msigs_possible(d) -> bool:
         """Plan-time probe: can two of this side's SERIES share a match
@@ -498,7 +574,7 @@ def _vector_vector_split(
         (engine.go:3349 region), and a result-sized window exchange on
         every strict binop was our single largest fixed overhead."""
         return (
-            d.selectExpr(msig + " AS m")
+            d.selectExpr((_msig_pair_sql(vm) if pairs_ok else msig) + " AS m")
             .groupBy("m")
             .count()
             .filter("count > 1")
@@ -594,7 +670,17 @@ def _vector_vector_split(
         flag + " AS drop_name",
         *hist_out,
     )
-    if identity_result:
+    if pairs_ok:
+        rsig_pair = _rsig_pair_sql(vm)
+        if rsig_pair == "sig":
+            dim = many_d
+        else:
+            from prometheus_spark.model.labels import labels_from_sig_sql
+
+            dim = ctx.dim_dedup(
+                many_d.selectExpr(rsig_pair + " AS sig")
+            ).selectExpr("sig", labels_from_sig_sql("sig") + " AS labels")
+    elif identity_result:
         dim = many_d
     else:
         dim = ctx.dim_dedup(

@@ -58,6 +58,41 @@ class EvalContext:
     # the per-query latency floor (instant queries are dominated by
     # stage round trips, not data).
     dims_tiny: bool = False
+    # True when the engine probed the samples frame's label keys/values
+    # as free of the sig separator bytes (\x1e/\x1f) — the precondition
+    # for computing key-filtered signatures (group keys, match keys)
+    # straight from the fact's canonical ``sig`` string instead of a
+    # per-series map rebuild + mapping join (labels.sig_subset_sql).
+    # False (contexts built without an engine, or a frame with
+    # separator bytes in labels) keeps the dim-join path.
+    sig_pairs_ok: bool = False
+    # Engine-probed frame stats feeding the inline-vs-join cost choice
+    # (sig_inline_ok): total series and mean canonical-sig width.
+    series_count: int = 0
+    avg_sig_bytes: float = 64.0
+
+    def sig_inline_ok(self) -> bool:
+        """Should key-filtered sigs compute INLINE per fact row (string
+        pair-filter) instead of via a per-series dim mapping join?
+
+        Inline removes the mapping join and its dim-side stages but pays
+        a string scan per fact row — measured to lose once
+        ``series × steps × sig_bytes`` grows past ~64 MB of scanned sig
+        text on wide-label frames (BENCH_LABELS: 1500 series × 300 steps
+        × ~1.1 kB sigs, binop 1.53 → 2.72 s inline).  When the dim is
+        too big to broadcast the mapping join would shuffle the fact —
+        strictly worse than any inline scan — so inline always wins
+        there.  ``series_count`` is the whole frame's series total, an
+        upper bound on any selector's match set: conservative toward the
+        join path, which is never catastrophically wrong."""
+        if not self.sig_pairs_ok:
+            return False
+        if not self.dims_broadcastable:
+            return True
+        import os
+
+        cap = float(os.environ.get("PROMSPARK_SIGPAIR_MAX_BYTES", "64000000"))
+        return self.series_count * self.num_steps * self.avg_sig_bytes <= cap
 
     def dim_hint(self, df: "DataFrame") -> "DataFrame":
         from pyspark.sql import functions as F

@@ -88,6 +88,9 @@ class PromQLEngine:
         self._series_dim: Optional[DataFrame] = None
         self._dims_broadcastable = False
         self._dims_tiny = False
+        self._sig_pairs_ok = False
+        self._series_count = 0
+        self._avg_sig_bytes = 64.0
 
     def release_plans(self) -> None:
         """Drop every cached plan handle.
@@ -138,12 +141,29 @@ class PromQLEngine:
                 .agg(*aggs)
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            # one count materializes the cache AND sizes it: small series
-            # sets unlock static broadcast hints on dim joins (see
-            # EvalContext.dim_hint); huge ones must not pin the driver
+            # one aggregate materializes the cache AND probes it: the
+            # count sizes broadcast/tiny hints (see EvalContext.dim_hint)
+            # and the separator scan decides sig-pair-filter eligibility
+            # (labels.sig_subset_sql) — fused into the same job so engine
+            # init still runs exactly one dim pass
             import os
 
-            n = self._series_dim.count()
+            row = self._series_dim.selectExpr(
+                "count(*) AS n",
+                "max(CAST(exists(map_entries(labels), e -> "
+                "instr(e.key, '\\u001E') > 0 OR instr(e.key, '\\u001F') > 0 "
+                "OR instr(e.value, '\\u001E') > 0 OR instr(e.value, '\\u001F') > 0"
+                ") AS INT)) AS bad",
+                "coalesce(CAST(avg(length(sig)) AS DOUBLE), 64.0D) AS alen",
+            ).head()
+            n = row["n"]
+            self._series_count = n
+            self._avg_sig_bytes = float(row["alen"])
+            sigpair_env = os.environ.get("PROMSPARK_SIGPAIR", "auto")
+            if sigpair_env == "0":
+                self._sig_pairs_ok = False
+            else:
+                self._sig_pairs_ok = (row["bad"] or 0) == 0
             self._dims_broadcastable = n <= int(
                 os.environ.get("PROMSPARK_DIM_BC_MAX", "2000000")
             )
@@ -187,6 +207,9 @@ class PromQLEngine:
             series_dim=self.series_dim,
             dims_broadcastable=self._dims_broadcastable,
             dims_tiny=self._dims_tiny,
+            sig_pairs_ok=self._sig_pairs_ok,
+            series_count=self._series_count,
+            avg_sig_bytes=self._avg_sig_bytes,
         )
 
     def instant_query(self, query: str, time_ms: int) -> DataFrame:

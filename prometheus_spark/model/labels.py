@@ -178,6 +178,53 @@ def sql_str_lit(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
+@_memo_on_str
+def sig_subset_sql(
+    sig_sql_ref: str,
+    keep: Iterable[str] | None = None,
+    drop: Iterable[str] | None = None,
+) -> str:
+    """Filter a canonical sig string's ``k\\x1ev`` pairs by key.
+
+    The canonical signature IS the sorted serialization of the labels
+    map, so the signature of any key-filtered submap is a plain
+    subsequence of the pairs — computable by string filtering alone,
+    with no map rebuild, no re-sort and no dim join.  Equals
+    ``sig_sql(map_filter(labels, ...))`` whenever no label key or value
+    contains the separator bytes; the engine probes that once per
+    samples frame (``PromQLEngine._sig_pairs_ok``) and callers fall
+    back to the map path when the probe fails.
+    """
+    if keep is not None:
+        keys = ", ".join(sql_str_lit(k) for k in sorted(set(keep)))
+        if not keys:
+            return "''"
+        pred = f"array_contains(array({keys}), split_part(p, '\\u001E', 1))"
+    else:
+        keys = ", ".join(sql_str_lit(k) for k in sorted(set(drop or ())))
+        pred = f"NOT array_contains(array({keys}), split_part(p, '\\u001E', 1))"
+    return (
+        f"array_join(filter(split({sig_sql_ref}, '\\u001F', -1), "
+        f"p -> p != '' AND {pred}), '\\u001F')"
+    )
+
+
+@_memo_on_str
+def labels_from_sig_sql(sig_sql_ref: str) -> str:
+    """Rebuild the labels map from a canonical sig string (inverse of
+    :func:`sig_sql`, under the same no-separator-bytes precondition as
+    :func:`sig_subset_sql`).  Entry order is key-sorted — map lookups
+    and re-signatures are order-insensitive, so this is equivalent to
+    the ``map_filter`` construction for every consumer."""
+    key = "split_part(p, '\\u001E', 1)"
+    return (
+        f"map_from_entries(transform("
+        f"filter(split({sig_sql_ref}, '\\u001F', -1), p -> p != ''), "
+        f"p -> struct({key} AS key, "
+        f"substring(p, length({key}) + 2) AS value)))"
+    )
+
+
 def sig_sql(labels_sql: str = "labels") -> str:
     """SQL-string form of :func:`sig_expr` — composed server-side in one
     selectExpr round trip (plan-construction latency path)."""
