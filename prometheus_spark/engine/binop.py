@@ -572,16 +572,23 @@ def _vector_vector_split(
         (msig, t) duplicate can exist and the window guard is elided —
         the reference's check is an O(input) hash insert
         (engine.go:3349 region), and a result-sized window exchange on
-        every strict binop was our single largest fixed overhead."""
-        return (
-            d.selectExpr((_msig_pair_sql(vm) if pairs_ok else msig) + " AS m")
-            .groupBy("m")
-            .count()
-            .filter("count > 1")
-            .limit(1)
-            .count()
-            > 0
-        )
+        every strict binop was our single largest fixed overhead.
+        Memoized per (dim shape, match form) — the same selector under
+        the same matching across queries probes once per engine."""
+        m = _msig_pair_sql(vm) if pairs_ok else msig
+
+        def _run(dd):
+            return (
+                dd.selectExpr(m + " AS m")
+                .groupBy("m")
+                .count()
+                .filter("count > 1")
+                .limit(1)
+                .count()
+                > 0
+            )
+
+        return ctx.probe(d, ("dupmsig", m), _run)
 
     guard = "0.0D"
     if ctx.strict and _dup_msigs_possible(one_d):
@@ -628,7 +635,11 @@ def _vector_vector_split(
     )
 
     if node.op in COMPARISON_OPS:
-        flag = "true" if node.return_bool else "drop_name"
+        # coalesce: fill_lhs-synthesized rows are many-side outer-join
+        # misses whose drop_name is NULL — they carry no __name__, so
+        # false is the faithful flag (finalize's CASE WHEN treated NULL
+        # as false implicitly; make it explicit)
+        flag = "true" if node.return_bool else "coalesce(drop_name, false)"
         pred_f = compare_sql(node.op, l_val, r_val)
         if has_hist and node.op in ("==", "!="):
             pred_h = (

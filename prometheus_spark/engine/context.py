@@ -17,6 +17,27 @@ from pyspark.sql import functions as F
 from prometheus_spark.model.schema import DEFAULT_LOOKBACK_MS
 
 
+def memo_probe(memo: "dict | None", df: "DataFrame", tag, fn):
+    """Run a plan-time probe ``fn(df)`` memoized on (analyzed-plan
+    semanticHash, tag).  GIL-atomic dict ops suffice — a concurrent miss
+    recomputes the same deterministic value; unkeyable plans (py4j
+    surface drift) just run the probe; ``memo=None`` disables."""
+    key = None
+    if memo is not None:
+        try:
+            key = (df._jdf.queryExecution().analyzed().semanticHash(), tag)
+        except Exception:  # pragma: no cover - py4j surface drift
+            key = None
+        if key is not None and key in memo:
+            return memo[key]
+    v = fn(df)
+    if memo is not None and key is not None:
+        if len(memo) > 4096:  # unbounded growth guard; refill is cheap
+            memo.clear()
+        memo[key] = v
+    return v
+
+
 @dataclass(frozen=True)
 class EvalContext:
     spark: SparkSession
@@ -70,6 +91,20 @@ class EvalContext:
     # (sig_inline_ok): total series and mean canonical-sig width.
     series_count: int = 0
     avg_sig_bytes: float = 64.0
+    # Engine-owned memo for plan-time probe jobs (collision bits, msig-dup
+    # bits, le domains), keyed by the probed frame's analyzed-plan
+    # semanticHash — the same selector/dim shape recurring across queries
+    # pays its probe job once per engine instead of once per query.
+    # None (contexts built without an engine) disables memoization.
+    probe_memo: "dict | None" = None
+
+    def probe(self, df: "DataFrame", tag, fn):
+        """Run a plan-time probe ``fn(df)`` memoized on (plan, tag).
+
+        GIL-atomic dict ops are enough: a concurrent miss recomputes the
+        same deterministic value.  Unkeyable plans (py4j surface drift)
+        just run the probe."""
+        return memo_probe(self.probe_memo, df, tag, fn)
 
     def sig_inline_ok(self) -> bool:
         """Should key-filtered sigs compute INLINE per fact row (string

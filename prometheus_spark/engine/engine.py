@@ -26,6 +26,29 @@ from prometheus_spark.model.schema import DEFAULT_LOOKBACK_MS
 from prometheus_spark.parser import parse_expr
 
 
+def _nd_stats(dim2: DataFrame) -> tuple:
+    """One fused probe job over the name-drop candidate dim: (row count,
+    collision bit).  A collision exists iff the multiset of per-row
+    candidate sigs — {sig} ∪ {__s_nd if different} — holds a duplicate,
+    i.e. its distinct count is short of its size; the row count rides
+    along as the number of position-0 (sig) entries."""
+    from pyspark.sql import functions as F
+
+    row = (
+        dim2.selectExpr(
+            "posexplode(array_distinct(array(sig, __s_nd))) AS (p, c)"
+        )
+        .agg(
+            F.sum(F.expr("IF(p = 0, 1L, 0L)")).alias("n"),
+            F.count("*").alias("ne"),
+            F.countDistinct("c").alias("d"),
+        )
+        .head()
+    )
+    n = int(row["n"] or 0)
+    return n, int(row["d"]) < int(row["ne"])
+
+
 class PromQLEngine:
     """Evaluate PromQL over a canonical samples DataFrame.
 
@@ -85,6 +108,10 @@ class PromQLEngine:
         )
         self._plan_cache_cost_ms = 0.0
         self._plan_cache_lock = threading.Lock()
+        # plan-time probe memo (EvalContext.probe): collision bits, dim
+        # row counts, msig-dup bits, le domains — keyed by probed-plan
+        # semanticHash, shared across queries for the engine's lifetime
+        self._probe_memo: dict = {}
         self._series_dim: Optional[DataFrame] = None
         self._dims_broadcastable = False
         self._dims_tiny = False
@@ -193,6 +220,7 @@ class PromQLEngine:
         self._samples = df
         self.release_plans()
         self.release_series_dim()
+        self._probe_memo.clear()
 
     def _ctx(self, start_ms: int, end_ms: int, step_ms: int) -> EvalContext:
         return EvalContext(
@@ -210,6 +238,7 @@ class PromQLEngine:
             sig_pairs_ok=self._sig_pairs_ok,
             series_count=self._series_count,
             avg_sig_bytes=self._avg_sig_bytes,
+            probe_memo=self._probe_memo,
         )
 
     def instant_query(self, query: str, time_ms: int) -> DataFrame:
@@ -342,16 +371,31 @@ class PromQLEngine:
 
         return int(os.environ.get("PROMSPARK_SORT_ONE_MAX", "200000"))
 
-    def _ordered_out(self, out: DataFrame, dim, num_steps) -> DataFrame:
+    def _ordered_out(self, out: DataFrame, dim, num_steps, dim_rows=None) -> DataFrame:
         small = False
         if num_steps is not None and num_steps > 0 and dim is not None:
             need = self._sort_one_max() // num_steps + 1
-            try:
-                # bounded probe: is the per-series dim smaller than the
-                # row budget allows?  limit() caps the plan-time scan.
-                small = dim.limit(need).count() < need
-            except Exception:  # pragma: no cover — probe must never fail a query
-                small = False
+            if dim_rows is not None:
+                # row count already known from the fused finalize probe
+                small = dim_rows < need
+            else:
+                from prometheus_spark.engine.context import memo_probe
+
+                try:
+                    # bounded probe, memoized per dim shape: is the
+                    # per-series dim smaller than the row budget allows?
+                    # limit() bounds the rows RETURNED (an aggregation
+                    # below it still runs once — acceptable because split
+                    # producers derive dims from the persisted series
+                    # dim, and the memo makes it once per engine).
+                    small = memo_probe(
+                        self._probe_memo,
+                        dim,
+                        ("rows<", need),
+                        lambda d: d.limit(need).count() < need,
+                    )
+                except Exception:  # pragma: no cover — probe must never fail a query
+                    small = False
         if small:
             return out.repartitionByRange(1, "sig", "t").sortWithinPartitions(
                 "sig", "t"
@@ -370,6 +414,7 @@ class PromQLEngine:
         fact, dim = result.fact, result.dim
         hist_cols = ["hist"] if "hist" in fact.columns else []
         guard_needed = False
+        dim_rows = None
         if "drop_name" in fact.columns:
             dim2 = dim.selectExpr(
                 "sig", "labels", drop_metadata_sql("labels") + " AS __l_nd"
@@ -385,19 +430,16 @@ class PromQLEngine:
                 # a window-count guard over the full result was our
                 # equivalent but cost an output-sized exchange on
                 # EVERY name-dropping query (~10% of the macro bench).
-                # One dim-sized count here elides it whenever no
-                # labelsets can collide — the overwhelmingly common
-                # case; colliding dims keep the exact per-step guard.
-                guard_needed = (
-                    dim2.selectExpr(
-                        "explode(array_distinct(array(sig, __s_nd))) AS c"
-                    )
-                    .groupBy("c")
-                    .count()
-                    .filter("count > 1")
-                    .limit(1)
-                    .count()
-                    > 0
+                # One dim pass here elides it whenever no labelsets can
+                # collide — the overwhelmingly common case; colliding
+                # dims keep the exact per-step guard.  The same pass
+                # returns the dim row count, so the result-sort probe
+                # (_ordered_out) runs NO extra job: one fused probe per
+                # uncached name-dropping query, memoized per dim shape.
+                from prometheus_spark.engine.context import memo_probe
+
+                dim_rows, guard_needed = memo_probe(
+                    self._probe_memo, dim2, "ndstats", _nd_stats
                 )
             if self._dims_broadcastable:
                 dim2 = F.broadcast(dim2)
@@ -417,7 +459,7 @@ class PromQLEngine:
                 "sig", "labels", "t", "value", *hist_cols
             )
         if self.ordered:
-            out = self._ordered_out(out, result.dim, num_steps)
+            out = self._ordered_out(out, result.dim, num_steps, dim_rows=dim_rows)
         if self.strict and guard_needed:
             from prometheus_spark.engine.guards import check_unique_labelsets
 

@@ -339,13 +339,17 @@ def _relabel(
         flag.alias("drop_name"), *hist_cols,
     )
     if ctx is not None and ctx.strict:
-        colliding = (
-            mapping.groupBy("__nsig")
-            .count()
-            .filter("count > 1")
-            .limit(1)
-            .count()
-            > 0
+        colliding = ctx.probe(
+            mapping,
+            "relabel-collide",
+            lambda m: (
+                m.groupBy("__nsig")
+                .count()
+                .filter("count > 1")
+                .limit(1)
+                .count()
+                > 0
+            ),
         )
         if colliding:
             from prometheus_spark.engine.guards import check_unique_labelsets
@@ -478,10 +482,14 @@ def _classic_buckets(vf: VectorFrame, ctx: EvalContext = None):
     # unknown domains (dim-less contexts) keep the collect_list path.
     les = None
     if ctx is not None:
-        les = sorted(
-            r["__le"]
-            for r in bdim.select("__le").distinct().collect()
-            if r["__le"] is not None
+        les = ctx.probe(
+            bdim,
+            "le-domain",
+            lambda b: sorted(
+                r["__le"]
+                for r in b.select("__le").distinct().collect()
+                if r["__le"] is not None
+            ),
         )
     if les and len(les) <= 64:
         from prometheus_spark.engine.aggregations import float_sql

@@ -1007,7 +1007,10 @@ def _prefix_stats_arrow(
                     ),
                 )
                 reset = reset | st_reset
-            drop = np.where(reset, pv, 0.0)  # reset ⇒ pv non-NaN
+            # NB: an ST-implied reset can fire with pv=NaN, making the
+            # correction NaN — matching the SQL path, whose
+            # coalesce(prev_v, 0.0) passes NaN through (NaN is not null)
+            drop = np.where(reset, pv, 0.0)
             cum_drop = np.concatenate(([0.0], np.cumsum(drop)))
             cum_res = np.concatenate(([0], np.cumsum(reset.astype(np.int64))))
             cum_chg = np.concatenate(([0], np.cumsum(changed.astype(np.int64))))
