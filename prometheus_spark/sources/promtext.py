@@ -133,14 +133,25 @@ def parse_exposition_text(
     return out
 
 
-# Arrow's pandas converter can't build map columns — ship parallel arrays
-# and assemble the map JVM-side in to_samples()
+# Arrow's pandas converter can't build map columns — the Python branch
+# ships parallel arrays and to_samples() assembles the map JVM-side.
+# ``sig``/``name``/``labels`` are optional precomputed columns: the JVM
+# fast path derives all three from ONE canonicalized pair string (a
+# single regexp_replace), which is ~3x cheaper than re-deriving them
+# from the arrays in to_samples (interpreted higher-order transforms).
+# NULL means "derive from the arrays" (Python-parsed rows); ``name``
+# is also emitted by the Python branch (it knows it for free).
 PARSED_SCHEMA = T.StructType(
     [
         T.StructField("label_keys", T.ArrayType(T.StringType()), False),
         T.StructField("label_values", T.ArrayType(T.StringType()), False),
         T.StructField("t", T.LongType(), False),
         T.StructField("value", T.DoubleType(), True),
+        T.StructField("sig", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField(
+            "labels", T.MapType(T.StringType(), T.StringType()), True
+        ),
     ]
 )
 
@@ -152,7 +163,12 @@ PARSED_SCHEMA = T.StructType(
 # token, and an optional ≤18-digit timestamp.  Everything else (UTF-8
 # quoted names, escaped label values, exotic float spellings like
 # '1_0' or 'infinity', oversized timestamps) takes the Python parser.
-_FAST_PAIR = r'[a-zA-Z_][a-zA-Z0-9_]*\s*=\s*"[^"\\]*"'
+# Values are additionally required free of the \x1e/\x1f canonical-sig
+# separator bytes: the fast path canonicalizes the pair block into a
+# separator-joined string (one regexp_replace feeding both str_to_map
+# and the signature), which such values would corrupt — they route to
+# the exact Python parser instead.
+_FAST_PAIR = '[a-zA-Z_][a-zA-Z0-9_]*\\s*=\\s*"[^"\\\\\u001E\u001F]*"'
 _FAST_LINE_RE = (
     r"^[a-zA-Z_:][a-zA-Z0-9_:]*"
     r"(\{\s*(" + _FAST_PAIR + r"(\s*,\s*" + _FAST_PAIR + r")*(\s*,)?\s*)?\})?"
@@ -162,13 +178,42 @@ _FAST_LINE_RE = (
 )
 
 
-def _fast_parse_cols(s, default_ts):
-    """The four parsed columns (label_keys, label_values, t, value) as
-    whole-stage-codegen expressions over a trimmed fast-classified line
-    column ``s``."""
+def _fast_parse_frame(src, s, default_ts):
+    """Fast-classified lines -> PARSED_SCHEMA columns, all JVM-side.
+
+    ONE regexp_replace canonicalizes the pair block ``k1="v1",k2="v2"``
+    into the separator-joined string ``k1\\x1ev1\\x1fk2\\x1ev2`` - the
+    labels map is then a plain ``str_to_map`` and the canonical sig a
+    sort+join of the split pairs plus the ``__name__`` pair.  This
+    replaces the previous per-pair array transforms (interpreted
+    higher-order expressions, CodegenFallback - measured ~2.2 s of the
+    4.6 s append stage at 4.5M lines) and the per-row re-derivation of
+    the sig from the arrays in ``to_samples`` (the classifier guarantees
+    values are free of ``\\x1e``/``\\x1f``, so the canonicalization is
+    lossless).  Pair-string sort order equals (key, value) struct order
+    because ``\\x1e`` sorts below every character legal in a classic
+    label key.
+
+    Two-stage projection with a non-deterministic no-op on the canon
+    string: sort_array is a CodegenFallback expression that re-evaluates
+    its whole child tree interpreted - anchoring canon as a materialized
+    attribute (CollapseProject keeps non-deterministic outputs
+    referenced more than once in their own Project) makes the fallback
+    read a row field instead of re-running the regex chain per row
+    (guide 4.4's duplicate-evaluation fix, applied to an expression)."""
     from pyspark.sql import functions as F
+
+    KV, PS = "\u001E", "\u001F"
     name = F.regexp_extract(s, r"^([a-zA-Z_:][a-zA-Z0-9_:]*)", 1)
     blob = F.regexp_extract(s, r"^[a-zA-Z_:][a-zA-Z0-9_:]*\{(.*)\}", 1)
+    b1 = F.rtrim(F.ltrim(blob))
+    # each pair match consumes its own trailing comma/space; the result
+    # always ends with one \x1f per pair (stripped before use)
+    canon = F.regexp_replace(
+        b1,
+        '([a-zA-Z_][a-zA-Z0-9_]*)\\s*=\\s*"([^"]*)"\\s*,?\\s*',
+        "$1" + KV + "$2" + PS,
+    )
     # value/timestamp live after the LAST '}' (value and ts are
     # brace-free by classification; label values may contain '}')
     tail = (
@@ -188,29 +233,40 @@ def _fast_parse_cols(s, default_ts):
         F.size(tokens) >= 2, F.element_at(tokens, 2).cast("long")
     )
     t = F.coalesce(ts_parsed, default_ts)
-    # '",'-boundary split keeps both quotes on every pair (lookbehind),
-    # so inner whitespace of quoted values survives the per-pair trim.
-    # (A single-transform entry-struct variant was measured SLOWER than
-    # these parallel primitive-array transforms — per-pair struct
-    # allocation outweighs the saved traversals.)
-    parts = F.split(blob, r'(?<=")\s*,')
-    parts = F.filter(
-        F.transform(parts, lambda p: F.trim(p)), lambda p: p != F.lit("")
-    )
-    keys = F.transform(parts, lambda p: F.trim(F.substring_index(p, "=", 1)))
-    raw_vals = F.transform(
-        parts,
-        lambda p: F.trim(F.substr(p, F.instr(p, "=") + F.lit(1), F.length(p))),
-    )
-    vals = F.transform(
-        raw_vals, lambda q: F.substr(q, F.lit(2), F.length(q) - F.lit(2))
-    )
-    return (
-        F.concat(F.array(F.lit("__name__")), keys).alias("label_keys"),
-        F.concat(F.array(name), vals).alias("label_values"),
+    nd_noop = F.substring(F.expr("uuid()"), 1, 0)  # '' but non-deterministic
+    stage = src.select(
+        F.concat(canon, nd_noop).alias("__canon"),
+        name.alias("name"),
         t.alias("t"),
         value.alias("value"),
     )
+    canon_c = F.col("__canon")
+    body = F.substring(canon_c, 1, F.length(canon_c) - 1)
+    npair = F.concat_ws(KV, F.lit("__name__"), F.col("name"))
+    empty = canon_c == ""
+    sig = F.when(empty, npair).otherwise(
+        F.array_join(
+            F.sort_array(F.concat(F.array(npair), F.split(body, PS, -1))), PS
+        )
+    )
+    name_map = F.create_map(F.lit("__name__"), F.col("name"))
+    labels = F.when(empty, name_map).otherwise(
+        F.map_concat(name_map, F.str_to_map(body, F.lit(PS), F.lit(KV)))
+    )
+    # parallel arrays derive from the one labels map (PARSED_SCHEMA
+    # contract with the Python branch); map_keys/map_values are codegen
+    # and insertion order - __name__ first, then source order - matches
+    # the previous per-pair transform construction
+    return stage.select(
+        F.map_keys(labels).alias("label_keys"),
+        F.map_values(labels).alias("label_values"),
+        "t",
+        "value",
+        sig.alias("sig"),
+        "name",
+        labels.alias("labels"),
+    )
+
 
 
 def parse_exposition_df(
@@ -263,7 +319,7 @@ def _parse_hybrid_onepass(
     is_content = (s != F.lit("")) & (~s.startswith("#"))
     default_ts = F.col(ts_col).cast("long") if ts_col else F.lit(0).cast("long")
     is_fast = is_content & s.rlike(_FAST_LINE_RE)
-    fast = src.filter(is_fast).select(*_fast_parse_cols(s, default_ts))
+    fast = _fast_parse_frame(src.filter(is_fast), s, default_ts)
     slow = _parse_python(
         src.filter(is_content & ~s.rlike(_FAST_LINE_RE)), line_col, ts_col
     )
@@ -281,6 +337,7 @@ def _parse_python(src: DataFrame, line_col: str, ts_col: Optional[str]) -> DataF
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             out_k, out_vv, out_t, out_v = [], [], [], []
+            out_n = []
             for i, line in enumerate(pdf[line_col]):
                 default_ts = int(pdf[ts_col].iloc[i]) if ts_col else 0
                 line = (line or "").strip()
@@ -291,6 +348,7 @@ def _parse_python(src: DataFrame, line_col: str, ts_col: Optional[str]) -> DataF
                     out_vv.append(list(labels.values()))
                     out_t.append(t)
                     out_v.append(v)
+                    out_n.append(labels.get("__name__"))
             # explicit dtypes: an empty partition would otherwise default
             # to float64 columns, which Arrow can't cast to list<string>
             yield pd.DataFrame(
@@ -299,6 +357,12 @@ def _parse_python(src: DataFrame, line_col: str, ts_col: Optional[str]) -> DataF
                     "label_values": pd.Series(out_vv, dtype=object),
                     "t": pd.Series(out_t, dtype="int64"),
                     "value": pd.Series(out_v, dtype="float64"),
+                    # sig/labels NULL ⇒ to_samples derives them from the
+                    # arrays (exact canonical struct-sort path; Arrow
+                    # can't marshal dicts to a map column from pandas)
+                    "sig": pd.Series([None] * len(out_t), dtype=object),
+                    "name": pd.Series(out_n, dtype=object),
+                    "labels": pd.Series([None] * len(out_t), dtype=object),
                 }
             )
 
@@ -319,24 +383,42 @@ def to_samples(parsed: DataFrame) -> DataFrame:
 
     from prometheus_spark.model.labels import KV_SEP, PAIR_SEP
 
-    # signature straight from the parallel arrays: building the map first
-    # and re-extracting entries (sig_expr) costs an extra per-row
-    # map build + entries pass — measured 0.55 s / 4.5M samples on the
-    # append stage; byte-identical sigs (exceptAll == 0 rows)
-    entries = F.array_sort(
-        F.arrays_zip(
-            F.col("label_keys").alias("key"),
-            F.col("label_values").alias("value"),
-        )
+    # signature straight from the parallel arrays.  Formulation matters:
+    # arrays_zip + array_sort(struct, lambda cmp) + transform run as
+    # INTERPRETED higher-order expressions (CodegenFallback) and cost
+    # ~2.2 s / 4.5M samples; zip_with + natural-order sort_array on the
+    # pair strings computes the identical signature at 0.77 s.  Pair-
+    # string order equals (key, value) struct order because the \x1e
+    # separator sorts below every character legal in a label key —
+    # divergence would need a key containing bytes < 0x1E (impossible
+    # for classic [a-zA-Z0-9_:] keys; pinned by the UTF-8 parity test).
+    cols = set(parsed.columns)
+    pairs = F.zip_with(
+        "label_keys", "label_values", lambda k, v: F.concat_ws(KV_SEP, k, v)
     )
-    sig = F.array_join(
-        F.transform(entries, lambda e: F.concat_ws(KV_SEP, e["key"], e["value"])),
-        PAIR_SEP,
+    sig = F.array_join(F.sort_array(pairs), PAIR_SEP)
+    # name: positional array lookup — probing the freshly-built map costs
+    # an extra interpreted pass (0.22 s vs 0.10 s / 4.5M samples);
+    # nullif keeps a (parser-unreachable) missing __name__ a NULL name
+    # instead of an ANSI zero-index error
+    name = F.expr(
+        "element_at(label_values, "
+        "CAST(nullif(array_position(label_keys, '__name__'), 0) AS INT))"
     )
     labels = F.map_from_arrays("label_keys", "label_values")
+    # JVM-fast-parsed rows carry sig/name/labels precomputed from the
+    # canonicalized pair string (see _fast_parse_frame); NULL rows
+    # (Python-parsed, other parsers) fall back to the array derivation —
+    # coalesce is lazily evaluated in codegen, so fast rows never pay it
+    if "sig" in cols:
+        sig = F.coalesce(F.col("sig"), sig)
+    if "name" in cols:
+        name = F.coalesce(F.col("name"), name)
+    if "labels" in cols:
+        labels = F.coalesce(F.col("labels"), labels)
     return parsed.select(
         sig.alias("sig"),
-        F.element_at(labels, F.lit("__name__")).alias("name"),
+        name.alias("name"),
         labels.alias("labels"),
         "t",
         "value",
