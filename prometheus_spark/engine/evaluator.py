@@ -387,6 +387,28 @@ class Evaluator:
                     return RF.eval_rate_hybrid(
                         ctx, fn, m_node.selector, rng, off
                     )
+            # anchored/smoothed rate family on a plain selector: per-series
+            # Arrow fold instead of the three-branch explode+union plan
+            # (range_functions.eval_extended_rate_fold); @-pinned windows
+            # keep the materialized path (single broadcast grid, cheap)
+            if (
+                fn in ("rate", "increase", "delta")
+                and isinstance(m_node, MatrixSelector)
+                and (m_node.anchored or m_node.smoothed)
+                and m_node.selector.at is None
+            ):
+                import os as _os
+
+                if _os.environ.get("PROMSPARK_EXT_IMPL", "fold") == "fold":
+                    qc = self._qctx()
+                    return RF.eval_extended_rate_fold(
+                        ctx,
+                        fn,
+                        m_node.selector,
+                        resolve_duration_ms(m_node.range_ms, qc),
+                        resolve_duration_ms(m_node.selector.offset_ms, qc),
+                        smoothed=m_node.smoothed,
+                    )
             w, dim, rng, mode = self._matrix_arg(node.args[m_idx])
             return RF.eval_range_function(ctx, fn, w, rng, param, mode=mode, dim=dim)
 

@@ -578,14 +578,24 @@ def _extended_delta(
     sequence; divided by the range for rate — no extrapolation."""
     rstart = f"(wend - {range_ms})"
     ctr = "true" if is_counter else "false"
-    y1_l = f"(CASE WHEN {ctr} AND __nv < value THEN 0.0D ELSE value END)"
+    # NaN-guarded reset comparisons: Spark orders NaN above every double,
+    # but the reference's interpolate() (functions.go:93) compares in Go
+    # IEEE semantics where NaN < x and x < NaN are both false — a NaN
+    # boundary neighbour must flow through as NaN, not as a reset-to-zero
+    y1_l = (
+        f"(CASE WHEN {ctr} AND NOT isnan(__nv) AND NOT isnan(value) "
+        "AND __nv < value THEN 0.0D ELSE value END)"
+    )
     lval = (
         f"(CASE WHEN {str(bool(smoothed)).lower()} AND role = 'L' "
         f"AND orig_t < {rstart} AND __nv IS NOT NULL "
         f"THEN {y1_l} + (__nv - {y1_l}) * ({rstart} - orig_t) / (__nt - orig_t) "
         "ELSE value END)"
     )
-    y1_r = f"(CASE WHEN {ctr} AND value < __pv THEN 0.0D ELSE __pv END)"
+    y1_r = (
+        f"(CASE WHEN {ctr} AND NOT isnan(value) AND NOT isnan(__pv) "
+        "AND value < __pv THEN 0.0D ELSE __pv END)"
+    )
     rval = (
         "(CASE WHEN role = 'R' AND orig_t > wend AND __pv IS NOT NULL "
         f"THEN {y1_r} + (value - {y1_r}) * (wend - __pt) / (orig_t - __pt) "
@@ -619,6 +629,198 @@ def _extended_delta(
         value = f"({value} / {range_ms / 1000.0}D)"
     out = stats.selectExpr("sig", "t", value + " AS value")
     return _finish(out, ctx)
+
+
+def eval_extended_rate_fold(
+    ctx: EvalContext,
+    func: str,
+    selector,
+    range_ms: int,
+    offset_ms: int = 0,
+    smoothed: bool = False,
+) -> VectorFrame:
+    """anchored/smoothed rate/increase/delta as a per-series Arrow fold.
+
+    The materialized plan (selectors.extended_windowed_samples +
+    _extended_delta) explodes the samples THREE ways (interior + left +
+    right boundary candidates), unions them, runs two validity windows
+    and a lag window over the union, and aggregates — five shuffles of
+    samples×ratio rows.  Per series the same math is a pair of
+    ``np.searchsorted`` calls, one prefix cumsum of counter drops, and
+    vectorized boundary interpolation — the same shape as
+    ``_prefix_stats_arrow``.  Sample adjacency (the interpolation
+    neighbours) comes from array shifts inside the fold: although the
+    materialized path computes lead/lag over the UNSCOPED series, an
+    out-of-scope neighbour can only ever be consulted by an INVALID
+    window — a left boundary's next sample on a valid window is the
+    window's first interior sample or its right boundary (both in
+    scope), a right boundary's previous is the last interior or the
+    left boundary, and a right boundary whose previous sample precedes
+    the scope has no in-lookback left boundary, failing validity — so
+    in-scope shifts are exact for every emitted row.
+
+    Histogram-carrying series route to the materialized path unchanged
+    (mixed-window semantics live there); the two halves union.
+    ``PROMSPARK_EXT_IMPL=explode`` forces the old plan everywhere."""
+    import numpy as np
+    import pandas as pd
+
+    from prometheus_spark.engine.selectors import (
+        extended_windowed_samples,
+        matcher_predicate,
+        selector_dim,
+    )
+
+    base = ctx.samples.filter(
+        matcher_predicate(selector.matchers, ctx.samples.columns)
+    ).filter(~F.col("stale"))
+    lb = int(ctx.lookback_ms)
+    lo = ctx.start_ms - offset_ms - range_ms - lb
+    hi = ctx.end_ms - offset_ms + (lb if smoothed else 0)
+    scoped_pred = f"t > {lo} AND t <= {hi}"
+    dim = selector_dim(ctx, selector.matchers, base.filter(scoped_pred))
+
+    hist_out = None
+    if "hist" in base.columns:
+        flagged = base.join(_kind_flags(ctx, base), "sig")
+        base_f = flagged.filter(F.col("__has_h") == 0).drop("__has_h", "__has_f")
+        hseries = flagged.filter(F.col("__has_h") == 1).drop("__has_h", "__has_f")
+        hw, hdim = extended_windowed_samples(
+            ctx, selector, range_ms, offset_ms=offset_ms,
+            smoothed=smoothed, base=hseries,
+        )
+        hist_out = eval_range_function(
+            ctx, func, hw, range_ms,
+            mode="smoothed" if smoothed else "anchored", dim=hdim,
+        ).fact
+    else:
+        base_f = base
+
+    adj = base_f.filter(scoped_pred).selectExpr(
+        "sig", "t", "CAST(value AS DOUBLE) AS value"
+    )
+
+    step_arr = np.arange(
+        ctx.start_ms, ctx.end_ms + 1, ctx.step_ms, dtype=np.int64
+    )
+    wend_arr = step_arr - offset_ms
+    rs_arr = wend_arr - int(range_ms)
+    rng_s = range_ms / 1000.0
+    is_counter = func != "delta"
+    is_rate = func == "rate"
+    sm = bool(smoothed)
+    nsteps = len(step_arr)
+
+    empty = pd.DataFrame(
+        {
+            "sig": pd.Series([], dtype=str),
+            "t": pd.Series([], dtype=np.int64),
+            "value": pd.Series([], dtype=np.float64),
+        }
+    )
+
+    def _ctr_drop(a, b, active):
+        # counter reset across the pair: NOT isnan(a/b) AND b < a → add a
+        return np.where(
+            active & ~np.isnan(a) & ~np.isnan(b) & (b < a), a, 0.0
+        )
+
+    def series_fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        order = np.argsort(pdf["t"].to_numpy(np.int64), kind="mergesort")
+        ts = pdf["t"].to_numpy(np.int64)[order]
+        vs = pdf["value"].to_numpy(np.float64)[order]
+        n = len(ts)
+        if n == 0:  # pragma: no cover — groupBy never yields empty groups
+            return empty
+        right = np.searchsorted(ts, wend_arr, side="right")
+        left = np.searchsorted(ts, rs_arr, side="right")
+        has_int = right > left
+        # L = latest sample at/before rangeStart, within lookback
+        li = np.clip(left - 1, 0, n - 1)
+        ts_l, v_l = ts[li], vs[li]
+        has_L = (left >= 1) & (ts_l > rs_arr - lb)
+        L_eff = v_l
+        if sm:
+            # smoothed: interpolate strictly-pre-window L to the edge,
+            # counter-aware (functions.go:93 interpolate); the neighbour
+            # is the next in-scope sample — exact for valid windows (see
+            # docstring)
+            ni = np.clip(left, 0, n - 1)
+            nt_l, nv_l = ts[ni], vs[ni]
+            do_l = has_L & (ts_l < rs_arr) & (left < n)
+            reset_l = (nv_l < v_l) if is_counter else np.zeros(nsteps, bool)
+            y1 = np.where(reset_l, 0.0, v_l)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                interp_l = y1 + (nv_l - y1) * (rs_arr - ts_l) / (nt_l - ts_l)
+            L_eff = np.where(do_l, interp_l, v_l)
+        # R (smoothed) = earliest post-window sample, within lookback,
+        # with its previous sample strictly before the edge
+        has_R = np.zeros(nsteps, dtype=bool)
+        R_eff = np.full(nsteps, np.nan)
+        if sm:
+            ri = np.clip(right, 0, n - 1)
+            ts_r, v_r = ts[ri], vs[ri]
+            pi = np.clip(right - 1, 0, n - 1)
+            pt_r, pv_r = ts[pi], vs[pi]
+            has_prev = right >= 1
+            has_R = (
+                (right < n)
+                & (ts_r < wend_arr + lb)
+                & (~has_prev | (pt_r < wend_arr))
+            )
+            reset_r = (v_r < pv_r) if is_counter else np.zeros(nsteps, bool)
+            y1r = np.where(reset_r, 0.0, pv_r)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                interp_r = y1r + (v_r - y1r) * (wend_arr - pt_r) / (ts_r - pt_r)
+            R_eff = np.where(has_prev, interp_r, v_r)
+        # validity: a sample after rangeStart (interior or R) and one
+        # at/before rangeEnd (interior or L) — extended_windowed_samples'
+        # __after/__before flags
+        valid = (has_int | has_R) & (has_int | has_L)
+        if not valid.any():
+            return empty
+        fi = np.clip(left, 0, n - 1)
+        la = np.clip(right - 1, 0, n - 1)
+        int_first, int_last = vs[fi], vs[la]
+        first_eff = np.where(has_L, L_eff, np.where(has_int, int_first, R_eff))
+        last_eff = np.where(has_R, R_eff, np.where(has_int, int_last, L_eff))
+        corr = np.zeros(nsteps)
+        if is_counter:
+            if n >= 2:
+                a, b = vs[:-1], vs[1:]
+                dr = np.where(~np.isnan(a) & ~np.isnan(b) & (b < a), a, 0.0)
+                cum = np.concatenate(([0.0], np.cumsum(dr)))
+            else:
+                cum = np.zeros(max(n, 1))
+            corr = np.where(has_int, cum[la] - cum[fi], 0.0)
+            corr = corr + _ctr_drop(L_eff, int_first, has_L & has_int)
+            corr = corr + _ctr_drop(int_last, R_eff, has_R & has_int)
+            corr = corr + _ctr_drop(L_eff, R_eff, has_L & has_R & ~has_int)
+        val = last_eff - first_eff + corr
+        if is_rate:
+            val = val / rng_s
+        return pd.DataFrame(
+            {
+                "sig": pdf["sig"].iloc[0],
+                "t": step_arr[valid],
+                "value": val[valid],
+            }
+        )
+
+    folded = (
+        _pyfold_repartition(ctx, adj)
+        .groupBy("sig")
+        .applyInPandas(series_fold, schema="sig string, t long, value double")
+    )
+    # pandas→Arrow reads float NaN as null; the fold never emits null —
+    # any null IS a NaN result
+    out = _finish(
+        folded.select("sig", "t", F.coalesce("value", _NAN()).alias("value")),
+        ctx,
+    )
+    if hist_out is not None:
+        out = _union_hist(out, hist_out)
+    return VectorFrame(fact=out, dim=dim)
 
 
 def _instant_pair(ctx: EvalContext, windowed: DataFrame, is_rate: bool) -> DataFrame:

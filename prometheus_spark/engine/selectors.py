@@ -461,6 +461,7 @@ def extended_windowed_samples(
     offset_ms: int = 0,
     at=None,
     smoothed: bool = False,
+    base: DataFrame = None,
 ) -> tuple:
     """Anchored/smoothed matrix windows → ``(windows, dim)`` — split
     frame contract: windows carry no labels; dim = (sig, labels) for the
@@ -481,9 +482,10 @@ def extended_windowed_samples(
     """
     from prometheus_spark.model.schema import HISTOGRAM_TYPE
 
-    base = ctx.samples.filter(
-        matcher_predicate(node.matchers, ctx.samples.columns)
-    ).filter("NOT stale")
+    if base is None:
+        base = ctx.samples.filter(
+            matcher_predicate(node.matchers, ctx.samples.columns)
+        ).filter("NOT stale")
     has_hist = "hist" in base.columns
     hcols = ["hist"] if has_hist else []
     lb = ctx.lookback_ms
