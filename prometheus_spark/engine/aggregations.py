@@ -84,7 +84,7 @@ def _regroup_split(vf: VectorFrame, node: AggregateExpr, extra: list = (), ctx: 
         )
         return fact, dim
 
-    if ctx is not None and ctx.sig_inline_ok():
+    if ctx is not None and ctx.sig_inline_ok(vf):
         # Sig pair-filter path: the fact's canonical sig embeds the full
         # labelset, so the group sig is a key-filtered subsequence of its
         # pairs — computed inline per fact row.  No per-series map
@@ -665,7 +665,7 @@ def _eval_k_selector(
             "gsig",
             F.expr(sig_sql("CAST(map() AS MAP<STRING, STRING>)")),
         )
-    elif ctx.sig_inline_ok():
+    elif ctx.sig_inline_ok(vf):
         # sig pair-filter path (see _regroup_split): the heap window's
         # partition key computes inline from the fact's own sig — no
         # dim mapping join

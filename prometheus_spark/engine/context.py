@@ -88,9 +88,13 @@ class EvalContext:
     # separator bytes in labels) keeps the dim-join path.
     sig_pairs_ok: bool = False
     # Engine-probed frame stats feeding the inline-vs-join cost choice
-    # (sig_inline_ok): total series and mean canonical-sig width.
+    # (sig_inline_ok): total series and mean canonical-sig width, plus
+    # per-metric-name stats {name: (series, avg_sig_len)} when the dim
+    # was small enough to collect them (selectors seed VectorFrame
+    # estimates from these).
     series_count: int = 0
     avg_sig_bytes: float = 64.0
+    name_stats: "dict | None" = None
     # Engine-owned memo for plan-time probe jobs (collision bits, msig-dup
     # bits, le domains), keyed by the probed frame's analyzed-plan
     # semanticHash — the same selector/dim shape recurring across queries
@@ -106,28 +110,63 @@ class EvalContext:
         just run the probe."""
         return memo_probe(self.probe_memo, df, tag, fn)
 
-    def sig_inline_ok(self) -> bool:
+    def sig_inline_ok(self, *vfs) -> bool:
         """Should key-filtered sigs compute INLINE per fact row (string
         pair-filter) instead of via a per-series dim mapping join?
 
-        Inline removes the mapping join and its dim-side stages but pays
-        a string scan per fact row — measured to lose once
-        ``series × steps × sig_bytes`` grows past ~64 MB of scanned sig
-        text on wide-label frames (BENCH_LABELS: 1500 series × 300 steps
-        × ~1.1 kB sigs, binop 1.53 → 2.72 s inline).  When the dim is
-        too big to broadcast the mapping join would shuffle the fact —
+        Inline removes the mapping join and its dim-side stages (wins on
+        latency-bound shapes: instant queries, small facts) but pays a
+        regex scan per fact row at Java-regex throughput (~50 MB/s of
+        sig text per core) — measured to lose once the scanned text
+        ``series × steps × sig_bytes`` grows past a few MB (bench
+        storage: sum by over 1.1k-series histograms × 1000 steps ≈
+        33 MB, inline 1.70 s vs join 0.98 s; the same shape at one step
+        ≈ 33 kB, inline 0.22 s vs join 0.24 s).  When the dim is too
+        big to broadcast the mapping join would shuffle the fact —
         strictly worse than any inline scan — so inline always wins
-        there.  ``series_count`` is the whole frame's series total, an
-        upper bound on any selector's match set: conservative toward the
-        join path, which is never catastrophically wrong."""
+        there.  The join side is not free either: its dim stages pay an
+        interpreted per-SERIES map rebuild plus the broadcast, so the
+        comparison is  inline ≈ series × steps × sig_bytes × c_regex
+        vs  join ≈ const_stages + series × c_dim.  Dividing by c_regex
+        gives the byte-denominated rule below: inline while the scanned
+        sig text stays under a fixed budget (≈ the join's stage
+        round-trips, PROMSPARK_SIGPAIR_MAX_BYTES) plus a per-series
+        allowance (≈ the join's per-series dim work,
+        PROMSPARK_SIGPAIR_DIM_EQUIV_BYTES).  The allowance term is what
+        keeps huge-cardinality INSTANT queries inline — there fact rows
+        == dim rows, so the join can never win — while multi-hundred-
+        step range queries over the same series flip to the join
+        (measured: 1.1k-series histogram sum × 1000 steps, inline
+        1.70 s vs join 0.98 s; the same sum at one step, inline 0.22 s
+        vs join 0.24 s; sf10 1:1 instant sum_by, inline 1.07 s vs join
+        1.53 s).  Callers pass their input VectorFrames: a frame whose
+        selector seeded a per-name estimate scores by its OWN matched
+        series; unknown frames fall back to the whole-frame series
+        total, an upper bound that is conservative toward the join
+        path, which is never catastrophically wrong."""
         if not self.sig_pairs_ok:
             return False
         if not self.dims_broadcastable:
             return True
         import os
 
-        cap = float(os.environ.get("PROMSPARK_SIGPAIR_MAX_BYTES", "64000000"))
-        return self.series_count * self.num_steps * self.avg_sig_bytes <= cap
+        cap = float(os.environ.get("PROMSPARK_SIGPAIR_MAX_BYTES", "4000000"))
+        dim_equiv = float(
+            os.environ.get("PROMSPARK_SIGPAIR_DIM_EQUIV_BYTES", "100")
+        )
+        if vfs:
+            text = 0.0
+            series = 0.0
+            for vf in vfs:
+                n = getattr(vf, "est_series", None)
+                w = getattr(vf, "est_sig_bytes", None)
+                n = n if n is not None else self.series_count
+                series += n
+                text += n * (w if w is not None else self.avg_sig_bytes)
+        else:
+            series = self.series_count
+            text = series * self.avg_sig_bytes
+        return text * self.num_steps <= cap + series * dim_equiv
 
     def dim_hint(self, df: "DataFrame") -> "DataFrame":
         from pyspark.sql import functions as F

@@ -118,6 +118,7 @@ class PromQLEngine:
         self._sig_pairs_ok = False
         self._series_count = 0
         self._avg_sig_bytes = 64.0
+        self._name_stats: Optional[dict] = None
 
     def release_plans(self) -> None:
         """Drop every cached plan handle.
@@ -197,6 +198,30 @@ class PromQLEngine:
             self._dims_tiny = n <= int(
                 os.environ.get("PROMSPARK_DIM_TINY_MAX", "65536")
             )
+            # Per-metric-name stats {name: (series, avg_sig_len)} feed
+            # selector cardinality estimates (VectorFrame.est_series →
+            # EvalContext.sig_inline_ok).  Only collected when the dim
+            # is small (distinct names ≤ dim rows ≤ tiny cap bounds the
+            # driver collect); one extra aggregation over the PERSISTED
+            # dim at engine init, amortized over every query.  Big
+            # frames skip it — there the dim isn't broadcastable and
+            # the inline-vs-join gate never consults the estimates.
+            if self._dims_tiny and self._sig_pairs_ok:
+                name_src = (
+                    "name" if "name" in self._series_dim.columns
+                    else "labels['__name__']"
+                )
+                self._name_stats = {
+                    r["nm"]: (r["c"], float(r["al"]))
+                    for r in self._series_dim.groupBy(
+                        F.expr(f"coalesce({name_src}, '')").alias("nm")
+                    )
+                    .agg(
+                        F.count(F.lit(1)).alias("c"),
+                        F.avg(F.length("sig")).alias("al"),
+                    )
+                    .collect()
+                }
         return self._series_dim
 
     def release_series_dim(self) -> None:
@@ -207,6 +232,7 @@ class PromQLEngine:
             except Exception:
                 pass
             self._series_dim = None
+            self._name_stats = None
 
     @property
     def samples(self) -> DataFrame:
@@ -238,6 +264,7 @@ class PromQLEngine:
             sig_pairs_ok=self._sig_pairs_ok,
             series_count=self._series_count,
             avg_sig_bytes=self._avg_sig_bytes,
+            name_stats=self._name_stats,
             probe_memo=self._probe_memo,
         )
 

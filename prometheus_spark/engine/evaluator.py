@@ -307,6 +307,17 @@ class Evaluator:
             raise PromQLEvalError(f"{fn}: per-step scalars not supported yet")
 
         if fn in RF.RANGE_FUNCTIONS:
+            def _att(vf, sel):
+                # range functions preserve the series set — carry the
+                # selector's cardinality estimate (sig_inline_ok input)
+                if isinstance(vf, VectorFrame) and sel is not None:
+                    from prometheus_spark.engine.selectors import selector_est
+
+                    est = selector_est(ctx, sel)
+                    if est is not None and vf.est_series is None:
+                        vf.est_series, vf.est_sig_bytes = est
+                return vf
+
             param = self.eval(node.args[0]) if fn == "quantile_over_time" else None
             if fn == "predict_linear":
                 param = self._scalar(node.args[1])
@@ -334,18 +345,18 @@ class Evaluator:
                     # (collect_list + F.aggregate) measures ~4 s on a
                     # [1d] window where the as-of scalar loop is ~ms
                     if thr == 0 or rng // ctx.step_ms >= thr:
-                        return RF.eval_des_asof(
+                        return _att(RF.eval_des_asof(
                             ctx, m_node.selector, rng, off,
                             self._scalar(node.args[1]),
                             self._scalar(node.args[2]),
-                        )
+                        ), m_node.selector)
                 w, dim, rng, mode = self._matrix_arg(node.args[0])
                 if mode is not None:
                     raise PromQLEvalError(f"{mode} modifier cannot be used with {fn}")
-                return RF.eval_range_function(
+                return _att(RF.eval_range_function(
                     ctx, fn, w, rng, self._scalar(node.args[1]), self._scalar(node.args[2]),
                     dim=dim,
-                )
+                ), m_node.selector if isinstance(m_node, MatrixSelector) else None)
             m_idx = 1 if fn == "quantile_over_time" else 0
             m_node = node.args[m_idx]
             while isinstance(m_node, ParenExpr):
@@ -372,9 +383,9 @@ class Evaluator:
                 if thr == 0 or (
                     not ctx.is_instant and rng // ctx.step_ms >= thr
                 ):
-                    return RF.eval_range_function_prefix(
+                    return _att(RF.eval_range_function_prefix(
                         ctx, fn, m_node.selector, rng, off
-                    )
+                    ), m_node.selector)
                 # explode-favoring ratio, but histogram windows are
                 # Python-cost dominated: pure-hist series still win on
                 # the as-of path (range_functions.eval_rate_hybrid)
@@ -384,9 +395,9 @@ class Evaluator:
                     and "hist" in ctx.samples.columns
                     and rng // ctx.step_ms >= RF.hist_asof_threshold()
                 ):
-                    return RF.eval_rate_hybrid(
+                    return _att(RF.eval_rate_hybrid(
                         ctx, fn, m_node.selector, rng, off
-                    )
+                    ), m_node.selector)
             # anchored/smoothed rate family on a plain selector: per-series
             # Arrow fold instead of the three-branch explode+union plan
             # (range_functions.eval_extended_rate_fold); @-pinned windows
@@ -401,16 +412,19 @@ class Evaluator:
 
                 if _os.environ.get("PROMSPARK_EXT_IMPL", "fold") == "fold":
                     qc = self._qctx()
-                    return RF.eval_extended_rate_fold(
+                    return _att(RF.eval_extended_rate_fold(
                         ctx,
                         fn,
                         m_node.selector,
                         resolve_duration_ms(m_node.range_ms, qc),
                         resolve_duration_ms(m_node.selector.offset_ms, qc),
                         smoothed=m_node.smoothed,
-                    )
+                    ), m_node.selector)
             w, dim, rng, mode = self._matrix_arg(node.args[m_idx])
-            return RF.eval_range_function(ctx, fn, w, rng, param, mode=mode, dim=dim)
+            return _att(
+                RF.eval_range_function(ctx, fn, w, rng, param, mode=mode, dim=dim),
+                m_node.selector if isinstance(m_node, MatrixSelector) else None,
+            )
 
         if fn == "absent_over_time":
             m_node = node.args[0]

@@ -168,7 +168,56 @@ def selector_dim(ctx: EvalContext, matchers, in_window: DataFrame) -> DataFrame:
     )
 
 
+def selector_est(ctx: EvalContext, node) -> "tuple[int, float] | None":
+    """(series, avg_sig_len) upper-bound estimate for a selector, from
+    the engine's per-metric-name stats.  A name matcher pins the
+    estimate (the other matchers merely narrow it further — still an
+    upper bound): equality by lookup, regex/negation by evaluating the
+    anchored pattern over the (few) known names driver-side.  This only
+    feeds the inline-vs-join COST choice (EvalContext.sig_inline_ok),
+    so a Python-vs-Java regex corner mis-estimating is harmless.
+    Selectors without a name matcher fall back to None (whole frame)."""
+    stats = ctx.name_stats
+    if not stats:
+        return None
+    name = getattr(node, "name", None)
+    if name is not None:
+        return stats.get(name, (0, 0.0))
+    for m in getattr(node, "matchers", ()):
+        if m.name != "__name__":
+            continue
+        if m.type == MatchType.EQ:
+            return stats.get(m.value, (0, 0.0))
+        if m.type in (MatchType.RE, MatchType.NRE):
+            try:
+                pat = re.compile(f"^(?:{m.value})$")
+            except re.error:
+                return None
+            hit = m.type == MatchType.RE
+            rows = [
+                v for k, v in stats.items()
+                if bool(pat.match(k)) == hit
+            ]
+        elif m.type == MatchType.NEQ:
+            rows = [v for k, v in stats.items() if k != m.value]
+        else:
+            return None
+        n = sum(c for c, _ in rows)
+        if n == 0:
+            return (0, 0.0)
+        return (n, sum(c * al for c, al in rows) / n)
+    return None
+
+
 def eval_vector_selector(ctx: EvalContext, node: VectorSelector) -> VectorFrame:
+    vf = _eval_vector_selector(ctx, node)
+    est = selector_est(ctx, node)
+    if est is not None:
+        vf.est_series, vf.est_sig_bytes = est
+    return vf
+
+
+def _eval_vector_selector(ctx: EvalContext, node: VectorSelector) -> VectorFrame:
     from prometheus_spark.parser.ast import resolve_duration_ms
 
     base = ctx.samples.filter(

@@ -75,7 +75,7 @@ class VectorFrame:
     producers should construct split frames so this bridge stays cold.
     """
 
-    __slots__ = ("_df", "_fact", "_dim")
+    __slots__ = ("_df", "_fact", "_dim", "est_series", "est_sig_bytes")
 
     def __init__(
         self,
@@ -83,12 +83,30 @@ class VectorFrame:
         *,
         fact: DataFrame = None,
         dim: DataFrame = None,
+        est_series: "int | None" = None,
+        est_sig_bytes: "float | None" = None,
     ):
         if df is None and (fact is None or dim is None):
             raise ValueError("VectorFrame needs df or (fact and dim)")
         self._df = df
         self._fact = fact
         self._dim = dim
+        # Plan-time cardinality estimate: an UPPER BOUND on this frame's
+        # distinct series (and their mean canonical-sig width), seeded by
+        # selectors from the engine's per-metric-name stats and carried
+        # through series-preserving operators.  None = unknown — readers
+        # (EvalContext.sig_inline_ok) fall back to whole-frame totals,
+        # which is conservative toward the dim-join path.
+        self.est_series = est_series
+        self.est_sig_bytes = est_sig_bytes
+
+    def est_from(self, src: "VectorFrame") -> "VectorFrame":
+        """Inherit the series estimate from ``src`` (for outputs whose
+        series set is a subset of ``src``'s — rate family, math
+        functions, filters)."""
+        self.est_series = src.est_series
+        self.est_sig_bytes = src.est_sig_bytes
+        return self
 
     @property
     def is_split(self) -> bool:

@@ -195,17 +195,30 @@ def sig_subset_sql(
     samples frame (``PromQLEngine._sig_pairs_ok``) and callers fall
     back to the map path when the probe fails.
     """
+    import re
+
     if keep is not None:
-        keys = ", ".join(sql_str_lit(k) for k in sorted(set(keep)))
-        if not keys:
+        ks = sorted(set(keep))
+        if not ks:
             return "''"
-        pred = f"array_contains(array({keys}), split_part(p, '\\u001E', 1))"
+        alt = "|".join(re.escape(k) for k in ks)
+        # remove every pair whose key is NOT in `keep` (negative
+        # lookahead on key + KV_SEP so prefix keys can't false-match)
+        pat = f"(?:^|{PAIR_SEP})(?!(?:{alt}){KV_SEP})[^{PAIR_SEP}]*"
     else:
-        keys = ", ".join(sql_str_lit(k) for k in sorted(set(drop or ())))
-        pred = f"NOT array_contains(array({keys}), split_part(p, '\\u001E', 1))"
+        ks = sorted(set(drop or ()))
+        if not ks:
+            return f"({sig_sql_ref})"
+        alt = "|".join(re.escape(k) for k in ks)
+        pat = f"(?:^|{PAIR_SEP})(?:{alt}){KV_SEP}[^{PAIR_SEP}]*"
+    # regexp_replace is whole-stage-codegen'd; the earlier
+    # split/filter/array_join spelling ran as interpreted higher-order
+    # functions and broke codegen for the surrounding stage (3x on the
+    # 1.1M-row h_hundred sum bench cases).  A removed leading pair
+    # leaves one dangling separator — the outer replace strips it.
     return (
-        f"array_join(filter(split({sig_sql_ref}, '\\u001F', -1), "
-        f"p -> p != '' AND {pred}), '\\u001F')"
+        f"regexp_replace(regexp_replace({sig_sql_ref}, "
+        f"{sql_str_lit(pat)}, ''), {sql_str_lit('^' + PAIR_SEP + '+')}, '')"
     )
 
 
