@@ -385,7 +385,7 @@ def set_op(ctx: EvalContext, op: str, lhs: VectorFrame, rhs: VectorFrame, vm: Ve
     cols = ["sig", "t", "sample_t", "value", "drop_name"] + (
         ["hist"] if "hist" in lf.columns else []
     )
-    if ctx.sig_inline_ok():
+    if ctx.sig_inline_ok(lhs, rhs):
         # sig pair-filter path: match sigs inline from each fact's own
         # sig (labels.sig_subset_sql) — no dim mapping joins
         msig_pair = _msig_pair_sql(vm)
@@ -421,19 +421,28 @@ def vector_vector(
     if node.op in ("and", "or", "unless"):
         return set_op(ctx, node.op, lhs, rhs, vm)
     has_hist = "hist" in lhs.fact.columns or "hist" in rhs.fact.columns
-    # Split fast path for the common shapes: no group_left/right include
-    # labels, no histogram arithmetic/trim — there the result labelset
-    # is a function of the MANY side's labels alone (fill-synthesized
-    # rows take the one side's match labels, which also compute per
-    # SERIES on the one dim), so match sig AND result (sig, labels)
-    # both compute per series on the dims and the (msig, t) equi-join
-    # moves only narrow fact rows.  The label-entangled shapes (includes
-    # pull label values from the one side per matched pair) keep the
-    # legacy inline-labels plan.
+    # Split fast path: no histogram arithmetic/trim — the result
+    # labelset is a function of the MANY side's labels alone (fill-
+    # synthesized rows take the one side's match labels, which also
+    # compute per SERIES on the one dim), so match sig AND result
+    # (sig, labels) both compute per series on the dims and the
+    # (msig, t) equi-join moves only narrow fact rows.
+    # group_left/right INCLUDE shapes pull label values from the one
+    # side per matched pair, but whenever no two one-side series share
+    # a match signature (the memoized _dup_msigs_possible dim probe,
+    # False for virtually every sane join key) the msig → one-labels
+    # mapping is a per-SERIES function too — the split path computes
+    # the result labelset on a dim-sized pair join and bails to the
+    # legacy inline-labels plan otherwise (there include labels can
+    # genuinely vary per row over time).  include+fill keeps legacy:
+    # fill-synthesized rows have no matched one series to include from.
     if not (
-        vm.include
-        or node.op in ("</", ">/")
+        node.op in ("</", ">/")
         or (has_hist and node.op in ("+", "-", "*", "/"))
+        or (
+            vm.include
+            and (node.fill_lhs is not None or node.fill_rhs is not None)
+        )
     ):
         return _vector_vector_split(ctx, node, lhs, rhs, vm)
     return _vector_vector_legacy(ctx, node, lhs, rhs, vm)
@@ -464,7 +473,40 @@ def _vector_vector_split(
     identity_result = (
         card == MatchCardinality.ONE_TO_ONE and vm.on is False and not vm.labels
     )
-    pairs_ok = ctx.sig_inline_ok()
+    # include shapes read one-side labels — their match/result sigs
+    # can't be pair-filtered from the many fact's own sig
+    pairs_ok = ctx.sig_inline_ok(lhs, rhs) and not vm.include
+
+    def _dup_msigs_possible(d) -> bool:
+        """Plan-time probe: can two of this side's SERIES share a match
+        signature?  Decidable from the tiny dim; when they can't, no
+        (msig, t) duplicate can exist and the window guard is elided —
+        the reference's check is an O(input) hash insert
+        (engine.go:3349 region), and a result-sized window exchange on
+        every strict binop was our single largest fixed overhead.
+        Memoized per (dim shape, match form) — the same selector under
+        the same matching across queries probes once per engine."""
+        m = _msig_pair_sql(vm) if pairs_ok else msig
+
+        def _run(dd):
+            return (
+                dd.selectExpr(m + " AS m")
+                .groupBy("m")
+                .count()
+                .filter("count > 1")
+                .limit(1)
+                .count()
+                > 0
+            )
+
+        return ctx.probe(d, ("dupmsig", m), _run)
+
+    if vm.include and _dup_msigs_possible(one_d):
+        # two one-side series share a match signature: the include
+        # labels may vary per (msig, t) row — only the legacy inline-
+        # labels plan (and its runtime duplicate guard) is faithful
+        return _vector_vector_legacy(ctx, node, lhs, rhs, vm)
+
     if pairs_ok:
         # Sig pair-filter path (labels.sig_subset_sql): match and result
         # sigs are key-filtered subsequences of each fact's own canonical
@@ -480,6 +522,27 @@ def _vector_vector_split(
     else:
         if identity_result:
             mdim = many_d.selectExpr("sig", msig + " AS msig", "sig AS __rsig")
+        elif vm.include:
+            # result labels = f(many labels, matched one-side labels):
+            # with unique one-side msigs (probed above) that's a
+            # per-SERIES function, computed on a dim-sized pair join —
+            # the fact join below still moves only narrow rows.  The
+            # inner join also drops many series with no match partner
+            # before their facts are scanned (semi-join pre-filter).
+            rlabels = _result_labels_sql(vm)
+            odim = one_d.selectExpr(
+                msig + " AS msig", "labels AS __olabels"
+            )
+            mdim = (
+                many_d.selectExpr("sig", "labels", msig + " AS msig")
+                .join(ctx.dim_hint(odim), "msig")
+                .selectExpr(
+                    "sig",
+                    "msig",
+                    sig_sql(rlabels) + " AS __rsig",
+                    rlabels + " AS __rlabels",
+                )
+            )
         else:
             rlabels = _result_labels_sql(vm)
             mdim = many_d.selectExpr(
@@ -565,30 +628,6 @@ def _vector_vector_split(
             *one_cols,
             *(["__fsig"] if fill_many is not None else []),
         )
-
-    def _dup_msigs_possible(d) -> bool:
-        """Plan-time probe: can two of this side's SERIES share a match
-        signature?  Decidable from the tiny dim; when they can't, no
-        (msig, t) duplicate can exist and the window guard is elided —
-        the reference's check is an O(input) hash insert
-        (engine.go:3349 region), and a result-sized window exchange on
-        every strict binop was our single largest fixed overhead.
-        Memoized per (dim shape, match form) — the same selector under
-        the same matching across queries probes once per engine."""
-        m = _msig_pair_sql(vm) if pairs_ok else msig
-
-        def _run(dd):
-            return (
-                dd.selectExpr(m + " AS m")
-                .groupBy("m")
-                .count()
-                .filter("count > 1")
-                .limit(1)
-                .count()
-                > 0
-            )
-
-        return ctx.probe(d, ("dupmsig", m), _run)
 
     guard = "0.0D"
     if ctx.strict and _dup_msigs_possible(one_d):
