@@ -948,12 +948,29 @@ def test_normalize_url_userinfo_not_port(spark):
 
 @needs_data
 def test_simhash_arrow_fold_bit_identical(spark, docs):
-    """The numpy mapInArrow vote fold must produce the exact fingerprints
-    of the pure-SQL aggregate/zip_with fold, for both hash families."""
+    """The default vote fold must produce the exact fingerprints of the
+    pure-SQL aggregate/zip_with fold, for both hash families."""
     from prometheus_spark.pipeline import simhash_64, simhash_64_portable
 
     base = docs.limit(50)
     for fn in (simhash_64, simhash_64_portable):
-        arrow = {r["doc_id"]: r["simhash"] for r in fn(base).collect()}
+        fast = {r["doc_id"]: r["simhash"] for r in fn(base).collect()}
         sql = {r["doc_id"]: r["simhash"] for r in fn(base, use_arrow=False).collect()}
-        assert arrow == sql and len(arrow) == 50, fn.__name__
+        assert fast == sql and len(fast) == 50, fn.__name__
+
+
+@needs_data
+def test_simhash_portable_impls_bit_identical(spark, docs, monkeypatch):
+    """All three portable vote-fold spellings (codegen'd 64-agg, numpy
+    Arrow fold, pure SQL) emit identical fingerprints — the md5 spelling
+    IS the oracle contract."""
+    from prometheus_spark.pipeline import simhash_64_portable
+
+    base = docs.limit(50)
+    got = {}
+    for impl in ("agg", "arrow", "sql"):
+        monkeypatch.setenv("PROMSPARK_SIMHASH_IMPL", impl)
+        got[impl] = {
+            r["doc_id"]: r["simhash"] for r in simhash_64_portable(base).collect()
+        }
+    assert got["agg"] == got["arrow"] == got["sql"] and len(got["agg"]) == 50
