@@ -50,6 +50,13 @@ RECOMMENDED = {
     # long[] pinned per tiny dim broadcast, measured 5 GB live across
     # one forced-path corpus file (the round-11 GC storm's JVM half).
     # 1m caps the per-relation floor; large shuffles just chain pages.
+    # The right value is WORKLOAD-shaped, not cluster-shaped: a stream
+    # of concurrent queries (many live relations) wants the small
+    # floor, a single wide batch scan (few relations, tens of millions
+    # of rows through one shuffle per core) wants big pages — measured
+    # ~1.5x on 27M-row shuffle suites at 64m vs 1m.  That split is the
+    # ``workload`` parameter of :func:`build_session` ("service" → 1m,
+    # "batch" → 64m); this dict IS the service persona.
     "spark.buffer.pageSize": "1m",
     # AQE coalescing sizes partitions by SHUFFLE BYTES (1m floor by
     # default), but engine operator stages are CPU-bound per row —
@@ -62,17 +69,31 @@ RECOMMENDED = {
 }
 
 
+def page_size_for(workload: str) -> str:
+    """Tungsten page size by workload shape (see the RECOMMENDED
+    rationale): ``service`` = a stream of concurrent queries with many
+    live broadcast relations (small floor wins, GC-safe), ``batch`` = a
+    single wide scan/shuffle pipeline (big pages win ~1.5x on 27M-row
+    shuffles).  One rule, both personas."""
+    return {"service": "1m", "batch": "64m"}[workload]
+
+
 def build_session(
     app_name: str = "prometheus_spark",
     master: Optional[str] = None,
     shuffle_partitions: Optional[int] = None,
     extra_conf: Optional[dict] = None,
+    workload: str = "service",
 ):
     """Build (or extend) a SparkSession with the engine defaults.
 
     ``shuffle_partitions`` defaults to 3x the declared parallelism on
     local masters; on a cluster leave it unset and size it to 2-3x the
     executor-core total (AQE coalesces down, never splits up).
+
+    ``workload`` selects the Tungsten page-size persona
+    (:func:`page_size_for`): ``"service"`` (default) for query-serving
+    processes, ``"batch"`` for dedicated wide-shuffle pipeline runs.
     """
     from pyspark.sql import SparkSession
 
@@ -81,6 +102,7 @@ def build_session(
         b = b.master(master)
     for k, v in RECOMMENDED.items():
         b = b.config(k, v)
+    b = b.config("spark.buffer.pageSize", page_size_for(workload))
     if shuffle_partitions is not None:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():

@@ -138,6 +138,10 @@ BASE_CASES = [
     ('count({__name__!=""})', 1),
     ('count({__name__!="",l=""})', 1),
     ("timestamp(a_X)", None),
+    # repo additions (not in bench_test.go): group_left/right INCLUDE
+    # shapes — coverage for the split-path include migration (round 13)
+    ("a_X * on(l) group_left(le) h_X{le='+Inf'}", None),
+    ("h_X{le='1'} * ignoring(le) group_right(le) a_X", None),
 ]
 
 
@@ -351,6 +355,8 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    from prometheus_spark.session import page_size_for as _page_size_for
+
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("prometheus_spark_bench_promql")
@@ -367,7 +373,12 @@ def main() -> None:
         # accumulation is bounded here by the per-8-cases gc below.
         # The 1m default stays for the corpus/tests/server personas
         # (many tiny broadcasts, small shuffles).
-        .config("spark.buffer.pageSize", os.environ.get("PAGESZ", "64m"))
+        # batch persona: one wide-shuffle pipeline per case (see
+        # prometheus_spark.session.page_size_for)
+        .config(
+            "spark.buffer.pageSize",
+            os.environ.get("PAGESZ", _page_size_for("batch")),
+        )
         # System.gc() (the periodic shuffle-file hygiene below) otherwise
         # triggers a FULL G1 collection: 48g heap compaction + region
         # uncommit, whose re-expansion allocation stalls poison the next
