@@ -208,6 +208,44 @@ def test_topk_ngrams(spark):
 
 
 @needs_data
+def test_topk_ngrams_struct_key_matches_string_key(spark):
+    """The struct-keyed aggregation (r13: no per-gram string built
+    before the agg) must be row- and order-identical to the reference
+    string-keyed plan, including count ties and prefix-shaped tokens
+    (where struct ordering could diverge from string ordering if the
+    tie-break ever sorted the struct instead of the gram string)."""
+    from pyspark.sql import functions as F
+
+    from prometheus_spark.pipeline import topk_ngrams
+    from prometheus_spark.pipeline.textstats import _ngrams_all
+
+    rows = [
+        (1, "ab c ab c ab"),     # 'ab c'/'c ab' tie at 2
+        (2, "a y a y"),          # 'a y' prefix-vs-'ab c' ordering
+        (3, "ab x ab x"),
+        (4, "q"),
+        (5, ""),
+        (6, "  pad   space  "),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for n in (1, 2, 3):
+        words = F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda w: w != F.lit(""),
+        )
+        ref = (
+            df.select(F.explode(_ngrams_all(words, n)).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("gram"))
+            .limit(10)
+        )
+        got = [(r["gram"], r["cnt"]) for r in topk_ngrams(df, k=10, n=n).collect()]
+        want = [(r["gram"], r["cnt"]) for r in ref.collect()]
+        assert got == want, (n, got, want)
+
+
+@needs_data
 def test_stratified_sample_deterministic(spark, docs):
     from prometheus_spark.pipeline import stratified_sample
 
