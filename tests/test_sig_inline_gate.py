@@ -144,3 +144,50 @@ def test_selector_est_name_matchers():
     assert selector_est(ctx, sel(matchers=[Matcher("l", MatchType.EQ, "x")])) is None
     # stats absent -> unknown
     assert selector_est(_ctx(), sel(name="purchase")) is None
+
+
+def test_labels_from_sig_roundtrip(spark):
+    """labels_from_sig_sql (r13: codegen'd str_to_map spelling) must
+    invert sig_sql exactly: map equality AND entry order (the sig is
+    key-sorted, so the rebuilt entries must come out key-sorted too —
+    re-signing the rebuilt map has to be byte-stable)."""
+    from prometheus_spark.model.labels import labels_from_sig_sql, sig_sql
+
+    rows = [
+        (PAIR_SEP.join(f"{k}{KV_SEP}{v}" for k, v in sorted(ls.items())), ls)
+        for ls in LABELSETS
+    ] + [
+        # empty-string values and space-bearing values survive
+        ("k" + KV_SEP, {"k": ""}),
+        ("a" + KV_SEP + "x y" + PAIR_SEP + "z" + KV_SEP, {"a": "x y", "z": ""}),
+    ]
+    df = spark.createDataFrame(rows, "sig string, labels map<string,string>")
+    # MAP columns have no ordering — compare through the canonical sig
+    # (which is exactly the property consumers rely on): the rebuilt
+    # map must re-sign byte-identically to the input sig AND to the
+    # sig of the expected map.
+    bad = df.selectExpr(
+        f"{sig_sql(labels_from_sig_sql('sig'))} AS resig",
+        f"{sig_sql('labels')} AS want",
+        "sig",
+    ).filter("resig IS DISTINCT FROM sig OR resig IS DISTINCT FROM want")
+    assert bad.count() == 0, bad.collect()
+    # element_at semantics survive (value lookups, empty-string values)
+    got = {
+        r["sig"]: (r["a"], r["k"])
+        for r in df.selectExpr(
+            "sig",
+            f"element_at({labels_from_sig_sql('sig')}, 'a') AS a",
+            f"element_at({labels_from_sig_sql('sig')}, 'k') AS k",
+        ).collect()
+    }
+    assert got["k" + KV_SEP] == (None, "")
+
+
+def test_labels_from_sig_is_codegen_friendly():
+    from prometheus_spark.model.labels import labels_from_sig_sql
+
+    s = labels_from_sig_sql("sig")
+    assert "str_to_map" in s
+    for hof in ("filter(", "transform(", "map_from_entries"):
+        assert hof not in s
