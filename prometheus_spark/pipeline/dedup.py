@@ -429,33 +429,67 @@ def minhash_dup_candidates_portable(
     ``star_threshold`` is opt-in exactly as in
     :func:`minhash_dup_candidates` (None = exact all-pairs).
 
-    Plan is the same shape as :func:`minhash_dup_candidates`: per-row
-    signature build (array_min over transform — zero shuffle), tiny
-    (id, band, bucket) frame persisted, bucketed self-join.  Band bucket
-    is ``md5(concat_ws(',', mins...))`` — portable, and collision-free in
-    practice (128-bit)."""
+    Signature build: explode the distinct shingles and take the
+    ``num_perm`` permutation minima as conditional MIN aggregates in ONE
+    map-side-combining whole-stage-codegen'd HashAggregate (the same
+    reshape as :func:`simhash_64_portable`'s ``agg`` vote fold).  The
+    previous per-row spelling — ``array_min`` over ``transform`` lambdas
+    — ran the md5 base hash AND all ``num_perm`` permutations as
+    interpreted higher-order functions, measured 8.5× slower at the sf1
+    rung (5.39 → 0.63 s isolated); post-explode every expression is
+    codegen'd.  Costs one shuffle of ``num_perm`` longs per doc
+    (map-side combined — proportionally small next to scanning the
+    document text); ``PROMSPARK_MINHASH_IMPL=hof`` keeps the zero-shuffle
+    per-row fold selectable (tests assert both spellings bit-identical).
+    Note the agg path emits one signature per distinct id (inputs with
+    duplicate ids merge); candidate PAIRS are unchanged either way
+    because `_bucketed_pairs` ends in ``distinct()``.
+
+    Band bucket is ``md5(concat_ws(',', mins...))`` — portable, and
+    collision-free in practice (128-bit)."""
+    import os
+
     p = PORTABLE_P
     consts = portable_perm_constants(num_perm, p)
     rows_per_band = num_perm // bands
     grams = _word_ngrams(F.col(text_col), shingle_n)
-    # project the base-hash array ONCE before fanning out into the
-    # num_perm array_min expressions — without the intermediate
-    # projection each min would re-derive the md5 of every shingle
-    base = F.transform(grams, lambda g: _portable_base_hash(g, p))
-    hashed = _spread(df, id_col).select(
-        F.col(id_col), base.alias("__base")
-    ).filter(F.size("__base") > 0)
-    mins = [
-        F.array_min(
-            F.transform(
-                F.col("__base"), lambda b: (F.lit(a) * b + F.lit(c)) % F.lit(p)
+    if os.environ.get("PROMSPARK_MINHASH_IMPL") == "hof":
+        # project the base-hash array ONCE before fanning out into the
+        # num_perm array_min expressions — without the intermediate
+        # projection each min would re-derive the md5 of every shingle
+        base = F.transform(grams, lambda g: _portable_base_hash(g, p))
+        hashed = _spread(df, id_col).select(
+            F.col(id_col), base.alias("__base")
+        ).filter(F.size("__base") > 0)
+        mins = [
+            F.array_min(
+                F.transform(
+                    F.col("__base"), lambda b: (F.lit(a) * b + F.lit(c)) % F.lit(p)
+                )
             )
+            for a, c in consts
+        ]
+        sigs = hashed.select(
+            F.col(id_col), *[m.alias(f"m{i}") for i, m in enumerate(mins)]
         )
-        for a, c in consts
-    ]
-    sigs = hashed.select(
-        F.col(id_col), *[m.alias(f"m{i}") for i, m in enumerate(mins)]
-    )
+    else:
+        # a_i, c_i < p = 2^31-1 and base < p, so a·b + c < 2^62: the
+        # permutation arithmetic stays in signed-64 range inside codegen
+        # exactly as it does in the DuckDB oracle rendering
+        exploded = _spread(df, id_col).select(
+            F.col(id_col), F.explode(grams).alias("__g")
+        )
+        based = exploded.select(
+            F.col(id_col), _portable_base_hash(F.col("__g"), p).alias("__b")
+        )
+        sigs = based.groupBy(id_col).agg(
+            *[
+                F.min((F.lit(a) * F.col("__b") + F.lit(c)) % F.lit(p)).alias(
+                    f"m{i}"
+                )
+                for i, (a, c) in enumerate(consts)
+            ]
+        )
     buckets = F.array(
         *[
             F.md5(
@@ -775,14 +809,19 @@ def ngram_jaccard_pairs(
     """
     # grams are 64-bit hashes end-to-end — the exploded index and the
     # self-join shuffle carry longs, never gram strings (equal grams ⇒
-    # equal hashes; a 2^-64 collision is the accepted trade)
-    grams = _spread(df, id_col).select(
-        F.col(id_col),
-        F.transform(
-            _word_ngrams(F.col(text_col), n), lambda g: F.xxhash64(g)
-        ).alias("gs"),
+    # equal hashes; a 2^-64 collision is the accepted trade).  The hash
+    # runs AFTER the explode so it compiles into the whole-stage-codegen
+    # scan stage; hashing inside a ``transform`` lambda runs xxhash64
+    # interpreted per array element — measured 8.4× slower at the sf1
+    # rung (4.03 → 0.48 s for the index build, value-identical).
+    inv = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(_word_ngrams(F.col(text_col), n)).alias("__g"),
+        )
+        .select(F.col(id_col), F.xxhash64("__g").alias("g"))
     )
-    inv = grams.select(F.col(id_col), F.explode("gs").alias("g"))
     # document frequency per gram: partial-aggregating groupBy (a
     # stop-word gram's count combines map-side — skew-proof), then ONE
     # 1:N annotate join back onto the index.  The join streams under

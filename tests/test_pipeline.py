@@ -998,6 +998,30 @@ def test_simhash_arrow_fold_bit_identical(spark, docs):
 
 
 @needs_data
+def test_minhash_portable_impls_identical(spark, docs, monkeypatch):
+    """The codegen'd explode+MIN-agg signature build and the legacy
+    per-row HOF fold (``PROMSPARK_MINHASH_IMPL=hof``) emit the identical
+    candidate-pair set — the md5 permutation family IS the oracle
+    contract, so the reshape must not move a single signature value."""
+    from prometheus_spark.pipeline import minhash_dup_candidates_portable
+    from prometheus_spark.pipeline.dedup import STAR_THRESHOLD
+
+    base = docs.limit(80)
+    clone = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    corpus = base.unionByName(clone)
+    got = {}
+    for impl in ("agg", "hof"):
+        monkeypatch.setenv("PROMSPARK_MINHASH_IMPL", impl)
+        got[impl] = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_dup_candidates_portable(
+                corpus, shingle_n=2, star_threshold=STAR_THRESHOLD
+            ).collect()
+        }
+    assert got["agg"] == got["hof"] and len(got["agg"]) >= 80
+
+
+@needs_data
 def test_simhash_portable_impls_bit_identical(spark, docs, monkeypatch):
     """All three portable vote-fold spellings (codegen'd 64-agg, numpy
     Arrow fold, pure SQL) emit identical fingerprints — the md5 spelling

@@ -546,10 +546,14 @@ def test_minhash_candidates_plan_shape(spark):
     assert "Window" not in plan  # skew contract: stats are aggregated, not windowed
     # one persisted frame, placed after the annotate join
     assert plan.count("InMemoryTableScan") >= 2  # small + star read the cache
-    # exchange budget: sig build repartition + stats agg + annotate join
-    # + self-join sides + union-distinct (AQE coalesces at runtime);
-    # a regression re-adding per-side signature builds would exceed this
-    assert plan.count("Exchange hashpartitioning") <= 9, plan
+    # exchange budget: the r13 explode+MIN-agg signature build adds one
+    # groupBy(id) exchange per TEXTUAL occurrence of the banded subtree
+    # (the pre-persist plan text duplicates it under the stats agg and
+    # the annotate join; at runtime the persist + exchange reuse execute
+    # the signature pipeline once).  Budget = old 9 + one sig-agg per
+    # duplicated subtree; a regression re-adding per-side signature
+    # builds or a window over the bucket would still exceed this.
+    assert plan.count("Exchange hashpartitioning") <= 15, plan
     for ex in re.findall(r"Exchange hashpartitioning[^\n]*\n[^\n]*", plan):
         assert "text" not in ex  # wide column stays at the scan
     df.count()  # plan must actually execute
