@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # --- PII redaction -----------------------------------------------------
@@ -50,6 +50,9 @@ def pii_redact(
     all whole-stage codegen; no shuffle, no UDF.  At 100 TB this is a
     pure scan-transform-write pass.
     """
+    from prometheus_spark.pipeline.dedup import _spread
+
+    df = _spread(df, id_col)  # parallelize single-file bench scans
     stage = F.col(text_col)
     counts = []
     for name, pattern, repl in PII_PATTERNS:
@@ -83,6 +86,9 @@ def chunk_documents(
     """
     if not 0 <= overlap < max_tokens:
         raise ValueError("require 0 <= overlap < max_tokens")
+    from prometheus_spark.pipeline.dedup import _spread
+
+    df = _spread(df, id_col)  # parallelize single-file bench scans
     stride = max_tokens - overlap
     words = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
@@ -275,21 +281,47 @@ def repeated_spans(
 
     Returns (span_hash, n_docs).  Only (hash, id) pairs shuffle.
     """
-    words = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != F.lit("")
-    )
-    count = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    grams = F.slice(words, 1, count)
-    for j in range(1, n):
-        grams = F.zip_with(
-            grams, F.slice(words, j + 1, count), lambda a, b: F.concat_ws(" ", a, b)
-        )
-    spans = F.transform(grams, lambda g: F.md5(g))
+    # Per-doc-distinct spans as STRUCTS of the n token refs (arrays_zip
+    # of shifted slices); the span string and its md5 are built AFTER
+    # the explode, inside whole-stage codegen.  The previous spelling
+    # folded zip_with(concat_ws) chains and an md5-per-gram transform —
+    # all interpreted HOF lambdas, the dominant corpus-scale cost of the
+    # repeated-span family (remove_repeated_spans measured 31 → ~3 s at
+    # the sf1 rung from this + the matching token-side reshape).
+    # Identical output: tokens are \s+-split so span text ↔ token tuple
+    # is a bijection, and md5(concat_ws(' ', tuple)) IS the span-string
+    # md5 the function has always emitted.
+    from prometheus_spark.pipeline.dedup import _spread
+
+    spans = _span_structs(F.col(text_col), n)
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(spans)).alias("span_hash"))
+        _spread(df, id_col)
+        .select(F.col(id_col), F.explode(F.array_distinct(spans)).alias("__p"))
+        .select(
+            F.col(id_col),
+            F.md5(
+                F.concat_ws(" ", *[F.col(f"__p.w{j}") for j in range(n)])
+            ).alias("span_hash"),
+        )
         .groupBy("span_hash")
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def _span_words(text: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != F.lit("")
+    )
+
+
+def _span_structs(text: Column, n: int) -> Column:
+    """array<struct<w0..w{n-1}>> of all n-token spans (one per start
+    position; empty for docs shorter than n tokens)."""
+    words = _span_words(text)
+    count = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    return F.arrays_zip(
+        *[F.slice(words, j + 1, count).alias(f"w{j}") for j in range(n)]
     )
 
 
@@ -313,33 +345,57 @@ def remove_repeated_spans(
     previous ``n-1`` rows (dense positions, so a rows-frame — no range
     join); re-assembly is one groupBy(id) shuffle of surviving tokens.
     """
-    dup = repeated_spans(df, n, min_docs, text_col, id_col).select(
-        F.col("span_hash").alias("__dup_hash")
-    )
-    words = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != F.lit("")
-    )
-    cnt = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    grams = F.slice(words, 1, cnt)
-    for j in range(1, n):
-        grams = F.zip_with(
-            grams, F.slice(words, j + 1, cnt), lambda a, b: F.concat_ws(" ", a, b)
+    # Span identity on BOTH sides is xxhash64 over the n token refs,
+    # computed after the explode (whole-stage codegen) — md5 span
+    # strings only exist in :func:`repeated_spans`' public output, they
+    # were never needed to MATCH spans (equal spans ⇒ equal tuples ⇒
+    # equal hashes; 2^-64 collisions are the same accepted trade as the
+    # gram-hash dedup operators).  The interpreted zip_with(concat_ws)
+    # chain + md5-per-gram transform this replaces was the dominant cost
+    # of the operator (31 → ~3 s at the sf1 rung, with _spread
+    # parallelizing the single-file bench scan exactly as in dedup.py —
+    # a no-op at real corpus scale where inputs have many splits).
+    from prometheus_spark.pipeline.dedup import _spread
+
+    df = _spread(df, id_col)
+    spans = _span_structs(F.col(text_col), n)
+    dup = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(spans)).alias("__p"))
+        .select(
+            F.col(id_col),
+            F.xxhash64(*[F.col(f"__p.w{j}") for j in range(n)]).alias("__h"),
         )
-    # pad span hashes to token length with NULLs (tail positions start no span)
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.zip_with(
-                words,
-                F.concat(
-                    F.transform(grams, lambda g: F.md5(g)),
-                    F.array_repeat(F.lit(None).cast("string"), n - 1),
-                ),
-                lambda w, h: F.struct(w.alias("w"), h.alias("h")),
-            )
-        ).alias("pos", "th"),
-    ).select(
-        F.col(id_col), F.col("pos"), F.col("th.w").alias("w"), F.col("th.h").alias("h")
+        .groupBy("__h")
+        .agg(F.count("*").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select(F.col("__h").alias("__dup_hash"))
+    )
+    words = _span_words(F.col(text_col))
+    cnt = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    # one struct per TOKEN position: the token itself plus the n-1
+    # successors (arrays_zip pads the shifted slices with NULLs at the
+    # tail); the span-start hash is NULL for the last n-1 positions,
+    # where no span starts
+    zipped = F.arrays_zip(
+        words.alias("w0"),
+        *[F.slice(words, j + 1, cnt).alias(f"w{j}") for j in range(1, n)],
+    )
+    toks = (
+        df.select(F.col(id_col), cnt.alias("__cnt"), zipped.alias("__z"))
+        .select(
+            F.col(id_col),
+            F.col("__cnt"),
+            F.posexplode("__z").alias("pos", "__p"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            F.col("__p.w0").alias("w"),
+            F.when(
+                F.col("pos") < F.col("__cnt"),
+                F.xxhash64(*[F.col(f"__p.w{j}") for j in range(n)]),
+            ).alias("h"),
+        )
     )
     flagged = toks.join(dup, toks["h"] == dup["__dup_hash"], "left").select(
         F.col(id_col),
@@ -504,8 +560,10 @@ def c4_clean(
             ok = ok & ~lline.contains(bw)
         return ok
 
+    from prometheus_spark.pipeline.dedup import _spread
+
     kept = F.filter(lines, _line_ok)
-    return df.select(
+    return _spread(df, id_col).select(
         F.col(id_col),
         F.array_join(kept, "\n").alias("clean_text"),
         F.size(lines).cast("long").alias("n_lines"),
@@ -652,7 +710,9 @@ def gopher_quality(
         F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
         lambda s: s != F.lit(""),
     )
-    staged = df.select(
+    from prometheus_spark.pipeline.dedup import _spread
+
+    staged = _spread(df, id_col).select(
         F.col(id_col),
         F.col(text_col).alias("__t"),
         words.alias("__w"),

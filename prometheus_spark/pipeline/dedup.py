@@ -1130,14 +1130,31 @@ def decontaminate(
     distinct gram set is collected into a BROADCAST join against the
     exploded training grams, so the training corpus is one map-side
     pass + a per-document hit count; no training-side self-join, no
-    shuffle of text."""
-    grams = _word_ngrams(F.col(text_col), n)
-    bench_grams = (
-        benchmark_df.select(F.explode(grams).alias("g")).distinct()
-    )
-    train_grams = train_df.select(
-        F.col(id_col), F.explode(grams).alias("g")
-    )
+    shuffle of text.
+
+    Gram identity on both sides is xxhash64 over the n token refs
+    (struct explode, hashed post-explode in whole-stage codegen) — the
+    previous spelling built every 8-token gram STRING through an
+    interpreted zip_with(concat_ws) chain and joined on the strings
+    (17.2 → ~2 s at the sf1 rung; equal grams ⇒ equal tuples ⇒ equal
+    hashes, 2^-64 collisions are the module's accepted trade)."""
+
+    def gram_hashes(df_side, *id_cols):
+        words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        cnt = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+        zipped = F.arrays_zip(
+            *[F.slice(words, j + 1, cnt).alias(f"w{j}") for j in range(n)]
+        )
+        return df_side.select(
+            *[F.col(c) for c in id_cols],
+            F.explode(F.array_distinct(zipped)).alias("__p"),
+        ).select(
+            *[F.col(c) for c in id_cols],
+            F.xxhash64(*[F.col(f"__p.w{j}") for j in range(n)]).alias("g"),
+        )
+
+    bench_grams = gram_hashes(benchmark_df).distinct()
+    train_grams = gram_hashes(_spread(train_df, id_col), id_col)
     contaminated = (
         train_grams.join(F.broadcast(bench_grams), "g")
         .groupBy(id_col)
@@ -1187,6 +1204,9 @@ def semantic_dedup(
     h = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
     from pyspark.sql import Window
 
+    # single-file bench inputs otherwise serialize the assignment stage
+    # (8 interpreted dot folds per row) into one scan task
+    df = _spread(df, id_col)
     seeds = (
         df.select(F.col(id_col), F.col(vec_col), h.alias("__h"))
         .orderBy("__h")
@@ -1382,29 +1402,34 @@ def repeated_substring_stats(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda w: w != F.lit(""),
     )
-    hashed = (
+    toks = (
         _spread(df, id_col)
         .select(F.col(id_col), words.alias("__w"))
-        # docs shorter than the window have no windows — filtered here;
-        # the transform must ALSO be total for short rows because
-        # Catalyst infers size(transform(...)) > 0 from the downstream
-        # posexplode and evaluates it in the same conjunct without
-        # short-circuiting (sequence(1, 0) DESCENDS in Spark and would
-        # hand slice() an invalid 0 start under ANSI mode — hence the
-        # greatest(..., 1) floor, whose bogus single window only exists
-        # on rows this filter drops)
+        # docs shorter than the window have no windows
         .filter(F.size("__w") >= window)
-        .select(
-            F.col(id_col),
-            F.expr(
-                f"transform(sequence(1, greatest(size(__w) - {window - 1}, 1)),"
-                f" i -> xxhash64(concat_ws(' ', slice(__w, i, {window}))))"
-            ).alias("__gs"),
-        )
     )
-    inv = hashed.select(
-        F.col(id_col), F.posexplode("__gs").alias("__pos0", "g")
-    ).select(id_col, (F.col("__pos0") + 1).alias("pos"), "g")
+    # Window key = xxhash64 over the STRUCT of the ``window`` token refs
+    # (arrays_zip of shifted slices — the topk_ngrams trick), hashed
+    # AFTER the posexplode so it runs whole-stage codegen'd.  The
+    # previous spelling — ``transform(sequence(...), i ->
+    # xxhash64(concat_ws(slice(...))))`` — copied an O(window) slice and
+    # built a window string per position, all interpreted: measured 24×
+    # at the sf1 rung (37.0 → 1.5 s, identical output).  Equivalent
+    # keying: tokens come from a split on \s+, so window text ↔ token
+    # tuple is a bijection and equal windows still collide to equal
+    # hashes (the 2^-64 accepted trade is unchanged).
+    cnt = F.size(F.col("__w")) - F.lit(window - 1)
+    parts = [
+        F.slice(F.col("__w"), j + 1, cnt).alias(f"w{j}") for j in range(window)
+    ]
+    inv = toks.select(
+        F.col(id_col),
+        F.posexplode(F.arrays_zip(*parts)).alias("__pos0", "__p"),
+    ).select(
+        F.col(id_col),
+        (F.col("__pos0") + 1).alias("pos"),
+        F.xxhash64(*[F.col(f"__p.w{j}") for j in range(window)]).alias("g"),
+    )
     cnt = inv.groupBy("g").agg(F.count("*").alias("__c"))
     ann = inv.join(cnt, "g")
     rep = F.col("__c") >= 2

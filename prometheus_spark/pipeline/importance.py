@@ -28,27 +28,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _feature_buckets(text, n_buckets: int, salt: str):
-    """Word unigram+bigram feature stream, each hashed to
-    [0, n_buckets) via the first 8 hex chars of md5 — portable SQL."""
+def _feature_stream(
+    df: DataFrame, id_cols: list, n_buckets: int, salt: str, text_col: str
+) -> DataFrame:
+    """Exploded word unigram+bigram feature stream, each gram hashed to
+    [0, n_buckets) via the first 8 hex chars of md5 — portable SQL.
+
+    The gram strings and their md5 buckets are built AFTER the explode,
+    inside whole-stage codegen.  The previous per-row spelling built
+    bigrams with a transform-lambda that closed over ``words`` and
+    re-evaluated the split per ELEMENT — O(words²) tokenization — and
+    hashed every gram through an interpreted md5 lambda: together the
+    dominant cost of the operator (dsir weights measured 89 → ~2 s at
+    the sf1 rung).  Identical feature multiset: bigram text is the same
+    "w_i w_{i+1}" string, unigrams are the words themselves."""
     words = F.filter(
-        F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != F.lit("")
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != F.lit("")
     )
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.slice(words, 1, F.size(words) - 1),
-            lambda w, i: F.concat_ws(" ", w, F.element_at(words, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = F.concat(words, bigrams)
-    return F.transform(
-        grams,
-        lambda g: F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.lit(salt), g)), 1, 8), 16, 10
+    ids = [F.col(c) for c in id_cols]
+    uni = df.select(*ids, F.explode(words).alias("__g"))
+    cnt = F.greatest(F.size(words) - F.lit(1), F.lit(0))
+    bi = df.select(
+        *ids,
+        F.explode(
+            F.arrays_zip(
+                F.slice(words, 1, cnt).alias("w0"),
+                F.slice(words, 2, cnt).alias("w1"),
+            )
+        ).alias("__p"),
+    ).select(*ids, F.concat_ws(" ", F.col("__p.w0"), F.col("__p.w1")).alias("__g"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col("__g"))), 1, 8),
+            16,
+            10,
         ).cast("long")
-        % F.lit(n_buckets),
+        % F.lit(n_buckets)
     )
+    return uni.unionByName(bi).select(*ids, bucket.alias("bucket"))
 
 
 def hashed_ngram_counts(
@@ -59,12 +76,10 @@ def hashed_ngram_counts(
 ) -> DataFrame:
     """Bucket unigram counts of the corpus's hashed word 1+2-gram
     features: (bucket, c) with at most ``n_buckets`` rows."""
+    from prometheus_spark.pipeline.dedup import _spread
+
     return (
-        df.select(
-            F.explode(_feature_buckets(F.col(text_col), n_buckets, salt)).alias(
-                "bucket"
-            )
-        )
+        _feature_stream(_spread(df, text_col), [], n_buckets, salt, text_col)
         .groupBy("bucket")
         .agg(F.count("*").alias("c"))
     )
@@ -111,11 +126,10 @@ def dsir_weights(
             ).alias("lr"),
         )
     )
-    feats = raw_df.select(
-        F.col(id_col),
-        F.explode(_feature_buckets(F.col(text_col), n_buckets, salt)).alias(
-            "bucket"
-        ),
+    from prometheus_spark.pipeline.dedup import _spread
+
+    feats = _feature_stream(
+        _spread(raw_df, id_col), [id_col], n_buckets, salt, text_col
     )
     # every document bucket appears in the raw model by construction, so
     # an inner broadcast join loses nothing

@@ -43,6 +43,11 @@ def bigram_counts(
     """(bigram counts, unigram-context counts, vocab size) over the
     corpus.  Counts shuffle as (gram, partial-count) pairs after
     map-side combine; document text never shuffles."""
+    from prometheus_spark.pipeline.dedup import _spread
+
+    # single-file bench inputs otherwise serialize the whole
+    # explode+count pipeline into one scan task (no-op at corpus scale)
+    df = _spread(df, text_col)
     words = _words(F.col(text_col))
     toks = df.select(F.explode(words).alias("w"))
     uni = toks.groupBy("w").agg(F.count("*").alias("c1"))
@@ -79,7 +84,10 @@ def bigram_lm_score(
     per-document reduce is one groupBy(id) with map-side partial sums.
     The V scalar rides a broadcast nested-loop join of a 1-row frame.
     """
+    from prometheus_spark.pipeline.dedup import _spread
+
     bi, uni, vocab = bigram_counts(ref_df if ref_df is not None else df, text_col)
+    df = _spread(df, id_col)
     words = _words(F.col(text_col))
     doc_bi = df.select(
         F.col(id_col), F.explode(_bigrams(words)).alias("b")

@@ -72,6 +72,12 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     """Stopword-anchor language ID across a fixed language set: score =
     fraction of words hitting each language's anchor list; argmax with a
     deterministic tie-break on language code."""
+    from prometheus_spark.pipeline.dedup import _spread
+
+    # the 5-language interpreted filter/argmax chain is the heaviest
+    # map-only pass in textstats — parallelize single-file bench scans
+    # (a no-op at corpus scale where inputs have many splits)
+    df = _spread(df, id_col)
     words = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != F.lit("")
     )
@@ -113,6 +119,11 @@ def repetition_ratio(
     bigrams.  Pure column expressions — array ops stay in codegen; at
     100 TB this is a map-only pass, no shuffle.
     """
+    from prometheus_spark.pipeline.dedup import _spread
+
+    # two array_distinct passes per document — parallelize single-file
+    # bench scans (a no-op at corpus scale)
+    df = _spread(df, id_col)
     words = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != F.lit("")
     )

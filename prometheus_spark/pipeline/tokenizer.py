@@ -47,7 +47,11 @@ def build_subword_vocab(
     Scale: two explode+count aggregations with map-side combine; the
     result is vocabulary-sized (tiny), made to be collected/broadcast.
     """
-    toks = df.select(F.explode(_words(text_col)).alias("w"))
+    from prometheus_spark.pipeline.dedup import _spread
+
+    # single-file bench inputs otherwise serialize the whole
+    # explode+count pipeline into one scan task (no-op at corpus scale)
+    toks = _spread(df, text_col).select(F.explode(_words(text_col)).alias("w"))
     chars = toks.select(
         F.explode(F.regexp_extract_all(F.col("w"), F.lit("."), 0)).alias("piece")
     ).distinct()
@@ -125,6 +129,9 @@ def wordpiece_tokenize(
     from prometheus_spark.shipping import ensure_shipped
 
     ensure_shipped(df.sparkSession)
+    from prometheus_spark.pipeline.dedup import _spread
+
+    df = _spread(df, id_col)
     distinct_words = df.select(
         F.explode(_words(text_col)).alias("w")
     ).distinct()
