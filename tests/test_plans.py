@@ -326,10 +326,23 @@ def test_series_limit_pushed_into_plan(spark, tmp_path):
     assert code == 200 and resp["data"] == ["__name__"]
 
 
+def _map_only_plan_ok(plan):
+    """A map-only pipeline operator may carry AT MOST the explicit
+    `_spread` repartition (tagged REPARTITION_BY_NUM) that parallelizes
+    under-split single-file inputs — never a hash exchange introduced by
+    an aggregation/join, and never a Python eval node."""
+    import re
+
+    for ex in re.findall(r"Exchange [^\n]*", plan):
+        assert "REPARTITION_BY_NUM" in ex, plan
+    assert "EvalPython" not in plan, plan
+
+
 def test_curation_map_only_ops_no_shuffle(spark, tmp_path):
     """pii_redact and chunk_documents are scan→project passes: at 100 TB
-    they must not shuffle (no Exchange) and must not enter Python (no
-    BatchEvalPython / ArrowEvalPython)."""
+    they must not shuffle (the only exchange ever allowed is the explicit
+    `_spread` of an under-split input, a no-op on multi-file inputs) and
+    must not enter Python (no BatchEvalPython / ArrowEvalPython)."""
     from prometheus_spark.pipeline import chunk_documents, pii_redact
 
     path = str(tmp_path / "docs")
@@ -340,6 +353,18 @@ def test_curation_map_only_ops_no_shuffle(spark, tmp_path):
     docs = spark.read.parquet(path)
 
     for df in (pii_redact(docs), chunk_documents(docs, 8, 2)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        _map_only_plan_ok(plan)
+
+    # corpus-scale layout (splits >= defaultParallelism): _spread is a
+    # no-op and the plan has NO exchange at all
+    wide = str(tmp_path / "docs_wide")
+    spark.createDataFrame(
+        [(i, f"word{i} the quick fox {i}") for i in range(64)],
+        "doc_id long, text string",
+    ).repartition(16).write.parquet(wide)
+    docs_wide = spark.read.parquet(wide)
+    for df in (pii_redact(docs_wide), chunk_documents(docs_wide, 8, 2)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         assert "EvalPython" not in plan, plan
@@ -442,8 +467,9 @@ def test_dsir_scoring_broadcasts_ratio_table(spark, tmp_path):
 
 
 def test_c4_clean_map_only(spark, tmp_path):
-    """c4_clean is a pure per-row projection: no exchange at all and the
-    scan prunes to the (doc_id, text) columns."""
+    """c4_clean is a pure per-row projection: the only exchange allowed
+    is the explicit `_spread` of an under-split input, and the scan
+    prunes to the (doc_id, text) columns."""
     from prometheus_spark.pipeline import c4_clean
 
     path = str(tmp_path / "docs")
@@ -455,14 +481,14 @@ def test_c4_clean_map_only(spark, tmp_path):
 
     qe = c4_clean(docs)._jdf.queryExecution()
     plan = qe.executedPlan().toString()
-    assert "Exchange" not in plan, plan
-    assert "EvalPython" not in plan, plan
+    _map_only_plan_ok(plan)
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
 
 
 def test_gopher_quality_map_only(spark, tmp_path):
-    """gopher_quality is a pure per-row projection: no exchange, no
-    Python, and the scan prunes to (doc_id, text)."""
+    """gopher_quality is a pure per-row projection: no exchange beyond
+    the explicit `_spread`, no Python, and the scan prunes to
+    (doc_id, text)."""
     from prometheus_spark.pipeline import gopher_quality
 
     path = str(tmp_path / "gq_docs")
@@ -475,8 +501,7 @@ def test_gopher_quality_map_only(spark, tmp_path):
 
     qe = gopher_quality(docs)._jdf.queryExecution()
     plan = qe.executedPlan().toString()
-    assert "Exchange" not in plan, plan
-    assert "EvalPython" not in plan, plan
+    _map_only_plan_ok(plan)
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
 
 
